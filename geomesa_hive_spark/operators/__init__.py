@@ -1,0 +1,28 @@
+"""Engine-level spatial operators: filter pushdown, spatial partitioning,
+distributed aggregates, schema introspection."""
+
+from geomesa_hive_spark.operators.pushdown import (
+    contains_pushdown,
+    intersects_pushdown,
+)
+from geomesa_hive_spark.operators.partitioning import (
+    add_z2_columns,
+    write_spatially_partitioned,
+)
+from geomesa_hive_spark.operators.convex_hull_agg import (
+    convex_hull_agg,
+    convex_hull_grouped,
+    register_convex_hull_udaf,
+)
+from geomesa_hive_spark.operators.geom_fields import is_geom_field
+
+__all__ = [
+    "intersects_pushdown",
+    "contains_pushdown",
+    "add_z2_columns",
+    "write_spatially_partitioned",
+    "convex_hull_agg",
+    "convex_hull_grouped",
+    "register_convex_hull_udaf",
+    "is_geom_field",
+]

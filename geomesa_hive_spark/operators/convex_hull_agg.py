@@ -1,0 +1,98 @@
+"""Distributed convex-hull aggregate.
+
+The reference's only UDAF: incremental convex hull of a geometry column
+(``spatial/.../ST_ConvexHull.scala:24-38``), distributed through Hive's
+partial/merge lifecycle (``HGenericUDAFEvaluator.scala:44-58``:
+iterate → terminatePartial → shuffle → merge → terminate).
+
+Spark-first equivalents here:
+
+- :func:`convex_hull_agg` — global hull, two-phase exactly like the
+  Hive lifecycle: per-partition partial hulls via ``mapInPandas``
+  (map-side combine: each partition reduces to ≤1 tiny hull), then one
+  final hull of hulls. Shuffle payload = a few dozen points per
+  partition, independent of input size.
+- :func:`convex_hull_grouped` — hull per group key via
+  ``applyInPandas``.
+- :func:`register_convex_hull_udaf` — SQL-callable GROUPED_AGG pandas
+  UDF ``st_convexhull`` (no partial merge — convenience parity; use the
+  two-phase operator for huge groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geomesa_hive_spark.geom import algorithms as alg
+from geomesa_hive_spark.geom.wkb import from_wkb, to_wkb
+
+__all__ = ["convex_hull_agg", "convex_hull_grouped", "register_convex_hull_udaf"]
+
+
+def _hull_of_wkbs(wkbs) -> bytes | None:
+    pts = []
+    for b in wkbs:
+        if b is None:
+            continue
+        g = from_wkb(bytes(b))
+        c = alg.all_coords(g)
+        if len(c):
+            pts.append(c)
+    if not pts:
+        return None
+    return to_wkb(alg.convex_hull_of_coords(np.vstack(pts)))
+
+
+def convex_hull_agg(df: DataFrame, geom_col: str) -> bytes | None:
+    """Global convex hull of a geometry column (WKB bytes).
+
+    Phase 1 (executors): each partition collapses to one partial-hull row.
+    Phase 2: the handful of partials reduce to the final hull.
+    """
+    schema = T.StructType([T.StructField("partial", T.BinaryType())])
+
+    def partial(iterator):
+        acc: list[bytes] = []
+        for pdf in iterator:
+            h = _hull_of_wkbs(pdf[geom_col])
+            if h is not None:
+                acc.append(h)
+                if len(acc) > 64:
+                    acc = [_hull_of_wkbs(acc)]
+        if acc:
+            yield pd.DataFrame({"partial": [_hull_of_wkbs(acc)]})
+
+    partials = df.select(geom_col).mapInPandas(partial, schema).collect()
+    return _hull_of_wkbs([r.partial for r in partials])
+
+
+def convex_hull_grouped(df: DataFrame, geom_col: str, *group_cols: str) -> DataFrame:
+    """Per-group convex hull: ``SELECT k, st_convexHull(geom) GROUP BY k``."""
+    if not group_cols:
+        raise ValueError("use convex_hull_agg for a global hull")
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols] + [T.StructField("hull", T.BinaryType())]
+    )
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {c: [k] for c, k in zip(group_cols, key)}
+        row["hull"] = [_hull_of_wkbs(pdf[geom_col])]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(per_group, out_schema)
+
+
+def register_convex_hull_udaf(spark: SparkSession) -> None:
+    """Register SQL `st_convexhull` (GROUPED_AGG pandas UDF)."""
+
+    @pandas_udf(T.BinaryType())
+    def st_convexhull(s: pd.Series) -> bytes:  # Series→scalar hint ⇒ GROUPED_AGG
+        return _hull_of_wkbs(s)
+
+    spark.udf.register("st_convexhull", st_convexhull)
