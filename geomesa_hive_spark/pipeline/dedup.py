@@ -1,0 +1,423 @@
+"""Deduplication at scale: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+- **exact**: one md5-of-normalized-text per doc → groupBy fingerprint.
+  Map-side partial aggregation; shuffle carries (fp, id) pairs only.
+- **ngram-Jaccard**: never a cross join — candidate pairs come from a
+  *blocking* key (shared n-gram bucket / lang+length band), then exact
+  Jaccard only on candidates. Blocking is an equi-join ⇒ shuffle hash
+  join on the block key.
+- **MinHash+LSH**: signatures via one numpy pass per Arrow batch; bands
+  become (band_id, band_hash) keys; an equi-self-join on band keys
+  yields candidates — the classic sub-quadratic near-dup pipeline.
+- **SimHash**: 64-bit signature per doc, candidates share a 16-bit
+  chunk (hamming ≤ 3 in 4 chunks ⇒ pigeonhole), verify by popcount.
+- **embedding cosine**: blocked by coarse key (label / LSH bucket),
+  cosine as native array expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_hive_spark.pipeline.text import normalize_text, word_tokens
+
+__all__ = [
+    "exact_duplicates",
+    "drop_exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized-text md5): one row per
+    fingerprint having >1 doc, with the member count and the keeper
+    (min id). Fully native + SQL-twin-able."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
+    return (
+        df.select(F.col(id_col).alias("id"), fp)
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of every fingerprint group."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    ranked = df.withColumn("__fp", fp).withColumn(
+        "__rk",
+        F.row_number().over(Window.partitionBy("__fp").orderBy(F.col(id_col))),
+    )
+    return ranked.filter(F.col("__rk") == 1).drop("__fp", "__rk")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked, exact)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(col, n: int) -> Column:
+    """Word n-grams via transform-with-index: gram i = tokens[i+1 .. i+n]
+    (element_at is 1-based), defined for i ≤ size-n."""
+    toks = word_tokens(col)
+    return F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i <= F.size(toks) - n,
+                F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined), distinct."""
+    return F.array_distinct(_word_ngrams(F.col(col) if isinstance(col, str) else col, n))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with word-n-gram Jaccard ≥ threshold.
+
+    Candidates are blocked: by ``block_col`` when given, else by sharing
+    at least one n-gram (explode + equi-join on the gram — the exact
+    inverted-index trick; never a cross join)."""
+    grams = word_ngrams(F.col(text_col), n)
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    if block_col is not None:
+        b = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+        cand = (
+            b.alias("a")
+            .join(b.alias("b"), F.col("a.blk") == F.col("b.blk"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        inv = base.select("id", F.explode("grams").alias("g"))
+        cand = (
+            inv.alias("a")
+            .join(inv.alias("b"), F.col("a.g") == F.col("b.g"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    a = base.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b2 = base.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    joined = cand.join(a, "id_a").join(b2, "id_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling 64-bit polynomial hashes of char k-shingles (numpy)."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    base = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * base + b[j : j + n].astype(np.uint64)
+    return np.unique(h)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    bb = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, bb
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — one numpy pass per Arrow batch."""
+    a, bb = _minhash_params(num_perm, seed)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            sigs = []
+            for txt in pdf[text_col]:
+                sh = _shingle_hashes(txt, shingle_k)
+                if len(sh) == 0:
+                    sigs.append(np.zeros(num_perm, dtype=np.int64).tolist())
+                    continue
+                with np.errstate(over="ignore"):
+                    vals = (a[None, :] * sh[:, None] + bb[None, :]) % _MERSENNE
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(gen, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH over minhash signatures.
+
+    rows_per_band = num_perm // bands; two docs collide when any band's
+    row-slice matches exactly (equi-join on (band, hash-of-slice)).
+    Estimated Jaccard = fraction of matching signature positions,
+    verified ≥ threshold after candidate generation."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # docs too short to produce any shingle get the all-zero signature;
+    # pairing them as jaccard-1 duplicates would be false positives
+    sigs = sigs.filter(F.exists("sig", lambda v: v != 0)).cache()
+    band_keys = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    cand = (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.lit(num_perm)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of word k-grams — more discriminative than char shingles on
+    small-vocabulary corpora."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    words = text.split()
+    if len(words) < k:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    base = np.uint64(1099511628211)
+    out = np.empty(len(grams), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, g in enumerate(grams):
+            h = np.uint64(14695981039346656037)
+            for byte in g.encode("utf-8", "ignore"):
+                h = (h * base) + np.uint64(byte)
+            out[i] = h
+    return np.unique(out)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    shingle: str = "word",
+) -> DataFrame:
+    """(id, simhash: bigint) 64-bit SimHash over word (default) or char
+    shingles."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+    shingle_fn = _word_shingle_hashes if shingle == "word" else _shingle_hashes
+
+    def gen(it):
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for txt in pdf[text_col]:
+                sh = shingle_fn(txt, shingle_k)
+                if len(sh) == 0:
+                    out.append(0)
+                    continue
+                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                # signed arithmetic: uint64 would wrap negative votes
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(len(sh))
+                sig = np.uint64(0)
+                for i in range(64):
+                    if votes[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                out.append(np.int64(sig))
+            yield pd.DataFrame({"id": ids, "simhash": np.asarray(out, dtype=np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+    shingle: str = "word",
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into (max_hamming+1) chunks; any
+    pair within the distance shares ≥1 exact chunk → equi-join per chunk."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash_signatures(df, id_col, text_col, shingle_k, shingle).cache()
+    mask = (1 << width) - 1
+    keys = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("ck"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.ck")
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), ["chunk", "ck"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Native cosine similarity between two array<numeric> columns,
+    computed in float64 with explicit op order (dot / (norm_a*norm_b))."""
+    da = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), da / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    Blocked by ``block_col`` when given (e.g. a cluster/label/LSH-bucket
+    column) so the join is an equi-join; without it, falls back to a
+    broadcast-nested-loop — only acceptable for small tables."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *( [F.col(block_col).alias("blk")] if block_col else []))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), *( [F.col("blk").alias("blk")] if block_col else []))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), *( [F.col("blk").alias("blk")] if block_col else []))
+    joined = a.join(b, ["blk"] if block_col else None) if block_col else a.crossJoin(b)
+    joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        joined.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

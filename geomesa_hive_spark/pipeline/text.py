@@ -1,0 +1,112 @@
+"""Text analysis operators — all pure Catalyst expressions.
+
+Every function here returns a ``Column`` built from ``pyspark.sql.functions``
+only: whole-stage codegen applies, nothing crosses into Python at run
+time, and each has an exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "token_count",
+    "word_tokens",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "LANG_MARKERS",
+]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def normalize_text(col) -> Column:
+    """Lowercase + whitespace-collapse + trim: the canonical form used by
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def word_tokens(col) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token count: words plus standalone punctuation — the
+    cheap stand-in for a BPE tokenizer's token count."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    mean word length band. Deterministic arithmetic only."""
+    c = _c(col)
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", ""))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    toks = token_count(c)
+    mean_word = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    len_band = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    word_band = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = F.round((0.4 * len_band + 0.4 * alpha_ratio + 0.2 * word_band), 6)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(score)
+
+
+#: marker words per language for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "was", "with"],
+    "fr": ["le", "la", "les", "et", "est", "dans"],
+    "es": ["el", "los", "las", "es", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "mit"],
+    "zh": ["的", "是", "了", "在", "和", "有"],
+}
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    """How many tokens are marker words of the language."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col) -> Column:
+    """Marker-word-vote language ID over {en,fr,es,de,zh}; 'und' when no
+    marker hits. Pure array expressions — SQL-twin-able."""
+    toks = word_tokens(F.lower(_c(col)))
+    scores = [(lang, _marker_hits(toks, m)) for lang, m in LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # first language (in insertion order) achieving the max wins ties:
+    # build from the last to the first so earlier langs take precedence
+    for lang, s in reversed(scores):
+        out = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 exists in both Spark and DuckDB → hash-checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all text-analysis columns at once."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fp", fingerprint(c))
+    )
