@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial query at sf0.001.
+``queries()`` — one callable per implemented operator from SURVEY.md §2
+(spatial surface, relational controls, beyond-reference pipeline ops).
+``oracle_sql()`` — DuckDB ANSI-SQL twins for every SQL-expressible query.
+
+Conventions that keep the driver's hash-compare stable:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are ``round(x, N)`` in BOTH engines;
+- spatial inputs are deterministic lon/lat synthesized from TPC-H keys
+  (the testdata has no geometry columns), with filter windows offset by
+  .005 so no point ever lands exactly on a window boundary;
+- timestamps never leave a query — they are formatted to strings.
 """
 
 from __future__ import annotations
@@ -12,27 +19,739 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_hive_spark import register_all
+from geomesa_hive_spark.functions import api as ST
+from geomesa_hive_spark.operators.convex_hull_agg import convex_hull_grouped
+from geomesa_hive_spark.operators.pushdown import contains_pushdown, intersects_pushdown
+from geomesa_hive_spark.pipeline import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark rejects; read
+    nanos as long and floor-divide to micros (DuckDB truncates the same
+    way when it surfaces the column as TIMESTAMP)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def _call(name: str, *args):
+    return F.call_function(name, *args)
+
+
+def _lineitem_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + deterministic lon/lat (and point geom + bbox extent)."""
+    register_all(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    # prime multipliers spread small key ranges across the full globe at
+    # every scale factor (plain `key % N` collapses to one corner at sf0.001)
+    lon = ((F.col("l_orderkey") * F.lit(7919)) % F.lit(36000)) / 100.0 - 180.0
+    lat = ((F.col("l_partkey") * F.lit(4799)) % F.lit(18000)) / 100.0 - 90.0
+    df = li.withColumn("lon", lon).withColumn("lat", lat)
+    df = df.withColumn("geom", _call("st_makepoint", F.col("lon"), F.col("lat")))
+    return df.withColumn("bbox", ST.make_extent("lon", "lat", "lon", "lat"))
+
+
+_LI_LON = "(((l_orderkey * 7919) % 36000) / 100.0 - 180.0)"
+_LI_LAT = "(((l_partkey * 4799) % 18000) / 100.0 - 90.0)"
+
+
+def _customer_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    cx = ((F.col("c_custkey") * F.lit(9973)) % F.lit(35000)) / 100.0 - 175.0
+    cy = ((F.col("c_custkey") * F.lit(7919)) % F.lit(17000)) / 100.0 - 85.0
+    df = c.withColumn("cx", cx).withColumn("cy", cy)
+    return df.withColumn("geom", _call("st_makepoint", F.col("cx"), F.col("cy")))
+
+
+_C_X = "(((c_custkey * 9973) % 35000) / 100.0 - 175.0)"
+_C_Y = "(((c_custkey * 7919) % 17000) / 100.0 - 85.0)"
+
+
+# ---------------------------------------------------------------------------
+# flagship entry (sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bbox-pruned spatial filter over lineitem points joined to
+    orders (broadcast), aggregated by order priority."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _lineitem_pts(spark, sf_dir)
+    win = (-120.005, -60.005, 60.005, 60.005)
+    pruned = intersects_pushdown(pts, win, geom_col="geom", bbox_col="bbox", exact=True)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        pruned.join(F.broadcast(orders), pruned.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — spatial surface
+# ---------------------------------------------------------------------------
+
+
+def q_spatial_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-layer ST_Intersects pushdown: native bbox conjunction (pushed
+    to parquet) AND the exact st_intersects pandas UDF (SURVEY §4.1)."""
+    pts = _lineitem_pts(spark, sf_dir)
+    win = (-50.005, 10.005, -20.005, 40.005)
+    pruned = intersects_pushdown(pts, win, geom_col="geom", bbox_col="bbox", exact=True)
+    return pruned.groupBy(F.col("l_returnflag").alias("l_returnflag")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+def q_spatial_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains(extentCol, window) — extent-within-literal-bbox
+    semantics of STContainsRule: pure min/max comparisons, no UDF."""
+    register_all(spark)
+    o = _t(spark, sf_dir, "orders")
+    cx = ((F.col("o_orderkey") * F.lit(7919)) % F.lit(34000)) / 100.0 - 170.0
+    cy = ((F.col("o_custkey") * F.lit(4799)) % F.lit(16000)) / 100.0 - 80.0
+    w = (F.col("o_orderkey") % F.lit(50)) / 10.0
+    h = (F.col("o_custkey") % F.lit(30)) / 10.0
+    df = o.withColumn(
+        "ext", ST.make_extent(cx - w / 2.0, cy - h / 2.0, cx + w / 2.0, cy + h / 2.0)
+    )
+    win = (-60.005, 0.005, -10.005, 50.005)
+    kept = contains_pushdown(df, win, bbox_col="ext")
+    return kept.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_spatial_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar measure functions: st_distance, st_area(st_makeBBOX),
+    st_x/st_y (float32 in the reference — rounded after double-cast)."""
+    register_all(spark)
+    s = _t(spark, sf_dir, "supplier")
+    x1 = (F.col("s_suppkey") % F.lit(200)) / 10.0 - 10.0
+    y1 = F.col("s_nationkey").cast("double")
+    x2 = x1 + (F.col("s_suppkey") % F.lit(7)).cast("double")
+    y2 = y1 + (F.col("s_suppkey") % F.lit(5)).cast("double")
+    df = (
+        s.withColumn("p1", _call("st_makepoint", x1, y1))
+        .withColumn("p2", _call("st_makepoint", x2, y2))
+        .withColumn("box", _call("st_makebbox", x1, y1, x2 + 1.0, y2 + 1.0))
+    )
+    return df.select(
+        F.col("s_suppkey").alias("s_suppkey"),
+        F.round(_call("st_distance", F.col("p1"), F.col("p2")), 6).alias("dist"),
+        F.round(_call("st_area", F.col("box")), 6).alias("box_area"),
+        F.round(_call("st_x", F.col("p1")).cast("double"), 3).alias("px"),
+        F.round(_call("st_y", F.col("p1")).cast("double"), 3).alias("py"),
+    )
+
+
+def q_spatial_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial partition-assignment join: customer points land in one of 5
+    longitude bands keyed by r_regionkey; grid key computed natively →
+    broadcast equi-join (the scale pattern for spatial joins)."""
+    pts = _customer_pts(spark, sf_dir)
+    region = _t(spark, sf_dir, "region")
+    band = F.floor((F.col("cx") + 180.0) / 72.0).cast("int")
+    joined = pts.withColumn("band", band).join(
+        F.broadcast(region), F.col("band") == F.col("r_regionkey")
+    )
+    return joined.groupBy(F.col("r_name").alias("r_name")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+def q_spatial_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_geomReproject EPSG:4326 → EPSG:3857 + st_extentFromGeom
+    accessors (web-mercator forward formulas are pure math → oracle)."""
+    pts = _customer_pts(spark, sf_dir)
+    merc = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3857")
+    )
+    ext = _call("st_extentfromgeom", merc)
+    df = pts.withColumn("ext", ext)
+    return df.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(F.col("ext.xmin"), 4).alias("mx"),
+        F.round(F.col("ext.ymin"), 4).alias("my"),
+    ).filter(F.col("c_custkey") <= 500)
+
+
+def q_spatial_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_z2LatLon + st_partitionCentroid — Morton/Z2 curve values
+    (oracle: the same bit-interleave written as SQL shift/mask CTEs)."""
+    pts = _customer_pts(spark, sf_dir)
+    z2 = _call("st_z2latlon", F.col("geom"))
+    pc = _call("st_partitioncentroid", F.col("geom"), F.lit(5))
+    return (
+        pts.withColumn("z2", z2)
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.col("z2.min").alias("z2val"),
+            pc.alias("pkey"),
+        )
+        .filter(F.col("c_custkey") <= 500)
+    )
+
+
+def q_spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_geoHash + WKT round-trip (rows-only: base32/WKT formatting has
+    no SQL twin)."""
+    pts = _customer_pts(spark, sf_dir)
+    gh = _call("st_geohash", F.col("geom"), F.lit(25))
+    rt = _call("st_astext", _call("st_geomfromwkt", _call("st_astext", F.col("geom"))))
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        gh.alias("geohash"),
+        rt.alias("wkt"),
+    ).filter(F.col("c_custkey") <= 500)
+
+
+def q_spatial_convexhull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_convexHull distributed aggregate (partial hull per partition →
+    hull of hulls), per nation; rows-only check (hull itself has no SQL
+    twin) but the output is deterministic."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    hulls = convex_hull_grouped(pts, "geom", "c_nationkey")
+    return hulls.select(
+        F.col("c_nationkey").alias("c_nationkey"),
+        F.round(_call("st_area", F.col("hull")), 6).alias("hull_area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational controls (engine-level operators, SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("l_returnflag"),
+            F.col("l_linestatus").alias("l_linestatus"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("l_orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sfd = sf_dir
+    c, o, li = _t(spark, sfd, "customer"), _t(spark, sfd, "orders"), _t(spark, sfd, "lineitem")
+    s, n, r = _t(spark, sfd, "supplier"), _t(spark, sfd, "nation"), _t(spark, sfd, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("n_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.col("rk").alias("rk"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.col("event_type").alias("event_type"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum (30-min gap)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_sess)
+    return sess.groupBy(F.col("user_id").alias("user_id")).agg(
+        F.sum("new_s").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy). The corpus has no natural exact dups,
+    so inject known ones: every 7th doc re-appears under an offset id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return dedup.exact_duplicates(docs.unionByName(dup), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, block_col="label"
+    )
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.knn_brute(emb, "vec_id", "embedding", qv, k=10)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.knn_lsh(emb, "vec_id", "embedding", qv, k=10, bits=8, probe_hamming=1)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.knn_ivf(emb, "vec_id", "embedding", qv, k=10, n_lists=16, n_probe=4)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        F.col("doc_id").alias("doc_id"),
+        text.token_count(c).cast("bigint").alias("n_tokens"),
+        text.bpe_ish_token_count(c).cast("bigint").alias("n_bpe"),
+        text.fingerprint(c).alias("fp"),
+    )
+
+
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        F.col("doc_id").alias("doc_id"),
+        text.quality_score(c).alias("quality"),
+        text.lang_id(c).alias("lang_pred"),
+    )
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "media", F.encode(F.col("text"), "UTF-8")
+    )
+    st = multimodal.media_stats(docs, "media")
+    return st.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("media_size").cast("bigint").alias("media_size"),
+        F.md5(F.col("media")).alias("media_md5"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode + feature-extract plumbing over opaque binary (stub
+    kernels — deterministic; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "media", F.encode(F.col("text"), "UTF-8")
+    )
+    dec = multimodal.decode_image_batch(docs.select("doc_id", "media"), "media")
+    feat = multimodal.extract_image_features(dec, "media", dim=16)
+    return feat.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.round(F.col("brightness"), 6).alias("brightness"),
+        F.size("features").alias("feat_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_bbox_filter": q_spatial_bbox_filter,
+        "spatial_contains": q_spatial_contains,
+        "spatial_measures": q_spatial_measures,
+        "spatial_region_join": q_spatial_region_join,
+        "spatial_reproject": q_spatial_reproject,
+        "spatial_z2": q_spatial_z2,
+        "spatial_geohash": q_spatial_geohash,
+        "spatial_convexhull": q_spatial_convexhull,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "window_top_orders": q_window_top_orders,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "knn_brute": q_knn_brute,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "text_stats": q_text_stats,
+        "text_quality_lang": q_text_quality_lang,
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Z2 spread-bits stages shared by the spatial_z2 oracle (Morton interleave
+# as SQL shift/mask arithmetic — same masks as geom/z2.py::interleave2).
+_Z2_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey,
+         {_C_X} AS lon,
+         {_C_Y} AS lat
+  FROM customer WHERE c_custkey <= 500
+), grid AS (
+  SELECT c_custkey,
+    LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 1073741824.0) AS BIGINT), 0), 1073741823) AS gx,
+    LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 1073741824.0) AS BIGINT), 0), 1073741823) AS gy,
+    LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 0), 63) AS col,
+    LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT), 0), 31) AS row
+  FROM base
+), s1 AS (
+  SELECT c_custkey,
+    (gx | (gx << 16)) & 281470681808895 AS x, (gy | (gy << 16)) & 281470681808895 AS y,
+    (col | (col << 16)) & 281470681808895 AS cx, (row | (row << 16)) & 281470681808895 AS cy
+  FROM grid
+), s2 AS (
+  SELECT c_custkey,
+    (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y,
+    (cx | (cx << 8)) & 71777214294589695 AS cx, (cy | (cy << 8)) & 71777214294589695 AS cy
+  FROM s1
+), s3 AS (
+  SELECT c_custkey,
+    (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y,
+    (cx | (cx << 4)) & 1085102592571150095 AS cx, (cy | (cy << 4)) & 1085102592571150095 AS cy
+  FROM s2
+), s4 AS (
+  SELECT c_custkey,
+    (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y,
+    (cx | (cx << 2)) & 3689348814741910323 AS cx, (cy | (cy << 2)) & 3689348814741910323 AS cy
+  FROM s3
+), s5 AS (
+  SELECT c_custkey,
+    (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y,
+    (cx | (cx << 1)) & 6148914691236517205 AS cx, (cy | (cy << 1)) & 6148914691236517205 AS cy
+  FROM s4
+)
+SELECT c_custkey, (x | (y << 1)) AS z2val, ((cx | (cy << 1)) >> 8) AS pkey FROM s5
+"""
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+    length(text) AS n,
+    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, text, n, toks,
+    CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN toks > 0 THEN CAST(n AS DOUBLE) / toks ELSE 0.0 END AS mean_word,
+    CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END AS len_band
+  FROM t
+), q AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE round(0.4 * len_band + 0.4 * alpha_ratio
+               + 0.2 * (CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0 THEN 1.0 ELSE 0.5 END), 6)
+    END AS quality
+  FROM s
+), langs AS (
+  SELECT doc_id, quality,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM q
+), votes AS (
+  SELECT doc_id, quality,
+    len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))) AS v_en,
+    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','dans'], t))) AS v_fr,
+    len(list_filter(toks, t -> list_contains(['el','los','las','es','por','con'], t))) AS v_es,
+    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','mit'], t))) AS v_de,
+    len(list_filter(toks, t -> list_contains(['的','是','了','在','和','有'], t))) AS v_zh
+  FROM langs
+)
+SELECT doc_id, quality,
+  CASE WHEN greatest(v_en, v_fr, v_es, v_de, v_zh) = 0 THEN 'und'
+       WHEN v_en = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'en'
+       WHEN v_fr = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'fr'
+       WHEN v_es = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'es'
+       WHEN v_de = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'de'
+       ELSE 'zh' END AS lang_pred
+FROM votes
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "spatial_bbox_filter": f"""
+            SELECT l_returnflag, count(*) AS cnt,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem
+            WHERE {_LI_LON} >= -50.005 AND {_LI_LON} <= -20.005
+              AND {_LI_LAT} >= 10.005 AND {_LI_LAT} <= 40.005
+            GROUP BY l_returnflag
+        """,
+        "spatial_contains": """
+            SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+            FROM (
+              SELECT o_totalprice,
+                (((o_orderkey * 7919) % 34000) / 100.0 - 170.0) AS cx,
+                (((o_custkey * 4799) % 16000) / 100.0 - 80.0) AS cy,
+                ((o_orderkey % 50) / 10.0) AS w,
+                ((o_custkey % 30) / 10.0) AS h
+              FROM orders
+            )
+            WHERE cx - w / 2.0 >= -60.005 AND cy - h / 2.0 >= 0.005
+              AND cx + w / 2.0 <= -10.005 AND cy + h / 2.0 <= 50.005
+        """,
+        "spatial_measures": """
+            SELECT s_suppkey,
+                   round(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)), 6) AS dist,
+                   round(((x2 + 1.0) - x1) * ((y2 + 1.0) - y1), 6) AS box_area,
+                   round(CAST(CAST(x1 AS FLOAT) AS DOUBLE), 3) AS px,
+                   round(CAST(CAST(y1 AS FLOAT) AS DOUBLE), 3) AS py
+            FROM (
+              SELECT s_suppkey,
+                ((s_suppkey % 200) / 10.0 - 10.0) AS x1,
+                CAST(s_nationkey AS DOUBLE) AS y1,
+                ((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) AS x2,
+                CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) AS y2
+              FROM supplier
+            )
+        """,
+        "spatial_region_join": f"""
+            SELECT r_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN region ON CAST(floor(({_C_X} + 180.0) / 72.0) AS INT) = r_regionkey
+            GROUP BY r_name
+        """,
+        "spatial_reproject": f"""
+            SELECT c_custkey,
+                   round(radians({_C_X}) * 6378137.0, 4) AS mx,
+                   round(ln(tan(pi() / 4.0 + radians({_C_Y}) / 2.0)) * 6378137.0, 4) AS my
+            FROM customer WHERE c_custkey <= 500
+        """,
+        "spatial_z2": _Z2_ORACLE,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS price
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "events_hourly": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                   count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT fp, count(*) AS n_dups, min(id) AS keep_id
+            FROM (
+              SELECT doc_id AS id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            GROUP BY fp
+            HAVING count(*) > 1
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                  >= 0.45 - 5e-7
+        """,
+        "knn_brute": """
+            SELECT e.vec_id AS id,
+                   round(
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))),
+                     6) AS cos_sim
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_sim DESC, id
+            LIMIT 10
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "text_quality_lang": _QUALITY_SQL,
+        "multimodal_stats": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS media_size,
+                   md5(text) AS media_md5
+            FROM documents
+        """,
+    }

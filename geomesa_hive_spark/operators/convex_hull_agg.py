@@ -80,12 +80,13 @@ def convex_hull_grouped(df: DataFrame, geom_col: str, *group_cols: str) -> DataF
         [df.schema[c] for c in group_cols] + [T.StructField("hull", T.BinaryType())]
     )
 
-    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_group(key, pdf):
         row = {c: [k] for c, k in zip(group_cols, key)}
         row["hull"] = [_hull_of_wkbs(pdf[geom_col])]
         return pd.DataFrame(row)
 
-    return df.groupBy(*group_cols).applyInPandas(per_group, out_schema)
+    slim = df.select(*group_cols, geom_col)
+    return slim.groupBy(*group_cols).applyInPandas(per_group, out_schema)
 
 
 def register_convex_hull_udaf(spark: SparkSession) -> None:

@@ -1,0 +1,135 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs entry() at sf0.001, every queries() entry plus its oracle_sql()
+twin at sf0.01 (DuckDB), and compares row-count, schema (column
+names), and a value hash computed the driver's way: sort columns by
+name, sort rows, hash stringified values.
+
+Usage: python scripts/check_contract.py [query ...]
+"""
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CHECK = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6f}".rstrip("0").rstrip(".")
+        if isinstance(v, (bytes, bytearray)):
+            return hashlib.md5(bytes(v)).hexdigest()
+        return str(v)
+
+    rows = sorted("|".join(cell(v) for v in row) for row in pdf.itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("contract-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    only = set(sys.argv[1:])
+    fails = []
+
+    if not only or "entry" in only:
+        t0 = time.time()
+        try:
+            n = E.entry(spark).count()
+            print(f"entry(): {n} rows  [{time.time()-t0:.1f}s]")
+            if n < 1:
+                fails.append("entry")
+        except Exception:
+            traceback.print_exc()
+            fails.append("entry")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_CHECK}/{t}.parquet')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_CHECK)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc()
+            fails.append(name)
+            continue
+        el = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: {len(spdf)} rows (rows-only, no oracle)  [{el:.1f}s]")
+            if len(spdf) < 0:
+                fails.append(name)
+            continue
+        try:
+            opdf = con.execute(sql).df()
+        except Exception:
+            print(f"FAIL {name}: oracle SQL raised")
+            traceback.print_exc()
+            fails.append(name)
+            continue
+        sc, oc = sorted(spdf.columns), sorted(opdf.columns)
+        if sc != oc:
+            print(f"FAIL {name}: schema {sc} vs oracle {oc}")
+            fails.append(name)
+            continue
+        if len(spdf) != len(opdf):
+            print(f"FAIL {name}: rows {len(spdf)} vs oracle {len(opdf)}")
+            fails.append(name)
+            continue
+        hs, ho = norm_hash(spdf), norm_hash(opdf)
+        if hs != ho:
+            print(f"FAIL {name}: value hash mismatch ({len(spdf)} rows)")
+            merged = spdf.reindex(sorted(spdf.columns), axis=1)
+            om = opdf.reindex(sorted(opdf.columns), axis=1)
+            key = sc[0]
+            try:
+                m = merged.sort_values(sc).reset_index(drop=True)
+                o = om.sort_values(oc).reset_index(drop=True)
+                diff = (m.astype(str) != o.astype(str)).any(axis=1)
+                print("  first diffs (spark | oracle):")
+                for i in m.index[diff][:3]:
+                    print("   S:", dict(m.loc[i]))
+                    print("   O:", dict(o.loc[i]))
+            except Exception:
+                pass
+            fails.append(name)
+        else:
+            print(f"PASS {name}: {len(spdf)} rows hash={hs[:8]}  [{el:.1f}s]")
+
+    print("\n=== ", "ALL GREEN" if not fails else f"FAILURES: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
