@@ -27,4 +27,8 @@ def register_all(spark: SparkSession) -> list[str]:
         spark.udf.register(name, udf)
     for alias, target in ALIASES.items():
         spark.udf.register(alias, SPEC[target])
-    return registered_names()
+    # the framework's one aggregate (ST_ConvexHull.scala:24-38)
+    from geomesa_hive_spark.operators.convex_hull_agg import register_convex_hull_udaf
+
+    register_convex_hull_udaf(spark)
+    return registered_names() + ["st_convexhull"]

@@ -79,8 +79,9 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 def _word_ngrams(col, n: int) -> Column:
     """Word n-grams via transform-with-index: gram i = tokens[i+1 .. i+n]
-    (element_at is 1-based), defined for i ≤ size-n."""
-    toks = word_tokens(col)
+    (element_at is 1-based), defined for i ≤ size-n. Case-normalized so
+    near-dup detection isn't defeated by capitalization."""
+    toks = word_tokens(F.lower(col))
     return F.filter(
         F.transform(
             toks,

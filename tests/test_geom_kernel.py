@@ -1,0 +1,186 @@
+"""Pure-Python kernel tests (no Spark session) — WKT/WKB codecs, DE-9IM
+predicates, measures, hulls, geohash and Z2 curves.
+
+Golden semantics follow JTS 1.18 (the engine behind the reference's
+GeoMesa delegates, SURVEY.md §2.2)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geomesa_hive_spark.geom import (
+    LineString,
+    Point,
+    Polygon,
+    from_wkb,
+    from_wkt,
+    to_wkb,
+    to_wkt,
+)
+from geomesa_hive_spark.geom import algorithms as alg
+from geomesa_hive_spark.geom import geohash, z2
+
+WKT_CASES = [
+    "POINT (1 2)",
+    "POINT EMPTY",
+    "LINESTRING (0 0, 1 1, 2 0)",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+    "MULTIPOINT ((0 0), (1 1))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))",
+]
+
+
+@pytest.mark.parametrize("wkt", WKT_CASES)
+def test_wkt_wkb_roundtrip(wkt):
+    g = from_wkt(wkt)
+    assert to_wkt(from_wkb(to_wkb(g))) == to_wkt(g)
+
+
+def test_wkt_parse_canonical():
+    assert to_wkt(from_wkt("POINT(1.5   2.5)")) == "POINT (1.5 2.5)"
+
+
+SQ = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+
+
+@pytest.mark.parametrize(
+    "wkt,pred,expected",
+    [
+        ("POINT (5 5)", "within", True),
+        ("POINT (5 5)", "intersects", True),
+        ("POINT (15 5)", "disjoint", True),
+        ("POINT (10 5)", "touches", True),  # on boundary
+        ("LINESTRING (-5 5, 15 5)", "crosses", True),
+        ("LINESTRING (0 0, 10 0)", "touches", True),  # along edge
+        ("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))", "overlaps", True),
+        ("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", "within", True),
+        ("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))", "touches", True),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "equals", True),
+    ],
+)
+def test_predicates_vs_square(wkt, pred, expected):
+    g = from_wkt(wkt)
+    assert getattr(alg, pred)(g, SQ) is expected
+
+
+def test_relate_de9im():
+    # textbook: point inside polygon
+    assert alg.relate(from_wkt("POINT (5 5)"), SQ) == "0FFFFF212"
+    assert alg.relate_pattern(from_wkt("POINT (5 5)"), SQ, "T*F**F***")  # within
+
+
+def test_contains_excludes_boundary():
+    # OGC contains: boundary-only point is NOT contained (but is covered)
+    p = from_wkt("POINT (10 5)")
+    assert not alg.contains(SQ, p)
+    assert alg.covers(SQ, p)
+
+
+def test_measures():
+    assert alg.area(SQ) == pytest.approx(100.0)
+    hole = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert alg.area(hole) == pytest.approx(96.0)
+    assert alg.length(from_wkt("LINESTRING (0 0, 3 4)")) == pytest.approx(5.0)
+    # JTS: polygon length = perimeter
+    assert alg.length(SQ) == pytest.approx(40.0)
+    c = alg.centroid(SQ)
+    assert (c.x, c.y) == (pytest.approx(5.0), pytest.approx(5.0))
+
+
+def test_distance_and_closest_point():
+    a = from_wkt("POINT (0 0)")
+    b = from_wkt("LINESTRING (5 -5, 5 5)")
+    assert alg.distance(a, b) == pytest.approx(5.0)
+    cp = alg.closest_point(b, a)
+    assert (cp.x, cp.y) == (pytest.approx(5.0), pytest.approx(0.0))
+    assert alg.distance(from_wkt("POINT (5 5)"), SQ) == 0.0
+
+
+def test_convex_hull():
+    pts = from_wkt("MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))")
+    h = alg.convex_hull(pts)
+    assert alg.area(h) == pytest.approx(100.0)
+    assert alg.equals(h, SQ)
+
+
+def test_simplify():
+    line = from_wkt("LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)")
+    s = alg.simplify(line, 0.1)
+    assert len(s.coords) == 2
+
+
+def test_envelope_boundary():
+    env = alg.envelope(from_wkt("LINESTRING (1 2, 3 7)"))
+    assert to_wkt(env) == "POLYGON ((1 2, 3 2, 3 7, 1 7, 1 2))"
+    b = alg.boundary(SQ)
+    assert b.geom_type in ("LineString", "MultiLineString")
+    assert alg.length(b) == pytest.approx(40.0)
+
+
+def test_geohash_roundtrip():
+    # 25 bits = 5 base32 chars; reference geohashes are bit-precision
+    gh = geohash.encode(40.7, -74.0, 25)
+    assert len(gh) == 5
+    xmin, ymin, xmax, ymax = geohash.decode_bbox(gh, 25)
+    assert xmin <= -74.0 <= xmax and ymin <= 40.7 <= ymax
+    lon, lat = geohash.decode_point(gh, 25)
+    assert lon == pytest.approx((xmin + xmax) / 2)
+    # well-known value: geohash of (57.64911, 10.40744) is u4pruyd...
+    assert geohash.encode(57.64911, 10.40744, 30).startswith("u4pruy")
+
+
+def test_z2_interleave():
+    x = np.array([0b101], dtype=np.uint64)
+    y = np.array([0b011], dtype=np.uint64)
+    # interleave x into even bits, y into odd: (x=101, y=011) -> 0b011011 +
+    # exact per-bit: z = sum(x_i<<2i | y_i<<(2i+1))
+    z = z2.interleave2(x, y)[0]
+    expected = 0
+    for i in range(3):
+        expected |= ((0b101 >> i) & 1) << (2 * i)
+        expected |= ((0b011 >> i) & 1) << (2 * i + 1)
+    assert int(z) == expected
+
+
+def test_z2_latlon_matches_reference_scaling():
+    # ST_Z2Lat Lon.scala:34-35 — lon/lat scaled into 2^30 grid then interleaved
+    lo, hi = z2.z2_latlon_range(
+        np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([0.0])
+    )
+    gx = int((0.0 + 180.0) / 360.0 * (1 << 30))
+    gy = int((0.0 + 90.0) / 180.0 * (1 << 30))
+    expected = z2.interleave2(np.array([gx], np.uint64), np.array([gy], np.uint64))[0]
+    assert lo[0] == hi[0] == int(expected)
+
+
+def test_twkb_encode_headers():
+    # encoder only — the reference exposes just st_asTWKB (TWKBUtils.write);
+    # check the TWKB type nibble (low 4 bits of byte 0): 1=pt, 2=line, 3=poly
+    from geomesa_hive_spark.geom import twkb
+
+    for wkt, type_id in [
+        ("POINT (1 2)", 1),
+        ("LINESTRING (0 0, 1 1, 2 0)", 2),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 3),
+    ]:
+        enc = twkb.to_twkb(from_wkt(wkt), precision=7)
+        assert isinstance(enc, bytes) and len(enc) > 2
+        assert enc[0] & 0x0F == type_id
+
+
+def test_geodesy_distance_sphere():
+    from geomesa_hive_spark.geom import geodesy
+
+    # JFK -> LHR great-circle ~ 5554.6 km (spherical approximations vary ~0.3%)
+    d = geodesy.distance_sphere(from_wkt("POINT (-73.7781 40.6413)"), from_wkt("POINT (-0.4543 51.4700)"))
+    assert d == pytest.approx(5_554_600, rel=0.005)
+
+
+def test_null_and_empty_handling():
+    assert alg.area(from_wkt("POLYGON EMPTY")) == 0.0
+    assert from_wkt("POINT EMPTY").is_empty
+    assert len(from_wkt("POINT EMPTY").coords) == 0

@@ -1,0 +1,154 @@
+"""Pipeline operator tests: dedup family, ANN search, text analysis,
+multimodal plumbing — toy data with hand-checkable answers."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from geomesa_hive_spark.pipeline import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "completely different text about spark engines and parquet files"),
+    (5, "  The  QUICK brown fox jumps over the lazy dog "),  # dup after normalize
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0].n_dups == 3 and out[0].keep_id == 1
+
+
+def test_drop_exact_duplicates(spark, docs):
+    kept = dedup.drop_exact_duplicates(docs, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 6]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 5) in pairs and pairs[(1, 5)] == pytest.approx(1.0)  # tokens normalize case
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_simhash(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.01, 0.0], "a"),
+        (3, [0.0, 1.0, 0.0], "a"),
+        (4, [1.0, 0.0, 0.0], "b"),  # identical to 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>, blk STRING")
+    out = {(r.id_a, r.id_b) for r in
+           dedup.embedding_near_dup_pairs(df, "id", "v", threshold=0.95, block_col="blk").collect()}
+    assert out == {(1, 2)}  # 1-4 blocked apart; 1-3 orthogonal
+
+
+EMB = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(50)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "id LONG, v ARRAY<DOUBLE>")
+
+
+def test_knn_brute_topk(spark, emb):
+    q = EMB[0][1]
+    out = similarity.knn_brute(emb, "id", "v", q, k=5).collect()
+    assert len(out) == 5
+    assert out[0].id == 0 and out[0].cos_sim == pytest.approx(1.0)
+    sims = [r.cos_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_lsh_recall(spark, emb):
+    q = EMB[0][1]
+    brute = [r.id for r in similarity.knn_brute(emb, "id", "v", q, k=5).collect()]
+    lsh = [r.id for r in similarity.knn_lsh(emb, "id", "v", q, k=5, bits=6, probe_hamming=2).collect()]
+    # approximate: expect >= 3/5 overlap with generous probing on toy data
+    assert len(set(brute) & set(lsh)) >= 3
+
+
+def test_knn_ivf_recall(spark, emb):
+    q = EMB[0][1]
+    brute = [r.id for r in similarity.knn_brute(emb, "id", "v", q, k=5).collect()]
+    ivf = [r.id for r in similarity.knn_ivf(emb, "id", "v", q, k=5, n_lists=4, n_probe=2).collect()]
+    assert len(set(brute) & set(ivf)) >= 3
+
+
+def test_text_stats(spark, docs):
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("b"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.lang_id(F.col("text")).alias("lang"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1].n == 9
+    assert out[6].n == 0
+    assert out[1].b >= 9
+    assert out[1].lang == "en"
+    # empty text: only the word-band floor contributes -> 0.2 * 0.5
+    assert 0.0 <= out[1].q <= 1.0 and out[6].q == pytest.approx(0.1)
+    assert out[1].fp == out[2].fp == out[5].fp  # normalized fingerprint
+    assert out[1].fp != out[3].fp
+
+
+def test_lang_id_multilingual(spark):
+    df = spark.createDataFrame(
+        [(1, "le chat est dans la maison et la porte"),
+         (2, "der Hund ist mit der Katze und das Haus"),
+         (3, "los perros es por la casa con el gato")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "fr", 2: "de", 3: "es"}
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x00" * 64)), (2, bytearray(b"ab" * 100))],
+                               "doc_id LONG, media BINARY")
+    st = multimodal.media_stats(df, "media")
+    sizes = {r.doc_id: r.media_size for r in st.collect()}
+    assert sizes == {1: 64, 2: 200}
+    dec = multimodal.decode_image_batch(df, "media")
+    rows = {r.doc_id: r for r in dec.collect()}
+    assert rows[1].width > 0 and rows[1].height > 0  # deterministic fake decode
+    feat = multimodal.extract_image_features(dec, "media", dim=8)
+    frow = feat.collect()[0]
+    assert len(frow.features) == 8
+    frames = multimodal.sample_video_frames(df, "media", "doc_id", n_frames=3)
+    assert frames.count() == 6  # 3 frames per input row
+
+
+def test_multimodal_strict_decode_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id LONG, media BINARY")
+    with pytest.raises(Exception):
+        # strict mode surfaces the NotImplementedError from the stub decoder
+        multimodal.decode_image_batch(df, "media", strict=True).collect()
