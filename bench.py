@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries from __spark_entry__.py
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed as a full materialization (count of the result) —
+the same work the driver's correctness harness does, minus toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geomesa-hive-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM, the Arrow python workers, and the parquet footer
+    # cache once, outside any timed region (BASELINE.md protocol: warm runs)
+    from geomesa_hive_spark import register_all
+    from pyspark.sql import functions as F
+
+    register_all(spark)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).select(
+        F.call_function("st_makepoint", F.lit(1.0), F.lit(2.0))
+    ).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            el = round(time.time() - t0, 3)
+            timings[name] = el
+            total += el
+            print(f"# {name}: {n} rows in {el}s", file=sys.stderr)
+        except Exception as exc:  # a failing query shouldn't sink the run
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total wall time, all declared queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

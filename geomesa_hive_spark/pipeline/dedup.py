@@ -77,26 +77,33 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def _word_ngrams(col, n: int) -> Column:
-    """Word n-grams via transform-with-index: gram i = tokens[i+1 .. i+n]
-    (element_at is 1-based), defined for i ≤ size-n. Case-normalized so
-    near-dup detection isn't defeated by capitalization."""
-    toks = word_tokens(F.lower(col))
-    return F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.when(
-                i <= F.size(toks) - n,
-                F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+def _grams_from_tokens(toks, n: int) -> Column:
+    """Word n-grams from an *already materialized* token array column:
+    gram i = slice(toks, i+1, n) joined by spaces. Passing a plain column
+    reference (not the split() expression) matters — a lambda body
+    re-evaluates its captured expression per element, turning gram
+    construction O(len²) per row otherwise."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
             ),
-        ),
-        lambda v: v.isNotNull(),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
 def word_ngrams(col, n: int = 3) -> Column:
-    """Array of word n-grams (space-joined), distinct."""
-    return F.array_distinct(_word_ngrams(F.col(col) if isinstance(col, str) else col, n))
+    """Array of distinct word n-grams (space-joined), case-normalized so
+    near-dup detection isn't defeated by capitalization.
+
+    Prefer projecting the token array first and calling
+    :func:`_grams_from_tokens` on the column reference — see that
+    docstring for why."""
+    toks = word_tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return _grams_from_tokens(toks, n)
 
 
 def ngram_jaccard_pairs(
@@ -112,8 +119,13 @@ def ngram_jaccard_pairs(
     Candidates are blocked: by ``block_col`` when given, else by sharing
     at least one n-gram (explode + equi-join on the gram — the exact
     inverted-index trick; never a cross join)."""
-    grams = word_ngrams(F.col(text_col), n)
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    # two-step projection: tokens become a real column before the gram
+    # lambda touches them (O(len) per row), and the gram arrays are cached
+    # because three downstream plans (index, verify-a, verify-b) reuse them
+    toked = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    base = toked.select("id", _grams_from_tokens("toks", n).alias("grams")).cache()
     if block_col is not None:
         b = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
         cand = (
@@ -124,10 +136,30 @@ def ngram_jaccard_pairs(
             .distinct()
         )
     else:
-        inv = base.select("id", F.explode("grams").alias("g"))
+        # Prefix filtering (Chaudhuri et al. SSJoin / PPJoin family): under a
+        # global gram ordering, two sets with Jaccard >= t MUST share a gram
+        # within each one's first floor((1-t)*|g|)+1 grams. Order by global
+        # document frequency (rarest first) so the indexed prefix grams are
+        # the most selective — common grams never generate candidates, which
+        # is what keeps the self-join subquadratic at corpus scale.
+        inv_full = base.select("id", F.explode("grams").alias("g"))
+        gram_df = inv_full.groupBy("g").agg(F.count("*").alias("df_g"))
+        ranked = (
+            inv_full.join(gram_df, "g")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df_g", "g")
+                ),
+            )
+            .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+        )
+        prefix = ranked.filter(
+            F.col("rk") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
+        ).select("id", "g")
         cand = (
-            inv.alias("a")
-            .join(inv.alias("b"), F.col("a.g") == F.col("b.g"))
+            prefix.alias("a")
+            .join(prefix.alias("b"), F.col("a.g") == F.col("b.g"))
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
