@@ -1,0 +1,27 @@
+"""Structured Streaming extension.
+
+The reference contains **no streaming code** (SURVEY.md §0 — exhaustive
+module listing: core/jts/spatial/spatial-index only), so this package is
+an extension, not a port: the same event-rollup and sessionization
+semantics our batch queries define, expressed as incremental streaming
+plans with watermarks, plus spatial enrichment (the ST surface is pandas
+UDFs + native exprs, so it composes with streaming DataFrames unchanged).
+"""
+
+from geomesa_hive_spark.streaming.events import (
+    enrich_stream_spatial,
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    session_rollup,
+    stateful_sessions,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_rollup",
+    "session_rollup",
+    "stateful_sessions",
+    "enrich_stream_spatial",
+    "run_to_memory",
+]

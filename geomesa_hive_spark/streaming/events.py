@@ -1,0 +1,197 @@
+"""Streaming event rollups: watermarked windows, session windows, custom state.
+
+Extension beyond the reference (which has zero streaming code — SURVEY.md
+§0). Design choices for scale:
+
+- **Event-time + watermark** everywhere: state is bounded, late rows are
+  dropped deterministically, and the windowed agg is a streaming partial
+  aggregation (map-side combine before the shuffle), so throughput scales
+  with executors, not with state size.
+- **``F.session_window``** for gap-based sessions — the built-in operator
+  merges overlapping windows inside the state store; preferred over custom
+  state when the output is per-session aggregates.
+- **``applyInPandasWithState``** only for the genuinely custom stateful
+  shape (running per-user session counters that built-ins can't express):
+  Arrow-batched, grouped by user, timeout-driven eviction.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+__all__ = [
+    "read_events_stream",
+    "hourly_rollup",
+    "session_rollup",
+    "stateful_sessions",
+    "enrich_stream_spatial",
+    "run_to_memory",
+]
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    ``maxFilesPerTrigger`` bounds per-micro-batch work; schema is taken
+    from the existing files so the batch and stream plans agree. Nanos
+    timestamps (which Spark's parquet reader rejects) are read as long
+    and floored to micros, same as the batch reader.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    if os.path.isfile(path):
+        # the file source lists a directory; point it at the parent and
+        # glob down to the single file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    stream = reader.parquet(path)
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour count/sum per event_type with a watermark.
+
+    Streaming twin of the batch ``events_hourly`` query: same grouping
+    keys, incremental execution with bounded state.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window`` operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", LongType()),  # epoch seconds of last event seen
+    ]
+)
+
+_SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState, gap_s: float = 1800.0
+):
+    """Per-user running sessionizer: counts gap-delimited sessions.
+
+    State is three longs; each micro-batch folds its (sorted) timestamps
+    into the running count. Emits the current totals every batch —
+    update-mode semantics matching the batch ``events_sessions`` query.
+    """
+    if state.exists:
+        n_sessions, n_events, last_ts = state.get
+    else:
+        n_sessions, n_events, last_ts = 0, 0, None
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() / 1e9
+        ts.sort()
+        for t in ts:
+            if last_ts is None or (t - last_ts) > gap_s:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+    state.update((int(n_sessions), int(n_events), int(last_ts)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def stateful_sessions(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user session counts via
+    ``applyInPandasWithState`` (Arrow-batched grouped state)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def enrich_stream_spatial(events: DataFrame, lon_col, lat_col) -> DataFrame:
+    """Attach geom/bbox/z2 columns to a streaming DataFrame.
+
+    Works unchanged on streams because the ST surface is stateless pandas
+    UDFs + native expressions — demonstrates that spatial filtering and
+    Z2 keying compose with Structured Streaming sinks (e.g. partitionBy
+    z2 on a parquet sink)."""
+    from geomesa_hive_spark.functions import api as ST
+
+    geom = ST.st_makepoint(F.col(lon_col).cast("double"), F.col(lat_col).cast("double"))
+    out = events.withColumn("geom", geom)
+    out = out.withColumn("bbox", ST.st_extentfromgeom(F.col("geom")))
+    out = out.withColumn("z2", ST.st_partitioncentroid(F.col("geom"), F.lit(6)))
+    return out
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain all available input into an in-memory table and stop.
+
+    Test/CI helper: ``availableNow`` processes the whole backlog in
+    bounded micro-batches then terminates — the streaming equivalent of a
+    batch run, used to check stream/batch parity.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

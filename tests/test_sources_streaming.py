@@ -1,0 +1,173 @@
+"""Tests for the sources package and the Structured Streaming extension.
+
+Streaming tests run the whole backlog with ``availableNow`` into a memory
+sink and compare against the equivalent batch plan — stream/batch parity
+is the correctness bar, mirroring how the batch queries are
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_hive_spark import sources, streaming
+from geomesa_hive_spark.functions import api as ST
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def test_read_csv_wkt_roundtrip(spark, tmp_path):
+    p = tmp_path / "polys.csv"
+    p.write_text(
+        "name,wkt\n"
+        'a,"POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"\n'
+        'b,"POINT (5 5)"\n'
+    )
+    df = sources.read_csv_wkt(spark, str(p), wkt_col="wkt")
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["a"]["bbox"]["xmax"] == 2.0
+    assert rows["b"]["bbox"]["xmin"] == 5.0
+    assert rows["a"]["geom"] is not None
+
+
+def test_read_geojson_lines(spark, tmp_path):
+    p = tmp_path / "geoms.jsonl"
+    p.write_text(
+        '{"type": "Point", "coordinates": [1.0, 2.0]}\n'
+        '{"type": "Polygon", "coordinates": [[[0,0],[4,0],[4,4],[0,4],[0,0]]]}\n'
+    )
+    df = sources.read_geojson_lines(spark, str(p))
+    got = sorted(r["bbox"]["xmax"] for r in df.collect())
+    assert got == [1.0, 4.0]
+
+
+def test_spatial_parquet_window_read(spark, tmp_path):
+    path = str(tmp_path / "sp")
+    base = spark.range(100).select(
+        F.col("id"),
+        ST.st_makepoint(
+            (F.col("id") % 10).cast("double"), (F.col("id") / 10).cast("double")
+        ).alias("geom"),
+    )
+    sources.write_spatial_parquet(base, path, zoom=4)
+    # window covering x in [0,3], y in [0,3] → ids with x%10<=3 and id<40
+    win = sources.read_spatial_parquet(spark, path, bbox=(-0.5, -0.5, 3.5, 3.5))
+    ids = {r["id"] for r in win.select("id").collect()}
+    expect = {i for i in range(100) if (i % 10) <= 3 and (i // 10) <= 3}
+    assert ids == expect
+    # bbox conjunction must reach the parquet scan as pushed filters
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "xmin" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return streaming.read_events_stream(spark, os.path.join(SF, "events.parquet"))
+
+
+def _batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, events_stream):
+    streaming.run_to_memory(
+        streaming.hourly_rollup(events_stream), "hourly_t", output_mode="complete"
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.table("hourly_t").collect()
+    }
+    exp = {
+        (r["hour"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in _batch_events(spark)
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_streaming_session_window(spark, events_stream):
+    streaming.run_to_memory(
+        streaming.session_rollup(events_stream), "sess_t", output_mode="complete"
+    )
+    out = spark.table("sess_t")
+    assert out.count() > 0
+    # sessions are gap-consistent: end >= start, all users present
+    bad = out.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+    n_users_stream = out.select("user_id").distinct().count()
+    n_users_batch = _batch_events(spark).select("user_id").distinct().count()
+    assert n_users_stream == n_users_batch
+
+
+def test_stateful_sessions_matches_batch_sessionization(spark, events_stream):
+    from pyspark.sql import Window
+
+    streaming.run_to_memory(
+        streaming.stateful_sessions(events_stream), "statesess_t", output_mode="update"
+    )
+    # update mode may emit a row per micro-batch per user; last write wins —
+    # with availableNow over one directory the final totals are the max
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.table("statesess_t")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
+        )
+        .collect()
+    }
+    ev = _batch_events(spark)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    exp = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ev.withColumn("new_s", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_enrich_stream_spatial_plan(spark, events_stream):
+    enriched = streaming.enrich_stream_spatial(
+        events_stream.withColumn("lon", F.col("value") % 360 - 180).withColumn(
+            "lat", F.col("value") % 170 - 85
+        ),
+        "lon",
+        "lat",
+    )
+    assert enriched.isStreaming
+    assert {"geom", "bbox", "z2"} <= set(enriched.columns)
+    streaming.run_to_memory(
+        enriched.select("event_id", "z2", "bbox"), "enrich_t", output_mode="append"
+    )
+    out = spark.table("enrich_t")
+    assert out.count() == _batch_events(spark).count()
+    assert out.filter(F.col("z2").isNull()).count() == 0
