@@ -310,6 +310,156 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg — the predicate-pushdown control: every filter
+    reaches the parquet scan (PushedFilters), zero joins, one shuffle-free
+    partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (no LIMIT: a revenue floor keeps the result
+    set deterministic under float-sum reordering)."""
+    c, o, li = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("c_custkey"),
+            F.col("c_name").alias("c_name"),
+            F.col("n_name").alias("n_name"),
+        )
+        .agg(
+            # decimal partials: order-independent exact sums, so the hash
+            # can't wobble with shuffle/merge order the way double sums do
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("revenue") > 100000.0)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share — broadcast dim join + conditional agg."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type") == "PROMO", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo)
+                / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: agg-then-join (the small aggregated side is
+    broadcast back against orders/customer, not the other way around)."""
+    c, o, li = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.col("c_name").alias("c_name"),
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP(priority, status) with grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage: 1996 buyers EXCEPT customers with returns."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    buyers_96 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    returners = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return buyers_96.exceptAll(returners)
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -478,6 +628,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "rollup_orders": q_rollup_orders,
+        "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -674,6 +830,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            HAVING CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) > 100000.0
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-09-01'
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(big.sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 150.0) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "setop_customers": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
         "window_top_orders": """
             SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS price
             FROM (
@@ -714,6 +931,33 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY fp
             HAVING count(*) > 1
+        """,
+        # brute-force all-pairs twin of the prefix-filtered Spark plan: same
+        # tokenization (trim+lower, \s+ split), same distinct word-3-grams,
+        # same exact intersection/union ratio rounded to 6dp (quadratic but
+        # fine at oracle scale; the Spark side is the subquadratic one)
+        "dedup_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ), gr AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                          ELSE [] END AS grams
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) + len(b.grams) AS tot
+              FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE) / (tot - inter), 6) AS jaccard
+            FROM pairs
+            WHERE inter > 0
+              AND round(CAST(inter AS DOUBLE) / (tot - inter), 6) >= 0.5
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

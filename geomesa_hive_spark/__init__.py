@@ -14,7 +14,10 @@ filter-pushdown Catalyst rules), re-expressed Spark-first:
   Catalyst rules), mirroring the observable behavior of the reference's
   ``SpatialFilterPushdownRules``
 - beyond-reference large-scale pipeline operators (dedup, similarity
-  search, text analysis, multimodal) under ``pipeline/``.
+  search, text analysis, multimodal) under ``pipeline/``
+- spatial-aware readers/writers under ``sources/`` and a Structured
+  Streaming extension (watermarked rollups, session windows, custom
+  stateful operators) under ``streaming/``.
 
 The geometry kernel is pure Python/NumPy (this environment has no
 shapely/pyproj/JTS); points and extents take fully vectorized NumPy fast

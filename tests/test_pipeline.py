@@ -42,6 +42,17 @@ def test_ngram_jaccard(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_strategies_agree(spark, docs):
+    """count (default), prefix, and blocked paths return identical pairs."""
+    count_p = {(r.id_a, r.id_b, r.jaccard)
+               for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()}
+    prefix_p = {(r.id_a, r.id_b, r.jaccard)
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", threshold=0.4, strategy="prefix").collect()}
+    assert count_p == prefix_p
+    assert len(count_p) > 0
+
+
 def test_minhash_lsh(spark, docs):
     pairs = {(r.id_a, r.id_b) for r in
              dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5).collect()}
