@@ -64,6 +64,13 @@ def main() -> int:
         except Exception as exc:  # a failing query shouldn't sink the run
             timings[name] = -1.0
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+        # per-query isolation (BASELINE.md protocol: warm session, cold
+        # per-query data): drop caches the query materialized and force a
+        # driver GC so ContextCleaner releases broadcast + shuffle state —
+        # with a 48g heap the JVM otherwise never collects, and ~30
+        # queries of accumulated state slow later queries up to 10x.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

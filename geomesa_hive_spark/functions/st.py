@@ -901,6 +901,34 @@ _reg(
 _reg("st_casttopolygon", g2g_udf(lambda g: g if g.geom_type == "Polygon" else None))
 
 
+def _is_geom_field(s: pd.Series) -> pd.Series:
+    """Is the value a geometry (WKB bytes) or a WKT-parseable string?
+
+    Reference UDTF ``ST_IsGeomField`` (``spatial/.../ST_IsGeomField.scala:31-38``):
+    Geometry → TRUE, WKT-parseable string → TRUE, anything else (incl.
+    null) → FALSE. Registered in ``createUDFs.sql:46``; here a scalar so
+    ``SELECT st_isGeomField(col)`` works per-value (the row-mapping UDTF
+    shape is covered by ``operators.is_geom_field(df)``)."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(False)
+            continue
+        try:
+            if isinstance(v, (bytes, bytearray)):
+                out.append(from_wkb(bytes(v)) is not None)
+            elif isinstance(v, str):
+                out.append(from_wkt(v) is not None)
+            else:
+                out.append(False)
+        except Exception:
+            out.append(False)
+    return _series(out)
+
+
+_reg("st_isgeomfield", pandas_udf(_is_geom_field, T.BooleanType()))
+
+
 # ---------------------------------------------------------------------------
 # spatial-index module (SURVEY §2.3)
 # ---------------------------------------------------------------------------

@@ -498,13 +498,42 @@ def embedding_near_dup_pairs(
 
     Blocked by ``block_col`` when given (e.g. a cluster/label/LSH-bucket
     column) so the join is an equi-join; without it, falls back to a
-    broadcast-nested-loop — only acceptable for small tables."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *( [F.col(block_col).alias("blk")] if block_col else []))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), *( [F.col("blk").alias("blk")] if block_col else []))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), *( [F.col("blk").alias("blk")] if block_col else []))
+    broadcast-nested-loop — only acceptable for small tables.
+
+    Norms are hoisted out of the pair expression (computed once per ROW
+    before the join, identical float op order, so results are bit-equal to
+    the naive form while the per-pair cost drops to one dot product), and
+    the pair stream is explicitly rehashed before the dot: the block
+    join's output inherits the BLOCK partitioning, which is both skewed
+    (Σ|block|² concentrates on big blocks) and, for small inputs, liable
+    to be AQE-coalesced to one partition — per-byte cost of the cosine is
+    ~100× a normal row, so size-based coalescing misjudges it badly."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    ).withColumn("n", norm)
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), *( [F.col("blk").alias("blk")] if block_col else []))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), *( [F.col("blk").alias("blk")] if block_col else []))
     joined = a.join(b, ["blk"] if block_col else None) if block_col else a.crossJoin(b)
     joined = joined.filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_sim(F.col("va"), F.col("vb"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    joined = joined.repartition(n_part, "id_a", "id_b")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))
+    ).otherwise(F.lit(0.0))
     return (
         joined.withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)

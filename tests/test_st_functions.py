@@ -165,6 +165,16 @@ def test_casts(spark):
     assert one(spark, "st_asText(st_castToGeometry(st_makePoint(1,2)))") == "POINT (1 2)"
 
 
+def test_is_geom_field(spark):
+    # reference ST_IsGeomField.scala:31-38: geometry/WKT-string → TRUE,
+    # everything else (incl. null) → FALSE
+    assert one(spark, "st_isGeomField('POINT (1 2)')") is True
+    assert one(spark, "st_isGeomField(st_makePoint(1, 2))") is True
+    assert one(spark, "st_isGeomField('not a geometry')") is False
+    assert one(spark, "st_isGeomField(CAST(NULL AS STRING))") is False
+    assert one(spark, "st_isGeomField(1.5)") is False
+
+
 def test_extent_index_functions(spark):
     row = spark.sql("SELECT st_makeExtent(1.0, 2.0, 3.0, 4.0) AS e").collect()[0].e
     assert (row.xmin, row.ymin, row.xmax, row.ymax) == (1.0, 2.0, 3.0, 4.0)
