@@ -41,6 +41,7 @@ def write_spatially_partitioned(
     bits: int = 8,
     mode: str = "overwrite",
     partition_dirs: bool = False,
+    num_files: int | None = None,
 ) -> None:
     """Write parquet laid out along the Z2 curve.
 
@@ -50,9 +51,18 @@ def write_spatially_partitioned(
     min/max statistics selective. ``partition_dirs=True`` additionally
     writes hive-style ``z2=`` directories (coarse partition pruning;
     leave off when the key cardinality would produce small files).
+
+    ``num_files`` pins the range-partition count. Without it AQE sizes
+    partitions by bytes (~64 MB targets), which is right at scale but
+    collapses small datasets into one or two files — and scan pruning
+    can never skip more than (files × row groups) granules.
     """
     enriched = add_z2_columns(df, geom_col, zoom=zoom, bits=bits)
-    clustered = enriched.repartitionByRange("z2").sortWithinPartitions("z2")
+    clustered = (
+        enriched.repartitionByRange(num_files, "z2")
+        if num_files
+        else enriched.repartitionByRange("z2")
+    ).sortWithinPartitions("z2")
     writer = clustered.write.mode(mode)
     if partition_dirs:
         writer = writer.partitionBy("z2")
