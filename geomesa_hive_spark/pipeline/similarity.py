@@ -62,21 +62,33 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 def random_hyperplane_buckets(
     df: DataFrame, vec_col: str, dim: int, bits: int = 8, seed: int = 42
 ) -> DataFrame:
-    """Add ``bucket``: b-bit sign-LSH id, all native expressions
-    (dot-with-literal-plane per bit, no Python at run time)."""
-    out = df
-    bucket = F.lit(0)
+    """Add ``bucket``: b-bit sign-LSH id, all native expressions.
+
+    The plane matrix enters the plan as ONE nested-array literal and the
+    per-bit dot products as ONE indexed ``transform`` lambda — an
+    unrolled per-plane expression chain is semantically identical but
+    grows the Catalyst tree ~``bits``×, and analysis/codegen time on a
+    many-KLOC plan swamps small-input runtimes."""
     planes = _hyperplanes(dim, bits, seed)
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
     v = F.col(vec_col)
-    for i in range(bits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return out.withColumn("bucket", bucket)
+    bucket = F.aggregate(
+        F.transform(
+            planes_lit,
+            lambda p, i: F.when(
+                F.aggregate(
+                    F.zip_with(v, p, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.call_function("shiftleft", F.lit(1), i),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, b: acc + b,
+    )
+    return df.withColumn("bucket", bucket)
 
 
 def _query_buckets(query_vec, bits: int, seed: int, probe_hamming: int) -> list[int]:
@@ -151,17 +163,22 @@ def knn_ivf(
             if len(sel):
                 centroids[c] = sel.mean(axis=0)
 
-    def dist_to(c: np.ndarray) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+    # the centroid matrix is ONE nested-array literal and the distances
+    # ONE transform lambda: an unrolled per-centroid chain multiplies the
+    # Catalyst tree by n_lists and compile time dominates small inputs
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    # one expression per centroid, argmin via array ops (a chained
-    # when/otherwise would duplicate every dist subtree exponentially)
-    dists = F.array(*[dist_to(centroids[c]) for c in range(n_lists)])
+        ),
+    )
     list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     q = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe].tolist()
