@@ -183,6 +183,47 @@ def q_spatial_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial join (PBSM grid; ``operators.spatial_join``):
+    customer points WITHIN deterministic nation boxes — grid-cell explode
+    → equi-join on cell → native bbox prefilter → reference-point dedup →
+    exact st_within on survivors. Box edges carry a .005 offset so no
+    point ever lies exactly on a boundary (strict-interior semantics
+    match the oracle's strict inequalities)."""
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = _customer_pts(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") * F.lit(6151)) % F.lit(32000)) / 100.0 - 160.005
+    y0 = ((F.col("n_nationkey") * F.lit(3571)) % F.lit(15000)) / 100.0 - 75.005
+    polys = (
+        n.withColumn("x0", x0)
+        .withColumn("y0", y0)
+        .withColumn(
+            "pgeom",
+            _call(
+                "st_makebbox",
+                F.col("x0"),
+                F.col("y0"),
+                F.col("x0") + 20.0,
+                F.col("y0") + 12.0,
+            ),
+        )
+    )
+    j = spatial_join(
+        pts,
+        polys,
+        predicate="within",
+        left_geom="geom",
+        right_geom="pgeom",
+        cell_size=10.0,
+    )
+    return j.groupBy(F.col("n_name").alias("n_name")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
 def q_spatial_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_geomReproject EPSG:4326 → EPSG:3857 + st_extentFromGeom
     accessors (web-mercator forward formulas are pure math → oracle)."""
@@ -621,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_contains": q_spatial_contains,
         "spatial_measures": q_spatial_measures,
         "spatial_region_join": q_spatial_region_join,
+        "spatial_grid_join": q_spatial_grid_join,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_geohash": q_spatial_geohash,
@@ -785,6 +827,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             JOIN region ON CAST(floor(({_C_X} + 180.0) / 72.0) AS INT) = r_regionkey
             GROUP BY r_name
+        """,
+        "spatial_grid_join": f"""
+            SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN nation
+              ON {_C_X} > ((n_nationkey * 6151) % 32000) / 100.0 - 160.005
+             AND {_C_X} < ((n_nationkey * 6151) % 32000) / 100.0 - 140.005
+             AND {_C_Y} > ((n_nationkey * 3571) % 15000) / 100.0 - 75.005
+             AND {_C_Y} < ((n_nationkey * 3571) % 15000) / 100.0 - 63.005
+            GROUP BY n_name
         """,
         "spatial_reproject": f"""
             SELECT c_custkey,

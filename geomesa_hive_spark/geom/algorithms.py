@@ -210,16 +210,24 @@ def points_in_polygon_vec(
         inside = _points_in_ring_vec(cx, cy, poly.shell)
         for hole in poly.holes:
             inside &= ~_points_in_ring_vec(cx, cy, hole)
+        # crossing-number parity is unreliable exactly ON the boundary, so
+        # the boundary pass runs in BOTH modes: include adds boundary
+        # points the parity test missed, exclude removes ones it
+        # accidentally counted as interior (e.g. a vertex on a horizontal
+        # edge crosses an incident edge once → odd parity).
+        onb = np.zeros(len(cx), dtype=bool)
+        target = ~inside if include_boundary else inside
+        for ring in poly.rings:
+            todo = target & ~onb
+            if not todo.any():
+                break
+            onb[todo] = _points_on_segments_vec(
+                cx[todo], cy[todo], _segments(ring), eps
+            )
         if include_boundary:
-            onb = np.zeros(len(cx), dtype=bool)
-            for ring in poly.rings:
-                todo = ~inside & ~onb
-                if not todo.any():
-                    break
-                onb[todo] = _points_on_segments_vec(
-                    cx[todo], cy[todo], _segments(ring), eps
-                )
             inside |= onb
+        else:
+            inside &= ~onb
         idx = np.nonzero(cand)[0]
         out[idx[inside]] = True
     return out

@@ -15,8 +15,10 @@ from geomesa_hive_spark.operators.convex_hull_agg import (
     register_convex_hull_udaf,
 )
 from geomesa_hive_spark.operators.geom_fields import is_geom_field
+from geomesa_hive_spark.operators.spatial_join import spatial_join
 
 __all__ = [
+    "spatial_join",
     "intersects_pushdown",
     "contains_pushdown",
     "add_z2_columns",

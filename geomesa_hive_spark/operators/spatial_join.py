@@ -1,0 +1,141 @@
+"""Distributed spatial join: geometry × geometry, no cross join.
+
+The reference has no join operator at all — its users fall back to a
+Cartesian ``ST_Intersects`` filter, which dies at scale. This is the
+standard partition-based spatial-merge join (PBSM / GeoSpark-style)
+re-expressed in DataFrame ops so every stage is a stock Spark shuffle:
+
+1. each side's geometry bbox is exploded to the fixed-grid cells it
+   overlaps (native ``sequence``/``transform``/``explode`` expressions —
+   a point lands in exactly one cell);
+2. candidates = equi-join on cell id (hash shuffle both sides on the
+   SAME key → co-located, no broadcast needed at any scale);
+3. a native bbox-overlap conjunction prunes non-touching candidates
+   before anything expensive runs;
+4. duplicate pair suppression via the reference-point rule: a pair is
+   kept only in the one cell that contains the reference corner
+   ``(max(xmin_a, xmin_b), max(ymin_a, ymin_b))`` of the bbox overlap —
+   dedup happens inside the joined partition, NOT as a global distinct
+   (which would be a second full shuffle of the candidate stream);
+5. the exact geometry predicate (pandas UDF over the WKB pair) runs
+   last, on the few bbox-confirmed survivors.
+
+At 100 TB the only tunables are ``cell_size`` (match it to the p95
+geometry extent so most rows explode to ≤4 cells) and the shuffle
+partition count; skewed cells (cities, null islands) are handled by
+AQE skew-join splitting since stage 2 is a plain shuffled hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["spatial_join"]
+
+# grid-cell encoding: cell = (ix + OFFSET) * STRIDE + (iy + OFFSET).
+# With cell_size 1e-3 degrees ix spans ±180e3, well under OFFSET; the
+# encoded id stays a positive long so it hashes/broadcasts cheaply.
+_OFFSET = 1 << 24
+_STRIDE = 1 << 25
+
+_PREDICATES = {
+    "intersects": "st_intersects",
+    "contains": "st_contains",
+    "within": "st_within",
+    "covers": "st_covers",
+    "crosses": "st_crosses",
+    "touches": "st_touches",
+    "overlaps": "st_overlaps",
+    "equals": "st_equals",
+}
+
+
+def _cells(bbox: Column, cell_size: float) -> Column:
+    """Array of encoded cell ids the bbox [xmin..xmax]×[ymin..ymax] overlaps.
+
+    Null/empty geometries (NaN bounds) yield NULL, which ``explode``
+    drops — null never joins, matching SQL join semantics."""
+    cs = F.lit(float(cell_size))
+    ix0 = F.floor(bbox["xmin"] / cs).cast("long")
+    ix1 = F.floor(bbox["xmax"] / cs).cast("long")
+    iy0 = F.floor(bbox["ymin"] / cs).cast("long")
+    iy1 = F.floor(bbox["ymax"] / cs).cast("long")
+    grid = F.flatten(
+        F.transform(
+            F.sequence(ix0, ix1),
+            lambda ix: F.transform(
+                F.sequence(iy0, iy1),
+                lambda iy: (ix + F.lit(_OFFSET)) * F.lit(_STRIDE) + iy + F.lit(_OFFSET),
+            ),
+        )
+    )
+    return F.when(~F.isnan(bbox["xmin"]), grid)
+
+
+def _prepared(df: DataFrame, geom_col: str, bbox_col: str | None, side: str, cell_size: float) -> DataFrame:
+    bbox = (
+        F.col(bbox_col)
+        if bbox_col
+        else F.call_function("st_extentfromgeom", F.col(geom_col))
+    )
+    pref = f"__{side}"
+    out = df.withColumn(f"{pref}_bbox", bbox)
+    out = out.withColumn(f"{pref}_cell", F.explode(_cells(F.col(f"{pref}_bbox"), cell_size)))
+    return out
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    left_bbox: str | None = None,
+    right_bbox: str | None = None,
+    cell_size: float = 1.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Inner spatial join of ``left`` × ``right`` on a geometry predicate.
+
+    Returns all column pairs (left columns first; name collisions are the
+    caller's to alias beforehand, as with any Spark join). ``exact=False``
+    stops after the bbox-overlap test — correct for point × point
+    "same-cell" semantics and for prefiltering pipelines that run their
+    own refinement.
+
+    Register the ST surface first (``register_all(spark)``) —
+    the exact predicate and the bbox derivation call the SQL functions.
+    """
+    if predicate not in _PREDICATES:
+        raise ValueError(f"predicate must be one of {sorted(_PREDICATES)}")
+    a = _prepared(left, left_geom, left_bbox, "l", cell_size)
+    b = _prepared(right, right_geom, right_bbox, "r", cell_size)
+
+    joined = a.join(b, a["__l_cell"] == b["__r_cell"])
+
+    la, ra = F.col("__l_bbox"), F.col("__r_bbox")
+    overlap = (
+        (la["xmin"] <= ra["xmax"])
+        & (la["xmax"] >= ra["xmin"])
+        & (la["ymin"] <= ra["ymax"])
+        & (la["ymax"] >= ra["ymin"])
+    )
+    # reference-point dedup: keep the pair only in the cell that owns the
+    # lower-left corner of the bbox intersection
+    cs = F.lit(float(cell_size))
+    rx = F.greatest(la["xmin"], ra["xmin"])
+    ry = F.greatest(la["ymin"], ra["ymin"])
+    ref_cell = (
+        (F.floor(rx / cs).cast("long") + F.lit(_OFFSET)) * F.lit(_STRIDE)
+        + F.floor(ry / cs).cast("long")
+        + F.lit(_OFFSET)
+    )
+    cand = joined.filter(overlap & (F.col("__l_cell") == ref_cell))
+
+    if exact:
+        cand = cand.filter(
+            F.call_function(_PREDICATES[predicate], a[left_geom], b[right_geom])
+        )
+    drop = ["__l_bbox", "__l_cell", "__r_bbox", "__r_cell"]
+    return cand.drop(*drop)

@@ -132,3 +132,78 @@ def test_is_geom_field(spark):
     res = is_geom_field(df)
     assert res["wkt"] is True and res["geom"] is True
     assert res["s"] is False and res["n"] is False
+
+
+# ---------------------------------------------------------------------------
+# distributed spatial join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def polys_df(spark):
+    """8 box polygons of varied size, some spanning multiple 1-deg cells."""
+    boxes = [
+        (0, 0.2, 0.2, 0.8, 0.8),      # inside one cell
+        (1, 0.5, 0.5, 2.5, 1.5),      # spans 3x2 cells
+        (2, 3.0, 3.0, 3.4, 3.4),
+        (3, -1.5, -1.5, 0.5, 0.5),    # crosses origin
+        (4, 5.1, 0.1, 5.2, 0.2),
+        (5, 0.0, 3.0, 4.0, 3.2),      # long thin strip
+        (6, 8.0, 8.0, 9.0, 9.0),      # no points inside
+        (7, 2.9, 0.9, 3.1, 1.1),
+    ]
+    rows = [
+        (i, bytearray(to_wkb(from_wkt(
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"))))
+        for i, x0, y0, x1, y1 in boxes
+    ]
+    return spark.createDataFrame(rows, "poly_id INT, pgeom BINARY")
+
+
+def _brute_pairs(spark, pts, polys, pred):
+    pairs = (
+        pts.crossJoin(polys)
+        .filter(F.call_function(pred, F.col("geom"), F.col("pgeom")))
+        .select("id", "poly_id")
+    )
+    return {(r.id, r.poly_id) for r in pairs.collect()}
+
+
+def test_spatial_join_matches_bruteforce(spark, pts_parquet, polys_df):
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = spark.read.parquet(pts_parquet)
+    for pred in ["intersects", "within"]:
+        got_df = spatial_join(
+            pts, polys_df, predicate=pred,
+            left_geom="geom", right_geom="pgeom", left_bbox="bbox", cell_size=1.0,
+        )
+        got = {(r.id, r.poly_id) for r in got_df.select("id", "poly_id").collect()}
+        want = _brute_pairs(spark, pts, polys_df, f"st_{pred}")
+        assert got == want, f"{pred}: {sorted(got ^ want)[:10]}"
+        assert len(want) > 0
+
+
+def test_spatial_join_no_duplicate_pairs(spark, pts_parquet, polys_df):
+    """A polygon spanning several cells must not emit a pair twice."""
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = spark.read.parquet(pts_parquet)
+    out = spatial_join(
+        pts, polys_df, predicate="intersects",
+        left_geom="geom", right_geom="pgeom", left_bbox="bbox", cell_size=1.0,
+    ).select("id", "poly_id")
+    n, nd = out.count(), out.distinct().count()
+    assert n == nd
+
+
+def test_spatial_join_null_geoms_drop(spark, polys_df):
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = spark.createDataFrame(
+        [(0, bytearray(to_wkb(from_wkt("POINT (0.5 0.5)")))), (1, None)],
+        "id INT, geom BINARY",
+    )
+    out = spatial_join(pts, polys_df, left_geom="geom", right_geom="pgeom")
+    ids = {r.id for r in out.select("id").collect()}
+    assert ids == {0}
