@@ -47,9 +47,18 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     register_all(spark)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).select(
-        F.call_function("st_makepoint", F.lit(1.0), F.lit(2.0))
+    # a 1-partition warmup would spawn ONE python worker and leave the
+    # first UDF-heavy query paying the other 31 spawns; run the warmup
+    # UDF across a full-width repartition instead
+    spark.range(int(cpus) * 10000).repartition(int(cpus)).select(
+        F.call_function(
+            "st_astext",
+            F.call_function(
+                "st_makepoint", F.col("id").cast("double"), F.lit(2.0)
+            ),
+        )
     ).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0
