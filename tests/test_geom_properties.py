@@ -1,0 +1,203 @@
+"""Property-based kernel tests (hypothesis): codec roundtrips and
+predicate algebra over randomized geometries.
+
+The reference has no property tests (SURVEY.md §5 — golden end-to-end
+only); these guard the pure-Python kernel underneath every pandas UDF,
+where a class of inputs (boundary points, degenerate boxes, antimeridian
+longitudes) is easy to miss with examples. No Spark session — runs in
+milliseconds per case.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from geomesa_hive_spark.geom import algorithms as alg
+from geomesa_hive_spark.geom import from_wkb, from_wkt, to_wkb, to_wkt
+from geomesa_hive_spark.geom import geohash, twkb
+from geomesa_hive_spark.geom import z2 as z2_mod
+from geomesa_hive_spark.geom.algorithms import points_in_polygon_vec
+
+# finite, not-absurd coordinates; .25 granularity avoids float-text noise
+# in WKT comparisons while still exercising fractional values
+coord = st.integers(min_value=-720, max_value=720).map(lambda v: v / 4.0)
+lon = st.integers(min_value=-1800, max_value=1800).map(lambda v: v / 10.0)
+lat = st.integers(min_value=-900, max_value=900).map(lambda v: v / 10.0)
+
+
+@st.composite
+def boxes(draw):
+    x0, x1 = sorted((draw(coord), draw(coord)))
+    y0, y1 = sorted((draw(coord), draw(coord)))
+    # degenerate (zero-area) boxes are valid geometries; keep them in
+    return x0, y0, x1, y1
+
+
+def box_geom(x0, y0, x1, y1):
+    return from_wkt(
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+    )
+
+
+@st.composite
+def points(draw):
+    return draw(coord), draw(coord)
+
+
+@st.composite
+def linestrings(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    pts = [(draw(coord), draw(coord)) for _ in range(n)]
+    return from_wkt("LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")")
+
+
+# ---------------------------------------------------------------------------
+# codec roundtrips
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(points())
+def test_point_wkt_wkb_roundtrip(p):
+    g = from_wkt(f"POINT ({p[0]} {p[1]})")
+    assert to_wkt(from_wkb(to_wkb(g))) == to_wkt(g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(linestrings())
+def test_linestring_wkb_roundtrip(g):
+    back = from_wkb(to_wkb(g))
+    assert to_wkt(back) == to_wkt(g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes())
+def test_polygon_wkb_roundtrip(b):
+    g = box_geom(*b)
+    assert to_wkt(from_wkb(to_wkb(g))) == to_wkt(g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(points())
+def test_twkb_roundtrip_quantized(p):
+    g = from_wkt(f"POINT ({p[0]} {p[1]})")
+    back = twkb.from_twkb(twkb.to_twkb(g, precision=6))
+    assert math.isclose(back.x, g.x, abs_tol=1e-6)
+    assert math.isclose(back.y, g.y, abs_tol=1e-6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lat, lon, st.integers(min_value=10, max_value=50))
+def test_geohash_decode_contains_point(la, lo, bits):
+    gh = geohash.encode(la, lo, bits)
+    xmin, ymin, xmax, ymax = geohash.decode_bbox(gh, bits)
+    assert xmin - 1e-9 <= lo <= xmax + 1e-9
+    assert ymin - 1e-9 <= la <= ymax + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# predicate algebra
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(boxes(), boxes())
+def test_predicate_algebra_boxes(b1, b2):
+    g1, g2 = box_geom(*b1), box_geom(*b2)
+    # duality
+    assert alg.contains(g1, g2) == alg.within(g2, g1)
+    assert alg.intersects(g1, g2) == alg.intersects(g2, g1)
+    assert alg.disjoint(g1, g2) == (not alg.intersects(g1, g2))
+    # containment implies intersection
+    if alg.within(g1, g2):
+        assert alg.intersects(g1, g2)
+    # covers is weaker than contains
+    if alg.contains(g1, g2):
+        assert alg.covers(g1, g2)
+    # reflexivity — only for valid (non-degenerate) polygons; topological
+    # equality of a zero-area "polygon" is undefined (JTS: invalid input)
+    x0, y0, x1, y1 = b1
+    if x1 > x0 and y1 > y0:
+        assert alg.equals(g1, g1)
+        assert alg.covers(g1, g1)
+
+
+@settings(max_examples=80, deadline=None)
+@given(points(), boxes())
+def test_point_in_box_vec_vs_scalar(p, b):
+    """The vectorized hot path must agree with the per-row predicates —
+    this is the exact pairing the pandas UDFs switch between depending on
+    batch shape, so disagreement is a wrong-results bug (and was: boundary
+    points used to leak through the strict-interior mode)."""
+    g = box_geom(*b)
+    pt = from_wkt(f"POINT ({p[0]} {p[1]})")
+    xs, ys = np.array([p[0]]), np.array([p[1]])
+    incl = bool(points_in_polygon_vec(xs, ys, g, include_boundary=True)[0])
+    strict = bool(points_in_polygon_vec(xs, ys, g, include_boundary=False)[0])
+    assert incl == alg.intersects(pt, g)
+    assert strict == alg.within(pt, g)
+    # strict ⊆ inclusive
+    assert not (strict and not incl)
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes())
+def test_box_measures(b):
+    x0, y0, x1, y1 = b
+    g = box_geom(*b)
+    assert math.isclose(alg.area(g), (x1 - x0) * (y1 - y0), rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(alg.length(g), 2 * ((x1 - x0) + (y1 - y0)), rel_tol=1e-12, abs_tol=1e-12)
+    if (x1 - x0) > 0 and (y1 - y0) > 0:
+        cen = alg.centroid(g)
+        assert math.isclose(cen.x, (x0 + x1) / 2, abs_tol=1e-9)
+        assert math.isclose(cen.y, (y0 + y1) / 2, abs_tol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(points(), min_size=1, max_size=12))
+def test_convex_hull_contains_inputs(pts):
+    wkt = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    hull = alg.convex_hull(from_wkt(wkt))
+    for x, y in pts:
+        assert alg.covers(hull, from_wkt(f"POINT ({x} {y})")) or alg.intersects(
+            hull, from_wkt(f"POINT ({x} {y})")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Z2 ordering
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(lon, lat)
+def test_z2_range_well_formed(lo, la):
+    zmin, zmax = z2_mod.z2_latlon_range(
+        np.array([lo]), np.array([la]), np.array([lo]), np.array([la])
+    )
+    assert zmin[0] == zmax[0]  # a point's range collapses
+    assert zmin[0] >= 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(boxes())
+def test_z2_range_bounds_point_keys(b):
+    """Any point inside a bbox has a Z2 key within the bbox's [min,max]
+    envelope keys (the invariant the windowed Z2 range scan relies on)."""
+    x0, y0, x1, y1 = b
+    x0, x1 = max(x0, -180.0), min(x1, 180.0)
+    y0, y1 = max(y0, -90.0), min(y1, 90.0)
+    if x0 > x1 or y0 > y1:
+        return
+    zmin, zmax = z2_mod.z2_latlon_range(
+        np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1])
+    )
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    zc, _ = z2_mod.z2_latlon_range(
+        np.array([cx]), np.array([cy]), np.array([cx]), np.array([cy])
+    )
+    assert zmin[0] <= zc[0] <= zmax[0]
