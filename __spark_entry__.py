@@ -257,6 +257,55 @@ def q_spatial_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_geodesy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_distanceSphere + st_lengthSphere — great-circle haversine on
+    the WGS84 mean radius (geodesy.py); the oracle repeats the identical
+    formula in SQL, so these geodesic functions ARE hash-checked (for a
+    2-point line, lengthSphere == distanceSphere of its endpoints)."""
+    register_all(spark)
+    s = _t(spark, sf_dir, "supplier")
+    x1 = (F.col("s_suppkey") % F.lit(200)) / 10.0 - 10.0
+    y1 = F.col("s_nationkey").cast("double")
+    x2 = x1 + (F.col("s_suppkey") % F.lit(7)).cast("double") + 1.0
+    y2 = y1 + (F.col("s_suppkey") % F.lit(5)).cast("double") + 1.0
+    df = (
+        s.withColumn("p1", _call("st_makepoint", x1, y1))
+        .withColumn("p2", _call("st_makepoint", x2, y2))
+        .withColumn(
+            "line",
+            _call("st_makeline", F.array(F.col("p1"), F.col("p2"))),
+        )
+    )
+    return df.select(
+        F.col("s_suppkey").alias("s_suppkey"),
+        F.round(_call("st_distancesphere", F.col("p1"), F.col("p2")) / 1000.0, 2).alias(
+            "dist_km"
+        ),
+        F.round(_call("st_lengthsphere", F.col("line")) / 1000.0, 2).alias("len_km"),
+    ).filter(F.col("s_suppkey") <= 500)
+
+
+def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window coverage: cumulative revenue per priority in
+    orderkey order (rows unbounded-preceding → current)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("cum_total"),
+        )
+    )
+
+
 def q_spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_geoHash + WKT round-trip (rows-only: base32/WKT formatting has
     no SQL twin)."""
@@ -665,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_join": q_spatial_grid_join,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
+        "spatial_geodesy": q_spatial_geodesy,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "tpch_q1": q_tpch_q1,
@@ -677,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
+        "window_cumulative": q_window_cumulative,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "dedup_exact": q_dedup_exact,
@@ -843,6 +894,19 @@ def oracle_sql() -> dict[str, str]:
                    round(radians({_C_X}) * 6378137.0, 4) AS mx,
                    round(ln(tan(pi() / 4.0 + radians({_C_Y}) / 2.0)) * 6378137.0, 4) AS my
             FROM customer WHERE c_custkey <= 500
+        """,
+        "spatial_geodesy": """
+            SELECT s_suppkey,
+                   round(2.0 * 6371008.7714 * asin(sqrt(sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) * sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) + cos(radians(CAST(s_nationkey AS DOUBLE))) * cos(radians((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0))) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0))) / 1000.0, 2) AS dist_km,
+                   round(2.0 * 6371008.7714 * asin(sqrt(sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) * sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) + cos(radians(CAST(s_nationkey AS DOUBLE))) * cos(radians((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0))) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0))) / 1000.0, 2) AS len_km
+            FROM supplier WHERE s_suppkey <= 500
+        """,
+        "window_cumulative": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
+            FROM orders WHERE o_custkey % 10 = 0
         """,
         "spatial_z2": _Z2_ORACLE,
         "tpch_q1": """
