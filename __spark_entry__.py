@@ -306,6 +306,27 @@ def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial OLAP rollup on the partition key: per-Z2-tile count, value
+    aggregate, and tile extent (min/max coords). This is the aggregation
+    shape the Z2 layout exists to serve — groupBy on the stored partition
+    key is a co-located aggregation at scale."""
+    pts = _customer_pts(spark, sf_dir)
+    pkey = _call("st_partitioncentroid", F.col("geom"), F.lit(5))
+    return (
+        pts.withColumn("pkey", pkey)
+        .groupBy("pkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("cx"), 2).alias("xmin"),
+            F.round(F.max("cx"), 2).alias("xmax"),
+            F.round(F.min("cy"), 2).alias("ymin"),
+            F.round(F.max("cy"), 2).alias("ymax"),
+        )
+    )
+
+
 def q_spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_geoHash + WKT round-trip (rows-only: base32/WKT formatting has
     no SQL twin)."""
@@ -715,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_geodesy": q_spatial_geodesy,
+        "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "tpch_q1": q_tpch_q1,
@@ -907,6 +929,32 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_orderpriority ORDER BY o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
             FROM orders WHERE o_custkey % 10 = 0
+        """,
+        "spatial_tile_rollup": f"""
+            WITH base AS (
+              SELECT c_acctbal, {_C_X} AS lon, {_C_Y} AS lat FROM customer
+            ), grid AS (
+              SELECT c_acctbal, lon, lat,
+                LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 0), 63) AS cx,
+                LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT), 0), 31) AS cy
+              FROM base
+            ), s1 AS (
+              SELECT c_acctbal, lon, lat, (cx | (cx << 16)) & 281470681808895 AS cx, (cy | (cy << 16)) & 281470681808895 AS cy FROM grid
+            ), s2 AS (
+              SELECT c_acctbal, lon, lat, (cx | (cx << 8)) & 71777214294589695 AS cx, (cy | (cy << 8)) & 71777214294589695 AS cy FROM s1
+            ), s3 AS (
+              SELECT c_acctbal, lon, lat, (cx | (cx << 4)) & 1085102592571150095 AS cx, (cy | (cy << 4)) & 1085102592571150095 AS cy FROM s2
+            ), s4 AS (
+              SELECT c_acctbal, lon, lat, (cx | (cx << 2)) & 3689348814741910323 AS cx, (cy | (cy << 2)) & 3689348814741910323 AS cy FROM s3
+            ), s5 AS (
+              SELECT c_acctbal, lon, lat, (cx | (cx << 1)) & 6148914691236517205 AS cx, (cy | (cy << 1)) & 6148914691236517205 AS cy FROM s4
+            )
+            SELECT ((cx | (cy << 1)) >> 8) AS pkey,
+                   count(*) AS cnt,
+                   round(avg(c_acctbal), 4) AS avg_bal,
+                   round(min(lon), 2) AS xmin, round(max(lon), 2) AS xmax,
+                   round(min(lat), 2) AS ymin, round(max(lat), 2) AS ymax
+            FROM s5 GROUP BY 1
         """,
         "spatial_z2": _Z2_ORACLE,
         "tpch_q1": """
