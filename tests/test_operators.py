@@ -207,3 +207,46 @@ def test_spatial_join_null_geoms_drop(spark, polys_df):
     out = spatial_join(pts, polys_df, left_geom="geom", right_geom="pgeom")
     ids = {r.id for r in out.select("id").collect()}
     assert ids == {0}
+
+
+# ---------------------------------------------------------------------------
+# join strategies: bucketing + salting
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_shuffle_free(spark):
+    from geomesa_hive_spark.operators.join_strategies import write_bucketed
+
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") + 7)
+    try:
+        write_bucketed(a, "bk_a", "id", num_buckets=8, sort_cols="id")
+        write_bucketed(b, "bk_b", "id", num_buckets=8, sort_cols="id")
+        # broadcast would bypass the bucketed path on this tiny fixture;
+        # force the shuffle-join planner to show bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bk_a").join(spark.table("bk_b"), "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_join_matches_plain(spark):
+    from geomesa_hive_spark.operators.join_strategies import salted_join
+
+    # skewed left: 90% of rows share key 1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(k, k * 10) for k in range(1, 12)], ["k", "rv"])
+    got = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt=4).collect()}
+    want = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    assert got == want and len(want) == 100
+
+    got_l = salted_join(left, right.filter(F.col("k") > 5), "k", salt=4, how="left")
+    want_l = left.join(right.filter(F.col("k") > 5), "k", "left")
+    assert got_l.count() == want_l.count() == 100
