@@ -27,6 +27,7 @@ __all__ = [
     "attach_media_schema",
     "decode_image_batch",
     "extract_image_features",
+    "resize_images",
     "sample_video_frames",
     "media_stats",
 ]
@@ -133,6 +134,45 @@ def extract_image_features(
                 feats.append((v / n if n > 0 else v).astype(np.float32).tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def resize_images(
+    df: DataFrame, binary_col: str, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """STUB resizer: replaces ``binary_col`` with a deterministic
+    fixed-size byte grid (uniform byte-samples of the source, w·h long)
+    plus the target dims as typed metadata. Real pipelines swap the
+    kernel for PIL/cv2; the Arrow batch shape, output schema, and
+    per-partition behavior are the production path. ``strict=True``
+    raises NotImplementedError instead of faking the pixels."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("out_width", T.IntegerType()), T.StructField("out_height", T.IntegerType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for buf in pdf[binary_col]:
+                if buf is None:
+                    out.append(None)
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "image resize requires an imaging library not present "
+                        "in this environment; use strict=False for the stub"
+                    )
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n = width * height
+                idx = (np.arange(n) * max(1, len(b)) // n) % max(1, len(b))
+                out.append(b[idx].tobytes() if len(b) else b"\x00" * n)
+            pdf = pdf.copy()
+            pdf[binary_col] = out
+            pdf["out_width"] = pd.array([width] * len(pdf), dtype="Int32")
+            pdf["out_height"] = pd.array([height] * len(pdf), dtype="Int32")
             yield pdf
 
     return df.mapInPandas(gen, schema)

@@ -154,6 +154,13 @@ def test_multimodal_plumbing(spark):
     feat = multimodal.extract_image_features(dec, "media", dim=8)
     frow = feat.collect()[0]
     assert len(frow.features) == 8
+    rs = multimodal.resize_images(df, "media", 8, 4)
+    row = rs.filter(F.col("media").isNotNull()).first()
+    assert len(bytes(row["media"])) == 32 and row["out_width"] == 8
+    import pytest as _pt
+    with _pt.raises(Exception):
+        multimodal.resize_images(df, "media", 8, 4, strict=True).collect()
+
     frames = multimodal.sample_video_frames(df, "media", "doc_id", n_frames=3)
     assert frames.count() == 6  # 3 frames per input row
 
