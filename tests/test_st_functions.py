@@ -233,3 +233,40 @@ def test_numeric_coercion(spark):
     # int args accepted where doubles expected (HDeserializer coercion §1.2)
     assert one(spark, "st_asText(st_makePoint(1, 2))") == "POINT (1 2)"
     assert one(spark, "st_asText(st_makePoint(CAST(1 AS DECIMAL(10,2)), 2.0D))") == "POINT (1 2)"
+
+
+def test_reference_acceptance_query(spark, tmp_path):
+    """The reference's own E2E acceptance flow (STSpec.scala:24-32 +
+    SpatialTestTables.scala:27-47): CSV of WKT building footprints → view
+    with SQL-computed geom/bbox columns → ST_Intersects against the
+    canonical Hudson-valley window (STSpec.scala:27) → 5 rows. A sixth
+    far-away polygon proves the predicate filters."""
+    rows = [
+        ("4050660250", "POLYGON((-73.83616 40.75531, -73.83622 40.75555, -73.83723 40.75507, -73.83616 40.75531))"),
+        ("1002710036", "POLYGON((-73.98955 40.71278, -73.98958 40.71299, -73.98962 40.71299, -73.98955 40.71278))"),
+        ("3013810001", "POLYGON((-73.96 40.72, -73.955 40.72, -73.955 40.725, -73.96 40.72))"),
+        ("2028950035", "POLYGON((-73.90 40.85, -73.895 40.85, -73.895 40.855, -73.90 40.85))"),
+        ("5000150001", "POLYGON((-74.07 40.64, -74.065 40.64, -74.065 40.645, -74.07 40.64))"),
+        ("0000000000", "POLYGON((-120.0 35.0, -119.9 35.0, -119.9 35.1, -120.0 35.0))"),
+    ]
+    p = tmp_path / "polygons.csv"
+    p.write_text("bbl,wkt\n" + "\n".join(f'{b},"{w}"' for b, w in rows))
+    spark.read.option("header", "true").csv(str(p)).createOrReplaceTempView("polygons_csv")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW polygons_csv_view AS (
+             SELECT *, ST_GeomFromWKT(wkt) AS geom,
+                    ST_ExtentFromGeom(ST_GeomFromWKT(wkt)) AS bbox
+             FROM polygons_csv)"""
+    )
+    df = spark.sql(
+        """SELECT * FROM polygons_csv_view WHERE ST_Intersects(geom, ST_GeomFromGeoJSON(
+             '{"type":"Polygon","coordinates":[[[-75.5859375,40.32517767999294],[-75.5859375,43.197167282501276],[-72.41015625,43.197167282501276],[-72.41015625,40.32517767999294],[-75.5859375,40.32517767999294]]]}'))"""
+    )
+    assert df.count() == 5
+    # the extent-literal variant (STIndexSpec.scala:88) — pure bbox math
+    df2 = spark.sql(
+        """SELECT * FROM polygons_csv_view
+           WHERE bbox.xmin <= -72.4101562 AND bbox.xmax >= -75.5859375
+             AND bbox.ymin <= 43.1971673 AND bbox.ymax >= 40.3251777"""
+    )
+    assert df2.count() == 5
