@@ -621,6 +621,30 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.temporal.asof_join — union + sort-window
+    carry-forward, one shuffle): each click enriched with the user's most
+    recent at-or-before purchase. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from geomesa_hive_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pval")
+    )
+    out = asof_join(clicks, purch, on="ts", by="user_id", right_cols=["pval"])
+    return out.select(
+        F.col("event_id").alias("event_id"),
+        F.col("user_id").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 2).alias("click_val"),
+        F.round("pval_r", 2).alias("last_purchase"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy). The corpus has no natural exact dups,
     so inject known ones: every 7th doc re-appears under an offset id."""
@@ -752,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cumulative": q_window_cumulative,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1063,6 +1088,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders
             ) WHERE rk <= 3
+        """,
+        "events_asof": """
+            SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   round(l.value, 2) AS click_val,
+                   round(r.value, 2) AS last_purchase
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_hourly": """
             SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

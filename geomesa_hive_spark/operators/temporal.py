@@ -1,0 +1,104 @@
+"""Temporal joins Spark lacks as built-ins: as-of join.
+
+``asof_join(left, right, ...)`` matches each left row with the most
+recent right row at-or-before its timestamp, per key — the time-series
+enrichment primitive (trades→quotes, events→device state).
+
+Spark-first plan, no UDFs and no range explosion: tag and UNION the two
+sides, then one window pass per key ordered by (ts, side) carrying the
+last-seen right values forward (``last(..., ignorenulls=True)`` over
+rows unbounded-preceding), keep the left rows. Cost = one shuffle on the
+key + an in-partition sort — identical shape to any windowed aggregate,
+so it scales exactly as far as Spark windows do. The naive alternatives
+both die at scale: an inequality join degenerates to a per-key cross
+product, and a broadcast of the right side caps at driver memory.
+
+DuckDB's native ``ASOF JOIN`` provides the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.on <= left.on`` (and equal ``by`` keys), else nulls.
+
+    ``tolerance``: an INTERVAL string (e.g. ``'2 hours'``) — matches
+    older than ``left.on - tolerance`` are discarded (null result), the
+    pandas ``merge_asof`` semantics. Output = all left rows + the chosen
+    right columns renamed with ``suffix``.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    rcols = right_cols or [
+        c for c in right.columns if c != on and c not in by_cols
+    ]
+
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        *by_cols,
+        F.col(on),
+        *[F.col(c) for c in rcols],
+    ).withColumn("__side", F.lit(0))
+
+    # align schemas for the union: left keeps its payload, right rows get
+    # nulls there; right payload columns get the suffix everywhere
+    lpay = [c for c in left.columns if c not in by_cols and c != on]
+    l_u = l.select(
+        *by_cols,
+        F.col(on),
+        F.col("__side"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
+        F.lit(None).cast(right.schema[on].dataType).alias(f"__rts"),
+    )
+    r_u = r.select(
+        *by_cols,
+        F.col(on),
+        F.col("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        F.col(on).alias("__rts"),
+    )
+    u = l_u.unionByName(r_u)
+
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
+    # exactly-simultaneous right row is visible to the left row — the
+    # standard at-or-before semantics
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *by_cols,
+        F.col(on),
+        F.col("__side"),
+        *[F.col(c) for c in lpay],
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in rcols],
+        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        ok = F.col("__rts") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *by_cols,
+            F.col(on),
+            *[F.col(c) for c in lpay],
+            *[F.when(ok, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}") for c in rcols],
+        )
+    else:
+        out = out.drop("__rts")
+    return out

@@ -250,3 +250,27 @@ def test_salted_join_matches_plain(spark):
     got_l = salted_join(left, right.filter(F.col("k") > 5), "k", salt=4, how="left")
     want_l = left.join(right.filter(F.col("k") > 5), "k", "left")
     assert got_l.count() == want_l.count() == 100
+
+
+def test_asof_join(spark):
+    from geomesa_hive_spark.operators.temporal import asof_join
+    import datetime as dt
+
+    T = dt.datetime
+    trades = spark.createDataFrame(
+        [("A", T(2026, 1, 1, 10, 0, 5), 100.0), ("A", T(2026, 1, 1, 10, 1, 0), 101.0),
+         ("B", T(2026, 1, 1, 10, 0, 30), 50.0), ("B", T(2026, 1, 1, 9, 0, 0), 49.0)],
+        "sym STRING, ts TIMESTAMP, px DOUBLE")
+    quotes = spark.createDataFrame(
+        [("A", T(2026, 1, 1, 10, 0, 0), 99.5), ("A", T(2026, 1, 1, 10, 0, 50), 100.5),
+         ("B", T(2026, 1, 1, 10, 0, 30), 50.1)],
+        "sym STRING, ts TIMESTAMP, bid DOUBLE")
+    out = {(r.sym, r.ts, r.bid_r) for r in asof_join(trades, quotes, on="ts", by="sym").collect()}
+    assert (("A", T(2026, 1, 1, 10, 0, 5), 99.5) in out)      # strictly-before match
+    assert (("B", T(2026, 1, 1, 10, 0, 30), 50.1) in out)     # simultaneous tick visible
+    assert (("B", T(2026, 1, 1, 9, 0, 0), None) in out)       # nothing at-or-before → null
+    # tolerance discards stale matches
+    tol = {(r.sym, r.ts, r.bid_r) for r in
+           asof_join(trades, quotes, on="ts", by="sym", tolerance="6 SECONDS").collect()}
+    assert (("A", T(2026, 1, 1, 10, 0, 5), 99.5) in tol)      # 5s old: kept
+    assert (("A", T(2026, 1, 1, 10, 1, 0), None) in tol)      # 10s old: dropped
