@@ -645,6 +645,47 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.temporal.range_join — interval binning →
+    equi-join on bin, exact bound check on collocated candidates): orders
+    priced into part-derived price bands. Oracle: plain inequality join
+    (fine at sf0.01; the binned plan is the 100 TB path)."""
+    from geomesa_hive_spark.operators.temporal import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    bands = (
+        p.filter(F.col("p_partkey") <= 200)
+        .select(
+            F.col("p_partkey").alias("band_id"),
+            (F.col("p_partkey") * 1500.0).alias("lo"),
+            (F.col("p_partkey") * 1500.0 + 1400.0).alias("hi"),
+        )
+    )
+    j = range_join(o, bands, "o_totalprice", "lo", "hi", bin_size=1500.0, inclusive="left")
+    # decimal partials: order-independent exact sums (see tpch_q10);
+    # a sum avoids cross-engine decimal-division rounding differences
+    return j.groupBy(F.col("band_id").alias("band_id")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont definition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("l_returnflag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy). The corpus has no natural exact dups,
     so inject known ones: every 7th doc re-appears under an offset id."""
@@ -777,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "range_join_bands": q_range_join_bands,
+        "percentiles": q_percentiles,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1097,6 +1140,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_bands": """
+            SELECT band_id, count(*) AS cnt,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+            FROM orders
+            JOIN (SELECT p_partkey AS band_id, p_partkey * 1500.0 AS lo,
+                         p_partkey * 1500.0 + 1400.0 AS hi
+                  FROM part WHERE p_partkey <= 200) b
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag
         """,
         "events_hourly": """
             SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

@@ -17,13 +17,14 @@ from geomesa_hive_spark.operators.convex_hull_agg import (
 from geomesa_hive_spark.operators.geom_fields import is_geom_field
 from geomesa_hive_spark.operators.spatial_join import spatial_join
 from geomesa_hive_spark.operators.join_strategies import salted_join, write_bucketed
-from geomesa_hive_spark.operators.temporal import asof_join
+from geomesa_hive_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
     "spatial_join",
     "write_bucketed",
     "salted_join",
     "asof_join",
+    "range_join",
     "intersects_pushdown",
     "contains_pushdown",
     "add_z2_columns",

@@ -1,4 +1,4 @@
-"""Temporal joins Spark lacks as built-ins: as-of join.
+"""Temporal/interval joins Spark lacks as built-ins: as-of join, range join.
 
 ``asof_join(left, right, ...)`` matches each left row with the most
 recent right row at-or-before its timestamp, per key — the time-series
@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -102,3 +102,48 @@ def asof_join(
     else:
         out = out.drop("__rts")
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_size: float,
+    inclusive: str = "both",
+) -> DataFrame:
+    """Join left rows to right intervals containing their value:
+    ``lo <= v <= hi`` (bounds per ``inclusive``: both|left|right|neither).
+
+    The 1-D sibling of the grid spatial join: a plain inequality join
+    would be planned as a broadcast-nested-loop (O(|L|·|R|)); instead
+    each interval explodes to the fixed-size bins it overlaps, the value
+    bins to exactly one, and the join is an equi-join on bin id — hash
+    shuffle both sides once, exact bound check on bin-collocated
+    candidates. No dedup pass is needed: a (value, interval) pair
+    co-occurs in exactly the value's single bin. Pick ``bin_size`` ≈ p95
+    interval width so intervals explode to ≤ 2-3 bins.
+    """
+    checks = {
+        "both": (F.col("__v") >= F.col(lo_col)) & (F.col("__v") <= F.col(hi_col)),
+        "left": (F.col("__v") >= F.col(lo_col)) & (F.col("__v") < F.col(hi_col)),
+        "right": (F.col("__v") > F.col(lo_col)) & (F.col("__v") <= F.col(hi_col)),
+        "neither": (F.col("__v") > F.col(lo_col)) & (F.col("__v") < F.col(hi_col)),
+    }
+    if inclusive not in checks:
+        raise ValueError(f"inclusive must be one of {sorted(checks)}")
+    bs = F.lit(float(bin_size))
+    l = left.withColumn("__v", F.col(value_col).cast("double")).withColumn(
+        "__bin", F.floor(F.col("__v") / bs).cast("long")
+    )
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col).cast("double") / bs).cast("long"),
+                F.floor(F.col(hi_col).cast("double") / bs).cast("long"),
+            )
+        ),
+    )
+    return l.join(r, "__bin").filter(checks[inclusive]).drop("__bin", "__v")

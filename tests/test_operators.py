@@ -274,3 +274,26 @@ def test_asof_join(spark):
            asof_join(trades, quotes, on="ts", by="sym", tolerance="6 SECONDS").collect()}
     assert (("A", T(2026, 1, 1, 10, 0, 5), 99.5) in tol)      # 5s old: kept
     assert (("A", T(2026, 1, 1, 10, 1, 0), None) in tol)      # 10s old: dropped
+
+
+def test_range_join_matches_inequality_join(spark):
+    from geomesa_hive_spark.operators.temporal import range_join
+
+    vals = spark.createDataFrame([(i, float(i)) for i in range(50)], "id INT, v DOUBLE")
+    ivs = spark.createDataFrame(
+        [(0, 3.0, 7.0), (1, 6.5, 6.5), (2, 40.0, 49.0), (3, 100.0, 200.0), (4, -5.0, 0.0)],
+        "iv INT, lo DOUBLE, hi DOUBLE")
+    got = {(r.id, r.iv) for r in
+           range_join(vals, ivs, "v", "lo", "hi", bin_size=5.0).select("id", "iv").collect()}
+    want = {(r.id, r.iv) for r in
+            vals.crossJoin(ivs).filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .select("id", "iv").collect()}
+    assert got == want and len(want) > 10
+    # no duplicate pairs even for intervals spanning many bins
+    out = range_join(vals, ivs, "v", "lo", "hi", bin_size=2.0).select("id", "iv")
+    assert out.count() == out.distinct().count()
+    # half-open semantics
+    ho = {(r.id, r.iv) for r in
+          range_join(vals, ivs, "v", "lo", "hi", bin_size=5.0, inclusive="left")
+          .select("id", "iv").collect()}
+    assert (7, 0) in got and (7, 0) not in ho
