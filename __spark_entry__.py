@@ -736,6 +736,17 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(emb, "vec_id", "embedding", qv, k=10, n_lists=16, n_probe=4)
 
 
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN (similarity.knn_join_brute): 20 probe vectors vs
+    the full corpus, top-5 each. Oracle: DuckDB list_cosine_similarity +
+    ROW_NUMBER window (ordering on the ROUNDED cosine + id tie-break
+    keeps the selection engine-independent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_join_brute(probes, emb, "vec_id", "vec_id", "embedding", k=5)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -828,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_join": q_knn_join,
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
         "multimodal_stats": q_multimodal_stats,
@@ -1241,6 +1253,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos_sim DESC, id
             LIMIT 10
+        """,
+        "knn_join": """
+            SELECT lid, rid, cos_sim, rk FROM (
+              SELECT l.vec_id AS lid, r.vec_id AS rid,
+                     round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6) AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6) DESC,
+                                r.vec_id
+                     ) AS rk
+              FROM (SELECT * FROM embeddings WHERE vec_id < 20) l
+              CROSS JOIN embeddings r
+            ) WHERE rk <= 5
         """,
         "text_stats": """
             SELECT doc_id,

@@ -29,6 +29,8 @@ __all__ = [
     "random_hyperplane_buckets",
     "knn_lsh",
     "knn_ivf",
+    "knn_join_brute",
+    "knn_join_lsh",
 ]
 
 
@@ -184,3 +186,96 @@ def knn_ivf(
     order = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe].tolist()
     cand = df.withColumn("__list", list_id).filter(F.col("__list").isin([int(i) for i in order]))
     return knn_brute(cand, id_col, vec_col, query_vec, k)
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-NN JOIN: for every left vector the top-k right vectors by
+    cosine (ties broken by right id). Block-nested-loop over the full
+    right side — the correctness baseline and the small-left case
+    (probe batches against a corpus); `knn_join_lsh` is the scale path.
+
+    Returns (left_id, right_id, cos_sim, rk). Norms are hoisted per-side
+    before the pair stage so each pair costs one dot product."""
+    from pyspark.sql import Window
+
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    l = left.select(
+        F.col(left_id).alias("lid"), F.col(vec_col).alias("lv")
+    ).withColumn("ln", norm(F.col("lv")))
+    r = right.select(
+        F.col(right_id).alias("rid"), F.col(vec_col).alias("rv")
+    ).withColumn("rn", norm(F.col("rv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("lv"), F.col("rv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sim = F.when((F.col("ln") > 0) & (F.col("rn") > 0), dot / (F.col("ln") * F.col("rn"))).otherwise(F.lit(0.0))
+    scored = l.crossJoin(r).select(
+        "lid", "rid", F.round(sim, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("lid", "rid", "cos_sim", "rk")
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate k-NN JOIN at scale: bucket both sides with the SAME
+    hyperplanes, explode each left row to its bucket plus Hamming-≤1
+    probes, equi-join on bucket, then per-left top-k. One hash shuffle of
+    each side on the bucket key; candidate count ≈ n·(1+bits)/2^bits per
+    left row instead of n. May return <k rows for sparse buckets (the
+    approximate contract)."""
+    from pyspark.sql import Window
+
+    lb = random_hyperplane_buckets(left, vec_col, dim=dim, bits=bits, seed=seed)
+    rb = random_hyperplane_buckets(right, vec_col, dim=dim, bits=bits, seed=seed)
+    probes = F.array_distinct(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(bits if probe_hamming >= 1 else 0)
+            ],
+        )
+    )
+    l = lb.select(
+        F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"), F.explode(probes).alias("bucket")
+    )
+    r = rb.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"), "bucket")
+    cand = l.join(r, "bucket")
+    sim = cosine_sim(F.col("lv"), F.col("rv"))
+    scored = cand.select("lid", "rid", F.round(sim, 6).alias("cos_sim"))
+    w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("lid", "rid", "cos_sim", "rk")
+    )
