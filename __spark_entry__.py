@@ -936,6 +936,124 @@ FROM votes
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH-family oracles: replay the EXACT portable hashing the Spark operators
+# use (md5-hex-prefix gram codes, 30-bit affine permutations mod 2^61-1,
+# md5 band hashes, 60-bit simhash votes) in plain DuckDB SQL — the same
+# replay strategy as _Z2_ORACLE's Morton interleave.
+# ---------------------------------------------------------------------------
+
+
+def _hex2int_sql(mcol: str, nchars: int) -> str:
+    """DuckDB expression parsing the first ``nchars`` lowercase hex chars
+    of column ``mcol`` as an integer (nibble × power-of-16 sum) — the
+    twin of Spark's conv(substring(md5(x),1,n),16,10)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({mcol}, {i + 1}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# distinct word-3-gram generation shared by the minhash/simhash oracles —
+# identical to the dedup_jaccard oracle's gram CTE (tokens = split of
+# trim(lower(text)) on \\s+; grams i..i+2 for i in 1..len-2)
+_GRAM_CTES = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END) AS gram
+  FROM toks
+)"""
+
+
+def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+                    seed: int = 42) -> str:
+    from geomesa_hive_spark.pipeline.dedup import MINHASH_P, _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    rows = num_perm // bands
+    mins = ",\n                 ".join(
+        f"min(({int(a[i])} * g + {int(b[i])}) % {MINHASH_P}) AS s{i}"
+        for i in range(num_perm)
+    )
+    band_sel = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {i} AS band, md5(concat_ws(',', "
+        + ", ".join(f"s{i * rows + j}" for j in range(rows))
+        + ")) AS bh FROM sig"
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+        WITH {_GRAM_CTES}, gh AS (
+          SELECT doc_id, md5(gram) AS m FROM gr
+        ), gi AS (
+          SELECT doc_id, {_hex2int_sql('m', 8)} AS g FROM gh
+        ), sig AS (
+          SELECT doc_id, {mins}
+          FROM gi GROUP BY doc_id
+        ), bandk AS (
+          {band_sel}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandk a JOIN bandk b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b, round(({matches}) / {num_perm}.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+        WHERE round(({matches}) / {num_perm}.0, 6) >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    from geomesa_hive_spark.pipeline.dedup import SIMHASH_BITS
+
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    votes = ",\n                 ".join(
+        f"sum(((h >> {bb}) & 1) * 2 - 1) AS v{bb}" for bb in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{bb} > 0 THEN {1 << bb} ELSE 0 END)" for bb in range(SIMHASH_BITS)
+    )
+    chunk_sel = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS ck FROM sig"
+        for c in range(chunks)
+    )
+    return f"""
+        WITH {_GRAM_CTES}, gh AS (
+          SELECT doc_id, md5(gram) AS m FROM gr
+        ), gi AS (
+          SELECT doc_id, {_hex2int_sql('m', 15)} AS h FROM gh
+        ), votes AS (
+          SELECT doc_id, {votes}
+          FROM gi GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, {sig_expr} AS simhash FROM votes
+        ), chunkk AS (
+          {chunk_sel}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM chunkk a JOIN chunkk b
+            ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "spatial_bbox_filter": f"""
@@ -1230,6 +1348,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter > 0
               AND round(CAST(inter AS DOUBLE) / (tot - inter), 6) >= 0.5
         """,
+        "dedup_minhash_lsh": _minhash_oracle(num_perm=64, bands=16, threshold=0.5),
+        "dedup_simhash": _simhash_oracle(max_hamming=3),
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(

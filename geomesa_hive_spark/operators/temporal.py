@@ -6,12 +6,18 @@ enrichment primitive (trades→quotes, events→device state).
 
 Spark-first plan, no UDFs and no range explosion: tag and UNION the two
 sides, then one window pass per key ordered by (ts, side) carrying the
-last-seen right values forward (``last(..., ignorenulls=True)`` over
-rows unbounded-preceding), keep the left rows. Cost = one shuffle on the
-key + an in-partition sort — identical shape to any windowed aggregate,
-so it scales exactly as far as Spark windows do. The naive alternatives
-both die at scale: an inequality join degenerates to a per-key cross
-product, and a broadcast of the right side caps at driver memory.
+last-seen right ROW forward — the right timestamp and every payload
+column packed into ONE struct, carried with a single
+``last(struct, ignorenulls=True)`` over rows unbounded-preceding — then
+keep the left rows and unpack the struct's fields. Carrying one struct
+(rather than each column independently) guarantees row coherence: all
+returned right values, and the timestamp the tolerance check validates,
+come from the same matched right row even when some of its payload
+fields are NULL. Cost = one shuffle on the key + an in-partition sort —
+identical shape to any windowed aggregate, so it scales exactly as far
+as Spark windows do. The naive alternatives both die at scale: an
+inequality join degenerates to a per-key cross product, and a broadcast
+of the right side caps at driver memory.
 
 DuckDB's native ``ASOF JOIN`` provides the correctness oracle.
 """
@@ -41,36 +47,37 @@ def asof_join(
     pandas ``merge_asof`` semantics. Output = all left rows + the chosen
     right columns renamed with ``suffix``.
     """
+    from pyspark.sql.types import StructField, StructType
+
     by_cols = [by] if isinstance(by, str) else list(by or [])
     rcols = right_cols or [
         c for c in right.columns if c != on and c not in by_cols
     ]
 
-    l = left.withColumn("__side", F.lit(1))
-    r = right.select(
-        *by_cols,
-        F.col(on),
-        *[F.col(c) for c in rcols],
-    ).withColumn("__side", F.lit(0))
-
-    # align schemas for the union: left keeps its payload, right rows get
-    # nulls there; right payload columns get the suffix everywhere
-    lpay = [c for c in left.columns if c not in by_cols and c != on]
-    l_u = l.select(
-        *by_cols,
-        F.col(on),
-        F.col("__side"),
-        *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
-        F.lit(None).cast(right.schema[on].dataType).alias(f"__rts"),
+    # one struct = one coherent right row: its timestamp + every payload
+    # column. NULL payload fields stay NULL; the struct itself is only
+    # NULL on left rows, so last(ignorenulls) always lands on a real row.
+    pack_t = StructType(
+        [StructField("__rts", right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in rcols]
     )
-    r_u = r.select(
+    lpay = [c for c in left.columns if c not in by_cols and c != on]
+    l_u = left.select(
         *by_cols,
         F.col(on),
-        F.col("__side"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lpay],
+        F.lit(None).cast(pack_t).alias("__rpack"),
+    )
+    r_u = right.select(
+        *by_cols,
+        F.col(on),
+        F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
-        F.col(on).alias("__rts"),
+        F.struct(
+            F.col(on).alias("__rts"),
+            *[F.col(c) for c in rcols],
+        ).alias("__rpack"),
     )
     u = l_u.unionByName(r_u)
 
@@ -87,21 +94,23 @@ def asof_join(
         F.col(on),
         F.col("__side"),
         *[F.col(c) for c in lpay],
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in rcols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
+        F.last("__rpack", ignorenulls=True).over(w).alias("__rpack"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1)
+    ok = F.lit(True)
     if tolerance is not None:
-        ok = F.col("__rts") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *by_cols,
-            F.col(on),
-            *[F.col(c) for c in lpay],
-            *[F.when(ok, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}") for c in rcols],
+        ok = F.col("__rpack.__rts") >= F.col(on) - F.expr(
+            f"INTERVAL {tolerance}"
         )
-    else:
-        out = out.drop("__rts")
-    return out
+    return out.select(
+        *by_cols,
+        F.col(on),
+        *[F.col(c) for c in lpay],
+        *[
+            F.when(ok, F.col(f"__rpack.{c}")).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
 
 
 def range_join(

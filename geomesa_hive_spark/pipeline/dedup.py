@@ -9,11 +9,16 @@ Scale design (the part that matters at 100 TB):
   *blocking* key (shared n-gram bucket / lang+length band), then exact
   Jaccard only on candidates. Blocking is an equi-join ⇒ shuffle hash
   join on the block key.
-- **MinHash+LSH**: signatures via one numpy pass per Arrow batch; bands
-  become (band_id, band_hash) keys; an equi-self-join on band keys
-  yields candidates — the classic sub-quadratic near-dup pipeline.
-- **SimHash**: 64-bit signature per doc, candidates share a 16-bit
-  chunk (hamming ≤ 3 in 4 chunks ⇒ pigeonhole), verify by popcount.
+- **MinHash+LSH**: fully native expressions — gram codes are md5-hex
+  prefixes, permutations are exact-in-int64 affine maps, signatures are
+  64 map-side min-aggregates; bands become (band_id, band_hash) keys;
+  an equi-self-join on band keys yields candidates — the classic
+  sub-quadratic near-dup pipeline. Every step is replayable in plain
+  SQL (the DuckDB oracle recomputes identical signatures bit-for-bit).
+- **SimHash**: 60-bit signature per doc (bit votes as native
+  conditional sums over the same md5 gram codes), candidates share a
+  15-bit chunk (hamming ≤ 3 in 4 chunks ⇒ pigeonhole), verify by
+  popcount. Also exactly SQL-replayable.
 - **embedding cosine**: blocked by coarse key (label / LSH bucket),
   cosine as native array expressions.
 """
@@ -21,11 +26,9 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from geomesa_hive_spark.pipeline.text import normalize_text, word_tokens
 
@@ -237,30 +240,29 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Rolling 64-bit polynomial hashes of char k-shingles (numpy)."""
-    if text is None:
-        return np.empty(0, dtype=np.uint64)
-    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-    if len(b) < k:
-        return np.empty(0, dtype=np.uint64)
-    base = np.uint64(1099511628211)  # FNV prime as the polynomial base
-    n = len(b) - k + 1
-    h = np.zeros(n, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(k):
-            h = h * base + b[j : j + n].astype(np.uint64)
-    return np.unique(h)
+# permutation modulus: Mersenne 2^61-1. With gram codes < 2^32 and affine
+# constants < 2^30, a*g + b < 2^62 — exact in SIGNED 64-bit integers in any
+# engine (no overflow, no wraparound), which is what makes the signatures
+# replayable bit-for-bit by a SQL oracle (DuckDB raises on BIGINT overflow,
+# so the bound is load-bearing, not cosmetic).
+MINHASH_P = (1 << 61) - 1
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
+    """Affine permutation constants, bounded to 30 bits (see MINHASH_P
+    note); ``a`` forced odd so no permutation collapses gram codes."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
-    bb = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 30, size=num_perm).astype(np.int64) | np.int64(1)
+    bb = rng.randint(0, 1 << 30, size=num_perm).astype(np.int64)
     return a, bb
+
+
+def gram_code32(col: Column) -> Column:
+    """Portable 32-bit gram code: first 8 hex chars of md5, parsed as an
+    integer. md5 exists with identical output in Spark, DuckDB, Postgres…
+    so any engine can recompute the code — the foundation of the
+    SQL-oracle story for the whole LSH family."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -268,34 +270,37 @@ def minhash_signatures(
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    shingle_k: int = 5,
+    ngram_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — one numpy pass per Arrow batch."""
+    """(id, sig: array<bigint>) — minhash over distinct word n-grams,
+    100% native expressions (no Python in the plan).
+
+    Plan shape: explode grams → one md5+conv per gram → groupBy(id) with
+    ``num_perm`` min-aggregates. Map-side partial aggregation means the
+    shuffle carries at most num_perm longs per (doc × input partition);
+    at 100 TB this is the same shape as any wide groupBy — no all-pairs,
+    no driver state. Docs with fewer than ``ngram_n`` words yield no
+    grams and are omitted (a short doc has no meaningful minhash; the
+    old all-zero-signature convention produced false jaccard-1 pairs)."""
     a, bb = _minhash_params(num_perm, seed)
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-        ]
+    toked = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.lower(F.col(text_col))).alias("toks")
     )
-
-    def gen(it):
-        for pdf in it:
-            ids = pdf[id_col].to_numpy()
-            sigs = []
-            for txt in pdf[text_col]:
-                sh = _shingle_hashes(txt, shingle_k)
-                if len(sh) == 0:
-                    sigs.append(np.zeros(num_perm, dtype=np.int64).tolist())
-                    continue
-                with np.errstate(over="ignore"):
-                    vals = (a[None, :] * sh[:, None] + bb[None, :]) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": ids, "sig": sigs})
-
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(gen, schema)
+    g = toked.select(
+        "id", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
+    ).select("id", gram_code32(F.col("gram")).alias("g"))
+    mins = [
+        F.min(
+            (F.lit(int(a[i])).cast("long") * F.col("g") + F.lit(int(bb[i])).cast("long"))
+            % F.lit(MINHASH_P)
+        ).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    sig = g.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -304,21 +309,20 @@ def minhash_lsh_pairs(
     text_col: str,
     num_perm: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    ngram_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH over minhash signatures.
 
     rows_per_band = num_perm // bands; two docs collide when any band's
-    row-slice matches exactly (equi-join on (band, hash-of-slice)).
+    row-slice matches exactly (equi-join on (band, md5-of-slice)).
     Estimated Jaccard = fraction of matching signature positions,
-    verified ≥ threshold after candidate generation."""
+    verified ≥ threshold after candidate generation. Band hash is md5 of
+    the comma-joined slice — portable, so the DuckDB oracle rebuilds the
+    identical buckets."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
-    # docs too short to produce any shingle get the all-zero signature;
-    # pairing them as jaccard-1 duplicates would be false positives
-    sigs = sigs.filter(F.exists("sig", lambda v: v != 0)).cache()
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram_n, seed).cache()
     band_keys = sigs.select(
         "id",
         F.explode(
@@ -326,7 +330,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
+                        F.md5(
                             F.concat_ws(
                                 ",", *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
                             )
@@ -364,62 +368,49 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-
-def _word_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of word k-grams — more discriminative than char shingles on
-    small-vocabulary corpora."""
-    if text is None:
-        return np.empty(0, dtype=np.uint64)
-    words = text.split()
-    if len(words) < k:
-        return np.empty(0, dtype=np.uint64)
-    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    base = np.uint64(1099511628211)
-    out = np.empty(len(grams), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, g in enumerate(grams):
-            h = np.uint64(14695981039346656037)
-            for byte in g.encode("utf-8", "ignore"):
-                h = (h * base) + np.uint64(byte)
-            out[i] = h
-    return np.unique(out)
+# 60 bits (not 64): the gram code is the first 15 md5 hex chars so it fits
+# exact signed-64 arithmetic in every engine, and 60 divides evenly into
+# the 4 pigeonhole chunks for max_hamming=3
+SIMHASH_BITS = 60
 
 
 def simhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 3,
-    shingle: str = "word",
+    ngram_n: int = 3,
 ) -> DataFrame:
-    """(id, simhash: bigint) 64-bit SimHash over word (default) or char
-    shingles."""
-    schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("simhash", T.LongType())]
+    """(id, simhash: bigint) — 60-bit SimHash over distinct word n-grams,
+    100% native expressions and SQL-replayable (same md5 gram codes as
+    minhash, 15 hex chars = 60 bits).
+
+    Plan shape: explode grams → groupBy(id) with 60 conditional-sum
+    vote aggregates ((h>>b)&1 → ±1) → one arithmetic pass packs the
+    vote signs into the signature. Map-side partial aggregation: the
+    shuffle carries 60 longs per (doc × partition). Docs with fewer
+    than ``ngram_n`` words are omitted (the old sig-0 convention made
+    any two short docs hamming-0 "duplicates")."""
+    toked = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    shingle_fn = _word_shingle_hashes if shingle == "word" else _shingle_hashes
-
-    def gen(it):
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in it:
-            ids = pdf[id_col].to_numpy()
-            out = []
-            for txt in pdf[text_col]:
-                sh = shingle_fn(txt, shingle_k)
-                if len(sh) == 0:
-                    out.append(0)
-                    continue
-                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                # signed arithmetic: uint64 would wrap negative votes
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(len(sh))
-                sig = np.uint64(0)
-                for i in range(64):
-                    if votes[i] > 0:
-                        sig |= np.uint64(1) << np.uint64(i)
-                out.append(np.int64(sig))
-            yield pd.DataFrame({"id": ids, "simhash": np.asarray(out, dtype=np.int64)})
-
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    g = toked.select(
+        "id", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per = g.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return per.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -427,16 +418,15 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    shingle_k: int = 3,
-    shingle: str = "word",
+    ngram_n: int = 3,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole blocking: split 64 bits into (max_hamming+1) chunks; any
+    Pigeonhole blocking: split 60 bits into (max_hamming+1) chunks; any
     pair within the distance shares ≥1 exact chunk → equi-join per chunk."""
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sigs = simhash_signatures(df, id_col, text_col, shingle_k, shingle).cache()
+    width = SIMHASH_BITS // chunks
+    sigs = simhash_signatures(df, id_col, text_col, ngram_n).cache()
     mask = (1 << width) - 1
     keys = sigs.select(
         "id",

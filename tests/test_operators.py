@@ -276,6 +276,35 @@ def test_asof_join(spark):
     assert (("A", T(2026, 1, 1, 10, 1, 0), None) in tol)      # 10s old: dropped
 
 
+def test_asof_join_row_coherence_with_null_payloads(spark):
+    """The matched right row's genuine NULL fields must come through as
+    NULL (not back-filled from an older row), and multi-column payloads
+    must all come from the same matched row (pandas merge_asof /
+    DuckDB ASOF semantics)."""
+    from geomesa_hive_spark.operators.temporal import asof_join
+    import datetime as dt
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [("A", T(2026, 1, 1, 10, 0, 30))],
+        "sym STRING, ts TIMESTAMP")
+    # older row has both fields set; the MATCHED (latest) row has bid=NULL
+    right = spark.createDataFrame(
+        [("A", T(2026, 1, 1, 10, 0, 0), 99.5, 1),
+         ("A", T(2026, 1, 1, 10, 0, 20), None, 2)],
+        "sym STRING, ts TIMESTAMP, bid DOUBLE, seq INT")
+    row = asof_join(left, right, on="ts", by="sym").collect()[0]
+    assert row.seq_r == 2          # matched the latest row...
+    assert row.bid_r is None       # ...and kept ITS null, not stale 99.5
+
+    # tolerance must be judged against the matched row's own timestamp:
+    # latest row is 10s old (inside 15s), so the match is kept even
+    # though its bid is NULL
+    tol = asof_join(left, right, on="ts", by="sym",
+                    tolerance="15 SECONDS").collect()[0]
+    assert tol.seq_r == 2 and tol.bid_r is None
+
+
 def test_range_join_matches_inequality_join(spark):
     from geomesa_hive_spark.operators.temporal import range_join
 
