@@ -328,28 +328,46 @@ def q_spatial_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st_geoHash + WKT round-trip (rows-only: base32/WKT formatting has
-    no SQL twin)."""
+    """st_geoHash (closed-form quantization — oracle replays the exact
+    floor-scale + bit-interleave + base32 arithmetic in SQL) plus a WKT
+    round-trip whose coordinates (not the string, whose float formatting
+    is engine-specific) are hash-compared."""
     pts = _customer_pts(spark, sf_dir)
     gh = _call("st_geohash", F.col("geom"), F.lit(25))
-    rt = _call("st_astext", _call("st_geomfromwkt", _call("st_astext", F.col("geom"))))
+    rt_geom = _call("st_geomfromwkt", _call("st_astext", F.col("geom")))
     return pts.select(
         F.col("c_custkey").alias("c_custkey"),
         gh.alias("geohash"),
-        rt.alias("wkt"),
+        F.round(_call("st_x", rt_geom).cast("double"), 4).alias("rt_x"),
+        F.round(_call("st_y", rt_geom).cast("double"), 4).alias("rt_y"),
     ).filter(F.col("c_custkey") <= 500)
 
 
 def q_spatial_convexhull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_convexHull distributed aggregate (partial hull per partition →
-    hull of hulls), per nation; rows-only check (hull itself has no SQL
-    twin) but the output is deterministic."""
+    hull of hulls), per nation, made SQL-verifiable: the input points
+    per group lie on a circle (distinct angle slots from c_custkey), so
+    EVERY point is a hull vertex and no three are collinear — the
+    oracle derives vertex count (distinct slots) and area (shoelace
+    over angle-ordered points) analytically, without a hull algorithm."""
+    import math
+
     register_all(spark)
-    pts = _customer_pts(spark, sf_dir)
-    hulls = convex_hull_grouped(pts, "geom", "c_nationkey")
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_nationkey").cast("int").alias("g"),
+        ((F.col("c_custkey") * 2399) % 3600).alias("s"),
+    ).distinct()
+    theta = F.col("s") * F.lit(math.pi) / F.lit(1800.0)
+    r = F.lit(1.0) + (F.col("g") % 5)
+    x = (F.col("g") * 3.0 - 36.0) + r * F.cos(theta)
+    y = (F.col("g") * 2.0 - 24.0) + r * F.sin(theta)
+    geom_df = pts.select("g", _call("st_makepoint", x, y).alias("geom"))
+    hulls = convex_hull_grouped(geom_df, "geom", "g")
     return hulls.select(
-        F.col("c_nationkey").alias("c_nationkey"),
-        F.round(_call("st_area", F.col("hull")), 6).alias("hull_area"),
+        F.col("g").alias("c_nationkey"),
+        (_call("st_numpoints", F.col("hull")) - 1).cast("int").alias("n_vertices"),
+        F.round(_call("st_area", F.col("hull")), 4).alias("hull_area"),
     )
 
 
@@ -731,10 +749,27 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with deterministic pivots (method="pivot": centroids are the
+    16 smallest-id embeddings) so the DuckDB oracle re-derives the same
+    lists from the data and the result is hash-verifiable."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.knn_ivf(emb, "vec_id", "embedding", qv, k=10, n_lists=16, n_probe=4)
+    return similarity.knn_ivf(
+        emb, "vec_id", "embedding", qv, k=10, n_lists=16, n_probe=4, method="pivot"
+    )
 
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN JOIN — the SCALE path (same-planes bucketing both
+    sides + Hamming-1 probes + equi-join on bucket). Oracle replays the
+    identical plane literals and probe expansion in SQL, so this is
+    hash-verified, not just the crossJoin baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return similarity.knn_join_lsh(
+        probes, emb, "vec_id", "vec_id", "embedding", dim=64, k=5, bits=8, probe_hamming=1
+    )
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
         "multimodal_stats": q_multimodal_stats,
@@ -1054,6 +1090,160 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
     """
 
 
+def _geohash_oracle(precision_bits: int = 25) -> str:
+    """Replay geohash.encode's closed form: floor-quantize lon/lat into
+    their bit budgets, interleave (lon first, MSB first), base32-encode
+    5 bits per char. Identical IEEE double ops in identical order →
+    bit-identical strings."""
+    import math as _math
+
+    nchars = max(1, _math.ceil(precision_bits / 5))
+    nbits = nchars * 5
+    lon_nb = (nbits + 1) // 2
+    lat_nb = nbits // 2
+    z_terms = []
+    for p in range(nbits):
+        if p % 2 == 0:
+            z_terms.append(f"(((lx >> {lon_nb - 1 - p // 2}) & 1) << {nbits - 1 - p})")
+        else:
+            z_terms.append(f"(((ly >> {lat_nb - 1 - p // 2}) & 1) << {nbits - 1 - p})")
+    z_expr = " | ".join(z_terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> {5 * (nchars - 1 - i)}) & 31) AS INTEGER) + 1, 1)"
+        for i in range(nchars)
+    )
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer WHERE c_custkey <= 500
+        ), qq AS (
+          SELECT c_custkey, lon, lat,
+            LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {float(1 << lon_nb)}) AS BIGINT), 0), {(1 << lon_nb) - 1}) AS lx,
+            LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {float(1 << lat_nb)}) AS BIGINT), 0), {(1 << lat_nb) - 1}) AS ly
+          FROM base
+        ), zz AS (
+          SELECT c_custkey, lon, lat, ({z_expr}) AS z FROM qq
+        )
+        SELECT c_custkey,
+               {chars} AS geohash,
+               round(CAST(CAST(lon AS FLOAT) AS DOUBLE), 4) AS rt_x,
+               round(CAST(CAST(lat AS FLOAT) AS DOUBLE), 4) AS rt_y
+        FROM zz
+    """
+
+
+def _bucket_sql(vexpr: str, bits: int, dim: int, seed: int = 42) -> str:
+    """DuckDB expression for the sign-LSH bucket of DOUBLE[] expression
+    ``vexpr`` — the same seeded hyperplanes similarity.py materializes
+    as Spark literals, embedded here as SQL literals (full-precision
+    repr round-trips the exact doubles)."""
+    from geomesa_hive_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = [
+        "CASE WHEN list_dot_product(" + vexpr + ", ["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _knn_lsh_oracle(k: int = 10, bits: int = 8, dim: int = 64,
+                    probe_hamming: int = 1, seed: int = 42) -> str:
+    cos = _COS_SQL.format(a="b.v", b="p.qv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), b AS (
+          SELECT vec_id, v, {_bucket_sql('v', bits, dim, seed)} AS bucket FROM e
+        ), qb AS (
+          SELECT v AS qv, {_bucket_sql('v', bits, dim, seed)} AS qbucket
+          FROM e WHERE vec_id = 0
+        ), p AS (
+          SELECT qv,
+                 [qbucket] || list_transform(range(0, {bits}), i -> xor(qbucket, (1::BIGINT << i))) AS pl
+          FROM qb
+        )
+        SELECT b.vec_id AS id, {cos} AS cos_sim
+        FROM b, p
+        WHERE list_contains(p.pl, b.bucket)
+        ORDER BY cos_sim DESC, id
+        LIMIT {k}
+    """
+
+
+# squared euclidean distance between two DOUBLE[] expressions, summed in
+# list order — the structural twin of the Spark-side sequential fold
+_D2_SQL = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+
+def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
+    cos = _COS_SQL.format(a="a.v", b="q.qv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), piv AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pidx, v AS pv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
+        ), q AS (
+          SELECT v AS qv FROM e WHERE vec_id = 0
+        ), dist AS (
+          SELECT e.vec_id, e.v, p.pidx, {_D2_SQL.format(a='e.v', b='p.pv')} AS d2
+          FROM e, piv p
+        ), assigned AS (
+          SELECT vec_id, v, pidx AS list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, pidx) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        ), qprobe AS (
+          SELECT pidx FROM (
+            SELECT p.pidx, {_D2_SQL.format(a='p.pv', b='q.qv')} AS d2 FROM piv p, q
+            ORDER BY d2, pidx LIMIT {n_probe}
+          )
+        )
+        SELECT a.vec_id AS id, {cos} AS cos_sim
+        FROM assigned a JOIN qprobe ON a.list_id = qprobe.pidx, q
+        ORDER BY cos_sim DESC, id
+        LIMIT {k}
+    """
+
+
+def _knn_join_lsh_oracle(k: int = 5, bits: int = 8, dim: int = 64,
+                         left_max_id: int = 20, seed: int = 42) -> str:
+    cos = _COS_SQL.format(a="lp.lv", b="rb.rv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), lb AS (
+          SELECT vec_id AS lid, v AS lv, {_bucket_sql('v', bits, dim, seed)} AS bucket
+          FROM e WHERE vec_id < {left_max_id}
+        ), lp AS (
+          SELECT lid, lv,
+                 unnest(list_distinct(
+                   [bucket] || list_transform(range(0, {bits}), i -> xor(bucket, (1::BIGINT << i)))
+                 )) AS bucket
+          FROM lb
+        ), rb AS (
+          SELECT vec_id AS rid, v AS rv, {_bucket_sql('v', bits, dim, seed)} AS bucket
+          FROM e
+        ), cand AS (
+          SELECT lp.lid, rb.rid, {cos} AS cos_sim
+          FROM lp JOIN rb USING (bucket)
+        )
+        SELECT lid, rid, cos_sim, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos_sim DESC, rid) AS rk
+          FROM cand
+        ) WHERE rk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "spatial_bbox_filter": f"""
@@ -1155,6 +1345,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s5 GROUP BY 1
         """,
         "spatial_z2": _Z2_ORACLE,
+        "spatial_geohash": _geohash_oracle(precision_bits=25),
+        # circle construction: every distinct (g, slot) point is a hull
+        # vertex, so count + angle-ordered shoelace ARE the hull stats
+        "spatial_convexhull": """
+            WITH pts AS (
+              SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS g,
+                     (c_custkey * 2399) % 3600 AS s
+              FROM customer
+            ), xy AS (
+              SELECT g, s,
+                     (g * 3.0 - 36.0) + (1.0 + (g % 5)) * cos(s * pi() / 1800.0) AS x,
+                     (g * 2.0 - 24.0) + (1.0 + (g % 5)) * sin(s * pi() / 1800.0) AS y
+              FROM pts
+            ), ring AS (
+              SELECT g, x, y,
+                     COALESCE(lead(x) OVER w, first_value(x) OVER w) AS xn,
+                     COALESCE(lead(y) OVER w, first_value(y) OVER w) AS yn
+              FROM xy WINDOW w AS (PARTITION BY g ORDER BY s)
+            )
+            SELECT g AS c_nationkey,
+                   CAST(count(*) AS INTEGER) AS n_vertices,
+                   round(abs(sum(x * yn - xn * y)) / 2.0, 4) AS hull_area
+            FROM ring GROUP BY g
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1374,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, id
             LIMIT 10
         """,
+        "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=1),
+        "knn_ivf": _knn_ivf_oracle(k=10, n_lists=16, n_probe=4),
+        "knn_join_lsh": _knn_join_lsh_oracle(k=5, bits=8, dim=64, left_max_id=20),
         "knn_join": """
             SELECT lid, rid, cos_sim, rk FROM (
               SELECT l.vec_id AS lid, r.vec_id AS rid,

@@ -9,9 +9,11 @@ Spark-first equivalents here:
 
 - :func:`convex_hull_agg` — global hull, two-phase exactly like the
   Hive lifecycle: per-partition partial hulls via ``mapInPandas``
-  (map-side combine: each partition reduces to ≤1 tiny hull), then one
-  final hull of hulls. Shuffle payload = a few dozen points per
-  partition, independent of input size.
+  (map-side combine: each partition reduces to ≤1 tiny hull), then a
+  single-group ``applyInPandas`` final reduce ON THE EXECUTORS —
+  nothing touches the driver and the result is a composable 1-row
+  DataFrame. Shuffle payload = a few dozen points per partition,
+  independent of input size.
 - :func:`convex_hull_grouped` — hull per group key via
   ``applyInPandas``.
 - :func:`register_convex_hull_udaf` — SQL-callable GROUPED_AGG pandas
@@ -49,11 +51,15 @@ def _hull_of_wkbs(wkbs) -> bytes | None:
     return to_wkb(alg.convex_hull_of_coords(np.vstack(pts)))
 
 
-def convex_hull_agg(df: DataFrame, geom_col: str) -> bytes | None:
-    """Global convex hull of a geometry column (WKB bytes).
+def convex_hull_agg(df: DataFrame, geom_col: str) -> DataFrame:
+    """Global convex hull of a geometry column as a 1-row DataFrame with
+    column ``hull`` (WKB bytes; all-null/empty input → empty DataFrame).
 
-    Phase 1 (executors): each partition collapses to one partial-hull row.
-    Phase 2: the handful of partials reduce to the final hull.
+    Phase 1 (executors): each partition collapses to one partial-hull
+    row. Phase 2: the handful of partials reduce in a single-group
+    ``applyInPandas`` — still on an executor, so no driver-side compute
+    and the result composes with further DataFrame ops (join it, write
+    it, pass it on) instead of materializing bytes on the driver.
     """
     schema = T.StructType([T.StructField("partial", T.BinaryType())])
 
@@ -68,8 +74,17 @@ def convex_hull_agg(df: DataFrame, geom_col: str) -> bytes | None:
         if acc:
             yield pd.DataFrame({"partial": [_hull_of_wkbs(acc)]})
 
-    partials = df.select(geom_col).mapInPandas(partial, schema).collect()
-    return _hull_of_wkbs([r.partial for r in partials])
+    partials = df.select(geom_col).mapInPandas(partial, schema)
+    out_schema = T.StructType([T.StructField("hull", T.BinaryType())])
+
+    def final(key, pdf):
+        return pd.DataFrame({"hull": [_hull_of_wkbs(pdf["partial"])]})
+
+    return (
+        partials.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(final, out_schema)
+    )
 
 
 def convex_hull_grouped(df: DataFrame, geom_col: str, *group_cols: str) -> DataFrame:

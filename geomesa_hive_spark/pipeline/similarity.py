@@ -10,8 +10,19 @@
   (optionally multi-probe with Hamming-1 neighbors) touches ~n/2^b of
   the data — the scale path: at 100 TB the bucket id is a stored,
   partitionable column and a probe is partition pruning.
-- :func:`knn_ivf` — IVF-style: coarse centroids (sampled + refined),
+- :func:`knn_ivf` — IVF-style: coarse centroids (``method="kmeans"``:
+  sampled + Lloyd-refined; ``method="pivot"``: the n_lists smallest-id
+  rows — deterministic and SQL-replayable, the oracle-verified path),
   rows assigned to nearest centroid; query probes the p nearest lists.
+
+Oracle story: bucket assignment (sign-LSH) and pivot-IVF list
+assignment are pure arithmetic over the vectors plus seeded plane
+literals, so a DuckDB oracle replays them exactly (plane matrices are
+embedded in the oracle SQL as literals; pivots are re-derived from the
+data in SQL). Cross-engine float caveat: dot-product sign tests could
+in principle flip when a dot is within float-rounding of 0 — with
+real-valued embeddings the probability is negligible, and the contract
+queries are hash-verified end-to-end.
 """
 
 from __future__ import annotations
@@ -93,6 +104,20 @@ def random_hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def _probe_masks(bits: int, probe_hamming: int) -> list[int]:
+    """All XOR masks with popcount ≤ probe_hamming (supported: 0, 1, 2).
+    Raising beyond 2 keeps the approximation contract honest — silently
+    degrading to fewer probes than requested would inflate miss rates."""
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError(f"probe_hamming must be 0, 1, or 2 (got {probe_hamming})")
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(bits)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)]
+    return masks
+
+
 def _query_buckets(query_vec, bits: int, seed: int, probe_hamming: int) -> list[int]:
     planes = _hyperplanes(len(query_vec), bits, seed)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -100,15 +125,7 @@ def _query_buckets(query_vec, bits: int, seed: int, probe_hamming: int) -> list[
     for i in range(bits):
         if planes[i] @ q >= 0:
             base |= 1 << i
-    buckets = {base}
-    if probe_hamming >= 1:
-        for i in range(bits):
-            buckets.add(base ^ (1 << i))
-    if probe_hamming >= 2:
-        for i in range(bits):
-            for j in range(i + 1, bits):
-                buckets.add(base ^ (1 << i) ^ (1 << j))
-    return sorted(buckets)
+    return sorted({base ^ m for m in _probe_masks(bits, probe_hamming)})
 
 
 def knn_lsh(
@@ -141,29 +158,46 @@ def knn_ivf(
     n_probe: int = 4,
     seed: int = 42,
     sample_fraction: float = 0.2,
+    method: str = "kmeans",
 ) -> DataFrame:
-    """IVF-flat: coarse centroids from a driver-side sample (one tiny
-    collect), assignment + probe as native expressions.
+    """IVF-flat: coarse centroids + nearest-list assignment + probe, all
+    native expressions after one tiny bounded collect.
+
+    ``method="kmeans"`` (default): centroids from a driver-side sample
+    refined with a few Lloyd iterations — better list balance, but the
+    sample makes results engine-specific. ``method="pivot"``: centroids
+    are the embeddings of the ``n_lists`` smallest-id rows — the
+    standard random-pivot IVF baseline, fully deterministic, so a SQL
+    oracle can re-derive the exact same lists from the data (this is
+    the hash-verified contract path).
 
     The inverted-list assignment is the stored-layout piece at scale:
     write ``list_id`` once, bucket/partition by it, and a query probes
     n_probe/n_lists of the data."""
     dim = len(query_vec)
-    sample = (
-        df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(50 * n_lists).collect()
-    )
-    pts = np.asarray([r[0] for r in sample], dtype=np.float64)
-    if len(pts) < n_lists:
-        return knn_brute(df, id_col, vec_col, query_vec, k)
-    rng = np.random.RandomState(seed)
-    centroids = pts[rng.choice(len(pts), n_lists, replace=False)]
-    for _ in range(5):  # few Lloyd iterations on the sample
-        d = ((pts[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(n_lists):
-            sel = pts[assign == c]
-            if len(sel):
-                centroids[c] = sel.mean(axis=0)
+    if method == "pivot":
+        rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+        if len(rows) < n_lists:
+            return knn_brute(df, id_col, vec_col, query_vec, k)
+        centroids = np.asarray([r[1] for r in rows], dtype=np.float64)
+    elif method == "kmeans":
+        sample = (
+            df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(50 * n_lists).collect()
+        )
+        pts = np.asarray([r[0] for r in sample], dtype=np.float64)
+        if len(pts) < n_lists:
+            return knn_brute(df, id_col, vec_col, query_vec, k)
+        rng = np.random.RandomState(seed)
+        centroids = pts[rng.choice(len(pts), n_lists, replace=False)]
+        for _ in range(5):  # few Lloyd iterations on the sample
+            d = ((pts[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_lists):
+                sel = pts[assign == c]
+                if len(sel):
+                    centroids[c] = sel.mean(axis=0)
+    else:
+        raise ValueError(f"method must be 'kmeans' or 'pivot' (got {method!r})")
 
     # the centroid matrix is ONE nested-array literal and the distances
     # ONE transform lambda: an unrolled per-centroid chain multiplies the
@@ -248,22 +282,21 @@ def knn_join_lsh(
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate k-NN JOIN at scale: bucket both sides with the SAME
-    hyperplanes, explode each left row to its bucket plus Hamming-≤1
-    probes, equi-join on bucket, then per-left top-k. One hash shuffle of
-    each side on the bucket key; candidate count ≈ n·(1+bits)/2^bits per
-    left row instead of n. May return <k rows for sparse buckets (the
-    approximate contract)."""
+    hyperplanes, explode each left row to its bucket plus all Hamming-≤
+    ``probe_hamming`` probes, equi-join on bucket, then per-left top-k.
+    One hash shuffle of each side on the bucket key; candidate count ≈
+    n·|probes|/2^bits per left row instead of n. May return <k rows for
+    sparse buckets (the approximate contract)."""
     from pyspark.sql import Window
 
     lb = random_hyperplane_buckets(left, vec_col, dim=dim, bits=bits, seed=seed)
     rb = random_hyperplane_buckets(right, vec_col, dim=dim, bits=bits, seed=seed)
     probes = F.array_distinct(
         F.array(
-            F.col("bucket"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(bits if probe_hamming >= 1 else 0)
-            ],
+                F.col("bucket").bitwiseXOR(F.lit(m))
+                for m in _probe_masks(bits, probe_hamming)
+            ]
         )
     )
     l = lb.select(

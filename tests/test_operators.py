@@ -83,8 +83,9 @@ def test_convex_hull_agg_global(spark):
     rows = [(i, bytearray(to_wkb(from_wkt(f"POINT ({x} {y})"))))
             for i, (x, y) in enumerate([(0, 0), (10, 0), (10, 10), (0, 10), (5, 5), (2, 3)])]
     df = spark.createDataFrame(rows, "id INT, geom BINARY").repartition(3)
-    hull = convex_hull_agg(df, "geom")
-    assert alg.area(from_wkb(hull)) == pytest.approx(100.0)
+    out = convex_hull_agg(df, "geom").collect()
+    assert len(out) == 1  # composable 1-row DataFrame, no driver-side reduce
+    assert alg.area(from_wkb(bytes(out[0].hull))) == pytest.approx(100.0)
 
 
 def test_convex_hull_grouped(spark):
