@@ -371,6 +371,34 @@ def q_spatial_convexhull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-STRING pushdown path (reference: session-wide Catalyst rules,
+    SpatialFilterPushdownOptimizations.scala:22-24): a raw SQL string
+    with st_intersects(bbox_struct, st_makeBBOX(...)) goes through
+    spatial_sql(), which rewrites the predicate into pushable min/max
+    field comparisons before execution — no Python in the plan."""
+    from geomesa_hive_spark.operators.spatial_sql import spatial_sql
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    cx = ((F.col("c_custkey") * F.lit(9973)) % F.lit(35000)) / 100.0 - 175.0
+    cy = ((F.col("c_custkey") * F.lit(7919)) % F.lit(17000)) / 100.0 - 85.0
+    from geomesa_hive_spark.functions import api as ST
+
+    c.withColumn("cx", cx).withColumn("cy", cy).withColumn(
+        "bbox", ST.make_extent("cx", "cy", "cx", "cy")
+    ).createOrReplaceTempView("cust_bbox_sql")
+    return spatial_sql(
+        spark,
+        """
+        SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+        FROM cust_bbox_sql
+        WHERE st_intersects(bbox, st_makeBBOX(-50.005, 10.005, -20.005, 40.005))
+        GROUP BY c_nationkey
+        """,
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — relational controls (engine-level operators, SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -815,19 +843,48 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _be_bytes(col, hex_width: int):
+    """Big-endian byte encoding of an int column as binary (hex_width
+    hex chars = hex_width/2 bytes) — native, no UDF."""
+    return F.unhex(F.lpad(F.hex(col), hex_width, "0"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode + feature-extract plumbing over opaque binary (stub
-    kernels — deterministic; rows-only check)."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "media", F.encode(F.col("text"), "UTF-8")
+    """REAL image-header decode: the query constructs genuine PNG and
+    JPEG byte streams natively (header dims derived from doc_id, text
+    bytes as payload), parse_image_header extracts mime/width/height by
+    actual byte parsing, and the oracle recomputes the expected dims
+    analytically — any header-layout or endianness bug in the parser
+    breaks the hash. Feature extraction runs on the same bytes (stub
+    histogram kernel; dimension checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 800 + 16).cast("int")
+    h = (F.col("doc_id") % 600 + 16).cast("int")
+    payload = F.encode(F.col("text"), "UTF-8")
+    png = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a" + "0000000d" + "49484452")),
+        _be_bytes(w, 8),
+        _be_bytes(h, 8),
+        F.lit(bytes.fromhex("0806000000" + "00000000")),
+        payload,
     )
-    dec = multimodal.decode_image_batch(docs.select("doc_id", "media"), "media")
+    jpeg = F.concat(
+        F.lit(bytes.fromhex("ffd8" + "ffc0" + "0011" + "08")),
+        _be_bytes(h, 4),  # JPEG SOF carries height first
+        _be_bytes(w, 4),
+        F.lit(bytes.fromhex("03" + "011100" + "021101" + "031101")),
+        payload,
+    )
+    media = F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)
+    dec = multimodal.decode_image_batch(
+        docs.select("doc_id", media.alias("media")), "media"
+    )
     feat = multimodal.extract_image_features(dec, "media", dim=16)
     return feat.select(
         F.col("doc_id").alias("doc_id"),
+        F.col("mime").alias("mime"),
         F.col("width").alias("width"),
         F.col("height").alias("height"),
-        F.round(F.col("brightness"), 6).alias("brightness"),
         F.size("features").alias("feat_dim"),
     )
 
@@ -850,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
+        "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1346,6 +1404,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_z2": _Z2_ORACLE,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
+        "spatial_sql_pushdown": f"""
+            SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            WHERE {_C_X} >= -50.005 AND {_C_X} <= -20.005
+              AND {_C_Y} >= 10.005 AND {_C_Y} <= 40.005
+            GROUP BY c_nationkey
+        """,
         # circle construction: every distinct (g, slot) point is a hull
         # vertex, so count + angle-ordered shoelace ARE the hull stats
         "spatial_convexhull": """
@@ -1617,6 +1682,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS media_size,
                    md5(text) AS media_md5
+            FROM documents
+        """,
+        # the query builds real PNG/JPEG headers with dims derived from
+        # doc_id; the parser must recover exactly these values
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+                   CAST(doc_id % 800 + 16 AS INTEGER) AS width,
+                   CAST(doc_id % 600 + 16 AS INTEGER) AS height,
+                   16 AS feat_dim
             FROM documents
         """,
     }

@@ -16,6 +16,10 @@ from geomesa_hive_spark.operators.convex_hull_agg import (
 )
 from geomesa_hive_spark.operators.geom_fields import is_geom_field
 from geomesa_hive_spark.operators.spatial_join import spatial_join
+from geomesa_hive_spark.operators.spatial_sql import (
+    rewrite_spatial_predicates,
+    spatial_sql,
+)
 from geomesa_hive_spark.operators.join_strategies import salted_join, write_bucketed
 from geomesa_hive_spark.operators.temporal import asof_join, range_join
 
@@ -27,6 +31,8 @@ __all__ = [
     "range_join",
     "intersects_pushdown",
     "contains_pushdown",
+    "spatial_sql",
+    "rewrite_spatial_predicates",
     "add_z2_columns",
     "write_spatially_partitioned",
     "convex_hull_agg",

@@ -1,0 +1,149 @@
+"""SQL-string spatial filter pushdown: the raw-SQL twin of pushdown.py.
+
+The reference installs its rewrite rules session-wide via
+``spark.sql.extensions``
+(``spatial-index/.../rules/SpatialFilterPushdownOptimizations.scala:22-24``)
+so a plain SQL ``WHERE st_intersects(bbox, st_makeBBOX(...))`` is turned
+into min/max struct-field comparisons Parquet can prune on (expected
+plans: ``spatial-index/src/test/scala/.../STIndexSpec.scala:57-110``).
+Pure PySpark cannot inject Catalyst rules, so :func:`spatial_sql`
+rewrites the SQL **text** before handing it to ``spark.sql`` — same
+observable plan, no JVM extension needed.
+
+Soundness: every replacement is *locally equivalent* to the predicate it
+replaces, so it is safe anywhere in the boolean expression (under OR /
+NOT / CASE), not just in top-level WHERE conjuncts:
+
+- extent-column vs extent-literal (``st_makeBBOX`` / ``st_makeExtent``
+  with numeric args): for extents the min/max comparison IS the exact
+  predicate semantics (tight form — see pushdown.py on the reference's
+  loosened OR-form), so the UDF call is dropped entirely.
+- extent-column vs geometry-literal (``st_geomFromWKT('...')``): the
+  bbox test against the geometry's envelope is necessary-not-sufficient,
+  so the original predicate is kept as a conjunct inside the
+  replacement — ``(bbox_conj AND st_xxx(col, lit))``.
+
+One difference from the raw UDF, shared with the reference's rules: a
+NULL extent evaluates to FALSE (via IS NOT NULL) where the UDF returns
+NULL — identical filtering behavior, different value if the predicate
+is *projected* rather than filtered on.
+
+If the rewritten SQL fails analysis (e.g. the first argument turns out
+to be a binary geometry column, which has no ``.xmin`` field), the
+original SQL runs unchanged — the rewrite is an optimization, never a
+requirement.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["spatial_sql", "rewrite_spatial_predicates"]
+
+_NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
+_IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?"
+_MAKER = r"st_make(?:bbox|extent|box2d)"
+
+# fn(col, maker(xmin, ymin, xmax, ymax))
+_COL_FIRST = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*({_IDENT})\s*,\s*"
+    rf"{_MAKER}\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*\)",
+    re.IGNORECASE,
+)
+# fn(maker(xmin, ymin, xmax, ymax), col)
+_LIT_FIRST = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*"
+    rf"{_MAKER}\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)"
+    rf"\s*,\s*({_IDENT})\s*\)",
+    re.IGNORECASE,
+)
+# fn(col, st_geomfromwkt('...')) — envelope prefilter + original kept
+_GEOM_LIT = re.compile(
+    rf"\b(st_intersects|st_within)\s*\(\s*({_IDENT})\s*,\s*"
+    rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _conj(col: str, xmin: str, ymin: str, xmax: str, ymax: str, mode: str) -> str:
+    """The native bbox predicate on an extent struct column — all four
+    comparisons land on column fields, so Catalyst pushes them to the
+    Parquet scan (row-group skipping on bbox.* statistics)."""
+    if mode == "intersects":
+        body = (
+            f"{col}.xmin <= {xmax} AND {col}.xmax >= {xmin} "
+            f"AND {col}.ymin <= {ymax} AND {col}.ymax >= {ymin}"
+        )
+    elif mode == "col_within_lit":
+        body = (
+            f"{col}.xmin >= {xmin} AND {col}.xmax <= {xmax} "
+            f"AND {col}.ymin >= {ymin} AND {col}.ymax <= {ymax}"
+        )
+    elif mode == "col_contains_lit":
+        body = (
+            f"{col}.xmin <= {xmin} AND {col}.ymin <= {ymin} "
+            f"AND {col}.xmax >= {xmax} AND {col}.ymax >= {ymax}"
+        )
+    else:  # pragma: no cover
+        raise ValueError(mode)
+    return f"({col} IS NOT NULL AND {body})"
+
+
+def _mode(fn: str, col_first: bool) -> str:
+    """Which bbox comparison matches the UDF's geometric semantics
+    (st_contains(a, b) = a ⊇ b; st_within(a, b) = a ⊆ b)."""
+    fn = fn.lower()
+    if fn == "st_intersects":
+        return "intersects"
+    if fn == "st_contains":
+        return "col_contains_lit" if col_first else "col_within_lit"
+    return "col_within_lit" if col_first else "col_contains_lit"  # st_within
+
+
+def rewrite_spatial_predicates(sql: str) -> str:
+    """Textual rewrite of spatial predicates over extent struct columns
+    into pushable min/max comparisons. Pure function of the SQL string —
+    inspect the result to see exactly what will run."""
+
+    def col_first(m: re.Match) -> str:
+        fn, col, xmin, ymin, xmax, ymax = m.groups()
+        return _conj(col, xmin, ymin, xmax, ymax, _mode(fn, True))
+
+    def lit_first(m: re.Match) -> str:
+        fn, xmin, ymin, xmax, ymax, col = m.groups()
+        return _conj(col, xmin, ymin, xmax, ymax, _mode(fn, False))
+
+    def geom_lit(m: re.Match) -> str:
+        from geomesa_hive_spark.geom import from_wkt
+
+        fn, col, lit_expr, wkt = m.groups()
+        try:
+            xmin, ymin, xmax, ymax = from_wkt(wkt).bounds
+        except Exception:
+            return m.group(0)  # unparseable literal: leave untouched
+        conj = _conj(col, repr(xmin), repr(ymin), repr(xmax), repr(ymax),
+                     _mode(fn, True))
+        return f"({conj} AND {m.group(0)})"
+
+    sql = _COL_FIRST.sub(col_first, sql)
+    sql = _LIT_FIRST.sub(lit_first, sql)
+    sql = _GEOM_LIT.sub(geom_lit, sql)
+    return sql
+
+
+def spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a raw SQL string with spatial-filter pushdown.
+
+    The session-wide entry point a reference user would swap
+    ``spark.sql`` for. Falls back to the original SQL when the rewrite
+    doesn't analyze (e.g. the predicate's column is a binary geometry,
+    not an extent struct)."""
+    rewritten = rewrite_spatial_predicates(sql)
+    if rewritten != sql:
+        try:
+            return spark.sql(rewritten)
+        except Exception:
+            pass
+    return spark.sql(sql)

@@ -3,9 +3,12 @@ metadata.
 
 The Spark-side machinery — schemas, Arrow batch shapes, ``mapInPandas``
 pipelines, partitioning of large binary columns — is real and tested.
-The codec kernels (JPEG decode, audio resample, video frame extraction)
-are STUBS: the container has no image/audio libraries, so each kernel
-either raises ``NotImplementedError`` (``strict=True``) or produces a
+Container/header parsing (:func:`parse_image_header` — PNG IHDR, JPEG
+SOF, GIF, BMP) is REAL pure-Python byte parsing: width/height/mime come
+from the actual image headers, no codec library needed. Only the PIXEL
+kernels (full raster decode, resample, frame extraction) are STUBS: the
+container has no image/audio libraries, so each pixel kernel either
+raises ``NotImplementedError`` (``strict=True``) or produces a
 clearly-marked deterministic fake derived from the bytes, which keeps
 pipelines runnable end-to-end and schema-stable for tests.
 """
@@ -25,12 +28,70 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_schema",
+    "parse_image_header",
     "decode_image_batch",
     "extract_image_features",
     "resize_images",
     "sample_video_frames",
     "media_stats",
 ]
+
+# JPEG start-of-frame markers that carry dimensions (SOF0-3, 5-7, 9-11,
+# 13-15 — everything in 0xC0-0xCF except DHT/JPG/DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(buf: bytes) -> tuple[str, int, int] | None:
+    """REAL container-header parse: (mime, width, height) from the raw
+    bytes of a PNG / JPEG / GIF / BMP stream, or None if the bytes are
+    not a recognized image container. Pure byte arithmetic — no codec
+    library — so it runs anywhere and is oracle-verifiable.
+
+    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+      width/height are big-endian uint32 at offsets 16/20.
+    - JPEG: scan marker segments from SOI until a dimension-bearing SOF
+      marker; its payload is precision(1) height(2 BE) width(2 BE).
+    - GIF: 'GIF87a'/'GIF89a', logical screen w/h little-endian uint16.
+    - BMP: 'BM', BITMAPINFOHEADER width/height little-endian int32 at
+      18/22 (height may be negative = top-down; abs() it).
+    """
+    if buf is None or len(buf) < 10:
+        return None
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" and len(buf) >= 24 and buf[12:16] == b"IHDR":
+        w = int.from_bytes(buf[16:20], "big")
+        h = int.from_bytes(buf[20:24], "big")
+        return ("image/png", w, h)
+    if buf[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(buf)
+        while i + 3 < n:
+            if buf[i] != 0xFF:
+                return None  # not a well-formed marker stream
+            marker = buf[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length
+                continue
+            seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(buf[i + 5 : i + 7], "big")
+                w = int.from_bytes(buf[i + 7 : i + 9], "big")
+                return ("image/jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(buf[6:8], "little")
+        h = int.from_bytes(buf[8:10], "little")
+        return ("image/gif", w, h)
+    if buf[:2] == b"BM" and len(buf) >= 26:
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        return ("image/bmp", abs(w), abs(h))
+    return None
 
 #: canonical typed-metadata schema for an opaque media column
 MEDIA_SCHEMA = T.StructType(
@@ -73,14 +134,21 @@ def _fake_decode(buf: bytes) -> tuple[int, int, float]:
 
 
 def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> DataFrame:
-    """mapInPandas image-decode pass: adds width/height/brightness.
+    """mapInPandas image-decode pass: adds mime/width/height/brightness.
 
-    ``strict=True`` raises NotImplementedError (no real codec here);
-    default uses the deterministic fake so plumbing is testable.
+    mime/width/height come from :func:`parse_image_header` — REAL
+    byte-level container parsing of PNG/JPEG/GIF/BMP headers. brightness
+    would need the pixel raster, which needs a codec library this
+    container lacks: it's the declared deterministic STUB
+    (:func:`_fake_decode`). Bytes that are not a recognized image
+    container fall back entirely to the stub (null mime marks them
+    fake). ``strict=True`` raises NotImplementedError instead of
+    faking anything.
     """
     schema = T.StructType(
         list(df.schema.fields)
         + [
+            T.StructField("mime", T.StringType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("brightness", T.DoubleType()),
@@ -89,19 +157,28 @@ def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> 
 
     def gen(it):
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "real image decoding requires an image library not present "
-                    "in this environment; use strict=False for the deterministic stub"
-                )
-            w, hgt, br = [], [], []
+            mm, w, hgt, br = [], [], [], []
             for buf in pdf[binary_col]:
                 if buf is None:
-                    w.append(None), hgt.append(None), br.append(None)
+                    mm.append(None), w.append(None), hgt.append(None), br.append(None)
+                    continue
+                b = bytes(buf)
+                parsed = parse_image_header(b)
+                if strict:
+                    raise NotImplementedError(
+                        "pixel decoding requires an image library not present "
+                        "in this environment; use strict=False for header-only "
+                        "dims plus the deterministic brightness stub"
+                    )
+                if parsed is not None:
+                    mime, pw, ph = parsed
+                    _, _, fake_br = _fake_decode(b)
+                    mm.append(mime), w.append(pw), hgt.append(ph), br.append(fake_br)
                 else:
-                    a, b, c = _fake_decode(bytes(buf))
-                    w.append(a), hgt.append(b), br.append(c)
+                    fw, fh, fake_br = _fake_decode(b)
+                    mm.append(None), w.append(fw), hgt.append(fh), br.append(fake_br)
             pdf = pdf.copy()
+            pdf["mime"] = mm
             pdf["width"] = pd.array(w, dtype="Int32")
             pdf["height"] = pd.array(hgt, dtype="Int32")
             pdf["brightness"] = br

@@ -165,6 +165,43 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 6  # 3 frames per input row
 
 
+def test_parse_image_header():
+    """Real byte-level header parsing: PNG IHDR, JPEG SOF behind an APP0
+    segment (progressive SOF2), GIF, top-down (negative-height) BMP."""
+    from geomesa_hive_spark.pipeline.multimodal import parse_image_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+    assert parse_image_header(png) == ("image/png", 640, 480)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+            + (300).to_bytes(2, "big") + (500).to_bytes(2, "big") + b"\x03")
+    assert parse_image_header(jpeg) == ("image/jpeg", 500, 300)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_header(gif) == ("image/gif", 320, 200)
+    bmp = (b"BM" + b"\x00" * 16 + (123).to_bytes(4, "little")
+           + (-77).to_bytes(4, "little", signed=True))
+    assert parse_image_header(bmp) == ("image/bmp", 123, 77)
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(None) is None
+
+
+def test_decode_image_batch_real_headers(spark):
+    """Recognized containers get REAL parsed dims + mime; unknown bytes
+    fall back to the declared stub (null mime)."""
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (31).to_bytes(4, "big") + (17).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"random junk bytes here"))],
+        "doc_id LONG, media BINARY")
+    rows = {r.doc_id: r for r in multimodal.decode_image_batch(df, "media").collect()}
+    assert (rows[1].mime, rows[1].width, rows[1].height) == ("image/png", 31, 17)
+    assert rows[2].mime is None and rows[2].width > 0  # stub fallback
+
+
 def test_multimodal_strict_decode_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id LONG, media BINARY")
     with pytest.raises(Exception):
