@@ -371,6 +371,27 @@ def q_spatial_convexhull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal UTM reprojection (EPSG:4326 → EPSG:32633) on points
+    inside/near zone 33; the oracle replays the full Transverse
+    Mercator forward series in SQL with the identical coefficients, so
+    the series itself is hash-verified (float32 quantization on both
+    sides absorbs 1-ulp libm differences)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:32633")
+    )
+    return (
+        pts.filter((F.col("cx") >= 9.005) & (F.col("cx") <= 20.995))
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("utm_x"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("utm_y"),
+        )
+    )
+
+
 def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-STRING pushdown path (reference: session-wide Catalyst rules,
     SpatialFilterPushdownOptimizations.scala:22-24): a raw SQL string
@@ -908,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
+        "spatial_reproject_utm": q_spatial_reproject_utm,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1145,6 +1167,48 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand
         WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _utm_oracle(zone: int = 33) -> str:
+    """Replay utm_forward's Transverse Mercator series in DuckDB with
+    the exact same precomputed coefficients (repr round-trips the
+    doubles) and the same left-associated expression shapes."""
+    from geomesa_hive_spark.geom.projections import UTM_CONSTS, lon0_rad
+
+    K = {k: repr(v) for k, v in UTM_CONSTS.items()}
+    lam0 = repr(lon0_rad(zone))
+    ux = (
+        f"500000.0 + {K['k0']} * nn * (aa + (1.0 - t + c) * aa*aa*aa / 6.0 "
+        f"+ (5.0 - 18.0*t + t*t + 72.0*c - 58.0*{K['ep2']}) * aa*aa*aa*aa*aa / 120.0)"
+    )
+    uy = (
+        f"{K['k0']} * (m + nn * tan(phi) * (aa*aa / 2.0 "
+        f"+ (5.0 - t + 9.0*c + 4.0*c*c) * aa*aa*aa*aa / 24.0 "
+        f"+ (61.0 - 58.0*t + t*t + 600.0*c - 330.0*{K['ep2']}) * aa*aa*aa*aa*aa*aa / 720.0))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer WHERE {_C_X} >= 9.005 AND {_C_X} <= 20.995
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, phi, lam, sin(phi) AS sp, cos(phi) AS cp FROM rad
+        ), s2 AS (
+          SELECT c_custkey, phi,
+                 {K['a']} / sqrt(1.0 - {K['e2']} * sp * sp) AS nn,
+                 tan(phi) * tan(phi) AS t,
+                 {K['ep2']} * cp * cp AS c,
+                 (lam - {lam0}) * cp AS aa,
+                 {K['a']} * ({K['m1']} * phi - {K['m2']} * sin(2.0 * phi)
+                   + {K['m3']} * sin(4.0 * phi) - {K['m4']} * sin(6.0 * phi)) AS m
+          FROM s1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({ux} AS FLOAT) AS DOUBLE), 3) AS utm_x,
+               round(CAST(CAST({uy} AS FLOAT) AS DOUBLE), 3) AS utm_y
+        FROM s2
     """
 
 
@@ -1404,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_z2": _Z2_ORACLE,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
+        "spatial_reproject_utm": _utm_oracle(zone=33),
         "spatial_sql_pushdown": f"""
             SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
             FROM customer

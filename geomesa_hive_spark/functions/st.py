@@ -1006,16 +1006,6 @@ _reg("st_crsfromtext", pandas_udf(_crs_from_text, T.StringType()))
 _R_MAJOR = 6378137.0
 
 
-def _is_longlat(crs: str) -> bool:
-    c = crs.lower()
-    return "longlat" in c or "4326" in c
-
-
-def _is_webmerc(crs: str) -> bool:
-    c = crs.lower()
-    return "merc" in c or "3857" in c
-
-
 def _reproject_coords(c: np.ndarray, from_ll: bool) -> np.ndarray:
     out = c.copy()
     if from_ll:  # lon/lat -> web mercator
@@ -1040,22 +1030,50 @@ def _transform_geom(g: Geometry, fn) -> Geometry:
     return type(g)([_transform_geom(p, fn) for p in g.geoms], has_z=g.has_z, has_m=g.has_m)
 
 
+def _coord_fn(fk, tk):
+    """Coordinate-transform function for a (parsed-from, parsed-to) CRS
+    pair, routing through lon/lat as the hub. Raises ValueError for a
+    pair outside the supported registry — an unsupported *argument* is
+    an error (silent nulls lose data invisibly), unlike a null *input*
+    which stays null-in→null-out."""
+    from geomesa_hive_spark.geom import projections as proj
+
+    def to_ll(c):
+        if fk[0] == "longlat":
+            return c
+        if fk[0] == "webmerc":
+            return _reproject_coords(c, False)
+        return proj.utm_inverse(c, fk[1], fk[2])
+
+    def from_ll(c):
+        if tk[0] == "longlat":
+            return c
+        if tk[0] == "webmerc":
+            return _reproject_coords(c, True)
+        return proj.utm_forward(c, tk[1], tk[2])
+
+    if fk == tk:
+        return lambda c: c
+    return lambda c: from_ll(to_ll(c))
+
+
 def _geom_reproject(s: pd.Series, f: pd.Series, t: pd.Series) -> pd.Series:
+    from geomesa_hive_spark.geom.projections import parse_crs
+
     parse = parse_cache()
     out = []
+    fn_cache: dict[tuple[str, str], object] = {}
     for b, fc, tc in zip(s, f, t):
         g = parse(b)
         if g is None or fc is None or tc is None:
             out.append(None)
             continue
-        if _is_longlat(fc) and _is_webmerc(tc):
-            out.append(to_wkb(_transform_geom(g, lambda c: _reproject_coords(c, True))))
-        elif _is_webmerc(fc) and _is_longlat(tc):
-            out.append(to_wkb(_transform_geom(g, lambda c: _reproject_coords(c, False))))
-        elif fc == tc or (_is_longlat(fc) and _is_longlat(tc)) or (_is_webmerc(fc) and _is_webmerc(tc)):
-            out.append(to_wkb(g))
-        else:
-            out.append(None)  # unsupported CRS pair (no proj engine here)
+        key = (fc, tc)
+        fn = fn_cache.get(key)
+        if fn is None:
+            fn = _coord_fn(parse_crs(fc), parse_crs(tc))  # raises if unsupported
+            fn_cache[key] = fn
+        out.append(to_wkb(_transform_geom(g, fn)))
     return _series(out)
 
 

@@ -211,6 +211,38 @@ def test_reproject(spark):
     assert row.ymin == pytest.approx(0.0, abs=1e-6)
 
 
+def test_reproject_utm(spark):
+    # central meridian of zone 33 at the equator is exactly (500000, 0)
+    row = spark.sql(
+        "SELECT st_extentFromGeom(st_geomReproject(st_makePoint(15, 0), 'EPSG:4326', 'EPSG:32633')) AS e"
+    ).collect()[0].e
+    assert row.xmin == pytest.approx(500000.0, abs=1e-6)
+    assert row.ymin == pytest.approx(0.0, abs=1e-6)
+    # southern-hemisphere zone adds the 10,000 km false northing
+    row2 = spark.sql(
+        "SELECT st_extentFromGeom(st_geomReproject(st_makePoint(15, 0), 'EPSG:4326', 'EPSG:32733')) AS e"
+    ).collect()[0].e
+    assert row2.ymin == pytest.approx(10_000_000.0, abs=1e-6)
+    # forward→inverse round-trip through the SQL surface
+    row3 = spark.sql(
+        "SELECT st_extentFromGeom(st_geomReproject(st_geomReproject("
+        "st_makePoint(14.3, 47.1), 'EPSG:4326', 'EPSG:32633'), "
+        "'EPSG:32633', 'EPSG:4326')) AS e"
+    ).collect()[0].e
+    assert row3.xmin == pytest.approx(14.3, abs=1e-6)
+    assert row3.ymin == pytest.approx(47.1, abs=1e-6)
+
+
+def test_reproject_unsupported_pair_raises(spark):
+    # unsupported CRS ARGUMENT is an error (silent nulls lose data);
+    # null INPUT stays null-in→null-out
+    with pytest.raises(Exception):
+        spark.sql(
+            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:2154') AS g"
+        ).collect()
+    assert one(spark, "st_geomReproject(NULL, 'EPSG:4326', 'EPSG:3857')") is None
+
+
 NULLARY = [
     "st_asText(NULL)",
     "st_area(NULL)",
