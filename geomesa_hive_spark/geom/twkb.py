@@ -170,6 +170,16 @@ def _parse(d: _Dec) -> Geometry:
     scale = float(10 ** precision)
     meta = d.buf[d.pos]
     d.pos += 1
+    if meta & 0x0F:
+        # bbox (0x01) / size (0x02) / idlist (0x04) / extended-dims
+        # (0x08): spec-valid but outside this roundtrip decoder's scope
+        # (our encoder never sets them). Raising beats silently decoding
+        # the bbox varints as coordinate deltas.
+        raise ValueError(
+            f"TWKB optional blocks not supported (metadata byte 0x{meta:02x}: "
+            "bbox/size/idlist/extended-dims); this decoder handles the "
+            "roundtrip subset produced by to_twkb"
+        )
     if meta & 0x10:
         return _EMPTY[type_id]()
     if type_id == 1:

@@ -34,10 +34,13 @@ from pyspark.sql import functions as F
 __all__ = ["spatial_join"]
 
 # grid-cell encoding: cell = (ix + OFFSET) * STRIDE + (iy + OFFSET).
-# With cell_size 1e-3 degrees ix spans ±180e3, well under OFFSET; the
-# encoded id stays a positive long so it hashes/broadcasts cheaply.
-_OFFSET = 1 << 24
-_STRIDE = 1 << 25
+# OFFSET = 2^30 supports |coord / cell_size| up to ~1.07e9 — degree
+# grids down to ~1.7e-7° cells or projected-meter grids to ±2^30 m —
+# while (ix + OFFSET) * STRIDE + (iy + OFFSET) < 2^62 stays a positive
+# long. Indices outside that range raise at runtime (assert_true in
+# _cells) instead of silently aliasing far-apart cells.
+_OFFSET = 1 << 30
+_STRIDE = 1 << 31
 
 _PREDICATES = {
     "intersects": "st_intersects",
@@ -70,7 +73,23 @@ def _cells(bbox: Column, cell_size: float) -> Column:
             ),
         )
     )
-    return F.when(~F.isnan(bbox["xmin"]), grid)
+    # encoding-capacity guard: indices at/over ±OFFSET would alias
+    # distinct cells (silently merging far-apart geometry) — raise
+    in_range = (
+        (ix0 > F.lit(-_OFFSET))
+        & (ix1 < F.lit(_OFFSET))
+        & (iy0 > F.lit(-_OFFSET))
+        & (iy1 < F.lit(_OFFSET))
+    )
+    ok = F.when(F.isnan(bbox["xmin"]), F.lit(True)).otherwise(in_range)
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            "spatial_join: grid index exceeds encoding capacity "
+            f"(|coord/cell_size| must stay < {_OFFSET}); increase cell_size"
+        ),
+    )
+    return F.when(guard.isNull() & ~F.isnan(bbox["xmin"]), grid)
 
 
 def _prepared(df: DataFrame, geom_col: str, bbox_col: str | None, side: str, cell_size: float) -> DataFrame:

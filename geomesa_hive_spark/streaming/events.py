@@ -107,7 +107,7 @@ _SESS_STATE_SCHEMA = StructType(
     [
         StructField("n_sessions", LongType()),
         StructField("n_events", LongType()),
-        StructField("last_ts", LongType()),  # epoch seconds of last event seen
+        StructField("last_ts", LongType()),  # epoch MICROS of last event seen
     ]
 )
 
@@ -128,18 +128,25 @@ def _sessionize(
     State is three longs; each micro-batch folds its (sorted) timestamps
     into the running count. Emits the current totals every batch —
     update-mode semantics matching the batch ``events_sessions`` query.
+
+    All gap arithmetic runs in integer epoch MICROS — both within a
+    batch and against the carried state — so a gap straddling a
+    micro-batch boundary is measured exactly the way the batch query
+    measures it (storing truncated whole seconds would shrink
+    cross-batch gaps by up to 1s near the threshold).
     """
+    gap_us = int(gap_s * 1_000_000)
     if state.exists:
         n_sessions, n_events, last_ts = state.get
     else:
         n_sessions, n_events, last_ts = 0, 0, None
     for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() / 1e9
+        ts = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).to_numpy()
         ts.sort()
         for t in ts:
-            if last_ts is None or (t - last_ts) > gap_s:
+            if last_ts is None or (t - last_ts) > gap_us:
                 n_sessions += 1
-            last_ts = t
+            last_ts = int(t)
             n_events += 1
     state.update((int(n_sessions), int(n_events), int(last_ts)))
     yield pd.DataFrame(

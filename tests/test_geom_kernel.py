@@ -172,6 +172,21 @@ def test_twkb_encode_headers():
         assert enc[0] & 0x0F == type_id
 
 
+def test_twkb_optional_blocks_rejected():
+    # spec-valid TWKB with bbox/size/idlist/extended-dims blocks (e.g.
+    # PostGIS ST_AsTWKB with bbox) must raise, not decode bbox varints
+    # as coordinate deltas
+    from geomesa_hive_spark.geom import twkb
+
+    enc = bytearray(twkb.to_twkb(from_wkt("POINT (1 2)"), precision=0))
+    for flag in (0x01, 0x02, 0x04, 0x08):
+        bad = bytes([enc[0], enc[1] | flag]) + bytes(enc[2:])
+        with pytest.raises(ValueError, match="optional blocks"):
+            twkb.from_twkb(bad)
+    # clean roundtrip still works
+    assert not twkb.from_twkb(bytes(enc)).is_empty
+
+
 def test_geodesy_distance_sphere():
     from geomesa_hive_spark.geom import geodesy
 

@@ -253,6 +253,24 @@ def test_salted_join_matches_plain(spark):
     assert got_l.count() == want_l.count() == 100
 
 
+def test_spatial_join_capacity_guard(spark):
+    """Grid indices beyond the encoding capacity must raise, not alias
+    distinct cells (projected-meter coords with sub-meter cells)."""
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+    from geomesa_hive_spark.functions.registry import register_all
+
+    register_all(spark)
+    def far(name):
+        d = spark.createDataFrame([(1, 2.0e9, 0.0)], f"{name} LONG, x DOUBLE, y DOUBLE")
+        return d.withColumn(
+            "geom", F.call_function("st_makepoint", F.col("x"), F.col("y"))
+        ).select(name, "geom")
+
+    with pytest.raises(Exception, match="encoding capacity"):
+        spatial_join(far("lid"), far("rid"), left_geom="geom", right_geom="geom",
+                     cell_size=1.0).collect()
+
+
 def test_asof_join(spark):
     from geomesa_hive_spark.operators.temporal import asof_join
     import datetime as dt
