@@ -778,6 +778,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the jaccard near-dup pair graph
+    (hash-min label propagation); oracle = DuckDB recursive-CTE
+    transitive closure with min-reachable-id labels."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    return clusters.select(
+        F.col("id").alias("id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(
@@ -948,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1691,6 +1704,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE inter > 0
               AND round(CAST(inter AS DOUBLE) / (tot - inter), 6) >= 0.5
+        """,
+        # transitive closure of the jaccard-0.5 pair graph; label = min
+        # reachable id — the SQL-native twin of hash-min propagation
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ), gr AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                          ELSE [] END AS grams
+              FROM toks
+            ), jp AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.grams, b.grams)) AS inter,
+                       len(a.grams) + len(b.grams) AS tot
+                FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+              )
+              WHERE inter > 0
+                AND round(CAST(inter AS DOUBLE) / (tot - inter), 6) >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM jp
+              UNION
+              SELECT id_b AS a, id_a AS b FROM jp
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "dedup_minhash_lsh": _minhash_oracle(num_perm=64, bands=16, threshold=0.5),
         "dedup_simhash": _simhash_oracle(max_hamming=3),

@@ -41,6 +41,8 @@ __all__ = [
     "simhash_signatures",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "duplicate_clusters",
+    "drop_near_duplicates",
 ]
 
 
@@ -460,6 +462,86 @@ def simhash_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pair graph → clusters → keepers
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: (id, cluster_id)
+    where cluster_id = the smallest id reachable from ``id`` — the piece
+    an actual dedup pipeline needs BETWEEN pair generation and keeper
+    selection (pairs alone over-delete: a~b and b~c must keep exactly
+    one of {a,b,c}, not two "winners" of independent pairs).
+
+    Hash-min label propagation, pure DataFrame ops: every node starts
+    labeled with itself; each round every node takes the min label in
+    its closed neighborhood; converges in O(graph diameter) rounds
+    (near-dup clusters are dense, so diameter is tiny — 2-4 rounds in
+    practice). Each round = one shuffle (groupBy node). The per-round
+    convergence check is a scalar count, and lineage is cut with
+    localCheckpoint so the plan doesn't grow exponentially — the same
+    iterate-and-checkpoint shape GraphX/GraphFrames use at cluster
+    scale. Raises after ``max_iter`` rounds rather than returning a
+    half-propagated labeling.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("lab")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # min over closed neighborhood: own label ∪ neighbors' labels
+        neighbor = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("lab"))
+        )
+        new_labels = (
+            labels.select("id", "lab").union(neighbor)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lab").alias("cluster_id"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — "
+        "pathological graph diameter; raise max_iter"
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    left: str = "id_a", right: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (the min id) per near-dup cluster plus
+    every row not in any pair: the end-to-end keeper selection. One
+    left-anti-ish join against the non-keeper set — broadcast-friendly
+    when dup clusters are a small fraction of the corpus (the usual
+    case)."""
+    clusters = duplicate_clusters(pairs, left, right)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(
+        losers, df[id_col] == losers["id"], "left_anti"
     )
 
 

@@ -42,6 +42,8 @@ __all__ = [
     "knn_ivf",
     "knn_join_brute",
     "knn_join_lsh",
+    "write_lsh_bucketed",
+    "knn_lsh_stored",
 ]
 
 
@@ -145,6 +147,40 @@ def knn_lsh(
     bucketed = random_hyperplane_buckets(df, vec_col, dim=len(query_vec), bits=bits, seed=seed)
     probes = _query_buckets(query_vec, bits, seed, probe_hamming)
     cand = bucketed.filter(F.col("bucket").isin(probes))
+    return knn_brute(cand, id_col, vec_col, query_vec, k)
+
+
+def write_lsh_bucketed(
+    df: DataFrame, path: str, vec_col: str, dim: int,
+    bits: int = 8, seed: int = 42,
+) -> None:
+    """Materialize the sign-LSH bucket as a stored PARTITION column —
+    the layout the knn_lsh scale story assumes. At 100 TB a probe then
+    reads |probes|/2^bits of the FILES via partition pruning (the
+    directory listing filters before any scan), instead of computing
+    buckets per row per query."""
+    bucketed = random_hyperplane_buckets(df, vec_col, dim=dim, bits=bits, seed=seed)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def knn_lsh_stored(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_lsh_bucketed` layout.
+    The ``bucket IN (...)`` filter lands on the partition column, so the
+    scan touches only the probed directories — check the plan's
+    ``PartitionFilters`` to see it (tested in test_pipeline.py)."""
+    df = spark.read.parquet(path)
+    probes = _query_buckets(query_vec, bits, seed, probe_hamming)
+    cand = df.filter(F.col("bucket").isin(probes))
     return knn_brute(cand, id_col, vec_col, query_vec, k)
 
 

@@ -67,6 +67,23 @@ def test_simhash(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_duplicate_clusters(spark):
+    """Chain a-b-c must form ONE cluster keyed by min id; disjoint pair
+    keeps its own; propagation crosses >1 hop."""
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21)], "id_a LONG, id_b LONG")
+    got = {(r.id, r.cluster_id) for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {(2, 2), (5, 2), (9, 2), (11, 2), (20, 20), (21, 20)}
+
+
+def test_drop_near_duplicates(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+    kept = dedup.drop_near_duplicates(docs, pairs, "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 1,2,3,5 are one near-dup cluster (keeper=1); 4 and 6 untouched
+    assert ids == [1, 4, 6]
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], "a"),
@@ -207,6 +224,26 @@ def test_multimodal_strict_decode_raises(spark):
     with pytest.raises(Exception):
         # strict mode surfaces the NotImplementedError from the stub decoder
         multimodal.decode_image_batch(df, "media", strict=True).collect()
+
+
+def test_knn_lsh_stored_layout_prunes_partitions(spark, tmp_path):
+    """The stored-bucket layout must (a) return exactly what the
+    on-the-fly knn_lsh returns and (b) show the probe as PARTITION
+    pruning in the scan, not a post-scan filter."""
+    from geomesa_hive_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = str(tmp_path / "lsh_layout")
+    similarity.write_lsh_bucketed(emb, path, "embedding", dim=64, bits=6)
+    stored = similarity.knn_lsh_stored(
+        spark, path, "vec_id", "embedding", qv, k=10, bits=6)
+    fly = similarity.knn_lsh(emb, "vec_id", "embedding", qv, k=10, bits=6)
+    assert [(r.id, r.cos_sim) for r in stored.collect()] == \
+           [(r.id, r.cos_sim) for r in fly.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    assert _re.search(r"PartitionFilters: \[[^\n]*bucket", plan)
 
 
 def test_knn_join_lsh_recall(spark):
