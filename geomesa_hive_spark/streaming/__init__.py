@@ -14,6 +14,7 @@ from geomesa_hive_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_rollup,
+    streaming_dedup,
     stateful_sessions,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "session_rollup",
     "stateful_sessions",
     "enrich_stream_spatial",
+    "streaming_dedup",
     "run_to_memory",
 ]

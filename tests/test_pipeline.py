@@ -205,6 +205,27 @@ def test_parse_image_header():
     assert parse_image_header(None) is None
 
 
+def test_parse_image_header_never_crashes_on_fuzz():
+    """Arbitrary bytes — including truncated/corrupted container
+    prefixes — must return a tuple or None, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geomesa_hive_spark.pipeline.multimodal import parse_image_header
+
+    prefixes = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(prefixes), st.binary(min_size=0, max_size=64))
+    def fuzz(prefix, tail):
+        out = parse_image_header(prefix + tail)
+        assert out is None or (
+            isinstance(out, tuple) and len(out) == 3 and out[1] >= 0 and out[2] >= 0
+        )
+
+    fuzz()
+
+
 def test_decode_image_batch_real_headers(spark):
     """Recognized containers get REAL parsed dims + mime; unknown bytes
     fall back to the declared stub (null mime)."""

@@ -155,6 +155,38 @@ def test_stateful_sessions_matches_batch_sessionization(spark, events_stream):
     assert got == exp
 
 
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """First arrival of each text fingerprint survives; later duplicates
+    are dropped in-stream with bounded (watermarked) state; result
+    matches the batch drop_exact_duplicates keeper count."""
+    import datetime as dt
+
+    from geomesa_hive_spark.pipeline import dedup
+
+    rows = []
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    for i in range(30):
+        # 10 distinct texts, each appearing 3× at increasing timestamps
+        rows.append((i, base + dt.timedelta(seconds=i), f"doc body {i % 10}"))
+    df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP, text STRING")
+    path = str(tmp_path / "dedup_events")
+    df.repartition(3).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    deduped = streaming.streaming_dedup(stream, "text", ts_col="ts")
+    assert deduped.isStreaming
+    streaming.run_to_memory(deduped, "sdedup_t", output_mode="append")
+    got = spark.table("sdedup_t")
+    assert got.count() == 10                      # one keeper per distinct text
+    assert got.select("text").distinct().count() == 10
+    batch_kept = dedup.drop_exact_duplicates(df, "event_id", "text")
+    assert got.count() == batch_kept.count()
+
+
 def test_enrich_stream_spatial_plan(spark, events_stream):
     enriched = streaming.enrich_stream_spatial(
         events_stream.withColumn("lon", F.col("value") % 360 - 180).withColumn(
