@@ -44,6 +44,9 @@ __all__ = [
     "knn_join_lsh",
     "write_lsh_bucketed",
     "knn_lsh_stored",
+    "assign_ivf_lists",
+    "write_ivf_partitioned",
+    "knn_ivf_stored",
 ]
 
 
@@ -212,10 +215,10 @@ def knn_ivf(
     n_probe/n_lists of the data."""
     dim = len(query_vec)
     if method == "pivot":
-        rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
-        if len(rows) < n_lists:
+        try:
+            centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
+        except ValueError:  # fewer rows than lists: exact scan is free
             return knn_brute(df, id_col, vec_col, query_vec, k)
-        centroids = np.asarray([r[1] for r in rows], dtype=np.float64)
     elif method == "kmeans":
         sample = (
             df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(50 * n_lists).collect()
@@ -235,9 +238,17 @@ def knn_ivf(
     else:
         raise ValueError(f"method must be 'kmeans' or 'pivot' (got {method!r})")
 
-    # the centroid matrix is ONE nested-array literal and the distances
-    # ONE transform lambda: an unrolled per-centroid chain multiplies the
-    # Catalyst tree by n_lists and compile time dominates small inputs
+    list_id = _list_id_expr(centroids, vec_col)
+    order = _probe_lists(centroids, query_vec, n_probe)
+    cand = df.withColumn("__list", list_id).filter(F.col("__list").isin(order))
+    return knn_brute(cand, id_col, vec_col, query_vec, k)
+
+
+def _list_id_expr(centroids: np.ndarray, vec_col: str) -> Column:
+    """Nearest-centroid assignment as ONE native expression. The
+    centroid matrix is ONE nested-array literal and the distances ONE
+    transform lambda: an unrolled per-centroid chain multiplies the
+    Catalyst tree by n_lists and compile time dominates small inputs."""
     cents_lit = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cents_lit,
@@ -251,10 +262,62 @@ def knn_ivf(
             lambda acc, x: acc + x,
         ),
     )
-    list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _probe_lists(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe].tolist()
-    cand = df.withColumn("__list", list_id).filter(F.col("__list").isin([int(i) for i in order]))
+    return [int(i) for i in np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]]
+
+
+def _pivot_centroids(df: DataFrame, id_col: str, vec_col: str, n_lists: int) -> np.ndarray:
+    """Deterministic pivots: embeddings of the n_lists smallest ids —
+    re-derivable from the data by anyone (including a SQL oracle or a
+    later reader of a stored layout), no RNG, no sample drift."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    if len(rows) < n_lists:
+        raise ValueError(f"need at least n_lists={n_lists} rows, got {len(rows)}")
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
+def assign_ivf_lists(
+    df: DataFrame, id_col: str, vec_col: str, n_lists: int = 16
+) -> DataFrame:
+    """Add ``list_id``: deterministic-pivot IVF assignment as a native
+    expression — the column a stored layout partitions by."""
+    centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
+    return df.withColumn("list_id", _list_id_expr(centroids, vec_col))
+
+
+def write_ivf_partitioned(
+    df: DataFrame, path: str, id_col: str, vec_col: str, n_lists: int = 16
+) -> None:
+    """Materialize the IVF layout: ``list_id`` as a parquet PARTITION
+    column, so a query's n_probe lists are read via partition pruning —
+    the write-once/probe-cheap contract IVF exists for."""
+    assign_ivf_lists(df, id_col, vec_col, n_lists).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+
+
+def knn_ivf_stored(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivf_partitioned` layout.
+    Pivots are re-derived from the stored table (smallest ids — the
+    deterministic contract), so no side-channel centroid file is needed;
+    the ``list_id IN (...)`` probe is partition pruning."""
+    df = spark.read.parquet(path)
+    centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
+    order = _probe_lists(centroids, query_vec, n_probe)
+    cand = df.filter(F.col("list_id").isin(order))
     return knn_brute(cand, id_col, vec_col, query_vec, k)
 
 

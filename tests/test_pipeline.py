@@ -267,6 +267,26 @@ def test_knn_lsh_stored_layout_prunes_partitions(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[[^\n]*bucket", plan)
 
 
+def test_knn_ivf_stored_layout_prunes_partitions(spark, tmp_path):
+    """Stored IVF layout returns the same rows as on-the-fly pivot IVF
+    and probes via partition pruning on list_id."""
+    from geomesa_hive_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = str(tmp_path / "ivf_layout")
+    similarity.write_ivf_partitioned(emb, path, "vec_id", "embedding", n_lists=8)
+    stored = similarity.knn_ivf_stored(
+        spark, path, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=3)
+    fly = similarity.knn_ivf(
+        emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=3, method="pivot")
+    assert [(r.id, r.cos_sim) for r in stored.collect()] == \
+           [(r.id, r.cos_sim) for r in fly.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    assert _re.search(r"PartitionFilters: \[[^\n]*list_id", plan)
+
+
 def test_knn_join_lsh_recall(spark):
     """LSH k-NN join finds most of the exact top-k (same planes both
     sides; Hamming-1 probing)."""
