@@ -864,6 +864,26 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint sketch per document — count + min +
+    max of the selected set; oracle replays the k-gram hashing and
+    sliding-window minima row-based (unnest + frame-min window), the
+    same shape the Spark side uses so each md5 is computed once."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = text.winnowing_fingerprints(docs, "text", "doc_id", k=8, window=8)
+    agg = sel.groupBy("doc_id").agg(
+        F.count("fp").alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+        F.col("fp_min"),
+        F.col("fp_max"),
+    )
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "media", F.encode(F.col("text"), "UTF-8")
@@ -971,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
+        "text_winnowing": q_text_winnowing,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1790,6 +1811,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality_lang": _QUALITY_SQL,
+        # winnowing: same md5-prefix k-gram codes, same window minima —
+        # row-based (unnest positions + frame-min window) so each md5 is
+        # computed once and the sliding minima are one window pass, not
+        # O(n·w) list lambdas
+        "text_winnowing": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, s,
+                     unnest(range(1, greatest(length(s) - 7, 0) + 1)) AS i
+              FROM t
+            ), pm AS (
+              SELECT doc_id, i, md5(substr(s, i, 8)) AS m FROM pos
+            ), h AS (
+              SELECT doc_id, i, {_hex2int_sql('m', 8)} AS hv FROM pm
+            ), wmin AS (
+              SELECT doc_id, i,
+                     min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wm,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM h
+            ), agg AS (
+              SELECT doc_id,
+                     count(DISTINCT wm) AS cnt,
+                     min(wm) AS fp_min,
+                     max(wm) AS fp_max
+              FROM wmin
+              WHERE i <= greatest(n - 7, 1)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.cnt, 0) AS INTEGER) AS n_fps,
+                   CAST(agg.fp_min AS BIGINT) AS fp_min,
+                   CAST(agg.fp_max AS BIGINT) AS fp_max
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
         "multimodal_stats": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS media_size,

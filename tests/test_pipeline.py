@@ -159,6 +159,28 @@ def test_lang_id_multilingual(spark):
     assert out == {1: "fr", 2: "de", 3: "es"}
 
 
+def test_winnowing_fingerprints(spark):
+    """Identical texts share all fingerprints; case/whitespace variants
+    normalize to the same set; a long shared substring guarantees a
+    shared fingerprint; sub-k texts yield empty."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "  The  QUICK brown fox jumps over the lazy dog "),
+        (3, "PREFIX junk then the quick brown fox jumps over the lazy dog"),
+        (4, "completely unrelated words about engines"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    sel = text.winnowing_fingerprints(df, "t", "id").collect()
+    out = {i: set() for i in range(1, 6)}
+    for r in sel:
+        out[r.id].add(r.fp)
+    assert out[1] == out[2] and len(out[1]) > 0      # normalization
+    assert out[1] & out[3]                            # shared substring → shared fp
+    assert not (out[1] & out[4])                      # unrelated: disjoint
+    assert out[5] == set()                            # shorter than k
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame([(1, bytearray(b"\x00" * 64)), (2, bytearray(b"ab" * 100))],
                                "doc_id LONG, media BINARY")
