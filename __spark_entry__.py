@@ -599,6 +599,338 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts(s: str):
+    return F.lit(s + " 00:00:00").cast("timestamp")
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (Q4). Testdata lacks l_commitdate /
+    l_receiptdate, so "late" is adapted to l_shipdate > o_orderdate +
+    90 days; the shape is the original's EXISTS → left-semi join with a
+    cross-table predicate, decorrelated by Catalyst into one hash
+    semi-join keyed on orderkey."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("o_orderpriority"))
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (Q7): bidirectional nation pair, year buckets.
+    Both nation dims broadcast; revenue as exact decimal partials."""
+    sfd = sf_dir
+    li, o, c = _t(spark, sfd, "lineitem"), _t(spark, sfd, "orders"), _t(spark, sfd, "customer")
+    s, n = _t(spark, sfd, "supplier"), _t(spark, sfd, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            F.col("supp_nation").alias("supp_nation"),
+            F.col("cust_nation").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8): conditional share of a nation's
+    revenue inside one region/part-type slice, per year. Decimal
+    partial sums, double division, round(6) — identical on both
+    engines."""
+    sfd = sf_dir
+    li, o, c = _t(spark, sfd, "lineitem"), _t(spark, sfd, "orders"), _t(spark, sfd, "customer")
+    s, n, r, p = (
+        _t(spark, sfd, "supplier"),
+        _t(spark, sfd, "nation"),
+        _t(spark, sfd, "region"),
+        _t(spark, sfd, "part"),
+    )
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_regionkey"),
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")), li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n2_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority split (Q12). Testdata lacks l_shipmode /
+    l_receiptdate, so the group key is l_linestatus and "slow" is
+    l_shipdate > o_orderdate + 30 days; the shape — join + conditional
+    counts — is the original's."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("l_linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13): LEFT OUTER join with an
+    ON-clause filter (kept customers with zero qualifying orders must
+    survive), two-level aggregation."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").alias("c_count")).agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15): revenue view over a quarter, scalar-max
+    filter. Decimal sums are exact, so the =max comparison cannot be
+    broken by float merge order; the 1-row max side is broadcast."""
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_revenue_d")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_d").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_d == mx.max_rev)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("s_suppkey"),
+            F.col("s_name").alias("s_name"),
+            F.round(F.col("total_revenue_d"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17). Testdata lacks p_container,
+    so the part slice is brand + size band. The correlated scalar
+    subquery (per-part avg quantity) decorrelates to an aggregate +
+    broadcast join — the plan Catalyst would build for the subquery
+    form, written explicitly (reference acceptance queries live at
+    hivesql/src/test/resources; relational shapes delegated to Spark
+    per SURVEY §2.1)."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    pk = p.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)).select(
+        "p_partkey"
+    )
+    li_p = li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"))
+    half_avg = li_p.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li_p.join(F.broadcast(half_avg), li_p.l_partkey == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (Q19): three-way OR of conjunctive
+    brand/size/quantity bands (container/shipmode columns absent from
+    testdata). The disjunction stays a single scan-side predicate after
+    the broadcast join — no union-of-three-scans."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21). "Late" adapted to
+    l_shipdate > o_orderdate + 60 days (no receipt/commit dates in
+    testdata). EXISTS → left-semi (another supplier on the order),
+    NOT EXISTS → left-anti (no OTHER supplier was late), both keyed on
+    orderkey so they are plain co-partitioned hash joins."""
+    sfd = sf_dir
+    li, o = _t(spark, sfd, "lineitem"), _t(spark, sfd, "orders")
+    s, n = _t(spark, sfd, "supplier"), _t(spark, sfd, "nation")
+    lo = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = lo.filter(F.col("late")).alias("l1")
+    l2 = lo.alias("l2")
+    l3 = lo.filter(F.col("late")).alias("l3")
+    waited = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        waited.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_5")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .groupBy(F.col("s_name").alias("s_name"))
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (Q22). Testdata has no c_phone, so the
+    "country code" is c_nationkey restricted to six keys. Shape kept:
+    scalar-subquery average (exact decimal sum / count, broadcast as a
+    1-row join) + NOT EXISTS anti-join against orders (every testdata
+    custkey has some order, so "lapsed" means no order since 1999)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    keys = [3, 7, 11, 15, 19, 23]
+    sel = c.filter(F.col("c_nationkey").isin(keys))
+    thr = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+    return (
+        sel.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, sel.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP(priority, status) with grand total."""
     o = _t(spark, sf_dir, "orders")
@@ -969,6 +1301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "rollup_orders": q_rollup_orders,
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
@@ -1613,6 +1955,161 @@ def oracle_sql() -> dict[str, str]:
                   HAVING sum(l_quantity) > 150.0) big
               ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                         6) AS mkt_share,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+              AND p_type = 'STANDARD'
+              AND r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_linestatus
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer
+                  LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue_d
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(round(total_revenue_d, 2) AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM rev)
+        """,
+        "tpch_q17": """
+            WITH li_p AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3' AND p_size <= 10
+            ), half AS (
+              SELECT l_partkey AS avg_pk, avg(l_quantity) * 0.5 AS half_avg_qty
+              FROM li_p GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                         / 7.0, 2) AS avg_yearly,
+                   count(*) AS cnt
+            FROM li_p JOIN half ON l_partkey = avg_pk
+            WHERE l_quantity < half_avg_qty
+        """,
+        "tpch_q19": """
+            SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q21": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM lo l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE l1.late AND n_name = 'NATION_5'
+              AND EXISTS (SELECT 1 FROM lo l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lo l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s_name
+        """,
+        "tpch_q22": """
+            WITH sel AS (
+              SELECT c_custkey, c_nationkey, c_acctbal
+              FROM customer WHERE c_nationkey IN (3, 7, 11, 15, 19, 23)
+            ), thr AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) AS avg_bal
+              FROM sel WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey AS cntrycode,
+                   count(*) AS numcust,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+            FROM sel, thr
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "rollup_orders": """
             SELECT o_orderpriority, o_orderstatus,
