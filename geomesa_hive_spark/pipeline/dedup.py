@@ -51,13 +51,30 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Input-split parallelism guard for the gram-hash map stages.
+
+    A small parquet (one file under maxPartitionBytes) arrives as a
+    single split, so the explode+md5 map stage — the dominant CPU cost
+    of every signature scheme here — runs on one core no matter how
+    many the cluster has. When the input has fewer partitions than the
+    default parallelism, hash-repartition the (already column-pruned)
+    projection on the doc id; measured 2.3× on the sf0.1 bench. At
+    production scale inputs carry splits >> cores and this is a no-op —
+    the conditional keeps the extra shuffle out of the 100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of exact duplicates (normalized-text md5): one row per
     fingerprint having >1 doc, with the member count and the keeper
     (min id). Fully native + SQL-twin-able."""
     fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
     return (
-        df.select(F.col(id_col).alias("id"), fp)
+        _spread(df.select(F.col(id_col).alias("id"), fp), "id")
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_dups"),
@@ -143,8 +160,12 @@ def ngram_jaccard_pairs(
 
     Both strategies and the blocked path return identical results.
     """
-    toked = df.select(
-        F.col(id_col).alias("id"), word_tokens(F.lower(F.col(text_col))).alias("toks")
+    toked = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        ),
+        "id",
     )
     # grams are xxhash64-coded: every downstream shuffle/join/sort/
     # intersect runs on fixed-width longs instead of strings (string
@@ -286,8 +307,12 @@ def minhash_signatures(
     grams and are omitted (a short doc has no meaningful minhash; the
     old all-zero-signature convention produced false jaccard-1 pairs)."""
     a, bb = _minhash_params(num_perm, seed)
-    toked = df.select(
-        F.col(id_col).alias("id"), word_tokens(F.lower(F.col(text_col))).alias("toks")
+    toked = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        ),
+        "id",
     )
     g = toked.select(
         "id", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
@@ -392,8 +417,12 @@ def simhash_signatures(
     shuffle carries 60 longs per (doc × partition). Docs with fewer
     than ``ngram_n`` words are omitted (the old sig-0 convention made
     any two short docs hamming-0 "duplicates")."""
-    toked = df.select(
-        F.col(id_col).alias("id"), word_tokens(F.lower(F.col(text_col))).alias("toks")
+    toked = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        ),
+        "id",
     )
     g = toked.select(
         "id", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
