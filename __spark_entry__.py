@@ -25,7 +25,7 @@ from geomesa_hive_spark import register_all
 from geomesa_hive_spark.functions import api as ST
 from geomesa_hive_spark.operators.convex_hull_agg import convex_hull_grouped
 from geomesa_hive_spark.operators.pushdown import contains_pushdown, intersects_pushdown
-from geomesa_hive_spark.pipeline import dedup, multimodal, similarity, text
+from geomesa_hive_spark.pipeline import dedup, multimodal, sampling, similarity, text
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1216,6 +1216,66 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by portable unit hash
+    (md5-prefix of 'split:seed:id' / 2^32); the oracle replays the
+    nibble arithmetic so membership itself is hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.hash_split(docs, "doc_id")
+    return out.groupBy(F.col("split").alias("split")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: two synthetic sources (even/odd ids)
+    sampled at different rates with source-salted hashes, unioned with
+    a source tag."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = sampling.weighted_mix(
+        [
+            ("even", docs.filter(F.col("doc_id") % 2 == 0), 0.5),
+            ("odd", docs.filter(F.col("doc_id") % 2 == 1), 0.25),
+        ],
+        "doc_id",
+    )
+    return mixed.groupBy(F.col("source").alias("source")).agg(
+        F.count("*").alias("cnt"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based keeper selection: near-dup clusters (word-3-gram
+    Jaccard ≥ 0.5 → connected components), keep the best-quality member
+    per cluster, report the dropped ids. Oracle: recursive-CTE closure
+    + quality replay + the same (quality DESC, id) window."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "q", F.round(text.quality_score(F.col("text")), 6)
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+    kept = dedup.keep_canonical(docs, pairs, "doc_id", "q")
+    return docs.join(kept.select("doc_id"), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("doc_id")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ 3 distinct
+    word-3-grams with the held-out eval slice (doc_id % 31 == 0). The
+    tiny eval gram index broadcasts; the corpus never shuffles before
+    the collision count."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    ev = docs.filter(F.col("doc_id") % 31 == 0)
+    return dedup.ngram_contamination(
+        corpus, ev, "doc_id", "text", ngram_n=3, min_shared=3
+    )
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "media", F.encode(F.col("text"), "UTF-8")
@@ -1334,6 +1394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality_lang": q_text_quality_lang,
         "text_winnowing": q_text_winnowing,
+        "pipeline_split": q_pipeline_split,
+        "pipeline_mix": q_pipeline_mix,
+        "dedup_canonical": q_dedup_canonical,
+        "decontaminate": q_decontaminate,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -2308,6 +2372,117 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality_lang": _QUALITY_SQL,
+        # portable unit hash: first 8 md5 hex chars of 'salt:seed:id' / 2^32
+        # — exact replay of sampling.unit_hash's nibble arithmetic
+        "pipeline_split": f"""
+            WITH h AS (
+              SELECT doc_id, text,
+                     {_hex2int_sql("md5(concat_ws(':', 'split', '42', CAST(doc_id AS VARCHAR)))", 8)}
+                     / 4294967296.0 AS u
+              FROM documents
+            ), assigned AS (
+              SELECT doc_id, text,
+                     CASE WHEN u < 0.90 THEN 'train'
+                          WHEN u < 0.95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM h
+            )
+            SELECT split, count(*) AS cnt,
+                   round(avg(length(text)), 4) AS avg_len,
+                   min(doc_id) AS min_id
+            FROM assigned GROUP BY split
+        """,
+        "pipeline_mix": f"""
+            WITH even AS (
+              SELECT 'even' AS source, doc_id FROM documents
+              WHERE doc_id % 2 = 0
+                AND {_hex2int_sql("md5(concat_ws(':', 'mix:even', '42', CAST(doc_id AS VARCHAR)))", 8)}
+                    / 4294967296.0 < 0.5
+            ), odd AS (
+              SELECT 'odd' AS source, doc_id FROM documents
+              WHERE doc_id % 2 = 1
+                AND {_hex2int_sql("md5(concat_ws(':', 'mix:odd', '42', CAST(doc_id AS VARCHAR)))", 8)}
+                    / 4294967296.0 < 0.25
+            ), mixed AS (
+              SELECT * FROM even UNION ALL SELECT * FROM odd
+            )
+            SELECT source, count(*) AS cnt,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM mixed GROUP BY source
+        """,
+        # clusters (recursive closure over jaccard pairs) + quality replay
+        # + the same (quality DESC, id) keeper window; rk > 1 = dropped
+        "dedup_canonical": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ), gr AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                          ELSE [] END AS grams
+              FROM toks
+            ), jp AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.grams, b.grams)) AS inter,
+                       len(a.grams) + len(b.grams) AS tot
+                FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+              )
+              WHERE inter > 0
+                AND round(CAST(inter AS DOUBLE) / (tot - inter), 6) >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM jp
+              UNION
+              SELECT id_b AS a, id_a AS b FROM jp
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), clusters AS (
+              SELECT a AS id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a
+            ), qt AS (
+              SELECT doc_id, length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntoks
+              FROM documents
+            ), qual AS (
+              SELECT doc_id, round(
+                  0.4 * (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0
+                              WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+                + 0.4 * (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END)
+                + 0.2 * (CASE WHEN (CASE WHEN ntoks > 0 THEN CAST(n AS DOUBLE) / ntoks ELSE 0.0 END) >= 3.0
+                               AND (CASE WHEN ntoks > 0 THEN CAST(n AS DOUBLE) / ntoks ELSE 0.0 END) <= 12.0
+                              THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM qt
+            ), ranked AS (
+              SELECT c.id, row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.id) AS rk
+              FROM clusters c JOIN qual q ON q.doc_id = c.id
+            )
+            SELECT id AS doc_id FROM ranked WHERE rk > 1
+        """,
+        # same md5-prefix gram codes as the Spark side, so the collision
+        # count replays bit-for-bit even across 32-bit code collisions
+        "decontaminate": f"""
+            WITH {_GRAM_CTES}, gh AS (
+              SELECT doc_id, md5(gram) AS m FROM gr
+            ), gc AS (
+              SELECT doc_id, {_hex2int_sql('m', 8)} AS g FROM gh
+            ), cg AS (
+              SELECT doc_id AS corpus_id, g FROM gc WHERE doc_id % 31 != 0
+            ), eg AS (
+              SELECT doc_id AS eval_id, g FROM gc WHERE doc_id % 31 = 0
+            )
+            SELECT corpus_id, eval_id, count(*) AS shared
+            FROM cg JOIN eg USING (g)
+            GROUP BY corpus_id, eval_id
+            HAVING count(*) >= 3
+        """,
         # winnowing: same md5-prefix k-gram codes, same window minima —
         # row-based (unnest positions + frame-min window) so each md5 is
         # computed once and the sliding minima are one window pass, not

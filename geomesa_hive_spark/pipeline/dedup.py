@@ -43,6 +43,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "duplicate_clusters",
     "drop_near_duplicates",
+    "keep_canonical",
+    "ngram_contamination",
 ]
 
 
@@ -571,6 +573,94 @@ def drop_near_duplicates(
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(
         losers, df[id_col] == losers["id"], "left_anti"
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    descending: bool = True,
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Keeper selection by QUALITY, not by min id: within each near-dup
+    cluster keep the row with the best ``order_col`` (ties broken by
+    id), drop the rest, pass every unpaired row through untouched —
+    the canonical-document step a training pipeline runs after pair
+    generation, where "keep the best-written copy" beats "keep the
+    lowest id".
+
+    One connected-components pass over the pair graph, then a
+    row_number window per cluster over only the clustered rows (dup
+    clusters are a small fraction of the corpus, so the window input is
+    tiny relative to df), then an anti-join to drop losers."""
+    clusters = duplicate_clusters(pairs, left, right)
+    ordc = F.col("__ord").desc() if descending else F.col("__ord").asc()
+    members = df.select(
+        F.col(id_col).alias("__mid"), F.col(order_col).alias("__ord")
+    ).join(clusters, F.col("__mid") == clusters["id"])
+    ranked = members.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(ordc, F.col("__mid"))
+        ),
+    )
+    losers = ranked.filter(F.col("__rk") > 1).select(F.col("__mid").alias("id"))
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    ngram_n: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, eval_id, shared) for
+    every corpus doc sharing ≥ ``min_shared`` distinct word-n-grams
+    with an eval/benchmark doc — the overlap check run before training
+    so test sets don't leak into the corpus.
+
+    Scale shape: the eval side is tiny at any real scale (benchmarks
+    are 10³-10⁵ docs vs a 100 TB corpus), so its distinct gram index is
+    BROADCAST and the corpus streams past with no shuffle at all until
+    the per-(doc, eval) count — which only contains rows that actually
+    collided. Gram codes are the same md5-prefix longs the LSH family
+    uses, so the DuckDB oracle replays the join bit-for-bit."""
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    ctoked = _spread(
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        ),
+        "cid",
+    )
+    cg = ctoked.select(
+        "cid", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
+    ).select("cid", gram_code32(F.col("gram")).alias("g"))
+    etoked = eval_df.select(
+        F.col(eval_id_col).alias("eid"),
+        word_tokens(F.lower(F.col(eval_text_col))).alias("toks"),
+    )
+    eg = etoked.select(
+        "eid", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
+    ).select("eid", gram_code32(F.col("gram")).alias("g"))
+    return (
+        cg.join(F.broadcast(eg), "g")
+        .groupBy("cid", "eid")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select(
+            F.col("cid").alias("corpus_id"),
+            F.col("eid").alias("eval_id"),
+            F.col("shared"),
+        )
     )
 
 

@@ -1,0 +1,119 @@
+"""Deterministic sampling, splitting, and mixing for training-data
+pipelines — all pure Catalyst expressions.
+
+The primitive is a portable unit hash: md5 of ``salt:seed:id`` → first
+8 hex chars → integer / 2^32 ∈ [0, 1). Three properties a 100 TB
+pipeline needs and ``rand()`` / ``df.sample()`` don't give:
+
+- **Reproducible**: the same doc lands in the same split on every run,
+  every engine, any partitioning — re-running a failed stage cannot
+  reshuffle the train/val boundary.
+- **Join-free**: membership is a per-row expression; no sampled-id
+  table to broadcast or shuffle.
+- **Auditable**: the DuckDB oracle replays the exact arithmetic, so
+  split assignment is hash-verified, not just row-counted.
+
+Splits partition by construction (disjoint half-open intervals of one
+hash value), so train ∩ val = ∅ holds exactly, and per-source rates in
+``weighted_mix`` compose the same way.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "unit_hash",
+    "hash_split",
+    "sample_fraction",
+    "weighted_mix",
+]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def unit_hash(col, seed: int = 42, salt: str = "split") -> Column:
+    """Uniform [0, 1) from a stable id: first 32 bits of
+    md5('salt:seed:id') scaled by 2^-32. Exact in signed-64 / double
+    arithmetic on both Spark and DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.lit(str(seed)), _c(col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(1 << 32))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing its id into [0,1)
+    and cutting at the cumulative weights (insertion order of
+    ``weights``). Default 90/5/5 train/val/test. Weights must sum to 1
+    (within 1e-9); splits are exactly disjoint and exhaustive."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    u = unit_hash(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        clause = (u < F.lit(acc), F.lit(name))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic ``fraction``-rate sample: keep rows whose unit
+    hash falls below the rate. Same seed → same sample, regardless of
+    partitioning or cluster size; different seeds → independent
+    samples."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1] (got {fraction})")
+    return df.filter(unit_hash(F.col(id_col), seed) < F.lit(float(fraction)))
+
+
+def weighted_mix(
+    sources: list[tuple[str, DataFrame, float]],
+    id_col: str,
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """Dataset mixing: deterministically sample each source at its own
+    rate and union the results, tagged with the source name — the
+    standard way a training mix ("2 parts web, 1 part code, 0.5 parts
+    reference") is materialized. Each source's sample uses a
+    source-salted hash, so mixing is stable under adding/removing
+    sources. Schemas must align (union by name)."""
+    parts = []
+    for name, df, rate in sources:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1] (got {rate})")
+        parts.append(
+            df.filter(
+                unit_hash(F.col(id_col), seed, salt=f"mix:{name}") < F.lit(float(rate))
+            ).withColumn(source_col, F.lit(name))
+        )
+    if not parts:
+        raise ValueError("weighted_mix needs at least one source")
+    return reduce(lambda a, b: a.unionByName(b), parts)

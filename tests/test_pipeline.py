@@ -328,3 +328,76 @@ def test_knn_join_lsh_recall(spark):
     # recall ~ p^4 + 4p^3(1-p) ~ 0.53 at bits=4 — assert we're at theory,
     # not below it (clustered real embeddings do far better)
     assert recall >= 0.45, recall
+
+
+def test_hash_split_deterministic(spark):
+    """Splits are disjoint, exhaustive, deterministic, and roughly
+    proportional; bad weights raise."""
+    from geomesa_hive_spark.pipeline import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = sampling.hash_split(df, "doc_id").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in a}
+    assert counts == {r.split: r["count"] for r in b}          # deterministic
+    assert sum(counts.values()) == 2000                         # exhaustive
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 <= counts["train"] / 2000 <= 0.95               # ~90%
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_sample_fraction_nested(spark):
+    """Same-seed samples nest: sample(0.2) is a subset of sample(0.5);
+    different seeds differ."""
+    from geomesa_hive_spark.pipeline import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s20 = {r.doc_id for r in sampling.sample_fraction(df, "doc_id", 0.2).collect()}
+    s50 = {r.doc_id for r in sampling.sample_fraction(df, "doc_id", 0.5).collect()}
+    s50b = {r.doc_id for r in sampling.sample_fraction(df, "doc_id", 0.5, seed=7).collect()}
+    assert s20 <= s50
+    assert 120 <= len(s20) <= 280 and 400 <= len(s50) <= 600
+    assert s50 != s50b
+
+
+def test_weighted_mix(spark):
+    """Sources tagged and sampled at their own (salted) rates."""
+    from geomesa_hive_spark.pipeline import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    mixed = sampling.weighted_mix(
+        [("all", df, 1.0), ("half", df, 0.5)], "doc_id").collect()
+    by_src = {}
+    for r in mixed:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["all"]) == 1000
+    assert 400 <= len(by_src["half"]) <= 600
+
+
+def test_keep_canonical(spark):
+    """Cluster {1,2,3} (chained pairs) keeps only the best-quality
+    member; unpaired rows pass through."""
+    rows = [(1, 0.5), (2, 0.9), (3, 0.7), (4, 0.1)]
+    df = spark.createDataFrame(rows, "doc_id LONG, q DOUBLE")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a LONG, id_b LONG")
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(df, pairs, "doc_id", "q").collect())
+    assert kept == [2, 4]
+
+
+def test_ngram_contamination(spark):
+    """Corpus docs sharing >= min_shared distinct n-grams with an eval
+    doc are flagged; others are not."""
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id LONG, text STRING")
+    corpus = spark.createDataFrame(
+        [(1, "he saw the quick brown fox jumps over a fence"),
+         (2, "completely different words entirely unrelated text here"),
+         (3, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id LONG, text STRING")
+    out = dedup.ngram_contamination(corpus, ev, "doc_id", "text",
+                                    ngram_n=5, min_shared=2)
+    hits = {(r.corpus_id, r.eval_id): r.shared for r in out.collect()}
+    assert (3, 100) in hits and hits[(3, 100)] >= 2
+    assert all(cid != 2 for cid, _ in hits)
