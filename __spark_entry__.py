@@ -1276,6 +1276,42 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean embedding (decimal-exact partials);
+    summarized as first component + L2 norm so the hash compares
+    scalars, not array reprs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.embedding_centroids(emb, "label", "embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("centroid"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return cents.select(
+        F.col("label").alias("label"),
+        F.col("n_members").alias("n_members"),
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        F.round(norm, 6).alias("cnorm"),
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd rounds (pivot init) over the embedding
+    table; per-cluster size + decimal-summed inertia. The oracle chains
+    assign/update CTEs and replays every round bit-for-bit — an
+    iterative algorithm under the hash gate, not a rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans(emb, "vec_id", "embedding", k=8, iters=2)
+    return asg.groupBy(F.col("cluster_id").alias("cluster_id")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.round(F.col("d2"), 6).cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("inertia"),
+    )
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "media", F.encode(F.col("text"), "UTF-8")
@@ -1398,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mix": q_pipeline_mix,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
+        "embedding_centroids": q_embedding_centroids,
+        "kmeans": q_kmeans,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1803,6 +1841,58 @@ def _knn_join_lsh_oracle(k: int = 5, bits: int = 8, dim: int = 64,
           SELECT *, row_number() OVER (PARTITION BY lid ORDER BY cos_sim DESC, rid) AS rk
           FROM cand
         ) WHERE rk <= {k}
+    """
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Chained assign/update CTEs replaying similarity.kmeans exactly:
+    pivot init (k smallest ids), per-round nearest-centroid assignment
+    (row_number ordered by d2 then cid = Spark's first-min
+    array_position), decimal-mean centroid update with COALESCE to the
+    previous round's centroid for emptied clusters, and a final
+    assignment against the last centroids."""
+    d2 = lambda a, b: _D2_SQL.format(a=a, b=b)
+    parts = [
+        f"""e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+          SELECT vec_id, cid AS cluster_id FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e, c{it - 1} c) WHERE rn = 1
+        ), u{it} AS (
+          SELECT cluster_id AS cid, list(m ORDER BY i) AS cv FROM (
+            SELECT cluster_id, i,
+                   CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS m
+            FROM (SELECT a.cluster_id, unnest(e.v) AS x,
+                         unnest(range(1, len(e.v) + 1)) AS i
+                  FROM a{it} a JOIN e USING (vec_id))
+            GROUP BY cluster_id, i)
+          GROUP BY cluster_id
+        ), c{it} AS (
+          SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+          FROM c{it - 1} p LEFT JOIN u{it} u ON p.cid = u.cid
+        )"""
+        )
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT cluster_id, count(*) AS n,
+               CAST(round(sum(CAST(round(d2, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS inertia
+        FROM (
+          SELECT vec_id, cid AS cluster_id, d2 FROM (
+            SELECT e.vec_id, c.cid, {d2('e.v', 'c.cv')} AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e, c{iters} c) WHERE rn = 1)
+        GROUP BY cluster_id
     """
 
 
@@ -2466,6 +2556,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id FROM ranked WHERE rk > 1
         """,
+        "embedding_centroids": """
+            WITH ex AS (
+              SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings
+            ), per AS (
+              SELECT label, i,
+                     CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS m,
+                     count(*) AS n
+              FROM ex GROUP BY label, i
+            ), cent AS (
+              SELECT label, list(m ORDER BY i) AS c, max(n) AS n_members
+              FROM per GROUP BY label
+            )
+            SELECT label, n_members, round(c[1], 6) AS c0,
+                   round(sqrt(list_sum(list_transform(c, x -> x * x))), 6) AS cnorm
+            FROM cent
+        """,
+        "kmeans": _kmeans_oracle(k=8, iters=2),
         # same md5-prefix gram codes as the Spark side, so the collision
         # count replays bit-for-bit even across 32-bit code collisions
         "decontaminate": f"""

@@ -47,6 +47,8 @@ __all__ = [
     "assign_ivf_lists",
     "write_ivf_partitioned",
     "knn_ivf_stored",
+    "embedding_centroids",
+    "kmeans",
 ]
 
 
@@ -411,3 +413,99 @@ def knn_join_lsh(
         .filter(F.col("rk") <= k)
         .select("lid", "rid", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# centroids / k-means
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean vector per label: (label, centroid, n_members).
+
+    posexplode(vec) → groupBy(label, dim) → exact decimal sums / count →
+    reassemble the ordered array. The shuffle carries n·dim scalars with
+    map-side combine (so it compresses to labels·dim partials per input
+    partition) and the result is labels·dim rows — never collected.
+    Decimal(27,9) partials make the mean order-independent: a double sum
+    would wobble in its last ulp with shuffle merge order, which breaks
+    both reproducibility and the hash oracle."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    per = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(27,9)")).cast("double")
+            / F.count("*")
+        ).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+        F.max("n").alias("n_members"),
+    )
+
+
+def _d2_literal(cv: list[float], vec_col) -> Column:
+    """Squared euclidean distance of an array column to a literal
+    centroid — sequential left fold, the structural twin of the
+    oracle's list_sum(list_transform(list_zip(...)))."""
+    lit = F.array(*[F.lit(float(v)) for v in cv])
+    return F.aggregate(
+        F.zip_with(
+            vec_col if isinstance(vec_col, Column) else F.col(vec_col),
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd k-means: pivot init (the k smallest-id rows,
+    the same SQL-replayable convention as IVF), then ``iters`` rounds of
+    assign → decimal-mean centroid update. Returns the final assignment
+    (id, cluster_id, d2).
+
+    Scale shape per round: assignment is a pure map — the k centroids
+    are collected to the driver (bounded: k·dim doubles, the
+    similarity.py IVF-sampling precedent) and embedded as literals, so
+    NO shuffle touches the points; the update is one posexplode groupBy
+    (n·dim scalars, map-side combined). Ties in distance go to the
+    lowest cluster id; an emptied cluster keeps its previous centroid
+    so k is stable across rounds. Every arithmetic step (pivot order,
+    decimal means, fold order) has an exact DuckDB twin, so even the
+    2-iteration fixpoint is hash-verifiable."""
+    pts = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = pts.orderBy("id").limit(k).collect()  # bounded: k rows
+    cents = [list(r.v) for r in init]
+
+    def _assign(centroids):
+        d2s = F.array(*[_d2_literal(cv, F.col("v")) for cv in centroids])
+        best = F.array_position(d2s, F.array_min(d2s)).cast("int") - 1
+        return pts.select(
+            "id",
+            "v",
+            best.alias("cluster_id"),
+            F.array_min(d2s).alias("d2"),
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(cents)
+        upd = embedding_centroids(assigned, "cluster_id", "v")
+        got = {r.label: list(r.centroid) for r in upd.collect()}  # bounded: k rows
+        cents = [got.get(c, cents[c]) for c in range(k)]
+    return _assign(cents).select("id", "cluster_id", "d2")

@@ -401,3 +401,31 @@ def test_ngram_contamination(spark):
     hits = {(r.corpus_id, r.eval_id): r.shared for r in out.collect()}
     assert (3, 100) in hits and hits[(3, 100)] >= 2
     assert all(cid != 2 for cid, _ in hits)
+
+
+def test_embedding_centroids(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 3.0]), (2, "a", [3.0, 5.0]), (3, "b", [10.0, 0.0])],
+        "id LONG, lab STRING, v ARRAY<DOUBLE>")
+    out = {r.label: (list(r.centroid), r.n_members)
+           for r in similarity.embedding_centroids(df, "lab", "v").collect()}
+    assert out["a"] == ([2.0, 4.0], 2)
+    assert out["b"] == ([10.0, 0.0], 1)
+
+
+def test_kmeans_separated(spark):
+    """Two well-separated blobs: k=2 Lloyd recovers them regardless of
+    pivot init; assignment is deterministic across runs."""
+    rows = [(i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(10)] + \
+           [(i, [-10.0 - (i % 3) * 0.1, -10.0]) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>")
+    a = similarity.kmeans(df, "id", "v", k=2, iters=3).collect()
+    b = similarity.kmeans(df, "id", "v", k=2, iters=3).collect()
+    assert sorted((r.id, r.cluster_id) for r in a) == sorted((r.id, r.cluster_id) for r in b)
+    by_cluster = {}
+    for r in a:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.id)
+    assert sorted(len(v) for v in by_cluster.values()) == [10, 10]
+    assert {frozenset(v) for v in by_cluster.values()} == \
+           {frozenset(range(10)), frozenset(range(10, 20))}
+    assert all(r.d2 < 1.0 for r in a)
