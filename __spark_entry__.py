@@ -1182,6 +1182,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id"),
         text.token_count(c).cast("bigint").alias("n_tokens"),
         text.bpe_ish_token_count(c).cast("bigint").alias("n_bpe"),
+        F.round(text.stopword_ratio(c), 6).alias("stop_ratio"),
+        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
         text.fingerprint(c).alias("fp"),
     )
 
@@ -1273,6 +1275,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 31 == 0)
     return dedup.ngram_contamination(
         corpus, ev, "doc_id", "text", ngram_n=3, min_shared=3
+    )
+
+
+def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline observability: ROLLUP over (split, language)
+    of doc count, token total, and decimal-exact mean quality — the
+    per-mix dataset card a training run reports. Exercises hash_split ∘
+    lang_id ∘ quality_score ∘ token_count in one plan."""
+    docs = sampling.hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    c = F.col("text")
+    enriched = docs.select(
+        "split",
+        text.lang_id(c).alias("lang"),
+        text.token_count(c).cast("bigint").alias("ntok"),
+        F.round(text.quality_score(c), 6).alias("q"),
+    )
+    return enriched.rollup(
+        F.col("split").alias("split"), F.col("lang").alias("lang")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("tok_total"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_quality"),
     )
 
 
@@ -1434,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mix": q_pipeline_mix,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
+        "dataset_report": q_dataset_report,
         "embedding_centroids": q_embedding_centroids,
         "kmeans": q_kmeans,
         "multimodal_stats": q_multimodal_stats,
@@ -2454,12 +2481,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 5
         """,
         "text_stats": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+              FROM documents
+            )
             SELECT doc_id,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(ntok AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+                   CASE WHEN ntok > 0 THEN round(
+                     CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          w -> list_contains(['the','and','of','to','a','in','is','it','that','for',
+                                              'on','was','with','as','at','by','be','this','are','or'], w)))
+                          AS DOUBLE) / ntok, 6)
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0 THEN round(
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text), 6)
+                   ELSE 0.0 END AS punct_ratio,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-            FROM documents
+            FROM t
         """,
         "text_quality_lang": _QUALITY_SQL,
         # portable unit hash: first 8 md5 hex chars of 'salt:seed:id' / 2^32
@@ -2555,6 +2597,25 @@ def oracle_sql() -> dict[str, str]:
               FROM clusters c JOIN qual q ON q.doc_id = c.id
             )
             SELECT id AS doc_id FROM ranked WHERE rk > 1
+        """,
+        "dataset_report": f"""
+            WITH ql AS ({_QUALITY_SQL}),
+            enriched AS (
+              SELECT CASE WHEN {_hex2int_sql("md5(concat_ws(':', 'split', '42', CAST(d.doc_id AS VARCHAR)))", 8)}
+                               / 4294967296.0 < 0.90 THEN 'train'
+                          WHEN {_hex2int_sql("md5(concat_ws(':', 'split', '42', CAST(d.doc_id AS VARCHAR)))", 8)}
+                               / 4294967296.0 < 0.95 THEN 'val'
+                          ELSE 'test' END AS split,
+                     ql.lang_pred AS lang,
+                     CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS BIGINT) AS ntok,
+                     ql.quality AS q
+              FROM documents d JOIN ql ON ql.doc_id = d.doc_id
+            )
+            SELECT split, lang, count(*) AS n_docs, sum(ntok) AS tok_total,
+                   round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+            FROM enriched
+            GROUP BY ROLLUP (split, lang)
         """,
         "embedding_centroids": """
             WITH ex AS (

@@ -15,10 +15,13 @@ __all__ = [
     "token_count",
     "word_tokens",
     "quality_score",
+    "stopword_ratio",
+    "punct_ratio",
     "lang_id",
     "fingerprint",
     "winnowing_fingerprints",
     "LANG_MARKERS",
+    "STOPWORDS_EN",
 ]
 
 
@@ -47,6 +50,36 @@ def bpe_ish_token_count(col) -> Column:
     """Sub-word-ish token count: words plus standalone punctuation — the
     cheap stand-in for a BPE tokenizer's token count."""
     return F.size(F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+# compact high-frequency English function words: enough to separate
+# prose (~0.25-0.5 ratio) from keyword spam / boilerplate (~0)
+STOPWORDS_EN = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "was", "with", "as", "at", "by", "be", "this", "are", "or",
+]
+
+
+def stopword_ratio(col) -> Column:
+    """Fraction of whitespace tokens that are English stopwords — the
+    classic fluency signal in quality filters (C4/Gopher-style rules):
+    real prose sits around 0.25-0.5, keyword lists and boilerplate near
+    0. Returns 0.0 for empty text."""
+    c = _c(col)
+    toks = word_tokens(F.lower(c))
+    n = token_count(c)
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    return F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are punctuation/symbols (neither
+    alphanumeric nor whitespace): high values flag markup, code, or
+    OCR noise. Returns 0.0 for empty text."""
+    c = _c(col)
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
 
 
 def quality_score(col) -> Column:

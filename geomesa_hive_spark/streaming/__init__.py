@@ -14,6 +14,7 @@ from geomesa_hive_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_rollup,
+    streaming_contamination_filter,
     streaming_dedup,
     stateful_sessions,
 )
@@ -25,5 +26,6 @@ __all__ = [
     "stateful_sessions",
     "enrich_stream_spatial",
     "streaming_dedup",
+    "streaming_contamination_filter",
     "run_to_memory",
 ]

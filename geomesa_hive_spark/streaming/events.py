@@ -33,6 +33,7 @@ __all__ = [
     "stateful_sessions",
     "enrich_stream_spatial",
     "streaming_dedup",
+    "streaming_contamination_filter",
     "run_to_memory",
 ]
 
@@ -212,6 +213,68 @@ def streaming_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
+    )
+
+
+def streaming_contamination_filter(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    eval_text_col: str | None = None,
+    ngram_n: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Decontamination AT INGEST: drop stream documents that share ≥
+    ``min_shared`` distinct word-n-grams with a static eval/benchmark
+    set, before they ever land in the lake.
+
+    STATELESS by construction: a per-row count of doc grams that hit
+    the eval set needs no watermark, no state store, no stream-stream
+    join (a groupBy-then-anti-join formulation would be a stateful agg
+    feeding an unsupported stream join). The eval gram-code index is
+    collected once (bounded — benchmarks are 10³-10⁵ docs vs the
+    unbounded stream) and broadcast to executors as a hash set; the
+    membership count runs in an Arrow-vectorized pandas UDF with O(1)
+    per gram — the native alternative (array_intersect against a
+    million-element literal) rebuilds a hash set per ROW. Gram codes
+    are the same md5-prefix longs as the batch ``ngram_contamination``,
+    so the stream filter and a batch backfill agree on what counts as
+    contaminated."""
+    from pyspark.sql.functions import pandas_udf
+
+    from geomesa_hive_spark.pipeline.dedup import _grams_from_tokens, gram_code32
+    from geomesa_hive_spark.pipeline.text import word_tokens
+
+    eval_text_col = eval_text_col or text_col
+    codes = frozenset(
+        r.g
+        for r in (
+            eval_df.select(
+                word_tokens(F.lower(F.col(eval_text_col))).alias("toks")
+            )
+            .select(F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram"))
+            .select(gram_code32(F.col("gram")).alias("g"))
+            .distinct()
+            .collect()  # bounded: the benchmark gram index
+        )
+    )
+    bset = docs.sparkSession.sparkContext.broadcast(codes)
+
+    @pandas_udf("integer")
+    def _shared(grams: pd.Series) -> pd.Series:
+        s = bset.value
+        return grams.map(
+            lambda arr: 0 if arr is None else sum(1 for g in arr if g in s)
+        ).astype("int32")
+
+    doc_grams = F.transform(
+        _grams_from_tokens(word_tokens(F.lower(F.col(text_col))), ngram_n),
+        lambda gr: F.conv(F.substring(F.md5(gr), 1, 8), 16, 10).cast("long"),
+    )
+    return (
+        docs.withColumn("__shared", _shared(doc_grams))
+        .filter(F.col("__shared") < min_shared)
+        .drop("__shared")
     )
 
 

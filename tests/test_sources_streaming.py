@@ -203,3 +203,42 @@ def test_enrich_stream_spatial_plan(spark, events_stream):
     out = spark.table("enrich_t")
     assert out.count() == _batch_events(spark).count()
     assert out.filter(F.col("z2").isNull()).count() == 0
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    """Stream-side decontamination keeps exactly the docs the batch
+    operator would NOT flag (same grams, same min_shared), with no
+    streaming state."""
+    import datetime as dt
+
+    from geomesa_hive_spark.pipeline import dedup
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog benchmark")],
+        "doc_id LONG, text STRING")
+    rows = [
+        (1, base, "he saw the quick brown fox jumps over the lazy dog yesterday"),
+        (2, base, "completely unrelated words about parquet and shuffle"),
+        (3, base, "another clean document with no benchmark overlap at all"),
+        (4, base, "the quick brown fox jumps over the lazy dog again today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, ts TIMESTAMP, text STRING")
+    path = str(tmp_path / "contam_docs")
+    df.write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    clean = streaming.streaming_contamination_filter(
+        stream, ev, "text", ngram_n=5, min_shared=2)
+    assert clean.isStreaming
+    streaming.run_to_memory(clean, "scontam_t", output_mode="append")
+    got = {r.doc_id for r in spark.table("scontam_t").collect()}
+
+    flagged = {r.corpus_id for r in dedup.ngram_contamination(
+        df, ev, "doc_id", "text", ngram_n=5, min_shared=2).collect()}
+    assert got == {1, 2, 3, 4} - flagged
+    assert flagged == {1, 4}
