@@ -1278,6 +1278,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch coverage: HLL++ distinct counts (approx_count_distinct)
+    and quantile sketches (approx_percentile) per group. Sketch outputs
+    are engine-specific, so the hash gate checks the exact values PLUS
+    the accuracy property: |approx − exact| within the sketch's rsd /
+    1% quantile band, emitted as booleans the oracle asserts TRUE —
+    a cross-engine check of the guarantee, not of sketch internals."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("l_returnflag")).agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__hll"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__p50_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__p50_approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("__hll") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
+        ).alias("hll_within_3rsd"),
+        F.round(F.col("__p50_exact"), 4).alias("p50_exact"),
+        (
+            F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
+            <= 0.01 * F.abs(F.col("__p50_exact"))
+        ).alias("p50_within_1pct"),
+    )
+
+
 def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline observability: ROLLUP over (split, language)
     of doc count, token total, and decimal-exact mean quality — the
@@ -1460,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mix": q_pipeline_mix,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
+        "approx_stats": q_approx_stats,
         "dataset_report": q_dataset_report,
         "embedding_centroids": q_embedding_centroids,
         "kmeans": q_kmeans,
@@ -2597,6 +2627,15 @@ def oracle_sql() -> dict[str, str]:
               FROM clusters c JOIN qual q ON q.doc_id = c.id
             )
             SELECT id AS doc_id FROM ranked WHERE rk > 1
+        """,
+        "approx_stats": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS exact_orders,
+                   TRUE AS hll_within_3rsd,
+                   round(median(l_extendedprice), 4) AS p50_exact,
+                   TRUE AS p50_within_1pct
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "dataset_report": f"""
             WITH ql AS ({_QUALITY_SQL}),

