@@ -37,15 +37,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark rejects; read
-    nanos as long and floor-divide to micros (DuckDB truncates the same
-    way when it surfaces the column as TIMESTAMP)."""
+    """Read events.parquet with the timestamp normalized to TimestampType.
+
+    The physical ts encoding varies by environment (nanos-as-long,
+    TIMESTAMP_NTZ on Spark 4.x, plain TIMESTAMP); ``normalize_event_ts``
+    handles all three, value-identical to DuckDB's micro-truncated
+    TIMESTAMP under a UTC session."""
+    from geomesa_hive_spark.streaming.events import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _call(name: str, *args):

@@ -11,6 +11,7 @@ UDFs + native exprs, so it composes with streaming DataFrames unchanged).
 from geomesa_hive_spark.streaming.events import (
     enrich_stream_spatial,
     hourly_rollup,
+    normalize_event_ts,
     read_events_stream,
     run_to_memory,
     session_rollup,

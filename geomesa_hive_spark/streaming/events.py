@@ -24,9 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
 
 __all__ = [
+    "normalize_event_ts",
     "read_events_stream",
     "hourly_rollup",
     "session_rollup",
@@ -37,15 +38,36 @@ __all__ = [
     "run_to_memory",
 ]
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event timestamp to session-TZ ``TimestampType``.
+
+    The events parquet has shipped with three physical encodings across
+    environments: TIMESTAMP(NANOS) surfaced as long (legacy
+    ``nanosAsLong``), TIMESTAMP_NTZ (Spark 4.x reads non-UTC-adjusted
+    parquet timestamps natively), and plain TIMESTAMP. Watermarks and
+    ``date_format`` need TimestampType; sessions here always run with
+    ``spark.sql.session.timeZone=UTC`` so the NTZ→LTZ cast is
+    value-preserving and matches DuckDB's micro-truncated TIMESTAMP.
+    """
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):  # raw nanos → floor to micros
+        return df.withColumn(
+            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+        )
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
     """File-source stream over an events parquet directory.
 
     ``maxFilesPerTrigger`` bounds per-micro-batch work; schema is taken
-    from the existing files so the batch and stream plans agree. Nanos
-    timestamps (which Spark's parquet reader rejects) are read as long
-    and floored to micros, same as the batch reader.
+    from the existing files so the batch and stream plans agree. The
+    event timestamp is normalized to TimestampType (see
+    ``normalize_event_ts``) so watermarks resolve.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -57,12 +79,7 @@ def read_events_stream(
         # glob down to the single file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    stream = reader.parquet(path)
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    return stream
+    return normalize_event_ts(reader.parquet(path))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -81,9 +81,7 @@ def events_stream(spark):
 def _batch_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return streaming.normalize_event_ts(ev)
 
 
 def test_streaming_hourly_rollup_matches_batch(spark, events_stream):
