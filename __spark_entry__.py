@@ -422,6 +422,120 @@ def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec round-trips hash-verified end to end: WKT (ST_AsText →
+    ST_GeomFromWKT), WKB (ST_AsBinary → ST_GeomFromWKB), GeoJSON
+    (ST_AsGeoJson → ST_GeomFromGeoJson) and ST_Translate, each finished
+    with st_x/st_y (FloatType per the reference, ST_X.scala) so the
+    oracle is the original coordinate float32-cast. Writers emit
+    shortest-roundtrip reprs, so every decode restores the exact double
+    and the float32 cast is bit-identical on both engines."""
+    pts = _customer_pts(spark, sf_dir).filter(F.col("c_custkey") <= 500)
+    wkt_rt = _call("st_geomfromwkt", _call("st_astext", F.col("geom")))
+    wkb_rt = _call("st_geomfromwkb", _call("st_asbinary", F.col("geom")))
+    gj_rt = _call("st_geomfromgeojson", _call("st_asgeojson", F.col("geom")))
+    tr = _call("st_translate", F.col("geom"), F.lit(7.25), F.lit(-3.5))
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", wkt_rt).cast("double"), 3).alias("wkt_x"),
+        F.round(_call("st_y", wkb_rt).cast("double"), 3).alias("wkb_y"),
+        F.round(_call("st_x", gj_rt).cast("double"), 3).alias("gj_x"),
+        F.round(_call("st_y", tr).cast("double"), 3).alias("tr_y"),
+    )
+
+
+def _pred_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic axis-aligned box pairs for the set-op / predicate
+    queries. All fractions are exact binary (7/8, 3/4, …) so the SQL
+    oracle's comparisons and products are bit-identical to the kernel's
+    double arithmetic."""
+    pts = _customer_pts(spark, sf_dir).filter(F.col("c_custkey") <= 1000)
+    k = F.col("c_custkey")
+    return (
+        pts.withColumn("ax0", ((k * 31) % F.lit(300)).cast("double") * 0.125)
+        .withColumn("ay0", ((k * 17) % F.lit(200)).cast("double") * 0.125)
+        .withColumn("w", F.lit(1.75) + (k % 5).cast("double") * 0.875)
+        .withColumn("h", F.lit(1.5) + (k % 4).cast("double") * 0.75)
+        .withColumn("dx", ((k % 9) - F.lit(4)).cast("double") * 0.875)
+        .withColumn("dy", ((k % 7) - F.lit(3)).cast("double") * 0.75)
+    )
+
+
+_PRED_BOXES_SQL = """
+  SELECT c_custkey,
+         ((c_custkey * 31) % 300) * 0.125 AS ax0,
+         ((c_custkey * 17) % 200) * 0.125 AS ay0,
+         1.75 + (c_custkey % 5) * 0.875 AS w,
+         1.5 + (c_custkey % 4) * 0.75 AS h,
+         ((c_custkey % 9) - 4) * 0.875 AS dx,
+         ((c_custkey % 7) - 3) * 0.75 AS dy
+  FROM customer WHERE c_custkey <= 1000
+"""
+
+
+def q_spatial_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection / ST_Difference on axis-aligned box pairs
+    (reference semantics: ST_Difference.scala, ST_Intersection.scala —
+    JTS overlay; here the own Sutherland–Hodgman clip kernel,
+    geom/clip.py), verified via ST_Area against the closed-form
+    rectangle-overlap arithmetic in SQL. Offsets are shifted by
+    0.4375/0.375 so box edges NEVER exactly coincide — coincident-edge
+    overlay is epsilon-perturbed by the kernel (≈1e-8) and belongs to
+    the boolean predicate query where results are exact."""
+    b = _pred_boxes(spark, sf_dir)
+    dx = F.col("dx") + 0.4375
+    dy = F.col("dy") + 0.375
+    boxa = _call("st_makebbox", F.col("ax0"), F.col("ay0"),
+                 F.col("ax0") + F.col("w"), F.col("ay0") + F.col("h"))
+    boxb = _call("st_makebbox", F.col("ax0") + dx, F.col("ay0") + dy,
+                 F.col("ax0") + dx + F.col("w"), F.col("ay0") + dy + F.col("h"))
+    inter = _call("st_intersection", boxa, boxb)
+    diff = _call("st_difference", boxa, boxb)
+    # every coordinate sits on an exact binary 2^-6 grid, so the clip
+    # kernel's shoelace areas are exact multiples of 2^-7; scale by 128
+    # to integers — immune to HALF_UP-vs-HALF_EVEN tie divergence
+    return b.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_area", inter) * 128.0).cast("long").alias("inter_s128"),
+        F.round(_call("st_area", diff) * 128.0).cast("long").alias("diff_s128"),
+    )
+
+
+def q_spatial_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean predicate matrix on box pairs: st_intersects, st_overlaps,
+    st_touches, st_equals, st_relateBool('T********') and st_crosses
+    (horizontal probe line vs box). The offset grid deliberately
+    includes exact edge/corner contact and exact equality (dx=dy=0) so
+    the DE-9IM-derived booleans — not just the easy disjoint/overlap
+    cases — are hash-verified against closed-form interval logic in
+    SQL. Reference semantics: ST_Overlaps/Touches/Equals/Crosses/
+    RelateBool in spatial/src/.../spatial/index."""
+    b = _pred_boxes(spark, sf_dir)
+    x0, y0, w, h = F.col("ax0"), F.col("ay0"), F.col("w"), F.col("h")
+    dx, dy = F.col("dx"), F.col("dy")
+    boxa = _call("st_makebbox", x0, y0, x0 + w, y0 + h)
+    boxb = _call("st_makebbox", x0 + dx, y0 + dy, x0 + dx + w, y0 + dy + h)
+    # horizontal probe line through (or past) box A; 0.03125 + k*0.6875
+    # never equals 0 or any h value, so the line never sits on a boundary
+    ym = y0 + ((F.col("c_custkey") % 11) - F.lit(3)).cast("double") * 0.6875 + 0.03125
+    line = _call(
+        "st_makeline",
+        F.array(
+            _call("st_makepoint", x0 - 1.0, ym),
+            _call("st_makepoint", x0 + w + 1.0, ym),
+        ),
+    )
+    return b.select(
+        F.col("c_custkey").alias("c_custkey"),
+        _call("st_intersects", boxa, boxb).cast("int").alias("inter_i"),
+        _call("st_overlaps", boxa, boxb).cast("int").alias("overlap_i"),
+        _call("st_touches", boxa, boxb).cast("int").alias("touch_i"),
+        _call("st_equals", boxa, boxb).cast("int").alias("equal_i"),
+        _call("st_relatebool", boxa, boxb, F.lit("T********")).cast("int").alias("relbool_i"),
+        _call("st_crosses", line, boxa).cast("int").alias("cross_i"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — relational controls (engine-level operators, SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -1447,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_reproject_utm": q_spatial_reproject_utm,
+        "spatial_codecs": q_spatial_codecs,
+        "spatial_setops": q_spatial_setops,
+        "spatial_predicates": q_spatial_predicates,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2058,6 +2175,43 @@ def oracle_sql() -> dict[str, str]:
         "spatial_z2": _Z2_ORACLE,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
         "spatial_reproject_utm": _utm_oracle(zone=33),
+        "spatial_codecs": f"""
+            SELECT c_custkey,
+                   round(CAST(CAST({_C_X} AS FLOAT) AS DOUBLE), 3) AS wkt_x,
+                   round(CAST(CAST({_C_Y} AS FLOAT) AS DOUBLE), 3) AS wkb_y,
+                   round(CAST(CAST({_C_X} AS FLOAT) AS DOUBLE), 3) AS gj_x,
+                   round(CAST(CAST(({_C_Y} - 3.5) AS FLOAT) AS DOUBLE), 3) AS tr_y
+            FROM customer WHERE c_custkey <= 500
+        """,
+        "spatial_setops": f"""
+            WITH b AS ({_PRED_BOXES_SQL}),
+            s AS (
+              SELECT c_custkey, w, h,
+                     GREATEST(0.0, w - abs(dx + 0.4375)) AS iw,
+                     GREATEST(0.0, h - abs(dy + 0.375)) AS ih
+              FROM b
+            )
+            SELECT c_custkey,
+                   CAST(round(iw * ih * 128.0) AS BIGINT) AS inter_s128,
+                   CAST(round((w * h - iw * ih) * 128.0) AS BIGINT) AS diff_s128
+            FROM s
+        """,
+        "spatial_predicates": f"""
+            WITH b AS ({_PRED_BOXES_SQL}),
+            p AS (
+              SELECT c_custkey, w, h, dx, dy, abs(dx) AS adx, abs(dy) AS ady,
+                     ((c_custkey % 11) - 3) * 0.6875 + 0.03125 AS ym
+              FROM b
+            )
+            SELECT c_custkey,
+                   CAST(adx <= w AND ady <= h AS INT) AS inter_i,
+                   CAST(adx < w AND ady < h AND NOT (dx = 0 AND dy = 0) AS INT) AS overlap_i,
+                   CAST(adx <= w AND ady <= h AND (adx = w OR ady = h) AS INT) AS touch_i,
+                   CAST(dx = 0 AND dy = 0 AS INT) AS equal_i,
+                   CAST(adx < w AND ady < h AS INT) AS relbool_i,
+                   CAST(ym > 0 AND ym < h AS INT) AS cross_i
+            FROM p
+        """,
         "spatial_sql_pushdown": f"""
             SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
             FROM customer
