@@ -536,6 +536,57 @@ def q_spatial_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_simplify_idl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_simplify (Douglas–Peucker, reference ST_Simplify.scala:24-25)
+    and st_antimeridianSafeGeom (ST_AntimeridianSafeGeom.scala:23),
+    hash-verified via closed-form oracles:
+
+    - a 5-point zigzag with amplitude amp ∈ {0, .125, 1.0, 1.5} (exact
+      binary, chosen so the recursive DP outcome is unambiguous: far
+      below tolerance → the 2-point chord; far above → all 5 points
+      survive every recursion level, tie-break-independent); simplified
+      length is 4 (chord) or 4·√(1+amp²) (zigzag), IEEE-identical on
+      both engines. Mid-range amplitudes are deliberately excluded —
+      real DP can thin a zigzag to 3 points there, which is
+      tie-break-dependent.
+    - a 3°-wide box at integer longitude x0 ∈ [172, 179] splits at the
+      antimeridian into 2 parts iff x0 > 177 (xmax == 180 exactly at
+      x0 = 177 stays unsplit on both sides), with total area preserved.
+      x0 ≥ 180 (box fully beyond) is excluded: it yields one shifted
+      part, not two.
+    """
+    pts = _customer_pts(spark, sf_dir).filter(F.col("c_custkey") <= 1000)
+    k = F.col("c_custkey")
+    m = k % 4
+    amp = (
+        F.when(m == 2, F.lit(1.0))
+        .when(m == 3, F.lit(1.5))
+        .otherwise(m.cast("double") * 0.125)
+    )
+    zig = _call(
+        "st_makeline",
+        F.array(
+            _call("st_makepoint", F.lit(0.0), F.lit(0.0)),
+            _call("st_makepoint", F.lit(1.0), amp),
+            _call("st_makepoint", F.lit(2.0), F.lit(0.0)),
+            _call("st_makepoint", F.lit(3.0), amp),
+            _call("st_makepoint", F.lit(4.0), F.lit(0.0)),
+        ),
+    )
+    simp = _call("st_simplify", zig, F.lit(0.25))
+    x0 = (k % 8 + F.lit(172)).cast("double")
+    y0 = (k % 50).cast("double")
+    idl_box = _call("st_makebbox", x0, y0, x0 + 3.0, y0 + 2.0)
+    safe = _call("st_antimeridiansafegeom", idl_box)
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        _call("st_numpoints", simp).alias("n_simpl"),
+        F.round(_call("st_length", simp), 6).alias("len_simpl"),
+        _call("st_numgeometries", safe).alias("n_parts"),
+        F.round(_call("st_area", safe), 4).alias("safe_area"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — relational controls (engine-level operators, SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -1564,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_codecs": q_spatial_codecs,
         "spatial_setops": q_spatial_setops,
         "spatial_predicates": q_spatial_predicates,
+        "spatial_simplify_idl": q_spatial_simplify_idl,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2210,6 +2262,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dx = 0 AND dy = 0 AS INT) AS equal_i,
                    CAST(adx < w AND ady < h AS INT) AS relbool_i,
                    CAST(ym > 0 AND ym < h AS INT) AS cross_i
+            FROM p
+        """,
+        "spatial_simplify_idl": """
+            WITH p AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 4 = 2 THEN 1.0
+                          WHEN c_custkey % 4 = 3 THEN 1.5
+                          ELSE (c_custkey % 4) * 0.125 END AS amp,
+                     CAST((c_custkey % 8) + 172 AS DOUBLE) AS x0
+              FROM customer WHERE c_custkey <= 1000
+            )
+            SELECT c_custkey,
+                   CASE WHEN amp < 0.25 THEN 2 ELSE 5 END AS n_simpl,
+                   CASE WHEN amp < 0.25 THEN 4.0
+                        ELSE round(4.0 * sqrt(1.0 + amp * amp), 6) END AS len_simpl,
+                   CASE WHEN x0 > 177.0 THEN 2 ELSE 1 END AS n_parts,
+                   round(6.0, 4) AS safe_area
             FROM p
         """,
         "spatial_sql_pushdown": f"""
