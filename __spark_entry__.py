@@ -533,6 +533,11 @@ def q_spatial_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _call("st_equals", boxa, boxb).cast("int").alias("equal_i"),
         _call("st_relatebool", boxa, boxb, F.lit("T********")).cast("int").alias("relbool_i"),
         _call("st_crosses", line, boxa).cast("int").alias("cross_i"),
+        # full DE-9IM matrix string — for same-size axis-aligned boxes
+        # there are exactly 6 outcomes, all decidable from interval logic
+        # (note the collinear-boundary overlap case 212111212 when dx=0
+        # or dy=0: boundary∩boundary is 1-dimensional, not points)
+        _call("st_relate", boxa, boxb).alias("relate_s"),
     )
 
 
@@ -1355,6 +1360,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicated
+    word-bigram fraction + most-frequent-bigram fraction (the standard
+    boilerplate/template-spam quality gate). Fully native: explode
+    bigrams → count per (doc, gram) → per-doc ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, "doc_id", "text", n=2)
+
+
 def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1654,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
         "text_quality_lang": q_text_quality_lang,
         "text_winnowing": q_text_winnowing,
         "pipeline_split": q_pipeline_split,
@@ -2261,7 +2276,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(adx <= w AND ady <= h AND (adx = w OR ady = h) AS INT) AS touch_i,
                    CAST(dx = 0 AND dy = 0 AS INT) AS equal_i,
                    CAST(adx < w AND ady < h AS INT) AS relbool_i,
-                   CAST(ym > 0 AND ym < h AS INT) AS cross_i
+                   CAST(ym > 0 AND ym < h AS INT) AS cross_i,
+                   CASE WHEN adx > w OR ady > h THEN 'FF2FF1212'
+                        WHEN dx = 0 AND dy = 0 THEN '2FFF1FFF2'
+                        WHEN adx = w AND ady = h THEN 'FF2F01212'
+                        WHEN adx = w OR ady = h THEN 'FF2F11212'
+                        WHEN dx = 0 OR dy = 0 THEN '212111212'
+                        ELSE '212101212' END AS relate_s
             FROM p
         """,
         "spatial_simplify_idl": """
@@ -2757,6 +2778,28 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS punct_ratio,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM t
+        """,
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+              WHERE len(toks) >= 2
+            ), c AS (
+              SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+            ), a AS (
+              SELECT doc_id, sum(cnt) AS total, count(*) AS nd, max(cnt) AS mx
+              FROM c GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(CAST(a.total AS BIGINT), 0) AS n_grams,
+                   COALESCE(round(1.0 - nd / CAST(total AS DOUBLE), 6), 0.0) AS dup_frac,
+                   COALESCE(round(mx / CAST(total AS DOUBLE), 6), 0.0) AS top_frac
+            FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
         """,
         "text_quality_lang": _QUALITY_SQL,
         # portable unit hash: first 8 md5 hex chars of 'salt:seed:id' / 2^32

@@ -19,6 +19,7 @@ __all__ = [
     "punct_ratio",
     "lang_id",
     "fingerprint",
+    "repetition_signals",
     "winnowing_fingerprints",
     "LANG_MARKERS",
     "STOPWORDS_EN",
@@ -196,6 +197,68 @@ def winnowing_fingerprints(
         F.col("__i") <= F.greatest(F.col("__n") - window + 1, F.lit(1))
     )
     return selected.select(F.col(id_col), F.col("__wm").alias("fp")).distinct()
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher/RefinedWeb
+    filter family): the fraction of duplicated word n-grams and the
+    fraction claimed by the single most frequent n-gram. High values
+    flag boilerplate, keyword stuffing, and template spam — a standard
+    pre-training quality gate alongside ``quality_score``.
+
+    Returns ``(id_col, n_grams, dup_frac, top_frac)`` — one row per
+    input document; documents with fewer than ``n`` tokens get
+    (0, 0.0, 0.0).
+
+    Scale shape: explode to one row per n-gram occurrence (rows =
+    tokens per doc, same footprint as the jaccard/winnowing machinery),
+    count per (doc, gram) with map-side partial aggregation, then one
+    per-doc agg carrying three longs. The shuffle key is the n-gram
+    STRING, not a hash, so the DuckDB oracle (which rebuilds the same
+    grams) matches bit-for-bit; at 100 TB you would group on
+    xxhash64(gram) to shrink shuffle bytes — the one-in-2^64 collision
+    risk only perturbs the two ratios, never membership.
+    """
+    toks = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("__t"),
+    )
+    # sequence(1, size-n+1) would run DESCENDING when size < n — guard first
+    grams = base.where(F.size("__t") >= n).select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__t", i, n)),
+            )
+        ).alias("__g"),
+    )
+    per_gram = grams.groupBy("__id", "__g").agg(F.count("*").alias("__c"))
+    per_doc = per_gram.groupBy("__id").agg(
+        F.sum("__c").alias("__total"),
+        F.count("*").alias("__distinct"),
+        F.max("__c").alias("__mx"),
+    )
+    out = df.select(F.col(id_col)).join(
+        per_doc, F.col(id_col) == F.col("__id"), "left"
+    )
+    total = F.col("__total").cast("double")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("__total"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(
+            F.round(F.lit(1.0) - F.col("__distinct") / total, 6), F.lit(0.0)
+        ).alias("dup_frac"),
+        F.coalesce(F.round(F.col("__mx") / total, 6), F.lit(0.0)).alias("top_frac"),
+    )
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

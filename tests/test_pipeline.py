@@ -429,3 +429,21 @@ def test_kmeans_separated(spark):
     assert {frozenset(v) for v in by_cluster.values()} == \
            {frozenset(range(10)), frozenset(range(10, 20))}
     assert all(r.d2 < 1.0 for r in a)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+            (2, "w x y z"),           # all distinct: 3 total, 3 distinct
+            (3, "solo"),              # < 2 tokens -> zeros
+            (4, ""),                  # empty -> zeros
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: (r.n_grams, r.dup_frac, r.top_frac)
+           for r in text.repetition_signals(df, "doc_id", "text").collect()}
+    assert out[1] == (5, round(1 - 2 / 5, 6), round(3 / 5, 6))
+    assert out[2] == (3, 0.0, round(1 / 3, 6))
+    assert out[3] == (0, 0.0, 0.0)
+    assert out[4] == (0, 0.0, 0.0)
