@@ -592,6 +592,60 @@ def q_spatial_simplify_idl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructor/accessor chain coverage with closed-form oracles:
+    st_makeLine → st_pointN, st_makePolygon (auto-close) → st_numPoints /
+    st_dimension / st_boundary, st_envelope → st_centroid (box center),
+    st_makeBox2D midpoint, MULTIPOINT WKT → st_numGeometries /
+    st_geometryN, and st_bufferPoint (geodesic) → st_exteriorRing ring
+    size + vertex-radius recovery via st_distanceSphere (the kernel
+    places ring vertices at geodesic distance r to ~1e-14 relative, so
+    dist/r rounds to exactly 1). st_x/st_y are float32 per the
+    reference (ST_X.scala:25), so coordinate oracles are float-casts."""
+    pts = _customer_pts(spark, sf_dir).filter(F.col("c_custkey") <= 500)
+    k, cx, cy = F.col("c_custkey"), F.col("cx"), F.col("cy")
+    p1 = _call("st_makepoint", cx, cy)
+    p2 = _call("st_makepoint", cx + 1.0, cy + 1.0)
+    p3 = _call("st_makepoint", cx + 2.0, cy)
+    line = _call("st_makeline", F.array(p1, p2, p3))
+    ring = _call(
+        "st_makeline",
+        F.array(
+            p1,
+            _call("st_makepoint", cx + 2.0, cy),
+            _call("st_makepoint", cx + 2.0, cy + 2.0),
+            _call("st_makepoint", cx, cy + 2.0),
+        ),
+    )
+    poly = _call("st_makepolygon", ring)
+    env_c = _call("st_centroid", _call("st_envelope", line))
+    box2d = _call("st_makebox2d", p1, p2)
+    mp_wkt = F.concat(
+        F.lit("MULTIPOINT (("), cx.cast("string"), F.lit(" "), cy.cast("string"),
+        F.lit("), ("), (cx + 2.0).cast("string"), F.lit(" "), cy.cast("string"),
+        F.lit("))"),
+    )
+    mp = _call("st_geomfromwkt", mp_wkt)
+    r = (F.lit(1.0) + (k % 5).cast("double")) * 1000.0
+    buf_ring = _call("st_exteriorring", _call("st_bufferpoint", p1, r))
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        _call("st_numpoints", line).alias("n_line"),
+        F.round(_call("st_x", _call("st_pointn", line, F.lit(2))).cast("double"), 3).alias("mid_x"),
+        _call("st_numpoints", poly).alias("np_poly"),
+        _call("st_dimension", poly).alias("dim_poly"),
+        _call("st_numpoints", _call("st_boundary", poly)).alias("nb"),
+        F.round(_call("st_y", env_c).cast("double"), 3).alias("ce_y"),
+        F.round(_call("st_x", _call("st_centroid", box2d)).cast("double"), 3).alias("b2_x"),
+        _call("st_numgeometries", mp).alias("n_geoms"),
+        F.round(_call("st_x", _call("st_geometryn", mp, F.lit(2))).cast("double"), 3).alias("g2_x"),
+        _call("st_numpoints", buf_ring).alias("nbuf"),
+        F.round(
+            _call("st_distancesphere", p1, _call("st_pointn", buf_ring, F.lit(3))) / r, 6
+        ).alias("rel_r"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — relational controls (engine-level operators, SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -1630,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_setops": q_spatial_setops,
         "spatial_predicates": q_spatial_predicates,
         "spatial_simplify_idl": q_spatial_simplify_idl,
+        "spatial_constructors": q_spatial_constructors,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2301,6 +2356,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN x0 > 177.0 THEN 2 ELSE 1 END AS n_parts,
                    round(6.0, 4) AS safe_area
             FROM p
+        """,
+        "spatial_constructors": f"""
+            SELECT c_custkey,
+                   3 AS n_line,
+                   round(CAST(CAST(({_C_X} + 1.0) AS FLOAT) AS DOUBLE), 3) AS mid_x,
+                   5 AS np_poly,
+                   2 AS dim_poly,
+                   5 AS nb,
+                   round(CAST(CAST(({_C_Y} + 0.5) AS FLOAT) AS DOUBLE), 3) AS ce_y,
+                   round(CAST(CAST(({_C_X} + 0.5) AS FLOAT) AS DOUBLE), 3) AS b2_x,
+                   2 AS n_geoms,
+                   round(CAST(CAST(({_C_X} + 2.0) AS FLOAT) AS DOUBLE), 3) AS g2_x,
+                   65 AS nbuf,
+                   1.0 AS rel_r
+            FROM customer WHERE c_custkey <= 500
         """,
         "spatial_sql_pushdown": f"""
             SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
