@@ -1355,6 +1355,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup join: documents split into two corpora by
+    source parity (even src numbers = the 'existing corpus', odd = the
+    'new crawl'); banded minhash LSH A×B join, verified on signature
+    agreement — the dedup-a-new-crawl-against-what-you-have operation."""
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    a = docs.filter(srcnum % 2 == 0)
+    b = docs.filter(srcnum % 2 == 1)
+    return dedup.cross_corpus_pairs(
+        a, b, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: kmeans-cluster the embeddings,
+    cosine near-dup pairs within clusters only, greedy lowest-id
+    keeper. Iterative clustering + blocked pairs + keeper, all under
+    the hash gate (the oracle replays every Lloyd round, the pair
+    threshold, and the keeper anti-join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, threshold=0.9)
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1717,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "cross_dedup": q_cross_dedup,
+        "semantic_dedup": q_semantic_dedup,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1897,6 +1923,59 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bandk a JOIN bandk b
             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b, round(({matches}) / {num_perm}.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+        WHERE round(({matches}) / {num_perm}.0, 6) >= {threshold}
+    """
+
+
+def _cross_minhash_oracle(num_perm: int, bands: int, threshold: float,
+                          seed: int, pred_a: str, pred_b: str) -> str:
+    """dedup.cross_corpus_pairs replay: same signature/band CTEs as
+    _minhash_oracle (a doc's signature depends only on its own grams, so
+    signing per-corpus equals signing the union), but candidates come
+    from the A×B band join (no a<b self-join filter — corpus membership
+    is the asymmetry)."""
+    from geomesa_hive_spark.pipeline.dedup import MINHASH_P, _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    rows = num_perm // bands
+    mins = ",\n                 ".join(
+        f"min(({int(a[i])} * g + {int(b[i])}) % {MINHASH_P}) AS s{i}"
+        for i in range(num_perm)
+    )
+    band_sel = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {i} AS band, md5(concat_ws(',', "
+        + ", ".join(f"s{i * rows + j}" for j in range(rows))
+        + ")) AS bh FROM sig"
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+        WITH {_GRAM_CTES}, gh AS (
+          SELECT doc_id, md5(gram) AS m FROM gr
+        ), gi AS (
+          SELECT doc_id, {_hex2int_sql('m', 8)} AS g FROM gh
+        ), sig AS (
+          SELECT doc_id, {mins}
+          FROM gi GROUP BY doc_id
+        ), bandk AS (
+          {band_sel}
+        ), da AS (
+          SELECT doc_id FROM documents WHERE {pred_a}
+        ), db AS (
+          SELECT doc_id FROM documents WHERE {pred_b}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandk a
+          JOIN bandk b ON a.band = b.band AND a.bh = b.bh
+          JOIN da ON da.doc_id = a.doc_id
+          JOIN db ON db.doc_id = b.doc_id
         )
         SELECT c.id_a, c.id_b, round(({matches}) / {num_perm}.0, 6) AS est_jaccard
         FROM cand c
@@ -2142,13 +2221,13 @@ def _knn_join_lsh_oracle(k: int = 5, bits: int = 8, dim: int = 64,
     """
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
-    """Chained assign/update CTEs replaying similarity.kmeans exactly:
-    pivot init (k smallest ids), per-round nearest-centroid assignment
-    (row_number ordered by d2 then cid = Spark's first-min
-    array_position), decimal-mean centroid update with COALESCE to the
-    previous round's centroid for emptied clusters, and a final
-    assignment against the last centroids."""
+def _kmeans_parts(k: int, iters: int) -> list[str]:
+    """Shared CTE chain replaying similarity.kmeans exactly: pivot init
+    (k smallest ids), per-round nearest-centroid assignment (row_number
+    ordered by d2 then cid = Spark's first-min array_position),
+    decimal-mean centroid update with COALESCE to the previous round's
+    centroid for emptied clusters. Used by both the kmeans and the
+    semantic_dedup oracles."""
     d2 = lambda a, b: _D2_SQL.format(a=a, b=b)
     parts = [
         f"""e AS (
@@ -2180,6 +2259,15 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
           FROM c{it - 1} p LEFT JOIN u{it} u ON p.cid = u.cid
         )"""
         )
+    return parts
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Final kmeans rollup over the shared replay CTEs: a last
+    assignment against the round-``iters`` centroids, then per-cluster
+    size + decimal-summed inertia."""
+    d2 = lambda a, b: _D2_SQL.format(a=a, b=b)
+    parts = _kmeans_parts(k, iters)
     return f"""
         WITH {', '.join(parts)}
         SELECT cluster_id, count(*) AS n,
@@ -2191,6 +2279,42 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
                                       ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
             FROM e, c{iters} c) WHERE rn = 1)
         GROUP BY cluster_id
+    """
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.9) -> str:
+    """dedup.semantic_dedup replay: the kmeans CTE chain for the final
+    assignment, cosine pairs within each cluster (same epsilon-guarded
+    threshold convention as the dedup_embedding oracle), then the
+    greedy keeper: a row is dropped iff it is the larger member of some
+    ≥-threshold pair."""
+    d2 = lambda a, b: _D2_SQL.format(a=a, b=b)
+    parts = _kmeans_parts(k, iters)
+    parts.append(
+        f"""fa AS (
+          SELECT vec_id, cid AS cluster_id FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e, c{iters} c) WHERE rn = 1
+        ), pe AS (
+          SELECT f.vec_id, f.cluster_id, e.v,
+                 sqrt(list_dot_product(e.v, e.v)) AS nrm
+          FROM fa f JOIN e USING (vec_id)
+        ), dr AS (
+          SELECT DISTINCT b.vec_id AS id_b
+          FROM pe a JOIN pe b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+                      THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                      ELSE 0.0 END) >= {threshold} - 5e-7
+        )"""
+    )
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT f.vec_id, f.cluster_id,
+               CAST(dr.id_b IS NULL AS INT) AS kept
+        FROM fa f LEFT JOIN dr ON f.vec_id = dr.id_b
     """
 
 
@@ -2785,6 +2909,12 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "dedup_minhash_lsh": _minhash_oracle(num_perm=64, bands=16, threshold=0.5),
+        "cross_dedup": _cross_minhash_oracle(
+            num_perm=64, bands=16, threshold=0.5, seed=42,
+            pred_a="CAST(substr(source, 4) AS INT) % 2 = 0",
+            pred_b="CAST(substr(source, 4) AS INT) % 2 = 1",
+        ),
+        "semantic_dedup": _semantic_dedup_oracle(k=8, iters=2, threshold=0.9),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -38,6 +38,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "cross_corpus_pairs",
+    "semantic_dedup",
     "simhash_signatures",
     "simhash_pairs",
     "embedding_near_dup_pairs",
@@ -332,6 +334,78 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_keys(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bh): md5 band hashes of signature row-slices — the
+    LSH bucket keys both the self-join and the cross-corpus join
+    shuffle on. Portable (md5 of comma-joined longs) so DuckDB rebuilds
+    identical buckets."""
+    rows = num_perm // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+
+
+def cross_corpus_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora — the dedup-new-crawl-against-
+    existing-corpus (or train-against-held-out) operation. Same banded
+    minhash LSH as ``minhash_lsh_pairs`` but the band equi-join is A×B
+    instead of a self-join, so neither corpus is paired with itself and
+    the shuffle still carries only (band, band-hash, id) rows — never
+    documents, never all pairs.
+
+    A document's signature depends only on its own grams, so per-corpus
+    signature computation is exactly equivalent to signing the union.
+    Returns (id_a ∈ A, id_b ∈ B, est_jaccard ≥ threshold).
+    """
+    sig_a = minhash_signatures(df_a, id_col, text_col, num_perm, ngram_n, seed).cache()
+    sig_b = minhash_signatures(df_b, id_col, text_col, num_perm, ngram_n, seed).cache()
+    cand = (
+        _minhash_band_keys(sig_a, num_perm, bands).alias("a")
+        .join(_minhash_band_keys(sig_b, num_perm, bands).alias("b"), ["band", "bh"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig_a.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.lit(num_perm)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -352,24 +426,7 @@ def minhash_lsh_pairs(
     identical buckets."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram_n, seed).cache()
-    band_keys = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
-                            )
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bh")
+    band_keys = _minhash_band_keys(sigs, num_perm, bands)
     cand = (
         band_keys.alias("a")
         .join(band_keys.alias("b"), ["band", "bh"])
@@ -620,6 +677,50 @@ def keep_canonical(
     )
     losers = ranked.filter(F.col("__rk") > 1).select(F.col("__mid").alias("id"))
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    k-means cluster the embeddings (broadcast-Lloyd, no shuffle in the
+    assignment — ``similarity.kmeans``), generate cosine near-dup pairs
+    ONLY within clusters (blocked equi-join: Σ|cluster|² candidate
+    pairs instead of n², the entire point of clustering first), then
+    greedily keep the lowest id of every near-dup pair.
+
+    Returns (id, cluster_id, kept) for every input row. The keeper rule
+    is the per-pair greedy one standard in SemDeDup implementations — a
+    row is dropped iff it is the LARGER member of some ≥-threshold pair
+    — deliberately not the transitive-closure rule (``keep_canonical``
+    covers that); greedy needs one anti-join, no iteration, and is the
+    behavior large-scale semantic dedup actually ships.
+    """
+    from geomesa_hive_spark.pipeline.similarity import kmeans
+
+    assigned = kmeans(df, id_col, vec_col, k=k, iters=iters).select(
+        F.col("id").alias("__kid"), "cluster_id"
+    )
+    with_c = df.select(F.col(id_col), F.col(vec_col)).join(
+        assigned, F.col(id_col) == F.col("__kid")
+    )
+    pairs = embedding_near_dup_pairs(
+        with_c, id_col, vec_col, threshold=threshold, block_col="cluster_id"
+    )
+    dropped = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return (
+        with_c.join(dropped, F.col(id_col) == F.col("__drop"), "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("__drop").isNull().cast("int").alias("kept"),
+        )
+    )
 
 
 def ngram_contamination(

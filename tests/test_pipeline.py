@@ -447,3 +447,27 @@ def test_repetition_signals(spark):
     assert out[2] == (3, 0.0, round(1 / 3, 6))
     assert out[3] == (0, 0.0, 0.0)
     assert out[4] == (0, 0.0, 0.0)
+
+
+def test_cross_corpus_pairs(spark):
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely unrelated text about spark partitions and shuffles here")],
+        "doc_id LONG, text STRING")
+    b = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "another different document entirely with its own words inside")],
+        "doc_id LONG, text STRING")
+    pairs = dedup.cross_corpus_pairs(a, b, "doc_id", "text", threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.est_jaccard) for r in pairs] == [(1, 10, 1.0)]
+
+
+def test_semantic_dedup(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),   # exact dup pair
+            (3, [0.0, 1.0, 0.0]),                          # unique
+            (4, [-1.0, 0.0, 0.0])]                         # opposite, not near
+    df = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    out = {r.vec_id: r.kept for r in
+           dedup.semantic_dedup(df, "vec_id", "v", k=2, iters=2, threshold=0.95).collect()}
+    assert out[1] == 1 and out[2] == 0      # larger member of the dup pair dropped
+    assert out[3] == 1 and out[4] == 1
