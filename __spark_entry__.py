@@ -441,6 +441,10 @@ def q_spatial_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_call("st_y", wkb_rt).cast("double"), 3).alias("wkb_y"),
         F.round(_call("st_x", gj_rt).cast("double"), 3).alias("gj_x"),
         F.round(_call("st_y", tr).cast("double"), 3).alias("tr_y"),
+        # DMS text: both engines format the SAME doubles (d/m/s derived
+        # with the same op order) through correctly-rounded %.3f, and the
+        # seconds values carry no representable ties
+        _call("st_aslatlontext", F.col("geom")).alias("latlon"),
     )
 
 
@@ -2422,12 +2426,29 @@ def oracle_sql() -> dict[str, str]:
         "spatial_geohash": _geohash_oracle(precision_bits=25),
         "spatial_reproject_utm": _utm_oracle(zone=33),
         "spatial_codecs": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS x, {_C_Y} AS y
+              FROM customer WHERE c_custkey <= 500
+            ), dms AS (
+              SELECT c_custkey, x, y,
+                     abs(y) AS ay, abs(x) AS ax,
+                     CAST(floor(abs(y)) AS BIGINT) AS dy,
+                     CAST(floor(abs(x)) AS BIGINT) AS dx,
+                     CAST(floor((abs(y) - floor(abs(y))) * 60) AS BIGINT) AS my,
+                     CAST(floor((abs(x) - floor(abs(x))) * 60) AS BIGINT) AS mx
+              FROM base
+            )
             SELECT c_custkey,
-                   round(CAST(CAST({_C_X} AS FLOAT) AS DOUBLE), 3) AS wkt_x,
-                   round(CAST(CAST({_C_Y} AS FLOAT) AS DOUBLE), 3) AS wkb_y,
-                   round(CAST(CAST({_C_X} AS FLOAT) AS DOUBLE), 3) AS gj_x,
-                   round(CAST(CAST(({_C_Y} - 3.5) AS FLOAT) AS DOUBLE), 3) AS tr_y
-            FROM customer WHERE c_custkey <= 500
+                   round(CAST(CAST(x AS FLOAT) AS DOUBLE), 3) AS wkt_x,
+                   round(CAST(CAST(y AS FLOAT) AS DOUBLE), 3) AS wkb_y,
+                   round(CAST(CAST(x AS FLOAT) AS DOUBLE), 3) AS gj_x,
+                   round(CAST(CAST((y - 3.5) AS FLOAT) AS DOUBLE), 3) AS tr_y,
+                   printf('%d°%d''%.3f"%s %d°%d''%.3f"%s',
+                          dy, my, ((ay - dy) - my / 60.0) * 3600,
+                          CASE WHEN y >= 0 THEN 'N' ELSE 'S' END,
+                          dx, mx, ((ax - dx) - mx / 60.0) * 3600,
+                          CASE WHEN x >= 0 THEN 'E' ELSE 'W' END) AS latlon
+            FROM dms
         """,
         "spatial_setops": f"""
             WITH b AS ({_PRED_BOXES_SQL}),
