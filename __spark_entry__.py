@@ -1648,6 +1648,19 @@ def _be_bytes(col, hex_width: int):
     return F.unhex(F.lpad(F.hex(col), hex_width, "0"))
 
 
+def _le_bytes(col, nbytes: int):
+    """Little-endian byte encoding of an int column — native, no UDF."""
+    c = col.cast("long") if not isinstance(col, int) else F.lit(col).cast("long")
+    return F.concat(
+        *[
+            F.unhex(
+                F.lpad(F.hex(F.shiftright(c, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+            )
+            for i in range(nbytes)
+        ]
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-header decode: the query constructs genuine PNG and
     JPEG byte streams natively (header dims derived from doc_id, text
@@ -1685,6 +1698,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").alias("width"),
         F.col("height").alias("height"),
         F.size("features").alias("feat_dim"),
+    )
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-header decode: the query assembles genuine RIFF/WAVE
+    byte streams natively (PCM fmt chunk with per-doc sample rate and
+    channel count, text bytes as the data payload), parse_wav_header
+    walks the chunk list and extracts rate/channels/frames by actual
+    little-endian byte parsing, and the oracle recomputes everything
+    analytically — any chunk-layout or endianness bug breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 8000).cast("long")
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    block = ch * 2  # 16-bit PCM
+    payload = F.encode(F.col("text"), "UTF-8")
+    dsize = F.length(payload).cast("long")
+    wav = F.concat(
+        F.lit(b"RIFF"), _le_bytes(dsize + 36, 4), F.lit(b"WAVEfmt "),
+        _le_bytes(16, 4), _le_bytes(1, 2), _le_bytes(ch, 2),
+        _le_bytes(rate, 4), _le_bytes(rate * block, 4),
+        _le_bytes(block, 2), _le_bytes(16, 2),
+        F.lit(b"data"), _le_bytes(dsize, 4), payload,
+    )
+    dec = multimodal.decode_audio_batch(
+        docs.select("doc_id", wav.alias("media")), "media"
+    )
+    return dec.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
     )
 
 
@@ -1766,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -3234,5 +3280,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 600 + 16 AS INTEGER) AS height,
                    16 AS feat_dim
             FROM documents
+        """,
+        "multimodal_audio": """
+            WITH p AS (
+              SELECT doc_id,
+                     8000 + (doc_id % 5) * 8000 AS rate,
+                     1 + doc_id % 2 AS ch,
+                     octet_length(encode(text)) AS ds
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(rate AS INTEGER) AS sample_rate,
+                   CAST(ch AS INTEGER) AS channels,
+                   CAST(ds // (ch * 2) AS BIGINT) AS n_samples,
+                   CAST((ds // (ch * 2)) * 1000 // rate AS BIGINT) AS duration_ms
+            FROM p
         """,
     }

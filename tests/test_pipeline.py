@@ -471,3 +471,34 @@ def test_semantic_dedup(spark):
            dedup.semantic_dedup(df, "vec_id", "v", k=2, iters=2, threshold=0.95).collect()}
     assert out[1] == 1 and out[2] == 0      # larger member of the dup pair dropped
     assert out[3] == 1 and out[4] == 1
+
+
+def _wav_bytes(rate, ch, payload, extra_chunk=False):
+    import struct
+    block = ch * 2
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO" if extra_chunk else b""
+    body = b"WAVE" + fmt + lst + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_wav_header():
+    from geomesa_hive_spark.pipeline.multimodal import parse_wav_header
+    assert parse_wav_header(_wav_bytes(16000, 2, b"x" * 100)) == (16000, 2, 16, 25)
+    # fmt and data separated by a LIST chunk (word-aligned walk)
+    assert parse_wav_header(_wav_bytes(8000, 1, b"abc", extra_chunk=True)) == (8000, 1, 16, 1)
+    assert parse_wav_header(_wav_bytes(44100, 1, b"")) == (44100, 1, 16, 0)
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\n" + b"0" * 40) is None
+
+
+def test_decode_audio_batch(spark):
+    from geomesa_hive_spark.pipeline.multimodal import decode_audio_batch
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(16000, 2, b"y" * 64)), (2, b"not audio at all")],
+        "id LONG, media BINARY")
+    out = {r.id: (r.sample_rate, r.channels, r.bits, r.n_samples, r.duration_ms)
+           for r in decode_audio_batch(df, "media").collect()}
+    assert out[1] == (16000, 2, 16, 16, 1)
+    assert out[2] == (None, None, None, None, None)
