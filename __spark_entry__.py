@@ -1733,6 +1733,47 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode: the query assembles genuine ISO-BMFF
+    box trees natively (ftyp, moov→mvhd with per-doc timescale/duration,
+    moov→trak→tkhd with 16.16-fixed dimensions, mdat payload),
+    parse_mp4_header walks the big-endian box tree, and the oracle
+    recomputes everything analytically — any box-offset or fixed-point
+    bug breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = (F.lit(600) * (F.lit(1) + F.col("doc_id") % 4)).cast("long")
+    dur = (F.col("n_chars") * 100).cast("long")
+    w = (F.lit(160) + (F.col("doc_id") % 8) * 80).cast("long")
+    h = (F.lit(120) + (F.col("doc_id") % 6) * 60).cast("long")
+    payload = F.encode(F.col("text"), "UTF-8")
+
+    def _box(typ: bytes, *parts):
+        payload_len = F.lit(8) + sum(
+            (F.length(p) for p in parts), F.lit(0)
+        )
+        return F.concat(_be_bytes(payload_len, 8), F.lit(typ), *parts)
+
+    mvhd = _box(b"mvhd", F.lit(bytes(4)), F.lit(bytes(8)),
+                _be_bytes(ts, 8), _be_bytes(dur, 8), F.lit(bytes(80)))
+    tkhd = _box(b"tkhd", F.lit(bytes(4)), F.lit(bytes(80)),
+                _be_bytes(F.shiftleft(w, 16), 8), _be_bytes(F.shiftleft(h, 16), 8))
+    moov = _box(b"moov", mvhd, _box(b"trak", tkhd))
+    mp4 = F.concat(
+        _box(b"ftyp", F.lit(b"isom"), F.lit(bytes(4))), moov,
+        _box(b"mdat", payload),
+    )
+    dec = multimodal.decode_video_batch(
+        docs.select("doc_id", mp4.alias("media")), "media"
+    )
+    return dec.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("timescale").cast("int").alias("timescale"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1812,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
     }
 
 
@@ -3295,5 +3337,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ds // (ch * 2) AS BIGINT) AS n_samples,
                    CAST((ds // (ch * 2)) * 1000 // rate AS BIGINT) AS duration_ms
             FROM p
+        """,
+        "multimodal_video": """
+            SELECT doc_id,
+                   CAST(160 + (doc_id % 8) * 80 AS INTEGER) AS width,
+                   CAST(120 + (doc_id % 6) * 60 AS INTEGER) AS height,
+                   CAST(600 * (1 + doc_id % 4) AS INTEGER) AS timescale,
+                   CAST((n_chars * 100) * 1000 // (600 * (1 + doc_id % 4)) AS BIGINT)
+                     AS duration_ms
+            FROM documents
         """,
     }

@@ -502,3 +502,33 @@ def test_decode_audio_batch(spark):
            for r in decode_audio_batch(df, "media").collect()}
     assert out[1] == (16000, 2, 16, 16, 1)
     assert out[2] == (None, None, None, None, None)
+
+
+def _mp4_bytes(timescale, dur, w, h, payload=b""):
+    import struct
+    def box(typ, pl): return struct.pack(">I", 8 + len(pl)) + typ + pl
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", timescale, dur) + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(80) + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return box(b"ftyp", b"isom" + bytes(4)) + moov + box(b"mdat", payload)
+
+
+def test_parse_mp4_header():
+    from geomesa_hive_spark.pipeline.multimodal import parse_mp4_header
+    assert parse_mp4_header(_mp4_bytes(1000, 5500, 640, 360, b"x" * 50)) == \
+        (1000, 5500, 640, 360, 5500)
+    assert parse_mp4_header(_mp4_bytes(600, 1234, 1920, 1080)) == \
+        (600, 1234, 1920, 1080, 2056)
+    assert parse_mp4_header(b"RIFFxxxxWAVE" + bytes(40)) is None
+    assert parse_mp4_header(_wav_bytes(8000, 1, b"abc")) is None
+
+
+def test_decode_video_batch(spark):
+    from geomesa_hive_spark.pipeline.multimodal import decode_video_batch
+    df = spark.createDataFrame(
+        [(1, _mp4_bytes(1000, 2500, 320, 240)), (2, b"not a video")],
+        "id LONG, media BINARY")
+    out = {r.id: (r.width, r.height, r.timescale, r.duration_ms)
+           for r in decode_video_batch(df, "media").collect()}
+    assert out[1] == (320, 240, 1000, 2500)
+    assert out[2] == (None, None, None, None)
