@@ -1662,13 +1662,15 @@ def _le_bytes(col, nbytes: int):
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image-header decode: the query constructs genuine PNG and
-    JPEG byte streams natively (header dims derived from doc_id, text
-    bytes as payload), parse_image_header extracts mime/width/height by
-    actual byte parsing, and the oracle recomputes the expected dims
-    analytically — any header-layout or endianness bug in the parser
-    breaks the hash. Feature extraction runs on the same bytes (stub
-    histogram kernel; dimension checked)."""
+    """REAL image-header decode across ALL FOUR supported containers:
+    the query constructs genuine PNG, JPEG, GIF and BMP byte streams
+    natively (header dims derived from doc_id, text bytes as payload),
+    parse_image_header extracts mime/width/height by actual byte
+    parsing — big-endian for PNG/JPEG, little-endian for GIF/BMP — and
+    the oracle recomputes the expected dims analytically. Any
+    header-layout or endianness bug in any branch breaks the hash.
+    Feature extraction runs on the same bytes (stub histogram kernel;
+    dimension checked)."""
     docs = _t(spark, sf_dir, "documents")
     w = (F.col("doc_id") % 800 + 16).cast("int")
     h = (F.col("doc_id") % 600 + 16).cast("int")
@@ -1687,7 +1689,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bytes.fromhex("03" + "011100" + "021101" + "031101")),
         payload,
     )
-    media = F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)
+    gif = F.concat(
+        F.lit(b"GIF89a"), _le_bytes(w, 2), _le_bytes(h, 2),
+        F.lit(bytes(3)), payload,
+    )
+    bmp = F.concat(
+        F.lit(b"BM"), _le_bytes(0, 4), _le_bytes(0, 4), _le_bytes(54, 4),
+        _le_bytes(40, 4), _le_bytes(w, 4), _le_bytes(h, 4), payload,
+    )
+    m4 = F.col("doc_id") % 4
+    media = (
+        F.when(m4 == 0, png).when(m4 == 1, jpeg).when(m4 == 2, gif).otherwise(bmp)
+    )
     dec = multimodal.decode_image_batch(
         docs.select("doc_id", media.alias("media")), "media"
     )
@@ -3317,7 +3330,8 @@ def oracle_sql() -> dict[str, str]:
         # doc_id; the parser must recover exactly these values
         "multimodal_decode": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+                   CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                        WHEN 2 THEN 'image/gif' ELSE 'image/bmp' END AS mime,
                    CAST(doc_id % 800 + 16 AS INTEGER) AS width,
                    CAST(doc_id % 600 + 16 AS INTEGER) AS height,
                    16 AS feat_dim
