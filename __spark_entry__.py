@@ -32,8 +32,31 @@ from geomesa_hive_spark.pipeline import dedup, multimodal, sampling, similarity,
 # ---------------------------------------------------------------------------
 
 
+# Every date/timestamp column the contract queries touch, per table. The
+# testdata's physical encoding has varied across rounds (nanos-as-long,
+# TIMESTAMP_NTZ micros, plain TIMESTAMP); routing ALL of them through the
+# same dispatching normalizer keeps date arithmetic (e.g. tpch_q12's
+# `l_shipdate > o_orderdate + INTERVAL 30 DAYS`) value-identical to the
+# DuckDB oracle no matter which encoding a given round's parquet uses.
+_DATE_TS_COLS = {
+    "lineitem": ("l_shipdate", "l_commitdate", "l_receiptdate"),
+    "orders": ("o_orderdate",),
+    "events": ("ts",),
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from geomesa_hive_spark.streaming.events import normalize_event_ts
+
+    ts_cols = _DATE_TS_COLS.get(name, ())
+    if ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in ts_cols:
+        if c in df.columns:
+            df = normalize_event_ts(df, c)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

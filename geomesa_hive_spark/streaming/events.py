@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
 
 __all__ = [
     "normalize_event_ts",
@@ -51,10 +57,14 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     t = df.schema[col].dataType
     if isinstance(t, LongType):  # raw nanos → floor to micros
+        # integer `div`, not `/`: epoch nanos (~1.7e18) exceed 2^53, so
+        # double division can land 1 µs off vs DuckDB's exact truncation
         return df.withColumn(
-            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
     if isinstance(t, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(t, DateType):  # date32 → midnight-UTC timestamp
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
