@@ -83,21 +83,26 @@ def main() -> int:
         # the min of two isolated trials is the standard low-noise
         # estimator for wall time and also reports the page-cache-warm
         # number the BASELINE protocol ("warm runs") calls for.
+        # the try sits INSIDE the trial loop so a flaky second trial
+        # can't discard a successful first timing — one good trial is a
+        # valid (if noisier) measurement; -1.0 only when BOTH trials fail
         best, rows = -1.0, -1
-        try:
-            for _ in range(2):
+        for _ in range(2):
+            try:
                 t0 = time.time()
                 rows = fn(spark, sf_dir).count()
                 el = round(time.time() - t0, 3)
                 best = el if best < 0 else min(best, el)
-                _isolate()
-            timings[name] = best
+            except Exception as exc:  # a failing trial shouldn't sink the run
+                print(
+                    f"# {name}: trial FAILED {type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+            _isolate()
+        timings[name] = best
+        if best >= 0:
             total += best
             print(f"# {name}: {rows} rows in {best}s (best of 2)", file=sys.stderr)
-        except Exception as exc:  # a failing query shouldn't sink the run
-            timings[name] = -1.0
-            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
-            _isolate()
 
     print(
         json.dumps(

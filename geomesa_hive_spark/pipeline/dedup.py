@@ -796,6 +796,7 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    shards: int = 4,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
@@ -805,12 +806,20 @@ def embedding_near_dup_pairs(
 
     Norms are hoisted out of the pair expression (computed once per ROW
     before the join, identical float op order, so results are bit-equal to
-    the naive form while the per-pair cost drops to one dot product), and
-    the pair stream is explicitly rehashed before the dot: the block
-    join's output inherits the BLOCK partitioning, which is both skewed
-    (Σ|block|² concentrates on big blocks) and, for small inputs, liable
-    to be AQE-coalesced to one partition — per-byte cost of the cosine is
-    ~100× a normal row, so size-based coalescing misjudges it badly."""
+    the naive form while the per-pair cost drops to one dot product).
+
+    Skew/coalesce control is PRE-join block salting, not a post-join
+    rehash: each block is split into ``shards`` sub-shards by id hash
+    (probe side keyed by its own shard, build side replicated ``shards``×),
+    so the join key is (block, shard) — Σ|block|² work spreads over
+    ``shards``× more keys and the explicit repartition on the join keys
+    pins the partition count (user-specified numPartitions is exempt from
+    AQE coalescing, which would otherwise merge these byte-small but
+    compute-quadratic partitions). The shuffle carries single rows
+    (id, vec, norm) — the probe side once, the build side ``shards``× —
+    never candidate PAIRS with both vectors, which is what made the
+    previous post-join ``repartition(id_a, id_b)`` a 2.7× regression at
+    sf0.1 and an O(Σ|block|²·vec_bytes) shuffle at scale."""
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("v"), lambda x: x.cast("double") * x.cast("double")),
@@ -823,12 +832,29 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("n", norm)
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), *( [F.col("blk").alias("blk")] if block_col else []))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), *( [F.col("blk").alias("blk")] if block_col else []))
-    joined = a.join(b, ["blk"] if block_col else None) if block_col else a.crossJoin(b)
+    if block_col:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        s = max(1, int(shards))
+        a = base.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("n").alias("na"),
+            F.col("blk"),
+            F.pmod(F.xxhash64("id"), F.lit(s)).cast("int").alias("shard"),
+        ).repartition(n_part, "blk", "shard")
+        b = base.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+            F.col("blk"),
+            F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("shard"),
+        ).repartition(n_part, "blk", "shard")
+        joined = a.join(b, ["blk", "shard"])
+    else:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+        joined = a.crossJoin(b)
     joined = joined.filter(F.col("id_a") < F.col("id_b"))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    joined = joined.repartition(n_part, "id_a", "id_b")
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
