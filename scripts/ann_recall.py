@@ -1,10 +1,16 @@
 """Recall evidence for the approximate ANN paths.
 
-Measures recall@k of knn_lsh (sign-LSH, multiprobe) and knn_ivf
-(inverted-file) against the exact knn_brute baseline over a sample of
-query vectors from the embeddings table — the accuracy half of the
-accuracy/cost trade the SCALE.md ANN sections argue. Prints one JSON
-line.
+Measures recall@k AND candidate fraction (share of the corpus scored)
+for a curve of knn_lsh / knn_ivf configurations against the exact
+knn_brute baseline, over a sample of query vectors from the embeddings
+table — the accuracy/cost trade the SCALE.md ANN sections argue.
+Prints one JSON line with one entry per configuration.
+
+Round-3 headline configurations (BASELINE.md):
+- lsh_h2_l4  — bits=8, Hamming-2, 4 tables (the knn_lsh DEFAULT)
+- ivf_32_8   — pivot IVF, 32 lists, 8 probes (the knn_ivf contract config)
+Round-2's single-table Hamming-1 config is kept as `lsh_h1_l1` so the
+curve records why the default moved.
 
 Usage: PYTHONPATH=/root/repo python scripts/ann_recall.py
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), ANN_QUERIES,
@@ -37,34 +43,70 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_total = emb.count()
     qvecs = {
         r.vec_id: list(r.embedding)
         for r in emb.filter(F.col("vec_id") < n_queries).collect()
     }
 
-    def topk_ids(df):
-        return {r.id for r in df.collect()}
+    def lsh_candidates(qv, bits, h, tables):
+        out, cond = emb, None
+        for t in range(tables):
+            s = similarity._table_seed(42, t)
+            out = similarity.random_hyperplane_buckets(
+                out, "embedding", dim=len(qv), bits=bits, seed=s,
+                out_col=f"bucket_{t}",
+            )
+            probes = similarity._query_buckets(qv, bits, s, h)
+            c = F.col(f"bucket_{t}").isin(probes)
+            cond = c if cond is None else (cond | c)
+        return out.filter(cond)
 
-    rec_lsh, rec_ivf = [], []
+    def ivf_candidates(qv, n_lists, n_probe):
+        cents = similarity._pivot_centroids(emb, "vec_id", "embedding", n_lists)
+        order = similarity._probe_lists(cents, qv, n_probe)
+        return emb.withColumn(
+            "__list", similarity._list_id_expr(cents, "embedding")
+        ).filter(F.col("__list").isin(order))
+
+    configs = {
+        "lsh_h1_l1": dict(kind="lsh", bits=8, h=1, tables=1),
+        "lsh_h2_l1": dict(kind="lsh", bits=8, h=2, tables=1),
+        "lsh_h2_l4": dict(kind="lsh", bits=8, h=2, tables=4),
+        "ivf_16_4": dict(kind="ivf", n_lists=16, n_probe=4),
+        "ivf_32_8": dict(kind="ivf", n_lists=32, n_probe=8),
+    }
+    recalls: dict[str, list[float]] = {c: [] for c in configs}
+    fracs: dict[str, list[float]] = {c: [] for c in configs}
+
     for qid, qv in sorted(qvecs.items()):
-        exact = topk_ids(similarity.knn_brute(emb, "vec_id", "embedding", qv, k=k))
-        lsh = topk_ids(
-            similarity.knn_lsh(emb, "vec_id", "embedding", qv, k=k, probe_hamming=1)
-        )
-        ivf = topk_ids(similarity.knn_ivf(emb, "vec_id", "embedding", qv, k=k))
-        rec_lsh.append(len(exact & lsh) / k)
-        rec_ivf.append(len(exact & ivf) / k)
-        print(
-            f"# q={qid}: recall@{k} lsh={rec_lsh[-1]:.2f} ivf={rec_ivf[-1]:.2f}",
-            file=sys.stderr,
-        )
+        exact = {
+            r.id for r in similarity.knn_brute(emb, "vec_id", "embedding", qv, k=k).collect()
+        }
+        for cname, cfg in configs.items():
+            if cfg["kind"] == "lsh":
+                cand = lsh_candidates(qv, cfg["bits"], cfg["h"], cfg["tables"])
+            else:
+                cand = ivf_candidates(qv, cfg["n_lists"], cfg["n_probe"])
+            got = {
+                r.id
+                for r in similarity.knn_brute(cand, "vec_id", "embedding", qv, k=k).collect()
+            }
+            recalls[cname].append(len(exact & got) / k)
+            fracs[cname].append(cand.count() / n_total)
+        print(f"# q={qid} done", file=sys.stderr)
 
     out = {
-        "metric": f"ANN recall@{k} vs exact",
+        "metric": f"ANN recall@{k} vs exact (with candidate fraction)",
         "queries": len(qvecs),
-        "recall_lsh": round(sum(rec_lsh) / len(rec_lsh), 4),
-        "recall_ivf": round(sum(rec_ivf) / len(rec_ivf), 4),
+        "configs": {
+            c: {
+                "recall": round(sum(recalls[c]) / len(recalls[c]), 4),
+                "cand_frac": round(sum(fracs[c]) / len(fracs[c]), 4),
+            }
+            for c in configs
+        },
         "sf_dir": sf_dir,
     }
     print(json.dumps(out))

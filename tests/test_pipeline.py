@@ -280,13 +280,37 @@ def test_knn_lsh_stored_layout_prunes_partitions(spark, tmp_path):
     path = str(tmp_path / "lsh_layout")
     similarity.write_lsh_bucketed(emb, path, "embedding", dim=64, bits=6)
     stored = similarity.knn_lsh_stored(
-        spark, path, "vec_id", "embedding", qv, k=10, bits=6)
-    fly = similarity.knn_lsh(emb, "vec_id", "embedding", qv, k=10, bits=6)
+        spark, path, "vec_id", "embedding", qv, k=10, bits=6, n_tables=1)
+    fly = similarity.knn_lsh(
+        emb, "vec_id", "embedding", qv, k=10, bits=6, n_tables=1)
     assert [(r.id, r.cos_sim) for r in stored.collect()] == \
            [(r.id, r.cos_sim) for r in fly.collect()]
     plan = stored._jdf.queryExecution().executedPlan().toString()
     import re as _re
     assert _re.search(r"PartitionFilters: \[[^\n]*bucket", plan)
+
+
+def test_knn_lsh_multi_table_stored_matches_fly(spark, tmp_path):
+    """Multi-table layout (one bucket-partitioned replica per plane set)
+    returns exactly the on-the-fly multi-table result, and every
+    replica's probe is partition pruning."""
+    from geomesa_hive_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = str(tmp_path / "lsh_multi")
+    similarity.write_lsh_bucketed(emb, path, "embedding", dim=64, bits=6, n_tables=3)
+    stored = similarity.knn_lsh_stored(
+        spark, path, "vec_id", "embedding", qv, k=10, bits=6, n_tables=3)
+    fly = similarity.knn_lsh(
+        emb, "vec_id", "embedding", qv, k=10, bits=6, n_tables=3)
+    assert [(r.id, r.cos_sim) for r in stored.collect()] == \
+           [(r.id, r.cos_sim) for r in fly.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    # AQE renders initial+final plans in one string, so each of the 3
+    # replica scans can appear twice — require at least one per replica
+    assert len(_re.findall(r"PartitionFilters: \[[^\n]*bucket", plan)) >= 3
 
 
 def test_knn_ivf_stored_layout_prunes_partitions(spark, tmp_path):
