@@ -18,15 +18,23 @@ NOT / CASE), not just in top-level WHERE conjuncts:
   with numeric args): for extents the min/max comparison IS the exact
   predicate semantics (tight form — see pushdown.py on the reference's
   loosened OR-form), so the UDF call is dropped entirely.
-- extent-column vs geometry-literal (``st_geomFromWKT('...')``): the
-  bbox test against the geometry's envelope is necessary-not-sufficient,
-  so the original predicate is kept as a conjunct inside the
-  replacement — ``(bbox_conj AND st_xxx(col, lit))``.
+- extent-column vs geometry-literal (``st_geomFromWKT('...')``), both
+  argument orders, for intersects/within/contains (the reference's
+  ``STContainsRule.scala:56-71`` keeps the exact predicate the same
+  way): the bbox test against the geometry's envelope is
+  necessary-not-sufficient, so the original predicate is kept as a
+  conjunct inside the replacement — ``(bbox_conj AND st_xxx(col, lit))``.
 
-One difference from the raw UDF, shared with the reference's rules: a
-NULL extent evaluates to FALSE (via IS NOT NULL) where the UDF returns
-NULL — identical filtering behavior, different value if the predicate
-is *projected* rather than filtered on.
+NULL semantics are EXACT (fixed round 3): the replacement is the bare
+min/max conjunction with no IS-NOT-NULL guard, so a NULL extent yields
+NULL — the same null-in→null-out the UDF has — which matters when the
+predicate is *projected* rather than filtered. In a WHERE context the
+optimizer's null-intolerance analysis still derives IsNotNull and the
+four field comparisons for the parquet PushedFilters, so nothing is
+lost at the scan (asserted in test_spatial_sql.py).
+
+Identifiers may be bare, qualified (``t.bbox``), backticked
+(``\`my col\``), or both (``t.\`my col\``).
 
 If the rewritten SQL fails analysis (e.g. the first argument turns out
 to be a binary geometry column, which has no ``.xmin`` field), the
@@ -43,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["spatial_sql", "rewrite_spatial_predicates"]
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
-_IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?"
+_SEG = r"(?:`[^`]+`|[A-Za-z_]\w*)"
+_IDENT = rf"{_SEG}(?:\.{_SEG})?"
 _MAKER = r"st_make(?:bbox|extent|box2d)"
 
 # fn(col, maker(xmin, ymin, xmax, ymax))
@@ -61,8 +70,14 @@ _LIT_FIRST = re.compile(
 )
 # fn(col, st_geomfromwkt('...')) — envelope prefilter + original kept
 _GEOM_LIT = re.compile(
-    rf"\b(st_intersects|st_within)\s*\(\s*({_IDENT})\s*,\s*"
+    rf"\b(st_intersects|st_within|st_contains)\s*\(\s*({_IDENT})\s*,\s*"
     rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*\)",
+    re.IGNORECASE,
+)
+# fn(st_geomfromwkt('...'), col) — the argument-swapped twin
+_GEOM_LIT_FIRST = re.compile(
+    rf"\b(st_intersects|st_within|st_contains)\s*\(\s*"
+    rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*,\s*({_IDENT})\s*\)",
     re.IGNORECASE,
 )
 
@@ -70,7 +85,13 @@ _GEOM_LIT = re.compile(
 def _conj(col: str, xmin: str, ymin: str, xmax: str, ymax: str, mode: str) -> str:
     """The native bbox predicate on an extent struct column — all four
     comparisons land on column fields, so Catalyst pushes them to the
-    Parquet scan (row-group skipping on bbox.* statistics)."""
+    Parquet scan (row-group skipping on bbox.* statistics).
+
+    Deliberately NO ``IS NOT NULL`` guard: field access on a NULL struct
+    yields NULL, so the AND-chain is NULL exactly when the UDF would be
+    (null-in→null-out) — locally equivalent in every context including
+    projection. Filtering still prunes: the optimizer derives IsNotNull
+    from the null-intolerant comparisons for the pushed filters."""
     if mode == "intersects":
         body = (
             f"{col}.xmin <= {xmax} AND {col}.xmax >= {xmin} "
@@ -88,7 +109,7 @@ def _conj(col: str, xmin: str, ymin: str, xmax: str, ymax: str, mode: str) -> st
         )
     else:  # pragma: no cover
         raise ValueError(mode)
-    return f"({col} IS NOT NULL AND {body})"
+    return f"({body})"
 
 
 def _mode(fn: str, col_first: bool) -> str:
@@ -115,21 +136,30 @@ def rewrite_spatial_predicates(sql: str) -> str:
         fn, xmin, ymin, xmax, ymax, col = m.groups()
         return _conj(col, xmin, ymin, xmax, ymax, _mode(fn, False))
 
-    def geom_lit(m: re.Match) -> str:
+    def _geom_envelope_conj(fn: str, col: str, wkt: str, col_first: bool):
         from geomesa_hive_spark.geom import from_wkt
 
-        fn, col, lit_expr, wkt = m.groups()
         try:
             xmin, ymin, xmax, ymax = from_wkt(wkt).bounds
         except Exception:
-            return m.group(0)  # unparseable literal: leave untouched
-        conj = _conj(col, repr(xmin), repr(ymin), repr(xmax), repr(ymax),
-                     _mode(fn, True))
-        return f"({conj} AND {m.group(0)})"
+            return None  # unparseable literal: leave untouched
+        return _conj(col, repr(xmin), repr(ymin), repr(xmax), repr(ymax),
+                     _mode(fn, col_first))
+
+    def geom_lit(m: re.Match) -> str:
+        fn, col, _lit_expr, wkt = m.groups()
+        conj = _geom_envelope_conj(fn, col, wkt, col_first=True)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
+    def geom_lit_first(m: re.Match) -> str:
+        fn, _lit_expr, wkt, col = m.groups()
+        conj = _geom_envelope_conj(fn, col, wkt, col_first=False)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
 
     sql = _COL_FIRST.sub(col_first, sql)
     sql = _LIT_FIRST.sub(lit_first, sql)
     sql = _GEOM_LIT.sub(geom_lit, sql)
+    sql = _GEOM_LIT_FIRST.sub(geom_lit_first, sql)
     return sql
 
 

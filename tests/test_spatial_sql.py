@@ -98,3 +98,65 @@ def test_spatial_sql_fallback_on_geometry_column(spark):
     got = [r.id for r in spatial_sql(spark, raw).collect()]
     want = [r.id for r in spark.sql(raw).collect()]
     assert got == want and len(got) == 9
+
+def test_rewrite_contains_geometry_literal_both_orders():
+    # reference parity: STContainsRule keeps the exact predicate as a
+    # conjunct behind the envelope prefilter (STContainsRule.scala:56-71)
+    sql = "SELECT * FROM t WHERE st_contains(bbox, st_geomFromWKT('POLYGON ((0 0, 4 0, 0 4, 0 0))'))"
+    out = rewrite_spatial_predicates(sql)
+    assert "st_geomfromwkt" in out.lower()
+    # col ⊇ lit → envelope: col.xmin <= lit.xmin
+    assert "bbox.xmin <= 0" in out and "bbox.xmax >= 4" in out
+    sql2 = "SELECT * FROM t WHERE st_contains(st_geomFromWKT('POLYGON ((0 0, 4 0, 0 4, 0 0))'), bbox)"
+    out2 = rewrite_spatial_predicates(sql2)
+    assert "st_geomfromwkt" in out2.lower()
+    # lit ⊇ col → col ⊆ envelope(lit): col.xmin >= lit.xmin
+    assert "bbox.xmin >= 0" in out2 and "bbox.xmax <= 4" in out2
+
+
+def test_rewrite_backticked_and_qualified_identifiers():
+    out = rewrite_spatial_predicates(
+        "SELECT * FROM t WHERE st_intersects(t.`my bbox`, st_makeBBOX(1, 2, 3, 4))"
+    )
+    assert "st_intersects" not in out.lower()
+    assert "t.`my bbox`.xmin <= 3" in out
+    out2 = rewrite_spatial_predicates(
+        "SELECT * FROM t WHERE st_within(`b`.`box`, st_makeBBOX(1, 2, 3, 4))"
+    )
+    assert "`b`.`box`.xmin >= 1" in out2
+
+
+def test_rewrite_null_extent_projects_null(spark):
+    """PROJECTED rewritten predicate must be NULL on a NULL extent,
+    exactly like the UDF (round-2 divergence: the old IS-NOT-NULL form
+    projected FALSE)."""
+    _grid(spark)
+    spark.sql(
+        "SELECT id, CASE WHEN id = 0 THEN NULL ELSE bbox END AS bbox FROM sql_grid"
+    ).createOrReplaceTempView("sql_grid_nulls")
+    raw = ("SELECT id, st_intersects(bbox, st_makeBBOX(-1, -1, 99, 99)) AS hit "
+           "FROM sql_grid_nulls ORDER BY id LIMIT 3")
+    out = rewrite_spatial_predicates(raw)
+    assert "st_intersects" not in out.lower()
+    got = [(r.id, r.hit) for r in spark.sql(out).collect()]
+    want = [(r.id, r.hit) for r in spark.sql(raw).collect()]
+    assert got == want
+    assert got[0][1] is None  # NULL extent → NULL, not False
+
+
+def test_spatial_sql_null_guard_still_pushed(spark, tmp_path):
+    """Dropping the textual IS-NOT-NULL guard must not lose the scan
+    pushdown: the optimizer re-derives IsNotNull from the
+    null-intolerant comparisons."""
+    df = _grid(spark)
+    path = str(tmp_path / "grid_parquet_nn")
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("sql_grid_pq_nn")
+    out = spatial_sql(
+        spark,
+        "SELECT id FROM sql_grid_pq_nn WHERE st_within(bbox, st_makeBBOX(2.5, 2.5, 5.5, 5.5))",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\n]*IsNotNull", plan)
+    assert re.search(r"PushedFilters: \[[^\n]*xmin", plan)
+    assert [r.id for r in out.orderBy("id").collect()] == [33, 34, 35, 43, 44, 45, 53, 54, 55]
