@@ -1184,6 +1184,172 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2). Testdata has no partsupp, so the
+    part-supplier catalog derives from lineitem: the "supply cost" of a
+    (part, supplier) pair is the minimum unit price it ever quoted,
+    round(l_extendedprice / l_quantity, 4). Shape kept from the
+    original: a correlated MIN subquery per part (which supplier
+    matches the part's regional minimum cost), decorrelated into an
+    aggregate + equality join on the min value — the plan Catalyst
+    builds for the subquery form — with the region restriction applied
+    through supplier→nation→region."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    s, n, r = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    sup_eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("ps_cost")
+    )
+    ps_eur = ps.join(F.broadcast(sup_eur), ps.ps_suppkey == sup_eur.s_suppkey)
+    minc = ps_eur.groupBy(F.col("ps_partkey").alias("m_pk")).agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    pk = p.filter(F.col("p_size").isin([15, 25, 35, 45]) & (F.col("p_type") == "LARGE")).select(
+        "p_partkey"
+    )
+    return (
+        ps_eur.join(F.broadcast(pk), ps_eur.ps_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(minc),
+            (ps_eur.ps_partkey == F.col("m_pk")) & (F.col("ps_cost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("p_partkey"),
+            F.col("ps_cost"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9). No partsupp supplycost in testdata, so
+    "profit" is the revenue term sum(l_extendedprice * (1 - l_discount))
+    — the 5-way join shape (part name LIKE slice, lineitem, supplier,
+    nation, orders) grouped by nation and order year is the point."""
+    li, p, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"), _t(spark, sf_dir, "orders")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    pk = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    return (
+        li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (Q11). "Stock value" of a part is
+    sum(l_extendedprice * l_quantity) over lineitem rows whose supplier
+    sits in NATION_7 (no partsupp availqty in testdata). Shape kept:
+    GROUP BY with HAVING against a GLOBAL scalar subquery (2× the mean
+    per-part value — scale-invariant where TPC-H's 0.0001/SF fraction
+    is deliberately SF-dependent), the scalar broadcast as a 1-row
+    join."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    supp7 = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    li7 = li.join(F.broadcast(supp7), li.l_suppkey == F.col("s_suppkey"))
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    per_part = li7.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(val).cast("double").alias("part_value")
+    )
+    total = per_part.agg((F.avg("part_value") * 2.0).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", F.round(F.col("part_value"), 2).alias("part_value"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (Q16). The part-supplier pairs come
+    from lineitem; the NOT IN "complaint suppliers" subquery (testdata
+    has no s_comment, so complainers are suppliers with negative
+    account balance) becomes a left-anti join; then COUNT(DISTINCT
+    supplier) per (brand, type, size) over a multi-column group."""
+    li, p, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pk = p.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin([1, 4, 9, 16, 25, 36, 49])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(excluded), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("p_brand"),
+            F.col("p_type").alias("p_type"),
+            F.col("p_size").alias("p_size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (Q20). Shape kept: nested semi-joins —
+    suppliers IN (pairs over parts IN (name slice) whose 1996 shipped
+    quantity exceeds a correlated threshold) — with the availqty
+    comparison adapted to "1996 shipments > half of all-time shipments
+    for that (part, supplier) pair" (no partsupp availqty). The
+    correlated scalar decorrelates to two aggregates joined on the
+    pair key; both IN-subqueries are left-semi joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p, s, n = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    pslice = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    q96 = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy(F.col("l_partkey").alias("a_pk"), F.col("l_suppkey").alias("a_sk"))
+        .agg(F.sum(qty).cast("double").alias("qty96"))
+    )
+    qall = li.groupBy(
+        F.col("l_partkey").alias("b_pk"), F.col("l_suppkey").alias("b_sk")
+    ).agg((F.sum(qty).cast("double") * 0.5).alias("half_all"))
+    hot_pairs = (
+        q96.join(qall, (F.col("a_pk") == F.col("b_pk")) & (F.col("a_sk") == F.col("b_sk")))
+        .filter(F.col("qty96") > F.col("half_all"))
+        .join(F.broadcast(pslice), F.col("a_pk") == F.col("p_partkey"), "left_semi")
+    )
+    return (
+        s.join(hot_pairs, s.s_suppkey == F.col("a_sk"), "left_semi")
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("s_acctbal"))
+    )
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: ROLLUP(priority, status) with grand total."""
     o = _t(spark, sf_dir, "orders")
@@ -1861,6 +2027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "rollup_orders": q_rollup_orders,
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
@@ -2947,6 +3118,97 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_nationkey
+        """,
+        "tpch_q2": """
+            WITH sup_eur AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), ps AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     min(round(l_extendedprice / l_quantity, 4)) AS ps_cost
+              FROM lineitem GROUP BY 1, 2
+            ), ps_eur AS (
+              SELECT ps.*, s.s_name, s.s_acctbal, s.n_name
+              FROM ps JOIN sup_eur s ON ps.ps_suppkey = s.s_suppkey
+            ), minc AS (
+              SELECT ps_partkey AS m_pk, min(ps_cost) AS min_cost
+              FROM ps_eur GROUP BY 1
+            )
+            SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, e.ps_cost
+            FROM ps_eur e
+            JOIN part p ON e.ps_partkey = p.p_partkey
+            JOIN minc m ON e.ps_partkey = m.m_pk AND e.ps_cost = m.min_cost
+            WHERE p.p_size IN (15, 25, 35, 45) AND p.p_type = 'LARGE'
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH li7 AS (
+              SELECT l.*
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_name = 'NATION_7'
+            ), per_part AS (
+              SELECT l_partkey AS ps_partkey,
+                     CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) AS part_value
+              FROM li7 GROUP BY 1
+            ), total AS (
+              SELECT avg(part_value) * 2.0 AS threshold FROM per_part
+            )
+            SELECT ps_partkey, round(part_value, 2) AS part_value
+            FROM per_part, total
+            WHERE part_value > threshold
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20": """
+            WITH q96 AS (
+              SELECT l_partkey AS a_pk, l_suppkey AS a_sk,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty96
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            ), qall AS (
+              SELECT l_partkey AS b_pk, l_suppkey AS b_sk,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.5 AS half_all
+              FROM lineitem GROUP BY 1, 2
+            ), hot AS (
+              SELECT a_pk, a_sk
+              FROM q96 JOIN qall ON a_pk = b_pk AND a_sk = b_sk
+              WHERE qty96 > half_all
+                AND a_pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            )
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT a_sk FROM hot)
         """,
         "rollup_orders": """
             SELECT o_orderpriority, o_orderstatus,
