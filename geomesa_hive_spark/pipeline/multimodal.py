@@ -5,12 +5,18 @@ The Spark-side machinery — schemas, Arrow batch shapes, ``mapInPandas``
 pipelines, partitioning of large binary columns — is real and tested.
 Container/header parsing (:func:`parse_image_header` — PNG IHDR, JPEG
 SOF, GIF, BMP) is REAL pure-Python byte parsing: width/height/mime come
-from the actual image headers, no codec library needed. Only the PIXEL
-kernels (full raster decode, resample, frame extraction) are STUBS: the
-container has no image/audio libraries, so each pixel kernel either
-raises ``NotImplementedError`` (``strict=True``) or produces a
-clearly-marked deterministic fake derived from the bytes, which keeps
-pipelines runnable end-to-end and schema-stable for tests.
+from the actual image headers, no codec library needed.
+
+PIXEL kernels (round 3): BMP is decoded FOR REAL — uncompressed
+BITMAPINFOHEADER rasters (8-bit palette, 24-bit BGR, 32-bit BGRA,
+bottom-up or top-down) are pure byte layout, no entropy coding, so
+:func:`decode_bmp_pixels` produces the actual RGB raster with NumPy
+alone, and resize / feature-extract / brightness run on real pixels for
+BMP inputs (including under ``strict=True``). Formats that genuinely
+need a codec library (PNG inflate, JPEG DCT, GIF LZW) keep the declared
+deterministic stubs: each kernel raises ``NotImplementedError``
+(``strict=True``) or produces a clearly-marked fake derived from the
+bytes, which keeps pipelines runnable end-to-end and schema-stable.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ __all__ = [
     "parse_image_header",
     "parse_wav_header",
     "parse_mp4_header",
+    "decode_bmp_pixels",
     "decode_image_batch",
     "decode_audio_batch",
     "decode_video_batch",
@@ -134,7 +141,11 @@ def parse_mp4_header(buf: bytes) -> tuple[int, int, int, int, int] | None:
     size+fourcc box tree (ftyp sniff, then moov → mvhd for
     timescale/duration, moov → trak → tkhd for the 16.16-fixed
     width/height, which sit in the LAST 8 bytes of tkhd in both v0 and
-    v1). No codec library, oracle-verifiable.
+    v1). Handles the two special box sizes (size==1: 64-bit largesize
+    after the fourcc; size==0: box extends to the end of its
+    container) and takes dimensions from the FIRST trak with nonzero
+    tkhd dims, so a trailing 0×0 audio trak can't overwrite the video
+    dimensions. No codec library, oracle-verifiable.
     """
     if buf is None or len(buf) < 16 or buf[4:8] != b"ftyp":
         return None
@@ -143,9 +154,19 @@ def parse_mp4_header(buf: bytes) -> tuple[int, int, int, int, int] | None:
         i = lo
         while i + 8 <= hi:
             size = int.from_bytes(buf[i : i + 4], "big")
-            if size < 8:
+            body = i + 8
+            if size == 1:  # 64-bit largesize follows the fourcc
+                if i + 16 > hi:
+                    return
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                body = i + 16
+                if size < 16:
+                    return
+            elif size == 0:  # box extends to the end of its container
+                size = hi - i
+            elif size < 8:
                 return
-            yield buf[i + 4 : i + 8], i + 8, min(i + size, hi)
+            yield buf[i + 4 : i + 8], body, min(i + size, hi)
             i += size
 
     ts = dur = w = h = None
@@ -163,11 +184,74 @@ def parse_mp4_header(buf: bytes) -> tuple[int, int, int, int, int] | None:
             elif t2 == b"trak":
                 for t3, lo3, hi3 in walk(lo2, hi2):
                     if t3 == b"tkhd" and hi3 - lo3 >= 84:
-                        w = int.from_bytes(buf[hi3 - 8 : hi3 - 4], "big") >> 16
-                        h = int.from_bytes(buf[hi3 - 4 : hi3], "big") >> 16
+                        tw = int.from_bytes(buf[hi3 - 8 : hi3 - 4], "big") >> 16
+                        th = int.from_bytes(buf[hi3 - 4 : hi3], "big") >> 16
+                        if w is None or h is None or (not (w and h) and tw and th):
+                            w, h = tw, th
     if not ts or dur is None:
         return None
     return (ts, dur, w, h, dur * 1000 // ts)
+
+
+def decode_bmp_pixels(buf: bytes) -> "np.ndarray | None":
+    """REAL raster decode for uncompressed BMP: returns an (h, w, 3)
+    uint8 RGB array, or None if the bytes are not a decodable BMP.
+
+    Handles the formats that are pure byte layout (no entropy coding,
+    so no codec library is needed): BITMAPINFOHEADER (or larger v4/v5
+    headers), BI_RGB compression only, 8-bit palette / 24-bit BGR /
+    32-bit BGRA, bottom-up (positive height) or top-down (negative)
+    row order, with 4-byte row-stride padding. Everything else — RLE
+    compression, 1/4/16-bit, truncated pixel data — returns None so
+    callers fall back to their declared stubs.
+    """
+    if buf is None or len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(buf[10:14], "little")
+    hdr_size = int.from_bytes(buf[14:18], "little")
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — not handled
+        return None
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0 or w <= 0 or h == 0 or bpp not in (8, 24, 32):
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = ((bpp * w + 31) // 32) * 4
+    if data_off + stride * h > len(buf):
+        return None  # truncated raster
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = int.from_bytes(buf[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > data_off:
+            return None
+        pal = np.frombuffer(
+            buf, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)
+        idx = rows[:, :w]
+        if idx.max(initial=0) >= n_colors:
+            return None
+        bgr = pal[idx, :3]
+    else:
+        nch = bpp // 8
+        bgr = rows[:, : w * nch].reshape(h, w, nch)[:, :, :3]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _bmp_brightness(px: np.ndarray) -> float:
+    """Mean Rec.601 luminance of an RGB raster, normalized to [0, 1]."""
+    lum = (
+        0.299 * px[:, :, 0].astype(np.float64)
+        + 0.587 * px[:, :, 1].astype(np.float64)
+        + 0.114 * px[:, :, 2].astype(np.float64)
+    )
+    return float(lum.mean() / 255.0)
 
 
 #: canonical typed-metadata schema for an opaque media column
@@ -215,12 +299,14 @@ def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> 
 
     mime/width/height come from :func:`parse_image_header` — REAL
     byte-level container parsing of PNG/JPEG/GIF/BMP headers. brightness
-    would need the pixel raster, which needs a codec library this
-    container lacks: it's the declared deterministic STUB
+    is REAL (mean Rec.601 luminance of the actual raster) for
+    decodable uncompressed BMPs (:func:`decode_bmp_pixels`); for the
+    entropy-coded formats (PNG/JPEG/GIF) it needs a codec library this
+    container lacks and stays the declared deterministic STUB
     (:func:`_fake_decode`). Bytes that are not a recognized image
     container fall back entirely to the stub (null mime marks them
-    fake). ``strict=True`` raises NotImplementedError instead of
-    faking anything.
+    fake). ``strict=True`` raises NotImplementedError for anything the
+    real path can't decode — decodable BMPs pass strict.
     """
     schema = T.StructType(
         list(df.schema.fields)
@@ -241,11 +327,19 @@ def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> 
                     continue
                 b = bytes(buf)
                 parsed = parse_image_header(b)
+                px = decode_bmp_pixels(b) if parsed and parsed[0] == "image/bmp" else None
+                if px is not None:  # REAL raster: real brightness
+                    mime, pw, ph = parsed
+                    mm.append(mime), w.append(pw), hgt.append(ph)
+                    br.append(_bmp_brightness(px))
+                    continue
                 if strict:
                     raise NotImplementedError(
-                        "pixel decoding requires an image library not present "
-                        "in this environment; use strict=False for header-only "
-                        "dims plus the deterministic brightness stub"
+                        "pixel decoding of entropy-coded formats requires an "
+                        "image library not present in this environment "
+                        "(uncompressed BMP decodes for real); use "
+                        "strict=False for header-only dims plus the "
+                        "deterministic brightness stub"
                     )
                 if parsed is not None:
                     mime, pw, ph = parsed
@@ -349,9 +443,12 @@ def decode_video_batch(df: DataFrame, binary_col: str) -> DataFrame:
 def extract_image_features(
     df: DataFrame, binary_col: str, dim: int = 16
 ) -> DataFrame:
-    """STUB feature extractor: deterministic pseudo-embedding from a
-    byte-histogram of the binary (real pipelines swap in a model UDF —
-    the Arrow batch shape, schema and partition behavior are identical)."""
+    """Feature extractor: an L2-normalized ``dim``-bin histogram. For
+    decodable uncompressed BMPs the histogram is over the REAL pixel
+    luminance raster (:func:`decode_bmp_pixels`); for entropy-coded
+    formats it is the declared stub over the raw bytes (real pipelines
+    swap in a model UDF — the Arrow batch shape, schema and partition
+    behavior are identical either way)."""
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
@@ -363,7 +460,16 @@ def extract_image_features(
                 if buf is None:
                     feats.append(None)
                     continue
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = bytes(buf)
+                px = decode_bmp_pixels(b)
+                if px is not None:  # REAL pixels: luminance histogram
+                    arr = (
+                        0.299 * px[:, :, 0].astype(np.float64)
+                        + 0.587 * px[:, :, 1].astype(np.float64)
+                        + 0.114 * px[:, :, 2].astype(np.float64)
+                    ).ravel()
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
                 hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
                 v = hist.astype(np.float64)
                 n = np.linalg.norm(v)
@@ -378,12 +484,18 @@ def extract_image_features(
 def resize_images(
     df: DataFrame, binary_col: str, width: int, height: int, strict: bool = False
 ) -> DataFrame:
-    """STUB resizer: replaces ``binary_col`` with a deterministic
-    fixed-size byte grid (uniform byte-samples of the source, w·h long)
-    plus the target dims as typed metadata. Real pipelines swap the
-    kernel for PIL/cv2; the Arrow batch shape, output schema, and
-    per-partition behavior are the production path. ``strict=True``
-    raises NotImplementedError instead of faking the pixels."""
+    """Resizer: replaces ``binary_col`` with a width×height raster plus
+    the target dims as typed metadata.
+
+    For decodable uncompressed BMPs this is a REAL nearest-neighbor
+    resample of the actual pixels (:func:`decode_bmp_pixels`; output is
+    the packed RGB raster, h·w·3 bytes, row-major top-down — including
+    under ``strict=True``). For entropy-coded formats the kernel stays
+    the declared STUB (uniform byte-samples of the source, w·h long);
+    real pipelines swap in PIL/cv2 — the Arrow batch shape, output
+    schema, and per-partition behavior are the production path either
+    way. ``strict=True`` raises NotImplementedError instead of faking
+    pixels it can't really decode."""
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("out_width", T.IntegerType()), T.StructField("out_height", T.IntegerType())]
@@ -396,15 +508,25 @@ def resize_images(
                 if buf is None:
                     out.append(None)
                     continue
+                b = bytes(buf)
+                px = decode_bmp_pixels(b)
+                if px is not None:  # REAL nearest-neighbor resample
+                    sh, sw = px.shape[:2]
+                    ri = np.minimum((np.arange(height) * sh) // height, sh - 1)
+                    ci = np.minimum((np.arange(width) * sw) // width, sw - 1)
+                    out.append(px[np.ix_(ri, ci)].tobytes())
+                    continue
                 if strict:
                     raise NotImplementedError(
-                        "image resize requires an imaging library not present "
-                        "in this environment; use strict=False for the stub"
+                        "resizing entropy-coded images requires an imaging "
+                        "library not present in this environment "
+                        "(uncompressed BMP resizes for real); use "
+                        "strict=False for the stub"
                     )
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                a = np.frombuffer(b, dtype=np.uint8)
                 n = width * height
-                idx = (np.arange(n) * max(1, len(b)) // n) % max(1, len(b))
-                out.append(b[idx].tobytes() if len(b) else b"\x00" * n)
+                idx = (np.arange(n) * max(1, len(a)) // n) % max(1, len(a))
+                out.append(a[idx].tobytes() if len(a) else b"\x00" * n)
             pdf = pdf.copy()
             pdf[binary_col] = out
             pdf["out_width"] = pd.array([width] * len(pdf), dtype="Int32")

@@ -556,3 +556,90 @@ def test_decode_video_batch(spark):
            for r in decode_video_batch(df, "media").collect()}
     assert out[1] == (320, 240, 1000, 2500)
     assert out[2] == (None, None, None, None)
+
+
+def _make_bmp(w, h, rows=None, color=(10, 20, 30), bpp=24, top_down=False):
+    """Build a real uncompressed BMP: `rows` is an optional list of h
+    (r, g, b) tuples (one color per row, top-down visual order);
+    otherwise solid `color`."""
+    rows = rows or [color] * h
+    stride = ((bpp // 8) * w + 3) & ~3
+    visual = []
+    for r, g, b in rows:
+        px = bytes([b, g, r] + ([255] if bpp == 32 else [])[:0]) * w if bpp == 24 else bytes([b, g, r, 255]) * w
+        visual.append(px + b"\x00" * (stride - len(px)))
+    data = b"".join(visual if top_down else visual[::-1])
+    hdr_h = -h if top_down else h
+    header = b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    info = ((40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+            + hdr_h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+            + bpp.to_bytes(2, "little") + (0).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little") + b"\x00" * 16)
+    return header + info + data
+
+
+def test_decode_bmp_pixels_real_raster():
+    from geomesa_hive_spark.pipeline.multimodal import decode_bmp_pixels
+
+    # 3x2 gradient: rows red, green (top-down visual), odd width → stride pad
+    img = _make_bmp(3, 2, rows=[(255, 0, 0), (0, 255, 0)])
+    px = decode_bmp_pixels(img)
+    assert px.shape == (2, 3, 3)
+    assert (px[0] == [255, 0, 0]).all() and (px[1] == [0, 255, 0]).all()
+    # top-down flag gives the same visual raster
+    px2 = decode_bmp_pixels(_make_bmp(3, 2, rows=[(255, 0, 0), (0, 255, 0)], top_down=True))
+    assert (px2 == px).all()
+    # 32-bit BGRA path
+    px3 = decode_bmp_pixels(_make_bmp(2, 2, color=(1, 2, 3), bpp=32))
+    assert px3.shape == (2, 2, 3) and (px3 == [1, 2, 3]).all()
+    # compressed / truncated → None
+    assert decode_bmp_pixels(img[:40]) is None
+    bad = bytearray(img); bad[30] = 1  # BI_RLE8
+    assert decode_bmp_pixels(bytes(bad)) is None
+
+
+def test_bmp_pixel_kernels_real(spark):
+    """resize/brightness/features run on REAL pixels for BMP — strict
+    mode passes — and the resize output is the analytically expected
+    raster."""
+    from geomesa_hive_spark.pipeline import multimodal
+
+    img = _make_bmp(4, 4, rows=[(0, 0, 0), (60, 60, 60), (120, 120, 120), (240, 240, 240)])
+    df = spark.createDataFrame([(1, bytearray(img))], "doc_id LONG, media BINARY")
+    dec = multimodal.decode_image_batch(df, "media", strict=True).collect()[0]
+    assert (dec.mime, dec.width, dec.height) == ("image/bmp", 4, 4)
+    assert abs(dec.brightness - (0 + 60 + 120 + 240) / 4 / 255.0) < 1e-9
+    rs = multimodal.resize_images(df, "media", 2, 2, strict=True).collect()[0]
+    # NN picks source rows 0 and 2 → colors 0 and 120
+    assert bytes(rs.media) == bytes([0, 0, 0] * 2 + [120, 120, 120] * 2)
+    assert (rs.out_width, rs.out_height) == (2, 2)
+    feats = multimodal.extract_image_features(df, "media", dim=16).collect()[0].features
+    import numpy as np
+    got = np.array(feats)
+    # luminance histogram over {0, 60, 120, 240}×4 pixels, 16 bins → bins 0,3,7,15
+    want = np.zeros(16); want[[0, 3, 7, 15]] = 4.0; want /= np.linalg.norm(want)
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_mp4_largesize_and_first_nonzero_trak():
+    from geomesa_hive_spark.pipeline.multimodal import parse_mp4_header
+
+    def box(typ, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    def box_large(typ, payload):
+        return (1).to_bytes(4, "big") + typ + (16 + len(payload)).to_bytes(8, "big") + payload
+
+    mvhd = box(b"mvhd", bytes(12) + (1000).to_bytes(4, "big") + (5000).to_bytes(4, "big"))
+    tkhd_audio = box(b"tkhd", bytes(76) + bytes(8))             # 0x0 dims
+    tkhd_video = box(b"tkhd", bytes(76) + (640 << 16).to_bytes(4, "big") + (480 << 16).to_bytes(4, "big"))
+    # audio trak FIRST: video dims must still win
+    moov = box(b"moov", mvhd + box(b"trak", tkhd_audio) + box(b"trak", tkhd_video))
+    buf = box(b"ftyp", b"isom") + moov
+    assert parse_mp4_header(buf) == (1000, 5000, 640, 480, 5000)
+    # largesize (size==1) moov with the same children
+    buf2 = box(b"ftyp", b"isom") + box_large(b"moov", mvhd + box(b"trak", tkhd_video))
+    assert parse_mp4_header(buf2) == (1000, 5000, 640, 480, 5000)
+    # size==0 final box (extends to EOF)
+    moov0 = (0).to_bytes(4, "big") + b"moov" + mvhd + box(b"trak", tkhd_video)
+    assert parse_mp4_header(box(b"ftyp", b"isom") + moov0) == (1000, 5000, 640, 480, 5000)
