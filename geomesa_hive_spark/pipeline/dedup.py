@@ -415,6 +415,7 @@ def minhash_lsh_pairs(
     ngram_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    band_shards: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH over minhash signatures.
 
@@ -423,14 +424,35 @@ def minhash_lsh_pairs(
     Estimated Jaccard = fraction of matching signature positions,
     verified ≥ threshold after candidate generation. Band hash is md5 of
     the comma-joined slice — portable, so the DuckDB oracle rebuilds the
-    identical buckets."""
+    identical buckets.
+
+    ``band_shards``: hot-band skew control. Boilerplate-heavy corpora
+    put m near-identical docs in the SAME (band, hash) bucket → m²
+    candidate pairs materialize in one join task. AQE's skew-join
+    split cannot help: it detects skew by INPUT partition bytes, and a
+    hot band's input is only m rows — the blow-up is in the join
+    OUTPUT (measured: `scripts/lsh_skew_bench.py`). With shards > 1
+    the self-join key becomes (band, hash, shard) — probe side keyed
+    by id-hash shard, build side replicated per shard — so each hot
+    bucket's m² work spreads over `shards` tasks. Results are
+    identical for any shard count (each unordered pair still meets
+    exactly once per band, and `distinct()` dedups across bands)."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram_n, seed).cache()
     band_keys = _minhash_band_keys(sigs, num_perm, bands)
+    s = max(1, int(band_shards))
+    if s > 1:
+        a = band_keys.withColumn(
+            "shard", F.pmod(F.xxhash64("id"), F.lit(s)).cast("int")
+        )
+        b = band_keys.withColumn(
+            "shard", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        )
+        joined = a.alias("a").join(b.alias("b"), ["band", "bh", "shard"])
+    else:
+        joined = band_keys.alias("a").join(band_keys.alias("b"), ["band", "bh"])
     cand = (
-        band_keys.alias("a")
-        .join(band_keys.alias("b"), ["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
+        joined.filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

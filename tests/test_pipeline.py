@@ -643,3 +643,15 @@ def test_mp4_largesize_and_first_nonzero_trak():
     # size==0 final box (extends to EOF)
     moov0 = (0).to_bytes(4, "big") + b"moov" + mvhd + box(b"trak", tkhd_video)
     assert parse_mp4_header(box(b"ftyp", b"isom") + moov0) == (1000, 5000, 640, 480, 5000)
+
+
+def test_minhash_lsh_band_shards_invariant(spark, docs):
+    """Salted band join (hot-band skew control) must return exactly the
+    unsalted pairs for any shard count."""
+    base = {(r.id_a, r.id_b, r.est_jaccard) for r in
+            dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16,
+                                    threshold=0.5).collect()}
+    salted = {(r.id_a, r.id_b, r.est_jaccard) for r in
+              dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16,
+                                      threshold=0.5, band_shards=5).collect()}
+    assert base == salted and len(base) > 0
