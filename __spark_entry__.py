@@ -417,6 +417,32 @@ def q_spatial_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal Lambert conformal conic reprojection (EPSG:4326 →
+    EPSG:2154, Lambert-93) on points over France; the oracle replays
+    the full Snyder 2SP forward — conformal latitude t(φ), ρ = aF·tⁿ,
+    θ = n(λ−λ0) — in SQL with the identical precomputed constants, so
+    the conic math itself is hash-verified (float32 quantization on
+    both sides absorbs 1-ulp libm differences). Round 3: closes the
+    'no conic family' gap in st_geomReproject."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:2154")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -40.005) & (F.col("cx") <= 40.005)
+            & (F.col("cy") >= 20.005) & (F.col("cy") <= 70.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("lcc_x"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("lcc_y"),
+        )
+    )
+
+
 def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-STRING pushdown path (reference: session-wide Catalyst rules,
     SpatialFilterPushdownOptimizations.scala:22-24): a raw SQL string
@@ -2075,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_reproject_utm": q_spatial_reproject_utm,
+        "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_codecs": q_spatial_codecs,
         "spatial_setops": q_spatial_setops,
         "spatial_predicates": q_spatial_predicates,
@@ -2443,6 +2470,41 @@ def _utm_oracle(zone: int = 33) -> str:
                round(CAST(CAST({ux} AS FLOAT) AS DOUBLE), 3) AS utm_x,
                round(CAST(CAST({uy} AS FLOAT) AS DOUBLE), 3) AS utm_y
         FROM s2
+    """
+
+
+def _lcc_oracle(epsg: int = 2154) -> str:
+    """Replay lcc_forward's Snyder 2SP conic in DuckDB with the exact
+    precomputed constants (repr round-trips the doubles) and the same
+    expression shapes: t(φ) via tan/pow, ρ = aF·pow(t, n), θ = n(λ−λ0)."""
+    from geomesa_hive_spark.geom.projections import _LCC_EPSG, lcc_consts
+
+    lat1, lat2, lat0, lon0, x0, y0 = _LCC_EPSG[epsg]
+    k = lcc_consts(lat1, lat2, lat0, lon0)
+    n, af, rho0, lam0, e = (repr(k[x]) for x in ("n", "af", "rho0", "lam0", "e"))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -40.005 AND {_C_X} <= 40.005
+            AND {_C_Y} >= 20.005 AND {_C_Y} <= 70.995
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey,
+                 tan(pi() / 4.0 - phi / 2.0)
+                   / pow((1.0 - {e} * sp) / (1.0 + {e} * sp), {e} / 2.0) AS t,
+                 {n} * (lam - {lam0}) AS th
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, {af} * pow(t, {n}) AS rho, th FROM s2
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(x0)} + rho * sin(th) AS FLOAT) AS DOUBLE), 3) AS lcc_x,
+               round(CAST(CAST({float(y0)} + {rho0} - rho * cos(th) AS FLOAT) AS DOUBLE), 3) AS lcc_y
+        FROM s3
     """
 
 
@@ -2832,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_z2": _Z2_ORACLE,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
         "spatial_reproject_utm": _utm_oracle(zone=33),
+        "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_codecs": f"""
             WITH base AS (
               SELECT c_custkey, {_C_X} AS x, {_C_Y} AS y

@@ -1043,6 +1043,8 @@ def _coord_fn(fk, tk):
             return c
         if fk[0] == "webmerc":
             return _reproject_coords(c, False)
+        if fk[0] == "lcc":
+            return proj.lcc_inverse(c, fk[1:])
         return proj.utm_inverse(c, fk[1], fk[2])
 
     def from_ll(c):
@@ -1050,6 +1052,8 @@ def _coord_fn(fk, tk):
             return c
         if tk[0] == "webmerc":
             return _reproject_coords(c, True)
+        if tk[0] == "lcc":
+            return proj.lcc_forward(c, tk[1:])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

@@ -1,13 +1,16 @@
-"""Map projections for st_geomReproject: WGS84 ↔ Web Mercator and
-WGS84 ↔ UTM (Transverse Mercator, any zone, both hemispheres).
+"""Map projections for st_geomReproject: WGS84 ↔ Web Mercator,
+WGS84 ↔ UTM (Transverse Mercator, any zone, both hemispheres), and
+WGS84 ↔ Lambert conformal conic (param-driven, 1SP or 2SP — covers
+Lambert-93 / State Plane / Canada Atlas and any proj4 ``+proj=lcc``).
 
 The reference delegates reprojection to a full proj engine
 (``spatial-index/.../ST_GeomReproject.scala:25``); this container has
-no pyproj, so the two families real users hit first are implemented
-directly: the spherical Web Mercator pair (see functions/st.py) and the
-ellipsoidal UTM forward/inverse below (USGS/Snyder series, the same
-formulation every proj implementation uses; accurate to ~1 mm within a
-zone, degrading gracefully a few degrees outside).
+no pyproj, so the three families real users hit first are implemented
+directly: the spherical Web Mercator pair (see functions/st.py), the
+ellipsoidal UTM forward/inverse, and the ellipsoidal LCC forward/
+inverse below (USGS/Snyder formulations, the same every proj
+implementation uses; accurate to ~1 mm within the projection's
+validity area, degrading gracefully outside).
 
 Numerical layout is deliberate: every coefficient is precomputed as a
 Python double and the per-point expressions use explicit left-to-right
@@ -24,7 +27,15 @@ import re
 
 import numpy as np
 
-__all__ = ["parse_crs", "utm_forward", "utm_inverse", "UTM_CONSTS"]
+__all__ = [
+    "parse_crs",
+    "utm_forward",
+    "utm_inverse",
+    "UTM_CONSTS",
+    "lcc_forward",
+    "lcc_inverse",
+    "lcc_consts",
+]
 
 # WGS84 ellipsoid
 _A = 6378137.0
@@ -54,11 +65,31 @@ UTM_CONSTS = {
 
 _UTM_RE = re.compile(r"^EPSG:(32[67])(\d{2})$", re.IGNORECASE)
 
+# Well-known LCC systems by EPSG code: (lat_1, lat_2, lat_0, lon_0,
+# x_0, y_0), parameters from the public EPSG registry definitions.
+# (2154/3978 are defined on GRS80; GRS80 and WGS84 differ by ~0.1 mm
+# in flattening — far below this module's 1 mm accuracy statement.)
+_LCC_EPSG = {
+    2154: (49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),     # RGF93 / Lambert-93
+    3978: (49.0, 77.0, 49.0, -95.0, 0.0, 0.0),              # NAD83 / Canada Atlas
+    3347: (49.0, 77.0, 63.390675, -91.86666666666666, 6200000.0, 3000000.0),  # StatsCan
+}
+
+
+def _proj4_num(low: str, key: str, default: float | None) -> float:
+    m = re.search(rf"\+{key}=([-+0-9.eE]+)", low)
+    if m:
+        return float(m.group(1))
+    if default is None:
+        raise ValueError(f"proj4 lcc string is missing required +{key}=")
+    return default
+
 
 def parse_crs(crs: str):
-    """Classify a CRS string: ``("longlat",)``, ``("webmerc",)`` or
-    ``("utm", zone, north)``. Raises ValueError for anything else —
-    silent nulls on unsupported CRSes lose data invisibly."""
+    """Classify a CRS string: ``("longlat",)``, ``("webmerc",)``,
+    ``("utm", zone, north)`` or ``("lcc", lat1, lat2, lat0, lon0, x0,
+    y0)``. Raises ValueError for anything else — silent nulls on
+    unsupported CRSes lose data invisibly."""
     c = crs.strip()
     m = _UTM_RE.match(c)
     if m:
@@ -67,6 +98,17 @@ def parse_crs(crs: str):
             raise ValueError(f"UTM zone out of range in {crs!r}")
         return ("utm", zone, m.group(1) == "326")
     low = c.lower()
+    em = re.match(r"^epsg:(\d+)$", low)
+    if em and int(em.group(1)) in _LCC_EPSG:
+        return ("lcc",) + _LCC_EPSG[int(em.group(1))]
+    if "+proj=lcc" in low:  # param-driven: any conic of the family
+        lat1 = _proj4_num(low, "lat_1", None)
+        lat2 = _proj4_num(low, "lat_2", lat1)
+        lat0 = _proj4_num(low, "lat_0", 0.0)
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("lcc", lat1, lat2, lat0, lon0, x0, y0)
     if "4326" in low or "longlat" in low:
         return ("longlat",)
     if "3857" in low or "merc" in low:
@@ -77,7 +119,9 @@ def parse_crs(crs: str):
             return ("utm", int(zm.group(1)), "+south" not in low)
     raise ValueError(
         f"unsupported CRS {crs!r}: supported are EPSG:4326 (lon/lat), "
-        "EPSG:3857 (web mercator), EPSG:326xx/327xx (UTM north/south) "
+        "EPSG:3857 (web mercator), EPSG:326xx/327xx (UTM north/south), "
+        "Lambert conformal conic (proj4 '+proj=lcc +lat_1=.. [+lat_2=..] "
+        "[+lat_0=..] [+lon_0=..] [+x_0=..] [+y_0=..]' or EPSG:2154/3347/3978) "
         "and their proj4 equivalents"
     )
 
@@ -153,5 +197,95 @@ def utm_inverse(coords: np.ndarray, zone: int, north: bool) -> np.ndarray:
         * d * d * d * d * d / 120.0
     ) / cp1
     out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (ellipsoidal, 1SP/2SP — Snyder pp. 107-109,
+# the EPSG 9802 method used by Lambert-93, US State Plane, Canada Atlas)
+# ---------------------------------------------------------------------------
+
+_E = math.sqrt(_E2)
+
+
+def _lcc_t_scalar(phi: float) -> float:
+    sp = math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - _E * sp) / (1.0 + _E * sp)
+    ) ** (_E / 2.0)
+
+
+def _lcc_m_scalar(phi: float) -> float:
+    sp = math.sin(phi)
+    return math.cos(phi) / math.sqrt(1.0 - _E2 * sp * sp)
+
+
+def lcc_consts(lat1: float, lat2: float, lat0: float, lon0: float) -> dict:
+    """Projection constants (n, F, a·F, ρ0, λ0, e) for an LCC defined by
+    standard parallels lat1/lat2 (degrees; equal → the 1SP tangent
+    cone), latitude/longitude of origin lat0/lon0. All plain Python
+    doubles so an oracle-SQL generator can embed them as literals and
+    replay the per-point expressions exactly."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    t1, t0 = _lcc_t_scalar(p1), _lcc_t_scalar(p0)
+    m1 = _lcc_m_scalar(p1)
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        t2, m2 = _lcc_t_scalar(p2), _lcc_m_scalar(p2)
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f = m1 / (n * t1**n)
+    af = _A * f
+    return {
+        "n": n,
+        "f": f,
+        "af": af,
+        "rho0": af * t0**n,
+        "lam0": math.radians(lon0),
+        "e": _E,
+    }
+
+
+def lcc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → LCC (easting, northing) meters. Vectorized.
+    ``params`` = (lat1, lat2, lat0, lon0, x0, y0) in degrees/meters."""
+    lat1, lat2, lat0, lon0, x0, y0 = params
+    k = lcc_consts(lat1, lat2, lat0, lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    t = np.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - k["e"] * sp) / (1.0 + k["e"] * sp)
+    ) ** (k["e"] / 2.0)
+    rho = k["af"] * t ** k["n"]
+    th = k["n"] * (lam - k["lam0"])
+    out[:, 0] = x0 + rho * np.sin(th)
+    out[:, 1] = y0 + k["rho0"] - rho * np.cos(th)
+    return out
+
+
+def lcc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """LCC (easting, northing) meters → (lon°, lat°). Vectorized.
+    Latitude is recovered by the standard fixed-point iteration on the
+    isometric-latitude relation (8 rounds: converges to <1e-12 rad —
+    double precision — in ≤5 for |φ|<89°)."""
+    lat1, lat2, lat0, lon0, x0, y0 = params
+    k = lcc_consts(lat1, lat2, lat0, lon0)
+    out = coords.copy()
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    xp = coords[:, 0] - x0
+    yp = k["rho0"] - (coords[:, 1] - y0)
+    rho = sgn * np.sqrt(xp * xp + yp * yp)
+    th = np.arctan2(sgn * xp, sgn * yp)
+    t = (rho / k["af"]) ** (1.0 / k["n"])
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - k["e"] * sp) / (1.0 + k["e"] * sp)) ** (k["e"] / 2.0)
+        )
+    out[:, 0] = np.degrees(th / k["n"] + k["lam0"])
     out[:, 1] = np.degrees(phi)
     return out

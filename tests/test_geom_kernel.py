@@ -199,3 +199,64 @@ def test_null_and_empty_handling():
     assert alg.area(from_wkt("POLYGON EMPTY")) == 0.0
     assert from_wkt("POINT EMPTY").is_empty
     assert len(from_wkt("POINT EMPTY").coords) == 0
+
+
+def test_lcc_forward_matches_published_and_roundtrips():
+    """Lambert-93 forward agrees with the published EPSG:2154 values
+    for Paris to <1 m, and inverse(forward) is identity to ~1e-12°
+    across the projection's whole validity area."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    paris = np.array([[2.3522, 48.8566]])
+    xy = P.lcc_forward(paris, P._LCC_EPSG[2154])
+    assert abs(xy[0, 0] - 652469.02) < 1.0 and abs(xy[0, 1] - 6862035.26) < 1.0
+    rng = np.random.RandomState(7)
+    pts = np.column_stack([rng.uniform(-10, 15, 200), rng.uniform(35, 55, 200)])
+    rt = P.lcc_inverse(P.lcc_forward(pts, P._LCC_EPSG[2154]), P._LCC_EPSG[2154])
+    assert np.abs(rt - pts).max() < 1e-11
+
+
+def test_lcc_proj4_param_driven_and_1sp():
+    """Any +proj=lcc string parses param-driven; lat_2 defaults to
+    lat_1 (the 1SP tangent cone), and the 1SP forward/inverse
+    round-trips."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    kind = P.parse_crs(
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +x_0=0 +y_0=0"
+    )
+    assert kind == ("lcc", 33.0, 45.0, 39.0, -96.0, 0.0, 0.0)
+    one_sp = P.parse_crs("+proj=lcc +lat_1=40 +lon_0=5")
+    assert one_sp == ("lcc", 40.0, 40.0, 0.0, 5.0, 0.0, 0.0)
+    pts = np.column_stack([np.linspace(-5, 15, 50), np.linspace(30, 50, 50)])
+    rt = P.lcc_inverse(P.lcc_forward(pts, one_sp[1:]), one_sp[1:])
+    assert np.abs(rt - pts).max() < 1e-11
+
+
+def test_lcc_via_st_geomreproject(spark):
+    """End-to-end through the SQL surface: EPSG:4326 → EPSG:2154 on a
+    point column, checked against the kernel directly."""
+    import numpy as np
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.geom import projections as P
+    from pyspark.sql import functions as F
+
+    register_all(spark)
+    df = spark.createDataFrame([(1, 2.3522, 48.8566)], "id LONG, x DOUBLE, y DOUBLE")
+    out = df.select(
+        F.call_function(
+            "st_x",
+            F.call_function(
+                "st_geomreproject",
+                F.call_function("st_makepoint", F.col("x"), F.col("y")),
+                F.lit("EPSG:4326"), F.lit("EPSG:2154"),
+            ),
+        ).alias("e")
+    ).collect()[0].e
+    want = P.lcc_forward(np.array([[2.3522, 48.8566]]), P._LCC_EPSG[2154])[0, 0]
+    assert abs(out - want) < 0.5  # st_x is float32
