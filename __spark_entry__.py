@@ -1870,14 +1870,25 @@ def _width_guard(c, bits: int, who: str):
     """Fail LOUDLY when a value exceeds the declared byte width —
     ``lpad(hex(x))`` would otherwise silently TRUNCATE wide values into
     corrupted bytes. assert_true returns NULL on success, so the
-    when() passes the value through after the check."""
+    when() passes the value through after the check.
+
+    The check runs inside a single-element array transform so the input
+    expression ``c`` is bound ONCE and referenced via the (leaf-cheap)
+    lambda variable: referencing ``c`` three times directly would
+    triplicate its whole subtree, which compounds ~27× through the
+    3-deep nested box synthesis in q_multimodal_video (measured 2.4×
+    query slowdown before this formulation)."""
     if bits >= 63:
         return c
-    ok = F.assert_true(
-        (c >= 0) & (c < F.lit(1 << bits).cast("long")),
-        F.lit(f"{who}: value exceeds declared {bits}-bit width"),
-    )
-    return F.when(ok.isNull(), c)
+
+    def chk(x):
+        ok = F.assert_true(
+            (x >= 0) & (x < F.lit(1 << bits).cast("long")),
+            F.lit(f"{who}: value exceeds declared {bits}-bit width"),
+        )
+        return F.when(ok.isNull(), x)
+
+    return F.element_at(F.transform(F.array(c), chk), 1)
 
 
 def _be_bytes(col, hex_width: int):
@@ -2081,6 +2092,134 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pixel_dims():
+    """Shared per-doc raster dims for the pixel-decode queries: w 3..15
+    exercises every row-padding/stride case, h 2..10."""
+    w = (F.col("doc_id") % 13 + 3).cast("int")
+    h = (F.col("doc_id") % 9 + 2).cast("int")
+    return w, h
+
+
+def q_multimodal_pixels_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode via stdlib-zlib inflate: the query
+    assembles COMPLETE valid PNGs natively in SQL — IHDR (8-bit RGB,
+    non-interlaced), and an IDAT whose zlib stream is a single
+    stored-mode DEFLATE block (BFINAL=1/BTYPE=00 with LEN/NLEN framing
+    — stored blocks are part of the DEFLATE format, so the decoder path
+    exercised is the same inflate that handles compressed streams) with
+    per-row filter-0 scanlines of a solid per-doc RGB color. The strict
+    pixel path — decode_png_pixels → filter reconstruction →
+    nearest-neighbor resize to 5×4 — returns the raster as hex, and the
+    oracle reconstructs it analytically (solid color → the RGB triple
+    repeated 20×). Any error in chunk walking, DEFLATE framing,
+    scanline/filter-byte layout, or the resampler breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    w, h = _pixel_dims()
+    # hex helpers over doc_id arithmetic (all native, SQL-replayable)
+    rgb_hex = (
+        "concat(lpad(hex(doc_id * 13 % 256), 2, '0'),"
+        " lpad(hex(doc_id * 7 % 256), 2, '0'),"
+        " lpad(hex(doc_id % 256), 2, '0'))"
+    )
+    w_sql = "CAST(doc_id % 13 + 3 AS INT)"
+    h_sql = "CAST(doc_id % 9 + 2 AS INT)"
+    # filter-0 scanlines: per row '00' + RGB×w; h rows
+    raw_hex = F.expr(
+        f"repeat(concat('00', repeat({rgb_hex}, {w_sql})), {h_sql})"
+    )
+    raw_len = (h * (F.lit(1) + w * 3)).cast("long")  # bytes in the stored block
+    # zlib: 0x78 0x01 header, stored-block 0x01 + LEN(le16) + NLEN(le16),
+    # then the scanlines; Adler-32 trailer is zeros (decoder inflates the
+    # raw-DEFLATE body, so the trailer is never checked)
+    zstream = F.concat(
+        F.lit(bytes.fromhex("780101")),
+        _le_bytes(raw_len, 2),
+        _le_bytes(F.lit(65535) - raw_len, 2),
+        F.unhex(raw_hex),
+        F.lit(bytes(4)),
+    )
+    png = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a" + "0000000d" + "49484452")),
+        _be_bytes(w, 8),
+        _be_bytes(h, 8),
+        F.lit(bytes.fromhex("0802000000" + "00000000")),  # depth 8, RGB + CRC slot
+        _be_bytes(raw_len + 11, 8),  # IDAT length: 2+5+raw+4
+        F.lit(b"IDAT"),
+        zstream,
+        F.lit(bytes(4)),  # IDAT CRC slot (ignored)
+        F.lit(bytes.fromhex("00000000") + b"IEND" + bytes(4)),
+    )
+    src = docs.select("doc_id", png.alias("media"))
+    dec = multimodal.decode_image_batch(src, "media", strict=True)
+    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    return rs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("mime").alias("mime"),
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.hex(F.col("media")).alias("resized_hex"),
+        F.col("out_width").alias("out_width"),
+        F.col("out_height").alias("out_height"),
+    )
+
+
+#: fixed 128-entry GIF global color table (entry i = (37i, 59i, 83i) mod 256)
+_GIF_PALETTE = bytes(
+    v for i in range(128) for v in (i * 37 % 256, i * 59 % 256, i * 83 % 256)
+)
+
+
+def q_multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode via the pure-Python LZW decoder: the query
+    assembles COMPLETE valid GIF89a streams natively in SQL using the
+    classic 'uncompressed GIF' LZW construction — with min-code-size 7
+    the code width is exactly 8 bits, so each literal pixel code is one
+    byte and a clear code (0x80) at the start of every row keeps the
+    dictionary small enough that the width never grows. The byte stream
+    is therefore SQL-synthesizable, yet the decoder that consumes it is
+    the full variable-width LZW machine (clear/EOI handling, dictionary
+    rebuild, code lookup — the same code path real GIFs take, with
+    width growth exercised by the pytest round-trips). Solid per-doc
+    palette index → strict decode → resize to 5×4 → hex raster; the
+    oracle replays the palette formula analytically."""
+    docs = _t(spark, sf_dir, "documents")
+    w, h = _pixel_dims()
+    w_sql = "CAST(doc_id % 13 + 3 AS INT)"
+    h_sql = "CAST(doc_id % 9 + 2 AS INT)"
+    # LZW body: per row CLEAR(0x80) + w literal index bytes; EOI(0x81)
+    data_hex = F.expr(
+        f"concat(repeat(concat('80', repeat(lpad(hex(doc_id % 128), 2, '0'),"
+        f" {w_sql})), {h_sql}), '81')"
+    )
+    data_len = (h * (w + 1) + 1).cast("long")  # ≤ 161 bytes: one sub-block
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        _le_bytes(w, 2),
+        _le_bytes(h, 2),
+        F.lit(bytes([0x86, 0, 0])),  # GCT present, 2<<6 = 128 entries
+        F.lit(_GIF_PALETTE),
+        F.lit(b"\x2c" + bytes(4)),  # image descriptor at (0,0)
+        _le_bytes(w, 2),
+        _le_bytes(h, 2),
+        F.lit(bytes([0x00, 0x07])),  # no LCT/interlace; min code size 7
+        _le_bytes(data_len, 1),
+        F.unhex(data_hex),
+        F.lit(b"\x00\x3b"),  # sub-block terminator + trailer
+    )
+    src = docs.select("doc_id", gif.alias("media"))
+    dec = multimodal.decode_image_batch(src, "media", strict=True)
+    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    return rs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("mime").alias("mime"),
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.hex(F.col("media")).alias("resized_hex"),
+        F.col("out_width").alias("out_width"),
+        F.col("out_height").alias("out_height"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2168,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "multimodal_pixels": q_multimodal_pixels,
+        "multimodal_pixels_png": q_multimodal_pixels_png,
+        "multimodal_pixels_gif": q_multimodal_pixels_gif,
     }
 
 
@@ -3833,6 +3974,38 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(doc_id * 13 % 256 AS INTEGER),
                                  CAST(doc_id * 7 % 256 AS INTEGER),
                                  CAST(doc_id % 256 AS INTEGER)), 20) AS resized_hex,
+                   CAST(5 AS INTEGER) AS out_width,
+                   CAST(4 AS INTEGER) AS out_height
+            FROM documents
+        """,
+        # solid-color PNG (stored-DEFLATE IDAT, filter-0 scanlines):
+        # resized raster = the RGB triple (written in RGB order) × 20
+        "multimodal_pixels_png": """
+            SELECT doc_id,
+                   'image/png' AS mime,
+                   CAST(doc_id % 13 + 3 AS INTEGER) AS width,
+                   CAST(doc_id % 9 + 2 AS INTEGER) AS height,
+                   repeat(printf('%02X%02X%02X',
+                                 CAST(doc_id * 13 % 256 AS INTEGER),
+                                 CAST(doc_id * 7 % 256 AS INTEGER),
+                                 CAST(doc_id % 256 AS INTEGER)), 20) AS resized_hex,
+                   CAST(5 AS INTEGER) AS out_width,
+                   CAST(4 AS INTEGER) AS out_height
+            FROM documents
+        """,
+        # solid-index GIF (8-bit-code LZW construction): resized raster
+        # = global-color-table entry (37i, 59i, 83i) mod 256 at
+        # i = doc_id % 128, × 20
+        "multimodal_pixels_gif": """
+            SELECT doc_id,
+                   'image/gif' AS mime,
+                   CAST(doc_id % 13 + 3 AS INTEGER) AS width,
+                   CAST(doc_id % 9 + 2 AS INTEGER) AS height,
+                   repeat(printf('%02X%02X%02X',
+                                 CAST((doc_id % 128) * 37 % 256 AS INTEGER),
+                                 CAST((doc_id % 128) * 59 % 256 AS INTEGER),
+                                 CAST((doc_id % 128) * 83 % 256 AS INTEGER)),
+                          20) AS resized_hex,
                    CAST(5 AS INTEGER) AS out_width,
                    CAST(4 AS INTEGER) AS out_height
             FROM documents

@@ -34,7 +34,7 @@ four field comparisons for the parquet PushedFilters, so nothing is
 lost at the scan (asserted in test_spatial_sql.py).
 
 Identifiers may be bare, qualified (``t.bbox``), backticked
-(``\`my col\``), or both (``t.\`my col\``).
+(backtick-quoted ``my col``), or both (``t`` . backtick-quoted ``my col``).
 
 If the rewritten SQL fails analysis (e.g. the first argument turns out
 to be a binary geometry column, which has no ``.xmin`` field), the

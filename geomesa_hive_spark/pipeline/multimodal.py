@@ -7,22 +7,35 @@ Container/header parsing (:func:`parse_image_header` — PNG IHDR, JPEG
 SOF, GIF, BMP) is REAL pure-Python byte parsing: width/height/mime come
 from the actual image headers, no codec library needed.
 
-PIXEL kernels (round 3): BMP is decoded FOR REAL — uncompressed
-BITMAPINFOHEADER rasters (8-bit palette, 24-bit BGR, 32-bit BGRA,
-bottom-up or top-down) are pure byte layout, no entropy coding, so
-:func:`decode_bmp_pixels` produces the actual RGB raster with NumPy
-alone, and resize / feature-extract / brightness run on real pixels for
-BMP inputs (including under ``strict=True``). Formats that genuinely
-need a codec library (PNG inflate, JPEG DCT, GIF LZW) keep the declared
-deterministic stubs: each kernel raises ``NotImplementedError``
-(``strict=True``) or produces a clearly-marked fake derived from the
-bytes, which keeps pipelines runnable end-to-end and schema-stable.
+PIXEL kernels (round 3): THREE of the four formats decode FOR REAL —
+no codec library needed, because their "compression" is reachable from
+the standard library and NumPy alone:
+
+- BMP — uncompressed BITMAPINFOHEADER rasters (8-bit palette, 24-bit
+  BGR, 32-bit BGRA, bottom-up or top-down) are pure byte layout
+  (:func:`decode_bmp_pixels`).
+- PNG — DEFLATE is stdlib ``zlib``; :func:`decode_png_pixels` walks the
+  chunk list, inflates the IDAT stream, and reconstructs all five
+  per-row filters (None/Sub/Up/Average/Paeth) for 8-bit gray, gray+α,
+  palette, RGB and RGBA, non-interlaced.
+- GIF — LZW is pure bit-arithmetic; :func:`decode_gif_pixels` is a full
+  variable-code-width decoder (clear/EOI, 12-bit cap, deferred-clear
+  streams, Adam-free 4-pass interlace reordering, local/global color
+  tables, first frame of animations).
+
+resize / feature-extract / brightness run on real pixels for all three
+(including under ``strict=True``). JPEG is the one genuinely
+codec-bound format (Huffman+DCT); it keeps the declared deterministic
+stub: kernels raise ``NotImplementedError`` (``strict=True``) or
+produce a clearly-marked fake derived from the bytes, which keeps
+pipelines runnable end-to-end and schema-stable.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -38,6 +51,9 @@ __all__ = [
     "parse_wav_header",
     "parse_mp4_header",
     "decode_bmp_pixels",
+    "decode_png_pixels",
+    "decode_gif_pixels",
+    "decode_pixels",
     "decode_image_batch",
     "decode_audio_batch",
     "decode_video_batch",
@@ -244,6 +260,263 @@ def decode_bmp_pixels(buf: bytes) -> "np.ndarray | None":
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> "np.ndarray | None":
+    """Reverse the five PNG per-row filters (spec §9: None/Sub/Up/
+    Average/Paeth) on the inflated scanline stream. ``raw`` is the
+    h·(1+w·ch) byte stream; returns (h, w·ch) uint8 or None if a row
+    carries an unknown filter id. Sub is a per-lane cumulative sum
+    (vectorized); Average/Paeth have a true sequential dependency along
+    x, so they fall back to a per-pixel loop — fine for the Arrow batch
+    sizes this runs on."""
+    stride = 1 + w * ch
+    rows = raw[: h * stride].reshape(h, stride)
+    filters = rows[:, 0]
+    if filters.max(initial=0) > 4:
+        return None
+    out = np.zeros((h, w * ch), dtype=np.uint16)
+    prev = np.zeros(w * ch, dtype=np.uint16)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.uint16)
+        if f == 0:
+            line = cur
+        elif f == 1:  # Sub: prefix sum per byte lane, stride = ch
+            line = cur.copy()
+            for lane in range(ch):
+                line[lane::ch] = np.cumsum(cur[lane::ch], dtype=np.uint64) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = np.zeros_like(cur)
+            for x in range(w * ch):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        else:  # Paeth
+            line = np.zeros_like(cur)
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (cur[x] + pred) & 0xFF
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8)
+
+
+def decode_png_pixels(buf: bytes) -> "np.ndarray | None":
+    """REAL raster decode for PNG: returns an (h, w, 3) uint8 RGB array,
+    or None if the bytes are not a decodable PNG.
+
+    PNG's entropy coding is DEFLATE, which the standard library ships
+    (``zlib``) — so unlike JPEG, no external codec is needed: walk the
+    chunk list (CRCs ignored), inflate the concatenated IDAT stream as
+    a raw-DEFLATE body (tolerates a missing/fake Adler-32 trailer, so
+    natively-synthesized stored-block streams decode too), and reverse
+    the per-row filters (:func:`_png_unfilter`). Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6
+    (RGBA; alpha dropped), non-interlaced. Everything else (16-bit,
+    sub-byte palette depths, Adam7 interlace, malformed streams)
+    returns None so callers fall back to their declared stubs."""
+    if buf is None or len(buf) < 45 or buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w, h, depth, ctype, interlace = 8, None, None, None, None, None
+    palette, idat = None, []
+    while pos + 8 <= len(buf):
+        clen = int.from_bytes(buf[pos : pos + 4], "big")
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None
+        if tag == b"IHDR":
+            if clen < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8, (clen // 3) * 3).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen  # length + tag + data + CRC
+    if not idat or not w or not h or depth != 8 or interlace != 0:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or (ctype == 3 and palette is None):
+        return None
+    z = b"".join(idat)
+    if len(z) < 3 or (z[0] & 0x0F) != 8 or (z[1] & 0x20):  # not zlib / FDICT set
+        return None
+    try:  # raw-DEFLATE inflate: header stripped, Adler trailer never checked
+        raw = zlib.decompressobj(wbits=-15).decompress(z[2:], h * (1 + w * nch))
+    except zlib.error:
+        return None
+    if len(raw) < h * (1 + w * nch):
+        return None
+    px = _png_unfilter(np.frombuffer(raw, np.uint8), h, w, nch)
+    if px is None:
+        return None
+    px = px.reshape(h, w, nch)
+    if ctype == 3:
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(palette):
+            return None
+        return palette[idx].copy()
+    if ctype in (0, 4):  # gray (+alpha): replicate luminance
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> "list[int] | None":
+    """Full variable-code-width GIF LZW decoder (GIF89a spec appendix F):
+    LSB-first bit packing, clear + EOI codes, width grows at dictionary
+    sizes 2^n up to the 12-bit cap (deferred-clear streams stay at 4095
+    entries until an explicit clear). Returns the pixel-index list, or
+    None on a corrupt stream."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    bitbuf = bitlen = 0
+    width = min_code + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    for byte in data:
+        bitbuf |= byte << bitlen
+        bitlen += 8
+        while bitlen >= width:
+            code = bitbuf & ((1 << width) - 1)
+            bitbuf >>= width
+            bitlen -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out if len(out) >= n_expected else None
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_expected:
+                return out[:n_expected]
+    return out if len(out) >= n_expected else None
+
+
+def decode_gif_pixels(buf: bytes) -> "np.ndarray | None":
+    """REAL raster decode for GIF: returns an (h, w, 3) uint8 RGB array
+    for the FIRST image frame, or None if the bytes are not a decodable
+    GIF.
+
+    GIF's entropy coding is LZW — pure bit arithmetic, no codec library
+    needed (:func:`_gif_lzw_decode`). Walks the GIF87a/89a stream:
+    logical screen descriptor, global color table, extension blocks
+    (skipped), then the first image descriptor with its optional local
+    color table and 4-pass interlace reordering. Frames smaller than the
+    logical screen are returned at their own (h, w) — compositing onto
+    the canvas is an animation concern, not a decode concern."""
+    if buf is None or len(buf) < 14 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = buf[10]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(buf):
+            return None
+        gct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(buf):
+                return None
+            w = int.from_bytes(buf[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(buf[pos + 7 : pos + 9], "little")
+            iflags = buf[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table wins
+                n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(buf):
+                    return None
+                pal = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or w <= 0 or h <= 0 or pos >= len(buf):
+                return None
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(buf) and buf[pos]:
+                n = buf[pos]
+                data += buf[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None:
+                return None
+            arr = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            if arr.max(initial=0) >= len(pal):
+                return None
+            if iflags & 0x40:  # 4-pass interlace: rows arrive 0,8.. 4,8.. 2,4.. 1,2..
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinterlaced = np.empty_like(arr)
+                deinterlaced[order] = arr
+                arr = deinterlaced
+            return pal[arr].copy()
+        elif b0 == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def decode_pixels(buf: bytes) -> "np.ndarray | None":
+    """Dispatch to the real raster decoders — BMP (byte layout), PNG
+    (stdlib inflate), GIF (pure-Python LZW). Returns (h, w, 3) uint8
+    RGB or None (JPEG and malformed inputs → None; callers fall back to
+    their declared stubs)."""
+    if buf is None or len(buf) < 2:
+        return None
+    if buf[:2] == b"BM":
+        return decode_bmp_pixels(buf)
+    if buf[:4] == b"\x89PNG":
+        return decode_png_pixels(buf)
+    if buf[:4] in (b"GIF8",):
+        return decode_gif_pixels(buf)
+    return None
+
+
 def _bmp_brightness(px: np.ndarray) -> float:
     """Mean Rec.601 luminance of an RGB raster, normalized to [0, 1]."""
     lum = (
@@ -299,14 +572,15 @@ def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> 
 
     mime/width/height come from :func:`parse_image_header` — REAL
     byte-level container parsing of PNG/JPEG/GIF/BMP headers. brightness
-    is REAL (mean Rec.601 luminance of the actual raster) for
-    decodable uncompressed BMPs (:func:`decode_bmp_pixels`); for the
-    entropy-coded formats (PNG/JPEG/GIF) it needs a codec library this
-    container lacks and stays the declared deterministic STUB
-    (:func:`_fake_decode`). Bytes that are not a recognized image
-    container fall back entirely to the stub (null mime marks them
-    fake). ``strict=True`` raises NotImplementedError for anything the
-    real path can't decode — decodable BMPs pass strict.
+    is REAL (mean Rec.601 luminance of the actual raster) for decodable
+    BMP, PNG and GIF inputs (:func:`decode_pixels` — BMP is raw layout,
+    PNG inflates via stdlib zlib, GIF via the pure-Python LZW decoder).
+    JPEG needs a Huffman+DCT codec this container lacks and stays the
+    declared deterministic STUB (:func:`_fake_decode`). Bytes that are
+    not a recognized image container fall back entirely to the stub
+    (null mime marks them fake). ``strict=True`` raises
+    NotImplementedError for anything the real path can't decode —
+    decodable BMP/PNG/GIF pass strict.
     """
     schema = T.StructType(
         list(df.schema.fields)
@@ -327,7 +601,7 @@ def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> 
                     continue
                 b = bytes(buf)
                 parsed = parse_image_header(b)
-                px = decode_bmp_pixels(b) if parsed and parsed[0] == "image/bmp" else None
+                px = decode_pixels(b) if parsed else None
                 if px is not None:  # REAL raster: real brightness
                     mime, pw, ph = parsed
                     mm.append(mime), w.append(pw), hgt.append(ph)
@@ -335,11 +609,10 @@ def decode_image_batch(df: DataFrame, binary_col: str, strict: bool = False) -> 
                     continue
                 if strict:
                     raise NotImplementedError(
-                        "pixel decoding of entropy-coded formats requires an "
-                        "image library not present in this environment "
-                        "(uncompressed BMP decodes for real); use "
-                        "strict=False for header-only dims plus the "
-                        "deterministic brightness stub"
+                        "pixel decoding of JPEG requires a Huffman+DCT codec "
+                        "not present in this environment (BMP/PNG/GIF decode "
+                        "for real); use strict=False for header-only dims "
+                        "plus the deterministic brightness stub"
                     )
                 if parsed is not None:
                     mime, pw, ph = parsed
@@ -444,11 +717,11 @@ def extract_image_features(
     df: DataFrame, binary_col: str, dim: int = 16
 ) -> DataFrame:
     """Feature extractor: an L2-normalized ``dim``-bin histogram. For
-    decodable uncompressed BMPs the histogram is over the REAL pixel
-    luminance raster (:func:`decode_bmp_pixels`); for entropy-coded
-    formats it is the declared stub over the raw bytes (real pipelines
-    swap in a model UDF — the Arrow batch shape, schema and partition
-    behavior are identical either way)."""
+    decodable BMP/PNG/GIF inputs the histogram is over the REAL pixel
+    luminance raster (:func:`decode_pixels`); for JPEG it is the
+    declared stub over the raw bytes (real pipelines swap in a model
+    UDF — the Arrow batch shape, schema and partition behavior are
+    identical either way)."""
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
@@ -461,7 +734,7 @@ def extract_image_features(
                     feats.append(None)
                     continue
                 b = bytes(buf)
-                px = decode_bmp_pixels(b)
+                px = decode_pixels(b)
                 if px is not None:  # REAL pixels: luminance histogram
                     arr = (
                         0.299 * px[:, :, 0].astype(np.float64)
@@ -487,15 +760,15 @@ def resize_images(
     """Resizer: replaces ``binary_col`` with a width×height raster plus
     the target dims as typed metadata.
 
-    For decodable uncompressed BMPs this is a REAL nearest-neighbor
-    resample of the actual pixels (:func:`decode_bmp_pixels`; output is
+    For decodable BMP/PNG/GIF inputs this is a REAL nearest-neighbor
+    resample of the actual pixels (:func:`decode_pixels`; output is
     the packed RGB raster, h·w·3 bytes, row-major top-down — including
-    under ``strict=True``). For entropy-coded formats the kernel stays
-    the declared STUB (uniform byte-samples of the source, w·h long);
-    real pipelines swap in PIL/cv2 — the Arrow batch shape, output
-    schema, and per-partition behavior are the production path either
-    way. ``strict=True`` raises NotImplementedError instead of faking
-    pixels it can't really decode."""
+    under ``strict=True``). For JPEG the kernel stays the declared STUB
+    (uniform byte-samples of the source, w·h long); real pipelines swap
+    in PIL/cv2 — the Arrow batch shape, output schema, and
+    per-partition behavior are the production path either way.
+    ``strict=True`` raises NotImplementedError instead of faking pixels
+    it can't really decode."""
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("out_width", T.IntegerType()), T.StructField("out_height", T.IntegerType())]
@@ -509,7 +782,7 @@ def resize_images(
                     out.append(None)
                     continue
                 b = bytes(buf)
-                px = decode_bmp_pixels(b)
+                px = decode_pixels(b)
                 if px is not None:  # REAL nearest-neighbor resample
                     sh, sw = px.shape[:2]
                     ri = np.minimum((np.arange(height) * sh) // height, sh - 1)
@@ -518,10 +791,9 @@ def resize_images(
                     continue
                 if strict:
                     raise NotImplementedError(
-                        "resizing entropy-coded images requires an imaging "
-                        "library not present in this environment "
-                        "(uncompressed BMP resizes for real); use "
-                        "strict=False for the stub"
+                        "resizing JPEG images requires an imaging library "
+                        "not present in this environment (BMP/PNG/GIF "
+                        "resize for real); use strict=False for the stub"
                     )
                 a = np.frombuffer(b, dtype=np.uint8)
                 n = width * height
