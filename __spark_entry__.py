@@ -25,7 +25,14 @@ from geomesa_hive_spark import register_all
 from geomesa_hive_spark.functions import api as ST
 from geomesa_hive_spark.operators.convex_hull_agg import convex_hull_grouped
 from geomesa_hive_spark.operators.pushdown import contains_pushdown, intersects_pushdown
-from geomesa_hive_spark.pipeline import dedup, multimodal, sampling, similarity, text
+from geomesa_hive_spark.pipeline import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1737,6 +1744,58 @@ def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing (pipeline/packing.py
+    chunk_pack): documents sharded by doc_id % 8, concatenated in
+    doc_id order, token stream (n_chars as the deterministic token
+    weight) cut every 4096 tokens. Fully native — one window per shard,
+    integer DIV for the chunk ids. The oracle replays the exclusive
+    running sum + DIV arithmetic, so boundary-straddling spans are
+    hash-verified per document."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    out = packing.chunk_pack(
+        docs, "n_chars", "doc_id", budget=4096, shard_col="shard"
+    )
+    return out.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("shard").alias("shard"),
+        F.col("tok_start").alias("tok_start"),
+        F.col("first_seq").alias("first_seq"),
+        F.col("last_seq").alias("last_seq"),
+        F.col("n_seqs").alias("n_seqs"),
+    )
+
+
+def q_pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split first-fit-in-order packing (pipeline/packing.py
+    greedy_pack): per shard (doc_id % 8), walk documents in doc_id
+    order and start a new sequence when the running fill would exceed
+    the 4096-token budget. The fill recurrence has no closed form —
+    Spark side is the documented applyInPandas sequential pass per
+    shard; the DuckDB oracle replays it with a recursive CTE over
+    row_number-chained rows, so every bin assignment and running fill
+    is hash-verified. Plus the native utilization report join."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    packed = packing.greedy_pack(
+        docs, "n_chars", "doc_id", budget=4096, shard_col="shard"
+    )
+    util = packing.pack_utilization(packed, "n_chars", 4096, "shard").select(
+        "shard", "n_seqs", F.round("utilization", 6).alias("utilization")
+    )
+    return packed.join(util, "shard").select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("shard").alias("shard"),
+        F.col("seq_bin").alias("seq_bin"),
+        F.col("seq_fill").alias("seq_fill"),
+        F.col("n_seqs").alias("shard_seqs"),
+        F.col("utilization").alias("shard_utilization"),
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based keeper selection: near-dup clusters (word-3-gram
     Jaccard ≥ 0.5 → connected components), keep the best-quality member
@@ -2296,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_text_winnowing,
         "pipeline_split": q_pipeline_split,
         "pipeline_mix": q_pipeline_mix,
+        "pipeline_pack": q_pipeline_pack,
+        "pipeline_pack_greedy": q_pipeline_pack_greedy,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
         "approx_stats": q_approx_stats,
@@ -3762,6 +3823,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS cnt,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM mixed GROUP BY source
+        """,
+        # concat-then-chunk packing: exclusive running sum + integer DIV
+        # replayed per shard
+        "pipeline_pack": """
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS INTEGER) AS shard,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                         PARTITION BY doc_id % 8 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tok_start,
+                   CAST(COALESCE(SUM(n_chars) OVER (
+                         PARTITION BY doc_id % 8 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // 4096 AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_chars > 0
+                        THEN (COALESCE(SUM(n_chars) OVER (
+                               PARTITION BY doc_id % 8 ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              + n_chars - 1) // 4096
+                        ELSE COALESCE(SUM(n_chars) OVER (
+                               PARTITION BY doc_id % 8 ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                             // 4096 END AS BIGINT) AS last_seq,
+                   CAST(CASE WHEN n_chars > 0
+                        THEN (COALESCE(SUM(n_chars) OVER (
+                               PARTITION BY doc_id % 8 ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              + n_chars - 1) // 4096
+                             - COALESCE(SUM(n_chars) OVER (
+                               PARTITION BY doc_id % 8 ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                               // 4096 + 1
+                        ELSE 0 END AS INTEGER) AS n_seqs
+            FROM documents
+        """,
+        # first-fit-in-order greedy packing: the fill recurrence replayed
+        # with a recursive CTE chained on per-shard row_number
+        "pipeline_pack_greedy": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+                     n_chars AS tok,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), g AS (
+              SELECT shard, rn, doc_id, tok,
+                     CAST(0 AS BIGINT) AS seq_bin,
+                     CAST(tok AS BIGINT) AS seq_fill
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.tok,
+                     CASE WHEN g.seq_fill + b.tok > 4096
+                          THEN g.seq_bin + 1 ELSE g.seq_bin END,
+                     CASE WHEN g.seq_fill + b.tok > 4096
+                          THEN CAST(b.tok AS BIGINT)
+                          ELSE g.seq_fill + b.tok END
+              FROM g JOIN base b ON b.shard = g.shard AND b.rn = g.rn + 1
+            ), util AS (
+              SELECT shard, MAX(seq_bin) + 1 AS shard_seqs,
+                     round(SUM(tok) / ((MAX(seq_bin) + 1) * 4096.0), 6)
+                       AS shard_utilization
+              FROM g GROUP BY shard
+            )
+            SELECT g.doc_id, g.shard, g.seq_bin, g.seq_fill,
+                   util.shard_seqs, util.shard_utilization
+            FROM g JOIN util ON g.shard = util.shard
         """,
         # clusters (recursive closure over jaccard pairs) + quality replay
         # + the same (quality DESC, id) keeper window; rk > 1 = dropped

@@ -7,6 +7,13 @@ Design rule: everything that can be a native Catalyst expression IS one
 Arrow-batched pandas UDFs for genuinely non-SQL kernels (minhash
 signatures, simhash, hyperplane LSH)."""
 
-from geomesa_hive_spark.pipeline import dedup, multimodal, sampling, similarity, text
+from geomesa_hive_spark.pipeline import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "sampling", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "packing", "sampling", "similarity", "text", "multimodal"]

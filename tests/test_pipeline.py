@@ -655,3 +655,66 @@ def test_minhash_lsh_band_shards_invariant(spark, docs):
               dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16,
                                       threshold=0.5, band_shards=5).collect()}
     assert base == salted and len(base) > 0
+
+
+# ------------------------------------------------------------------ packing
+def test_chunk_pack_spans_and_boundaries(spark):
+    """Concat-then-chunk: exact boundary, straddle, zero-token and
+    longer-than-budget docs, two independent shards."""
+    from geomesa_hive_spark.pipeline import packing
+
+    rows = [  # (id, shard, tokens)
+        (1, 0, 4), (2, 0, 4), (3, 0, 3),   # 4+4 fills budget 8; 3 starts seq 1
+        (4, 0, 0),                          # zero tokens: n_seqs 0
+        (5, 0, 20),                         # giant: spans seqs 1..3
+        (6, 1, 8), (7, 1, 1),               # second shard independent
+    ]
+    df = spark.createDataFrame(rows, "id LONG, shard INT, tok LONG")
+    out = {r.id: r for r in
+           packing.chunk_pack(df, "tok", "id", budget=8, shard_col="shard").collect()}
+    assert (out[1].tok_start, out[1].first_seq, out[1].last_seq, out[1].n_seqs) == (0, 0, 0, 1)
+    assert (out[2].first_seq, out[2].last_seq) == (0, 0)       # 4..7 inside seq 0
+    assert (out[3].first_seq, out[3].last_seq) == (1, 1)       # starts at 8
+    assert (out[4].tok_start, out[4].n_seqs) == (11, 0)        # zero-width
+    assert (out[5].first_seq, out[5].last_seq, out[5].n_seqs) == (1, 3, 3)  # 11..30
+    assert (out[6].first_seq, out[6].last_seq) == (0, 0)
+    assert (out[7].first_seq, out[7].last_seq) == (1, 1)
+
+
+def test_greedy_pack_first_fit_and_utilization(spark):
+    from geomesa_hive_spark.pipeline import packing
+
+    rows = [(1, 0, 5), (2, 0, 4), (3, 0, 3), (4, 0, 9), (5, 0, 1),
+            (6, 1, 2), (7, 1, 2)]
+    df = spark.createDataFrame(rows, "id LONG, shard INT, tok LONG")
+    packed = packing.greedy_pack(df, "tok", "id", budget=8, shard_col="shard")
+    out = {r.id: (r.seq_bin, r.seq_fill) for r in packed.collect()}
+    # shard 0: 5 | 4+3 | 9(oversized alone) | 1
+    assert out[1] == (0, 5) and out[2] == (1, 4) and out[3] == (1, 7)
+    assert out[4] == (2, 9) and out[5] == (3, 1)
+    assert out[6] == (0, 2) and out[7] == (0, 4)
+    util = {r.shard: (r.n_seqs, r.utilization) for r in
+            packing.pack_utilization(packed, "tok", 8, "shard").collect()}
+    assert util[0][0] == 4 and util[0][1] == pytest.approx(22 / 32)
+    assert util[1][0] == 1 and util[1][1] == pytest.approx(4 / 8)
+
+
+def test_greedy_pack_never_overfills_and_is_deterministic(spark):
+    """Property: no bin (except oversized singletons) exceeds budget,
+    order within bins follows order_col, repeated runs identical."""
+    import random
+    from geomesa_hive_spark.pipeline import packing
+
+    rng = random.Random(7)
+    rows = [(i, i % 3, rng.randint(0, 120)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id LONG, shard INT, tok LONG")
+    a = packing.greedy_pack(df, "tok", "id", budget=256, shard_col="shard").collect()
+    b = packing.greedy_pack(df, "tok", "id", budget=256, shard_col="shard").collect()
+    assert sorted((r.id, r.seq_bin) for r in a) == sorted((r.id, r.seq_bin) for r in b)
+    fills = {}
+    for r in a:
+        key = (r.shard, r.seq_bin)
+        fills[key] = fills.get(key, 0) + r.tok
+    for (shard, bin_), tot in fills.items():
+        members = [r for r in a if (r.shard, r.seq_bin) == (shard, bin_)]
+        assert tot <= 256 or len(members) == 1  # oversized docs sit alone
