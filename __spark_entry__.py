@@ -1796,6 +1796,80 @@ def q_pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pipeline/text.py redact_pii): the query plants a
+    per-doc email, an IPv4 and (even ids) a phone number into each
+    document natively, then the operator counts matches per category on
+    the original text and replaces every match with [PII] — all native
+    regexp expressions in the Java-regex/RE2 common subset, so the
+    oracle replays the identical pattern strings with DuckDB's 'g'
+    regexp_replace. The md5 of the redacted text makes every byte of
+    the replacement semantics (order, greediness, boundaries)
+    hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    phone = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit(" tel "),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d * 13 % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com from 10."),
+        (d % 256).cast("string"),
+        F.lit(".0.1"),
+        phone,
+    )
+    out = text.redact_pii(docs.select("doc_id", t2.alias("t2")), "t2")
+    return out.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("pii_email").alias("pii_email"),
+        F.col("pii_ipv4").alias("pii_ipv4"),
+        F.col("pii_phone").alias("pii_phone"),
+        F.col("pii_total").alias("pii_total"),
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_md5"),
+        F.length("redacted").cast("int").alias("redacted_len"),
+    )
+
+
+def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction (pipeline/text.py extract_urls): two URLs —
+    https with a path, http with a port — planted per document
+    natively; regexp_extract_all + explode pulls every occurrence, the
+    host is captured per URL, and the host-level rollup (url count,
+    distinct docs) is what a crawl-frequency / robots pipeline consumes.
+    Oracle: DuckDB regexp_extract_all + unnest with the same pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (d % 20).cast("string"),
+        F.lit(".example.org/page/"),
+        d.cast("string"),
+        F.lit(" and http://cdn"),
+        (d % 5).cast("string"),
+        F.lit(".example.net:8080/assets/x_y"),
+    )
+    urls = text.extract_urls(
+        docs.select("doc_id", t2.alias("t2")), "t2", "doc_id"
+    )
+    return urls.groupBy(F.col("host").alias("host")).agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.length("url")).cast("int").alias("min_url_len"),
+        F.max(F.length("url")).cast("int").alias("max_url_len"),
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based keeper selection: near-dup clusters (word-3-gram
     Jaccard ≥ 0.5 → connected components), keep the best-quality member
@@ -2357,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mix": q_pipeline_mix,
         "pipeline_pack": q_pipeline_pack,
         "pipeline_pack_greedy": q_pipeline_pack_greedy,
+        "pii_redact": q_pii_redact,
+        "text_urls": q_text_urls,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
         "approx_stats": q_approx_stats,
@@ -3889,6 +3965,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, g.shard, g.seq_bin, g.seq_fill,
                    util.shard_seqs, util.shard_utilization
             FROM g JOIN util ON g.shard = util.shard
+        """,
+        # PII scrub: identical pattern strings replayed with 'g'
+        # regexp_replace; counts on the original text
+        "pii_redact": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com from 10.',
+                            CAST(doc_id % 256 AS VARCHAR), '.0.1',
+                            CASE WHEN doc_id % 2 = 0 THEN
+                              concat(' tel ',
+                                     lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                                     '-',
+                                     lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0'),
+                                     '-',
+                                     lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0'))
+                            ELSE '' END) AS t2
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t2, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS pii_email,
+                   CAST(len(regexp_extract_all(t2, '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS pii_ipv4,
+                   CAST(len(regexp_extract_all(t2, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS pii_phone,
+                   CAST(len(regexp_extract_all(t2, '{text.PII_PATTERNS["email"]}'))
+                        + len(regexp_extract_all(t2, '{text.PII_PATTERNS["ipv4"]}'))
+                        + len(regexp_extract_all(t2, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS pii_total,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                        '{text.PII_PATTERNS["email"]}', '[PII]', 'g'),
+                        '{text.PII_PATTERNS["ipv4"]}', '[PII]', 'g'),
+                        '{text.PII_PATTERNS["phone"]}', '[PII]', 'g')) AS redacted_md5,
+                   CAST(length(regexp_replace(regexp_replace(regexp_replace(t2,
+                        '{text.PII_PATTERNS["email"]}', '[PII]', 'g'),
+                        '{text.PII_PATTERNS["ipv4"]}', '[PII]', 'g'),
+                        '{text.PII_PATTERNS["phone"]}', '[PII]', 'g')) AS INTEGER) AS redacted_len
+            FROM p
+        """,
+        # URL extraction: same pattern, unnest + host capture + rollup
+        "text_urls": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     concat(text, ' see https://site',
+                            CAST(doc_id % 20 AS VARCHAR), '.example.org/page/',
+                            CAST(doc_id AS VARCHAR), ' and http://cdn',
+                            CAST(doc_id % 5 AS VARCHAR),
+                            '.example.net:8080/assets/x_y') AS t2
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(regexp_extract_all(t2, '{text._URL_PATTERN}')) AS url
+              FROM p
+            )
+            SELECT regexp_extract(url, '{text._URL_HOST}', 1) AS host,
+                   count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(min(length(url)) AS INTEGER) AS min_url_len,
+                   CAST(max(length(url)) AS INTEGER) AS max_url_len
+            FROM u GROUP BY host
         """,
         # clusters (recursive closure over jaccard pairs) + quality replay
         # + the same (quality DESC, id) keeper window; rk > 1 = dropped

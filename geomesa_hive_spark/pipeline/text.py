@@ -21,6 +21,9 @@ __all__ = [
     "fingerprint",
     "repetition_signals",
     "winnowing_fingerprints",
+    "redact_pii",
+    "extract_urls",
+    "PII_PATTERNS",
     "LANG_MARKERS",
     "STOPWORDS_EN",
 ]
@@ -259,6 +262,68 @@ def repetition_signals(
         ).alias("dup_frac"),
         F.coalesce(F.round(F.col("__mx") / total, 6), F.lit(0.0)).alias("top_frac"),
     )
+
+
+#: PII categories in fixed application order. Every pattern is written
+#: in the common subset of Java regex (Spark) and RE2 (DuckDB): no
+#: lookarounds, no backreferences, ASCII classes — so the same string
+#: literal is replayable verbatim in the oracle. Order matters when a
+#: match could nest (an IPv4 can appear inside an email's domain), so
+#: email runs first. The dotted-quad matcher is deliberately permissive
+#: (999.999.999.999 matches): for PII scrubbing, over-redaction is the
+#: safe failure mode.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """PII scrubbing for training corpora — fully native (zero Python
+    in the hot path): per-category match counts (``pii_<name>``,
+    computed on the ORIGINAL text so categories don't steal each
+    other's counts), total ``pii_total``, and a ``redacted`` column
+    where every match is replaced by ``token``, applying the patterns
+    in dict order. Scale: per-row regexp expressions pipeline at scan
+    speed with no shuffle; the regex set is a compile-time constant per
+    task, not a join against a rules table."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    c = _c(text_col)
+    out = df
+    total = F.lit(0).cast("long")
+    for name, pat in pats.items():
+        cnt = F.regexp_count(c, F.lit(pat)).cast("long")
+        out = out.withColumn(f"pii_{name}", cnt)
+        total = total + cnt
+    out = out.withColumn("pii_total", total)
+    red = c
+    for pat in pats.values():
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+#: URL matcher, same Java-regex/RE2 common subset as PII_PATTERNS.
+_URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:\d+)?(/[A-Za-z0-9._~%/+-]*)?"
+#: host capture relative to a matched URL
+_URL_HOST = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Link extraction: one output row per URL occurrence —
+    ``(id, url, host)`` — via native ``regexp_extract_all`` + explode.
+    Rows with no URLs produce no output (inner explode). Scale: the
+    explode is map-side (no shuffle); downstream host-level aggregation
+    shuffles only (id, host) pairs, never the documents."""
+    c = _c(text_col)
+    urls = F.regexp_extract_all(c, F.lit(_URL_PATTERN), 0)
+    out = df.select(F.col(id_col), F.explode(urls).alias("url"))
+    return out.withColumn("host", F.regexp_extract(F.col("url"), _URL_HOST, 1))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

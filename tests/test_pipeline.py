@@ -718,3 +718,35 @@ def test_greedy_pack_never_overfills_and_is_deterministic(spark):
     for (shard, bin_), tot in fills.items():
         members = [r for r in a if (r.shard, r.seq_bin) == (shard, bin_)]
         assert tot <= 256 or len(members) == 1  # oversized docs sit alone
+
+
+# ------------------------------------------------------------ PII / URLs
+def test_redact_pii_counts_and_replacement(spark):
+    rows = [
+        (1, "mail a.b+c@x-mail.org or 192.168.1.10 call 555-123-4567 ok"),
+        (2, "no pii here, just 1.2 numbers and an at @ sign"),
+        (3, "two mails: a@b.co c@d.io and ip 10.0.0.1"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    out = {r.id: r for r in text.redact_pii(df, "t").collect()}
+    assert (out[1].pii_email, out[1].pii_ipv4, out[1].pii_phone) == (1, 1, 1)
+    assert out[1].redacted == "mail [PII] or [PII] call [PII] ok"
+    assert out[2].pii_total == 0 and out[2].redacted == rows[1][1]
+    assert (out[3].pii_email, out[3].pii_ipv4) == (2, 1) and out[3].pii_total == 3
+    assert out[4].redacted is None and out[4].pii_total is None  # null in, null out
+
+
+def test_extract_urls_hosts(spark):
+    rows = [
+        (1, "go to https://a.example.com/x/y?no and http://b.net:8080/z"),
+        (2, "bare text without links"),
+        (3, "https://a.example.com twice https://a.example.com/p"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    out = text.extract_urls(df, "t", "id").collect()
+    hosts = sorted((r.id, r.host) for r in out)
+    assert hosts == [(1, "a.example.com"), (1, "b.net"), (3, "a.example.com"),
+                     (3, "a.example.com")]
+    # query string stopped at '?' (not in the path class) — by design
+    assert any(r.url == "https://a.example.com/x/y" for r in out)
