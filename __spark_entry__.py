@@ -450,6 +450,54 @@ def q_spatial_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_aea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal Albers equal-area reprojection (EPSG:4326 →
+    EPSG:5070, Conus Albers) on points over a CONUS window; the oracle
+    replays the full Snyder 9822 forward — authalic q(φ), ρ =
+    a·√(C−nq)/n, θ = n(λ−λ0) — in SQL with identical precomputed
+    constants (float32 quantization absorbs 1-ulp libm differences).
+    Round 3: second conic family, the equal-area counterpart of the
+    conformal LCC."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:5070")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -120.005) & (F.col("cx") <= -75.005)
+            & (F.col("cy") >= 25.005) & (F.col("cy") <= 48.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("aea_x"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("aea_y"),
+        )
+    )
+
+
+def q_spatial_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal polar stereographic reprojection (EPSG:4326 →
+    EPSG:3031, Antarctic) on south-polar points; the oracle replays the
+    Snyder 9810/9829 forward — conformal t at the mirrored latitude,
+    ρ = rho_f·t with the lat_ts=-71 true-scale factor, south-aspect
+    (sin, +cos) axes — in SQL with identical constants. Round 3: first
+    azimuthal family in st_geomReproject."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3031")
+    )
+    return (
+        pts.filter((F.col("cy") >= -84.995) & (F.col("cy") <= -60.005))
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("st_x_m"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("st_y_m"),
+        )
+    )
+
+
 def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-STRING pushdown path (reference: session-wide Catalyst rules,
     SpatialFilterPushdownOptimizations.scala:22-24): a raw SQL string
@@ -2374,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_reproject_utm": q_spatial_reproject_utm,
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
+        "spatial_reproject_aea": q_spatial_reproject_aea,
+        "spatial_reproject_stere": q_spatial_reproject_stere,
         "spatial_codecs": q_spatial_codecs,
         "spatial_setops": q_spatial_setops,
         "spatial_predicates": q_spatial_predicates,
@@ -2786,6 +2836,81 @@ def _lcc_oracle(epsg: int = 2154) -> str:
     """
 
 
+def _aea_oracle(epsg: int = 5070) -> str:
+    """Replay aea_forward's Snyder 9822 math in DuckDB with the exact
+    precomputed constants: authalic q(φ), ρ = a·sqrt(C − n·q)/n,
+    θ = n(λ − λ0)."""
+    from geomesa_hive_spark.geom.projections import _AEA_EPSG, aea_consts, _A, _E, _E2
+
+    lat1, lat2, lat0, lon0, x0, y0 = _AEA_EPSG[epsg]
+    k = aea_consts(lat1, lat2, lat0, lon0)
+    n, c, rho0, lam0 = (repr(k[x]) for x in ("n", "c", "rho0", "lam0"))
+    a, e, e2 = repr(_A), repr(_E), repr(_E2)
+    one_m_e2 = repr(1.0 - _E2)
+    inv2e = repr(1.0 / (2.0 * _E))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -120.005 AND {_C_X} <= -75.005
+            AND {_C_Y} >= 25.005 AND {_C_Y} <= 48.995
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey,
+                 {one_m_e2} * (sp / (1.0 - {e2} * sp * sp)
+                   - {inv2e} * ln((1.0 - {e} * sp) / (1.0 + {e} * sp))) AS q,
+                 {n} * (lam - {lam0}) AS th
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, {a} * sqrt({c} - {n} * q) / {n} AS rho, th FROM s2
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(x0)} + rho * sin(th) AS FLOAT) AS DOUBLE), 3) AS aea_x,
+               round(CAST(CAST({float(y0)} + {rho0} - rho * cos(th) AS FLOAT) AS DOUBLE), 3) AS aea_y
+        FROM s3
+    """
+
+
+def _stere_oracle(epsg: int = 3031) -> str:
+    """Replay stere_forward's south-polar Snyder math in DuckDB:
+    conformal t at the mirrored latitude, ρ = rho_f·t, south aspect
+    x = ρ·sin(λ−λ0), y = +ρ·cos(λ−λ0)."""
+    from geomesa_hive_spark.geom.projections import _STERE_EPSG, stere_consts, _E
+
+    north, lat_ts, lon0, x0, y0 = _STERE_EPSG[epsg]
+    assert not north, "oracle written for the south aspect"
+    k = stere_consts(north, lat_ts, lon0)
+    rho_f, lam0, e = repr(k["rho_f"]), repr(k["lam0"]), repr(_E)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_Y} >= -84.995 AND {_C_Y} <= -60.005
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam,
+                 radians(lat) * -1.0 AS phi
+          FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey,
+                 tan(pi() / 4.0 - phi / 2.0)
+                   / pow((1.0 - {e} * sp) / (1.0 + {e} * sp), {e} / 2.0) AS t,
+                 lam - {lam0} AS dl
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, {rho_f} * t AS rho, dl FROM s2
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(x0)} + rho * sin(dl) AS FLOAT) AS DOUBLE), 3) AS st_x_m,
+               round(CAST(CAST({float(y0)} + rho * cos(dl) AS FLOAT) AS DOUBLE), 3) AS st_y_m
+        FROM s3
+    """
+
+
 def _geohash_oracle(precision_bits: int = 25) -> str:
     """Replay geohash.encode's closed form: floor-quantize lon/lat into
     their bit budgets, interleave (lon first, MSB first), base32-encode
@@ -3173,6 +3298,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_geohash": _geohash_oracle(precision_bits=25),
         "spatial_reproject_utm": _utm_oracle(zone=33),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
+        "spatial_reproject_aea": _aea_oracle(epsg=5070),
+        "spatial_reproject_stere": _stere_oracle(epsg=3031),
         "spatial_codecs": f"""
             WITH base AS (
               SELECT c_custkey, {_C_X} AS x, {_C_Y} AS y

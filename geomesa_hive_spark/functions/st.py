@@ -1045,6 +1045,10 @@ def _coord_fn(fk, tk):
             return _reproject_coords(c, False)
         if fk[0] == "lcc":
             return proj.lcc_inverse(c, fk[1:])
+        if fk[0] == "aea":
+            return proj.aea_inverse(c, fk[1:])
+        if fk[0] == "stere":
+            return proj.stere_inverse(c, fk[1:])
         return proj.utm_inverse(c, fk[1], fk[2])
 
     def from_ll(c):
@@ -1054,6 +1058,10 @@ def _coord_fn(fk, tk):
             return _reproject_coords(c, True)
         if tk[0] == "lcc":
             return proj.lcc_forward(c, tk[1:])
+        if tk[0] == "aea":
+            return proj.aea_forward(c, tk[1:])
+        if tk[0] == "stere":
+            return proj.stere_forward(c, tk[1:])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

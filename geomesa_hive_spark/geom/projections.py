@@ -1,16 +1,22 @@
 """Map projections for st_geomReproject: WGS84 ↔ Web Mercator,
-WGS84 ↔ UTM (Transverse Mercator, any zone, both hemispheres), and
+WGS84 ↔ UTM (Transverse Mercator, any zone, both hemispheres),
 WGS84 ↔ Lambert conformal conic (param-driven, 1SP or 2SP — covers
-Lambert-93 / State Plane / Canada Atlas and any proj4 ``+proj=lcc``).
+Lambert-93 / State Plane / Canada Atlas and any proj4 ``+proj=lcc``),
+WGS84 ↔ Albers equal-area conic (param-driven — Conus/Australian
+Albers and any ``+proj=aea``), and WGS84 ↔ polar stereographic
+(variant B lat_ts scaling and the UPS k0 pole-tangent case — NSIDC,
+Antarctic, UPS grids and any polar ``+proj=stere``).
 
 The reference delegates reprojection to a full proj engine
 (``spatial-index/.../ST_GeomReproject.scala:25``); this container has
-no pyproj, so the three families real users hit first are implemented
-directly: the spherical Web Mercator pair (see functions/st.py), the
-ellipsoidal UTM forward/inverse, and the ellipsoidal LCC forward/
-inverse below (USGS/Snyder formulations, the same every proj
-implementation uses; accurate to ~1 mm within the projection's
-validity area, degrading gracefully outside).
+no pyproj, so the five families real users hit first are implemented
+directly (USGS/Snyder formulations, the same every proj implementation
+uses; accurate to ~1 mm within each projection's validity area,
+degrading gracefully outside). Correctness is property-tested where
+the property IS the projection's defining trait: Albers' numeric
+Jacobian equals the ellipsoidal surface element (equal-area), polar
+stereographic has isotropic local scale (conformal) and unit scale on
+lat_ts, LCC/UTM match published coordinates.
 
 Numerical layout is deliberate: every coefficient is precomputed as a
 Python double and the per-point expressions use explicit left-to-right
@@ -35,6 +41,12 @@ __all__ = [
     "lcc_forward",
     "lcc_inverse",
     "lcc_consts",
+    "aea_forward",
+    "aea_inverse",
+    "aea_consts",
+    "stere_forward",
+    "stere_inverse",
+    "stere_consts",
 ]
 
 # WGS84 ellipsoid
@@ -75,6 +87,21 @@ _LCC_EPSG = {
     3347: (49.0, 77.0, 63.390675, -91.86666666666666, 6200000.0, 3000000.0),  # StatsCan
 }
 
+# Well-known Albers equal-area systems: same param tuple as LCC.
+_AEA_EPSG = {
+    5070: (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),              # NAD83 / Conus Albers
+    3577: (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),             # GDA94 / Australian Albers
+}
+
+# Well-known polar stereographic systems: (north, lat_ts, lon_0, x_0, y_0).
+_STERE_EPSG = {
+    3413: (True, 70.0, -45.0, 0.0, 0.0),                    # NSIDC Sea Ice North
+    3995: (True, 71.0, 0.0, 0.0, 0.0),                      # Arctic Polar Stereo
+    3031: (False, -71.0, 0.0, 0.0, 0.0),                    # Antarctic Polar Stereo
+    32661: (True, 90.0, 0.0, 2000000.0, 2000000.0),         # UPS North (k0 via lat_ts=90 special-cased)
+    32761: (False, -90.0, 0.0, 2000000.0, 2000000.0),       # UPS South
+}
+
 
 def _proj4_num(low: str, key: str, default: float | None) -> float:
     m = re.search(rf"\+{key}=([-+0-9.eE]+)", low)
@@ -99,16 +126,35 @@ def parse_crs(crs: str):
         return ("utm", zone, m.group(1) == "326")
     low = c.lower()
     em = re.match(r"^epsg:(\d+)$", low)
-    if em and int(em.group(1)) in _LCC_EPSG:
-        return ("lcc",) + _LCC_EPSG[int(em.group(1))]
-    if "+proj=lcc" in low:  # param-driven: any conic of the family
+    if em:
+        code = int(em.group(1))
+        if code in _LCC_EPSG:
+            return ("lcc",) + _LCC_EPSG[code]
+        if code in _AEA_EPSG:
+            return ("aea",) + _AEA_EPSG[code]
+        if code in _STERE_EPSG:
+            return ("stere",) + _STERE_EPSG[code]
+    if "+proj=lcc" in low or "+proj=aea" in low:  # param-driven conics
         lat1 = _proj4_num(low, "lat_1", None)
         lat2 = _proj4_num(low, "lat_2", lat1)
         lat0 = _proj4_num(low, "lat_0", 0.0)
         lon0 = _proj4_num(low, "lon_0", 0.0)
         x0 = _proj4_num(low, "x_0", 0.0)
         y0 = _proj4_num(low, "y_0", 0.0)
-        return ("lcc", lat1, lat2, lat0, lon0, x0, y0)
+        fam = "lcc" if "+proj=lcc" in low else "aea"
+        return (fam, lat1, lat2, lat0, lon0, x0, y0)
+    if "+proj=stere" in low:  # polar aspect only (|lat_0| = 90)
+        lat_0 = _proj4_num(low, "lat_0", 0.0)
+        if abs(lat_0) < 90.0 - 1e-9:
+            raise ValueError(
+                f"unsupported CRS {crs!r}: only the POLAR stereographic "
+                "aspect (+lat_0=90 or +lat_0=-90) is implemented"
+            )
+        lat_ts = _proj4_num(low, "lat_ts", lat_0)
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("stere", lat_0 > 0, lat_ts, lon0, x0, y0)
     if "4326" in low or "longlat" in low:
         return ("longlat",)
     if "3857" in low or "merc" in low:
@@ -120,9 +166,10 @@ def parse_crs(crs: str):
     raise ValueError(
         f"unsupported CRS {crs!r}: supported are EPSG:4326 (lon/lat), "
         "EPSG:3857 (web mercator), EPSG:326xx/327xx (UTM north/south), "
-        "Lambert conformal conic (proj4 '+proj=lcc +lat_1=.. [+lat_2=..] "
-        "[+lat_0=..] [+lon_0=..] [+x_0=..] [+y_0=..]' or EPSG:2154/3347/3978) "
-        "and their proj4 equivalents"
+        "Lambert conformal conic ('+proj=lcc' or EPSG:2154/3347/3978), "
+        "Albers equal-area ('+proj=aea' or EPSG:5070/3577), polar "
+        "stereographic ('+proj=stere +lat_0=±90 [+lat_ts=..]' or "
+        "EPSG:3413/3995/3031/32661/32761) and their proj4 equivalents"
     )
 
 
@@ -288,4 +335,165 @@ def lcc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         )
     out[:, 0] = np.degrees(th / k["n"] + k["lam0"])
     out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Albers equal-area conic (ellipsoidal, EPSG method 9822 — Snyder
+# pp. 101-102: Conus Albers EPSG:5070, Australian Albers EPSG:3577,
+# any proj4 '+proj=aea')
+# ---------------------------------------------------------------------------
+
+
+def _aea_q_scalar(phi: float) -> float:
+    """Authalic q (Snyder 3-12)."""
+    sp = math.sin(phi)
+    return (1.0 - _E2) * (
+        sp / (1.0 - _E2 * sp * sp)
+        - (1.0 / (2.0 * _E)) * math.log((1.0 - _E * sp) / (1.0 + _E * sp))
+    )
+
+
+def aea_consts(lat1: float, lat2: float, lat0: float, lon0: float) -> dict:
+    """Projection constants (n, C, ρ0, λ0) for an Albers equal-area
+    conic with standard parallels lat1/lat2 (equal → 1SP), origin
+    lat0/lon0. Plain doubles for oracle replay, like lcc_consts."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = _lcc_m_scalar(p1)
+    q1, q0 = _aea_q_scalar(p1), _aea_q_scalar(p0)
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        m2, q2 = _lcc_m_scalar(p2), _aea_q_scalar(p2)
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    return {
+        "n": n,
+        "c": c,
+        "rho0": _A * math.sqrt(c - n * q0) / n,
+        "lam0": math.radians(lon0),
+    }
+
+
+def _aea_q_vec(phi: np.ndarray) -> np.ndarray:
+    sp = np.sin(phi)
+    return (1.0 - _E2) * (
+        sp / (1.0 - _E2 * sp * sp)
+        - (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
+    )
+
+
+def aea_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Albers (easting, northing) meters. Vectorized."""
+    lat1, lat2, lat0, lon0, x0, y0 = params
+    k = aea_consts(lat1, lat2, lat0, lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    q = _aea_q_vec(phi)
+    rho = _A * np.sqrt(k["c"] - k["n"] * q) / k["n"]
+    th = k["n"] * (lam - k["lam0"])
+    out[:, 0] = x0 + rho * np.sin(th)
+    out[:, 1] = y0 + k["rho0"] - rho * np.cos(th)
+    return out
+
+
+def aea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Albers (easting, northing) meters → (lon°, lat°). Vectorized.
+    Latitude by the standard Snyder 3-16 fixed-point iteration on the
+    authalic-latitude relation (8 rounds → double-precision fixpoint;
+    the q/2-asin seed converges in ≤4 for |φ| < 89°)."""
+    lat1, lat2, lat0, lon0, x0, y0 = params
+    k = aea_consts(lat1, lat2, lat0, lon0)
+    out = coords.copy()
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    xp = coords[:, 0] - x0
+    yp = k["rho0"] - (coords[:, 1] - y0)
+    rho = sgn * np.sqrt(xp * xp + yp * yp)
+    th = np.arctan2(sgn * xp, sgn * yp)
+    q = (k["c"] - (rho * rho * k["n"] * k["n"]) / (_A * _A)) / k["n"]
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sp = np.sin(phi)
+        one = 1.0 - _E2 * sp * sp
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            q / (1.0 - _E2)
+            - sp / one
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
+        )
+    out[:, 0] = np.degrees(th / k["n"] + k["lam0"])
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Polar stereographic (ellipsoidal, EPSG methods 9810/9829 — Snyder
+# pp. 160-161: NSIDC EPSG:3413/3995, Antarctic EPSG:3031, UPS
+# EPSG:32661/32761, any polar '+proj=stere')
+# ---------------------------------------------------------------------------
+
+
+def stere_consts(north: bool, lat_ts: float, lon0: float) -> dict:
+    """Constants for a polar stereographic: ``rho_f`` such that
+    ρ = rho_f · t(|φ|). lat_ts = ±90 is the pole-tangent (UPS) variant
+    with the standard k0 = 0.994; otherwise variant B scales so the
+    standard parallel is true-to-scale (ρ = a·m_c·t/t_c)."""
+    ts = abs(lat_ts)
+    if ts >= 90.0 - 1e-12:
+        k0 = 0.994
+        rho_f = (
+            2.0 * _A * k0
+            / math.sqrt((1.0 + _E) ** (1.0 + _E) * (1.0 - _E) ** (1.0 - _E))
+        )
+    else:
+        pc = math.radians(ts)
+        rho_f = _A * _lcc_m_scalar(pc) / _lcc_t_scalar(pc)
+    return {"north": north, "rho_f": rho_f, "lam0": math.radians(lon0)}
+
+
+def stere_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → polar stereographic (easting, northing) meters.
+    ``params`` = (north, lat_ts, lon0, x0, y0)."""
+    north, lat_ts, lon0, x0, y0 = params
+    k = stere_consts(north, lat_ts, lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1]) * (1.0 if north else -1.0)
+    sp = np.sin(phi)
+    t = np.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - _E * sp) / (1.0 + _E * sp)
+    ) ** (_E / 2.0)
+    rho = k["rho_f"] * t
+    dl = lam - k["lam0"]
+    out[:, 0] = x0 + rho * np.sin(dl)
+    out[:, 1] = y0 + (rho * np.cos(dl)) * (-1.0 if north else 1.0)
+    return out
+
+
+def stere_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Polar stereographic (easting, northing) meters → (lon°, lat°).
+    Latitude via the same conformal-latitude fixed-point iteration as
+    lcc_inverse."""
+    north, lat_ts, lon0, x0, y0 = params
+    k = stere_consts(north, lat_ts, lon0)
+    out = coords.copy()
+    xp = coords[:, 0] - x0
+    yp = coords[:, 1] - y0
+    rho = np.sqrt(xp * xp + yp * yp)
+    t = rho / k["rho_f"]
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - _E * sp) / (1.0 + _E * sp)) ** (_E / 2.0)
+        )
+    lam = k["lam0"] + (
+        np.arctan2(xp, -yp) if north else np.arctan2(xp, yp)
+    )
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi) * (1.0 if north else -1.0)
+    # the exact pole: longitude is undefined; pin to lon0 for determinism
+    at_pole = rho == 0.0
+    if np.any(at_pole):
+        out[at_pole, 0] = math.degrees(k["lam0"])
     return out

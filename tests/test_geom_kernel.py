@@ -260,3 +260,122 @@ def test_lcc_via_st_geomreproject(spark):
     ).collect()[0].e
     want = P.lcc_forward(np.array([[2.3522, 48.8566]]), P._LCC_EPSG[2154])[0, 0]
     assert abs(out - want) < 0.5  # st_x is float32
+
+
+def test_aea_equal_area_property_and_roundtrip():
+    """Albers must actually preserve area: the numeric Jacobian of the
+    forward map equals the ellipsoidal surface element to ~1e-6
+    relative, everywhere in the validity window — this checks the
+    authalic math itself, not just self-consistency. Plus
+    inverse(forward) identity and unit scale on standard parallels."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    params = P._AEA_EPSG[5070]
+    a, e2 = P._A, P._E2
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-120, -75, 150)
+    lat = rng.uniform(25, 49, 150)
+    pts = np.column_stack([lon, lat])
+    # numeric Jacobian via central differences (degrees step)
+    h = 1e-5
+    fx = lambda q: P.aea_forward(q, params)
+    dxdlon = (fx(pts + [h, 0]) - fx(pts - [h, 0])) / (2 * h)
+    dxdlat = (fx(pts + [0, h]) - fx(pts - [0, h])) / (2 * h)
+    jac = np.abs(
+        dxdlon[:, 0] * dxdlat[:, 1] - dxdlon[:, 1] * dxdlat[:, 0]
+    )  # m^2 per deg^2
+    phi = np.radians(lat)
+    sp = np.sin(phi)
+    # ellipsoidal surface element per (rad lon x rad lat):
+    # M * N * cos(phi) with M = a(1-e2)/w^3, N = a/w, w = sqrt(1-e2 sp^2)
+    w2 = 1.0 - e2 * sp * sp
+    surf = (a * (1 - e2) / w2**1.5) * (a / np.sqrt(w2)) * np.cos(phi)
+    surf_deg = surf * (math.pi / 180.0) ** 2
+    assert np.abs(jac / surf_deg - 1.0).max() < 1e-5
+    rt = P.aea_inverse(P.aea_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+    # along-parallel scale is 1 on both standard parallels, >1 outside
+    for latp, expect_one in ((29.5, True), (45.5, True), (60.0, False)):
+        p0 = np.array([[-96.0, latp], [-95.999, latp]])
+        xy = P.aea_forward(p0, params)
+        d_proj = math.hypot(*(xy[1] - xy[0]))
+        spp = math.sin(math.radians(latp))
+        r_par = a * math.cos(math.radians(latp)) / math.sqrt(1 - e2 * spp * spp)
+        d_true = r_par * math.radians(0.001)
+        k = d_proj / d_true
+        assert abs(k - 1.0) < 1e-6 if expect_one else k > 1.0001
+
+
+def test_stere_polar_conformal_and_roundtrip():
+    """Polar stereographic: true scale on lat_ts, conformal (isotropic
+    local scale), pole maps to the false origin, round-trip identity,
+    both aspects + UPS variant."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, e2 = P._A, P._E2
+    south = P._STERE_EPSG[3031]
+    # pole -> (x0, y0)
+    assert np.allclose(P.stere_forward(np.array([[123.0, -90.0]]), south), [[0.0, 0.0]])
+    # true scale at lat_ts = -71: projected distance along the parallel
+    # equals the ellipsoidal parallel arc
+    p0 = np.array([[10.0, -71.0], [10.001, -71.0]])
+    xy = P.stere_forward(p0, south)
+    d_proj = math.hypot(*(xy[1] - xy[0]))
+    spp = math.sin(math.radians(71.0))
+    r_par = a * math.cos(math.radians(71.0)) / math.sqrt(1 - e2 * spp * spp)
+    assert abs(d_proj / (r_par * math.radians(0.001)) - 1.0) < 1e-6
+    # conformal: meridian scale == parallel scale (to first order)
+    q0 = np.array([[45.0, -75.0]])
+    h = 1e-5
+    dpar = P.stere_forward(q0 + [h, 0], south) - P.stere_forward(q0 - [h, 0], south)
+    dmer = P.stere_forward(q0 + [0, h], south) - P.stere_forward(q0 - [0, h], south)
+    sp = math.sin(math.radians(-75.0))
+    w2 = 1.0 - e2 * sp * sp
+    k_par = math.hypot(*dpar[0]) / (
+        (a * math.cos(math.radians(-75.0)) / math.sqrt(w2)) * math.radians(2 * h)
+    )
+    k_mer = math.hypot(*dmer[0]) / (
+        (a * (1 - e2) / w2**1.5) * math.radians(2 * h)
+    )
+    assert abs(k_par / k_mer - 1.0) < 1e-6
+    # round-trips, south + north + UPS
+    rng = np.random.RandomState(5)
+    pts_s = np.column_stack([rng.uniform(-180, 180, 200), rng.uniform(-89, -60, 200)])
+    rt = P.stere_inverse(P.stere_forward(pts_s, south), south)
+    dl = (rt[:, 0] - pts_s[:, 0] + 180) % 360 - 180  # longitude wraps
+    assert np.abs(dl).max() < 1e-9 and np.abs(rt[:, 1] - pts_s[:, 1]).max() < 1e-9
+    north = P._STERE_EPSG[3413]
+    pts_n = np.column_stack([rng.uniform(-180, 180, 200), rng.uniform(60, 89, 200)])
+    rt = P.stere_inverse(P.stere_forward(pts_n, north), north)
+    dl = (rt[:, 0] - pts_n[:, 0] + 180) % 360 - 180
+    assert np.abs(dl).max() < 1e-9 and np.abs(rt[:, 1] - pts_n[:, 1]).max() < 1e-9
+    # UPS north: pole at the (2e6, 2e6) false origin
+    ups = P._STERE_EPSG[32661]
+    assert np.allclose(
+        P.stere_forward(np.array([[0.0, 90.0]]), ups), [[2000000.0, 2000000.0]]
+    )
+    rt = P.stere_inverse(P.stere_forward(pts_n, ups), ups)
+    dl = (rt[:, 0] - pts_n[:, 0] + 180) % 360 - 180
+    assert np.abs(dl).max() < 1e-9 and np.abs(rt[:, 1] - pts_n[:, 1]).max() < 1e-9
+
+
+def test_aea_stere_parse_crs_forms():
+    from geomesa_hive_spark.geom import projections as P
+
+    assert P.parse_crs("EPSG:5070")[0] == "aea"
+    assert P.parse_crs("+proj=aea +lat_1=-18 +lat_2=-36 +lon_0=132") == (
+        "aea", -18.0, -36.0, 0.0, 132.0, 0.0, 0.0)
+    assert P.parse_crs("EPSG:3031") == ("stere", False, -71.0, 0.0, 0.0, 0.0)
+    assert P.parse_crs("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45") == (
+        "stere", True, 70.0, -45.0, 0.0, 0.0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        P.parse_crs("+proj=stere +lat_0=30")  # oblique aspect unsupported
