@@ -237,10 +237,11 @@ def test_reproject_unsupported_pair_raises(spark):
     # unsupported CRS ARGUMENT is an error (silent nulls lose data);
     # null INPUT stays null-in→null-out
     with pytest.raises(Exception):
-        # EPSG:5070 (CONUS Albers) — equal-area conic, not in the
-        # supported registry (lon/lat, web mercator, UTM, LCC)
+        # EPSG:27700 (British National Grid) — a named TM system outside
+        # the supported registry (lon/lat, web mercator, UTM, LCC,
+        # Albers, polar stereographic)
         spark.sql(
-            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:5070') AS g"
+            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:27700') AS g"
         ).collect()
     assert one(spark, "st_geomReproject(NULL, 'EPSG:4326', 'EPSG:3857')") is None
 
