@@ -2401,6 +2401,103 @@ def q_multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode via the pure-Python Huffman+IDCT
+    decoder: the query assembles COMPLETE valid baseline JPEGs natively
+    in SQL using a byte-aligned Huffman construction — custom DHT
+    tables whose codes are all exactly 8 bits long (2 DC codes: the
+    zero-diff category and category 8; 1 AC code: EOB), DC-only blocks
+    whose per-block gray alternates by a per-doc step of 16..31 so
+    every DC difference is ±8·step ∈ ±[128, 248] = category 8 with 8
+    magnitude bits — every Huffman code and every magnitude lands on a
+    byte boundary, making the entropy stream SQL-synthesizable while
+    the decoder that consumes it is the full baseline machine (marker
+    walk, Annex-C table build, bit reader, DC prediction with EXTEND
+    sign recovery of both polarities, dequantize, IDCT). The decoded
+    raster is a per-doc block checkerboard of two grays; strict decode
+    → resize to 5×4 → hex, oracle replays the block-parity geometry
+    analytically. pytest round-trips cover the variable-length-code /
+    AC / subsampling paths with a real Huffman encoder."""
+    docs = _t(spark, sf_dir, "documents")
+    w8 = (F.col("doc_id") % 3 + 1).cast("int") * 8
+    h8 = (F.col("doc_id") % 2 + 1).cast("int") * 8
+    dc_bits = bytes(2 if i == 7 else 0 for i in range(16))
+    ac_bits = bytes(1 if i == 7 else 0 for i in range(16))
+    # entropy stream: first block (diff 0): 00 00; block k>=1:
+    # 01 <8s or 255-8s> 00, alternating starting positive
+    entropy_hex = F.expr(
+        "concat('0000', "
+        "repeat(concat('01', lpad(hex(8 * (16 + doc_id % 16)), 2, '0'), '00',"
+        " '01', lpad(hex(255 - 8 * (16 + doc_id % 16)), 2, '0'), '00'),"
+        " CAST(((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1) DIV 2 AS INT)), "
+        "CASE WHEN ((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1) % 2 = 1 "
+        "THEN concat('01', lpad(hex(8 * (16 + doc_id % 16)), 2, '0'), '00') "
+        "ELSE '' END)"
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8"),
+        F.lit(b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + b"\x01" * 64),
+        F.lit(b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])),
+        _be_bytes(h8, 4),
+        _be_bytes(w8, 4),
+        F.lit(bytes([1, 0x01, 0x11, 0x00])),
+        F.lit(b"\xff\xc4" + (21).to_bytes(2, "big") + bytes([0x00]) + dc_bits
+              + bytes([0x00, 0x08])),
+        F.lit(b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x10]) + ac_bits
+              + bytes([0x00])),
+        F.lit(b"\xff\xda" + (8).to_bytes(2, "big")
+              + bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00])),
+        F.unhex(entropy_hex),
+        F.lit(b"\xff\xd9"),
+    )
+    src = docs.select("doc_id", jpeg.alias("media"))
+    dec = multimodal.decode_image_batch(src, "media", strict=True)
+    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    return rs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("mime").alias("mime"),
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.hex(F.col("media")).alias("resized_hex"),
+        F.col("out_width").alias("out_width"),
+        F.col("out_height").alias("out_height"),
+    )
+
+
+def _jpeg_pixels_oracle() -> str:
+    """Replay the JPEG checkerboard geometry: output pixel (i, j) of
+    the 5×4 nearest-neighbor resample samples source block
+    (r, c) = ((i·hb)//4, ((j·8·wb)//5)//8), whose gray is 128 on even
+    (r·wb + c) parity and 128+s on odd."""
+    cells = []
+    for i in range(4):
+        for j in range(5):
+            g = (
+                f"CASE WHEN ((({i} * hb) // 4) * wb"
+                f" + ((({j} * 8 * wb) // 5) // 8)) % 2 = 0"
+                f" THEN 128 ELSE 128 + s END"
+            )
+            cells.append(f"repeat(printf('%02X', {g}), 3)")
+    terms = ", ".join(cells)
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 doc_id % 3 + 1 AS wb,
+                 doc_id % 2 + 1 AS hb,
+                 16 + doc_id % 16 AS s
+          FROM documents
+        )
+        SELECT doc_id,
+               'image/jpeg' AS mime,
+               CAST(8 * wb AS INTEGER) AS width,
+               CAST(8 * hb AS INTEGER) AS height,
+               concat({terms}) AS resized_hex,
+               CAST(5 AS INTEGER) AS out_width,
+               CAST(4 AS INTEGER) AS out_height
+        FROM p
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2496,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_pixels_png": q_multimodal_pixels_png,
         "multimodal_pixels_gif": q_multimodal_pixels_gif,
+        "multimodal_pixels_jpeg": q_multimodal_pixels_jpeg,
     }
 
 
@@ -4396,4 +4494,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS INTEGER) AS out_height
             FROM documents
         """,
+        # byte-aligned-Huffman baseline JPEG: block-checkerboard geometry
+        "multimodal_pixels_jpeg": _jpeg_pixels_oracle(),
     }
