@@ -2401,6 +2401,54 @@ def q_multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg_sql_hex(step_sql: str) -> str:
+    """SQL expression string producing the HEX of a complete valid
+    baseline JPEG via the byte-aligned Huffman construction (see
+    q_multimodal_pixels_jpeg). Dims are 8·(doc_id%3+1) ×
+    8·(doc_id%2+1); block grays alternate 128 / 128+s with s given by
+    ``step_sql`` (a SQL expression in 16..31, may reference doc_id and
+    be per-frame shifted). Built as ONE string expression (literals
+    pre-hexed in Python) because a deep tree of per-field binary
+    concats measurably dominates the query at 5k rows; every variable
+    field is bounded by construction (dims ≤ 24 → 2 hex digits with
+    the be16 high byte a literal '00'; 8s ≤ 248; 255−8s ≤ 127)."""
+    dc_bits = bytes(2 if i == 7 else 0 for i in range(16))
+    ac_bits = bytes(1 if i == 7 else 0 for i in range(16))
+    pre = (b"\xff\xd8"
+           + b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + b"\x01" * 64
+           + b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8]))
+    mid = bytes([1, 0x01, 0x11, 0x00]) \
+        + b"\xff\xc4" + (21).to_bytes(2, "big") + bytes([0x00]) + dc_bits \
+        + bytes([0x00, 0x08]) \
+        + b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x10]) + ac_bits \
+        + bytes([0x00]) \
+        + b"\xff\xda" + (8).to_bytes(2, "big") \
+        + bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00])
+    n = "((doc_id % 3 + 1) * (doc_id % 2 + 1))"
+    return (
+        f"concat('{pre.hex().upper()}', "
+        # height be16 (high byte 00), width be16
+        "'00', lpad(hex((doc_id % 2 + 1) * 8), 2, '0'), "
+        "'00', lpad(hex((doc_id % 3 + 1) * 8), 2, '0'), "
+        f"'{mid.hex().upper()}', "
+        # entropy: first block (diff 0) '0000'; block k>=1:
+        # 01 <8s | 255-8s> 00, alternating starting positive
+        "'0000', "
+        f"repeat(concat('01', lpad(hex(8 * ({step_sql})), 2, '0'), '00',"
+        f" '01', lpad(hex(255 - 8 * ({step_sql})), 2, '0'), '00'),"
+        f" CAST(({n} - 1) DIV 2 AS INT)), "
+        f"CASE WHEN ({n} - 1) % 2 = 1 "
+        f"THEN concat('01', lpad(hex(8 * ({step_sql})), 2, '0'), '00') "
+        "ELSE '' END, "
+        "'FFD9')"
+    )
+
+
+def _jpeg_sql_bytes(step_sql: str):
+    """Binary column form of :func:`_jpeg_sql_hex`."""
+    return F.unhex(F.expr(_jpeg_sql_hex(step_sql)))
+
+
 def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG pixel decode via the pure-Python Huffman+IDCT
     decoder: the query assembles COMPLETE valid baseline JPEGs natively
@@ -2419,38 +2467,7 @@ def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytically. pytest round-trips cover the variable-length-code /
     AC / subsampling paths with a real Huffman encoder."""
     docs = _t(spark, sf_dir, "documents")
-    w8 = (F.col("doc_id") % 3 + 1).cast("int") * 8
-    h8 = (F.col("doc_id") % 2 + 1).cast("int") * 8
-    dc_bits = bytes(2 if i == 7 else 0 for i in range(16))
-    ac_bits = bytes(1 if i == 7 else 0 for i in range(16))
-    # entropy stream: first block (diff 0): 00 00; block k>=1:
-    # 01 <8s or 255-8s> 00, alternating starting positive
-    entropy_hex = F.expr(
-        "concat('0000', "
-        "repeat(concat('01', lpad(hex(8 * (16 + doc_id % 16)), 2, '0'), '00',"
-        " '01', lpad(hex(255 - 8 * (16 + doc_id % 16)), 2, '0'), '00'),"
-        " CAST(((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1) DIV 2 AS INT)), "
-        "CASE WHEN ((doc_id % 3 + 1) * (doc_id % 2 + 1) - 1) % 2 = 1 "
-        "THEN concat('01', lpad(hex(8 * (16 + doc_id % 16)), 2, '0'), '00') "
-        "ELSE '' END)"
-    )
-    jpeg = F.concat(
-        F.lit(b"\xff\xd8"),
-        F.lit(b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + b"\x01" * 64),
-        F.lit(b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])),
-        _be_bytes(h8, 4),
-        _be_bytes(w8, 4),
-        F.lit(bytes([1, 0x01, 0x11, 0x00])),
-        F.lit(b"\xff\xc4" + (21).to_bytes(2, "big") + bytes([0x00]) + dc_bits
-              + bytes([0x00, 0x08])),
-        F.lit(b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x10]) + ac_bits
-              + bytes([0x00])),
-        F.lit(b"\xff\xda" + (8).to_bytes(2, "big")
-              + bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00])),
-        F.unhex(entropy_hex),
-        F.lit(b"\xff\xd9"),
-    )
-    src = docs.select("doc_id", jpeg.alias("media"))
+    src = docs.select("doc_id", _jpeg_sql_bytes("16 + doc_id % 16").alias("media"))
     dec = multimodal.decode_image_batch(src, "media", strict=True)
     rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
     return rs.select(
@@ -2494,6 +2511,98 @@ def _jpeg_pixels_oracle() -> str:
                concat({terms}) AS resized_hex,
                CAST(5 AS INTEGER) AS out_width,
                CAST(4 AS INTEGER) AS out_height
+        FROM p
+    """
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction: the query assembles COMPLETE valid
+    Motion-JPEG AVI files natively in SQL — RIFF header, LIST hdrl with
+    a real avih (frame count + dims), LIST movi with four word-aligned
+    00dc chunks, each a complete baseline JPEG whose per-frame gray
+    step varies (s_f = 16 + (doc_id + f) % 16) — then
+    sample_video_frames walks the RIFF tree for real, returns 2 of the
+    4 actual frame payloads (stream indices 0 and 2), and each sampled
+    frame is decoded and resampled through the strict pixel path. The
+    oracle replays the per-frame checkerboard geometry analytically, so
+    chunk slicing, word alignment, frame ordering and the per-frame
+    decode are all hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    # all sizes bounded by construction: frame ≤ 158 B, movi ≤ 668 B,
+    # riff ≤ 756 B — so every le32 is two variable hex bytes + '0000'
+    n = "((doc_id % 3 + 1) * (doc_id % 2 + 1))"
+    fsize = f"(140 + 3 * {n})"          # bytes per frame (same all frames)
+    pad = f"({n} % 2)"                  # word-align pad (fsize odd <=> n odd)
+    chunk = f"(8 + {fsize} + {pad})"    # 00dc header + frame + pad
+    movi_size = f"(4 + 4 * {chunk})"
+    riff_size = f"(88 + {movi_size})"
+
+    def le32(expr: str) -> str:
+        return (f"concat(lpad(hex(({expr}) % 256), 2, '0'),"
+                f" lpad(hex(({expr}) DIV 256), 2, '0'), '0000')")
+
+    frame_hexes = [_jpeg_sql_hex(f"16 + (doc_id + {f}) % 16") for f in range(4)]
+    item = "concat('30306463', {size}, {frame}, CASE WHEN " + pad + \
+        " = 1 THEN '00' ELSE '' END)"  # '00dc' + le32 + jpeg + align
+    items = ", ".join(
+        item.format(size=le32(fsize), frame=fh) for fh in frame_hexes
+    )
+    avih_pre = (b"avih" + (56).to_bytes(4, "little")
+                + (40000).to_bytes(4, "little") + bytes(12)
+                + (4).to_bytes(4, "little") + bytes(12))
+    hdrl_pre = b"LIST" + (68).to_bytes(4, "little") + b"hdrl" + avih_pre
+    avi_hex = F.expr(
+        "concat('52494646', "                        # 'RIFF'
+        f"{le32(riff_size)}, "
+        "'41564920', "                               # 'AVI '
+        f"'{hdrl_pre.hex().upper()}', "
+        "lpad(hex((doc_id % 3 + 1) * 8), 2, '0'), '000000', "   # avih width
+        "lpad(hex((doc_id % 2 + 1) * 8), 2, '0'), '000000', "   # avih height
+        f"'{bytes(16).hex().upper()}', "             # avih reserved
+        "'4C495354', "                               # 'LIST'
+        f"{le32(movi_size)}, "
+        "'6D6F7669', "                               # 'movi'
+        f"{items})"
+    )
+    src = docs.select("doc_id", F.unhex(avi_hex).alias("media"))
+    fr = multimodal.sample_video_frames(src, "media", "doc_id", n_frames=2)
+    fr = fr.withColumn("frame_len", F.length("frame").cast("int"))
+    rs = multimodal.resize_images(fr, "frame", 5, 4, strict=True)
+    return rs.select(
+        F.col("id").alias("doc_id"),
+        F.col("frame_index").alias("frame_index"),
+        F.col("frame_len").alias("frame_len"),
+        F.hex(F.col("frame")).alias("resized_hex"),
+    )
+
+
+def _mjpeg_frames_oracle() -> str:
+    """Replay the sampled-frame geometry: frames 0 and 2 of 4, per-frame
+    step s = 16 + (doc_id + f) % 16, same block-parity resample cells as
+    _jpeg_pixels_oracle."""
+    cells = []
+    for i in range(4):
+        for j in range(5):
+            g = (
+                f"CASE WHEN ((({i} * hb) // 4) * wb"
+                f" + ((({j} * 8 * wb) // 5) // 8)) % 2 = 0"
+                f" THEN 128 ELSE 128 + s END"
+            )
+            cells.append(f"repeat(printf('%02X', {g}), 3)")
+    terms = ", ".join(cells)
+    return f"""
+        WITH p AS (
+          SELECT doc_id, f,
+                 doc_id % 3 + 1 AS wb,
+                 doc_id % 2 + 1 AS hb,
+                 16 + (doc_id + f) % 16 AS s
+          FROM documents
+          CROSS JOIN (SELECT * FROM (VALUES (0), (2)) AS t(f))
+        )
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_index,
+               CAST(140 + 3 * wb * hb AS INTEGER) AS frame_len,
+               concat({terms}) AS resized_hex
         FROM p
     """
 
@@ -2594,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixels_png": q_multimodal_pixels_png,
         "multimodal_pixels_gif": q_multimodal_pixels_gif,
         "multimodal_pixels_jpeg": q_multimodal_pixels_jpeg,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -4496,4 +4606,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # byte-aligned-Huffman baseline JPEG: block-checkerboard geometry
         "multimodal_pixels_jpeg": _jpeg_pixels_oracle(),
+        # MJPEG-AVI frame sampling: frames 0 and 2 of 4, per-frame step
+        "multimodal_frames": _mjpeg_frames_oracle(),
     }

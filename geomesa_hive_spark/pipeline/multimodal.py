@@ -61,6 +61,7 @@ __all__ = [
     "decode_gif_pixels",
     "decode_jpeg_pixels",
     "decode_pixels",
+    "parse_avi_frames",
     "decode_image_batch",
     "decode_audio_batch",
     "decode_video_batch",
@@ -1086,12 +1087,51 @@ def resize_images(
     return df.mapInPandas(gen, schema)
 
 
+def parse_avi_frames(buf: bytes) -> "list[bytes] | None":
+    """REAL RIFF/AVI chunk walk: returns the video frame payloads (the
+    ``NNdc``/``NNdb`` stream chunks, in stream order — for an MJPEG AVI
+    each is a complete baseline JPEG that :func:`decode_jpeg_pixels`
+    decodes), or None if the bytes are not an AVI. Pure byte
+    arithmetic: LIST recursion, word-aligned chunk sizes."""
+    if buf is None or len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            fourcc = buf[i : i + 4]
+            size = int.from_bytes(buf[i + 4 : i + 8], "little")
+            body = i + 8
+            end = min(body + size, hi)
+            if fourcc == b"LIST" and size >= 4:
+                walk(body + 4, end)
+            elif (
+                fourcc[:2].isdigit() and fourcc[2:4] in (b"dc", b"db")
+                and body + size <= hi
+            ):
+                frames.append(bytes(buf[body : body + size]))
+            i = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(buf))
+    return frames or None
+
+
 def sample_video_frames(
     df: DataFrame, binary_col: str, id_col: str, n_frames: int = 4
 ) -> DataFrame:
-    """STUB frame sampler: one output row per sampled 'frame' (an evenly
-    spaced byte-slice standing in for a decoded frame). Demonstrates the
-    1→N mapInPandas expansion shape used by real frame extraction."""
+    """Frame sampler: one output row per sampled frame, ``n_frames``
+    evenly spaced.
+
+    For MJPEG AVI inputs this is REAL frame extraction
+    (:func:`parse_avi_frames`): the sampled rows carry the actual JPEG
+    frame payloads (stream index in ``frame_index``), which
+    :func:`decode_jpeg_pixels` / :func:`decode_image_batch` decode to
+    real rasters downstream. Codec-bound containers (H.264 in MP4, …)
+    keep the declared byte-slice STUB with synthetic indices —
+    demonstrating the same 1→N ``mapInPandas`` expansion shape. Scale:
+    map-side expansion, no shuffle; one input video's frames stay in
+    one task's Arrow batches."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -1107,6 +1147,15 @@ def sample_video_frames(
                 if buf is None:
                     continue
                 b = bytes(buf)
+                avi = parse_avi_frames(b)
+                if avi is not None:  # REAL frames, evenly sampled
+                    total = len(avi)
+                    picked = sorted({(i * total) // n_frames for i in range(min(n_frames, total))})
+                    for k in picked:
+                        ids.append(rid)
+                        idxs.append(k)
+                        frames.append(avi[k])
+                    continue
                 step = max(1, len(b) // n_frames)
                 for i in range(n_frames):
                     chunk = b[i * step : (i + 1) * step]

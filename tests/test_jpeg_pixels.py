@@ -420,3 +420,59 @@ def test_jpeg_rejects_progressive_and_garbage():
 def test_jpeg_via_decode_pixels_dispatch():
     px = _smooth_raster(16, 16, 7)
     assert decode_pixels(make_jpeg(px)) is not None
+
+
+# ------------------------------------------------------------- MJPEG AVI
+def _le(v, n):
+    return int(v).to_bytes(n, "little")
+
+
+def make_mjpeg_avi(frames: list[bytes], w: int, h: int) -> bytes:
+    """Minimal valid MJPEG AVI: RIFF/AVI , LIST hdrl (avih), LIST movi
+    with word-aligned 00dc chunks."""
+    items = b"".join(
+        b"00dc" + _le(len(f), 4) + f + (b"\x00" if len(f) % 2 else b"")
+        for f in frames
+    )
+    movi = b"LIST" + _le(4 + len(items), 4) + b"movi" + items
+    avih = (b"avih" + _le(56, 4) + _le(40000, 4) + bytes(12)
+            + _le(len(frames), 4) + bytes(12) + _le(w, 4) + _le(h, 4) + bytes(16))
+    hdrl = b"LIST" + _le(4 + len(avih), 4) + b"hdrl" + avih
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _le(len(body), 4) + body
+
+
+def test_parse_avi_frames_real_mjpeg():
+    from geomesa_hive_spark.pipeline.multimodal import parse_avi_frames
+
+    rasters = [_smooth_raster(16, 16, 30 + f) for f in range(5)]
+    frames = [make_jpeg(px) for px in rasters]
+    avi = make_mjpeg_avi(frames, 16, 16)
+    got = parse_avi_frames(avi)
+    assert got is not None and len(got) == 5
+    assert all(g == f for g, f in zip(got, frames))  # exact payload slicing
+    for g, px in zip(got, rasters):
+        dec = decode_jpeg_pixels(g)
+        ref = _reference_decode(px, subsample=False)
+        assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 1
+    assert parse_avi_frames(avi[:20]) is None
+    assert parse_avi_frames(b"RIFF" + _le(4, 4) + b"WAVE") is None
+
+
+def test_sample_video_frames_real_avi(spark):
+    from geomesa_hive_spark.pipeline import multimodal
+
+    frames = [make_jpeg(_smooth_raster(8, 8, 40 + f)) for f in range(6)]
+    avi = make_mjpeg_avi(frames, 8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video at all, just bytes"))],
+        "doc_id LONG, media BINARY",
+    )
+    out = multimodal.sample_video_frames(df, "media", "doc_id", n_frames=3).collect()
+    real = sorted((r.frame_index, bytes(r.frame)) for r in out if r.id == 1)
+    # evenly spaced: stream indices 0, 2, 4 with EXACT jpeg payloads
+    assert [i for i, _ in real] == [0, 2, 4]
+    assert all(b == frames[i] for i, b in real)
+    # non-AVI input keeps the declared byte-slice stub shape
+    stub = [r for r in out if r.id == 2]
+    assert len(stub) == 3 and all(r.frame is not None for r in stub)
