@@ -2222,6 +2222,44 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP on decoded PCM: the query assembles valid 16-bit
+    mono PCM WAVs natively (64 deterministic samples per doc — the LE
+    words u_i = (doc_id·7919 + i·104729) mod 65536, which the decoder
+    reads as int16(u_i) = ((u_i + 32768) mod 65536) − 32768 —
+    via transform(sequence(...)) — fully native synthesis), then
+    audio_features decodes the actual sample data (parse_wav_samples)
+    and computes RMS / peak / mean amplitude / zero crossings in NumPy.
+    The oracle recomputes every feature from the closed-form sample
+    series (exact integer sums, shared IEEE sqrt), so the PCM byte
+    layout, sign handling and the DSP arithmetic are all
+    hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, 63), i -> concat("
+        "lpad(hex(((doc_id * 7919 + i * 104729) % 65536) % 256), 2, '0'),"
+        "lpad(hex(((doc_id * 7919 + i * 104729) % 65536) DIV 256), 2, '0')"
+        ")), '')"
+    )
+    hdr = (b"RIFF" + (36 + 128).to_bytes(4, "little") + b"WAVEfmt "
+           + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (16000).to_bytes(4, "little")
+           + (32000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little") + b"data" + (128).to_bytes(4, "little"))
+    wav = F.concat(F.lit(hdr), F.unhex(pcm_hex))
+    feats = multimodal.audio_features(
+        docs.select("doc_id", wav.alias("media")), "media"
+    )
+    return feats.select(
+        F.col("doc_id").alias("doc_id"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.col("zero_crossings").alias("zero_crossings"),
+        F.col("n_frames").alias("n_frames"),
+    )
+
+
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resample: the query assembles COMPLETE valid
     24-bit BMPs natively (solid per-doc BGR color, varying dims so the
@@ -2704,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixels_gif": q_multimodal_pixels_gif,
         "multimodal_pixels_jpeg": q_multimodal_pixels_jpeg,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 
@@ -4608,4 +4647,26 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pixels_jpeg": _jpeg_pixels_oracle(),
         # MJPEG-AVI frame sampling: frames 0 and 2 of 4, per-frame step
         "multimodal_frames": _mjpeg_frames_oracle(),
+        # PCM DSP replay: closed-form sample series, exact integer sums
+        "multimodal_audio_features": """
+            WITH s AS (
+              SELECT d.doc_id, t.i,
+                     ((d.doc_id * 7919 + t.i * 104729 + 32768) % 65536)
+                       - 32768 AS v
+              FROM documents d CROSS JOIN generate_series(0, 63) AS t(i)
+            ), z AS (
+              SELECT doc_id, v,
+                     CASE WHEN (v >= 0) <> (lag(v) OVER (
+                            PARTITION BY doc_id ORDER BY i) >= 0)
+                          THEN 1 ELSE 0 END AS c
+              FROM s
+            )
+            SELECT doc_id,
+                   round(sqrt(SUM(CAST(v AS DOUBLE) * v) / 64.0) / 32768.0, 6) AS rms,
+                   round(MAX(abs(v)) / 32768.0, 6) AS peak,
+                   round(SUM(CAST(v AS DOUBLE)) / 64.0 / 32768.0, 6) AS mean_amp,
+                   CAST(SUM(c) AS INTEGER) AS zero_crossings,
+                   CAST(64 AS BIGINT) AS n_frames
+            FROM z GROUP BY doc_id
+        """,
     }

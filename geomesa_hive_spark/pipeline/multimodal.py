@@ -55,6 +55,9 @@ __all__ = [
     "attach_media_schema",
     "parse_image_header",
     "parse_wav_header",
+    "parse_wav_samples",
+    "audio_features",
+    "resample_audio",
     "parse_mp4_header",
     "decode_bmp_pixels",
     "decode_png_pixels",
@@ -156,6 +159,46 @@ def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
     if rate is None or data_size is None or not block:
         return None
     return (rate, channels, bits, data_size // block)
+
+
+def parse_wav_samples(buf: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """REAL PCM sample decode: (sample_rate, channels, samples) where
+    ``samples`` is an (n_frames, channels) int32 array, or None if the
+    bytes are not decodable PCM WAV. WAV PCM is raw byte layout —
+    int16/int32 little-endian or uint8 (rebased to signed) — so, like
+    BMP, the actual sample data needs NumPy only. Compressed WAVE
+    formats (format tag ≠ 1) return None."""
+    if buf is None or len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(buf)
+    fmt_tag = rate = channels = bits = block = None
+    data_off = data_len = None
+    while i + 8 <= n:
+        cid = buf[i : i + 4]
+        clen = int.from_bytes(buf[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            fmt_tag = int.from_bytes(buf[i + 8 : i + 10], "little")
+            channels = int.from_bytes(buf[i + 10 : i + 12], "little")
+            rate = int.from_bytes(buf[i + 12 : i + 16], "little")
+            block = int.from_bytes(buf[i + 20 : i + 22], "little")
+            bits = int.from_bytes(buf[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_off, data_len = i + 8, min(clen, n - i - 8)
+        i += 8 + clen + (clen & 1)
+    if (
+        fmt_tag != 1 or not rate or not channels or not block
+        or data_off is None or bits not in (8, 16, 32)
+    ):
+        return None
+    width = bits // 8
+    n_frames = data_len // (width * channels)
+    count = n_frames * channels
+    if bits == 8:  # WAV 8-bit is unsigned, midpoint 128
+        raw = np.frombuffer(buf, np.uint8, count, data_off).astype(np.int32) - 128
+    else:
+        dt = np.dtype("<i2") if bits == 16 else np.dtype("<i4")
+        raw = np.frombuffer(buf, dt, count, data_off).astype(np.int32)
+    return (rate, channels, raw.reshape(n_frames, channels))
 
 
 def parse_mp4_header(buf: bytes) -> tuple[int, int, int, int, int] | None:
@@ -947,6 +990,101 @@ def decode_audio_batch(df: DataFrame, binary_col: str) -> DataFrame:
                 pdf[k] = pd.array(cols[k], dtype="Int32")
             for k in ("n_samples", "duration_ms"):
                 pdf[k] = pd.array(cols[k], dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def audio_features(df: DataFrame, binary_col: str) -> DataFrame:
+    """REAL audio DSP over PCM WAV payloads (:func:`parse_wav_samples`):
+    adds ``rms`` / ``peak`` / ``mean_amp`` (full-scale-normalized to the
+    16-bit range), ``zero_crossings`` (sign changes along the first
+    channel, zero counted as non-negative) and ``n_frames``. The
+    arithmetic runs on the actual decoded samples in NumPy — the same
+    real-vs-stub bar as the image raster kernels; non-PCM bytes yield
+    nulls. Scale: per-row map, no shuffle, Arrow-batched."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("mean_amp", T.DoubleType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            rms, peak, mean, zc, nf = [], [], [], [], []
+            for buf in pdf[binary_col]:
+                parsed = parse_wav_samples(bytes(buf)) if buf is not None else None
+                if parsed is None or parsed[2].size == 0:
+                    for col in (rms, peak, mean, zc, nf):
+                        col.append(None)
+                    continue
+                _, _, samples = parsed
+                v = samples.astype(np.float64)
+                rms.append(float(np.sqrt(np.mean(v * v))) / 32768.0)
+                peak.append(float(np.abs(v).max()) / 32768.0)
+                mean.append(float(v.mean()) / 32768.0)
+                ch0 = samples[:, 0]
+                nonneg = ch0 >= 0
+                zc.append(int(np.count_nonzero(nonneg[1:] != nonneg[:-1])))
+                nf.append(samples.shape[0])
+            pdf = pdf.copy()
+            pdf["rms"], pdf["peak"], pdf["mean_amp"] = rms, peak, mean
+            pdf["zero_crossings"] = pd.array(zc, dtype="Int32")
+            pdf["n_frames"] = pd.array(nf, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def resample_audio(
+    df: DataFrame, binary_col: str, target_rate: int
+) -> DataFrame:
+    """REAL sample-rate conversion for PCM WAV: per channel, linear
+    interpolation onto the target-rate time grid (output frame k
+    samples source time k·src/target). Replaces ``binary_col`` with the
+    raw interleaved int16 little-endian samples and adds
+    ``out_rate``/``out_frames``; non-PCM bytes yield null. The DSP runs
+    on real decoded samples (np.interp); a polyphase/sinc kernel would
+    slot into the same batch shape."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("out_rate", T.IntegerType()),
+            T.StructField("out_frames", T.LongType()),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            out, rates, frames = [], [], []
+            for buf in pdf[binary_col]:
+                parsed = parse_wav_samples(bytes(buf)) if buf is not None else None
+                if parsed is None or parsed[2].size == 0:
+                    out.append(None), rates.append(None), frames.append(None)
+                    continue
+                rate, ch, samples = parsed
+                n = samples.shape[0]
+                m = max(1, (n * target_rate) // rate)
+                t_out = np.arange(m) * (rate / target_rate)
+                t_src = np.arange(n, dtype=np.float64)
+                res = np.empty((m, ch), dtype=np.int16)
+                for c in range(ch):
+                    res[:, c] = np.clip(
+                        np.round(np.interp(t_out, t_src, samples[:, c].astype(np.float64))),
+                        -32768, 32767,
+                    ).astype(np.int16)
+                out.append(res.tobytes())
+                rates.append(target_rate)
+                frames.append(m)
+            pdf = pdf.copy()
+            pdf[binary_col] = out
+            pdf["out_rate"] = pd.array(rates, dtype="Int32")
+            pdf["out_frames"] = pd.array(frames, dtype="Int64")
             yield pdf
 
     return df.mapInPandas(gen, schema)

@@ -750,3 +750,68 @@ def test_extract_urls_hosts(spark):
                      (3, "a.example.com")]
     # query string stopped at '?' (not in the path class) — by design
     assert any(r.url == "https://a.example.com/x/y" for r in out)
+
+
+# --------------------------------------------------------------- audio DSP
+def _wav(samples, rate=8000, bits=16):
+    """Build a PCM WAV from an (n, ch) int array."""
+    import numpy as _np
+    a = _np.asarray(samples)
+    ch = a.shape[1]
+    if bits == 16:
+        data = a.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (a + 128).astype(_np.uint8).tobytes()
+    else:
+        data = a.astype("<i4").tobytes()
+    block = ch * bits // 8
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVEfmt "
+            + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + ch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * block).to_bytes(4, "little") + block.to_bytes(2, "little")
+            + bits.to_bytes(2, "little") + b"data"
+            + len(data).to_bytes(4, "little") + data)
+
+
+def test_parse_wav_samples_formats():
+    import numpy as np
+    from geomesa_hive_spark.pipeline.multimodal import parse_wav_samples
+
+    st = np.array([[100, -200], [300, -400], [-500, 600]])
+    rate, ch, got = parse_wav_samples(_wav(st))
+    assert (rate, ch) == (8000, 2) and np.array_equal(got, st)
+    # 8-bit unsigned rebased to signed midpoint
+    m8 = np.array([[-128], [0], [127]])
+    _, _, got = parse_wav_samples(_wav(m8, bits=8))
+    assert np.array_equal(got, m8)
+    # 32-bit
+    m32 = np.array([[2**20], [-(2**20)]])
+    _, _, got = parse_wav_samples(_wav(m32, bits=32))
+    assert np.array_equal(got, m32)
+    # compressed format tag rejected
+    bad = bytearray(_wav(st)); bad[20] = 2
+    assert parse_wav_samples(bytes(bad)) is None
+
+
+def test_audio_features_and_resample(spark):
+    import numpy as np
+    from geomesa_hive_spark.pipeline import multimodal
+
+    sq = np.array([[v] for v in ([16384] * 4 + [-16384] * 4) * 4])  # square wave
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(sq))), (2, bytearray(b"not audio"))],
+        "doc_id LONG, media BINARY")
+    rows = {r.doc_id: r for r in multimodal.audio_features(df, "media").collect()}
+    assert rows[1].rms == pytest.approx(0.5) and rows[1].peak == pytest.approx(0.5)
+    assert rows[1].mean_amp == pytest.approx(0.0)
+    assert rows[1].zero_crossings == 7 and rows[1].n_frames == 32
+    assert rows[2].rms is None and rows[2].n_frames is None
+
+    # linear-interp resample of a pure ramp is exact at half rate
+    ramp = np.arange(0, 64, dtype=np.int64).reshape(-1, 1) * 100
+    df2 = spark.createDataFrame([(1, bytearray(_wav(ramp, rate=8000)))],
+                                "doc_id LONG, media BINARY")
+    out = multimodal.resample_audio(df2, "media", 4000).collect()[0]
+    assert out.out_rate == 4000 and out.out_frames == 32
+    got = np.frombuffer(bytes(out.media), dtype="<i2")
+    assert np.array_equal(got, ramp[::2, 0])  # every other ramp point, exact
