@@ -1918,6 +1918,39 @@ def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity pairs (pipeline/text.py tfidf_pairs):
+    inverted-index posting join with stop-term pruning (df > N/10
+    dropped before the join). Exact by construction — integer-quantized
+    IDF ((N·100) DIV df), so dots and norms are order-independent
+    integer sums and the one double division hash-matches the DuckDB
+    replay to 6 decimals."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.tfidf_pairs(docs, "doc_id", "text", min_sim=0.3)
+    return pairs.select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality filtering (pipeline/sampling.py
+    filter_by_quantile): keep the top half of each language by the
+    native quality score, ties broken by doc_id — the deterministic
+    per-group selection a reproducible training mix needs. Oracle
+    replays the quality arithmetic and the rank/count window."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "q", F.round(text.quality_score(F.col("text")), 6)
+    )
+    kept = sampling.filter_by_quantile(docs, "q", "lang", 0.5, "doc_id")
+    return kept.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("lang").alias("lang"),
+        F.col("q").alias("q"),
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based keeper selection: near-dup clusters (word-3-gram
     Jaccard ≥ 0.5 → connected components), keep the best-quality member
@@ -2727,6 +2760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_greedy": q_pipeline_pack_greedy,
         "pii_redact": q_pii_redact,
         "text_urls": q_text_urls,
+        "text_tfidf_pairs": q_text_tfidf_pairs,
+        "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
         "approx_stats": q_approx_stats,
@@ -4395,6 +4430,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(length(url)) AS INTEGER) AS min_url_len,
                    CAST(max(length(url)) AS INTEGER) AS max_url_len
             FROM u GROUP BY host
+        """,
+        # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "text_tfidf_pairs": """
+            WITH tok0 AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM tok0 WHERE term <> '' GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), kept AS (
+              SELECT term,
+                     ((SELECT COUNT(*) FROM documents) * 100) // df AS idf
+              FROM dfreq
+              WHERE df <= (SELECT COUNT(*) FROM documents) // 10
+            ), w AS (
+              SELECT tf.doc_id, tf.term, tf.tf * kept.idf AS w
+              FROM tf JOIN kept USING (term)
+            ), norms AS (
+              SELECT doc_id, SUM(w * w) AS norm2 FROM w GROUP BY doc_id
+            ), dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT d.id_a, d.id_b,
+                   round(d.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                                  * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS sim
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.id_a
+            JOIN norms nb ON nb.doc_id = d.id_b
+            WHERE d.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                           * sqrt(CAST(nb.norm2 AS DOUBLE))) >= 0.3
+        """,
+        # per-language quality quantile: quality replay + rank/count window
+        "pipeline_quantile_filter": """
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                length(text) AS n,
+                length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang, text, n, toks,
+                CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN toks > 0 THEN CAST(n AS DOUBLE) / toks ELSE 0.0 END AS mean_word,
+                CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END AS len_band
+              FROM t
+            ), q AS (
+              SELECT doc_id, lang,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE round(0.4 * len_band + 0.4 * alpha_ratio
+                           + 0.2 * (CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0
+                                    THEN 1.0 ELSE 0.5 END), 6)
+                END AS q
+              FROM s
+            ), r AS (
+              SELECT doc_id, lang, q,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY q DESC NULLS LAST, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM q
+            )
+            SELECT doc_id, lang, q FROM r WHERE rn <= ceil(n * 0.5)
         """,
         # clusters (recursive closure over jaccard pairs) + quality replay
         # + the same (quality DESC, id) keeper window; rk > 1 = dropped

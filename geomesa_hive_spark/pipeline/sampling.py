@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "unit_hash",
+    "filter_by_quantile",
     "hash_split",
     "sample_fraction",
     "weighted_mix",
@@ -117,3 +118,35 @@ def weighted_mix(
     if not parts:
         raise ValueError("weighted_mix needs at least one source")
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float,
+    id_col: str,
+) -> DataFrame:
+    """Quantile-based corpus filtering: per group, keep the top
+    ``keep_frac`` fraction of rows by ``score_col`` (ties broken by
+    ``id_col`` so the kept SET is deterministic — essential for
+    reproducible training mixes). Keeps ceil(n·frac) rows per group.
+
+    Native window arithmetic: rank and group size in one window pass.
+    Scale: one shuffle by group; a group's rows must sort within its
+    partitions (Spark external-sorts, so this holds at any group size);
+    for very hot groups pre-shard and take per-shard quantiles as an
+    approximation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
+    wcnt = Window.partitionBy(group_col)
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wcnt))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(keep_frac))))
+        .drop("__rn", "__n")
+    )
+    return out

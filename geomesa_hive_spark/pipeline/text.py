@@ -22,6 +22,7 @@ __all__ = [
     "repetition_signals",
     "winnowing_fingerprints",
     "redact_pii",
+    "tfidf_pairs",
     "extract_urls",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -324,6 +325,78 @@ def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     urls = F.regexp_extract_all(c, F.lit(_URL_PATTERN), 0)
     out = df.select(F.col(id_col), F.explode(urls).alias("url"))
     return out.withColumn("host", F.regexp_extract(F.col("url"), _URL_HOST, 1))
+
+
+def tfidf_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sim: float = 0.3,
+    max_df_frac: float = 0.1,
+    idf_scale: int = 100,
+) -> DataFrame:
+    """TF-IDF cosine document similarity via an inverted-index join —
+    the classic near-duplicate / related-document pattern, fully native.
+
+    Exactness by construction: IDF is the integer quantization
+    ``(N·idf_scale) DIV df`` (no logarithm — no libm), so weights, dot
+    products and squared norms are exact 64-bit integer sums whose
+    value is independent of Spark's aggregation order, and the only
+    floating point is one final ``dot / (√na·√nb)`` from exact integers
+    (IEEE sqrt/division are correctly rounded) — which is what lets a
+    SQL oracle hash-match the similarity to 6 decimals. Overflow bound:
+    |w| ≤ tf·N·idf_scale; with idf_scale=100 a corpus needs tf·N ≈ 9·10¹⁴
+    before Σw² threatens int64 — far beyond any per-doc term count.
+
+    Scale: the expensive part is the posting-list self-join on term.
+    ``max_df_frac`` removes stop-terms (df > N·frac) BEFORE the join —
+    the standard inverted-index pruning that bounds the hottest
+    posting list; the shuffle carries (term, id, weight) triples only,
+    never documents. Returns (id_a, id_b, sim) with id_a < id_b and
+    sim ≥ min_sim."""
+    n_docs = df.count()  # bounded driver scalar (like kmeans' k rows)
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(_c(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    max_df = int(n_docs * max_df_frac)
+    kept = dfreq.filter(F.col("df") <= F.lit(max_df)).withColumn(
+        "idf", F.expr(f"CAST({n_docs} AS BIGINT) * {int(idf_scale)} DIV df")
+    )
+    w = (
+        tf.join(kept.select("term", "idf"), "term")
+        .withColumn("w", F.col("tf") * F.col("idf"))
+        .select(id_col, "term", "w")
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    )
+    a = w.select(
+        F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm2").alias("nb"))
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "sim",
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+        .filter(F.col("sim") >= F.lit(float(min_sim)))
+    )
+    return out.select("id_a", "id_b", "sim")
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

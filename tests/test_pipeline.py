@@ -815,3 +815,45 @@ def test_audio_features_and_resample(spark):
     assert out.out_rate == 4000 and out.out_frames == 32
     got = np.frombuffer(bytes(out.media), dtype="<i2")
     assert np.array_equal(got, ramp[::2, 0])  # every other ramp point, exact
+
+
+# ----------------------------------------------------------- tfidf / quantile
+def test_tfidf_pairs_hand_checkable(spark):
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana cherry"),          # exact dup of 1 -> sim 1.0
+        (3, "apple banana kiwi"),            # shares 2 of 3 rare terms
+        (4, "unrelated words entirely here"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    out = {(r.id_a, r.id_b): r.sim for r in
+           text.tfidf_pairs(df, "id", "t", min_sim=0.2, max_df_frac=1.0).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert 0.2 < out[(1, 3)] < 1.0 and out[(2, 3)] == pytest.approx(out[(1, 3)])
+    assert not any(4 in p or 5 in p for p in out)  # disjoint vocab: no pair
+
+
+def test_tfidf_stop_term_pruning(spark):
+    # 'the' appears in every doc; with max_df_frac=0.5 it cannot create pairs
+    rows = [(i, f"the unique{i} word{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    out = text.tfidf_pairs(df, "id", "t", min_sim=0.01, max_df_frac=0.5).collect()
+    assert out == []  # all shared mass was the stop term
+
+
+def test_filter_by_quantile_deterministic(spark):
+    from geomesa_hive_spark.pipeline import sampling
+
+    rows = [  # group a: 5 rows, keep ceil(2.5)=3; group b: 2 rows keep 1
+        (1, "a", 0.9), (2, "a", 0.8), (3, "a", 0.8), (4, "a", 0.2), (5, "a", 0.1),
+        (6, "b", 0.5), (7, "b", 0.6),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, score DOUBLE")
+    kept = {r.id for r in
+            sampling.filter_by_quantile(df, "score", "g", 0.5, "id").collect()}
+    # ties at 0.8 broken by id: 2 kept before 3
+    assert kept == {1, 2, 3, 7}
+    again = {r.id for r in
+             sampling.filter_by_quantile(df, "score", "g", 0.5, "id").collect()}
+    assert kept == again
