@@ -26,6 +26,7 @@ from geomesa_hive_spark.functions import api as ST
 from geomesa_hive_spark.operators.convex_hull_agg import convex_hull_grouped
 from geomesa_hive_spark.operators.pushdown import contains_pushdown, intersects_pushdown
 from geomesa_hive_spark.pipeline import (
+    bpe,
     dedup,
     multimodal,
     packing,
@@ -1951,6 +1952,138 @@ def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed merge list for the encode contract query (rank order). Chosen
+#: to exercise chained merges (er then er</w>, th then the</w>) and the
+#: end-of-word marker on both sides.
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("t", "h"), ("a", "n"),
+    ("er", "</w>"), ("i", "n"), ("o", "n"), ("th", "e</w>"),
+]
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (pipeline/bpe.py train_bpe):
+    corpus → word-frequency table (one shuffle), then 10 merge rounds —
+    each a freq-weighted adjacent-pair count over the vocab-sized
+    token-string table, a deterministic (count DESC, pair ASC) argmax
+    collected as ONE row, and a native string replace applying the
+    merge (the double-space token encoding makes replace provably equal
+    to the greedy BPE fold). The oracle replays ALL TEN ROUNDS as
+    chained CTEs — pair counts, argmax and the same replace — so the
+    learned merges and their counts are hash-verified end-to-end; an
+    iterative distributed training loop with a full SQL twin, like
+    kmeans."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, "text", n_merges=10)
+    rows = [
+        (i + 1, a, b, int(cnt)) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_idx INT, lhs STRING, rhs STRING, cnt BIGINT"
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING (pipeline/bpe.py bpe_encode) with a fixed rank-
+    ordered merge list: per document, words become char token strings,
+    the merges apply as chained native replaces (map-only), and the
+    document's token stream is reassembled in order. Output is the
+    token count and the md5 of the space-joined token stream, so every
+    merge application and the token ordering are hash-verified against
+    the oracle's replay of the same string operations."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe.bpe_encode(docs, "text", "doc_id", _BPE_FIXED_MERGES)
+    return enc.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("n_tokens").alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", F.col("tokens")), "UTF-8")).alias(
+            "tokens_md5"
+        ),
+    )
+
+
+def _bpe_word_cte() -> str:
+    """Shared oracle prefix: word-frequency table → initial double-space
+    token strings (the exact to_token_string construction)."""
+    return r"""
+        w0 AS (
+          SELECT u.word, COUNT(*) AS freq
+          FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+')) AS word FROM documents) u
+          WHERE u.word <> '' GROUP BY u.word
+        ), s0 AS (
+          SELECT freq,
+                 ' ' || regexp_replace(word, '(.)', ' \1 ', 'g')
+                     || ' </w>  ' AS s
+          FROM w0
+        )"""
+
+
+def _bpe_train_oracle(n_merges: int = 10) -> str:
+    """Replay the full training loop: per round, pair counts over the
+    current token strings (fixed 1..64 series — max word is far
+    shorter), deterministic argmax, and the same boundary-regenerating
+    replace."""
+    ctes = ["WITH " + _bpe_word_cte().strip()]
+    for r in range(n_merges):
+        # MATERIALIZED is essential: s{r} is referenced by both p{r}
+        # and s{r+1}, so default CTE inlining would expand the chain
+        # exponentially (2^rounds base-table scans)
+        last = r == n_merges - 1
+        step = f"""
+        p{r} AS MATERIALIZED (
+          SELECT t[g.i] AS a, t[g.i + 1] AS b, SUM(freq) AS cnt
+          FROM (SELECT freq, list_filter(regexp_split_to_array(s, ' +'),
+                       x -> x <> '') AS t FROM s{r}) tt
+          CROSS JOIN generate_series(1, 64) AS g(i)
+          WHERE g.i <= len(tt.t) - 1
+          GROUP BY a, b
+        ), b{r} AS MATERIALIZED (
+          SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+        )""".strip()
+        if not last:
+            step += f""", s{r + 1} AS MATERIALIZED (
+          SELECT freq, replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                                  ' ' || m.a || m.b || ' ') AS s
+          FROM s{r} CROSS JOIN b{r} m
+        )"""
+        ctes.append(step)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS merge_idx, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+        for r in range(n_merges)
+    )
+    return ",\n".join(ctes) + "\n" + unions
+
+
+def _bpe_encode_oracle() -> str:
+    """Replay encoding with the fixed merges: per (doc, word-position),
+    the same chained replaces, then ordered reassembly."""
+    s_expr = "' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w>  '"
+    for a, b in _BPE_FIXED_MERGES:
+        s_expr = f"replace({s_expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+        WITH dw AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+') AS words
+          FROM documents
+        ), w AS (
+          SELECT doc_id, g.i AS pos, words[g.i] AS word
+          FROM dw CROSS JOIN generate_series(1, 4096) AS g(i)
+          WHERE g.i <= len(dw.words) AND words[g.i] <> ''
+        ), enc AS (
+          SELECT doc_id, pos,
+                 regexp_replace(trim({s_expr}), ' +', ' ', 'g') AS ws
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(SUM(len(regexp_split_to_array(ws, ' '))) AS INTEGER)
+                 AS n_tokens,
+               md5(string_agg(ws, ' ' ORDER BY pos)) AS tokens_md5
+        FROM enc GROUP BY doc_id
+    """
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based keeper selection: near-dup clusters (word-3-gram
     Jaccard ≥ 0.5 → connected components), keep the best-quality member
@@ -2762,6 +2895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_urls": q_text_urls,
         "text_tfidf_pairs": q_text_tfidf_pairs,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
         "approx_stats": q_approx_stats,
@@ -4431,6 +4566,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(length(url)) AS INTEGER) AS max_url_len
             FROM u GROUP BY host
         """,
+        # BPE: full 10-round training replay + fixed-merge encode replay
+        "bpe_train": _bpe_train_oracle(10),
+        "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
         "text_tfidf_pairs": """
             WITH tok0 AS (

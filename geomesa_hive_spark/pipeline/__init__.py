@@ -8,6 +8,7 @@ Arrow-batched pandas UDFs for genuinely non-SQL kernels (minhash
 signatures, simhash, hyperplane LSH)."""
 
 from geomesa_hive_spark.pipeline import (
+    bpe,
     dedup,
     multimodal,
     packing,
@@ -16,4 +17,4 @@ from geomesa_hive_spark.pipeline import (
     text,
 )
 
-__all__ = ["dedup", "packing", "sampling", "similarity", "text", "multimodal"]
+__all__ = ["bpe", "dedup", "packing", "sampling", "similarity", "text", "multimodal"]

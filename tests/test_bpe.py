@@ -1,0 +1,116 @@
+"""BPE tokenizer tests: the Spark string-replace implementation (the
+double-space token encoding makes merge application a native replace)
+is compared against an independent pure-Python reference that uses the
+textbook greedy fold — so the replace≡fold equivalence argument is
+machine-checked, including the overlap cases ('aaa', 'abab') where a
+naive single-space replace scheme diverges."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from geomesa_hive_spark.pipeline import bpe
+
+
+def ref_word_tokens(word):
+    return list(word) + ["</w>"]
+
+
+def ref_apply(toks, a, b):
+    out = []
+    for t in toks:
+        if out and out[-1] == a and t == b:
+            out[-1] = a + b
+        else:
+            out.append(t)
+    return out
+
+
+def ref_train(texts, n_merges, min_count=2):
+    wf = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wf[w] += 1
+    words = {w: ref_word_tokens(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, toks in words.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        words = {w: ref_apply(t, a, b) for w, t in words.items()}
+    return merges
+
+
+def ref_encode(text, merges):
+    out = []
+    for w in re.split(r"[^a-z0-9]+", text.lower()):
+        if not w:
+            continue
+        toks = ref_word_tokens(w)
+        for a, b, *_ in merges:
+            toks = ref_apply(toks, a, b)
+        out.extend(toks)
+    return out
+
+
+TEXTS = [
+    "the theater that the thane thought",
+    "aaa abab banana bandana",           # overlap regimes: aaa / abab
+    "low lower lowest newest widest",
+    "the the the banana band abab aaaa",
+]
+
+
+def test_train_matches_reference_fold(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id LONG, t STRING"
+    )
+    merges = bpe.train_bpe(df, "t", 10)
+    assert merges == ref_train(TEXTS, 10)
+    # merged self-pairs ('a','a') must appear (the 'aaa'/'aaaa' case),
+    # proving the boundary-regenerating replace handles overlaps
+    assert any(a == b for a, b, _ in merges)
+
+
+def test_encode_matches_reference_fold(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id LONG, t STRING"
+    )
+    merges = bpe.train_bpe(df, "t", 10)
+    enc = {r.id: (list(r.tokens), r.n_tokens)
+           for r in bpe.bpe_encode(df, "t", "id", merges).collect()}
+    for i, t in enumerate(TEXTS):
+        expect = ref_encode(t, merges)
+        assert enc[i][0] == expect, (i, enc[i][0], expect)
+        assert enc[i][1] == len(expect)
+
+
+def test_encode_order_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "...!!!"), (3, None)], "id LONG, t STRING"
+    )
+    out = {r.id: list(r.tokens) for r in
+           bpe.bpe_encode(df, "t", "id", [("z", "e")]).collect()}
+    # document order preserved (zebra tokens before apple tokens)
+    assert out[1][:3] == ["ze", "b", "r"]
+    # no-word / null docs produce no row (consistent with the oracle)
+    assert 2 not in out and 3 not in out
+
+
+def test_train_early_stop(spark):
+    df = spark.createDataFrame([(1, "xy")], "id LONG, t STRING")
+    # every pair occurs once; min_count=2 stops immediately
+    assert bpe.train_bpe(df, "t", 5, min_count=2) == []
+    m = bpe.train_bpe(df, "t", 50, min_count=1)
+    # fully merges down to a single token: x y </w> -> 2 merges
+    assert len(m) == 2
