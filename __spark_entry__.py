@@ -28,6 +28,7 @@ from geomesa_hive_spark.operators.pushdown import contains_pushdown, intersects_
 from geomesa_hive_spark.pipeline import (
     bpe,
     dedup,
+    graph,
     multimodal,
     packing,
     sampling,
@@ -1501,6 +1502,105 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    first view, the first click strictly after it, the first purchase
+    strictly after that — min-timestamp chaining via three aggregate+
+    join stages (each shuffles only (user, ts) pairs), the standard
+    scalable funnel layout. stage = how deep the user got (1-3)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("s")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("s") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("s") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_purchase"))
+    )
+    out = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        stage.cast("int").alias("stage"),
+        F.round("t_view", 6).alias("t_view"),
+        F.round("t_click", 6).alias("t_click"),
+        F.round("t_purchase", 6).alias("t_purchase"),
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (the semi-structured relational path):
+    get_json_object pulls props.$.k, bucketed mod 10; per-bucket count
+    and exact decimal value sum. Covers the JSON accessor surface the
+    reference's Hive environment exposes via get_json_object."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_relational_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per year × priority with an explicit pivot
+    value list (no collect — Spark only scans once); exact decimal
+    total per year alongside. Oracle replays as CASE-filtered
+    aggregates, which is also exactly the physical plan Spark lowers
+    PIVOT to — documenting that equivalence is the point."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        o.groupBy("yr")
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside PIVOT aggs
+    )
+    named = piv.select(
+        F.col("yr").alias("yr"),
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"p{i + 1}")
+            for i, p in enumerate(pri)
+        ],
+    )
+    totals = o.groupBy("yr").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price")
+    )
+    return named.join(totals, "yr")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag + cumulative sum (30-min gap)."""
     from pyspark.sql import Window
@@ -2082,6 +2182,60 @@ def _bpe_encode_oracle() -> str:
                md5(string_agg(ws, ' ' ORDER BY pos)) AS tokens_md5
         FROM enc GROUP BY doc_id
     """
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (pipeline/graph.py): an IRREGULAR
+    97-node directed graph synthesized from customer keys — src =
+    key mod 97, dst = (key DIV 7) mod 97, self-loops dropped — so
+    out-degrees and in-degrees genuinely vary (a multiplicative map
+    like 13·key mod 97 would be a permutation whose ranks sit at the
+    uniform fixed point, testing nothing). 3 iterations at damping
+    0.85. All-integer arithmetic (r DIV deg contributions, DIV-100
+    damping) makes the iterative loop order-independent, so the oracle
+    replays every round exactly — the second hash-verified iterative
+    algorithm alongside kmeans/bpe_train."""
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 97).alias("src"),
+        (F.expr("c_custkey DIV 7") % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr = graph.pagerank(edges, "src", "dst", iters=3)
+    return pr.select(F.col("node").alias("node"), F.col("r").alias("r"))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Replay the integer PageRank loop as chained MATERIALIZED CTEs
+    (same exponential-inlining lesson as the BPE oracle)."""
+    head = """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT c_custkey % 97 AS src, (c_custkey // 7) % 97 AS dst
+          FROM customer WHERE c_custkey % 97 <> (c_custkey // 7) % 97
+        ), n AS MATERIALIZED (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), d AS MATERIALIZED (
+          SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+        ), r0 AS MATERIALIZED (
+          SELECT node, CAST(1000000 AS BIGINT) AS r FROM n
+        )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        i{k} AS MATERIALIZED (
+          SELECT e.dst, SUM(r.r // d.deg) AS inflow
+          FROM e JOIN r{k - 1} r ON r.node = e.src
+                 JOIN d ON d.src = e.src
+          GROUP BY e.dst
+        ), r{k} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+          FROM n LEFT JOIN i{k} i ON i.dst = n.node
+        )""".strip())
+    return (
+        head.strip() + ",\n" + ",\n".join(steps)
+        + f"\nSELECT node, r FROM r{iters}"
+    )
 
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2897,6 +3051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "events_funnel": q_events_funnel,
+        "events_json": q_events_json,
+        "relational_pivot": q_relational_pivot,
+        "graph_pagerank": q_graph_pagerank,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
         "approx_stats": q_approx_stats,
@@ -4225,6 +4383,59 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        # min-ts funnel chaining replay
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, min(epoch(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(epoch(e.ts)) AS t_click
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND epoch(e.ts) > v.t_view
+              GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id, min(epoch(e.ts)) AS t_purchase
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch(e.ts) > c.t_click
+              GROUP BY e.user_id
+            )
+            SELECT v.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS INTEGER) AS stage,
+                   round(v.t_view, 6) AS t_view,
+                   round(c.t_click, 6) AS t_click,
+                   round(p.t_purchase, 6) AS t_purchase
+            FROM v LEFT JOIN c ON c.user_id = v.user_id
+                   LEFT JOIN p ON p.user_id = v.user_id
+        """,
+        # JSON accessor replay
+        "events_json": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                     AS k_bucket,
+                   count(*) AS cnt,
+                   CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                        AS INTEGER) AS min_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                        AS INTEGER) AS max_k,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                        AS DOUBLE) AS sum_value
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        """,
+        # PIVOT lowered to CASE-filtered aggregates (what Spark executes)
+        "relational_pivot": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+                   CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+                   CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+                   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+                   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                        AS DOUBLE) AS total_price
+            FROM orders GROUP BY 1
+        """,
         "events_sessions": """
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM (
@@ -4566,6 +4777,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(length(url)) AS INTEGER) AS max_url_len
             FROM u GROUP BY host
         """,
+        # integer PageRank: full 3-iteration replay
+        "graph_pagerank": _pagerank_oracle(3),
         # BPE: full 10-round training replay + fixed-merge encode replay
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),

@@ -10,6 +10,7 @@ signatures, simhash, hyperplane LSH)."""
 from geomesa_hive_spark.pipeline import (
     bpe,
     dedup,
+    graph,
     multimodal,
     packing,
     sampling,
@@ -17,4 +18,4 @@ from geomesa_hive_spark.pipeline import (
     text,
 )
 
-__all__ = ["bpe", "dedup", "packing", "sampling", "similarity", "text", "multimodal"]
+__all__ = ["bpe", "dedup", "graph", "packing", "sampling", "similarity", "text", "multimodal"]

@@ -857,3 +857,29 @@ def test_filter_by_quantile_deterministic(spark):
     again = {r.id for r in
              sampling.filter_by_quantile(df, "score", "g", 0.5, "id").collect()}
     assert kept == again
+
+
+# --------------------------------------------------------------- pagerank
+def test_pagerank_matches_reference(spark):
+    from geomesa_hive_spark.pipeline import graph
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 3 is the hub
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r.node: r.r for r in
+           graph.pagerank(df, "src", "dst", iters=4).collect()}
+
+    # independent integer reference
+    from collections import defaultdict
+    nodes = {1, 2, 3, 4}
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(4):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * inflow[n]) // 100 for n in nodes}
+    assert got == r
+    # the hub outranks everyone; dangling node 4 bottoms out at base+0
+    assert got[3] == max(got.values()) and got[4] == 150_000
