@@ -2184,6 +2184,36 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+def q_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius spatial kNN join (operators/spatial_join.py
+    spatial_knn_join): even-key customer points probe odd-key customer
+    points for their 3 nearest within 8°. Spark side is the gridded
+    3×3-neighborhood equi-join + distance window; the oracle is the
+    BRUTE-FORCE all-pairs ranking — so the grid capture (cell size =
+    radius ⇒ 3×3 covers the disk), the distance filter and the
+    deterministic (d², id) ranking are all verified against ground
+    truth, not a same-shaped replay."""
+    from geomesa_hive_spark.operators.spatial_join import spatial_knn_join
+
+    pts = _customer_pts(spark, sf_dir)
+    left = pts.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("lid"), "cx", "cy"
+    )
+    right = pts.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("rid"), "cx", "cy"
+    )
+    out = spatial_knn_join(
+        left, right, "lid", "rid", ("cx", "cy"), ("cx", "cy"),
+        k=3, radius=8.0,
+    )
+    return out.select(
+        F.col("lid").alias("lid"),
+        F.col("rid").alias("rid"),
+        F.round("dist_sq", 6).alias("dist_sq"),
+        F.col("rank").alias("rank"),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized PageRank (pipeline/graph.py): an IRREGULAR
     97-node directed graph synthesized from customer keys — src =
@@ -3055,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "relational_pivot": q_relational_pivot,
         "graph_pagerank": q_graph_pagerank,
+        "spatial_knn_join": q_spatial_knn_join,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
         "approx_stats": q_approx_stats,
@@ -4776,6 +4807,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(length(url)) AS INTEGER) AS min_url_len,
                    CAST(max(length(url)) AS INTEGER) AS max_url_len
             FROM u GROUP BY host
+        """,
+        # spatial kNN: BRUTE-FORCE ground truth (not a same-shape replay)
+        "spatial_knn_join": f"""
+            WITH l AS (
+              SELECT c_custkey AS lid, {_C_X} AS x, {_C_Y} AS y
+              FROM customer WHERE c_custkey % 2 = 0
+            ), r AS (
+              SELECT c_custkey AS rid, {_C_X} AS x, {_C_Y} AS y
+              FROM customer WHERE c_custkey % 2 = 1
+            ), pairs AS (
+              SELECT l.lid, r.rid,
+                     (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2
+              FROM l CROSS JOIN r
+            ), ranked AS (
+              SELECT lid, rid, d2,
+                     row_number() OVER (PARTITION BY lid ORDER BY d2, rid) AS rk
+              FROM pairs WHERE d2 <= 64.0
+            )
+            SELECT lid, rid, round(d2, 6) AS dist_sq, CAST(rk AS INTEGER) AS rank
+            FROM ranked WHERE rk <= 3
         """,
         # integer PageRank: full 3-iteration replay
         "graph_pagerank": _pagerank_oracle(3),

@@ -345,3 +345,40 @@ def test_range_join_matches_inequality_join(spark):
           range_join(vals, ivs, "v", "lo", "hi", bin_size=5.0, inclusive="left")
           .select("id", "iv").collect()}
     assert (7, 0) in got and (7, 0) not in ho
+
+
+def test_spatial_knn_join_matches_brute_force(spark):
+    """Gridded 3x3-neighborhood kNN must equal brute force within the
+    radius, including boundary-straddling neighbors and ties."""
+    import itertools
+    import random
+
+    from geomesa_hive_spark.operators.spatial_join import spatial_knn_join
+
+    rng = random.Random(11)
+    left = [(i, rng.uniform(-10, 10), rng.uniform(-10, 10)) for i in range(40)]
+    right = [(100 + i, rng.uniform(-10, 10), rng.uniform(-10, 10)) for i in range(60)]
+    ldf = spark.createDataFrame(left, "lid LONG, x DOUBLE, y DOUBLE")
+    rdf = spark.createDataFrame(right, "rid LONG, x DOUBLE, y DOUBLE")
+    out = spatial_knn_join(ldf, rdf, "lid", "rid", ("x", "y"), ("x", "y"),
+                           k=4, radius=3.0).collect()
+    got = {(r.lid, r.rid, r.rank) for r in out}
+
+    expect = set()
+    for lid, lx, ly in left:
+        cands = []
+        for rid, rx, ry in right:
+            d2 = (lx - rx) ** 2 + (ly - ry) ** 2
+            if d2 <= 9.0:
+                cands.append((d2, rid))
+        for rk, (d2, rid) in enumerate(sorted(cands)[:4], 1):
+            expect.add((lid, rid, rk))
+    assert got == expect and len(expect) > 0
+    # a left point exactly on a cell corner still sees all neighbors
+    ldf2 = spark.createDataFrame([(1, 0.0, 0.0)], "lid LONG, x DOUBLE, y DOUBLE")
+    rdf2 = spark.createDataFrame(
+        [(2, -2.9, -2.9), (3, 2.9, 2.9), (4, 2.9, -2.9)],
+        "rid LONG, x DOUBLE, y DOUBLE")
+    got2 = {r.rid for r in spatial_knn_join(
+        ldf2, rdf2, "lid", "rid", ("x", "y"), ("x", "y"), k=5, radius=5.0).collect()}
+    assert got2 == {2, 3, 4}
