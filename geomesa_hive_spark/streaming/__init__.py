@@ -18,6 +18,8 @@ from geomesa_hive_spark.streaming.events import (
     streaming_contamination_filter,
     streaming_dedup,
     stateful_sessions,
+    stateful_anomaly,
+    batch_anomaly,
 )
 
 __all__ = [
@@ -25,6 +27,8 @@ __all__ = [
     "hourly_rollup",
     "session_rollup",
     "stateful_sessions",
+    "stateful_anomaly",
+    "batch_anomaly",
     "enrich_stream_spatial",
     "streaming_dedup",
     "streaming_contamination_filter",

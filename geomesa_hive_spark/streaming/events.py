@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DateType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -38,6 +39,8 @@ __all__ = [
     "hourly_rollup",
     "session_rollup",
     "stateful_sessions",
+    "stateful_anomaly",
+    "batch_anomaly",
     "enrich_stream_spatial",
     "streaming_dedup",
     "streaming_contamination_filter",
@@ -321,3 +324,96 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+_ANOM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_anomalies", LongType()),
+    ]
+)
+_ANOM_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_anomalies", LongType()),
+    ]
+)
+
+
+def _anomaly_fold(vals, state_tuple, alpha: float, factor: float, warmup: int):
+    """Sequential EWMA fold shared VERBATIM by the streaming operator and
+    the batch twin — splitting the value sequence across micro-batches
+    cannot change the result because the carried state is the exact
+    float EWMA, not a summary."""
+    n, ewma, n_anom = state_tuple
+    for v in vals:
+        v = float(v)
+        if n >= warmup and v > factor * ewma:
+            n_anom += 1
+        ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+        n += 1
+    return n, ewma, n_anom
+
+
+def _anomaly(key, pdfs, state: GroupState, alpha=0.2, factor=3.0, warmup=5):
+    """Per-user streaming EWMA rate-anomaly detector: flags events whose
+    value exceeds ``factor``× the running EWMA (after a warmup count),
+    then folds the value in. Values are processed in event-time order
+    WITHIN each micro-batch; cross-batch order is arrival order — the
+    standard streaming caveat (exact global order would need the batch
+    job)."""
+    if state.exists:
+        st = state.get
+    else:
+        st = (0, 0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        st = _anomaly_fold(pdf["value"].to_numpy(), st, alpha, factor, warmup)
+    state.update((int(st[0]), float(st[1]), int(st[2])))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [st[0]],
+            "ewma": [st[1]],
+            "n_anomalies": [st[2]],
+        }
+    )
+
+
+def stateful_anomaly(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user EWMA anomaly counts via
+    ``applyInPandasWithState`` — the streaming shape for per-entity
+    drift/abuse detection. State is 3 scalars per user; emits running
+    totals every micro-batch (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _anomaly,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_anomaly(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`stateful_anomaly`: the same fold over the
+    full per-user event-time-ordered history (applyInPandas)."""
+    schema = _ANOM_OUT_SCHEMA
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        n, ewma, n_anom = _anomaly_fold(
+            pdf["value"].to_numpy(), (0, 0.0, 0), 0.2, 3.0, 5
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [n],
+                "ewma": [ewma],
+                "n_anomalies": [n_anom],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(run, schema)

@@ -240,3 +240,29 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
         df, ev, "doc_id", "text", ngram_n=5, min_shared=2).collect()}
     assert got == {1, 2, 3, 4} - flagged
     assert flagged == {1, 4}
+
+
+def test_stateful_anomaly_matches_batch(spark, events_stream):
+    """Streaming EWMA anomaly counts must equal the batch twin: the
+    fold is shared verbatim and carries exact float state, so chunking
+    into micro-batches cannot move the totals."""
+    streaming.run_to_memory(
+        streaming.stateful_anomaly(events_stream), "anom_t", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n"], round(r["ewma"], 9), r["n_anomalies"])
+        for r in spark.table("anom_t")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("ewma", "n").alias("ewma"),
+            F.max("n_anomalies").alias("n_anomalies"),
+        )
+        .collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["ewma"], 9), r["n_anomalies"])
+        for r in streaming.batch_anomaly(_batch_events(spark)).collect()
+    }
+    assert got == exp and len(exp) > 0
+    assert any(v[2] > 0 for v in exp.values())  # anomalies actually fire
