@@ -25,6 +25,12 @@ from geomesa_hive_spark import register_all
 from geomesa_hive_spark.functions import api as ST
 from geomesa_hive_spark.operators.convex_hull_agg import convex_hull_grouped
 from geomesa_hive_spark.operators.pushdown import contains_pushdown, intersects_pushdown
+from geomesa_hive_spark.operators.xz2 import (
+    add_xz2_column as _xz2_add_col,
+    wrap_oracle_sql as _xz2_wrap_oracle,
+    xz2_sql_stages as _xz2_stages,
+    xz2_window_filter as _xz2_window_filter,
+)
 from geomesa_hive_spark.pipeline import (
     bpe,
     dedup,
@@ -289,6 +295,48 @@ def q_spatial_z2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("c_custkey") <= 500)
     )
+
+
+# deterministic lon/lat *boxes* (extended geometries) from customer keys:
+# widths up to 9.6 deg / heights up to 5.2 deg so levels 4-12 all occur
+_XZ2_BOX = {
+    "bxmin": _C_X,
+    "bymin": _C_Y,
+    "bxmax": f"least({_C_X} + (c_custkey % 97) / 10.0, 180.0)",
+    "bymax": f"least({_C_Y} + (c_custkey % 53) / 10.0, 90.0)",
+}
+_XZ2_WINDOW = (-60.005, -30.005, 60.005, 40.005)
+_XZ2_STAGES = _xz2_stages("bxmin", "bymin", "bxmax", "bymax")
+
+
+def q_spatial_xz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ2 extended-geometry index (Böhm et al. XZ-ordering; GeoMesa's
+    non-point index — the reference's Z2 is centroid/point-only, see
+    `ST_PartitionCentroid.scala:40-50`): code + level computed as pure
+    native SQL arithmetic (whole-stage codegen, no Python), then a
+    window query answered as XZ2 code-range scan (ORed BETWEENs the
+    parquet scan can prune on) + exact bbox refine.
+
+    The oracle replays the same code derivation as pure dyadic SQL
+    stage arithmetic in DuckDB (exact in IEEE doubles; property-tested
+    equal to the NumPy path on 50k random boxes) but selects with the
+    *exact* intersect predicate only — so a single false negative in the
+    range cover, or any code divergence, breaks the hash.
+
+    Spark computes the code via the Arrow-vectorized NumPy UDF: the UDF
+    is the optimizer barrier that keeps the window filter from
+    substituting the 10-deep stage expression into every range clause
+    (see ``operators/xz2.py``); the native stage path is reserved for
+    the write-time layout, where nothing filters over it in-plan."""
+    c = _t(spark, sf_dir, "customer")
+    boxes = c.selectExpr(
+        "c_custkey", *[f"{expr} AS {name}" for name, expr in _XZ2_BOX.items()]
+    )
+    indexed = _xz2_add_col(boxes, "bxmin", "bymin", "bxmax", "bymax")
+    hits = _xz2_window_filter(
+        indexed, _XZ2_WINDOW, "bxmin", "bymin", "bxmax", "bymax"
+    )
+    return hits.select("c_custkey", "xz2", "xz2_len")
 
 
 def q_spatial_geodesy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3009,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_join": q_spatial_grid_join,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
+        "spatial_xz2": q_spatial_xz2,
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_geohash": q_spatial_geohash,
@@ -3901,6 +3950,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s5 GROUP BY 1
         """,
         "spatial_z2": _Z2_ORACLE,
+        "spatial_xz2": f"""
+            SELECT c_custkey, xz2, xz2_len
+            FROM {_xz2_wrap_oracle(
+                "SELECT c_custkey, "
+                + ", ".join(f"{expr} AS {name}" for name, expr in _XZ2_BOX.items())
+                + " FROM customer",
+                _XZ2_STAGES,
+            )}
+            WHERE bxmin <= {_XZ2_WINDOW[2]} AND bxmax >= {_XZ2_WINDOW[0]}
+              AND bymin <= {_XZ2_WINDOW[3]} AND bymax >= {_XZ2_WINDOW[1]}
+        """,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
         "spatial_reproject_utm": _utm_oracle(zone=33),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
