@@ -339,6 +339,43 @@ def q_spatial_xz2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("c_custkey", "xz2", "xz2_len")
 
 
+# DBSCAN needs genuinely scattered points: the shared-key linear synth
+# (_C_X/_C_Y) is a rank-1 lattice whose collinear chains made 99% of
+# points "core" with zero noise. Quadratic y decorrelates the axes
+# (quadratic residues mod a prime scatter well), and eps=2/min_pts=3
+# lands below the percolation threshold at sf0.1 density: measured
+# composition 12334 core / 1411 border / 1255 noise in 1019 clusters
+# (max 204) at sf0.1, and 45/37/1418 in 25 clusters at sf0.01 — every
+# branch of the operator (CC, border tie-break, noise) exercised at
+# both scales.
+_DBSCAN_X = "(((c_custkey * 9973) % 35000) / 100.0 - 175.0)"
+_DBSCAN_Y = "(((c_custkey * c_custkey) % 16993) / 100.0 - 84.9)"
+_DBSCAN_EPS = 2.0
+_DBSCAN_MINPTS = 3
+
+
+def q_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grid DBSCAN (Ester et al.) over customer points:
+    cell=eps grid self-join for neighbor pairs (one shuffle, no
+    all-pairs), self-inclusive counts for core points, hash-min CC over
+    core-core edges for labels (min core id — deterministic), min-label
+    border assignment, -1 noise. The oracle recomputes everything
+    BRUTE-FORCE in DuckDB (quadratic self-join + recursive-CTE
+    closure), so the grid candidate generation, the core rule, the
+    label propagation, and the border tie-break are all end-to-end
+    hash-verified against ground truth."""
+    from geomesa_hive_spark.operators.dbscan import dbscan
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr("c_custkey AS id", f"{_DBSCAN_X} AS x", f"{_DBSCAN_Y} AS y")
+    out = dbscan(pts, "id", "x", "y", _DBSCAN_EPS, _DBSCAN_MINPTS)
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("is_core"),
+        F.col("cluster_id"),
+    )
+
+
 def q_spatial_geodesy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_distanceSphere + st_lengthSphere — great-circle haversine on
     the WGS84 mean radius (geodesy.py); the oracle repeats the identical
@@ -3058,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_xz2": q_spatial_xz2,
+        "spatial_dbscan": q_spatial_dbscan,
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_geohash": q_spatial_geohash,
@@ -3960,6 +3998,47 @@ def oracle_sql() -> dict[str, str]:
             )}
             WHERE bxmin <= {_XZ2_WINDOW[2]} AND bxmax >= {_XZ2_WINDOW[0]}
               AND bymin <= {_XZ2_WINDOW[3]} AND bymax >= {_XZ2_WINDOW[1]}
+        """,
+        "spatial_dbscan": f"""
+            WITH RECURSIVE pts AS (
+              SELECT c_custkey AS id, {_DBSCAN_X} AS x, {_DBSCAN_Y} AS y FROM customer
+            ), pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM pts a JOIN pts b
+                ON a.id <> b.id
+               AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   <= {_DBSCAN_EPS * _DBSCAN_EPS!r}
+            ), core AS (
+              SELECT id_a AS id FROM pairs
+              GROUP BY id_a HAVING count(*) >= {_DBSCAN_MINPTS - 1}
+            ), ce AS (
+              SELECT p.id_a, p.id_b FROM pairs p
+              JOIN core ca ON p.id_a = ca.id
+              JOIN core cb ON p.id_b = cb.id
+            ), reach(a, b) AS (
+              SELECT id_a, id_b FROM ce
+              UNION
+              SELECT r.a, e.id_b FROM reach r JOIN ce e ON r.b = e.id_a
+            ), core_lab AS (
+              SELECT c.id,
+                     CASE WHEN min(r.b) IS NULL THEN c.id
+                          ELSE least(c.id, min(r.b)) END AS cluster_id
+              FROM core c LEFT JOIN reach r ON r.a = c.id
+              GROUP BY c.id
+            ), border AS (
+              SELECT p.id_a AS id, min(cl.cluster_id) AS cluster_id
+              FROM pairs p
+              JOIN core_lab cl ON p.id_b = cl.id
+              LEFT JOIN core co ON p.id_a = co.id
+              WHERE co.id IS NULL
+              GROUP BY p.id_a
+            )
+            SELECT pts.id AS c_custkey,
+                   CASE WHEN cl.id IS NOT NULL THEN 1 ELSE 0 END AS is_core,
+                   coalesce(cl.cluster_id, bo.cluster_id, -1) AS cluster_id
+            FROM pts
+            LEFT JOIN core_lab cl ON pts.id = cl.id
+            LEFT JOIN border bo ON pts.id = bo.id
         """,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
         "spatial_reproject_utm": _utm_oracle(zone=33),

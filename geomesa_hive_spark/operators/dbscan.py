@@ -1,0 +1,144 @@
+"""Distributed grid DBSCAN — density clustering over point sets.
+
+Beyond-reference spatial analytics (GeoMesa users run exactly this shape
+through geomesa-spark; the reference library itself stops at predicates/
+joins). Classic DBSCAN (Ester et al., KDD'96) re-expressed as DataFrame
+ops so every step is a bounded number of shuffles:
+
+1. **Neighbor pairs** via the same cell=eps grid trick as
+   `spatial_join.py:163` (spatial_knn_join): with cell size = eps, all
+   eps-neighbors of a point sit in its 3x3 cell neighborhood, so ONE
+   equi-join on cell id finds every candidate pair; the shuffle carries
+   (cell, id, x, y) rows only. Exact refine: dx*dx+dy*dy <= eps*eps in
+   IEEE doubles (engine-independent arithmetic -> oracle-replayable).
+2. **Core points**: neighborhood count (self included, the standard
+   definition) >= min_pts — one map-side-combined groupBy.
+3. **Cluster labels**: hash-min connected components over *core-core*
+   edges (`dedup.duplicate_clusters`) — O(cluster diameter) rounds, one
+   shuffle per round, localCheckpoint lineage cuts; label = min core id
+   in the cluster (deterministic).
+4. **Border points**: non-core with >= 1 core neighbor join the minimum
+   cluster label among their core neighbors (deterministic tie-break;
+   plain DBSCAN leaves border assignment order-dependent — the min rule
+   makes it reproducible, which a data pipeline needs).
+5. Everything else is **noise** (cluster_id = -1).
+
+At 100 TB: the grid join is the only data-sized shuffle and it is
+skew-adaptive via AQE like the PBSM join (hot-cell argument measured in
+`scripts/skew_bench.py`); CC rounds touch only core-core *edges* (dense
+clusters converge in 2-4 rounds). eps chooses the cell size — the
+classic failure mode is eps so large that one cell holds millions of
+points, which is a parameter error, not a plan hazard (and AQE splits
+the hot partition regardless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_hive_spark.pipeline.dedup import duplicate_clusters
+
+__all__ = ["dbscan", "eps_neighbor_pairs"]
+
+_OFFSET = 1 << 21  # lift grid indices to non-negatives before packing
+_STRIDE = 1 << 22
+
+
+def eps_neighbor_pairs(
+    points: DataFrame, id_col: str, x: str, y: str, eps: float
+) -> DataFrame:
+    """All ordered pairs (id_a, id_b), a != b, with planar distance <=
+    eps. Grid self-join: left side explodes x9, right side lands in one
+    cell — one shuffle, no all-pairs."""
+    cs = float(eps)
+    li = F.floor(F.col(x) / cs).cast("long")
+    lj = F.floor(F.col(y) / cs).cast("long")
+    neigh = F.array(
+        *[
+            (li + dx + _OFFSET) * _STRIDE + (lj + dy + _OFFSET)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(x).alias("_ax"),
+        F.col(y).alias("_ay"),
+        F.explode(neigh).alias("_cell"),
+    )
+    b = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x).alias("_bx"),
+        F.col(y).alias("_by"),
+        ((li + _OFFSET) * _STRIDE + (lj + _OFFSET)).alias("_cell"),
+    )
+    d2 = (
+        (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx"))
+        + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
+    )
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(d2 <= F.lit(cs * cs))
+        .select("id_a", "id_b")
+        .distinct()  # a pair can meet in up to 9 neighbor cells
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, is_core, cluster_id) for every input point.
+
+    cluster_id = min core-point id reachable through core-core eps-links
+    (so labels are stable across runs/engines); border points take the
+    min label among their core neighbors; noise rows carry -1.
+    """
+    pairs = eps_neighbor_pairs(points, id_col, x, y, eps).localCheckpoint()
+    ids = points.select(F.col(id_col).alias("id"))
+
+    # |N_eps(p)| >= min_pts, self included => (min_pts - 1) strict neighbors
+    counts = pairs.groupBy("id_a").agg(F.count("*").alias("n_nb"))
+    core = (
+        counts.filter(F.col("n_nb") >= int(min_pts) - 1)
+        .select(F.col("id_a").alias("id"))
+        .localCheckpoint()
+    )
+
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    # isolated cores (no core neighbor) must still form singleton clusters
+    core_labels = duplicate_clusters(
+        core_edges, "id_a", "id_b", max_iter=max_iter
+    ).union(
+        core.join(
+            core_edges.select(F.col("id_a").alias("id")).distinct(), "id", "left_anti"
+        ).select("id", F.col("id").alias("cluster_id"))
+    )
+
+    border = (
+        pairs.join(core_labels.withColumnRenamed("id", "id_b"), "id_b")
+        .join(core.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("id_a").alias("id"), "cluster_id")
+    )
+
+    labeled = core_labels.select(
+        "id", F.lit(1).alias("is_core"), "cluster_id"
+    ).union(border.select("id", F.lit(0).alias("is_core"), "cluster_id"))
+    return ids.join(labeled, "id", "left").select(
+        "id",
+        F.coalesce(F.col("is_core"), F.lit(0)).alias("is_core"),
+        F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cluster_id"),
+    )
