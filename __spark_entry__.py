@@ -2104,6 +2104,25 @@ def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (pipeline/lm.py): train an
+    add-one-smoothed bigram model over the corpus (two map-side-combined
+    groupBys), then score every document's NLL by joining its bigram
+    stream to the model. Per-bigram log-probs are quantized to integer
+    micro-nats BEFORE summation, so the per-doc totals are exact integer
+    arithmetic — order-independent under any shuffle — and the output is
+    integers only. Oracle replays tokenization, counts, smoothing, and
+    quantization verbatim in DuckDB."""
+    from geomesa_hive_spark.pipeline import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi, vocab = lm.train_bigram_lm(docs, "doc_id", "text")
+    out = lm.bigram_nll(docs, "doc_id", "text", uni, bi, vocab)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bg", "nll_q", "avg_q"
+    )
+
+
 def q_text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine similarity pairs (pipeline/text.py tfidf_pairs):
     inverted-index posting join with stop-term pruning (df > N/10
@@ -3165,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "text_urls": q_text_urls,
         "text_tfidf_pairs": q_text_tfidf_pairs,
+        "text_lm_score": q_text_lm_score,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4973,6 +4993,39 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "text_lm_score": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM documents
+            ), bge AS (
+              SELECT doc_id, unnest(l1) AS w1, unnest(l2) AS w2 FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
+                FROM toks)
+            ), uni AS (
+              SELECT u AS w, count(*) AS c1
+              FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1
+            ), bi AS (
+              SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY 1, 2
+            ), v AS (SELECT count(*) AS vs FROM uni
+            ), sc AS (
+              SELECT doc_id,
+                     CAST(round(ln((coalesce(c2, 0) + 1.0)
+                          / (coalesce(c1, 0) + vs)) * 1000000.0) AS BIGINT) AS lp
+              FROM bge LEFT JOIN bi USING (w1, w2)
+              LEFT JOIN uni ON bge.w1 = uni.w CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_bg, -sum(lp) AS nll_q,
+                     (-sum(lp)) // count(*) AS avg_q
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(n_bg, 0) AS n_bg,
+                   coalesce(nll_q, 0) AS nll_q, coalesce(avg_q, 0) AS avg_q
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
         "text_tfidf_pairs": """
             WITH tok0 AS (
               SELECT doc_id,

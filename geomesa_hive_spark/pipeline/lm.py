@@ -1,0 +1,121 @@
+"""Distributed n-gram language-model scoring — the CCNet-style quality
+signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data"): score every document by its per-token
+negative log-likelihood under a corpus-trained LM and filter on the
+score. CCNet uses KenLM; at pipeline scale the same signal comes from a
+bigram model with add-one smoothing, trained and applied entirely as
+DataFrame ops.
+
+Exactness across engines (the contract hash): each bigram's log-prob is
+quantized to integer micro-nats (``round(ln(p)·1e6)``) *before* any
+aggregation, so per-document sums are exact integer arithmetic —
+order-independent under any shuffle/partitioning. The ``ln`` argument is
+a ratio of exact integers (counts), identical as an IEEE double in every
+engine; libm ``ln`` parity between the JVM and DuckDB is the same
+empirical contract the geodesy suite (sin/cos/atan2) already
+hash-verifies. Outputs are integers (total and per-token micro-nats via
+integer division) — zero floating point leaves the operator.
+
+Scale: training is two map-side-combined groupBys over the token
+stream. Scoring joins the document bigram stream to the model on
+(w1, w2) — a plain equi-join whose shuffle carries (doc_id, w1, w2);
+Zipfian hot bigrams ("of the") are ordinary hash-join skew, split by
+AQE like any other. For a bounded model (top-K pruned vocab) the join
+side collapses to a broadcast and scoring becomes map-only — the knob a
+100 TB run would turn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_lower",
+    "train_bigram_lm",
+    "bigram_nll",
+]
+
+_SCALE = 1_000_000  # micro-nats
+
+
+def tokens_lower(col) -> Column:
+    """Lowercase alnum-word tokens (empty strings dropped) — the same
+    tokenization the TF-IDF and dedup oracles replay in DuckDB as
+    ``list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), ...)``."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive token pair per document."""
+    toks = tokens_lower(text_col)
+    n = F.size(toks)
+    zipped = F.when(
+        n >= 2, F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+    ).otherwise(F.array())
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(zipped).alias("bg"))
+        .select("id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(unigram counts (w, c1), bigram counts (w1, w2, c2), vocab size).
+
+    Two shuffles total (token groupBy, bigram groupBy), both map-side
+    combined. The vocab size is the one scalar collected (bounded)."""
+    toks = docs.select(F.explode(tokens_lower(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    bi = (
+        _bigram_stream(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    vocab = uni.count()
+    return uni, bi, int(vocab)
+
+
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab: int,
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram NLL in integer micro-nats:
+    (id, n_bg, nll_q, avg_q) where
+    ``nll_q = -Σ round(ln((c2+1)/(c1+V))·1e6)`` and ``avg_q = nll_q DIV
+    n_bg`` (per-token micro-nats — the CCNet filter signal; lower is
+    more fluent). Documents with < 2 tokens score (0, 0, 0).
+
+    Unseen bigrams back off to the add-one floor 1/(c1+V); an unseen
+    *history* (held-out scoring) backs off to the uniform 1/V."""
+    stream = _bigram_stream(docs, id_col, text_col)
+    j = (
+        stream.join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
+    )
+    lp = F.expr(
+        f"CAST(round(ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + {int(vocab)}))"
+        f" * {_SCALE}.0) AS BIGINT)"
+    )
+    per_doc = (
+        j.select("id", lp.alias("lp"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_bg"), (-F.sum("lp")).alias("nll_q"))
+        .withColumn("avg_q", F.expr("nll_q DIV n_bg"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bg", F.lit(0)).cast("long").alias("n_bg"),
+            F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
+            F.coalesce("avg_q", F.lit(0)).cast("long").alias("avg_q"),
+        )
+    )
