@@ -2104,6 +2104,28 @@ def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. semantics at
+    window length n=5, dedup.substring_span_dedup): every token inside
+    a 5-token window that repeats anywhere in the corpus is dropped
+    (n=5 because the synthetic corpus' 31-word vocabulary saturates
+    3-gram space — 92-99% of tokens were "duplicated"; at n=5 the
+    removal rate is a realistic 9-13%);
+    the cleaned text is rebuilt order-exactly (sort_array over (pos,
+    tok) structs, not bare collect_list). Oracle replays gram windows,
+    corpus counts, coverage fan-out, and the string_agg(ORDER BY p)
+    reconstruction in DuckDB — the full cleaned text is hash-compared,
+    not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.substring_span_dedup(docs, "doc_id", "text", n=5, min_count=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_removed"),
+        F.col("clean_text"),
+    )
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (pipeline/lm.py): train an
     add-one-smoothed bigram model over the corpus (two map-side-combined
@@ -3185,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_urls": q_text_urls,
         "text_tfidf_pairs": q_text_tfidf_pairs,
         "text_lm_score": q_text_lm_score,
+        "dedup_substring": q_dedup_substring,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -4993,6 +5016,46 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "dedup_substring": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(gi) AS s, unnest(gl) AS gram FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 5 THEN range(1, len(w) - 3)
+                            ELSE [] END AS gi,
+                       CASE WHEN len(w) >= 5 THEN list_transform(
+                            range(1, len(w) - 3),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 || ' ' || w[i+3] || ' ' || w[i+4])
+                            ELSE [] END AS gl
+                FROM toks)
+            ), dup AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+            ), covered AS (
+              SELECT DISTINCT g.doc_id, g.s + o.ofs AS p
+              FROM grams g JOIN dup USING (gram), unnest([0, 1, 2, 3, 4]) AS o(ofs)
+            ), tokp AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+              FROM toks
+            ), kept AS (
+              SELECT t.doc_id, t.p, t.tok
+              FROM tokp t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.p IS NULL
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY p) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT toks.doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+                   CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(clean_text, '') AS clean_text
+            FROM toks LEFT JOIN rebuilt USING (doc_id)
+        """,
         "text_lm_score": """
             WITH toks AS (
               SELECT doc_id, list_filter(

@@ -738,6 +738,92 @@ def drop_near_duplicates(
     )
 
 
+def substring_span_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): drop every token that
+    sits inside a length-``n`` token window occurring >= ``min_count``
+    times across the corpus. Marking tokens covered by any duplicated
+    n-gram is exactly "tokens inside some duplicated substring of
+    length >= n": a longer duplicated substring covers its tokens
+    through its own (duplicated) n-gram windows.
+
+    Pipeline, all bounded shuffles:
+    1. posexplode the n-gram window stream (token stream x ~1 rows,
+       each carrying an n-token string — the explode factor is the
+       gram LENGTH in bytes, not row count);
+    2. corpus-wide gram counts (map-side combined groupBy) ->
+       duplicated grams;
+    3. semi-join the gram stream to duplicated grams -> hit windows,
+       fan out each to its n covered token indices (constant-factor
+       explode, then distinct);
+    4. anti-join the posexploded token stream against covered indices,
+       rebuild the cleaned text with an order-exact
+       sort_array(struct(pos, tok)) aggregation (no nondeterministic
+       collect_list ordering — identical reconstruction in any engine).
+
+    Lee et al. use suffix arrays on a single machine; the n-gram window
+    form is the shuffle-native equivalent with threshold length fixed
+    at ``n`` (an honest restriction: it cannot use a *longer* minimum
+    match length without changing n). Returns (id, n_tok, n_removed,
+    clean_text).
+    """
+    tc = text_col if isinstance(text_col, Column) else F.col(text_col)
+    toks = F.filter(F.split(F.lower(tc), "[^a-z0-9]+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("w")).localCheckpoint()
+
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.slice("w", 1, F.size("w") - (n - 1)),
+                    lambda _, i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+                ),
+            ).otherwise(F.array())
+        ).alias("i", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "leftsemi")
+    covered = (
+        hits.select(
+            "id", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p")
+        ).distinct()
+    )
+    tok_stream = base.select("id", F.posexplode("w").alias("p", "tok"))
+    kept = tok_stream.join(covered, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("id", F.size("w").alias("n_tok"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_tok",
+            (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def keep_canonical(
     df: DataFrame,
     pairs: DataFrame,

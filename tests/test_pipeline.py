@@ -883,3 +883,33 @@ def test_pagerank_matches_reference(spark):
     assert got == r
     # the hub outranks everyone; dangling node 4 bottoms out at base+0
     assert got[3] == max(got.values()) and got[4] == 150_000
+
+
+def test_substring_span_dedup_semantics(spark):
+    from geomesa_hive_spark.pipeline.dedup import substring_span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # shared 6-token run "one two three four five six" in docs 0/1:
+            # its two 5-windows overlap -> all 6 tokens covered (maximal-
+            # substring coverage via fixed-length windows)
+            (0, "start one two three four five six end"),
+            (1, "one two three four five six tail words here"),
+            (2, "completely different and unrelated content words"),
+            (3, "short text"),
+            # duplicated span WITHIN one doc (two occurrences, same doc)
+            (4, "p q r s t gap gap gap p q r s t"),
+        ],
+        "id INT, text STRING",
+    )
+    out = {r.id: r for r in
+           substring_span_dedup(docs, "id", "text", n=5, min_count=2).collect()}
+    assert (out[0].n_tok, out[0].n_removed) == (8, 6)
+    assert out[0].clean_text == "start end"
+    assert (out[1].n_tok, out[1].n_removed) == (9, 6)
+    assert out[1].clean_text == "tail words here"
+    assert out[2].n_removed == 0
+    assert out[3].n_removed == 0 and out[3].clean_text == "short text"
+    # within-doc repetition counts toward min_count too
+    assert out[4].n_removed == 10
+    assert out[4].clean_text == "gap gap gap"
