@@ -2104,6 +2104,33 @@ def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic registry corruption for record linkage: perturb one char
+# in the digit region of c_name — substitution ('x') for key%3==0, else
+# a single deletion. Pure SQL string ops, shared verbatim with the oracle.
+_ENT_P = "(10 + (c_custkey % 8))"
+_ENT_DIRTY = (
+    f"CASE WHEN c_custkey % 3 = 0 THEN "
+    f"substring(c_name, 1, {_ENT_P} - 1) || 'x' || substring(c_name, {_ENT_P} + 1, 50) "
+    f"ELSE substring(c_name, 1, {_ENT_P} - 1) || substring(c_name, {_ENT_P} + 1, 50) END"
+)
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (pipeline/entity.py): match a deterministically
+    corrupted registry back to the clean one by edit distance <= 1 via
+    deletion-neighborhood (FastSS) blocking — provably complete at k=1,
+    so the oracle can brute-force the |A|x|B| levenshtein join with a
+    length prefilter and the hash still must match: any pair the
+    blocking missed, any distance disagreement, or any tie-break
+    difference breaks it."""
+    from geomesa_hive_spark.pipeline import entity
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.selectExpr("c_custkey AS a_id", "c_name AS an")
+    b = c.selectExpr("c_custkey AS b_id", f"{_ENT_DIRTY} AS bn")
+    return entity.link_records(a, b, "a_id", "an", "b_id", "bn")
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring removal (Lee et al. semantics at
     window length n=5, dedup.substring_span_dedup): every token inside
@@ -3208,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_pairs": q_text_tfidf_pairs,
         "text_lm_score": q_text_lm_score,
         "dedup_substring": q_dedup_substring,
+        "entity_link": q_entity_link,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -5016,6 +5044,20 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "entity_link": f"""
+            WITH a AS (SELECT c_custkey AS a_id, c_name AS an FROM customer),
+            b AS (SELECT c_custkey AS b_id, {_ENT_DIRTY} AS bn FROM customer),
+            cand AS (
+              SELECT b_id, a_id, levenshtein(bn, an) AS d
+              FROM b JOIN a ON abs(length(bn) - length(an)) <= 1
+            )
+            SELECT b_id, a_id, CAST(d AS INTEGER) AS dist
+            FROM (
+              SELECT b_id, a_id, d,
+                     row_number() OVER (PARTITION BY b_id ORDER BY d, a_id) AS rn
+              FROM cand WHERE d <= 1
+            ) WHERE rn = 1
+        """,
         "dedup_substring": """
             WITH toks AS (
               SELECT doc_id, list_filter(
