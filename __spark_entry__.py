@@ -2115,6 +2115,41 @@ _ENT_DIRTY = (
 )
 
 
+_BLOOM_K, _BLOOM_M = 4, 1 << 14
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (pipeline/bloom.py): summarize the
+    even-doc corpus into an m=16384-bit bitmap (bit_or aggregation of
+    md5-derived positions, <=512 sparse words), then probe EVERY
+    document with a broadcast join — the incremental-crawl shape where
+    the corpus never re-shuffles. Output pairs the Bloom verdict with
+    the exact text-membership flag, so the hash verifies the bitmap
+    bit-for-bit AND pins the false-positive set (bloom=1, exact=0)
+    exactly; a Bloom false NEGATIVE (impossible by construction) would
+    also break it."""
+    from geomesa_hive_spark.pipeline import bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bitmap = bloom.bloom_build(corpus, "text", k=_BLOOM_K, m_bits=_BLOOM_M)
+    probe = bloom.bloom_probe(docs, "doc_id", "text", bitmap, k=_BLOOM_K, m_bits=_BLOOM_M)
+    exact = (
+        docs.select("doc_id", "text")
+        .join(
+            corpus.select("text").distinct().withColumn("_e", F.lit(1)),
+            "text",
+            "left",
+        )
+        .select("doc_id", F.coalesce("_e", F.lit(0)).alias("exact_member"))
+    )
+    return (
+        probe.select(F.col("id").alias("doc_id"), "bloom_member")
+        .join(exact, "doc_id")
+        .select("doc_id", "bloom_member", "exact_member")
+    )
+
+
 def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (pipeline/entity.py): match a deterministically
     corrupted registry back to the clean one by edit distance <= 1 via
@@ -3236,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "dedup_substring": q_dedup_substring,
         "entity_link": q_entity_link,
+        "dedup_bloom": q_dedup_bloom,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -5044,6 +5080,42 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "dedup_bloom": f"""
+            WITH cp AS (
+              SELECT {_hex2int_sql(
+                  "md5(concat_ws(':', 'bloom', '42', CAST(j AS VARCHAR), text))", 15
+              )} % {_BLOOM_M} AS p
+              FROM (SELECT text FROM documents WHERE doc_id % 2 = 0),
+                   unnest([0, 1, 2, 3]) AS t(j)
+            ), bm AS (
+              SELECT p // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+              FROM cp GROUP BY 1
+            ), pp AS (
+              SELECT doc_id, {_hex2int_sql(
+                  "md5(concat_ws(':', 'bloom', '42', CAST(j AS VARCHAR), text))", 15
+              )} % {_BLOOM_M} AS p
+              FROM documents, unnest([0, 1, 2, 3]) AS t(j)
+            ), ph AS (
+              SELECT doc_id,
+                     CASE WHEN word IS NOT NULL
+                          AND (word & (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)))
+                              = (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                          THEN 1 ELSE 0 END AS h
+              FROM pp LEFT JOIN bm ON pp.p // 32 = bm.word_idx
+            ), memb AS (
+              SELECT doc_id, CAST(min(h) AS INTEGER) AS bloom_member
+              FROM ph GROUP BY doc_id
+            ), ex AS (
+              SELECT d.doc_id,
+                     CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END AS exact_member
+              FROM documents d LEFT JOIN
+                   (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) c
+                ON d.text = c.text
+            )
+            SELECT memb.doc_id, bloom_member, exact_member
+            FROM memb JOIN ex USING (doc_id)
+        """,
         "entity_link": f"""
             WITH a AS (SELECT c_custkey AS a_id, c_name AS an FROM customer),
             b AS (SELECT c_custkey AS b_id, {_ENT_DIRTY} AS bn FROM customer),
