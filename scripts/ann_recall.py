@@ -9,6 +9,9 @@ Prints one JSON line with one entry per configuration.
 Round-3 headline configurations (BASELINE.md):
 - lsh_h2_l4  — bits=8, Hamming-2, 4 tables (the knn_lsh DEFAULT)
 - ivf_32_8   — pivot IVF, 32 lists, 8 probes (the knn_ivf contract config)
+- pq_* — product quantization: the candidate cut is the top-``refine``
+  by ADC (so cand_frac == refine/n by construction); pivot is the
+  oracle-verified contract config, kmeans the trained-quality config
 Round-2's single-table Hamming-1 config is kept as `lsh_h1_l1` so the
 curve records why the default moved.
 
@@ -63,6 +66,14 @@ def main() -> int:
             cond = c if cond is None else (cond | c)
         return out.filter(cond)
 
+    def pq_topk(qv, refine, method):
+        return {
+            r.id
+            for r in similarity.knn_pq(
+                emb, "vec_id", "embedding", qv, k=k, refine=refine, method=method
+            ).collect()
+        }
+
     def ivf_candidates(qv, n_lists, n_probe):
         cents = similarity._pivot_centroids(emb, "vec_id", "embedding", n_lists)
         order = similarity._probe_lists(cents, qv, n_probe)
@@ -76,6 +87,8 @@ def main() -> int:
         "lsh_h2_l4": dict(kind="lsh", bits=8, h=2, tables=4),
         "ivf_16_4": dict(kind="ivf", n_lists=16, n_probe=4),
         "ivf_32_8": dict(kind="ivf", n_lists=32, n_probe=8),
+        "pq_pivot_r200": dict(kind="pq", refine=200, method="pivot"),
+        "pq_kmeans_r200": dict(kind="pq", refine=200, method="kmeans"),
     }
     recalls: dict[str, list[float]] = {c: [] for c in configs}
     fracs: dict[str, list[float]] = {c: [] for c in configs}
@@ -85,6 +98,11 @@ def main() -> int:
             r.id for r in similarity.knn_brute(emb, "vec_id", "embedding", qv, k=k).collect()
         }
         for cname, cfg in configs.items():
+            if cfg["kind"] == "pq":
+                got = pq_topk(qv, cfg["refine"], cfg["method"])
+                recalls[cname].append(len(exact & got) / k)
+                fracs[cname].append(cfg["refine"] / n_total)
+                continue
             if cfg["kind"] == "lsh":
                 cand = lsh_candidates(qv, cfg["bits"], cfg["h"], cfg["tables"])
             else:

@@ -913,3 +913,42 @@ def test_substring_span_dedup_semantics(spark):
     # within-doc repetition counts toward min_count too
     assert out[4].n_removed == 10
     assert out[4].clean_text == "gap gap gap"
+
+
+def test_knn_pq_matches_numpy_reference(spark):
+    import numpy as np
+    from geomesa_hive_spark.pipeline import similarity as S
+
+    rng = np.random.default_rng(3)
+    n, dim, m, ksub = 300, 64, 8, 16
+    V = rng.normal(0, 1, (n, dim))
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in V],
+    }))
+    Vf = V.astype(np.float32).astype(np.float64)  # what Spark sees
+    q = Vf[5]
+    sub = dim // m
+
+    for method in ("pivot", "kmeans"):
+        got = [r.id for r in
+               S.knn_pq(df, "vec_id", "embedding", q.tolist(), k=10,
+                        refine=60, method=method).collect()]
+        if method == "pivot":
+            cbs = np.stack([Vf[:ksub, s*sub:(s+1)*sub] for s in range(m)])
+        else:
+            cbs = S.pq_codebooks_kmeans(df, "vec_id", "embedding", m=m, ksub=ksub)
+        codes = np.zeros((n, m), dtype=int)
+        for s in range(m):
+            d = np.floor(((Vf[:, None, s*sub:(s+1)*sub] - cbs[s][None]) ** 2)
+                         * 1e12 + 0.5).sum(2)
+            codes[:, s] = d.argmin(1)
+        lut = np.stack([np.floor((q[s*sub:(s+1)*sub] - cbs[s]) ** 2 * 1e12 + 0.5).sum(1)
+                        for s in range(m)])
+        adc = np.array([lut[np.arange(m), codes[i]].sum() for i in range(n)])
+        cand = np.lexsort((np.arange(n), adc))[:60]
+        cos = (Vf @ q) / (np.linalg.norm(Vf, axis=1) * np.linalg.norm(q))
+        cc = np.round(cos[cand], 6)
+        want = list(np.array(cand)[np.lexsort((cand, -cc))][:10])
+        assert got == [int(x) for x in want], method
