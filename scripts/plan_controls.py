@@ -116,6 +116,55 @@ def main() -> int:
     t_udf, n2 = timed(full)
     assert n1 == n2, (n1, n2)
 
+    # --- control 3: XZ2 extended-geometry layout pruning --------------
+    # boxes (not points): the workload the centroid-Z2 key cannot index
+    # without false negatives. Write the XZ2-clustered layout, then
+    # measure what fraction of row groups the window's code-range
+    # BETWEENs allow the scan to SKIP via xz2 min/max stats.
+    from geomesa_hive_spark.geom.xz2 import xz2_query_ranges
+    from geomesa_hive_spark.operators.xz2 import (
+        write_xz2_partitioned,
+        xz2_range_predicate,
+        xz2_window_filter,
+    )
+
+    boxes = (
+        li.select("l_orderkey", "l_partkey")
+        .withColumn("bxmin", lon)
+        .withColumn("bymin", lat)
+        .withColumn("bxmax", F.expr("least(bxmin + (l_orderkey % 11), 180.0)"))
+        .withColumn("bymax", F.expr("least(bymin + (l_partkey % 7), 90.0)"))
+    )
+    xz2_path = f"{out}/boxes_xz2"
+    write_xz2_partitioned(
+        boxes, xz2_path, "bxmin", "bymin", "bxmax", "bymax", num_files=64
+    )
+    ranges = xz2_query_ranges(*win, max_level=7)
+    xrg_total = xrg_hit = 0
+    for f in _glob.glob(f"{xz2_path}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        sch = md.schema
+        idx = {sch.column(i).path: i for i in range(len(sch))}
+        cz = idx["xz2"]
+        for g in range(md.num_row_groups):
+            xrg_total += 1
+            s = md.row_group(g).column(cz).statistics
+            if any(s.min <= hi and s.max >= lo for lo, hi in ranges):
+                xrg_hit += 1
+
+    xstored = spark.read.parquet(xz2_path)
+    xpred = xz2_range_predicate(win, max_level=7)
+    xwin = xz2_window_filter(
+        xstored.filter(F.expr(xpred)), win, "bxmin", "bymin", "bxmax", "bymax"
+    )
+    t_xz2, n_xwin = timed(xwin)
+    xfull = xstored.filter(
+        (F.col("bxmin") <= win[2]) & (F.col("bxmax") >= win[0])
+        & (F.col("bymin") <= win[3]) & (F.col("bymax") >= win[1])
+    )
+    t_xfull, n_xfull = timed(xfull)
+    assert n_xwin == n_xfull, (n_xwin, n_xfull)
+
     print(
         f"rows={n_total} window_rows={n_win}\n"
         f"row_groups: {rg_hit}/{rg_total} intersect the window "
@@ -123,7 +172,11 @@ def main() -> int:
         f"windowed read: pushed={t_pruned}s full-scan-exact={t_full}s "
         f"({t_full / t_pruned:.1f}x)\n"
         f"filter only: native-bbox={t_native}s st_intersects-udf={t_udf}s "
-        f"(UDF overhead {t_udf / t_native:.1f}x)"
+        f"(UDF overhead {t_udf / t_native:.1f}x)\n"
+        f"xz2 layout (boxes): {xrg_hit}/{xrg_total} row groups intersect "
+        f"{len(ranges)} code ranges ({1 - xrg_hit / xrg_total:.2%} skippable); "
+        f"window rows={n_xwin}; ranged+refine={t_xz2}s full-exact={t_xfull}s "
+        f"({t_xfull / max(t_xz2, 1e-9):.1f}x)"
     )
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
