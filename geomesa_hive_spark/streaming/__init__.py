@@ -19,6 +19,7 @@ from geomesa_hive_spark.streaming.events import (
     streaming_dedup,
     stateful_sessions,
     stateful_anomaly,
+    stream_interval_join,
     batch_anomaly,
 )
 
@@ -28,6 +29,7 @@ __all__ = [
     "session_rollup",
     "stateful_sessions",
     "stateful_anomaly",
+    "stream_interval_join",
     "batch_anomaly",
     "enrich_stream_spatial",
     "streaming_dedup",

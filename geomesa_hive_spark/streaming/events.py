@@ -417,3 +417,61 @@ def batch_anomaly(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(run, schema)
+
+
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: every ``right_type``
+    event joined to the same user's ``left_type`` events in the
+    preceding ``horizon`` (attribution: which views led to a purchase).
+
+    This is the canonical Structured Streaming join shape that stays
+    BOUNDED: both sides carry a watermark and the join condition
+    time-bounds right against left (``l.ts <= r.ts <= l.ts + horizon``),
+    so the state store can evict a row as soon as the other side's
+    watermark passes its horizon — without the time bound a
+    stream-stream inner join would buffer both streams forever. State
+    is keyed by (user_id, time-range): at 100 TB/day the state held at
+    any moment is only ``watermark + horizon`` worth of events, however
+    long the streams run.
+
+    Self-join friendly: both inputs may be filtered views of the SAME
+    source stream (the attribution case), which Spark plans as one scan
+    feeding both join legs.
+    """
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        F.col("l_user").alias("user_id"),
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.col("l_value"), 4).alias("view_value"),
+        F.round(F.col("r_value"), 4).alias("purchase_value"),
+    )

@@ -266,3 +266,41 @@ def test_stateful_anomaly_matches_batch(spark, events_stream):
     }
     assert got == exp and len(exp) > 0
     assert any(v[2] > 0 for v in exp.values())  # anomalies actually fire
+
+
+def test_stream_interval_join_matches_batch(spark, events_stream):
+    streaming.run_to_memory(
+        streaming.stream_interval_join(events_stream), "sij_t",
+        output_mode="append",
+    )
+    got = {tuple(r) for r in spark.table("sij_t").collect()}
+
+    ev = _batch_events(spark)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    exp = {
+        tuple(r)
+        for r in v.join(
+            p,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("l_user").alias("user_id"),
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.round(F.col("l_value"), 4).alias("view_value"),
+            F.round(F.col("r_value"), 4).alias("purchase_value"),
+        )
+        .collect()
+    }
+    # append-mode stream-stream join emits exactly the batch join rows
+    # (modulo watermark-final rows; the bounded fixture drains fully)
+    assert got == exp and len(exp) > 0
