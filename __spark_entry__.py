@@ -353,6 +353,31 @@ _DBSCAN_Y = "(((c_custkey * c_custkey) % 16993) / 100.0 - 84.9)"
 _DBSCAN_EPS = 2.0
 _DBSCAN_MINPTS = 3
 
+# CAST(... AS DOUBLE) before the division: a bare `/ 100.0` parses as
+# DECIMAL division in Spark SQL text (unlike the Python-Column twins),
+# which would type the whole chain (and the bbox output) as Decimal
+# while DuckDB computes doubles — hash mismatch by dtype.
+_TRAJ_LON = "(CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0)"
+_TRAJ_LAT = "(CAST((event_id * 4799) % 18000 AS DOUBLE) / 100.0 - 90.0)"
+
+
+def q_spatial_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory assembly (operators/trajectory.py): one
+    grouped aggregation collects each user's (ts, event_id, lon, lat)
+    points sorted in-array, then folds consecutive great-circle
+    segments. Segment lengths round to WHOLE METERS before summation,
+    so track totals are exact integers in any engine; the haversine
+    text itself is shared verbatim between the Spark expression and
+    the DuckDB oracle (`haversine_sql`)."""
+    from geomesa_hive_spark.operators.trajectory import build_tracks
+
+    ev = _events(spark, sf_dir)
+    pts = ev.selectExpr(
+        "user_id", "ts", "event_id",
+        f"{_TRAJ_LON} AS lon", f"{_TRAJ_LAT} AS lat",
+    )
+    return build_tracks(pts, "user_id", "ts", "event_id", "lon", "lat")
+
 
 def q_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grid DBSCAN (Ester et al.) over customer points:
@@ -3217,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_z2": q_spatial_z2,
         "spatial_xz2": q_spatial_xz2,
         "spatial_dbscan": q_spatial_dbscan,
+        "spatial_trajectories": q_spatial_trajectories,
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_geohash": q_spatial_geohash,
@@ -4125,6 +4151,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE bxmin <= {_XZ2_WINDOW[2]} AND bxmax >= {_XZ2_WINDOW[0]}
               AND bymin <= {_XZ2_WINDOW[3]} AND bymax >= {_XZ2_WINDOW[1]}
         """,
+        "spatial_trajectories": """
+            WITH pts AS (
+              SELECT user_id, ts, event_id,
+                     {TRAJ_LON} AS lon,
+                     {TRAJ_LAT} AS lat
+              FROM events
+            ), tr AS (
+              SELECT user_id AS entity,
+                     list(struct_pack(t := ts, k := event_id, x := lon, y := lat)
+                          ORDER BY ts, event_id) AS a,
+                     count(*) AS n_pts,
+                     round(min(lon), 2) AS xmin, round(min(lat), 2) AS ymin,
+                     round(max(lon), 2) AS xmax, round(max(lat), 2) AS ymax
+              FROM pts GROUP BY user_id
+            ), m AS (
+              SELECT entity, n_pts,
+                     CASE WHEN len(a) < 2 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(list_sum(list_transform(range(1, len(a)), i ->
+                               CAST(round(2.0 * 6371008.7714 * asin(sqrt(least(sin(radians((a[i+1].y) - (a[i].y)) / 2.0) * sin(radians((a[i+1].y) - (a[i].y)) / 2.0) + cos(radians(a[i].y)) * cos(radians(a[i+1].y)) * sin(radians((a[i+1].x) - (a[i].x)) / 2.0) * sin(radians((a[i+1].x) - (a[i].x)) / 2.0), 1.0)))) AS BIGINT))) AS BIGINT) END AS track_m,
+                     (epoch_us(a[len(a)].t) - epoch_us(a[1].t)) // 1000000 AS dur_s,
+                     xmin, ymin, xmax, ymax
+              FROM tr
+            )
+            SELECT entity, n_pts, track_m, dur_s,
+                   CASE WHEN dur_s > 0 THEN round(track_m / dur_s, 3)
+                        ELSE 0.0 END AS avg_mps,
+                   xmin, ymin, xmax, ymax
+            FROM m
+        """.replace("{TRAJ_LON}", _TRAJ_LON).replace("{TRAJ_LAT}", _TRAJ_LAT),
         "spatial_dbscan": f"""
             WITH RECURSIVE pts AS (
               SELECT c_custkey AS id, {_DBSCAN_X} AS x, {_DBSCAN_Y} AS y FROM customer

@@ -382,3 +382,41 @@ def test_spatial_knn_join_matches_brute_force(spark):
     got2 = {r.rid for r in spatial_knn_join(
         ldf2, rdf2, "lid", "rid", ("x", "y"), ("x", "y"), k=5, radius=5.0).collect()}
     assert got2 == {2, 3, 4}
+
+
+def test_build_tracks_hand_computed(spark):
+    import datetime as dt
+
+    from geomesa_hive_spark.operators.trajectory import build_tracks
+    from geomesa_hive_spark.geom.geodesy import haversine_m
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 3 points east along the equator, 60s apart
+        (1, t0, 10, 0.0, 0.0),
+        (1, t0 + dt.timedelta(seconds=60), 11, 1.0, 0.0),
+        (1, t0 + dt.timedelta(seconds=120), 12, 2.0, 0.0),
+        # user 2: single point -> zero track, zero duration
+        (2, t0, 20, 5.0, 5.0),
+        # user 3: same-ts pair ordered by the tiebreak column
+        (3, t0, 31, 0.0, 0.0),
+        (3, t0, 30, 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_id INT, lon DOUBLE, lat DOUBLE"
+    )
+    out = {r.entity: r for r in
+           build_tracks(df, "user_id", "ts", "event_id", "lon", "lat").collect()}
+
+    seg = round(float(haversine_m(0.0, 0.0, 1.0, 0.0)))
+    assert out[1].n_pts == 3 and out[1].track_m == 2 * seg
+    assert out[1].dur_s == 120
+    assert out[1].avg_mps == round(2 * seg / 120, 3)
+    assert (out[1].xmin, out[1].xmax) == (0.0, 2.0)
+
+    assert out[2].n_pts == 1 and out[2].track_m == 0 and out[2].dur_s == 0
+    assert out[2].avg_mps == 0.0
+
+    # tiebreak: event 30 (lat 1) precedes 31? No — sorted by (ts, k):
+    # k=30 first at (0,1), then k=31 at (0,0): one meridian degree
+    assert out[3].track_m == round(float(haversine_m(0.0, 1.0, 0.0, 0.0)))
