@@ -361,6 +361,20 @@ _TRAJ_LON = "(CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0)"
 _TRAJ_LAT = "(CAST((event_id * 4799) % 18000 AS DOUBLE) / 100.0 - 90.0)"
 
 
+def q_spatial_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridded density surface (operators/density.py): 5-degree cells,
+    3x3 integer binomial kernel — exact integer cell weights (16 x
+    n_points total mass), one explode + one map-side-combined groupBy.
+    The oracle replays the cell snap, the kernel spread, and the
+    integer sums; output restricted to weight >= 12 (non-trivial at sf0.01
+    density, full raster at sf0.1)."""
+    from geomesa_hive_spark.operators.density import density_grid
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(f"{_C_X} AS px", f"{_C_Y} AS py")
+    return density_grid(pts, "px", "py", cell=5.0, min_weight=12)
+
+
 def q_spatial_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trajectory assembly (operators/trajectory.py): one
     grouped aggregation collects each user's (ts, event_id, lon, lat)
@@ -3243,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_xz2": q_spatial_xz2,
         "spatial_dbscan": q_spatial_dbscan,
         "spatial_trajectories": q_spatial_trajectories,
+        "spatial_density": q_spatial_density,
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_geohash": q_spatial_geohash,
@@ -4150,6 +4165,26 @@ def oracle_sql() -> dict[str, str]:
             )}
             WHERE bxmin <= {_XZ2_WINDOW[2]} AND bxmax >= {_XZ2_WINDOW[0]}
               AND bymin <= {_XZ2_WINDOW[3]} AND bymax >= {_XZ2_WINDOW[1]}
+        """,
+        "spatial_density": f"""
+            WITH pts AS (
+              SELECT {_C_X} AS px, {_C_Y} AS py FROM customer
+            ), cells AS (
+              SELECT CAST(floor(px / 5.0) AS BIGINT) AS ci,
+                     CAST(floor(py / 5.0) AS BIGINT) AS cj
+              FROM pts
+            ), spread AS (
+              SELECT ci + o.dx AS cell_x, cj + o.dy AS cell_y,
+                     CASE abs(o.dx) + abs(o.dy)
+                          WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS w
+              FROM cells, (
+                SELECT dx, dy FROM unnest([-1, 0, 1]) AS a(dx),
+                                   unnest([-1, 0, 1]) AS b(dy)
+              ) o
+            )
+            SELECT cell_x, cell_y, sum(w) AS weight
+            FROM spread GROUP BY cell_x, cell_y
+            HAVING sum(w) >= 12
         """,
         "spatial_trajectories": """
             WITH pts AS (

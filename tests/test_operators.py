@@ -420,3 +420,25 @@ def test_build_tracks_hand_computed(spark):
     # tiebreak: event 30 (lat 1) precedes 31? No — sorted by (ts, k):
     # k=30 first at (0,1), then k=31 at (0,0): one meridian degree
     assert out[3].track_m == round(float(haversine_m(0.0, 1.0, 0.0, 0.0)))
+
+
+def test_density_grid_mass_and_kernel(spark):
+    from geomesa_hive_spark.operators.density import density_grid
+
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (0.7, 0.2), (10.5, 10.5)], "x DOUBLE, y DOUBLE"
+    )
+    out = {(r.cell_x, r.cell_y): r.weight
+           for r in density_grid(pts, "x", "y", cell=1.0, min_weight=1).collect()}
+    # total mass = 16 per point
+    assert sum(out.values()) == 16 * 3
+    # two co-located points: their shared cell carries 2x the center weight
+    assert out[(0, 0)] == 8
+    # isolated point: center 4, edges 2, corners 1
+    assert out[(10, 10)] == 4 and out[(9, 10)] == 2 and out[(9, 9)] == 1
+    # negative coordinates floor correctly (not truncate-toward-zero)
+    out2 = {(r.cell_x, r.cell_y): r.weight
+            for r in density_grid(
+                spark.createDataFrame([(-0.5, -0.5)], "x DOUBLE, y DOUBLE"),
+                "x", "y", cell=1.0, min_weight=1).collect()}
+    assert out2[(-1, -1)] == 4
