@@ -2223,6 +2223,38 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity.link_records(a, b, "a_id", "an", "b_id", "bn")
 
 
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (pipeline/sketches.py) over the corpus bigram
+    stream at a deliberately tight width (256 cells/row) so collisions
+    actually occur, estimated for the exact top-20 bigrams. Output
+    pairs true counts with sketch estimates — the hash verifies the
+    md5 cell placement, the integer cell sums, and the min-over-depth
+    estimation exactly; the one-sided guarantee (est >= true) is
+    pytest-asserted separately."""
+    from geomesa_hive_spark.pipeline import lm, sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = lm._bigram_stream(docs, "doc_id", "text").select(
+        F.concat_ws(" ", "w1", "w2").alias("gram")
+    )
+    sketch = sketches.countmin_build(bg, "gram", depth=_CM_DEPTH, width=_CM_WIDTH)
+    top = (
+        bg.groupBy("gram")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("gram"))
+        .limit(20)
+    )
+    est = sketches.countmin_estimate(
+        top.select("gram"), "gram", sketch, depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    return top.join(est, top["gram"] == est["key"]).select(
+        "gram", "true_cnt", "est"
+    )
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring removal (Lee et al. semantics at
     window length n=5, dedup.substring_span_dedup): every token inside
@@ -3332,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "entity_link": q_entity_link,
         "dedup_bloom": q_dedup_bloom,
+        "sketch_countmin": q_sketch_countmin,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -5230,6 +5263,38 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "sketch_countmin": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM documents
+            ), bge AS (
+              SELECT unnest(l1) AS w1, unnest(l2) AS w2 FROM (
+                SELECT CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
+                FROM toks)
+            ), g AS (
+              SELECT w1 || ' ' || w2 AS gram FROM bge
+            ), ex AS (
+              SELECT gram, count(*) AS true_cnt FROM g GROUP BY gram
+            ), top AS (
+              SELECT gram, true_cnt FROM ex ORDER BY true_cnt DESC, gram LIMIT 20
+            ), cells AS (
+              SELECT j.j AS row, ((strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 15, 1)) - 1) * 1) % 256 AS pos
+              FROM g, unnest([0, 1, 2, 3]) AS j(j)
+            ), sk AS (
+              SELECT row, pos, count(*) AS cnt FROM cells GROUP BY 1, 2
+            ), probes AS (
+              SELECT gram, j.j AS row, ((strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'cm', '42', CAST(j.j AS VARCHAR), gram)), 15, 1)) - 1) * 1) % 256 AS pos
+              FROM top, unnest([0, 1, 2, 3]) AS j(j)
+            ), est AS (
+              SELECT gram, min(coalesce(cnt, 0)) AS est
+              FROM probes LEFT JOIN sk USING (row, pos) GROUP BY gram
+            )
+            SELECT t.gram, t.true_cnt, e.est
+            FROM top t JOIN est e USING (gram)
+        """,
         "dedup_bloom": f"""
             WITH cp AS (
               SELECT {_hex2int_sql(

@@ -952,3 +952,45 @@ def test_knn_pq_matches_numpy_reference(spark):
         cc = np.round(cos[cand], 6)
         want = list(np.array(cand)[np.lexsort((cand, -cc))][:10])
         assert got == [int(x) for x in want], method
+
+
+def test_countmin_guarantee_and_merge(spark):
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_hive_spark.pipeline.sketches import (
+        countmin_build, countmin_estimate,
+    )
+
+    rng = np.random.default_rng(9)
+    # zipf-ish stream: heavy hitters + long tail
+    keys = [f"k{i}" for i in np.clip(rng.zipf(1.5, 5000), 1, 400)]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    depth, width = 4, 128
+    sk = countmin_build(df, "k", depth=depth, width=width)
+    # sketch is bounded
+    assert sk.count() <= depth * width
+
+    true = pd.Series(keys).value_counts()
+    probe = spark.createDataFrame(pd.DataFrame({"k": true.index.tolist()}))
+    est = {r.key: r.est for r in
+           countmin_estimate(probe, "k", sk, depth=depth, width=width).collect()}
+    n = len(keys)
+    import math
+    for k, t in true.items():
+        assert est[k] >= t  # one-sided: never undercounts
+        assert est[k] <= t + math.e / width * n * 4  # loose 4x eps bound
+
+    # shard merge: sum of two half-stream sketches == whole-stream sketch
+    h1 = countmin_build(
+        spark.createDataFrame(pd.DataFrame({"k": keys[:2500]})), "k",
+        depth=depth, width=width)
+    h2 = countmin_build(
+        spark.createDataFrame(pd.DataFrame({"k": keys[2500:]})), "k",
+        depth=depth, width=width)
+    from pyspark.sql import functions as F
+    merged = (h1.union(h2).groupBy("row", "pos")
+              .agg(F.sum("cnt").alias("cnt")))
+    a = {(r.row, r.pos): r.cnt for r in merged.collect()}
+    b = {(r.row, r.pos): r.cnt for r in sk.collect()}
+    assert a == b
