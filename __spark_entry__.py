@@ -2255,6 +2255,56 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-bit dHash over analytically-constructed gradient BMPs: grayscale
+# value at (r, c) for doc d with g = d DIV 2 (even/odd docs form
+# near-dup pairs; odd docs perturb the last column's odd rows, flipping
+# <= 3 dHash bits — inside the pigeonhole guarantee)
+_DHASH_V = (
+    "(((17 * ({g}) + 11 * ({c}) * (({g}) % 7 + 1) + 23 * ({r}) * (({g}) % 5 + 1)) % 256"
+    " + CASE WHEN ({d}) % 2 = 1 AND ({c}) = 10 AND ({r}) % 2 = 1 THEN 64 ELSE 0 END) % 256)"
+)
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end: assemble REAL 11x6
+    gradient BMPs natively, decode them with the actual pixel decoder,
+    compute the 60-bit perceptual difference hash (multimodal.
+    dhash_images — integer-exact grayscale/resample/compare), and find
+    Hamming<=3 pairs via SimHash-style pigeonhole blocking. The oracle
+    NEVER touches bytes: it recomputes each image's hash straight from
+    the analytic pixel formula, replays the chunk blocking and the XOR
+    popcount — so the raster layout, the decoder, the hash, and the
+    join must all agree with closed-form ground truth."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    v = _DHASH_V.format(g="doc_id DIV 2", c="c", r="r", d="doc_id")
+    # bottom-up rows (BMP layout): r = 5..0, 11 px * 3 bytes + 3 pad
+    data_hex = F.expr(
+        "concat_ws('', transform(sequence(5, 0, -1), r -> "
+        "concat(concat_ws('', transform(sequence(0, 10), c -> "
+        f"repeat(lpad(hex({v}), 2, '0'), 3))), '000000')))"
+    )
+    stride_total = 36 * 6
+    bmp = F.concat(
+        F.lit(b"BM"),
+        _le_bytes(F.lit(54 + stride_total), 4),
+        _le_bytes(0, 4),
+        _le_bytes(54, 4),
+        _le_bytes(40, 4),
+        _le_bytes(F.lit(11), 4),
+        _le_bytes(F.lit(6), 4),
+        _le_bytes(1, 2),
+        _le_bytes(24, 2),
+        _le_bytes(0, 4),
+        _le_bytes(F.lit(stride_total), 4),
+        F.lit(bytes(16)),
+        F.unhex(data_hex),
+    )
+    src_df = docs.select("doc_id", bmp.alias("media"))
+    hashed = multimodal.dhash_images(src_df, "media", strict=True)
+    return multimodal.dhash_near_dup_pairs(hashed, "doc_id", "dhash", max_hamming=3)
+
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring removal (Lee et al. semantics at
     window length n=5, dedup.substring_span_dedup): every token inside
@@ -3365,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "dedup_bloom": q_dedup_bloom,
         "sketch_countmin": q_sketch_countmin,
+        "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -5263,6 +5314,35 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),
         # TF-IDF inverted-index replay: integer-quantized IDF, exact sums
+        "multimodal_phash_dedup": """
+            WITH vals AS (
+              SELECT doc_id, r.r, c.c, (((17 * (doc_id // 2) + 11 * (c.c) * ((doc_id // 2) % 7 + 1) + 23 * (r.r) * ((doc_id // 2) % 5 + 1)) % 256 + CASE WHEN doc_id % 2 = 1 AND c.c = 10 AND r.r % 2 = 1 THEN 64 ELSE 0 END) % 256) AS v
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 300),
+                   unnest([0,1,2,3,4,5]) AS r(r),
+                   unnest([0,1,2,3,4,5,6,7,8,9,10]) AS c(c)
+            ), bits AS (
+              SELECT a.doc_id, a.r, a.c,
+                     CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+              FROM vals a JOIN vals b
+                ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+              WHERE a.c < 10
+            ), hs AS (
+              SELECT doc_id,
+                     CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(r * 10 + c AS INTEGER))) AS BIGINT) AS h
+              FROM bits GROUP BY doc_id
+            ), keys AS (
+              SELECT doc_id, h, ch.i AS chunk,
+                     (h >> CAST(ch.i * 15 AS INTEGER)) & 32767 AS ck
+              FROM hs, unnest([0, 1, 2, 3]) AS ch(i)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.h AS ha, b.h AS hb
+              FROM keys a JOIN keys b
+                ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
         "sketch_countmin": """
             WITH toks AS (
               SELECT doc_id, list_filter(

@@ -1312,3 +1312,106 @@ def media_stats(df: DataFrame, binary_col: str) -> DataFrame:
     return df.withColumn("media_size", F.length(F.col(binary_col))).withColumn(
         "media_crc32", F.crc32(F.col(binary_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) + image near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+DHASH_BITS = 60  # 6 rows x 10 comparisons — sign-safe in BIGINT engines
+
+
+def dhash_pixels(raster: "np.ndarray") -> int:
+    """60-bit difference hash of an (h, w, 3) uint8 RGB raster.
+
+    Grayscale = integer mean (r+g+b)//3, nearest-neighbor resample to a
+    6x11 grid (src = dst*size//target — pure integer index math), bit
+    (r, c) = gray[r, c] > gray[r, c+1] at weight 1 << (r*10 + c). The
+    usual dHash is 64-bit; 60 keeps the top bits clear so the value is
+    an ordinary non-negative BIGINT in every engine (no two's-
+    complement replay gymnastics) and chunks evenly for the pigeonhole
+    join. Every step is integer arithmetic — engine- and platform-
+    exact."""
+    h, w = raster.shape[0], raster.shape[1]
+    gray = raster.astype(np.int64).sum(axis=2) // 3
+    rows = (np.arange(6) * h) // 6
+    cols = (np.arange(11) * w) // 11
+    g = gray[np.ix_(rows, cols)]  # (6, 11)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # (6, 10)
+    weights = (np.int64(1) << np.arange(60, dtype=np.int64)).reshape(6, 10)
+    return int((bits * weights).sum())
+
+
+def dhash_images(
+    df: DataFrame, binary_col: str, strict: bool = False
+) -> DataFrame:
+    """Add ``dhash`` (LongType): the 64-bit perceptual difference hash
+    of each image column value, via the REAL pixel decoders
+    (:func:`decode_pixels`). Arrow-batched mapInPandas — the Python
+    stage a cluster amortizes over whole batches; undecodable bytes
+    yield null (or raise under ``strict``)."""
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("dhash", T.LongType())])
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for buf in pdf[binary_col]:
+                px = decode_pixels(bytes(buf)) if buf is not None else None
+                if px is None:
+                    if strict:
+                        raise NotImplementedError("dhash_images(strict): undecodable image")
+                    out.append(None)
+                else:
+                    out.append(dhash_pixels(px))
+            pdf = pdf.copy()
+            pdf["dhash"] = pd.array(out, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def dhash_near_dup_pairs(
+    df: DataFrame, id_col: str, hash_col: str = "dhash", max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs: Hamming(dhash) <= max_hamming via the
+    same pigeonhole blocking as text SimHash (dedup.simhash_pairs):
+    60 bits split into (max_hamming+1) chunks — a qualifying pair shares
+    at least one exact chunk, so candidates come from equi-joins on
+    (chunk, value), never all-pairs; verify = bit_count(XOR)."""
+    chunks = int(max_hamming) + 1
+    width = DHASH_BITS // chunks
+    mask = (1 << width) - 1
+    sigs = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    keys = sigs.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("h", i * width).bitwiseAND(F.lit(mask)).alias("ck"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "h", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    return (
+        keys.alias("a")
+        .join(keys.alias("b"), ["chunk", "ck"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("int"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

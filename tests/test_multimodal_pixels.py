@@ -310,3 +310,47 @@ def test_strict_still_raises_on_jpeg(spark):
     with pytest.raises(Exception):
         multimodal.decode_image_batch(df, "media", strict=True).collect()
     assert decode_pixels(jpeg) is None
+
+
+def test_dhash_blocking_complete_vs_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.multimodal import (
+        DHASH_BITS, dhash_near_dup_pairs, dhash_pixels,
+    )
+
+    rng = np.random.default_rng(21)
+    # random hashes + planted near-dup pairs at various distances
+    hashes = [int(rng.integers(0, 1 << 60)) for _ in range(120)]
+    for i in range(0, 40, 2):
+        flips = rng.choice(60, size=(i // 2) % 4, replace=False)
+        h = hashes[i]
+        for b in flips:
+            h ^= 1 << int(b)
+        hashes[i + 1] = h
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(120), "dhash": pd.array(hashes, dtype="Int64")})
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dhash_near_dup_pairs(df, "id", "dhash", max_hamming=3).collect()}
+    want = {}
+    for i in range(120):
+        for j in range(i + 1, 120):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want and len(want) >= 20  # pigeonhole found EVERY pair
+
+    # dhash_pixels invariances: scale-invariant (NN grid), brightness-shift
+    # changes nothing while content changes do
+    base = rng.integers(0, 256, (6, 11, 3)).astype(np.uint8)
+    big = np.kron(base, np.ones((4, 4, 1))).astype(np.uint8)  # 24x44 upscale
+    assert dhash_pixels(base) == dhash_pixels(big)
+    shifted = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    # monotone shift preserves most comparisons (clipping may flip a few)
+    d = bin(dhash_pixels(base) ^ dhash_pixels(shifted)).count("1")
+    assert d <= 10
+    scrambled = base[:, ::-1, :].copy()
+    assert dhash_pixels(base) != dhash_pixels(scrambled)
