@@ -2362,6 +2362,21 @@ def q_text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis-Spirakis priorities
+    ln(unit_hash)/weight): 500 orders drawn proportional to
+    o_totalprice. The oracle replays the md5 unit hash, the ln/divide
+    priority, and the (priority, id) top-k cut — the exact selected
+    SET is hash-pinned, not a statistic of it."""
+    o = _t(spark, sf_dir, "orders")
+    picked = sampling.weighted_sample(o, "o_orderkey", "o_totalprice", k=500)
+    return picked.select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice"), 2).alias("w"),
+    )
+
+
 def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based quality filtering (pipeline/sampling.py
     filter_by_quantile): keep the top half of each language by the
@@ -3417,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": q_sketch_countmin,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
+        "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "events_funnel": q_events_funnel,
@@ -5342,6 +5358,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        "pipeline_weighted_sample": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS w
+            FROM (
+              SELECT o_orderkey, o_totalprice,
+                     ln(((strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(concat_ws(':', 'wsample', '42', CAST(o_orderkey AS VARCHAR))), 8, 1)) - 1) * 1) / 4294967296.0 + 1.1641532182693481e-10)
+                       / CAST(o_totalprice AS DOUBLE) AS pri
+              FROM orders WHERE o_totalprice > 0
+            )
+            ORDER BY pri DESC, o_orderkey
+            LIMIT 500
         """,
         "sketch_countmin": """
             WITH toks AS (

@@ -150,3 +150,36 @@ def filter_by_quantile(
         .drop("__rn", "__n")
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row gets priority
+    ``ln(u)/w`` with ``u = unit_hash(id)`` and the k largest priorities
+    win — inclusion probability proportional to weight, no RNG state,
+    same sample on every run/engine/partitioning (the same three
+    properties ``hash_split`` gives unweighted splits).
+
+    Selection is a ``TakeOrderedAndProject`` (per-partition top-k +
+    driver merge of partitions·k rows — no global sort, no shuffle of
+    the data). Rows with non-positive weight are excluded. The priority
+    is plain (md5-hash, ln, divide) arithmetic — SQL-replayable, so the
+    contract hash pins the exact selected set."""
+    # + 2^-33 nudges u off exact zero (probability 2^-32, but DuckDB's
+    # ln(0) raises rather than returning -inf) without disturbing
+    # uniformity at any other value
+    u = unit_hash(id_col, seed=seed, salt="wsample") + F.lit(2.0 ** -33)
+    pri = F.ln(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), F.col(id_col))
+        .limit(int(k))
+        .drop("_pri")
+    )

@@ -994,3 +994,27 @@ def test_countmin_guarantee_and_merge(spark):
     a = {(r.row, r.pos): r.cnt for r in merged.collect()}
     b = {(r.row, r.pos): r.cnt for r in sk.collect()}
     assert a == b
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 500, 1.0).otherwise(10.0).alias("w"),
+    )
+    s1 = {r.id for r in weighted_sample(df, "id", "w", k=200).collect()}
+    s2 = {r.id for r in
+          weighted_sample(df.repartition(7), "id", "w", k=200).collect()}
+    assert s1 == s2 and len(s1) == 200  # partitioning-independent
+    heavy = sum(1 for i in s1 if i >= 500)
+    # E[heavy] ~ 183 under A-ES with 10:1 weights; huge margin
+    assert heavy > 150
+    # zero/negative weights are excluded entirely
+    df2 = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).cast("double").alias("w")
+    )
+    got = {r.id for r in weighted_sample(df2, "id", "w", k=10).collect()}
+    assert got == {1, 3, 5, 7, 9}
