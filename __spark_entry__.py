@@ -1929,6 +1929,24 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (similarity.knn_ivfpq): coarse pivot lists + residual PQ
+    + per-list integer LUT ADC + exact re-rank — the deepest replayed
+    pipeline in the suite: the oracle re-derives centroids, quantized
+    list assignment, disjoint codebook pivots and THEIR residuals,
+    per-subspace code argmins, per-probed-list query LUTs, the integer
+    ADC ordering, the refine cut, and the cosine re-rank, all from the
+    data. Measured recall on this near-uniform corpus is honestly WEAK
+    (0.59; see BASELINE.md) — IVF-flat / flat-PQ are the recommended
+    paths here; this query certifies the composition's machinery."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.knn_ivfpq(
+        emb, "vec_id", "embedding", qv,
+        k=10, n_lists=32, n_probe=8, m=8, ksub=16, refine=200,
+    )
+
+
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN JOIN — the SCALE path (same-planes bucketing both
     sides + Hamming-1 probes + equi-join on bucket). Oracle replays the
@@ -3412,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "text_stats": q_text_stats,
@@ -5082,6 +5101,69 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(list_dot_product(e.v, e.v))
                             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
             FROM e JOIN cand USING (vec_id), q
+            ORDER BY cos_sim DESC, id
+            LIMIT 10
+        """,
+        "knn_ivfpq": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+            ), ad AS (
+              SELECT e.vec_id, c.li, list_sum(list_transform(range(1, 65), d -> CAST(round((e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]) * 1000000000000.0) AS BIGINT))) AS qd
+              FROM e, cents c
+            ), assign AS (
+              SELECT vec_id, li FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY qd, li) AS rn
+                FROM ad) WHERE rn = 1
+            ), cb_res AS (
+              SELECT p.rk - 33 AS pj,
+                     list_transform(range(1, 65), d -> p.v[d] - c.cv[d]) AS rv
+              FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk
+                    FROM e) p
+              JOIN assign a ON p.vec_id = a.vec_id
+              JOIN cents c ON a.li = c.li
+              WHERE p.rk BETWEEN 33 AND 48
+            ), q AS (
+              SELECT v AS qv FROM e WHERE vec_id = 0
+            ), qord AS (
+              SELECT li, row_number() OVER (ORDER BY qd, li) AS pr FROM (
+                SELECT c.li, list_sum(list_transform(range(1, 65), d -> CAST(round((q.qv[d] - c.cv[d]) * (q.qv[d] - c.cv[d]) * 1000000000000.0) AS BIGINT))) AS qd FROM cents c, q)
+            ), probes AS (
+              SELECT li FROM qord WHERE pr <= 8
+            ), cand0 AS (
+              SELECT e.vec_id, a.li,
+                     list_transform(range(1, 65), d -> e.v[d] - c.cv[d]) AS rv
+              FROM e JOIN assign a USING (vec_id)
+              JOIN probes USING (li) JOIN cents c ON a.li = c.li
+            ), cdist AS (
+              SELECT c0.vec_id, s.s, b.pj, list_sum(list_transform(range(1, 9), d -> CAST(round((c0.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * (c0.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * 1000000000000.0) AS BIGINT))) AS qd
+              FROM cand0 c0, cb_res b, unnest([0,1,2,3,4,5,6,7]) AS s(s)
+            ), codes AS (
+              SELECT vec_id, s, pj FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY qd, pj) AS rn
+                FROM cdist) WHERE rn = 1
+            ), qres AS (
+              SELECT p.li, list_transform(range(1, 65), d -> q.qv[d] - c.cv[d]) AS rv
+              FROM probes p JOIN cents c ON p.li = c.li, q
+            ), lut AS (
+              SELECT qr.li, s.s, b.pj, list_sum(list_transform(range(1, 9), d -> CAST(round((qr.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * (qr.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * 1000000000000.0) AS BIGINT))) AS qd
+              FROM qres qr, cb_res b, unnest([0,1,2,3,4,5,6,7]) AS s(s)
+            ), adc AS (
+              SELECT cd.vec_id, sum(l.qd) AS a
+              FROM codes cd
+              JOIN cand0 c0 ON cd.vec_id = c0.vec_id
+              JOIN lut l ON l.li = c0.li AND l.s = cd.s AND l.pj = cd.pj
+              GROUP BY cd.vec_id
+            ), cut AS (
+              SELECT vec_id FROM adc ORDER BY a, vec_id LIMIT 200
+            )
+            SELECT e.vec_id AS id,
+                   round(list_dot_product(e.v, q.qv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM e JOIN cut USING (vec_id), q
             ORDER BY cos_sim DESC, id
             LIMIT 10
         """,

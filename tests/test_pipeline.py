@@ -1018,3 +1018,45 @@ def test_weighted_sample_proportionality_and_determinism(spark):
     )
     got = {r.id for r in weighted_sample(df2, "id", "w", k=10).collect()}
     assert got == {1, 3, 5, 7, 9}
+
+
+def test_knn_ivfpq_matches_numpy_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_hive_spark.pipeline import similarity as S
+
+    rng = np.random.default_rng(13)
+    n, dim, L, m, ksub, probes, refine = 400, 64, 32, 8, 16, 8, 60
+    V = rng.normal(0, 1, (n, dim)).astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in V],
+    }))
+    q = V[3]
+    got = [r.id for r in S.knn_ivfpq(
+        df, "vec_id", "embedding", q.tolist(), k=10, n_lists=L,
+        n_probe=probes, m=m, ksub=ksub, refine=refine).collect()]
+
+    sub = dim // m
+    qd = S._qdist_np
+    cents = V[:L]
+    assign = qd(V[:, None, :], cents[None]).argmin(1)
+    R = V - cents[assign]
+    P = V[L:L + ksub]
+    pa = qd(P[:, None, :], cents[None]).argmin(1)
+    PR = P - cents[pa]
+    books = np.stack([PR[:, s * sub:(s + 1) * sub] for s in range(m)])
+    codes = np.zeros((n, m), int)
+    for s in range(m):
+        codes[:, s] = qd(R[:, None, s * sub:(s + 1) * sub], books[s][None]).argmin(1)
+    order = np.argsort(qd(q[None], cents), kind="stable")[:probes]
+    lut = {int(li): np.stack([qd((q - cents[li])[s * sub:(s + 1) * sub][None], books[s])
+                              for s in range(m)]) for li in order}
+    idxs = np.where(np.isin(assign, order))[0]
+    adc = np.array([lut[int(assign[i])][np.arange(m), codes[i]].sum() for i in idxs])
+    cand = idxs[np.lexsort((idxs, adc))][:refine]
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    cc = np.round(cos[cand], 6)
+    want = [int(x) for x in np.array(cand)[np.lexsort((cand, -cc))][:10]]
+    assert got == want
