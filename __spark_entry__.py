@@ -550,6 +550,25 @@ def q_spatial_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal sinusoidal reprojection (EPSG:4326 → +proj=sinu, the
+    MODIS-grid family): x = a·Δλ·cosφ/√(1−e²sin²φ), y = meridian arc —
+    the oracle replays both formulas in SQL with the identical series
+    coefficients (float32 quantization absorbs 1-ulp libm noise).
+    Equal-area property is pytest-verified via the Jacobian like the
+    Albers family."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("+proj=sinu +lon_0=0")
+    )
+    return pts.filter(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("sinu_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("sinu_y"),
+    )
+
+
 def q_spatial_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal Lambert conformal conic reprojection (EPSG:4326 →
     EPSG:2154, Lambert-93) on points over France; the oracle replays
@@ -3382,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_reproject_aea": q_spatial_reproject_aea,
         "spatial_reproject_stere": q_spatial_reproject_stere,
+        "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_codecs": q_spatial_codecs,
         "spatial_setops": q_spatial_setops,
         "spatial_predicates": q_spatial_predicates,
@@ -4376,6 +4396,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN border bo ON pts.id = bo.id
         """,
         "spatial_geohash": _geohash_oracle(precision_bits=25),
+        "spatial_reproject_sinu": """
+            WITH base AS (
+              SELECT c_custkey, {CX} AS lon, {CY} AS lat
+              FROM customer WHERE c_custkey <= 1000
+            ), rad AS (
+              SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+            ), s1 AS (
+              SELECT c_custkey, phi, lam, sin(phi) AS sp, cos(phi) AS cp FROM rad
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(6378137.0 * lam * cp / sqrt(1.0 - 0.0066943799901413165 * sp * sp)
+                              AS FLOAT) AS DOUBLE), 3) AS sinu_x,
+                   round(CAST(CAST(6378137.0 * (0.9983242984527954 * phi - 0.002514607060518705 * sin(2.0 * phi)
+                              + 2.6390465943376213e-06 * sin(4.0 * phi) - 3.4180460865957878e-09 * sin(6.0 * phi))
+                              AS FLOAT) AS DOUBLE), 3) AS sinu_y
+            FROM s1
+        """.replace("{CX}", _C_X).replace("{CY}", _C_Y),
         "spatial_reproject_utm": _utm_oracle(zone=33),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_reproject_aea": _aea_oracle(epsg=5070),

@@ -1049,6 +1049,8 @@ def _coord_fn(fk, tk):
             return proj.aea_inverse(c, fk[1:])
         if fk[0] == "stere":
             return proj.stere_inverse(c, fk[1:])
+        if fk[0] == "sinu":
+            return proj.sinu_inverse(c, fk[1:])
         return proj.utm_inverse(c, fk[1], fk[2])
 
     def from_ll(c):
@@ -1062,6 +1064,8 @@ def _coord_fn(fk, tk):
             return proj.aea_forward(c, tk[1:])
         if tk[0] == "stere":
             return proj.stere_forward(c, tk[1:])
+        if tk[0] == "sinu":
+            return proj.sinu_forward(c, tk[1:])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

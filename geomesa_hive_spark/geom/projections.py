@@ -45,6 +45,8 @@ __all__ = [
     "aea_inverse",
     "aea_consts",
     "stere_forward",
+    "sinu_forward",
+    "sinu_inverse",
     "stere_inverse",
     "stere_consts",
 ]
@@ -155,6 +157,11 @@ def parse_crs(crs: str):
         x0 = _proj4_num(low, "x_0", 0.0)
         y0 = _proj4_num(low, "y_0", 0.0)
         return ("stere", lat_0 > 0, lat_ts, lon0, x0, y0)
+    if "+proj=sinu" in low:
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("sinu", lon0, x0, y0)
     if "4326" in low or "longlat" in low:
         return ("longlat",)
     if "3857" in low or "merc" in low:
@@ -169,7 +176,8 @@ def parse_crs(crs: str):
         "Lambert conformal conic ('+proj=lcc' or EPSG:2154/3347/3978), "
         "Albers equal-area ('+proj=aea' or EPSG:5070/3577), polar "
         "stereographic ('+proj=stere +lat_0=±90 [+lat_ts=..]' or "
-        "EPSG:3413/3995/3031/32661/32761) and their proj4 equivalents"
+        "EPSG:3413/3995/3031/32661/32761), sinusoidal ('+proj=sinu') "
+        "and their proj4 equivalents"
     )
 
 
@@ -496,4 +504,53 @@ def stere_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     at_pole = rho == 0.0
     if np.any(at_pole):
         out[at_pole, 0] = math.degrees(k["lam0"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal (Sanson–Flamsteed) — the equal-area world projection the
+# MODIS/VIIRS land grids use (+proj=sinu; those grids put it on a custom
+# sphere via +R — here the ellipsoidal WGS84 form, Snyder eq. 30-8/30-9,
+# sharing the UTM meridian-arc series)
+# ---------------------------------------------------------------------------
+
+
+def sinu_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → sinusoidal (x, y) meters. params = (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    out[:, 0] = x0 + _A * (lam - math.radians(lon0)) * np.cos(phi) / np.sqrt(
+        1.0 - _E2 * sp * sp
+    )
+    out[:, 1] = y0 + _A * (
+        _M1 * phi - _M2 * np.sin(2.0 * phi) + _M3 * np.sin(4.0 * phi) - _M4 * np.sin(6.0 * phi)
+    )
+    return out
+
+
+def sinu_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Sinusoidal (x, y) meters → (lon°, lat°). params = (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    mu = (coords[:, 1] - y0) / (_A * _M1)
+    phi = (
+        mu
+        + _P1 * np.sin(2.0 * mu)
+        + _P2 * np.sin(4.0 * mu)
+        + _P3 * np.sin(6.0 * mu)
+        + _P4 * np.sin(8.0 * mu)
+    )
+    sp = np.sin(phi)
+    cp = np.cos(phi)
+    lam = np.where(
+        np.abs(cp) > 1e-12,
+        math.radians(lon0)
+        + (coords[:, 0] - x0) * np.sqrt(1.0 - _E2 * sp * sp) / (_A * cp),
+        math.radians(lon0),
+    )
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
     return out

@@ -201,3 +201,32 @@ def test_z2_range_bounds_point_keys(b):
         np.array([cx]), np.array([cy]), np.array([cx]), np.array([cy])
     )
     assert zmin[0] <= zc[0] <= zmax[0]
+
+
+def test_sinusoidal_equal_area_and_roundtrip():
+    import numpy as np
+
+    from geomesa_hive_spark.geom.projections import sinu_forward, sinu_inverse
+
+    rng = np.random.default_rng(17)
+    pts = np.column_stack([rng.uniform(-170, 170, 300), rng.uniform(-80, 80, 300)])
+    params = (0.0, 0.0, 0.0)
+    rt = sinu_inverse(sinu_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-6
+
+    # equal-area: Jacobian determinant of the forward map equals the
+    # ellipsoidal area element a^2(1-e^2)cos(phi)/(1-e^2 sin^2 phi)^2
+    # (per degree^2 scaling handled by the finite-difference step)
+    from geomesa_hive_spark.geom.projections import _A, _E2
+    eps = 1e-5
+    for lon, lat in [(10.0, 20.0), (-60.0, 45.0), (120.0, -33.0)]:
+        p = np.array([[lon, lat]])
+        fx = lambda q: sinu_forward(q, params)
+        dx_dlon = (fx(p + [[eps, 0]]) - fx(p - [[eps, 0]])) / (2 * eps)
+        dx_dlat = (fx(p + [[0, eps]]) - fx(p - [[0, eps]])) / (2 * eps)
+        jac = abs(
+            dx_dlon[0, 0] * dx_dlat[0, 1] - dx_dlon[0, 1] * dx_dlat[0, 0]
+        ) * (180 / np.pi) ** 2
+        sp = np.sin(np.radians(lat))
+        truth = _A**2 * (1 - _E2) * np.cos(np.radians(lat)) / (1 - _E2 * sp**2) ** 2
+        assert abs(jac / truth - 1) < 1e-5
