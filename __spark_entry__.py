@@ -1939,7 +1939,8 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook derivation, code assignment, the LUT, the ADC ordering,
     the candidate cut, and the re-rank — a one-ulp divergence anywhere
     breaks the hash. Trained-codebook quality (method="kmeans",
-    0.80@10% refine vs pivot 0.55) is covered by pytest against the
+    0.83@10% refine vs pivot 0.80 — recorded in BASELINE.md via
+    scripts/ann_recall.py) is covered by pytest against the
     NumPy reference."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -4321,7 +4322,7 @@ def oracle_sql() -> dict[str, str]:
                                    unnest([-1, 0, 1]) AS b(dy)
               ) o
             )
-            SELECT cell_x, cell_y, sum(w) AS weight
+            SELECT cell_x, cell_y, CAST(sum(w) AS BIGINT) AS weight
             FROM spread GROUP BY cell_x, cell_y
             HAVING sum(w) >= 12
         """,
@@ -4672,10 +4673,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -5636,12 +5637,14 @@ def oracle_sql() -> dict[str, str]:
               FROM bge LEFT JOIN bi USING (w1, w2)
               LEFT JOIN uni ON bge.w1 = uni.w CROSS JOIN v
             ), agg AS (
-              SELECT doc_id, count(*) AS n_bg, -sum(lp) AS nll_q,
-                     (-sum(lp)) // count(*) AS avg_q
+              SELECT doc_id, count(*) AS n_bg,
+                     CAST(-sum(lp) AS BIGINT) AS nll_q,
+                     CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_q
               FROM sc GROUP BY doc_id
             )
             SELECT d.doc_id, coalesce(n_bg, 0) AS n_bg,
-                   coalesce(nll_q, 0) AS nll_q, coalesce(avg_q, 0) AS avg_q
+                   CAST(coalesce(nll_q, 0) AS BIGINT) AS nll_q,
+                   CAST(coalesce(avg_q, 0) AS BIGINT) AS avg_q
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "text_tfidf_pairs": """
@@ -5789,7 +5792,8 @@ def oracle_sql() -> dict[str, str]:
                      ql.quality AS q
               FROM documents d JOIN ql ON ql.doc_id = d.doc_id
             )
-            SELECT split, lang, count(*) AS n_docs, sum(ntok) AS tok_total,
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS tok_total,
                    round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
             FROM enriched
             GROUP BY ROLLUP (split, lang)

@@ -104,13 +104,19 @@ def dbscan(
     pairs = eps_neighbor_pairs(points, id_col, x, y, eps).localCheckpoint()
     ids = points.select(F.col(id_col).alias("id"))
 
-    # |N_eps(p)| >= min_pts, self included => (min_pts - 1) strict neighbors
-    counts = pairs.groupBy("id_a").agg(F.count("*").alias("n_nb"))
-    core = (
-        counts.filter(F.col("n_nb") >= int(min_pts) - 1)
-        .select(F.col("id_a").alias("id"))
-        .localCheckpoint()
-    )
+    # |N_eps(p)| >= min_pts, self included => (min_pts - 1) strict neighbors.
+    # min_pts <= 1 is satisfied by every point via self-inclusion, including
+    # points with zero eps-neighbors (which have no row in `pairs` at all) —
+    # the count-based path would silently label those noise, so take all ids.
+    if int(min_pts) <= 1:
+        core = ids.localCheckpoint()
+    else:
+        counts = pairs.groupBy("id_a").agg(F.count("*").alias("n_nb"))
+        core = (
+            counts.filter(F.col("n_nb") >= int(min_pts) - 1)
+            .select(F.col("id_a").alias("id"))
+            .localCheckpoint()
+        )
 
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")

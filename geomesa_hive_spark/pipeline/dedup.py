@@ -639,7 +639,15 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
-    nodes = orig.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    # node set from the UNFILTERED pair stream: a node appearing only in a
+    # reflexive pair (a, a) has no edge in `orig` but must still get a
+    # singleton cluster row (was a silent drop when a != b filtered first)
+    nodes = (
+        p.select(F.col("a").alias("id"))
+        .union(p.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
 
     def _sym(e: DataFrame) -> DataFrame:
         return (

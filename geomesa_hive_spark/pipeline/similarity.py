@@ -632,8 +632,9 @@ def pq_codebooks_kmeans(
 ) -> np.ndarray:
     """Lloyd-trained codebooks from a DETERMINISTIC bounded sample (the
     ``sample_rows`` smallest ids — no RNG, reproducible across runs),
-    initialized at the pivot codebooks. Measured on the recall control:
-    0.80@10% refine vs pivot's 0.55 — training pays for itself; the
+    initialized at the pivot codebooks. Measured on the recall control
+    (scripts/ann_recall.py, recorded in BASELINE.md): kmeans 0.83@10%
+    refine vs pivot's 0.80 — training still pays for itself; the
     pivot path stays the hash-oracled contract config because replaying
     10 Lloyd rounds x m subspaces in SQL buys no additional trust."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(int(sample_rows)).collect()

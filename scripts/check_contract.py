@@ -26,10 +26,17 @@ def norm_hash(pdf: pd.DataFrame) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
 
     def cell(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
+        # STRICT stringify: no float formatting that collapses int-vs-float
+        # differences ("16.0" vs "16"). The driver stringifies plainly, so a
+        # DuckDB HUGEINT-sum materialized as float64 must FAIL here too —
+        # round-3 root cause was this function hiding exactly that mismatch.
+        if v is None:
             return "NULL"
-        if isinstance(v, float):
-            return f"{v:.6f}".rstrip("0").rstrip(".")
+        try:
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass  # list/array cells: not NA-checkable, stringify below
         if isinstance(v, (bytes, bytearray)):
             return hashlib.md5(bytes(v)).hexdigest()
         return str(v)

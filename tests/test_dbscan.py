@@ -116,3 +116,17 @@ def test_isolated_core_singleton_and_all_noise(spark):
     out2 = {r.id: (r.is_core, r.cluster_id)
             for r in dbscan(df, "id", "x", "y", 0.5, 5).collect()}
     assert all(v == (0, -1) for v in out2.values())
+
+
+def test_min_pts_one_zero_neighbor_singleton(spark):
+    """min_pts=1 is satisfied by self-inclusion alone: a point with ZERO
+    eps-neighbors must be a singleton core cluster, not noise (r3 ADVICE
+    regression — the pair-derived count path had no row for it)."""
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3],
+        "x": [0.0, 0.1, 99.0],
+        "y": [0.0, 0.0, 99.0],
+    })
+    out = {r.id: (r.is_core, r.cluster_id)
+           for r in dbscan(spark.createDataFrame(pdf), "id", "x", "y", 0.5, 1).collect()}
+    assert out == {1: (1, 1), 2: (1, 1), 3: (1, 3)}

@@ -76,6 +76,15 @@ def test_duplicate_clusters(spark):
     assert got == {(2, 2), (5, 2), (9, 2), (11, 2), (20, 20), (21, 20)}
 
 
+def test_duplicate_clusters_reflexive_pair(spark):
+    """A node appearing ONLY in a reflexive pair (a, a) must still get a
+    singleton cluster row — the self-loop filter must not drop it from
+    the node set (r3 ADVICE regression)."""
+    pairs = spark.createDataFrame([(1, 2), (7, 7)], "id_a LONG, id_b LONG")
+    got = {(r.id, r.cluster_id) for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (7, 7)}
+
+
 def test_drop_near_duplicates(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
     kept = dedup.drop_near_duplicates(docs, pairs, "doc_id")
