@@ -104,17 +104,23 @@ def main() -> int:
             total += best
             print(f"# {name}: {rows} rows in {best}s (best of 2)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total wall time, all declared queries",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total wall time, all declared queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # the driver stores only the TAIL of stdout (~2 KB), which truncated the
+    # first ~30 queries out of BENCH_r03; persist the complete artifact in
+    # the repo so every round's full per-query map survives verbatim
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"# could not write BENCH_FULL.json: {exc}", file=sys.stderr)
     spark.stop()
     return 0
 

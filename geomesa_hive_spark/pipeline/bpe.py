@@ -101,41 +101,74 @@ def _merge_expr(s_col, a: str, b: str) -> "F.Column":
 
 
 def train_bpe(
-    df: DataFrame, text_col: str, n_merges: int, min_count: int = 2
+    df: DataFrame, text_col: str, n_merges: int, min_count: int = 2,
+    batch: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [(left, right, pair_count), …] in merge order. Stops early when the
     best pair's weighted count drops below ``min_count``.
 
-    Each round collects exactly ONE row (the argmax pair) — the same
-    bounded-scalar pattern as k-means' centroid collect; the corpus is
-    touched once (word_freqs), every round runs on the vocab-sized
-    frequency table, and merge application is a native replace."""
+    ``batch=1`` is EXACT classic BPE: each round collects the single
+    argmax pair — the same bounded-scalar pattern as k-means' centroid
+    collect. The corpus is touched once (word_freqs); every round runs
+    on the vocab-sized frequency table; merge application is a native
+    replace.
+
+    ``batch=m`` divides the driver-round count by up to m — the real
+    ceiling for a 30k-merge vocab is sequential Spark-job latency, not
+    data size. Per round the top pairs are collected (a bounded ~4m-row
+    collect) and up to m MUTUALLY TOKEN-DISJOINT pairs are greedily
+    selected in (count DESC, a ASC, b ASC) order, then applied in one
+    chained-replace pass. Disjointness makes the batch exact in the
+    following sense: applying merge (a, b) only destroys/creates
+    adjacencies that involve a, b, or the new token ab, so the counts of
+    token-disjoint pairs are invariant under it — each selected pair's
+    recorded count is its true count at application time, and the
+    application order within a round is immaterial. The sequence can
+    still differ from classic BPE when a merge CREATES a pair (x, ab)
+    that would have out-ranked the round's later picks — the standard,
+    documented batched-BPE trade (vocab quality equivalent in practice;
+    the contract/oracle config stays batch=1)."""
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1 (got {batch})")
     words = word_freqs(df, text_col).withColumn(
         "s", to_token_string(F.col("word"))
     )
-    # vocab-sized working set: keep it materialized across rounds
-    words = words.select("freq", "s").cache()
-    words.count()
+    # vocab-sized working set, materialized with the lineage CUT each
+    # round: a cache alone keeps the full logical plan, which grows by a
+    # nested replace-chain per round — observed OOMing the driver on plan
+    # stringification at ~30 rounds, far below a real vocab's merge count
+    words = words.select("freq", "s").localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     try:
-        for _ in range(n_merges):
-            best = (
+        while len(merges) < n_merges:
+            m = min(batch, n_merges - len(merges))
+            top = (
                 _pair_counts(words)
+                .filter(F.col("cnt") >= min_count)
                 .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(4 * m)
                 .collect()
             )
-            if not best or best[0].cnt < min_count:
+            if not top:
                 break
-            a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
-            merges.append((a, b, cnt))
-            nxt = words.select(
-                "freq", _merge_expr(F.col("s"), a, b).alias("s")
-            ).cache()
-            nxt.count()
-            words.unpersist()
-            words = nxt
+            # greedy disjoint selection over the deterministic ordering:
+            # no token may appear in two selected pairs (a shared token
+            # would make application order observable)
+            used: set[str] = set()
+            picked: list[tuple[str, str, int]] = []
+            for r in top:
+                if len(picked) >= m:
+                    break
+                if r.a in used or r.b in used:
+                    continue
+                picked.append((r.a, r.b, int(r.cnt)))
+                used.update((r.a, r.b))
+            merges.extend(picked)
+            s = F.col("s")
+            for a, b, _ in picked:
+                s = _merge_expr(s, a, b)
+            words = words.select("freq", s.alias("s")).localCheckpoint()
     finally:
         words.unpersist()
     return merges

@@ -755,35 +755,64 @@ def ivfpq_model(
     n_lists: int = 32,
     m: int = 8,
     ksub: int = 16,
+    method: str = "pivot",
+    sample_rows: int = 800,
+    iters: int = 10,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(centroids (L, dim), residual codebooks (m, ksub, subdim)) — both
-    pivot-derived (smallest-id rows), fully re-derivable from the data
-    by a SQL oracle. Residual codebooks are the PQ pivots' residuals
-    against THEIR OWN assigned centroids (quantized-integer argmin,
-    matching the in-plan assignment exactly)."""
+    """(centroids (L, dim), residual codebooks (m, ksub, subdim)).
+
+    ``method="pivot"``: both pivot-derived (smallest-id rows), fully
+    re-derivable from the data by a SQL oracle. Residual codebooks are
+    the PQ pivots' residuals against THEIR OWN assigned centroids
+    (quantized-integer argmin, matching the in-plan assignment exactly).
+
+    ``method="kmeans"``: same coarse centroids (IVF-flat measures 0.97
+    recall with them — the coarse stage was never the weakness), but the
+    residual codebooks are Lloyd-trained per subspace over the residuals
+    of a DETERMINISTIC ``sample_rows`` sample (smallest ids, no RNG),
+    initialized at the pivot books. The round-3 recall gap (0.59) was
+    exactly a codebook-estimation problem: 16 pivot residuals cannot
+    represent the residual distribution of a near-uniform corpus; 800
+    Lloyd-fitted samples can (measured: see BASELINE.md ivfpq rows)."""
     cents = _pivot_centroids(df, id_col, vec_col, n_lists)
+    dim = cents.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     # codebook pivots DISJOINT from the centroid pivots (rows ranked
     # n_lists+1 .. n_lists+ksub by id): their assignments spread across
     # lists, so the residual sample is representative (measured slightly
     # better than reusing the centroid pivots, whose own residuals are 0)
+    n_need = n_lists + ksub if method == "pivot" else max(n_lists + ksub, sample_rows)
     rows = (
         df.select(id_col, vec_col)
         .orderBy(id_col)
-        .limit(n_lists + ksub)
+        .limit(n_need)
         .collect()[n_lists:]
     )
     P = np.asarray([r[1] for r in rows], dtype=np.float64)
     if len(P) < ksub:
         raise ValueError(f"need at least n_lists+ksub rows")
-    d = _qdist_np(P[:, None, :], cents[None, :, :])  # (ksub, L) ints
+    d = _qdist_np(P[:, None, :], cents[None, :, :])  # (|P|, L) ints
     assign = d.argmin(axis=1)  # ties -> smallest list id (argmin first)
     R = P - cents[assign]
-    dim = P.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = np.stack([R[:, s * sub:(s + 1) * sub] for s in range(m)])
-    return cents, books
+    books = np.stack([R[:ksub, s * sub:(s + 1) * sub] for s in range(m)])
+    if method == "pivot":
+        return cents, books
+    if method != "kmeans":
+        raise ValueError(f"method must be 'pivot' or 'kmeans' (got {method!r})")
+    out = []
+    for s in range(m):
+        sx = R[:, s * sub:(s + 1) * sub]
+        C = books[s].copy()
+        for _ in range(iters):
+            dd = ((sx[:, None, :] - C[None]) ** 2).sum(axis=2)
+            a = dd.argmin(axis=1)
+            for j in range(ksub):
+                if (a == j).any():
+                    C[j] = sx[a == j].mean(axis=0)
+        out.append(C)
+    return cents, np.stack(out)
 
 
 def knn_ivfpq(
@@ -797,6 +826,7 @@ def knn_ivfpq(
     m: int = 8,
     ksub: int = 16,
     refine: int = 100,
+    method: str = "pivot",
 ) -> DataFrame:
     """IVF-PQ: the composition the standalone halves were built for —
     coarse inverted lists cut the candidate set to n_probe/n_lists of
@@ -823,7 +853,9 @@ def knn_ivfpq(
     (ADC, id), and re-ranks exactly. Every distance is per-dimension
     integer-quantized (_qdist) — assignment, encoding, LUTs, and the
     candidate cut replay bit-for-bit in SQL."""
-    cents, books = ivfpq_model(df, id_col, vec_col, n_lists=n_lists, m=m, ksub=ksub)
+    cents, books = ivfpq_model(
+        df, id_col, vec_col, n_lists=n_lists, m=m, ksub=ksub, method=method
+    )
     sub = books.shape[2]
     q = np.asarray(query_vec, dtype=np.float64)
     order = [

@@ -74,6 +74,15 @@ def main() -> int:
             ).collect()
         }
 
+    def ivfpq_topk(qv, n_lists, n_probe, refine, method):
+        return {
+            r.id
+            for r in similarity.knn_ivfpq(
+                emb, "vec_id", "embedding", qv, k=k,
+                n_lists=n_lists, n_probe=n_probe, refine=refine, method=method,
+            ).collect()
+        }
+
     def ivf_candidates(qv, n_lists, n_probe):
         cents = similarity._pivot_centroids(emb, "vec_id", "embedding", n_lists)
         order = similarity._probe_lists(cents, qv, n_probe)
@@ -89,6 +98,15 @@ def main() -> int:
         "ivf_32_8": dict(kind="ivf", n_lists=32, n_probe=8),
         "pq_pivot_r200": dict(kind="pq", refine=200, method="pivot"),
         "pq_kmeans_r200": dict(kind="pq", refine=200, method="kmeans"),
+        # cand_frac here = refine/n (exact-scored share), consistent with the
+        # pq rows; the ADC pass additionally scores ~n_probe/n_lists of the
+        # corpus from 8-byte codes (noted in BASELINE.md)
+        "ivfpq_pivot_32_8_r200": dict(
+            kind="ivfpq", n_lists=32, n_probe=8, refine=200, method="pivot"
+        ),
+        "ivfpq_kmeans_32_8_r200": dict(
+            kind="ivfpq", n_lists=32, n_probe=8, refine=200, method="kmeans"
+        ),
     }
     recalls: dict[str, list[float]] = {c: [] for c in configs}
     fracs: dict[str, list[float]] = {c: [] for c in configs}
@@ -100,6 +118,13 @@ def main() -> int:
         for cname, cfg in configs.items():
             if cfg["kind"] == "pq":
                 got = pq_topk(qv, cfg["refine"], cfg["method"])
+                recalls[cname].append(len(exact & got) / k)
+                fracs[cname].append(cfg["refine"] / n_total)
+                continue
+            if cfg["kind"] == "ivfpq":
+                got = ivfpq_topk(
+                    qv, cfg["n_lists"], cfg["n_probe"], cfg["refine"], cfg["method"]
+                )
                 recalls[cname].append(len(exact & got) / k)
                 fracs[cname].append(cfg["refine"] / n_total)
                 continue

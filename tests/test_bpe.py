@@ -114,3 +114,66 @@ def test_train_early_stop(spark):
     m = bpe.train_bpe(df, "t", 50, min_count=1)
     # fully merges down to a single token: x y </w> -> 2 merges
     assert len(m) == 2
+
+
+def ref_train_batched(texts, n_merges, min_count=2, batch=1):
+    """Reference twin of the batched variant: top pairs by (cnt DESC,
+    a, b), greedy token-disjoint selection of up to `batch`, applied
+    together."""
+    wf = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wf[w] += 1
+    words = {w: ref_word_tokens(w) for w in wf}
+    merges = []
+    while len(merges) < n_merges:
+        m = min(batch, n_merges - len(merges))
+        pc = Counter()
+        for w, toks in words.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += wf[w]
+        ranked = sorted(
+            ((p, c) for p, c in pc.items() if c >= min_count),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        if not ranked:
+            break
+        used, picked = set(), []
+        for (a, b), c in ranked:
+            if len(picked) >= m:
+                break
+            if a in used or b in used:
+                continue
+            picked.append((a, b, c))
+            used.update((a, b))
+        merges.extend(picked)
+        for a, b, _ in picked:
+            words = {w: ref_apply(t, a, b) for w, t in words.items()}
+    return merges
+
+
+def test_train_batched_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id LONG, t STRING"
+    )
+    got = bpe.train_bpe(df, "t", 10, batch=4)
+    want = ref_train_batched(TEXTS, 10, batch=4)
+    assert got == want
+    # disjointness within a round implies no token repeats among any
+    # 4-merge window's first occurrence... weaker invariant checked
+    # globally: batch=1 equals classic exactly
+    assert bpe.train_bpe(df, "t", 6, batch=1) == ref_train(TEXTS, 6)
+
+
+def test_train_batched_encode_still_valid(spark):
+    """Merges learned with batch>1 are a valid merge list: encoding with
+    them reproduces the reference fold applied in the same order."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id LONG, t STRING"
+    )
+    merges = bpe.train_bpe(df, "t", 8, batch=3)
+    enc = {r[0]: list(r.tokens)
+           for r in bpe.bpe_encode(df, "t", "id", merges).collect()}
+    for i, t in enumerate(TEXTS):
+        assert enc[i] == ref_encode(t, merges)
