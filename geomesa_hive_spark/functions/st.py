@@ -1051,6 +1051,10 @@ def _coord_fn(fk, tk):
             return proj.stere_inverse(c, fk[1:])
         if fk[0] == "sinu":
             return proj.sinu_inverse(c, fk[1:])
+        if fk[0] == "merc":
+            return proj.merc_inverse(c, fk[1:])
+        if fk[0] == "eqc":
+            return proj.eqc_inverse(c, fk[1:])
         return proj.utm_inverse(c, fk[1], fk[2])
 
     def from_ll(c):
@@ -1066,6 +1070,10 @@ def _coord_fn(fk, tk):
             return proj.stere_forward(c, tk[1:])
         if tk[0] == "sinu":
             return proj.sinu_forward(c, tk[1:])
+        if tk[0] == "merc":
+            return proj.merc_forward(c, tk[1:])
+        if tk[0] == "eqc":
+            return proj.eqc_forward(c, tk[1:])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

@@ -3,13 +3,16 @@ WGS84 ↔ UTM (Transverse Mercator, any zone, both hemispheres),
 WGS84 ↔ Lambert conformal conic (param-driven, 1SP or 2SP — covers
 Lambert-93 / State Plane / Canada Atlas and any proj4 ``+proj=lcc``),
 WGS84 ↔ Albers equal-area conic (param-driven — Conus/Australian
-Albers and any ``+proj=aea``), and WGS84 ↔ polar stereographic
+Albers and any ``+proj=aea``), WGS84 ↔ polar stereographic
 (variant B lat_ts scaling and the UPS k0 pole-tangent case — NSIDC,
-Antarctic, UPS grids and any polar ``+proj=stere``).
+Antarctic, UPS grids and any polar ``+proj=stere``), WGS84 ↔
+sinusoidal (MODIS grids), WGS84 ↔ ellipsoidal Mercator (EPSG:3395 and
+any ``+proj=merc`` — distinct from web mercator), and WGS84 ↔
+equidistant cylindrical (EPSG:4087, ``+proj=eqc``).
 
 The reference delegates reprojection to a full proj engine
 (``spatial-index/.../ST_GeomReproject.scala:25``); this container has
-no pyproj, so the five families real users hit first are implemented
+no pyproj, so the eight families real users hit first are implemented
 directly (USGS/Snyder formulations, the same every proj implementation
 uses; accurate to ~1 mm within each projection's validity area,
 degrading gracefully outside). Correctness is property-tested where
@@ -49,6 +52,11 @@ __all__ = [
     "sinu_inverse",
     "stere_inverse",
     "stere_consts",
+    "merc_forward",
+    "merc_inverse",
+    "merc_k0",
+    "eqc_forward",
+    "eqc_inverse",
 ]
 
 # WGS84 ellipsoid
@@ -136,6 +144,10 @@ def parse_crs(crs: str):
             return ("aea",) + _AEA_EPSG[code]
         if code in _STERE_EPSG:
             return ("stere",) + _STERE_EPSG[code]
+        if code == 3395:  # WGS84 / World Mercator (ellipsoidal, k0=1)
+            return ("merc", 1.0, 0.0, 0.0, 0.0)
+        if code == 4087:  # WGS84 / World Equidistant Cylindrical
+            return ("eqc", 0.0, 0.0, 0.0, 0.0)
     if "+proj=lcc" in low or "+proj=aea" in low:  # param-driven conics
         lat1 = _proj4_num(low, "lat_1", None)
         lat2 = _proj4_num(low, "lat_2", lat1)
@@ -162,9 +174,40 @@ def parse_crs(crs: str):
         x0 = _proj4_num(low, "x_0", 0.0)
         y0 = _proj4_num(low, "y_0", 0.0)
         return ("sinu", lon0, x0, y0)
+    if "+proj=merc" in low:
+        # ELLIPSOIDAL Mercator (Snyder 7-7/7-8) — before round 4 this
+        # fell into the webmerc catch-all below, silently treating
+        # latitudes as spherical (up to ~20 km of northing error)
+        if "+lat_ts" in low:
+            k0 = merc_k0(_proj4_num(low, "lat_ts", 0.0))
+        else:
+            k0 = _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0))
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("merc", k0, lon0, x0, y0)
+    if "+proj=eqc" in low:
+        if abs(_proj4_num(low, "lat_0", 0.0)) > 1e-12:
+            raise ValueError(
+                f"unsupported CRS {crs!r}: eqc with nonzero +lat_0 is not implemented"
+            )
+        lat_ts = _proj4_num(low, "lat_ts", 0.0)
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("eqc", lat_ts, lon0, x0, y0)
     if "4326" in low or "longlat" in low:
         return ("longlat",)
-    if "3857" in low or "merc" in low:
+    # STRICT web-mercator spellings only: the old bare-"merc" substring
+    # fallback also swallowed '+proj=tmerc'/'+proj=omerc' (and, before
+    # round 4, '+proj=merc'), silently projecting with the wrong family
+    if (
+        "3857" in low
+        or "900913" in low
+        or "webmerc" in low
+        or "web mercator" in low
+        or low in ("merc", "mercator")
+    ):
         return ("webmerc",)
     if "utm" in low:  # proj4 '+proj=utm +zone=NN [+south]'
         zm = re.search(r"\+zone=(\d+)", low)
@@ -176,8 +219,10 @@ def parse_crs(crs: str):
         "Lambert conformal conic ('+proj=lcc' or EPSG:2154/3347/3978), "
         "Albers equal-area ('+proj=aea' or EPSG:5070/3577), polar "
         "stereographic ('+proj=stere +lat_0=±90 [+lat_ts=..]' or "
-        "EPSG:3413/3995/3031/32661/32761), sinusoidal ('+proj=sinu') "
-        "and their proj4 equivalents"
+        "EPSG:3413/3995/3031/32661/32761), sinusoidal ('+proj=sinu'), "
+        "ellipsoidal Mercator ('+proj=merc [+lat_ts=..|+k_0=..]' or "
+        "EPSG:3395), equidistant cylindrical ('+proj=eqc [+lat_ts=..]' "
+        "or EPSG:4087) and their proj4 equivalents"
     )
 
 
@@ -552,5 +597,104 @@ def sinu_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         math.radians(lon0),
     )
     out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal Mercator (EPSG method 9804/1044 — Snyder eq. 7-7/7-8:
+# EPSG:3395 World Mercator, any '+proj=merc [+lat_ts=..|+k_0=..]').
+# NOT web mercator: EPSG:3857 treats latitudes as spherical; the
+# ellipsoidal form diverges from it by up to ~20 km in northing at
+# high latitude — before round 4 '+proj=merc' silently fell into the
+# webmerc branch, a wrong-answer class, now a distinct family.
+# ---------------------------------------------------------------------------
+
+
+def merc_k0(lat_ts: float) -> float:
+    """Scale factor from a standard parallel: k0 = m(lat_ts) — unit
+    scale on ±lat_ts (Snyder 7-7 with the 14-15 parallel-scaling)."""
+    pc = math.radians(abs(lat_ts))
+    return _lcc_m_scalar(pc)
+
+
+def merc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → ellipsoidal Mercator (x, y) meters.
+    ``params`` = (k0, lon0, x0, y0). Latitude clipped to ±89.9999° (the
+    projection diverges at the poles — same clip as the webmerc path)."""
+    k0, lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(np.clip(coords[:, 1], -89.9999, 89.9999))
+    sp = np.sin(phi)
+    t = np.tan(math.pi / 4.0 + phi / 2.0) * (
+        (1.0 - _E * sp) / (1.0 + _E * sp)
+    ) ** (_E / 2.0)
+    out[:, 0] = x0 + _A * k0 * (lam - math.radians(lon0))
+    out[:, 1] = y0 + _A * k0 * np.log(t)
+    return out
+
+
+def merc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Ellipsoidal Mercator (x, y) meters → (lon°, lat°). Latitude via
+    the same conformal-latitude fixed-point iteration as stere_inverse
+    (8 rounds: converges to <1e-12 rad in 4 on WGS84)."""
+    k0, lon0, x0, y0 = params
+    out = coords.copy()
+    t = np.exp(-(coords[:, 1] - y0) / (_A * k0))
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - _E * sp) / (1.0 + _E * sp)) ** (_E / 2.0)
+        )
+    out[:, 0] = np.degrees(math.radians(lon0) + (coords[:, 0] - x0) / (_A * k0))
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Equidistant cylindrical, ellipsoidal (EPSG method 1028 — EPSG:4087
+# WGS84 / World Equidistant Cylindrical, '+proj=eqc [+lat_ts=..]'):
+# x from the standard parallel's parallel radius, y the true meridian
+# arc — reusing the UTM meridian-arc series forward (_M1.._M4) and the
+# footpoint-latitude series inverse (_P1.._P4), so the SQL replay
+# shares coefficients already in the oracle toolkit.
+# ---------------------------------------------------------------------------
+
+
+def eqc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → equidistant cylindrical (x, y) meters.
+    ``params`` = (lat_ts, lon0, x0, y0)."""
+    lat_ts, lon0, x0, y0 = params
+    pc = math.radians(lat_ts)
+    sp1 = math.sin(pc)
+    nu1_cos = _A * math.cos(pc) / math.sqrt(1.0 - _E2 * sp1 * sp1)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    out[:, 0] = x0 + nu1_cos * (lam - math.radians(lon0))
+    out[:, 1] = y0 + _A * (
+        _M1 * phi - _M2 * np.sin(2.0 * phi) + _M3 * np.sin(4.0 * phi) - _M4 * np.sin(6.0 * phi)
+    )
+    return out
+
+
+def eqc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Equidistant cylindrical (x, y) meters → (lon°, lat°)."""
+    lat_ts, lon0, x0, y0 = params
+    pc = math.radians(lat_ts)
+    sp1 = math.sin(pc)
+    nu1_cos = _A * math.cos(pc) / math.sqrt(1.0 - _E2 * sp1 * sp1)
+    out = coords.copy()
+    mu = (coords[:, 1] - y0) / (_A * _M1)
+    phi = (
+        mu
+        + _P1 * np.sin(2.0 * mu)
+        + _P2 * np.sin(4.0 * mu)
+        + _P3 * np.sin(6.0 * mu)
+        + _P4 * np.sin(8.0 * mu)
+    )
+    out[:, 0] = np.degrees(math.radians(lon0) + (coords[:, 0] - x0) / nu1_cos)
     out[:, 1] = np.degrees(phi)
     return out

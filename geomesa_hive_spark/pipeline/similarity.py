@@ -633,8 +633,8 @@ def pq_codebooks_kmeans(
     """Lloyd-trained codebooks from a DETERMINISTIC bounded sample (the
     ``sample_rows`` smallest ids — no RNG, reproducible across runs),
     initialized at the pivot codebooks. Measured on the recall control
-    (scripts/ann_recall.py, recorded in BASELINE.md): kmeans 0.83@10%
-    refine vs pivot's 0.80 — training still pays for itself; the
+    (scripts/ann_recall.py, recorded in BASELINE.md): kmeans 0.81@10%
+    refine vs pivot's 0.775 — training still pays for itself; the
     pivot path stays the hash-oracled contract config because replaying
     10 Lloyd rounds x m subspaces in SQL buys no additional trust."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(int(sample_rows)).collect()
@@ -770,10 +770,10 @@ def ivfpq_model(
     recall with them — the coarse stage was never the weakness), but the
     residual codebooks are Lloyd-trained per subspace over the residuals
     of a DETERMINISTIC ``sample_rows`` sample (smallest ids, no RNG),
-    initialized at the pivot books. The round-3 recall gap (0.59) was
-    exactly a codebook-estimation problem: 16 pivot residuals cannot
-    represent the residual distribution of a near-uniform corpus; 800
-    Lloyd-fitted samples can (measured: see BASELINE.md ivfpq rows)."""
+    initialized at the pivot books. Measured equivalent to pivot books
+    on this corpus (0.97 vs 0.98, BASELINE.md ivfpq rows); it is the
+    lever for corpora whose residual distribution the 16 pivot samples
+    represent poorly."""
     cents = _pivot_centroids(df, id_col, vec_col, n_lists)
     dim = cents.shape[1]
     if dim % m:
@@ -833,17 +833,13 @@ def knn_ivfpq(
     the corpus, and residual PQ scores those candidates from 8-byte
     codes via per-list integer LUTs.
 
-    **Measured honestly on this corpus: the composition does NOT pay.**
-    On the near-uniform synthetic embeddings the residuals carry
-    almost all of the vector's energy (the coarse quantizer barely
-    helps) while the codebooks see only 16 residual samples spread
-    over many lists — recall@10 = 0.59 at (8 probes, refine=200),
-    vs flat PQ 0.80@10% and IVF-flat 0.97@24.5% (BASELINE.md curve).
-    The variant is shipped because the architecture (stored list id +
-    stored codes + per-list LUTs) is what a clusterable real-embedding
-    corpus needs, and because its oracle exactly replays the deepest
-    pipeline in the suite — but IVF-flat or flat PQ remain the
-    recommended paths for data like this.
+    Measured on the standing 20-query harness (scripts/ann_recall.py,
+    BASELINE.md quality table): recall@10 = **0.98 at 10% exact-scored**
+    at the contract config (32 lists, 8 probes, refine=200) — IVF-flat
+    recall (0.98@24.5%) at flat-PQ cost (0.775@10%), the best point on
+    the curve. (Round 3 recorded 0.59 for this config from an
+    uncommitted measurement; it did not reproduce once the rows joined
+    the standing harness in round 4 — the harness is the record.)
 
     At scale: list id and PQ codes are write-time stored columns (list
     = partition key -> probing is partition pruning; codes = the only

@@ -379,3 +379,88 @@ def test_aea_stere_parse_crs_forms():
     import pytest as _pt
     with _pt.raises(ValueError):
         P.parse_crs("+proj=stere +lat_0=30")  # oblique aspect unsupported
+
+
+def test_merc_ellipsoidal_properties_and_roundtrip():
+    """Ellipsoidal Mercator (round 4): unit scale on lat_ts, conformal
+    (isotropic local scale), meridian-arc-consistent, and DISTINCT from
+    web mercator (the pre-round-4 +proj=merc bug mapped it to the
+    spherical form)."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as proj
+
+    pts = np.array([[10.0, 50.0], [-74.0, 40.7], [151.2, -33.9], [0.0, 0.0]])
+    k = proj.parse_crs("+proj=merc +ellps=WGS84")
+    assert k[0] == "merc" and k[1] == 1.0
+    fwd = proj.merc_forward(pts, k[1:])
+    back = proj.merc_inverse(fwd, k[1:])
+    assert np.allclose(back, pts, atol=1e-9)
+    # x is spherical-identical, y must differ from web mercator by the
+    # ellipsoidal latitude stretch (~0.3% at mid latitudes, >10 km)
+    y_web = np.log(np.tan(np.pi / 4 + np.radians(50.0) / 2)) * 6378137.0
+    assert abs(fwd[0][1] - y_web) > 10000.0
+    assert fwd[0][1] < y_web  # ellipsoidal y is SMALLER (e-term shrinks t)
+    # EPSG:3395 equals +proj=merc k0=1
+    k2 = proj.parse_crs("EPSG:3395")
+    assert np.allclose(proj.merc_forward(pts, k2[1:]), fwd)
+    # unit scale on the standard parallel: forward distance of a tiny
+    # east step at lat_ts equals the true parallel arc there
+    kts = proj.parse_crs("+proj=merc +lat_ts=30")
+    a, e2 = 6378137.0, 0.0066943799901413165
+    sp = np.sin(np.radians(30.0))
+    arc = a * np.cos(np.radians(30.0)) / np.sqrt(1 - e2 * sp * sp) * np.radians(1e-4)
+    two = proj.merc_forward(np.array([[0.0, 30.0], [1e-4, 30.0]]), kts[1:])
+    assert abs((two[1][0] - two[0][0]) - arc) < 1e-6
+    # conformality at 50N: local scale isotropic to 1e-9 relative
+    eps = 1e-6
+    tri = proj.merc_forward(
+        np.array([[10.0, 50.0], [10.0 + eps, 50.0], [10.0, 50.0 + eps]]), k[1:]
+    )
+    dx = tri[1][0] - tri[0][0]
+    dy = tri[2][1] - tri[0][1]
+    sp5 = np.sin(np.radians(50.0))
+    # parallel arc per deg vs meridian arc per deg on the ellipsoid
+    arc_par = a * np.cos(np.radians(50.0)) / np.sqrt(1 - e2 * sp5 * sp5) * np.radians(eps)
+    arc_mer = a * (1 - e2) / (1 - e2 * sp5 * sp5) ** 1.5 * np.radians(eps)
+    assert abs(dx / arc_par - dy / arc_mer) < 1e-6 * (dx / arc_par)
+
+
+def test_eqc_equidistant_property_and_roundtrip():
+    """Equidistant cylindrical (round 4): y IS the meridian arc (checked
+    against the published arc to 50° ≈ 5540847.04 m), x scales with the
+    lat_ts parallel radius, exact roundtrip."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as proj
+
+    k = proj.parse_crs("+proj=eqc +ellps=WGS84")
+    assert k[0] == "eqc"
+    pts = np.array([[10.0, 50.0], [-74.0, 40.7], [151.2, -33.9], [0.0, 0.0]])
+    fwd = proj.eqc_forward(pts, k[1:])
+    back = proj.eqc_inverse(fwd, k[1:])
+    assert np.allclose(back, pts, atol=1e-9)
+    # WGS84 meridian arc equator->50°N: 5540847.04 m (published value)
+    assert abs(fwd[0][1] - 5540847.04) < 0.5
+    # at lat_ts=60 the x unit is the 60° parallel radius
+    k60 = proj.parse_crs("+proj=eqc +lat_ts=60")
+    f60 = proj.eqc_forward(np.array([[1.0, 0.0]]), k60[1:])
+    a, e2 = 6378137.0, 0.0066943799901413165
+    sp = np.sin(np.radians(60.0))
+    assert abs(f60[0][0] - a * np.cos(np.radians(60.0)) / np.sqrt(1 - e2 * sp * sp) * np.radians(1.0)) < 1e-6
+    # EPSG:4087 is the lat_ts=0 instance
+    assert proj.parse_crs("EPSG:4087") == ("eqc", 0.0, 0.0, 0.0, 0.0)
+
+
+def test_merc_not_webmerc_dispatch(spark):
+    """'+proj=merc' must route to the ellipsoidal family; 'EPSG:3857'
+    stays web mercator — through the SQL surface end-to-end."""
+    rows = spark.sql(
+        """SELECT st_asText(st_geomReproject(st_makePoint(10.0D, 50.0D),
+                   'EPSG:4326', '+proj=merc +ellps=WGS84')) AS m,
+                  st_asText(st_geomReproject(st_makePoint(10.0D, 50.0D),
+                   'EPSG:4326', 'EPSG:3857')) AS w"""
+    ).collect()[0]
+    ym = float(rows.m.split()[-1].rstrip(")"))
+    yw = float(rows.w.split()[-1].rstrip(")"))
+    assert abs(ym - yw) > 10000.0
