@@ -610,6 +610,78 @@ def q_spatial_reproject_eqc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_tmerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General transverse Mercator on a NON-WGS84 ellipsoid (EPSG:4326
+    → '+proj=tmerc' with the British National Grid parameters on Airy
+    1830, NO datum shift): the oracle replays the full Snyder 8-9/8-10
+    series with the Airy-recomputed coefficients (tmerc_consts — m1..m4,
+    ep2, the lat_0 meridian-arc offset m0) as literals. Closes the
+    'fixed-WGS84-UTM only' limitation of round 3; the kernel matches
+    the OS worked example to sub-mm (tests/test_geom_properties.py).
+    Reference delegates to a proj engine (ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+              "+x_0=400000 +y_0=-100000 +ellps=airy"),
+    )
+    return pts.filter(
+        (F.col("cx") >= -32.995) & (F.col("cx") <= 28.995)
+        & (F.col("cy") >= 35.005) & (F.col("cy") <= 64.995)
+    ).select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("tm_e"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("tm_n"),
+    )
+
+
+def q_spatial_reproject_osgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL datum-shifted national-grid transform (EPSG:4326 →
+    EPSG:27700 British National Grid): WGS84 geodetic → ECEF →
+    inverse 7-parameter Helmert (EPSG tfm 1314, position-vector
+    +towgs84) → Bowring closed-form geodetic on Airy 1830 → tmerc
+    series. Skipping the Helmert is the classic ~120 m OSGB wrong
+    answer; the oracle replays the ENTIRE chain — geocentric
+    conversion, negated-parameter Helmert, Bowring's atan2 form, and
+    the Airy tmerc series — in SQL with identical literals."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("EPSG:27700"),
+    )
+    return pts.filter(
+        (F.col("cx") >= -32.995) & (F.col("cx") <= 28.995)
+        & (F.col("cy") >= 35.005) & (F.col("cy") <= 64.995)
+    ).select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("bng_e"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("bng_n"),
+    )
+
+
+def q_spatial_reproject_moll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mollweide equal-area world projection (EPSG:4326 → '+proj=moll',
+    ESRI:54009): θ comes from a FIXED 20-step Newton iteration on
+    u + sin u = π sin φ seeded at u₀ = 2φ (measured max y-error
+    2.6e-7 m over |φ| ≤ 89.99°; the π·sinφ seed diverges at the flat
+    1+cos u derivative near the poles). The oracle unrolls the SAME
+    20 steps as chained CTE stages — the iteration itself is
+    hash-verified, not just the closed-form parts."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("+proj=moll"),
+    )
+    return pts.filter(F.col("c_custkey") <= 1200).select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("moll_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("moll_y"),
+    )
+
+
 def q_spatial_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal Lambert conformal conic reprojection (EPSG:4326 →
     EPSG:2154, Lambert-93) on points over France; the oracle replays
@@ -3461,6 +3533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_reproject_merc": q_spatial_reproject_merc,
         "spatial_reproject_eqc": q_spatial_reproject_eqc,
+        "spatial_reproject_tmerc": q_spatial_reproject_tmerc,
+        "spatial_reproject_osgb": q_spatial_reproject_osgb,
+        "spatial_reproject_moll": q_spatial_reproject_moll,
         "spatial_codecs": q_spatial_codecs,
         "spatial_setops": q_spatial_setops,
         "spatial_predicates": q_spatial_predicates,
@@ -3815,6 +3890,172 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand
         WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+_TMERC_WINDOW = (
+    f"{_C_X} >= -32.995 AND {_C_X} <= 28.995 "
+    f"AND {_C_Y} >= 35.005 AND {_C_Y} <= 64.995"
+)
+
+
+def _tmerc_series_sql(K: dict, src: str, xa: str, ya: str) -> str:
+    """The Snyder 8-9/8-10 transverse-Mercator forward series as SQL
+    stages over a CTE ``src`` providing (c_custkey, lam, phi) in
+    radians — the identical expression shapes tmerc_forward computes in
+    NumPy, with every constant repr-embedded from tmerc_consts."""
+    a, e2, ep2, k0 = (repr(K[x]) for x in ("a", "e2", "ep2", "k0"))
+    x0, y0, m0, lam0 = (repr(K[x]) for x in ("x0", "y0", "m0", "lam0"))
+    m1, m2, m3, m4 = (repr(K[x]) for x in ("m1", "m2", "m3", "m4"))
+    tx = (
+        f"{x0} + {k0} * nn * (aa + (1.0 - t + c) * aa*aa*aa / 6.0 "
+        f"+ (5.0 - 18.0*t + t*t + 72.0*c - 58.0*{ep2}) * aa*aa*aa*aa*aa / 120.0)"
+    )
+    ty = (
+        f"{y0} + {k0} * (m - {m0} + nn * tan(phi) * (aa*aa / 2.0 "
+        f"+ (5.0 - t + 9.0*c + 4.0*c*c) * aa*aa*aa*aa / 24.0 "
+        f"+ (61.0 - 58.0*t + t*t + 600.0*c - 330.0*{ep2}) * aa*aa*aa*aa*aa*aa / 720.0))"
+    )
+    return f"""
+        , ts1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp, cos(phi) AS cp FROM {src}
+        ), ts2 AS (
+          SELECT c_custkey, phi,
+                 {a} / sqrt(1.0 - {e2} * sp * sp) AS nn,
+                 tan(phi) * tan(phi) AS t,
+                 {ep2} * cp * cp AS c,
+                 (lam - {lam0}) * cp AS aa,
+                 {a} * ({m1} * phi - {m2} * sin(2.0 * phi)
+                   + {m3} * sin(4.0 * phi) - {m4} * sin(6.0 * phi)) AS m
+          FROM ts1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({tx} AS FLOAT) AS DOUBLE), 3) AS {xa},
+               round(CAST(CAST({ty} AS FLOAT) AS DOUBLE), 3) AS {ya}
+        FROM ts2
+    """
+
+
+def _tmerc_oracle() -> str:
+    """Replay the British-National-Grid-parameter tmerc (Airy 1830, NO
+    datum shift) — the '+proj=tmerc ... +ellps=airy' contract query."""
+    from geomesa_hive_spark.geom.projections import (
+        ELLIPSOIDS, _ellps_e2, tmerc_consts,
+    )
+
+    a, rf = ELLIPSOIDS["airy"]
+    K = tmerc_consts(a, _ellps_e2(a, rf), 49.0, -2.0, 0.9996012717,
+                     400000.0, -100000.0)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer WHERE {_TMERC_WINDOW}
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ){_tmerc_series_sql(K, "rad", "tm_e", "tm_n")}
+    """
+
+
+def _osgb_oracle() -> str:
+    """Replay EPSG:27700 end to end: WGS84 geodetic → ECEF → Helmert
+    with the NEGATED EPSG:1314 parameters and the reciprocal scale (the
+    standard reverse path datum_from_wgs84 computes) → Bowring's
+    closed-form geodetic on Airy 1830 → the Airy tmerc series. Every
+    constant is repr-embedded; the degrees→radians round-trip between
+    chain stages is mirrored so expression shapes match bit-near."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _E2, _OSGB_TOWGS84, ELLIPSOIDS, _ellps_e2, helmert_consts,
+        tmerc_consts,
+    )
+
+    aA, rfA = ELLIPSOIDS["airy"]
+    e2A = _ellps_e2(aA, rfA)
+    K = tmerc_consts(aA, e2A, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    h = helmert_consts(_OSGB_TOWGS84)
+    ndx, ndy, ndz = repr(-h["dx"]), repr(-h["dy"]), repr(-h["dz"])
+    nrx, nry, nrz = repr(-h["rx"]), repr(-h["ry"]), repr(-h["rz"])
+    im = repr(1.0 / h["m"])
+    aW, e2W = repr(_A), repr(_E2)
+    bA = repr(aA * _math.sqrt(1.0 - e2A))
+    ep2A = repr(e2A / (1.0 - e2A))
+    raA, re2A = repr(aA), repr(e2A)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer WHERE {_TMERC_WINDOW}
+        ), rad0 AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), ec AS (
+          SELECT c_custkey, lam, phi,
+                 {aW} / sqrt(1.0 - {e2W} * sin(phi) * sin(phi)) AS nn
+          FROM rad0
+        ), xyz AS (
+          SELECT c_custkey,
+                 nn * cos(phi) * cos(lam) AS gx,
+                 nn * cos(phi) * sin(lam) AS gy,
+                 nn * (1.0 - {e2W}) * sin(phi) AS gz
+          FROM ec
+        ), hel AS (
+          SELECT c_custkey,
+                 ({ndx}) + {im} * (gx - ({nrz}) * gy + ({nry}) * gz) AS hx,
+                 ({ndy}) + {im} * (({nrz}) * gx + gy - ({nrx}) * gz) AS hy,
+                 ({ndz}) + {im} * (-(({nry})) * gx + ({nrx}) * gy + gz) AS hz
+          FROM xyz
+        ), bw1 AS (
+          SELECT c_custkey, hx, hy, hz,
+                 sqrt(hx * hx + hy * hy) AS p
+          FROM hel
+        ), bw2 AS (
+          SELECT c_custkey, hx, hy, hz, p,
+                 atan2(hz * {raA}, p * {bA}) AS th
+          FROM bw1
+        ), geo AS (
+          SELECT c_custkey,
+                 degrees(atan2(hy, hx)) AS lon2,
+                 degrees(atan2(hz + {ep2A} * {bA} * sin(th) * sin(th) * sin(th),
+                               p - {re2A} * {raA} * cos(th) * cos(th) * cos(th))) AS lat2
+          FROM bw2
+        ), rad AS (
+          SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
+        ){_tmerc_series_sql(K, "rad", "bng_e", "bng_n")}
+    """
+
+
+def _moll_oracle() -> str:
+    """Replay Mollweide with the 20-step Newton iteration UNROLLED as
+    chained CTE stages — u0 = 2φ, u' = u − (u + sin u − π sin φ) /
+    greatest(1 + cos u, 1e-9) — exactly the fixed iteration
+    moll_forward runs in NumPy, then the closed-form x/y."""
+    import math as _math
+
+    r = 6378137.0
+    cx = repr((2.0 * _math.sqrt(2.0) / _math.pi) * r)
+    cy = repr(_math.sqrt(2.0) * r)
+    stages = []
+    prev = "n0"
+    for i in range(1, 21):
+        cur = f"n{i}"
+        stages.append(
+            f", {cur} AS (SELECT c_custkey, lam, tgt, "
+            f"u - (u + sin(u) - tgt) / greatest(1.0 + cos(u), 1.0e-9) AS u "
+            f"FROM {prev})"
+        )
+        prev = cur
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer WHERE c_custkey <= 1200
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), n0 AS (
+          SELECT c_custkey, lam, pi() * sin(phi) AS tgt, 2.0 * phi AS u FROM rad
+        ){''.join(stages)}
+        SELECT c_custkey,
+               round(CAST(CAST({cx} * (lam - 0.0) * cos(u / 2.0) AS FLOAT) AS DOUBLE), 3) AS moll_x,
+               round(CAST(CAST({cy} * sin(u / 2.0) AS FLOAT) AS DOUBLE), 3) AS moll_y
+        FROM {prev}
     """
 
 
@@ -4511,6 +4752,9 @@ def oracle_sql() -> dict[str, str]:
             FROM rad
         """.replace("{CX}", _C_X).replace("{CY}", _C_Y),
         "spatial_reproject_utm": _utm_oracle(zone=33),
+        "spatial_reproject_tmerc": _tmerc_oracle(),
+        "spatial_reproject_osgb": _osgb_oracle(),
+        "spatial_reproject_moll": _moll_oracle(),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_reproject_aea": _aea_oracle(epsg=5070),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

@@ -1055,6 +1055,13 @@ def _coord_fn(fk, tk):
             return proj.merc_inverse(c, fk[1:])
         if fk[0] == "eqc":
             return proj.eqc_inverse(c, fk[1:])
+        if fk[0] == "moll":
+            return proj.moll_inverse(c, fk[1:])
+        if fk[0] == "tmerc":
+            a, e2 = fk[1], fk[2]
+            tw = fk[8]
+            ll = proj.tmerc_inverse(c, fk[1:8])
+            return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
         return proj.utm_inverse(c, fk[1], fk[2])
 
     def from_ll(c):
@@ -1074,6 +1081,13 @@ def _coord_fn(fk, tk):
             return proj.merc_forward(c, tk[1:])
         if tk[0] == "eqc":
             return proj.eqc_forward(c, tk[1:])
+        if tk[0] == "moll":
+            return proj.moll_forward(c, tk[1:])
+        if tk[0] == "tmerc":
+            a, e2 = tk[1], tk[2]
+            tw = tk[8]
+            ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
+            return proj.tmerc_forward(ll, tk[1:8])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

@@ -7,12 +7,18 @@ Albers and any ``+proj=aea``), WGS84 ↔ polar stereographic
 (variant B lat_ts scaling and the UPS k0 pole-tangent case — NSIDC,
 Antarctic, UPS grids and any polar ``+proj=stere``), WGS84 ↔
 sinusoidal (MODIS grids), WGS84 ↔ ellipsoidal Mercator (EPSG:3395 and
-any ``+proj=merc`` — distinct from web mercator), and WGS84 ↔
-equidistant cylindrical (EPSG:4087, ``+proj=eqc``).
+any ``+proj=merc`` — distinct from web mercator), WGS84 ↔
+equidistant cylindrical (EPSG:4087, ``+proj=eqc``), WGS84 ↔ general
+transverse Mercator on ANY ellipsoid (``+proj=tmerc`` with
++ellps/+a/+rf — national grids like EPSG:27700/EPSG:2193), WGS84 ↔
+Mollweide (``+proj=moll``, ESRI:54009), and 3-/7-parameter Helmert
+datum shifts (``+towgs84``, position-vector convention via ECEF +
+Bowring's closed-form inverse) so non-WGS84 datums such as OSGB36 are
+real end-to-end transforms rather than ~120 m wrong answers.
 
 The reference delegates reprojection to a full proj engine
 (``spatial-index/.../ST_GeomReproject.scala:25``); this container has
-no pyproj, so the eight families real users hit first are implemented
+no pyproj, so the ten families real users hit first are implemented
 directly (USGS/Snyder formulations, the same every proj implementation
 uses; accurate to ~1 mm within each projection's validity area,
 degrading gracefully outside). Correctness is property-tested where
@@ -57,6 +63,18 @@ __all__ = [
     "merc_k0",
     "eqc_forward",
     "eqc_inverse",
+    "tmerc_forward",
+    "tmerc_inverse",
+    "tmerc_consts",
+    "moll_forward",
+    "moll_inverse",
+    "ELLIPSOIDS",
+    "helmert_consts",
+    "geodetic_to_ecef",
+    "ecef_to_geodetic",
+    "helmert_apply",
+    "datum_to_wgs84",
+    "datum_from_wgs84",
 ]
 
 # WGS84 ellipsoid
@@ -148,6 +166,45 @@ def parse_crs(crs: str):
             return ("merc", 1.0, 0.0, 0.0, 0.0)
         if code == 4087:  # WGS84 / World Equidistant Cylindrical
             return ("eqc", 0.0, 0.0, 0.0, 0.0)
+        if code == 27700:  # OSGB36 / British National Grid (Airy 1830 + Helmert)
+            a, rf = ELLIPSOIDS["airy"]
+            return ("tmerc", a, _ellps_e2(a, rf), 49.0, -2.0, 0.9996012717,
+                    400000.0, -100000.0, _OSGB_TOWGS84)
+        if code == 2193:  # NZGD2000 / NZTM2000 (GRS80; NZGD2000 ≡ WGS84 here)
+            a, rf = ELLIPSOIDS["grs80"]
+            return ("tmerc", a, _ellps_e2(a, rf), 0.0, 173.0, 0.9996,
+                    1600000.0, 10000000.0, None)
+        if code == 54009:  # ESRI World Mollweide
+            return ("moll", _A, 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54009$", low):
+        return ("moll", _A, 0.0, 0.0, 0.0)
+    if "+towgs84=" in low and "+proj=tmerc" not in low:
+        # every other family here is WGS84-only; silently dropping a
+        # datum shift would be a ~100 m wrong answer, so refuse loudly
+        raise ValueError(
+            f"unsupported CRS {crs!r}: +towgs84 datum shifts are "
+            "implemented for the tmerc family (and registered EPSG "
+            "codes like 27700) only"
+        )
+    if "+proj=tmerc" in low:
+        a, e2, tw = _tmerc_datum(low)
+        lat0 = _proj4_num(low, "lat_0", 0.0)
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        k0 = _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0))
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("tmerc", a, e2, lat0, lon0, k0, x0, y0, tw)
+    if "+proj=moll" in low:
+        rm = re.search(r"\+r=([-+0-9.eE]+)", low)
+        if rm:
+            r = float(rm.group(1))
+        else:
+            am = re.search(r"\+a=([-+0-9.eE]+)", low)
+            r = float(am.group(1)) if am else _A
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("moll", r, lon0, x0, y0)
     if "+proj=lcc" in low or "+proj=aea" in low:  # param-driven conics
         lat1 = _proj4_num(low, "lat_1", None)
         lat2 = _proj4_num(low, "lat_2", lat1)
@@ -222,7 +279,10 @@ def parse_crs(crs: str):
         "EPSG:3413/3995/3031/32661/32761), sinusoidal ('+proj=sinu'), "
         "ellipsoidal Mercator ('+proj=merc [+lat_ts=..|+k_0=..]' or "
         "EPSG:3395), equidistant cylindrical ('+proj=eqc [+lat_ts=..]' "
-        "or EPSG:4087) and their proj4 equivalents"
+        "or EPSG:4087), general transverse Mercator on any ellipsoid "
+        "('+proj=tmerc [+ellps=..|+a=..+rf=..] [+towgs84=..]' or "
+        "EPSG:27700/EPSG:2193), Mollweide ('+proj=moll' or ESRI:54009) "
+        "and their proj4 equivalents"
     )
 
 
@@ -698,3 +758,345 @@ def eqc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     out[:, 0] = np.degrees(math.radians(lon0) + (coords[:, 0] - x0) / nu1_cos)
     out[:, 1] = np.degrees(phi)
     return out
+
+
+# ---------------------------------------------------------------------------
+# General transverse Mercator on an arbitrary ellipsoid (+proj=tmerc —
+# Snyder pp. 60-64, the same series as the UTM kernel above but
+# param-driven: any lat_0/lon_0/k_0/x_0/y_0 and any +ellps/+a/+rf).
+# Covers national grids the fixed-WGS84 UTM spelling cannot: the
+# British National Grid (EPSG:27700, Airy 1830), NZTM2000 (EPSG:2193,
+# GRS80), and every ad-hoc '+proj=tmerc' string. The reference
+# delegates these to its proj engine (ST_GeomReproject.scala:25).
+# ---------------------------------------------------------------------------
+
+#: (semi-major a, inverse flattening 1/f) for the proj4 +ellps names a
+#: real user hits; values are the published defining constants.
+ELLIPSOIDS = {
+    "wgs84": (6378137.0, 298.257223563),
+    "grs80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "sphere": (6370997.0, float("inf")),
+}
+
+
+def _ellps_e2(a: float, rf: float) -> float:
+    if math.isinf(rf):
+        return 0.0
+    f = 1.0 / rf
+    return f * (2.0 - f)
+
+
+def tmerc_consts(a: float, e2: float, lat0: float, lon0: float,
+                 k0: float, x0: float, y0: float) -> dict:
+    """Every per-projection constant of a general transverse Mercator
+    as plain Python doubles (repr round-trips them), so an oracle-SQL
+    generator can embed them as literals and replay the per-point
+    series exactly: the meridian-arc coefficients m1..m4 and footpoint
+    coefficients p1..p4 recomputed for THIS ellipsoid's e2, the
+    second eccentricity ep2, and m0 = the meridian arc at lat_0."""
+    ep2 = e2 / (1.0 - e2) if e2 > 0.0 else 0.0
+    m1 = 1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 * e2 * e2 / 256.0
+    m2 = 3.0 * e2 / 8.0 + 3.0 * e2 * e2 / 32.0 + 45.0 * e2 * e2 * e2 / 1024.0
+    m3 = 15.0 * e2 * e2 / 256.0 + 45.0 * e2 * e2 * e2 / 1024.0
+    m4 = 35.0 * e2 * e2 * e2 / 3072.0
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    p0 = math.radians(lat0)
+    m0 = a * (m1 * p0 - m2 * math.sin(2.0 * p0) + m3 * math.sin(4.0 * p0)
+              - m4 * math.sin(6.0 * p0))
+    return {
+        "a": a, "e2": e2, "ep2": ep2, "k0": k0, "x0": x0, "y0": y0,
+        "m0": m0, "lam0": math.radians(lon0),
+        "m1": m1, "m2": m2, "m3": m3, "m4": m4,
+        "e1p1": 3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0,
+        "e1p2": 21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0,
+        "e1p3": 151.0 * e1 * e1 * e1 / 96.0,
+        "e1p4": 1097.0 * e1 * e1 * e1 * e1 / 512.0,
+    }
+
+
+def tmerc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → transverse Mercator (easting, northing) meters.
+    ``params`` = (a, e2, lat0, lon0, k0, x0, y0). Same Snyder 8-9/8-10
+    series as utm_forward, shifted by the lat_0 meridian arc m0."""
+    a, e2, lat0, lon0, k0, x0, y0 = params
+    k = tmerc_consts(a, e2, lat0, lon0, k0, x0, y0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    cp = np.cos(phi)
+    nn = a / np.sqrt(1.0 - e2 * sp * sp)
+    t = np.tan(phi) * np.tan(phi)
+    c = k["ep2"] * cp * cp
+    aa = (lam - k["lam0"]) * cp
+    m = a * (k["m1"] * phi - k["m2"] * np.sin(2.0 * phi)
+             + k["m3"] * np.sin(4.0 * phi) - k["m4"] * np.sin(6.0 * phi))
+    out[:, 0] = x0 + k0 * nn * (
+        aa
+        + (1.0 - t + c) * aa * aa * aa / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * k["ep2"]) * aa * aa * aa * aa * aa / 120.0
+    )
+    out[:, 1] = y0 + k0 * (
+        m - k["m0"]
+        + nn * np.tan(phi) * (
+            aa * aa / 2.0
+            + (5.0 - t + 9.0 * c + 4.0 * c * c) * aa * aa * aa * aa / 24.0
+            + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * k["ep2"])
+            * aa * aa * aa * aa * aa * aa / 720.0
+        )
+    )
+    return out
+
+
+def tmerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Transverse Mercator (easting, northing) meters → (lon°, lat°)."""
+    a, e2, lat0, lon0, k0, x0, y0 = params
+    k = tmerc_consts(a, e2, lat0, lon0, k0, x0, y0)
+    out = coords.copy()
+    x = coords[:, 0] - x0
+    m = k["m0"] + (coords[:, 1] - y0) / k0
+    mu = m / (a * k["m1"])
+    phi1 = (
+        mu
+        + k["e1p1"] * np.sin(2.0 * mu)
+        + k["e1p2"] * np.sin(4.0 * mu)
+        + k["e1p3"] * np.sin(6.0 * mu)
+        + k["e1p4"] * np.sin(8.0 * mu)
+    )
+    sp1 = np.sin(phi1)
+    cp1 = np.cos(phi1)
+    tp1 = np.tan(phi1)
+    c1 = k["ep2"] * cp1 * cp1
+    t1 = tp1 * tp1
+    n1 = a / np.sqrt(1.0 - e2 * sp1 * sp1)
+    r1 = a * (1.0 - e2) / (1.0 - e2 * sp1 * sp1) ** 1.5
+    d = x / (n1 * k0)
+    phi = phi1 - (n1 * tp1 / r1) * (
+        d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * k["ep2"]) * d * d * d * d / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * k["ep2"] - 3.0 * c1 * c1)
+        * d * d * d * d * d * d / 720.0
+    )
+    lam = k["lam0"] + (
+        d
+        - (1.0 + 2.0 * t1 + c1) * d * d * d / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * k["ep2"] + 24.0 * t1 * t1)
+        * d * d * d * d * d / 120.0
+    ) / cp1
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts (+towgs84 — the 7-parameter Helmert transform in proj's
+# position-vector convention, EPSG method 9606): geodetic on the source
+# ellipsoid → geocentric ECEF → Helmert → ECEF → geodetic on WGS84 via
+# Bowring's closed-form inverse (sub-mm at surface heights). This is
+# the piece that makes EPSG:27700 (OSGB36) a real end-to-end transform
+# instead of a ~120 m wrong answer.
+# ---------------------------------------------------------------------------
+
+
+def helmert_consts(towgs84: tuple) -> dict:
+    """(dx,dy,dz[,rx,ry,rz,ppm]) with rotations in arc-seconds and
+    scale in ppm (the proj4 +towgs84 order) → plain-double constants:
+    rotations in radians, scale as the multiplier 1+ppm·1e-6."""
+    if len(towgs84) == 3:
+        dx, dy, dz = towgs84
+        rx = ry = rz = 0.0
+        ppm = 0.0
+    else:
+        dx, dy, dz, rx, ry, rz, ppm = towgs84
+    s = math.pi / (180.0 * 3600.0)
+    return {
+        "dx": dx, "dy": dy, "dz": dz,
+        "rx": rx * s, "ry": ry * s, "rz": rz * s,
+        "m": 1.0 + ppm * 1.0e-6,
+    }
+
+
+def geodetic_to_ecef(coords: np.ndarray, a: float, e2: float) -> np.ndarray:
+    """(lon°, lat°) at ellipsoid height 0 → geocentric (X, Y, Z) meters."""
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    nn = a / np.sqrt(1.0 - e2 * sp * sp)
+    out = np.empty((coords.shape[0], 3), dtype=np.float64)
+    out[:, 0] = nn * np.cos(phi) * np.cos(lam)
+    out[:, 1] = nn * np.cos(phi) * np.sin(lam)
+    out[:, 2] = nn * (1.0 - e2) * sp
+    return out
+
+
+def ecef_to_geodetic(xyz: np.ndarray, a: float, e2: float) -> np.ndarray:
+    """Geocentric (X, Y, Z) meters → (lon°, lat°) by Bowring's
+    closed-form first approximation — sub-mm for near-surface points,
+    and (unlike the exact iteration) expressible verbatim in oracle
+    SQL: θ = atan2(Z·a, p·b), φ = atan2(Z + e'²·b·sin³θ, p − e²·a·cos³θ)."""
+    b = a * math.sqrt(1.0 - e2)
+    ep2 = e2 / (1.0 - e2) if e2 > 0.0 else 0.0
+    p = np.sqrt(xyz[:, 0] * xyz[:, 0] + xyz[:, 1] * xyz[:, 1])
+    th = np.arctan2(xyz[:, 2] * a, p * b)
+    st = np.sin(th)
+    ct = np.cos(th)
+    phi = np.arctan2(
+        xyz[:, 2] + ep2 * b * st * st * st,
+        p - e2 * a * ct * ct * ct,
+    )
+    out = np.empty((xyz.shape[0], 2), dtype=np.float64)
+    out[:, 0] = np.degrees(np.arctan2(xyz[:, 1], xyz[:, 0]))
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def helmert_apply(xyz: np.ndarray, k: dict, inverse: bool = False) -> np.ndarray:
+    """Position-vector 7-parameter Helmert. ``inverse=True`` applies
+    the standard negated-parameter reversal (exact to O(r²·|r|) ≈
+    sub-0.1 mm for real +towgs84 magnitudes — the same convention every
+    proj implementation uses for the reverse path)."""
+    sgn = -1.0 if inverse else 1.0
+    dx, dy, dz = sgn * k["dx"], sgn * k["dy"], sgn * k["dz"]
+    rx, ry, rz = sgn * k["rx"], sgn * k["ry"], sgn * k["rz"]
+    m = 1.0 / k["m"] if inverse else k["m"]
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    out = np.empty_like(xyz)
+    out[:, 0] = dx + m * (x - rz * y + ry * z)
+    out[:, 1] = dy + m * (rz * x + y - rx * z)
+    out[:, 2] = dz + m * (-ry * x + rx * y + z)
+    return out
+
+
+def datum_to_wgs84(coords: np.ndarray, a: float, e2: float,
+                   towgs84: tuple) -> np.ndarray:
+    """Geodetic (lon°, lat°) on a source datum → WGS84 geodetic."""
+    k = helmert_consts(towgs84)
+    xyz = helmert_apply(geodetic_to_ecef(coords, a, e2), k, inverse=False)
+    return ecef_to_geodetic(xyz, _A, _E2)
+
+
+def datum_from_wgs84(coords: np.ndarray, a: float, e2: float,
+                     towgs84: tuple) -> np.ndarray:
+    """WGS84 geodetic (lon°, lat°) → geodetic on the source datum."""
+    k = helmert_consts(towgs84)
+    xyz = helmert_apply(geodetic_to_ecef(coords, _A, _E2), k, inverse=True)
+    return ecef_to_geodetic(xyz, a, e2)
+
+
+# ---------------------------------------------------------------------------
+# Mollweide (equal-area pseudocylindrical, Snyder pp. 251-252 —
+# '+proj=moll', ESRI:54009 World Mollweide). Defined on a sphere (proj
+# itself projects it spherically, on +R if given else the semi-major
+# axis); θ solved by a FIXED 10-step Newton iteration so an oracle can
+# unroll the identical steps: u + sin u = π sin φ with u = 2θ.
+# ---------------------------------------------------------------------------
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def moll_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Mollweide (x, y) meters. ``params`` =
+    (R, lon0, x0, y0)."""
+    r, lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    tgt = math.pi * np.sin(phi)
+    # u0 = 2φ, 20 plain Newton steps: measured max y-error 2.6e-7 m over
+    # |φ| ≤ 89.99° (the T-seed alternative diverges at the flat 1+cos u
+    # derivative near the poles — scanned, not assumed)
+    u = 2.0 * phi
+    for _ in range(20):
+        u = u - (u + np.sin(u) - tgt) / np.maximum(1.0 + np.cos(u), 1.0e-9)
+    out[:, 0] = x0 + (2.0 * _SQRT2 / math.pi) * r * (lam - math.radians(lon0)) * np.cos(u / 2.0)
+    out[:, 1] = y0 + _SQRT2 * r * np.sin(u / 2.0)
+    return out
+
+
+def moll_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Mollweide (x, y) meters → (lon°, lat°)."""
+    r, lon0, x0, y0 = params
+    out = coords.copy()
+    th = np.arcsin(np.clip((coords[:, 1] - y0) / (_SQRT2 * r), -1.0, 1.0))
+    u = 2.0 * th
+    phi = np.arcsin(np.clip((u + np.sin(u)) / math.pi, -1.0, 1.0))
+    ct = np.cos(th)
+    lam = math.radians(lon0) + math.pi * (coords[:, 0] - x0) / (
+        2.0 * _SQRT2 * r * np.maximum(ct, 1.0e-9)
+    )
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+#: OSGB36 → WGS84 position-vector Helmert (EPSG transformation 1314,
+#: the +towgs84 every proj distribution ships for EPSG:27700).
+_OSGB_TOWGS84 = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)
+
+#: +datum= shorthands: (ellipsoid name, towgs84-or-None). NAD27 and the
+#: grid-shift datums are deliberately absent — they need NTv2 grids a
+#: Helmert cannot honestly replace.
+_DATUMS = {
+    "wgs84": ("wgs84", None),
+    "nad83": ("grs80", None),
+    "osgb36": ("airy", _OSGB_TOWGS84),
+}
+
+
+def _tmerc_datum(low: str):
+    """(a, e2, towgs84-or-None) for a '+proj=tmerc' string: +datum=
+    shorthand, else +ellps=/+a=+rf=/+a=+b= with an optional explicit
+    +towgs84. Defaults to WGS84, matching proj4's default ellipsoid."""
+    dm = re.search(r"\+datum=([a-z0-9]+)", low)
+    if dm:
+        name = dm.group(1)
+        if name not in _DATUMS:
+            raise ValueError(
+                f"unsupported +datum={name}: supported are "
+                + ", ".join(sorted(_DATUMS))
+            )
+        ellps, tw = _DATUMS[name]
+        a, rf = ELLIPSOIDS[ellps]
+        return a, _ellps_e2(a, rf), tw
+    tw = _parse_towgs84(low)
+    em = re.search(r"\+ellps=([a-z0-9]+)", low)
+    if em:
+        name = em.group(1)
+        if name not in ELLIPSOIDS:
+            raise ValueError(
+                f"unsupported +ellps={name}: supported are "
+                + ", ".join(sorted(ELLIPSOIDS))
+            )
+        a, rf = ELLIPSOIDS[name]
+        return a, _ellps_e2(a, rf), tw
+    am = re.search(r"\+a=([-+0-9.eE]+)", low)
+    if am:
+        a = float(am.group(1))
+        rm = re.search(r"\+rf=([-+0-9.eE]+)", low)
+        if rm:
+            return a, _ellps_e2(a, float(rm.group(1))), tw
+        bm = re.search(r"\+b=([-+0-9.eE]+)", low)
+        if bm:
+            b = float(bm.group(1))
+            return a, 1.0 - (b * b) / (a * a), tw
+        return a, 0.0, tw
+    return _A, _E2, tw
+
+
+def _parse_towgs84(low: str):
+    m = re.search(r"\+towgs84=([-+0-9.,eE]+)", low)
+    if not m:
+        return None
+    vals = tuple(float(v) for v in m.group(1).split(","))
+    if len(vals) not in (3, 7):
+        raise ValueError(
+            f"+towgs84 needs 3 or 7 comma-separated values, got {len(vals)}"
+        )
+    if all(v == 0.0 for v in vals):
+        return None
+    return vals

@@ -230,3 +230,121 @@ def test_sinusoidal_equal_area_and_roundtrip():
         sp = np.sin(np.radians(lat))
         truth = _A**2 * (1 - _E2) * np.cos(np.radians(lat)) / (1 - _E2 * sp**2) ** 2
         assert abs(jac / truth - 1) < 1e-5
+
+
+def test_tmerc_bng_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' Annexe C
+    worked example: OSGB36 geodetic 52°39'27.2531\"N 1°43'4.5177\"E →
+    British National Grid E 651409.903, N 313177.270 (pure tmerc on
+    Airy 1830 — no datum shift, the input is already OSGB36)."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.projections import (
+        ELLIPSOIDS, _ellps_e2, tmerc_forward, tmerc_inverse,
+    )
+
+    a, rf = ELLIPSOIDS["airy"]
+    p = (a, _ellps_e2(a, rf), 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    xy = tmerc_forward(np.array([[lon, lat]]), p)
+    assert abs(xy[0, 0] - 651409.903) < 0.005
+    assert abs(xy[0, 1] - 313177.270) < 0.005
+    # the true origin maps exactly to the false origin
+    o = tmerc_forward(np.array([[-2.0, 49.0]]), p)
+    assert o[0, 0] == 400000.0 and o[0, 1] == -100000.0
+    rt = tmerc_inverse(xy, p)
+    assert np.abs(rt - [[lon, lat]]).max() < 1e-7
+
+
+def test_tmerc_utm_agreement():
+    """General tmerc with UTM parameters reproduces the dedicated
+    WGS84 UTM kernel (they share the Snyder series)."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _E2, tmerc_forward, utm_forward,
+    )
+
+    rng = np.random.default_rng(5)
+    pts = np.column_stack([rng.uniform(9.2, 20.8, 200), rng.uniform(-75, 75, 200)])
+    p = (_A, _E2, 0.0, 15.0, 0.9996, 500000.0, 0.0)  # = UTM zone 33 north
+    a = tmerc_forward(pts, p)
+    b = utm_forward(pts.copy(), 33, True)
+    assert np.abs(a - b).max() < 1e-6
+
+
+def test_helmert_datum_shift_osgb():
+    """WGS84↔OSGB36: the famous ~120 m datum offset over Britain,
+    round-trip closure, and identity at zero parameters."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.projections import (
+        ELLIPSOIDS, _OSGB_TOWGS84, _ellps_e2, datum_from_wgs84, datum_to_wgs84,
+    )
+
+    a, rf = ELLIPSOIDS["airy"]
+    e2 = _ellps_e2(a, rf)
+    pts = np.array([[-0.1276, 51.5072], [-3.1883, 55.9533], [-5.93, 54.6]])
+    os36 = datum_from_wgs84(pts, a, e2, _OSGB_TOWGS84)
+    d = np.radians(os36 - pts) * 6371000.0
+    d[:, 0] *= np.cos(np.radians(pts[:, 1]))
+    horiz = np.hypot(d[:, 0], d[:, 1])
+    assert np.all(horiz > 50.0) and np.all(horiz < 200.0)
+    rt = datum_to_wgs84(os36, a, e2, _OSGB_TOWGS84)
+    assert np.abs(rt - pts).max() < 1e-7  # ~1 cm closure
+    ident = datum_to_wgs84(pts, 6378137.0, 0.0066943799901413165, (0.0, 0.0, 0.0))
+    assert np.abs(ident - pts).max() < 1e-9
+
+
+def test_epsg_27700_end_to_end():
+    """parse_crs('EPSG:27700') carries Airy + the EPSG:1314 Helmert;
+    reprojecting a WGS84 point lands ~120 m from the no-datum-shift
+    answer (the classic OSGB wrong-answer magnitude), and round-trips."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.projections import (
+        parse_crs, tmerc_forward, tmerc_inverse, datum_from_wgs84,
+        datum_to_wgs84,
+    )
+
+    fam = parse_crs("EPSG:27700")
+    assert fam[0] == "tmerc" and fam[8] is not None
+    p, tw = fam[1:8], fam[8]
+    wgs = np.array([[-0.1276, 51.5072]])
+    en = tmerc_forward(datum_from_wgs84(wgs, p[0], p[1], tw), p)
+    naive = tmerc_forward(wgs, p)
+    assert 50.0 < np.hypot(*(en - naive)[0]) < 200.0
+    rt = datum_to_wgs84(tmerc_inverse(en, p), p[0], p[1], tw)
+    assert np.abs(rt - wgs).max() < 1e-7
+
+
+def test_mollweide_published_values_and_equal_area():
+    """Mollweide on R=6378137: x(180°,0°)=18040095.696 (half the map
+    width), y(0°,±90°)=±√2·R, equator scaling exact, equal-area
+    Jacobian = R²cosφ, and round-trip closure."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.projections import moll_forward, moll_inverse
+
+    r = 6378137.0
+    params = (r, 0.0, 0.0, 0.0)
+    xy = moll_forward(np.array([[180.0, 0.0]]), params)
+    assert abs(xy[0, 0] - 18040095.696147) < 1e-3
+    assert xy[0, 1] == 0.0
+    rng = np.random.default_rng(11)
+    pts = np.column_stack([rng.uniform(-179, 179, 300), rng.uniform(-85, 85, 300)])
+    rt = moll_inverse(moll_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+
+    eps = 1e-5
+    for lon, lat in [(30.0, 10.0), (-100.0, 48.0), (60.0, -70.0)]:
+        p = np.array([[lon, lat]])
+        fx = lambda q: moll_forward(q, params)
+        dx_dlon = (fx(p + [[eps, 0]]) - fx(p - [[eps, 0]])) / (2 * eps)
+        dx_dlat = (fx(p + [[0, eps]]) - fx(p - [[0, eps]])) / (2 * eps)
+        jac = abs(
+            dx_dlon[0, 0] * dx_dlat[0, 1] - dx_dlon[0, 1] * dx_dlat[0, 0]
+        ) * (180 / np.pi) ** 2
+        truth = r * r * np.cos(np.radians(lat))
+        assert abs(jac / truth - 1) < 1e-4

@@ -237,11 +237,12 @@ def test_reproject_unsupported_pair_raises(spark):
     # unsupported CRS ARGUMENT is an error (silent nulls lose data);
     # null INPUT stays null-in→null-out
     with pytest.raises(Exception):
-        # EPSG:27700 (British National Grid) — a named TM system outside
-        # the supported registry (lon/lat, web mercator, UTM, LCC,
-        # Albers, polar stereographic)
+        # EPSG:2056 (Swiss CH1903+/LV95, oblique Mercator) — a named
+        # system outside the supported family registry (EPSG:27700
+        # became a REAL end-to-end transform in round 4, so it no
+        # longer serves as this test's unsupported example)
         spark.sql(
-            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:27700') AS g"
+            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:2056') AS g"
         ).collect()
     assert one(spark, "st_geomReproject(NULL, 'EPSG:4326', 'EPSG:3857')") is None
 
