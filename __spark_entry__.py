@@ -34,6 +34,7 @@ from geomesa_hive_spark.operators.xz2 import (
 from geomesa_hive_spark.pipeline import (
     bpe,
     dedup,
+    dsir,
     graph,
     multimodal,
     packing,
@@ -2543,6 +2544,30 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (pipeline/dsir.py, Xie et al. 2023):
+    target = the 'src0' documents, raw = everything else. Hashed
+    unigram+bigram bucket models (256 buckets, portable md5
+    placement), per-bucket log ratios quantized to integer micro-nats
+    BEFORE the per-doc sum (exact integer weights under any
+    partitioning), then Gumbel-top-k (k=100) with the md5 unit-hash
+    Gumbel key. The oracle replays the ENTIRE pipeline — tokenize,
+    bucket hash, both Laplace-smoothed models, quantized ratios,
+    per-doc sums, Gumbel priorities, and the top-k cut — so the exact
+    selected SET is hash-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir.dsir_select(
+        docs, "doc_id", "text", F.col("source") == "src0",
+        k=100, n_buckets=256, seed=42,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").alias("n_grams"),
+        F.col("lw_q").alias("lw_q"),
+        F.col("selected").alias("selected"),
+    )
+
+
 def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based quality filtering (pipeline/sampling.py
     filter_by_quantile): keep the top half of each language by the
@@ -3607,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
+        "dsir_resample": q_dsir_resample,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "events_funnel": q_events_funnel,
@@ -5830,6 +5856,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        "dsir_resample": f"""
+            WITH toks AS (
+              SELECT doc_id, source, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, source, unnest(w) AS g FROM toks
+            ), bge AS (
+              SELECT doc_id, source, unnest(l1) || ' ' || unnest(l2) AS g FROM (
+                SELECT doc_id, source,
+                       CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
+                FROM toks)
+            ), grams AS (
+              SELECT doc_id, source, g FROM uni
+              UNION ALL SELECT doc_id, source, g FROM bge
+            ), gb AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+                     {_hex2int_sql("md5(concat_ws(':', 'dsir', '42', g))", 8)} % 256 AS b
+              FROM grams
+            ), bstats AS (
+              SELECT b, sum(t) AS ct, sum(1 - t) AS cr FROM gb GROUP BY b
+            ), tot AS (
+              SELECT sum(t) AS tt, sum(1 - t) AS tr FROM gb
+            ), model AS (
+              SELECT b, CAST(round(ln(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0))
+                             / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 256.0))) * 1000000.0) AS BIGINT) AS lr_q
+              FROM bstats CROSS JOIN tot
+            ), perdoc AS (
+              SELECT doc_id, count(*) AS n_grams, sum(lr_q) AS lw_q
+              FROM gb JOIN model USING (b) WHERE t = 0 GROUP BY doc_id
+            ), w AS (
+              SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+                     CAST(coalesce(lw_q, 0) AS BIGINT) AS lw_q
+              FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+              LEFT JOIN perdoc USING (doc_id)
+            ), pri AS (
+              SELECT doc_id, n_grams, lw_q,
+                     lw_q / 1000000.0 + (-ln(-ln(
+                       {_hex2int_sql("md5(concat_ws(':', 'dsir', '42', CAST(doc_id AS VARCHAR)))", 8)}
+                       / 4294967296.0 + 1.1641532182693481e-10))) AS pri
+              FROM w
+            ), sel AS (
+              SELECT doc_id FROM pri ORDER BY pri DESC, doc_id LIMIT 100
+            )
+            SELECT w.doc_id, w.n_grams, w.lw_q,
+                   CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS selected
+            FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
         """,
         "pipeline_weighted_sample": """
             SELECT o_orderkey, round(o_totalprice, 2) AS w

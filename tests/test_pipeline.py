@@ -1069,3 +1069,82 @@ def test_knn_ivfpq_matches_numpy_reference(spark):
     cc = np.round(cos[cand], 6)
     want = [int(x) for x in np.array(cand)[np.lexsort((cand, -cc))][:10]]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (pipeline/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_brute_force(spark):
+    """lw_q matches a pure-Python recomputation of the hashed-bucket
+    models and quantized log ratios — feature hash, Laplace smoothing,
+    micro-nat quantization, per-doc sum, all of it."""
+    import hashlib
+    import math
+
+    from geomesa_hive_spark.pipeline import dsir
+
+    rows = [
+        (1, "spark shuffle join spark shuffle", "t"),
+        (2, "spark join broadcast hash", "t"),
+        (3, "cat dog fish bird cat dog", "r"),
+        (4, "spark shuffle partition skew", "r"),
+        (5, "completely unrelated words here", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, grp STRING")
+    out = {
+        r.id: (r.n_grams, r.lw_q)
+        for r in dsir.dsir_weights(
+            docs, "doc_id", "text", F.col("grp") == "t", n_buckets=16, seed=42
+        ).collect()
+    }
+
+    def grams(t):
+        w = [x for x in t.lower().split() if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        h = hashlib.md5(f"dsir:42:{g}".encode()).hexdigest()
+        return int(h[:8], 16) % 16
+
+    ct, cr = {}, {}
+    for did, t, grp in rows:
+        for g in grams(t):
+            b = bucket(g)
+            (ct if grp == "t" else cr)[b] = (ct if grp == "t" else cr).get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    exp = {}
+    for did, t, grp in rows:
+        if grp == "t":
+            continue
+        gs = grams(t)
+        lw = 0
+        for g in gs:
+            b = bucket(g)
+            x = math.log(
+                ((ct.get(b, 0) + 1.0) / (tt + 16.0))
+                / ((cr.get(b, 0) + 1.0) / (tr + 16.0))
+            ) * 1e6
+            lw += math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        exp[did] = (len(gs), lw)
+    assert out == exp
+    # the target-like raw doc outranks the unrelated ones
+    assert out[4][1] > out[3][1] and out[4][1] > out[5][1]
+
+
+def test_dsir_select_k_and_partition_invariance(spark):
+    from geomesa_hive_spark.pipeline import dsir
+
+    rows = [(i, f"word{i % 7} word{i % 3} common text body {i % 5}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pred = F.col("doc_id") % 10 == 0
+    a = dsir.dsir_select(docs, "doc_id", "text", pred, k=15, n_buckets=32)
+    b = dsir.dsir_select(
+        docs.repartition(13, "doc_id"), "doc_id", "text", pred, k=15, n_buckets=32
+    )
+    ra = {(r.id, r.n_grams, r.lw_q, r.selected) for r in a.collect()}
+    rb = {(r.id, r.n_grams, r.lw_q, r.selected) for r in b.collect()}
+    assert ra == rb
+    assert sum(s for _, _, _, s in ra) == 15
+    assert len(ra) == 54  # the 6 target docs are excluded from scoring
