@@ -33,6 +33,7 @@ from geomesa_hive_spark.operators.xz2 import (
 )
 from geomesa_hive_spark.pipeline import (
     bpe,
+    classify,
     dedup,
     dsir,
     graph,
@@ -2568,6 +2569,35 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes (pipeline/classify.py):
+    train on the doc_id%5≠0 split with lang labels (hashed 1024-bucket
+    gram features, integer micro-nat log-likelihoods + priors), score
+    the held-out doc_id%5=0 split, emit the argmax class and its exact
+    integer score. On THIS synthetic corpus lang is independent of
+    text, so accuracy ≈ the class prior — the contract verifies the
+    train/score MECHANICS exactly (the oracle replays tokenize→hash→
+    counts→smoothing→quantized sums→argmax); real learning signal is
+    asserted in pytest on a separable corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    counts, classes = classify.nb_train(train, "doc_id", "text", "lang",
+                                        n_buckets=1024, seed=42)
+    pred = classify.nb_score(test, "doc_id", "text", counts, classes,
+                             n_buckets=1024, seed=42)
+    return (
+        pred.join(test.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("pred").alias("pred"),
+            F.col("score_q").alias("score_q"),
+            F.col("lang").alias("actual"),
+            (F.col("pred") == F.col("lang")).cast("int").alias("correct"),
+        )
+    )
+
+
 def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based quality filtering (pipeline/sampling.py
     filter_by_quantile): keep the top half of each language by the
@@ -3633,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "dsir_resample": q_dsir_resample,
+        "nb_classify": q_nb_classify,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "events_funnel": q_events_funnel,
@@ -5907,6 +5938,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, w.n_grams, w.lw_q,
                    CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS selected
             FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
+        """,
+        "nb_classify": f"""
+            WITH train AS (
+              SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 0
+            ), test AS (
+              SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+            ), ttoks AS (
+              SELECT doc_id, lang, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM train
+            ), tuni AS (
+              SELECT lang, unnest(w) AS g FROM ttoks
+            ), tbge AS (
+              SELECT lang, unnest(l1) || ' ' || unnest(l2) AS g FROM (
+                SELECT lang,
+                       CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
+                FROM ttoks)
+            ), tgb AS (
+              SELECT lang AS label,
+                     {_hex2int_sql("md5(concat_ws(':', 'dsir', '42', g))", 8)} % 1024 AS b
+              FROM (SELECT lang, g FROM tuni UNION ALL SELECT lang, g FROM tbge)
+            ), counts AS (
+              SELECT label, b, count(*) AS cnt FROM tgb GROUP BY 1, 2
+            ), tots AS (
+              SELECT label, sum(cnt) AS tot FROM counts GROUP BY 1
+            ), ndocs AS (
+              SELECT lang AS label, count(*) AS nd FROM train GROUP BY 1
+            ), ntot AS (
+              SELECT count(*) AS ndt FROM train
+            ), classes AS (
+              SELECT label, CAST(coalesce(tot, 0) AS BIGINT) AS tot,
+                     CAST(round(ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS prior_q
+              FROM ndocs CROSS JOIN ntot LEFT JOIN tots USING (label)
+            ), stoks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM test
+            ), suni AS (
+              SELECT doc_id, unnest(w) AS g FROM stoks
+            ), sbge AS (
+              SELECT doc_id, unnest(l1) || ' ' || unnest(l2) AS g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
+                FROM stoks)
+            ), sgb AS (
+              SELECT doc_id AS id,
+                     {_hex2int_sql("md5(concat_ws(':', 'dsir', '42', g))", 8)} % 1024 AS b
+              FROM (SELECT doc_id, g FROM suni UNION ALL SELECT doc_id, g FROM sbge)
+            ), pg AS (
+              SELECT id, c.label,
+                     CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0)
+                          / (CAST(tot AS DOUBLE) + 1024.0)) * 1000000.0) AS BIGINT) AS lp_q
+              FROM sgb
+              CROSS JOIN (SELECT label, tot FROM classes) c
+              LEFT JOIN counts ON counts.label = c.label AND counts.b = sgb.b
+            ), gs AS (
+              SELECT id, label, sum(lp_q) AS s FROM pg GROUP BY 1, 2
+            ), sc AS (
+              SELECT t.doc_id AS id, c.label,
+                     CAST(coalesce(s, 0) + prior_q AS BIGINT) AS score_q
+              FROM test t CROSS JOIN classes c
+              LEFT JOIN gs ON gs.id = t.doc_id AND gs.label = c.label
+            ), pick AS (
+              SELECT id, label, score_q,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY score_q DESC, label) AS rn
+              FROM sc
+            )
+            SELECT p.id AS doc_id, p.label AS pred, p.score_q AS score_q,
+                   t.lang AS actual,
+                   CASE WHEN p.label = t.lang THEN 1 ELSE 0 END AS correct
+            FROM pick p JOIN test t ON p.id = t.doc_id
+            WHERE rn = 1
         """,
         "pipeline_weighted_sample": """
             SELECT o_orderkey, round(o_totalprice, 2) AS w

@@ -1148,3 +1148,65 @@ def test_dsir_select_k_and_partition_invariance(spark):
     assert ra == rb
     assert sum(s for _, _, _, s in ra) == 15
     assert len(ra) == 54  # the 6 target docs are excluded from scoring
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier (pipeline/classify.py)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_learns_separable_vocabulary(spark):
+    """The contract corpus has no lang signal (text ⟂ lang, stated in
+    q_nb_classify), so REAL learning is asserted here: three classes
+    with distinct vocabularies + shared filler, held-out accuracy must
+    be perfect, and predictions must be invariant to partitioning."""
+    from geomesa_hive_spark.pipeline import classify
+
+    vocab = {
+        "db": "table join index query scan row column",
+        "geo": "polygon point latitude longitude projection datum geoid",
+        "ml": "gradient embedding training epoch loss batch model",
+    }
+    rows = []
+    i = 0
+    for label, words in vocab.items():
+        ws = words.split()
+        for k in range(20):
+            body = " ".join(ws[(k + j) % len(ws)] for j in range(6))
+            rows.append((i, f"{body} the a of and", label))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lbl STRING")
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    test = docs.filter(F.col("doc_id") % 4 == 0)
+    counts, classes = classify.nb_train(train, "doc_id", "text", "lbl",
+                                        n_buckets=64, seed=7)
+    pred = classify.nb_score(test, "doc_id", "text", counts, classes,
+                             n_buckets=64, seed=7)
+    joined = pred.join(test.select(F.col("doc_id").alias("id"), "lbl"), "id")
+    res = joined.collect()
+    assert len(res) == test.count()
+    acc = sum(1 for r in res if r.pred == r.lbl) / len(res)
+    assert acc == 1.0
+
+    # partition invariance: identical (id, pred, score_q) sets
+    counts2, classes2 = classify.nb_train(
+        train.repartition(11, "doc_id"), "doc_id", "text", "lbl",
+        n_buckets=64, seed=7)
+    pred2 = classify.nb_score(test.repartition(5), "doc_id", "text",
+                              counts2, classes2, n_buckets=64, seed=7)
+    assert {(r.id, r.pred, r.score_q) for r in pred.collect()} == \
+           {(r.id, r.pred, r.score_q) for r in pred2.collect()}
+
+
+def test_nb_zero_token_doc_gets_prior_argmax(spark):
+    from geomesa_hive_spark.pipeline import classify
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta", "a"), (2, "alpha beta gamma", "a"), (3, "delta", "b")],
+        "doc_id LONG, text STRING, lbl STRING")
+    test = spark.createDataFrame([(10, "")], "doc_id LONG, text STRING")
+    counts, classes = classify.nb_train(train, "doc_id", "text", "lbl",
+                                        n_buckets=16, seed=7)
+    out = classify.nb_score(test, "doc_id", "text", counts, classes,
+                            n_buckets=16, seed=7).collect()
+    assert len(out) == 1 and out[0].pred == "a"  # majority prior
