@@ -36,6 +36,7 @@ from geomesa_hive_spark.pipeline import (
     classify,
     dedup,
     dsir,
+    embeddings,
     graph,
     multimodal,
     packing,
@@ -2569,6 +2570,24 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA moment pass (pipeline/embeddings.py): ONE
+    Arrow-batched mapInPandas computes integer-quantized partial grams
+    (X^T X per batch, constant d(d+1)/2+d+1 output rows per batch) —
+    the data-sized part of PCA. The oracle recomputes every gram/mean/
+    count integer with a posexplode self-join, so the distributed
+    moment arithmetic is hash-verified bit-for-bit; the d×d driver-side
+    eigendecomposition (bounded, corpus-independent) is pytest-verified
+    against a direct NumPy covariance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embeddings.covariance_q(emb, "vec_id", "embedding", dim=64)
+    return out.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.col("s").alias("s"),
+    )
+
+
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed multinomial Naive Bayes (pipeline/classify.py):
     train on the doc_id%5≠0 split with lang labels (hashed 1024-bucket
@@ -3664,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "dsir_resample": q_dsir_resample,
         "nb_classify": q_nb_classify,
+        "embedding_pca": q_embedding_pca,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "events_funnel": q_events_funnel,
@@ -5938,6 +5958,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, w.n_grams, w.lw_q,
                    CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS selected
             FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
+        """,
+        "embedding_pca": """
+            WITH ex AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ), gram AS (
+              SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS s
+              FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2
+            ), dims AS (
+              SELECT i, -1 AS j, sum(q) AS s FROM ex GROUP BY 1
+            ), cnt AS (
+              SELECT -1 AS i, -1 AS j, count(*) AS s FROM embeddings
+            )
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                   CAST(s AS BIGINT) AS s
+            FROM (SELECT * FROM gram UNION ALL SELECT * FROM dims
+                  UNION ALL SELECT * FROM cnt)
         """,
         "nb_classify": f"""
             WITH train AS (

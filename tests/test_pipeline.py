@@ -1210,3 +1210,55 @@ def test_nb_zero_token_doc_gets_prior_argmax(spark):
     out = classify.nb_score(test, "doc_id", "text", counts, classes,
                             n_buckets=16, seed=7).collect()
     assert len(out) == 1 and out[0].pred == "a"  # majority prior
+
+
+# ---------------------------------------------------------------------------
+# Embedding PCA (pipeline/embeddings.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_covariance(spark):
+    """Moments from the distributed mapInPandas pass reproduce a direct
+    NumPy covariance of the quantized data, eigenpairs are the true
+    principal axes, and the moment rows are partition-invariant."""
+    import numpy as np
+
+    from geomesa_hive_spark.pipeline import embeddings as E
+
+    rng = np.random.default_rng(3)
+    d, n = 8, 300
+    # anisotropic cloud: variance concentrated on a known direction
+    base = rng.normal(size=(n, d)) * 0.05
+    axis = np.zeros(d); axis[2] = 1.0
+    x = (base + np.outer(rng.normal(size=n) * 0.8, axis)).astype(np.float32)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    mom = E.covariance_q(df, "vec_id", "embedding", dim=d).toPandas()
+    mom2 = E.covariance_q(
+        df.repartition(7), "vec_id", "embedding", dim=d
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p.itertuples(index=False)))
+    assert key(mom) == key(mom2)
+
+    comp, vals, mean, cnt = E.pca_components(mom, dim=d, k=3)
+    q = np.floor(x.astype(np.float64) * 10000.0 + 0.5) / 10000.0
+    cov_ref = np.cov(q, rowvar=False, bias=True)
+    vr, Vr = np.linalg.eigh(cov_ref)
+    assert cnt == n
+    assert np.allclose(mean, q.mean(axis=0), atol=1e-12)
+    assert np.allclose(vals, np.sort(vr)[::-1][:3], rtol=1e-9)
+    # top component is the planted axis (up to sign, handled by the
+    # deterministic flip)
+    assert abs(comp[0] @ axis) > 0.99
+    # orthonormality
+    assert np.allclose(comp @ comp.T, np.eye(3), atol=1e-10)
+
+    # projection: scores equal centered dot products
+    scores = {r.id: r.scores for r in E.project(
+        df, "vec_id", "embedding", comp, mean).collect()}
+    ref = (x.astype(np.float64) - q.mean(axis=0)) @ comp.T
+    got = np.array([scores[i] for i in range(n)])
+    # native fused expression re-centers the RAW floats, not the
+    # quantized ones; tolerance covers the 1e-4 quantization of mean
+    assert np.abs(got - ref).max() < 1e-6
