@@ -2617,6 +2617,18 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sampling (sampling.stratified_sample):
+    20 documents per language by md5 unit-hash rank — the
+    balanced-training-mix primitive. The oracle replays the hash, the
+    per-group rank, and the cut, pinning the exact kept set."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, "lang", "doc_id", 20, seed=42)
+    return out.select(
+        F.col("doc_id").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based quality filtering (pipeline/sampling.py
     filter_by_quantile): keep the top half of each language by the
@@ -3684,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "nb_classify": q_nb_classify,
         "embedding_pca": q_embedding_pca,
+        "pipeline_stratified": q_pipeline_stratified,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "events_funnel": q_events_funnel,
@@ -5958,6 +5971,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, w.n_grams, w.lw_q,
                    CASE WHEN sel.doc_id IS NULL THEN 0 ELSE 1 END AS selected
             FROM w LEFT JOIN sel ON w.doc_id = sel.doc_id
+        """,
+        "pipeline_stratified": f"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     {_hex2int_sql("md5(concat_ws(':', 'strat', '42', CAST(doc_id AS VARCHAR)))", 8)}
+                     / 4294967296.0 AS u
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+              FROM h
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 20
         """,
         "embedding_pca": """
             WITH ex AS (

@@ -183,3 +183,31 @@ def weighted_sample(
         .limit(int(k))
         .drop("_pri")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-size per-group sampling: keep ``n_per_group`` rows from
+    every group (all rows if the group is smaller), chosen by md5
+    unit-hash rank with id tie-break — the balanced-mix primitive
+    (e.g. equal documents per language) with the same determinism
+    contract as hash_split: same sample on every run, engine, and
+    partitioning, and a NEW independent draw per seed.
+
+    One window pass partitioned by group (rows sort within the group's
+    partitions — external sort holds at any group size; same scale note
+    as filter_by_quantile)."""
+    from pyspark.sql import Window
+
+    u = unit_hash(id_col, seed=seed, salt="strat")
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n_per_group))
+        .drop("__rn")
+    )

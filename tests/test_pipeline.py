@@ -1262,3 +1262,20 @@ def test_pca_matches_numpy_covariance(spark):
     # native fused expression re-centers the RAW floats, not the
     # quantized ones; tolerance covers the 1e-4 quantization of mean
     assert np.abs(got - ref).max() < 1e-6
+
+
+def test_stratified_sample_exact_sizes_and_determinism(spark):
+    from geomesa_hive_spark.pipeline import sampling
+
+    rows = [(i, "abc"[i % 3] if i < 90 else "d") for i in range(95)]
+    df = spark.createDataFrame(rows, "doc_id LONG, grp STRING")
+    out = sampling.stratified_sample(df, "grp", "doc_id", 10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.grp, set()).add(r.doc_id)
+    assert {g: len(v) for g, v in by.items()} == {"a": 10, "b": 10, "c": 10, "d": 5}
+    # partition invariance + independent draw per seed
+    out2 = sampling.stratified_sample(df.repartition(9), "grp", "doc_id", 10).collect()
+    assert {(r.grp, r.doc_id) for r in out} == {(r.grp, r.doc_id) for r in out2}
+    alt = sampling.stratified_sample(df, "grp", "doc_id", 10, seed=7).collect()
+    assert {(r.grp, r.doc_id) for r in alt} != {(r.grp, r.doc_id) for r in out}
