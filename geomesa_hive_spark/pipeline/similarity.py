@@ -909,3 +909,79 @@ def knn_ivfpq(
         .limit(int(refine))
     )
     return knn_brute(cand, "id", "v", query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style rotation (parametric OPQ: PCA eigenbasis + eigenvalue-
+# balanced dimension allocation — Ge et al., "Optimized Product
+# Quantization", CVPR 2013). A pure rotation preserves inner products
+# and norms, so cosine/top-k SEMANTICS are exactly unchanged; what
+# changes is the subspace variance structure PQ quantizes, which is
+# where PQ loses recall on anisotropic embeddings.
+# ---------------------------------------------------------------------------
+
+
+def opq_rotation(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, m: int = 8
+) -> np.ndarray:
+    """(dim × dim) orthonormal rotation: rows are PCA eigenvectors
+    (from the exact integer moment pass, pipeline/embeddings.py)
+    reordered so each of the ``m`` subspaces receives an eigenvalue-
+    balanced slice — dims are assigned greedily by descending
+    eigenvalue to the non-full subspace with the smallest log-variance
+    product. Deterministic end to end (integer moments + deterministic
+    eigenvector signs)."""
+    from geomesa_hive_spark.pipeline import embeddings as E
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    mom = E.covariance_q(df, id_col, vec_col, dim).toPandas()
+    comp, vals, _mean, _n = E.pca_components(mom, dim, dim)
+    import math as _math
+
+    # Greedy min-log-sum allocation, with logs SHIFTED non-negative
+    # first: raw eigen-logs go negative for λ<1, and a min-product
+    # greedy then death-spirals — the bucket that takes one tiny λ
+    # stays the minimum and swallows every remaining tiny λ until
+    # capacity (observed: 10³× product spread). Buckets all hold
+    # exactly `sub` dims, so subtracting a constant per item shifts
+    # every final sum equally — the balance objective is unchanged and
+    # the greedy becomes sound (all increments ≥ 0).
+    lv = [_math.log(max(float(v), 1e-30)) for v in vals]
+    base = min(lv)
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i in range(dim):  # vals sorted descending
+        cand = min(
+            (b for b in range(m) if len(buckets[b]) < sub),
+            key=lambda b: (logs[b], b),
+        )
+        buckets[cand].append(i)
+        logs[cand] += lv[i] - base
+    order = [i for b in buckets for i in b]
+    return comp[order]
+
+
+def rotate_vecs(
+    df: DataFrame, vec_col: str, rotation: np.ndarray, out_col: str
+) -> DataFrame:
+    """Arrow-batched rotation x' = R·x (one NumPy matmul per batch) —
+    at 100 TB this runs once at write time next to PQ encoding; the
+    per-row cost is d²/batch flops amortized to memory bandwidth."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.ascontiguousarray(rotation, dtype=np.float64)
+
+    def _rot_fn(s):
+        x = np.stack(s.to_numpy()).astype(np.float64)
+        y = x @ R.T
+        return pd.Series(list(y))
+
+    # class-object annotations (not strings) so pandas_udf's type-hint
+    # inference works with the locally-imported pandas
+    _rot_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _rot = pandas_udf(_rot_fn, T.ArrayType(T.DoubleType()))
+    return df.withColumn(out_col, _rot(F.col(vec_col)))

@@ -74,6 +74,29 @@ def main() -> int:
             ).collect()
         }
 
+    import numpy as _np
+
+    _opq_state: dict[str, object] = {}
+
+    def pq_opq_topk(qv, refine, method):
+        if not _opq_state:
+            R = similarity.opq_rotation(emb, "vec_id", "embedding", 64, m=8)
+            rot = (
+                similarity.rotate_vecs(emb, "embedding", R, "rvec")
+                .select("vec_id", F.col("rvec").alias("embedding"))
+                .cache()
+            )
+            rot.count()
+            _opq_state["R"], _opq_state["rot"] = R, rot
+        R, rot = _opq_state["R"], _opq_state["rot"]
+        qr = list(R @ _np.asarray(qv, dtype=float))
+        return {
+            r.id
+            for r in similarity.knn_pq(
+                rot, "vec_id", "embedding", qr, k=k, refine=refine, method=method
+            ).collect()
+        }
+
     def ivfpq_topk(qv, n_lists, n_probe, refine, method):
         return {
             r.id
@@ -101,6 +124,13 @@ def main() -> int:
         # cand_frac here = refine/n (exact-scored share), consistent with the
         # pq rows; the ADC pass additionally scores ~n_probe/n_lists of the
         # corpus from 8-byte codes (noted in BASELINE.md)
+        # OPQ rotation (similarity.opq_rotation — PCA eigenbasis with
+        # eigenvalue-balanced subspace allocation) before PQ: measured
+        # ≈ no-op on THIS corpus (flat spectrum, top/median eigenvalue
+        # 1.35 — OPQ's gain is bounded by anisotropy; kept on the curve
+        # because real embedding spectra are steep and the rotation is
+        # free at write time)
+        "pq_opq_kmeans_r200": dict(kind="pq_opq", refine=200, method="kmeans"),
         "ivfpq_pivot_32_8_r200": dict(
             kind="ivfpq", n_lists=32, n_probe=8, refine=200, method="pivot"
         ),
@@ -118,6 +148,11 @@ def main() -> int:
         for cname, cfg in configs.items():
             if cfg["kind"] == "pq":
                 got = pq_topk(qv, cfg["refine"], cfg["method"])
+                recalls[cname].append(len(exact & got) / k)
+                fracs[cname].append(cfg["refine"] / n_total)
+                continue
+            if cfg["kind"] == "pq_opq":
+                got = pq_opq_topk(qv, cfg["refine"], cfg["method"])
                 recalls[cname].append(len(exact & got) / k)
                 fracs[cname].append(cfg["refine"] / n_total)
                 continue

@@ -1279,3 +1279,44 @@ def test_stratified_sample_exact_sizes_and_determinism(spark):
     assert {(r.grp, r.doc_id) for r in out} == {(r.grp, r.doc_id) for r in out2}
     alt = sampling.stratified_sample(df, "grp", "doc_id", 10, seed=7).collect()
     assert {(r.grp, r.doc_id) for r in alt} != {(r.grp, r.doc_id) for r in out}
+
+
+def test_opq_rotation_invariants(spark):
+    """OPQ rotation: orthonormal, balanced eigenvalue allocation across
+    subspaces, and EXACT preservation of cosine top-k semantics (a
+    rotation cannot change inner products beyond float noise)."""
+    import numpy as np
+
+    from geomesa_hive_spark.pipeline import similarity
+
+    rng = np.random.default_rng(9)
+    d, n, m = 16, 200, 4
+    # anisotropic: first few directions dominate
+    scales = np.linspace(2.0, 0.1, d)
+    x = (rng.normal(size=(n, d)) * scales).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    R = similarity.opq_rotation(df, "vec_id", "embedding", d, m=m)
+    assert np.abs(R @ R.T - np.eye(d)).max() < 1e-10
+
+    # balanced allocation: per-subspace variance products within 10x of
+    # each other despite a 20x eigenvalue spread (natural order would
+    # give a ~10^4 spread)
+    xr = x.astype(np.float64) @ R.T
+    sub = d // m
+    prods = [np.prod(xr[:, s*sub:(s+1)*sub].var(axis=0)) for s in range(m)]
+    assert max(prods) / min(prods) < 10.0
+
+    # cosine preservation: rotated pairwise cosines equal originals
+    a, b = x[:20].astype(np.float64), x[20:40].astype(np.float64)
+    def cos(u, v):
+        return (u @ v.T) / (np.linalg.norm(u, axis=1)[:, None]
+                            * np.linalg.norm(v, axis=1)[None])
+    assert np.abs(cos(a @ R.T, b @ R.T) - cos(a, b)).max() < 1e-12
+
+    # rotate_vecs matches the NumPy matmul
+    rot = {r.vec_id: np.array(r.rvec) for r in
+           similarity.rotate_vecs(df, "embedding", R, "rvec").collect()}
+    got = np.stack([rot[i] for i in range(n)])
+    assert np.abs(got - x.astype(np.float64) @ R.T).max() < 1e-12
