@@ -2828,6 +2828,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("node"), F.col("r").alias("r"))
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered distributed triangle counting (graph.
+    triangle_count) on the same irregular 97-node customer graph as
+    PageRank, undirected. The oracle replays the whole pipeline —
+    undirected dedup, (degree, id) ranking, low→high orientation,
+    wedge pairing, closing-edge join, per-node explode — in SQL; the
+    count is exact integer arithmetic, per-node counts hash-pinned."""
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 97).alias("src"),
+        (F.expr("c_custkey DIV 7") % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = graph.triangle_count(edges, "src", "dst")
+    return out.select(F.col("node").alias("node"), F.col("tri").alias("tri"))
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Replay the integer PageRank loop as chained MATERIALIZED CTEs
     (same exponential-inlining lesson as the BPE oracle)."""
@@ -3703,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "relational_pivot": q_relational_pivot,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "spatial_knn_join": q_spatial_knn_join,
         "dedup_canonical": q_dedup_canonical,
         "decontaminate": q_decontaminate,
@@ -5888,6 +5905,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: full 3-iteration replay
         "graph_pagerank": _pagerank_oracle(3),
+        "graph_triangles": """
+            WITH raw AS (
+              SELECT DISTINCT
+                     least(c_custkey % 97, (c_custkey // 7) % 97) AS lo,
+                     greatest(c_custkey % 97, (c_custkey // 7) % 97) AS hi
+              FROM customer
+              WHERE c_custkey % 97 <> (c_custkey // 7) % 97
+            ), deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT lo AS node FROM raw UNION ALL SELECT hi FROM raw
+              ) GROUP BY node
+            ), oe AS (
+              SELECT CASE WHEN dl.deg < dh.deg
+                            OR (dl.deg = dh.deg AND r.lo < r.hi)
+                          THEN r.lo ELSE r.hi END AS src,
+                     CASE WHEN dl.deg < dh.deg
+                            OR (dl.deg = dh.deg AND r.lo < r.hi)
+                          THEN r.hi ELSE r.lo END AS dst,
+                     CASE WHEN dl.deg < dh.deg
+                            OR (dl.deg = dh.deg AND r.lo < r.hi)
+                          THEN dh.deg ELSE dl.deg END AS ddeg
+              FROM raw r
+              JOIN deg dl ON dl.node = r.lo
+              JOIN deg dh ON dh.node = r.hi
+            ), wedges AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+              WHERE e1.ddeg < e2.ddeg
+                 OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)
+            ), tris AS (
+              SELECT a, b, c FROM wedges
+              JOIN (SELECT src AS b, dst AS c FROM oe) ce USING (b, c)
+            )
+            SELECT node, count(*) AS tri FROM (
+              SELECT a AS node FROM tris
+              UNION ALL SELECT b FROM tris
+              UNION ALL SELECT c FROM tris
+            ) GROUP BY node
+        """,
         # BPE: full 10-round training replay + fixed-merge encode replay
         "bpe_train": _bpe_train_oracle(10),
         "bpe_encode": _bpe_encode_oracle(),

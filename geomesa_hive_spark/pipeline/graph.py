@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -69,3 +69,63 @@ def pagerank(
             ).cast("long").alias("r"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Per-node triangle counts (node, tri) over the UNDIRECTED graph —
+    the standard degree-ordered wedge join: rank nodes by (degree, id),
+    orient every undirected edge low→high rank, pair each node's
+    out-edges into wedges, and close them against the oriented edge
+    set. Each triangle is emitted exactly once (its rank-lowest vertex
+    owns it) and the wedge fan-out is bounded by the ORIENTED
+    out-degree — the classic O(m^1.5) total-work bound that survives
+    power-law skew, because a hub's edges orient INTO it and never pair
+    (the naive wedge-on-any-vertex join explodes quadratically on
+    hubs). Nodes in no triangle are omitted (LEFT-join a node table
+    with coalesce(0) if zeros are needed).
+
+    Shuffles: degree groupBy, the wedge self-join on the owning vertex,
+    the closing-edge equi-join, one final explode+groupBy. Everything
+    is exact integer counting — no quantization needed."""
+    e0 = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"),
+        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("hi"),
+    ).filter(F.col("lo") != F.col("hi")).distinct()
+    deg = (
+        e0.select(F.col("lo").alias("node"))
+        .union(e0.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("ldeg"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("hdeg"))
+    ranked = e0.join(dl, "lo").join(dh, "hi")
+    fwd = F.col("ldeg") < F.col("hdeg")
+    tie = (F.col("ldeg") == F.col("hdeg")) & (F.col("lo") < F.col("hi"))
+    oe = ranked.select(
+        F.when(fwd | tie, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(fwd | tie, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(fwd | tie, F.col("ldeg")).otherwise(F.col("hdeg")).alias("sdeg"),
+        F.when(fwd | tie, F.col("hdeg")).otherwise(F.col("ldeg")).alias("ddeg"),
+    )
+    w1 = oe.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("ddeg").alias("bdeg"),
+    )
+    w2 = oe.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("ddeg").alias("cdeg"),
+    )
+    wedges = w1.join(w2, "a").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("tri"))
+    )

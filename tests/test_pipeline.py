@@ -1320,3 +1320,38 @@ def test_opq_rotation_invariants(spark):
            similarity.rotate_vecs(df, "embedding", R, "rvec").collect()}
     got = np.stack([rot[i] for i in range(n)])
     assert np.abs(got - x.astype(np.float64) @ R.T).max() < 1e-12
+
+
+def test_triangle_count_brute_force(spark):
+    """Per-node counts equal an itertools brute force over all vertex
+    triples on a random graph (plus a known K4), and the count is
+    invariant to edge direction/duplication in the input."""
+    import itertools
+    import random
+
+    from geomesa_hive_spark.pipeline import graph
+
+    rnd = random.Random(6)
+    nodes = list(range(30))
+    und = {tuple(sorted(e)) for e in
+           (rnd.sample(nodes, 2) for _ in range(140))}
+    und |= {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}  # K4
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b); adj[b].add(a)
+    exp = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            exp[a] += 1; exp[b] += 1; exp[c] += 1
+    exp = {n: v for n, v in exp.items() if v}
+
+    # feed edges with random orientation AND duplicates
+    rows = []
+    for a, b in und:
+        rows.append((a, b) if rnd.random() < 0.5 else (b, a))
+        if rnd.random() < 0.3:
+            rows.append((b, a))
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    got = {r.node: r.tri for r in
+           graph.triangle_count(df, "src", "dst").collect()}
+    assert got == exp
