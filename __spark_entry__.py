@@ -3220,6 +3220,43 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FFT spectral analysis on decoded PCM: 128 deterministic
+    int16 samples per doc (the audio_features LE-word series), framed
+    64/hop-32 → 3 Hann-windowed rfft frames, power summed into 8 bands
+    (multimodal.audio_spectrogram). The oracle computes a DIRECT DFT in
+    SQL — 33 bins × 64 samples × 3 frames per doc, re/im sums with the
+    identical periodic-Hann weights — so the WAV byte parse, framing,
+    windowing, the transform itself, and the banding are ALL
+    hash-verified; the FFT-vs-direct-DFT summation difference (~1e-12
+    relative) vanishes under the float32 quantization the projection
+    oracles established."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pcm_hex = F.expr(
+        "array_join(transform(sequence(0, 127), i -> concat("
+        "lpad(hex(((doc_id * 7919 + i * 104729) % 65536) % 256), 2, '0'),"
+        "lpad(hex(((doc_id * 7919 + i * 104729) % 65536) DIV 256), 2, '0')"
+        ")), '')"
+    )
+    hdr = (b"RIFF" + (36 + 256).to_bytes(4, "little") + b"WAVEfmt "
+           + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (16000).to_bytes(4, "little")
+           + (32000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little") + b"data" + (256).to_bytes(4, "little"))
+    wav = F.concat(F.lit(hdr), F.unhex(pcm_hex))
+    sp = multimodal.audio_spectrogram(
+        docs.select("doc_id", wav.alias("media")), "media",
+        n_fft=64, hop=32, n_bands=8,
+    )
+    return sp.select(
+        F.col("doc_id"), F.posexplode("band_energy").alias("band", "e")
+    ).select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("band").alias("band"),
+        F.round(F.col("e").cast("float").cast("double"), 3).alias("energy"),
+    )
+
+
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resample: the query assembles COMPLETE valid
     24-bit BMPs natively (solid per-doc BGR color, varying dims so the
@@ -3737,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixels_jpeg": q_multimodal_pixels_jpeg,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_spectrogram": q_multimodal_spectrogram,
     }
 
 
@@ -6627,6 +6665,36 @@ def oracle_sql() -> dict[str, str]:
         # MJPEG-AVI frame sampling: frames 0 and 2 of 4, per-frame step
         "multimodal_frames": _mjpeg_frames_oracle(),
         # PCM DSP replay: closed-form sample series, exact integer sums
+        "multimodal_spectrogram": """
+            WITH d AS (
+              SELECT doc_id FROM documents WHERE doc_id < 200
+            ), s AS (
+              SELECT doc_id, n.n AS n,
+                     CASE WHEN (doc_id * 7919 + n.n * 104729) % 65536 >= 32768
+                          THEN (doc_id * 7919 + n.n * 104729) % 65536 - 65536
+                          ELSE (doc_id * 7919 + n.n * 104729) % 65536
+                     END AS x
+              FROM d, unnest(range(0, 128)) AS n(n)
+            ), dft AS (
+              SELECT s.doc_id, f.f, j.j,
+                     sum((0.5 - 0.5 * cos(2.0 * pi() * (s.n - f.f) / 64.0)) * s.x
+                         * cos(2.0 * pi() * j.j * (s.n - f.f) / 64.0)) AS re,
+                     sum(-((0.5 - 0.5 * cos(2.0 * pi() * (s.n - f.f) / 64.0)) * s.x
+                         * sin(2.0 * pi() * j.j * (s.n - f.f) / 64.0))) AS im
+              FROM s
+              CROSS JOIN unnest([0, 32, 64]) AS f(f)
+              CROSS JOIN unnest(range(0, 33)) AS j(j)
+              WHERE s.n >= f.f AND s.n < f.f + 64
+              GROUP BY 1, 2, 3
+            ), banded AS (
+              SELECT doc_id, (j * 8) // 33 AS band,
+                     sum(re * re + im * im) AS e
+              FROM dft GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(band AS INTEGER) AS band,
+                   round(CAST(CAST(e AS FLOAT) AS DOUBLE), 3) AS energy
+            FROM banded
+        """,
         "multimodal_audio_features": """
             WITH s AS (
               SELECT d.doc_id, t.i,

@@ -1355,3 +1355,48 @@ def test_triangle_count_brute_force(spark):
     got = {r.node: r.tri for r in
            graph.triangle_count(df, "src", "dst").collect()}
     assert got == exp
+
+
+def test_audio_spectrogram_planted_tone(spark):
+    """A pure cosine at an exact FFT bin concentrates its energy in
+    the band owning that bin (Hann leakage only reaches adjacent
+    bins); the values equal a direct NumPy reference of the same
+    framing/window/banding; short/broken payloads yield nulls."""
+    import numpy as np
+
+    from geomesa_hive_spark.pipeline.multimodal import audio_spectrogram
+
+    n = 128
+    t = np.arange(n)
+    rows = []
+    tones = {1: 6, 2: 14, 3: 28}  # doc -> bin k of a 64-point frame
+    for did, k in tones.items():
+        sig = np.round(12000 * np.cos(2 * np.pi * k * t / 64.0)).astype(int)
+        rows.append((did, _wav(sig[:, None])))
+    rows.append((99, _wav(np.zeros((10, 1), dtype=int))))  # too short
+    rows.append((98, b"not a wav"))
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    out = {r.doc_id: (r.band_energy, r.n_fft_frames)
+           for r in audio_spectrogram(df, "media", 64, 32, 8).collect()}
+
+    assert out[99] == (None, None) and out[98] == (None, None)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(64) / 64)
+    band_of = (np.arange(33) * 8) // 33
+    for did, k in tones.items():
+        sig = np.round(12000 * np.cos(2 * np.pi * k * t / 64.0))
+        acc = np.zeros(8)
+        for s in (0, 32, 64):
+            p = np.abs(np.fft.rfft(sig[s:s+64] * win)) ** 2
+            np.add.at(acc, band_of, p)
+        got, frames = out[did]
+        assert frames == 3
+        assert np.allclose(got, acc, rtol=1e-12)
+        # Hann leakage is exactly ±1 bin with power 64A² vs 256A² at k:
+        # when k±1 share k's band the band holds 100% of the tone, when
+        # one sidelobe crosses a band edge (k=28 → bin 29 in band 7)
+        # the share drops to 320/384 ≈ 83% — assert the exact physics
+        kb = band_of[k]
+        in_band = sum(w for j, w in ((k - 1, 64), (k, 256), (k + 1, 64))
+                      if band_of[j] == kb)
+        assert abs(got[kb] / sum(got) - in_band / 384.0) < 0.01
+        assert kb == int(np.argmax(got))
