@@ -3257,6 +3257,51 @@ def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video motion analysis end to end: the query assembles a
+    complete RIFF/AVI container natively in SQL — a movi LIST of four
+    00dc frames, each a COMPLETE valid 4×3 24-bit BMP whose solid
+    color varies per (doc, frame) by known integer formulas — then
+    multimodal.video_motion walks the container (parse_avi_frames),
+    decodes every frame with the real raster decoders, and emits the
+    exact integer sum of |gray₁−gray₂| per consecutive pair. The
+    oracle computes the same integers analytically from the color
+    formulas, so the chunk walk, BMP decode, grayscale integer math,
+    and pair differencing are all hash-verified."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    # fixed 4×3 24-bit BMP: stride 12 (no padding), file size 90
+    bmp_hdr = (b"BM" + le(90, 4) + le(0, 4) + le(54, 4) + le(40, 4)
+               + le(4, 4) + le(3, 4) + le(1, 2) + le(24, 2) + le(0, 4)
+               + le(36, 4) + bytes(16))
+
+    def frame(k: int):
+        b = f"lpad(hex((doc_id * 3 + {k * 17}) % 256), 2, '0')"
+        g = f"lpad(hex((doc_id * 5 + {k * 29}) % 256), 2, '0')"
+        r = f"lpad(hex((doc_id * 11 + {k * 41}) % 256), 2, '0')"
+        return F.concat(
+            F.lit(b"00dc" + le(90, 4) + bmp_hdr),
+            F.unhex(F.expr(f"repeat(concat({b}, {g}, {r}), 12)")),
+        )
+
+    avi = F.concat(
+        F.lit(b"RIFF" + le(408, 4) + b"AVI LIST" + le(396, 4) + b"movi"),
+        *[frame(k) for k in range(4)],
+    )
+    out = multimodal.video_motion(
+        docs.select("doc_id", avi.alias("media")), "media", "doc_id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("pair_index").alias("pair_index"),
+        F.col("mad_q").alias("mad_q"),
+        F.col("n_px").alias("n_px"),
+    )
+
+
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resample: the query assembles COMPLETE valid
     24-bit BMPs natively (solid per-doc BGR color, varying dims so the
@@ -3775,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_spectrogram": q_multimodal_spectrogram,
+        "multimodal_motion": q_multimodal_motion,
     }
 
 
@@ -6665,6 +6711,22 @@ def oracle_sql() -> dict[str, str]:
         # MJPEG-AVI frame sampling: frames 0 and 2 of 4, per-frame step
         "multimodal_frames": _mjpeg_frames_oracle(),
         # PCM DSP replay: closed-form sample series, exact integer sums
+        "multimodal_motion": """
+            WITH d AS (
+              SELECT doc_id FROM documents WHERE doc_id < 300
+            ), f AS (
+              SELECT doc_id, k.k AS k,
+                     (((doc_id * 11 + k.k * 41) % 256)
+                      + ((doc_id * 5 + k.k * 29) % 256)
+                      + ((doc_id * 3 + k.k * 17) % 256)) // 3 AS gray
+              FROM d, unnest([0, 1, 2, 3]) AS k(k)
+            )
+            SELECT a.doc_id,
+                   CAST(a.k AS INTEGER) AS pair_index,
+                   CAST(abs(b.gray - a.gray) * 12 AS BIGINT) AS mad_q,
+                   CAST(12 AS BIGINT) AS n_px
+            FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        """,
         "multimodal_spectrogram": """
             WITH d AS (
               SELECT doc_id FROM documents WHERE doc_id < 200

@@ -1400,3 +1400,48 @@ def test_audio_spectrogram_planted_tone(spark):
                       if band_of[j] == kb)
         assert abs(got[kb] / sum(got) - in_band / 384.0) < 0.01
         assert kb == int(np.argmax(got))
+
+
+def test_video_motion_known_frames(spark):
+    """MAD values equal hand-computed integers for known solid-color
+    BMP frames in a real AVI container; dimension-mismatched pairs are
+    skipped; non-AVI bytes produce no rows."""
+    import numpy as np
+
+    from geomesa_hive_spark.pipeline.multimodal import video_motion
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    def bmp(w, h, bgr):
+        stride = (w * 3 + 3) // 4 * 4
+        row = bytes(bgr) * w + bytes(stride - w * 3)
+        data = row * h
+        return (b"BM" + le(54 + len(data), 4) + le(0, 4) + le(54, 4)
+                + le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2)
+                + le(0, 4) + le(len(data), 4) + bytes(16) + data)
+
+    def avi(frames):
+        chunks = b""
+        for fb in frames:
+            chunks += b"00dc" + le(len(fb), 4) + fb + (b"\0" if len(fb) % 2 else b"")
+        movi = b"movi" + chunks
+        return (b"RIFF" + le(4 + 8 + len(movi), 4) + b"AVI "
+                + b"LIST" + le(len(movi), 4) + movi)
+
+    # grays: (10+20+30)//3=20, (40+50+60)//3=50, (5+5+5)//3=5
+    f1, f2, f3 = bmp(4, 3, (30, 20, 10)), bmp(4, 3, (60, 50, 40)), bmp(4, 3, (5, 5, 5))
+    f_other = bmp(2, 2, (0, 0, 0))  # different dims -> pair skipped
+    rows = [
+        (1, avi([f1, f2, f3])),
+        (2, avi([f1, f_other, f3])),
+        (3, b"RIFF....not avi"),
+    ]
+    df = spark.createDataFrame(rows, "vid LONG, media BINARY")
+    got = {(r.id, r.pair_index): (r.mad_q, r.n_px)
+           for r in video_motion(df, "media", "vid").collect()}
+    assert got == {
+        (1, 0): (abs(50 - 20) * 12, 12),
+        (1, 1): (abs(5 - 50) * 12, 12),
+        # doc 2: both pairs involve the 2x2 frame -> skipped entirely
+    }
