@@ -1905,6 +1905,57 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_spatial_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (operators/areal.py): customer account
+    balances spread over rectangular zones (st_makeBBOX from key
+    arithmetic, 0.4°–2.0° spans crossing 1° cell boundaries),
+    reallocated area-weighted onto the unit grid. Per-pair weights are
+    integer-quantized micro-units BEFORE the cell sum; the oracle
+    computes every zone∩cell overlap in closed rectangle form with the
+    identical float32-quantized area ratio, so the envelope→cell
+    explode, the REAL polygon clipping (geom/clip.py), the shoelace
+    area, and the weighting are all hash-verified."""
+    from geomesa_hive_spark.operators.areal import areal_interpolate
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    x0 = ((F.col("c_custkey") * 9973) % 35000) / 100.0 - 175.0
+    y0 = ((F.col("c_custkey") * 7919) % 17000) / 100.0 - 85.0
+    dx = (F.col("c_custkey") % 5 + 1) * 0.4
+    dy = (F.col("c_custkey") % 3 + 1) * 0.4
+    zones = c.select(
+        F.round(F.col("c_acctbal"), 2).alias("v"),
+        F.call_function("st_makebbox", x0, y0, x0 + dx, y0 + dy).alias("zone"),
+    )
+    out = areal_interpolate(zones, "zone", "v", cell_size=1.0)
+    return out.select(
+        F.col("cell_x").alias("cell_x"),
+        F.col("cell_y").alias("cell_y"),
+        F.col("val_q").alias("val_q"),
+    )
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval builder (operators.temporal.scd2_intervals):
+    each user's event_type change stream becomes versioned validity
+    ranges — null-safe CDC compaction of consecutive identical values,
+    valid_from/valid_to from consecutive change timestamps (null = the
+    current version), 1-based version numbers; (ts, event_id) makes
+    the per-key order total. The oracle replays the lag-compaction and
+    lead/row_number windows in SQL."""
+    from geomesa_hive_spark.operators.temporal import scd2_intervals
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    out = scd2_intervals(ev, "user_id", "ts", ["event_type"], "event_id")
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to_s"),
+        F.col("version").alias("version"),
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the watermarked stream-stream interval join
     (streaming.events.stream_interval_join): the IDENTICAL function —
@@ -3754,6 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "events_scd2": q_events_scd2,
+        "spatial_areal": q_spatial_areal,
         "stream_interval_join": q_stream_interval_join,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -5423,6 +5476,60 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders
             ) WHERE rk <= 3
+        """,
+        "spatial_areal": """
+            WITH z AS (
+              SELECT round(c_acctbal, 2) AS v,
+                     ((c_custkey * 9973) % 35000) / 100.0 - 175.0 AS x0,
+                     ((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS y0,
+                     (c_custkey % 5 + 1) * 0.4 AS dx,
+                     (c_custkey % 3 + 1) * 0.4 AS dy
+              FROM customer WHERE c_custkey <= 600
+            ), zz AS (
+              SELECT v, x0, y0, x0 + dx AS x1, y0 + dy AS y1 FROM z
+            ), e AS (
+              SELECT v, x0, y0, x1, y1, cx.cx AS cell_x, cy.cy AS cell_y
+              FROM zz,
+                   unnest(range(CAST(floor(x0 / 1.0) AS BIGINT),
+                                CAST(floor(x1 / 1.0) AS BIGINT) + 1)) AS cx(cx),
+                   unnest(range(CAST(floor(y0 / 1.0) AS BIGINT),
+                                CAST(floor(y1 / 1.0) AS BIGINT) + 1)) AS cy(cy)
+            ), a AS (
+              SELECT v, cell_x, cell_y,
+                     greatest(0.0, least(x1, (cell_x + 1) * 1.0)
+                              - greatest(x0, cell_x * 1.0))
+                     * greatest(0.0, least(y1, (cell_y + 1) * 1.0)
+                                - greatest(y0, cell_y * 1.0)) AS ai,
+                     (x1 - x0) * (y1 - y0) AS az
+              FROM e
+            )
+            SELECT cell_x, cell_y,
+                   CAST(sum(CAST(round(v * (CAST(CAST(ai AS FLOAT) AS DOUBLE)
+                            / CAST(CAST(az AS FLOAT) AS DOUBLE))
+                            * 1000000.0) AS BIGINT)) AS BIGINT) AS val_q
+            FROM a WHERE az > 0
+            GROUP BY cell_x, cell_y
+        """,
+        "events_scd2": """
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id
+              FROM events WHERE user_id < 30
+            ), lagd AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER w AS pt,
+                     lag(event_id) OVER w AS pid
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), ch AS (
+              SELECT user_id, event_type, ts, event_id FROM lagd
+              WHERE pid IS NULL OR event_type IS DISTINCT FROM pt
+            )
+            SELECT user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+                   strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+                   CAST(row_number() OVER w2 AS INTEGER) AS version
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_asof": """
             SELECT l.event_id AS event_id, l.user_id AS user_id,

@@ -21,13 +21,14 @@ from geomesa_hive_spark.operators.spatial_sql import (
     spatial_sql,
 )
 from geomesa_hive_spark.operators.join_strategies import salted_join, write_bucketed
-from geomesa_hive_spark.operators.temporal import asof_join, range_join
+from geomesa_hive_spark.operators.temporal import asof_join, range_join, scd2_intervals
 
 __all__ = [
     "spatial_join",
     "write_bucketed",
     "salted_join",
     "asof_join",
+    "scd2_intervals",
     "range_join",
     "intersects_pushdown",
     "contains_pushdown",

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "scd2_intervals"]
 
 
 def asof_join(
@@ -156,3 +156,55 @@ def range_join(
         ),
     )
     return l.join(r, "__bin").filter(checks[inclusive]).drop("__bin", "__v")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval builder from a change
+    stream — the warehouse primitive that turns an event log into
+    versioned validity ranges: per key, order rows by (ts, tiebreak),
+    drop rows whose tracked attributes ALL equal the previous row's
+    (CDC compaction, null-safe), then emit one row per surviving change
+    with ``valid_from`` = its timestamp, ``valid_to`` = the next
+    change's timestamp (null = current version) and a 1-based
+    ``version``. Deterministic under any partitioning: the tiebreak
+    column makes the per-key order total.
+
+    Scale: two window passes over the same (key) partitioning — one
+    shuffle; Spark external-sorts within keys so arbitrarily long
+    histories hold. No joins, no state beyond the window frame."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    lag_cols = [
+        F.lag(F.col(a)).over(w).alias(f"__lag_{a}") for a in attr_cols
+    ]
+    d2 = df.select(
+        key_col, ts_col, tiebreak_col, *attr_cols,
+        *lag_cols,
+        F.lag(F.col(tiebreak_col)).over(w).isNull().alias("__first"),
+    )
+    same = _reduce(
+        lambda a, b: a & b,
+        [F.col(a).eqNullSafe(F.col(f"__lag_{a}")) for a in attr_cols],
+    )
+    changed = d2.filter(F.col("__first") | ~same)
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return changed.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )

@@ -442,3 +442,104 @@ def test_density_grid_mass_and_kernel(spark):
                 spark.createDataFrame([(-0.5, -0.5)], "x DOUBLE, y DOUBLE"),
                 "x", "y", cell=1.0, min_weight=1).collect()}
     assert out2[(-1, -1)] == 4
+
+
+def test_scd2_intervals(spark):
+    """CDC compaction (null-safe), interval chaining, current-version
+    null valid_to, 1-based versions, deterministic tiebreak."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # (key, ts, id, attr)
+        (1, 10, 1, "a"),
+        (1, 20, 2, "a"),      # unchanged -> compacted away
+        (1, 30, 3, "b"),
+        (1, 40, 4, None),     # change to NULL is a change
+        (1, 50, 5, None),     # unchanged NULL -> compacted
+        (1, 60, 6, "b"),
+        (2, 15, 7, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, ts LONG, eid LONG, attr STRING")
+    out = scd2_intervals(df, "k", "ts", ["attr"], "eid")
+    key = lambda t: (t[0], t[4])  # (key, version) is a total order
+    got = sorted(
+        ((r.k, r.attr, r.valid_from, r.valid_to, r.version)
+         for r in out.collect()), key=key
+    )
+    assert got == [
+        (1, "a", 10, 30, 1),
+        (1, "b", 30, 40, 2),
+        (1, None, 40, 60, 3),
+        (1, "b", 60, None, 4),
+        (2, "x", 15, None, 1),
+    ]
+    # partition invariance
+    out2 = scd2_intervals(df.repartition(5), "k", "ts", ["attr"], "eid")
+    assert sorted(((r.k, r.attr, r.valid_from, r.valid_to, r.version)
+                   for r in out2.collect()), key=key) == got
+
+
+def test_areal_interpolate_known_rectangles(spark):
+    """Hand-computed area weights: a 2x1 zone split 50/50 across two
+    unit cells, a zone fully inside one cell, and a quarter-overlap
+    zone; totals are exact integer micro-units."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.areal import areal_interpolate
+
+    register_all(spark)
+    rows = [
+        (100.0, 0.0, 0.0, 2.0, 1.0),   # cells (0,0),(1,0): 50 each
+        (40.0, 0.2, 0.2, 0.7, 0.7),    # fully in (0,0): 40
+        (80.0, 0.5, 0.5, 1.5, 1.5),    # quarter in each of 4 cells: 20
+    ]
+    df = spark.createDataFrame(rows, "v DOUBLE, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE")
+    zones = df.select(
+        "v",
+        F.call_function("st_makebbox", "x0", "y0", "x1", "y1").alias("zone"),
+    )
+    out = {(r.cell_x, r.cell_y): r.val_q
+           for r in areal_interpolate(zones, "zone", "v", 1.0).collect()}
+    # boundary-touching cells appear with 0 contribution
+    expected = {
+        (0, 0): 50_000_000 + 40_000_000 + 20_000_000,
+        (1, 0): 50_000_000 + 20_000_000,
+        (0, 1): 20_000_000,
+        (1, 1): 20_000_000,
+        (2, 0): 0,   # x1=2.0 edge of zone 1
+    }
+    for k, v in expected.items():
+        assert out.get(k, 0) == v, (k, out.get(k))
+    # mass conservation: totals sum to sum(v) within quantization
+    assert abs(sum(out.values()) - 220_000_000) <= len(out)
+
+
+def test_areal_interpolate_general_polygon_fallback(spark):
+    """A non-rectangular zone (right triangle) goes through the REAL
+    clipping kernel: a triangle over four unit cells splits its value
+    by the clipped areas (kernel epsilon ~1e-7 — assert to 1e-4)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.areal import areal_interpolate
+
+    register_all(spark)
+    # triangle (0,0)-(2,0)-(0,2): area 2; cell (0,0) gets 1.5/2,
+    # cells (1,0) and (0,1) get 0.25/2 each, (1,1) gets 0
+    # triangle area 2: cell (0,0) lies fully under the hypotenuse
+    # x+y=2 (area 1 → weight 1/2); (1,0) and (0,1) hold half-unit
+    # corner triangles (1/4 each); (1,1) only touches at the point
+    tri = "POLYGON ((0 0, 2 0, 0 2, 0 0))"
+    df = spark.createDataFrame([(120.0, tri)], "v DOUBLE, wkt STRING")
+    zones = df.select(
+        "v", F.call_function("st_geomfromwkt", "wkt").alias("zone"))
+    out = {(r.cell_x, r.cell_y): r.val_q
+           for r in areal_interpolate(zones, "zone", "v", 1.0).collect()}
+    assert abs(out[(0, 0)] - 60_000_000) < 10_000
+    assert abs(out[(1, 0)] - 30_000_000) < 10_000
+    assert abs(out[(0, 1)] - 30_000_000) < 10_000
+    assert abs(out.get((1, 1), 0)) < 10_000
+    assert abs(sum(out.values()) - 120_000_000) < 20_000
