@@ -1905,6 +1905,42 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling with forward fill (operators/timeseries.py
+    resample_fill): every hourly bucket in each user's activity span —
+    gaps included — with exact integer per-bucket aggregates and the
+    last non-empty bucket's value carried forward via the gap-group
+    window form (portable to engines without IGNORE NULLS). Oracle
+    replays grid generation, the left join, and both windows."""
+    from geomesa_hive_spark.operators.timeseries import resample_fill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = resample_fill(ev, "user_id", "ts", "value", bucket_seconds=3600)
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        F.col("bucket").alias("bucket"),
+        F.col("n_events").alias("n_events"),
+        F.col("val_cents").alias("val_cents"),
+        F.col("fill_cents").alias("fill_cents"),
+    )
+
+
+def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/timeseries.py cohort_retention):
+    daily cohorts by first-activity day, offset = later active day −
+    cohort day, n_keys = users of the cohort active at that offset.
+    Pure integer counting; oracle is the direct SQL twin."""
+    from geomesa_hive_spark.operators.timeseries import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    out = cohort_retention(ev, "user_id", "ts", bucket_seconds=86400)
+    return out.select(
+        F.col("cohort").alias("cohort"),
+        F.col("offset").alias("offset"),
+        F.col("n_keys").alias("n_keys"),
+    )
+
+
 def q_spatial_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Areal interpolation (operators/areal.py): customer account
     balances spread over rectangular zones (st_makeBBOX from key
@@ -3807,6 +3843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_scd2": q_events_scd2,
         "spatial_areal": q_spatial_areal,
+        "events_resample": q_events_resample,
+        "events_cohort": q_events_cohort,
         "stream_interval_join": q_stream_interval_join,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -5509,6 +5547,50 @@ def oracle_sql() -> dict[str, str]:
                             * 1000000.0) AS BIGINT)) AS BIGINT) AS val_q
             FROM a WHERE az > 0
             GROUP BY cell_x, cell_y
+        """,
+        "events_resample": """
+            WITH ev AS (
+              SELECT user_id AS k,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                     CAST(round(value * 100.0) AS BIGINT) AS vc
+              FROM events WHERE user_id < 20
+            ), hourly AS (
+              SELECT k, b, count(*) AS n_events,
+                     CAST(sum(vc) AS BIGINT) AS val_cents
+              FROM ev GROUP BY 1, 2
+            ), span AS (
+              SELECT k, min(b) AS b0, max(b) AS b1 FROM ev GROUP BY 1
+            ), grid AS (
+              SELECT k, g.b AS b FROM span, unnest(range(b0, b1 + 1)) AS g(b)
+            ), j AS (
+              SELECT grid.k, grid.b, hourly.n_events, hourly.val_cents
+              FROM grid LEFT JOIN hourly USING (k, b)
+            ), g2 AS (
+              SELECT k, b, n_events, val_cents,
+                     sum(CASE WHEN val_cents IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY k ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS grp
+              FROM j
+            )
+            SELECT k AS user_id, b AS bucket,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(coalesce(val_cents, 0) AS BIGINT) AS val_cents,
+                   CAST(coalesce(max(val_cents)
+                        OVER (PARTITION BY k, grp), 0) AS BIGINT) AS fill_cents
+            FROM g2
+        """,
+        "events_cohort": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS k,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b
+              FROM events
+            ), first AS (
+              SELECT k, min(b) AS cohort FROM act GROUP BY 1
+            )
+            SELECT cohort, act.b - cohort AS offset,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM act JOIN first USING (k)
+            GROUP BY 1, 2
         """,
         "events_scd2": """
             WITH e AS (

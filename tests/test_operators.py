@@ -543,3 +543,46 @@ def test_areal_interpolate_general_polygon_fallback(spark):
     assert abs(out[(0, 1)] - 30_000_000) < 10_000
     assert abs(out.get((1, 1), 0)) < 10_000
     assert abs(sum(out.values()) - 120_000_000) < 20_000
+
+
+def test_resample_fill_and_cohort(spark):
+    """Gap buckets exist with zero aggregates and carried-forward fill;
+    cohort matrix equals hand counts."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.operators.timeseries import (
+        cohort_retention, resample_fill,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    H = dt.timedelta(hours=1)
+    rows = [
+        (1, base, 10.0),            # bucket 0
+        (1, base + 3 * H, 2.5),     # bucket 3 (gap 1, 2)
+        (1, base + 3 * H, 1.0),     # same bucket
+        (2, base + 1 * H, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = {(r.user_id, r.bucket): (r.n_events, r.val_cents, r.fill_cents)
+           for r in resample_fill(df, "user_id", "ts", "value", 3600).collect()}
+    b0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() // 3600)
+    assert out[(1, b0)] == (1, 1000, 1000)
+    assert out[(1, b0 + 1)] == (0, 0, 1000)   # gap: carried forward
+    assert out[(1, b0 + 2)] == (0, 0, 1000)
+    assert out[(1, b0 + 3)] == (2, 350, 350)
+    assert out[(2, b0 + 1)] == (1, 700, 700)
+    assert len(out) == 5  # spans only, no global padding
+
+    # cohorts: user 1 first day 0 active days {0}, user 2 day 0 {0};
+    # add user 3 first active day 1, again day 2
+    rows2 = rows + [
+        (3, base + dt.timedelta(days=1), 1.0),
+        (3, base + dt.timedelta(days=2), 1.0),
+    ]
+    df2 = spark.createDataFrame(rows2, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    mat = {(r.cohort, r.offset): r.n_keys
+           for r in cohort_retention(df2, "user_id", "ts", 86400).collect()}
+    d0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() // 86400)
+    assert mat == {(d0, 0): 2, (d0 + 1, 0): 1, (d0 + 1, 1): 1}
