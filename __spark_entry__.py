@@ -1905,6 +1905,42 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based file skipping (sources/manifest.py — the
+    Iceberg/Delta per-file-stats pattern on plain parquet + JSON):
+    range-cluster lineitem by l_orderkey into 24 files with per-file
+    min/max, prune the FILE LIST driver-side for an orderkey window,
+    then aggregate. Pruning is a superset cut with the predicate still
+    applied, so the result equals a full-scan filter by construction —
+    the oracle is that full-scan filter; the measured skip ratio
+    (pytest + BASELINE controls) is the scale evidence."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import read_pruned, write_with_manifest
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_manifest_")
+    write_with_manifest(li, path, ["l_orderkey"], n_files=24)
+    hi = li.agg(F.max("l_orderkey")).collect()[0][0]
+    lo, hi = int(hi * 2 // 10), int(hi * 3 // 10)
+    pruned, kept, total = read_pruned(spark, path, "l_orderkey", lo, hi)
+    assert kept < total, f"manifest pruned nothing ({kept}/{total})"
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+        .select(
+            F.col("l_returnflag").alias("l_returnflag"),
+            F.col("cnt").alias("cnt"),
+            F.round("qty", 2).alias("qty"),
+        )
+    )
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar resampling with forward fill (operators/timeseries.py
     resample_fill): every hourly bucket in each user's activity span —
@@ -3845,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_areal": q_spatial_areal,
         "events_resample": q_events_resample,
         "events_cohort": q_events_cohort,
+        "manifest_pruning": q_manifest_pruning,
         "stream_interval_join": q_stream_interval_join,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -5547,6 +5584,17 @@ def oracle_sql() -> dict[str, str]:
                             * 1000000.0) AS BIGINT)) AS BIGINT) AS val_q
             FROM a WHERE az > 0
             GROUP BY cell_x, cell_y
+        """,
+        "manifest_pruning": """
+            WITH bounds AS (
+              SELECT max(l_orderkey) AS mx FROM lineitem
+            )
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+            FROM lineitem, bounds
+            WHERE l_orderkey >= CAST(mx * 2 // 10 AS BIGINT)
+              AND l_orderkey <= CAST(mx * 3 // 10 AS BIGINT)
+            GROUP BY l_returnflag
         """,
         "events_resample": """
             WITH ev AS (

@@ -304,3 +304,37 @@ def test_stream_interval_join_matches_batch(spark, events_stream):
     # append-mode stream-stream join emits exactly the batch join rows
     # (modulo watermark-final rows; the bounded fixture drains fully)
     assert got == exp and len(exp) > 0
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    """Range-clustered manifest stats actually skip files: a 10%-window
+    predicate keeps ~3/24 files; results equal a full-scan filter;
+    an empty window reads zero files; unknown stats column raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        manifest_stats, read_pruned, write_with_manifest,
+    )
+
+    df = spark.range(0, 24000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    path = str(tmp_path / "mtab")
+    m = write_with_manifest(df, path, ["k"], n_files=24)
+    assert len(m["files"]) == 24
+    assert sum(e["n_rows"] for e in m["files"]) == 24000
+
+    pruned, kept, total = read_pruned(spark, path, "k", 10000, 12000)
+    assert total == 24
+    assert kept <= 4  # ~10% window over range-clustered files
+    full = df.filter((F.col("k") >= 10000) & (F.col("k") <= 12000))
+    assert sorted(r.k for r in pruned.collect()) == \
+           sorted(r.k for r in full.collect())
+
+    empty, kept0, _ = read_pruned(spark, path, "k", 10**9, 2 * 10**9)
+    assert kept0 == 0 and empty.count() == 0
+
+    assert manifest_stats(path)["stats_cols"] == ["k"]
+    with _pytest.raises(ValueError):
+        read_pruned(spark, path, "v", 0, 1)
