@@ -2515,6 +2515,63 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity.link_records(a, b, "a_id", "an", "b_id", "bn")
 
 
+# phonetic-blocking corruption: substitute the first 'a' after position
+# 1 with 'o' AND append 'a' — edit distance 2 (past FastSS's provable
+# k=1 bound) while the simplified-Soundex code is preserved (both map
+# to 0 and trailing zeros drop). Pure SQL string ops, shared verbatim
+# with the oracle.
+_PHON_POS = "(instr(substring(p_name, 2, 100), 'a') + 1)"
+_PHON_DIRTY = (
+    f"CASE WHEN instr(substring(p_name, 2, 100), 'a') > 0 THEN "
+    f"substring(p_name, 1, {_PHON_POS} - 1) || 'o' || "
+    f"substring(p_name, {_PHON_POS} + 1, 100) "
+    f"ELSE p_name END || 'a'"
+)
+
+
+def q_entity_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-blocking record linkage (pipeline/entity.py
+    link_phonetic — the second blocking family next to FastSS): part
+    names corrupted by a vowel substitution PLUS a vowel append (edit
+    distance 2 — deletion-neighborhood k=1 provably cannot block
+    these) still share their simplified-Soundex code, so the block
+    join + levenshtein≤2 verify + (dist, a_id) window recovers the
+    match. The oracle replays the ENTIRE native expression chain —
+    letter strip, digit translate, RE2-safe run collapses, zero drop,
+    padding — plus the block join and the best-match window."""
+    from geomesa_hive_spark.pipeline import entity
+
+    # bounded slice: the synthetic part table has only ~64 distinct
+    # names, so blocks grow with sf² (a 300-deep code block is 90k
+    # verify pairs) — real registries have high-cardinality names;
+    # the slice keeps the contract query at real-registry block depths
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 2000)
+    a = p.selectExpr("p_partkey AS a_id", "p_name AS an")
+    b = p.selectExpr("p_partkey AS b_id", f"{_PHON_DIRTY} AS bn")
+    out = entity.link_phonetic(a, b, "a_id", "an", "b_id", "bn", max_dist=2)
+    return out.select(
+        F.col("b_id").alias("b_id"),
+        F.col("bn").alias("bn"),
+        F.col("a_id").alias("a_id"),
+        F.col("an").alias("an"),
+        F.col("dist").alias("dist"),
+    )
+
+
+def _phon_sql(x: str) -> str:
+    """The phonetic_code expression chain as DuckDB SQL — identical
+    semantics; DuckDB regexp_replace needs explicit 'g' flags where
+    Spark replaces all occurrences by default."""
+    u = f"upper(regexp_replace({x}, '[^A-Za-z]', '', 'g'))"
+    d = (f"translate({u}, 'AEIOUYHWBFPVCGJKQSXZDTLMNR',"
+         f" '00000000111122222222334556')")
+    for digit in "0123456":
+        d = f"regexp_replace({d}, '{digit}{{2,}}', '{digit}', 'g')"
+    tail = f"regexp_replace(substring({d}, 2, 100), '0', '', 'g')"
+    return (f"CASE WHEN length({u}) > 0 THEN "
+            f"substring(substring({u}, 1, 1) || {tail} || '000', 1, 4) END")
+
+
 _CM_DEPTH, _CM_WIDTH = 4, 256
 
 
@@ -3882,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_cohort": q_events_cohort,
         "manifest_pruning": q_manifest_pruning,
+        "entity_phonetic": q_entity_phonetic,
         "stream_interval_join": q_stream_interval_join,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -5584,6 +5642,29 @@ def oracle_sql() -> dict[str, str]:
                             * 1000000.0) AS BIGINT)) AS BIGINT) AS val_q
             FROM a WHERE az > 0
             GROUP BY cell_x, cell_y
+        """,
+        "entity_phonetic": f"""
+            WITH a AS (
+              SELECT p_partkey AS a_id, p_name AS an FROM part
+              WHERE p_partkey < 2000
+            ), b AS (
+              SELECT p_partkey AS b_id, {_PHON_DIRTY} AS bn FROM part
+              WHERE p_partkey < 2000
+            ), pa AS (
+              SELECT a_id, an, {_phon_sql('an')} AS c FROM a
+            ), pb AS (
+              SELECT b_id, bn, {_phon_sql('bn')} AS c FROM b
+            ), cand AS (
+              SELECT b_id, bn, a_id, an,
+                     CAST(levenshtein(an, bn) AS INTEGER) AS dist
+              FROM pa JOIN pb USING (c)
+              WHERE levenshtein(an, bn) <= 2
+            )
+            SELECT b_id, bn, a_id, an, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY b_id
+                                           ORDER BY dist, a_id) AS rn
+              FROM cand
+            ) WHERE rn = 1
         """,
         "manifest_pruning": """
             WITH bounds AS (

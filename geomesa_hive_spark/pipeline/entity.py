@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "link_records"]
+__all__ = ["deletion_variants", "link_records", "phonetic_code", "link_phonetic"]
 
 
 def deletion_variants(col) -> Column:
@@ -86,4 +86,66 @@ def link_records(
             F.col("_aid").alias(a_id),
             F.col("_d").cast("int").alias("dist"),
         )
+    )
+
+
+def phonetic_code(col) -> Column:
+    """Simplified Soundex as a PURE native expression chain — upper +
+    letter strip, digit mapping (vowels/Y/H/W → 0, the six classic
+    consonant classes), run collapse, zero drop, first letter + 3
+    digits padded. Documented divergences from classic American
+    Soundex: run collapse happens after mapping over the whole string
+    (so H/W behave exactly like vowels rather than as transparent
+    separators), chosen so the chain uses NO regex backreferences —
+    every step is RE2-safe and the identical expression text replays
+    in DuckDB. Robust to the corruptions phonetic blocking exists for:
+    vowel substitutions/appends keep the code while moving edit
+    distance past FastSS's provable k=1 bound."""
+    s = col if isinstance(col, Column) else F.col(col)
+    u = F.upper(F.regexp_replace(s, "[^A-Za-z]", ""))
+    d = F.translate(
+        u, "AEIOUYHWBFPVCGJKQSXZDTLMNR", "00000000111122222222334556"
+    )
+    for digit in "0123456":
+        d = F.regexp_replace(d, digit + "{2,}", digit)
+    tail = F.regexp_replace(d.substr(F.lit(2), F.lit(100)), "0", "")
+    return F.when(
+        F.length(u) > 0,
+        F.concat(u.substr(1, 1), tail, F.lit("000")).substr(1, 4),
+    )
+
+
+def link_phonetic(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    a_name: str,
+    b_id: str,
+    b_name: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Best edit-distance ≤ ``max_dist`` match per B record among the
+    A records sharing its phonetic code — the SECOND blocking family
+    next to FastSS: a recall HEURISTIC (complete only for
+    code-preserving corruptions, stated, unlike FastSS's proven k=1
+    bound) that reaches distances the deletion-neighborhood scheme
+    cannot afford. Verification and the (distance, a_id) best-match
+    window are identical to link_records. Shuffle carries (code, id,
+    name); hot codes are plain equi-join skew, AQE-split."""
+    ca = a.select(
+        F.col(a_id).alias("a_id"), F.col(a_name).alias("an"),
+        phonetic_code(a_name).alias("__c"),
+    )
+    cb = b.select(
+        F.col(b_id).alias("b_id"), F.col(b_name).alias("bn"),
+        phonetic_code(b_name).alias("__c"),
+    )
+    cand = ca.join(cb, "__c").withColumn(
+        "dist", F.levenshtein("an", "bn")
+    ).filter(F.col("dist") <= int(max_dist))
+    w = Window.partitionBy("b_id").orderBy(F.asc("dist"), F.asc("a_id"))
+    return (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("b_id", "bn", "a_id", "an", "dist")
     )

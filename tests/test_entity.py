@@ -67,3 +67,50 @@ def test_deletion_variants_shape(spark):
     rows = df.select(deletion_variants("s").alias("v")).collect()
     assert rows[0].v == ["abc", "bc", "ac", "ab"]
     assert rows[1].v == [""]
+
+
+def test_phonetic_code_values(spark):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.entity import phonetic_code
+
+    cases = [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),       # the classic pair
+        ("smith", "S530"),
+        ("smyth", "S530"),        # y ~ vowel
+        ("blue bolt", "B414"),    # space stripped
+        ("a", "A000"),
+        ("", None),
+        ("123", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s STRING")
+    got = [r.c for r in df.select(phonetic_code("s").alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_link_phonetic_beats_fastss_bound(spark):
+    """Vowel substitution + vowel append = edit distance 2: FastSS k=1
+    blocking provably cannot pair these, phonetic blocking still links
+    every record to its clean source."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.entity import link_phonetic, link_records
+
+    names = ["goldenrod gear", "lavender bolt", "crimson widget",
+             "plum gizmo", "turquoise ring"]
+    a = spark.createDataFrame(list(enumerate(names)), "a_id LONG, an STRING")
+    dirty = [n.replace("o", "a", 1) + "o" for n in names]
+    b = spark.createDataFrame(list(enumerate(dirty)), "b_id LONG, bn STRING")
+
+    got = {r.b_id: (r.a_id, r.dist) for r in
+           link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2).collect()}
+    assert {k: v[0] for k, v in got.items()} == {i: i for i in range(len(names))}
+    assert all(1 <= d <= 2 for _, d in got.values())
+    # at least one pair is genuinely distance 2 (the FastSS-impossible case)
+    assert any(d == 2 for _, d in got.values())
+
+    # FastSS k=1 finds only the pairs that degenerate to distance 1
+    k1 = {r.b_id for r in link_records(a, b, "a_id", "an", "b_id", "bn").collect()}
+    d2 = {bid for bid, (_, d) in got.items() if d == 2}
+    assert k1.isdisjoint(d2) and d2
