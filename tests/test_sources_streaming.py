@@ -338,3 +338,27 @@ def test_manifest_pruning_skips_files(spark, tmp_path):
     assert manifest_stats(path)["stats_cols"] == ["k"]
     with _pytest.raises(ValueError):
         read_pruned(spark, path, "v", 0, 1)
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        compact, manifest_stats, read_pruned,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 11).alias("v"))
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    df.repartition(40).write.parquet(frag)
+    res = compact(spark, frag, out, target_rows_per_file=1000,
+                  stats_cols=["k"])
+    assert res == {"files_in": 40, "files_out": 5, "rows": 5000}
+    back = spark.read.parquet(out)
+    assert sorted((r.k, r.v) for r in back.collect()) == \
+           sorted((r.k, r.v) for r in df.collect())
+    # the rewrite also refreshed tight manifest stats: pruning works
+    _, kept, total = read_pruned(spark, out, "k", 0, 999)
+    assert total == 5 and kept == 1
+    assert manifest_stats(out)["stats_cols"] == ["k"]
