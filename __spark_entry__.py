@@ -1941,6 +1941,24 @@ def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal density binning (operators/hexbin.py): customer
+    points into pointy-top hexagons of size 2.5 via the cube-rounding
+    axial assignment — pure native expressions, one map-side-combined
+    groupBy. The oracle runs the VERBATIM expression text (q/r
+    formulas incl. the rounding-repair CASE branches), so the hex
+    assignment itself is hash-verified point by point."""
+    from geomesa_hive_spark.operators.hexbin import HEX_SQL, hexbin_counts
+
+    pts = _customer_pts(spark, sf_dir)
+    out = hexbin_counts(pts.select("cx", "cy"), "cx", "cy", 2.5)
+    return out.select(
+        F.col("hex_q").alias("hex_q"),
+        F.col("hex_r").alias("hex_r"),
+        F.col("n").alias("n"),
+    )
+
+
 def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction (sources/manifest.py compact): fragment
     an orders slice into 64 tiny files (the streaming-accretion
@@ -3975,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_pruning": q_manifest_pruning,
         "entity_phonetic": q_entity_phonetic,
         "compact_files": q_compact_files,
+        "spatial_hexbin": q_spatial_hexbin,
         "stream_interval_join": q_stream_interval_join,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -5678,6 +5697,15 @@ def oracle_sql() -> dict[str, str]:
             FROM a WHERE az > 0
             GROUP BY cell_x, cell_y
         """,
+        "spatial_hexbin": (lambda _qr: f"""
+            WITH base AS (
+              SELECT {_C_X} AS x, {_C_Y} AS y FROM customer
+            )
+            SELECT {_qr[0]} AS hex_q, {_qr[1]} AS hex_r,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        """)(__import__("geomesa_hive_spark.operators.hexbin",
+                        fromlist=["HEX_SQL"]).HEX_SQL("x", "y", 2.5)),
         "compact_files": """
             SELECT o_custkey % 10 AS g, CAST(count(*) AS BIGINT) AS cnt,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))

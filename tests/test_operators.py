@@ -586,3 +586,41 @@ def test_resample_fill_and_cohort(spark):
            for r in cohort_retention(df2, "user_id", "ts", 86400).collect()}
     d0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() // 86400)
     assert mat == {(d0, 0): 2, (d0 + 1, 0): 1, (d0 + 1, 1): 1}
+
+
+def test_hexbin_nearest_center_property(spark):
+    """The defining property of hex binning: every point is assigned
+    the hexagon whose CENTER is nearest (cube rounding == nearest
+    center); verified against a brute force over the 9-neighborhood of
+    candidate centers for 400 random points, plus count conservation."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.operators.hexbin import hexbin_counts, hex_cell
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(12)
+    size = 1.7
+    pts = np.column_stack([rng.uniform(-50, 50, 400), rng.uniform(-50, 50, 400)])
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x DOUBLE, y DOUBLE")
+    q, r = hex_cell("x", "y", size)
+    got = [(row.q, row.r, row.x, row.y) for row in
+           df.select("x", "y", q.alias("q"), r.alias("r")).collect()]
+
+    def center(qq, rr):
+        # pointy-top axial -> planar: x = s*sqrt(3)*(q + r/2), y = s*3/2*r
+        return (size * math.sqrt(3) * (qq + rr / 2.0), size * 1.5 * rr)
+
+    for qq, rr, x, y in got:
+        cx, cy = center(qq, rr)
+        d0 = (x - cx) ** 2 + (y - cy) ** 2
+        for dq in (-2, -1, 0, 1, 2):
+            for dr in (-2, -1, 0, 1, 2):
+                ox, oy = center(qq + dq, rr + dr)
+                d = (x - ox) ** 2 + (y - oy) ** 2
+                assert d0 <= d + 1e-9, ((qq, rr), (x, y), (dq, dr))
+
+    counts = hexbin_counts(df, "x", "y", size)
+    assert counts.agg(F.sum("n")).collect()[0][0] == 400
