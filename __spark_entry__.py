@@ -1941,6 +1941,40 @@ def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast variant of the PBSM spatial join
+    (``broadcast_right=True`` — round 4): identical semantics to
+    spatial_grid_join, but the small polygon side ships to every
+    executor and the plan is a BroadcastHashJoin with ZERO shuffle of
+    the point side (pytest asserts no hashpartitioning Exchange) — the
+    100 TB-points × small-zones shape. Same oracle semantics as the
+    shuffle path; the driver gates that both paths stay value-equal."""
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = _customer_pts(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") * F.lit(6151)) % F.lit(32000)) / 100.0 - 160.005
+    y0 = ((F.col("n_nationkey") * F.lit(3571)) % F.lit(15000)) / 100.0 - 75.005
+    polys = (
+        n.withColumn("x0", x0)
+        .withColumn("y0", y0)
+        .withColumn(
+            "pgeom",
+            _call("st_makebbox", F.col("x0"), F.col("y0"),
+                  F.col("x0") + 20.0, F.col("y0") + 12.0),
+        )
+    )
+    j = spatial_join(
+        pts, polys, predicate="within",
+        left_geom="geom", right_geom="pgeom", cell_size=10.0,
+        broadcast_right=True,
+    )
+    return j.groupBy(F.col("n_name").alias("n_name")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
 def q_spatial_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal density binning (operators/hexbin.py): customer
     points into pointy-top hexagons of size 2.5 via the cube-rounding
@@ -3931,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_measures": q_spatial_measures,
         "spatial_region_join": q_spatial_region_join,
         "spatial_grid_join": q_spatial_grid_join,
+        "spatial_join_bc": q_spatial_join_bc,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_xz2": q_spatial_xz2,
@@ -4971,6 +5006,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "spatial_grid_join": f"""
+            SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN nation
+              ON {_C_X} > ((n_nationkey * 6151) % 32000) / 100.0 - 160.005
+             AND {_C_X} < ((n_nationkey * 6151) % 32000) / 100.0 - 140.005
+             AND {_C_Y} > ((n_nationkey * 3571) % 15000) / 100.0 - 75.005
+             AND {_C_Y} < ((n_nationkey * 3571) % 15000) / 100.0 - 63.005
+            GROUP BY n_name
+        """,
+        "spatial_join_bc": f"""
             SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
             FROM customer
             JOIN nation

@@ -114,6 +114,7 @@ def spatial_join(
     right_bbox: str | None = None,
     cell_size: float = 1.0,
     exact: bool = True,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Inner spatial join of ``left`` × ``right`` on a geometry predicate.
 
@@ -123,6 +124,17 @@ def spatial_join(
     "same-cell" semantics and for prefiltering pipelines that run their
     own refinement.
 
+    ``broadcast_right=True`` is the small-dimension knob: the right
+    side's exploded cell table ships to every executor and the cell
+    equi-join becomes a BroadcastHashJoin — the BIG side is never
+    shuffled at all (the default hash join shuffles both sides on the
+    cell key). The classic case is points × admin-boundaries: 100 TB of
+    points against a few thousand zone polygons should move zero point
+    bytes across the network. The right side's exploded size must fit
+    the broadcast budget; Spark errors past
+    ``spark.sql.autoBroadcastJoinThreshold``-independent hint limits
+    rather than silently degrading.
+
     Register the ST surface first (``register_all(spark)``) —
     the exact predicate and the bbox derivation call the SQL functions.
     """
@@ -130,6 +142,8 @@ def spatial_join(
         raise ValueError(f"predicate must be one of {sorted(_PREDICATES)}")
     a = _prepared(left, left_geom, left_bbox, "l", cell_size)
     b = _prepared(right, right_geom, right_bbox, "r", cell_size)
+    if broadcast_right:
+        b = F.broadcast(b)
 
     joined = a.join(b, a["__l_cell"] == b["__r_cell"])
 

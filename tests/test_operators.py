@@ -624,3 +624,28 @@ def test_hexbin_nearest_center_property(spark):
 
     counts = hexbin_counts(df, "x", "y", size)
     assert counts.agg(F.sum("n")).collect()[0][0] == 400
+
+
+def test_spatial_join_broadcast_right(spark, pts_parquet, polys_df):
+    """broadcast_right=True keeps results identical and the physical
+    plan shows a BroadcastHashJoin with NO shuffle of the left side
+    before the join (the 100 TB points x small zones shape)."""
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = spark.read.parquet(pts_parquet)
+    base = spatial_join(
+        pts, polys_df, predicate="intersects",
+        left_geom="geom", right_geom="pgeom", left_bbox="bbox", cell_size=1.0,
+    )
+    bc = spatial_join(
+        pts, polys_df, predicate="intersects",
+        left_geom="geom", right_geom="pgeom", left_bbox="bbox", cell_size=1.0,
+        broadcast_right=True,
+    )
+    assert {(r.id, r.poly_id) for r in bc.collect()} == \
+           {(r.id, r.poly_id) for r in base.collect()}
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # zero shuffle anywhere: the big side streams straight from the
+    # scan into the broadcast join (the whole point of the knob)
+    assert "Exchange hashpartitioning" not in plan
