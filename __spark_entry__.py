@@ -1941,6 +1941,25 @@ def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (text.top_terms): top-5 TF·IDF
+    terms per document with the integer-quantized no-libm IDF — exact
+    integer weights, deterministic (w DESC, term ASC) ranking. The
+    oracle replays tokenize, tf, df, the DIV-quantized idf, the join,
+    and the ranked cut."""
+    docs = _t(spark, sf_dir, "documents")
+    # max_df_frac=1.0: on this word-soup corpus nearly every term
+    # appears in > half the docs, so the default stop cut would leave
+    # almost no keywords — rank corpus-wide instead (idf still orders)
+    out = text.top_terms(docs, "doc_id", "text", k=5, max_df_frac=1.0)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("term").alias("term"),
+        F.col("w").alias("w"),
+        F.col("rank").alias("rank"),
+    )
+
+
 def q_spatial_join_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast variant of the PBSM spatial join
     (``broadcast_right=True`` — round 4): identical semantics to
@@ -3966,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_region_join": q_spatial_region_join,
         "spatial_grid_join": q_spatial_grid_join,
         "spatial_join_bc": q_spatial_join_bc,
+        "text_keywords": q_text_keywords,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_xz2": q_spatial_xz2,
@@ -5014,6 +5034,32 @@ def oracle_sql() -> dict[str, str]:
              AND {_C_Y} > ((n_nationkey * 3571) % 15000) / 100.0 - 75.005
              AND {_C_Y} < ((n_nationkey * 3571) % 15000) / 100.0 - 63.005
             GROUP BY n_name
+        """,
+        "text_keywords": """
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT id, term, count(*) AS tf
+              FROM tok WHERE term <> '' GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS nd FROM documents
+            ), kept AS (
+              SELECT term, (nd * 100) // df AS idf
+              FROM dfreq CROSS JOIN n WHERE df <= nd
+            ), w AS (
+              SELECT id, tf.term, CAST(tf * idf AS BIGINT) AS w
+              FROM tf JOIN kept ON tf.term = kept.term
+            )
+            SELECT id AS doc_id, term, w, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT id, term, w,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY w DESC, term) AS rank
+              FROM w
+            ) WHERE rank <= 5
         """,
         "spatial_join_bc": f"""
             SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal

@@ -23,6 +23,7 @@ __all__ = [
     "winnowing_fingerprints",
     "redact_pii",
     "tfidf_pairs",
+    "top_terms",
     "extract_urls",
     "PII_PATTERNS",
     "LANG_MARKERS",
@@ -407,4 +408,47 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fp", fingerprint(c))
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_df_frac: float = 0.5,
+    idf_scale: int = 100,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest-TF·IDF terms
+    of every document, (id, term, w, rank) — the tagging/indexing
+    staple. Same exactness design as :func:`tfidf_pairs` (integer
+    ``(N·idf_scale) DIV df`` IDF, exact integer weights) so the ranked
+    set is deterministic under any partitioning; ties break (w DESC,
+    term ASC). Stop-terms (df > N·max_df_frac) never rank.
+
+    Scale: two map-side-combined groupBys (tf, df) + one broadcast-
+    friendly join on term + a per-doc window — no posting-list
+    self-join, strictly cheaper than the pair similarity."""
+    n_docs = df.count()  # bounded driver scalar (same note as tfidf_pairs)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(_c(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    max_df = int(n_docs * max_df_frac)
+    kept = dfreq.filter(F.col("df") <= F.lit(max_df)).withColumn(
+        "idf", F.expr(f"CAST({n_docs} AS BIGINT) * {int(idf_scale)} DIV df")
+    )
+    w = (
+        tf.join(kept.select("term", "idf"), "term")
+        .withColumn("w", (F.col("tf") * F.col("idf")).cast("long"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
+    )
+    return (
+        w.withColumn("rank", rnk)
+        .filter(F.col("rank") <= int(k))
+        .select("id", "term", "w", "rank")
     )

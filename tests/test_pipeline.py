@@ -1445,3 +1445,33 @@ def test_video_motion_known_frames(spark):
         (1, 1): (abs(5 - 50) * 12, 12),
         # doc 2: both pairs involve the 2x2 frame -> skipped entirely
     }
+
+
+def test_top_terms_ranking_and_stop_cut(spark):
+    from geomesa_hive_spark.pipeline.text import top_terms
+
+    rows = [
+        (1, "apple apple apple common common zebra"),
+        (2, "common banana banana zebra zebra zebra"),
+        (3, "common cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    # 'common' in 3/3 docs -> df cut at frac 0.5 removes it
+    out = {}
+    for r in top_terms(df, "doc_id", "text", k=2, max_df_frac=0.5).collect():
+        out.setdefault(r.id, []).append((r.rank, r.term, r.w))
+    for v in out.values():
+        v.sort()
+    # N=3, max_df = int(3·0.5) = 1: only single-doc terms survive the
+    # stop cut (zebra df=2 and common df=3 are both gone); idf = 300
+    assert out[1] == [(1, "apple", 900)]
+    assert out[2] == [(1, "banana", 600)]
+    assert out[3] == [(1, "cherry", 300)]
+    # no cut at frac 1.0: every doc fills k slots, common ranks LAST
+    full = {}
+    for r in top_terms(df, "doc_id", "text", k=2, max_df_frac=1.0).collect():
+        full.setdefault(r.id, []).append((r.rank, r.term, r.w))
+    for v in full.values():
+        v.sort()
+    assert full[1] == [(1, "apple", 900), (2, "common", 200)]
+    assert full[2] == [(1, "banana", 600), (2, "zebra", 450)]
