@@ -1941,6 +1941,68 @@ def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert space-filling-curve keys (geom/hilbert.py) for customer
+    points at a 2^16 grid — the locality-optimal companion to Z2
+    (consecutive keys are ALWAYS adjacent cells; pytest proves the
+    full-curve adjacency property and scripts/hilbert_vs_z2.py
+    measures the range-fragmentation win). Spark side is the
+    Arrow-batched NumPy kernel (the XZ2 precedent: a 16-stage native
+    chain would explode under Catalyst projection collapse — the same
+    lesson CLAUDE.md records for xz2); the oracle chains the SAME
+    per-bit stage text as 16 MATERIALIZED CTEs (the pagerank/BPE
+    exponential-inlining lesson), so the rotation state machine is
+    hash-verified bit for bit."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from geomesa_hive_spark.geom.hilbert import hilbert_latlon
+
+    def _h_fn(lon, lat):
+        return pd.Series(hilbert_latlon(lon.to_numpy(), lat.to_numpy(), 16))
+
+    _h_fn.__annotations__ = {"lon": pd.Series, "lat": pd.Series,
+                             "return": pd.Series}
+    h = pandas_udf(_h_fn, T.LongType())
+    pts = _customer_pts(spark, sf_dir)
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        h(F.col("cx"), F.col("cy")).alias("h"),
+    )
+
+
+def _hilbert_oracle(order: int = 16) -> str:
+    from geomesa_hive_spark.geom.hilbert import GRID_SQL, stage_sql
+
+    gx, gy = GRID_SQL(_C_X, _C_Y, order)
+    stages = []
+    prev = "h0"
+    for i, k in enumerate(range(order - 1, -1, -1)):
+        st = stage_sql(1 << k)
+        sub = lambda t: (t.replace("rx", "(" + st["rx"] + ")")
+                          .replace("ry", "(" + st["ry"] + ")"))
+        cur = f"h{i + 1}"
+        # inner aliases nx/ny/nd avoid name collisions: DuckDB's
+        # lateral column aliases would otherwise bind the d-expression's
+        # x/y to the NEW same-select aliases instead of the inputs
+        stages.append(
+            f", {cur} AS MATERIALIZED (SELECT c_custkey, "
+            f"nx AS x, ny AS y, nd AS d FROM ("
+            f"SELECT c_custkey, {sub(st['x'])} AS nx, "
+            f"{sub(st['y'])} AS ny, {sub(st['d'])} AS nd "
+            f"FROM {prev}))"
+        )
+        prev = cur
+    return f"""
+        WITH h0 AS MATERIALIZED (
+          SELECT c_custkey, {gx} AS x, {gy} AS y, CAST(0 AS BIGINT) AS d
+          FROM customer
+        ){''.join(stages)}
+        SELECT c_custkey, CAST(d AS BIGINT) AS h FROM {prev}
+    """
+
+
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction (text.top_terms): top-5 TF·IDF
     terms per document with the integer-quantized no-libm IDF — exact
@@ -3986,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_join": q_spatial_grid_join,
         "spatial_join_bc": q_spatial_join_bc,
         "text_keywords": q_text_keywords,
+        "spatial_hilbert": q_spatial_hilbert,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_xz2": q_spatial_xz2,
@@ -5035,6 +5098,7 @@ def oracle_sql() -> dict[str, str]:
              AND {_C_Y} < ((n_nationkey * 3571) % 15000) / 100.0 - 63.005
             GROUP BY n_name
         """,
+        "spatial_hilbert": _hilbert_oracle(16),
         "text_keywords": """
             WITH tok AS (
               SELECT doc_id AS id,

@@ -348,3 +348,36 @@ def test_mollweide_published_values_and_equal_area():
         ) * (180 / np.pi) ** 2
         truth = r * r * np.cos(np.radians(lat))
         assert abs(jac / truth - 1) < 1e-4
+
+
+def test_hilbert_bijection_adjacency_and_grid():
+    """The defining Hilbert properties at order 5: a bijection onto
+    0..4^order−1 whose CONSECUTIVE keys are always 4-adjacent cells
+    (the locality Z2/Morton lacks — Morton jumps at quadrant
+    boundaries), plus quantization agreement with the Z2 helpers'
+    floor-scale-clamp shape."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.hilbert import hilbert_d, hilbert_latlon
+
+    order = 5
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d(xs.ravel(), ys.ravel(), order)
+    assert sorted(d) == list(range(n * n))
+    pos = np.empty((n * n, 2), dtype=int)
+    pos[d] = np.column_stack([xs.ravel(), ys.ravel()])
+    steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (steps == 1).all()          # EVERY consecutive pair adjacent
+
+    # Morton, for contrast, violates adjacency at every 2x2 boundary
+    from geomesa_hive_spark.geom.z2 import interleave2
+    z = interleave2(xs.ravel().astype(np.uint64), ys.ravel().astype(np.uint64))
+    posz = np.empty((n * n, 2), dtype=int)
+    posz[z] = np.column_stack([xs.ravel(), ys.ravel()])
+    stepz = np.abs(np.diff(posz, axis=0)).sum(axis=1)
+    assert (stepz > 1).any()
+
+    # lat/lon quantization: corners land at grid extremes
+    h = hilbert_latlon(np.array([-180.0, 179.99]), np.array([-90.0, 89.99]), 8)
+    assert h[0] == 0  # (0,0) grid cell is curve start
