@@ -1941,6 +1941,27 @@ def q_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (pipeline/profile.py): the pre-training
+    data-quality report — exact row/null/distinct counts and typed
+    min/max per column over orders. Oracle is the direct SQL twin
+    (per-column aggregates unioned)."""
+    from geomesa_hive_spark.pipeline.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    out = profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    return out.select(
+        F.col("column").alias("column"),
+        F.col("n_rows").alias("n_rows"),
+        F.col("n_null").alias("n_null"),
+        F.col("n_distinct").alias("n_distinct"),
+        F.col("min_s").alias("min_s"),
+        F.col("max_s").alias("max_s"),
+    )
+
+
 def q_spatial_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert space-filling-curve keys (geom/hilbert.py) for customer
     points at a 2^16 grid — the locality-optimal companion to Z2
@@ -4049,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_bc": q_spatial_join_bc,
         "text_keywords": q_text_keywords,
         "spatial_hilbert": q_spatial_hilbert,
+        "pipeline_profile": q_pipeline_profile,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
         "spatial_xz2": q_spatial_xz2,
@@ -5099,6 +5121,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "spatial_hilbert": _hilbert_oracle(16),
+        "pipeline_profile": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_s
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+            FROM orders
+        """,
         "text_keywords": """
             WITH tok AS (
               SELECT doc_id AS id,

@@ -1475,3 +1475,16 @@ def test_top_terms_ranking_and_stop_cut(spark):
         v.sort()
     assert full[1] == [(1, "apple", 900), (2, "common", 200)]
     assert full[2] == [(1, "banana", 600), (2, "zebra", 450)]
+
+
+def test_profile_columns(spark):
+    from geomesa_hive_spark.pipeline.profile import profile_columns
+
+    rows = [(1, "a", 2.5), (2, None, 2.5), (3, "b", None), (4, "a", -1.0)]
+    df = spark.createDataFrame(rows, "k LONG, s STRING, v DOUBLE")
+    out = {r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_s, r.max_s)
+           for r in profile_columns(df, ["k", "s", "v"]).collect()}
+    assert out["k"] == (4, 0, 4, "1", "4")
+    assert out["s"] == (4, 1, 2, "a", "b")
+    # numeric min uses NUMERIC order (then stringifies): -1.0 < 2.5
+    assert out["v"] == (4, 1, 2, "-1.0", "2.5")
