@@ -1,16 +1,22 @@
 """Column profiling — the data-quality report every ingest pipeline
-runs before training: per column, row count, null count, exact
-distinct count, and lexicographic min/max (stringified so one output
-schema covers every input type). One wide aggregate per column batch;
-`count(DISTINCT)` per column is the exact variant — swap to
-`approx_count_distinct` at 100 TB (the HLL path `approx_stats` already
-verifies) when exactness isn't worth the extra shuffle, which is the
-standard trade and stated here rather than silently chosen.
+runs before training: per column, row count, null count, distinct
+count, and min/max (stringified AFTER aggregation so numeric order is
+used, then one output schema covers every input type).
+
+Single-scan by construction: ALL profiled columns are computed in ONE
+``df.agg`` (flat list of per-column null/distinct/min/max aggregates
+plus one shared row count), then the wide single row is unpivoted to
+the per-column report schema with an explode over literal structs —
+a driver-free reshape of one row. With ``exact_distinct=True`` the
+multiple ``count(DISTINCT)`` aggregates are planned by Catalyst as a
+single-scan Expand (N× row replication inside the stage, but the
+source parquet is read once); ``exact_distinct=False`` swaps in
+``approx_count_distinct`` (HLL sketches), which needs no Expand at
+all and is the 100 TB default trade — both stated here rather than
+silently chosen.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -23,21 +29,32 @@ def profile_columns(
 ) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_s, max_s) — one row per
     profiled column, deterministic output across partitionings (counts
-    are exact; min/max stringify AFTER aggregation so numeric order is
-    used, not string order)."""
-    parts = []
-    for c in cols:
+    are exact unless ``exact_distinct=False``; min/max stringify AFTER
+    aggregation so numeric order is used, not string order). One scan
+    of ``df`` regardless of ``len(cols)``."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, c in enumerate(cols):
         nd = (
             F.count_distinct(F.col(c)) if exact_distinct
             else F.approx_count_distinct(F.col(c))
         )
-        parts.append(
-            df.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.col(c).isNull().cast("long")).cast("long").alias("n_null"),
-                nd.cast("long").alias("n_distinct"),
-                F.min(F.col(c)).cast("string").alias("min_s"),
-                F.max(F.col(c)).cast("string").alias("max_s"),
-            ).select(F.lit(c).alias("column"), "*")
+        aggs += [
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .cast("long").alias(f"_nn_{i}"),
+            nd.cast("long").alias(f"_nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"_nn_{i}").alias("n_null"),
+            F.col(f"_nd_{i}").alias("n_distinct"),
+            F.col(f"_mn_{i}").alias("min_s"),
+            F.col(f"_mx_{i}").alias("max_s"),
         )
-    return reduce(DataFrame.unionByName, parts)
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

@@ -1488,3 +1488,28 @@ def test_profile_columns(spark):
     assert out["s"] == (4, 1, 2, "a", "b")
     # numeric min uses NUMERIC order (then stringifies): -1.0 < 2.5
     assert out["v"] == (4, 1, 2, "-1.0", "2.5")
+
+
+def test_profile_columns_single_scan(spark, tmp_path):
+    """Profiling N columns must read the source ONCE (r4 verdict: the
+    per-column-agg union was 50 full scans at 50 columns). Asserted on
+    a real parquet source so the scan node is countable, for both the
+    exact (multi-distinct -> single-scan Expand) and approx (HLL, no
+    Expand) variants."""
+    from geomesa_hive_spark.pipeline.profile import profile_columns
+
+    p = str(tmp_path / "prof_src")
+    spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 2.5), (3, "b", None), (4, "a", -1.0)],
+        "k LONG, s STRING, v DOUBLE",
+    ).write.parquet(p)
+    src = spark.read.parquet(p)
+    for exact in (True, False):
+        out = profile_columns(src, ["k", "s", "v"], exact_distinct=exact)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, plan
+        got = {r.column: (r.n_rows, r.n_null, r.n_distinct)
+               for r in out.collect()}
+        assert got["k"] == (4, 0, 4)
+        assert got["s"] == (4, 1, 2)
+        assert got["v"] == (4, 1, 2)
