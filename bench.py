@@ -76,6 +76,12 @@ def main() -> int:
         time.sleep(1.0)
 
     timings: dict[str, float] = {}
+    # BOTH trial times per query go into the artifact, not only the
+    # best-of-2: this container's episodic host noise has twice inflated
+    # an official reading >2x baseline while quiet-window runs measured
+    # <=0.65x — the trial spread makes noise visible IN THE RECORD (a
+    # genuine regression shows two slow trials; noise shows one).
+    trials: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in E.queries().items():
         # best of 2 trials: this container sees episodic external host
@@ -87,28 +93,36 @@ def main() -> int:
         # can't discard a successful first timing — one good trial is a
         # valid (if noisier) measurement; -1.0 only when BOTH trials fail
         best, rows = -1.0, -1
+        trial_times: list[float] = []
         for _ in range(2):
             try:
                 t0 = time.time()
                 rows = fn(spark, sf_dir).count()
                 el = round(time.time() - t0, 3)
+                trial_times.append(el)
                 best = el if best < 0 else min(best, el)
             except Exception as exc:  # a failing trial shouldn't sink the run
+                trial_times.append(-1.0)
                 print(
                     f"# {name}: trial FAILED {type(exc).__name__}: {exc}",
                     file=sys.stderr,
                 )
             _isolate()
         timings[name] = best
+        trials[name] = trial_times
         if best >= 0:
             total += best
-            print(f"# {name}: {rows} rows in {best}s (best of 2)", file=sys.stderr)
+            print(
+                f"# {name}: {rows} rows in {best}s (trials: {trial_times})",
+                file=sys.stderr,
+            )
 
     payload = {
         "metric": "total wall time, all declared queries",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "trials": trials,
         "sf": sf,
     }
     line = json.dumps(payload)
