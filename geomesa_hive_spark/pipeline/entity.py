@@ -21,10 +21,19 @@ tie-break.
 
 Scale: the variant explode multiplies each record by (len+1) short
 strings; the join shuffle carries (variant, id) rows — ~L times the
-registry, never |A|x|B|. Hot variants (very common names) are plain
-equi-join skew, AQE-split. The k=1 bound is structural: k=2 needs
-two-deletion neighborhoods (O(L^2) variants/record) — documented, not
-silently extended.
+registry, never |A|x|B|. Hot blocking keys (a very common surname) are
+join-OUTPUT skew — m A-rows x m B-rows under one key — which AQE's
+skew-join split can NOT fix: it detects skew by input partition bytes,
+and a hot key's input is only m small rows (the repo's own measured
+finding, `scripts/lsh_skew_bench.py` / BASELINE.md). Both linkage
+functions therefore take ``block_shards``, mirroring
+``dedup.minhash_lsh_pairs``'s ``band_shards``: the B side is salted by
+id-hash shard and the A side replicated per shard, so each hot key's
+m^2 verification work spreads over `shards` tasks with bitwise-
+identical results (every (a, b) pair still meets in exactly one
+shard — B carries one shard, A carries all). The k=1 bound is
+structural: k=2 needs two-deletion neighborhoods (O(L^2)
+variants/record) — documented, not silently extended.
 """
 
 from __future__ import annotations
@@ -49,6 +58,26 @@ def deletion_variants(col) -> Column:
     return F.concat(F.array(s), dels)
 
 
+def _salt_block_join(
+    av: DataFrame, bv: DataFrame, key: str, block_shards: int
+) -> DataFrame:
+    """Equi-join B-variants to A-variants on the blocking key, salted
+    against hot-key OUTPUT skew when ``block_shards`` > 1: B keyed by
+    id-hash shard, A replicated per shard — each (a, b) pair meets in
+    exactly one shard, so results are shard-count-invariant while a hot
+    key's m^2 pairs spread over `shards` tasks. (AQE's skew split can't
+    do this: it sees input bytes, not join output — measured in
+    `scripts/lsh_skew_bench.py` and `scripts/entity_skew_bench.py`.)"""
+    s = max(1, int(block_shards))
+    if s == 1:
+        return bv.join(av, key)
+    bs = bv.withColumn(
+        "__sh", F.pmod(F.xxhash64(bv.columns[0]), F.lit(s)).cast("int")
+    )
+    as_ = av.withColumn("__sh", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+    return bs.join(as_, [key, "__sh"]).drop("__sh")
+
+
 def link_records(
     a: DataFrame,
     b: DataFrame,
@@ -56,10 +85,13 @@ def link_records(
     a_name: str,
     b_id: str,
     b_name: str,
+    block_shards: int = 1,
 ) -> DataFrame:
     """Best edit-distance<=1 match in A for every B record that has one:
     (b_id, a_id, dist), deterministically tie-broken by (dist, a_id).
-    Unmatched B records produce no row (inner semantics)."""
+    Unmatched B records produce no row (inner semantics).
+    ``block_shards``: hot-variant salting (see module docstring);
+    output is identical for any shard count."""
     av = a.select(
         F.col(a_id).alias("_aid"),
         F.col(a_name).alias("_an"),
@@ -71,7 +103,7 @@ def link_records(
         F.explode(deletion_variants(b_name)).alias("_v"),
     )
     cand = (
-        bv.join(av, "_v")
+        _salt_block_join(av, bv, "_v", block_shards)
         .select("_bid", "_bn", "_aid", "_an")
         .distinct()  # a pair can share several variants
         .withColumn("_d", F.levenshtein("_bn", "_an"))
@@ -123,6 +155,7 @@ def link_phonetic(
     b_id: str,
     b_name: str,
     max_dist: int = 2,
+    block_shards: int = 1,
 ) -> DataFrame:
     """Best edit-distance ≤ ``max_dist`` match per B record among the
     A records sharing its phonetic code — the SECOND blocking family
@@ -131,7 +164,11 @@ def link_phonetic(
     bound) that reaches distances the deletion-neighborhood scheme
     cannot afford. Verification and the (distance, a_id) best-match
     window are identical to link_records. Shuffle carries (code, id,
-    name); hot codes are plain equi-join skew, AQE-split."""
+    name). A hot code (a common surname: m A-rows x m B-rows) is
+    join-OUTPUT skew that AQE cannot split (input-byte detection only —
+    the repo's measured `lsh_skew_bench.py` finding); ``block_shards``
+    salts it away with shard-count-invariant output (module
+    docstring)."""
     ca = a.select(
         F.col(a_id).alias("a_id"), F.col(a_name).alias("an"),
         phonetic_code(a_name).alias("__c"),
@@ -140,7 +177,7 @@ def link_phonetic(
         F.col(b_id).alias("b_id"), F.col(b_name).alias("bn"),
         phonetic_code(b_name).alias("__c"),
     )
-    cand = ca.join(cb, "__c").withColumn(
+    cand = _salt_block_join(ca, cb, "__c", block_shards).withColumn(
         "dist", F.levenshtein("an", "bn")
     ).filter(F.col("dist") <= int(max_dist))
     w = Window.partitionBy("b_id").orderBy(F.asc("dist"), F.asc("a_id"))

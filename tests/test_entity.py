@@ -114,3 +114,45 @@ def test_link_phonetic_beats_fastss_bound(spark):
     k1 = {r.b_id for r in link_records(a, b, "a_id", "an", "b_id", "bn").collect()}
     d2 = {bid for bid, (_, d) in got.items() if d == 2}
     assert k1.isdisjoint(d2) and d2
+
+
+def test_block_shards_invariant(spark):
+    """Salting is a pure physical rewrite: every shard count produces
+    the identical linkage, including under a hot blocking key (many
+    records sharing one surname/code — the join-output-skew case the
+    salt exists for)."""
+    from geomesa_hive_spark.pipeline.entity import link_phonetic
+
+    # 40 A x 40 B records share the code of 'smith'; 20 clean pairs too
+    hot_a = [(i, f"smith") for i in range(40)]
+    hot_b = [(i, f"smyth") for i in range(40)]
+    clean_a = [(100 + i, f"uniq{chr(97+i)}word{i}") for i in range(20)]
+    clean_b = [(100 + i, f"uniq{chr(97+i)}word{i}x") for i in range(20)]
+    a = spark.createDataFrame(hot_a + clean_a, "a_id LONG, an STRING")
+    b = spark.createDataFrame(hot_b + clean_b, "b_id LONG, bn STRING")
+
+    base = sorted(
+        (r.b_id, r.a_id, r.dist)
+        for r in link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2).collect()
+    )
+    assert len(base) == 60  # every B record links
+    for s in (2, 8):
+        salted = sorted(
+            (r.b_id, r.a_id, r.dist)
+            for r in link_phonetic(
+                a, b, "a_id", "an", "b_id", "bn", 2, block_shards=s
+            ).collect()
+        )
+        assert salted == base
+
+    got1 = sorted(
+        (r.b_id, r.a_id, r.dist)
+        for r in link_records(a, b, "a_id", "an", "b_id", "bn").collect()
+    )
+    got4 = sorted(
+        (r.b_id, r.a_id, r.dist)
+        for r in link_records(
+            a, b, "a_id", "an", "b_id", "bn", block_shards=4
+        ).collect()
+    )
+    assert got4 == got1 and len(got1) >= 40  # smith<->smyth is distance 1
