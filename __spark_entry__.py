@@ -737,6 +737,34 @@ def q_spatial_reproject_aea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert azimuthal equal-area reprojection (EPSG:4326 →
+    EPSG:3035, the EU-standard LAEA Europe grid) on points over a
+    Europe window; the oracle replays the full Snyder 9820 oblique
+    forward — authalic q(φ), β = asin(q/qp), B = Rq·√(2/(1 + sinβ1·sinβ
+    + cosβ1·cosβ·cos(λ−λ0))), x = B·D·cosβ·sinΔλ, y = (B/D)·(cosβ1·sinβ
+    − sinβ1·cosβ·cosΔλ) — in SQL with identical precomputed constants
+    (float32 quantization absorbs 1-ulp libm differences). Round 5:
+    closes the most common remaining ST_GeomReproject raise
+    (reference scope: spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:3035")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -10.005) & (F.col("cx") <= 29.995)
+            & (F.col("cy") >= 35.005) & (F.col("cy") <= 70.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("laea_x"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("laea_y"),
+        )
+    )
+
+
 def q_spatial_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal polar stereographic reprojection (EPSG:4326 →
     EPSG:3031, Antarctic) on south-polar points; the oracle replays the
@@ -4085,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_utm": q_spatial_reproject_utm,
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_reproject_aea": q_spatial_reproject_aea,
+        "spatial_reproject_laea": q_spatial_reproject_laea,
         "spatial_reproject_stere": q_spatial_reproject_stere,
         "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_reproject_merc": q_spatial_reproject_merc,
@@ -4745,6 +4774,56 @@ def _aea_oracle(epsg: int = 5070) -> str:
     """
 
 
+def _laea_oracle(epsg: int = 3035) -> str:
+    """Replay laea_forward's Snyder 9820 oblique math in DuckDB with
+    the exact precomputed constants: authalic q(φ), β = asin(q/qp),
+    B = Rq·sqrt(2/(1 + sb1·sinβ + cb1·cosβ·cosΔλ)), x = B·D·cosβ·sinΔλ,
+    y = (B/D)·(cb1·sinβ − sb1·cosβ·cosΔλ)."""
+    from geomesa_hive_spark.geom.projections import (
+        _LAEA_EPSG, laea_consts, _E, _E2,
+    )
+
+    lat0, lon0, x0, y0 = _LAEA_EPSG[epsg]
+    k = laea_consts(lat0, lon0)
+    assert not k["polar"], "oracle written for the oblique aspect"
+    qp, rq, lam0 = repr(k["qp"]), repr(k["rq"]), repr(k["lam0"])
+    sb1, cb1, d = repr(k["sb1"]), repr(k["cb1"]), repr(k["d"])
+    e, e2 = repr(_E), repr(_E2)
+    one_m_e2 = repr(1.0 - _E2)
+    inv2e = repr(1.0 / (2.0 * _E))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -10.005 AND {_C_X} <= 29.995
+            AND {_C_Y} >= 35.005 AND {_C_Y} <= 70.995
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey,
+                 asin(({one_m_e2} * (sp / (1.0 - {e2} * sp * sp)
+                   - {inv2e} * ln((1.0 - {e} * sp) / (1.0 + {e} * sp)))) / {qp})
+                   AS beta,
+                 lam - {lam0} AS dl
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, sin(beta) AS sb, cos(beta) AS cb,
+                 sin(dl) AS sdl, cos(dl) AS cdl
+          FROM s2
+        ), s4 AS (
+          SELECT c_custkey, sb, cb, sdl, cdl,
+                 {rq} * sqrt(2.0 / (1.0 + {sb1} * sb + {cb1} * cb * cdl)) AS b
+          FROM s3
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(x0)} + b * {d} * cb * sdl AS FLOAT) AS DOUBLE), 3) AS laea_x,
+               round(CAST(CAST({float(y0)} + (b / {d}) * ({cb1} * sb - {sb1} * cb * cdl) AS FLOAT) AS DOUBLE), 3) AS laea_y
+        FROM s4
+    """
+
+
 def _stere_oracle(epsg: int = 3031) -> str:
     """Replay stere_forward's south-polar Snyder math in DuckDB:
     conformal t at the mirrored latitude, ρ = rho_f·t, south aspect
@@ -5391,6 +5470,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_moll": _moll_oracle(),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_reproject_aea": _aea_oracle(epsg=5070),
+        "spatial_reproject_laea": _laea_oracle(epsg=3035),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),
         "spatial_codecs": f"""
             WITH base AS (

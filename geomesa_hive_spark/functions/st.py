@@ -1047,6 +1047,8 @@ def _coord_fn(fk, tk):
             return proj.lcc_inverse(c, fk[1:])
         if fk[0] == "aea":
             return proj.aea_inverse(c, fk[1:])
+        if fk[0] == "laea":
+            return proj.laea_inverse(c, fk[1:])
         if fk[0] == "stere":
             return proj.stere_inverse(c, fk[1:])
         if fk[0] == "sinu":
@@ -1073,6 +1075,8 @@ def _coord_fn(fk, tk):
             return proj.lcc_forward(c, tk[1:])
         if tk[0] == "aea":
             return proj.aea_forward(c, tk[1:])
+        if tk[0] == "laea":
+            return proj.laea_forward(c, tk[1:])
         if tk[0] == "stere":
             return proj.stere_forward(c, tk[1:])
         if tk[0] == "sinu":

@@ -3,7 +3,10 @@ WGS84 ↔ UTM (Transverse Mercator, any zone, both hemispheres),
 WGS84 ↔ Lambert conformal conic (param-driven, 1SP or 2SP — covers
 Lambert-93 / State Plane / Canada Atlas and any proj4 ``+proj=lcc``),
 WGS84 ↔ Albers equal-area conic (param-driven — Conus/Australian
-Albers and any ``+proj=aea``), WGS84 ↔ polar stereographic
+Albers and any ``+proj=aea``), WGS84 ↔ Lambert azimuthal equal-area
+(oblique + polar aspects — EPSG:3035 LAEA Europe, the EU-standard
+equal-area CRS, EPSG:3574/3576 and any ``+proj=laea``), WGS84 ↔ polar
+stereographic
 (variant B lat_ts scaling and the UPS k0 pole-tangent case — NSIDC,
 Antarctic, UPS grids and any polar ``+proj=stere``), WGS84 ↔
 sinusoidal (MODIS grids), WGS84 ↔ ellipsoidal Mercator (EPSG:3395 and
@@ -53,6 +56,9 @@ __all__ = [
     "aea_forward",
     "aea_inverse",
     "aea_consts",
+    "laea_forward",
+    "laea_inverse",
+    "laea_consts",
     "stere_forward",
     "sinu_forward",
     "sinu_inverse",
@@ -121,6 +127,13 @@ _AEA_EPSG = {
     3577: (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),             # GDA94 / Australian Albers
 }
 
+# Well-known Lambert azimuthal equal-area systems: (lat_0, lon_0, x_0, y_0).
+_LAEA_EPSG = {
+    3035: (52.0, 10.0, 4321000.0, 3210000.0),   # ETRS89-extended / LAEA Europe
+    3574: (90.0, -40.0, 0.0, 0.0),              # WGS84 / North Pole LAEA Atlantic
+    3576: (90.0, 90.0, 0.0, 0.0),               # WGS84 / North Pole LAEA Russia
+}
+
 # Well-known polar stereographic systems: (north, lat_ts, lon_0, x_0, y_0).
 _STERE_EPSG = {
     3413: (True, 70.0, -45.0, 0.0, 0.0),                    # NSIDC Sea Ice North
@@ -160,6 +173,8 @@ def parse_crs(crs: str):
             return ("lcc",) + _LCC_EPSG[code]
         if code in _AEA_EPSG:
             return ("aea",) + _AEA_EPSG[code]
+        if code in _LAEA_EPSG:
+            return ("laea",) + _LAEA_EPSG[code]
         if code in _STERE_EPSG:
             return ("stere",) + _STERE_EPSG[code]
         if code == 3395:  # WGS84 / World Mercator (ellipsoidal, k0=1)
@@ -214,6 +229,12 @@ def parse_crs(crs: str):
         y0 = _proj4_num(low, "y_0", 0.0)
         fam = "lcc" if "+proj=lcc" in low else "aea"
         return (fam, lat1, lat2, lat0, lon0, x0, y0)
+    if "+proj=laea" in low:
+        lat0 = _proj4_num(low, "lat_0", 0.0)
+        lon0 = _proj4_num(low, "lon_0", 0.0)
+        x0 = _proj4_num(low, "x_0", 0.0)
+        y0 = _proj4_num(low, "y_0", 0.0)
+        return ("laea", lat0, lon0, x0, y0)
     if "+proj=stere" in low:  # polar aspect only (|lat_0| = 90)
         lat_0 = _proj4_num(low, "lat_0", 0.0)
         if abs(lat_0) < 90.0 - 1e-9:
@@ -274,7 +295,8 @@ def parse_crs(crs: str):
         f"unsupported CRS {crs!r}: supported are EPSG:4326 (lon/lat), "
         "EPSG:3857 (web mercator), EPSG:326xx/327xx (UTM north/south), "
         "Lambert conformal conic ('+proj=lcc' or EPSG:2154/3347/3978), "
-        "Albers equal-area ('+proj=aea' or EPSG:5070/3577), polar "
+        "Albers equal-area ('+proj=aea' or EPSG:5070/3577), Lambert "
+        "azimuthal equal-area ('+proj=laea' or EPSG:3035/3574/3576), polar "
         "stereographic ('+proj=stere +lat_0=±90 [+lat_ts=..]' or "
         "EPSG:3413/3995/3031/32661/32761), sinusoidal ('+proj=sinu'), "
         "ellipsoidal Mercator ('+proj=merc [+lat_ts=..|+k_0=..]' or "
@@ -535,6 +557,124 @@ def aea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
             + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
         )
     out[:, 0] = np.degrees(th / k["n"] + k["lam0"])
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lambert azimuthal equal-area (ellipsoidal, EPSG method 9820 — Snyder
+# pp. 187-190: EPSG:3035 ETRS89 / LAEA Europe — the EU-standard
+# equal-area CRS — polar EPSG:3574/3576, any '+proj=laea'). Oblique
+# aspect via the authalic-sphere construction (β, Rq, D); polar aspect
+# via the closed ρ = a·√(qp ∓ q) form (the oblique D is 0/0 at the
+# pole). Shares the authalic q and the Snyder 3-16 latitude iteration
+# with the Albers family above.
+# ---------------------------------------------------------------------------
+
+
+def laea_consts(lat0: float, lon0: float) -> dict:
+    """Projection constants for a Lambert azimuthal equal-area with
+    origin lat0/lon0 (degrees). Plain doubles for oracle replay, like
+    aea_consts: qp (authalic q at the pole), Rq (authalic-sphere
+    radius), sin/cos of the authalic origin latitude β1, and the
+    Snyder D stretch (oblique aspect only — at |lat0| = 90 the polar
+    closed form applies and D is meaningless)."""
+    qp = _aea_q_scalar(math.pi / 2.0)
+    p0 = math.radians(lat0)
+    base = {"qp": qp, "rq": _A * math.sqrt(qp / 2.0), "lam0": math.radians(lon0)}
+    if abs(lat0) >= 90.0 - 1e-12:
+        return {**base, "polar": True, "north": lat0 > 0.0}
+    q0 = _aea_q_scalar(p0)
+    b1 = math.asin(max(-1.0, min(1.0, q0 / qp)))
+    d = _A * _lcc_m_scalar(p0) / (base["rq"] * math.cos(b1))
+    return {
+        **base, "polar": False, "north": lat0 > 0.0,
+        "sb1": math.sin(b1), "cb1": math.cos(b1), "d": d,
+    }
+
+
+def laea_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → LAEA (easting, northing) meters. Vectorized.
+    ``params`` = (lat0, lon0, x0, y0) in degrees/meters."""
+    lat0, lon0, x0, y0 = params
+    k = laea_consts(lat0, lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    q = _aea_q_vec(phi)
+    dl = lam - k["lam0"]
+    if k["polar"]:
+        if k["north"]:
+            rho = _A * np.sqrt(np.maximum(k["qp"] - q, 0.0))
+            out[:, 0] = x0 + rho * np.sin(dl)
+            out[:, 1] = y0 - rho * np.cos(dl)
+        else:
+            rho = _A * np.sqrt(np.maximum(k["qp"] + q, 0.0))
+            out[:, 0] = x0 + rho * np.sin(dl)
+            out[:, 1] = y0 + rho * np.cos(dl)
+        return out
+    beta = np.arcsin(np.clip(q / k["qp"], -1.0, 1.0))
+    sb = np.sin(beta)
+    cb = np.cos(beta)
+    cdl = np.cos(dl)
+    # antipode of the origin: denominator → 0, B → ∞ (projection's own
+    # singular point); floor keeps it finite rather than inf/nan
+    den = np.maximum(1.0 + k["sb1"] * sb + k["cb1"] * cb * cdl, 1.0e-12)
+    b = k["rq"] * np.sqrt(2.0 / den)
+    out[:, 0] = x0 + b * k["d"] * cb * np.sin(dl)
+    out[:, 1] = y0 + (b / k["d"]) * (k["cb1"] * sb - k["sb1"] * cb * cdl)
+    return out
+
+
+def laea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """LAEA (easting, northing) meters → (lon°, lat°). Vectorized.
+    Latitude from authalic q by the same Snyder 3-16 fixed-point
+    iteration as aea_inverse (8 rounds → double-precision fixpoint)."""
+    lat0, lon0, x0, y0 = params
+    k = laea_consts(lat0, lon0)
+    out = coords.copy()
+    xp = coords[:, 0] - x0
+    yp = coords[:, 1] - y0
+    if k["polar"]:
+        rho = np.sqrt(xp * xp + yp * yp)
+        if k["north"]:
+            q = k["qp"] - (rho * rho) / (_A * _A)
+            lam = k["lam0"] + np.arctan2(xp, -yp)
+        else:
+            q = (rho * rho) / (_A * _A) - k["qp"]
+            lam = k["lam0"] + np.arctan2(xp, yp)
+        at_origin = rho == 0.0
+    else:
+        xd = xp / k["d"]
+        yd = k["d"] * yp
+        rho = np.sqrt(xd * xd + yd * yd)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * k["rq"]), -1.0, 1.0))
+        sce = np.sin(ce)
+        cce = np.cos(ce)
+        safe = np.where(rho == 0.0, 1.0, rho)
+        q = k["qp"] * (cce * k["sb1"] + yd * sce * k["cb1"] / safe)
+        lam = k["lam0"] + np.arctan2(
+            xp * sce,
+            k["d"] * rho * k["cb1"] * cce - k["d"] * k["d"] * yp * k["sb1"] * sce,
+        )
+        at_origin = rho == 0.0
+        q = np.where(at_origin, k["qp"] * k["sb1"], q)
+    # |q| = qp is the exact pole: the 3-16 iteration divides by cos φ,
+    # so pin those points and iterate only strictly-interior latitudes
+    at_pole = np.abs(q) >= k["qp"] * (1.0 - 1.0e-14)
+    qi = np.where(at_pole, 0.0, q)
+    phi = np.arcsin(np.clip(qi / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sp = np.sin(phi)
+        one = 1.0 - _E2 * sp * sp
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            qi / (1.0 - _E2)
+            - sp / one
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
+        )
+    phi = np.where(at_pole, np.sign(q) * (math.pi / 2.0), phi)
+    lam = np.where(at_origin, k["lam0"], lam)
+    out[:, 0] = np.degrees(lam)
     out[:, 1] = np.degrees(phi)
     return out
 

@@ -310,6 +310,63 @@ def test_aea_equal_area_property_and_roundtrip():
         assert abs(k - 1.0) < 1e-6 if expect_one else k > 1.0001
 
 
+def test_laea_published_value_equal_area_and_roundtrip():
+    """Lambert azimuthal equal-area (EPSG:3035): (a) the EPSG-registry
+    worked example for method 9820 — φ=50°N λ=5°E → E 3962799.45,
+    N 2999718.85 — to 1 cm; (b) the numeric Jacobian of the forward
+    map equals the ellipsoidal surface element (the defining equal-area
+    trait, same harness as the Albers test); (c) inverse(forward)
+    identity over Europe; (d) the polar aspect (EPSG:3574) round-trips
+    and pins the pole to the false origin."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    params = P._LAEA_EPSG[3035]
+    f = P.laea_forward(np.array([[5.0, 50.0]]), params)
+    assert abs(f[0, 0] - 3962799.45) < 0.01
+    assert abs(f[0, 1] - 2999718.85) < 0.01
+
+    a, e2 = P._A, P._E2
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-10, 30, 150)
+    lat = rng.uniform(35, 70, 150)
+    pts = np.column_stack([lon, lat])
+    h = 1e-5
+    fx = lambda q: P.laea_forward(q, params)
+    dxdlon = (fx(pts + [h, 0]) - fx(pts - [h, 0])) / (2 * h)
+    dxdlat = (fx(pts + [0, h]) - fx(pts - [0, h])) / (2 * h)
+    jac = np.abs(dxdlon[:, 0] * dxdlat[:, 1] - dxdlon[:, 1] * dxdlat[:, 0])
+    phi = np.radians(lat)
+    sp = np.sin(phi)
+    w2 = 1.0 - e2 * sp * sp
+    surf = (a * (1 - e2) / w2**1.5) * (a / np.sqrt(w2)) * np.cos(phi)
+    surf_deg = surf * (math.pi / 180.0) ** 2
+    assert np.abs(jac / surf_deg - 1.0).max() < 1e-5
+    rt = P.laea_inverse(P.laea_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+    # origin maps to the false origin exactly, and inverts to itself
+    o = P.laea_forward(np.array([[10.0, 52.0]]), params)
+    assert abs(o[0, 0] - 4321000.0) < 1e-6 and abs(o[0, 1] - 3210000.0) < 1e-6
+    ro = P.laea_inverse(o, params)
+    assert abs(ro[0, 0] - 10.0) < 1e-9 and abs(ro[0, 1] - 52.0) < 1e-9
+
+    # polar aspect: round-trip + pole at false origin + equal-area there too
+    pp = P._LAEA_EPSG[3574]
+    north = np.column_stack(
+        [rng.uniform(-180, 180, 100), rng.uniform(30, 89.5, 100)]
+    )
+    rtp = P.laea_inverse(P.laea_forward(north, pp), pp)
+    dlon = np.abs(rtp[:, 0] - north[:, 0])
+    dlon = np.minimum(dlon, 360.0 - dlon)
+    assert dlon.max() < 1e-9 and np.abs(rtp[:, 1] - north[:, 1]).max() < 1e-9
+    pole = P.laea_forward(np.array([[123.0, 90.0]]), pp)
+    assert abs(pole[0, 0]) < 1e-6 and abs(pole[0, 1]) < 1e-6
+    assert P.laea_inverse(pole, pp)[0, 1] == 90.0
+
+
 def test_stere_polar_conformal_and_roundtrip():
     """Polar stereographic: true scale on lat_ts, conformal (isotropic
     local scale), pole maps to the false origin, round-trip identity,
