@@ -2437,6 +2437,58 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_opq_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation invariance gate (similarity.opq_rotation /
+    rotate_vecs): the rotation matrix is eig-derived, so no SQL oracle
+    can replay it — instead the ORACLE ASSERTS THE DEFINING PROPERTY.
+    Spark emits, per vector, the squared norm and the inner product
+    with the query vector computed BOTH raw and after rotation (query
+    rotated too); the oracle emits the raw values twice. A pure
+    rotation preserves norms and inner products exactly, so the hash
+    matches iff R is orthonormal and rotate_vecs applies it correctly
+    — any scaling, shear, row duplication, or transpose error breaks
+    the hash. float32 quantization (the repo-wide measure convention)
+    absorbs the ~1e-14 matmul noise."""
+    emb = _t(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    R = similarity.opq_rotation(emb, "vec_id", "embedding", dim=64, m=8)
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    rq = R @ qv
+
+    def _dot(col, q):
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        return F.aggregate(
+            F.zip_with(col, qlit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def _n2(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def _q3(c):
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (a tiny negative dot
+        # rounds to -0.0 in one engine and 0.0 in the other otherwise)
+        return F.round(c.cast("float").cast("double"), 3) + F.lit(0.0)
+
+    rot = similarity.rotate_vecs(emb, "embedding", R, "rv")
+    return rot.select(
+        F.col("vec_id").alias("vec_id"),
+        _q3(_n2(F.col("embedding"))).alias("n2_orig"),
+        _q3(_n2(F.col("rv"))).alias("n2_rot"),
+        _q3(_dot(F.col("embedding"), qv)).alias("dot_orig"),
+        _q3(_dot(F.col("rv"), rq)).alias("dot_rot"),
+    )
+
+
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN JOIN — the SCALE path (same-planes bucketing both
     sides + Hamming-1 probes + equi-join on bucket). Oracle replays the
@@ -4179,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
+        "ann_opq_property": q_ann_opq_property,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "text_stats": q_text_stats,
@@ -6311,6 +6364,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, id
             LIMIT 10
         """,
+        # OPQ property oracle: the rotation is eig-derived (not SQL-
+        # replayable), so the oracle asserts the DEFINING invariant
+        # instead — raw norms/inner-products emitted twice; the Spark
+        # side computes the *_rot columns through the actual rotation,
+        # and the hash matches iff the rotation preserves them.
+        "ann_opq_property": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), q AS (
+              SELECT v AS qv FROM e WHERE vec_id = 0
+            ), m AS (
+              SELECT e.vec_id,
+                     list_sum(list_transform(e.v, x -> x * x)) AS n2,
+                     list_sum(list_transform(range(1, 65),
+                              d -> e.v[d] * q.qv[d])) AS dt
+              FROM e, q
+            )
+            SELECT vec_id,
+                   round(CAST(CAST(n2 AS FLOAT) AS DOUBLE), 3) + 0.0 AS n2_orig,
+                   round(CAST(CAST(n2 AS FLOAT) AS DOUBLE), 3) + 0.0 AS n2_rot,
+                   round(CAST(CAST(dt AS FLOAT) AS DOUBLE), 3) + 0.0 AS dot_orig,
+                   round(CAST(CAST(dt AS FLOAT) AS DOUBLE), 3) + 0.0 AS dot_rot
+            FROM m
+        """,
         "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=2, n_tables=4),
         "knn_ivf": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
         "knn_join_lsh": _knn_join_lsh_oracle(k=5, bits=8, dim=64, left_max_id=20),
@@ -6325,9 +6402,9 @@ def oracle_sql() -> dict[str, str]:
             ), sd AS (
               SELECT e.vec_id, s.s, p.j,
                      list_sum(list_transform(range(1, 9), d ->
-                       CAST(round((e.v[s.s*8 + d] - p.pv[s.s*8 + d])
+                       CAST(floor((e.v[s.s*8 + d] - p.pv[s.s*8 + d])
                                   * (e.v[s.s*8 + d] - p.pv[s.s*8 + d])
-                                  * 1000000000000.0) AS BIGINT))) AS qd
+                                  * 1000000000000.0 + 0.5) AS BIGINT))) AS qd
               FROM e, piv p, unnest([0,1,2,3,4,5,6,7]) AS s(s)
             ), codes AS (
               SELECT vec_id, s, j FROM (
@@ -6337,9 +6414,9 @@ def oracle_sql() -> dict[str, str]:
             ), lutq AS (
               SELECT s.s, p.j,
                      list_sum(list_transform(range(1, 9), d ->
-                       CAST(round((q.qv[s.s*8 + d] - p.pv[s.s*8 + d])
+                       CAST(floor((q.qv[s.s*8 + d] - p.pv[s.s*8 + d])
                                   * (q.qv[s.s*8 + d] - p.pv[s.s*8 + d])
-                                  * 1000000000000.0) AS BIGINT))) AS qd
+                                  * 1000000000000.0 + 0.5) AS BIGINT))) AS qd
               FROM piv p, q, unnest([0,1,2,3,4,5,6,7]) AS s(s)
             ), adc AS (
               SELECT c.vec_id, sum(l.qd) AS a FROM codes c
@@ -6362,7 +6439,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
             ), ad AS (
-              SELECT e.vec_id, c.li, list_sum(list_transform(range(1, 65), d -> CAST(round((e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]) * 1000000000000.0) AS BIGINT))) AS qd
+              SELECT e.vec_id, c.li, list_sum(list_transform(range(1, 65), d -> CAST(floor((e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]) * 1000000000000.0 + 0.5) AS BIGINT))) AS qd
               FROM e, cents c
             ), assign AS (
               SELECT vec_id, li FROM (
@@ -6380,7 +6457,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT v AS qv FROM e WHERE vec_id = 0
             ), qord AS (
               SELECT li, row_number() OVER (ORDER BY qd, li) AS pr FROM (
-                SELECT c.li, list_sum(list_transform(range(1, 65), d -> CAST(round((q.qv[d] - c.cv[d]) * (q.qv[d] - c.cv[d]) * 1000000000000.0) AS BIGINT))) AS qd FROM cents c, q)
+                SELECT c.li, list_sum(list_transform(range(1, 65), d -> CAST(floor((q.qv[d] - c.cv[d]) * (q.qv[d] - c.cv[d]) * 1000000000000.0 + 0.5) AS BIGINT))) AS qd FROM cents c, q)
             ), probes AS (
               SELECT li FROM qord WHERE pr <= 8
             ), cand0 AS (
@@ -6389,7 +6466,7 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN assign a USING (vec_id)
               JOIN probes USING (li) JOIN cents c ON a.li = c.li
             ), cdist AS (
-              SELECT c0.vec_id, s.s, b.pj, list_sum(list_transform(range(1, 9), d -> CAST(round((c0.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * (c0.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * 1000000000000.0) AS BIGINT))) AS qd
+              SELECT c0.vec_id, s.s, b.pj, list_sum(list_transform(range(1, 9), d -> CAST(floor((c0.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * (c0.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * 1000000000000.0 + 0.5) AS BIGINT))) AS qd
               FROM cand0 c0, cb_res b, unnest([0,1,2,3,4,5,6,7]) AS s(s)
             ), codes AS (
               SELECT vec_id, s, pj FROM (
@@ -6399,7 +6476,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.li, list_transform(range(1, 65), d -> q.qv[d] - c.cv[d]) AS rv
               FROM probes p JOIN cents c ON p.li = c.li, q
             ), lut AS (
-              SELECT qr.li, s.s, b.pj, list_sum(list_transform(range(1, 9), d -> CAST(round((qr.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * (qr.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * 1000000000000.0) AS BIGINT))) AS qd
+              SELECT qr.li, s.s, b.pj, list_sum(list_transform(range(1, 9), d -> CAST(floor((qr.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * (qr.rv[s.s*8 + d] - b.rv[s.s*8 + d]) * 1000000000000.0 + 0.5) AS BIGINT))) AS qd
               FROM qres qr, cb_res b, unnest([0,1,2,3,4,5,6,7]) AS s(s)
             ), adc AS (
               SELECT cd.vec_id, sum(l.qd) AS a

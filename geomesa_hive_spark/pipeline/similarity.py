@@ -34,6 +34,26 @@ from pyspark.sql import functions as F
 
 from geomesa_hive_spark.pipeline.dedup import cosine_sim
 
+
+def _lit_nested(x, kind: str) -> Column:
+    """Nested array literal built as ONE SQL expression string (a
+    single py4j call + one parse) instead of element-wise ``F.lit`` —
+    measured round 5: a (32, 8, 16) LUT literal costs ~6 ms this way
+    vs ~2.4 s of per-element py4j round-trips, and the analysis pass
+    over the parsed tree is ~3× faster (Catalyst constant-folds the
+    CreateArray into a single Literal either way, but reaches it
+    sooner). Values are bit-identical to the F.lit path: ``bigint``
+    renders SQL long literals (``42L``); ``double`` renders shortest
+    round-trip reprs with the ``D`` suffix, which parse back to the
+    exact same IEEE doubles."""
+    def render(v) -> str:
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array(" + ",".join(render(u) for u in v) + ")"
+        if kind == "bigint":
+            return str(int(v)) + "L"
+        return repr(float(v)) + "D"
+    return F.expr(render(x))
+
 __all__ = [
     "cosine_to_query",
     "knn_brute",
@@ -91,7 +111,7 @@ def random_hyperplane_buckets(
     grows the Catalyst tree ~``bits``×, and analysis/codegen time on a
     many-KLOC plan swamps small-input runtimes."""
     planes = _hyperplanes(dim, bits, seed)
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    planes_lit = _lit_nested(planes, "double")
     v = F.col(vec_col)
     bucket = F.aggregate(
         F.transform(
@@ -307,7 +327,7 @@ def _list_id_expr(centroids: np.ndarray, vec_col: str) -> Column:
     centroid matrix is ONE nested-array literal and the distances ONE
     transform lambda: an unrolled per-centroid chain multiplies the
     Catalyst tree by n_lists and compile time dominates small inputs."""
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = _lit_nested(centroids, "double")
     dists = F.transform(
         cents_lit,
         lambda c: F.aggregate(
@@ -590,15 +610,25 @@ def pq_codebooks_pivot(
 
 
 def _qdist(vec_slice: Column, cent) -> Column:
-    """Integer-quantized squared distance: per-dimension terms rounded
-    to 1e-12 quanta BEFORE the sum, so the total is exact integer
-    arithmetic — identical in any engine regardless of summation order
-    (a raw double fold risks last-ulp divergence on argmin near-ties)."""
+    """Integer-quantized squared distance: per-dimension terms
+    quantized to 1e-12 quanta BEFORE the sum, so the total is exact
+    integer arithmetic — identical in any engine regardless of
+    summation order (a raw double fold risks last-ulp divergence on
+    argmin near-ties). Quantization is ``floor(t + 0.5)`` — exact
+    HALF_UP for the non-negative squared terms, the same formula as
+    the NumPy twin ``_qdist_np`` and the oracle SQL replay, and pure
+    IEEE arithmetic in codegen: Spark's ``round()`` on doubles
+    allocates a BigDecimal per value, which round-5 profiling measured
+    as the entire hot cost of the IVF assignment pass (2.5 s on 2k
+    rows × 32 centroids × 64 dims in one task)."""
     return F.aggregate(
         F.zip_with(
             vec_slice,
             cent,
-            lambda x, y: F.round((x.cast("double") - y) * (x.cast("double") - y) * F.lit(float(_PQ_SCALE))).cast("bigint"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y) * (x.cast("double") - y)
+                * F.lit(float(_PQ_SCALE)) + F.lit(0.5)
+            ).cast("bigint"),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + t,
@@ -615,7 +645,7 @@ def pq_code_expr(codebooks: np.ndarray, vec_col: str) -> Column:
     v = F.col(vec_col)
     codes = []
     for s in range(m):
-        cb_lit = F.lit([[float(x) for x in c] for c in codebooks[s]])
+        cb_lit = _lit_nested(codebooks[s], "double")
         dists = F.transform(cb_lit, lambda c: _qdist(F.slice(v, s * sub + 1, sub), c))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return F.array(*codes)
@@ -692,9 +722,9 @@ def knn_pq(
         raise ValueError(f"method must be 'pivot' or 'kmeans' (got {method!r})")
     sub = codebooks.shape[2]
     q = np.asarray(query_vec, dtype=np.float64)
-    # per-dimension HALF_UP rounding (floor(x+0.5) on non-negative terms)
-    # to match Spark round() / DuckDB round() exactly — numpy .round()
-    # is half-to-even and could diverge on an exact .5 quantum
+    # per-dimension floor(x+0.5) — the exact formula _qdist compiles
+    # and the oracle SQL replays (numpy .round() is half-to-even and
+    # could diverge on an exact .5 quantum)
     lut = [
         [
             int(
@@ -704,7 +734,7 @@ def knn_pq(
         ]
         for s in range(m)
     ]
-    lut_lit = F.lit(lut)
+    lut_lit = _lit_nested(lut, "bigint")
     coded = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -743,7 +773,7 @@ def _list_id_expr_q(centroids: np.ndarray, vec_col: str) -> Column:
     near-ties are engine-independent by construction (the raw-double
     variant relies on summation-order parity, which holds here but is
     not guaranteed)."""
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = _lit_nested(centroids, "double")
     dists = F.transform(cents_lit, lambda c: _qdist(F.col(vec_col), c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -873,9 +903,9 @@ def knn_ivfpq(
             )
         else:
             lut.append([[0] * ksub for _ in range(m)])
-    lut_lit = F.lit(lut)
+    lut_lit = _lit_nested(lut, "bigint")
 
-    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    cents_lit = _lit_nested(cents, "double")
     v = F.col(vec_col)
     assigned = df.select(
         F.col(id_col).alias("id"),
@@ -889,7 +919,7 @@ def knn_ivfpq(
     coded = assigned.withColumn("r", resid)
     codes = []
     for s in range(m):
-        cb_lit = F.lit([[float(x) for x in c] for c in books[s]])
+        cb_lit = _lit_nested(books[s], "double")
         dists = F.transform(cb_lit, lambda c: _qdist(F.slice(F.col("r"), s * sub + 1, sub), c))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     coded = coded.withColumn("codes", F.array(*codes))
