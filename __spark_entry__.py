@@ -6947,8 +6947,8 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, g FROM suni UNION ALL SELECT doc_id, g FROM sbge)
             ), pg AS (
               SELECT id, c.label,
-                     CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0)
-                          / (CAST(tot AS DOUBLE) + 1024.0)) * 1000000.0) AS BIGINT) AS lp_q
+                     CAST(floor(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0)
+                          / (CAST(tot AS DOUBLE) + 1024.0)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q
               FROM sgb
               CROSS JOIN (SELECT label, tot FROM classes) c
               LEFT JOIN counts ON counts.label = c.label AND counts.b = sgb.b

@@ -92,9 +92,15 @@ def nb_score(
         .join(F.broadcast(counts), ["label", "b"], "left")
         .select(
             "id", "label",
+            # floor(x + 0.5), not round(): Spark's round() on doubles
+            # allocates a BigDecimal per value, and this expression runs
+            # once per (gram, class) row — the one hot quantization in
+            # the scorer. Identical to round() except at exact .5 ties,
+            # which transcendental ln outputs never hit; the oracle
+            # replays the same floor form.
             F.expr(
-                f"CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0)"
-                f" / (CAST(tot AS DOUBLE) + {bb})) * {_SCALE}.0) AS BIGINT)"
+                f"CAST(floor(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0)"
+                f" / (CAST(tot AS DOUBLE) + {bb})) * {_SCALE}.0 + 0.5) AS BIGINT)"
             ).alias("lp_q"),
         )
     )

@@ -525,19 +525,25 @@ def embedding_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFram
     )
 
 
-def _d2_literal(cv: list[float], vec_col) -> Column:
-    """Squared euclidean distance of an array column to a literal
-    centroid — sequential left fold, the structural twin of the
-    oracle's list_sum(list_transform(list_zip(...)))."""
-    lit = F.array(*[F.lit(float(v)) for v in cv])
-    return F.aggregate(
-        F.zip_with(
-            vec_col if isinstance(vec_col, Column) else F.col(vec_col),
-            lit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+def _d2_all(centroids, vec_col) -> Column:
+    """Array of squared euclidean distances of an array column to EVERY
+    literal centroid — sequential left fold per centroid, the
+    structural twin of the oracle's
+    list_sum(list_transform(list_zip(...))). The centroid matrix is
+    one _lit_nested SQL-string literal and the per-centroid distances
+    one transform lambda (the _list_id_expr shape): an unrolled
+    per-centroid chain multiplies both py4j construction and the
+    Catalyst tree by k."""
+    v = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    return F.transform(
+        _lit_nested(centroids, "double"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         ),
-        F.lit(0.0),
-        lambda a, x: a + x,
     )
 
 
@@ -569,7 +575,7 @@ def kmeans(
     cents = [list(r.v) for r in init]
 
     def _assign(centroids):
-        d2s = F.array(*[_d2_literal(cv, F.col("v")) for cv in centroids])
+        d2s = _d2_all(centroids, F.col("v"))
         best = F.array_position(d2s, F.array_min(d2s)).cast("int") - 1
         return pts.select(
             "id",
