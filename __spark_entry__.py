@@ -1978,7 +1978,10 @@ def q_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     out = profile_columns(
-        o, ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+        o, ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"],
+        # exact: the oracle computes true COUNT(DISTINCT); the operator's
+        # DEFAULT is approx_count_distinct (the 100 TB trade).
+        exact_distinct=True,
     )
     return out.select(
         F.col("column").alias("column"),
@@ -2442,13 +2445,18 @@ def q_ann_opq_property(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotate_vecs): the rotation matrix is eig-derived, so no SQL oracle
     can replay it — instead the ORACLE ASSERTS THE DEFINING PROPERTY.
     Spark emits, per vector, the squared norm and the inner product
-    with the query vector computed BOTH raw and after rotation (query
-    rotated too); the oracle emits the raw values twice. A pure
-    rotation preserves norms and inner products exactly, so the hash
-    matches iff R is orthonormal and rotate_vecs applies it correctly
-    — any scaling, shear, row duplication, or transpose error breaks
-    the hash. float32 quantization (the repo-wide measure convention)
-    absorbs the ~1e-14 matmul noise."""
+    with the query vector computed BOTH raw and (as a DELTA) after
+    rotation (query rotated too); the oracle emits the raw values plus
+    literal-zero deltas. A pure rotation preserves norms and inner
+    products exactly, so the hash matches iff R is orthonormal and
+    rotate_vecs applies it correctly — any scaling, shear, row
+    duplication, or transpose error breaks the hash. The raw columns
+    are bit-identical doubles on both sides (same left-to-right
+    summation), and the deltas carry only ~1e-13 matmul noise, which
+    round-to-6-decimals collapses to exactly 0.0 — never near a
+    rounding midpoint, so the gate is deterministic (round-5 advice:
+    float32-quantizing the rotated ABSOLUTE values left a rare
+    midpoint-flip flake)."""
     emb = _t(spark, sf_dir, "embeddings")
     import numpy as np
 
@@ -2479,13 +2487,18 @@ def q_ann_opq_property(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounds to -0.0 in one engine and 0.0 in the other otherwise)
         return F.round(c.cast("float").cast("double"), 3) + F.lit(0.0)
 
+    def _delta(rot_c, raw_c):
+        # rotation noise is ~1e-13; round(., 6) collapses it to exactly
+        # 0.0 (never near a midpoint), while any real defect is O(1)
+        return F.round(rot_c - raw_c, 6) + F.lit(0.0)
+
     rot = similarity.rotate_vecs(emb, "embedding", R, "rv")
     return rot.select(
         F.col("vec_id").alias("vec_id"),
         _q3(_n2(F.col("embedding"))).alias("n2_orig"),
-        _q3(_n2(F.col("rv"))).alias("n2_rot"),
+        _delta(_n2(F.col("rv")), _n2(F.col("embedding"))).alias("d_n2"),
         _q3(_dot(F.col("embedding"), qv)).alias("dot_orig"),
-        _q3(_dot(F.col("rv"), rq)).alias("dot_rot"),
+        _delta(_dot(F.col("rv"), rq), _dot(F.col("embedding"), qv)).alias("d_dot"),
     )
 
 
@@ -6366,9 +6379,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # OPQ property oracle: the rotation is eig-derived (not SQL-
         # replayable), so the oracle asserts the DEFINING invariant
-        # instead — raw norms/inner-products emitted twice; the Spark
-        # side computes the *_rot columns through the actual rotation,
-        # and the hash matches iff the rotation preserves them.
+        # instead — raw norms/inner-products plus literal-zero deltas;
+        # the Spark side computes d_n2/d_dot through the actual
+        # rotation, and the hash matches iff the rotation preserves
+        # norms and inner products (deltas round to exactly 0.0).
         "ann_opq_property": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -6383,9 +6397,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
                    round(CAST(CAST(n2 AS FLOAT) AS DOUBLE), 3) + 0.0 AS n2_orig,
-                   round(CAST(CAST(n2 AS FLOAT) AS DOUBLE), 3) + 0.0 AS n2_rot,
+                   0.0 AS d_n2,
                    round(CAST(CAST(dt AS FLOAT) AS DOUBLE), 3) + 0.0 AS dot_orig,
-                   round(CAST(CAST(dt AS FLOAT) AS DOUBLE), 3) + 0.0 AS dot_rot
+                   0.0 AS d_dot
             FROM m
         """,
         "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=2, n_tables=4),

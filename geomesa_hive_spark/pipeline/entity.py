@@ -59,7 +59,7 @@ def deletion_variants(col) -> Column:
 
 
 def _salt_block_join(
-    av: DataFrame, bv: DataFrame, key: str, block_shards: int
+    av: DataFrame, bv: DataFrame, key: str, block_shards: int, b_id_col: str
 ) -> DataFrame:
     """Equi-join B-variants to A-variants on the blocking key, salted
     against hot-key OUTPUT skew when ``block_shards`` > 1: B keyed by
@@ -67,12 +67,22 @@ def _salt_block_join(
     exactly one shard, so results are shard-count-invariant while a hot
     key's m^2 pairs spread over `shards` tasks. (AQE's skew split can't
     do this: it sees input bytes, not join output — measured in
-    `scripts/lsh_skew_bench.py` and `scripts/entity_skew_bench.py`.)"""
+    `scripts/lsh_skew_bench.py` and `scripts/entity_skew_bench.py`.)
+
+    ``b_id_col`` names the B-side column the shard hash is taken from —
+    it MUST vary within a blocking key (a row id, never the key itself
+    or any per-key constant, which would collapse every hot-key B row
+    into one shard and silently undo the salting)."""
     s = max(1, int(block_shards))
     if s == 1:
         return bv.join(av, key)
+    if b_id_col == key:
+        raise ValueError(
+            f"b_id_col {b_id_col!r} is the blocking key itself — the shard "
+            "hash would be constant per key and the salting a no-op"
+        )
     bs = bv.withColumn(
-        "__sh", F.pmod(F.xxhash64(bv.columns[0]), F.lit(s)).cast("int")
+        "__sh", F.pmod(F.xxhash64(b_id_col), F.lit(s)).cast("int")
     )
     as_ = av.withColumn("__sh", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
     return bs.join(as_, [key, "__sh"]).drop("__sh")
@@ -103,7 +113,7 @@ def link_records(
         F.explode(deletion_variants(b_name)).alias("_v"),
     )
     cand = (
-        _salt_block_join(av, bv, "_v", block_shards)
+        _salt_block_join(av, bv, "_v", block_shards, b_id_col="_bid")
         .select("_bid", "_bn", "_aid", "_an")
         .distinct()  # a pair can share several variants
         .withColumn("_d", F.levenshtein("_bn", "_an"))
@@ -177,7 +187,9 @@ def link_phonetic(
         F.col(b_id).alias("b_id"), F.col(b_name).alias("bn"),
         phonetic_code(b_name).alias("__c"),
     )
-    cand = _salt_block_join(ca, cb, "__c", block_shards).withColumn(
+    cand = _salt_block_join(
+        ca, cb, "__c", block_shards, b_id_col="b_id"
+    ).withColumn(
         "dist", F.levenshtein("an", "bn")
     ).filter(F.col("dist") <= int(max_dist))
     w = Window.partitionBy("b_id").orderBy(F.asc("dist"), F.asc("a_id"))

@@ -7,13 +7,13 @@ Single-scan by construction: ALL profiled columns are computed in ONE
 ``df.agg`` (flat list of per-column null/distinct/min/max aggregates
 plus one shared row count), then the wide single row is unpivoted to
 the per-column report schema with an explode over literal structs —
-a driver-free reshape of one row. With ``exact_distinct=True`` the
-multiple ``count(DISTINCT)`` aggregates are planned by Catalyst as a
-single-scan Expand (N× row replication inside the stage, but the
-source parquet is read once); ``exact_distinct=False`` swaps in
-``approx_count_distinct`` (HLL sketches), which needs no Expand at
-all and is the 100 TB default trade — both stated here rather than
-silently chosen.
+a driver-free reshape of one row. The DEFAULT distinct count is
+``approx_count_distinct`` (HLL sketches, ~2% error): it needs no
+Expand and is the right 100 TB trade. Opting into
+``exact_distinct=True`` plans the multiple ``count(DISTINCT)``
+aggregates as a single-scan Expand — the source parquet is still
+read once, but every row is replicated ``len(cols)``× inside the
+stage, so at 100 TB the exact path shuffles N_cols× the data.
 """
 
 from __future__ import annotations
@@ -25,13 +25,16 @@ __all__ = ["profile_columns"]
 
 
 def profile_columns(
-    df: DataFrame, cols: list[str], exact_distinct: bool = True
+    df: DataFrame, cols: list[str], exact_distinct: bool = False
 ) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_s, max_s) — one row per
-    profiled column, deterministic output across partitionings (counts
-    are exact unless ``exact_distinct=False``; min/max stringify AFTER
-    aggregation so numeric order is used, not string order). One scan
-    of ``df`` regardless of ``len(cols)``."""
+    profiled column, deterministic output across partitionings (min/max
+    stringify AFTER aggregation so numeric order is used, not string
+    order). One scan of ``df`` regardless of ``len(cols)``.
+    ``n_distinct`` is an HLL estimate by default; pass
+    ``exact_distinct=True`` to accept the Expand's ``len(cols)``× row
+    replication inside the aggregation stage in exchange for exact
+    counts (fine at audit scale, wrong at 100 TB)."""
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for i, c in enumerate(cols):
         nd = (

@@ -27,6 +27,8 @@ queries are hash-verified end-to-end.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -45,13 +47,24 @@ def _lit_nested(x, kind: str) -> Column:
     sooner). Values are bit-identical to the F.lit path: ``bigint``
     renders SQL long literals (``42L``); ``double`` renders shortest
     round-trip reprs with the ``D`` suffix, which parse back to the
-    exact same IEEE doubles."""
+    exact same IEEE doubles.
+
+    Non-finite values are rejected up front: ``repr(nan)`` would render
+    ``nanD``, which Catalyst treats as an unresolved identifier and
+    fails with an obscure AnalysisException far from the real cause
+    (a NaN/Inf embedding propagating into a centroid/codebook/LUT)."""
     def render(v) -> str:
         if isinstance(v, (list, tuple, np.ndarray)):
             return "array(" + ",".join(render(u) for u in v) + ")"
         if kind == "bigint":
             return str(int(v)) + "L"
-        return repr(float(v)) + "D"
+        f = float(v)
+        if not math.isfinite(f):
+            raise ValueError(
+                f"_lit_nested: non-finite value {f!r} in literal — a NaN/Inf "
+                "embedding has propagated into a centroid/codebook/LUT"
+            )
+        return repr(f) + "D"
     return F.expr(render(x))
 
 __all__ = [
