@@ -1025,12 +1025,30 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     block_col: str | None = None,
     shards: int = 4,
+    dim: int | None = None,
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     Blocked by ``block_col`` when given (e.g. a cluster/label/LSH-bucket
-    column) so the join is an equi-join; without it, falls back to a
-    broadcast-nested-loop — only acceptable for small tables.
+    column) so the join is an equi-join. When ``block_col`` is None the
+    DEFAULT is no longer all-pairs: the function derives its own
+    multi-table sign-LSH blocks (``n_tables`` independent ``bits``-bit
+    hyperplane signatures per row, reusing the similarity-module plane
+    construction; each row explodes to ``n_tables`` (table<<bits)|bucket
+    keys) and runs the same salted equi-join per derived block, then
+    distincts pairs that met in several tables. This makes the default
+    path APPROXIMATE with stated recall
+    ``1 - (1 - (1 - θ/π)^bits)^n_tables`` for angle θ: at the defaults
+    (8 bits × 8 tables) ≈ 0.99 for cos ≥ 0.95 and ≈ 0.93 at cos 0.90 —
+    an explicit trade, chosen over the previous silent ``crossJoin``
+    scale trap. The exact all-pairs baseline survives only behind
+    ``allow_cross_join=True`` (small tables / oracle use). ``dim`` is
+    the embedding width; if None it is read from one row (bounded
+    single-row collect, codebook-style).
 
     Norms are hoisted out of the pair expression (computed once per ROW
     before the join, identical float op order, so results are bit-equal to
@@ -1060,7 +1078,43 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("n", norm)
-    if block_col:
+    multi_table = False
+    if not block_col and not allow_cross_join:
+        # derive sign-LSH blocks (local import: similarity imports
+        # cosine_sim from this module)
+        from geomesa_hive_spark.pipeline.similarity import (
+            _hyperplanes, _lit_nested,
+        )
+
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col))).first()[0]
+        planes = np.stack(
+            [_hyperplanes(int(dim), int(bits), seed + t) for t in range(int(n_tables))]
+        )  # (n_tables, bits, dim)
+        planes_lit = _lit_nested(planes, "double")
+        v = F.col("v")
+        blk_arr = F.transform(
+            planes_lit,
+            lambda tbl, t: F.aggregate(
+                F.transform(
+                    tbl,
+                    lambda p, i: F.when(
+                        F.aggregate(
+                            F.zip_with(v, p, lambda x, y: x.cast("double") * y),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        >= 0,
+                        F.call_function("shiftleft", F.lit(1), i),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.call_function("shiftleft", t, F.lit(int(bits))),
+                lambda acc, b: acc + b,
+            ),
+        )
+        base = base.withColumn("blk", F.explode(blk_arr))
+        multi_table = True
+    if block_col or multi_table:
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         s = max(1, int(shards))
         a = base.select(
@@ -1091,8 +1145,12 @@ def embedding_near_dup_pairs(
     sim = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))
     ).otherwise(F.lit(0.0))
-    return (
+    out = (
         joined.withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    # a pair can meet in up to n_tables derived blocks; block_col rows
+    # carry exactly one block so the distinct is skipped there (keeps
+    # the contract query's plan unchanged)
+    return out.distinct() if multi_table else out

@@ -106,6 +106,34 @@ def test_embedding_near_dup(spark):
     assert out == {(1, 2)}  # 1-4 blocked apart; 1-3 orthogonal
 
 
+def test_embedding_near_dup_default_no_cross_join(spark):
+    """The block_col=None DEFAULT must derive sign-LSH blocks, not
+    crossJoin (r5 verdict wrong #1): the plan may contain no cartesian
+    or broadcast-nested-loop join, and near-identical vectors must
+    still pair up. allow_cross_join=True keeps the exact baseline."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # rows 100+i = tiny perturbations of rows 0..4 -> cosine ~0.9999
+    for i in range(5):
+        rows.append((100 + i, [float(x + 1e-4) for x in vecs[i]]))
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>")
+
+    out = dedup.embedding_near_dup_pairs(df, "id", "v", threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(i, 100 + i) for i in range(5)}
+
+    exact = dedup.embedding_near_dup_pairs(
+        df, "id", "v", threshold=0.99, allow_cross_join=True
+    )
+    assert {(r.id_a, r.id_b) for r in exact.collect()} == got
+
+
 EMB = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(50)]
 
 
