@@ -765,6 +765,34 @@ def q_spatial_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_krovak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krovak reprojection (EPSG:4326 → EPSG:5514, S-JTSK Krovak East
+    North) on points over a Central-Europe window; the oracle replays
+    the FULL chain — WGS84 geodetic → ECEF → 3-parameter S-JTSK
+    Helmert → Bowring closed-form geodetic on Bessel 1841 → the EPSG
+    9819 Krovak forward (conformal-sphere U, rotated T/D, conic
+    ρ·θ, East-North axis negation) — in SQL with identical
+    repr-embedded constants. Round 6: closes the most common remaining
+    ST_GeomReproject raise after round 5's LAEA (reference scope:
+    spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:5514")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= 4.005) & (F.col("cx") <= 26.995)
+            & (F.col("cy") >= 42.005) & (F.col("cy") <= 56.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("krovak_e"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("krovak_n"),
+        )
+    )
+
+
 def q_spatial_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal polar stereographic reprojection (EPSG:4326 →
     EPSG:3031, Antarctic) on south-polar points; the oracle replays the
@@ -4179,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_reproject_aea": q_spatial_reproject_aea,
         "spatial_reproject_laea": q_spatial_reproject_laea,
+        "spatial_reproject_krovak": q_spatial_reproject_krovak,
         "spatial_reproject_stere": q_spatial_reproject_stere,
         "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_reproject_merc": q_spatial_reproject_merc,
@@ -4686,6 +4715,105 @@ def _osgb_oracle() -> str:
         ), rad AS (
           SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
         ){_tmerc_series_sql(K, "rad", "bng_e", "bng_n")}
+    """
+
+
+def _krovak_oracle() -> str:
+    """Replay EPSG:5514 end to end: WGS84 geodetic → ECEF → negated
+    3-parameter S-JTSK Helmert (rotations zero, unit scale — the
+    reverse path datum_from_wgs84 computes) → Bowring's closed-form
+    geodetic on Bessel 1841 → the EPSG 9819 Krovak forward (conformal
+    U, V = B(λ0−λ), rotated T and D, θ = nD, ρ = ρ0·tp^n/tan^n(T/2+π/4),
+    E = −ρ sinθ, N = −ρ cosθ). Every constant is repr-embedded and the
+    degrees→radians round-trip between chain stages is mirrored so
+    expression shapes match bit-near."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _E2, _KROVAK_ALPHAC, _KROVAK_K, _KROVAK_LATC, _KROVAK_LATP,
+        _KROVAK_LON0, _KROVAK_TOWGS84, ELLIPSOIDS, _ellps_e2, krovak_consts,
+    )
+
+    aB, rfB = ELLIPSOIDS["bessel"]
+    e2B = _ellps_e2(aB, rfB)
+    K = krovak_consts(aB, e2B, _KROVAK_LATC, _KROVAK_LON0, _KROVAK_ALPHAC,
+                      _KROVAK_LATP, _KROVAK_K)
+    dx, dy, dz = _KROVAK_TOWGS84
+    ndx, ndy, ndz = repr(-dx), repr(-dy), repr(-dz)
+    aW, e2W = repr(_A), repr(_E2)
+    bB = repr(aB * _math.sqrt(1.0 - e2B))
+    ep2B = repr(e2B / (1.0 - e2B))
+    raB, re2B = repr(aB), repr(e2B)
+    e, bb, t0 = repr(K["e"]), repr(K["b"]), repr(K["t0"])
+    n, r0, tp = repr(K["n"]), repr(K["r0"]), repr(K["tp"])
+    sa, ca, lam0 = repr(K["sa"]), repr(K["ca"]), repr(K["lam0"])
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= 4.005 AND {_C_X} <= 26.995
+            AND {_C_Y} >= 42.005 AND {_C_Y} <= 56.995
+        ), rad0 AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), ec AS (
+          SELECT c_custkey, lam, phi,
+                 {aW} / sqrt(1.0 - {e2W} * sin(phi) * sin(phi)) AS nn
+          FROM rad0
+        ), xyz AS (
+          SELECT c_custkey,
+                 nn * cos(phi) * cos(lam) AS gx,
+                 nn * cos(phi) * sin(lam) AS gy,
+                 nn * (1.0 - {e2W}) * sin(phi) AS gz
+          FROM ec
+        ), hel AS (
+          SELECT c_custkey,
+                 ({ndx}) + 1.0 * (gx - 0.0 * gy + 0.0 * gz) AS hx,
+                 ({ndy}) + 1.0 * (0.0 * gx + gy - 0.0 * gz) AS hy,
+                 ({ndz}) + 1.0 * (-0.0 * gx + 0.0 * gy + gz) AS hz
+          FROM xyz
+        ), bw1 AS (
+          SELECT c_custkey, hx, hy, hz,
+                 sqrt(hx * hx + hy * hy) AS p
+          FROM hel
+        ), bw2 AS (
+          SELECT c_custkey, hx, hy, hz, p,
+                 atan2(hz * {raB}, p * {bB}) AS th
+          FROM bw1
+        ), geo AS (
+          SELECT c_custkey,
+                 degrees(atan2(hy, hx)) AS lon2,
+                 degrees(atan2(hz + {ep2B} * {bB} * sin(th) * sin(th) * sin(th),
+                               p - {re2B} * {raB} * cos(th) * cos(th) * cos(th))) AS lat2
+          FROM bw2
+        ), rad AS (
+          SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
+        ), k1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), k2 AS (
+          SELECT c_custkey,
+                 2.0 * (atan({t0} * pow(tan(phi / 2.0 + pi() / 4.0), {bb})
+                        / pow((1.0 + {e} * sp) / (1.0 - {e} * sp),
+                              {e} * {bb} / 2.0)) - pi() / 4.0) AS u,
+                 {bb} * ({lam0} - lam) AS v
+          FROM k1
+        ), k3 AS (
+          SELECT c_custkey, u, v,
+                 asin({ca} * sin(u) + {sa} * cos(u) * cos(v)) AS t
+          FROM k2
+        ), k4 AS (
+          SELECT c_custkey, t,
+                 {n} * asin(cos(u) * sin(v) / cos(t)) AS theta
+          FROM k3
+        ), k5 AS (
+          SELECT c_custkey, theta,
+                 {r0} * pow({tp}, {n})
+                   / pow(tan(t / 2.0 + pi() / 4.0), {n}) AS r
+          FROM k4
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(0.0 - r * sin(theta) AS FLOAT) AS DOUBLE), 3) AS krovak_e,
+               round(CAST(CAST(0.0 - r * cos(theta) AS FLOAT) AS DOUBLE), 3) AS krovak_n
+        FROM k5
     """
 
 
@@ -5537,6 +5665,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_reproject_aea": _aea_oracle(epsg=5070),
         "spatial_reproject_laea": _laea_oracle(epsg=3035),
+        "spatial_reproject_krovak": _krovak_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),
         "spatial_codecs": f"""
             WITH base AS (

@@ -74,6 +74,9 @@ __all__ = [
     "tmerc_consts",
     "moll_forward",
     "moll_inverse",
+    "krovak_forward",
+    "krovak_inverse",
+    "krovak_consts",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -189,17 +192,41 @@ def parse_crs(crs: str):
             a, rf = ELLIPSOIDS["grs80"]
             return ("tmerc", a, _ellps_e2(a, rf), 0.0, 173.0, 0.9996,
                     1600000.0, 10000000.0, None)
+        if code == 5514:  # S-JTSK / Krovak East North (Bessel + Helmert)
+            a, rf = ELLIPSOIDS["bessel"]
+            return ("krovak", a, _ellps_e2(a, rf), _KROVAK_LATC,
+                    _KROVAK_LON0, _KROVAK_ALPHAC, _KROVAK_LATP, _KROVAK_K,
+                    0.0, 0.0, _KROVAK_TOWGS84)
         if code == 54009:  # ESRI World Mollweide
             return ("moll", _A, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54009$", low):
         return ("moll", _A, 0.0, 0.0, 0.0)
+    if "+proj=krovak" in low:
+        # proj4 defaults for +proj=krovak ARE the S-JTSK parameters;
+        # ellipsoid defaults to Bessel (not the module-wide WGS84)
+        em = re.search(r"\+ellps=([a-z0-9]+)", low)
+        name = em.group(1) if em else "bessel"
+        if name not in ELLIPSOIDS:
+            raise ValueError(
+                f"unsupported +ellps={name}: supported are "
+                + ", ".join(sorted(ELLIPSOIDS))
+            )
+        a, rf = ELLIPSOIDS[name]
+        return ("krovak", a, _ellps_e2(a, rf),
+                _proj4_num(low, "lat_0", _KROVAK_LATC),
+                _proj4_num(low, "lon_0", _KROVAK_LON0),
+                _proj4_num(low, "alpha", _KROVAK_ALPHAC),
+                _KROVAK_LATP,
+                _proj4_num(low, "k_0", _proj4_num(low, "k", _KROVAK_K)),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
+                _parse_towgs84(low))
     if "+towgs84=" in low and "+proj=tmerc" not in low:
         # every other family here is WGS84-only; silently dropping a
         # datum shift would be a ~100 m wrong answer, so refuse loudly
         raise ValueError(
             f"unsupported CRS {crs!r}: +towgs84 datum shifts are "
-            "implemented for the tmerc family (and registered EPSG "
-            "codes like 27700) only"
+            "implemented for the tmerc and krovak families (and "
+            "registered EPSG codes like 27700/5514) only"
         )
     if "+proj=tmerc" in low:
         a, e2, tw = _tmerc_datum(low)
@@ -303,8 +330,9 @@ def parse_crs(crs: str):
         "EPSG:3395), equidistant cylindrical ('+proj=eqc [+lat_ts=..]' "
         "or EPSG:4087), general transverse Mercator on any ellipsoid "
         "('+proj=tmerc [+ellps=..|+a=..+rf=..] [+towgs84=..]' or "
-        "EPSG:27700/EPSG:2193), Mollweide ('+proj=moll' or ESRI:54009) "
-        "and their proj4 equivalents"
+        "EPSG:27700/EPSG:2193), Mollweide ('+proj=moll' or ESRI:54009), "
+        "Krovak ('+proj=krovak' or EPSG:5514) and their proj4 "
+        "equivalents"
     )
 
 
@@ -1240,3 +1268,135 @@ def _parse_towgs84(low: str):
     if all(v == 0.0 for v in vals):
         return None
     return vals
+
+
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819 / 1041 — S-JTSK, the Czech/Slovak national
+# CRS: EPSG:5514 "Krovak East North", '+proj=krovak'). Conformal
+# oblique conic: ellipsoid → Gaussian (conformal) sphere at φc, rotate
+# so the cone axis passes through the cartographic pole (co-latitude
+# αc), then a conformal conic with pseudo standard parallel φp. Uses
+# the public EPSG Guidance Note 7-2 formulation (the same construction
+# every proj implementation uses). Defined on Bessel 1841; EPSG:5514
+# carries the standard 3-parameter S-JTSK→WGS84 Helmert, so the full
+# chain is WGS84 → ECEF Helmert → Bessel geodetic → Krovak.
+# EPSG:5514 axes: Easting = −Westing, Northing = −Southing (both
+# negative over the Czech/Slovak territory).
+# ---------------------------------------------------------------------------
+
+#: S-JTSK → WGS84 3-parameter Helmert (the +towgs84 every proj
+#: distribution ships for EPSG:5514).
+_KROVAK_TOWGS84 = (589.0, 76.0, 480.0)
+
+#: EPSG:5514 projection parameters: ellipsoid Bessel 1841, latitude of
+#: projection centre 49°30'N, longitude of origin 24°50'E Greenwich
+#: (42°30' east of Ferro), co-latitude of cone axis 30°17'17.303",
+#: pseudo standard parallel 78°30'N, scale 0.9999.
+_KROVAK_LATC = 49.5
+_KROVAK_LON0 = 24.833333333333332
+_KROVAK_ALPHAC = 30.28813972222222
+_KROVAK_LATP = 78.5
+_KROVAK_K = 0.9999
+
+
+def krovak_consts(a: float, e2: float, lat_c: float, lon0: float,
+                  alpha_c: float, lat_p: float, k_p: float) -> dict:
+    """Every per-projection Krovak constant as plain Python doubles
+    (repr round-trips them) so an oracle-SQL generator can replay the
+    per-point math exactly: B (sphere convergence exponent), the
+    Gaussian radius A, conformal origin γ0 and its t0, cone constant
+    n = sin φp, ρ0, and sin/cos of the cone-axis co-latitude."""
+    e = math.sqrt(e2)
+    pc = math.radians(lat_c)
+    sc = math.sin(pc)
+    cc = math.cos(pc)
+    bb = math.sqrt(1.0 + e2 * (cc * cc * cc * cc) / (1.0 - e2))
+    ga = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    g0 = math.asin(sc / bb)
+    t0 = (
+        math.tan(math.pi / 4.0 + g0 / 2.0)
+        * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * bb / 2.0)
+        / math.tan(math.pi / 4.0 + pc / 2.0) ** bb
+    )
+    pp = math.radians(lat_p)
+    n = math.sin(pp)
+    r0 = k_p * ga / math.tan(pp)
+    ac = math.radians(alpha_c)
+    return {
+        "e": e, "b": bb, "t0": t0, "n": n, "r0": r0,
+        "sa": math.sin(ac), "ca": math.cos(ac),
+        "lam0": math.radians(lon0),
+        "tp": math.tan(math.pi / 4.0 + pp / 2.0),
+    }
+
+
+def krovak_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Bessel geodetic (lon°, lat°) → EPSG:5514 Krovak East-North
+    (easting, northing) meters; both negative over the projection's
+    territory (easting = −westing Yp, northing = −southing Xp).
+    Vectorized. ``params`` = (a, e2, lat_c, lon0, alpha_c, lat_p, k_p,
+    x0, y0) in degrees/meters; the datum shift happens OUTSIDE (the
+    caller converts WGS84 → Bessel first, mirroring the tmerc chain)."""
+    a, e2, lat_c, lon0, alpha_c, lat_p, k_p, x0, y0 = params
+    k = krovak_consts(a, e2, lat_c, lon0, alpha_c, lat_p, k_p)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    # conformal (Gaussian-sphere) latitude U
+    u = 2.0 * (
+        np.arctan(
+            k["t0"]
+            * np.tan(phi / 2.0 + math.pi / 4.0) ** k["b"]
+            / ((1.0 + k["e"] * sp) / (1.0 - k["e"] * sp)) ** (k["e"] * k["b"] / 2.0)
+        )
+        - math.pi / 4.0
+    )
+    v = k["b"] * (k["lam0"] - lam)
+    su = np.sin(u)
+    cu = np.cos(u)
+    cv = np.cos(v)
+    t = np.arcsin(np.clip(k["ca"] * su + k["sa"] * cu * cv, -1.0, 1.0))
+    d = np.arcsin(np.clip(cu * np.sin(v) / np.cos(t), -1.0, 1.0))
+    theta = k["n"] * d
+    r = k["r0"] * k["tp"] ** k["n"] / np.tan(t / 2.0 + math.pi / 4.0) ** k["n"]
+    out[:, 0] = x0 - r * np.sin(theta)   # easting  = −westing
+    out[:, 1] = y0 - r * np.cos(theta)   # northing = −southing
+    return out
+
+
+def krovak_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """EPSG:5514 Krovak East-North meters → Bessel geodetic (lon°,
+    lat°). Vectorized; latitude by the standard 8-round conformal
+    fixed-point iteration (double-precision fixpoint, same shape as
+    the tmerc/merc inverses)."""
+    a, e2, lat_c, lon0, alpha_c, lat_p, k_p, x0, y0 = params
+    k = krovak_consts(a, e2, lat_c, lon0, alpha_c, lat_p, k_p)
+    out = coords.copy()
+    w = -(coords[:, 0] - x0)   # westing  Yp
+    s = -(coords[:, 1] - y0)   # southing Xp
+    r = np.sqrt(s * s + w * w)
+    theta = np.arctan2(w, s)
+    d = theta / k["n"]
+    t = 2.0 * (
+        np.arctan((k["r0"] / np.maximum(r, 1.0e-12)) ** (1.0 / k["n"])
+                  * k["tp"]) - math.pi / 4.0
+    )
+    u = np.arcsin(np.clip(k["ca"] * np.sin(t) - k["sa"] * np.cos(t) * np.cos(d),
+                          -1.0, 1.0))
+    v = np.arcsin(np.clip(np.cos(t) * np.sin(d) / np.cos(u), -1.0, 1.0))
+    lam = k["lam0"] - v / k["b"]
+    # invert the conformal latitude: φ = 2(atan((tan(U/2+π/4)/t0)^(1/B)
+    # · ((1+e sinφ)/(1−e sinφ))^(e/2)) − π/4), fixed point from φ0 = U
+    base = (np.tan(u / 2.0 + math.pi / 4.0) / k["t0"]) ** (1.0 / k["b"])
+    phi = u
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = 2.0 * (
+            np.arctan(base * ((1.0 + k["e"] * sp) / (1.0 - k["e"] * sp))
+                      ** (k["e"] / 2.0))
+            - math.pi / 4.0
+        )
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out

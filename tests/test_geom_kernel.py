@@ -521,3 +521,63 @@ def test_merc_not_webmerc_dispatch(spark):
     ym = float(rows.m.split()[-1].rstrip(")"))
     yw = float(rows.w.split()[-1].rstrip(")"))
     assert abs(ym - yw) > 10000.0
+
+
+def test_krovak_published_value_conformal_and_roundtrip():
+    """Krovak (EPSG:5514 S-JTSK): (a) the EPSG Guidance Note 7-2
+    worked example for method 9819 — Bessel geodetic φ=50°12'32.4416"N
+    λ=16°50'59.1790"E Greenwich → Southing 1050538.64, Westing
+    568991.00 (East-North axes negate both) — to 1 cm, plus the four
+    published projection constants; (b) local conformality (isotropic,
+    orthogonal numeric Jacobian — Krovak's defining trait) with scale
+    ≈ k=0.9999 near the projection centre; (c) inverse(forward)
+    identity over the Czech/Slovak territory; (d) parse_crs wiring for
+    EPSG:5514 and '+proj=krovak'."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, rf = P.ELLIPSOIDS["bessel"]
+    e2 = P._ellps_e2(a, rf)
+    params = (a, e2, P._KROVAK_LATC, P._KROVAK_LON0, P._KROVAK_ALPHAC,
+              P._KROVAK_LATP, P._KROVAK_K, 0.0, 0.0)
+
+    k = P.krovak_consts(*params[:7])
+    assert abs(k["b"] - 1.000597498372) < 1e-9
+    assert abs(k["t0"] - 1.003419164) < 1e-8
+    assert abs(k["n"] - 0.979924705) < 1e-9
+    assert abs(k["r0"] - 1298039.005) < 0.01
+
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    f = P.krovak_forward(np.array([[lon, lat]]), params)
+    assert abs(f[0, 0] - (-568991.00)) < 0.01
+    assert abs(f[0, 1] - (-1050538.64)) < 0.01
+
+    rng = np.random.RandomState(13)
+    pts = np.column_stack(
+        [rng.uniform(12, 23, 200), rng.uniform(47.5, 51.5, 200)]
+    )
+    rt = P.krovak_inverse(P.krovak_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+
+    h = 1e-6
+    for lo, la in [(14.42, 50.09), (18.5, 49.2), (21.0, 48.6)]:
+        p0 = P.krovak_forward(np.array([[lo, la]]), params)[0]
+        dx = (P.krovak_forward(np.array([[lo + h, la]]), params)[0] - p0) / h
+        dy = (P.krovak_forward(np.array([[lo, la + h]]), params)[0] - p0) / h
+        sp = math.sin(math.radians(la))
+        nu = a / math.sqrt(1 - e2 * sp * sp)
+        rho = a * (1 - e2) / (1 - e2 * sp * sp) ** 1.5
+        kx = np.linalg.norm(dx) * 180 / math.pi / (nu * math.cos(math.radians(la)))
+        ky = np.linalg.norm(dy) * 180 / math.pi / rho
+        assert abs(kx / ky - 1) < 1e-6          # isotropic
+        assert abs(np.dot(dx, dy)) < 1e-4 * np.linalg.norm(dx) * np.linalg.norm(dy)
+        assert abs(kx - 0.9999) < 4e-4          # ~k0 over the territory
+
+    t = P.parse_crs("EPSG:5514")
+    assert t[0] == "krovak" and t[10] == P._KROVAK_TOWGS84
+    t2 = P.parse_crs("+proj=krovak +ellps=bessel +towgs84=589,76,480")
+    assert t2 == t
