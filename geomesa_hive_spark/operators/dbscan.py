@@ -46,11 +46,15 @@ _STRIDE = 1 << 22
 
 
 def eps_neighbor_pairs(
-    points: DataFrame, id_col: str, x: str, y: str, eps: float
+    points: DataFrame, id_col: str, x: str, y: str, eps: float,
+    with_cell: bool = False,
 ) -> DataFrame:
     """All ordered pairs (id_a, id_b), a != b, with planar distance <=
     eps. Grid self-join: left side explodes x9, right side lands in one
-    cell — one shuffle, no all-pairs."""
+    cell — one shuffle, no all-pairs. ``with_cell=True`` keeps the
+    packed grid cell of id_b as ``_cell`` (dbscan uses it to group the
+    local pre-labeling pass); dedup then goes through a groupBy with
+    the same pair semantics as the distinct."""
     cs = float(eps)
     li = F.floor(F.col(x) / cs).cast("long")
     lj = F.floor(F.col(y) / cs).cast("long")
@@ -77,13 +81,101 @@ def eps_neighbor_pairs(
         (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx"))
         + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
     )
-    return (
+    matched = (
         a.join(b, "_cell")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(d2 <= F.lit(cs * cs))
+    )
+    if with_cell:
+        # a pair meets once per cell of id_b (one row in the normal
+        # case); min() dedups identically to the distinct below
+        return matched.groupBy("id_a", "id_b").agg(F.min("_cell").alias("_cell"))
+    return (
+        matched
         .select("id_a", "id_b")
         .distinct()  # a pair can meet in up to 9 neighbor cells
     )
+
+
+_SUPER = 16  # supercell edge length in eps-cells (per contraction level)
+
+
+def _local_contract(core_edges: DataFrame, levels: int = 2) -> DataFrame:
+    """(id, root) star edges from a HIERARCHICAL per-supercell
+    union-find over (id_a, id_b, _cell) core-core edges.
+
+    Level k groups edges by the 16^k x 16^k-cell supercell of their
+    carried cell and union-finds inside each group (applyInPandas, one
+    Arrow batch per supercell), emitting per node (node, local-min
+    root) plus the component's min cell as the next level's grouping
+    coordinate. Every edge is processed in exactly ONE group per
+    level, so connectivity is preserved exactly while the graph's
+    diameter shrinks 16x per level — two levels turn the sf0.1
+    percolation chains (~7 hash-min hops after one level) into a
+    near-star graph that duplicate_clusters' hash-min phase closes in
+    1-2 one-shuffle rounds, never reaching the 6-shuffle star phase.
+    Group size at level 1 is bounded by the core-core edges inside a
+    (16·eps)² window (a hot supercell is the same parameter error as
+    the grid join's hot cell); later levels operate on star edges,
+    which shrink geometrically."""
+    import pandas as pd
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+        cell: dict[int, int] = {}
+
+        def find(u: int) -> int:
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for u, v, c in zip(
+            pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy(),
+            pdf["_cell"].to_numpy(),
+        ):
+            u, v, c = int(u), int(v), int(c)
+            for w in (u, v):
+                if w not in parent:
+                    parent[w] = w
+                    cell[w] = c
+            ru, rv = find(u), find(v)
+            if rv < ru:
+                ru, rv = rv, ru
+            if ru != rv:
+                parent[rv] = ru  # min id wins -> root IS the local min
+            cell[ru] = min(cell[ru], cell[rv], c)
+        nodes = list(parent)
+        roots = [find(u) for u in nodes]
+        return pd.DataFrame(
+            {"id": nodes, "root": roots, "_cell": [cell[r] for r in roots]}
+        )
+
+    e = core_edges
+    for lvl in range(1, int(levels) + 1):
+        g = _SUPER ** lvl
+        # stagger each level's grid by half a supercell: consecutive
+        # levels must not share boundary lines, or a component sitting
+        # on a shared corner splits into the same quadrants at EVERY
+        # level and the chain never collapses (observed at sf0.1: the
+        # data straddles cell 2^21 = the grid origin, leaving 6
+        # hash-min hops after two aligned levels; staggered, 1-2)
+        off = (g // 2) * (lvl - 1)
+        ci = F.expr(f"_cell div {_STRIDE}") + F.lit(off)
+        cj = F.pmod(F.col("_cell"), F.lit(_STRIDE)) + F.lit(off)
+        sc = (
+            F.floor(ci / g).cast("long") * F.lit(_STRIDE)
+            + F.floor(cj / g).cast("long")
+        )
+        out = (
+            e.withColumn("_sc", sc)
+            .groupBy("_sc")
+            .applyInPandas(_uf, "id long, root long, _cell long")
+        )
+        e = out.select(
+            F.col("id").alias("id_a"), F.col("root").alias("id_b"), "_cell"
+        )
+    return e.select(F.col("id_a").alias("id"), F.col("id_b").alias("root"))
 
 
 def dbscan(
@@ -100,8 +192,17 @@ def dbscan(
     cluster_id = min core-point id reachable through core-core eps-links
     (so labels are stable across runs/engines); border points take the
     min label among their core neighbors; noise rows carry -1.
+
+    The global connected-components loop is seeded by a two-level
+    HIERARCHICAL local pre-labeling pass (``_local_contract``):
+    per-supercell union-finds collapse within-window chains before the
+    shuffle loop runs, so duplicate_clusters closes in its cheap
+    hash-min phase instead of ~7 large/small-star rounds x fixed job
+    overhead (the round-5 plan audit's 6.5 s bench cost).
     """
-    pairs = eps_neighbor_pairs(points, id_col, x, y, eps).localCheckpoint()
+    pairs = eps_neighbor_pairs(
+        points, id_col, x, y, eps, with_cell=True
+    ).localCheckpoint()
     ids = points.select(F.col(id_col).alias("id"))
 
     # |N_eps(p)| >= min_pts, self included => (min_pts - 1) strict neighbors.
@@ -121,14 +222,15 @@ def dbscan(
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
         .join(core.withColumnRenamed("id", "id_b"), "id_b")
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_cell")
     )
+    star_edges = _local_contract(core_edges)
     # isolated cores (no core neighbor) must still form singleton clusters
     core_labels = duplicate_clusters(
-        core_edges, "id_a", "id_b", max_iter=max_iter
+        star_edges, "id", "root", max_iter=max_iter
     ).union(
         core.join(
-            core_edges.select(F.col("id_a").alias("id")).distinct(), "id", "left_anti"
+            star_edges.select("id").distinct(), "id", "left_anti"
         ).select("id", F.col("id").alias("cluster_id"))
     )
 

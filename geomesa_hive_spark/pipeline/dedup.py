@@ -705,9 +705,14 @@ def duplicate_clusters(
         )
 
     # ---- phase 1: hash-min label propagation (1 shuffle/round) ----
+    # 6-round budget: dense near-dup graphs exit at 2-3 (monotone-sum
+    # early exit, so extra budget costs them nothing), while dbscan's
+    # locally-contracted star graphs measure 2-6 hops depending on how
+    # supercell boundaries fall — at 6 they finish here instead of
+    # paying ~6-shuffle star rounds (round-6 dbscan plan audit)
     labels = nodes.select("id", F.col("id").alias("lab")).localCheckpoint()
     prev_lab = _lab_sig(labels)
-    for _ in range(4):
+    for _ in range(6):
         neighbor = (
             orig.join(labels, orig["b"] == labels["id"])
             .select(orig["a"].alias("id"), F.col("lab"))
