@@ -2290,6 +2290,45 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join(_events(spark, sf_dir))
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState sessionizer
+    (streaming.events.stateful_sessions): batch_sessions runs the
+    IDENTICAL _session_fold (integer epoch-MICROS gap arithmetic) over
+    each user's full sorted history. The streaming operator itself
+    cannot be DuckDB-oracled, but its gap fold — the code both paths
+    share verbatim — is hash-compared here (round-5 VERDICT item:
+    extend stream_interval_join's gate pattern to the rest of the
+    streaming surface)."""
+    from geomesa_hive_spark.streaming.events import batch_sessions
+
+    out = batch_sessions(_events(spark, sf_dir))
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        F.col("n_sessions").alias("n_sessions"),
+        F.col("n_events").alias("n_events"),
+    )
+
+
+def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState EWMA anomaly scorer
+    (streaming.events.stateful_anomaly): batch_anomaly runs the
+    IDENTICAL _anomaly_fold (warmup 5, alpha 0.2, factor 3.0) over each
+    user's history in deterministic (ts, event_id) order. The oracle
+    replays the sequential fold as a DuckDB recursive CTE with the same
+    double arithmetic (0.2·v + 0.8·ewma, v > 3.0·ewma), so every line
+    of the streaming scorer's shared fold is hash-verified."""
+    from geomesa_hive_spark.streaming.events import batch_anomaly
+
+    out = batch_anomaly(_events(spark, sf_dir), order_cols=("ts", "event_id"))
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        F.col("n").alias("n"),
+        (F.round(F.col("ewma").cast("float").cast("double"), 4) + F.lit(0.0))
+        .alias("ewma_q"),
+        F.col("n_anomalies").alias("n_anomalies"),
+    )
+
+
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators.temporal.range_join — interval binning →
     equi-join on bin, exact bound check on collocated candidates): orders
@@ -4261,6 +4300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_files": q_compact_files,
         "spatial_hexbin": q_spatial_hexbin,
         "stream_interval_join": q_stream_interval_join,
+        "stream_sessions": q_stream_sessions,
+        "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
         "dedup_exact": q_dedup_exact,
@@ -6312,6 +6353,46 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id
              AND r.ts >= l.ts
              AND r.ts <= l.ts + INTERVAL 1 HOUR
+        """,
+        # the streaming sessionizer's shared gap fold in micros: a new
+        # session when the gap from the previous event exceeds 1800 s
+        "stream_sessions": """
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            GROUP BY user_id
+        """,
+        # the streaming EWMA scorer's shared fold as a recursive CTE:
+        # identical double arithmetic (0.2*v + 0.8*ewma; anomaly when
+        # n >= 5 and v > 3.0*ewma), identical (ts, event_id) order
+        "stream_ewma_anomaly": """
+            WITH RECURSIVE o AS (
+              SELECT user_id, value AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_tot
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, n_tot, 1 AS n, v AS ewma, 0 AS n_anom
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.user_id, o.rn, o.n_tot, r.n + 1,
+                     0.2 * o.v + 0.8 * r.ewma,
+                     r.n_anom + CASE WHEN r.n >= 5 AND o.v > 3.0 * r.ewma
+                                     THEN 1 ELSE 0 END
+              FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   round(CAST(CAST(ewma AS FLOAT) AS DOUBLE), 4) + 0.0 AS ewma_q,
+                   CAST(n_anom AS BIGINT) AS n_anomalies
+            FROM r WHERE rn = n_tot
         """,
         "range_join_bands": """
             SELECT band_id, count(*) AS cnt,

@@ -21,6 +21,7 @@ from geomesa_hive_spark.streaming.events import (
     stateful_anomaly,
     stream_interval_join,
     batch_anomaly,
+    batch_sessions,
 )
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "stateful_anomaly",
     "stream_interval_join",
     "batch_anomaly",
+    "batch_sessions",
     "enrich_stream_spatial",
     "streaming_dedup",
     "streaming_contamination_filter",

@@ -41,6 +41,7 @@ __all__ = [
     "stateful_sessions",
     "stateful_anomaly",
     "batch_anomaly",
+    "batch_sessions",
     "enrich_stream_spatial",
     "streaming_dedup",
     "streaming_contamination_filter",
@@ -152,20 +153,31 @@ _SESS_OUT_SCHEMA = StructType(
 )
 
 
+def _session_fold(ts_us_sorted, state_tuple, gap_us: int):
+    """Sequential gap fold shared VERBATIM by the streaming sessionizer
+    and its batch twin — integer epoch-MICROS arithmetic both within a
+    batch and against carried state, so a gap straddling a micro-batch
+    boundary is measured exactly the way the batch query measures it
+    (truncated whole seconds would shrink cross-batch gaps by up to 1 s
+    near the threshold)."""
+    n_sessions, n_events, last_ts = state_tuple
+    for t in ts_us_sorted:
+        if last_ts is None or (t - last_ts) > gap_us:
+            n_sessions += 1
+        last_ts = int(t)
+        n_events += 1
+    return n_sessions, n_events, last_ts
+
+
 def _sessionize(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState, gap_s: float = 1800.0
 ):
     """Per-user running sessionizer: counts gap-delimited sessions.
 
     State is three longs; each micro-batch folds its (sorted) timestamps
-    into the running count. Emits the current totals every batch —
-    update-mode semantics matching the batch ``events_sessions`` query.
-
-    All gap arithmetic runs in integer epoch MICROS — both within a
-    batch and against the carried state — so a gap straddling a
-    micro-batch boundary is measured exactly the way the batch query
-    measures it (storing truncated whole seconds would shrink
-    cross-batch gaps by up to 1s near the threshold).
+    into the running count via :func:`_session_fold`. Emits the current
+    totals every batch — update-mode semantics matching the batch
+    ``events_sessions`` query.
     """
     gap_us = int(gap_s * 1_000_000)
     if state.exists:
@@ -175,11 +187,9 @@ def _sessionize(
     for pdf in pdfs:
         ts = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).to_numpy()
         ts.sort()
-        for t in ts:
-            if last_ts is None or (t - last_ts) > gap_us:
-                n_sessions += 1
-            last_ts = int(t)
-            n_events += 1
+        n_sessions, n_events, last_ts = _session_fold(
+            ts, (n_sessions, n_events, last_ts), gap_us
+        )
     state.update((int(n_sessions), int(n_events), int(last_ts)))
     yield pd.DataFrame(
         {
@@ -200,6 +210,30 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def batch_sessions(events: DataFrame, gap_s: float = 1800.0) -> DataFrame:
+    """Batch twin of :func:`stateful_sessions`: the IDENTICAL
+    :func:`_session_fold` over each user's full sorted history in one
+    pandas group — the driver-facing hash gate for the
+    applyInPandasWithState sessionizer (the streaming path itself
+    cannot be DuckDB-oracled, but its gap arithmetic is exercised and
+    hash-compared here)."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).to_numpy()
+        ts.sort()
+        n_sessions, n_events, _ = _session_fold(ts, (0, 0, None), gap_us)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(run, _SESS_OUT_SCHEMA)
 
 
 def enrich_stream_spatial(events: DataFrame, lon_col, lat_col) -> DataFrame:
@@ -397,13 +431,19 @@ def stateful_anomaly(events: DataFrame) -> DataFrame:
     )
 
 
-def batch_anomaly(events: DataFrame) -> DataFrame:
+def batch_anomaly(
+    events: DataFrame, order_cols: "tuple[str, ...]" = ("ts",)
+) -> DataFrame:
     """Batch twin of :func:`stateful_anomaly`: the same fold over the
-    full per-user event-time-ordered history (applyInPandas)."""
+    full per-user event-time-ordered history (applyInPandas).
+    ``order_cols``: the EWMA depends on value ORDER, so callers that
+    need a deterministic result across partitionings must pass a
+    tie-breaking total order (e.g. ``("ts", "event_id")``) — a bare ts
+    sort leaves equal-timestamp events in Arrow arrival order."""
     schema = _ANOM_OUT_SCHEMA
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
         n, ewma, n_anom = _anomaly_fold(
             pdf["value"].to_numpy(), (0, 0.0, 0), 0.2, 3.0, 5
         )

@@ -358,7 +358,56 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
     back = spark.read.parquet(out)
     assert sorted((r.k, r.v) for r in back.collect()) == \
            sorted((r.k, r.v) for r in df.collect())
-    # the rewrite also refreshed tight manifest stats: pruning works
-    _, kept, total = read_pruned(spark, out, "k", 0, 999)
+    # the rewrite also refreshed tight manifest stats: pruning works.
+    # repartitionByRange SAMPLES its boundaries, so file 1's upper edge
+    # lands NEAR k=999, not exactly on it — probe a range well inside
+    # one file ([100, 800]) and verify the pruned read is still exact
+    # (the [0, 999] probe flaked whenever the sampled boundary fell a
+    # few keys short of 1000 and the range straddled two files)
+    pruned, kept, total = read_pruned(spark, out, "k", 100, 800)
     assert total == 5 and kept == 1
+    assert pruned.filter((F.col("k") >= 100) & (F.col("k") <= 800)).count() == 701
     assert manifest_stats(out)["stats_cols"] == ["k"]
+
+
+def test_batch_sessions_matches_stateful_and_window(spark, events_stream):
+    """batch_sessions (the round-6 driver gate for the
+    applyInPandasWithState sessionizer) shares _session_fold verbatim
+    with the streaming path — its totals must equal BOTH the streaming
+    operator's final emission and the window-lag sessionization."""
+    from pyspark.sql import Window
+
+    ev = _batch_events(spark)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in streaming.batch_sessions(ev).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    exp = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ev.withColumn("new_s", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+    streaming.run_to_memory(
+        streaming.stateful_sessions(events_stream), "bsess_t", output_mode="update"
+    )
+    stream_final = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.table("bsess_t")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == stream_final
