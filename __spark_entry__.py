@@ -793,6 +793,34 @@ def q_spatial_reproject_krovak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_somerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swiss Oblique Mercator reprojection (EPSG:4326 → EPSG:21781,
+    CH1903/LV03) on points over a Central-Europe window; the oracle
+    replays the FULL chain — WGS84 → ECEF → 3-parameter CH1903
+    Helmert → Bowring geodetic on Bessel → the swisstopo somerc
+    forward (conformal-sphere S/b, pseudo-equator rotation,
+    equatorial Mercator) — in SQL with identical repr-embedded
+    constants. Round 6's second new family (with Krovak), closing the
+    two most common remaining ST_GeomReproject raises (reference
+    scope: spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:21781")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -4.995) & (F.col("cx") <= 19.995)
+            & (F.col("cy") >= 36.005) & (F.col("cy") <= 55.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("somerc_e"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("somerc_n"),
+        )
+    )
+
+
 def q_spatial_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal polar stereographic reprojection (EPSG:4326 →
     EPSG:3031, Antarctic) on south-polar points; the oracle replays the
@@ -4250,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_aea": q_spatial_reproject_aea,
         "spatial_reproject_laea": q_spatial_reproject_laea,
         "spatial_reproject_krovak": q_spatial_reproject_krovak,
+        "spatial_reproject_somerc": q_spatial_reproject_somerc,
         "spatial_reproject_stere": q_spatial_reproject_stere,
         "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_reproject_merc": q_spatial_reproject_merc,
@@ -4858,6 +4887,103 @@ def _krovak_oracle() -> str:
                round(CAST(CAST(0.0 - r * sin(theta) AS FLOAT) AS DOUBLE), 3) AS krovak_e,
                round(CAST(CAST(0.0 - r * cos(theta) AS FLOAT) AS DOUBLE), 3) AS krovak_n
         FROM k5
+    """
+
+
+def _somerc_oracle() -> str:
+    """Replay EPSG:21781 end to end: WGS84 geodetic → ECEF → negated
+    3-parameter CH1903 Helmert → Bowring geodetic on Bessel 1841 → the
+    swisstopo Swiss Oblique Mercator forward (conformal S = α·ln tan(
+    π/4+φ/2) − α·e/2·ln ratio + K, sphere latitude b, pseudo-equator
+    rotation, E = x0 + R·l̄, N = y0 + R·atanh(sin b̄)). Constants
+    repr-embedded; degrees→radians round-trips mirrored."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _CH1903_TOWGS84, _E2, _SOMERC_LAT0, _SOMERC_LON0, ELLIPSOIDS,
+        _ellps_e2, somerc_consts,
+    )
+
+    aB, rfB = ELLIPSOIDS["bessel"]
+    e2B = _ellps_e2(aB, rfB)
+    K = somerc_consts(aB, e2B, _SOMERC_LAT0, _SOMERC_LON0, 1.0)
+    dx, dy, dz = _CH1903_TOWGS84
+    ndx, ndy, ndz = repr(-dx), repr(-dy), repr(-dz)
+    aW, e2W = repr(_A), repr(_E2)
+    bB = repr(aB * _math.sqrt(1.0 - e2B))
+    ep2B = repr(e2B / (1.0 - e2B))
+    raB, re2B = repr(aB), repr(e2B)
+    e, al, kk = repr(K["e"]), repr(K["alpha"]), repr(K["k"])
+    r, sb0, cb0 = repr(K["r"]), repr(K["sb0"]), repr(K["cb0"])
+    lam0 = repr(K["lam0"])
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -4.995 AND {_C_X} <= 19.995
+            AND {_C_Y} >= 36.005 AND {_C_Y} <= 55.995
+        ), rad0 AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), ec AS (
+          SELECT c_custkey, lam, phi,
+                 {aW} / sqrt(1.0 - {e2W} * sin(phi) * sin(phi)) AS nn
+          FROM rad0
+        ), xyz AS (
+          SELECT c_custkey,
+                 nn * cos(phi) * cos(lam) AS gx,
+                 nn * cos(phi) * sin(lam) AS gy,
+                 nn * (1.0 - {e2W}) * sin(phi) AS gz
+          FROM ec
+        ), hel AS (
+          SELECT c_custkey,
+                 ({ndx}) + 1.0 * (gx - 0.0 * gy + 0.0 * gz) AS hx,
+                 ({ndy}) + 1.0 * (0.0 * gx + gy - 0.0 * gz) AS hy,
+                 ({ndz}) + 1.0 * (-0.0 * gx + 0.0 * gy + gz) AS hz
+          FROM xyz
+        ), bw1 AS (
+          SELECT c_custkey, hx, hy, hz,
+                 sqrt(hx * hx + hy * hy) AS p
+          FROM hel
+        ), bw2 AS (
+          SELECT c_custkey, hx, hy, hz, p,
+                 atan2(hz * {raB}, p * {bB}) AS th
+          FROM bw1
+        ), geo AS (
+          SELECT c_custkey,
+                 degrees(atan2(hy, hx)) AS lon2,
+                 degrees(atan2(hz + {ep2B} * {bB} * sin(th) * sin(th) * sin(th),
+                               p - {re2B} * {raB} * cos(th) * cos(th) * cos(th))) AS lat2
+          FROM bw2
+        ), rad AS (
+          SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
+        ), s1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey,
+                 {al} * ln(tan(pi() / 4.0 + phi / 2.0))
+                   - {al} * ({e} / 2.0)
+                     * ln((1.0 + {e} * sp) / (1.0 - {e} * sp))
+                   + {kk} AS s,
+                 {al} * (lam - {lam0}) AS l
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, l,
+                 2.0 * (atan(exp(s)) - pi() / 4.0) AS b
+          FROM s2
+        ), s4 AS (
+          SELECT c_custkey,
+                 sin(b) AS sb, cos(b) AS cb, sin(l) AS sl, cos(l) AS cl
+          FROM s3
+        ), s5 AS (
+          SELECT c_custkey,
+                 {cb0} * sb - {sb0} * cb * cl AS sbb,
+                 atan2(cb * sl, {sb0} * sb + {cb0} * cb * cl) AS lbar
+          FROM s4
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(600000.0 + {r} * lbar AS FLOAT) AS DOUBLE), 3) AS somerc_e,
+               round(CAST(CAST(200000.0 + {r} * 0.5 * ln((1.0 + sbb) / (1.0 - sbb)) AS FLOAT) AS DOUBLE), 3) AS somerc_n
+        FROM s5
     """
 
 
@@ -5710,6 +5836,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_aea": _aea_oracle(epsg=5070),
         "spatial_reproject_laea": _laea_oracle(epsg=3035),
         "spatial_reproject_krovak": _krovak_oracle(),
+        "spatial_reproject_somerc": _somerc_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),
         "spatial_codecs": f"""
             WITH base AS (

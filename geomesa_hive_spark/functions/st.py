@@ -1069,6 +1069,11 @@ def _coord_fn(fk, tk):
             tw = fk[10]
             ll = proj.krovak_inverse(c, fk[1:10])
             return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
+        if fk[0] == "somerc":
+            a, e2 = fk[1], fk[2]
+            tw = fk[8]
+            ll = proj.somerc_inverse(c, fk[1:8])
+            return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
         return proj.utm_inverse(c, fk[1], fk[2])
 
     def from_ll(c):
@@ -1102,6 +1107,11 @@ def _coord_fn(fk, tk):
             tw = tk[10]
             ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
             return proj.krovak_forward(ll, tk[1:10])
+        if tk[0] == "somerc":
+            a, e2 = tk[1], tk[2]
+            tw = tk[8]
+            ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
+            return proj.somerc_forward(ll, tk[1:8])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

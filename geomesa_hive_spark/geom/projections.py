@@ -77,6 +77,9 @@ __all__ = [
     "krovak_forward",
     "krovak_inverse",
     "krovak_consts",
+    "somerc_forward",
+    "somerc_inverse",
+    "somerc_consts",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -197,6 +200,12 @@ def parse_crs(crs: str):
             return ("krovak", a, _ellps_e2(a, rf), _KROVAK_LATC,
                     _KROVAK_LON0, _KROVAK_ALPHAC, _KROVAK_LATP, _KROVAK_K,
                     0.0, 0.0, _KROVAK_TOWGS84)
+        if code in (21781, 2056):  # CH1903/LV03, CH1903+/LV95 (Bessel)
+            a, rf = ELLIPSOIDS["bessel"]
+            x0, y0 = (600000.0, 200000.0) if code == 21781 else (
+                2600000.0, 1200000.0)
+            return ("somerc", a, _ellps_e2(a, rf), _SOMERC_LAT0,
+                    _SOMERC_LON0, 1.0, x0, y0, _CH1903_TOWGS84)
         if code == 54009:  # ESRI World Mollweide
             return ("moll", _A, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54009$", low):
@@ -220,13 +229,28 @@ def parse_crs(crs: str):
                 _proj4_num(low, "k_0", _proj4_num(low, "k", _KROVAK_K)),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
                 _parse_towgs84(low))
+    if "+proj=somerc" in low:
+        em = re.search(r"\+ellps=([a-z0-9]+)", low)
+        name = em.group(1) if em else "bessel"
+        if name not in ELLIPSOIDS:
+            raise ValueError(
+                f"unsupported +ellps={name}: supported are "
+                + ", ".join(sorted(ELLIPSOIDS))
+            )
+        a, rf = ELLIPSOIDS[name]
+        return ("somerc", a, _ellps_e2(a, rf),
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
+                _parse_towgs84(low))
     if "+towgs84=" in low and "+proj=tmerc" not in low:
         # every other family here is WGS84-only; silently dropping a
         # datum shift would be a ~100 m wrong answer, so refuse loudly
         raise ValueError(
             f"unsupported CRS {crs!r}: +towgs84 datum shifts are "
-            "implemented for the tmerc and krovak families (and "
-            "registered EPSG codes like 27700/5514) only"
+            "implemented for the tmerc, krovak and somerc families (and "
+            "registered EPSG codes like 27700/5514/21781) only"
         )
     if "+proj=tmerc" in low:
         a, e2, tw = _tmerc_datum(low)
@@ -331,7 +355,8 @@ def parse_crs(crs: str):
         "or EPSG:4087), general transverse Mercator on any ellipsoid "
         "('+proj=tmerc [+ellps=..|+a=..+rf=..] [+towgs84=..]' or "
         "EPSG:27700/EPSG:2193), Mollweide ('+proj=moll' or ESRI:54009), "
-        "Krovak ('+proj=krovak' or EPSG:5514) and their proj4 "
+        "Krovak ('+proj=krovak' or EPSG:5514), Swiss Oblique Mercator "
+        "('+proj=somerc' or EPSG:21781/EPSG:2056) and their proj4 "
         "equivalents"
     )
 
@@ -1395,6 +1420,122 @@ def krovak_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         phi = 2.0 * (
             np.arctan(base * ((1.0 + k["e"] * sp) / (1.0 - k["e"] * sp))
                       ** (k["e"] / 2.0))
+            - math.pi / 4.0
+        )
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Swiss Oblique Mercator (somerc — EPSG:21781 CH1903 / LV03, EPSG:2056
+# CH1903+ / LV95, '+proj=somerc'). The official swisstopo construction
+# (public "Formulas and constants for the calculation of the Swiss
+# conformal cylindrical projection"): ellipsoid → Gaussian conformal
+# sphere at φ0 (the same α/K construction every proj implementation
+# uses), rotate the sphere so the projection centre lies on the
+# pseudo-equator, then an equatorial Mercator. Defined on Bessel 1841;
+# EPSG:21781 carries the standard 3-parameter CH1903→WGS84 Helmert.
+# ---------------------------------------------------------------------------
+
+#: CH1903 → WGS84 3-parameter Helmert (the +towgs84 every proj
+#: distribution ships for EPSG:21781).
+_CH1903_TOWGS84 = (674.374, 15.056, 405.346)
+
+#: EPSG:21781 parameters: Bessel 1841, centre 46°57'08.66"N /
+#: 7°26'22.50"E (the old Bern observatory), k0 = 1, false (E, N) =
+#: (600000, 200000). LV95 (EPSG:2056) shifts the false origin to
+#: (2600000, 1200000) with identical projection math.
+_SOMERC_LAT0 = 46.952405555555565
+_SOMERC_LON0 = 7.439583333333333
+
+
+def somerc_consts(a: float, e2: float, lat0: float, lon0: float,
+                  k0: float) -> dict:
+    """Per-projection Swiss Oblique Mercator constants as plain doubles
+    (repr round-trips them) for exact oracle replay: α (conformal
+    sphere exponent), R (Gaussian radius × k0), b0 (sphere latitude of
+    the centre), and the K constant tying ellipsoidal to sphere
+    conformal latitude."""
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    c0 = math.cos(p0)
+    alpha = math.sqrt(1.0 + e2 * (c0 * c0 * c0 * c0) / (1.0 - e2))
+    r = k0 * a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    k = (
+        math.log(math.tan(math.pi / 4.0 + b0 / 2.0))
+        - alpha * math.log(math.tan(math.pi / 4.0 + p0 / 2.0))
+        + alpha * (e / 2.0) * math.log((1.0 + e * s0) / (1.0 - e * s0))
+    )
+    return {
+        "e": e, "alpha": alpha, "r": r, "k": k,
+        "sb0": math.sin(b0), "cb0": math.cos(b0),
+        "lam0": math.radians(lon0),
+    }
+
+
+def somerc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Geodetic (lon°, lat°) on the projection's ellipsoid →
+    Swiss Oblique Mercator (easting, northing) meters. Vectorized.
+    ``params`` = (a, e2, lat0, lon0, k0, x0, y0); the datum shift
+    happens OUTSIDE (caller converts WGS84 → Bessel first, mirroring
+    the tmerc/krovak chain)."""
+    a, e2, lat0, lon0, k0, x0, y0 = params
+    k = somerc_consts(a, e2, lat0, lon0, k0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    s = (
+        k["alpha"] * np.log(np.tan(math.pi / 4.0 + phi / 2.0))
+        - k["alpha"] * (k["e"] / 2.0)
+        * np.log((1.0 + k["e"] * sp) / (1.0 - k["e"] * sp))
+        + k["k"]
+    )
+    b = 2.0 * (np.arctan(np.exp(s)) - math.pi / 4.0)
+    l = k["alpha"] * (lam - k["lam0"])
+    sb = np.sin(b)
+    cb = np.cos(b)
+    cl = np.cos(l)
+    sbb = np.clip(k["cb0"] * sb - k["sb0"] * cb * cl, -1.0, 1.0)
+    lbar = np.arctan2(cb * np.sin(l), k["sb0"] * sb + k["cb0"] * cb * cl)
+    out[:, 0] = x0 + k["r"] * lbar
+    out[:, 1] = y0 + k["r"] * 0.5 * np.log((1.0 + sbb) / (1.0 - sbb))
+    return out
+
+
+def somerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Swiss Oblique Mercator meters → geodetic (lon°, lat°) on the
+    projection's ellipsoid. Vectorized; ellipsoidal latitude by the
+    standard 8-round conformal fixed-point iteration."""
+    a, e2, lat0, lon0, k0, x0, y0 = params
+    k = somerc_consts(a, e2, lat0, lon0, k0)
+    out = coords.copy()
+    lbar = (coords[:, 0] - x0) / k["r"]
+    bbar = 2.0 * (np.arctan(np.exp((coords[:, 1] - y0) / k["r"])) - math.pi / 4.0)
+    sbb = np.sin(bbar)
+    cbb = np.cos(bbar)
+    clb = np.cos(lbar)
+    sb = np.clip(k["cb0"] * sbb + k["sb0"] * cbb * clb, -1.0, 1.0)
+    b = np.arcsin(sb)
+    l = np.arctan2(cbb * np.sin(lbar), k["cb0"] * cbb * clb - k["sb0"] * sbb)
+    lam = k["lam0"] + l / k["alpha"]
+    # invert the conformal-sphere latitude: ln tan(π/4+φ/2) =
+    # (ln tan(π/4+b/2) − K)/α + (e/2)·ln((1+e sinφ)/(1−e sinφ))
+    base = (np.log(np.tan(b / 2.0 + math.pi / 4.0)) - k["k"]) / k["alpha"]
+    phi = b
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = 2.0 * (
+            np.arctan(
+                np.exp(
+                    base
+                    + (k["e"] / 2.0)
+                    * np.log((1.0 + k["e"] * sp) / (1.0 - k["e"] * sp))
+                )
+            )
             - math.pi / 4.0
         )
     out[:, 0] = np.degrees(lam)

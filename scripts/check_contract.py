@@ -5,11 +5,19 @@ twin at sf0.01 (DuckDB), and compares row-count, schema (column
 names), and a value hash computed the driver's way: sort columns by
 name, sort rows, hash stringified values.
 
-Usage: python scripts/check_contract.py [query ...]
+Usage: python scripts/check_contract.py [--artifact] [query ...]
+
+``--artifact`` (full runs only) also writes CONTRACT_FULL.json at the
+repo root: one record per query with pass/fail, row counts, the value
+hash, and oracle coverage — the committed, per-round, full-surface
+correctness record (round-5 VERDICT item #1: 60 queries had never been
+driver-sampled and their green evidence lived only in prose).
 """
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 import traceback
@@ -60,8 +68,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    artifact = "--artifact" in args
+    only = set(a for a in args if a != "--artifact")
     fails = []
+    record: dict[str, dict] = {}
 
     if not only or "entry" in only:
         t0 = time.time()
@@ -90,11 +101,15 @@ def main() -> int:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
             fails.append(name)
+            record[name] = {"pass": False, "err": "spark query raised"}
             continue
         el = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?  {name}: {len(spdf)} rows (rows-only, no oracle)  [{el:.1f}s]")
+            record[name] = {
+                "pass": True, "check": "rows_only", "spark_rows": len(spdf),
+            }
             if len(spdf) < 0:
                 fails.append(name)
             continue
@@ -104,15 +119,21 @@ def main() -> int:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
             fails.append(name)
+            record[name] = {"pass": False, "err": "oracle SQL raised"}
             continue
         sc, oc = sorted(spdf.columns), sorted(opdf.columns)
         if sc != oc:
             print(f"FAIL {name}: schema {sc} vs oracle {oc}")
             fails.append(name)
+            record[name] = {"pass": False, "err": "schema mismatch"}
             continue
         if len(spdf) != len(opdf):
             print(f"FAIL {name}: rows {len(spdf)} vs oracle {len(opdf)}")
             fails.append(name)
+            record[name] = {
+                "pass": False, "err": "row count mismatch",
+                "spark_rows": len(spdf), "oracle_rows": len(opdf),
+            }
             continue
         hs, ho = norm_hash(spdf), norm_hash(opdf)
         if hs != ho:
@@ -131,8 +152,35 @@ def main() -> int:
             except Exception:
                 pass
             fails.append(name)
+            record[name] = {
+                "pass": False, "err": "value hash mismatch",
+                "spark_rows": len(spdf), "oracle_rows": len(opdf),
+            }
         else:
             print(f"PASS {name}: {len(spdf)} rows hash={hs[:8]}  [{el:.1f}s]")
+            record[name] = {
+                "pass": True, "check": "hash", "rows": len(spdf), "hash": hs,
+                "sec": round(el, 2),
+            }
+
+    if artifact:
+        payload = {
+            "sf": SF_CHECK,
+            "n_queries": len(record),
+            "n_pass": sum(1 for r in record.values() if r["pass"]),
+            "n_hash_checked": sum(
+                1 for r in record.values() if r.get("check") == "hash"
+            ),
+            "queries": record,
+        }
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CONTRACT_FULL.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out}: {payload['n_pass']}/{payload['n_queries']} pass, "
+              f"{payload['n_hash_checked']} hash-checked")
 
     print("\n=== ", "ALL GREEN" if not fails else f"FAILURES: {fails}")
     return 1 if fails else 0

@@ -581,3 +581,87 @@ def test_krovak_published_value_conformal_and_roundtrip():
     assert t[0] == "krovak" and t[10] == P._KROVAK_TOWGS84
     t2 = P.parse_crs("+proj=krovak +ellps=bessel +towgs84=589,76,480")
     assert t2 == t
+
+
+def test_somerc_swisstopo_crosscheck_conformal_and_roundtrip():
+    """Swiss Oblique Mercator (EPSG:21781): (a) the projection centre
+    maps EXACTLY to the false origin (600000, 200000) — the tangency
+    anchor; (b) the full WGS84 → CH1903 Helmert → somerc chain matches
+    swisstopo's PUBLISHED approximate LV03 formulas (which take WGS84
+    input and absorb the datum shift) within their stated ~0.2 m
+    accuracy across Switzerland; (c) conformality (isotropic,
+    orthogonal Jacobian) with scale exactly 1 at the centre; (d)
+    inverse(forward) identity; (e) parse_crs wiring for EPSG:21781,
+    EPSG:2056 (LV95 false origin) and '+proj=somerc'."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, rf = P.ELLIPSOIDS["bessel"]
+    e2 = P._ellps_e2(a, rf)
+    params = (a, e2, P._SOMERC_LAT0, P._SOMERC_LON0, 1.0, 600000.0, 200000.0)
+
+    f0 = P.somerc_forward(
+        np.array([[P._SOMERC_LON0, P._SOMERC_LAT0]]), params
+    )[0]
+    assert abs(f0[0] - 600000.0) < 1e-6 and abs(f0[1] - 200000.0) < 1e-6
+
+    def swisstopo_approx(lon_deg, lat_deg):
+        # public swisstopo "approximate formulas" WGS84 -> LV03 (~0.2 m)
+        p = (lat_deg * 3600.0 - 169028.66) / 10000.0
+        l = (lon_deg * 3600.0 - 26782.5) / 10000.0
+        E = (600072.37 + 211455.93 * l - 10938.51 * l * p
+             - 0.36 * l * p * p - 44.54 * l ** 3)
+        N = (200147.07 + 308807.95 * p + 3745.25 * l * l + 76.63 * p * p
+             - 194.56 * l * l * p + 119.79 * p ** 3)
+        return E, N
+
+    for lon, lat in [(7.0, 47.0), (8.5, 46.5), (9.5, 46.2), (6.2, 46.3),
+                     (10.3, 46.6)]:
+        ll = P.datum_from_wgs84(np.array([[lon, lat]]), a, e2,
+                                P._CH1903_TOWGS84)
+        f = P.somerc_forward(ll, params)[0]
+        ea, na = swisstopo_approx(lon, lat)
+        assert abs(f[0] - ea) < 0.5 and abs(f[1] - na) < 0.5, (lon, lat)
+
+    rng = np.random.RandomState(6)
+    pts = np.column_stack(
+        [rng.uniform(5.9, 10.5, 200), rng.uniform(45.8, 47.8, 200)]
+    )
+    rt = P.somerc_inverse(P.somerc_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+
+    h = 1e-6
+    for lo, la in [(P._SOMERC_LON0, P._SOMERC_LAT0), (9.8, 46.5)]:
+        p0 = P.somerc_forward(np.array([[lo, la]]), params)[0]
+        dx = (P.somerc_forward(np.array([[lo + h, la]]), params)[0] - p0) / h
+        dy = (P.somerc_forward(np.array([[lo, la + h]]), params)[0] - p0) / h
+        sp = math.sin(math.radians(la))
+        nu = a / math.sqrt(1 - e2 * sp * sp)
+        rho = a * (1 - e2) / (1 - e2 * sp * sp) ** 1.5
+        kx = np.linalg.norm(dx) * 180 / math.pi / (nu * math.cos(math.radians(la)))
+        ky = np.linalg.norm(dy) * 180 / math.pi / rho
+        assert abs(kx / ky - 1) < 1e-6
+        assert abs(np.dot(dx, dy)) < 1e-4 * np.linalg.norm(dx) * np.linalg.norm(dy)
+    # tangent at the centre: unit scale
+    p0 = P.somerc_forward(np.array([[P._SOMERC_LON0, P._SOMERC_LAT0]]), params)[0]
+    dx = (P.somerc_forward(
+        np.array([[P._SOMERC_LON0 + h, P._SOMERC_LAT0]]), params)[0] - p0) / h
+    sp = math.sin(math.radians(P._SOMERC_LAT0))
+    nu = a / math.sqrt(1 - e2 * sp * sp)
+    k_c = np.linalg.norm(dx) * 180 / math.pi / (
+        nu * math.cos(math.radians(P._SOMERC_LAT0)))
+    assert abs(k_c - 1.0) < 1e-7
+
+    t = P.parse_crs("EPSG:21781")
+    assert t[0] == "somerc" and t[8] == P._CH1903_TOWGS84
+    t95 = P.parse_crs("EPSG:2056")
+    assert t95[6] == 2600000.0 and t95[7] == 1200000.0
+    tp = P.parse_crs(
+        "+proj=somerc +lat_0=46.952405555555565 +lon_0=7.439583333333333 "
+        "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel "
+        "+towgs84=674.374,15.056,405.346"
+    )
+    assert tp == t
