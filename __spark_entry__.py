@@ -3896,14 +3896,17 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         data,
     )
     src = docs.select("doc_id", bmp.alias("media"))
-    dec = multimodal.decode_image_batch(src, "media", strict=True)
-    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    # decode ONCE, resize from the raster (round 6: the
+    # decode_image_batch -> resize_images chain ran the entropy
+    # decoder twice per stream)
+    dec = multimodal.decode_raster_batch(src, "media", strict=True)
+    rs = multimodal.resize_raster(dec, "raster", "width", "height", 5, 4)
     return rs.select(
         F.col("doc_id").alias("doc_id"),
         F.col("mime").alias("mime"),
         F.col("width").alias("width"),
         F.col("height").alias("height"),
-        F.hex(F.col("media")).alias("resized_hex"),
+        F.hex(F.col("resized")).alias("resized_hex"),
         F.col("out_width").alias("out_width"),
         F.col("out_height").alias("out_height"),
     )
@@ -3967,14 +3970,17 @@ def q_multimodal_pixels_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bytes.fromhex("00000000") + b"IEND" + bytes(4)),
     )
     src = docs.select("doc_id", png.alias("media"))
-    dec = multimodal.decode_image_batch(src, "media", strict=True)
-    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    # decode ONCE, resize from the raster (round 6: the
+    # decode_image_batch -> resize_images chain ran the entropy
+    # decoder twice per stream)
+    dec = multimodal.decode_raster_batch(src, "media", strict=True)
+    rs = multimodal.resize_raster(dec, "raster", "width", "height", 5, 4)
     return rs.select(
         F.col("doc_id").alias("doc_id"),
         F.col("mime").alias("mime"),
         F.col("width").alias("width"),
         F.col("height").alias("height"),
-        F.hex(F.col("media")).alias("resized_hex"),
+        F.hex(F.col("resized")).alias("resized_hex"),
         F.col("out_width").alias("out_width"),
         F.col("out_height").alias("out_height"),
     )
@@ -4107,14 +4113,17 @@ def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     AC / subsampling paths with a real Huffman encoder."""
     docs = _t(spark, sf_dir, "documents")
     src = docs.select("doc_id", _jpeg_sql_bytes("16 + doc_id % 16").alias("media"))
-    dec = multimodal.decode_image_batch(src, "media", strict=True)
-    rs = multimodal.resize_images(dec, "media", 5, 4, strict=True)
+    # decode ONCE, resize from the raster (round 6: the
+    # decode_image_batch -> resize_images chain ran the entropy
+    # decoder twice per stream)
+    dec = multimodal.decode_raster_batch(src, "media", strict=True)
+    rs = multimodal.resize_raster(dec, "raster", "width", "height", 5, 4)
     return rs.select(
         F.col("doc_id").alias("doc_id"),
         F.col("mime").alias("mime"),
         F.col("width").alias("width"),
         F.col("height").alias("height"),
-        F.hex(F.col("media")).alias("resized_hex"),
+        F.hex(F.col("resized")).alias("resized_hex"),
         F.col("out_width").alias("out_width"),
         F.col("out_height").alias("out_height"),
     )

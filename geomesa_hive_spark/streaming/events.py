@@ -233,7 +233,16 @@ def batch_sessions(events: DataFrame, gap_s: float = 1800.0) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(run, _SESS_OUT_SCHEMA)
+    # explicit repartition: the per-user fold is Python-compute-heavy
+    # while its shuffle bytes are tiny, so AQE coalesces it onto a few
+    # tasks (observed 3/32 at sf0.1 — input-byte detection cannot see
+    # compute cost); user-specified numPartitions is exempt
+    n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        events.repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(run, _SESS_OUT_SCHEMA)
+    )
 
 
 def enrich_stream_spatial(events: DataFrame, lon_col, lat_col) -> DataFrame:
@@ -456,7 +465,13 @@ def batch_anomaly(
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(run, schema)
+    # same AQE-blindness pin as batch_sessions: tiny bytes, Python work
+    n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        events.repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(run, schema)
+    )
 
 
 def stream_interval_join(

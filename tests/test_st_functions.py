@@ -237,12 +237,12 @@ def test_reproject_unsupported_pair_raises(spark):
     # unsupported CRS ARGUMENT is an error (silent nulls lose data);
     # null INPUT stays null-in→null-out
     with pytest.raises(Exception):
-        # EPSG:2056 (Swiss CH1903+/LV95, oblique Mercator) — a named
-        # system outside the supported family registry (EPSG:27700
-        # became a REAL end-to-end transform in round 4, so it no
-        # longer serves as this test's unsupported example)
+        # EPSG:3375 (GDM2000 / Peninsula RSO — Hotine oblique Mercator
+        # with rectified skew) — a named system outside the supported
+        # family registry (EPSG:27700 became real in round 4, EPSG:2056
+        # in round 6, so neither serves as the unsupported example)
         spark.sql(
-            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:2056') AS g"
+            "SELECT st_geomReproject(st_makePoint(1, 1), 'EPSG:4326', 'EPSG:3375') AS g"
         ).collect()
     assert one(spark, "st_geomReproject(NULL, 'EPSG:4326', 'EPSG:3857')") is None
 
