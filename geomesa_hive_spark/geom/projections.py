@@ -80,6 +80,9 @@ __all__ = [
     "somerc_forward",
     "somerc_inverse",
     "somerc_consts",
+    "omerc_forward",
+    "omerc_inverse",
+    "omerc_consts",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -200,6 +203,11 @@ def parse_crs(crs: str):
             return ("krovak", a, _ellps_e2(a, rf), _KROVAK_LATC,
                     _KROVAK_LON0, _KROVAK_ALPHAC, _KROVAK_LATP, _KROVAK_K,
                     0.0, 0.0, _KROVAK_TOWGS84)
+        if code in _OMERC_EPSG:  # Hotine oblique Mercator variant B
+            ellps, latc, lonc, al, ga, kc, ec, nc, tw = _OMERC_EPSG[code]
+            a, rf = ELLIPSOIDS[ellps]
+            return ("omerc", a, _ellps_e2(a, rf), latc, lonc, al, ga, kc,
+                    ec, nc, tw)
         if code in (21781, 2056):  # CH1903/LV03, CH1903+/LV95 (Bessel)
             a, rf = ELLIPSOIDS["bessel"]
             x0, y0 = (600000.0, 200000.0) if code == 21781 else (
@@ -227,6 +235,30 @@ def parse_crs(crs: str):
                 _proj4_num(low, "alpha", _KROVAK_ALPHAC),
                 _KROVAK_LATP,
                 _proj4_num(low, "k_0", _proj4_num(low, "k", _KROVAK_K)),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
+                _parse_towgs84(low))
+    if "+proj=omerc" in low:
+        if "+no_uoff" in low or "+no_off" in low:
+            raise ValueError(
+                f"unsupported CRS {crs!r}: only Hotine variant B (with "
+                "the uc centre offset) is implemented; +no_uoff (variant "
+                "A) is not"
+            )
+        em = re.search(r"\+ellps=([a-z0-9]+)", low)
+        name = em.group(1) if em else "wgs84"
+        if name not in ELLIPSOIDS:
+            raise ValueError(
+                f"unsupported +ellps={name}: supported are "
+                + ", ".join(sorted(ELLIPSOIDS))
+            )
+        a, rf = ELLIPSOIDS[name]
+        alpha = _proj4_num(low, "alpha", None)
+        return ("omerc", a, _ellps_e2(a, rf),
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lonc", _proj4_num(low, "lon_0", 0.0)),
+                alpha,
+                _proj4_num(low, "gamma", alpha),
+                _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
                 _parse_towgs84(low))
     if "+proj=somerc" in low:
@@ -356,8 +388,9 @@ def parse_crs(crs: str):
         "('+proj=tmerc [+ellps=..|+a=..+rf=..] [+towgs84=..]' or "
         "EPSG:27700/EPSG:2193), Mollweide ('+proj=moll' or ESRI:54009), "
         "Krovak ('+proj=krovak' or EPSG:5514), Swiss Oblique Mercator "
-        "('+proj=somerc' or EPSG:21781/EPSG:2056) and their proj4 "
-        "equivalents"
+        "('+proj=somerc' or EPSG:21781/EPSG:2056), Hotine oblique "
+        "Mercator variant B ('+proj=omerc' or EPSG:29873) and their "
+        "proj4 equivalents"
     )
 
 
@@ -972,6 +1005,8 @@ ELLIPSOIDS = {
     "intl": (6378388.0, 297.0),
     "clrk66": (6378206.4, 294.9786982),
     "bessel": (6377397.155, 299.1528128),
+    "evrst30": (6377276.345, 300.8017),
+    "evrst67": (6377298.556, 300.8017),
     "krass": (6378245.0, 298.3),
     "sphere": (6370997.0, float("inf")),
 }
@@ -1538,6 +1573,129 @@ def somerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
             )
             - math.pi / 4.0
         )
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hotine Oblique Mercator, variant B (EPSG method 9815 — "Rectified
+# Skew Orthomorphic": EPSG:3375/3376 GDM2000 Malaysia RSO, EPSG:29873
+# Timbalai/RSO Borneo, '+proj=omerc' with false origin at the
+# projection centre). The public EPSG Guidance Note 7-2 formulation:
+# conformal mapping onto an "aposphere", oblique cylinder along an
+# initial line through (φc, λc) at azimuth αc, then rectification by
+# the skew angle γc. Variant B places the false origin AT the
+# projection centre (the uc offset).
+# ---------------------------------------------------------------------------
+
+#: well-known omerc systems: (ellps, lat_c, lon_c, alpha_c, gamma_c,
+#: k_c, false_e, false_n, towgs84) — parameters from the public EPSG
+#: registry. Only the system whose constants the GN7-2 worked example
+#: pins is registered; other RSO zones (EPSG:3375/3376 Malaysia) go
+#: through an explicit '+proj=omerc' string so false-origin constants
+#: are the caller's, not an unverifiable hardcode.
+_OMERC_EPSG = {
+    # Timbalai 1948 / RSO Borneo meters; Helmert is the proj-shipped
+    # Timbalai->WGS84 3-parameter set
+    29873: ("evrst67", 4.0, 115.0, 53.31582047222222, 53.13010236111111,
+            0.99984, 590476.87, 442857.65, (-679.0, 669.0, -48.0)),
+}
+
+
+def omerc_consts(a: float, e2: float, lat_c: float, lon_c: float,
+                 alpha_c: float, gamma_c: float, k_c: float) -> dict:
+    """Per-projection Hotine constants as plain doubles (repr
+    round-trips them) for exact oracle replay: B, A, t0, D, F, H, G,
+    γ0, λ0, and the variant-B centre offset uc."""
+    e = math.sqrt(e2)
+    pc = math.radians(lat_c)
+    sc = math.sin(pc)
+    cc = math.cos(pc)
+    bb = math.sqrt(1.0 + e2 * (cc * cc * cc * cc) / (1.0 - e2))
+    aa = a * bb * k_c * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    t0 = math.tan(math.pi / 4.0 - pc / 2.0) / (
+        (1.0 - e * sc) / (1.0 + e * sc)
+    ) ** (e / 2.0)
+    d = bb * math.sqrt(1.0 - e2) / (cc * math.sqrt(1.0 - e2 * sc * sc))
+    d2 = d * d if d * d > 1.0 else 1.0
+    f = d + math.sqrt(d2 - 1.0) * (1.0 if lat_c >= 0.0 else -1.0)
+    h = f * t0 ** bb
+    g = (f - 1.0 / f) / 2.0
+    ac = math.radians(alpha_c)
+    g0 = math.asin(max(-1.0, min(1.0, math.sin(ac) / d)))
+    lam0 = math.radians(lon_c) - math.asin(
+        max(-1.0, min(1.0, g * math.tan(g0)))
+    ) / bb
+    uc = (
+        (aa / bb) * math.atan2(math.sqrt(d2 - 1.0), math.cos(ac))
+        * (1.0 if lat_c >= 0.0 else -1.0)
+    )
+    gc = math.radians(gamma_c)
+    return {
+        "e": e, "b": bb, "a2": aa, "h": h,
+        "sg0": math.sin(g0), "cg0": math.cos(g0),
+        "sgc": math.sin(gc), "cgc": math.cos(gc),
+        "lam0": lam0, "uc": uc,
+    }
+
+
+def omerc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Geodetic (lon°, lat°) on the projection's ellipsoid → Hotine
+    Oblique Mercator variant B (easting, northing) meters. Vectorized.
+    ``params`` = (a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc);
+    the datum shift (if any) happens OUTSIDE, mirroring tmerc/krovak."""
+    a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc = params
+    k = omerc_consts(a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    t = np.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - k["e"] * sp) / (1.0 + k["e"] * sp)
+    ) ** (k["e"] / 2.0)
+    q = k["h"] / t ** k["b"]
+    s = (q - 1.0 / q) / 2.0
+    tt = (q + 1.0 / q) / 2.0
+    bl = k["b"] * (lam - k["lam0"])
+    v = np.sin(bl)
+    u_ = (-v * k["cg0"] + s * k["sg0"]) / tt
+    vv = k["a2"] * np.log((1.0 - u_) / (1.0 + u_)) / (2.0 * k["b"])
+    uu = (
+        k["a2"] * np.arctan2(s * k["cg0"] + v * k["sg0"], np.cos(bl)) / k["b"]
+        - k["uc"]
+    )
+    out[:, 0] = ec + vv * k["cgc"] + uu * k["sgc"]
+    out[:, 1] = nc + uu * k["cgc"] - vv * k["sgc"]
+    return out
+
+
+def omerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Hotine Oblique Mercator variant B meters → geodetic (lon°,
+    lat°). Vectorized; ellipsoidal latitude by the standard 8-round
+    conformal fixed-point iteration."""
+    a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc = params
+    k = omerc_consts(a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c)
+    out = coords.copy()
+    de = coords[:, 0] - ec
+    dn = coords[:, 1] - nc
+    vv = de * k["cgc"] - dn * k["sgc"]
+    uu = dn * k["cgc"] + de * k["sgc"] + k["uc"]
+    q = np.exp(-k["b"] * vv / k["a2"])
+    s = (q - 1.0 / q) / 2.0
+    tt = (q + 1.0 / q) / 2.0
+    vp = np.sin(k["b"] * uu / k["a2"])
+    up = np.clip((vp * k["cg0"] + s * k["sg0"]) / tt, -1.0, 1.0)
+    t = (k["h"] / np.sqrt((1.0 + up) / (1.0 - up))) ** (1.0 / k["b"])
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - k["e"] * sp) / (1.0 + k["e"] * sp)) ** (k["e"] / 2.0)
+        )
+    lam = k["lam0"] - np.arctan2(
+        s * k["cg0"] - vp * k["sg0"], np.cos(k["b"] * uu / k["a2"])
+    ) / k["b"]
     out[:, 0] = np.degrees(lam)
     out[:, 1] = np.degrees(phi)
     return out

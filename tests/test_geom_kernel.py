@@ -665,3 +665,67 @@ def test_somerc_swisstopo_crosscheck_conformal_and_roundtrip():
         "+towgs84=674.374,15.056,405.346"
     )
     assert tp == t
+
+
+def test_omerc_published_value_and_roundtrip():
+    """Hotine Oblique Mercator variant B (EPSG:29873 Timbalai / RSO
+    Borneo): (a) the EPSG GN7-2 worked example for method 9815 —
+    φ=5°23'14.1129"N λ=115°48'19.8196"E → E 679245.73, N 596562.78 —
+    to 1 cm, plus the published B/A/uc constants; (b) conformality
+    (isotropic, orthogonal Jacobian); (c) inverse(forward) identity
+    over a wide Borneo window; (d) parse_crs wiring for EPSG:29873 and
+    '+proj=omerc' (+no_uoff variant A refused loudly)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, rf = P.ELLIPSOIDS["evrst67"]
+    e2 = P._ellps_e2(a, rf)
+    params = (a, e2, 4.0, 115.0, 53.31582047222222, 53.13010236111111,
+              0.99984, 590476.87, 442857.65)
+    k = P.omerc_consts(a, e2, 4.0, 115.0, 53.31582047222222,
+                       53.13010236111111, 0.99984)
+    assert abs(k["b"] - 1.003303209) < 1e-8
+    assert abs(k["a2"] - 6376278.686) < 0.01
+    assert abs(k["uc"] - 738096.09) < 0.01
+
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    f = P.omerc_forward(np.array([[lon, lat]]), params)
+    assert abs(f[0, 0] - 679245.73) < 0.01
+    assert abs(f[0, 1] - 596562.78) < 0.01
+
+    rng = np.random.RandomState(8)
+    pts = np.column_stack(
+        [rng.uniform(108, 120, 200), rng.uniform(0.5, 8.0, 200)]
+    )
+    rt = P.omerc_inverse(P.omerc_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+
+    h = 1e-6
+    for lo, la in [(115.0, 4.0), (117.5, 5.5), (110.0, 1.5)]:
+        p0 = P.omerc_forward(np.array([[lo, la]]), params)[0]
+        dx = (P.omerc_forward(np.array([[lo + h, la]]), params)[0] - p0) / h
+        dy = (P.omerc_forward(np.array([[lo, la + h]]), params)[0] - p0) / h
+        sp = math.sin(math.radians(la))
+        nu = a / math.sqrt(1 - e2 * sp * sp)
+        rho = a * (1 - e2) / (1 - e2 * sp * sp) ** 1.5
+        kx = np.linalg.norm(dx) * 180 / math.pi / (nu * math.cos(math.radians(la)))
+        ky = np.linalg.norm(dy) * 180 / math.pi / rho
+        assert abs(kx / ky - 1) < 1e-6
+        assert abs(np.dot(dx, dy)) < 1e-4 * np.linalg.norm(dx) * np.linalg.norm(dy)
+        assert abs(kx - 0.99984) < 5e-4  # ~kc near the initial line
+
+    t = P.parse_crs("EPSG:29873")
+    assert t[0] == "omerc" and t[10] == (-679.0, 669.0, -48.0)
+    tp = P.parse_crs(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.13010236111111 +k_0=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +ellps=evrst67 +towgs84=-679,669,-48"
+    )
+    assert tp == t
+    with pytest.raises(ValueError):
+        P.parse_crs("+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +no_uoff")
