@@ -45,8 +45,14 @@ def nb_train(
     bounded (C×B and C rows) regardless of corpus size."""
     g = gram_bucket_stream(docs, id_col, text_col, n_buckets, seed,
                            extra_cols=[label_col])
-    counts = g.groupBy(F.col(label_col).alias("label"), "b").agg(
-        F.count("*").alias("cnt")
+    # pin the C×B model: it is consumed by tots here AND by every
+    # scoring join later, and each un-pinned consumer re-executes the
+    # corpus-sized gram explode (round-6 plan audit); the materialized
+    # operand is bounded at classes × buckets rows regardless of corpus
+    counts = (
+        g.groupBy(F.col(label_col).alias("label"), "b")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     tots = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
     ndocs = docs.groupBy(F.col(label_col).alias("label")).agg(
@@ -80,31 +86,38 @@ def nb_score(
     """(id, pred, score_q): the argmax class per document under
     add-one-smoothed multinomial NB, ``score = prior_q +
     Σ_grams round(ln((cnt+1)/(tot+B))·1e6)``. Every document gets a
-    prediction — a zero-gram doc scores priors only. The gram stream is
-    widened ×C (classes crossJoin — C is tiny) so absent (label, b)
-    pairs still contribute the smoothing floor, then the C×B model
-    LEFT-joins in as a broadcast."""
+    prediction — a zero-gram doc scores priors only. The gram stream
+    is first collapsed to per-(id, bucket) COUNTS (≤ B rows per doc by
+    construction — round 6: widening the RAW gram stream ×C made the
+    crossJoin the dominant operand), the counts are widened ×C
+    (classes crossJoin — C is tiny) so absent (label, b) pairs still
+    contribute the smoothing floor, then the C×B model LEFT-joins in
+    as a broadcast and each document's score is the exact integer
+    multiply-sum Σ_b cnt(id,b)·lp_q(label,b) ≡ Σ_grams lp_q."""
     bb = float(int(n_buckets))
     g = gram_bucket_stream(docs, id_col, text_col, n_buckets, seed)
+    doc_cnt = g.groupBy("id", "b").agg(F.count("*").alias("dc"))
     cls = F.broadcast(classes)
     per_gram = (
-        g.crossJoin(cls.select("label", "tot"))
+        doc_cnt.crossJoin(cls.select("label", "tot"))
         .join(F.broadcast(counts), ["label", "b"], "left")
         .select(
-            "id", "label",
+            "id", "label", "dc",
             # floor(x + 0.5), not round(): Spark's round() on doubles
             # allocates a BigDecimal per value, and this expression runs
-            # once per (gram, class) row — the one hot quantization in
-            # the scorer. Identical to round() except at exact .5 ties,
-            # which transcendental ln outputs never hit; the oracle
-            # replays the same floor form.
+            # once per (doc-bucket, class) row — the one hot
+            # quantization in the scorer. Identical to round() except at
+            # exact .5 ties, which transcendental ln outputs never hit;
+            # the oracle replays the same floor form.
             F.expr(
                 f"CAST(floor(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0)"
                 f" / (CAST(tot AS DOUBLE) + {bb})) * {_SCALE}.0 + 0.5) AS BIGINT)"
             ).alias("lp_q"),
         )
     )
-    gram_sums = per_gram.groupBy("id", "label").agg(F.sum("lp_q").alias("s"))
+    gram_sums = per_gram.groupBy("id", "label").agg(
+        F.sum(F.col("dc") * F.col("lp_q")).alias("s")
+    )
     scored = (
         docs.select(F.col(id_col).alias("id"))
         .crossJoin(cls.select("label", "prior_q"))

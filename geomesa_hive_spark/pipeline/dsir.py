@@ -89,20 +89,31 @@ def dsir_weights(
     raw (¬is_target) partitions of ``docs``. Raw docs with zero grams
     are kept at (0, 0) — dropping them silently would bias selection.
 
-    Plan shape: ONE gram-stream groupBy builds both models at once
-    (sum of a 0/1 flag), totals ride along as a cross-joined 1-row
-    aggregate (no driver collect), and the B-row model broadcasts into
-    the scoring join."""
+    Plan shape: the md5-gram explode — the only corpus-sized operand —
+    runs ONCE and is immediately collapsed to per-(id, b) counts
+    (map-side-combined; ≤ B rows per document by construction, vs
+    n_grams rows in the raw stream), which a localCheckpoint pins so
+    the model aggregation and the scoring join both read the counts
+    instead of re-running the explode+hash (round 6: the previous
+    shape scanned the gram stream twice and the second md5 pass
+    dominated the query). Model totals ride along as a cross-joined
+    1-row aggregate (no driver collect) and the B-row model broadcasts
+    into the scoring join; all per-document sums stay exact integer
+    arithmetic (Σ_grams lr_q(b) ≡ Σ_b cnt·lr_q(b))."""
     flagged = docs.withColumn("__t", is_target.cast("int"))
     g = gram_bucket_stream(flagged, id_col, text_col, n_buckets, seed,
                            extra_cols=["__t"])
-    bstats = g.groupBy("b").agg(
-        F.sum("__t").alias("ct"),
-        F.sum(1 - F.col("__t")).alias("cr"),
+    cnt = (
+        g.groupBy("id", "__t", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
-    # totals from the B-row bucket table, NOT a second pass over the
-    # gram stream — the explode is the only corpus-sized operand here
-    # and it should be scanned once for the model, once for scoring
+    bstats = cnt.groupBy("b").agg(
+        F.sum(F.col("c") * F.col("__t")).alias("ct"),
+        F.sum(F.col("c") * (1 - F.col("__t"))).alias("cr"),
+    )
+    # totals from the B-row bucket table, NOT another pass over the
+    # counts (let alone the gram stream)
     tot = bstats.agg(
         F.sum("ct").alias("tt"),
         F.sum("cr").alias("tr"),
@@ -120,11 +131,14 @@ def dsir_weights(
             f" * {_SCALE}.0) AS BIGINT)"
         ).alias("lr_q"),
     )
-    raw_g = g.filter(F.col("__t") == 0).select("id", "b")
+    raw_cnt = cnt.filter(F.col("__t") == 0).select("id", "b", "c")
     per_doc = (
-        raw_g.join(F.broadcast(model), "b")
+        raw_cnt.join(F.broadcast(model), "b")
         .groupBy("id")
-        .agg(F.count("*").alias("n_grams"), F.sum("lr_q").alias("lw_q"))
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr_q")).alias("lw_q"),
+        )
     )
     return (
         flagged.filter(F.col("__t") == 0)
@@ -156,7 +170,13 @@ def dsir_select(
     w = dsir_weights(docs, id_col, text_col, is_target, n_buckets, seed)
     u = unit_hash(F.col("id"), seed=seed, salt="dsir") + F.lit(2.0 ** -33)
     pri = (F.col("lw_q") / F.lit(float(_SCALE))) + (-F.log(-F.log(u)))
-    scored = w.withColumn("pri", pri)
+    # pin the scored table: both the top-k and the final membership
+    # join consume it, and without the checkpoint each re-executes the
+    # whole weights DAG (gram explode + model + scoring join) — round-6
+    # plan audit measured the query at ~2x its one-pass cost. The
+    # materialized operand is one (id, 3 numbers) row per raw document
+    # — the query's own output size, never wider.
+    scored = w.withColumn("pri", pri).localCheckpoint()
     # TakeOrderedAndProject (per-partition top-k + driver merge), the
     # same no-global-sort shape as sampling.weighted_sample — a window
     # rank here would funnel every row through one partition
