@@ -2713,6 +2713,32 @@ def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP split (sampling.group_split): documents get a
+    synthetic provenance group (doc_id % 97, a url-domain stand-in),
+    the split hashes the GROUP so every member lands in one split, and
+    the result aggregates per-group split cardinality — the integrity
+    row (n_splits_per_group = 1 covering all 97 groups and every row)
+    IS the leakage guarantee, hash-verified: the oracle replays the
+    md5 cut arithmetic on the group value and the same two-level
+    aggregation."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp", (F.col("doc_id") % 97).cast("long")
+    )
+    s = sampling.group_split(docs, "grp")
+    per_group = s.groupBy("grp").agg(
+        F.count_distinct("split").alias("ns"),
+        F.count("*").alias("n"),
+        F.min("split").alias("sp"),
+    )
+    return per_group.groupBy(F.col("ns").cast("long").alias("n_splits_per_group")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("sp") == "train", F.col("n")).otherwise(0))
+        .cast("long").alias("train_rows"),
+    )
+
+
 def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted dataset mixing: two synthetic sources (even/odd ids)
     sampled at different rates with source-salted hashes, unioned with
@@ -4393,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_lang": q_text_quality_lang,
         "text_winnowing": q_text_winnowing,
         "pipeline_split": q_pipeline_split,
+        "pipeline_group_split": q_pipeline_group_split,
         "pipeline_mix": q_pipeline_mix,
         "pipeline_pack": q_pipeline_pack,
         "pipeline_pack_greedy": q_pipeline_pack_greedy,
@@ -7070,6 +7097,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) AS avg_len,
                    min(doc_id) AS min_id
             FROM assigned GROUP BY split
+        """,
+        # leakage-safe group split: md5 cut on the GROUP value; the
+        # (n_splits_per_group = 1) row is the integrity guarantee
+        "pipeline_group_split": f"""
+            WITH g AS (
+              SELECT doc_id, CAST(doc_id % 97 AS BIGINT) AS grp FROM documents
+            ), h AS (
+              SELECT grp,
+                     {_hex2int_sql("md5(concat_ws(':', 'split', '42', CAST(grp AS VARCHAR)))", 8)}
+                     / 4294967296.0 AS u
+              FROM g
+            ), a AS (
+              SELECT grp,
+                     CASE WHEN u < 0.90 THEN 'train'
+                          WHEN u < 0.95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM h
+            ), pg AS (
+              SELECT grp, count(DISTINCT split) AS ns, count(*) AS n,
+                     min(split) AS sp
+              FROM a GROUP BY grp
+            )
+            SELECT CAST(ns AS BIGINT) AS n_splits_per_group,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN sp = 'train' THEN n ELSE 0 END) AS BIGINT)
+                     AS train_rows
+            FROM pg GROUP BY ns
         """,
         "pipeline_mix": f"""
             WITH even AS (

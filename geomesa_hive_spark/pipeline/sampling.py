@@ -29,6 +29,7 @@ __all__ = [
     "unit_hash",
     "filter_by_quantile",
     "hash_split",
+    "group_split",
     "sample_fraction",
     "weighted_mix",
 ]
@@ -80,6 +81,27 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE split: hash the GROUP (url domain, author,
+    near-dup cluster id, …) instead of the row id, so every member of
+    a group lands in the SAME split — the standard guard against
+    train/test contamination through near-duplicates or shared
+    provenance (a row-hashed split puts ~10% of each duplicate
+    cluster's copies in val/test, silently inflating eval scores).
+    Same portable md5 cut arithmetic as :func:`hash_split`, keyed on
+    ``group_col``; group→split assignment is deterministic across
+    partitionings and engines, and split proportions converge to the
+    weights in GROUPS (row proportions follow only to the extent group
+    sizes are unbiased — stated, not hidden)."""
+    return hash_split(df, group_col, weights, seed, split_col)
 
 
 def sample_fraction(

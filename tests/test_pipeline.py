@@ -408,6 +408,34 @@ def test_hash_split_deterministic(spark):
         sampling.hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
 
 
+def test_group_split_leakage_safe(spark):
+    """group_split must put every member of a group in the SAME split
+    (the leakage guarantee a row-hashed split lacks: with 40-row
+    groups, hash_split provably scatters some group across splits)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import sampling
+
+    df = (spark.range(2000).withColumnRenamed("id", "doc_id")
+          .withColumn("grp", F.col("doc_id") % 50))
+    g = sampling.group_split(df, "grp")
+    per = g.groupBy("grp").agg(
+        F.count_distinct("split").alias("ns"), F.count("*").alias("n")
+    ).collect()
+    assert all(r.ns == 1 for r in per)                  # integrity
+    assert sum(r.n for r in per) == 2000                # exhaustive
+    # the row-hashed control DOES scatter at least one 40-row group
+    rowwise = sampling.hash_split(df, "doc_id").groupBy("grp").agg(
+        F.count_distinct("split").alias("ns")
+    ).collect()
+    assert any(r.ns > 1 for r in rowwise)
+    # determinism across invocations
+    a = {(r.grp, r.split) for r in g.select("grp", "split").distinct().collect()}
+    b = {(r.grp, r.split) for r in
+         sampling.group_split(df, "grp").select("grp", "split").distinct().collect()}
+    assert a == b
+
+
 def test_sample_fraction_nested(spark):
     """Same-seed samples nest: sample(0.2) is a subset of sample(0.5);
     different seeds differ."""
