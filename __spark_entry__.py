@@ -2739,6 +2739,31 @@ def q_pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (text.gopher_flags — Rae et al.
+    2021 §A1.1, the filter set RedPajama/Dolma-style pipelines reuse):
+    per-document booleans for all seven rules plus the overall pass,
+    as ONE native struct expression. Every ratio is count/count —
+    exact-rational doubles — so the oracle replays the identical
+    arithmetic with DuckDB list/string functions and every flag
+    hash-matches bit-for-bit."""
+    from geomesa_hive_spark.pipeline.text import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_flags(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("doc_id"),
+        g["wc_ok"].cast("int").alias("wc_ok"),
+        g["mwl_ok"].cast("int").alias("mwl_ok"),
+        g["sym_ok"].cast("int").alias("sym_ok"),
+        g["bullet_ok"].cast("int").alias("bullet_ok"),
+        g["ell_ok"].cast("int").alias("ell_ok"),
+        g["alpha_ok"].cast("int").alias("alpha_ok"),
+        g["stop_ok"].cast("int").alias("stop_ok"),
+        g["gopher_pass"].cast("int").alias("gopher_pass"),
+    )
+
+
 def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted dataset mixing: two synthetic sources (even/odd ids)
     sampled at different rates with source-salted hashes, unioned with
@@ -4420,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_text_winnowing,
         "pipeline_split": q_pipeline_split,
         "pipeline_group_split": q_pipeline_group_split,
+        "text_gopher": q_text_gopher,
         "pipeline_mix": q_pipeline_mix,
         "pipeline_pack": q_pipeline_pack,
         "pipeline_pack_greedy": q_pipeline_pack_greedy,
@@ -7097,6 +7123,79 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) AS avg_len,
                    min(doc_id) AS min_id
             FROM assigned GROUP BY split
+        """,
+        # Gopher rule battery: identical count/count arithmetic with
+        # DuckDB list/string functions; '...' counted via replace-length
+        # diff / 3, lines split on chr(10), bullets via regex on ltrim
+        "text_gopher": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, lines,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(words) END AS wc,
+                     COALESCE(list_sum(list_transform(words,
+                                                      x -> length(x))), 0)
+                       AS wchars,
+                     len(list_filter(words,
+                                     x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha,
+                     len(list_intersect(
+                       list_distinct(list_transform(words, x -> lower(x))),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS n_stops,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) / 3
+                       + (length(text) - length(replace(text, chr(8230), '')))
+                       AS n_ell,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l ->
+                         regexp_matches(ltrim(l), '^[-*' || chr(8226) || ']')))
+                       AS n_bullet,
+                     len(list_filter(lines, l ->
+                         rtrim(l) LIKE '%...'
+                         OR rtrim(l) LIKE '%' || chr(8230)))
+                       AS n_ell_end
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(wc >= 50 AND wc <= 100000 AS INTEGER) AS wc_ok,
+                   CAST(CASE WHEN wc > 0 THEN CAST(wchars AS DOUBLE) / wc
+                             ELSE 0.0 END BETWEEN 3.0 AND 10.0 AS INTEGER)
+                     AS mwl_ok,
+                   CAST(CASE WHEN wc > 0
+                             THEN CAST(n_hash + n_ell AS DOUBLE) / wc
+                             ELSE 0.0 END <= 0.1 AS INTEGER) AS sym_ok,
+                   CAST(CASE WHEN n_lines > 0
+                             THEN CAST(n_bullet AS DOUBLE) / n_lines
+                             ELSE 0.0 END <= 0.9 AS INTEGER) AS bullet_ok,
+                   CAST(CASE WHEN n_lines > 0
+                             THEN CAST(n_ell_end AS DOUBLE) / n_lines
+                             ELSE 0.0 END <= 0.3 AS INTEGER) AS ell_ok,
+                   CAST(CASE WHEN wc > 0 THEN CAST(n_alpha AS DOUBLE) / wc
+                             ELSE 0.0 END >= 0.8 AS INTEGER) AS alpha_ok,
+                   CAST(n_stops >= 2 AS INTEGER) AS stop_ok,
+                   CAST((wc >= 50 AND wc <= 100000)
+                    AND (CASE WHEN wc > 0 THEN CAST(wchars AS DOUBLE) / wc
+                              ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+                    AND (CASE WHEN wc > 0
+                              THEN CAST(n_hash + n_ell AS DOUBLE) / wc
+                              ELSE 0.0 END <= 0.1)
+                    AND (CASE WHEN n_lines > 0
+                              THEN CAST(n_bullet AS DOUBLE) / n_lines
+                              ELSE 0.0 END <= 0.9)
+                    AND (CASE WHEN n_lines > 0
+                              THEN CAST(n_ell_end AS DOUBLE) / n_lines
+                              ELSE 0.0 END <= 0.3)
+                    AND (CASE WHEN wc > 0 THEN CAST(n_alpha AS DOUBLE) / wc
+                              ELSE 0.0 END >= 0.8)
+                    AND n_stops >= 2 AS INTEGER) AS gopher_pass
+            FROM m
         """,
         # leakage-safe group split: md5 cut on the GROUP value; the
         # (n_splits_per_group = 1) row is the integrity guarantee

@@ -15,6 +15,7 @@ __all__ = [
     "token_count",
     "word_tokens",
     "quality_score",
+    "gopher_flags",
     "stopword_ratio",
     "punct_ratio",
     "lang_id",
@@ -103,6 +104,83 @@ def quality_score(col) -> Column:
     word_band = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
     score = F.round((0.4 * len_band + 0.4 * alpha_ratio + 0.2 * word_band), 6)
     return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(score)
+
+
+#: the 8 Gopher "required word" stopwords (Rae et al. 2021, table A1)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(col) -> Column:
+    """The classic Gopher quality-rule battery (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 — the filter set
+    RedPajama/Dolma-style pretraining pipelines reuse) as ONE native
+    struct expression: seven per-rule booleans plus the overall pass.
+    Null text → null struct. Every ratio is a count/count division —
+    exact-rational in doubles — so an engine replaying the identical
+    arithmetic (the contract oracle) reproduces every flag bit-for-bit.
+
+    - ``wc_ok``: 50 ≤ word count ≤ 100 000
+    - ``mwl_ok``: 3 ≤ mean word length ≤ 10
+    - ``sym_ok``: (hash signs + ellipses) / words ≤ 0.1
+    - ``bullet_ok``: ≤ 90% of lines start with a bullet (-, *, •)
+    - ``ell_ok``: ≤ 30% of lines end with an ellipsis
+    - ``alpha_ok``: ≥ 80% of words contain an alphabetic character
+    - ``stop_ok``: ≥ 2 distinct of the 8 required stopwords
+    """
+    c = _c(col)
+    words = word_tokens(c)
+    wc = token_count(c)
+    wchars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mwl = F.when(wc > 0, wchars.cast("double") / wc).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+        + (F.length(c) - F.length(F.replace(c, F.lit("\u2026"), F.lit(""))))
+    )
+    sym_ratio = F.when(wc > 0, (n_hash + n_ell).cast("double") / wc).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*\u2022]"))
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("\u2026"),
+        )
+    )
+    bullet_ratio = F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ell_ratio = F.when(n_lines > 0, n_ell_end.cast("double") / n_lines).otherwise(F.lit(0.0))
+    n_alpha_w = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(wc > 0, n_alpha_w.cast("double") / wc).otherwise(F.lit(0.0))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPS]),
+        )
+    )
+    flags = {
+        "wc_ok": (wc >= 50) & (wc <= 100000),
+        "mwl_ok": (mwl >= 3.0) & (mwl <= 10.0),
+        "sym_ok": sym_ratio <= 0.1,
+        "bullet_ok": bullet_ratio <= 0.9,
+        "ell_ok": ell_ratio <= 0.3,
+        "alpha_ok": alpha_ratio >= 0.8,
+        "stop_ok": stops >= 2,
+    }
+    passed = None
+    for v in flags.values():
+        passed = v if passed is None else (passed & v)
+    st = F.struct(
+        *[v.alias(k) for k, v in flags.items()], passed.alias("gopher_pass")
+    )
+    return F.when(c.isNull(), F.lit(None).cast(
+        "struct<wc_ok:boolean,mwl_ok:boolean,sym_ok:boolean,"
+        "bullet_ok:boolean,ell_ok:boolean,alpha_ok:boolean,"
+        "stop_ok:boolean,gopher_pass:boolean>"
+    )).otherwise(st)
 
 
 #: marker words per language for the n-gram/stopword language heuristic

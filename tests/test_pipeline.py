@@ -408,6 +408,39 @@ def test_hash_split_deterministic(spark):
         sampling.hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
 
 
+def test_gopher_flags_rules(spark):
+    """Each Gopher rule flips on its targeted pathology; a well-formed
+    long document passes all seven; null text yields a null struct."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.text import gopher_flags
+
+    good = ("the quick brown fox jumps with vigor and grace over that "
+            "lazy dog to have plenty of words because sentences need "
+            "substance ") * 5
+    rows = [
+        (1, good),
+        (2, "- one\n- two\n- three\n- four"),           # bullets > 90%
+        (3, "aaa...\nbbb...\nccc"),                      # ellipsis lines
+        (4, "#### #### tags everywhere #"),                # symbol ratio
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12"),                # alpha ratio
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    out = {r.id: r.g for r in
+           df.select("id", gopher_flags("text").alias("g")).collect()}
+    assert out[1].gopher_pass and all(
+        getattr(out[1], f) for f in
+        ["wc_ok", "mwl_ok", "sym_ok", "bullet_ok", "ell_ok", "alpha_ok",
+         "stop_ok"]
+    )
+    assert not out[2].bullet_ok
+    assert not out[3].ell_ok
+    assert not out[4].sym_ok
+    assert not out[5].alpha_ok
+    assert out[6] is None
+
+
 def test_group_split_leakage_safe(spark):
     """group_split must put every member of a group in the SAME split
     (the leakage guarantee a row-hashed split lacks: with 40-row
