@@ -253,6 +253,14 @@ def parse_crs(crs: str):
             )
         a, rf = ELLIPSOIDS[name]
         alpha = _proj4_num(low, "alpha", None)
+        if alpha is None:
+            # fail at parse time, not as a TypeError deep inside the
+            # executor-side kernel: omerc has no meaningful default azimuth
+            raise ValueError(
+                f"unsupported CRS {crs!r}: '+proj=omerc' requires an "
+                "explicit +alpha (initial-line azimuth); +gamma defaults "
+                "to alpha if omitted"
+            )
         return ("omerc", a, _ellps_e2(a, rf),
                 _proj4_num(low, "lat_0", 0.0),
                 _proj4_num(low, "lonc", _proj4_num(low, "lon_0", 0.0)),

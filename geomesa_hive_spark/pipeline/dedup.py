@@ -1092,7 +1092,24 @@ def embedding_near_dup_pairs(
         )
 
         if dim is None:
-            dim = df.select(F.size(F.col(vec_col))).first()[0]
+            # bounded single-row collect; skip NULL vectors so the probe
+            # row actually carries a width
+            row = (
+                df.select(F.size(F.col(vec_col)).alias("d"))
+                .where(F.col("d").isNotNull())
+                .first()
+            )
+            if row is None:
+                # empty input (or all-NULL vectors): no pairs, mirror the
+                # blocked path's empty result instead of crashing
+                return (
+                    df.select(
+                        F.col(id_col).alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                        F.lit(0.0).alias("cos_sim"),
+                    ).where(F.lit(False))
+                )
+            dim = row[0]
         planes = np.stack(
             [_hyperplanes(int(dim), int(bits), seed + t) for t in range(int(n_tables))]
         )  # (n_tables, bits, dim)

@@ -1291,8 +1291,12 @@ def decode_raster_batch(
                 parsed = parse_image_header(b)
                 px = decode_pixels(b) if parsed else None
                 if px is not None:
-                    mime, pw, ph = parsed
-                    mm.append(mime), w.append(pw), hgt.append(ph)
+                    # width/height MUST come from the decoded array, not
+                    # the header: a GIF's logical-screen size can exceed
+                    # its first-frame image descriptor, and resize_raster
+                    # reshapes the raster with these dims.
+                    mm.append(parsed[0])
+                    hgt.append(px.shape[0]), w.append(px.shape[1])
                     ra.append(px.tobytes())
                     continue
                 if strict:

@@ -71,6 +71,10 @@ def main() -> int:
     args = sys.argv[1:]
     artifact = "--artifact" in args
     only = set(a for a in args if a != "--artifact")
+    if artifact and only:
+        # a subset run must never clobber the committed full-surface record
+        print("--artifact is full-surface only; ignoring it for a subset run")
+        artifact = False
     fails = []
     record: dict[str, dict] = {}
 

@@ -729,3 +729,7 @@ def test_omerc_published_value_and_roundtrip():
     assert tp == t
     with pytest.raises(ValueError):
         P.parse_crs("+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +no_uoff")
+    # no +alpha must fail LOUDLY at parse time, not as a TypeError deep
+    # inside the executor-side kernel (review finding)
+    with pytest.raises(ValueError, match="alpha"):
+        P.parse_crs("+proj=omerc +lat_0=4 +lonc=115")

@@ -390,3 +390,29 @@ def test_decode_raster_batch_matches_two_pass_chain(spark):
         "width", "height", 3, 2,
     ).collect()[0]
     assert r.raster is None and r.resized is None
+
+def test_decode_raster_batch_gif_frame_smaller_than_screen(spark):
+    """Optimized GIFs declare a logical screen LARGER than the first
+    frame's image descriptor. decode_raster_batch must report the
+    DECODED raster's dims (frame), not the header's (screen), or
+    resize_raster's reshape(height, width, 3) explodes on valid input."""
+    idx, pal = _gif_case(7, 5, 8, 33)
+    gif = bytearray(make_gif(idx, pal))
+    # enlarge the logical screen to 100x100; frame descriptor stays 5x7
+    gif[6:8] = (100).to_bytes(2, "little")
+    gif[8:10] = (100).to_bytes(2, "little")
+    assert multimodal.parse_image_header(bytes(gif))[1:] == (100, 100)
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(gif)))], "doc_id LONG, media BINARY"
+    )
+    dec = multimodal.decode_raster_batch(df, "media", strict=True)
+    r = multimodal.resize_raster(
+        dec, "raster", "width", "height", 3, 2
+    ).collect()[0]
+    assert (r.width, r.height) == (5, 7)
+    assert bytes(r.raster) == pal[idx].tobytes()
+    # nearest-neighbor reference on the true frame dims
+    src = pal[idx]
+    ri = np.minimum((np.arange(2) * 7) // 2, 6)
+    ci = np.minimum((np.arange(3) * 5) // 3, 4)
+    assert bytes(r.resized) == src[np.ix_(ri, ci)].tobytes()

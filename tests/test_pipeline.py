@@ -134,6 +134,25 @@ def test_embedding_near_dup_default_no_cross_join(spark):
     assert {(r.id_a, r.id_b) for r in exact.collect()} == got
 
 
+def test_embedding_near_dup_default_empty_and_null(spark):
+    """Default-path dim inference must survive an empty frame and
+    all-NULL vectors (review finding: .first()[0] crashed) — both
+    return an empty pair frame with the standard columns."""
+    schema = "id LONG, v ARRAY<DOUBLE>"
+    empty = spark.createDataFrame([], schema)
+    out = dedup.embedding_near_dup_pairs(empty, "id", "v")
+    assert out.columns == ["id_a", "id_b", "cos_sim"] and out.count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert dedup.embedding_near_dup_pairs(nulls, "id", "v").count() == 0
+    # a NULL-first frame with real vectors later still infers the width
+    mixed = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [1.0, 1e-5])], schema
+    )
+    got = {(r.id_a, r.id_b)
+           for r in dedup.embedding_near_dup_pairs(mixed, "id", "v").collect()}
+    assert got == {(2, 3)}
+
+
 EMB = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(50)]
 
 
