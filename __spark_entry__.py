@@ -850,6 +850,44 @@ def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GDM2000 / Peninsula RSO-style Hotine variant A (EPSG method 9812,
+#: '+no_uoff') as an explicit proj string — zone constants are the
+#: caller's, per the projections-module policy of not hardcoding
+#: unpinned EPSG registry digits. GRS80, no datum shift.
+_OMERC_A_CRS = (
+    "+proj=omerc +no_uoff +lat_0=4 +lonc=102.25 "
+    "+alpha=323.0257964666666 +gamma=323.1301023611111 "
+    "+k_0=0.99984 +x_0=804671.0 +y_0=0.0 +ellps=grs80"
+)
+
+
+def q_spatial_reproject_omerc_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotine Oblique Mercator VARIANT A reprojection (EPSG method
+    9812, '+proj=omerc +no_uoff' — how proj expresses EPSG:3375/3376
+    GDM2000 Malaysia RSO) on points over a peninsular-Malaysia window;
+    the oracle replays the EPSG 9815 forward WITHOUT the uc centre
+    shift (the only formula difference between the variants) in SQL
+    with identical repr-embedded constants. Closes the last named
+    ST_GeomReproject family raise from the round-5 verdict (reference
+    scope: spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit(_OMERC_A_CRS)
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= 85.005) & (F.col("cx") <= 129.995)
+            & (F.col("cy") >= -14.995) & (F.col("cy") <= 19.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("rso_e"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("rso_n"),
+        )
+    )
+
+
 def q_spatial_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal polar stereographic reprojection (EPSG:4326 →
     EPSG:3031, Antarctic) on south-polar points; the oracle replays the
@@ -4369,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_krovak": q_spatial_reproject_krovak,
         "spatial_reproject_somerc": q_spatial_reproject_somerc,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
+        "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
         "spatial_reproject_sinu": q_spatial_reproject_sinu,
         "spatial_reproject_merc": q_spatial_reproject_merc,
@@ -5178,6 +5217,68 @@ def _omerc_oracle() -> str:
         SELECT c_custkey,
                round(CAST(CAST({float(ec0)} + vv * {cgc} + uu * {sgc} AS FLOAT) AS DOUBLE), 3) AS omerc_e,
                round(CAST(CAST({float(nc0)} + uu * {cgc} - vv * {sgc} AS FLOAT) AS DOUBLE), 3) AS omerc_n
+        FROM o6
+    """
+
+
+def _omerc_a_oracle() -> str:
+    """Replay the variant-A ('+no_uoff') proj string `_OMERC_A_CRS`:
+    no datum shift (GRS80 coordinates taken as-is), then the EPSG
+    Hotine forward with NO uc subtraction — u = A·atan2(S·cosγ0 +
+    V·sinγ0, cos B(λ−λ0))/B directly, rectification by γc, FE/FN at
+    the natural origin. Constants repr-embedded from the same
+    omerc_consts the kernel uses."""
+    from geomesa_hive_spark.geom.projections import (
+        ELLIPSOIDS, _ellps_e2, omerc_consts, parse_crs,
+    )
+
+    key = parse_crs(_OMERC_A_CRS)
+    assert key[0] == "omerc" and key[10] is True
+    _, aE, e2E, latc, lonc, al, ga, kc, ec0, nc0, _nu, _tw = key
+    K = omerc_consts(aE, e2E, latc, lonc, al, ga, kc)
+    e, bb, a2, hh = repr(K["e"]), repr(K["b"]), repr(K["a2"]), repr(K["h"])
+    sg0, cg0 = repr(K["sg0"]), repr(K["cg0"])
+    sgc, cgc = repr(K["sgc"]), repr(K["cgc"])
+    lam0 = repr(K["lam0"])
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= 85.005 AND {_C_X} <= 129.995
+            AND {_C_Y} >= -14.995 AND {_C_Y} <= 19.995
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), o1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), o2 AS (
+          SELECT c_custkey,
+                 tan(pi() / 4.0 - phi / 2.0)
+                   / pow((1.0 - {e} * sp) / (1.0 + {e} * sp), {e} / 2.0) AS t,
+                 {bb} * (lam - {lam0}) AS bl
+          FROM o1
+        ), o3 AS (
+          SELECT c_custkey, bl,
+                 {hh} / pow(t, {bb}) AS q
+          FROM o2
+        ), o4 AS (
+          SELECT c_custkey, bl,
+                 (q - 1.0 / q) / 2.0 AS s,
+                 (q + 1.0 / q) / 2.0 AS tt,
+                 sin(bl) AS v
+          FROM o3
+        ), o5 AS (
+          SELECT c_custkey, bl, s, v,
+                 (-v * {cg0} + s * {sg0}) / tt AS u_
+          FROM o4
+        ), o6 AS (
+          SELECT c_custkey,
+                 {a2} * ln((1.0 - u_) / (1.0 + u_)) / (2.0 * {bb}) AS vv,
+                 {a2} * atan2(s * {cg0} + v * {sg0}, cos(bl)) / {bb} AS uu
+          FROM o5
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(ec0)} + vv * {cgc} + uu * {sgc} AS FLOAT) AS DOUBLE), 3) AS rso_e,
+               round(CAST(CAST({float(nc0)} + uu * {cgc} - vv * {sgc} AS FLOAT) AS DOUBLE), 3) AS rso_n
         FROM o6
     """
 
@@ -6033,6 +6134,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_krovak": _krovak_oracle(),
         "spatial_reproject_somerc": _somerc_oracle(),
         "spatial_reproject_omerc": _omerc_oracle(),
+        "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),
         "spatial_codecs": f"""
             WITH base AS (

@@ -1076,8 +1076,8 @@ def _coord_fn(fk, tk):
             return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
         if fk[0] == "omerc":
             a, e2 = fk[1], fk[2]
-            tw = fk[10]
-            ll = proj.omerc_inverse(c, fk[1:10])
+            tw = fk[11]
+            ll = proj.omerc_inverse(c, fk[1:11])
             return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
         return proj.utm_inverse(c, fk[1], fk[2])
 
@@ -1119,9 +1119,9 @@ def _coord_fn(fk, tk):
             return proj.somerc_forward(ll, tk[1:8])
         if tk[0] == "omerc":
             a, e2 = tk[1], tk[2]
-            tw = tk[10]
+            tw = tk[11]
             ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
-            return proj.omerc_forward(ll, tk[1:10])
+            return proj.omerc_forward(ll, tk[1:11])
         return proj.utm_forward(c, tk[1], tk[2])
 
     if fk == tk:

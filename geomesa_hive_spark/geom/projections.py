@@ -207,7 +207,7 @@ def parse_crs(crs: str):
             ellps, latc, lonc, al, ga, kc, ec, nc, tw = _OMERC_EPSG[code]
             a, rf = ELLIPSOIDS[ellps]
             return ("omerc", a, _ellps_e2(a, rf), latc, lonc, al, ga, kc,
-                    ec, nc, tw)
+                    ec, nc, False, tw)
         if code in (21781, 2056):  # CH1903/LV03, CH1903+/LV95 (Bessel)
             a, rf = ELLIPSOIDS["bessel"]
             x0, y0 = (600000.0, 200000.0) if code == 21781 else (
@@ -238,12 +238,10 @@ def parse_crs(crs: str):
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
                 _parse_towgs84(low))
     if "+proj=omerc" in low:
-        if "+no_uoff" in low or "+no_off" in low:
-            raise ValueError(
-                f"unsupported CRS {crs!r}: only Hotine variant B (with "
-                "the uc centre offset) is implemented; +no_uoff (variant "
-                "A) is not"
-            )
+        # +no_uoff / +no_off selects EPSG variant A (9812): no uc centre
+        # shift, FE/FN at the natural (u,v) origin — how proj expresses
+        # EPSG:3375/3376 (GDM2000 Malaysia RSO)
+        no_uoff = "+no_uoff" in low or "+no_off" in low
         em = re.search(r"\+ellps=([a-z0-9]+)", low)
         name = em.group(1) if em else "wgs84"
         if name not in ELLIPSOIDS:
@@ -268,7 +266,7 @@ def parse_crs(crs: str):
                 _proj4_num(low, "gamma", alpha),
                 _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
-                _parse_towgs84(low))
+                no_uoff, _parse_towgs84(low))
     if "+proj=somerc" in low:
         em = re.search(r"\+ellps=([a-z0-9]+)", low)
         name = em.group(1) if em else "bessel"
@@ -397,8 +395,8 @@ def parse_crs(crs: str):
         "EPSG:27700/EPSG:2193), Mollweide ('+proj=moll' or ESRI:54009), "
         "Krovak ('+proj=krovak' or EPSG:5514), Swiss Oblique Mercator "
         "('+proj=somerc' or EPSG:21781/EPSG:2056), Hotine oblique "
-        "Mercator variant B ('+proj=omerc' or EPSG:29873) and their "
-        "proj4 equivalents"
+        "Mercator variants A and B ('+proj=omerc [+no_uoff]' or "
+        "EPSG:29873) and their proj4 equivalents"
     )
 
 
@@ -1587,22 +1585,25 @@ def somerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Hotine Oblique Mercator, variant B (EPSG method 9815 — "Rectified
-# Skew Orthomorphic": EPSG:3375/3376 GDM2000 Malaysia RSO, EPSG:29873
-# Timbalai/RSO Borneo, '+proj=omerc' with false origin at the
-# projection centre). The public EPSG Guidance Note 7-2 formulation:
-# conformal mapping onto an "aposphere", oblique cylinder along an
-# initial line through (φc, λc) at azimuth αc, then rectification by
-# the skew angle γc. Variant B places the false origin AT the
-# projection centre (the uc offset).
+# Hotine Oblique Mercator ("Rectified Skew Orthomorphic", both EPSG
+# variants: 9815 variant B — false origin AT the projection centre via
+# the uc offset, e.g. EPSG:29873 Timbalai/RSO Borneo — and 9812
+# variant A / '+no_uoff', false easting/northing at the NATURAL origin
+# of the (u,v) axes, e.g. EPSG:3375/3376 GDM2000 Malaysia RSO). The
+# public EPSG Guidance Note 7-2 formulation: conformal mapping onto an
+# "aposphere", oblique cylinder along an initial line through (φc, λc)
+# at azimuth αc, then rectification by the skew angle γc. The two
+# variants share every formula; A simply skips the uc shift, so for
+# identical parameters E_A − FE = (E_B − Ec) + uc·sin γc and
+# N_A − FN = (N_B − Nc) + uc·cos γc (the property the tests pin).
 # ---------------------------------------------------------------------------
 
 #: well-known omerc systems: (ellps, lat_c, lon_c, alpha_c, gamma_c,
 #: k_c, false_e, false_n, towgs84) — parameters from the public EPSG
 #: registry. Only the system whose constants the GN7-2 worked example
 #: pins is registered; other RSO zones (EPSG:3375/3376 Malaysia) go
-#: through an explicit '+proj=omerc' string so false-origin constants
-#: are the caller's, not an unverifiable hardcode.
+#: through an explicit '+proj=omerc [+no_uoff]' string so false-origin
+#: constants are the caller's, not an unverifiable hardcode.
 _OMERC_EPSG = {
     # Timbalai 1948 / RSO Borneo meters; Helmert is the proj-shipped
     # Timbalai->WGS84 3-parameter set
@@ -1650,10 +1651,13 @@ def omerc_consts(a: float, e2: float, lat_c: float, lon_c: float,
 
 def omerc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
     """Geodetic (lon°, lat°) on the projection's ellipsoid → Hotine
-    Oblique Mercator variant B (easting, northing) meters. Vectorized.
-    ``params`` = (a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc);
-    the datum shift (if any) happens OUTSIDE, mirroring tmerc/krovak."""
-    a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc = params
+    Oblique Mercator (easting, northing) meters. Vectorized.
+    ``params`` = (a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc,
+    no_uoff); ``no_uoff`` True selects EPSG variant A (9812 — no uc
+    centre shift, false origin at the natural (u,v) origin), False
+    variant B (9815). The datum shift (if any) happens OUTSIDE,
+    mirroring tmerc/krovak."""
+    a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc, no_uoff = params
     k = omerc_consts(a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c)
     out = coords.copy()
     lam = np.radians(coords[:, 0])
@@ -1671,7 +1675,7 @@ def omerc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
     vv = k["a2"] * np.log((1.0 - u_) / (1.0 + u_)) / (2.0 * k["b"])
     uu = (
         k["a2"] * np.arctan2(s * k["cg0"] + v * k["sg0"], np.cos(bl)) / k["b"]
-        - k["uc"]
+        - (0.0 if no_uoff else k["uc"])
     )
     out[:, 0] = ec + vv * k["cgc"] + uu * k["sgc"]
     out[:, 1] = nc + uu * k["cgc"] - vv * k["sgc"]
@@ -1679,16 +1683,16 @@ def omerc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
 
 
 def omerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
-    """Hotine Oblique Mercator variant B meters → geodetic (lon°,
-    lat°). Vectorized; ellipsoidal latitude by the standard 8-round
-    conformal fixed-point iteration."""
-    a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc = params
+    """Hotine Oblique Mercator (either variant) meters → geodetic
+    (lon°, lat°). Vectorized; ellipsoidal latitude by the standard
+    8-round conformal fixed-point iteration."""
+    a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c, ec, nc, no_uoff = params
     k = omerc_consts(a, e2, lat_c, lon_c, alpha_c, gamma_c, k_c)
     out = coords.copy()
     de = coords[:, 0] - ec
     dn = coords[:, 1] - nc
     vv = de * k["cgc"] - dn * k["sgc"]
-    uu = dn * k["cgc"] + de * k["sgc"] + k["uc"]
+    uu = dn * k["cgc"] + de * k["sgc"] + (0.0 if no_uoff else k["uc"])
     q = np.exp(-k["b"] * vv / k["a2"])
     s = (q - 1.0 / q) / 2.0
     tt = (q + 1.0 / q) / 2.0

@@ -674,7 +674,9 @@ def test_omerc_published_value_and_roundtrip():
     to 1 cm, plus the published B/A/uc constants; (b) conformality
     (isotropic, orthogonal Jacobian); (c) inverse(forward) identity
     over a wide Borneo window; (d) parse_crs wiring for EPSG:29873 and
-    '+proj=omerc' (+no_uoff variant A refused loudly)."""
+    '+proj=omerc'; (e) variant A (+no_uoff, EPSG method 9812 — how
+    proj expresses EPSG:3375/3376 Malaysia RSO) differs from B by
+    EXACTLY the rotated uc offset and round-trips."""
     import math
 
     import numpy as np
@@ -685,7 +687,7 @@ def test_omerc_published_value_and_roundtrip():
     a, rf = P.ELLIPSOIDS["evrst67"]
     e2 = P._ellps_e2(a, rf)
     params = (a, e2, 4.0, 115.0, 53.31582047222222, 53.13010236111111,
-              0.99984, 590476.87, 442857.65)
+              0.99984, 590476.87, 442857.65, False)
     k = P.omerc_consts(a, e2, 4.0, 115.0, 53.31582047222222,
                        53.13010236111111, 0.99984)
     assert abs(k["b"] - 1.003303209) < 1e-8
@@ -720,16 +722,34 @@ def test_omerc_published_value_and_roundtrip():
         assert abs(kx - 0.99984) < 5e-4  # ~kc near the initial line
 
     t = P.parse_crs("EPSG:29873")
-    assert t[0] == "omerc" and t[10] == (-679.0, 669.0, -48.0)
+    assert t[0] == "omerc" and t[10] is False
+    assert t[11] == (-679.0, 669.0, -48.0)
     tp = P.parse_crs(
         "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
         "+gamma=53.13010236111111 +k_0=0.99984 +x_0=590476.87 "
         "+y_0=442857.65 +ellps=evrst67 +towgs84=-679,669,-48"
     )
     assert tp == t
-    with pytest.raises(ValueError):
-        P.parse_crs("+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +no_uoff")
     # no +alpha must fail LOUDLY at parse time, not as a TypeError deep
     # inside the executor-side kernel (review finding)
     with pytest.raises(ValueError, match="alpha"):
         P.parse_crs("+proj=omerc +lat_0=4 +lonc=115")
+
+    # (e) variant A: for identical parameters, coordinates differ from
+    # variant B by exactly the rotated uc shift (GN7-2: variant B moves
+    # the false origin to the projection centre, i.e. subtracts uc
+    # along the initial line before rotation by γc)
+    ta = P.parse_crs(
+        "+proj=omerc +no_uoff +lat_0=4 +lonc=115 "
+        "+alpha=53.31582047222222 +gamma=53.13010236111111 "
+        "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=evrst67"
+    )
+    assert ta[0] == "omerc" and ta[10] is True
+    pa = ta[1:11]
+    fa = P.omerc_forward(pts, pa)
+    fb = P.omerc_forward(pts, params)
+    gc = math.radians(53.13010236111111)
+    assert np.abs(fa[:, 0] - (fb[:, 0] + k["uc"] * math.sin(gc))).max() < 1e-6
+    assert np.abs(fa[:, 1] - (fb[:, 1] + k["uc"] * math.cos(gc))).max() < 1e-6
+    rta = P.omerc_inverse(fa, pa)
+    assert np.abs(rta - pts).max() < 1e-9
