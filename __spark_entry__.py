@@ -3170,6 +3170,29 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line removal (the RefinedWeb / FineWeb
+    boilerplate pass, dedup.remove_boilerplate_lines): lines appearing
+    in >= 3 distinct documents are dropped everywhere and documents are
+    rebuilt order-exactly. The single-line synthetic corpus gets
+    deterministic line structure by replace(text, ' row ', newline) —
+    the SAME expression on both sides, like the spatial queries'
+    synthesized lon/lat. The full cleaned text is hash-compared, not
+    just counts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' row ', '\n')").alias("t")
+    )
+    out = dedup.remove_boilerplate_lines(
+        docs, "doc_id", "t", min_docs=3, min_chars=1, sep="\n"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed"),
+        F.col("clean_text"),
+    )
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (pipeline/lm.py): train an
     add-one-smoothed bigram model over the corpus (two map-side-combined
@@ -4493,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_pairs": q_text_tfidf_pairs,
         "text_lm_score": q_text_lm_score,
         "dedup_substring": q_dedup_substring,
+        "dedup_boilerplate": q_dedup_boilerplate,
         "entity_link": q_entity_link,
         "dedup_bloom": q_dedup_bloom,
         "sketch_countmin": q_sketch_countmin,
@@ -7816,6 +7840,35 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY b_id ORDER BY d, a_id) AS rn
               FROM cand WHERE d <= 1
             ) WHERE rn = 1
+        """,
+        "dedup_boilerplate": """
+            WITH docs AS (
+              SELECT doc_id, replace(text, ' row ', chr(10)) AS t
+              FROM documents
+            ), arr AS (
+              SELECT doc_id, string_split(t, chr(10)) AS a FROM docs
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(a) AS line,
+                     unnest(range(1, len(a) + 1)) AS p
+              FROM arr
+            ), boiler AS (
+              SELECT line, TRUE AS is_boiler FROM (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM lines WHERE length(line) >= 1 GROUP BY line
+              ) WHERE nd >= 3
+            ), flagged AS (
+              SELECT l.doc_id, l.p, l.line, b.is_boiler
+              FROM lines l LEFT JOIN boiler b USING (line)
+            )
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_removed,
+                   coalesce(string_agg(
+                     CASE WHEN is_boiler IS NULL THEN line END,
+                     chr(10) ORDER BY p), '') AS clean_text
+            FROM flagged GROUP BY doc_id
         """,
         "dedup_substring": """
             WITH toks AS (

@@ -25,6 +25,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window
@@ -47,6 +49,7 @@ __all__ = [
     "drop_near_duplicates",
     "keep_canonical",
     "ngram_contamination",
+    "remove_boilerplate_lines",
 ]
 
 
@@ -874,6 +877,77 @@ def substring_span_dedup(
             (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 5,
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level repeated-LINE removal (the RefinedWeb / FineWeb
+    boilerplate pass): a line whose exact text appears in >=
+    ``min_docs`` DISTINCT documents is navigation/ToS/footer
+    boilerplate and is dropped from every document; remaining lines
+    are rejoined by ``sep`` in original order. Lines shorter than
+    ``min_chars`` characters are never classified as boilerplate
+    (blank separator lines survive).
+
+    Spark-first plan, one explode + two shuffles + one rebuild:
+    1. posexplode the ``sep``-split line stream (carries (id, pos,
+       line) — line bytes, not doc bytes);
+    2. corpus-wide distinct-doc counts per line text (map-side
+       combined groupBy on the line itself — exact, no hash
+       collisions; the boilerplate survivor set is tiny, so the
+       removal join below broadcasts under AQE);
+    3. LEFT join the line stream against the boilerplate set and
+       rebuild per doc in ONE aggregation: order-exact
+       array_sort(struct(pos, line)) over the non-flagged lines plus
+       the removed-line count (collect_list skips the NULL structs
+       the flag filter produces — no second pass over the stream).
+
+    At 100 TB: the groupBy key is the line text (bounded by line
+    length), both shuffles carry single lines, never documents, and
+    no state is driver-side. Returns (id, n_lines, n_removed,
+    clean_text); docs whose every line was boilerplate come back as
+    ''."""
+    esc = re.escape(sep)
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), esc, -1)).alias("p", "line"),
+    )
+    boiler = (
+        lines.where(F.length("line") >= int(min_chars))
+        .groupBy("line")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, "line", "left")
+    rebuilt = flagged.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler").isNull(), F.struct("p", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        "id", "n_lines", "n_removed", F.coalesce("clean_text", F.lit("")).alias("clean_text")
     )
 
 

@@ -1002,6 +1002,36 @@ def test_pagerank_matches_reference(spark):
     assert got[3] == max(got.values()) and got[4] == 150_000
 
 
+def test_remove_boilerplate_lines(spark):
+    """Repeated-line removal: lines in >= min_docs distinct docs drop
+    everywhere, short lines are exempt, order is preserved, and a doc
+    whose every line is boilerplate comes back as ''."""
+    rows = [
+        (1, "COOKIE NOTICE\nalpha beta\n\ngamma delta\nCOOKIE NOTICE"),
+        (2, "COOKIE NOTICE\nunique two"),
+        (3, "COOKIE NOTICE\n\nunique three"),
+        (4, "COOKIE NOTICE"),
+        (5, "solo doc only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, t STRING")
+    out = {r.id: r for r in dedup.remove_boilerplate_lines(
+        df, "doc_id", "t", min_docs=3, min_chars=1
+    ).collect()}
+    # 'COOKIE NOTICE' appears in docs 1-4 (distinct count 4 despite doc 1
+    # carrying it twice); '' appears in docs 1 and 3 but is length-0 exempt
+    assert out[1].clean_text == "alpha beta\n\ngamma delta"
+    assert (out[1].n_lines, out[1].n_removed) == (5, 2)
+    assert out[2].clean_text == "unique two"
+    assert out[3].clean_text == "\nunique three"
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+    assert out[5].clean_text == "solo doc only" and out[5].n_removed == 0
+    # min_docs=5: nothing qualifies, every doc intact
+    intact = {r.id: r.clean_text for r in dedup.remove_boilerplate_lines(
+        df, "doc_id", "t", min_docs=5
+    ).collect()}
+    assert intact == {i: t for i, t in rows}
+
+
 def test_substring_span_dedup_semantics(spark):
     from geomesa_hive_spark.pipeline.dedup import substring_span_dedup
 
