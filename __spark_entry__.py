@@ -2802,6 +2802,47 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic C4-corpus synthesis, IDENTICAL SQL text on both
+#: engines: ' row ' boundaries become sentence-final '.'+newline, every
+#: third doc has 'merge' tokens renamed 'javascript', every 7th gains a
+#: 'lorem ipsum' tail and every 5th a '{' tail — so all four C4 rule
+#: families actually fire on the single-line word-soup corpus.
+_C4_SYNTH = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "replace(replace(text, ' row ', concat('.', chr(10))), 'merge', 'javascript') "
+    "ELSE replace(text, ' row ', concat('.', chr(10))) END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), 'lorem ipsum legal tail here.') ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), 'stray brace { tail line.') ELSE '' END"
+)
+
+
+def q_text_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning battery (text.c4_clean — Raffel et al. 2020 §2.2):
+    line-level retention (>= 3 words, terminal punctuation, no
+    'javascript') plus the doc-level lorem/brace/sentence-count rules,
+    as ONE native struct expression. The corpus gets deterministic
+    line/punctuation structure via `_C4_SYNTH` — the same SQL text on
+    both sides — and the FULL cleaned text is hash-compared along with
+    every counter and flag."""
+    from geomesa_hive_spark.pipeline.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_SYNTH).alias("t")
+    )
+    g = c4_clean(F.col("t"))
+    return docs.select(
+        F.col("doc_id").alias("doc_id"),
+        g["n_lines"].cast("long").alias("n_lines"),
+        g["n_kept"].cast("long").alias("n_kept"),
+        g["clean_text"].alias("clean_text"),
+        g["n_sentences"].cast("long").alias("n_sentences"),
+        g["has_lorem"].cast("int").alias("has_lorem"),
+        g["has_brace"].cast("int").alias("has_brace"),
+        g["sent_ok"].cast("int").alias("sent_ok"),
+        g["c4_pass"].cast("int").alias("c4_pass"),
+    )
+
+
 def q_pipeline_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted dataset mixing: two synthetic sources (even/odd ids)
     sampled at different rates with source-salted hashes, unioned with
@@ -4508,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_split": q_pipeline_split,
         "pipeline_group_split": q_pipeline_group_split,
         "text_gopher": q_text_gopher,
+        "text_c4": q_text_c4,
         "pipeline_mix": q_pipeline_mix,
         "pipeline_pack": q_pipeline_pack,
         "pipeline_pack_greedy": q_pipeline_pack_greedy,
@@ -7249,6 +7291,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) AS avg_len,
                    min(doc_id) AS min_id
             FROM assigned GROUP BY split
+        """,
+        # C4 battery: the `_C4_SYNTH` SQL text verbatim, then the line
+        # retention + doc rules replayed with DuckDB list/string
+        # functions (list_filter lambdas, array_to_string rebuild)
+        "text_c4": """
+            WITH docs AS (
+              SELECT doc_id, """ + _C4_SYNTH + """ AS t FROM documents
+            ), base AS (
+              SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM docs
+            ), keptt AS (
+              SELECT doc_id, t, lines,
+                     list_filter(lines, l ->
+                       len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                       w -> w <> '')) >= 3
+                       AND (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                            OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"')
+                            OR ends_with(rtrim(l), chr(8221)))
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM base
+            ), cl AS (
+              -- array_to_string([]) is NULL in DuckDB, '' in Spark
+              SELECT doc_id, t, lines, kept,
+                     coalesce(array_to_string(kept, chr(10)), '') AS clean
+              FROM keptt
+            ), agg AS (
+              SELECT doc_id, t, lines, kept, clean,
+                     (length(clean) - length(replace(clean, '.', '')))
+                     + (length(clean) - length(replace(clean, '!', '')))
+                     + (length(clean) - length(replace(clean, '?', ''))) AS nm
+              FROM cl
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   clean AS clean_text,
+                   CAST(nm AS BIGINT) AS n_sentences,
+                   CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+                   CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_brace,
+                   CASE WHEN nm >= 3 THEN 1 ELSE 0 END AS sent_ok,
+                   CASE WHEN nm >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+                             AND NOT contains(t, '{') THEN 1 ELSE 0 END AS c4_pass
+            FROM agg
         """,
         # Gopher rule battery: identical count/count arithmetic with
         # DuckDB list/string functions; '...' counted via replace-length

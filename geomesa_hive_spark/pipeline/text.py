@@ -16,6 +16,7 @@ __all__ = [
     "word_tokens",
     "quality_score",
     "gopher_flags",
+    "c4_clean",
     "stopword_ratio",
     "punct_ratio",
     "lang_id",
@@ -180,6 +181,69 @@ def gopher_flags(col) -> Column:
         "struct<wc_ok:boolean,mwl_ok:boolean,sym_ok:boolean,"
         "bullet_ok:boolean,ell_ok:boolean,alpha_ok:boolean,"
         "stop_ok:boolean,gopher_pass:boolean>"
+    )).otherwise(st)
+
+
+def c4_clean(col, min_words: int = 3) -> Column:
+    """The classic C4 cleaning battery (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning…", §2.2 — the other canonical
+    pretraining filter set beside :func:`gopher_flags`) as ONE native
+    struct expression. Line level: keep only lines with >=
+    ``min_words`` whitespace words, ending in a terminal punctuation
+    mark ('.', '!', '?', '\"', '”'), and not mentioning
+    "javascript"; the cleaned text is the kept lines rejoined. Doc
+    level: ``has_lorem`` ("lorem ipsum" anywhere, case-insensitive),
+    ``has_brace`` (a literal '{'), ``sent_ok`` (>= 3 terminal marks in
+    the cleaned text), and the composite ``c4_pass`` = sent_ok AND NOT
+    has_lorem AND NOT has_brace. C4's third doc rule — the external
+    "List of Dirty, Naughty …" badword list — is input data, not an
+    algorithm, so it is the caller's filter to apply on top. Null text
+    → null struct; every count is exact integer arithmetic, so an
+    engine replaying the identical expressions reproduces each field
+    bit-for-bit."""
+    c = _c(col)
+    lines = F.split(c, "\n")
+
+    def _wc(l):
+        return F.size(
+            F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != F.lit(""))
+        )
+
+    def _terminal(l):
+        rt = F.rtrim(l)
+        return (
+            rt.endswith(".") | rt.endswith("!") | rt.endswith("?")
+            | rt.endswith('"') | rt.endswith("”")
+        )
+
+    keep_line = lambda l: (
+        (_wc(l) >= int(min_words))
+        & _terminal(l)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    clean = F.array_join(kept, "\n")
+    n_marks = sum(
+        F.length(clean) - F.length(F.replace(clean, F.lit(m), F.lit("")))
+        for m in (".", "!", "?")
+    )
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    sent_ok = n_marks >= 3
+    st = F.struct(
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        clean.alias("clean_text"),
+        n_marks.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        sent_ok.alias("sent_ok"),
+        (sent_ok & ~has_lorem & ~has_brace).alias("c4_pass"),
+    )
+    return F.when(c.isNull(), F.lit(None).cast(
+        "struct<n_lines:int,n_kept:int,clean_text:string,n_sentences:int,"
+        "has_lorem:boolean,has_brace:boolean,sent_ok:boolean,"
+        "c4_pass:boolean>"
     )).otherwise(st)
 
 

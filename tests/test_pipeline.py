@@ -427,6 +427,37 @@ def test_hash_split_deterministic(spark):
         sampling.hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
 
 
+def test_c4_clean_rules(spark):
+    """C4 battery: line retention (word floor, terminal punct,
+    javascript mention), lorem/brace doc flags, sentence floor, null
+    propagation, and empty-text behavior."""
+    from geomesa_hive_spark.pipeline.text import c4_clean
+
+    rows = [
+        (1, 'Good long sentence here.\nshort.\nNo terminal punct line\n'
+            'uses JavaScript tracking code.\nAnother fine "line" ends well!\n'
+            'Is this a question?'),
+        (2, 'lorem ipsum dolor sit amet.\nreal line with words here.'),
+        (3, 'function() { return 1; } is code.\nplain text line right here.'),
+        (4, None),
+        (5, ''),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    out = {r.id: r for r in
+           df.select("id", c4_clean("t").alias("c")).select("id", "c.*").collect()}
+    r1 = out[1]
+    # 'short.' fails the 3-word floor, the bare line fails terminal
+    # punct, the JavaScript line is dropped case-insensitively
+    assert r1.clean_text == ('Good long sentence here.\n'
+                             'Another fine "line" ends well!\nIs this a question?')
+    assert (r1.n_lines, r1.n_kept, r1.n_sentences) == (6, 3, 3)
+    assert r1.c4_pass
+    assert out[2].has_lorem and not out[2].c4_pass
+    assert out[3].has_brace and not out[3].c4_pass
+    assert out[4].c4_pass is None and out[4].clean_text is None
+    assert out[5].clean_text == "" and not out[5].c4_pass
+
+
 def test_gopher_flags_rules(spark):
     """Each Gopher rule flips on its targeted pathology; a well-formed
     long document passes all seven; null text yields a null struct."""
