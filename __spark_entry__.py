@@ -3253,6 +3253,28 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partition (Wenzek et al.
+    2020, lm.perplexity_buckets): the corpus' integer micro-nat
+    per-token scores are cut at the exact 1/3 and 2/3 percentiles
+    (floor()ed to integers so the boundary is rounding-robust) and
+    every document is labeled. One percentile aggregate + a broadcast
+    of the one-row cutoff frame — no global-sort ntile. The oracle
+    replays the full bigram-LM chain then quantile_cont with the same
+    repr-embedded fractions."""
+    from geomesa_hive_spark.pipeline import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi, vocab = lm.train_bigram_lm(docs, "doc_id", "text")
+    scored = lm.bigram_nll(docs, "doc_id", "text", uni, bi, vocab)
+    out = lm.perplexity_buckets(scored, "avg_q")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("avg_q"),
+        F.col("bucket"),
+    )
+
+
 def q_text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine similarity pairs (pipeline/text.py tfidf_pairs):
     inverted-index posting join with stop-term pruning (df > N/10
@@ -4557,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_urls": q_text_urls,
         "text_tfidf_pairs": q_text_tfidf_pairs,
         "text_lm_score": q_text_lm_score,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "dedup_substring": q_dedup_substring,
         "dedup_boilerplate": q_dedup_boilerplate,
         "entity_link": q_entity_link,
@@ -5868,6 +5891,44 @@ def _semantic_dedup_oracle(k: int = 8, iters: int = 2, threshold: float = 0.9) -
                CAST(dr.id_b IS NULL AS INT) AS kept
         FROM fa f LEFT JOIN dr ON f.vec_id = dr.id_b
     """
+
+
+#: full bigram-LM DuckDB replay — shared by text_lm_score and
+#: text_ccnet_buckets
+_LM_ORACLE = """            WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM documents
+            ), bge AS (
+              SELECT doc_id, unnest(l1) AS w1, unnest(l2) AS w2 FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
+                FROM toks)
+            ), uni AS (
+              SELECT u AS w, count(*) AS c1
+              FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1
+            ), bi AS (
+              SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY 1, 2
+            ), v AS (SELECT count(*) AS vs FROM uni
+            ), sc AS (
+              SELECT doc_id,
+                     CAST(round(ln((coalesce(c2, 0) + 1.0)
+                          / (coalesce(c1, 0) + vs)) * 1000000.0) AS BIGINT) AS lp
+              FROM bge LEFT JOIN bi USING (w1, w2)
+              LEFT JOIN uni ON bge.w1 = uni.w CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_bg,
+                     CAST(-sum(lp) AS BIGINT) AS nll_q,
+                     CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_q
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(n_bg, 0) AS n_bg,
+                   CAST(coalesce(nll_q, 0) AS BIGINT) AS nll_q,
+                   CAST(coalesce(avg_q, 0) AS BIGINT) AS avg_q
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7994,40 +8055,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(clean_text, '') AS clean_text
             FROM toks LEFT JOIN rebuilt USING (doc_id)
         """,
-        "text_lm_score": """
-            WITH toks AS (
-              SELECT doc_id, list_filter(
-                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                t -> t <> '') AS w
-              FROM documents
-            ), bge AS (
-              SELECT doc_id, unnest(l1) AS w1, unnest(l2) AS w2 FROM (
-                SELECT doc_id,
-                       CASE WHEN len(w) >= 2 THEN w[1:len(w)-1] ELSE [] END AS l1,
-                       CASE WHEN len(w) >= 2 THEN w[2:len(w)] ELSE [] END AS l2
-                FROM toks)
-            ), uni AS (
-              SELECT u AS w, count(*) AS c1
-              FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1
-            ), bi AS (
-              SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY 1, 2
-            ), v AS (SELECT count(*) AS vs FROM uni
-            ), sc AS (
-              SELECT doc_id,
-                     CAST(round(ln((coalesce(c2, 0) + 1.0)
-                          / (coalesce(c1, 0) + vs)) * 1000000.0) AS BIGINT) AS lp
-              FROM bge LEFT JOIN bi USING (w1, w2)
-              LEFT JOIN uni ON bge.w1 = uni.w CROSS JOIN v
-            ), agg AS (
-              SELECT doc_id, count(*) AS n_bg,
-                     CAST(-sum(lp) AS BIGINT) AS nll_q,
-                     CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_q
-              FROM sc GROUP BY doc_id
+        "text_lm_score": _LM_ORACLE,
+        "text_ccnet_buckets": f"""
+            WITH scored AS ({_LM_ORACLE}),
+            cuts AS (
+              SELECT CAST(floor(quantile_cont(avg_q, 0.3333333333333333)) AS BIGINT) AS c0,
+                     CAST(floor(quantile_cont(avg_q, 0.6666666666666666)) AS BIGINT) AS c1
+              FROM scored
             )
-            SELECT d.doc_id, coalesce(n_bg, 0) AS n_bg,
-                   CAST(coalesce(nll_q, 0) AS BIGINT) AS nll_q,
-                   CAST(coalesce(avg_q, 0) AS BIGINT) AS avg_q
-            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            SELECT doc_id, avg_q,
+                   CASE WHEN avg_q <= c0 THEN 'head'
+                        WHEN avg_q <= c1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored CROSS JOIN cuts
         """,
         "text_tfidf_pairs": """
             WITH tok0 AS (

@@ -34,6 +34,7 @@ __all__ = [
     "tokens_lower",
     "train_bigram_lm",
     "bigram_nll",
+    "perplexity_buckets",
 ]
 
 _SCALE = 1_000_000  # micro-nats
@@ -119,3 +120,42 @@ def bigram_nll(
             F.coalesce("avg_q", F.lit(0)).cast("long").alias("avg_q"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_q",
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020 — the
+    head/middle/tail split CCNet applies to per-token LM scores before
+    sampling pretraining data): cutoffs are the corpus percentiles at
+    ``cuts`` of ``score_col`` (the integer micro-nat ``avg_q`` from
+    :func:`bigram_nll`; perplexity is monotone in it, so bucketing the
+    score IS bucketing perplexity), and every row gains a ``bucket``
+    label. Two-stage, no global sort: ONE aggregate computes the
+    cutoff row, which broadcast-joins back onto the corpus — at 100 TB
+    the only extra shuffle is the one-row percentile agg, not an
+    ntile() window over a single partition. Cutoffs are floor()ed to
+    integers so the bucket boundary cannot wobble on cross-engine
+    percentile-interpolation rounding (scores are integers; a
+    boundary flip would need two engines to disagree by >= 1.0 on the
+    same interpolated value)."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    cs = scored.agg(
+        *[
+            F.floor(F.expr(f"percentile({score_col}, {p!r})"))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, p in enumerate(cuts)
+        ]
+    )
+    out = scored.join(F.broadcast(cs))
+    b = None
+    for i, lab in enumerate(labels[:-1]):
+        cond = F.col(score_col) <= F.col(f"_c{i}")
+        b = F.when(cond, F.lit(lab)) if b is None else b.when(cond, F.lit(lab))
+    b = b.otherwise(F.lit(labels[-1]))
+    return out.withColumn("bucket", b).drop(*[f"_c{i}" for i in range(len(cuts))])

@@ -427,6 +427,31 @@ def test_hash_split_deterministic(spark):
         sampling.hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
 
 
+def test_perplexity_buckets(spark):
+    """CCNet bucket split: ordered buckets, near-thirds sizes, no
+    global-sort window in the plan (cutoffs broadcast back), label
+    arity check."""
+    from geomesa_hive_spark.pipeline import lm as L
+
+    rows = [(i, (i * 37) % 101) for i in range(99)]
+    df = spark.createDataFrame(rows, "id LONG, avg_q LONG")
+    out = L.perplexity_buckets(df, "avg_q")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.bucket, []).append(r.avg_q)
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+    # scores are a permutation of 0..100 sampled evenly: thirds within 2
+    assert abs(len(by["head"]) - 33) <= 2 and abs(len(by["tail"]) - 33) <= 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        L.perplexity_buckets(df, "avg_q", labels=("a", "b"))
+
+
 def test_c4_clean_rules(spark):
     """C4 battery: line retention (word floor, terminal punct,
     javascript mention), lorem/brace doc flags, sentence floor, null
