@@ -639,6 +639,32 @@ def q_spatial_reproject_tmerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_cass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassini-Soldner reprojection (EPSG:4326 → '+proj=cass' with the
+    Soldner Berlin parameters on Bessel, no datum shift — EPSG method
+    9806, the historical cadastral family: EPSG:3068 Berlin, 30200
+    Trinidad, Cyprus/Malaysia grids) over a central-Europe window; the
+    oracle replays the Snyder 13-7/13-8 forward — the tmerc
+    meridian-arc series at k0=1 plus the Cassini x/y polynomial — with
+    identical repr-embedded constants. Kernel pinned by the
+    on-meridian tmerc identity, quadrature meridian-arc check, and
+    unit-scale Jacobian (tests/test_geom_kernel.py). Reference
+    delegates to a proj engine (ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit(_CASS_CRS)
+    )
+    return pts.filter(
+        (F.col("cx") >= -9.995) & (F.col("cx") <= 29.995)
+        & (F.col("cy") >= 35.005) & (F.col("cy") <= 64.995)
+    ).select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("cass_e"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("cass_n"),
+    )
+
+
 def q_spatial_reproject_osgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL datum-shifted national-grid transform (EPSG:4326 →
     EPSG:27700 British National Grid): WGS84 geodetic → ECEF →
@@ -4499,6 +4525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_merc": q_spatial_reproject_merc,
         "spatial_reproject_eqc": q_spatial_reproject_eqc,
         "spatial_reproject_tmerc": q_spatial_reproject_tmerc,
+        "spatial_reproject_cass": q_spatial_reproject_cass,
         "spatial_reproject_osgb": q_spatial_reproject_osgb,
         "spatial_reproject_moll": q_spatial_reproject_moll,
         "spatial_codecs": q_spatial_codecs,
@@ -4921,6 +4948,70 @@ def _tmerc_series_sql(K: dict, src: str, xa: str, ya: str) -> str:
                round(CAST(CAST({tx} AS FLOAT) AS DOUBLE), 3) AS {xa},
                round(CAST(CAST({ty} AS FLOAT) AS DOUBLE), 3) AS {ya}
         FROM ts2
+    """
+
+
+#: Soldner Berlin-parameter Cassini-Soldner (Bessel, no datum shift) —
+#: constants are the caller's, per the projections-module policy
+_CASS_CRS = (
+    "+proj=cass +lat_0=52.41864827777778 +lon_0=13.62720366666667 "
+    "+x_0=40000.0 +y_0=10000.0 +ellps=bessel"
+)
+_CASS_WINDOW = (
+    "lon >= -9.995 AND lon <= 29.995 AND lat >= 35.005 AND lat <= 64.995"
+)
+
+
+def _cass_oracle() -> str:
+    """Replay the Cassini-Soldner forward (EPSG method 9806, Snyder
+    13-7/13-8) for `_CASS_CRS`: the tmerc meridian-arc series at k0=1
+    with the Cassini x/y polynomial — identical expression shapes to
+    cass_forward, constants repr-embedded from tmerc_consts."""
+    from geomesa_hive_spark.geom.projections import (
+        ELLIPSOIDS, _ellps_e2, parse_crs, tmerc_consts,
+    )
+
+    key = parse_crs(_CASS_CRS)
+    assert key[0] == "cass"
+    _, aE, e2E, lat0, lon0, x0, y0, _tw = key
+    K = tmerc_consts(aE, e2E, lat0, lon0, 1.0, x0, y0)
+    a, e2, ep2 = repr(K["a"]), repr(K["e2"]), repr(K["ep2"])
+    rx0, ry0, m0, lam0 = (repr(K[x]) for x in ("x0", "y0", "m0", "lam0"))
+    m1, m2, m3, m4 = (repr(K[x]) for x in ("m1", "m2", "m3", "m4"))
+    tx = (
+        f"{rx0} + nn * (aa - t * aa*aa*aa / 6.0 "
+        f"- (8.0 - t + 8.0*c) * t * aa*aa*aa*aa*aa / 120.0)"
+    )
+    ty = (
+        f"{ry0} + (m - {m0} + nn * tan(phi) * (aa*aa / 2.0 "
+        f"+ (5.0 - t + 6.0*c) * aa*aa*aa*aa / 24.0))"
+    )
+    base_lon = _C_X
+    base_lat = _C_Y
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {base_lon} AS lon, {base_lat} AS lat
+          FROM customer
+        ), win AS (
+          SELECT c_custkey, lon, lat FROM base WHERE {_CASS_WINDOW}
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM win
+        ), cs1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp, cos(phi) AS cp FROM rad
+        ), cs2 AS (
+          SELECT c_custkey, phi,
+                 {a} / sqrt(1.0 - {e2} * sp * sp) AS nn,
+                 tan(phi) * tan(phi) AS t,
+                 {ep2} * cp * cp AS c,
+                 (lam - {lam0}) * cp AS aa,
+                 {a} * ({m1} * phi - {m2} * sin(2.0 * phi)
+                   + {m3} * sin(4.0 * phi) - {m4} * sin(6.0 * phi)) AS m
+          FROM cs1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({tx} AS FLOAT) AS DOUBLE), 3) AS cass_e,
+               round(CAST(CAST({ty} AS FLOAT) AS DOUBLE), 3) AS cass_n
+        FROM cs2
     """
 
 
@@ -6253,6 +6344,7 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{CX}", _C_X).replace("{CY}", _C_Y),
         "spatial_reproject_utm": _utm_oracle(zone=33),
         "spatial_reproject_tmerc": _tmerc_oracle(),
+        "spatial_reproject_cass": _cass_oracle(),
         "spatial_reproject_osgb": _osgb_oracle(),
         "spatial_reproject_moll": _moll_oracle(),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),

@@ -83,6 +83,8 @@ __all__ = [
     "omerc_forward",
     "omerc_inverse",
     "omerc_consts",
+    "cass_forward",
+    "cass_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -282,13 +284,23 @@ def parse_crs(crs: str):
                 _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
                 _parse_towgs84(low))
+    if "+proj=cass" in low:
+        # Cassini-Soldner shares tmerc's ellipsoid/datum parsing (same
+        # +datum/+ellps/+a+rf/+towgs84 vocabulary, no k_0)
+        a, e2, tw = _tmerc_datum(low)
+        return ("cass", a, e2,
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
+                tw)
     if "+towgs84=" in low and "+proj=tmerc" not in low:
         # every other family here is WGS84-only; silently dropping a
         # datum shift would be a ~100 m wrong answer, so refuse loudly
         raise ValueError(
             f"unsupported CRS {crs!r}: +towgs84 datum shifts are "
-            "implemented for the tmerc, krovak and somerc families (and "
-            "registered EPSG codes like 27700/5514/21781) only"
+            "implemented for the tmerc, cass, krovak and somerc "
+            "families (and registered EPSG codes like 27700/5514/21781) "
+            "only"
         )
     if "+proj=tmerc" in low:
         a, e2, tw = _tmerc_datum(low)
@@ -396,7 +408,8 @@ def parse_crs(crs: str):
         "Krovak ('+proj=krovak' or EPSG:5514), Swiss Oblique Mercator "
         "('+proj=somerc' or EPSG:21781/EPSG:2056), Hotine oblique "
         "Mercator variants A and B ('+proj=omerc [+no_uoff]' or "
-        "EPSG:29873) and their proj4 equivalents"
+        "EPSG:29873), Cassini-Soldner ('+proj=cass [+ellps=..] "
+        "[+towgs84=..]') and their proj4 equivalents"
     )
 
 
@@ -1121,6 +1134,86 @@ def tmerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         - (1.0 + 2.0 * t1 + c1) * d * d * d / 6.0
         + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * k["ep2"] + 24.0 * t1 * t1)
         * d * d * d * d * d / 120.0
+    ) / cp1
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cassini-Soldner (EPSG method 9806, '+proj=cass' — the historical
+# cadastral projection: DHDN Soldner Berlin EPSG:3068, Trinidad Grid
+# EPSG:30200, various Cyprus/Malaysia cadastre grids). Snyder eqs.
+# 13-7..13-8 forward / 13-10.. inverse; shares tmerc's meridian-arc
+# and footpoint-latitude series (tmerc_consts with k0=1), which is
+# exactly the EPSG formulation. Equidistant along the central meridian
+# and along every perpendicular to it (unit scale h=1 there), NOT
+# conformal — the tests pin the on-meridian identity with tmerc and
+# the unit-scale Jacobian on the meridian.
+# ---------------------------------------------------------------------------
+
+
+def cass_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Cassini-Soldner (easting, northing) meters.
+    ``params`` = (a, e2, lat0, lon0, x0, y0); datum shifts happen
+    OUTSIDE, mirroring tmerc."""
+    a, e2, lat0, lon0, x0, y0 = params
+    k = tmerc_consts(a, e2, lat0, lon0, 1.0, x0, y0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    cp = np.cos(phi)
+    nn = a / np.sqrt(1.0 - e2 * sp * sp)
+    t = np.tan(phi) * np.tan(phi)
+    c = k["ep2"] * cp * cp
+    aa = (lam - k["lam0"]) * cp
+    m = a * (k["m1"] * phi - k["m2"] * np.sin(2.0 * phi)
+             + k["m3"] * np.sin(4.0 * phi) - k["m4"] * np.sin(6.0 * phi))
+    out[:, 0] = x0 + nn * (
+        aa
+        - t * aa * aa * aa / 6.0
+        - (8.0 - t + 8.0 * c) * t * aa * aa * aa * aa * aa / 120.0
+    )
+    out[:, 1] = y0 + (
+        m - k["m0"]
+        + nn * np.tan(phi) * (
+            aa * aa / 2.0
+            + (5.0 - t + 6.0 * c) * aa * aa * aa * aa / 24.0
+        )
+    )
+    return out
+
+
+def cass_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Cassini-Soldner (easting, northing) meters → (lon°, lat°), via
+    the tmerc footpoint-latitude series at k0=1 then Snyder 13-10."""
+    a, e2, lat0, lon0, x0, y0 = params
+    k = tmerc_consts(a, e2, lat0, lon0, 1.0, x0, y0)
+    out = coords.copy()
+    m = k["m0"] + (coords[:, 1] - y0)
+    mu = m / (a * k["m1"])
+    phi1 = (
+        mu
+        + k["e1p1"] * np.sin(2.0 * mu)
+        + k["e1p2"] * np.sin(4.0 * mu)
+        + k["e1p3"] * np.sin(6.0 * mu)
+        + k["e1p4"] * np.sin(8.0 * mu)
+    )
+    sp1 = np.sin(phi1)
+    cp1 = np.cos(phi1)
+    tp1 = np.tan(phi1)
+    t1 = tp1 * tp1
+    n1 = a / np.sqrt(1.0 - e2 * sp1 * sp1)
+    r1 = a * (1.0 - e2) / (1.0 - e2 * sp1 * sp1) ** 1.5
+    d = (coords[:, 0] - x0) / n1
+    phi = phi1 - (n1 * tp1 / r1) * (
+        d * d / 2.0 - (1.0 + 3.0 * t1) * d * d * d * d / 24.0
+    )
+    lam = k["lam0"] + (
+        d
+        - t1 * d * d * d / 3.0
+        + (1.0 + 3.0 * t1) * t1 * d * d * d * d * d / 15.0
     ) / cp1
     out[:, 0] = np.degrees(lam)
     out[:, 1] = np.degrees(phi)

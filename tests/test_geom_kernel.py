@@ -753,3 +753,68 @@ def test_omerc_published_value_and_roundtrip():
     assert np.abs(fa[:, 1] - (fb[:, 1] + k["uc"] * math.cos(gc))).max() < 1e-6
     rta = P.omerc_inverse(fa, pa)
     assert np.abs(rta - pts).max() < 1e-9
+
+
+def test_cass_properties_and_parse():
+    """Cassini-Soldner (EPSG method 9806, Snyder 13-7..13-10): (a) on
+    the central meridian it IS the k0=1 transverse Mercator (both
+    reduce to the meridian arc M - M0) — exact; (b) the meridian-arc
+    series matches independent numerical quadrature of the meridian
+    radius to sub-mm; (c) unit scale along AND across the central
+    meridian (the projection's defining equidistance); (d) roundtrip
+    over a Berlin window; (e) parse_crs wiring incl. +towgs84 via the
+    shared tmerc datum vocabulary."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, rf = P.ELLIPSOIDS["bessel"]
+    e2 = P._ellps_e2(a, rf)
+    lat0, lon0 = 52.41864827777778, 13.62720366666667  # Soldner Berlin
+    params = (a, e2, lat0, lon0, 40000.0, 10000.0)
+    tparams = (a, e2, lat0, lon0, 1.0, 40000.0, 10000.0)
+
+    lats = np.linspace(47, 56, 19)
+    pts = np.column_stack([np.full_like(lats, lon0), lats])
+    assert np.abs(
+        P.cass_forward(pts.copy(), params) - P.tmerc_forward(pts.copy(), tparams)
+    ).max() == 0.0
+
+    phis = np.linspace(math.radians(lat0), math.radians(54.0), 400_001)
+    integrand = a * (1 - e2) / (1 - e2 * np.sin(phis) ** 2) ** 1.5
+    arc = np.trapz(integrand, phis)
+    y = P.cass_forward(np.array([[lon0, 54.0]]), params)[0, 1] - 10000.0
+    assert abs(arc - y) < 1e-3
+
+    h = 1e-7
+    for la in (50.0, lat0, 54.5):
+        p0 = P.cass_forward(np.array([[lon0, la]]), params)[0]
+        dx = (P.cass_forward(np.array([[lon0 + h, la]]), params)[0] - p0) / h
+        dy = (P.cass_forward(np.array([[lon0, la + h]]), params)[0] - p0) / h
+        sp = math.sin(math.radians(la))
+        nu = a / math.sqrt(1 - e2 * sp * sp)
+        rho = a * (1 - e2) / (1 - e2 * sp * sp) ** 1.5
+        kx = np.linalg.norm(dx) * 180 / math.pi / (nu * math.cos(math.radians(la)))
+        ky = np.linalg.norm(dy) * 180 / math.pi / rho
+        assert abs(kx - 1.0) < 1e-6 and abs(ky - 1.0) < 1e-6
+
+    rng = np.random.RandomState(3)
+    w = np.column_stack([rng.uniform(11, 16, 500), rng.uniform(50, 55, 500)])
+    rt = P.cass_inverse(P.cass_forward(w.copy(), params), params)
+    assert np.abs(rt - w).max() < 2e-7  # ~2 cm
+
+    t = P.parse_crs(
+        "+proj=cass +lat_0=52.41864827777778 +lon_0=13.62720366666667 "
+        "+x_0=40000 +y_0=10000 +ellps=bessel"
+    )
+    assert t[0] == "cass" and t[1] == a and t[7] is None
+    td = P.parse_crs(
+        "+proj=cass +lat_0=52.4 +lon_0=13.6 +ellps=bessel "
+        "+towgs84=598.1,73.7,418.2"
+    )
+    assert td[7] == (598.1, 73.7, 418.2)
+    with pytest.raises(ValueError):
+        P.parse_crs("+proj=cass +ellps=nosuch")
