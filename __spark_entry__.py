@@ -847,6 +847,36 @@ def q_spatial_reproject_somerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_rdnew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oblique Stereographic reprojection (EPSG:4326 → EPSG:28992,
+    Amersfoort / RD New — EPSG method 9809, the "double
+    stereographic") on points over a northwest-Europe window; the
+    oracle replays the FULL chain — WGS84 → ECEF → negated 7-parameter
+    Amersfoort Helmert with reciprocal scale → Bowring geodetic on
+    Bessel → the GN7-2 sterea forward (conformal sphere n/R/c, χ/Λ,
+    spherical oblique stereographic about (χ0, λ0)) — in SQL with
+    identical repr-embedded constants. Kernel pinned by the EPSG
+    worked example (φ=53°N, λ=6°E → 196105.283, 557057.739) in
+    tests/test_geom_kernel.py (reference scope:
+    spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:28992")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -9.995) & (F.col("cx") <= 19.995)
+            & (F.col("cy") >= 40.005) & (F.col("cy") <= 64.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("rd_e"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("rd_n"),
+        )
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -4518,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_laea": q_spatial_reproject_laea,
         "spatial_reproject_krovak": q_spatial_reproject_krovak,
         "spatial_reproject_somerc": q_spatial_reproject_somerc,
+        "spatial_reproject_rdnew": q_spatial_reproject_rdnew,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
@@ -5295,6 +5326,102 @@ def _somerc_oracle() -> str:
                round(CAST(CAST(600000.0 + {r} * lbar AS FLOAT) AS DOUBLE), 3) AS somerc_e,
                round(CAST(CAST(200000.0 + {r} * 0.5 * ln((1.0 + sbb) / (1.0 - sbb)) AS FLOAT) AS DOUBLE), 3) AS somerc_n
         FROM s5
+    """
+
+
+def _rdnew_oracle() -> str:
+    """Replay EPSG:28992 end to end: WGS84 geodetic → ECEF → Helmert
+    with the NEGATED 7-parameter Amersfoort values and the reciprocal
+    scale (the standard reverse path datum_from_wgs84 computes) →
+    Bowring's closed-form geodetic on Bessel 1841 → the EPSG 9809
+    Oblique Stereographic forward (conformal sphere w = c·(Sa·Sb^e)^n,
+    χ = asin((w−1)/(w+1)), Λ−Λ0 = n(λ−λ0), then the spherical oblique
+    stereographic B-divisor form). Every constant is repr-embedded and
+    the degrees→radians round-trip between chain stages is mirrored so
+    expression shapes match bit-near."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _E2, _RDNEW_LAT0, _RDNEW_LON0, _RDNEW_TOWGS84, ELLIPSOIDS,
+        _ellps_e2, helmert_consts, sterea_consts,
+    )
+
+    aB, rfB = ELLIPSOIDS["bessel"]
+    e2B = _ellps_e2(aB, rfB)
+    K = sterea_consts(aB, e2B, _RDNEW_LAT0, _RDNEW_LON0, 0.9999079)
+    h = helmert_consts(_RDNEW_TOWGS84)
+    ndx, ndy, ndz = repr(-h["dx"]), repr(-h["dy"]), repr(-h["dz"])
+    nrx, nry, nrz = repr(-h["rx"]), repr(-h["ry"]), repr(-h["rz"])
+    im = repr(1.0 / h["m"])
+    aW, e2W = repr(_A), repr(_E2)
+    bB = repr(aB * _math.sqrt(1.0 - e2B))
+    ep2B = repr(e2B / (1.0 - e2B))
+    raB, re2B = repr(aB), repr(e2B)
+    e, n, c = repr(K["e"]), repr(K["n"]), repr(K["c"])
+    schi0, cchi0 = repr(K["schi0"]), repr(K["cchi0"])
+    lam0, g = repr(K["lam0"]), repr(2.0 * K["r"] * K["k0"])
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -9.995 AND {_C_X} <= 19.995
+            AND {_C_Y} >= 40.005 AND {_C_Y} <= 64.995
+        ), rad0 AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), ec AS (
+          SELECT c_custkey, lam, phi,
+                 {aW} / sqrt(1.0 - {e2W} * sin(phi) * sin(phi)) AS nn
+          FROM rad0
+        ), xyz AS (
+          SELECT c_custkey,
+                 nn * cos(phi) * cos(lam) AS gx,
+                 nn * cos(phi) * sin(lam) AS gy,
+                 nn * (1.0 - {e2W}) * sin(phi) AS gz
+          FROM ec
+        ), hel AS (
+          SELECT c_custkey,
+                 ({ndx}) + {im} * (gx - ({nrz}) * gy + ({nry}) * gz) AS hx,
+                 ({ndy}) + {im} * (({nrz}) * gx + gy - ({nrx}) * gz) AS hy,
+                 ({ndz}) + {im} * (-(({nry})) * gx + ({nrx}) * gy + gz) AS hz
+          FROM xyz
+        ), bw1 AS (
+          SELECT c_custkey, hx, hy, hz,
+                 sqrt(hx * hx + hy * hy) AS p
+          FROM hel
+        ), bw2 AS (
+          SELECT c_custkey, hx, hy, hz, p,
+                 atan2(hz * {raB}, p * {bB}) AS th
+          FROM bw1
+        ), geo AS (
+          SELECT c_custkey,
+                 degrees(atan2(hy, hx)) AS lon2,
+                 degrees(atan2(hz + {ep2B} * {bB} * sin(th) * sin(th) * sin(th),
+                               p - {re2B} * {raB} * cos(th) * cos(th) * cos(th))) AS lat2
+          FROM bw2
+        ), rad AS (
+          SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
+        ), t1 AS (
+          SELECT c_custkey, lam, sin(phi) AS sp FROM rad
+        ), t2 AS (
+          SELECT c_custkey, lam,
+                 {c} * pow(((1.0 + sp) / (1.0 - sp))
+                   * pow((1.0 - {e} * sp) / (1.0 + {e} * sp), {e}), {n}) AS w
+          FROM t1
+        ), t3 AS (
+          SELECT c_custkey,
+                 (w - 1.0) / (w + 1.0) AS schi,
+                 sqrt(1.0 - ((w - 1.0) / (w + 1.0)) * ((w - 1.0) / (w + 1.0))) AS cchi,
+                 {n} * (lam - {lam0}) AS dl
+          FROM t2
+        ), t4 AS (
+          SELECT c_custkey, schi, cchi, dl,
+                 1.0 + schi * {schi0} + cchi * {cchi0} * cos(dl) AS b
+          FROM t3
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(155000.0 + {g} * cchi * sin(dl) / b AS FLOAT) AS DOUBLE), 3) AS rd_e,
+               round(CAST(CAST(463000.0 + {g} * (schi * {cchi0} - cchi * {schi0} * cos(dl)) / b AS FLOAT) AS DOUBLE), 3) AS rd_n
+        FROM t4
     """
 
 
@@ -6352,6 +6479,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_laea": _laea_oracle(epsg=3035),
         "spatial_reproject_krovak": _krovak_oracle(),
         "spatial_reproject_somerc": _somerc_oracle(),
+        "spatial_reproject_rdnew": _rdnew_oracle(),
         "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

@@ -1079,6 +1079,11 @@ def _coord_fn(fk, tk):
             tw = fk[8]
             ll = proj.somerc_inverse(c, fk[1:8])
             return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
+        if fk[0] == "sterea":
+            a, e2 = fk[1], fk[2]
+            tw = fk[8]
+            ll = proj.sterea_inverse(c, fk[1:8])
+            return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
         if fk[0] == "omerc":
             a, e2 = fk[1], fk[2]
             tw = fk[11]
@@ -1127,6 +1132,11 @@ def _coord_fn(fk, tk):
             tw = tk[8]
             ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
             return proj.somerc_forward(ll, tk[1:8])
+        if tk[0] == "sterea":
+            a, e2 = tk[1], tk[2]
+            tw = tk[8]
+            ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
+            return proj.sterea_forward(ll, tk[1:8])
         if tk[0] == "omerc":
             a, e2 = tk[1], tk[2]
             tw = tk[11]

@@ -85,6 +85,9 @@ __all__ = [
     "omerc_consts",
     "cass_forward",
     "cass_inverse",
+    "sterea_forward",
+    "sterea_inverse",
+    "sterea_consts",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -210,6 +213,11 @@ def parse_crs(crs: str):
             a, rf = ELLIPSOIDS[ellps]
             return ("omerc", a, _ellps_e2(a, rf), latc, lonc, al, ga, kc,
                     ec, nc, False, tw)
+        if code == 28992:  # Amersfoort / RD New (Bessel + 7-param Helmert)
+            a, rf = ELLIPSOIDS["bessel"]
+            return ("sterea", a, _ellps_e2(a, rf), _RDNEW_LAT0,
+                    _RDNEW_LON0, 0.9999079, 155000.0, 463000.0,
+                    _RDNEW_TOWGS84)
         if code in (21781, 2056):  # CH1903/LV03, CH1903+/LV95 (Bessel)
             a, rf = ELLIPSOIDS["bessel"]
             x0, y0 = (600000.0, 200000.0) if code == 21781 else (
@@ -269,6 +277,25 @@ def parse_crs(crs: str):
                 _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
                 no_uoff, _parse_towgs84(low))
+    if "+proj=sterea" in low:
+        # Oblique Stereographic (EPSG 9809, the conformal-sphere
+        # "double stereographic") — NOT '+proj=stere'. Ellipsoid
+        # defaults to Bessel like somerc/krovak: the dominant real
+        # sterea systems (RD New, Stereo 70 ancestors) are Bessel.
+        em = re.search(r"\+ellps=([a-z0-9]+)", low)
+        name = em.group(1) if em else "bessel"
+        if name not in ELLIPSOIDS:
+            raise ValueError(
+                f"unsupported +ellps={name}: supported are "
+                + ", ".join(sorted(ELLIPSOIDS))
+            )
+        a, rf = ELLIPSOIDS[name]
+        return ("sterea", a, _ellps_e2(a, rf),
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
+                _parse_towgs84(low))
     if "+proj=somerc" in low:
         em = re.search(r"\+ellps=([a-z0-9]+)", low)
         name = em.group(1) if em else "bessel"
@@ -298,9 +325,9 @@ def parse_crs(crs: str):
         # datum shift would be a ~100 m wrong answer, so refuse loudly
         raise ValueError(
             f"unsupported CRS {crs!r}: +towgs84 datum shifts are "
-            "implemented for the tmerc, cass, krovak and somerc "
-            "families (and registered EPSG codes like 27700/5514/21781) "
-            "only"
+            "implemented for the tmerc, cass, krovak, somerc and "
+            "sterea families (and registered EPSG codes like "
+            "27700/5514/21781/28992) only"
         )
     if "+proj=tmerc" in low:
         a, e2, tw = _tmerc_datum(low)
@@ -409,7 +436,8 @@ def parse_crs(crs: str):
         "('+proj=somerc' or EPSG:21781/EPSG:2056), Hotine oblique "
         "Mercator variants A and B ('+proj=omerc [+no_uoff]' or "
         "EPSG:29873), Cassini-Soldner ('+proj=cass [+ellps=..] "
-        "[+towgs84=..]') and their proj4 equivalents"
+        "[+towgs84=..]'), Oblique Stereographic ('+proj=sterea' or "
+        "EPSG:28992 RD New) and their proj4 equivalents"
     )
 
 
@@ -1801,6 +1829,127 @@ def omerc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     lam = k["lam0"] - np.arctan2(
         s * k["cg0"] - vp * k["sg0"], np.cos(k["b"] * uu / k["a2"])
     ) / k["b"]
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Oblique Stereographic (EPSG method 9809, '+proj=sterea' — the
+# "double stereographic": RD New / Amersfoort EPSG:28992, the Dutch
+# national grid, plus various Caribbean and Romanian (Stereo 70 via an
+# explicit proj string) systems). The public EPSG Guidance Note 7-2
+# construction: ellipsoid → Gaussian conformal sphere at φ0 (the same
+# n/R/c machinery as the Swiss somerc, with the sphere pole kept at
+# the geodetic pole), then the spherical oblique stereographic
+# projection about (χ0, λ0). Distinct from the non-conformal-sphere
+# '+proj=stere' family (whose polar aspect is implemented above); the
+# reference delegates both to its proj engine
+# (ST_GeomReproject.scala:25). Kernel pinned by the GN7-2 worked
+# example (φ=53°N, λ=6°E → E=196105.283, N=557057.739 on Bessel).
+# ---------------------------------------------------------------------------
+
+#: Amersfoort → WGS84 7-parameter Helmert (position-vector, the
+#: proj-shipped / EPSG:15934 values for RD New).
+_RDNEW_TOWGS84 = (565.417, 50.3319, 465.552, -0.398957, 0.343988,
+                  -1.8774, 4.0725)
+
+#: EPSG:28992 natural origin (Amersfoort, Onze Lieve Vrouwetoren):
+#: 52°09'22.178"N / 5°23'15.500"E, k0 = 0.9999079, FE/FN =
+#: (155000, 463000) — the origin maps EXACTLY to (FE, FN), which the
+#: tests pin.
+_RDNEW_LAT0 = 52.15616055555555
+_RDNEW_LON0 = 5.38763888888889
+
+
+def sterea_consts(a: float, e2: float, lat0: float, lon0: float,
+                  k0: float) -> dict:
+    """Per-projection Oblique Stereographic constants as plain doubles
+    (repr round-trips them) for exact oracle replay: n (conformal
+    sphere exponent), R (Gaussian radius), c (the constant aligning
+    the conformal latitude of the origin), and sin/cos of χ0."""
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    c0 = math.cos(p0)
+    n = math.sqrt(1.0 + e2 * (c0 * c0 * c0 * c0) / (1.0 - e2))
+    r = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    s1 = (1.0 + s0) / (1.0 - s0)
+    s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (s1 * s2 ** e) ** n
+    sc0 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + s0) * (1.0 - sc0) / ((n - s0) * (1.0 + sc0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    return {
+        "e": e, "n": n, "r": r, "c": c,
+        "schi0": math.sin(chi0), "cchi0": math.cos(chi0),
+        "lam0": math.radians(lon0), "k0": k0,
+    }
+
+
+def sterea_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Geodetic (lon°, lat°) on the projection's ellipsoid → Oblique
+    Stereographic (easting, northing) meters. Vectorized; ``params`` =
+    (a, e2, lat0, lon0, k0, x0, y0) — the datum shift happens OUTSIDE
+    (caller converts WGS84 → the local ellipsoid first, mirroring the
+    tmerc/somerc chain)."""
+    a, e2, lat0, lon0, k0, x0, y0 = params
+    k = sterea_consts(a, e2, lat0, lon0, k0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    sa = (1.0 + sp) / (1.0 - sp)
+    sb = (1.0 - k["e"] * sp) / (1.0 + k["e"] * sp)
+    w = k["c"] * (sa * sb ** k["e"]) ** k["n"]
+    schi = np.clip((w - 1.0) / (w + 1.0), -1.0, 1.0)
+    cchi = np.sqrt(1.0 - schi * schi)
+    dl = k["n"] * (lam - k["lam0"])
+    b = 1.0 + schi * k["schi0"] + cchi * k["cchi0"] * np.cos(dl)
+    g = 2.0 * k["r"] * k["k0"]
+    out[:, 0] = x0 + g * cchi * np.sin(dl) / b
+    out[:, 1] = y0 + g * (schi * k["cchi0"] - cchi * k["schi0"] * np.cos(dl)) / b
+    return out
+
+
+def sterea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Oblique Stereographic meters → geodetic (lon°, lat°) on the
+    projection's ellipsoid: spherical stereographic inverse about
+    (χ0, λ0), then the standard 8-round conformal-latitude fixed-point
+    iteration (ψ = (ln w − ln c) / 2n is the isometric latitude)."""
+    a, e2, lat0, lon0, k0, x0, y0 = params
+    k = sterea_consts(a, e2, lat0, lon0, k0)
+    out = coords.copy()
+    dx = coords[:, 0] - x0
+    dy = coords[:, 1] - y0
+    rho = np.hypot(dx, dy)
+    g = 2.0 * k["r"] * k["k0"]
+    ce = 2.0 * np.arctan(rho / g)
+    sce = np.sin(ce)
+    cce = np.cos(ce)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    schi = np.clip(
+        np.where(
+            rho == 0.0,
+            k["schi0"],
+            cce * k["schi0"] + dy * sce * k["cchi0"] / safe,
+        ),
+        -1.0, 1.0,
+    )
+    dl = np.arctan2(dx * sce, rho * k["cchi0"] * cce - dy * k["schi0"] * sce)
+    lam = k["lam0"] + dl / k["n"]
+    psi = (np.log((1.0 + schi) / (1.0 - schi)) - math.log(k["c"])) / (2.0 * k["n"])
+    phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2.0
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = 2.0 * np.arctan(
+            np.exp(
+                psi
+                + (k["e"] / 2.0)
+                * np.log((1.0 + k["e"] * sp) / (1.0 - k["e"] * sp))
+            )
+        ) - math.pi / 2.0
     out[:, 0] = np.degrees(lam)
     out[:, 1] = np.degrees(phi)
     return out

@@ -818,3 +818,84 @@ def test_cass_properties_and_parse():
     assert td[7] == (598.1, 73.7, 418.2)
     with pytest.raises(ValueError):
         P.parse_crs("+proj=cass +ellps=nosuch")
+
+
+def test_sterea_epsg_worked_example_conformal_and_roundtrip():
+    """Oblique Stereographic (EPSG method 9809, RD New EPSG:28992):
+    (a) the EPSG Guidance Note 7-2 worked example — φ=53°N, λ=6°E on
+    the Amersfoort datum → E=196105.283, N=557057.739 — to sub-mm;
+    (b) the natural origin maps EXACTLY to (FE, FN) = (155000,
+    463000); (c) conformality (isotropic, orthogonal Jacobian) with
+    scale exactly k0 at the origin; (d) inverse(forward) identity
+    across the Netherlands; (e) parse_crs wiring for EPSG:28992 and
+    '+proj=sterea', and that '+proj=stere' (the NON-conformal-sphere
+    family) still routes to the polar-stereo branch, not sterea."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, rf = P.ELLIPSOIDS["bessel"]
+    e2 = P._ellps_e2(a, rf)
+    params = (a, e2, P._RDNEW_LAT0, P._RDNEW_LON0, 0.9999079,
+              155000.0, 463000.0)
+
+    # (a) EPSG GN7-2 worked example
+    f = P.sterea_forward(np.array([[6.0, 53.0]]), params)[0]
+    assert abs(f[0] - 196105.283) < 5e-4 and abs(f[1] - 557057.739) < 5e-4
+
+    # (b) origin → false origin exactly
+    f0 = P.sterea_forward(
+        np.array([[P._RDNEW_LON0, P._RDNEW_LAT0]]), params
+    )[0]
+    assert abs(f0[0] - 155000.0) < 1e-6 and abs(f0[1] - 463000.0) < 1e-6
+
+    # (d) roundtrip across the Netherlands
+    rng = np.random.RandomState(9)
+    pts = np.column_stack(
+        [rng.uniform(3.3, 7.2, 200), rng.uniform(50.7, 53.6, 200)]
+    )
+    rt = P.sterea_inverse(P.sterea_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-9
+
+    # (c) conformal Jacobian; scale = k0 at the natural origin
+    h = 1e-6
+    for lo, la in [(P._RDNEW_LON0, P._RDNEW_LAT0), (6.6, 52.2)]:
+        p0 = P.sterea_forward(np.array([[lo, la]]), params)[0]
+        dx = (P.sterea_forward(np.array([[lo + h, la]]), params)[0] - p0) / h
+        dy = (P.sterea_forward(np.array([[lo, la + h]]), params)[0] - p0) / h
+        sp = math.sin(math.radians(la))
+        nu = a / math.sqrt(1 - e2 * sp * sp)
+        rho = a * (1 - e2) / (1 - e2 * sp * sp) ** 1.5
+        kx = np.linalg.norm(dx) * 180 / math.pi / (
+            nu * math.cos(math.radians(la)))
+        ky = np.linalg.norm(dy) * 180 / math.pi / rho
+        assert abs(kx / ky - 1) < 1e-6
+        assert abs(np.dot(dx, dy)) < 1e-4 * np.linalg.norm(dx) * np.linalg.norm(dy)
+    p0 = P.sterea_forward(np.array([[P._RDNEW_LON0, P._RDNEW_LAT0]]), params)[0]
+    dx = (P.sterea_forward(
+        np.array([[P._RDNEW_LON0 + h, P._RDNEW_LAT0]]), params)[0] - p0) / h
+    sp = math.sin(math.radians(P._RDNEW_LAT0))
+    nu = a / math.sqrt(1 - e2 * sp * sp)
+    k_c = np.linalg.norm(dx) * 180 / math.pi / (
+        nu * math.cos(math.radians(P._RDNEW_LAT0)))
+    assert abs(k_c - 0.9999079) < 1e-7
+
+    # (e) parse_crs wiring
+    t = P.parse_crs("EPSG:28992")
+    assert t[0] == "sterea" and t[8] == P._RDNEW_TOWGS84
+    tp = P.parse_crs(
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel"
+    )
+    assert tp[:8] == t[:8] and tp[8] is None
+    # '+proj=stere' must NOT be swallowed by the sterea branch
+    ps = P.parse_crs("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45")
+    assert ps[0] == "stere"
+    # full WGS84 chain: Helmert reverse is the negated-parameter
+    # approximation, good to ~1 cm (same convention as the OSGB chain)
+    ll = P.datum_from_wgs84(np.array([[5.2, 52.1]]), a, e2,
+                            P._RDNEW_TOWGS84)
+    back = P.datum_to_wgs84(ll, a, e2, P._RDNEW_TOWGS84)
+    assert np.abs(back - [[5.2, 52.1]]).max() < 2e-7
