@@ -877,6 +877,35 @@ def q_spatial_reproject_rdnew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Polyconic reprojection (EPSG:4326 → EPSG:29101, SAD69 /
+    Brazil Polyconic — EPSG method 9818) on points over a South-America
+    window; the oracle replays the FULL chain — WGS84 → ECEF → negated
+    3-parameter SAD69 Helmert → Bowring geodetic on GRS67-modified
+    (aust_SA) → the Snyder 18-12..18-14 polyconic forward (meridian-arc
+    series, per-parallel tangent-cone arc N·cotφ) — in SQL with
+    identical repr-embedded constants. Kernel pinned by the Snyder
+    p. 304 numerical example and the exact true-scale-along-parallels
+    property in tests/test_geom_kernel.py (reference scope:
+    spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:29101")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -69.995) & (F.col("cx") <= -30.005)
+            & (F.col("cy") >= -34.995) & (F.col("cy") <= -0.005)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("poly_e"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("poly_n"),
+        )
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -4549,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_krovak": q_spatial_reproject_krovak,
         "spatial_reproject_somerc": q_spatial_reproject_somerc,
         "spatial_reproject_rdnew": q_spatial_reproject_rdnew,
+        "spatial_reproject_poly": q_spatial_reproject_poly,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
@@ -5422,6 +5452,91 @@ def _rdnew_oracle() -> str:
                round(CAST(CAST(155000.0 + {g} * cchi * sin(dl) / b AS FLOAT) AS DOUBLE), 3) AS rd_e,
                round(CAST(CAST(463000.0 + {g} * (schi * {cchi0} - cchi * {schi0} * cos(dl)) / b AS FLOAT) AS DOUBLE), 3) AS rd_n
         FROM t4
+    """
+
+
+def _poly_oracle() -> str:
+    """Replay EPSG:29101 end to end: WGS84 geodetic → ECEF → negated
+    3-parameter SAD69 Helmert → Bowring's closed-form geodetic on the
+    GRS67-modified (aust_SA) ellipsoid → the Snyder 18-12..18-14
+    American Polyconic forward (E = (λ−λ0)·sinφ, x = N·cotφ·sin E,
+    y = M − M0 + N·cotφ·(1−cos E) with the tmerc meridian-arc series
+    at k0=1). Every constant is repr-embedded and the degrees→radians
+    round-trip between chain stages is mirrored so expression shapes
+    match bit-near. lat0 = 0 makes M0 exactly 0.0; the window excludes
+    φ = 0 so the degenerate equator branch never triggers."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _A, _E2, _SAD69_TOWGS84, ELLIPSOIDS, _ellps_e2, tmerc_consts,
+    )
+
+    aS, rfS = ELLIPSOIDS["aust_sa"]
+    e2S = _ellps_e2(aS, rfS)
+    K = tmerc_consts(aS, e2S, 0.0, -54.0, 1.0, 5000000.0, 10000000.0)
+    dx, dy, dz = _SAD69_TOWGS84
+    ndx, ndy, ndz = repr(-dx), repr(-dy), repr(-dz)
+    aW, e2W = repr(_A), repr(_E2)
+    bS = repr(aS * _math.sqrt(1.0 - e2S))
+    ep2S = repr(e2S / (1.0 - e2S))
+    raS, re2S = repr(aS), repr(e2S)
+    m0, lam0 = repr(K["m0"]), repr(K["lam0"])
+    m1, m2, m3, m4 = (repr(K[x]) for x in ("m1", "m2", "m3", "m4"))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -69.995 AND {_C_X} <= -30.005
+            AND {_C_Y} >= -34.995 AND {_C_Y} <= -0.005
+        ), rad0 AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), ec AS (
+          SELECT c_custkey, lam, phi,
+                 {aW} / sqrt(1.0 - {e2W} * sin(phi) * sin(phi)) AS nn
+          FROM rad0
+        ), xyz AS (
+          SELECT c_custkey,
+                 nn * cos(phi) * cos(lam) AS gx,
+                 nn * cos(phi) * sin(lam) AS gy,
+                 nn * (1.0 - {e2W}) * sin(phi) AS gz
+          FROM ec
+        ), hel AS (
+          SELECT c_custkey,
+                 ({ndx}) + 1.0 * (gx - 0.0 * gy + 0.0 * gz) AS hx,
+                 ({ndy}) + 1.0 * (0.0 * gx + gy - 0.0 * gz) AS hy,
+                 ({ndz}) + 1.0 * (-0.0 * gx + 0.0 * gy + gz) AS hz
+          FROM xyz
+        ), bw1 AS (
+          SELECT c_custkey, hx, hy, hz,
+                 sqrt(hx * hx + hy * hy) AS p
+          FROM hel
+        ), bw2 AS (
+          SELECT c_custkey, hx, hy, hz, p,
+                 atan2(hz * {raS}, p * {bS}) AS th
+          FROM bw1
+        ), geo AS (
+          SELECT c_custkey,
+                 degrees(atan2(hy, hx)) AS lon2,
+                 degrees(atan2(hz + {ep2S} * {bS} * sin(th) * sin(th) * sin(th),
+                               p - {re2S} * {raS} * cos(th) * cos(th) * cos(th))) AS lat2
+          FROM bw2
+        ), rad AS (
+          SELECT c_custkey, radians(lon2) AS lam, radians(lat2) AS phi FROM geo
+        ), p1 AS (
+          SELECT c_custkey, lam, phi, sin(phi) AS sp FROM rad
+        ), p2 AS (
+          SELECT c_custkey, phi,
+                 {raS} / sqrt(1.0 - {re2S} * sp * sp) AS nn,
+                 (lam - {lam0}) * sp AS ee,
+                 1.0 / tan(phi) AS cot,
+                 {raS} * ({m1} * phi - {m2} * sin(2.0 * phi)
+                   + {m3} * sin(4.0 * phi) - {m4} * sin(6.0 * phi)) AS m
+          FROM p1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(5000000.0 + nn * cot * sin(ee) AS FLOAT) AS DOUBLE), 3) AS poly_e,
+               round(CAST(CAST(10000000.0 + m - {m0} + nn * cot * (1.0 - cos(ee)) AS FLOAT) AS DOUBLE), 3) AS poly_n
+        FROM p2
     """
 
 
@@ -6480,6 +6595,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_krovak": _krovak_oracle(),
         "spatial_reproject_somerc": _somerc_oracle(),
         "spatial_reproject_rdnew": _rdnew_oracle(),
+        "spatial_reproject_poly": _poly_oracle(),
         "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

@@ -1069,6 +1069,11 @@ def _coord_fn(fk, tk):
             tw = fk[7]
             ll = proj.cass_inverse(c, fk[1:7])
             return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
+        if fk[0] == "poly":
+            a, e2 = fk[1], fk[2]
+            tw = fk[7]
+            ll = proj.poly_inverse(c, fk[1:7])
+            return proj.datum_to_wgs84(ll, a, e2, tw) if tw is not None else ll
         if fk[0] == "krovak":
             a, e2 = fk[1], fk[2]
             tw = fk[10]
@@ -1122,6 +1127,11 @@ def _coord_fn(fk, tk):
             tw = tk[7]
             ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
             return proj.cass_forward(ll, tk[1:7])
+        if tk[0] == "poly":
+            a, e2 = tk[1], tk[2]
+            tw = tk[7]
+            ll = proj.datum_from_wgs84(c, a, e2, tw) if tw is not None else c
+            return proj.poly_forward(ll, tk[1:7])
         if tk[0] == "krovak":
             a, e2 = tk[1], tk[2]
             tw = tk[10]

@@ -88,6 +88,8 @@ __all__ = [
     "sterea_forward",
     "sterea_inverse",
     "sterea_consts",
+    "poly_forward",
+    "poly_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -213,6 +215,14 @@ def parse_crs(crs: str):
             a, rf = ELLIPSOIDS[ellps]
             return ("omerc", a, _ellps_e2(a, rf), latc, lonc, al, ga, kc,
                     ec, nc, False, tw)
+        if code == 29101:  # SAD69 / Brazil Polyconic (aust_SA + Helmert)
+            a, rf = ELLIPSOIDS["aust_sa"]
+            return ("poly", a, _ellps_e2(a, rf), 0.0, -54.0,
+                    5000000.0, 10000000.0, _SAD69_TOWGS84)
+        if code == 5880:  # SIRGAS 2000 / Brazil Polyconic (GRS80, no shift)
+            a, rf = ELLIPSOIDS["grs80"]
+            return ("poly", a, _ellps_e2(a, rf), 0.0, -54.0,
+                    5000000.0, 10000000.0, None)
         if code == 28992:  # Amersfoort / RD New (Bessel + 7-param Helmert)
             a, rf = ELLIPSOIDS["bessel"]
             return ("sterea", a, _ellps_e2(a, rf), _RDNEW_LAT0,
@@ -311,6 +321,15 @@ def parse_crs(crs: str):
                 _proj4_num(low, "k_0", _proj4_num(low, "k", 1.0)),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
                 _parse_towgs84(low))
+    if "+proj=poly" in low:
+        # American Polyconic shares tmerc's ellipsoid/datum parsing
+        # (same +datum/+ellps/+a+rf/+towgs84 vocabulary, no k_0)
+        a, e2, tw = _tmerc_datum(low)
+        return ("poly", a, e2,
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0),
+                tw)
     if "+proj=cass" in low:
         # Cassini-Soldner shares tmerc's ellipsoid/datum parsing (same
         # +datum/+ellps/+a+rf/+towgs84 vocabulary, no k_0)
@@ -325,9 +344,9 @@ def parse_crs(crs: str):
         # datum shift would be a ~100 m wrong answer, so refuse loudly
         raise ValueError(
             f"unsupported CRS {crs!r}: +towgs84 datum shifts are "
-            "implemented for the tmerc, cass, krovak, somerc and "
-            "sterea families (and registered EPSG codes like "
-            "27700/5514/21781/28992) only"
+            "implemented for the tmerc, cass, poly, krovak, somerc "
+            "and sterea families (and registered EPSG codes like "
+            "27700/5514/21781/28992/29101) only"
         )
     if "+proj=tmerc" in low:
         a, e2, tw = _tmerc_datum(low)
@@ -437,7 +456,8 @@ def parse_crs(crs: str):
         "Mercator variants A and B ('+proj=omerc [+no_uoff]' or "
         "EPSG:29873), Cassini-Soldner ('+proj=cass [+ellps=..] "
         "[+towgs84=..]'), Oblique Stereographic ('+proj=sterea' or "
-        "EPSG:28992 RD New) and their proj4 equivalents"
+        "EPSG:28992 RD New), American Polyconic ('+proj=poly' or "
+        "EPSG:29101/EPSG:5880 Brazil) and their proj4 equivalents"
     )
 
 
@@ -1055,6 +1075,7 @@ ELLIPSOIDS = {
     "evrst30": (6377276.345, 300.8017),
     "evrst67": (6377298.556, 300.8017),
     "krass": (6378245.0, 298.3),
+    "aust_sa": (6378160.0, 298.25),
     "sphere": (6370997.0, float("inf")),
 }
 
@@ -1952,4 +1973,81 @@ def sterea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         ) - math.pi / 2.0
     out[:, 0] = np.degrees(lam)
     out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# American Polyconic (EPSG method 9818, '+proj=poly' — Snyder pp.
+# 124-131: the historical USGS/IBGE mapping projection; SAD69 / Brazil
+# Polyconic EPSG:29101, SIRGAS 2000 / Brazil Polyconic EPSG:5880).
+# Each parallel is an arc of its own tangent cone (radius N·cotφ) laid
+# off true to scale, so scale along EVERY parallel is exactly 1 and
+# the central meridian is true — both properties the tests pin, plus
+# the Snyder p. 304 numerical example. Shares tmerc's meridian-arc
+# series (tmerc_consts at k0=1). Inverse is Snyder's 18-18..18-21
+# Newton iteration. The reference delegates to its proj engine
+# (ST_GeomReproject.scala:25).
+# ---------------------------------------------------------------------------
+
+#: SAD69 → WGS84 3-parameter Helmert (the proj-shipped set).
+_SAD69_TOWGS84 = (-57.0, 1.0, -41.0)
+
+
+def poly_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → American Polyconic (easting, northing) meters.
+    ``params`` = (a, e2, lat0, lon0, x0, y0); datum shifts happen
+    OUTSIDE, mirroring tmerc/cass. The φ=0 row degenerates to the
+    equator line x = a(λ−λ0), y = −M0 (Snyder 18-11)."""
+    a, e2, lat0, lon0, x0, y0 = params
+    k = tmerc_consts(a, e2, lat0, lon0, 1.0, x0, y0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    sp = np.sin(phi)
+    zero = sp == 0.0
+    nn = a / np.sqrt(1.0 - e2 * sp * sp)
+    ee = (lam - k["lam0"]) * sp
+    cot = 1.0 / np.tan(np.where(zero, 1.0, phi))
+    m = a * (k["m1"] * phi - k["m2"] * np.sin(2.0 * phi)
+             + k["m3"] * np.sin(4.0 * phi) - k["m4"] * np.sin(6.0 * phi))
+    x = x0 + nn * cot * np.sin(ee)
+    y = y0 + m - k["m0"] + nn * cot * (1.0 - np.cos(ee))
+    out[:, 0] = np.where(zero, x0 + a * (lam - k["lam0"]), x)
+    out[:, 1] = np.where(zero, y0 - k["m0"], y)
+    return out
+
+
+def poly_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """American Polyconic meters → (lon°, lat°) by Snyder's
+    18-18..18-21 Newton iteration (12 rounds — converges to machine
+    precision in <6 for real windows). The y = −M0 row (equator)
+    inverts in closed form."""
+    a, e2, lat0, lon0, x0, y0 = params
+    k = tmerc_consts(a, e2, lat0, lon0, 1.0, x0, y0)
+    out = coords.copy()
+    x = coords[:, 0] - x0
+    y = coords[:, 1] - y0
+    aa = (k["m0"] + y) / a
+    bb = x * x / (a * a) + aa * aa
+    eq = np.abs(aa) < 1e-12  # equator rows: closed form
+    phi = np.where(eq, 0.1, aa)  # seed off-zero; equator fixed below
+    for _ in range(12):
+        sp = np.sin(phi)
+        c = np.sqrt(1.0 - e2 * sp * sp) * np.tan(phi)
+        ma = (k["m1"] * phi - k["m2"] * np.sin(2.0 * phi)
+              + k["m3"] * np.sin(4.0 * phi) - k["m4"] * np.sin(6.0 * phi))
+        mn = (k["m1"] - 2.0 * k["m2"] * np.cos(2.0 * phi)
+              + 4.0 * k["m3"] * np.cos(4.0 * phi)
+              - 6.0 * k["m4"] * np.cos(6.0 * phi))
+        s2p = np.sin(2.0 * phi)
+        num = aa * (c * ma + 1.0) - ma - 0.5 * c * (ma * ma + bb)
+        den = (e2 * s2p * (ma * ma + bb - 2.0 * aa * ma) / (4.0 * c)
+               + (aa - ma) * (c * mn - 2.0 / s2p) - mn)
+        phi = phi - num / den
+    sp = np.sin(phi)
+    c = np.sqrt(1.0 - e2 * sp * sp) * np.tan(phi)
+    with np.errstate(invalid="ignore"):
+        lam = k["lam0"] + np.arcsin(np.clip(x * c / a, -1.0, 1.0)) / sp
+    out[:, 0] = np.degrees(np.where(eq, k["lam0"] + x / a, lam))
+    out[:, 1] = np.degrees(np.where(eq, 0.0, phi))
     return out

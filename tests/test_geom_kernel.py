@@ -899,3 +899,77 @@ def test_sterea_epsg_worked_example_conformal_and_roundtrip():
                             P._RDNEW_TOWGS84)
     back = P.datum_to_wgs84(ll, a, e2, P._RDNEW_TOWGS84)
     assert np.abs(back - [[5.2, 52.1]]).max() < 2e-7
+
+
+def test_poly_snyder_example_parallel_scale_and_roundtrip():
+    """American Polyconic (EPSG method 9818): (a) the Snyder p. 304
+    numerical example — Clarke 1866, φ0=30° λ0=−96°, point 40°N 75°W →
+    (1776774.5, 1319657.8) — within the published 0.1 m rounding; (b)
+    the DEFINING property: scale along every parallel is exactly 1
+    (each parallel is its tangent cone's arc laid off true) and the
+    central meridian is true-scale with x = x0; (c) the equator row
+    degenerates to the exact a·(λ−λ0) line; (d) the Newton inverse
+    round-trips Brazil-window points to 1e-9°; (e) parse_crs wiring
+    for EPSG:29101 (SAD69 + Helmert), EPSG:5880 (SIRGAS 2000) and
+    '+proj=poly'."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    # (a) Snyder worked example
+    params = (6378206.4, 0.00676866, 30.0, -96.0, 0.0, 0.0)
+    f = P.poly_forward(np.array([[-75.0, 40.0]]), params)[0]
+    assert abs(f[0] - 1776774.5) < 0.6 and abs(f[1] - 1319657.8) < 0.6
+    inv = P.poly_inverse(np.array([f]), params)[0]
+    assert abs(inv[0] + 75.0) < 1e-9 and abs(inv[1] - 40.0) < 1e-9
+
+    # (e) parse wiring
+    k = P.parse_crs("EPSG:29101")
+    assert k[0] == "poly" and k[7] == P._SAD69_TOWGS84
+    k5 = P.parse_crs("EPSG:5880")
+    assert k5[7] is None and k5[4] == -54.0
+    kp = P.parse_crs(
+        "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 "
+        "+ellps=grs80"
+    )
+    assert kp[:7] == k5[:7]
+    p58 = k5[1:7]
+
+    # (d) roundtrip across Brazil (incl. near-equator rows)
+    rng = np.random.RandomState(3)
+    pts = np.column_stack(
+        [rng.uniform(-70, -35, 500), rng.uniform(-33, -0.01, 500)]
+    )
+    rt = P.poly_inverse(P.poly_forward(pts, p58), p58)
+    assert np.abs(rt - pts).max() < 1e-9
+
+    # (b) true scale along parallels everywhere; true central meridian
+    h = 1e-6
+    for lo, la in [(-60.0, -15.0), (-40.0, -30.0), (-54.0, -10.0),
+                   (-38.0, -3.0)]:
+        pp = P.poly_forward(np.array([[lo + h, la]]), p58)[0]
+        pm = P.poly_forward(np.array([[lo - h, la]]), p58)[0]
+        dx = (pp - pm) / (2 * h)
+        sp = math.sin(math.radians(la))
+        nu = p58[0] / math.sqrt(1 - p58[1] * sp * sp)
+        kpar = np.linalg.norm(dx) * 180 / math.pi / (
+            nu * math.cos(math.radians(la)))
+        assert abs(kpar - 1) < 1e-7, (lo, la, kpar)
+    cm = P.poly_forward(np.array([[-54.0, -20.0]]), p58)[0]
+    assert abs(cm[0] - 5000000.0) < 1e-6
+    pp = P.poly_forward(np.array([[-54.0, -20.0 + h]]), p58)[0]
+    pm = P.poly_forward(np.array([[-54.0, -20.0 - h]]), p58)[0]
+    dy = (pp - pm) / (2 * h)
+    sp = math.sin(math.radians(-20.0))
+    rho = p58[0] * (1 - p58[1]) / (1 - p58[1] * sp * sp) ** 1.5
+    km = np.linalg.norm(dy) * 180 / math.pi / rho
+    assert abs(km - 1) < 1e-7, km
+
+    # (c) exact equator degenerate row
+    eq = P.poly_forward(np.array([[-50.0, 0.0]]), p58)[0]
+    assert abs(eq[0] - (5000000.0 + p58[0] * math.radians(4.0))) < 1e-6
+    assert abs(eq[1] - 10000000.0) < 1e-6
+    ieq = P.poly_inverse(np.array([eq]), p58)[0]
+    assert abs(ieq[0] + 50.0) < 1e-12 and abs(ieq[1]) < 1e-12
