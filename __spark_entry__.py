@@ -2368,6 +2368,53 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upsert/delete + snapshot read (sources/manifest.py
+    write_delta/read_snapshot — the Iceberg/Delta/Hudi MOR pattern on
+    plain parquet + a JSON commit log): write orders as the base table,
+    commit delta 1 (keys %7 == 0 repriced +1000, status 'U'), commit
+    delta 2 (keys %13 == 0 repriced −500, status 'V', PLUS tombstones
+    for keys %11 == 0 — the same-commit delete beats the upsert), then
+    aggregate the snapshot. The reader resolves deltas with a window
+    over the SMALL delta side only and anti-joins base against
+    broadcast delta keys — zero base-side shuffle (plan-asserted in
+    pytest). Oracle replays the version-resolution as one SQL window
+    over base∪deltas — same semantics, the naive plan the reader
+    deliberately avoids."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import read_snapshot, write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_mor_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    snap = read_snapshot(spark, path, "o_orderkey")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar resampling with forward fill (operators/timeseries.py
     resample_fill): every hourly bucket in each user's activity span —
@@ -4630,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_pruning": q_manifest_pruning,
         "entity_phonetic": q_entity_phonetic,
         "compact_files": q_compact_files,
+        "mor_upsert": q_mor_upsert,
         "spatial_hexbin": q_spatial_hexbin,
         "stream_interval_join": q_stream_interval_join,
         "stream_sessions": q_stream_sessions,
@@ -7121,6 +7169,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
+        """,
+        "mor_upsert": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
         """,
         "entity_phonetic": f"""
             WITH a AS (

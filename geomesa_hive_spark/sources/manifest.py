@@ -28,9 +28,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_with_manifest", "read_pruned", "manifest_stats", "compact"]
+__all__ = [
+    "write_with_manifest", "read_pruned", "manifest_stats", "compact",
+    "write_delta", "read_snapshot",
+]
 
 _MANIFEST = "_manifest.json"
+_DELTA_LOG = "_deltas.json"
 
 
 def write_with_manifest(
@@ -146,3 +150,138 @@ def compact(
             .select(F.input_file_name()).distinct().count()
         )
     return {"files_in": files_in, "files_out": files_out, "rows": rows}
+
+
+def _delta_log(path: str) -> list[dict]:
+    p = os.path.join(path, _DELTA_LOG)
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_delta(
+    df: DataFrame | None,
+    path: str,
+    key_col: str,
+    delete_keys: DataFrame | None = None,
+) -> dict:
+    """Commit a merge-on-read delta against the base table at ``path``
+    — the Iceberg/Delta/Hudi MOR write pattern on plain parquet + a
+    JSON commit log: upserted rows (``df``) and key-only tombstones
+    (``delete_keys``, a one-column frame of ``key_col`` values) land
+    in a NEW file set ``_delta_<seq>/`` without touching base files;
+    ``_deltas.json`` records commit order. Within one commit a delete
+    beats an upsert of the same key (delete-after-write, matching
+    Delta's MERGE semantics); across commits the later commit wins.
+
+    Why this matters at 100 TB: rewriting a base file to change one
+    row is an O(file) write amplification — a day of point updates
+    would rewrite the table many times over. MOR makes the write
+    O(changed rows) and defers the merge to readers/compaction.
+    Single-writer by design, like the manifest writer: multi-writer
+    commit protocols (atomic log swap, conflict checks) are a table
+    format's job and are honestly out of scope.
+
+    Returns the appended log entry. Reference scope: the reference has
+    no table maintenance at all — its sources are static Hive tables.
+    """
+    log = _delta_log(path)
+    seq = (log[-1]["seq"] + 1) if log else 1
+    dpath = os.path.join(path, f"_delta_{seq:04d}")
+    base_cols = None
+    n_up = n_del = 0
+    if df is not None:
+        base_cols = df.columns
+        if key_col not in base_cols:
+            raise ValueError(f"key column {key_col!r} not in delta columns")
+        up = df.withColumn("__deleted", F.lit(False))
+        n_up = df.count()
+    if delete_keys is not None:
+        if len(delete_keys.columns) != 1:
+            raise ValueError("delete_keys must be a single-column frame of keys")
+        spark = delete_keys.sparkSession
+        if base_cols is None:
+            base_cols = _snapshot_base(spark, path).columns
+        tomb = delete_keys.toDF(key_col)
+        for c in base_cols:
+            if c != key_col:
+                tomb = tomb.withColumn(c, F.lit(None))
+        tomb = tomb.select(*base_cols).withColumn("__deleted", F.lit(True))
+        n_del = delete_keys.count()
+        up = up.unionByName(tomb) if df is not None else tomb
+    if df is None and delete_keys is None:
+        raise ValueError("write_delta needs upserts, delete_keys, or both")
+    up.write.mode("overwrite").parquet(dpath)
+    entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
+             "n_deletes": int(n_del)}
+    log.append(entry)
+    with open(os.path.join(path, _DELTA_LOG), "w") as fh:
+        json.dump(log, fh)
+    return entry
+
+
+def _snapshot_base(spark: SparkSession, path: str) -> DataFrame:
+    """Base files only — everything in ``path`` except delta dirs (a
+    glob can't express 'not _delta_*', so list driver-side like the
+    manifest reader does)."""
+    files = [
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if not files:
+        raise ValueError(f"no base parquet files under {path}")
+    return spark.read.parquet(*files)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Merge-on-read snapshot of the table at ``path``: for each key,
+    the latest committed version; tombstoned keys are gone. The merge
+    is the textbook MOR reader plan — NOT a window over base∪deltas:
+
+    1. resolve the deltas alone (window over the SMALL side: latest
+       ``__seq`` per key, delete-beats-upsert within a commit),
+    2. base LEFT ANTI JOIN resolved-delta keys (broadcast by default —
+       the base never shuffles; flip ``broadcast_deltas=False`` when a
+       backfill produced a delta set too big to broadcast and AQE
+       should pick the strategy),
+    3. UNION the surviving delta upserts.
+
+    At 100 TB that means a snapshot read costs one base scan plus a
+    broadcast hash anti-join — zero base shuffle — while the window
+    shuffle touches only the delta rows. Readers needing repeated
+    snapshots should compact() deltas into a new base instead."""
+    log = _delta_log(path)
+    base = _snapshot_base(spark, path)
+    if not log:
+        return base
+    parts = []
+    for e in log:
+        parts.append(
+            spark.read.parquet(e["path"]).withColumn("__seq", F.lit(e["seq"]))
+        )
+    alld = parts[0]
+    for p in parts[1:]:
+        alld = alld.unionByName(p)
+    from pyspark.sql import Window
+
+    # within a commit, deletes sort after upserts (delete-beats-upsert)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__seq").desc(), F.col("__deleted").desc()
+    )
+    resolved = (
+        alld.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+    keys = resolved.select(key_col).distinct()
+    if broadcast_deltas:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, on=key_col, how="left_anti")
+    fresh = resolved.filter(~F.col("__deleted")).drop("__deleted")
+    return survivors.unionByName(fresh.select(*base.columns))

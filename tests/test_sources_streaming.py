@@ -411,3 +411,63 @@ def test_batch_sessions_matches_stateful_and_window(spark, events_stream):
         .collect()
     }
     assert got == stream_final
+
+
+def test_mor_upsert_delete_snapshot_semantics(spark, tmp_path):
+    """Merge-on-read (sources/manifest.py write_delta/read_snapshot):
+    later commits win, delete beats a same-commit upsert, tombstoned
+    keys are gone, untouched base rows survive byte-identically — and
+    the reader plan broadcasts the delta keys (no base-side shuffle
+    exchange feeding the anti-join)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i) * 10.0) for i in range(1, 21)],
+        "k long, name string, val double",
+    )
+    path = str(tmp_path / "mor")
+    base.write.mode("overwrite").parquet(path)
+
+    # commit 1: update k=1..5, insert k=100
+    up1 = spark.createDataFrame(
+        [(k, f"c1_{k}", 1000.0 + k) for k in [1, 2, 3, 4, 5, 100]],
+        "k long, name string, val double",
+    )
+    e1 = write_delta(up1, path, "k")
+    assert e1["seq"] == 1 and e1["n_upserts"] == 6
+
+    # commit 2: update k=3 again (should win over commit 1), upsert
+    # k=4 AND delete k=4 in the same commit (delete wins), delete k=10
+    up2 = spark.createDataFrame(
+        [(3, "c2_3", 7.0), (4, "c2_4", 8.0)],
+        "k long, name string, val double",
+    )
+    dels = spark.createDataFrame([(4,), (10,)], "k long")
+    e2 = write_delta(up2, path, "k", delete_keys=dels)
+    assert e2["seq"] == 2 and e2["n_deletes"] == 2
+
+    snap = read_snapshot(spark, path, "k")
+    got = {r.k: (r.name, r.val) for r in snap.collect()}
+    assert got[3] == ("c2_3", 7.0)          # later commit wins
+    assert 4 not in got and 10 not in got   # deletes (incl. same-commit)
+    assert got[1] == ("c1_1", 1001.0)       # commit-1 update survives
+    assert got[100] == ("c1_100", 1100.0)   # insert
+    assert got[7] == ("v7", 70.0)           # untouched base row
+    assert len(got) == 20 - 2 + 1           # 20 base − 2 deleted + 1 insert
+
+    # delete-only commit
+    write_delta(None, path, "k",
+                delete_keys=spark.createDataFrame([(100,)], "k long"))
+    assert 100 not in {r.k for r in read_snapshot(spark, path, "k").collect()}
+
+    # reader plan: delta keys broadcast into the anti-join
+    plan = read_snapshot(spark, path, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # no-delta table short-circuits to the plain base scan
+    p2 = str(tmp_path / "plain")
+    base.write.mode("overwrite").parquet(p2)
+    assert read_snapshot(spark, p2, "k").count() == 20
