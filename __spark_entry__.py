@@ -906,6 +906,49 @@ def q_spatial_reproject_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_eqearth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal Earth reprojection (EPSG:4326 → EPSG:8857, EPSG method
+    1078 — Šavrič/Patterson/Jenny 2018, the modern equal-area world
+    map) on ALL customer points (global projection, no window); the
+    oracle replays the authalic-latitude q/qp machinery (shared with
+    aea/laea), θ = asin((√3/2)·q/qp), and the published-coefficient
+    polynomial forward in SQL with identical repr-embedded constants.
+    Equal-area Jacobian + exact θ(pole)=60° + published 0.59 pole-line
+    ratio + Newton-inverse roundtrip pinned in
+    tests/test_geom_kernel.py (reference scope:
+    spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:8857")
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("ee_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("ee_y"),
+    )
+
+
+def q_spatial_reproject_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cylindrical equal-area reprojection (EPSG:4326 → EPSG:6933,
+    NSIDC EASE-Grid 2.0 Global — EPSG method 9835, lat_ts=30) on ALL
+    customer points; the oracle replays x = a·k0·Δλ and the authalic
+    y = a·q/(2k0) in SQL with identical repr-embedded constants.
+    True-scale standard parallels, pointwise equal-area Jacobian and
+    authalic-iteration roundtrip pinned in tests/test_geom_kernel.py
+    (reference scope: spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("EPSG:6933")
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("cea_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("cea_y"),
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -4674,6 +4717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_somerc": q_spatial_reproject_somerc,
         "spatial_reproject_rdnew": q_spatial_reproject_rdnew,
         "spatial_reproject_poly": q_spatial_reproject_poly,
+        "spatial_reproject_eqearth": q_spatial_reproject_eqearth,
+        "spatial_reproject_cea": q_spatial_reproject_cea,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
@@ -5635,6 +5680,99 @@ def _poly_oracle() -> str:
                round(CAST(CAST(5000000.0 + nn * cot * sin(ee) AS FLOAT) AS DOUBLE), 3) AS poly_e,
                round(CAST(CAST(10000000.0 + m - {m0} + nn * cot * (1.0 - cos(ee)) AS FLOAT) AS DOUBLE), 3) AS poly_n
         FROM p2
+    """
+
+
+def _eqearth_oracle() -> str:
+    """Replay eqearth_forward: authalic q(φ) (same stage as the laea
+    oracle), θ = asin((√3/2)·q/qp), the A1..A4 polynomial y and the
+    dy/dθ-denominator x — identical expression shapes, constants
+    repr-embedded."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import (
+        _E, _E2, _EE_A1, _EE_A2, _EE_A3, _EE_A4, _EE_M, eqearth_consts,
+    )
+
+    k = eqearth_consts(0.0)
+    qp, rq = repr(k["qp"]), repr(k["rq"])
+    e, e2 = repr(_E), repr(_E2)
+    one_m_e2 = repr(1.0 - _E2)
+    inv2e = repr(1.0 / (2.0 * _E))
+    m = repr(_EE_M)
+    a1, a2 = repr(_EE_A1), repr(_EE_A2)
+    a3, a4 = repr(_EE_A3), repr(_EE_A4)
+    # numpy folds rq·(2√3/3) to one scalar before the array op —
+    # embed the SAME folded double (also avoids DuckDB DECIMAL·DECIMAL
+    # literal overflow)
+    rqc = repr(k["rq"] * (2.0 * _math.sqrt(3.0) / 3.0))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat FROM customer
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey, lam,
+                 asin({m} * ({one_m_e2} * (sp / (1.0 - {e2} * sp * sp)
+                   - {inv2e} * ln((1.0 - {e} * sp) / (1.0 + {e} * sp))))
+                   / {qp}) AS theta
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, lam, theta,
+                 theta * theta AS t2,
+                 theta * theta * theta * theta * theta * theta AS t6
+          FROM s2
+        ), s4 AS (
+          SELECT c_custkey, lam, theta, t2, t6,
+                 {a1} + 3.0 * {a2} * t2
+                   + t6 * (7.0 * {a3} + 9.0 * {a4} * t2) AS den
+          FROM s3
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(0.0 + {rqc} * lam * cos(theta) / den
+                     AS FLOAT) AS DOUBLE), 3) AS ee_x,
+               round(CAST(CAST(0.0 + {rq} * ({a1} * theta + {a2} * t2 * theta
+                     + t6 * theta * ({a3} + {a4} * t2))
+                     AS FLOAT) AS DOUBLE), 3) AS ee_y
+        FROM s4
+    """
+
+
+def _cea_oracle() -> str:
+    """Replay cea_forward (EPSG:6933, lat_ts=30): x = a·k0·λ,
+    y = a·q/(2k0) with the authalic q stage — constants
+    repr-embedded."""
+    from geomesa_hive_spark.geom.projections import _A, _E, _E2, cea_consts
+
+    k = cea_consts(30.0, 0.0)
+    # pre-fold the scalar products exactly as numpy does (a·k0 and
+    # 2·k0 are Python-float scalars before touching the array) — also
+    # keeps DuckDB from evaluating DECIMAL·DECIMAL literal products
+    ak0 = repr(_A * k["k0"])
+    two_k0 = repr(2.0 * k["k0"])
+    a = repr(_A)
+    e, e2 = repr(_E), repr(_E2)
+    one_m_e2 = repr(1.0 - _E2)
+    inv2e = repr(1.0 / (2.0 * _E))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat FROM customer
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, sin(phi) AS sp FROM rad
+        ), s2 AS (
+          SELECT c_custkey, lam,
+                 {one_m_e2} * (sp / (1.0 - {e2} * sp * sp)
+                   - {inv2e} * ln((1.0 - {e} * sp) / (1.0 + {e} * sp))) AS q
+          FROM s1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(0.0 + {ak0} * lam AS FLOAT) AS DOUBLE), 3) AS cea_x,
+               round(CAST(CAST(0.0 + {a} * q / {two_k0} AS FLOAT) AS DOUBLE), 3) AS cea_y
+        FROM s2
     """
 
 
@@ -6694,6 +6832,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_somerc": _somerc_oracle(),
         "spatial_reproject_rdnew": _rdnew_oracle(),
         "spatial_reproject_poly": _poly_oracle(),
+        "spatial_reproject_eqearth": _eqearth_oracle(),
+        "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

@@ -1059,6 +1059,10 @@ def _coord_fn(fk, tk):
             return proj.eqc_inverse(c, fk[1:])
         if fk[0] == "moll":
             return proj.moll_inverse(c, fk[1:])
+        if fk[0] == "eqearth":
+            return proj.eqearth_inverse(c, fk[1:])
+        if fk[0] == "cea":
+            return proj.cea_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1117,6 +1121,10 @@ def _coord_fn(fk, tk):
             return proj.eqc_forward(c, tk[1:])
         if tk[0] == "moll":
             return proj.moll_forward(c, tk[1:])
+        if tk[0] == "eqearth":
+            return proj.eqearth_forward(c, tk[1:])
+        if tk[0] == "cea":
+            return proj.cea_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

@@ -90,6 +90,12 @@ __all__ = [
     "sterea_consts",
     "poly_forward",
     "poly_inverse",
+    "eqearth_forward",
+    "eqearth_inverse",
+    "eqearth_consts",
+    "cea_forward",
+    "cea_inverse",
+    "cea_consts",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -236,6 +242,10 @@ def parse_crs(crs: str):
                     _SOMERC_LON0, 1.0, x0, y0, _CH1903_TOWGS84)
         if code == 54009:  # ESRI World Mollweide
             return ("moll", _A, 0.0, 0.0, 0.0)
+        if code == 8857:  # WGS 84 / Equal Earth Greenwich
+            return ("eqearth", 0.0, 0.0, 0.0)
+        if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
+            return ("cea", 30.0, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54009$", low):
         return ("moll", _A, 0.0, 0.0, 0.0)
     if "+proj=krovak" in low:
@@ -376,6 +386,18 @@ def parse_crs(crs: str):
         y0 = _proj4_num(low, "y_0", 0.0)
         fam = "lcc" if "+proj=lcc" in low else "aea"
         return (fam, lat1, lat2, lat0, lon0, x0, y0)
+    if "+proj=eqearth" in low:
+        return ("eqearth",
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=cea" in low:
+        # lat_ts parameterization only (Behrmann 30, Gall-Peters 45,
+        # EASE-Grid 2.0 30); an explicit +k_0 spelling would need the
+        # inverse cos/sqrt solve and is refused by omission
+        return ("cea",
+                _proj4_num(low, "lat_ts", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=laea" in low:
         lat0 = _proj4_num(low, "lat_0", 0.0)
         lon0 = _proj4_num(low, "lon_0", 0.0)
@@ -457,7 +479,9 @@ def parse_crs(crs: str):
         "EPSG:29873), Cassini-Soldner ('+proj=cass [+ellps=..] "
         "[+towgs84=..]'), Oblique Stereographic ('+proj=sterea' or "
         "EPSG:28992 RD New), American Polyconic ('+proj=poly' or "
-        "EPSG:29101/EPSG:5880 Brazil) and their proj4 equivalents"
+        "EPSG:29101/EPSG:5880 Brazil), Equal Earth ('+proj=eqearth' or "
+        "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
+        "or EPSG:6933 EASE-Grid 2.0) and their proj4 equivalents"
     )
 
 
@@ -2050,4 +2074,149 @@ def poly_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         lam = k["lam0"] + np.arcsin(np.clip(x * c / a, -1.0, 1.0)) / sp
     out[:, 0] = np.degrees(np.where(eq, k["lam0"] + x / a, lam))
     out[:, 1] = np.degrees(np.where(eq, 0.0, phi))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Equal Earth (EPSG:8857 / EPSG method 1078, '+proj=eqearth' — Šavrič,
+# Patterson & Jenny 2018, "The Equal Earth map projection", IJGIS 32).
+# The modern equal-area world map: a pseudocylindrical polynomial in
+# the parametric angle θ, sin θ = (√3/2)·sin β with β the AUTHALIC
+# latitude (same q/qp machinery as aea/laea — WGS84-only like them).
+# Equal-area by construction: the x denominator IS dy/dθ, so the
+# Jacobian test verifies the den/θ plumbing while the published
+# A1..A4 constants define the shape (pole-line ratio asserted).
+# ---------------------------------------------------------------------------
+
+_EE_A1 = 1.340264
+_EE_A2 = -0.081106
+_EE_A3 = 0.000893
+_EE_A4 = 0.003796
+_EE_M = math.sqrt(3.0) / 2.0
+
+
+def eqearth_consts(lon0: float) -> dict:
+    """qp / authalic radius Rq / λ0 as plain doubles for oracle replay."""
+    qp = _aea_q_scalar(math.pi / 2.0)
+    return {"qp": qp, "rq": _A * math.sqrt(qp / 2.0),
+            "lam0": math.radians(lon0)}
+
+
+def eqearth_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Equal Earth (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    k = eqearth_consts(lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    q = _aea_q_vec(phi)
+    theta = np.arcsin(np.clip(_EE_M * q / k["qp"], -1.0, 1.0))
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    den = _EE_A1 + 3.0 * _EE_A2 * t2 + t6 * (7.0 * _EE_A3 + 9.0 * _EE_A4 * t2)
+    out[:, 0] = x0 + k["rq"] * (2.0 * math.sqrt(3.0) / 3.0) \
+        * (lam - k["lam0"]) * np.cos(theta) / den
+    out[:, 1] = y0 + k["rq"] * (
+        _EE_A1 * theta + _EE_A2 * t2 * theta
+        + t6 * theta * (_EE_A3 + _EE_A4 * t2)
+    )
+    return out
+
+
+def eqearth_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Equal Earth meters → (lon°, lat°): 12 Newton rounds on the θ
+    polynomial (derivative = the closed-form x denominator), then the
+    same Snyder 3-16 authalic-latitude iteration as laea/aea."""
+    lon0, x0, y0 = params
+    k = eqearth_consts(lon0)
+    out = coords.copy()
+    yn = (coords[:, 1] - y0) / k["rq"]
+    theta = yn.copy()
+    for _ in range(12):
+        t2 = theta * theta
+        t6 = t2 * t2 * t2
+        f = (_EE_A1 * theta + _EE_A2 * t2 * theta
+             + t6 * theta * (_EE_A3 + _EE_A4 * t2)) - yn
+        fp = _EE_A1 + 3.0 * _EE_A2 * t2 + t6 * (7.0 * _EE_A3 + 9.0 * _EE_A4 * t2)
+        theta = theta - f / fp
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    den = _EE_A1 + 3.0 * _EE_A2 * t2 + t6 * (7.0 * _EE_A3 + 9.0 * _EE_A4 * t2)
+    lam = k["lam0"] + math.sqrt(3.0) * (coords[:, 0] - x0) * den \
+        / (2.0 * k["rq"] * np.cos(theta))
+    q = k["qp"] * np.clip(np.sin(theta) / _EE_M, -1.0, 1.0)
+    at_pole = np.abs(q) >= k["qp"] * (1.0 - 1.0e-14)
+    qi = np.where(at_pole, 0.0, q)
+    phi = np.arcsin(np.clip(qi / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sp = np.sin(phi)
+        one = 1.0 - _E2 * sp * sp
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            qi / (1.0 - _E2)
+            - sp / one
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
+        )
+    phi = np.where(at_pole, np.sign(q) * (math.pi / 2.0), phi)
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lambert cylindrical equal-area (EPSG method 9835, '+proj=cea' —
+# Snyder pp. 76-85: EPSG:6933 NSIDC EASE-Grid 2.0 Global at
+# lat_ts=30, Behrmann at 30, Gall-Peters at 45). x is linear in λ and
+# y is the authalic q scaled by a/(2k0) — the simplest equal-area
+# projection; the standard parallel ±lat_ts is exactly true-to-scale
+# (pinned in pytest). WGS84-only like the other authalic families.
+# ---------------------------------------------------------------------------
+
+
+def cea_consts(lat_ts: float, lon0: float) -> dict:
+    """k0 = cos φts / sqrt(1 − e²·sin²φts), qp, λ0 — plain doubles."""
+    pts = math.radians(lat_ts)
+    sts = math.sin(pts)
+    return {
+        "k0": math.cos(pts) / math.sqrt(1.0 - _E2 * sts * sts),
+        "qp": _aea_q_scalar(math.pi / 2.0),
+        "lam0": math.radians(lon0),
+    }
+
+
+def cea_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → cylindrical equal-area (x, y) meters. ``params``
+    = (lat_ts, lon0, x0, y0)."""
+    lat_ts, lon0, x0, y0 = params
+    k = cea_consts(lat_ts, lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    q = _aea_q_vec(phi)
+    out[:, 0] = x0 + _A * k["k0"] * (lam - k["lam0"])
+    out[:, 1] = y0 + _A * q / (2.0 * k["k0"])
+    return out
+
+
+def cea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Cylindrical equal-area meters → (lon°, lat°), via the Snyder
+    3-16 authalic iteration."""
+    lat_ts, lon0, x0, y0 = params
+    k = cea_consts(lat_ts, lon0)
+    out = coords.copy()
+    q = 2.0 * k["k0"] * (coords[:, 1] - y0) / _A
+    at_pole = np.abs(q) >= k["qp"] * (1.0 - 1.0e-14)
+    qi = np.where(at_pole, 0.0, q)
+    phi = np.arcsin(np.clip(qi / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        sp = np.sin(phi)
+        one = 1.0 - _E2 * sp * sp
+        phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+            qi / (1.0 - _E2)
+            - sp / one
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
+        )
+    phi = np.where(at_pole, np.sign(q) * (math.pi / 2.0), phi)
+    out[:, 0] = np.degrees(k["lam0"] + (coords[:, 0] - x0) / (_A * k["k0"]))
+    out[:, 1] = np.degrees(phi)
     return out

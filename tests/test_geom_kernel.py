@@ -973,3 +973,83 @@ def test_poly_snyder_example_parallel_scale_and_roundtrip():
     assert abs(eq[1] - 10000000.0) < 1e-6
     ieq = P.poly_inverse(np.array([eq]), p58)[0]
     assert abs(ieq[0] + 50.0) < 1e-12 and abs(ieq[1]) < 1e-12
+
+
+def test_eqearth_and_cea_equal_area_and_roundtrip():
+    """Equal Earth (EPSG:8857, method 1078) and Lambert cylindrical
+    equal-area (EPSG:6933 EASE-Grid 2.0, method 9835): (a) the
+    equal-area property holds pointwise — the projected Jacobian
+    determinant equals the ellipsoid's area element ν·ρ·cosφ to 1e-6
+    relative (for Equal Earth this verifies the x-denominator IS dy/dθ
+    and the authalic plumbing; for cea the q scaling); (b) Equal
+    Earth's θ parameterization puts the pole at exactly θ=60° and the
+    pole-line/equator length ratio at the published ≈0.59; (c) cea's
+    standard parallels ±30° are exactly true-to-scale; (d) Newton +
+    authalic-iteration inverses round-trip to 1e-9°; (e) parse_crs
+    wiring for EPSG:8857/6933, '+proj=eqearth', '+proj=cea +lat_ts'
+    (Gall-Peters at 45)."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    k = P.parse_crs("EPSG:8857")
+    assert k == ("eqearth", 0.0, 0.0, 0.0)
+    p = k[1:]
+    kc = P.parse_crs("EPSG:6933")
+    assert kc == ("cea", 30.0, 0.0, 0.0, 0.0)
+    pc = kc[1:]
+    h = 1e-6
+
+    def area_ratio(fwd, params, lo, la):
+        dx = (fwd(np.array([[lo + h, la]]), params)[0]
+              - fwd(np.array([[lo - h, la]]), params)[0]) / (2 * h)
+        dy = (fwd(np.array([[lo, la + h]]), params)[0]
+              - fwd(np.array([[lo, la - h]]), params)[0]) / (2 * h)
+        det = abs(dx[0] * dy[1] - dx[1] * dy[0]) * (180 / math.pi) ** 2
+        sp = math.sin(math.radians(la))
+        nu = P._A / math.sqrt(1 - P._E2 * sp * sp)
+        rho = P._A * (1 - P._E2) / (1 - P._E2 * sp * sp) ** 1.5
+        return det / (nu * math.cos(math.radians(la)) * rho)
+
+    for lo, la in [(10.0, 40.0), (-120.0, -55.0), (60.0, 75.0), (0.0, 0.0)]:
+        assert abs(area_ratio(P.eqearth_forward, p, lo, la) - 1) < 1e-6
+    for lo, la in [(100.0, 62.0), (-30.0, -15.0), (5.0, 0.0)]:
+        assert abs(area_ratio(P.cea_forward, pc, lo, la) - 1) < 1e-6
+
+    # (b) θ(pole) = 60° exactly; published pole-line ratio
+    f = P.eqearth_forward(np.array([[0.0, 90.0]]), p)[0]
+    kk = P.eqearth_consts(0.0)
+    th = math.pi / 3
+    y_pole = kk["rq"] * (P._EE_A1 * th + P._EE_A2 * th ** 3
+                         + th ** 7 * (P._EE_A3 + P._EE_A4 * th * th))
+    assert abs(f[1] - y_pole) < 1e-6
+    xp = P.eqearth_forward(np.array([[180.0, 90.0]]), p)[0][0]
+    xe = P.eqearth_forward(np.array([[180.0, 0.0]]), p)[0][0]
+    assert 0.57 < xp / xe < 0.61
+
+    # (c) cea standard parallels true-to-scale
+    for la in [30.0, -30.0]:
+        f0 = P.cea_forward(np.array([[10.0, la]]), pc)[0]
+        dx = (P.cea_forward(np.array([[10.0 + h, la]]), pc)[0] - f0) / h
+        sp = math.sin(math.radians(la))
+        nu = P._A / math.sqrt(1 - P._E2 * sp * sp)
+        kpar = np.linalg.norm(dx) * 180 / math.pi / (
+            nu * math.cos(math.radians(la)))
+        assert abs(kpar - 1) < 1e-7
+
+    # (d) roundtrips incl. high latitude
+    rng = np.random.RandomState(5)
+    pts = np.column_stack(
+        [rng.uniform(-179, 179, 500), rng.uniform(-88, 88, 500)]
+    )
+    assert np.abs(P.eqearth_inverse(P.eqearth_forward(pts, p), p) - pts).max() < 1e-9
+    assert np.abs(P.cea_inverse(P.cea_forward(pts, pc), pc) - pts).max() < 1e-9
+    # poles survive (clip/at_pole paths)
+    pole = P.eqearth_inverse(P.eqearth_forward(np.array([[0.0, 90.0]]), p), p)
+    assert abs(pole[0, 1] - 90.0) < 1e-9
+
+    # (e) proj-string forms
+    assert P.parse_crs("+proj=eqearth +lon_0=11.5")[1] == 11.5
+    assert P.parse_crs("+proj=cea +lat_ts=45")[1] == 45.0
