@@ -396,6 +396,44 @@ def q_spatial_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_tracks(pts, "user_id", "ts", "event_id", "lon", "lat")
 
 
+def q_spatial_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity self-join (operators/trajectory.py
+    hausdorff_join — discrete Hausdorff ≤ d): per-user planar tracks
+    (first 24 events by event_id, synthetic cluster-box coords), PBSM
+    candidate generation (one-sided bbox expansion, reference-cell
+    dedup, bbox-gap prune — no all-pairs anywhere) and an exact
+    vectorized O(n·m) distance kernel per surviving pair. All d² terms
+    are order-independent double products, so the oracle recomputes
+    ground truth BRUTE-FORCE (full pair cross of the bounded slice,
+    two-level min/max) and every surviving pair + distance is
+    hash-verified. Brute-force parity also pytest-gated
+    (test_hausdorff_join_matches_brute_force)."""
+    from pyspark.sql import Window
+
+    from geomesa_hive_spark.operators.trajectory import hausdorff_join
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 48)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 24)
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "CAST((event_id * 7919) % 400 AS DOUBLE) / 10.0"
+            " + (user_id % 5) * 60.0 AS x",
+            "CAST((event_id * 4799) % 400 AS DOUBLE) / 10.0"
+            " + ((user_id DIV 5) % 5) * 60.0 AS y",
+        )
+    )
+    out = hausdorff_join(pts, "user_id", "event_id", "x", "y", max_dist=19.0)
+    return out.select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        F.round(F.col("hausdorff").cast("float").cast("double"), 3).alias("h"),
+    )
+
+
 def q_spatial_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grid DBSCAN (Ester et al.) over customer points:
     cell=eps grid self-join for neighbor pairs (one shuffle, no
@@ -4703,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_xz2": q_spatial_xz2,
         "spatial_dbscan": q_spatial_dbscan,
         "spatial_trajectories": q_spatial_trajectories,
+        "spatial_hausdorff": q_spatial_hausdorff,
         "spatial_density": q_spatial_density,
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
@@ -6694,6 +6733,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, CAST(sum(w) AS BIGINT) AS weight
             FROM spread GROUP BY cell_x, cell_y
             HAVING sum(w) >= 12
+        """,
+        "spatial_hausdorff": """
+            WITH pe AS (
+              SELECT user_id, event_id,
+                     CAST((event_id * 7919) % 400 AS DOUBLE) / 10.0
+                       + (user_id % 5) * 60.0 AS x,
+                     CAST((event_id * 4799) % 400 AS DOUBLE) / 10.0
+                       + ((user_id // 5) % 5) * 60.0 AS y,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS rn
+              FROM events WHERE user_id < 48
+            ), p AS (
+              SELECT user_id, event_id, x, y FROM pe WHERE rn <= 24
+            ), cross_d AS (
+              SELECT a.user_id AS ua, b.user_id AS ub,
+                     a.event_id AS ea, b.event_id AS eb,
+                     (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM p a JOIN p b ON a.user_id < b.user_id
+            ), mina AS (
+              SELECT ua, ub, ea, min(d2) AS md FROM cross_d
+              GROUP BY ua, ub, ea
+            ), minb AS (
+              SELECT ua, ub, eb, min(d2) AS md FROM cross_d
+              GROUP BY ua, ub, eb
+            ), h1 AS (
+              SELECT ua, ub, max(md) AS m1 FROM mina GROUP BY ua, ub
+            ), h2 AS (
+              SELECT ua, ub, max(md) AS m2 FROM minb GROUP BY ua, ub
+            ), h AS (
+              SELECT h1.ua, h1.ub,
+                     sqrt(greatest(h1.m1, h2.m2)) AS hd
+              FROM h1 JOIN h2 ON h1.ua = h2.ua AND h1.ub = h2.ub
+            )
+            SELECT ua AS user_a, ub AS user_b,
+                   round(CAST(CAST(hd AS FLOAT) AS DOUBLE), 3) AS h
+            FROM h WHERE hd <= 19.0
         """,
         "spatial_trajectories": """
             WITH pts AS (

@@ -649,3 +649,61 @@ def test_spatial_join_broadcast_right(spark, pts_parquet, polys_df):
     # zero shuffle anywhere: the big side streams straight from the
     # scan into the broadcast join (the whole point of the knob)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_hausdorff_join_matches_brute_force(spark):
+    """Trajectory-similarity self-join (operators/trajectory.py
+    hausdorff_join): against brute force on jittered track clusters —
+    exact pair set, exact distances (all d² terms are order-independent
+    double math), and the reference-cell dedup emits each pair once.
+    Also: a track pair straddling many shared cells (long parallel
+    tracks) still appears exactly once, and an isolated far track
+    appears in no pair."""
+    import itertools
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.operators.trajectory import hausdorff_join
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for c in range(4):
+        base = np.column_stack(
+            [np.arange(15) * 1.5 + c * 25.0,
+             np.sin(np.arange(15)) * 3.0 + c * 10.0]
+        )
+        for v in range(3):
+            k = c * 3 + v
+            tr = base + rng.uniform(-1.2, 1.2, base.shape)
+            for j, (x, y) in enumerate(tr):
+                rows.append((k, j, float(x), float(y)))
+    # two long parallel tracks spanning many cells, plus a far outlier
+    for j in range(40):
+        rows.append((100, j, j * 2.0, 500.0))
+        rows.append((101, j, j * 2.0, 501.0))
+        rows.append((102, j, j * 2.0, 900.0))
+    df = spark.createDataFrame(rows, "k long, o long, x double, y double")
+    out = hausdorff_join(df, "k", "o", "x", "y", max_dist=4.0).collect()
+    got = {(r.key_a, r.key_b): r.hausdorff for r in out}
+    assert len(out) == len(got)  # dedup: one row per pair
+
+    tracks = {}
+    for k, o, x, y in rows:
+        tracks.setdefault(k, []).append((x, y))
+    exp = {}
+    for a, b in itertools.combinations(sorted(tracks), 2):
+        A = np.array(tracks[a])
+        B = np.array(tracks[b])
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+        h = math.sqrt(max(d2.min(1).max(), d2.min(0).max()))
+        if h <= 4.0:
+            exp[(a, b)] = h
+    assert set(got) == set(exp)
+    assert (100, 101) in got and not any(102 in p for p in got)
+    for kk in got:
+        assert abs(got[kk] - exp[kk]) < 1e-12
+    # the plan never cross-joins: candidates come from the cell equi-join
+    plan = hausdorff_join(df, "k", "o", "x", "y", 4.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
