@@ -2637,6 +2637,32 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (pipeline/retrieval.py bm25_topk — the
+    Lucene-default lexical ranker as a curation primitive:
+    contamination audits, DSIR-style seed retrieval): one
+    posting-list explode keeps only query terms, corpus stats are one
+    exact-integer aggregate, per-term idf folds into a literal CASE,
+    and per-(doc,term) contributions quantize to integer micro-units
+    BEFORE the per-doc sum (order-independent under any
+    partitioning), floor(x+0.5) not round() in the per-posting path.
+    Oracle replays the identical pipeline — tokenize, tf, df, the
+    same double idf/avgdl arithmetic, micro-quantize, top-k with the
+    (score desc, id) tiebreak."""
+    from geomesa_hive_spark.pipeline.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(
+        docs, "doc_id", "text", "spark join vector stream filter", k=25
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("matched_terms"),
+        F.col("score_micro"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the streaming hourly rollup
     (streaming.events.hourly_rollup): the STREAMING FUNCTION ITSELF
@@ -4815,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "stream_rollup": q_stream_rollup,
+        "bm25_retrieval": q_bm25_retrieval,
         "stream_dedup": q_stream_dedup,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -6620,6 +6647,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_totalprice) AS BIGINT),
                    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
             FROM orders
+        """,
+        "bm25_retrieval": """
+            WITH base AS (
+              SELECT doc_id AS id, text FROM documents
+            ), dl AS (
+              SELECT id,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS dl
+              FROM base
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS tot
+              FROM dl
+            ), tok AS (
+              SELECT id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM base
+            ), tf AS (
+              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok
+              WHERE term IN ('filter', 'join', 'spark', 'stream', 'vector')
+              GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.id,
+                     CAST(floor(
+                       ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5)) * tf
+                       * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl
+                                        / (CAST(tot AS DOUBLE) / n)))
+                       * 1000000 + 0.5) AS BIGINT) AS c
+              FROM tf
+              JOIN dfq USING (term)
+              JOIN dl ON dl.id = tf.id
+              CROSS JOIN stats
+            ), agg AS (
+              SELECT id AS doc_id,
+                     CAST(count(*) AS BIGINT) AS matched_terms,
+                     CAST(sum(c) AS BIGINT) AS score_micro
+              FROM scored GROUP BY 1
+            )
+            SELECT doc_id, matched_terms, score_micro,
+                   round(score_micro / 1000000.0, 6) AS score
+            FROM agg
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 25
         """,
         "text_keywords": """
             WITH tok AS (

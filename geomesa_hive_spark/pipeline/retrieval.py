@@ -1,0 +1,113 @@
+"""BM25 retrieval over a document corpus — the standard lexical
+ranking function (Robertson/Spärck Jones probabilistic model, the
+Lucene/Elasticsearch default), here as the training-data curation
+primitive it has become: retrieve the corpus documents most similar
+to a benchmark prompt (contamination auditing), to a seed set (DSIR-
+style targeted selection), or to a user query (eval-set mining).
+
+Shape — the inverted-index discipline on DataFrames:
+
+1. ONE pass explodes tokens and keeps ONLY query terms (the `isin`
+   filter is the inverted-index posting-list cut: the shuffle carries
+   (doc, term, tf) for matching terms, never the full token stream).
+2. Corpus stats (N, Σdl) are one map-side-combined aggregate; both are
+   exact integers, so avgdl is the same double everywhere.
+3. Per-term document frequencies — at most |query| rows — collect and
+   fold into a literal CASE; no second join against the corpus.
+4. Per-(doc, term) BM25 contributions quantize to integer MICRO-UNITS
+   before the per-doc sum (the lm.py micro-nat convention): integer
+   sums are order-independent under any partitioning, which is what
+   lets the DuckDB oracle replay scores exactly.
+5. Top-k via orderBy(score, id).limit(k) — Spark's TakeOrdered, a
+   per-partition heap + driver merge of k·partitions rows, no global
+   sort.
+
+Reference scope: the reference engine has no retrieval surface at all
+(hiveless exposes spatial UDFs only); BM25 is part of the
+beyond-reference pipeline battery.
+"""
+
+from __future__ import annotations
+
+import math
+import re as _re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against ``query``.
+
+    Returns (id, matched_terms, score_micro, score) ordered by
+    (score desc, id) — the id tiebreak makes the cut deterministic.
+    idf is the Lucene form ``ln(1 + (N − df + 0.5)/(df + 0.5))``
+    (always positive, so stopword-heavy queries can't produce negative
+    contributions)."""
+    from geomesa_hive_spark.pipeline.text import token_count, word_tokens
+
+    terms = sorted({t for t in _re.split(r"\s+", query.lower().strip()) if t})
+    if not terms:
+        raise ValueError("empty query")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("dl"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    n_row = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = int(n_row["n"]), float(n_row["tot"]) / int(n_row["n"])
+
+    tf = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    # every embedded float is D-suffixed: Spark SQL parses a bare
+    # decimal literal as DECIMAL, which would silently run the whole
+    # contribution in rounded decimal arithmetic instead of IEEE
+    # doubles (caught by the oracle hash on first contact)
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    idf_case = "CASE term " + " ".join(
+        f"WHEN '{t}' THEN {_d(math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)))}"
+        for t in terms
+    ) + " ELSE 0.0D END"
+    # floor(x + 0.5), not round(): contributions are non-negative so
+    # the semantics are identical HALF_UP, and Spark's round() on
+    # DOUBLE allocates a BigDecimal per value — never in a per-posting
+    # hot path (the similarity._qdist lesson)
+    contrib = (
+        f"CAST(floor(({idf_case}) * tf * {_d(k1 + 1.0)}"
+        f" / (tf + {_d(k1)} * (1.0D - {_d(b)} + {_d(b)} * dl / {_d(avgdl)}))"
+        f" * {_SCALE} + 0.5D) AS BIGINT)"
+    )
+    scored = (
+        tf.withColumn("c", F.expr(contrib))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("matched_terms"),
+            F.sum("c").cast("long").alias("score_micro"),
+        )
+        .withColumn("score", F.col("score_micro") / F.lit(float(_SCALE)))
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("id")).limit(int(k))

@@ -1707,3 +1707,59 @@ def test_profile_columns_single_scan(spark, tmp_path):
         assert got["k"] == (4, 0, 4)
         assert got["s"] == (4, 1, 2)
         assert got["v"] == (4, 1, 2)
+
+
+def test_bm25_topk_ranking_and_determinism(spark):
+    """BM25 retrieval (pipeline/retrieval.py bm25_topk): scores match
+    a hand-rolled reference (Lucene idf, micro-quantized contributions)
+    exactly; docs with zero matching terms never appear; the
+    (score desc, id) tiebreak pins the cut; empty query raises."""
+    import math
+
+    import pytest as _pytest
+
+    from geomesa_hive_spark.pipeline.retrieval import bm25_topk
+
+    corpus = {
+        1: "spark join vector spark spark",
+        2: "join the table scan",
+        3: "vector vector vector join spark",
+        4: "nothing relevant here at all wow",
+        5: "spark",
+        6: "spark",  # identical to 5: same score, id tiebreak orders 5 first
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "id long, text string")
+    out = bm25_topk(docs, "id", "text", "spark vector", k=5).collect()
+    got = [(r.id, r.score_micro, r.matched_terms) for r in out]
+
+    n = len(corpus)
+    dls = {i: len(t.split()) for i, t in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    terms = ["spark", "vector"]
+    dfq = {t: sum(1 for d in corpus.values() if t in d.split()) for t in terms}
+
+    def score(i):
+        s, m = 0, 0
+        for t in terms:
+            tf = corpus[i].split().count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            s += math.floor(
+                idf * tf * 2.2
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[i] / avgdl))
+                * 1_000_000 + 0.5
+            )
+        return s, m
+
+    exp = sorted(
+        ((i,) + score(i) for i in corpus if score(i)[0] > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert got == exp, (got, exp)
+    assert 4 not in {g[0] for g in got}
+    ids = [g[0] for g in got]
+    assert ids.index(5) < ids.index(6)  # id tiebreak on equal scores
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, "id", "text", "   ")
