@@ -2663,6 +2663,45 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (pipeline/retrieval
+    rrf_fuse — Cormack et al. 2009): BM25 top-50 over documents FUSED
+    with exact-cosine top-50 over embeddings (the shared 0..N id
+    space), each list contributing 1/(60+rank) quantized to integer
+    nano-units before the per-id sum (order-independent; both lists
+    are bounded priors, so fusion never touches the corpus). Oracle
+    replays both rankings — the full BM25 pipeline and the brute
+    cosine — and the fusion arithmetic, with the (rrf desc, id)
+    tiebreak."""
+    from pyspark.sql import Window
+
+    from geomesa_hive_spark.pipeline import similarity
+    from geomesa_hive_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, "doc_id", "text",
+                   "spark join vector stream filter", k=50)
+    bmr = bm.select(
+        "id",
+        F.row_number().over(
+            Window.orderBy(F.col("score_micro").desc(), F.col("id"))
+        ).alias("rank"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    kb = similarity.knn_brute(emb, "vec_id", "embedding", qv, k=50)
+    kbr = kb.select(
+        "id",
+        F.row_number().over(
+            Window.orderBy(F.col("cos_sim").desc(), F.col("id"))
+        ).alias("rank"),
+    )
+    fused = rrf_fuse([bmr, kbr], c=60, k=20)
+    return fused.select(
+        F.col("id").alias("doc_id"), F.col("sources"), F.col("rrf_micro")
+    )
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the streaming hourly rollup
     (streaming.events.hourly_rollup): the STREAMING FUNCTION ITSELF
@@ -4842,6 +4881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "stream_rollup": q_stream_rollup,
         "bm25_retrieval": q_bm25_retrieval,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "stream_dedup": q_stream_dedup,
         "range_join_bands": q_range_join_bands,
         "percentiles": q_percentiles,
@@ -6566,6 +6606,56 @@ _LM_ORACLE = """            WITH toks AS (
         """
 
 
+#: shared BM25 replay CTE chain (query 'spark join vector stream
+#: filter' over documents), ending in bm25_agg(doc_id, matched_terms,
+#: score_micro) — used by both the bm25_retrieval oracle and the
+#: hybrid_retrieval fusion oracle. The idf divisions are cast to
+#: DOUBLE explicitly: DuckDB parses 0.5 as DECIMAL and would run the
+#: ratio in exact decimal arithmetic, off the IEEE path Spark takes.
+_BM25_CTES = """base AS (
+              SELECT doc_id AS id, text FROM documents
+            ), dl AS (
+              SELECT id,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS dl
+              FROM base
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS tot
+              FROM dl
+            ), tok AS (
+              SELECT id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM base
+            ), tf AS (
+              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok
+              WHERE term IN ('filter', 'join', 'spark', 'stream', 'vector')
+              GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.id,
+                     CAST(floor(
+                       ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5)) * tf
+                       * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl
+                                        / (CAST(tot AS DOUBLE) / n)))
+                       * 1000000 + 0.5) AS BIGINT) AS c
+              FROM tf
+              JOIN dfq USING (term)
+              JOIN dl ON dl.id = tf.id
+              CROSS JOIN stats
+            ), bm25_agg AS (
+              SELECT id AS doc_id,
+                     CAST(count(*) AS BIGINT) AS matched_terms,
+                     CAST(sum(c) AS BIGINT) AS score_micro
+              FROM scored GROUP BY 1
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "spatial_bbox_filter": f"""
@@ -6648,54 +6738,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
             FROM orders
         """,
-        "bm25_retrieval": """
-            WITH base AS (
-              SELECT doc_id AS id, text FROM documents
-            ), dl AS (
-              SELECT id,
-                     CAST(length(regexp_split_to_array(trim(text), '\\s+'))
-                          AS BIGINT) AS dl
-              FROM base
-            ), stats AS (
-              SELECT CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(dl) AS BIGINT) AS tot
-              FROM dl
-            ), tok AS (
-              SELECT id,
-                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
-              FROM base
-            ), tf AS (
-              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
-              FROM tok
-              WHERE term IN ('filter', 'join', 'spark', 'stream', 'vector')
-              GROUP BY 1, 2
-            ), dfq AS (
-              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-            ), scored AS (
-              SELECT tf.id,
-                     CAST(floor(
-                       ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
-                              / (CAST(df AS DOUBLE) + 0.5)) * tf
-                       * 2.2
-                       / (tf + 1.2 * (1.0 - 0.75
-                                      + 0.75 * dl.dl
-                                        / (CAST(tot AS DOUBLE) / n)))
-                       * 1000000 + 0.5) AS BIGINT) AS c
-              FROM tf
-              JOIN dfq USING (term)
-              JOIN dl ON dl.id = tf.id
-              CROSS JOIN stats
-            ), agg AS (
-              SELECT id AS doc_id,
-                     CAST(count(*) AS BIGINT) AS matched_terms,
-                     CAST(sum(c) AS BIGINT) AS score_micro
-              FROM scored GROUP BY 1
-            )
+        "bm25_retrieval": f"""
+            WITH {_BM25_CTES}
             SELECT doc_id, matched_terms, score_micro,
                    round(score_micro / 1000000.0, 6) AS score
-            FROM agg
+            FROM bm25_agg
             ORDER BY score_micro DESC, doc_id
             LIMIT 25
+        """,
+        "hybrid_retrieval": f"""
+            WITH {_BM25_CTES}, bmr AS (
+              SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                       AS rank
+              FROM bm25_agg
+              QUALIFY rank <= 50
+            ), cosd AS (
+              SELECT e.vec_id AS id,
+                     round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(q.embedding AS DOUBLE[])))),
+                       6) AS cs
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ), cosr AS (
+              SELECT id,
+                     row_number() OVER (ORDER BY cs DESC, id) AS rank
+              FROM cosd
+              QUALIFY rank <= 50
+            ), u AS (
+              SELECT id,
+                     CAST(floor(1000000000.0 / (60 + rank) + 0.5) AS BIGINT)
+                       AS c
+              FROM (SELECT id, rank FROM bmr
+                    UNION ALL SELECT id, rank FROM cosr)
+            )
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS sources,
+                   CAST(sum(c) AS BIGINT) AS rrf_micro
+            FROM u GROUP BY 1
+            ORDER BY rrf_micro DESC, doc_id
+            LIMIT 20
         """,
         "text_keywords": """
             WITH tok AS (

@@ -35,7 +35,7 @@ import re as _re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 _SCALE = 1_000_000
 
@@ -111,3 +111,40 @@ def bm25_topk(
         .withColumn("score", F.col("score_micro") / F.lit(float(_SCALE)))
     )
     return scored.orderBy(F.col("score_micro").desc(), F.col("id")).limit(int(k))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    c: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of
+    pre-ranked candidate lists — the standard hybrid-retrieval
+    combiner (lexical BM25 + dense ANN) that needs no score
+    calibration: each list contributes ``1/(c + rank)``.
+
+    Each input frame carries (id, rank) with 1-based ranks and is
+    expected to be a BOUNDED prior top-N (that is what makes the union
+    k·|lists| rows, not corpus-sized — fusion is a post-retrieval
+    step, never a corpus scan). Contributions quantize to integer
+    NANO-units before the per-id sum, so fused scores are
+    order-independent and oracle-replayable; ties break by id.
+    Returns (id, sources, rrf_micro) — top ``k`` by fused score."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = F.expr(
+        f"CAST(floor(1000000000.0D / ({int(c)} + rank) + 0.5D) AS BIGINT)"
+    )
+    parts = [r.select(F.col("id"), contrib.alias("c")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("sources"),
+            F.sum("c").cast("long").alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("id"))
+        .limit(int(k))
+    )

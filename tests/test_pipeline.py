@@ -1763,3 +1763,38 @@ def test_bm25_topk_ranking_and_determinism(spark):
     assert ids.index(5) < ids.index(6)  # id tiebreak on equal scores
     with _pytest.raises(ValueError):
         bm25_topk(docs, "id", "text", "   ")
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    """RRF fusion (pipeline/retrieval.py rrf_fuse): doc present in both
+    lists at middling ranks beats a doc topping only one list
+    (1/(60+2)+1/(60+3) > 1/61); nano-quantized contributions match the
+    closed form exactly; sources counts the contributing lists; empty
+    input raises."""
+    import math
+
+    import pytest as _pytest
+
+    from geomesa_hive_spark.pipeline.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(40, 1), (20, 2), (30, 4)], "id long, rank long"
+    )
+    out = rrf_fuse([r1, r2], c=60, k=10).collect()
+    got = {r.id: (r.sources, r.rrf_micro) for r in out}
+
+    def nano(rank):
+        return math.floor(1e9 / (60 + rank) + 0.5)
+
+    assert got[20] == (2, nano(2) + nano(2))
+    assert got[30] == (2, nano(3) + nano(4))
+    assert got[10] == (1, nano(1))
+    assert got[40] == (1, nano(1))
+    order = [r.id for r in out]
+    assert order[0] == 20 and order[1] == 30       # dual-source wins
+    assert order[2:] == [10, 40]                   # equal scores: id tiebreak
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
