@@ -987,6 +987,28 @@ def q_spatial_reproject_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_wintri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winkel Tripel reprojection (EPSG:4326 → ESRI:54042, the
+    NatGeo world-map compromise — mean of equirectangular at Winkel's
+    φ1 = acos(2/π) and Aitoff) on ALL customer points; the oracle
+    replays the spherical forward (clipped acos, the unnormalized-sinc
+    CASE, the Aitoff halves, the ½ mean) with identical repr-embedded
+    constants. Exact central-meridian/equator anchors, origin
+    symmetry, and the 2-D Newton inverse roundtrip pinned in
+    tests/test_geom_kernel.py (reference scope:
+    spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("ESRI:54042")
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("wt_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("wt_y"),
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -4823,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_poly": q_spatial_reproject_poly,
         "spatial_reproject_eqearth": q_spatial_reproject_eqearth,
         "spatial_reproject_cea": q_spatial_reproject_cea,
+        "spatial_reproject_wintri": q_spatial_reproject_wintri,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
@@ -5879,6 +5902,45 @@ def _cea_oracle() -> str:
                round(CAST(CAST(0.0 + {ak0} * lam AS FLOAT) AS DOUBLE), 3) AS cea_x,
                round(CAST(CAST(0.0 + {a} * q / {two_k0} AS FLOAT) AS DOUBLE), 3) AS cea_y
         FROM s2
+    """
+
+
+def _wintri_oracle() -> str:
+    """Replay wintri_forward: clipped acos(cosφ·cos(λ/2)), the
+    unnormalized-sinc zero guard, Aitoff x/y, and the arithmetic mean
+    with equirectangular at φ1 — identical expression shapes,
+    constants repr-embedded."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import _A, _WINTRI_LAT1
+
+    c1 = repr(_math.cos(_math.radians(_WINTRI_LAT1)))
+    a05 = repr(_A * 0.5)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat FROM customer
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, lam, phi,
+                 acos(least(greatest(cos(phi) * cos(lam / 2.0), -1.0), 1.0))
+                   AS alpha
+          FROM rad
+        ), s2 AS (
+          SELECT c_custkey, lam, phi,
+                 CASE WHEN alpha = 0.0 THEN 1.0
+                      ELSE sin(alpha) / alpha END AS sinc
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, lam, phi,
+                 2.0 * cos(phi) * sin(lam / 2.0) / sinc AS ax,
+                 sin(phi) / sinc AS ay
+          FROM s2
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(0.0 + {a05} * (lam * {c1} + ax) AS FLOAT) AS DOUBLE), 3) AS wt_x,
+               round(CAST(CAST(0.0 + {a05} * (phi + ay) AS FLOAT) AS DOUBLE), 3) AS wt_y
+        FROM s3
     """
 
 
@@ -7073,6 +7135,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_poly": _poly_oracle(),
         "spatial_reproject_eqearth": _eqearth_oracle(),
         "spatial_reproject_cea": _cea_oracle(),
+        "spatial_reproject_wintri": _wintri_oracle(),
         "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

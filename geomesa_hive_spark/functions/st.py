@@ -1063,6 +1063,8 @@ def _coord_fn(fk, tk):
             return proj.eqearth_inverse(c, fk[1:])
         if fk[0] == "cea":
             return proj.cea_inverse(c, fk[1:])
+        if fk[0] == "wintri":
+            return proj.wintri_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1125,6 +1127,8 @@ def _coord_fn(fk, tk):
             return proj.eqearth_forward(c, tk[1:])
         if tk[0] == "cea":
             return proj.cea_forward(c, tk[1:])
+        if tk[0] == "wintri":
+            return proj.wintri_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

@@ -96,6 +96,8 @@ __all__ = [
     "cea_forward",
     "cea_inverse",
     "cea_consts",
+    "wintri_forward",
+    "wintri_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -242,12 +244,21 @@ def parse_crs(crs: str):
                     _SOMERC_LON0, 1.0, x0, y0, _CH1903_TOWGS84)
         if code == 54009:  # ESRI World Mollweide
             return ("moll", _A, 0.0, 0.0, 0.0)
+        if code == 54042:  # ESRI World Winkel Tripel (also esri: below)
+            return ("wintri", _WINTRI_LAT1, 0.0, 0.0, 0.0)
         if code == 8857:  # WGS 84 / Equal Earth Greenwich
             return ("eqearth", 0.0, 0.0, 0.0)
         if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
             return ("cea", 30.0, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54009$", low):
         return ("moll", _A, 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54042$", low):
+        return ("wintri", _WINTRI_LAT1, 0.0, 0.0, 0.0)
+    if "+proj=wintri" in low:
+        return ("wintri",
+                _proj4_num(low, "lat_1", _WINTRI_LAT1),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=krovak" in low:
         # proj4 defaults for +proj=krovak ARE the S-JTSK parameters;
         # ellipsoid defaults to Bessel (not the module-wide WGS84)
@@ -481,7 +492,8 @@ def parse_crs(crs: str):
         "EPSG:28992 RD New), American Polyconic ('+proj=poly' or "
         "EPSG:29101/EPSG:5880 Brazil), Equal Earth ('+proj=eqearth' or "
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
-        "or EPSG:6933 EASE-Grid 2.0) and their proj4 equivalents"
+        "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
+        "[+lat_1=..]' or ESRI:54042) and their proj4 equivalents"
     )
 
 
@@ -2218,5 +2230,86 @@ def cea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         )
     phi = np.where(at_pole, np.sign(q) * (math.pi / 2.0), phi)
     out[:, 0] = np.degrees(k["lam0"] + (coords[:, 0] - x0) / (_A * k["k0"]))
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Winkel Tripel ('+proj=wintri', ESRI:54042 World Winkel Tripel — the
+# National Geographic world-map compromise projection): the arithmetic
+# mean of the equirectangular projection at standard parallel φ1 and
+# the Aitoff projection. Spherical on the semi-major axis, as proj
+# projects it. Default φ1 = acos(2/π) — Winkel's own choice (makes
+# the map's axis ratio exactly 2:1... the canonical parameterization).
+# Exact closed-form anchors the tests pin: the central meridian maps
+# to x=0, y=Rφ EXACTLY (Aitoff degenerates to y=φ there) and the
+# equator to y=0, x = R·λ·(cos φ1 + 1)/2 EXACTLY. Inverse is the
+# standard 2-D Newton with an analytic-free finite-difference
+# Jacobian (what proj itself does).
+# ---------------------------------------------------------------------------
+
+_WINTRI_LAT1 = math.degrees(math.acos(2.0 / math.pi))
+
+
+def _aitoff_parts(lam: np.ndarray, phi: np.ndarray):
+    """Aitoff x, y on the unit sphere with the unnormalized-sinc
+    guard (α = 0 at the origin → sinc = 1)."""
+    half = lam / 2.0
+    ca = np.clip(np.cos(phi) * np.cos(half), -1.0, 1.0)
+    alpha = np.arccos(ca)
+    sinc = np.where(alpha == 0.0, 1.0, np.sin(alpha) / np.where(alpha == 0.0, 1.0, alpha))
+    x = 2.0 * np.cos(phi) * np.sin(half) / sinc
+    y = np.sin(phi) / sinc
+    return x, y
+
+
+def wintri_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Winkel Tripel (x, y) meters on the authalic-free
+    sphere R = a. ``params`` = (lat1, lon0, x0, y0)."""
+    lat1, lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    c1 = math.cos(math.radians(lat1))
+    ax, ay = _aitoff_parts(lam, phi)
+    out[:, 0] = x0 + _A * 0.5 * (lam * c1 + ax)
+    out[:, 1] = y0 + _A * 0.5 * (phi + ay)
+    return out
+
+
+def wintri_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Winkel Tripel meters → (lon°, lat°): 2-D Newton (finite-
+    difference Jacobian, 15 rounds — converges in <8 over the world
+    map; the same scheme proj uses)."""
+    lat1, lon0, x0, y0 = params
+    out = coords.copy()
+    tx = (coords[:, 0] - x0) / _A
+    ty = (coords[:, 1] - y0) / _A
+    c1 = math.cos(math.radians(lat1))
+
+    def fwd(lam, phi):
+        ax, ay = _aitoff_parts(lam, phi)
+        return 0.5 * (lam * c1 + ax), 0.5 * (phi + ay)
+
+    # seed from the equirectangular half (exact on the axes)
+    lam = 2.0 * tx / (c1 + 1.0)
+    phi = np.clip(ty, -math.pi / 2.0, math.pi / 2.0)
+    h = 1e-8
+    for _ in range(15):
+        fx, fy = fwd(lam, phi)
+        rx = fx - tx
+        ry = fy - ty
+        fxl, fyl = fwd(lam + h, phi)
+        fxp, fyp = fwd(lam, phi + h)
+        j11 = (fxl - fx) / h
+        j12 = (fxp - fx) / h
+        j21 = (fyl - fy) / h
+        j22 = (fyp - fy) / h
+        det = j11 * j22 - j12 * j21
+        det = np.where(np.abs(det) < 1e-15, 1e-15, det)
+        lam = lam - (rx * j22 - ry * j12) / det
+        phi = phi - (ry * j11 - rx * j21) / det
+        phi = np.clip(phi, -math.pi / 2.0, math.pi / 2.0)
+    out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = np.degrees(phi)
     return out

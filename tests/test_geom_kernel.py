@@ -1053,3 +1053,47 @@ def test_eqearth_and_cea_equal_area_and_roundtrip():
     # (e) proj-string forms
     assert P.parse_crs("+proj=eqearth +lon_0=11.5")[1] == 11.5
     assert P.parse_crs("+proj=cea +lat_ts=45")[1] == 45.0
+
+
+def test_wintri_exact_anchors_symmetry_and_roundtrip():
+    """Winkel Tripel (ESRI:54042, '+proj=wintri'): (a) the EXACT
+    closed-form anchors — on the central meridian the Aitoff half
+    degenerates and y = R·φ with x = 0; on the equator x =
+    R·λ·(cosφ1+1)/2 with y = 0; (b) point symmetry through the
+    origin; (c) the 2-D Newton inverse round-trips the whole world to
+    1e-7°; (d) the default standard parallel is Winkel's own
+    acos(2/π); (e) parse wiring for ESRI:54042/EPSG-spelled 54042 and
+    '+proj=wintri +lat_1'."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    k = P.parse_crs("ESRI:54042")
+    assert k[0] == "wintri"
+    p = k[1:]
+    assert abs(p[0] - math.degrees(math.acos(2 / math.pi))) < 1e-12
+    assert P.parse_crs("EPSG:54042") == k
+    assert P.parse_crs("+proj=wintri +lat_1=40")[1] == 40.0
+
+    A = P._A
+    c1 = 2 / math.pi
+    f = P.wintri_forward(np.array([[0.0, 47.0]]), p)[0]
+    assert abs(f[0]) < 1e-9 and abs(f[1] - A * math.radians(47.0)) < 1e-6
+    f2 = P.wintri_forward(np.array([[120.0, 0.0]]), p)[0]
+    assert abs(f2[1]) < 1e-9
+    assert abs(f2[0] - A * math.radians(120.0) * (c1 + 1) / 2) < 1e-6
+
+    fp = P.wintri_forward(np.array([[30.0, 40.0]]), p)[0]
+    fm = P.wintri_forward(np.array([[-30.0, -40.0]]), p)[0]
+    assert abs(fp[0] + fm[0]) < 1e-9 and abs(fp[1] + fm[1]) < 1e-9
+
+    rng = np.random.RandomState(11)
+    pts = np.column_stack(
+        [rng.uniform(-179, 179, 600), rng.uniform(-89, 89, 600)]
+    )
+    rt = P.wintri_inverse(P.wintri_forward(pts, p), p)
+    assert np.abs(rt - pts).max() < 1e-7
+    o = P.wintri_forward(np.array([[0.0, 0.0]]), p)[0]
+    assert abs(o[0]) < 1e-12 and abs(o[1]) < 1e-12
