@@ -2659,6 +2659,26 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (pipeline/text.py
+    chunk_documents — the RAG/embedding-ingest splitter): one
+    tokenize, integer-arithmetic chunk count, one
+    explode(transform(sequence)) of slice/array_join windows — a
+    shuffle-free per-row flatMap in whole-stage codegen. Oracle
+    replays tokenization, the DIV-based chunk count, and 1-based list
+    slicing in DuckDB; chunk text is md5-compared in full."""
+    from geomesa_hive_spark.pipeline.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_id"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (pipeline/retrieval.py bm25_topk — the
     Lucene-default lexical ranker as a curation primitive:
@@ -4904,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "stream_rollup": q_stream_rollup,
         "bm25_retrieval": q_bm25_retrieval,
+        "text_chunks": q_text_chunks,
         "hybrid_retrieval": q_hybrid_retrieval,
         "stream_dedup": q_stream_dedup,
         "range_join_bands": q_range_join_bands,
@@ -6799,6 +6820,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_totalprice) AS BIGINT),
                    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
             FROM orders
+        """,
+        "text_chunks": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents
+            ), wn AS (
+              SELECT id, toks, CAST(length(toks) AS INTEGER) AS n FROM base
+            ), nc AS (
+              SELECT id, toks, n,
+                     CASE WHEN n <= 32 THEN 1
+                          ELSE 1 + (n - 32 + 23) // 24 END AS nch
+              FROM wn
+            ), ex AS (
+              SELECT id, toks, unnest(range(0, nch)) AS i FROM nc
+            )
+            SELECT id AS doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(length(toks[i * 24 + 1 : i * 24 + 32])
+                        AS INTEGER) AS n_chunk_tokens,
+                   md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' '))
+                     AS chunk_md5
+            FROM ex
         """,
         "bm25_retrieval": f"""
             WITH {_BM25_CTES}

@@ -30,6 +30,7 @@ __all__ = [
     "PII_PATTERNS",
     "LANG_MARKERS",
     "STOPWORDS_EN",
+    "chunk_documents",
 ]
 
 
@@ -593,4 +594,49 @@ def top_terms(
         w.withColumn("rank", rnk)
         .filter(F.col("rank") <= int(k))
         .select("id", "term", "w", "rank")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    RAG/embedding-ingest chunker (and the long-document splitter a
+    context-bounded training pipeline needs), entirely in native array
+    expressions: tokenize once, compute the chunk count with INTEGER
+    arithmetic (``1 + ceil((n − chunk)/stride)`` via DIV — no float
+    boundary cases), then one ``explode(transform(sequence(...)))``
+    emits ``slice``/``array_join`` windows inside whole-stage codegen.
+    No shuffle at all: chunking is a per-row flatMap; fan-out is
+    ~n/stride rows per document, the number the caller is asking for.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text). The last
+    chunk is the remainder window (shorter than ``chunk_tokens``, never
+    empty); a document with ≤ ``chunk_tokens`` tokens yields exactly
+    one chunk. ``overlap`` must be < ``chunk_tokens``."""
+    if not 0 <= int(overlap) < int(chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    chunk, stride = int(chunk_tokens), int(chunk_tokens) - int(overlap)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.col(text_col)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.expr(
+        f"CASE WHEN n <= {chunk} THEN 1 "
+        f"ELSE 1 + CAST((n - {chunk} + {stride} - 1) DIV {stride} AS INT) END"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, __nc - 1), i -> struct("
+        f"CAST(i AS BIGINT) AS chunk_id, "
+        f"size(slice(toks, i * {stride} + 1, {chunk})) AS n_chunk_tokens, "
+        f"array_join(slice(toks, i * {stride} + 1, {chunk}), ' ') AS chunk_text))"
+    )
+    return (
+        base.withColumn("__nc", n_chunks)
+        .select("id", F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
     )

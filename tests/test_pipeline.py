@@ -1798,3 +1798,43 @@ def test_rrf_fuse_combines_rankings(spark):
     assert order[2:] == [10, 40]                   # equal scores: id tiebreak
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_chunk_documents_windows_and_coverage(spark):
+    """Overlapping chunker (pipeline/text.py chunk_documents): exact
+    window contents at chunk=4/overlap=1, remainder-window semantics,
+    one chunk for short docs, full token coverage, and the
+    overlap>=chunk guard."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "a b c"),
+            (3, "x"),
+            (4, " ".join(f"t{i}" for i in range(9))),  # remainder chunk
+        ],
+        "id long, text string",
+    )
+    out = chunk_documents(docs, "id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r.id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+            for r in out.collect()}
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert rows[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert len([k for k in rows if k[0] == 1]) == 3
+    assert rows[(2, 0)] == (3, "a b c")
+    assert rows[(3, 0)] == (1, "x")
+    # doc 4: 9 tokens -> chunks at 0,3,6; last is the full-size window
+    # ending at t8
+    assert rows[(4, 2)] == (3, "t6 t7 t8")
+    for did, n in [(1, 10), (4, 9)]:
+        covered = set()
+        for (d, _c), (_n, t) in rows.items():
+            if d == did:
+                covered |= set(t.split())
+        assert len(covered) == n
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "id", "text", chunk_tokens=4, overlap=4)
