@@ -2471,6 +2471,54 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py table_diff — CDC
+    validation / migration sign-off / MOR-compaction audit): orders vs
+    a deterministically mutated copy (keys %11 dropped, %7 repriced,
+    %13 restatused, %17 mirrored in as new negative keys). ONE full
+    outer join on the key + native null-safe per-column comparison;
+    the changed-column array is exercised through per-change counts of
+    each named column. Oracle replays the mutation AND the outer-join
+    classification in SQL."""
+    from geomesa_hive_spark.operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    modified = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0,
+                   F.col("o_totalprice") + F.lit(100.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")),
+        )
+    )
+    added = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_totalprice", "o_orderstatus",
+    )
+    new = modified.unionByName(added)
+    d = table_diff(o, new, "o_orderkey")
+    return d.groupBy("change").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(
+            F.when(F.array_contains("changed_cols", "o_totalprice"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_price"),
+        F.sum(
+            F.when(F.array_contains("changed_cols", "o_orderstatus"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_status"),
+    )
+
+
 def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read upsert/delete + snapshot read (sources/manifest.py
     write_delta/read_snapshot — the Iceberg/Delta/Hudi MOR pattern on
@@ -4918,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_phonetic": q_entity_phonetic,
         "compact_files": q_compact_files,
         "mor_upsert": q_mor_upsert,
+        "table_diff": q_table_diff,
         "spatial_hexbin": q_spatial_hexbin,
         "stream_interval_join": q_stream_interval_join,
         "stream_sessions": q_stream_sessions,
@@ -7705,6 +7754,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
+        """,
+        "table_diff": """
+            WITH old_t AS (
+              SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+              FROM orders
+            ), modified AS (
+              SELECT k,
+                     CASE WHEN k % 7 = 0 THEN p + 100.0 ELSE p END AS p,
+                     CASE WHEN k % 13 = 0 THEN 'X' ELSE s END AS s
+              FROM old_t WHERE k % 11 <> 0
+            ), added AS (
+              SELECT -k AS k, p, s FROM old_t WHERE k % 17 = 0
+            ), new_t AS (
+              SELECT * FROM modified UNION ALL SELECT * FROM added
+            ), j AS (
+              SELECT old_t.k AS ok, new_t.k AS nk,
+                     old_t.p AS op, new_t.p AS np,
+                     old_t.s AS os, new_t.s AS ns
+              FROM old_t FULL OUTER JOIN new_t ON old_t.k = new_t.k
+            ), cls AS (
+              SELECT coalesce(nk, ok) AS k,
+                     CASE WHEN ok IS NULL THEN 'added'
+                          WHEN nk IS NULL THEN 'removed'
+                          WHEN (op IS DISTINCT FROM np)
+                               OR (os IS DISTINCT FROM ns) THEN 'changed'
+                          ELSE 'unchanged' END AS change,
+                     CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                               AND op IS DISTINCT FROM np
+                          THEN 1 ELSE 0 END AS pc,
+                     CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                               AND os IS DISTINCT FROM ns
+                          THEN 1 ELSE 0 END AS sc
+              FROM j
+            )
+            SELECT change, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(k) AS BIGINT) AS key_sum,
+                   CAST(sum(pc) AS BIGINT) AS n_price,
+                   CAST(sum(sc) AS BIGINT) AS n_status
+            FROM cls WHERE change <> 'unchanged'
+            GROUP BY change
         """,
         "mor_upsert": """
             WITH allv AS (

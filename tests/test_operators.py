@@ -707,3 +707,45 @@ def test_hausdorff_join_matches_brute_force(spark):
     # the plan never cross-joins: candidates come from the cell equi-join
     plan = hausdorff_join(df, "k", "o", "x", "y", 4.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_diff_classification_and_null_safety(spark):
+    """Keyed snapshot diff (operators/diff.py table_diff):
+    added/removed/changed classification with named changed columns;
+    NULL↔NULL compares as unchanged (null-safe <=>), NULL↔value as a
+    change; include_unchanged surfaces identical rows; missing compare
+    columns raise; added/removed rows carry empty changed_cols."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", None), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    out = {r.k: (r.change, list(r.changed_cols))
+           for r in table_diff(old, new, "k").collect()}
+    assert out == {
+        2: ("changed", ["s"]),
+        4: ("removed", []),
+        5: ("added", []),
+    }
+    full = {r.k: r.change
+            for r in table_diff(old, new, "k",
+                                include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and full[3] == "unchanged"
+    # NULL -> value is a change on that column
+    new2 = spark.createDataFrame([(3, "c", 9.0)], "k long, s string, v double")
+    o3 = {r.k: (r.change, list(r.changed_cols))
+          for r in table_diff(old.filter("k=3"), new2, "k").collect()}
+    assert o3 == {3: ("changed", ["v"])}
+    # multi-column change reported sorted
+    new3 = spark.createDataFrame([(2, "Z", 9.9)], "k long, s string, v double")
+    o4 = table_diff(old.filter("k=2"), new3, "k").collect()[0]
+    assert list(o4.changed_cols) == ["s", "v"]
+    with _pytest.raises(ValueError):
+        table_diff(old, new, "k", compare_cols=["nope"])
