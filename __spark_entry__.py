@@ -987,6 +987,29 @@ def q_spatial_reproject_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True WGS84 ellipsoidal distance — st_distanceSpheroid now runs
+    Vincenty's inverse (geom/geodesy.py vincenty_m, fixed 12
+    λ-iterations), replacing the round-5 alias to the SPHERE kernel (a
+    silent ≤0.5% wrong answer vs the PostGIS name's promise). The
+    oracle unrolls all 12 iterations as CTE stages with identical
+    expression shapes and replays the closing Helmert series — full
+    double parity, mm rounding. Kernel pinned by the published
+    1°-meridian (110574.389 m) and 1°-equator (a·π/180) anchors in
+    pytest."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    d = _call(
+        "st_distancespheroid",
+        F.col("geom"),
+        _call("st_makepoint", F.lit(30.005), F.lit(10.005)),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(d.cast("double"), 3).alias("dist_m"),
+    )
+
+
 def q_spatial_reproject_wintri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winkel Tripel reprojection (EPSG:4326 → ESRI:54042, the
     NatGeo world-map compromise — mean of equirectangular at Winkel's
@@ -4914,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_eqearth": q_spatial_reproject_eqearth,
         "spatial_reproject_cea": q_spatial_reproject_cea,
         "spatial_reproject_wintri": q_spatial_reproject_wintri,
+        "spatial_vincenty": q_spatial_vincenty,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
@@ -5972,6 +5996,93 @@ def _cea_oracle() -> str:
                round(CAST(CAST(0.0 + {ak0} * lam AS FLOAT) AS DOUBLE), 3) AS cea_x,
                round(CAST(CAST(0.0 + {a} * q / {two_k0} AS FLOAT) AS DOUBLE), 3) AS cea_y
         FROM s2
+    """
+
+
+def _vincenty_oracle() -> str:
+    """Unroll vincenty_m's fixed 12 λ-iterations as CTE stages (the
+    Mollweide fixed-Newton convention, but with the per-iteration
+    sin_a/cos²α/cos2σm CASE guards) and replay the closing u²/A/B/Δσ
+    Helmert series — every expression shape mirrors the numpy kernel,
+    constants repr-embedded."""
+    from geomesa_hive_spark.geom.geodesy import (
+        _V_A, _V_B, _V_F, VINCENTY_ITERS,
+    )
+
+    f = repr(_V_F)
+    omf = repr(1.0 - _V_F)
+    c1 = repr(_V_A * _V_A - _V_B * _V_B)
+    c2 = repr(_V_B * _V_B)
+    b = repr(_V_B)
+    lon2, lat2 = "30.005", "10.005"
+    stages = [f"""s0 AS (
+          SELECT c_custkey,
+                 sin(atan({omf} * tan(radians({_C_Y})))) AS su1,
+                 cos(atan({omf} * tan(radians({_C_Y})))) AS cu1,
+                 sin(atan({omf} * tan(radians({lat2})))) AS su2,
+                 cos(atan({omf} * tan(radians({lat2})))) AS cu2,
+                 radians({lon2}) - radians({_C_X}) AS ll,
+                 radians({lon2}) - radians({_C_X}) AS lam
+          FROM customer
+        )"""]
+    carry = "c_custkey, su1, cu1, su2, cu2, ll"
+    for k in range(1, VINCENTY_ITERS + 1):
+        stages.append(f"""i{k}a AS (
+          SELECT {carry}, lam, sin(lam) AS sl, cos(lam) AS cl FROM {'s0' if k == 1 else f'i{k-1}f'}
+        ), i{k}b AS (
+          SELECT {carry}, sl, cl,
+                 sqrt((cu2 * sl) * (cu2 * sl)
+                      + (cu1 * su2 - su1 * cu2 * cl)
+                        * (cu1 * su2 - su1 * cu2 * cl)) AS sin_sig,
+                 su1 * su2 + cu1 * cu2 * cl AS cos_sig
+          FROM i{k}a
+        ), i{k}c AS (
+          SELECT {carry}, sl, cl, sin_sig, cos_sig,
+                 atan2(sin_sig, cos_sig) AS sig,
+                 CASE WHEN sin_sig = 0.0 THEN 0.0
+                      ELSE cu1 * cu2 * sl / sin_sig END AS sin_a
+          FROM i{k}b
+        ), i{k}d AS (
+          SELECT {carry}, sin_sig, cos_sig, sig, sin_a,
+                 1.0 - sin_a * sin_a AS cos2a
+          FROM i{k}c
+        ), i{k}e AS (
+          SELECT {carry}, sin_sig, cos_sig, sig, sin_a, cos2a,
+                 CASE WHEN cos2a = 0.0 THEN 0.0
+                      ELSE cos_sig - 2.0 * su1 * su2 / cos2a END AS cos2sm,
+                 {f} / 16.0 * cos2a * (4.0 + {f} * (4.0 - 3.0 * cos2a)) AS c
+          FROM i{k}d
+        ), i{k}f AS (
+          SELECT {carry}, sin_sig, cos_sig, sig, cos2a, cos2sm,
+                 ll + (1.0 - c) * {f} * sin_a * (sig + c * sin_sig
+                   * (cos2sm + c * cos_sig
+                      * (-1.0 + 2.0 * cos2sm * cos2sm))) AS lam
+          FROM i{k}e
+        )""")
+    last = f"i{VINCENTY_ITERS}f"
+    return f"""
+        WITH {', '.join(stages)}, fin AS (
+          SELECT c_custkey, sin_sig, cos_sig, sig, cos2sm,
+                 cos2a * {c1} / {c2} AS usq
+          FROM {last}
+        ), fin2 AS (
+          SELECT c_custkey, sin_sig, cos_sig, sig, cos2sm,
+                 1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0
+                   + usq * (320.0 - 175.0 * usq))) AS aa,
+                 usq / 1024.0 * (256.0 + usq * (-128.0
+                   + usq * (74.0 - 47.0 * usq))) AS bb
+          FROM fin
+        ), fin3 AS (
+          SELECT c_custkey, sig, aa,
+                 bb * sin_sig * (cos2sm + bb / 4.0 * (cos_sig
+                   * (-1.0 + 2.0 * cos2sm * cos2sm)
+                   - bb / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sig * sin_sig)
+                     * (-3.0 + 4.0 * cos2sm * cos2sm))) AS dsig
+          FROM fin2
+        )
+        SELECT c_custkey,
+               round({b} * aa * (sig - dsig), 3) AS dist_m
+        FROM fin3
     """
 
 
@@ -7229,6 +7340,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_eqearth": _eqearth_oracle(),
         "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_wintri": _wintri_oracle(),
+        "spatial_vincenty": _vincenty_oracle(),
         "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

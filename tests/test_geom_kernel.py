@@ -1097,3 +1097,40 @@ def test_wintri_exact_anchors_symmetry_and_roundtrip():
     assert np.abs(rt - pts).max() < 1e-7
     o = P.wintri_forward(np.array([[0.0, 0.0]]), p)[0]
     assert abs(o[0]) < 1e-12 and abs(o[1]) < 1e-12
+
+
+def test_vincenty_published_anchors_and_properties():
+    """WGS84 ellipsoidal distance (geom/geodesy.py vincenty_m):
+    (a) published anchors — one degree of meridian arc from the
+    equator is 110574.389 m and one degree along the equator is
+    exactly a·π/180 (the equator is a geodesic); (b) symmetry;
+    (c) coincident points are exactly 0; (d) the spheroid kernel
+    diverges from the sphere kernel by the expected ≤~0.55% and is
+    NOT the sphere (the pre-round-6 st_distanceSpheroid alias bug);
+    (e) known long-line value: Flinders Peak → Buninyong (Vincenty's
+    classic test line transplanted to WGS84) within 0.1 m of
+    54972.271 m."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom.geodesy import haversine_m, vincenty_m
+
+    one = lambda *a: vincenty_m(*[np.array([v]) for v in a])[0]
+    assert abs(one(0.0, 0.0, 0.0, 1.0) - 110574.389) < 0.01
+    assert abs(one(0.0, 0.0, 1.0, 0.0) - 6378137.0 * np.pi / 180) < 1e-4
+    assert one(5.0, 5.0, 5.0, 5.0) == 0.0
+    assert abs(one(10.0, 50.0, -70.0, -30.0)
+               - one(-70.0, -30.0, 10.0, 50.0)) < 1e-6
+    # (e) GDA reference line (WGS84 coords): Flinders Peak→Buninyong
+    d = one(144.4248678889, -37.9510334167, 143.9264955278, -37.6528211388)
+    assert abs(d - 54972.271) < 0.15, d
+    # (d) spheroid ≠ sphere, bounded by the flattening
+    rng = np.random.RandomState(2)
+    lo1 = rng.uniform(-170, 170, 300)
+    la1 = rng.uniform(-80, 80, 300)
+    lo2 = lo1 + rng.uniform(-30, 30, 300)
+    la2 = np.clip(la1 + rng.uniform(-30, 30, 300), -89, 89)
+    v = vincenty_m(lo1, la1, lo2, la2)
+    h = haversine_m(lo1, la1, lo2, la2)
+    rel = np.abs(v - h) / np.maximum(h, 1.0)
+    assert rel.max() < 0.006
+    assert np.median(rel) > 1e-5  # really a different kernel
