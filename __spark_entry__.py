@@ -1010,6 +1010,25 @@ def q_spatial_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical forward azimuth (st_azimuth — PostGIS semantics:
+    radians clockwise from north, NULL for coincident points) from
+    every customer point to a fixed reference; closed form, so the
+    oracle replays the atan2 expression and the [0, 2π) normalization
+    verbatim. Compass quadrants pinned exactly in pytest."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    az = _call(
+        "st_azimuth",
+        F.col("geom"),
+        _call("st_makepoint", F.lit(30.005), F.lit(10.005)),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(az.cast("double"), 6).alias("az"),
+    )
+
+
 def q_spatial_reproject_wintri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winkel Tripel reprojection (EPSG:4326 → ESRI:54042, the
     NatGeo world-map compromise — mean of equirectangular at Winkel's
@@ -4938,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_cea": q_spatial_reproject_cea,
         "spatial_reproject_wintri": q_spatial_reproject_wintri,
         "spatial_vincenty": q_spatial_vincenty,
+        "spatial_azimuth": q_spatial_azimuth,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
         "spatial_reproject_omerc_a": q_spatial_reproject_omerc_a,
         "spatial_reproject_stere": q_spatial_reproject_stere,
@@ -7341,6 +7361,24 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_wintri": _wintri_oracle(),
         "spatial_vincenty": _vincenty_oracle(),
+        "spatial_azimuth": f"""
+            WITH base AS (
+              SELECT c_custkey,
+                     radians({_C_X}) AS l1, radians({_C_Y}) AS p1,
+                     radians(30.005) AS l2, radians(10.005) AS p2
+              FROM customer
+            ), az0 AS (
+              SELECT c_custkey,
+                     atan2(sin(l2 - l1) * cos(p2),
+                           cos(p1) * sin(p2)
+                             - sin(p1) * cos(p2) * cos(l2 - l1)) AS az
+              FROM base
+            )
+            SELECT c_custkey,
+                   round(CASE WHEN az < 0.0 THEN az + 2.0 * pi()
+                              ELSE az END, 6) AS az
+            FROM az0
+        """,
         "spatial_reproject_omerc": _omerc_oracle(),
         "spatial_reproject_omerc_a": _omerc_a_oracle(),
         "spatial_reproject_stere": _stere_oracle(epsg=3031),

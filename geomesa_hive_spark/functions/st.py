@@ -775,6 +775,59 @@ _reg(
     "st_lengthsphere",
     g2scalar_udf(lambda g: float(geodesy.length_sphere(g)), T.DoubleType()),
 )
+_reg(
+    "st_lengthspheroid",
+    g2scalar_udf(lambda g: float(geodesy.length_spheroid(g)), T.DoubleType()),
+)
+
+
+def _azimuth_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """PostGIS-style spherical forward azimuth in RADIANS clockwise
+    from north, NULL for coincident points (PostGIS returns NULL when
+    the points are equal): the closed-form
+    atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ),
+    normalized to [0, 2π)."""
+    fa = wkb_array_to_points(a.to_numpy(dtype=object))
+    fb = wkb_array_to_points(b.to_numpy(dtype=object))
+    if fa is not None and fb is not None:
+        ax, ay = fa
+        bx, by = fb
+        l1, p1 = np.radians(ax), np.radians(ay)
+        l2, p2 = np.radians(bx), np.radians(by)
+        dl = l2 - l1
+        az = np.arctan2(
+            np.sin(dl) * np.cos(p2),
+            np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl),
+        )
+        az = np.where(az < 0.0, az + 2.0 * math.pi, az)
+        same = (ax == bx) & (ay == by)
+        out = pd.Series(az, dtype=object)
+        out[same | np.isnan(az)] = None
+        return out
+    parse = parse_cache()
+    out = []
+    for ba, bb in zip(a, b):
+        ga, gb = parse(ba), parse(bb)
+        if (ga is None or gb is None or ga.geom_type != "Point"
+                or gb.geom_type != "Point" or ga.is_empty or gb.is_empty):
+            out.append(None)
+            continue
+        (ax, ay), (bx, by) = ga.coords[0], gb.coords[0]
+        if ax == bx and ay == by:
+            out.append(None)
+            continue
+        dl = math.radians(bx - ax)
+        az = math.atan2(
+            math.sin(dl) * math.cos(math.radians(by)),
+            math.cos(math.radians(ay)) * math.sin(math.radians(by))
+            - math.sin(math.radians(ay)) * math.cos(math.radians(by))
+            * math.cos(dl),
+        )
+        out.append(az + 2.0 * math.pi if az < 0.0 else az)
+    return _series(out)
+
+
+_reg("st_azimuth", pandas_udf(_azimuth_udf, T.DoubleType()))
 def _difference_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return _gg2geom(a, b, clip_mod.difference)
 

@@ -20,6 +20,7 @@ __all__ = [
     "haversine_m",
     "distance_sphere",
     "vincenty_m",
+    "length_spheroid",
     "length_sphere",
     "buffer_point",
 ]
@@ -163,3 +164,14 @@ def vincenty_m(lon1, lat1, lon2, lat2) -> np.ndarray:
         )
     )
     return _V_B * aa * (sig - dsig)
+
+
+def length_spheroid(g: Geometry) -> float:
+    """Sum of WGS84 ellipsoidal (Vincenty) segment lengths in meters —
+    the spheroidal upgrade of ``length_sphere`` (PostGIS
+    ST_LengthSpheroid semantics)."""
+    segs = alg._geom_segments(g)
+    if segs.shape[0] == 0:
+        return 0.0
+    d = vincenty_m(segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+    return float(np.sum(d))

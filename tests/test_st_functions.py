@@ -306,3 +306,35 @@ def test_reference_acceptance_query(spark, tmp_path):
              AND bbox.ymin <= 43.1971673 AND bbox.ymax >= 40.3251777"""
     )
     assert df2.count() == 5
+
+
+def test_azimuth_and_length_spheroid(spark):
+    """st_azimuth (PostGIS semantics: radians clockwise from north,
+    NULL for coincident points — exact compass quadrants at the
+    equator) and st_lengthSpheroid (Vincenty segment sum: two 1-degree
+    meridian arcs; empty line is 0)."""
+    import math
+
+    from geomesa_hive_spark import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """
+        SELECT st_azimuth(st_makePoint(0,0), st_makePoint(0,1)) AS n,
+               st_azimuth(st_makePoint(0,0), st_makePoint(1,0)) AS e,
+               st_azimuth(st_makePoint(0,0), st_makePoint(0,-1)) AS s,
+               st_azimuth(st_makePoint(0,0), st_makePoint(-1,0)) AS w,
+               st_azimuth(st_makePoint(3,3), st_makePoint(3,3)) AS same,
+               st_azimuth(NULL, st_makePoint(0,1)) AS nul,
+               st_lengthSpheroid(
+                 st_geomFromWKT('LINESTRING(0 0, 0 1, 0 2)')) AS len2,
+               st_lengthSpheroid(st_makePoint(1, 1)) AS pt
+        """
+    ).collect()[0]
+    assert abs(r.n) < 1e-12
+    assert abs(r.e - math.pi / 2) < 1e-12
+    assert abs(r.s - math.pi) < 1e-12
+    assert abs(r.w - 3 * math.pi / 2) < 1e-12
+    assert r.same is None and r.nul is None
+    assert abs(r.len2 - 221149.4533724559) < 1e-4
+    assert r.pt == 0.0
