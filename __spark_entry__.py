@@ -1051,6 +1051,27 @@ def q_spatial_reproject_wintri(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robinson reprojection (EPSG:4326 → ESRI:54030 — Robinson's
+    1974 table-defined world map) on ALL customer points; the oracle
+    replays the natural-cubic-spline interpolant as four 18-branch
+    coefficient CASEs (a/b/c/d per 5° segment, repr-embedded from the
+    same tridiagonal solve) plus the 0.8487/1.3523 scalings. Every
+    table node exact, the documented linear-Y-below-38° property, and
+    the Newton inverse roundtrip pinned in tests/test_geom_kernel.py
+    (reference scope: spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("ESRI:54030")
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("rob_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("rob_y"),
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -4956,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_eqearth": q_spatial_reproject_eqearth,
         "spatial_reproject_cea": q_spatial_reproject_cea,
         "spatial_reproject_wintri": q_spatial_reproject_wintri,
+        "spatial_reproject_robin": q_spatial_reproject_robin,
         "spatial_vincenty": q_spatial_vincenty,
         "spatial_azimuth": q_spatial_azimuth,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
@@ -6103,6 +6125,57 @@ def _vincenty_oracle() -> str:
         SELECT c_custkey,
                round({b} * aa * (sig - dsig), 3) AS dist_m
         FROM fin3
+    """
+
+
+def _robin_oracle() -> str:
+    """Replay robin_forward: segment index, four 18-branch coefficient
+    CASEs for each of the X and Y natural cubic splines (coefficients
+    repr-embedded from the SAME tridiagonal solve the kernel uses),
+    the cubic evaluation with identical term shapes, and the
+    0.8487·R / 1.3523·R scalings (pre-folded as numpy folds them)."""
+    from geomesa_hive_spark.geom.projections import (
+        _A, _ROBIN_CX, _ROBIN_CY, _ROBIN_XF, _ROBIN_YF,
+    )
+
+    def case(coeffs, j):
+        return "CASE idx " + " ".join(
+            f"WHEN {i} THEN {coeffs[i][j]!r}" for i in range(18)
+        ) + " ELSE 0.0 END"
+
+    xfa = repr(_ROBIN_XF * _A)
+    yfa = repr(_ROBIN_YF * _A)
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat FROM customer
+        ), s1 AS (
+          SELECT c_custkey, radians(lon) AS lam, lat, abs(lat) AS ad
+          FROM base
+        ), s2 AS (
+          SELECT c_custkey, lam, lat, ad,
+                 least(CAST(floor(ad / 5.0) AS INTEGER), 17) AS idx
+          FROM s1
+        ), s3 AS (
+          SELECT c_custkey, lam, lat, idx,
+                 ad - 5.0 * idx AS t
+          FROM s2
+        ), s4 AS (
+          SELECT c_custkey, lam, lat,
+                 ({case(_ROBIN_CX, 0)}) + ({case(_ROBIN_CX, 1)}) * t
+                   + ({case(_ROBIN_CX, 2)}) * t * t
+                   + ({case(_ROBIN_CX, 3)}) * t * t * t AS xx,
+                 ({case(_ROBIN_CY, 0)}) + ({case(_ROBIN_CY, 1)}) * t
+                   + ({case(_ROBIN_CY, 2)}) * t * t
+                   + ({case(_ROBIN_CY, 3)}) * t * t * t AS yy
+          FROM s3
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(0.0 + {xfa} * xx * lam AS FLOAT) AS DOUBLE), 3) AS rob_x,
+               round(CAST(CAST(0.0 + {yfa} * yy
+                 * (CASE WHEN lat > 0.0 THEN 1.0
+                         WHEN lat < 0.0 THEN -1.0 ELSE 0.0 END)
+                 AS FLOAT) AS DOUBLE), 3) AS rob_y
+        FROM s4
     """
 
 
@@ -7360,6 +7433,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_eqearth": _eqearth_oracle(),
         "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_wintri": _wintri_oracle(),
+        "spatial_reproject_robin": _robin_oracle(),
         "spatial_vincenty": _vincenty_oracle(),
         "spatial_azimuth": f"""
             WITH base AS (

@@ -1155,6 +1155,8 @@ def _coord_fn(fk, tk):
             return proj.cea_inverse(c, fk[1:])
         if fk[0] == "wintri":
             return proj.wintri_inverse(c, fk[1:])
+        if fk[0] == "robin":
+            return proj.robin_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1219,6 +1221,8 @@ def _coord_fn(fk, tk):
             return proj.cea_forward(c, tk[1:])
         if tk[0] == "wintri":
             return proj.wintri_forward(c, tk[1:])
+        if tk[0] == "robin":
+            return proj.robin_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

@@ -98,6 +98,8 @@ __all__ = [
     "cea_consts",
     "wintri_forward",
     "wintri_inverse",
+    "robin_forward",
+    "robin_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -246,6 +248,8 @@ def parse_crs(crs: str):
             return ("moll", _A, 0.0, 0.0, 0.0)
         if code == 54042:  # ESRI World Winkel Tripel (also esri: below)
             return ("wintri", _WINTRI_LAT1, 0.0, 0.0, 0.0)
+        if code == 54030:  # ESRI World Robinson
+            return ("robin", 0.0, 0.0, 0.0)
         if code == 8857:  # WGS 84 / Equal Earth Greenwich
             return ("eqearth", 0.0, 0.0, 0.0)
         if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
@@ -254,6 +258,12 @@ def parse_crs(crs: str):
         return ("moll", _A, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54042$", low):
         return ("wintri", _WINTRI_LAT1, 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54030$", low):
+        return ("robin", 0.0, 0.0, 0.0)
+    if "+proj=robin" in low:
+        return ("robin",
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=wintri" in low:
         return ("wintri",
                 _proj4_num(low, "lat_1", _WINTRI_LAT1),
@@ -493,7 +503,8 @@ def parse_crs(crs: str):
         "EPSG:29101/EPSG:5880 Brazil), Equal Earth ('+proj=eqearth' or "
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
         "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
-        "[+lat_1=..]' or ESRI:54042) and their proj4 equivalents"
+        "[+lat_1=..]' or ESRI:54042), Robinson ('+proj=robin' or "
+        "ESRI:54030) and their proj4 equivalents"
     )
 
 
@@ -2312,4 +2323,107 @@ def wintri_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         phi = np.clip(phi, -math.pi / 2.0, math.pi / 2.0)
     out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Robinson ('+proj=robin', ESRI:54030 World Robinson — Robinson 1974,
+# "A new map projection"; the long-time National Geographic world
+# map): defined not by formulas but by Robinson's published 5°-step
+# table of parallel lengths X and parallel distances Y (reproduced in
+# Snyder's "An Album of Map Projections"). Interpolation here is a
+# NATURAL CUBIC SPLINE through the 19 nodes — C², exact at every
+# node (the node values ARE the projection; proj ships a precomputed
+# spline-coefficient table of the same table). x = 0.8487·R·X·λ,
+# y = 1.3523·R·Y·sign(φ); spherical on the semi-major axis. The
+# tests pin every node exactly, the documented linear-Y property
+# below 38°, symmetry, and the Newton inverse roundtrip.
+# ---------------------------------------------------------------------------
+
+_ROBIN_X = (
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+)
+_ROBIN_Y = (
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+)
+_ROBIN_XF = 0.8487
+_ROBIN_YF = 1.3523
+
+
+def _nat_spline(vals: tuple) -> list[tuple]:
+    """Natural cubic spline coefficients per 5°-segment: (a, b, c, d)
+    with s(t) = a + b·t + c·t² + d·t³, t = degrees into the segment.
+    Plain doubles (solved once, repr-embeddable for oracle replay)."""
+    n = len(vals) - 1
+    h = 5.0
+    rhs = np.zeros(n + 1)
+    rhs[1:n] = 3.0 * (np.diff(vals)[1:] - np.diff(vals)[:-1]) / h
+    m = np.zeros((n + 1, n + 1))
+    m[0, 0] = m[n, n] = 1.0
+    for i in range(1, n):
+        m[i, i - 1] = h
+        m[i, i] = 4.0 * h
+        m[i, i + 1] = h
+    c = np.linalg.solve(m, rhs)
+    out = []
+    for i in range(n):
+        a = vals[i]
+        b = (vals[i + 1] - vals[i]) / h - h * (2.0 * c[i] + c[i + 1]) / 3.0
+        d = (c[i + 1] - c[i]) / (3.0 * h)
+        out.append((float(a), float(b), float(c[i]), float(d)))
+    return out
+
+
+_ROBIN_CX = _nat_spline(_ROBIN_X)
+_ROBIN_CY = _nat_spline(_ROBIN_Y)
+
+
+def _robin_eval(coeffs: list[tuple], absdeg: np.ndarray) -> np.ndarray:
+    idx = np.minimum((absdeg / 5.0).astype(np.int64), 17)
+    t = absdeg - 5.0 * idx
+    arr = np.asarray(coeffs)
+    a, b, c, d = (arr[idx, j] for j in range(4))
+    return a + b * t + c * t * t + d * t * t * t
+
+
+def robin_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Robinson (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    lat = coords[:, 1]
+    ad = np.abs(lat)
+    xx = _robin_eval(_ROBIN_CX, ad)
+    yy = _robin_eval(_ROBIN_CY, ad)
+    out[:, 0] = x0 + _ROBIN_XF * _A * xx * lam
+    out[:, 1] = y0 + _ROBIN_YF * _A * yy * np.sign(lat)
+    return out
+
+
+def robin_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Robinson meters → (lon°, lat°): 20 Newton rounds on the Y
+    spline (monotone increasing, derivative bounded away from 0), then
+    λ from the X spline."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    yy = np.abs(coords[:, 1] - y0) / (_ROBIN_YF * _A)
+    yy = np.minimum(yy, 1.0)
+    ad = yy * 90.0  # good seed: Y is near-linear
+    arr = np.asarray(_ROBIN_CY)
+    for _ in range(20):
+        idx = np.minimum((ad / 5.0).astype(np.int64), 17)
+        t = ad - 5.0 * idx
+        a, b, c, d = (arr[idx, j] for j in range(4))
+        f = a + b * t + c * t * t + d * t * t * t - yy
+        fp = b + 2.0 * c * t + 3.0 * d * t * t
+        ad = np.clip(ad - f / fp, 0.0, 90.0)
+    xx = _robin_eval(_ROBIN_CX, ad)
+    lam = (coords[:, 0] - x0) / (_ROBIN_XF * _A * xx)
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = ad * np.sign(coords[:, 1] - y0)
     return out

@@ -1134,3 +1134,41 @@ def test_vincenty_published_anchors_and_properties():
     rel = np.abs(v - h) / np.maximum(h, 1.0)
     assert rel.max() < 0.006
     assert np.median(rel) > 1e-5  # really a different kernel
+
+
+def test_robinson_nodes_linear_y_and_roundtrip():
+    """Robinson (ESRI:54030, '+proj=robin'): (a) every one of
+    Robinson's published 5°-table nodes maps EXACTLY (the spline
+    passes through its defining values); (b) the documented property
+    that Y is linear below 38° (equal 10°-steps to within the table's
+    rounding); (c) symmetry in both hemispheres; (d) the Newton
+    inverse round-trips the world to 1e-8°; (e) parse wiring for
+    ESRI:54030 and '+proj=robin'."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    k = P.parse_crs("ESRI:54030")
+    assert k == ("robin", 0.0, 0.0, 0.0)
+    assert P.parse_crs("+proj=robin +lon_0=10")[1] == 10.0
+    p = k[1:]
+    for i, lat in enumerate(range(0, 95, 5)):
+        f = P.robin_forward(np.array([[100.0, float(lat)]]), p)[0]
+        ex = P._ROBIN_XF * P._A * P._ROBIN_X[i] * math.radians(100.0)
+        ey = P._ROBIN_YF * P._A * P._ROBIN_Y[i]
+        assert abs(f[0] - ex) < 1e-6 and abs(f[1] - ey) < 1e-6, lat
+    y10 = P.robin_forward(np.array([[0.0, 10.0]]), p)[0][1]
+    y20 = P.robin_forward(np.array([[0.0, 20.0]]), p)[0][1]
+    y30 = P.robin_forward(np.array([[0.0, 30.0]]), p)[0][1]
+    assert abs((y20 - y10) - (y30 - y20)) < 1.0
+    fp = P.robin_forward(np.array([[40.0, 55.0]]), p)[0]
+    fm = P.robin_forward(np.array([[-40.0, -55.0]]), p)[0]
+    assert abs(fp[0] + fm[0]) < 1e-9 and abs(fp[1] + fm[1]) < 1e-9
+    rng = np.random.RandomState(3)
+    pts = np.column_stack(
+        [rng.uniform(-179, 179, 500), rng.uniform(-89.9, 89.9, 500)]
+    )
+    rt = P.robin_inverse(P.robin_forward(pts, p), p)
+    assert np.abs(rt - pts).max() < 1e-8
