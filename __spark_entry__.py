@@ -2534,6 +2534,25 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report (pipeline/profile.py key_skew — the
+    measure-first diagnostic behind the entity-linkage salting
+    decision, since AQE's byte-based skew detection can't see
+    compute-heavy hot keys): top-20 heaviest lineitem suppkeys with
+    exact integer-PPM shares ((cnt·1e6) DIV total — integer DIV on
+    BOTH sides; a float-divide-then-cast would hit Spark-truncates vs
+    DuckDB-rounds). Oracle replays count, total, share and the
+    (cnt desc, key) rank."""
+    from geomesa_hive_spark.pipeline.profile import key_skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = key_skew(li, "l_suppkey", top_k=20)
+    return out.select(
+        F.col("key").cast("long").alias("suppkey"),
+        "cnt", "share_ppm", "cum_rank",
+    )
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed snapshot diff (operators/diff.py table_diff — CDC
     validation / migration sign-off / MOR-compaction audit): orders vs
@@ -5033,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_files": q_compact_files,
         "mor_upsert": q_mor_upsert,
         "table_diff": q_table_diff,
+        "key_skew": q_key_skew,
         "spatial_hexbin": q_spatial_hexbin,
         "stream_interval_join": q_stream_interval_join,
         "stream_sessions": q_stream_sessions,
@@ -7978,6 +7998,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS total
             FROM orders GROUP BY 1
+        """,
+        "key_skew": """
+            WITH counts AS (
+              SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts
+            ), top AS (
+              SELECT suppkey, cnt,
+                     CAST((cnt * 1000000) // t AS BIGINT) AS share_ppm,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, suppkey)
+                          AS BIGINT) AS cum_rank
+              FROM counts CROSS JOIN tot
+            )
+            SELECT suppkey, cnt, share_ppm, cum_rank
+            FROM top WHERE cum_rank <= 20
         """,
         "table_diff": """
             WITH old_t AS (

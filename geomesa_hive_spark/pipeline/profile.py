@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "key_skew"]
 
 
 def profile_columns(
@@ -61,3 +61,45 @@ def profile_columns(
         for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def key_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join-key skew report — the pre-join diagnostic that decides
+    between a plain shuffle join, AQE skew handling, and explicit
+    salting (the entity-linkage `block_shards` lesson: AQE's
+    input-byte skew detection cannot see compute-heavy hot keys, so
+    you MEASURE first). One map-side-combined groupBy counts keys;
+    the tiny aggregate then yields the global totals by a second
+    count-sized aggregation, and shares are integer PPM (exact under
+    any partitioning).
+
+    Returns the ``top_k`` heaviest keys: (key, cnt, share_ppm,
+    cum_rank) ordered by (cnt desc, key) — a key with share_ppm ≫
+    1e6/shuffle-partitions is the one that makes a straggler."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(int(top_k))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            # integer DIV, not float-divide-then-cast: Spark's
+            # double→long cast truncates while DuckDB's ROUNDS —
+            # exact integer arithmetic sidesteps the mismatch
+            F.expr(f"(cnt * 1000000L) DIV {int(total)}")
+            .cast("long").alias("share_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return top.withColumn(
+        "cum_rank", F.row_number().over(w).cast("long")
+    )

@@ -1838,3 +1838,21 @@ def test_chunk_documents_windows_and_coverage(spark):
         assert len(covered) == n
     with _pytest.raises(ValueError):
         chunk_documents(docs, "id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_key_skew_report(spark):
+    """Key-skew diagnostic (pipeline/profile.py key_skew): exact
+    counts and integer-PPM shares on a known skewed distribution, the
+    (cnt desc, key) tiebreak, and top_k bounding."""
+    rows = [(k,) for k in [1] * 50 + [2] * 30 + [3] * 15 + [4] * 5]
+    df = spark.createDataFrame(rows, "k long")
+    out = {r.suppkey if hasattr(r, 'suppkey') else r.key:
+           (r.cnt, r.share_ppm, r.cum_rank)
+           for r in __import__('geomesa_hive_spark.pipeline.profile',
+                               fromlist=['key_skew'])
+           .key_skew(df, "k", top_k=3).collect()}
+    assert out == {
+        1: (50, 500000, 1),
+        2: (30, 300000, 2),
+        3: (15, 150000, 3),
+    }, out
