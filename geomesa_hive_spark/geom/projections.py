@@ -2250,8 +2250,8 @@ def cea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
 # National Geographic world-map compromise projection): the arithmetic
 # mean of the equirectangular projection at standard parallel φ1 and
 # the Aitoff projection. Spherical on the semi-major axis, as proj
-# projects it. Default φ1 = acos(2/π) — Winkel's own choice (makes
-# the map's axis ratio exactly 2:1... the canonical parameterization).
+# projects it. Default φ1 = acos(2/π) — Winkel's own published
+# choice of standard parallel (≈50.46°).
 # Exact closed-form anchors the tests pin: the central meridian maps
 # to x=0, y=Rφ EXACTLY (Aitoff degenerates to y=φ there) and the
 # equator to y=0, x = R·λ·(cos φ1 + 1)/2 EXACTLY. Inverse is the
