@@ -987,6 +987,28 @@ def q_spatial_reproject_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_aeqd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azimuthal equidistant reprojection (EPSG:4326 → ESRI:54032
+    World Azimuthal Equidistant — range rings, the UN-emblem
+    projection) on ALL customer points; the oracle replays the
+    spherical forward (clipped acos angular distance, the guarded
+    k' = c/sin c, the azimuthal x/y) with identical expression shapes.
+    The defining true-distance-from-center property is pinned against
+    the independent haversine in pytest, plus the closed spherical
+    inverse roundtrip with antimeridian wrap (reference scope:
+    spatial-index/.../ST_GeomReproject.scala:25)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"), F.lit("ESRI:54032")
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("ae_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("ae_y"),
+    )
+
+
 def q_spatial_vincenty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True WGS84 ellipsoidal distance — st_distanceSpheroid now runs
     Vincenty's inverse (geom/geodesy.py vincenty_m, fixed 12
@@ -4997,6 +5019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_cea": q_spatial_reproject_cea,
         "spatial_reproject_wintri": q_spatial_reproject_wintri,
         "spatial_reproject_robin": q_spatial_reproject_robin,
+        "spatial_reproject_aeqd": q_spatial_reproject_aeqd,
         "spatial_vincenty": q_spatial_vincenty,
         "spatial_azimuth": q_spatial_azimuth,
         "spatial_reproject_omerc": q_spatial_reproject_omerc,
@@ -6057,6 +6080,40 @@ def _cea_oracle() -> str:
         SELECT c_custkey,
                round(CAST(CAST(0.0 + {ak0} * lam AS FLOAT) AS DOUBLE), 3) AS cea_x,
                round(CAST(CAST(0.0 + {a} * q / {two_k0} AS FLOAT) AS DOUBLE), 3) AS cea_y
+        FROM s2
+    """
+
+
+def _aeqd_oracle() -> str:
+    """Replay aeqd_forward for ESRI:54032 (center 0°N 0°E): clipped
+    acos angular distance, guarded k' = c/sin c, azimuthal x/y —
+    identical expression shapes, constants repr-embedded."""
+    import math as _math
+
+    from geomesa_hive_spark.geom.projections import _A
+
+    a = repr(_A)
+    s0 = repr(_math.sin(_math.radians(0.0)))
+    c0 = repr(_math.cos(_math.radians(0.0)))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat FROM customer
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS dl, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey, dl, phi,
+                 acos(least(greatest({s0} * sin(phi)
+                   + {c0} * cos(phi) * cos(dl), -1.0), 1.0)) AS c
+          FROM rad
+        ), s2 AS (
+          SELECT c_custkey, dl, phi, c,
+                 CASE WHEN sin(c) = 0.0 THEN 1.0 ELSE c / sin(c) END AS kp
+          FROM s1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST(0.0 + {a} * kp * cos(phi) * sin(dl) AS FLOAT) AS DOUBLE), 3) AS ae_x,
+               round(CAST(CAST(0.0 + {a} * kp * ({c0} * sin(phi)
+                 - {s0} * cos(phi) * cos(dl)) AS FLOAT) AS DOUBLE), 3) AS ae_y
         FROM s2
     """
 
@@ -7454,6 +7511,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_wintri": _wintri_oracle(),
         "spatial_reproject_robin": _robin_oracle(),
+        "spatial_reproject_aeqd": _aeqd_oracle(),
         "spatial_vincenty": _vincenty_oracle(),
         "spatial_azimuth": f"""
             WITH base AS (

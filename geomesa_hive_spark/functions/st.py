@@ -1157,6 +1157,8 @@ def _coord_fn(fk, tk):
             return proj.wintri_inverse(c, fk[1:])
         if fk[0] == "robin":
             return proj.robin_inverse(c, fk[1:])
+        if fk[0] == "aeqd":
+            return proj.aeqd_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1223,6 +1225,8 @@ def _coord_fn(fk, tk):
             return proj.wintri_forward(c, tk[1:])
         if tk[0] == "robin":
             return proj.robin_forward(c, tk[1:])
+        if tk[0] == "aeqd":
+            return proj.aeqd_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

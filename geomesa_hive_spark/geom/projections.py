@@ -100,6 +100,8 @@ __all__ = [
     "wintri_inverse",
     "robin_forward",
     "robin_inverse",
+    "aeqd_forward",
+    "aeqd_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -250,6 +252,8 @@ def parse_crs(crs: str):
             return ("wintri", _WINTRI_LAT1, 0.0, 0.0, 0.0)
         if code == 54030:  # ESRI World Robinson
             return ("robin", 0.0, 0.0, 0.0)
+        if code == 54032:  # ESRI World Azimuthal Equidistant
+            return ("aeqd", 0.0, 0.0, 0.0, 0.0)
         if code == 8857:  # WGS 84 / Equal Earth Greenwich
             return ("eqearth", 0.0, 0.0, 0.0)
         if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
@@ -260,6 +264,13 @@ def parse_crs(crs: str):
         return ("wintri", _WINTRI_LAT1, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54030$", low):
         return ("robin", 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54032$", low):
+        return ("aeqd", 0.0, 0.0, 0.0, 0.0)
+    if "+proj=aeqd" in low:
+        return ("aeqd",
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=robin" in low:
         return ("robin",
                 _proj4_num(low, "lon_0", 0.0),
@@ -504,7 +515,8 @@ def parse_crs(crs: str):
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
         "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
         "[+lat_1=..]' or ESRI:54042), Robinson ('+proj=robin' or "
-        "ESRI:54030) and their proj4 equivalents"
+        "ESRI:54030), azimuthal equidistant ('+proj=aeqd "
+        "[+lat_0 +lon_0]' or ESRI:54032) and their proj4 equivalents"
     )
 
 
@@ -2426,4 +2438,65 @@ def robin_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     lam = (coords[:, 0] - x0) / (_ROBIN_XF * _A * xx)
     out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = ad * np.sign(coords[:, 1] - y0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Azimuthal equidistant, oblique/polar, spherical ('+proj=aeqd',
+# ESRI:54032 World Azimuthal Equidistant — Snyder pp. 195-197: range
+# rings, radio/air-route maps; the UN emblem projection): every
+# distance FROM THE CENTER is true scale, the defining property the
+# tests pin against the haversine. Spherical on the semi-major axis
+# (the proj default for the world-map spelling); the guarded k' =
+# c/sin c blows up only at the exact antipode, which maps to the
+# bounding circle πR.
+# ---------------------------------------------------------------------------
+
+
+def aeqd_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → azimuthal equidistant (x, y) meters about
+    (lat0, lon0). ``params`` = (lat0, lon0, x0, y0)."""
+    lat0, lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    p0 = math.radians(lat0)
+    s0, c0 = math.sin(p0), math.cos(p0)
+    dl = lam - math.radians(lon0)
+    cosc = np.clip(s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(dl),
+                   -1.0, 1.0)
+    c = np.arccos(cosc)
+    sinc = np.sin(c)
+    kp = np.where(sinc == 0.0, 1.0, c / np.where(sinc == 0.0, 1.0, sinc))
+    out[:, 0] = x0 + _A * kp * np.cos(phi) * np.sin(dl)
+    out[:, 1] = y0 + _A * kp * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(dl))
+    return out
+
+
+def aeqd_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Azimuthal equidistant meters → (lon°, lat°): the closed
+    spherical inverse (c = ρ/R, Snyder 20-14/20-15)."""
+    lat0, lon0, x0, y0 = params
+    out = coords.copy()
+    x = coords[:, 0] - x0
+    y = coords[:, 1] - y0
+    p0 = math.radians(lat0)
+    s0, c0 = math.sin(p0), math.cos(p0)
+    rho = np.hypot(x, y)
+    c = rho / _A
+    sc, cc = np.sin(c), np.cos(c)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    phi = np.arcsin(np.clip(
+        np.where(rho == 0.0, s0, cc * s0 + y * sc * c0 / safe), -1.0, 1.0))
+    lam = math.radians(lon0) + np.where(
+        rho == 0.0, 0.0,
+        np.arctan2(x * sc, rho * c0 * cc - y * s0 * sc),
+    )
+    # the azimuth lands in lon0 ± π: wrap to (-180, 180] so a center
+    # away from Greenwich round-trips western longitudes
+    deg = np.degrees(lam)
+    deg = np.where(deg > 180.0, deg - 360.0, deg)
+    deg = np.where(deg <= -180.0, deg + 360.0, deg)
+    out[:, 0] = deg
+    out[:, 1] = np.degrees(phi)
     return out

@@ -1172,3 +1172,36 @@ def test_robinson_nodes_linear_y_and_roundtrip():
     )
     rt = P.robin_inverse(P.robin_forward(pts, p), p)
     assert np.abs(rt - pts).max() < 1e-8
+
+
+def test_aeqd_true_center_distance_and_roundtrip():
+    """Azimuthal equidistant (ESRI:54032, '+proj=aeqd'): (a) the
+    DEFINING property — planar distance from the center equals the
+    spherical angular distance × R for every point (checked against
+    the independent haversine kernel, rescaled to the semi-major
+    sphere); (b) the center maps exactly to the origin; (c) the
+    closed spherical inverse round-trips the world including
+    antimeridian-wrapped longitudes; (d) parse wiring."""
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+    from geomesa_hive_spark.geom.geodesy import EARTH_RADIUS_M, haversine_m
+
+    k = P.parse_crs("+proj=aeqd +lat_0=52 +lon_0=5")
+    assert k == ("aeqd", 52.0, 5.0, 0.0, 0.0)
+    assert P.parse_crs("ESRI:54032") == ("aeqd", 0.0, 0.0, 0.0, 0.0)
+    p = k[1:]
+    rng = np.random.RandomState(1)
+    pts = np.column_stack(
+        [rng.uniform(-179, 179, 400), rng.uniform(-89, 89, 400)]
+    )
+    f = P.aeqd_forward(pts, p)
+    rho = np.hypot(f[:, 0], f[:, 1])
+    hav = haversine_m(
+        np.full(400, 5.0), np.full(400, 52.0), pts[:, 0], pts[:, 1]
+    ) * (P._A / EARTH_RADIUS_M)
+    assert np.abs(rho - hav).max() < 2e-6
+    rt = P.aeqd_inverse(f, p)
+    assert np.abs(rt - pts).max() < 1e-8
+    o = P.aeqd_forward(np.array([[5.0, 52.0]]), p)
+    assert abs(o[0, 0]) < 1e-9 and abs(o[0, 1]) < 1e-9
