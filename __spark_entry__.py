@@ -2811,6 +2811,44 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composite — the canonical pretraining
+    data-prep chain run as ONE DataFrame plan: quality scoring +
+    language ID + token counting (all native expressions, one pass),
+    gate (quality ≥ 0.9, lang = 'en', ≥ 20 tokens), exact dedup with
+    deterministic first-keeper (md5 normalized fingerprint, min
+    doc_id per fingerprint), then per-source corpus accounting. One
+    scan, one fingerprint shuffle, one aggregate — the plan a 100 TB
+    curation run wants (each stage's standalone operator has its own
+    gate; this query verifies they COMPOSE). Oracle replays the whole
+    chain: the quality/lang CTEs, the token-count idiom, the
+    fingerprint window, and the final rollup."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    staged = docs.select(
+        "doc_id", "source",
+        text.quality_score(c).alias("q"),
+        text.lang_id(c).alias("lang"),
+        text.token_count(c).alias("tc"),
+        F.md5(text.normalize_text(c)).alias("fp"),
+    )
+    kept = staged.filter(
+        (F.col("q") >= 0.9) & (F.col("lang") == "en") & (F.col("tc") >= 20)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keepers = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return keepers.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("tok_sum"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (pipeline/text.py
     chunk_documents — the RAG/embedding-ingest splitter): one
@@ -5083,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": q_stream_rollup,
         "bm25_retrieval": q_bm25_retrieval,
         "text_chunks": q_text_chunks,
+        "curation_pipeline": q_curation_pipeline,
         "hybrid_retrieval": q_hybrid_retrieval,
         "stream_dedup": q_stream_dedup,
         "range_join_bands": q_range_join_bands,
@@ -7150,6 +7189,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_totalprice) AS BIGINT),
                    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
             FROM orders
+        """,
+        # the full curation chain: quality/lang CTEs (same expressions
+        # as text_quality_lang), token-count idiom, gate, fingerprint
+        # first-keeper window, per-source rollup
+        "curation_pipeline": """
+            WITH t AS (
+              SELECT doc_id, source, text,
+                length(text) AS n,
+                length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source, text, n, toks,
+                CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN toks > 0 THEN CAST(n AS DOUBLE) / toks ELSE 0.0 END AS mean_word,
+                CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END AS len_band
+              FROM t
+            ), q AS (
+              SELECT doc_id, source, text, toks,
+                round(0.4 * len_band + 0.4 * alpha_ratio
+                  + 0.2 * (CASE WHEN mean_word >= 3.0 AND mean_word <= 12.0
+                                THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM s
+            ), lt AS (
+              SELECT doc_id, source, text, toks, quality,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM q
+            ), votes AS (
+              SELECT doc_id, source, text, toks, quality,
+                len(list_filter(ltoks, t -> list_contains(['the','and','of','is','was','with'], t))) AS v_en,
+                len(list_filter(ltoks, t -> list_contains(['le','la','les','et','est','dans'], t))) AS v_fr,
+                len(list_filter(ltoks, t -> list_contains(['el','los','las','es','por','con'], t))) AS v_es,
+                len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist','mit'], t))) AS v_de,
+                len(list_filter(ltoks, t -> list_contains(['的','是','了','在','和','有'], t))) AS v_zh
+              FROM lt
+            ), langd AS (
+              SELECT doc_id, source, text, toks, quality,
+                CASE WHEN greatest(v_en, v_fr, v_es, v_de, v_zh) = 0 THEN 'und'
+                     WHEN v_en = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'en'
+                     WHEN v_fr = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'fr'
+                     WHEN v_es = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'es'
+                     WHEN v_de = greatest(v_en, v_fr, v_es, v_de, v_zh) THEN 'de'
+                     ELSE 'zh' END AS lang_pred
+              FROM votes
+            ), kept AS (
+              SELECT doc_id, source, toks,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM langd
+              WHERE quality >= 0.9 AND lang_pred = 'en' AND toks >= 20
+            ), keepers AS (
+              SELECT doc_id, source, toks,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS tok_sum,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM keepers WHERE rn = 1
+            GROUP BY source
         """,
         "text_chunks": """
             WITH base AS (
