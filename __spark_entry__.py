@@ -2934,6 +2934,29 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the built-in session_window rollup
+    (streaming.events.session_rollup): the STREAMING FUNCTION ITSELF
+    runs on the batch frame (watermark eliminated; session_window is
+    batch-capable), so Spark's native gap-session operator — start =
+    first event, end = last event + gap, count/sum per session — is
+    hash-verified against an island-detection oracle (lag > gap marks
+    a new island; min/max + 1800 s replay the window bounds). With
+    this, ALL SIX streaming operators have driver-facing gates. Bounded
+    to users < 300 to keep the oracle's window scan proportionate."""
+    from geomesa_hive_spark.streaming.events import session_rollup
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 300)
+    out = session_rollup(ev)
+    return out.select(
+        F.col("user_id").alias("user_id"),
+        F.col("session_start").cast("double").alias("start_s"),
+        F.col("session_end").cast("double").alias("end_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").alias("sum_value"),
+    )
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the streaming hourly rollup
     (streaming.events.hourly_rollup): the STREAMING FUNCTION ITSELF
@@ -5119,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "stream_rollup": q_stream_rollup,
+        "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
         "text_chunks": q_text_chunks,
         "curation_pipeline": q_curation_pipeline,
@@ -8432,6 +8456,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # the built-in session_window run verbatim on the batch frame:
+        # island detection (lag > gap) replays start/end/count/sum
+        "stream_session_window": """
+            WITH ev AS (
+              SELECT user_id, ts, value FROM events WHERE user_id < 300
+            ), lagged AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+              FROM ev
+            ), marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN pts IS NULL
+                               OR epoch(ts) - epoch(pts) > 1800 THEN 1
+                          ELSE 0 END AS new_s
+              FROM lagged
+            ), grp AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   epoch(min(ts)) + 0.0 AS start_s,
+                   epoch(max(ts)) + 1800.0 AS end_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM grp
+            GROUP BY user_id, sid
         """,
         # streaming dedup's shared fingerprint + deterministic
         # first-arrival keeper, replayed as a window
