@@ -58,18 +58,24 @@ def table_diff(
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
+    # eqNullSafe (<=>) so a NULL key matches a NULL key — Spark still
+    # plans a null-safe equi-join (shuffled hash / sort-merge), not a
+    # cartesian. Presence comes from explicit flags, not key nullness:
+    # once NULL keys are legal, key-isNotNull can't signal "row exists".
     cond = None
     for k in keys:
-        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     diffs = F.array_sort(
         F.filter(
             F.array(*[

@@ -915,9 +915,14 @@ def remove_boilerplate_lines(
     clean_text); docs whose every line was boilerplate come back as
     ''."""
     esc = re.escape(sep)
+    # coalesce NULL text to '' BEFORE the split: split(NULL) is NULL
+    # and posexplode of NULL yields no rows, which would silently drop
+    # the document from the output instead of returning clean_text ''
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), esc, -1)).alias("p", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), esc, -1)
+        ).alias("p", "line"),
     )
     boiler = (
         lines.where(F.length("line") >= int(min_chars))

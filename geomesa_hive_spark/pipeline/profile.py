@@ -84,6 +84,22 @@ def key_skew(
         F.count("*").alias("cnt")
     )
     total = counts.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    if total is None:
+        # empty input: sum() aggregates to NULL — return an empty
+        # report with the output schema (key keeps its input type)
+        # instead of crashing on the DIV-by-total expression
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        key_type = df.schema[key_col].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            StructType([
+                StructField("key", key_type),
+                StructField("cnt", LongType()),
+                StructField("share_ppm", LongType()),
+                StructField("cum_rank", LongType()),
+            ]),
+        )
     top = (
         counts.orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(int(top_k))

@@ -81,6 +81,18 @@ def bm25_topk(
         r["term"]: int(r["df"])
         for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
     }
+    # idf as a chained F.when over F.lit terms — never f-string SQL:
+    # query text is user input, and interpolating it into an expression
+    # string is a ParseException ("don't") / injection surface. F.lit
+    # parameterizes the term as a literal value, not SQL text.
+    idf_col = F.lit(0.0)
+    for t in terms:
+        idf_val = math.log(
+            1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)
+        )
+        idf_col = F.when(F.col("term") == F.lit(t), F.lit(idf_val)).otherwise(
+            idf_col
+        )
     # every embedded float is D-suffixed: Spark SQL parses a bare
     # decimal literal as DECIMAL, which would silently run the whole
     # contribution in rounded decimal arithmetic instead of IEEE
@@ -88,21 +100,19 @@ def bm25_topk(
     def _d(x: float) -> str:
         return repr(float(x)) + "D"
 
-    idf_case = "CASE term " + " ".join(
-        f"WHEN '{t}' THEN {_d(math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)))}"
-        for t in terms
-    ) + " ELSE 0.0D END"
     # floor(x + 0.5), not round(): contributions are non-negative so
     # the semantics are identical HALF_UP, and Spark's round() on
     # DOUBLE allocates a BigDecimal per value — never in a per-posting
     # hot path (the similarity._qdist lesson)
     contrib = (
-        f"CAST(floor(({idf_case}) * tf * {_d(k1 + 1.0)}"
+        f"CAST(floor(idf * tf * {_d(k1 + 1.0)}"
         f" / (tf + {_d(k1)} * (1.0D - {_d(b)} + {_d(b)} * dl / {_d(avgdl)}))"
         f" * {_SCALE} + 0.5D) AS BIGINT)"
     )
     scored = (
-        tf.withColumn("c", F.expr(contrib))
+        tf.withColumn("idf", idf_col)
+        .withColumn("c", F.expr(contrib))
+        .drop("idf")
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("matched_terms"),

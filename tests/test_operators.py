@@ -749,3 +749,29 @@ def test_table_diff_classification_and_null_safety(spark):
     assert list(o4.changed_cols) == ["s", "v"]
     with _pytest.raises(ValueError):
         table_diff(old, new, "k", compare_cols=["nope"])
+
+
+def test_table_diff_null_keys(spark):
+    """ADVICE r6: a row whose key is NULL on both sides joins via <=>
+    and classifies normally — never the phantom 'added'+'removed' pair
+    that null-unsafe equality produced."""
+    from geomesa_hive_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 1.0)], "k long, s string, v double"
+    )
+    same = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 1.0)], "k long, s string, v double"
+    )
+    assert table_diff(old, same, "k").count() == 0
+    out = {(r.k, r.change)
+           for r in table_diff(old, same, "k",
+                               include_unchanged=True).collect()}
+    assert out == {(None, "unchanged"), (1, "unchanged")}
+    # NULL-key row changes a value column -> one 'changed' row, key NULL
+    upd = spark.createDataFrame(
+        [(None, "x", 9.0), (1, "a", 1.0)], "k long, s string, v double"
+    )
+    got = table_diff(old, upd, "k").collect()
+    assert len(got) == 1 and got[0].k is None and got[0].change == "changed"
+    assert list(got[0].changed_cols) == ["v"]

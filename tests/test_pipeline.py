@@ -1086,6 +1086,17 @@ def test_remove_boilerplate_lines(spark):
         df, "doc_id", "t", min_docs=5
     ).collect()}
     assert intact == {i: t for i, t in rows}
+    # ADVICE r6: NULL text must not vanish from the output — it comes
+    # back as clean_text '' (coalesced before the split)
+    withnull = spark.createDataFrame(
+        [(1, None), (2, "keep me")], "doc_id LONG, t STRING"
+    )
+    nn = {r.id: r for r in dedup.remove_boilerplate_lines(
+        withnull, "doc_id", "t", min_docs=3
+    ).collect()}
+    assert set(nn) == {1, 2}
+    assert nn[1].clean_text == "" and nn[1].n_removed == 0
+    assert nn[2].clean_text == "keep me"
 
 
 def test_substring_span_dedup_semantics(spark):
@@ -1765,6 +1776,27 @@ def test_bm25_topk_ranking_and_determinism(spark):
         bm25_topk(docs, "id", "text", "   ")
 
 
+def test_bm25_topk_quoted_terms_safe(spark):
+    """ADVICE r6: query text is user input — a term containing a single
+    quote must neither raise ParseException nor inject into the idf
+    expression (terms now flow through F.lit, never f-string SQL)."""
+    from geomesa_hive_spark.pipeline.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "don't stop believing"), (2, "stop right there"),
+         (3, "unrelated words only")],
+        "id long, text string",
+    )
+    out = {r.id: r.matched_terms
+           for r in bm25_topk(docs, "id", "text", "don't stop", k=10).collect()}
+    assert out[1] == 2          # matches both "don't" and "stop"
+    assert out[2] == 1
+    assert 3 not in out
+    # adversarial injection attempt parses as a plain (non-matching) term
+    evil = "x' THEN 9.9D ELSE 9.9D END -- "
+    assert bm25_topk(docs, "id", "text", evil + " stop", k=10).count() == 2
+
+
 def test_rrf_fuse_combines_rankings(spark):
     """RRF fusion (pipeline/retrieval.py rrf_fuse): doc present in both
     lists at middling ranks beats a doc topping only one list
@@ -1856,3 +1888,13 @@ def test_key_skew_report(spark):
         2: (30, 300000, 2),
         3: (15, 150000, 3),
     }, out
+    # ADVICE r6: empty input returns an empty report (key keeps its
+    # input type), never a TypeError from the NULL sum
+    from geomesa_hive_spark.pipeline.profile import key_skew
+
+    empty = key_skew(df.filter("k < 0"), "k")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "key", "cnt", "share_ppm", "cum_rank"
+    ]
+    assert empty.schema["key"].dataType.simpleString() == "bigint"
