@@ -1188,8 +1188,12 @@ def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     SpatialFilterPushdownOptimizations.scala:22-24): a raw SQL string
     with st_intersects(bbox_struct, st_makeBBOX(...)) goes through
     spatial_sql(), which rewrites the predicate into pushable min/max
-    field comparisons before execution — no Python in the plan."""
-    from geomesa_hive_spark.operators.spatial_sql import spatial_sql
+    field comparisons before execution — no Python in the plan. Since
+    round 7 the query runs through the session-wide install() wrapper
+    (reference parity with the spark.sql.extensions installation): a
+    bare spark.sql() call gets the rewrite, then uninstall() restores
+    the pristine session for the other contract queries."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
 
     register_all(spark)
     c = _t(spark, sf_dir, "customer")
@@ -1200,15 +1204,18 @@ def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.withColumn("cx", cx).withColumn("cy", cy).withColumn(
         "bbox", ST.make_extent("cx", "cy", "cx", "cy")
     ).createOrReplaceTempView("cust_bbox_sql")
-    return spatial_sql(
-        spark,
-        """
-        SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
-        FROM cust_bbox_sql
-        WHERE st_intersects(bbox, st_makeBBOX(-50.005, 10.005, -20.005, 40.005))
-        GROUP BY c_nationkey
-        """,
-    )
+    install(spark)
+    try:
+        return spark.sql(
+            """
+            SELECT c_nationkey, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM cust_bbox_sql
+            WHERE st_intersects(bbox, st_makeBBOX(-50.005, 10.005, -20.005, 40.005))
+            GROUP BY c_nationkey
+            """
+        )
+    finally:
+        uninstall(spark)
 
 
 def q_spatial_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:

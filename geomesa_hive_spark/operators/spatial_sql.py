@@ -48,7 +48,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["spatial_sql", "rewrite_spatial_predicates"]
+__all__ = ["spatial_sql", "rewrite_spatial_predicates", "install", "uninstall"]
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
 _SEG = r"(?:`[^`]+`|[A-Za-z_]\w*)"
@@ -177,3 +177,47 @@ def spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
         except Exception:
             pass
     return spark.sql(sql)
+
+
+_ORIGINAL_ATTR = "_geomesa_hive_spark_original_sql"
+
+
+def install(spark: SparkSession) -> SparkSession:
+    """Session-wide opt-in: wrap ``spark.sql`` so every raw SQL string
+    goes through the spatial rewrite — reference parity with the
+    ``spark.sql.extensions`` rule installation
+    (``SpatialFilterPushdownOptimizations.scala:22-24``), which makes
+    the pushdown apply to users who never heard of :func:`spatial_sql`.
+
+    The wrapper preserves the full ``spark.sql(query, args=..., **kw)``
+    signature (rewrite applies to string queries only), falls back to
+    the untouched query if the rewritten form fails analysis, and is
+    idempotent — installing twice keeps a single layer. Restore the
+    pristine session with :func:`uninstall`."""
+    if getattr(spark, _ORIGINAL_ATTR, None) is not None:
+        return spark
+    original = spark.sql
+
+    def _sql(query, *args, **kwargs):
+        if isinstance(query, str):
+            rewritten = rewrite_spatial_predicates(query)
+            if rewritten != query:
+                try:
+                    return original(rewritten, *args, **kwargs)
+                except Exception:
+                    pass
+        return original(query, *args, **kwargs)
+
+    setattr(spark, _ORIGINAL_ATTR, original)
+    # instance attribute shadows the class method; uninstall deletes it
+    spark.sql = _sql
+    return spark
+
+
+def uninstall(spark: SparkSession) -> SparkSession:
+    """Undo :func:`install`, restoring the class-level ``spark.sql``.
+    No-op on a session that was never wrapped."""
+    if getattr(spark, _ORIGINAL_ATTR, None) is not None:
+        spark.__dict__.pop("sql", None)
+        delattr(spark, _ORIGINAL_ATTR)
+    return spark

@@ -160,3 +160,55 @@ def test_spatial_sql_null_guard_still_pushed(spark, tmp_path):
     assert re.search(r"PushedFilters: \[[^\n]*IsNotNull", plan)
     assert re.search(r"PushedFilters: \[[^\n]*xmin", plan)
     assert [r.id for r in out.orderBy("id").collect()] == [33, 34, 35, 43, 44, 45, 53, 54, 55]
+
+
+def test_install_wraps_bare_spark_sql(spark, tmp_path):
+    """install(spark): a BARE spark.sql() call gets the rewrite (plan
+    shows pushed bbox filters, no Python eval), matching the reference's
+    session-wide rule installation; uninstall restores the pristine
+    method; double-install keeps a single wrapper layer."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    df = _grid(spark)
+    path = str(tmp_path / "grid_parquet_inst")
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("sql_grid_pq_inst")
+    raw = ("SELECT id FROM sql_grid_pq_inst "
+           "WHERE st_intersects(bbox, st_makeBBOX(2.5, 2.5, 5.5, 5.5))")
+    try:
+        install(spark)
+        install(spark)  # idempotent: second call must not double-wrap
+        out = spark.sql(raw)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert re.search(r"PushedFilters: \[[^\n]*xmin", plan)
+        assert sorted(r.id for r in out.collect()) == [
+            33, 34, 35, 43, 44, 45, 53, 54, 55]
+        # parameterized passthrough: args still reach the original sql()
+        one = spark.sql("SELECT ? AS v", args=[42]).collect()
+        assert one[0].v == 42
+    finally:
+        uninstall(spark)
+        uninstall(spark)  # no-op on a pristine session
+    # restored: the bare call runs the UDF plan again (Python hop back)
+    plan_after = spark.sql(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan_after
+    assert "sql" not in spark.__dict__  # class method restored, no shadow
+
+
+def test_install_fallback_preserved(spark):
+    """Through the installed wrapper, a rewrite that fails analysis
+    (binary geometry column — no .xmin field) falls back to the
+    original SQL and still returns the right rows."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    _grid(spark)
+    raw = ("SELECT id FROM sql_grid "
+           "WHERE st_intersects(geom, st_makeBBOX(2.5, 2.5, 5.5, 5.5)) ORDER BY id")
+    want = [r.id for r in spark.sql(raw).collect()]
+    try:
+        install(spark)
+        got = [r.id for r in spark.sql(raw).collect()]
+    finally:
+        uninstall(spark)
+    assert got == want and len(got) == 9
