@@ -166,6 +166,7 @@ def link_phonetic(
     b_name: str,
     max_dist: int = 2,
     block_shards: int = 1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Best edit-distance ≤ ``max_dist`` match per B record among the
     A records sharing its phonetic code — the SECOND blocking family
@@ -178,7 +179,17 @@ def link_phonetic(
     join-OUTPUT skew that AQE cannot split (input-byte detection only —
     the repo's measured `lsh_skew_bench.py` finding); ``block_shards``
     salts it away with shard-count-invariant output (module
-    docstring)."""
+    docstring).
+
+    ``max_block_size``: the m² candidate volume of a hot code is spread
+    by salting but not CAPPED — on a registry where one code covers a
+    large fraction of A, even spread work is quadratic. Setting
+    ``max_block_size`` drops every phonetic block whose A-side exceeds
+    it, degrading recall EXPLICITLY: the return becomes a pair
+    ``(matches, dropped)`` where ``dropped`` is (code, a_count) for
+    each dropped block — the caller sees exactly what was sacrificed,
+    never a silent cut. The dropped set is tiny (hot codes only), so
+    the exclusion is a broadcast anti-join — no extra shuffle of A."""
     ca = a.select(
         F.col(a_id).alias("a_id"), F.col(a_name).alias("an"),
         phonetic_code(a_name).alias("__c"),
@@ -187,14 +198,34 @@ def link_phonetic(
         F.col(b_id).alias("b_id"), F.col(b_name).alias("bn"),
         phonetic_code(b_name).alias("__c"),
     )
+    dropped = None
+    if max_block_size is not None:
+        cap = int(max_block_size)
+        if cap < 1:
+            raise ValueError("max_block_size must be >= 1")
+        dropped = (
+            ca.groupBy("__c")
+            .agg(F.count("*").alias("a_count"))
+            .filter(F.col("a_count") > cap)
+            .select(
+                F.col("__c").alias("code"),
+                F.col("a_count").cast("long").alias("a_count"),
+            )
+        )
+        excl = F.broadcast(dropped.select(F.col("code").alias("__c")))
+        ca = ca.join(excl, "__c", "left_anti")
+        cb = cb.join(excl, "__c", "left_anti")
     cand = _salt_block_join(
         ca, cb, "__c", block_shards, b_id_col="b_id"
     ).withColumn(
         "dist", F.levenshtein("an", "bn")
     ).filter(F.col("dist") <= int(max_dist))
     w = Window.partitionBy("b_id").orderBy(F.asc("dist"), F.asc("a_id"))
-    return (
+    matches = (
         cand.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select("b_id", "bn", "a_id", "an", "dist")
     )
+    if dropped is not None:
+        return matches, dropped
+    return matches

@@ -156,3 +156,48 @@ def test_block_shards_invariant(spark):
         ).collect()
     )
     assert got4 == got1 and len(got1) >= 40  # smith<->smyth is distance 1
+
+
+def test_link_phonetic_max_block_size_cap(spark):
+    """max_block_size degrades recall EXPLICITLY: below the cap the
+    linkage is identical to uncapped (plus an empty drop report); above
+    it the hot block's matches vanish and the dropped report names the
+    code with its A-side count — never a silent cut."""
+    from geomesa_hive_spark.pipeline.entity import link_phonetic, phonetic_code
+
+    hot_a = [(i, "smith") for i in range(40)]
+    hot_b = [(i, "smyth") for i in range(40)]
+    clean_a = [(100 + i, f"uniq{chr(97+i)}word{i}") for i in range(20)]
+    clean_b = [(100 + i, f"uniq{chr(97+i)}word{i}x") for i in range(20)]
+    a = spark.createDataFrame(hot_a + clean_a, "a_id LONG, an STRING")
+    b = spark.createDataFrame(hot_b + clean_b, "b_id LONG, bn STRING")
+
+    base = sorted(
+        (r.b_id, r.a_id, r.dist)
+        for r in link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2).collect()
+    )
+    # cap above every block size: identical output, empty report
+    m, d = link_phonetic(
+        a, b, "a_id", "an", "b_id", "bn", 2, max_block_size=40
+    )
+    assert sorted((r.b_id, r.a_id, r.dist) for r in m.collect()) == base
+    assert d.count() == 0
+    # cap below the hot blocks: 'smith' (40 A rows) and the colliding
+    # clean code U526 (12 A rows) both drop; every dropped block is
+    # NAMED in the report with its exact A-side count
+    m2, d2 = link_phonetic(
+        a, b, "a_id", "an", "b_id", "bn", 2, max_block_size=10
+    )
+    got2 = sorted((r.b_id, r.a_id, r.dist) for r in m2.collect())
+    smith_code = spark.createDataFrame([("smith",)], "s STRING").select(
+        phonetic_code("s").alias("c")
+    ).collect()[0].c
+    assert {(r.code, r.a_count) for r in d2.collect()} == {
+        (smith_code, 40), ("U526", 12)
+    }
+    surviving = {101, 103, 105, 111, 112, 113, 115, 119}  # not smith/U526
+    assert got2 == [t for t in base if t[0] in surviving]
+    assert len(got2) == 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2, max_block_size=0)
