@@ -2677,6 +2677,64 @@ def q_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic multi-writer commit protocol (round-7,
+    sources/manifest.py write_delta + _commits/ log): two writers both
+    snapshot the table at seq 0, compute DISJOINT-key deltas, and land
+    interleaved — B commits first, then A's commit conflict-checks
+    against the commit that landed after its snapshot (key-exact, no
+    overlap → allowed). A third stale writer touching one of A's keys
+    must be REFUSED with ConcurrentWriteConflict and leave no commit —
+    the query asserts the refusal, so the oracle hash (which replays
+    only A and B) verifies both the merge and the refusal. Snapshot
+    read then aggregates per status."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        ConcurrentWriteConflict, current_seq, read_snapshot, write_delta,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_morc_")
+    o.write.mode("overwrite").parquet(path)
+    snap_a = current_seq(path)
+    snap_b = current_seq(path)
+    up_a = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("o_orderstatus", F.lit("A"))
+    )
+    up_b = (
+        o.filter(F.col("o_orderkey") % 5 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(200.0))
+        .withColumn("o_orderstatus", F.lit("B"))
+    )
+    write_delta(up_b, path, "o_orderkey", check_conflict_from_seq=snap_b)
+    write_delta(up_a, path, "o_orderkey", check_conflict_from_seq=snap_a)
+    # stale writer on an A-key: must be refused, leaving no commit
+    stale = up_a.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    try:
+        write_delta(stale, path, "o_orderkey", check_conflict_from_seq=snap_a)
+        raise AssertionError("stale overlapping writer was not refused")
+    except ConcurrentWriteConflict:
+        pass
+    assert current_seq(path) == 2
+    snap = read_snapshot(spark, path, "o_orderkey")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar resampling with forward fill (operators/timeseries.py
     resample_fill): every hourly bucket in each user's activity span —
@@ -5142,6 +5200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_phonetic": q_entity_phonetic,
         "compact_files": q_compact_files,
         "mor_upsert": q_mor_upsert,
+        "mor_concurrent": q_mor_concurrent,
         "table_diff": q_table_diff,
         "key_skew": q_key_skew,
         "spatial_hexbin": q_spatial_hexbin,
@@ -8269,6 +8328,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
+        """,
+        "mor_concurrent": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS seq
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 200.0, 'B', 1
+              FROM orders WHERE o_orderkey % 5 = 1
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 100.0, 'A', 2
+              FROM orders WHERE o_orderkey % 5 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1
             GROUP BY o_orderstatus
         """,
         "entity_phonetic": f"""

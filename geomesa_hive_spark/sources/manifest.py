@@ -30,11 +30,24 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_with_manifest", "read_pruned", "manifest_stats", "compact",
-    "write_delta", "read_snapshot",
+    "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
 ]
 
 _MANIFEST = "_manifest.json"
-_DELTA_LOG = "_deltas.json"
+_DELTA_LOG = "_deltas.json"   # legacy single-file log (read-compat only)
+_COMMIT_DIR = "_commits"      # one JSON per commit, name = zero-padded seq
+
+
+class ConcurrentWriteConflict(Exception):
+    """Raised when a writer's optimistic commit detects that a commit
+    which landed after the writer's read snapshot touches overlapping
+    keys — the writer's delta was computed against stale data and must
+    be recomputed, not blindly layered on top."""
+
+    def __init__(self, message: str, overlap_count: int, conflicting_seqs: list[int]):
+        super().__init__(message)
+        self.overlap_count = int(overlap_count)
+        self.conflicting_seqs = list(conflicting_seqs)
 
 
 def write_with_manifest(
@@ -153,11 +166,54 @@ def compact(
 
 
 def _delta_log(path: str) -> list[dict]:
+    """All committed deltas in seq order: the legacy single-file log
+    (if present) plus one JSON per commit under ``_commits/``. A commit
+    file is the atomic commit point — it appears fully-written or not
+    at all (hard-linked into place, never written in place)."""
+    entries: list[dict] = []
     p = os.path.join(path, _DELTA_LOG)
-    if not os.path.exists(p):
-        return []
-    with open(p) as fh:
-        return json.load(fh)
+    if os.path.exists(p):
+        with open(p) as fh:
+            entries.extend(json.load(fh))
+    cdir = os.path.join(path, _COMMIT_DIR)
+    if os.path.isdir(cdir):
+        for name in os.listdir(cdir):
+            if name.endswith(".json") and not name.startswith("."):
+                with open(os.path.join(cdir, name)) as fh:
+                    entries.append(json.load(fh))
+    entries.sort(key=lambda e: e["seq"])
+    return entries
+
+
+def current_seq(path: str) -> int:
+    """Latest committed delta seq (0 = base only). A read-modify-write
+    writer snapshots this BEFORE computing its delta and passes it as
+    ``write_delta(..., check_conflict_from_seq=...)`` so commits that
+    land in between are conflict-checked against its keys."""
+    log = _delta_log(path)
+    return log[-1]["seq"] if log else 0
+
+
+def _atomic_commit(cdir: str, seq: int, entry: dict, token: str) -> bool:
+    """Claim commit number ``seq`` by hard-linking a fully-written temp
+    file to ``<seq>.json`` — link(2) fails with EEXIST if the name is
+    taken, which makes claim-if-absent ATOMIC on POSIX local/NFS
+    filesystems (on an object store the same protocol is a conditional
+    PUT / If-None-Match; on HDFS, create-with-overwrite=false). Returns
+    False when the seq was lost to another writer."""
+    tmp = os.path.join(cdir, f".tmp_{token}_{seq}")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = os.path.join(cdir, f"{seq:06d}.json")
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def write_delta(
@@ -165,6 +221,8 @@ def write_delta(
     path: str,
     key_col: str,
     delete_keys: DataFrame | None = None,
+    check_conflict_from_seq: int | None = None,
+    max_attempts: int = 50,
 ) -> dict:
     """Commit a merge-on-read delta against the base table at ``path``
     — the Iceberg/Delta/Hudi MOR write pattern on plain parquet + a
@@ -179,22 +237,42 @@ def write_delta(
     row is an O(file) write amplification — a day of point updates
     would rewrite the table many times over. MOR makes the write
     O(changed rows) and defers the merge to readers/compaction.
-    Single-writer by design, like the manifest writer: multi-writer
-    commit protocols (atomic log swap, conflict checks) are a table
-    format's job and are honestly out of scope.
 
-    Returns the appended log entry. Reference scope: the reference has
-    no table maintenance at all — its sources are static Hive tables.
+    MULTI-WRITER commit protocol (optimistic concurrency, the
+    Delta-log discipline): data files land first under a
+    writer-unique directory, then the commit CLAIMS the next dense
+    seq by atomically creating ``_commits/<seq>.json`` (hard-link of
+    a fully-written temp file — fails if the name exists, so exactly
+    one writer wins each number; on an object store the same step is
+    a conditional PUT). A loser re-reads the log and retries with the
+    next number — blind upserts always serialize cleanly this way.
+
+    A read-modify-write writer additionally passes
+    ``check_conflict_from_seq`` = :func:`current_seq` taken BEFORE it
+    computed its delta: at commit time every commit that landed after
+    that snapshot is checked for key overlap (exact — the newer
+    deltas' key columns are read back and joined against this
+    writer's upsert+delete keys; delta files are small by
+    construction, so the check is delta-sized, never table-sized).
+    Overlap raises :class:`ConcurrentWriteConflict` with the count
+    and the conflicting seqs — the delta was computed against stale
+    versions of those keys and silently layering it would lose the
+    other writer's update. Disjoint-key writers interleave freely.
+
+    Returns the committed log entry. Reference scope: the reference
+    has no table maintenance at all — its sources are static Hive
+    tables.
     """
-    log = _delta_log(path)
-    seq = (log[-1]["seq"] + 1) if log else 1
-    dpath = os.path.join(path, f"_delta_{seq:04d}")
+    import uuid
+
     base_cols = None
     n_up = n_del = 0
+    spark = None
     if df is not None:
         base_cols = df.columns
         if key_col not in base_cols:
             raise ValueError(f"key column {key_col!r} not in delta columns")
+        spark = df.sparkSession
         up = df.withColumn("__deleted", F.lit(False))
         n_up = df.count()
     if delete_keys is not None:
@@ -212,13 +290,41 @@ def write_delta(
         up = up.unionByName(tomb) if df is not None else tomb
     if df is None and delete_keys is None:
         raise ValueError("write_delta needs upserts, delete_keys, or both")
+    token = uuid.uuid4().hex[:12]
+    dpath = os.path.join(path, f"_delta_{token}")
     up.write.mode("overwrite").parquet(dpath)
-    entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
-             "n_deletes": int(n_del)}
-    log.append(entry)
-    with open(os.path.join(path, _DELTA_LOG), "w") as fh:
-        json.dump(log, fh)
-    return entry
+    cdir = os.path.join(path, _COMMIT_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    my_keys = None
+    if check_conflict_from_seq is not None:
+        my_keys = up.select(key_col).distinct()
+    for _ in range(int(max_attempts)):
+        log = _delta_log(path)
+        seq = (log[-1]["seq"] + 1) if log else 1
+        if my_keys is not None:
+            newer = [e for e in log if e["seq"] > int(check_conflict_from_seq)]
+            if newer:
+                other = spark.read.parquet(
+                    *[e["path"] for e in newer]
+                ).select(key_col).distinct()
+                overlap = my_keys.join(other, key_col).count()
+                if overlap:
+                    raise ConcurrentWriteConflict(
+                        f"{overlap} key(s) were modified by commit(s) "
+                        f"{[e['seq'] for e in newer]} after snapshot seq "
+                        f"{check_conflict_from_seq}; recompute the delta "
+                        f"against the current snapshot",
+                        overlap_count=overlap,
+                        conflicting_seqs=[e["seq"] for e in newer],
+                    )
+        entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
+                 "n_deletes": int(n_del)}
+        if _atomic_commit(cdir, seq, entry, token):
+            return entry
+    raise RuntimeError(
+        f"could not claim a commit seq after {max_attempts} attempts "
+        f"(extreme contention on {path})"
+    )
 
 
 def _snapshot_base(spark: SparkSession, path: str) -> DataFrame:

@@ -477,3 +477,89 @@ def test_mor_upsert_delete_snapshot_semantics(spark, tmp_path):
     p2 = str(tmp_path / "plain")
     base.write.mode("overwrite").parquet(p2)
     assert read_snapshot(spark, p2, "k").count() == 20
+
+
+def test_mor_concurrent_writers_race(spark, tmp_path):
+    """Optimistic commit protocol (round-7): N threads commit deltas
+    CONCURRENTLY against one table — every writer lands, seqs come out
+    dense 1..N with no clobbered commits (the atomic link-if-absent
+    claim), and the snapshot reflects every delta."""
+    import threading
+
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(64)], "k long, v long"
+    )
+    path = str(tmp_path / "mor_race")
+    base.write.mode("overwrite").parquet(path)
+    assert current_seq(path) == 0
+
+    n_writers, errs, entries = 8, [], []
+    lockless = threading.Barrier(n_writers)
+
+    def writer(w):
+        try:
+            up = spark.createDataFrame(
+                [(8 * w + j, 100 + w) for j in range(8)], "k long, v long"
+            )
+            lockless.wait()  # maximize interleaving
+            entries.append(write_delta(up, path, "k"))
+        except Exception as ex:  # pragma: no cover - failure detail
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert sorted(e["seq"] for e in entries) == list(range(1, n_writers + 1))
+    assert current_seq(path) == n_writers
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert len(got) == 64
+    assert all(got[8 * w + j] == 100 + w for w in range(8) for j in range(8))
+
+
+def test_mor_conflict_detection(spark, tmp_path):
+    """check_conflict_from_seq: a read-modify-write writer whose keys
+    were touched by an intervening commit gets ConcurrentWriteConflict
+    (count + seqs named); a disjoint-key writer interleaves freely; the
+    failed commit leaves no commit-log entry."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        ConcurrentWriteConflict, current_seq, read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "k long, v long"
+    )
+    path = str(tmp_path / "mor_conflict")
+    base.write.mode("overwrite").parquet(path)
+
+    # both writers snapshot the table at seq 0
+    snap_seq = current_seq(path)
+    # writer A lands first, touching k in {1, 2}
+    write_delta(spark.createDataFrame([(1, 11), (2, 12)], "k long, v long"),
+                path, "k", check_conflict_from_seq=snap_seq)
+    # writer B (stale snapshot) touches k=2 -> conflict, commit refused
+    with _pytest.raises(ConcurrentWriteConflict) as ei:
+        write_delta(spark.createDataFrame([(2, 99)], "k long, v long"),
+                    path, "k", check_conflict_from_seq=snap_seq)
+    assert ei.value.overlap_count == 1 and ei.value.conflicting_seqs == [1]
+    assert current_seq(path) == 1  # refused commit left no log entry
+    # writer C (same stale snapshot, disjoint keys) interleaves freely
+    e = write_delta(spark.createDataFrame([(7, 77)], "k long, v long"),
+                    path, "k", check_conflict_from_seq=snap_seq)
+    assert e["seq"] == 2
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert got[1] == 11 and got[2] == 12 and got[7] == 77
+    # tombstones count as key modifications for conflict purposes
+    write_delta(None, path, "k",
+                delete_keys=spark.createDataFrame([(5,)], "k long"))
+    with _pytest.raises(ConcurrentWriteConflict):
+        write_delta(spark.createDataFrame([(5, 55)], "k long, v long"),
+                    path, "k", check_conflict_from_seq=2)
