@@ -2960,6 +2960,36 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT BM25 index (round-7, pipeline/retrieval.py
+    build_bm25_index + bm25_query_index — the stored-index philosophy
+    of the reference's spatial layer, where Z2 keys are computed at
+    write time so queries never recompute): tokenize the corpus ONCE
+    into term-hash-partitioned postings + per-term df + exact integer
+    stats, then answer the query by reading ONLY the query terms'
+    bucket directories (partition pruning, plan-asserted in pytest).
+    Scores are bit-identical to ad-hoc bm25_topk, so the oracle
+    replays index-build + query as the same corpus-derived SQL."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_query_index, build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ghs_bm25_")
+    build_bm25_index(docs, "doc_id", "text", path, n_buckets=32)
+    out = bm25_query_index(
+        spark, path, "spark join vector stream filter", k=25
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("matched_terms"),
+        F.col("score_micro"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (pipeline/retrieval
     rrf_fuse — Cormack et al. 2009): BM25 top-50 over documents FUSED
@@ -5210,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": q_stream_rollup,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
+        "bm25_index": q_bm25_index,
         "text_chunks": q_text_chunks,
         "curation_pipeline": q_curation_pipeline,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -7366,6 +7397,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ex
         """,
         "bm25_retrieval": f"""
+            WITH {_BM25_CTES}
+            SELECT doc_id, matched_terms, score_micro,
+                   round(score_micro / 1000000.0, 6) AS score
+            FROM bm25_agg
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 25
+        """,
+        "bm25_index": f"""
             WITH {_BM25_CTES}
             SELECT doc_id, matched_terms, score_micro,
                    round(score_micro / 1000000.0, 6) AS score

@@ -29,13 +29,15 @@ beyond-reference pipeline battery.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import re as _re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "build_bm25_index", "bm25_query_index"]
 
 _SCALE = 1_000_000
 
@@ -58,9 +60,7 @@ def bm25_topk(
     contributions)."""
     from geomesa_hive_spark.pipeline.text import token_count, word_tokens
 
-    terms = sorted({t for t in _re.split(r"\s+", query.lower().strip()) if t})
-    if not terms:
-        raise ValueError("empty query")
+    terms = _query_terms(query)
     base = docs.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).alias("dl"),
@@ -113,6 +113,156 @@ def bm25_topk(
         tf.withColumn("idf", idf_col)
         .withColumn("c", F.expr(contrib))
         .drop("idf")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("matched_terms"),
+            F.sum("c").cast("long").alias("score_micro"),
+        )
+        .withColumn("score", F.col("score_micro") / F.lit(float(_SCALE)))
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("id")).limit(int(k))
+
+
+def _query_terms(query: str) -> list[str]:
+    terms = sorted({t for t in _re.split(r"\s+", query.lower().strip()) if t})
+    if not terms:
+        raise ValueError("empty query")
+    return terms
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 64,
+) -> dict:
+    """Materialize a persistent BM25 inverted index — the stored-index
+    philosophy of the reference's spatial layer (Z2 keys are computed
+    once at write time, `spatial-index`, so queries never recompute):
+    here the corpus is tokenized ONCE and every later query reads only
+    the postings of its own terms.
+
+    Layout under ``path``:
+
+    - ``postings/`` — (term, id, tf, dl), hash-partitioned by
+      ``bucket = pmod(xxhash64(term), n_buckets)`` via partitionBy, so
+      a query's scan prunes to |query-term| DIRECTORIES before any
+      file is opened (directory-level partition pruning, the coarse
+      cut above parquet row-group stats);
+    - ``terms/`` — (term, df), same bucketing: per-term document
+      frequencies precomputed so query-time idf is a |terms|-row read,
+      never a postings aggregation;
+    - ``stats.json`` — {n_docs, total_dl, n_buckets}: two exact
+      integers, identical avgdl double everywhere.
+
+    At 100 TB: the build is one explode + one (term,id) map-side-
+    combined count — the same shuffle bm25_topk pays PER QUERY — paid
+    once; query cost becomes O(postings of the query's terms). Returns
+    the stats dict."""
+    from geomesa_hive_spark.pipeline.text import token_count, word_tokens
+
+    nb = int(n_buckets)
+    if nb < 1:
+        raise ValueError("n_buckets must be >= 1")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("dl"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    n_row = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(n_row["n"]),
+        "total_dl": int(n_row["tot"] or 0),
+        "n_buckets": nb,
+    }
+    postings = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+    )
+    # one shuffle on bucket so each partition directory holds one file
+    # set, not one fragment per upstream task
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
+    terms = (
+        postings.groupBy("term", "bucket")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    terms.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "terms"))
+    with open(os.path.join(path, "stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def bm25_query_index(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` by BM25 against a :func:`build_bm25_index` index —
+    bit-identical scores to :func:`bm25_topk` on the same corpus
+    (same tokenization, Lucene idf, micro-unit quantization and
+    (score desc, id) tiebreak), but the only distributed read is the
+    postings of the query's own terms: the bucket equality filter is a
+    PARTITION filter (directory pruning — plan-asserted in pytest) and
+    the term filter rides the scan. idf folds driver-side from the
+    |terms|-row terms read; no corpus-sized work anywhere."""
+    terms = _query_terms(query)
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    n_docs, nb = stats["n_docs"], stats["n_buckets"]
+    if n_docs == 0:
+        raise ValueError("index is empty")
+    avgdl = stats["total_dl"] / n_docs
+    # term→bucket computed by Spark itself on a literal frame (one
+    # tiny local-relation job): Python has no xxhash64 twin, and
+    # reimplementing it driver-side would be a silent-drift hazard
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted({
+        r.b
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int").alias("b")
+        ).collect()
+    })
+    term_tbl = (
+        spark.read.parquet(os.path.join(path, "terms"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    dfreq = {r["term"]: int(r["df"]) for r in term_tbl.collect()}
+    idf_col = F.lit(0.0)
+    for t in terms:
+        idf_val = math.log(
+            1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)
+        )
+        idf_col = F.when(F.col("term") == F.lit(t), F.lit(idf_val)).otherwise(
+            idf_col
+        )
+
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    contrib = (
+        f"CAST(floor(idf * tf * {_d(k1 + 1.0)}"
+        f" / (tf + {_d(k1)} * (1.0D - {_d(b)} + {_d(b)} * dl / {_d(avgdl)}))"
+        f" * {_SCALE} + 0.5D) AS BIGINT)"
+    )
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    scored = (
+        post.withColumn("idf", idf_col)
+        .withColumn("c", F.expr(contrib))
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("matched_terms"),

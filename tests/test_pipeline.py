@@ -1898,3 +1898,49 @@ def test_key_skew_report(spark):
         "key", "cnt", "share_ppm", "cum_rank"
     ]
     assert empty.schema["key"].dataType.simpleString() == "bigint"
+
+
+def test_bm25_index_matches_adhoc_and_prunes(spark, tmp_path):
+    """Persistent BM25 index (build_bm25_index/bm25_query_index):
+    query-through-index returns BIT-IDENTICAL rows to ad-hoc bm25_topk
+    on the same corpus; the query-time postings scan carries a bucket
+    PARTITION filter (directory pruning) and reads only the query
+    terms' buckets — never the corpus."""
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_query_index, bm25_topk, build_bm25_index,
+    )
+
+    corpus = [
+        (1, "spark join vector spark spark"),
+        (2, "join the table scan"),
+        (3, "vector vector vector join spark"),
+        (4, "nothing relevant here at all wow"),
+        (5, "spark"),
+        (6, "spark"),
+        (7, "stream filter stream"),
+        (8, "don't stop filter"),
+    ]
+    docs = spark.createDataFrame(corpus, "id long, text string")
+    path = str(tmp_path / "bm25_idx")
+    stats = build_bm25_index(docs, "id", "text", path, n_buckets=16)
+    assert stats["n_docs"] == 8 and stats["n_buckets"] == 16
+
+    for q in ["spark vector", "stream filter join", "don't stop"]:
+        adhoc = [(r.id, r.matched_terms, r.score_micro)
+                 for r in bm25_topk(docs, "id", "text", q, k=10).collect()]
+        via_idx = [(r.id, r.matched_terms, r.score_micro)
+                   for r in bm25_query_index(spark, path, q, k=10).collect()]
+        assert via_idx == adhoc, (q, via_idx, adhoc)
+
+    out = bm25_query_index(spark, path, "spark vector", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the postings scan prunes on the bucket partition column
+    import re as _re2
+    m = _re2.search(r"PartitionFilters: \[[^\n]*bucket", plan)
+    assert m, plan
+    # absent term: contributes nothing, present terms still score
+    got = bm25_query_index(spark, path, "spark zzzmissing", k=10).collect()
+    assert {r.id for r in got} == {1, 3, 5, 6}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_query_index(spark, path, "   ")
