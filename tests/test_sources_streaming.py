@@ -563,3 +563,79 @@ def test_mor_conflict_detection(spark, tmp_path):
     with _pytest.raises(ConcurrentWriteConflict):
         write_delta(spark.createDataFrame([(5, 55)], "k long, v long"),
                     path, "k", check_conflict_from_seq=2)
+
+
+def _multi_file_events(spark, tmp_path, name):
+    """Events written as THREE separate parquet files so
+    maxFilesPerTrigger=1 forces three micro-batches — sessions and
+    hour-buckets deliberately SPAN file boundaries so the streaming
+    state must merge across batches."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda mins, u, et, v: (base + dt.timedelta(minutes=mins), u, et, v)
+    files = [
+        # file 1: session A of users 1/2 opens; hour 12 accumulates
+        [mk(0, 1, "click", 1.0), mk(10, 1, "click", 2.0),
+         mk(5, 2, "view", 1.5), mk(50, 3, "click", 3.0)],
+        # file 2: user 1's session A CONTINUES across the batch
+        # boundary (gap < 30 min); hour 12 keeps accumulating
+        [mk(25, 1, "view", 4.0), mk(40, 1, "click", 0.5),
+         mk(35, 2, "view", 2.5), mk(55, 3, "view", 1.0)],
+        # file 3: > 30 min gaps -> second sessions; hour 13 opens
+        [mk(90, 1, "click", 7.0), mk(95, 2, "click", 0.25),
+         mk(130, 3, "view", 0.75)],
+    ]
+    path = str(tmp_path / name)
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    batch = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    return batch, stream
+
+
+def test_streaming_rollup_multibatch_parity(spark, tmp_path):
+    """TRUE micro-batch e2e for the hourly rollup (round-7 verdict
+    item): three availableNow micro-batches whose hour buckets span
+    batch boundaries; the finalized complete-mode table matches the
+    batch twin (the same hourly_rollup function on the batch frame)
+    EXACTLY, and >1 micro-batch demonstrably ran."""
+    batch, stream = _multi_file_events(spark, tmp_path, "mb_rollup")
+    out = streaming.hourly_rollup(stream)
+    assert out.isStreaming
+    q = streaming.run_to_memory(out, "mb_rollup_t", output_mode="complete")
+    assert q.lastProgress["batchId"] >= 2  # state crossed >=3 batches
+    got = {(r.hour, r.event_type): (r.cnt, r.sum_value)
+           for r in spark.table("mb_rollup_t").collect()}
+    exp = {(r.hour, r.event_type): (r.cnt, r.sum_value)
+           for r in streaming.hourly_rollup(batch).collect()}
+    assert got == exp and len(exp) == 4  # 2 hours x 2 event types
+
+
+def test_streaming_session_window_multibatch_parity(spark, tmp_path):
+    """TRUE micro-batch e2e for the built-in session_window rollup
+    (round-7 verdict item): user 1's first session spans the
+    file-1/file-2 batch boundary, so the native session state must
+    MERGE across micro-batches; the finalized table matches the batch
+    twin exactly, row for row."""
+    batch, stream = _multi_file_events(spark, tmp_path, "mb_sess")
+    out = streaming.session_rollup(stream)
+    assert out.isStreaming
+    q = streaming.run_to_memory(out, "mb_sess_t", output_mode="complete")
+    assert q.lastProgress["batchId"] >= 2
+    key = lambda r: (r.user_id, r.session_start, r.session_end,
+                     r.n_events, r.sum_value)
+    got = sorted(key(r) for r in spark.table("mb_sess_t").collect())
+    exp = sorted(key(r) for r in streaming.session_rollup(batch).collect())
+    assert got == exp
+    # the boundary-spanning session merged: user 1 has exactly two
+    # sessions, the first holding the 4 events from files 1 AND 2
+    u1 = [t for t in got if t[0] == 1]
+    assert len(u1) == 2 and u1[0][3] == 4 and u1[1][3] == 1
