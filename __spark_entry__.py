@@ -2735,6 +2735,244 @@ def q_mor_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the MOR table (round-7, sources/manifest.py
+    read_snapshot(as_of_seq=) — Delta VERSION AS OF / Iceberg snapshot
+    reads): land the same two commits as mor_upsert, then read BOTH
+    version 1 (only commit 1 applied) and version 2 (latest) and
+    aggregate them side by side under a version tag. Historical reads
+    cost what the then-current read cost — commits are immutable files
+    named by seq, so 'as of' is just a log prefix. Oracle replays both
+    prefixes as two window resolutions."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import read_snapshot, write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_mortt_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    v1 = read_snapshot(spark, path, "o_orderkey", as_of_seq=1).withColumn(
+        "ver", F.lit("v1")
+    )
+    v2 = read_snapshot(spark, path, "o_orderkey").withColumn("ver", F.lit("v2"))
+    return (
+        v1.unionByName(v2)
+        .groupBy("ver", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("ver", "o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
+def q_stream_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MOR sink gate (round-7, streaming/mor_sink.py — the
+    Delta streaming-MERGE pattern): a REAL availableNow stream over
+    three change files (maxFilesPerTrigger=1 → ≥3 micro-batches), each
+    batch committed as one idempotent-txn delta through the optimistic
+    commit protocol; tombstone rows route through delete_col. Every
+    key appears in exactly one change row (upsert %7 keys; delete %11
+    keys that are NOT %7), so the final snapshot is micro-batch-order-
+    independent and the oracle replays it as a plain CASE + anti-filter
+    — the streaming plumbing itself (source replay, foreachBatch,
+    txn-id exactly-once) is what the hash verifies."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import current_seq, read_snapshot
+    from geomesa_hive_spark.streaming.mor_sink import stream_upsert_mor
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    table = tempfile.mkdtemp(prefix="ghs_smor_")
+    o.write.mode("overwrite").parquet(table)
+    ups = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dels = (
+        o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .withColumn("is_delete", F.lit(True))
+    )
+    changes = ups.unionByName(dels)
+    src = tempfile.mkdtemp(prefix="ghs_smor_src_")
+    changes.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_upsert_mor(
+        stream, table, "o_orderkey",
+        checkpoint=tempfile.mkdtemp(prefix="ghs_smor_ckpt_"),
+        delete_col="is_delete",
+    )
+    assert current_seq(table) >= 2, "expected multiple micro-batch commits"
+    snap = read_snapshot(spark, table, "o_orderkey")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
+def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file clustering (round-7, sources/manifest.py
+    write_zordered — Delta OPTIMIZE ZORDER on plain parquet): lineitem
+    clustered by the Morton interleave of (l_orderkey, l_partkey) into
+    32 files, manifest min/max tight in BOTH dimensions; the query
+    prunes a 10% window on EACH column separately (both asserted to
+    skip files — range clustering can only serve the first) and
+    aggregates the union. Pruning is a superset cut with the predicate
+    re-applied, so the oracle is the plain two-filter union."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import read_pruned, write_zordered
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_zorder_")
+    write_zordered(li, path, ["l_orderkey", "l_partkey"], n_files=32)
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    ).collect()[0]
+    parts = []
+    for dim, mv in (("l_orderkey", int(mx["mo"])), ("l_partkey", int(mx["mp"]))):
+        lo, hi = mv * 2 // 10, mv * 3 // 10
+        pruned, kept, total = read_pruned(spark, path, dim, lo, hi)
+        assert kept < total, f"zorder pruned nothing on {dim} ({kept}/{total})"
+        parts.append(
+            pruned.groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("qty"),
+            )
+            .select(
+                F.lit(dim).alias("dim"),
+                F.col("l_returnflag").alias("l_returnflag"),
+                F.col("cnt").alias("cnt"),
+                F.round("qty", 2).alias("qty"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def q_manifest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter point lookup (round-7, sources/manifest.py
+    bloom_cols + read_point_lookup — Iceberg puffin / Parquet
+    bloom-filter pattern at the manifest level): orders clustered by
+    o_custkey, so o_orderkey min/max spans everything and stats can
+    NEVER prune a key lookup — the per-file Bloom bitsets do (asserted).
+    Looks up min, max, and the largest key ≤ max/2 (all three
+    expressible as SQL scalar subqueries, so the oracle replays the
+    exact same probe set). Superset cut + isin re-applied ⇒ result ≡
+    full-scan filter."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_point_lookup, write_with_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_bloom_")
+    write_with_manifest(
+        o, path, ["o_custkey"], n_files=16,
+        bloom_cols=["o_orderkey"], bloom_bits=1 << 17,
+    )
+    r = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    lo, hi = int(r["lo"]), int(r["hi"])
+    mid = int(
+        o.filter(F.col("o_orderkey") <= hi // 2)
+        .agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    got, kept, total = read_point_lookup(
+        spark, path, "o_orderkey", [lo, mid, hi]
+    )
+    assert kept < total, f"bloom pruned nothing ({kept}/{total})"
+    return got.select(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_custkey").alias("o_custkey"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+
+
+def q_pipeline_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (round-7, pipeline/checks.py — the
+    Deequ pattern as ONE aggregate scan, plan-asserted in pytest):
+    orders with injected defects (nulled custkeys on %97 keys, negated
+    prices on %89 keys, a duplicated %101 slice) validated by six
+    constraints spanning every kind — not_null, unique, range, in_set,
+    regex, custom SQL. The report itself (violation counts, pass
+    flags) is the query result; the oracle recomputes each count as a
+    conditional aggregate over the same mutated frame."""
+    from geomesa_hive_spark.pipeline.checks import check_constraints
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority",
+    )
+    mut = (
+        o.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+            .otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 89 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    frame = mut.unionByName(mut.filter(F.col("o_orderkey") % 101 == 0))
+    out = check_constraints(frame, [
+        {"kind": "not_null", "col": "o_custkey"},
+        {"kind": "unique", "col": "o_orderkey"},
+        {"kind": "range", "col": "o_totalprice", "lo": 0.0},
+        {"kind": "in_set", "col": "o_orderstatus", "values": ["F", "O", "P"]},
+        {"kind": "regex", "col": "o_orderpriority", "pattern": "^[1-3]-"},
+        # null custkey (injected above) makes the assertion unevaluable
+        # -> counted as a violation, pinning the NULL semantics
+        {"kind": "custom", "name": "custkey_pos", "expr": "o_custkey > 0"},
+    ])
+    return out.select(
+        F.col("name").alias("name"),
+        F.col("kind").alias("kind"),
+        F.col("col").alias("col"),
+        F.col("violations").alias("violations"),
+        F.col("n_rows").alias("n_rows"),
+        F.col("passed").alias("passed"),
+    )
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar resampling with forward fill (operators/timeseries.py
     resample_fill): every hourly bucket in each user's activity span —
@@ -5231,6 +5469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_files": q_compact_files,
         "mor_upsert": q_mor_upsert,
         "mor_concurrent": q_mor_concurrent,
+        "mor_time_travel": q_mor_time_travel,
+        "stream_mor_upsert": q_stream_mor_upsert,
+        "manifest_zorder": q_manifest_zorder,
+        "manifest_bloom": q_manifest_bloom,
+        "pipeline_checks": q_pipeline_checks,
         "table_diff": q_table_diff,
         "key_skew": q_key_skew,
         "spatial_hexbin": q_spatial_hexbin,
@@ -8390,6 +8633,158 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1
             GROUP BY o_orderstatus
+        """,
+        "mor_time_travel": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), v1 AS (
+              SELECT 'v1' AS ver, o_orderstatus, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv WHERE seq <= 1
+              ) WHERE rn = 1 AND del = 0
+            ), v2 AS (
+              SELECT 'v2' AS ver, o_orderstatus, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv
+              ) WHERE rn = 1 AND del = 0
+            ), u AS (
+              SELECT * FROM v1 UNION ALL SELECT * FROM v2
+            )
+            SELECT ver, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM u
+            GROUP BY ver, o_orderstatus
+        """,
+        "stream_mor_upsert": """
+            WITH resolved AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+              FROM orders
+              WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM resolved
+            GROUP BY o_orderstatus
+        """,
+        "manifest_zorder": """
+            WITH mx AS (
+              SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp
+              FROM lineitem
+            ), a AS (
+              SELECT 'l_orderkey' AS dim, l_returnflag,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS qty
+              FROM lineitem, mx
+              WHERE l_orderkey >= CAST(mo * 2 // 10 AS BIGINT)
+                AND l_orderkey <= CAST(mo * 3 // 10 AS BIGINT)
+              GROUP BY l_returnflag
+            ), b AS (
+              SELECT 'l_partkey' AS dim, l_returnflag,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS qty
+              FROM lineitem, mx
+              WHERE l_partkey >= CAST(mp * 2 // 10 AS BIGINT)
+                AND l_partkey <= CAST(mp * 3 // 10 AS BIGINT)
+              GROUP BY l_returnflag
+            )
+            SELECT * FROM a UNION ALL SELECT * FROM b
+        """,
+        "manifest_bloom": """
+            WITH probes AS (
+              SELECT min(o_orderkey) AS v FROM orders
+              UNION ALL
+              SELECT max(o_orderkey) FROM orders
+              UNION ALL
+              SELECT max(o_orderkey) FROM orders
+              WHERE o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+            )
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS price
+            FROM orders WHERE o_orderkey IN (SELECT v FROM probes)
+        """,
+        "pipeline_checks": """
+            WITH mut AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                          ELSE o_custkey END AS o_custkey,
+                     CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus, o_orderpriority
+              FROM orders
+            ), f AS (
+              SELECT * FROM mut
+              UNION ALL
+              SELECT * FROM mut WHERE o_orderkey % 101 = 0
+            ), agg AS (
+              SELECT
+                count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+                count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+                count(CASE WHEN o_totalprice < 0.0 THEN 1 END) AS v2,
+                count(CASE WHEN o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 END) AS v3,
+                count(CASE WHEN o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                      THEN 1 END) AS v4,
+                count(CASE WHEN NOT coalesce(o_custkey > 0, FALSE)
+                      THEN 1 END) AS v5,
+                count(*) AS n
+              FROM f
+            )
+            SELECT 'not_null_o_custkey' AS name, 'not_null' AS kind,
+                   'o_custkey' AS col, CAST(v0 AS BIGINT) AS violations,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) AS passed
+            FROM agg
+            UNION ALL
+            SELECT 'unique_o_orderkey', 'unique', 'o_orderkey',
+                   CAST(v1 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT)
+            FROM agg
+            UNION ALL
+            SELECT 'range_o_totalprice', 'range', 'o_totalprice',
+                   CAST(v2 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INT)
+            FROM agg
+            UNION ALL
+            SELECT 'in_set_o_orderstatus', 'in_set', 'o_orderstatus',
+                   CAST(v3 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(CASE WHEN v3 = 0 THEN 1 ELSE 0 END AS INT)
+            FROM agg
+            UNION ALL
+            SELECT 'regex_o_orderpriority', 'regex', 'o_orderpriority',
+                   CAST(v4 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INT)
+            FROM agg
+            UNION ALL
+            SELECT 'custkey_pos', 'custom', '',
+                   CAST(v5 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(CASE WHEN v5 = 0 THEN 1 ELSE 0 END AS INT)
+            FROM agg
         """,
         "entity_phonetic": f"""
             WITH a AS (

@@ -22,6 +22,8 @@ to intercepting parquet footers mid-write.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 
@@ -31,6 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_with_manifest", "read_pruned", "manifest_stats", "compact",
     "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
+    "write_zordered", "read_point_lookup",
 ]
 
 _MANIFEST = "_manifest.json"
@@ -55,15 +58,39 @@ def write_with_manifest(
     path: str,
     stats_cols: list[str],
     n_files: int = 16,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 16,
+    bloom_hashes: int = 5,
 ) -> dict:
     """Range-cluster ``df`` by ``stats_cols`` into ``n_files`` parquet
     files and write a ``_manifest.json`` of per-file min/max for each
     stats column. Returns the manifest dict. Clustering is what makes
     the stats TIGHT — stats over randomly-placed rows span everything
-    and prune nothing (same argument as the Z2 writer)."""
+    and prune nothing (same argument as the Z2 writer).
+
+    ``bloom_cols`` additionally records a per-file Bloom filter for
+    each named column (see :func:`read_point_lookup`) — point lookups
+    on columns the table is NOT clustered by, where min/max can never
+    prune."""
     d = df.repartitionByRange(int(n_files), *[F.col(c) for c in stats_cols])
     d.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
+    return _finish_manifest(
+        df.sparkSession, path, stats_cols, "range",
+        bloom_cols, bloom_bits, bloom_hashes,
+    )
+
+
+def _finish_manifest(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    clustering: str,
+    bloom_cols: list[str] | None,
+    bloom_bits: int,
+    bloom_hashes: int,
+) -> dict:
+    """One read-back scan over the just-written files: per-file min/max
+    for every stats column plus (optionally) per-file Bloom bitsets."""
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     aggs = []
     for c in stats_cols:
@@ -77,7 +104,20 @@ def write_with_manifest(
             entry[f"min_{c}"] = _plain(r[f"min_{c}"])
             entry[f"max_{c}"] = _plain(r[f"max_{c}"])
         files.append(entry)
-    manifest = {"stats_cols": list(stats_cols), "files": sorted(files, key=lambda e: e["file"])}
+    manifest = {
+        "stats_cols": list(stats_cols),
+        "clustering": clustering,
+        "files": sorted(files, key=lambda e: e["file"]),
+    }
+    if bloom_cols:
+        manifest["bloom"] = {
+            "bits": int(bloom_bits),
+            "hashes": int(bloom_hashes),
+            "cols": {
+                c: _build_bloom(back, c, int(bloom_bits), int(bloom_hashes))
+                for c in bloom_cols
+            },
+        }
     with open(os.path.join(path, _MANIFEST), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -123,6 +163,192 @@ def read_pruned(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
     return df, len(keep), total
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters: point-lookup pruning on non-clustered columns
+# ---------------------------------------------------------------------------
+# Hash scheme (must be byte-identical Spark-side at build and Python-side
+# at probe): position_i(v) = int(md5(str(v) + "#" + i)[:15 hex], 16) % bits.
+# Spark CAST(<int/long/string> AS STRING) and Python str() agree on
+# integers and strings — bloom columns are restricted to those types.
+# 15 hex digits = 60 bits, so the conv() result fits a signed long.
+#
+# Sizing rule: for <1% false-positive rate with k=5 hashes, give the
+# filter ~10 bits per expected DISTINCT value per file (fill stays under
+# ~40%). At 100 TB the bitsets would live as packed binary in a parquet
+# manifest (Iceberg puts them in puffin files); the JSON+base64 here is
+# the same math with a simpler container, and it's ~bits/8 bytes per
+# file per column regardless of row count.
+
+
+def _bloom_positions_col(c: str, bits: int, hashes: int) -> F.Column:
+    """Array column of the k Bloom positions for column ``c`` (native
+    md5/conv expressions — stays in codegen, no Python in the scan)."""
+    return F.array(*[
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(c).cast("string"), F.lit(f"#{i}"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(int(bits)),
+        )
+        for i in range(hashes)
+    ])
+
+
+def _bloom_positions_py(value, bits: int, hashes: int) -> list[int]:
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:15], 16) % bits
+        for i in range(hashes)
+    ]
+
+
+def _build_bloom(back: DataFrame, col: str, bits: int, hashes: int) -> dict:
+    """{file → base64 bitset} for ``col``. One distinct + explode +
+    collect_set per column: the shuffle carries (file, position) pairs,
+    bounded by bits per file, never by row count."""
+    t = back.schema[col].dataType.simpleString()
+    if t not in ("int", "bigint", "smallint", "tinyint", "string"):
+        raise ValueError(
+            f"bloom column {col!r} must be integer or string, got {t} "
+            "(float formatting differs between engines)"
+        )
+    rows = (
+        back.select("__f", col).where(F.col(col).isNotNull()).distinct()
+        .select("__f", F.explode(_bloom_positions_col(col, bits, hashes)).alias("p"))
+        .groupBy("__f").agg(F.collect_set("p").alias("ps"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        bs = bytearray((bits + 7) // 8)
+        for p in r["ps"]:
+            bs[p >> 3] |= 1 << (p & 7)
+        out[r["__f"]] = base64.b64encode(bytes(bs)).decode("ascii")
+    return out
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+) -> tuple[DataFrame, int, int]:
+    """(df, files_kept, files_total): keep only the files whose Bloom
+    filter for ``col`` possibly contains at least one of ``values``,
+    then apply the exact ``isin`` predicate. The Bloom cut is a
+    superset cut (no false negatives by construction), so the result
+    equals a full-scan filter — the same contract as :func:`read_pruned`,
+    for point lookups on a column the table is NOT clustered by, where
+    min/max stats span everything and prune nothing."""
+    m = manifest_stats(path)
+    bl = m.get("bloom")
+    if not bl or col not in bl["cols"]:
+        have = sorted(bl["cols"]) if bl else []
+        raise ValueError(f"column {col!r} has no bloom filter (have {have})")
+    bits, hashes = bl["bits"], bl["hashes"]
+    probes = [_bloom_positions_py(v, bits, hashes) for v in values]
+    keep = []
+    for e in m["files"]:
+        bs = base64.b64decode(bl["cols"][col][e["file"]])
+        if any(
+            all(bs[p >> 3] & (1 << (p & 7)) for p in ps)
+            for ps in probes
+        ):
+            keep.append(e["file"])
+    total = len(m["files"])
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*keep).filter(F.col(col).isin(list(values)))
+    return df, len(keep), total
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-column file clustering
+# ---------------------------------------------------------------------------
+
+
+def _spread16(v: F.Column) -> F.Column:
+    """Interleave-ready bit spread of a 16-bit value (bit i → bit 2i),
+    the classic magic-number dilation in native long arithmetic — the
+    whole z computation stays inside whole-stage codegen."""
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 16,
+    bloom_hashes: int = 5,
+) -> dict:
+    """Z-order-cluster ``df`` by TWO numeric columns into ``n_files``
+    files and write the same ``_manifest.json`` as
+    :func:`write_with_manifest` — Delta's ``OPTIMIZE ZORDER BY`` /
+    Iceberg's z-ordered rewrite on plain parquet.
+
+    Why over range clustering: ``repartitionByRange(a, b)`` orders by
+    ``a`` first, so file min/max are tight for ``a`` and span everything
+    for ``b`` — predicates on ``b`` alone prune NOTHING. Interleaving
+    the bits of both (after min/max normalization to 16-bit grid ints,
+    one bounded 1-row agg) gives every file a small rectangle in (a, b)
+    space: min/max stay tight in BOTH dimensions, so :func:`read_pruned`
+    works on either column. The same Morton math as the spatial Z2
+    writer (``geom/z2.py:23``), applied to arbitrary numeric columns —
+    and the reference's stored-Z2 philosophy
+    (``spatial-index/.../ST_Z2LatLon.scala:34-35``) applied to table
+    layout.
+
+    Normalization is linear min-max: heavy skew concentrates grid cells
+    (documented limit — Delta uses range-id normalization for the same
+    reason; a quantile-based variant would slot in here) but pruning
+    stays CORRECT regardless: manifest stats are computed from the
+    actual written files, and the predicate is always re-applied."""
+    if len(cols) != 2:
+        raise ValueError("write_zordered clusters by exactly two columns")
+    a, b = cols
+    r = df.agg(
+        F.min(F.col(a).cast("double")).alias("a0"),
+        F.max(F.col(a).cast("double")).alias("a1"),
+        F.min(F.col(b).cast("double")).alias("b0"),
+        F.max(F.col(b).cast("double")).alias("b1"),
+    ).collect()[0]
+
+    def norm(c: str, lo: float, hi: float) -> F.Column:
+        span = (hi - lo) or 1.0
+        g = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+            / F.lit(span) * F.lit(65536.0)
+        ).cast("long")
+        return F.least(F.greatest(g, F.lit(0)), F.lit(65535))
+
+    z = _spread16(norm(a, r["a0"], r["a1"])).bitwiseOR(
+        F.shiftleft(_spread16(norm(b, r["b0"], r["b1"])), 1)
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(n_files), F.col("__z"))
+        .sortWithinPartitions("__z")   # tightens parquet row-group stats too
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )
+    return _finish_manifest(
+        df.sparkSession, path, cols, "zorder",
+        bloom_cols, bloom_bits, bloom_hashes,
+    )
 
 
 def compact(
@@ -223,6 +449,7 @@ def write_delta(
     delete_keys: DataFrame | None = None,
     check_conflict_from_seq: int | None = None,
     max_attempts: int = 50,
+    txn_id: str | None = None,
 ) -> dict:
     """Commit a merge-on-read delta against the base table at ``path``
     — the Iceberg/Delta/Hudi MOR write pattern on plain parquet + a
@@ -259,12 +486,23 @@ def write_delta(
     versions of those keys and silently layering it would lose the
     other writer's update. Disjoint-key writers interleave freely.
 
+    ``txn_id`` makes the commit IDEMPOTENT (Delta's ``txn`` action for
+    streaming sinks): if a commit carrying the same txn_id is already
+    in the log, the call returns that entry without writing anything —
+    a replayed micro-batch (foreachBatch re-runs the batch after a
+    failure) lands exactly once. The check runs again inside the claim
+    loop, so two racing replays of the same batch can't both win.
+
     Returns the committed log entry. Reference scope: the reference
     has no table maintenance at all — its sources are static Hive
     tables.
     """
     import uuid
 
+    if txn_id is not None:
+        for e in _delta_log(path):
+            if e.get("txn_id") == txn_id:
+                return e
     base_cols = None
     n_up = n_del = 0
     spark = None
@@ -300,6 +538,10 @@ def write_delta(
         my_keys = up.select(key_col).distinct()
     for _ in range(int(max_attempts)):
         log = _delta_log(path)
+        if txn_id is not None:
+            for e in log:
+                if e.get("txn_id") == txn_id:
+                    return e
         seq = (log[-1]["seq"] + 1) if log else 1
         if my_keys is not None:
             newer = [e for e in log if e["seq"] > int(check_conflict_from_seq)]
@@ -319,6 +561,8 @@ def write_delta(
                     )
         entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
                  "n_deletes": int(n_del)}
+        if txn_id is not None:
+            entry["txn_id"] = txn_id
         if _atomic_commit(cdir, seq, entry, token):
             return entry
     raise RuntimeError(
@@ -345,10 +589,19 @@ def read_snapshot(
     path: str,
     key_col: str,
     broadcast_deltas: bool = True,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Merge-on-read snapshot of the table at ``path``: for each key,
-    the latest committed version; tombstoned keys are gone. The merge
-    is the textbook MOR reader plan — NOT a window over base∪deltas:
+    the latest committed version; tombstoned keys are gone.
+
+    ``as_of_seq`` is TIME TRAVEL (Delta's ``VERSION AS OF`` / Iceberg
+    snapshot reads): resolve only commits with ``seq <= as_of_seq``
+    (0 = base table before any delta). Because commits are immutable
+    files named by their seq, a historical read costs exactly what the
+    then-current read cost — no undo log, no extra state; retention is
+    just "don't compact/delete delta files you still want to travel
+    to". The merge is the textbook MOR reader plan — NOT a window over
+    base∪deltas:
 
     1. resolve the deltas alone (window over the SMALL side: latest
        ``__seq`` per key, delete-beats-upsert within a commit),
@@ -363,6 +616,13 @@ def read_snapshot(
     shuffle touches only the delta rows. Readers needing repeated
     snapshots should compact() deltas into a new base instead."""
     log = _delta_log(path)
+    if as_of_seq is not None:
+        known = {e["seq"] for e in log}
+        if int(as_of_seq) != 0 and int(as_of_seq) not in known:
+            raise ValueError(
+                f"no commit with seq {as_of_seq} (have {sorted(known)})"
+            )
+        log = [e for e in log if e["seq"] <= int(as_of_seq)]
     base = _snapshot_base(spark, path)
     if not log:
         return base

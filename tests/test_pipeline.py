@@ -1944,3 +1944,80 @@ def test_bm25_index_matches_adhoc_and_prunes(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_query_index(spark, path, "   ")
+
+
+def test_check_constraints_all_kinds(spark):
+    """Every constraint kind computes the hand-checkable violation
+    count on a crafted frame, and the whole suite runs as ONE scan of
+    the source (plan-asserted)."""
+    from geomesa_hive_spark.pipeline.checks import check_constraints
+
+    rows = [
+        # (id, cat, price, code)
+        (1, "a", 10.0, "1-HIGH"),
+        (2, "b", -5.0, "2-MED"),      # price below lo
+        (3, "c", 10.0, "9-BAD"),      # cat not in set, code regex fail
+        (3, "a", 2000.0, "3-LOW"),    # duplicate id, price above hi
+        (None, "a", None, None),      # null id; null price/code don't count
+    ]
+    df = spark.createDataFrame(
+        rows, "id INT, cat STRING, price DOUBLE, code STRING")
+    out = check_constraints(df, [
+        {"kind": "not_null", "col": "id"},
+        {"kind": "unique", "col": "id"},
+        {"kind": "range", "col": "price", "lo": 0.0, "hi": 1000.0},
+        {"kind": "in_set", "col": "cat", "values": ["a", "b"]},
+        {"kind": "regex", "col": "code", "pattern": "^[1-5]-"},
+        {"kind": "custom", "name": "price_id", "expr": "price > id"},
+    ])
+    got = {r["name"]: (r["violations"], r["n_rows"], r["passed"])
+           for r in out.collect()}
+    assert got == {
+        "not_null_id": (1, 5, 0),
+        "unique_id": (1, 5, 0),          # 4 non-null ids, 3 distinct
+        "range_price": (2, 5, 0),
+        "in_set_cat": (1, 5, 0),
+        "regex_code": (1, 5, 0),
+        "price_id": (2, 5, 0),           # row 4 fails, null row fails
+    }
+    # clean column passes
+    ok = check_constraints(df, [{"kind": "not_null", "col": "cat"}])
+    assert ok.collect()[0]["passed"] == 1
+
+
+def test_check_constraints_single_scan_plan(spark, tmp_path):
+    """20 constraints over a parquet table still plan exactly one scan
+    of the source — the whole point versus one-job-per-constraint."""
+    from geomesa_hive_spark.pipeline.checks import check_constraints
+
+    path = str(tmp_path / "cc")
+    spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS a", "cast(id % 13 as string) AS s").write.parquet(path)
+    df = spark.read.parquet(path)
+    cons = []
+    for i in range(10):
+        cons.append({"kind": "range", "col": "a", "lo": 0, "hi": 6,
+                     "name": f"r{i}"})
+        cons.append({"kind": "not_null", "col": "s", "name": f"n{i}"})
+    cons.append({"kind": "unique", "col": "id"})
+    out = check_constraints(df, cons)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"expected 1 scan, got {n_scans}:\n{plan}"
+    got = {r["name"]: r["passed"] for r in out.collect()}
+    assert all(v == 1 for v in got.values()) and len(got) == 21
+
+
+def test_check_constraints_validation_errors(spark):
+    from geomesa_hive_spark.pipeline.checks import check_constraints
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        check_constraints(df, [])
+    with pytest.raises(ValueError):
+        check_constraints(df, [{"kind": "nope", "col": "id"}])
+    with pytest.raises(ValueError):
+        check_constraints(df, [
+            {"kind": "not_null", "col": "id", "name": "x"},
+            {"kind": "unique", "col": "id", "name": "x"},
+        ])

@@ -639,3 +639,208 @@ def test_streaming_session_window_multibatch_parity(spark, tmp_path):
     # sessions, the first holding the 4 events from files 1 AND 2
     u1 = [t for t in got if t[0] == 1]
     assert len(u1) == 2 and u1[0][3] == 4 and u1[1][3] == 1
+
+
+def test_mor_time_travel(spark, tmp_path):
+    """read_snapshot(as_of_seq=N) resolves only commits <= N: 0 is the
+    base table, each later version layers exactly one more commit, and
+    an unknown seq raises instead of silently reading latest."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("base").alias("v"))
+    path = str(tmp_path / "tt")
+    base.write.parquet(path)
+    write_delta(
+        base.filter(F.col("k") < 10).withColumn("v", F.lit("c1")),
+        path, "k")
+    write_delta(
+        base.filter((F.col("k") >= 5) & (F.col("k") < 15))
+        .withColumn("v", F.lit("c2")),
+        path, "k",
+        delete_keys=spark.range(90, 100).select(F.col("id").alias("k")))
+
+    def counts(df):
+        return {r.v: r.cnt for r in
+                df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+
+    v0 = read_snapshot(spark, path, "k", as_of_seq=0)
+    assert counts(v0) == {"base": 100}
+    v1 = read_snapshot(spark, path, "k", as_of_seq=1)
+    assert counts(v1) == {"base": 90, "c1": 10}
+    v2 = read_snapshot(spark, path, "k", as_of_seq=2)
+    assert counts(v2) == {"base": 75, "c1": 5, "c2": 10}
+    latest = read_snapshot(spark, path, "k")
+    assert counts(latest) == counts(v2)
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, "k", as_of_seq=3)
+
+
+def test_write_delta_txn_id_idempotent(spark, tmp_path):
+    """A replayed commit carrying the same txn_id lands exactly once:
+    the second call returns the FIRST commit's entry and the log does
+    not grow; a different txn_id commits normally."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, read_snapshot, write_delta,
+    )
+
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"))
+    path = str(tmp_path / "txn")
+    base.write.parquet(path)
+    up = base.filter(F.col("k") < 5).withColumn("v", F.lit(1))
+    e1 = write_delta(up, path, "k", txn_id="batch-0")
+    e2 = write_delta(up, path, "k", txn_id="batch-0")  # replay
+    assert e1 == e2 and current_seq(path) == 1
+    write_delta(up, path, "k", txn_id="batch-1")
+    assert current_seq(path) == 2
+    # replay AFTER later commits still returns the original entry
+    assert write_delta(up, path, "k", txn_id="batch-0") == e1
+    snap = read_snapshot(spark, path, "k")
+    assert snap.filter(F.col("v") == 1).count() == 5
+
+
+def test_stream_upsert_mor_multibatch_parity(spark, tmp_path):
+    """TRUE micro-batch e2e for the streaming MOR sink: three
+    availableNow micro-batches of upserts (plus tombstone rows routed
+    through delete_col) each land as one idempotent commit; the final
+    snapshot matches the batch-computed expectation exactly."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, read_snapshot,
+    )
+    from geomesa_hive_spark.streaming.mor_sink import stream_upsert_mor
+
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), F.lit("base").alias("v"))
+    table = str(tmp_path / "smor")
+    base.write.parquet(table)
+
+    # changes: upsert k 0..29 with v='s<k//10>', delete k 50..54 —
+    # every key appears ONCE in the stream, so the final snapshot is
+    # micro-batch-order-independent (deterministic under any file order)
+    changes = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") / 10).cast("int").cast("string")).alias("v"),
+        F.lit(False).alias("is_delete"),
+    ).unionByName(
+        spark.range(50, 55).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("v"),
+            F.lit(True).alias("is_delete"),
+        )
+    )
+    src = str(tmp_path / "smor_src")
+    changes.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_upsert_mor(
+        stream, table, "k", checkpoint=str(tmp_path / "smor_ckpt"),
+        delete_col="is_delete",
+    )
+    n_commits = current_seq(table)
+    assert n_commits >= 3  # one commit per non-empty micro-batch
+    snap = read_snapshot(spark, table, "k")
+    assert snap.count() == 55
+    got = {r.k: r.v for r in snap.collect()}
+    assert all(got[k] == f"s{k // 10}" for k in range(30))
+    assert all(k not in got for k in range(50, 55))
+    assert all(got[k] == "base" for k in range(30, 50))
+    # restarting over the SAME source + checkpoint replays nothing new
+    stream2 = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_upsert_mor(
+        stream2, table, "k", checkpoint=str(tmp_path / "smor_ckpt"),
+        delete_col="is_delete",
+    )
+    assert current_seq(table) == n_commits
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering keeps manifest min/max tight in BOTH
+    dimensions: a 10% window on either column skips most files, while
+    the range-clustered twin prunes nothing on the second column; both
+    reads equal the full-scan filter exactly."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        manifest_stats, read_pruned, write_with_manifest, write_zordered,
+    )
+
+    n = 24000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k1"),
+        (F.col("id") * 48271 % n).alias("k2"),  # independent permutation
+    )
+    zpath = str(tmp_path / "ztab")
+    m = write_zordered(df, zpath, ["k1", "k2"], n_files=16)
+    assert manifest_stats(zpath)["clustering"] == "zorder"
+    assert sum(e["n_rows"] for e in m["files"]) == n
+
+    for col in ("k1", "k2"):
+        pruned, kept, total = read_pruned(spark, zpath, col, 10000, 12000)
+        assert total == 16 and kept < total, f"{col}: {kept}/{total}"
+        full = df.filter((F.col(col) >= 10000) & (F.col(col) <= 12000))
+        assert sorted(r.k1 for r in pruned.collect()) == \
+               sorted(r.k1 for r in full.collect())
+
+    # range-clustered by k1 only: k2 predicates keep (nearly) everything
+    rpath = str(tmp_path / "rtab")
+    write_with_manifest(df.withColumn("k2", F.col("k2")), rpath,
+                        ["k1", "k2"], n_files=16)
+    _, kept_r, total_r = read_pruned(spark, rpath, "k2", 10000, 12000)
+    _, kept_z, _ = read_pruned(spark, zpath, "k2", 10000, 12000)
+    assert kept_z < kept_r, f"zorder {kept_z} !< range {kept_r}"
+
+
+def test_bloom_point_lookup(spark, tmp_path):
+    """Per-file Bloom filters prune point lookups on a NON-clustered
+    column (min/max spans everything there): known values read few
+    files and match the full-scan filter exactly; an absent value
+    returns zero rows; unsupported/missing columns raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_point_lookup, write_with_manifest,
+    )
+
+    n = 24000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2654435761 % 1000003).alias("u"),  # scattered ids
+        (F.col("id") % 7).cast("double").alias("f"),
+    )
+    path = str(tmp_path / "btab")
+    write_with_manifest(df.select("k", "u"), path, ["k"], n_files=16,
+                        bloom_cols=["u"], bloom_bits=1 << 16)
+    vals = [int(i * 2654435761 % 1000003) for i in (17, 8191, 23999)]
+    got, kept, total = read_point_lookup(spark, path, "u", vals)
+    assert total == 16 and kept < total, f"{kept}/{total}"
+    full = df.filter(F.col("u").isin(vals))
+    assert sorted(r.k for r in got.collect()) == \
+           sorted(r.k for r in full.collect())
+
+    miss, _, _ = read_point_lookup(spark, path, "u", [999999999])
+    assert miss.count() == 0
+
+    with _pytest.raises(ValueError):
+        read_point_lookup(spark, path, "k", [1])  # no bloom for k
+    with _pytest.raises(ValueError):
+        write_with_manifest(df, str(tmp_path / "bf"), ["k"],
+                            bloom_cols=["f"])  # float column refused
