@@ -34,11 +34,13 @@ __all__ = [
     "write_with_manifest", "read_pruned", "manifest_stats", "compact",
     "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
+    "merge_into", "read_changes", "checkpoint", "vacuum",
 ]
 
 _MANIFEST = "_manifest.json"
 _DELTA_LOG = "_deltas.json"   # legacy single-file log (read-compat only)
 _COMMIT_DIR = "_commits"      # one JSON per commit, name = zero-padded seq
+_CKPT_DIR = "_checkpoints"    # materialized snapshots: <seq>/ data + <seq>.json
 
 
 class ConcurrentWriteConflict(Exception):
@@ -411,13 +413,33 @@ def _delta_log(path: str) -> list[dict]:
     return entries
 
 
+def _checkpoints(path: str) -> list[dict]:
+    """Checkpoint markers in seq order. A checkpoint is a materialized
+    snapshot of the log prefix ``seq <= marker.seq`` — immutable once
+    written (the prefix it summarizes can never change), so readers may
+    substitute it for base+deltas without coordination."""
+    out: list[dict] = []
+    cdir = os.path.join(path, _CKPT_DIR)
+    if os.path.isdir(cdir):
+        for name in os.listdir(cdir):
+            if name.endswith(".json") and not name.startswith("."):
+                with open(os.path.join(cdir, name)) as fh:
+                    out.append(json.load(fh))
+    out.sort(key=lambda e: e["seq"])
+    return out
+
+
 def current_seq(path: str) -> int:
     """Latest committed delta seq (0 = base only). A read-modify-write
     writer snapshots this BEFORE computing its delta and passes it as
     ``write_delta(..., check_conflict_from_seq=...)`` so commits that
-    land in between are conflict-checked against its keys."""
+    land in between are conflict-checked against its keys. After a
+    vacuum the commit log may start above 1 — the checkpoint marker
+    carries the high-water seq, so numbering never resets."""
     log = _delta_log(path)
-    return log[-1]["seq"] if log else 0
+    last = log[-1]["seq"] if log else 0
+    cks = _checkpoints(path)
+    return max(last, cks[-1]["seq"] if cks else 0)
 
 
 def _atomic_commit(cdir: str, seq: int, entry: dict, token: str) -> bool:
@@ -450,6 +472,7 @@ def write_delta(
     check_conflict_from_seq: int | None = None,
     max_attempts: int = 50,
     txn_id: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """Commit a merge-on-read delta against the base table at ``path``
     — the Iceberg/Delta/Hudi MOR write pattern on plain parquet + a
@@ -511,6 +534,16 @@ def write_delta(
         if key_col not in base_cols:
             raise ValueError(f"key column {key_col!r} not in delta columns")
         spark = df.sparkSession
+        known = set(_table_columns(spark, path))
+        new_cols = [c for c in base_cols if c not in known]
+        if new_cols and not allow_schema_evolution:
+            raise ValueError(
+                f"delta introduces new column(s) {new_cols} not in the "
+                f"table schema; pass allow_schema_evolution=True to widen "
+                f"the table (readers fill NULL for rows that predate the "
+                f"column) — the gate exists so a typo'd column name "
+                f"widens nothing silently"
+            )
         up = df.withColumn("__deleted", F.lit(False))
         n_up = df.count()
     if delete_keys is not None:
@@ -518,7 +551,7 @@ def write_delta(
             raise ValueError("delete_keys must be a single-column frame of keys")
         spark = delete_keys.sparkSession
         if base_cols is None:
-            base_cols = _snapshot_base(spark, path).columns
+            base_cols = _table_columns(spark, path)
         tomb = delete_keys.toDF(key_col)
         for c in base_cols:
             if c != key_col:
@@ -542,9 +575,28 @@ def write_delta(
             for e in log:
                 if e.get("txn_id") == txn_id:
                     return e
-        seq = (log[-1]["seq"] + 1) if log else 1
+        cks = _checkpoints(path)
+        high = max(log[-1]["seq"] if log else 0,
+                   cks[-1]["seq"] if cks else 0)
+        seq = high + 1
         if my_keys is not None:
-            newer = [e for e in log if e["seq"] > int(check_conflict_from_seq)]
+            from_ = int(check_conflict_from_seq)
+            # commits in (from_, high] whose files were vacuumed can't be
+            # key-checked — the snapshot predates retention, so the only
+            # safe answer is "recompute against the current snapshot"
+            present = {e["seq"] for e in log}
+            missing = [s for s in range(from_ + 1, high + 1)
+                       if s not in present]
+            if missing:
+                raise ConcurrentWriteConflict(
+                    f"snapshot seq {from_} predates retention: commit(s) "
+                    f"{missing} were vacuumed and can no longer be "
+                    f"key-checked; recompute the delta against the "
+                    f"current snapshot",
+                    overlap_count=0,
+                    conflicting_seqs=missing,
+                )
+            newer = [e for e in log if e["seq"] > from_]
             if newer:
                 other = spark.read.parquet(
                     *[e["path"] for e in newer]
@@ -584,6 +636,28 @@ def _snapshot_base(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def _table_columns(spark: SparkSession, path: str) -> list[str]:
+    """Current table schema = base (or latest checkpoint) columns plus
+    any columns added by schema-evolving deltas, in first-seen order.
+    Driver-side parquet FOOTER reads only — delta file sets are small
+    by construction and checkpoints fold prior deltas in, so this stays
+    O(deltas since last checkpoint), never a data scan."""
+    cks = _checkpoints(path)
+    if cks:
+        cols = list(spark.read.parquet(cks[-1]["path"]).columns)
+        floor = cks[-1]["seq"]
+    else:
+        cols = list(_snapshot_base(spark, path).columns)
+        floor = 0
+    for e in _delta_log(path):
+        if e["seq"] <= floor:
+            continue
+        for c in spark.read.parquet(e["path"]).columns:
+            if c != "__deleted" and c not in cols:
+                cols.append(c)
+    return cols
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
@@ -614,16 +688,47 @@ def read_snapshot(
     At 100 TB that means a snapshot read costs one base scan plus a
     broadcast hash anti-join — zero base shuffle — while the window
     shuffle touches only the delta rows. Readers needing repeated
-    snapshots should compact() deltas into a new base instead."""
+    snapshots should :func:`checkpoint` (readers then replay only the
+    commits AFTER the checkpoint) or compact() into a new base.
+
+    Schema evolution: deltas committed with ``allow_schema_evolution``
+    may carry new columns; rows that predate a column read NULL for it
+    (unionByName with allowMissingColumns — Delta/Iceberg add-column
+    semantics, no base rewrite)."""
     log = _delta_log(path)
+    cks = _checkpoints(path)
     if as_of_seq is not None:
-        known = {e["seq"] for e in log}
-        if int(as_of_seq) != 0 and int(as_of_seq) not in known:
+        as_of = int(as_of_seq)
+        known = {e["seq"] for e in log} | {c["seq"] for c in cks}
+        if as_of != 0 and as_of not in known:
             raise ValueError(
-                f"no commit with seq {as_of_seq} (have {sorted(known)})"
+                f"no commit with seq {as_of_seq} (have {sorted(known)}); "
+                f"commits below the vacuum cutoff are no longer "
+                f"travelable"
             )
-        log = [e for e in log if e["seq"] <= int(as_of_seq)]
-    base = _snapshot_base(spark, path)
+        log = [e for e in log if e["seq"] <= as_of]
+        cks = [c for c in cks if c["seq"] <= as_of]
+    if cks:
+        # latest eligible checkpoint stands in for base + its log prefix
+        ck = cks[-1]
+        base = spark.read.parquet(ck["path"])
+        floor = ck["seq"]
+        log = [e for e in log if e["seq"] > floor]
+    else:
+        base = _snapshot_base(spark, path)
+        floor = 0
+    if as_of_seq is not None:
+        # commits between the chosen floor (checkpoint or base) and
+        # as_of may have been vacuumed — the view is then
+        # unreconstructable and must fail loudly, never silently skip
+        have = {e["seq"] for e in log}
+        missing = [s for s in range(floor + 1, int(as_of_seq) + 1)
+                   if s not in have]
+        if missing:
+            raise ValueError(
+                f"cannot reconstruct seq {as_of_seq}: commit(s) "
+                f"{missing} were vacuumed"
+            )
     if not log:
         return base
     parts = []
@@ -633,7 +738,7 @@ def read_snapshot(
         )
     alld = parts[0]
     for p in parts[1:]:
-        alld = alld.unionByName(p)
+        alld = alld.unionByName(p, allowMissingColumns=True)
     from pyspark.sql import Window
 
     # within a commit, deletes sort after upserts (delete-beats-upsert)
@@ -650,4 +755,318 @@ def read_snapshot(
         keys = F.broadcast(keys)
     survivors = base.join(keys, on=key_col, how="left_anti")
     fresh = resolved.filter(~F.col("__deleted")).drop("__deleted")
-    return survivors.unionByName(fresh.select(*base.columns))
+    if set(fresh.columns) == set(base.columns):
+        return survivors.unionByName(fresh.select(*base.columns))
+    # evolved schema: base-era rows read NULL for the new columns
+    return survivors.unionByName(fresh, allowMissingColumns=True)
+
+
+def merge_into(
+    source: DataFrame,
+    path: str,
+    key_col: str,
+    when_matched: str = "update",
+    matched_condition=None,
+    when_not_matched: str = "insert",
+    check_conflict_from_seq: int | None = None,
+    txn_id: str | None = None,
+) -> dict | None:
+    """MERGE INTO for the MOR table — Delta's ``MERGE`` / SQL:2003
+    ``MERGE`` compiled down to ONE :func:`write_delta` commit, so the
+    whole statement is atomic (all-or-nothing via the commit claim)
+    and conflict-checkable like any other delta.
+
+    ``source`` rows are split by whether their key exists in the
+    current snapshot:
+
+    - matched  + ``when_matched='update'`` → upsert (optionally only
+      where ``matched_condition`` holds; non-qualifying matched rows
+      are left untouched, NOT deleted)
+    - matched  + ``when_matched='delete'`` → tombstone
+    - matched  + ``when_matched='ignore'`` → untouched
+    - unmatched + ``when_not_matched='insert'`` → insert
+    - unmatched + ``when_not_matched='ignore'`` → dropped
+
+    ``matched_condition`` is a Column (or SQL string) evaluated over
+    the SOURCE row — the common "only update if newer" guard.
+
+    Scale shape (the part that matters at 100 TB): matched-key
+    detection is `snapshot ⋉ broadcast(source keys)` — ONE base scan,
+    the source broadcast, zero base shuffle; the resulting matched-key
+    set is ≤ |source| rows and is broadcast back to split the source.
+    The table is never joined row-to-row against itself, and nothing
+    larger than the source crosses a shuffle. Source keys must be
+    unique (checked) — the same multiple-match error Delta raises,
+    because "two source rows hit one target row" has no deterministic
+    outcome.
+
+    Returns the commit entry, or ``None`` when the merge is a no-op
+    (no branch produced rows — no empty commit is written). Reference
+    scope: the reference has no DML at all; this is the pipeline
+    extension's table-maintenance surface.
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if key_col not in source.columns:
+        raise ValueError(f"key column {key_col!r} not in source columns")
+    spark = source.sparkSession
+    dup = (
+        source.groupBy(key_col).count().filter(F.col("count") > 1).limit(1)
+    )
+    if dup.count():
+        raise ValueError(
+            "source has duplicate keys — a MERGE where two source rows "
+            "match one target row is nondeterministic; dedupe first"
+        )
+    cond = (
+        F.expr(matched_condition) if isinstance(matched_condition, str)
+        else matched_condition
+    )
+    snap_keys = read_snapshot(spark, path, key_col).select(key_col)
+    matched_keys = snap_keys.join(
+        F.broadcast(source.select(key_col).distinct()), key_col, "left_semi"
+    )
+    flagged = source.join(
+        F.broadcast(matched_keys.withColumn("__m", F.lit(True))),
+        key_col, "left",
+    ).withColumn("__m", F.coalesce(F.col("__m"), F.lit(False)))
+    matched = flagged.filter(F.col("__m"))
+    if cond is not None:
+        matched = matched.filter(cond)
+    unmatched = flagged.filter(~F.col("__m"))
+    ups = []
+    if when_matched == "update":
+        ups.append(matched)
+    if when_not_matched == "insert":
+        ups.append(unmatched)
+    upserts = None
+    if ups:
+        u = ups[0]
+        for p in ups[1:]:
+            u = u.unionByName(p)
+        u = u.drop("__m").select(*source.columns)
+        if not u.isEmpty():
+            upserts = u
+    deletes = None
+    if when_matched == "delete":
+        d = matched.select(key_col)
+        if not d.isEmpty():
+            deletes = d
+    if upserts is None and deletes is None:
+        return None
+    return write_delta(
+        upserts, path, key_col, delete_keys=deletes,
+        check_conflict_from_seq=check_conflict_from_seq, txn_id=txn_id,
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Net row-level changes between two table versions — Delta's
+    Change Data Feed collapsed per key (Iceberg incremental reads):
+    one output row per key whose state at ``to_seq`` differs from its
+    state at ``from_seq``, tagged ``_change_type`` ∈
+    ``insert | update | delete`` with ``_commit_seq`` = the commit
+    that last touched the key in the range. Delete rows carry the key
+    with NULL non-key columns (post-image semantics). Intra-range
+    churn is collapsed to the net effect: a key inserted then deleted
+    inside the range emits NOTHING — downstream consumers see only
+    what they must apply. A key rewritten to an identical value still
+    reports ``update`` (key-level CDC, not value diff — documented,
+    value-diffing would force a full compare of both versions).
+
+    Scale shape: the range's delta files union+window (delta-sized
+    shuffle only); "did the key exist at from_seq" is
+    `snapshot@from ⋉ broadcast(changed keys)` — one base scan, no
+    base shuffle, output ≤ |changed keys|. The 100 TB cost of a CDC
+    pull is therefore O(changed rows) + one metadata-pruned base
+    scan, never a diff of two full snapshots.
+    """
+    log = _delta_log(path)
+    hi = current_seq(path) if to_seq is None else int(to_seq)
+    lo = int(from_seq)
+    if lo > hi:
+        raise ValueError(f"from_seq {lo} > to_seq {hi}")
+    # a checkpoint seq is a valid endpoint even after its commits were
+    # vacuumed — the materialized snapshot reconstructs that version
+    known = {e["seq"] for e in log} | {c["seq"] for c in _checkpoints(path)}
+    for s in (lo, hi):
+        if s != 0 and s not in known:
+            raise ValueError(f"no commit with seq {s} (have {sorted(known)})")
+    rng = [e for e in log if lo < e["seq"] <= hi]
+    have = {e["seq"] for e in rng}
+    gaps = [s for s in range(lo + 1, hi + 1) if s not in have]
+    if gaps:
+        raise ValueError(
+            f"cannot read changes ({lo}, {hi}]: commit(s) {gaps} were "
+            f"vacuumed — pull CDC from a retained version instead"
+        )
+    cols = _table_columns(spark, path)
+    if not rng:
+        empty = (
+            read_snapshot(spark, path, key_col, as_of_seq=hi)
+            .limit(0)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_seq", F.lit(0))
+        )
+        return empty
+    parts = []
+    for e in rng:
+        parts.append(
+            spark.read.parquet(e["path"]).withColumn("__seq", F.lit(e["seq"]))
+        )
+    alld = parts[0]
+    for p in parts[1:]:
+        alld = alld.unionByName(p, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__seq").desc(), F.col("__deleted").desc()
+    )
+    net = (
+        alld.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    before_keys = (
+        read_snapshot(spark, path, key_col, as_of_seq=lo)
+        .select(key_col)
+        .join(F.broadcast(net.select(key_col).distinct()), key_col,
+              "left_semi")
+        .withColumn("__ex", F.lit(True))
+    )
+    tagged = net.join(F.broadcast(before_keys), key_col, "left").withColumn(
+        "__ex", F.coalesce(F.col("__ex"), F.lit(False))
+    )
+    change = (
+        F.when(F.col("__deleted") & F.col("__ex"), F.lit("delete"))
+        .when(~F.col("__deleted") & F.col("__ex"), F.lit("update"))
+        .when(~F.col("__deleted") & ~F.col("__ex"), F.lit("insert"))
+    )
+    out_cols = [c for c in cols if c in tagged.columns]
+    return (
+        tagged.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            *out_cols,
+            F.col("_change_type"),
+            F.col("__seq").cast("int").alias("_commit_seq"),
+        )
+    )
+
+
+def checkpoint(spark: SparkSession, path: str, key_col: str) -> dict:
+    """Materialize the current snapshot as a CHECKPOINT — the Delta
+    checkpoint / Iceberg snapshot-manifest move: subsequent readers
+    start from the checkpoint files and replay only commits AFTER it,
+    so read cost stops growing with total history and time travel to
+    any seq ≥ the checkpoint stays exact. A checkpoint summarizes an
+    immutable log PREFIX (commits ≤ its seq), so it can be written
+    with zero writer coordination: commits landing while it writes
+    have higher seqs and simply replay on top. The marker claims
+    ``_checkpoints/<seq>.json`` with the same atomic link-if-absent
+    as commits — two racing checkpointers at the same seq resolve to
+    one winner, and the loser returns the winner's marker.
+
+    Returns the marker dict {seq, path, n_rows}."""
+    import uuid
+
+    log = _delta_log(path)
+    cks = _checkpoints(path)
+    seq = max(log[-1]["seq"] if log else 0, cks[-1]["seq"] if cks else 0)
+    cdir = os.path.join(path, _CKPT_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    marker_path = os.path.join(cdir, f"{seq:06d}.json")
+    if os.path.exists(marker_path):
+        with open(marker_path) as fh:
+            return json.load(fh)
+    token = uuid.uuid4().hex[:12]
+    snap = read_snapshot(spark, path, key_col, as_of_seq=seq)
+    # writer-unique data dir: racing checkpointers never share files;
+    # the marker claim decides whose data the table points at
+    out = os.path.join(cdir, f"{seq:06d}_{token}")
+    snap.write.mode("overwrite").parquet(out)
+    n_rows = spark.read.parquet(out).count()
+    marker = {"seq": int(seq), "path": out, "n_rows": int(n_rows)}
+    if _atomic_commit(cdir, seq, marker, token):
+        return marker
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # lost the race: drop orphan
+    with open(marker_path) as fh:
+        return json.load(fh)
+
+
+def vacuum(path: str) -> dict:
+    """Retention enforcement: delete delta files and commit-log
+    entries at or below the LATEST checkpoint — they are fully folded
+    into it, so the current snapshot and any time travel ≥ the
+    checkpoint (plus seq 0, which the untouched base files still
+    back) are unaffected; travel to vacuumed intermediate seqs raises
+    in :func:`read_snapshot`, and a writer whose conflict-check
+    snapshot predates the cutoff is refused in :func:`write_delta`
+    (its overlap can no longer be verified). Older checkpoints are
+    removed too. Base files are kept — they back the seq-0 view and
+    cost nothing ongoing.
+
+    Why this exists at 100 TB: MOR accretes a delta file set per
+    commit forever; without retention the log listing itself becomes
+    the bottleneck (the same argument as manifest-vs-listing). The
+    checkpoint+vacuum pair bounds live state to one materialized
+    snapshot + the commits since.
+
+    Returns {"cutoff_seq", "removed_commits", "removed_checkpoints",
+    "removed_files"}. No-op (cutoff 0) when no checkpoint exists."""
+    import shutil
+
+    cks = _checkpoints(path)
+    if not cks:
+        return {"cutoff_seq": 0, "removed_commits": 0,
+                "removed_checkpoints": 0, "removed_files": 0}
+    cutoff = cks[-1]["seq"]
+    removed_commits = removed_ckpts = removed_files = 0
+
+    def _rm_tree(p: str) -> int:
+        n = sum(len(fs) for _, _, fs in os.walk(p))
+        shutil.rmtree(p, ignore_errors=True)
+        return n
+
+    # legacy single-file log: rewrite with the surviving suffix
+    legacy = os.path.join(path, _DELTA_LOG)
+    if os.path.exists(legacy):
+        with open(legacy) as fh:
+            entries = json.load(fh)
+        keep = [e for e in entries if e["seq"] > cutoff]
+        for e in entries:
+            if e["seq"] <= cutoff:
+                removed_commits += 1
+                removed_files += _rm_tree(e["path"])
+        with open(legacy, "w") as fh:
+            json.dump(keep, fh)
+    cdir = os.path.join(path, _COMMIT_DIR)
+    if os.path.isdir(cdir):
+        for name in sorted(os.listdir(cdir)):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            fp = os.path.join(cdir, name)
+            with open(fp) as fh:
+                e = json.load(fh)
+            if e["seq"] <= cutoff:
+                removed_files += _rm_tree(e["path"])
+                os.unlink(fp)
+                removed_commits += 1
+    kdir = os.path.join(path, _CKPT_DIR)
+    for c in cks[:-1]:
+        removed_files += _rm_tree(c["path"])
+        os.unlink(os.path.join(kdir, f"{c['seq']:06d}.json"))
+        removed_ckpts += 1
+    return {"cutoff_seq": int(cutoff), "removed_commits": removed_commits,
+            "removed_checkpoints": removed_ckpts,
+            "removed_files": removed_files}

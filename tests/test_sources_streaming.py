@@ -844,3 +844,200 @@ def test_bloom_point_lookup(spark, tmp_path):
     with _pytest.raises(ValueError):
         write_with_manifest(df, str(tmp_path / "bf"), ["k"],
                             bloom_cols=["f"])  # float column refused
+
+
+def test_merge_into_branches(spark, tmp_path):
+    """merge_into (sources/manifest.py): matched+condition updates,
+    condition-failing matched rows stay untouched, unmatched inserts,
+    when_matched='delete' tombstones, duplicate source keys refused,
+    all-ignore merge is a no-op that writes NO commit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, merge_into, read_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i) * 10.0) for i in range(1, 11)],
+        "k long, name string, val double",
+    )
+    path = str(tmp_path / "merge")
+    base.write.mode("overwrite").parquet(path)
+
+    src = spark.createDataFrame(
+        [(2, "m2", 5.0), (3, "m3", 6.0), (50, "m50", 7.0)],
+        "k long, name string, val double",
+    )
+    e = merge_into(src, path, "k", matched_condition=F.col("k") > 2)
+    assert e["seq"] == 1
+    got = {r.k: (r.name, r.val) for r in read_snapshot(spark, path, "k").collect()}
+    assert got[2] == ("v2", 20.0)      # matched, condition false: untouched
+    assert got[3] == ("m3", 6.0)       # matched, condition true: updated
+    assert got[50] == ("m50", 7.0)     # unmatched: inserted
+    assert len(got) == 11
+
+    # delete branch; unmatched ignored
+    d = spark.createDataFrame(
+        [(3, "x", 0.0), (99, "x", 0.0)], "k long, name string, val double"
+    )
+    merge_into(d, path, "k", when_matched="delete", when_not_matched="ignore")
+    got = {r.k for r in read_snapshot(spark, path, "k").collect()}
+    assert 3 not in got and 99 not in got and len(got) == 10
+
+    # duplicate source keys: nondeterministic merge refused
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0)], "k long, name string, val double"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        merge_into(dup, path, "k")
+
+    # everything filtered out -> no commit written
+    seq_before = current_seq(path)
+    none = spark.createDataFrame(
+        [(999, "z", 0.0)], "k long, name string, val double"
+    )
+    assert merge_into(none, path, "k", when_not_matched="ignore") is None
+    assert current_seq(path) == seq_before
+
+
+def test_read_changes_cdc(spark, tmp_path):
+    """read_changes: per-key NET change between versions — insert /
+    update / delete tags with the commit seq, insert-then-delete
+    collapses to nothing, empty range yields an empty typed frame."""
+    from geomesa_hive_spark.sources.manifest import read_changes, write_delta
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "k long, v double"
+    )
+    path = str(tmp_path / "cdc")
+    base.write.mode("overwrite").parquet(path)
+
+    # c1: update 1, insert 10, insert 11
+    write_delta(
+        spark.createDataFrame(
+            [(1, 100.0), (10, 10.0), (11, 11.0)], "k long, v double"
+        ),
+        path, "k",
+    )
+    # c2: delete 2 (existed) and delete 11 (inserted in-range), update 10
+    write_delta(
+        spark.createDataFrame([(10, 200.0)], "k long, v double"),
+        path, "k",
+        delete_keys=spark.createDataFrame([(2,), (11,)], "k long"),
+    )
+    ch = {(r.k, r._change_type, r._commit_seq)
+          for r in read_changes(spark, path, "k", 0, 2).collect()}
+    assert ch == {
+        (1, "update", 1), (10, "insert", 2), (2, "delete", 2),
+    }, ch  # 11 collapsed: net no-op; 10's net action is c2 but still insert
+
+    # sub-range: from_seq=1 sees 10 as UPDATE (it existed at v1)
+    ch2 = {(r.k, r._change_type)
+           for r in read_changes(spark, path, "k", 1, 2).collect()}
+    assert ch2 == {(10, "update"), (2, "delete"), (11, "delete")}
+
+    # delete rows carry NULL non-key columns
+    dels = {r.k: r.v for r in read_changes(spark, path, "k", 0, 2)
+            .filter("_change_type = 'delete'").collect()}
+    assert dels == {2: None}
+
+    empty = read_changes(spark, path, "k", 2, 2)
+    assert empty.count() == 0
+    assert set(empty.columns) >= {"k", "v", "_change_type", "_commit_seq"}
+
+
+def test_checkpoint_vacuum_retention(spark, tmp_path):
+    """checkpoint + vacuum: snapshot identical before/after, reader
+    scans ONLY checkpoint files + post-checkpoint deltas, time travel
+    to vacuumed seqs raises while seq 0 and >= cutoff survive, commit
+    numbering continues, stale conflict-check writers are refused."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        ConcurrentWriteConflict, checkpoint, current_seq, read_snapshot,
+        vacuum, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    path = str(tmp_path / "ckpt")
+    base.write.mode("overwrite").parquet(path)
+    write_delta(spark.createDataFrame([(1, 11.0)], "k long, v double"), path, "k")
+    write_delta(
+        spark.createDataFrame([(2, 22.0)], "k long, v double"), path, "k",
+        delete_keys=spark.createDataFrame([(3,)], "k long"),
+    )
+    before = {(r.k, r.v) for r in read_snapshot(spark, path, "k").collect()}
+
+    m = checkpoint(spark, path, "k")
+    assert m["seq"] == 2 and m["n_rows"] == 19
+    # idempotent: second call returns the same marker, writes nothing new
+    assert checkpoint(spark, path, "k")["path"] == m["path"]
+
+    after = {(r.k, r.v) for r in read_snapshot(spark, path, "k").collect()}
+    assert after == before
+    # reader scans only checkpoint files (base and delta dirs unread)
+    files = {
+        r[0] for r in read_snapshot(spark, path, "k")
+        .selectExpr("input_file_name()").distinct().collect()
+    }
+    assert files and all("_checkpoints" in f for f in files), files
+
+    write_delta(spark.createDataFrame([(4, 44.0)], "k long, v double"), path, "k")
+    rep = vacuum(path)
+    assert rep["cutoff_seq"] == 2 and rep["removed_commits"] == 2
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert got[4] == 44.0 and got[1] == 11.0 and 3 not in got
+
+    # retention semantics
+    assert read_snapshot(spark, path, "k", as_of_seq=0).count() == 20
+    assert read_snapshot(spark, path, "k", as_of_seq=2).count() == 19
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, "k", as_of_seq=1)
+    assert current_seq(path) == 3
+
+    # stale writer (snapshot below cutoff) refused; fresh one lands
+    up = spark.createDataFrame([(5, 55.0)], "k long, v double")
+    with _pytest.raises(ConcurrentWriteConflict, match="retention"):
+        write_delta(up, path, "k", check_conflict_from_seq=1)
+    e = write_delta(up, path, "k", check_conflict_from_seq=3)
+    assert e["seq"] == 4
+
+
+def test_schema_evolution(spark, tmp_path):
+    """write_delta schema evolution: new columns are gated behind
+    allow_schema_evolution, pre-evolution rows read NULL, checkpoint
+    folds the widened schema, old-schema deltas still commit after."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "k long, v double"
+    )
+    path = str(tmp_path / "evo")
+    base.write.mode("overwrite").parquet(path)
+
+    wide = spark.createDataFrame(
+        [(1, 10.0, "HI")], "k long, v double, prio string"
+    )
+    with _pytest.raises(ValueError, match="allow_schema_evolution"):
+        write_delta(wide, path, "k")
+    write_delta(wide, path, "k", allow_schema_evolution=True)
+
+    snap = read_snapshot(spark, path, "k")
+    assert snap.columns == ["k", "v", "prio"]
+    got = {r.k: r.prio for r in snap.collect()}
+    assert got[1] == "HI" and got[2] is None
+
+    checkpoint(spark, path, "k")
+    # narrow (old-schema) delta after evolution: missing col reads NULL
+    write_delta(
+        spark.createDataFrame([(2, 222.0)], "k long, v double"), path, "k"
+    )
+    got = {r.k: (r.v, r.prio) for r in read_snapshot(spark, path, "k").collect()}
+    assert got[2] == (222.0, None) and got[1] == (10.0, "HI")
