@@ -2839,6 +2839,224 @@ def q_stream_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the MOR table (round-7, sources/manifest.py
+    merge_into — Delta MERGE / SQL:2003 MERGE compiled to one atomic
+    delta commit). Merge 1: source carries repriced %9 keys (+250,
+    status 'M') plus brand-new negative keys mirroring %17 keys
+    (status 'N'); matched rows update ONLY where the source price
+    clears 150000 (matched_condition — non-qualifying rows stay
+    untouched), unmatched rows insert. Merge 2: when_matched='delete'
+    tombstones the %23 keys. Matched-key detection is snapshot ⋉
+    broadcast(source keys) — one base scan, zero base shuffle. The
+    oracle replays both commits as window resolution over
+    base ∪ effective-deltas."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import merge_into, read_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_merge_")
+    o.write.mode("overwrite").parquet(path)
+    src1 = (
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(250.0))
+        .withColumn("o_orderstatus", F.lit("M"))
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("o_orderkey", -F.col("o_orderkey") - F.lit(1))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    e1 = merge_into(
+        src1, path, "o_orderkey",
+        matched_condition=F.col("o_totalprice") > F.lit(150000.0),
+    )
+    assert e1 is not None and e1["seq"] == 1
+    src2 = o.filter(F.col("o_orderkey") % 23 == 0)
+    e2 = merge_into(
+        src2, path, "o_orderkey",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert e2 is not None and e2["seq"] == 2 and e2["n_upserts"] == 0
+    snap = read_snapshot(spark, path, "o_orderkey")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
+def q_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / incremental read (round-7, sources/manifest.py
+    read_changes — Delta Change Data Feed collapsed per key): land the
+    mor_upsert commits (c1: %7 repriced; c2: %13 repriced + %11
+    tombstones), then pull net changes for BOTH ranges (0→2 and 1→2)
+    and aggregate per (range, change_type, commit_seq). The 0→2 pull
+    must tag %11 keys delete@2, surviving %13 keys update@2, pure %7
+    keys update@1; the 1→2 pull sees only c2's effects. Change
+    detection shuffles only delta rows; existence-at-from is one
+    broadcast semi-join against the base scan. Oracle derives the same
+    tags with CASE precedence (delete > later-commit > earlier)."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import read_changes, write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_cdc_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    full = read_changes(spark, path, "o_orderkey", 0, 2).withColumn(
+        "rng", F.lit("0-2")
+    )
+    tail = read_changes(spark, path, "o_orderkey", 1, 2).withColumn(
+        "rng", F.lit("1-2")
+    )
+    return (
+        full.unionByName(tail)
+        .groupBy("rng", "_change_type", "_commit_seq")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2,
+            ).alias("total"),
+        )
+        .select(
+            "rng", F.col("_change_type").alias("change_type"),
+            F.col("_commit_seq").alias("commit_seq"), "cnt", "total",
+        )
+    )
+
+
+def q_mor_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint + vacuum retention (round-7, sources/manifest.py
+    checkpoint/vacuum — the Delta checkpoint / Iceberg
+    snapshot-expiry pair): commit c1, CHECKPOINT (readers now start
+    from the materialized snapshot and replay only later commits),
+    commit c2, VACUUM (drops c1's files — folded into the
+    checkpoint). The query asserts the vacuum report in-line (cutoff
+    seq 1, exactly one commit removed) and returns versions v0 (base,
+    still backed by untouched base files), v1 (the checkpoint), and
+    latest (checkpoint + c2) side by side — so the hash proves vacuum
+    changed NOTHING an eligible reader can see. Oracle replays the
+    three log prefixes."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, vacuum, write_delta,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_ckpt_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    m = checkpoint(spark, path, "o_orderkey")
+    assert m["seq"] == 1
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    rep = vacuum(path)
+    assert rep["cutoff_seq"] == 1 and rep["removed_commits"] == 1, rep
+    v0 = read_snapshot(spark, path, "o_orderkey", as_of_seq=0).withColumn(
+        "ver", F.lit("v0")
+    )
+    v1 = read_snapshot(spark, path, "o_orderkey", as_of_seq=1).withColumn(
+        "ver", F.lit("v1")
+    )
+    v2 = read_snapshot(spark, path, "o_orderkey").withColumn("ver", F.lit("v2"))
+    return (
+        v0.unionByName(v1).unionByName(v2)
+        .groupBy("ver", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("ver", "o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
+def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the MOR table (round-7, write_delta
+    allow_schema_evolution + unionByName-null-fill reads — Delta/
+    Iceberg add-column without base rewrite): c1 widens the table
+    with o_priority='HI' on the %7 keys; c2 is a NARROW (old-schema)
+    delta repricing %13 keys. The snapshot must read NULL o_priority
+    for base-era rows AND for %7∩%13 keys (c2's narrow row wins the
+    window, so its missing column nulls out c1's value) — exactly the
+    cross-schema resolution the oracle replays with an explicit NULL
+    column."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import read_snapshot, write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_evo_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_priority", F.lit("HI"))
+    )
+    try:
+        write_delta(up1, path, "o_orderkey")
+        raise AssertionError("schema widening was not gated")
+    except ValueError:
+        pass
+    write_delta(up1, path, "o_orderkey", allow_schema_evolution=True)
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    write_delta(up2, path, "o_orderkey")
+    snap = read_snapshot(spark, path, "o_orderkey")
+    assert snap.columns[-1] == "o_priority"
+    return (
+        snap.groupBy("o_orderstatus", F.coalesce("o_priority", F.lit("NONE")).alias("prio"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "prio", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
 def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order file clustering (round-7, sources/manifest.py
     write_zordered — Delta OPTIMIZE ZORDER on plain parquet): lineitem
@@ -5471,6 +5689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_concurrent": q_mor_concurrent,
         "mor_time_travel": q_mor_time_travel,
         "stream_mor_upsert": q_stream_mor_upsert,
+        "mor_merge": q_mor_merge,
+        "mor_changes": q_mor_changes,
+        "mor_checkpoint": q_mor_checkpoint,
+        "mor_schema_evolution": q_mor_schema_evolution,
         "manifest_zorder": q_manifest_zorder,
         "manifest_bloom": q_manifest_bloom,
         "pipeline_checks": q_pipeline_checks,
@@ -8687,6 +8909,131 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM resolved
             GROUP BY o_orderstatus
+        """,
+        "mor_merge": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 250.0, 'M', 1, 0
+              FROM orders
+              WHERE o_orderkey % 9 = 0
+                AND o_totalprice + 250.0 > 150000.0
+              UNION ALL
+              SELECT -o_orderkey - 1, o_totalprice, 'N', 1, 0
+              FROM orders WHERE o_orderkey % 17 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 23 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
+        """,
+        "mor_changes": """
+            WITH full_rng AS (
+              SELECT '0-2' AS rng,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+                          ELSE 'update' END AS change_type,
+                     CASE WHEN o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+                          THEN 2 ELSE 1 END AS commit_seq,
+                     CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                          WHEN o_orderkey % 13 = 0 THEN o_totalprice - 500.0
+                          ELSE o_totalprice + 1000.0 END AS price
+              FROM orders
+              WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+                 OR o_orderkey % 13 = 0
+            ), tail_rng AS (
+              SELECT '1-2' AS rng,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+                          ELSE 'update' END AS change_type,
+                     2 AS commit_seq,
+                     CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                          ELSE o_totalprice - 500.0 END AS price
+              FROM orders
+              WHERE o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+            ), u AS (
+              SELECT * FROM full_rng UNION ALL SELECT * FROM tail_rng
+            )
+            SELECT rng, change_type, CAST(commit_seq AS INT) AS commit_seq,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(price AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM u
+            GROUP BY rng, change_type, commit_seq
+        """,
+        "mor_checkpoint": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), v0 AS (
+              SELECT 'v0' AS ver, o_orderstatus, o_totalprice FROM orders
+            ), v1 AS (
+              SELECT 'v1' AS ver, o_orderstatus, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv WHERE seq <= 1
+              ) WHERE rn = 1 AND del = 0
+            ), v2 AS (
+              SELECT 'v2' AS ver, o_orderstatus, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv
+              ) WHERE rn = 1 AND del = 0
+            ), u AS (
+              SELECT * FROM v0
+              UNION ALL SELECT * FROM v1
+              UNION ALL SELECT * FROM v2
+            )
+            SELECT ver, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM u
+            GROUP BY ver, o_orderstatus
+        """,
+        "mor_schema_evolution": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     CAST(NULL AS VARCHAR) AS o_priority, 0 AS seq
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 'HI', 1
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', NULL, 2
+              FROM orders WHERE o_orderkey % 13 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, coalesce(o_priority, 'NONE') AS prio,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1
+            GROUP BY o_orderstatus, coalesce(o_priority, 'NONE')
         """,
         "manifest_zorder": """
             WITH mx AS (
