@@ -3057,6 +3057,116 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (pipeline/sampling.py
+    shuffle_shards — the final write step of a training pipeline):
+    every document gets shard = md5 mod n and an independent 60-bit
+    md5 position, so (shard, pos, id) is a reproducible global
+    permutation with NO global sort — writing is one shuffle by shard
+    + per-shard local sort, invariant to cluster size, partitioning,
+    and engine (what makes mid-epoch resume and cross-run loss
+    comparison possible). The oracle replays the md5/conv arithmetic
+    bit-for-bit; min/max/modular-sum of pos per shard pin the exact
+    permutation, not just the counts."""
+    from geomesa_hive_spark.pipeline import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = sampling.shuffle_shards(docs, "doc_id", 8, seed=7)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.sum(F.col("pos") % F.lit(1000003)).cast("long").alias("possum"),
+        )
+        .select("shard", "cnt", "min_pos", "max_pos", "possum")
+    )
+
+
+def q_relational_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables
+    (operators/join_strategies.py — Hive bucketing / Iceberg bucket
+    transforms; pay the shuffle ONCE at write time, amortize over
+    every future join): orders and customer both written bucketed by
+    custkey into 16 buckets, then equi-joined with a merge hint — the
+    join subplan is ASSERTED to contain zero Exchange nodes (the
+    broadcast-avoiding hint makes the assertion prove the bucket
+    layout, not the small-table path). At 100 TB this is the
+    difference between a join that moves both tables and one that
+    moves nothing. Oracle is the plain join+agg — bucketing must not
+    change a single row."""
+    import tempfile
+    import uuid
+
+    from geomesa_hive_spark.operators.join_strategies import (
+        bucketed_equijoin, write_bucketed,
+    )
+
+    tok = uuid.uuid4().hex[:8]
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed(o, f"ghs_bo_{tok}", "custkey", num_buckets=16,
+                   sort_cols="custkey",
+                   path=tempfile.mkdtemp(prefix="ghs_bo_"))
+    write_bucketed(c, f"ghs_bc_{tok}", "custkey", num_buckets=16,
+                   sort_cols="custkey",
+                   path=tempfile.mkdtemp(prefix="ghs_bc_"))
+    joined = bucketed_equijoin(spark, f"ghs_bo_{tok}", f"ghs_bc_{tok}",
+                               "custkey")
+    out = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("c_mktsegment", "cnt", F.round("total", 2).alias("total"))
+    )
+    for t in (f"ghs_bo_{tok}", f"ghs_bc_{tok}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment gate (streaming/events.py
+    enrich_with_dim — the Kappa lookup join): events keyed into the
+    customer dimension (user_id folded onto the custkey range) and
+    LEFT-joined against the broadcast dimension — stateless on the
+    stream side (no watermark, no buffered rows; the static side is
+    complete by definition), zero stream-side shuffle. The gate runs
+    the operator function ITSELF on the batch frame (a stream-static
+    join is the identical plan per micro-batch); true micro-batch
+    parity is pytest-pinned. Oracle replays the key fold + join."""
+    from geomesa_hive_spark.streaming.events import enrich_with_dim
+
+    ev = _events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    max_c = cust.agg(F.max("custkey")).collect()[0][0]
+    keyed = ev.withColumn(
+        "custkey", (F.col("user_id") % F.lit(int(max_c))) + F.lit(1)
+    )
+    enriched = enrich_with_dim(keyed, cust, on="custkey", how="left")
+    return (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double").alias("total"),
+        )
+        .select(
+            "c_mktsegment", "event_type", "cnt",
+            F.round("total", 4).alias("total"),
+        )
+    )
+
+
 def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order file clustering (round-7, sources/manifest.py
     write_zordered — Delta OPTIMIZE ZORDER on plain parquet): lineitem
@@ -5693,6 +5803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_changes": q_mor_changes,
         "mor_checkpoint": q_mor_checkpoint,
         "mor_schema_evolution": q_mor_schema_evolution,
+        "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
+        "relational_bucketed_join": q_relational_bucketed_join,
+        "stream_enrich": q_stream_enrich,
         "manifest_zorder": q_manifest_zorder,
         "manifest_bloom": q_manifest_bloom,
         "pipeline_checks": q_pipeline_checks,
@@ -9034,6 +9147,39 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1
             GROUP BY o_orderstatus, coalesce(o_priority, 'NONE')
+        """,
+        "pipeline_shuffle_shards": f"""
+            WITH h AS (
+              SELECT CAST({_hex2int_sql("md5(concat_ws(':', 'shard', '7', CAST(doc_id AS VARCHAR)))", 8)} % 8 AS INT) AS shard,
+                     CAST({_hex2int_sql("md5(concat_ws(':', 'pos', '7', CAST(doc_id AS VARCHAR)))", 15)} AS BIGINT) AS pos
+              FROM documents
+            )
+            SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+                   min(pos) AS min_pos, max(pos) AS max_pos,
+                   CAST(sum(pos % 1000003) AS BIGINT) AS possum
+            FROM h GROUP BY shard
+        """,
+        "relational_bucketed_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "stream_enrich": """
+            WITH mx AS (
+              SELECT max(c_custkey) AS mc FROM customer
+            ), keyed AS (
+              SELECT (e.user_id % mx.mc) + 1 AS custkey,
+                     e.event_type, e.value
+              FROM events e, mx
+            )
+            SELECT c.c_mktsegment, k.event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(k.value AS DECIMAL(18,4)))
+                         AS DOUBLE), 4) AS total
+            FROM keyed k LEFT JOIN customer c ON k.custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, k.event_type
         """,
         "manifest_zorder": """
             WITH mx AS (

@@ -20,10 +20,13 @@ both are core to running its workloads at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed", "salted_join"]
+__all__ = [
+    "write_bucketed", "salted_join", "assert_no_exchange",
+    "bucketed_equijoin",
+]
 
 
 def write_bucketed(
@@ -33,6 +36,7 @@ def write_bucketed(
     num_buckets: int = 64,
     sort_cols: list[str] | str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) parquet table.
 
@@ -40,13 +44,46 @@ def write_bucketed(
     SAME way (same columns, same ``num_buckets``) runs shuffle-free;
     sorting within buckets additionally enables shuffle-free
     sort-merge-join. At 100 TB pick ``num_buckets`` ≈ cluster cores so
-    one bucket ≈ one task."""
+    one bucket ≈ one task. ``path`` makes the table EXTERNAL (data at
+    the caller's location, layout in the catalog — bucketing only
+    lives in a catalog table; plain ``parquet(path)`` reads lose it)."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
     if sort_cols:
         sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*sc)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def assert_no_exchange(df: DataFrame) -> str:
+    """Assert the physical plan for ``df`` contains NO Exchange (i.e.
+    no shuffle) — the property bucketing exists to buy. Returns the
+    plan string for logging/tests; raises AssertionError with the plan
+    when an exchange is present."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(f"plan contains an Exchange:\n{plan}")
+    return plan
+
+
+def bucketed_equijoin(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str,
+) -> DataFrame:
+    """Join two bucketed catalog tables on their bucket key and PROVE
+    the join shuffled nothing (``assert_no_exchange`` on the join
+    subplan). The merge hint pins SortMergeJoin so a small side can't
+    be broadcast — broadcasting would also avoid the exchange but
+    would prove nothing about the bucket layout."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    joined = left.hint("merge").join(right, on=on)
+    assert_no_exchange(joined)
+    return joined
 
 
 def salted_join(

@@ -32,6 +32,7 @@ __all__ = [
     "group_split",
     "sample_fraction",
     "weighted_mix",
+    "shuffle_shards",
 ]
 
 
@@ -233,3 +234,58 @@ def stratified_sample(
         .filter(F.col("__rn") <= int(n_per_group))
         .drop("__rn")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the FINAL write step
+    of a training-data pipeline: every training run wants the corpus
+    in a pseudo-random order that is reproducible, resumable, and
+    independent of how the data happened to be partitioned upstream.
+
+    A true global sort by random() is neither (nondeterministic, one
+    giant sort); sortBy(rand(seed)) re-rolls per task retry. Instead
+    each row gets a pure FUNCTION of its id: ``shard`` = first 32
+    md5 bits mod n_shards, ``pos`` = an independent 60-bit md5 draw —
+    so (shard, pos, id) is a reproducible global permutation. Writing
+    is then ``df.repartition(n_shards, shard).sortWithinPartitions
+    (pos, id)`` (or ``.write.partitionBy(shard)``): one shuffle whose
+    reduce side is the shard layout, a per-shard local sort, and NO
+    global sort ever. Re-running on different cluster sizes,
+    partitionings, or engines yields byte-identical shard contents
+    and order — which is what makes mid-epoch resume and loss-curve
+    comparison across runs possible. A different seed is an
+    independent permutation (epoch reshuffle).
+
+    Collisions in ``pos`` (P ≈ n²/2⁶¹) are broken by id in the write
+    ordering above, keeping the permutation total. Both columns are
+    native md5/conv expressions — whole-stage codegen, no Python, and
+    exactly replayable in ANSI SQL (the contract oracle recomputes
+    them bit-for-bit)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    sid = _c(id_col).cast("string")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("shard"), F.lit(str(seed)), sid)),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(int(n_shards)),
+    ).cast("int")
+    pos = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("pos"), F.lit(str(seed)), sid)),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.withColumn(shard_col, shard).withColumn(pos_col, pos)

@@ -10,6 +10,7 @@ UDFs + native exprs, so it composes with streaming DataFrames unchanged).
 
 from geomesa_hive_spark.streaming.events import (
     enrich_stream_spatial,
+    enrich_with_dim,
     hourly_rollup,
     normalize_event_ts,
     read_events_stream,
@@ -38,6 +39,7 @@ __all__ = [
     "batch_dedup",
     "dedup_fingerprint",
     "enrich_stream_spatial",
+    "enrich_with_dim",
     "streaming_dedup",
     "streaming_contamination_filter",
     "run_to_memory",

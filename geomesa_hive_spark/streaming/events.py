@@ -43,6 +43,7 @@ __all__ = [
     "batch_anomaly",
     "batch_sessions",
     "enrich_stream_spatial",
+    "enrich_with_dim",
     "streaming_dedup",
     "dedup_fingerprint",
     "batch_dedup",
@@ -563,3 +564,38 @@ def stream_interval_join(
         F.round(F.col("l_value"), 4).alias("view_value"),
         F.round(F.col("r_value"), 4).alias("purchase_value"),
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the Kappa-architecture
+    lookup join: a streaming fact frame joined to a BOUNDED dimension
+    (customer, device, geo) with the dimension broadcast, so each
+    micro-batch pays a hash-probe per row and the stream side NEVER
+    shuffles and holds ZERO state (unlike stream-stream joins, there
+    is no watermark, no buffered rows — the join is stateless because
+    the static side is complete by definition).
+
+    Works identically on batch frames (a batch join is the same plan),
+    which is what lets the contract gate hash-verify the operator's
+    real expressions against a DuckDB replay while the true
+    micro-batch path is pinned by a stream-vs-batch parity test.
+
+    Spark re-reads the static side's files each micro-batch (that is
+    the documented way dimension updates become visible mid-stream);
+    at 100 TB-fact / 1 GB-dim scale, keep the dimension compact or
+    pre-filter its columns — `broadcast_dim=False` falls back to
+    letting the planner choose when a dimension outgrows broadcast.
+
+    ``how`` must keep the stream side intact ('left' or 'inner'):
+    outer joins on the static side are not defined for unbounded
+    streams and Spark rejects them at analysis."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"stream-static join must be left/inner (got {how!r})")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on=on, how=how)

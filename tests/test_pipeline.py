@@ -2021,3 +2021,38 @@ def test_check_constraints_validation_errors(spark):
             {"kind": "not_null", "col": "id", "name": "x"},
             {"kind": "unique", "col": "id", "name": "x"},
         ])
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    """shuffle_shards: shard∈[0,n), partition-invariant assignment,
+    balanced shards, independent permutations per seed, and a total
+    deterministic (shard, pos, id) order."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.sampling import shuffle_shards
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s1 = shuffle_shards(df, "doc_id", 8, seed=1)
+    # exhaustive + in-range
+    assert s1.count() == 4000
+    rng = s1.agg(F.min("shard"), F.max("shard")).collect()[0]
+    assert rng[0] == 0 and rng[1] == 7
+    # balanced: 4000 rows over 8 shards, each within ±25% of 500
+    sizes = {r.shard: r.cnt for r in
+             s1.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
+    assert all(375 <= n <= 625 for n in sizes.values()), sizes
+    # partition-invariance: same assignment after a hostile repartition
+    s2 = shuffle_shards(df.repartition(13), "doc_id", 8, seed=1)
+    a = {(r.doc_id, r.shard, r.pos) for r in s1.collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in s2.collect()}
+    assert a == b
+    # a different seed is a different permutation
+    s3 = shuffle_shards(df, "doc_id", 8, seed=2)
+    c = {(r.doc_id, r.shard, r.pos) for r in s3.collect()}
+    assert a != c
+    # pos is (effectively) unique -> (shard, pos, id) is a total order
+    assert s1.select("pos").distinct().count() == 4000
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", 0)

@@ -1041,3 +1041,77 @@ def test_schema_evolution(spark, tmp_path):
     )
     got = {r.k: (r.v, r.prio) for r in read_snapshot(spark, path, "k").collect()}
     assert got[2] == (222.0, None) and got[1] == (10.0, "HI")
+
+
+def test_stream_static_enrich_multibatch_parity(spark, tmp_path):
+    """enrich_with_dim: TRUE micro-batch e2e — three availableNow
+    batches LEFT-joined to a static dimension match the batch join
+    row-for-row (incl. an unmatched key surviving with NULLs), >1
+    micro-batch demonstrably ran, and the stream side stays stateless
+    (append mode, no watermark). Outer-on-static 'how' values are
+    rejected up front."""
+    import pytest as _pytest
+
+    batch, stream = _multi_file_events(spark, tmp_path, "mb_enrich")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )  # user 3 deliberately unmatched
+    out = streaming.enrich_with_dim(stream, dim, on="user_id")
+    assert out.isStreaming
+    q = streaming.run_to_memory(out, "mb_enrich_t", output_mode="append")
+    assert q.lastProgress["batchId"] >= 2
+    key = lambda r: (r.user_id, r.ts, r.event_type, r.value, r.tier)
+    got = sorted(key(r) for r in spark.table("mb_enrich_t").collect())
+    exp = sorted(
+        key(r)
+        for r in streaming.enrich_with_dim(batch, dim, on="user_id").collect()
+    )
+    assert got == exp and len(got) == 11
+    assert {t[-1] for t in got if t[0] == 3} == {None}  # left-join nulls
+
+    with _pytest.raises(ValueError, match="left/inner"):
+        streaming.enrich_with_dim(stream, dim, on="user_id", how="full")
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """write_bucketed + bucketed_equijoin: the bucketed join plans
+    ZERO Exchange nodes while the identical un-bucketed merge join
+    shuffles; results equal the plain join exactly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.operators.join_strategies import (
+        assert_no_exchange, bucketed_equijoin, write_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i % 50, i, float(i)) for i in range(500)],
+        "k long, oid long, v double",
+    )
+    right = spark.createDataFrame(
+        [(i, f"seg{i % 5}") for i in range(50)], "k long, seg string"
+    )
+    write_bucketed(left, "t_bl", "k", num_buckets=8, sort_cols="k",
+                   path=str(tmp_path / "bl"))
+    write_bucketed(right, "t_br", "k", num_buckets=8, sort_cols="k",
+                   path=str(tmp_path / "br"))
+    try:
+        j = bucketed_equijoin(spark, "t_bl", "t_br", "k")
+        got = (
+            j.groupBy("seg").agg(F.count("*").alias("cnt"),
+                                 F.sum("v").alias("sv"))
+            .collect()
+        )
+        exp = (
+            left.join(right, "k")
+            .groupBy("seg").agg(F.count("*").alias("cnt"),
+                                F.sum("v").alias("sv"))
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+        # control: the same hinted join WITHOUT bucketing must shuffle
+        with _pytest.raises(AssertionError, match="Exchange"):
+            assert_no_exchange(left.hint("merge").join(right, "k"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bl")
+        spark.sql("DROP TABLE IF EXISTS t_br")
