@@ -1004,7 +1004,7 @@ def checkpoint(spark: SparkSession, path: str, key_col: str) -> dict:
         return json.load(fh)
 
 
-def vacuum(path: str) -> dict:
+def vacuum(path: str, remove_orphans: bool = False) -> dict:
     """Retention enforcement: delete delta files and commit-log
     entries at or below the LATEST checkpoint — they are fully folded
     into it, so the current snapshot and any time travel ≥ the
@@ -1016,6 +1016,15 @@ def vacuum(path: str) -> dict:
     removed too. Base files are kept — they back the seq-0 view and
     cost nothing ongoing.
 
+    ``remove_orphans`` additionally deletes ``_delta_*`` data dirs no
+    commit references — the leak a conflict-REFUSED writer leaves
+    (data lands before the commit claim; a refusal orphans it). Like
+    Delta's VACUUM retention window, this is only safe when no writer
+    is mid-commit (an in-flight writer's data dir is indistinguishable
+    from an orphan until its claim lands), hence opt-in — run it from
+    the same maintenance schedule as checkpointing, quiesced or with
+    an age guard at the storage layer.
+
     Why this exists at 100 TB: MOR accretes a delta file set per
     commit forever; without retention the log listing itself becomes
     the bottleneck (the same argument as manifest-vs-listing). The
@@ -1023,20 +1032,37 @@ def vacuum(path: str) -> dict:
     snapshot + the commits since.
 
     Returns {"cutoff_seq", "removed_commits", "removed_checkpoints",
-    "removed_files"}. No-op (cutoff 0) when no checkpoint exists."""
+    "removed_files", "removed_orphans"}. Commit/checkpoint removal is
+    a no-op (cutoff 0) when no checkpoint exists; orphan removal
+    works regardless."""
     import shutil
 
-    cks = _checkpoints(path)
-    if not cks:
-        return {"cutoff_seq": 0, "removed_commits": 0,
-                "removed_checkpoints": 0, "removed_files": 0}
-    cutoff = cks[-1]["seq"]
     removed_commits = removed_ckpts = removed_files = 0
+    removed_orphans = 0
 
     def _rm_tree(p: str) -> int:
         n = sum(len(fs) for _, _, fs in os.walk(p))
         shutil.rmtree(p, ignore_errors=True)
         return n
+
+    if remove_orphans:
+        referenced = {
+            os.path.basename(e["path"].rstrip("/"))
+            for e in _delta_log(path)
+        }
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if (name.startswith("_delta_") and os.path.isdir(full)
+                    and name not in referenced):
+                removed_files += _rm_tree(full)
+                removed_orphans += 1
+
+    cks = _checkpoints(path)
+    if not cks:
+        return {"cutoff_seq": 0, "removed_commits": 0,
+                "removed_checkpoints": 0, "removed_files": removed_files,
+                "removed_orphans": removed_orphans}
+    cutoff = cks[-1]["seq"]
 
     # legacy single-file log: rewrite with the surviving suffix
     legacy = os.path.join(path, _DELTA_LOG)
@@ -1069,4 +1095,5 @@ def vacuum(path: str) -> dict:
         removed_ckpts += 1
     return {"cutoff_seq": int(cutoff), "removed_commits": removed_commits,
             "removed_checkpoints": removed_ckpts,
-            "removed_files": removed_files}
+            "removed_files": removed_files,
+            "removed_orphans": removed_orphans}

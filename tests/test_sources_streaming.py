@@ -1115,3 +1115,51 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bl")
         spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_vacuum_removes_refused_writer_orphans(spark, tmp_path):
+    """A conflict-REFUSED writer's data dir (landed before the commit
+    claim) is an orphan; vacuum(remove_orphans=True) deletes exactly
+    it, never a referenced delta, and the snapshot is unchanged."""
+    import os
+
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        ConcurrentWriteConflict, read_snapshot, vacuum, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    path = str(tmp_path / "orph")
+    base.write.mode("overwrite").parquet(path)
+    write_delta(
+        spark.createDataFrame([(1, 11.0)], "k long, v double"), path, "k"
+    )
+    # stale writer on the same key: refused AFTER its data dir landed
+    with _pytest.raises(ConcurrentWriteConflict):
+        write_delta(
+            spark.createDataFrame([(1, 99.0)], "k long, v double"),
+            path, "k", check_conflict_from_seq=0,
+        )
+    n_dirs = lambda: sum(
+        1 for n in os.listdir(path)
+        if n.startswith("_delta_") and os.path.isdir(os.path.join(path, n))
+    )
+    assert n_dirs() == 2  # one committed, one orphaned
+    before = {(r.k, r.v) for r in read_snapshot(spark, path, "k").collect()}
+    rep = vacuum(path, remove_orphans=True)
+    assert rep["removed_orphans"] == 1 and rep["cutoff_seq"] == 0
+    assert n_dirs() == 1
+    after = {(r.k, r.v) for r in read_snapshot(spark, path, "k").collect()}
+    assert after == before
+    # default leaves orphans alone (in-flight-writer safety)
+    with _pytest.raises(ConcurrentWriteConflict):
+        write_delta(
+            spark.createDataFrame([(1, 98.0)], "k long, v double"),
+            path, "k", check_conflict_from_seq=0,
+        )
+    assert n_dirs() == 2
+    assert vacuum(path)["removed_orphans"] == 0
+    assert n_dirs() == 2
