@@ -1163,3 +1163,56 @@ def test_vacuum_removes_refused_writer_orphans(spark, tmp_path):
     assert n_dirs() == 2
     assert vacuum(path)["removed_orphans"] == 0
     assert n_dirs() == 2
+
+
+def test_merge_into_txn_and_conflict_passthrough(spark, tmp_path):
+    """merge_into forwards txn_id (replayed merge lands exactly once)
+    and check_conflict_from_seq (stale merge over a touched key is
+    refused) to the underlying commit protocol."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        ConcurrentWriteConflict, current_seq, merge_into, read_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    path = str(tmp_path / "mtxn")
+    base.write.mode("overwrite").parquet(path)
+    src = spark.createDataFrame([(1, 100.0), (20, 20.0)], "k long, v double")
+    e1 = merge_into(src, path, "k", txn_id="merge-batch-7")
+    e2 = merge_into(src, path, "k", txn_id="merge-batch-7")  # replay
+    assert e1["seq"] == e2["seq"] == 1 and current_seq(path) == 1
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert got[1] == 100.0 and got[20] == 20.0 and len(got) == 11
+
+    # stale merge: computed against seq 0, key 1 touched by commit 1
+    stale = spark.createDataFrame([(1, 7.0)], "k long, v double")
+    with _pytest.raises(ConcurrentWriteConflict):
+        merge_into(stale, path, "k", check_conflict_from_seq=0)
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """CDC over a range that includes a widening commit: post-image
+    rows carry the new column, pre-evolution net changes read NULL
+    for it, and the widened schema appears in the output columns."""
+    from geomesa_hive_spark.sources.manifest import read_changes, write_delta
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k long, v double"
+    )
+    path = str(tmp_path / "cdcevo")
+    base.write.mode("overwrite").parquet(path)
+    write_delta(
+        spark.createDataFrame([(1, 11.0)], "k long, v double"), path, "k"
+    )
+    wide = spark.createDataFrame(
+        [(2, 22.0, "HI")], "k long, v double, prio string"
+    )
+    write_delta(wide, path, "k", allow_schema_evolution=True)
+    ch = read_changes(spark, path, "k", 0, 2)
+    assert "prio" in ch.columns
+    got = {r.k: (r._change_type, r.v, r.prio) for r in ch.collect()}
+    assert got[1] == ("update", 11.0, None)
+    assert got[2] == ("update", 22.0, "HI")
