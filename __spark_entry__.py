@@ -3057,6 +3057,55 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (round-7,
+    sources/incremental.py — the canonical CDC consumer / Delta Live
+    Tables pattern): the per-status count+sum view is computed once at
+    v0, the mor_upsert commits land (c1 repricing moves %7 keys into
+    status 'U', c2 moves %13 keys to 'V' and deletes %11 keys), and the
+    view is rolled forward with CHANGED ROWS ONLY — subtract pre-image
+    contributions, add post-image contributions, drop zeroed groups;
+    untouched groups are never read or shuffled (a full refresh
+    shuffles the whole table to update counts a few upserts touched).
+    Decimal arithmetic makes incremental ≡ full refresh EXACT, which
+    is what the oracle (a full recompute of the resolved snapshot)
+    hash-verifies."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        group_agg, incremental_group_agg,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_ivm_")
+    o.write.mode("overwrite").parquet(path)
+    agg0 = group_agg(o, "o_orderstatus", "o_totalprice")
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    view = incremental_group_agg(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        agg0, 0, 2,
+    )
+    return view.select(
+        "o_orderstatus", "cnt",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
+
+
 def q_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding (pipeline/sampling.py
     shuffle_shards — the final write step of a training pipeline):
@@ -5803,6 +5852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_changes": q_mor_changes,
         "mor_checkpoint": q_mor_checkpoint,
         "mor_schema_evolution": q_mor_schema_evolution,
+        "mor_incremental_agg": q_mor_incremental_agg,
         "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
         "relational_bucketed_join": q_relational_bucketed_join,
         "stream_enrich": q_stream_enrich,
@@ -9147,6 +9197,32 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1
             GROUP BY o_orderstatus, coalesce(o_priority, 'NONE')
+        """,
+        "mor_incremental_agg": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
         """,
         "pipeline_shuffle_shards": f"""
             WITH h AS (

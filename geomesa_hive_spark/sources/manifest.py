@@ -534,7 +534,7 @@ def write_delta(
         if key_col not in base_cols:
             raise ValueError(f"key column {key_col!r} not in delta columns")
         spark = df.sparkSession
-        known = set(_table_columns(spark, path))
+        known = set(_table_columns(spark, path, probe_for=base_cols))
         new_cols = [c for c in base_cols if c not in known]
         if new_cols and not allow_schema_evolution:
             raise ValueError(
@@ -636,23 +636,51 @@ def _snapshot_base(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*files)
 
 
-def _table_columns(spark: SparkSession, path: str) -> list[str]:
+def _footer_cols(path: str) -> list[str]:
+    """Column names from ONE parquet footer under ``path`` (file or
+    dir) via pyarrow — a ~1 ms driver-side metadata read, vs spinning
+    up a full Spark scan plan just to ask for a schema."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        cand = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not cand:
+            raise ValueError(f"no parquet files under {path}")
+        path = os.path.join(path, cand[0])
+    return list(pq.read_schema(path).names)
+
+
+def _table_columns(
+    spark: SparkSession, path: str, probe_for: list[str] | None = None
+) -> list[str]:
     """Current table schema = base (or latest checkpoint) columns plus
     any columns added by schema-evolving deltas, in first-seen order.
-    Driver-side parquet FOOTER reads only — delta file sets are small
-    by construction and checkpoints fold prior deltas in, so this stays
-    O(deltas since last checkpoint), never a data scan."""
+    Driver-side parquet FOOTER reads only (pyarrow, no Spark plan) —
+    delta file sets are small by construction and checkpoints fold
+    prior deltas in, so this stays O(deltas since last checkpoint),
+    never a data scan.
+
+    ``probe_for``: when the caller only needs to know whether THOSE
+    columns are part of the schema (the write_delta evolution gate),
+    the per-delta footer probes are skipped entirely once the base/
+    checkpoint schema already covers them — the common no-evolution
+    write pays ONE footer read, not one per prior commit."""
     cks = _checkpoints(path)
     if cks:
-        cols = list(spark.read.parquet(cks[-1]["path"]).columns)
+        cols = _footer_cols(cks[-1]["path"])
         floor = cks[-1]["seq"]
     else:
-        cols = list(_snapshot_base(spark, path).columns)
+        cols = _footer_cols(path)
         floor = 0
+    if probe_for is not None and all(c in cols for c in probe_for):
+        return cols
     for e in _delta_log(path):
         if e["seq"] <= floor:
             continue
-        for c in spark.read.parquet(e["path"]).columns:
+        for c in _footer_cols(e["path"]):
             if c != "__deleted" and c not in cols:
                 cols.append(c)
     return cols
@@ -1056,6 +1084,18 @@ def vacuum(path: str, remove_orphans: bool = False) -> dict:
                     and name not in referenced):
                 removed_files += _rm_tree(full)
                 removed_orphans += 1
+        # ditto for a crashed checkpointer's un-claimed data dir
+        kdir = os.path.join(path, _CKPT_DIR)
+        if os.path.isdir(kdir):
+            kept = {
+                os.path.basename(c["path"].rstrip("/"))
+                for c in _checkpoints(path)
+            }
+            for name in os.listdir(kdir):
+                full = os.path.join(kdir, name)
+                if os.path.isdir(full) and name not in kept:
+                    removed_files += _rm_tree(full)
+                    removed_orphans += 1
 
     cks = _checkpoints(path)
     if not cks:

@@ -1216,3 +1216,46 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     got = {r.k: (r._change_type, r.v, r.prio) for r in ch.collect()}
     assert got[1] == ("update", 11.0, None)
     assert got[2] == ("update", 22.0, "HI")
+
+
+def test_incremental_group_agg_matches_full_refresh(spark, tmp_path):
+    """incremental_group_agg: group moves, inserts, deletes-to-zero,
+    and NULL groups all roll the stored view forward to EXACTLY the
+    full recompute of the resolved snapshot (decimal arithmetic), and
+    a zeroed group disappears instead of lingering at cnt=0."""
+    from geomesa_hive_spark.sources.incremental import (
+        group_agg, incremental_group_agg,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, None, 40.0),
+         (5, "c", 50.0)],
+        "k long, g string, v double",
+    )
+    path = str(tmp_path / "ivm")
+    base.write.mode("overwrite").parquet(path)
+    agg0 = group_agg(base, "g", "v")
+
+    # c1: key 1 MOVES group a→b with a new value; key 6 inserts into
+    # NULL group; key 4 (NULL group) re-values in place
+    up1 = spark.createDataFrame(
+        [(1, "b", 11.0), (6, None, 60.0), (4, None, 44.0)],
+        "k long, g string, v double",
+    )
+    write_delta(up1, path, "k")
+    # c2: delete key 5 -> group c zeroes out and must vanish
+    write_delta(None, path, "k",
+                delete_keys=spark.createDataFrame([(5,)], "k long"))
+
+    view = incremental_group_agg(spark, path, "k", "g", "v", agg0, 0, 2)
+    got = {r.g: (r.cnt, float(r.total)) for r in view.collect()}
+    full = group_agg(read_snapshot(spark, path, "k"), "g", "v")
+    exp = {r.g: (r.cnt, float(r.total)) for r in full.collect()}
+    assert got == exp
+    assert got["a"] == (1, 20.0)          # key 1 left
+    assert got["b"] == (2, 41.0)          # key 1 arrived with new value
+    assert got[None] == (2, 104.0)        # NULL group matched itself
+    assert "c" not in got                 # zeroed group dropped
