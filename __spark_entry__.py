@@ -3057,6 +3057,91 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Python DataSource over the MOR table (round-7,
+    sources/datasource.py MorDataSource — format('morlake')): the
+    table gets a first-class reader surface. The query lands the
+    mor_upsert commits, then reads the table BOTH ways through the
+    registered source: (a) batch load() resolves the snapshot
+    (driver-side delta resolution + vectorized Arrow-batch base
+    filtering — RecordBatch yield, no per-row Python), (b) a REAL
+    availableNow CDC STREAM whose offsets ARE the commit seqs replays
+    the log's actions into a memory sink. Both halves are aggregated
+    under a part tag; the oracle replays the window resolution and
+    the raw action stream. The log-is-the-stream design means resume
+    is one integer (pytest-pinned with a checkpointed restart)."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    spark.dataSource.register(MorDataSource)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_mds_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+
+    snap = (
+        spark.read.format("morlake")
+        .option("path", path).option("key", "o_orderkey").load()
+    )
+    a = (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select(
+            F.lit("snap").alias("part"),
+            F.col("o_orderstatus").alias("tag"),
+            "cnt", F.round("total", 2).alias("total"),
+        )
+    )
+    import uuid
+
+    sink = f"mds_cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("morlake")
+        .option("path", path).option("mode", "cdc").load()
+        .writeStream.format("memory").queryName(sink)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    b = (
+        spark.table(sink)
+        .groupBy("_change_type", "_commit_seq")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select(
+            F.lit("cdc").alias("part"),
+            F.concat_ws(
+                "@", F.col("_change_type"),
+                F.col("_commit_seq").cast("string"),
+            ).alias("tag"),
+            "cnt", F.round("total", 2).alias("total"),
+        )
+    )
+    return a.unionByName(b)
+
+
 def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (round-7,
     sources/incremental.py — the canonical CDC consumer / Delta Live
@@ -5852,6 +5937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_changes": q_mor_changes,
         "mor_checkpoint": q_mor_checkpoint,
         "mor_schema_evolution": q_mor_schema_evolution,
+        "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
         "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
         "relational_bucketed_join": q_relational_bucketed_join,
@@ -9197,6 +9283,45 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1
             GROUP BY o_orderstatus, coalesce(o_priority, 'NONE')
+        """,
+        "mor_datasource": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), snap AS (
+              SELECT 'snap' AS part, o_orderstatus AS tag,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS total
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv
+              ) WHERE rn = 1 AND del = 0
+              GROUP BY o_orderstatus
+            ), cdc AS (
+              SELECT 'cdc' AS part,
+                     concat(CASE WHEN del = 1 THEN 'delete'
+                                 ELSE 'upsert' END,
+                            '@', CAST(seq AS VARCHAR)) AS tag,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS total
+              FROM allv WHERE seq > 0
+              GROUP BY del, seq
+            )
+            SELECT * FROM snap UNION ALL SELECT * FROM cdc
         """,
         "mor_incremental_agg": """
             WITH allv AS (

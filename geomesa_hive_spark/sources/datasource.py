@@ -1,0 +1,340 @@
+"""``morlake`` — a Spark 4 Python DataSource over the MOR table format
+(`sources/manifest.py`), giving the table a FIRST-CLASS reader surface:
+
+    spark.dataSource.register(MorDataSource)
+    spark.read.format("morlake").option("path", p).option("key", k).load()
+    spark.readStream.format("morlake").option("path", p).load()
+
+Batch reads resolve the merge-on-read snapshot (optionally
+``as_of_seq`` time travel); the STREAM is a change-data-capture source
+whose offsets ARE the commit log's sequence numbers — `initialOffset`
+= ``from_seq``, `latestOffset` = the current high-water seq, and each
+micro-batch's partitions are exactly the commits in ``(start, end]``.
+No sidecar offset bookkeeping, no rescans: the commit log is already a
+totally-ordered, replayable stream of actions, which is the whole
+reason lakehouse CDC works (Delta's "the log is the stream" insight).
+Rows are yielded as pyarrow RecordBatches — the vectorized path through
+the Python source API, no per-row Python objects.
+
+Scale envelope (stated, not hidden): the batch reader resolves delta
+actions DRIVER-side and ships the changed-key set to base-file tasks —
+correct and O(delta) cheap while deltas are small relative to base,
+i.e. the normal window between compactions; a table with delta sets
+too big to broadcast should be read via
+:func:`~geomesa_hive_spark.sources.manifest.read_snapshot`, whose
+anti-join path the planner can shuffle. The stream reader has no such
+limit — each micro-batch touches only its commits' files.
+
+Reference scope: the reference registers Hive UDFs and reads static
+tables; a pluggable table-format source is pipeline-extension surface
+(the closest analogue is its Z2-indexed CTAS tables,
+``SpatialTestTables.scala:50-59``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["MorDataSource"]
+
+
+_PA_TO_DDL = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "float": "float", "double": "double",
+    "bool": "boolean", "string": "string", "large_string": "string",
+    "binary": "binary", "large_binary": "binary", "date32[day]": "date",
+}
+
+
+def _ddl_type(t) -> str:
+    import pyarrow as pa
+
+    s = str(t)
+    if s in _PA_TO_DDL:
+        return _PA_TO_DDL[s]
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise ValueError(f"morlake: unsupported parquet type {s}")
+
+
+def _base_files(path: str) -> list[str]:
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"no base parquet files under {path}")
+    return files
+
+
+def _delta_files(dpath: str) -> list[str]:
+    return sorted(
+        os.path.join(dpath, f) for f in os.listdir(dpath)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _table_schema_fields(path: str) -> list[tuple[str, str]]:
+    """(name, ddl_type) for the table, from parquet footers only —
+    base (or latest checkpoint) plus evolved delta columns."""
+    import pyarrow.parquet as pq
+
+    from geomesa_hive_spark.sources.manifest import (
+        _checkpoints, _delta_log,
+    )
+
+    cks = _checkpoints(path)
+    if cks:
+        first = _delta_files(cks[-1]["path"])[0]
+        floor = cks[-1]["seq"]
+    else:
+        first = _base_files(path)[0]
+        floor = 0
+    sch = pq.read_schema(first)
+    fields = [(n, _ddl_type(sch.field(n).type)) for n in sch.names]
+    names = {n for n, _ in fields}
+    for e in _delta_log(path):
+        if e["seq"] <= floor:
+            continue
+        dsch = pq.read_schema(_delta_files(e["path"])[0])
+        for n in dsch.names:
+            if n != "__deleted" and n not in names:
+                fields.append((n, _ddl_type(dsch.field(n).type)))
+                names.add(n)
+    return fields
+
+
+def _conform(table, names: list[str], types: dict[str, str]):
+    """Project/extend a pyarrow table to exactly ``names`` order —
+    missing columns (pre-evolution files) become typed nulls."""
+    import pyarrow as pa
+
+    cols = []
+    for n in names:
+        if n in table.column_names:
+            cols.append(table.column(n))
+        else:
+            cols.append(pa.nulls(table.num_rows, _pa_type(types[n])))
+    return pa.table(dict(zip(names, cols))).combine_chunks()
+
+
+def _pa_type(ddl: str):
+    import pyarrow as pa
+
+    m = {"tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+         "bigint": pa.int64(), "float": pa.float32(),
+         "double": pa.float64(), "boolean": pa.bool_(),
+         "string": pa.string(), "binary": pa.binary(),
+         "date": pa.date32(), "timestamp": pa.timestamp("us")}
+    if ddl.startswith("decimal"):
+        p, s = ddl[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return m[ddl]
+
+
+class _Part(InputPartition):
+    def __init__(self, kind: str, paths: list[str], seq: int = 0):
+        self.kind = kind      # "base" | "delta_rows" | "commit"
+        self.paths = paths
+        self.seq = seq
+
+
+class _MorBatchReader(DataSourceReader):
+    """Snapshot reader: delta actions are resolved DRIVER-side (the
+    delta side is small by construction); base-file partitions drop
+    changed keys with one vectorized is_in mask; one extra partition
+    emits the surviving upserts."""
+
+    def __init__(self, options, schema_fields):
+        from geomesa_hive_spark.sources.manifest import (
+            _checkpoints, _delta_log,
+        )
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("morlake requires .option('path', ...)")
+        self.key = options.get("key")
+        if not self.key:
+            raise ValueError("morlake requires .option('key', ...)")
+        as_of = options.get("as_of_seq")
+        self.as_of = int(as_of) if as_of is not None else None
+        self.names = [n for n, _ in schema_fields]
+        self.types = dict(schema_fields)
+
+        log = _delta_log(self.path)
+        cks = _checkpoints(self.path)
+        if self.as_of is not None:
+            known = {e["seq"] for e in log} | {c["seq"] for c in cks}
+            if self.as_of != 0 and self.as_of not in known:
+                raise ValueError(f"no commit with seq {self.as_of}")
+            log = [e for e in log if e["seq"] <= self.as_of]
+            cks = [c for c in cks if c["seq"] <= self.as_of]
+        if cks:
+            self.base = _delta_files(cks[-1]["path"])
+            log = [e for e in log if e["seq"] > cks[-1]["seq"]]
+        else:
+            self.base = _base_files(self.path)
+        self.log = log
+        # driver-side resolution: latest action per key, delete beats
+        # upsert within a commit (same semantics as read_snapshot)
+        self.resolved = self._resolve() if log else None
+
+    def _resolve(self):
+        import pyarrow.parquet as pq
+
+        best: dict = {}
+        for e in self.log:
+            for f in _delta_files(e["path"]):
+                t = pq.read_table(f)
+                keys = t.column(self.key).to_pylist()
+                dels = t.column("__deleted").to_pylist()
+                for i, k in enumerate(keys):
+                    seq = e["seq"]
+                    prev = best.get(k)
+                    rank = (seq, 1 if dels[i] else 0)
+                    if prev is None or rank >= prev[0]:
+                        best[k] = (rank, None if dels[i]
+                                   else (f, i))
+        return best
+
+    def partitions(self):
+        parts = [_Part("base", [f]) for f in self.base]
+        if self.resolved:
+            parts.append(_Part("delta_rows", []))
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if partition.kind == "base":
+            dead = (pa.array(list(self.resolved.keys()))
+                    if self.resolved else None)
+            for f in partition.paths:
+                t = pq.read_table(f)
+                if dead is not None and len(dead):
+                    mask = pc.invert(pc.is_in(t.column(self.key), dead))
+                    t = t.filter(mask)
+                if t.num_rows:
+                    yield from _conform(
+                        t, self.names, self.types).to_batches()
+            return
+        # surviving upserts, grouped by their source file for batch reads
+        by_file: dict[str, list[int]] = {}
+        for k, (rank, loc) in self.resolved.items():
+            if loc is not None:
+                by_file.setdefault(loc[0], []).append(loc[1])
+        for f, idxs in by_file.items():
+            t = pq.read_table(f).take(sorted(idxs))
+            t = t.drop_columns(["__deleted"])
+            if t.num_rows:
+                yield from _conform(t, self.names, self.types).to_batches()
+
+
+class _MorStreamReader(DataSourceStreamReader):
+    """CDC stream: offset == commit seq. Each micro-batch reads the
+    commits in (start, end] and emits their actions verbatim
+    (post-image columns + _change_type upsert|delete + _commit_seq) —
+    the log IS the stream, so replay, resume, and exactly-once all
+    reduce to remembering one integer."""
+
+    def __init__(self, options, schema_fields):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("morlake requires .option('path', ...)")
+        self.from_seq = int(options.get("from_seq", 0))
+        self.names = [n for n, _ in schema_fields]      # incl. CDC cols
+        self.types = dict(schema_fields)
+        self.data_names = self.names[:-2]
+
+    def initialOffset(self):
+        return {"seq": self.from_seq}
+
+    def latestOffset(self):
+        from geomesa_hive_spark.sources.manifest import current_seq
+
+        return {"seq": current_seq(self.path)}
+
+    def partitions(self, start, end):
+        from geomesa_hive_spark.sources.manifest import _delta_log
+
+        lo, hi = start["seq"], end["seq"]
+        log = [e for e in _delta_log(self.path) if lo < e["seq"] <= hi]
+        have = {e["seq"] for e in log}
+        gaps = [s for s in range(lo + 1, hi + 1) if s not in have]
+        if gaps:
+            raise ValueError(
+                f"morlake stream: commit(s) {gaps} were vacuumed — "
+                f"cannot replay ({lo}, {hi}]"
+            )
+        return [_Part("commit", _delta_files(e["path"]), e["seq"])
+                for e in log]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for f in partition.paths:
+            t = pq.read_table(f)
+            deleted = t.column("__deleted")
+            change = pc.if_else(
+                deleted, pa.scalar("delete"), pa.scalar("upsert")
+            )
+            t = t.drop_columns(["__deleted"])
+            t = _conform(t, self.data_names, self.types)
+            t = t.append_column("_change_type", change)
+            t = t.append_column(
+                "_commit_seq",
+                pa.array([partition.seq] * t.num_rows, pa.int32()),
+            )
+            if t.num_rows:
+                yield from t.to_batches()
+
+    def commit(self, end):
+        pass
+
+
+class MorDataSource(DataSource):
+    """spark.read/readStream ``format("morlake")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "morlake"
+
+    def _fields(self) -> list[tuple[str, str]]:
+        fields = _table_schema_fields(self.options["path"])
+        if self.options.get("mode", "snapshot").lower() == "cdc":
+            fields = fields + [("_change_type", "string"),
+                               ("_commit_seq", "int")]
+        return fields
+
+    def schema(self) -> str:
+        return ", ".join(f"`{n}` {t}" for n, t in self._fields())
+
+    def reader(self, schema) -> DataSourceReader:
+        if self.options.get("mode", "snapshot").lower() == "cdc":
+            raise ValueError(
+                "morlake batch reads are snapshots; CDC is the stream "
+                "surface (spark.readStream) or manifest.read_changes"
+            )
+        return _MorBatchReader(self.options, self._fields())
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        if self.options.get("mode", "snapshot").lower() != "cdc":
+            raise ValueError(
+                "morlake streams are CDC action streams; pass "
+                ".option('mode', 'cdc') explicitly so the extra "
+                "_change_type/_commit_seq columns are never a surprise"
+            )
+        return _MorStreamReader(self.options, self._fields())

@@ -1259,3 +1259,94 @@ def test_incremental_group_agg_matches_full_refresh(spark, tmp_path):
     assert got["b"] == (2, 41.0)          # key 1 arrived with new value
     assert got[None] == (2, 104.0)        # NULL group matched itself
     assert "c" not in got                 # zeroed group dropped
+
+
+def test_morlake_datasource_batch_and_cdc(spark, tmp_path):
+    """morlake Python DataSource: batch load() equals read_snapshot
+    (incl. time travel and schema-evolved NULL fill), the CDC stream
+    replays commit actions with offset == seq, a checkpointed
+    availableNow restart replays ONLY new commits, and the mode
+    guards reject mismatched surfaces."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i) * 10.0) for i in range(1, 21)],
+        "k long, name string, val double",
+    )
+    path = str(tmp_path / "mds")
+    base.repartition(3).write.mode("overwrite").parquet(path)
+    write_delta(
+        spark.createDataFrame(
+            [(k, f"c1_{k}", 1000.0 + k) for k in (1, 2, 3, 100)],
+            "k long, name string, val double",
+        ),
+        path, "k",
+    )
+    wide = spark.createDataFrame(
+        [(3, "c2_3", 7.0, "HI")], "k long, name string, val double, prio string"
+    )
+    write_delta(wide, path, "k", allow_schema_evolution=True,
+                delete_keys=spark.createDataFrame([(4,), (10,)], "k long"))
+
+    def srt(df):
+        return sorted(tuple(r) for r in df.select(
+            "k", "name", "val", "prio").collect())
+
+    got = spark.read.format("morlake").option("path", path).option(
+        "key", "k").load()
+    assert got.columns == ["k", "name", "val", "prio"]
+    assert srt(got) == srt(read_snapshot(spark, path, "k"))
+
+    # time travel through the source
+    v1 = spark.read.format("morlake").option("path", path).option(
+        "key", "k").option("as_of_seq", "1").load()
+    assert {r.k for r in v1.collect()} == set(range(1, 21)) | {100}
+
+    # CDC stream: the log IS the stream
+    st = (spark.readStream.format("morlake").option("path", path)
+          .option("mode", "cdc").load())
+    assert st.isStreaming
+    q = (st.writeStream.format("memory").queryName("mds_cdc")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.k, r._change_type, r._commit_seq)
+            for r in spark.table("mds_cdc").collect()}
+    assert (3, "upsert", 1) in rows and (3, "upsert", 2) in rows
+    assert (4, "delete", 2) in rows and (10, "delete", 2) in rows
+    assert len(rows) == 7
+
+    # checkpointed restart replays only NEW commits (offset == seq)
+    out = str(tmp_path / "mds_out")
+    ckpt = str(tmp_path / "mds_ck")
+
+    def run_once():
+        qq = (spark.readStream.format("morlake").option("path", path)
+              .option("mode", "cdc").load()
+              .writeStream.format("parquet").option("path", out)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        qq.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    write_delta(
+        spark.createDataFrame(
+            [(5, "c3_5", 55.0, None)],
+            "k long, name string, val double, prio string",
+        ),
+        path, "k",
+    )
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n1 == 7 and n2 == 8
+
+    # mode guards
+    with _pytest.raises(Exception, match="cdc|snapshot"):
+        spark.read.format("morlake").option("path", path).option(
+            "key", "k").option("mode", "cdc").load().collect()
