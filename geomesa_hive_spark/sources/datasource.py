@@ -142,10 +142,12 @@ def _pa_type(ddl: str):
 
 
 class _Part(InputPartition):
-    def __init__(self, kind: str, paths: list[str], seq: int = 0):
+    def __init__(self, kind: str, paths: list[str], seq: int = 0,
+                 payload=None):
         self.kind = kind      # "base" | "delta_rows" | "commit"
         self.paths = paths
         self.seq = seq
+        self.payload = payload  # base: changed keys; delta_rows: locs
 
 
 class _MorBatchReader(DataSourceReader):
@@ -185,31 +187,46 @@ class _MorBatchReader(DataSourceReader):
             self.base = _base_files(self.path)
         self.log = log
         # driver-side resolution: latest action per key, delete beats
-        # upsert within a commit (same semantics as read_snapshot)
-        self.resolved = self._resolve() if log else None
+        # upsert within a commit (same semantics as read_snapshot);
+        # vectorized in pandas — only the changed-key list and the
+        # winning (file, row) locations are kept, and partitions are
+        # kind-specific so base tasks never deserialize the loc map
+        self.changed_keys: list = []
+        self.upsert_locs: dict[str, list[int]] = {}
+        if log:
+            self._resolve()
 
     def _resolve(self):
+        import pandas as pd
         import pyarrow.parquet as pq
 
-        best: dict = {}
+        frames = []
         for e in self.log:
             for f in _delta_files(e["path"]):
-                t = pq.read_table(f)
-                keys = t.column(self.key).to_pylist()
-                dels = t.column("__deleted").to_pylist()
-                for i, k in enumerate(keys):
-                    seq = e["seq"]
-                    prev = best.get(k)
-                    rank = (seq, 1 if dels[i] else 0)
-                    if prev is None or rank >= prev[0]:
-                        best[k] = (rank, None if dels[i]
-                                   else (f, i))
-        return best
+                t = pq.read_table(f, columns=[self.key, "__deleted"])
+                frames.append(pd.DataFrame({
+                    "k": t.column(self.key).to_pandas(),
+                    "d": t.column("__deleted").to_pandas(),
+                    "seq": e["seq"], "f": f,
+                    "i": range(t.num_rows),
+                }))
+        allf = pd.concat(frames, ignore_index=True)
+        # stable sort by (seq, deleted): the last row per key is the
+        # winner, with delete beating upsert within one commit
+        allf = allf.sort_values(["seq", "d"], kind="stable")
+        last = allf.groupby("k", sort=False).tail(1)
+        self.changed_keys = last["k"].tolist()
+        ups = last[~last["d"]]
+        for f, grp in ups.groupby("f", sort=False):
+            self.upsert_locs[f] = sorted(grp["i"].tolist())
 
     def partitions(self):
-        parts = [_Part("base", [f]) for f in self.base]
-        if self.resolved:
-            parts.append(_Part("delta_rows", []))
+        parts = [
+            _Part("base", [f], payload=self.changed_keys)
+            for f in self.base
+        ]
+        if self.upsert_locs:
+            parts.append(_Part("delta_rows", [], payload=self.upsert_locs))
         return parts
 
     def read(self, partition):
@@ -218,8 +235,8 @@ class _MorBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         if partition.kind == "base":
-            dead = (pa.array(list(self.resolved.keys()))
-                    if self.resolved else None)
+            dead = (pa.array(partition.payload)
+                    if partition.payload else None)
             for f in partition.paths:
                 t = pq.read_table(f)
                 if dead is not None and len(dead):
@@ -229,13 +246,8 @@ class _MorBatchReader(DataSourceReader):
                     yield from _conform(
                         t, self.names, self.types).to_batches()
             return
-        # surviving upserts, grouped by their source file for batch reads
-        by_file: dict[str, list[int]] = {}
-        for k, (rank, loc) in self.resolved.items():
-            if loc is not None:
-                by_file.setdefault(loc[0], []).append(loc[1])
-        for f, idxs in by_file.items():
-            t = pq.read_table(f).take(sorted(idxs))
+        for f, idxs in partition.payload.items():
+            t = pq.read_table(f).take(idxs)
             t = t.drop_columns(["__deleted"])
             if t.num_rows:
                 yield from _conform(t, self.names, self.types).to_batches()
