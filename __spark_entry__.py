@@ -3060,20 +3060,22 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 Python DataSource over the MOR table (round-7,
     sources/datasource.py MorDataSource — format('morlake')): the
-    table gets a first-class reader surface. The query lands the
-    mor_upsert commits, then reads the table BOTH ways through the
-    registered source: (a) batch load() resolves the snapshot
-    (driver-side delta resolution + vectorized Arrow-batch base
-    filtering — RecordBatch yield, no per-row Python), (b) a REAL
+    table gets a first-class reader AND writer surface, and the query
+    exercises all three through the registered format: (a) both
+    commits land via ``df.write.format('morlake').mode('append')`` —
+    executors stage Arrow batches as parquet, the DRIVER claims the
+    commit seq through the same atomic protocol as write_delta
+    (tombstones via delete_col; one atomic commit per save); (b)
+    batch load() resolves the snapshot (pandas-vectorized driver
+    resolution + Arrow RecordBatch base filtering); (c) a REAL
     availableNow CDC STREAM whose offsets ARE the commit seqs replays
-    the log's actions into a memory sink. Both halves are aggregated
+    the log's actions into a memory sink. Both read halves aggregate
     under a part tag; the oracle replays the window resolution and
-    the raw action stream. The log-is-the-stream design means resume
-    is one integer (pytest-pinned with a checkpointed restart)."""
+    the raw action stream. Resume-is-one-integer and the streaming
+    SINK (writeStream.format('morlake')) are pytest-pinned."""
     import tempfile
 
     from geomesa_hive_spark.sources.datasource import MorDataSource
-    from geomesa_hive_spark.sources.manifest import write_delta
 
     spark.dataSource.register(MorDataSource)
     o = _t(spark, sf_dir, "orders").select(
@@ -3086,14 +3088,26 @@ def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
         .withColumn("o_orderstatus", F.lit("U"))
     )
-    write_delta(up1, path, "o_orderkey")
+    (up1.write.format("morlake").mode("append")
+        .option("path", path).option("key", "o_orderkey").save())
     up2 = (
         o.filter(F.col("o_orderkey") % 13 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
         .withColumn("o_orderstatus", F.lit("V"))
+        .withColumn("__del", F.lit(False))
     )
-    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
-    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    dels = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("o_orderstatus", F.lit(None).cast("string"))
+        .withColumn("__del", F.lit(True))
+    )
+    (up2.unionByName(dels).write.format("morlake").mode("append")
+        .option("path", path).option("key", "o_orderkey")
+        .option("delete_col", "__del").save())
+    from geomesa_hive_spark.sources.manifest import current_seq
+
+    assert current_seq(path) == 2
 
     snap = (
         spark.read.format("morlake")

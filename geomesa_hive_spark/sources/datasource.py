@@ -35,11 +35,16 @@ from __future__ import annotations
 
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 __all__ = ["MorDataSource"]
@@ -317,6 +322,233 @@ class _MorStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WMsg(WriterCommitMessage):
+    file: str
+    n_up: int
+    n_del: int
+
+
+class _MorWriterBase:
+    """Shared write-side mechanics: executors append Arrow batches to
+    parquet files in a job-unique ``_delta_<token>`` dir (the token is
+    minted DRIVER-side at planning, so all tasks share one file set);
+    the driver then claims the next commit seq with the SAME atomic
+    link-if-absent protocol as write_delta — so DataFrame-API writers,
+    streaming sinks, and merge_into all serialize through one log.
+    The conflict check runs driver-side on pyarrow key reads (delta
+    files are small by construction — no Spark job needed to verify)."""
+
+    def __init__(self, options):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("morlake requires .option('path', ...)")
+        self.key = options.get("key")
+        if not self.key:
+            raise ValueError("morlake requires .option('key', ...)")
+        self.delete_col = options.get("delete_col")
+        self.txn_prefix = options.get("txn_id")
+        cc = options.get("check_conflict_from_seq")
+        self.check_from = int(cc) if cc is not None else None
+        self.allow_evolution = (
+            str(options.get("allow_schema_evolution", "false")).lower()
+            == "true"
+        )
+        self.token = uuid.uuid4().hex[:12]
+
+    # -- executor side -----------------------------------------------
+    def _write_batches(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tables = []
+        for b in iterator:
+            tables.append(pa.Table.from_batches([b]))
+        empty = _WMsg(file="", n_up=0, n_del=0)  # arrow writer path
+        if not tables:                           # requires a message,
+            return empty                         # not None
+        t = pa.concat_tables(tables, promote_options="default")
+        if t.num_rows == 0:
+            return empty
+        if "__deleted" in t.column_names:
+            raise ValueError("__deleted is a reserved morlake column")
+        if self.key not in t.column_names:
+            raise ValueError(f"key column {self.key!r} not in input")
+        if self.delete_col:
+            if self.delete_col not in t.column_names:
+                raise ValueError(
+                    f"delete_col {self.delete_col!r} not in input"
+                )
+            deleted = pc.fill_null(
+                t.column(self.delete_col).cast("bool"), False
+            )
+            t = t.drop_columns([self.delete_col])
+        else:
+            import pyarrow as pa2
+
+            deleted = pa2.array([False] * t.num_rows)
+        t = t.append_column("__deleted", deleted)
+        n_del = int(pc.sum(pc.cast(deleted, "int64")).as_py() or 0)
+        n_up = t.num_rows - n_del
+        # staging dir shared by the job's tasks; a STREAM writer object
+        # persists across micro-batches, so commit() moves each batch's
+        # files into a batch-unique dir before claiming its seq
+        dpath = os.path.join(self.path, f"_delta_{self.token}")
+        os.makedirs(dpath, exist_ok=True)
+        f = os.path.join(dpath, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(t, f)
+        return _WMsg(file=f, n_up=n_up, n_del=n_del)
+
+    # -- driver side -------------------------------------------------
+    def _commit_job(self, messages, txn_id, batch_suffix=None):
+        import pyarrow.parquet as pq
+
+        from geomesa_hive_spark.sources.manifest import (
+            ConcurrentWriteConflict, _atomic_commit, _checkpoints,
+            _delta_log,
+        )
+
+        msgs = [m for m in messages if m is not None and m.file]
+        if not msgs:
+            return  # empty job: no files landed, write no commit
+        sample = pq.read_schema(msgs[0].file)
+        new_cols = [
+            c for c in sample.names if c != "__deleted"
+            and c not in _table_schema_names(self.path)
+        ]
+        if new_cols and not self.allow_evolution:
+            self._cleanup(os.path.join(self.path, f"_delta_{self.token}"))
+            raise ValueError(
+                f"morlake write introduces new column(s) {new_cols}; "
+                f"pass .option('allow_schema_evolution', 'true')"
+            )
+        dpath = os.path.join(self.path, f"_delta_{self.token}")
+        if batch_suffix is not None:
+            # isolate this micro-batch's file set under its own dir so
+            # a later batch in the staging dir can never leak into it
+            dpath = f"{dpath}_{batch_suffix}"
+            os.makedirs(dpath, exist_ok=True)
+            moved = []
+            for m in msgs:
+                dst = os.path.join(dpath, os.path.basename(m.file))
+                os.rename(m.file, dst)
+                moved.append(_WMsg(file=dst, n_up=m.n_up, n_del=m.n_del))
+            msgs = moved
+        n_up = sum(m.n_up for m in msgs)
+        n_del = sum(m.n_del for m in msgs)
+        cdir = os.path.join(self.path, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        my_keys = None
+        if self.check_from is not None:
+            my_keys = set()
+            for m in msgs:
+                my_keys.update(
+                    pq.read_table(m.file, columns=[self.key])
+                    .column(self.key).to_pylist()
+                )
+        for _ in range(50):
+            log = _delta_log(self.path)
+            if txn_id is not None:
+                for e in log:
+                    if e.get("txn_id") == txn_id:
+                        self._cleanup(dpath)  # replayed batch: drop dups
+                        return
+            cks = _checkpoints(self.path)
+            high = max(log[-1]["seq"] if log else 0,
+                       cks[-1]["seq"] if cks else 0)
+            seq = high + 1
+            if my_keys is not None:
+                present = {e["seq"] for e in log}
+                missing = [s for s in range(self.check_from + 1, high + 1)
+                           if s not in present]
+                if missing:
+                    self._cleanup(dpath)
+                    raise ConcurrentWriteConflict(
+                        f"snapshot seq {self.check_from} predates "
+                        f"retention: commit(s) {missing} were vacuumed",
+                        overlap_count=0, conflicting_seqs=missing,
+                    )
+                newer = [e for e in log if e["seq"] > self.check_from]
+                overlap = 0
+                for e in newer:
+                    for f in _delta_files(e["path"]):
+                        other = set(
+                            pq.read_table(f, columns=[self.key])
+                            .column(self.key).to_pylist()
+                        )
+                        overlap += len(my_keys & other)
+                if overlap:
+                    self._cleanup(dpath)
+                    raise ConcurrentWriteConflict(
+                        f"{overlap} key(s) modified after snapshot seq "
+                        f"{self.check_from}",
+                        overlap_count=overlap,
+                        conflicting_seqs=[e["seq"] for e in newer],
+                    )
+            entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
+                     "n_deletes": int(n_del)}
+            if txn_id is not None:
+                entry["txn_id"] = txn_id
+            if _atomic_commit(cdir, seq, entry, self.token):
+                return
+        raise RuntimeError("could not claim a commit seq (contention)")
+
+    def _abort_job(self):
+        self._cleanup(os.path.join(self.path, f"_delta_{self.token}"))
+
+    @staticmethod
+    def _cleanup(dpath: str):
+        import shutil
+
+        shutil.rmtree(dpath, ignore_errors=True)
+
+
+def _table_schema_names(path: str) -> set:
+    return {n for n, _ in _table_schema_fields(path)}
+
+
+class _MorBatchWriter(_MorWriterBase, DataSourceArrowWriter):
+    """``df.write.format("morlake").mode("append")`` — the whole
+    DataFrame lands as ONE atomic delta commit (all-or-nothing via the
+    claim; abort removes the file set). Append-only by design: MOR
+    'overwrite' is a base rewrite, which compaction/checkpoint own."""
+
+    def write(self, iterator):
+        return self._write_batches(iterator)
+
+    def commit(self, messages):
+        self._commit_job(messages, self.txn_prefix)
+
+    def abort(self, messages):
+        self._abort_job()
+
+
+class _MorStreamWriter(_MorWriterBase, DataSourceStreamArrowWriter):
+    """``writeStream.format("morlake")`` — each micro-batch is one
+    idempotent delta commit stamped ``txn_id = morlake-<batchId>`` (or
+    ``<txn_id option>-<batchId>``): a replayed batch finds its txn in
+    the log, drops its duplicate files, and lands exactly once — the
+    same discipline as streaming/mor_sink.py, now behind the standard
+    sink API."""
+
+    def write(self, iterator):
+        return self._write_batches(iterator)
+
+    def commit(self, messages, batchId):
+        prefix = self.txn_prefix or "morlake"
+        self._commit_job(
+            messages, f"{prefix}-{batchId}", batch_suffix=str(batchId)
+        )
+
+    def abort(self, messages, batchId):
+        self._abort_job()
+
+
 class MorDataSource(DataSource):
     """spark.read/readStream ``format("morlake")`` — see module doc."""
 
@@ -350,3 +582,15 @@ class MorDataSource(DataSource):
                 "_change_type/_commit_seq columns are never a surprise"
             )
         return _MorStreamReader(self.options, self._fields())
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "morlake writes are append-only delta commits; an MOR "
+                "'overwrite' is a base rewrite — use compact()/"
+                "checkpoint() for that"
+            )
+        return _MorBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _MorStreamWriter(self.options)

@@ -1350,3 +1350,81 @@ def test_morlake_datasource_batch_and_cdc(spark, tmp_path):
     with _pytest.raises(Exception, match="cdc|snapshot"):
         spark.read.format("morlake").option("path", path).option(
             "key", "k").option("mode", "cdc").load().collect()
+
+
+def test_morlake_writer_batch_and_stream_sink(spark, tmp_path):
+    """morlake write side: batch append lands ONE atomic delta commit
+    (tombstones via delete_col, txn_id idempotence, schema-evolution
+    gate, overwrite refused), and writeStream.format('morlake')
+    commits each micro-batch exactly once with per-batch txn ids."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, read_snapshot,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    path = str(tmp_path / "mw")
+    base.write.mode("overwrite").parquet(path)
+
+    up = spark.createDataFrame([(1, 11.0), (20, 20.0)], "k long, v double")
+    (up.write.format("morlake").mode("append")
+       .option("path", path).option("key", "k").save())
+    assert current_seq(path) == 1
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert got[1] == 11.0 and got[20] == 20.0 and len(got) == 11
+
+    # tombstones through delete_col; the flag column never lands
+    ch = spark.createDataFrame(
+        [(2, 0.0, True), (21, 21.0, False)], "k long, v double, d boolean"
+    )
+    (ch.write.format("morlake").mode("append")
+       .option("path", path).option("key", "k")
+       .option("delete_col", "d").save())
+    snap = read_snapshot(spark, path, "k")
+    assert snap.columns == ["k", "v"]
+    got = {r.k: r.v for r in snap.collect()}
+    assert 2 not in got and got[21] == 21.0
+
+    # txn_id: the second save is a no-op replay
+    for _ in range(2):
+        (up.write.format("morlake").mode("append")
+           .option("path", path).option("key", "k")
+           .option("txn_id", "job-42").save())
+    assert current_seq(path) == 3
+
+    # schema evolution gated, then allowed
+    wide = spark.createDataFrame([(5, 5.0, "HI")],
+                                 "k long, v double, prio string")
+    with _pytest.raises(Exception, match="new column"):
+        (wide.write.format("morlake").mode("append")
+             .option("path", path).option("key", "k").save())
+    (wide.write.format("morlake").mode("append")
+         .option("path", path).option("key", "k")
+         .option("allow_schema_evolution", "true").save())
+    assert "prio" in read_snapshot(spark, path, "k").columns
+
+    with _pytest.raises(Exception, match="append-only"):
+        (up.write.format("morlake").mode("overwrite")
+           .option("path", path).option("key", "k").save())
+
+    # streaming sink: 3 micro-batches -> 3 idempotent commits
+    src = str(tmp_path / "mw_src")
+    changes = spark.createDataFrame(
+        [(6, 66.0), (7, 77.0), (8, 88.0)], "k long, v double"
+    )
+    changes.repartition(3).write.mode("overwrite").parquet(src)
+    st = (spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (st.writeStream.format("morlake")
+         .option("path", path).option("key", "k")
+         .option("checkpointLocation", str(tmp_path / "mw_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert current_seq(path) == 7
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert got[6] == 66.0 and got[7] == 77.0 and got[8] == 88.0
