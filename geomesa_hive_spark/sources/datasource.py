@@ -389,9 +389,7 @@ class _MorWriterBase:
             )
             t = t.drop_columns([self.delete_col])
         else:
-            import pyarrow as pa2
-
-            deleted = pa2.array([False] * t.num_rows)
+            deleted = pa.array([False] * t.num_rows)
         t = t.append_column("__deleted", deleted)
         n_del = int(pc.sum(pc.cast(deleted, "int64")).as_py() or 0)
         n_up = t.num_rows - n_del
