@@ -198,6 +198,7 @@ class _MorBatchReader(DataSourceReader):
         # kind-specific so base tasks never deserialize the loc map
         self.changed_keys: list = []
         self.upsert_locs: dict[str, list[int]] = {}
+        self.pushed: list[tuple] = []
         if log:
             self._resolve()
 
@@ -243,7 +244,14 @@ class _MorBatchReader(DataSourceReader):
             dead = (pa.array(partition.payload)
                     if partition.payload else None)
             for f in partition.paths:
-                t = pq.read_table(f)
+                kw = {}
+                if self.pushed:
+                    expr = self._pushed_expr(
+                        set(pq.read_schema(f).names)
+                    )
+                    if expr is not None:
+                        kw["filters"] = expr
+                t = pq.read_table(f, **kw)
                 if dead is not None and len(dead):
                     mask = pc.invert(pc.is_in(t.column(self.key), dead))
                     t = t.filter(mask)
@@ -256,6 +264,72 @@ class _MorBatchReader(DataSourceReader):
             t = t.drop_columns(["__deleted"])
             if t.num_rows:
                 yield from _conform(t, self.names, self.types).to_batches()
+
+
+class _MorPushdownReader(_MorBatchReader):
+    """Opt-in batch reader with filter pushdown (``.option("pushdown",
+    "true")``): simple comparisons are translated to pyarrow dataset
+    expressions so parquet row-group statistics prune I/O before a
+    single batch is read. Opt-in because merely IMPLEMENTING
+    pushFilters makes Spark demand
+    ``spark.sql.python.filterPushdown.enabled=true`` — a default
+    reader must keep working on sessions without that conf."""
+
+    def pushFilters(self, filters):
+        """Push simple comparisons into the pyarrow scan, where parquet
+        row-group statistics prune I/O before a single batch is read.
+        Every filter is ALSO returned to Spark (a pushed filter here is
+        a superset cut, the same discipline as manifest pruning), so
+        claiming one can never change results — only bytes read. Base
+        files get the cut; the delta-rows partition is O(delta) and
+        relies on Spark's re-application."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
+               LessThan: "<", LessThanOrEqual: "<=", In: "in",
+               IsNull: "null", IsNotNull: "notnull"}
+        for f in filters:
+            op = ops.get(type(f))
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            if op and col in self.types:
+                val = getattr(f, "value", None)
+                # tuples stay picklable; the pc.Expression is built
+                # per-file in read() so evolved columns missing from
+                # old files simply skip their clauses
+                self.pushed.append((col, op, val))
+            yield f  # Spark re-evaluates everything: superset safety
+
+    def _pushed_expr(self, available: set):
+        import pyarrow.compute as pc
+
+        expr = None
+        for col, op, val in self.pushed:
+            if col not in available:
+                continue
+            fld = pc.field(col)
+            if op == "==":
+                e = fld == val
+            elif op == ">":
+                e = fld > val
+            elif op == ">=":
+                e = fld >= val
+            elif op == "<":
+                e = fld < val
+            elif op == "<=":
+                e = fld <= val
+            elif op == "in":
+                e = fld.isin(list(val))
+            elif op == "null":
+                e = fld.is_null()
+            else:
+                e = ~fld.is_null()
+            expr = e if expr is None else (expr & e)
+        return expr
+
 
 
 class _MorStreamReader(DataSourceStreamReader):
@@ -570,6 +644,9 @@ class MorDataSource(DataSource):
                 "morlake batch reads are snapshots; CDC is the stream "
                 "surface (spark.readStream) or manifest.read_changes"
             )
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            # requires spark.sql.python.filterPushdown.enabled=true
+            return _MorPushdownReader(self.options, self._fields())
         return _MorBatchReader(self.options, self._fields())
 
     def streamReader(self, schema) -> DataSourceStreamReader:

@@ -1428,3 +1428,61 @@ def test_morlake_writer_batch_and_stream_sink(spark, tmp_path):
     assert current_seq(path) == 7
     got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
     assert got[6] == 66.0 and got[7] == 77.0 and got[8] == 88.0
+
+
+def test_morlake_pushdown_reader(spark, tmp_path):
+    """Opt-in pushdown reader: filters reach the pyarrow scan
+    (row-group stats prune I/O) while staying superset-safe — Spark
+    re-applies every filter, so results are identical to the default
+    reader on equality, range, IN, and null-test predicates, including
+    rows superseded by deltas."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import (
+        MorDataSource, _MorPushdownReader,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    spark.dataSource.register(MorDataSource)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)],
+        "k long, name string, v double",
+    )
+    path = str(tmp_path / "push")
+    base.repartition(4).write.mode("overwrite").parquet(path)
+    write_delta(
+        spark.createDataFrame([(5, "up5", 500.0)],
+                              "k long, name string, v double"),
+        path, "k",
+    )
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("filterPushdown conf is static in this session")
+    try:
+        df = (spark.read.format("morlake").option("path", path)
+              .option("key", "k").option("pushdown", "true").load())
+        assert sorted(r.k for r in df.filter("k >= 90").collect()) \
+            == list(range(90, 100))
+        assert df.filter("k = 5").collect()[0].v == 500.0
+        assert df.filter(F.col("k").isin(1, 2, 200)).count() == 2
+        assert df.filter(F.col("name").isNull()).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+    # translation unit: unsupported/nested filters pass through
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull
+
+    r = _MorPushdownReader.__new__(_MorPushdownReader)
+    r.types = {"k": "bigint", "v": "double"}
+    r.pushed = []
+    fs = [EqualTo(("k",), 5), In(("v",), (1.0, 2.0)),
+          IsNotNull(("nope",)), EqualTo(("a", "b"), 1)]
+    remaining = list(r.pushFilters(fs))
+    assert remaining == fs            # superset: everything returned
+    assert len(r.pushed) == 2         # only k/v filters translated
+    expr = r._pushed_expr({"k", "v"})
+    assert expr is not None
+    assert r._pushed_expr(set()) is None
