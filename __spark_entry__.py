@@ -3057,6 +3057,47 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT from manifest stats (round-7,
+    sources/manifest.py pruned_count — the Iceberg/Delta
+    metadata-query trick): lineitem is range-clustered with per-file
+    min/max + NON-NULL counts; a ranged COUNT then answers interior
+    files (range fully inside the window) from the stored counts with
+    ZERO I/O and scans only the O(1) boundary files. Three windows
+    (10%, 50%, full key range) are counted; the query asserts in-line
+    that the metadata path actually fired (interior files > 0 on the
+    wide windows, skipped files > 0 on the narrow one, and the FULL
+    window reads nothing at all). Oracle is the plain filtered count
+    three times — metadata shortcuts must not change a single count."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        pruned_count, write_with_manifest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_mcount_")
+    write_with_manifest(li, path, ["l_orderkey"], n_files=24)
+    mo = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+    rows = []
+    for tag, lo, hi in (
+        ("w10", mo * 2 // 10, mo * 3 // 10),
+        ("w50", 0, mo // 2),
+        ("full", 0, mo),
+    ):
+        cnt, rep = pruned_count(spark, path, "l_orderkey", lo, hi)
+        if tag == "w10":
+            assert rep["files_skipped"] > 0, rep
+        else:
+            assert rep["files_metadata"] > 0, rep
+        if tag == "full":
+            assert rep["files_scanned"] == 0, rep
+        rows.append((tag, cnt))
+    return spark.createDataFrame(rows, "rng string, cnt long")
+
+
 def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 Python DataSource over the MOR table (round-7,
     sources/datasource.py MorDataSource — format('morlake')): the
@@ -5951,6 +5992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_changes": q_mor_changes,
         "mor_checkpoint": q_mor_checkpoint,
         "mor_schema_evolution": q_mor_schema_evolution,
+        "manifest_count": q_manifest_count,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
         "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
@@ -9297,6 +9339,22 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1
             GROUP BY o_orderstatus, coalesce(o_priority, 'NONE')
+        """,
+        "manifest_count": """
+            WITH mo AS (
+              SELECT max(l_orderkey) AS m FROM lineitem
+            ), w AS (
+              SELECT 'w10' AS rng, CAST(m * 2 // 10 AS BIGINT) AS lo,
+                     CAST(m * 3 // 10 AS BIGINT) AS hi FROM mo
+              UNION ALL
+              SELECT 'w50', 0, CAST(m // 2 AS BIGINT) FROM mo
+              UNION ALL
+              SELECT 'full', 0, m FROM mo
+            )
+            SELECT w.rng, CAST(count(l.l_orderkey) AS BIGINT) AS cnt
+            FROM w LEFT JOIN lineitem l
+              ON l.l_orderkey >= w.lo AND l.l_orderkey <= w.hi
+            GROUP BY w.rng
         """,
         "mor_datasource": """
             WITH allv AS (

@@ -35,6 +35,7 @@ __all__ = [
     "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
     "merge_into", "read_changes", "checkpoint", "vacuum",
+    "pruned_count",
 ]
 
 _MANIFEST = "_manifest.json"
@@ -96,7 +97,8 @@ def _finish_manifest(
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     aggs = []
     for c in stats_cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
+                 F.count(c).alias(f"nn_{c}")]
     aggs.append(F.count("*").alias("n_rows"))
     rows = back.groupBy("__f").agg(*aggs).collect()
     files = []
@@ -105,6 +107,9 @@ def _finish_manifest(
         for c in stats_cols:
             entry[f"min_{c}"] = _plain(r[f"min_{c}"])
             entry[f"max_{c}"] = _plain(r[f"max_{c}"])
+            # non-null count per stats column: what lets COUNT queries
+            # over a range be answered from METADATA for interior files
+            entry[f"nn_{c}"] = int(r[f"nn_{c}"])
         files.append(entry)
     manifest = {
         "stats_cols": list(stats_cols),
@@ -1137,3 +1142,64 @@ def vacuum(path: str, remove_orphans: bool = False) -> dict:
             "removed_checkpoints": removed_ckpts,
             "removed_files": removed_files,
             "removed_orphans": removed_orphans}
+
+
+def pruned_count(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[int, dict]:
+    """COUNT(*) WHERE col BETWEEN lo AND hi answered as far as possible
+    from MANIFEST METADATA — the Iceberg/Delta metadata-only-query
+    trick: a file whose [min, max] lies fully inside [lo, hi]
+    contributes its stored NON-NULL count with zero I/O (every non-null
+    value in the file provably passes; nulls provably fail); a file
+    overlapping the boundary is scanned with the predicate; a file
+    outside contributes nothing. On a range-clustered table the
+    boundary set is O(1) files regardless of table size, so the count
+    costs two file scans where a naive plan scans everything — the
+    100 TB difference between a dashboard COUNT that returns in
+    milliseconds and one that schedules ten thousand tasks.
+
+    Returns ``(count, report)`` with
+    ``report = {files_metadata, files_scanned, files_skipped,
+    rows_from_metadata}`` so callers (and the contract gate) can assert
+    the metadata path actually fired. Falls back to scanning any file
+    whose manifest entry predates the non-null counts (older
+    manifests lack ``nn_<col>``) — a stale manifest degrades to
+    correct-but-slower, never wrong."""
+    m = manifest_stats(path)
+    if col not in m["stats_cols"]:
+        raise ValueError(
+            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
+        )
+    meta_rows = 0
+    n_meta = n_skip = 0
+    boundary = []
+    for e in m["files"]:
+        mn, mx = e[f"min_{col}"], e[f"max_{col}"]
+        if mn is None or mx is None:
+            n_skip += 1   # every value NULL: no row can pass a range
+        elif mx < lo or mn > hi:
+            n_skip += 1
+        elif lo <= mn and mx <= hi and f"nn_{col}" in e:
+            meta_rows += e[f"nn_{col}"]
+            n_meta += 1
+        else:
+            boundary.append(e["file"])
+    scanned = 0
+    if boundary:
+        scanned = (
+            spark.read.parquet(*boundary)
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            .count()
+        )
+    report = {
+        "files_metadata": n_meta,
+        "files_scanned": len(boundary),
+        "files_skipped": n_skip,
+        "rows_from_metadata": int(meta_rows),
+    }
+    return int(meta_rows) + int(scanned), report

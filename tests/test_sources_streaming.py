@@ -1486,3 +1486,39 @@ def test_morlake_pushdown_reader(spark, tmp_path):
     expr = r._pushed_expr({"k", "v"})
     assert expr is not None
     assert r._pushed_expr(set()) is None
+
+
+def test_pruned_count_metadata_only(spark, tmp_path):
+    """pruned_count: interior files answer from stored NON-NULL counts
+    (nulls correctly excluded — the subtle wrong answer a naive
+    n_rows-based shortcut gives), boundary files are scanned, the full
+    range reads zero files, and every answer equals the plain filtered
+    count."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        pruned_count, write_with_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i if i % 7 else None, i) for i in range(1000)],
+        "k long, v long",
+    )  # k NULL on multiples of 7 — interior files contain nulls
+    path = str(tmp_path / "mcount")
+    write_with_manifest(df, path, ["k"], n_files=8)
+
+    for lo, hi in ((100, 900), (0, 1000), (250, 251), (2000, 3000)):
+        cnt, rep = pruned_count(spark, path, "k", lo, hi)
+        exp = df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).count()
+        assert cnt == exp, (lo, hi, cnt, exp, rep)
+    # metadata path demonstrably fired on the wide window...
+    cnt, rep = pruned_count(spark, path, "k", 100, 900)
+    assert rep["files_metadata"] > 0 and rep["rows_from_metadata"] > 0
+    # ...the full range reads nothing at all (the all-NULL file that
+    # range clustering isolates counts as skipped — correctly: no row
+    # in it can pass any range predicate)...
+    cnt, rep = pruned_count(spark, path, "k", 0, 1000)
+    assert rep["files_scanned"] == 0
+    # ...and a miss range touches no data either
+    cnt, rep = pruned_count(spark, path, "k", 2000, 3000)
+    assert cnt == 0 and rep["files_scanned"] == 0
