@@ -858,9 +858,13 @@ def merge_into(
         else matched_condition
     )
     snap_keys = read_snapshot(spark, path, key_col).select(key_col)
+    # localCheckpoint pins the ≤|source| matched-key set: every branch
+    # below (condition splits, emptiness probes, write-side counts)
+    # reuses the materialized keys instead of replanning the
+    # table-sized snapshot scan — one base scan per MERGE, not five
     matched_keys = snap_keys.join(
         F.broadcast(source.select(key_col).distinct()), key_col, "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     flagged = source.join(
         F.broadcast(matched_keys.withColumn("__m", F.lit(True))),
         key_col, "left",
