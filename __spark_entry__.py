@@ -3064,15 +3064,18 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max + NON-NULL counts; a ranged COUNT then answers interior
     files (range fully inside the window) from the stored counts with
     ZERO I/O and scans only the O(1) boundary files. Three windows
-    (10%, 50%, full key range) are counted; the query asserts in-line
-    that the metadata path actually fired (interior files > 0 on the
-    wide windows, skipped files > 0 on the narrow one, and the FULL
-    window reads nothing at all). Oracle is the plain filtered count
-    three times — metadata shortcuts must not change a single count."""
+    (10%, 50%, full key range) are counted AND integer-summed
+    (pruned_sum — per-file decimal-exact key sums; float sums are
+    never recorded because they are partition-dependent); the query
+    asserts in-line that the metadata path actually fired (interior
+    files > 0 on the wide windows, skipped files > 0 on the narrow
+    one, and the FULL window reads nothing at all). Oracle is the
+    plain filtered count+sum three times — metadata shortcuts must
+    not change a single value."""
     import tempfile
 
     from geomesa_hive_spark.sources.manifest import (
-        pruned_count, write_with_manifest,
+        pruned_count, pruned_sum, write_with_manifest,
     )
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3088,14 +3091,17 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("full", 0, mo),
     ):
         cnt, rep = pruned_count(spark, path, "l_orderkey", lo, hi)
+        ksum, srep = pruned_sum(spark, path, "l_orderkey", lo, hi)
         if tag == "w10":
             assert rep["files_skipped"] > 0, rep
         else:
             assert rep["files_metadata"] > 0, rep
+            assert srep["files_metadata"] > 0, srep
         if tag == "full":
             assert rep["files_scanned"] == 0, rep
-        rows.append((tag, cnt))
-    return spark.createDataFrame(rows, "rng string, cnt long")
+            assert srep["files_scanned"] == 0, srep
+        rows.append((tag, cnt, ksum))
+    return spark.createDataFrame(rows, "rng string, cnt long, ksum long")
 
 
 def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9351,7 +9357,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'full', 0, m FROM mo
             )
-            SELECT w.rng, CAST(count(l.l_orderkey) AS BIGINT) AS cnt
+            SELECT w.rng, CAST(count(l.l_orderkey) AS BIGINT) AS cnt,
+                   CAST(coalesce(sum(l.l_orderkey), 0) AS BIGINT) AS ksum
             FROM w LEFT JOIN lineitem l
               ON l.l_orderkey >= w.lo AND l.l_orderkey <= w.hi
             GROUP BY w.rng

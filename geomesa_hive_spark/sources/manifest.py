@@ -35,7 +35,7 @@ __all__ = [
     "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
     "merge_into", "read_changes", "checkpoint", "vacuum",
-    "pruned_count",
+    "pruned_count", "pruned_sum",
 ]
 
 _MANIFEST = "_manifest.json"
@@ -94,11 +94,25 @@ def _finish_manifest(
 ) -> dict:
     """One read-back scan over the just-written files: per-file min/max
     for every stats column plus (optionally) per-file Bloom bitsets."""
+    from pyspark.sql import types as T
+
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    int_cols = {
+        c for c in stats_cols
+        if isinstance(back.schema[c].dataType,
+                      (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    }
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
                  F.count(c).alias(f"nn_{c}")]
+        if c in int_cols:
+            # integer sums are order-independent-exact, so SUM queries
+            # can be answered from metadata; float sums are not —
+            # recording them would make pruned_sum partition-dependent
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"sum_{c}")
+            )
     aggs.append(F.count("*").alias("n_rows"))
     rows = back.groupBy("__f").agg(*aggs).collect()
     files = []
@@ -110,6 +124,9 @@ def _finish_manifest(
             # non-null count per stats column: what lets COUNT queries
             # over a range be answered from METADATA for interior files
             entry[f"nn_{c}"] = int(r[f"nn_{c}"])
+            if c in int_cols:
+                s = r[f"sum_{c}"]
+                entry[f"sum_{c}"] = int(s) if s is not None else 0
         files.append(entry)
     manifest = {
         "stats_cols": list(stats_cols),
@@ -1207,3 +1224,68 @@ def pruned_count(
         "rows_from_metadata": int(meta_rows),
     }
     return int(meta_rows) + int(scanned), report
+
+
+def pruned_sum(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[int, dict]:
+    """SUM(col) WHERE col BETWEEN lo AND hi from manifest metadata —
+    the SUM sibling of :func:`pruned_count`, restricted to what is
+    PROVABLY exact: ``col`` must be an integer stats column (integer
+    sums are order-independent; a float sum from metadata would be
+    partition-dependent and is deliberately never recorded), and the
+    summed column IS the range column (an interior file's stored sum
+    covers exactly the rows that pass — every non-null value is in
+    range, nulls fail the predicate and never entered the stored sum).
+    Boundary files are scanned with the predicate. Together with
+    pruned_count this answers the dashboard pair COUNT/SUM/AVG over a
+    range-clustered key in O(boundary) I/O at any table size.
+
+    Returns ``(total, report)`` with the same report shape as
+    pruned_count. Raises if the column has no recorded sums (float
+    column or pre-upgrade manifest) — degrading a SUM to a silent
+    full scan would hide the regression this API exists to avoid."""
+    m = manifest_stats(path)
+    if col not in m["stats_cols"]:
+        raise ValueError(
+            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
+        )
+    if not any(f"sum_{col}" in e for e in m["files"]):
+        raise ValueError(
+            f"column {col!r} has no exact sum stats (float column or "
+            f"pre-upgrade manifest) — rewrite the manifest or scan"
+        )
+    meta_sum = 0
+    n_meta = n_skip = 0
+    boundary = []
+    for e in m["files"]:
+        mn, mx = e[f"min_{col}"], e[f"max_{col}"]
+        if mn is None or mx is None:
+            n_skip += 1
+        elif mx < lo or mn > hi:
+            n_skip += 1
+        elif lo <= mn and mx <= hi and f"sum_{col}" in e:
+            meta_sum += e[f"sum_{col}"]
+            n_meta += 1
+        else:
+            boundary.append(e["file"])
+    scanned = 0
+    if boundary:
+        row = (
+            spark.read.parquet(*boundary)
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            .agg(F.sum(F.col(col).cast("decimal(38,0)")))
+            .collect()[0][0]
+        )
+        scanned = int(row) if row is not None else 0
+    report = {
+        "files_metadata": n_meta,
+        "files_scanned": len(boundary),
+        "files_skipped": n_skip,
+        "rows_from_metadata": None,  # sum path reports sums, not rows
+    }
+    return int(meta_sum) + int(scanned), report

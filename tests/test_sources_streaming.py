@@ -1522,3 +1522,40 @@ def test_pruned_count_metadata_only(spark, tmp_path):
     # ...and a miss range touches no data either
     cnt, rep = pruned_count(spark, path, "k", 2000, 3000)
     assert cnt == 0 and rep["files_scanned"] == 0
+
+
+def test_pruned_sum_exactness_and_guards(spark, tmp_path):
+    """pruned_sum: metadata sums equal the plain filtered sum on every
+    window (nulls excluded via the predicate-identity restriction),
+    float columns record NO sums and raise loudly, and the full range
+    scans zero files."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        manifest_stats, pruned_sum, write_with_manifest,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i if i % 7 else None, float(i)) for i in range(1000)],
+        "k long, x double",
+    )
+    path = str(tmp_path / "msum")
+    write_with_manifest(df, path, ["k", "x"], n_files=8)
+
+    for lo, hi in ((100, 900), (0, 1000), (250, 251), (2000, 3000)):
+        s, rep = pruned_sum(spark, path, "k", lo, hi)
+        exp = (
+            df.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+            .agg(F.coalesce(F.sum("k"), F.lit(0))).collect()[0][0]
+        )
+        assert s == exp, (lo, hi, s, exp, rep)
+    _, rep = pruned_sum(spark, path, "k", 0, 1000)
+    assert rep["files_scanned"] == 0 and rep["files_metadata"] > 0
+
+    # float column: sums deliberately unrecorded, call refuses
+    m = manifest_stats(path)
+    assert not any("sum_x" in e for e in m["files"])
+    with _pytest.raises(ValueError, match="no exact sum"):
+        pruned_sum(spark, path, "x", 0.0, 100.0)
