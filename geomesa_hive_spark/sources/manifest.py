@@ -35,7 +35,7 @@ __all__ = [
     "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
     "merge_into", "read_changes", "checkpoint", "vacuum",
-    "pruned_count", "pruned_sum",
+    "pruned_count", "pruned_sum", "maintain",
 ]
 
 _MANIFEST = "_manifest.json"
@@ -1289,3 +1289,34 @@ def pruned_sum(
         "rows_from_metadata": None,  # sum path reports sums, not rows
     }
     return int(meta_sum) + int(scanned), report
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    checkpoint_after: int = 8,
+    remove_orphans: bool = False,
+) -> dict:
+    """The scheduled table-maintenance job, one call: checkpoint when
+    the un-folded commit count reaches ``checkpoint_after`` (readers'
+    replay work is bounded by that knob), then vacuum folded-in
+    commits (and, opt-in and only when the table is quiesced, orphan
+    staging dirs). Idempotent and safe to run on a timer — below the
+    threshold it is a metadata peek and nothing else, which is what
+    lets an operator point a cron at every table without sizing
+    thought. Returns {"checkpointed", "pending_commits", "vacuum":
+    <vacuum report or None>}."""
+    log = _delta_log(path)
+    cks = _checkpoints(path)
+    floor = cks[-1]["seq"] if cks else 0
+    pending = sum(1 for e in log if e["seq"] > floor)
+    did_ckpt = False
+    if pending >= int(checkpoint_after):
+        checkpoint(spark, path, key_col)
+        did_ckpt = True
+    rep = None
+    if did_ckpt or remove_orphans:
+        rep = vacuum(path, remove_orphans=remove_orphans)
+    return {"checkpointed": did_ckpt, "pending_commits": pending,
+            "vacuum": rep}

@@ -1559,3 +1559,44 @@ def test_pruned_sum_exactness_and_guards(spark, tmp_path):
     assert not any("sum_x" in e for e in m["files"])
     with _pytest.raises(ValueError, match="no exact sum"):
         pruned_sum(spark, path, "x", 0.0, 100.0)
+
+
+def test_maintain_one_call(spark, tmp_path):
+    """maintain(): below the threshold it's a metadata peek; at the
+    threshold it checkpoints + vacuums, snapshot unchanged, commit
+    numbering continues; repeated calls are idempotent."""
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, maintain, read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    path = str(tmp_path / "maint")
+    base.write.mode("overwrite").parquet(path)
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i, 100.0 + i)], "k long, v double"),
+            path, "k",
+        )
+    before = {(r.k, r.v) for r in read_snapshot(spark, path, "k").collect()}
+
+    rep = maintain(spark, path, "k", checkpoint_after=5)
+    assert not rep["checkpointed"] and rep["pending_commits"] == 3
+    assert rep["vacuum"] is None
+
+    rep = maintain(spark, path, "k", checkpoint_after=3)
+    assert rep["checkpointed"] and rep["vacuum"]["removed_commits"] == 3
+    after = {(r.k, r.v) for r in read_snapshot(spark, path, "k").collect()}
+    assert after == before
+    assert current_seq(path) == 3
+
+    # idempotent: nothing pending, nothing to do
+    rep = maintain(spark, path, "k", checkpoint_after=3)
+    assert not rep["checkpointed"] and rep["pending_commits"] == 0
+    write_delta(
+        spark.createDataFrame([(7, 777.0)], "k long, v double"), path, "k"
+    )
+    assert current_seq(path) == 4
+    got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert got[7] == 777.0
