@@ -3203,6 +3203,60 @@ def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q_mor_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SECONDARY INDEX (round-7,
+    sources/incremental.py incremental_projection — row-level IVM,
+    the other half of the CDC-consumer pair): a (custkey → orderkey,
+    totalprice) index built at v0 is rolled forward through the
+    standard two commits with changed rows only — drop changed keys
+    via ONE broadcast anti-join (the stored index never shuffles),
+    append non-delete post-images. The refreshed index must equal the
+    v2 snapshot's projection EXACTLY; the gate aggregates it per
+    custkey bucket with a modular key checksum so the hash pins row
+    membership, not just counts. Oracle projects the resolved
+    snapshot."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        incremental_projection,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_idx_")
+    o.write.mode("overwrite").parquet(path)
+    index0 = o.select("o_custkey", "o_orderkey", "o_totalprice")
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    index2 = incremental_projection(
+        spark, path, "o_orderkey", index0, 0, 2
+    )
+    return (
+        index2.groupBy((F.col("o_custkey") % F.lit(10)).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_orderkey") % F.lit(1000003))
+            .cast("long").alias("osum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("bucket", "cnt", "osum", F.round("total", 2).alias("total"))
+    )
+
+
 def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (round-7,
     sources/incremental.py — the canonical CDC consumer / Delta Live
@@ -6001,6 +6055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_count": q_manifest_count,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
+        "mor_incremental_index": q_mor_incremental_index,
         "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
         "relational_bucketed_join": q_relational_bucketed_join,
         "stream_enrich": q_stream_enrich,
@@ -9427,6 +9482,34 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1 AND del = 0
             GROUP BY o_orderstatus
+        """,
+        "mor_incremental_index": """
+            WITH allv AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice - 500.0, 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(o_orderkey % 1000003) AS BIGINT) AS osum,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_custkey % 10
         """,
         "pipeline_shuffle_shards": f"""
             WITH h AS (

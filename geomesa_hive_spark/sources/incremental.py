@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from geomesa_hive_spark.sources.manifest import read_changes, read_snapshot
 
-__all__ = ["group_agg", "incremental_group_agg"]
+__all__ = ["group_agg", "incremental_group_agg", "incremental_projection"]
 
 
 def group_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -115,3 +115,53 @@ def incremental_group_agg(
         .cast("decimal(18,2)").alias("total"),
     )
     return merged.filter(F.col("cnt") > 0)
+
+
+def incremental_projection(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    proj_at_from: DataFrame,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Roll a stored PROJECTION of the table (any column subset that
+    includes the key — the shape of a secondary index: (value, key)
+    rows, or a serving extract) forward from ``from_seq`` to
+    ``to_seq`` using changed rows only. This is the other half of
+    incremental view maintenance: :func:`incremental_group_agg`
+    covers aggregates, this covers row-level derived tables, and
+    together they make the CDC feed a complete substrate for keeping
+    downstream artifacts in sync without table rescans.
+
+    Algebra: drop the changed keys' old rows (one anti-join against
+    the BROADCAST changed-key set — the stored projection never
+    shuffles), append the non-delete post-images projected to the
+    stored columns. Cost per refresh: the CDC pull + O(changed)
+    appended rows + a broadcast anti-join over the stored projection.
+    The projection's columns must all exist in the table (post-images
+    supply them); the key column must be among them or old rows could
+    not be matched for removal."""
+    cols = proj_at_from.columns
+    if key_col not in cols:
+        raise ValueError(
+            f"projection must retain the key column {key_col!r} — "
+            f"without it changed rows cannot be replaced"
+        )
+    changes = read_changes(spark, path, key_col, from_seq, to_seq)
+    missing = [c for c in cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"projection column(s) {missing} not in the table schema"
+        )
+    changed_keys = changes.select(key_col).distinct()
+    # the name-keyed anti-join moves the key column first; restore the
+    # stored projection's column order — this rolls a table forward,
+    # it must not reshape it
+    kept = proj_at_from.join(
+        F.broadcast(changed_keys), key_col, "left_anti"
+    ).select(*cols)
+    fresh = (
+        changes.filter(F.col("_change_type") != "delete").select(*cols)
+    )
+    return kept.unionByName(fresh)

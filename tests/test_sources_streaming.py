@@ -1600,3 +1600,51 @@ def test_maintain_one_call(spark, tmp_path):
     assert current_seq(path) == 4
     got = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
     assert got[7] == 777.0
+
+
+def test_incremental_projection_matches_snapshot(spark, tmp_path):
+    """incremental_projection: updates replace, inserts append,
+    deletes drop, and the refreshed projection equals the snapshot's
+    projection row-for-row; key-less and unknown-column projections
+    are refused."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.incremental import (
+        incremental_projection,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(1, 11)],
+        "k long, g long, v double",
+    )
+    path = str(tmp_path / "iproj")
+    base.write.mode("overwrite").parquet(path)
+    idx0 = base.select("g", "k", "v")
+    write_delta(
+        spark.createDataFrame([(1, 9, 111.0), (20, 0, 20.0)],
+                              "k long, g long, v double"),
+        path, "k",
+    )
+    write_delta(None, path, "k",
+                delete_keys=spark.createDataFrame([(2,)], "k long"))
+
+    idx2 = incremental_projection(spark, path, "k", idx0, 0, 2)
+    got = sorted(tuple(r) for r in idx2.collect())
+    exp = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, path, "k").select("g", "k", "v").collect()
+    )
+    assert got == exp
+    d = {r.k: (r.g, r.v) for r in idx2.collect()}
+    assert d[1] == (9, 111.0) and d[20] == (0, 20.0) and 2 not in d
+
+    with _pytest.raises(ValueError, match="retain the key"):
+        incremental_projection(spark, path, "k", idx0.select("g", "v"), 0, 2)
+    with _pytest.raises(ValueError, match="not in the table"):
+        incremental_projection(
+            spark, path, "k",
+            idx0.withColumnRenamed("v", "nope"), 0, 2,
+        )
