@@ -3104,6 +3104,60 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rng string, cnt long, ksum long")
 
 
+def q_manifest_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-backed SHARDED manifest (round-7, sources/manifest.py
+    ``manifest_format='parquet'`` — the at-scale tier SCALE.md names
+    past the single-JSON manifest, Iceberg's manifest-list/manifest
+    split on plain parquet): per-file stats go STRAIGHT from the
+    read-back aggregation to a 2-shard parquet manifest table with no
+    driver collect, so manifest construction is O(files) cluster work;
+    pruning is then a column-pruned, predicate-pushed Arrow scan of
+    the shards that brings only SURVIVING file names to the driver —
+    O(matching files) memory at 10⁷-file scale. The query asserts
+    in-line that the root really is parquet-format, that the 10%
+    window pruned files, and that the DISTRIBUTED prune
+    (manifest_table — the Iceberg files metadata DataFrame — filtered
+    on the same stats) keeps exactly the same file count as the Arrow
+    path. Pruning is a superset cut with the predicate still applied,
+    so the oracle is the plain full-scan filter."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        _manifest_root, manifest_table, read_pruned, write_with_manifest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_mshard_")
+    write_with_manifest(
+        li, path, ["l_orderkey"], n_files=24,
+        manifest_format="parquet", manifest_shards=2,
+    )
+    mo = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+    lo, hi = mo * 6 // 10, mo * 7 // 10
+    pruned, kept, total = read_pruned(spark, path, "l_orderkey", lo, hi)
+    assert _manifest_root(path)["format"] == "parquet"
+    assert 0 < kept < total, f"sharded manifest pruned nothing ({kept}/{total})"
+    kept_dist = manifest_table(spark, path).filter(
+        ~((F.col("max_l_orderkey") < F.lit(lo)) | (F.col("min_l_orderkey") > F.lit(hi)))
+    ).count()
+    assert kept_dist == kept, (kept_dist, kept)
+    return (
+        pruned.groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("price"),
+        )
+        .select(
+            F.col("l_linestatus").alias("l_linestatus"),
+            F.col("cnt").alias("cnt"),
+            F.round("price", 2).alias("price"),
+        )
+    )
+
+
 def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 Python DataSource over the MOR table (round-7,
     sources/datasource.py MorDataSource — format('morlake')): the
@@ -6053,6 +6107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_checkpoint": q_mor_checkpoint,
         "mor_schema_evolution": q_mor_schema_evolution,
         "manifest_count": q_manifest_count,
+        "manifest_sharded": q_manifest_sharded,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
         "mor_incremental_index": q_mor_incremental_index,
@@ -9417,6 +9472,18 @@ def oracle_sql() -> dict[str, str]:
             FROM w LEFT JOIN lineitem l
               ON l.l_orderkey >= w.lo AND l.l_orderkey <= w.hi
             GROUP BY w.rng
+        """,
+        "manifest_sharded": """
+            WITH bounds AS (
+              SELECT max(l_orderkey) AS mx FROM lineitem
+            )
+            SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS price
+            FROM lineitem, bounds
+            WHERE l_orderkey >= CAST(mx * 6 // 10 AS BIGINT)
+              AND l_orderkey <= CAST(mx * 7 // 10 AS BIGINT)
+            GROUP BY l_linestatus
         """,
         "mor_datasource": """
             WITH allv AS (

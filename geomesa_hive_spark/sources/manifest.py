@@ -10,9 +10,12 @@ parquet row-group stats (which still apply inside each kept file).
 Why this matters at 100 TB: row-group pruning still costs a footer
 read per file; with millions of files the LISTING is the bottleneck.
 A manifest makes the first cut O(files) driver-side metadata work with
-zero object-store reads — and the manifest itself stays small (one
-JSON row per file; at extreme file counts it would be sharded/stored
-as parquet exactly like Iceberg's manifest lists, noted in SCALE.md).
+zero object-store reads. Two manifest tiers: the JSON sidecar (one
+row per file, fine to ~10⁵ files) and ``manifest_format="parquet"``
+(round 7) — per-file stats written as a SHARDED PARQUET TABLE with no
+driver collect, pruned via a column-pruned predicate-pushed Arrow scan
+(or fully distributed through :func:`manifest_table`), which is
+Iceberg's manifest-list/manifest-file split on plain parquet.
 
 The write does one extra read-back scan to collect per-file stats via
 ``input_file_name()`` — one map-side-combined groupBy over data just
@@ -31,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
-    "write_with_manifest", "read_pruned", "manifest_stats", "compact",
+    "write_with_manifest", "read_pruned", "manifest_stats", "manifest_table",
+    "compact",
     "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
     "merge_into", "read_changes", "checkpoint", "vacuum",
@@ -39,6 +43,7 @@ __all__ = [
 ]
 
 _MANIFEST = "_manifest.json"
+_MANIFEST_DIR = "_manifest"   # parquet-backed sharded manifest (at-scale tier)
 _DELTA_LOG = "_deltas.json"   # legacy single-file log (read-compat only)
 _COMMIT_DIR = "_commits"      # one JSON per commit, name = zero-padded seq
 _CKPT_DIR = "_checkpoints"    # materialized snapshots: <seq>/ data + <seq>.json
@@ -64,6 +69,8 @@ def write_with_manifest(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 1 << 16,
     bloom_hashes: int = 5,
+    manifest_format: str = "json",
+    manifest_shards: int = 1,
 ) -> dict:
     """Range-cluster ``df`` by ``stats_cols`` into ``n_files`` parquet
     files and write a ``_manifest.json`` of per-file min/max for each
@@ -74,12 +81,25 @@ def write_with_manifest(
     ``bloom_cols`` additionally records a per-file Bloom filter for
     each named column (see :func:`read_point_lookup`) — point lookups
     on columns the table is NOT clustered by, where min/max can never
-    prune."""
+    prune.
+
+    ``manifest_format="parquet"`` is the at-scale tier (the sharded
+    manifest SCALE.md names as the next step past the single JSON):
+    per-file stats are written as a PARQUET TABLE under
+    ``<path>/_manifest/`` — the stats DataFrame goes straight from the
+    read-back aggregation to parquet with NO driver collect, so the
+    manifest write is O(files) cluster work, never driver memory —
+    plus a tiny ``_manifest.json`` root holding only schema-level
+    metadata (Iceberg's manifest-list / manifest-file split). Pruning
+    then reads the manifest with a column-pruned, predicate-pushed
+    Arrow scan (:func:`read_pruned`) or distributes it entirely
+    (:func:`manifest_table`)."""
     d = df.repartitionByRange(int(n_files), *[F.col(c) for c in stats_cols])
     d.write.mode("overwrite").parquet(path)
     return _finish_manifest(
         df.sparkSession, path, stats_cols, "range",
         bloom_cols, bloom_bits, bloom_hashes,
+        manifest_format=manifest_format, manifest_shards=manifest_shards,
     )
 
 
@@ -91,11 +111,15 @@ def _finish_manifest(
     bloom_cols: list[str] | None,
     bloom_bits: int,
     bloom_hashes: int,
+    manifest_format: str = "json",
+    manifest_shards: int = 1,
 ) -> dict:
     """One read-back scan over the just-written files: per-file min/max
     for every stats column plus (optionally) per-file Bloom bitsets."""
     from pyspark.sql import types as T
 
+    if manifest_format not in ("json", "parquet"):
+        raise ValueError(f"manifest_format must be json|parquet, got {manifest_format!r}")
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     int_cols = {
         c for c in stats_cols
@@ -114,10 +138,41 @@ def _finish_manifest(
                 F.sum(F.col(c).cast("decimal(38,0)")).alias(f"sum_{c}")
             )
     aggs.append(F.count("*").alias("n_rows"))
-    rows = back.groupBy("__f").agg(*aggs).collect()
+    stats_df = back.groupBy(F.col("__f").alias("file")).agg(*aggs)
+
+    if manifest_format == "parquet":
+        # Cluster-side manifest: the stats DataFrame is written straight
+        # to parquet — NO collect, so manifest construction never passes
+        # per-file rows through the driver. At 10⁶+ files this is the
+        # difference between a manifest and a driver OOM.
+        (
+            stats_df.repartition(max(1, int(manifest_shards)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, _MANIFEST_DIR))
+        )
+        root = {
+            "format": "parquet",
+            "stats_cols": list(stats_cols),
+            "clustering": clustering,
+            "dir": _MANIFEST_DIR,
+        }
+        if bloom_cols:
+            root["bloom"] = {
+                "bits": int(bloom_bits),
+                "hashes": int(bloom_hashes),
+                "cols": {
+                    c: _build_bloom(back, c, int(bloom_bits), int(bloom_hashes))
+                    for c in bloom_cols
+                },
+            }
+        with open(os.path.join(path, _MANIFEST), "w") as fh:
+            json.dump(root, fh)
+        return manifest_stats(path)
+
+    rows = stats_df.collect()
     files = []
     for r in rows:
-        entry = {"file": r["__f"], "n_rows": r["n_rows"]}
+        entry = {"file": r["file"], "n_rows": r["n_rows"]}
         for c in stats_cols:
             entry[f"min_{c}"] = _plain(r[f"min_{c}"])
             entry[f"max_{c}"] = _plain(r[f"max_{c}"])
@@ -155,9 +210,59 @@ def _plain(v):
     return str(v)
 
 
-def manifest_stats(path: str) -> dict:
+def _manifest_root(path: str) -> dict:
+    """Root manifest JSON only — never materializes per-file rows."""
     with open(os.path.join(path, _MANIFEST)) as fh:
         return json.load(fh)
+
+
+def manifest_stats(path: str) -> dict:
+    """Manifest as a dict with a materialized ``files`` list. For a
+    parquet-backed manifest the file rows are loaded via Arrow into the
+    same shape the JSON format stores, so every metadata consumer
+    (:func:`pruned_count`, :func:`pruned_sum`, :func:`read_point_lookup`)
+    works against either format. At extreme file counts prefer
+    :func:`read_pruned` (column-pruned predicate-pushed Arrow scan) or
+    :func:`manifest_table` (fully distributed) — this compat loader is
+    O(files) driver memory by definition."""
+    m = _manifest_root(path)
+    if m.get("format") != "parquet":
+        return m
+    import pyarrow.dataset as _ds
+
+    import decimal
+
+    tbl = _ds.dataset(os.path.join(path, m["dir"])).to_table()
+    files = [
+        {
+            k: int(v) if isinstance(v, decimal.Decimal) else _plain(v)
+            for k, v in row.items()
+        }
+        for row in tbl.to_pylist()
+    ]
+    m["files"] = sorted(files, key=lambda e: e["file"])
+    return m
+
+
+def manifest_table(spark: SparkSession, path: str) -> DataFrame:
+    """The manifest as a Spark DataFrame — the Iceberg ``table.files``
+    metadata table. One row per data file: ``file``, ``n_rows``, and
+    ``min_/max_/nn_`` (and integer ``sum_``) per stats column. This is
+    the DISTRIBUTED pruning surface: at 10⁷ files, filter THIS frame on
+    the stats columns and join/collect only the surviving names —
+    pruning itself becomes a parallel scan of manifest shards instead
+    of a driver loop. For a JSON manifest the (small) entries list is
+    parallelized for API uniformity."""
+    m = _manifest_root(path)
+    if m.get("format") == "parquet":
+        return spark.read.parquet(os.path.join(path, m["dir"]))
+    files = manifest_stats(path)["files"]
+    if not files:
+        raise ValueError(f"manifest at {path} has no files")
+    cols = list(files[0].keys())
+    return spark.createDataFrame(
+        [tuple(e.get(c) for c in cols) for e in files], cols
+    )
 
 
 def read_pruned(
@@ -171,15 +276,33 @@ def read_pruned(
     [min, max] range for ``col`` overlaps [lo, hi], per the manifest —
     the predicate itself is STILL applied (manifest pruning is a
     superset cut, exactly like row-group stats), so results equal a
-    full-scan filter by construction."""
-    m = manifest_stats(path)
+    full-scan filter by construction.
+
+    Against a parquet-backed manifest the prune is a column-pruned,
+    predicate-pushed Arrow scan of the manifest shards: driver memory
+    holds only the SURVIVING file names, never the full manifest —
+    the property that keeps pruning O(matching files) at 10⁷-file
+    scale. All-NULL files (min/max NULL) are dropped there by
+    construction: a range predicate cannot pass a NULL."""
+    m = _manifest_root(path)
     if col not in m["stats_cols"]:
         raise ValueError(f"column {col!r} has no manifest stats (have {m['stats_cols']})")
-    keep = [
-        e["file"] for e in m["files"]
-        if not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
-    ]
-    total = len(m["files"])
+    if m.get("format") == "parquet":
+        import pyarrow.dataset as _ds
+
+        dset = _ds.dataset(os.path.join(path, m["dir"]))
+        flt = ~((_ds.field(f"max_{col}") < lo) | (_ds.field(f"min_{col}") > hi))
+        keep = sorted(
+            dset.to_table(columns=["file"], filter=flt).column("file").to_pylist()
+        )
+        total = dset.count_rows()
+    else:
+        m = manifest_stats(path)
+        keep = [
+            e["file"] for e in m["files"]
+            if not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
+        ]
+        total = len(m["files"])
     if not keep:
         empty = spark.read.parquet(path).filter(F.lit(False))
         return empty, 0, total
@@ -318,6 +441,8 @@ def write_zordered(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 1 << 16,
     bloom_hashes: int = 5,
+    manifest_format: str = "json",
+    manifest_shards: int = 1,
 ) -> dict:
     """Z-order-cluster ``df`` by TWO numeric columns into ``n_files``
     files and write the same ``_manifest.json`` as
@@ -372,6 +497,7 @@ def write_zordered(
     return _finish_manifest(
         df.sparkSession, path, cols, "zorder",
         bloom_cols, bloom_bits, bloom_hashes,
+        manifest_format=manifest_format, manifest_shards=manifest_shards,
     )
 
 

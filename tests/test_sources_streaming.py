@@ -1648,3 +1648,83 @@ def test_incremental_projection_matches_snapshot(spark, tmp_path):
             spark, path, "k",
             idx0.withColumnRenamed("v", "nope"), 0, 2,
         )
+
+
+def test_parquet_manifest_tier(spark, tmp_path):
+    """Parquet-backed (sharded) manifest — the at-scale tier: pruning
+    via the Arrow manifest scan matches the JSON-manifest result and a
+    full scan; all-NULL stats files are dropped by the range prune;
+    manifest_stats compat loader feeds pruned_count/pruned_sum
+    unchanged; manifest_table exposes one row per data file and its
+    distributed-filter prune agrees with read_pruned."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        manifest_stats, manifest_table, pruned_count, pruned_sum,
+        read_pruned, write_with_manifest,
+    )
+
+    df = spark.range(0, 24000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    jp, pp = str(tmp_path / "mjson"), str(tmp_path / "mparq")
+    mj = write_with_manifest(df, jp, ["k"], n_files=24)
+    mp = write_with_manifest(
+        df, pp, ["k"], n_files=24,
+        manifest_format="parquet", manifest_shards=2,
+    )
+    assert mp["format"] == "parquet"
+    assert len(mp["files"]) == 24
+    assert sum(e["n_rows"] for e in mp["files"]) == 24000
+    # stats are exact: k is the unique contiguous range 0..23999 and
+    # repartitionByRange assigns contiguous slices, so every file must
+    # satisfy n_rows == max-min+1 and sum_k == sum(min..max); file cuts
+    # themselves differ run-to-run (range partitioner samples), so
+    # cross-write comparison is on invariants, not boundaries
+    assert min(e["min_k"] for e in mp["files"]) == 0
+    assert max(e["max_k"] for e in mp["files"]) == 23999
+    for e in mp["files"]:
+        assert e["nn_k"] == e["n_rows"] == e["max_k"] - e["min_k"] + 1
+        assert e["sum_k"] == (e["min_k"] + e["max_k"]) * e["n_rows"] // 2
+    assert len(mj["files"]) == 24  # json twin written fine too
+
+    pruned, kept, total = read_pruned(spark, pp, "k", 10000, 12000)
+    assert total == 24 and 0 < kept <= 4
+    full = df.filter((F.col("k") >= 10000) & (F.col("k") <= 12000))
+    assert sorted(r.k for r in pruned.collect()) == \
+           sorted(r.k for r in full.collect())
+    empty, kept0, _ = read_pruned(spark, pp, "k", 10**9, 2 * 10**9)
+    assert kept0 == 0 and empty.count() == 0
+    with _pytest.raises(ValueError):
+        read_pruned(spark, pp, "v", 0, 1)
+
+    # manifest_table: one row per file, distributed prune agrees
+    mt = manifest_table(spark, pp)
+    assert mt.count() == 24
+    kept_dist = mt.filter(
+        ~((F.col("max_k") < 10000) | (F.col("min_k") > 12000))
+    ).count()
+    assert kept_dist == kept
+    # JSON manifests get the same surface
+    assert manifest_table(spark, jp).count() == 24
+
+    # metadata-only count/sum run unchanged through the compat loader
+    cnt, rep = pruned_count(spark, pp, "k", 1000, 23000)
+    assert cnt == 22001 and rep["files_metadata"] > 0
+    s, _rep = pruned_sum(spark, pp, "k", 1000, 23000)
+    assert s == sum(range(1000, 23001))
+
+    # all-NULL stats file: dropped by the Arrow prune, never scanned
+    npath = str(tmp_path / "mnull")
+    nd = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(4, F.col("k"))
+    nd.write.mode("overwrite").parquet(npath)
+    from geomesa_hive_spark.sources.manifest import _finish_manifest
+    _finish_manifest(spark, npath, ["k"], "range", None, 0, 0,
+                     manifest_format="parquet")
+    got, keptn, totn = read_pruned(spark, npath, "k", 0, 500)
+    assert keptn < totn
+    assert got.count() == 501
