@@ -3104,6 +3104,66 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rng string, cnt long, ksum long")
 
 
+def q_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED MOR snapshot read (round-7, sources/manifest.py
+    read_snapshot ``key_range=`` — Iceberg/Delta stats-in-the-log
+    applied to the merge-on-read view): the base is written with a
+    parquet manifest, write_delta logs per-commit key min/max
+    (tombstones included), and a key-ranged snapshot read then cuts at
+    TWO metadata levels before any data is read — base files through
+    the manifest, whole commits through their logged key stats. Here
+    commit 1 touches only low keys (≤ mx/4) and commit 2 only high
+    keys (> 3mx/4, updates + tombstones); reading [0, mx/2] must skip
+    commit 2 entirely and most base files — both asserted in-query via
+    prune_report. By construction the pruned read ≡ full snapshot
+    filtered to the range, so the oracle replays full MOR resolution
+    as a SQL window WHERE-d to the range."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta, write_with_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_morprune_")
+    write_with_manifest(o, path, ["o_orderkey"], n_files=24,
+                        manifest_format="parquet")
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    lo_cut, hi_cut = mx // 4, mx - mx // 4
+    up1 = (
+        o.filter((F.col("o_orderkey") % 7 == 0)
+                 & (F.col("o_orderkey") <= F.lit(lo_cut)))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter((F.col("o_orderkey") % 13 == 0)
+                 & (F.col("o_orderkey") > F.lit(hi_cut)))
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter((F.col("o_orderkey") % 11 == 0)
+                    & (F.col("o_orderkey") > F.lit(hi_cut))).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    rep: dict = {}
+    snap = read_snapshot(spark, path, "o_orderkey",
+                         key_range=(0, mx // 2), prune_report=rep)
+    assert rep["commits_kept"] == 1 and rep["commits_total"] == 2, rep
+    assert 0 < rep["base_files_kept"] < rep["base_files_total"], rep
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
 def q_manifest_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet-backed SHARDED manifest (round-7, sources/manifest.py
     ``manifest_format='parquet'`` — the at-scale tier SCALE.md names
@@ -6108,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_schema_evolution": q_mor_schema_evolution,
         "manifest_count": q_manifest_count,
         "manifest_sharded": q_manifest_sharded,
+        "mor_pruned_read": q_mor_pruned_read,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
         "mor_incremental_index": q_mor_incremental_index,
@@ -9484,6 +9545,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey >= CAST(mx * 6 // 10 AS BIGINT)
               AND l_orderkey <= CAST(mx * 7 // 10 AS BIGINT)
             GROUP BY l_linestatus
+        """,
+        "mor_pruned_read": """
+            WITH b AS (
+              SELECT max(o_orderkey) AS mx FROM orders
+            ), allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders, b
+              WHERE o_orderkey % 7 = 0 AND o_orderkey <= mx // 4
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders, b
+              WHERE o_orderkey % 13 = 0 AND o_orderkey > mx - mx // 4
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders, b
+              WHERE o_orderkey % 11 = 0 AND o_orderkey > mx - mx // 4
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r, b
+            WHERE rn = 1 AND del = 0
+              AND o_orderkey >= 0 AND o_orderkey <= mx // 2
+            GROUP BY o_orderstatus
         """,
         "mor_datasource": """
             WITH allv AS (

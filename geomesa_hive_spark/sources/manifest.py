@@ -712,6 +712,13 @@ def write_delta(
     token = uuid.uuid4().hex[:12]
     dpath = os.path.join(path, f"_delta_{token}")
     up.write.mode("overwrite").parquet(dpath)
+    # per-commit key stats (Iceberg/Delta file-stats-in-the-log): one
+    # delta-sized agg lets a key-ranged snapshot read skip ENTIRE
+    # commits whose keys provably miss the range (read_snapshot
+    # key_range=). Tombstone keys are included — a delete in range
+    # must be seen. Older commits without stats degrade to always-read.
+    krow = up.agg(F.min(key_col), F.max(key_col)).collect()[0]
+    key_stats = (_plain(krow[0]), _plain(krow[1]))
     cdir = os.path.join(path, _COMMIT_DIR)
     os.makedirs(cdir, exist_ok=True)
     my_keys = None
@@ -761,6 +768,8 @@ def write_delta(
                     )
         entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
                  "n_deletes": int(n_del)}
+        if key_stats is not None:
+            entry["key_min"], entry["key_max"] = key_stats
         if txn_id is not None:
             entry["txn_id"] = txn_id
         if _atomic_commit(cdir, seq, entry, token):
@@ -840,6 +849,8 @@ def read_snapshot(
     key_col: str,
     broadcast_deltas: bool = True,
     as_of_seq: int | None = None,
+    key_range: tuple | None = None,
+    prune_report: dict | None = None,
 ) -> DataFrame:
     """Merge-on-read snapshot of the table at ``path``: for each key,
     the latest committed version; tombstoned keys are gone.
@@ -870,7 +881,29 @@ def read_snapshot(
     Schema evolution: deltas committed with ``allow_schema_evolution``
     may carry new columns; rows that predate a column read NULL for it
     (unionByName with allowMissingColumns — Delta/Iceberg add-column
-    semantics, no base rewrite)."""
+    semantics, no base rewrite).
+
+    ``key_range=(lo, hi)`` is the PRUNED snapshot read — by
+    construction identical to ``read_snapshot(...).filter(lo <= key <=
+    hi)`` but metadata-cut at two levels before any data is read:
+    (1) base files are pruned through the table's manifest when one
+    exists with ``key_col`` stats (write the base with
+    :func:`write_with_manifest`; base files are immutable under MOR,
+    so the creation-time manifest stays valid forever), and (2) whole
+    COMMITS are skipped when their logged ``key_min/key_max`` (recorded
+    by :func:`write_delta` at commit time, tombstones included) miss
+    the range. Safe because resolution is per-key: a key's rows are
+    kept or cut atomically by a key predicate, and a skipped commit
+    contributes no in-range keys. Commits from writers that predate
+    key stats degrade to always-read — stale metadata is slower, never
+    wrong. ``prune_report`` (a dict, filled in place) reports
+    base_files_kept/base_files_total (None off the manifest path) and
+    commits_kept/commits_total for callers that assert pruning fired.
+
+    At 100 TB this is the difference between 'read one user's history'
+    costing two file scans and costing a full base scan: the manifest
+    cuts the base to the O(1) overlapping files, the commit stats cut
+    the log replay to the commits that touched the range."""
     log = _delta_log(path)
     cks = _checkpoints(path)
     if as_of_seq is not None:
@@ -884,14 +917,31 @@ def read_snapshot(
             )
         log = [e for e in log if e["seq"] <= as_of]
         cks = [c for c in cks if c["seq"] <= as_of]
+    if key_range is not None:
+        if len(key_range) != 2:
+            raise ValueError("key_range must be a (lo, hi) tuple")
+        lo, hi = key_range
+        in_range = (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
+    bkept = btot = None
     if cks:
         # latest eligible checkpoint stands in for base + its log prefix
         ck = cks[-1]
         base = spark.read.parquet(ck["path"])
+        if key_range is not None:
+            base = base.filter(in_range)   # parquet row-group stats prune
         floor = ck["seq"]
         log = [e for e in log if e["seq"] > floor]
     else:
-        base = _snapshot_base(spark, path)
+        if (
+            key_range is not None
+            and os.path.exists(os.path.join(path, _MANIFEST))
+            and key_col in _manifest_root(path)["stats_cols"]
+        ):
+            base, bkept, btot = read_pruned(spark, path, key_col, lo, hi)
+        else:
+            base = _snapshot_base(spark, path)
+            if key_range is not None:
+                base = base.filter(in_range)
         floor = 0
     if as_of_seq is not None:
         # commits between the chosen floor (checkpoint or base) and
@@ -905,13 +955,28 @@ def read_snapshot(
                 f"cannot reconstruct seq {as_of_seq}: commit(s) "
                 f"{missing} were vacuumed"
             )
+    n_commits = len(log)
+    if key_range is not None:
+        # commit-level skip on logged key stats; commits without stats
+        # (older writers) are always read — correct, just unpruned
+        log = [
+            e for e in log
+            if e.get("key_min") is None or e.get("key_max") is None
+            or not (e["key_max"] < lo or e["key_min"] > hi)
+        ]
+    if prune_report is not None and key_range is not None:
+        prune_report.update(
+            base_files_kept=bkept, base_files_total=btot,
+            commits_kept=len(log), commits_total=n_commits,
+        )
     if not log:
         return base
     parts = []
     for e in log:
-        parts.append(
-            spark.read.parquet(e["path"]).withColumn("__seq", F.lit(e["seq"]))
-        )
+        p = spark.read.parquet(e["path"]).withColumn("__seq", F.lit(e["seq"]))
+        if key_range is not None:
+            p = p.filter(in_range)
+        parts.append(p)
     alld = parts[0]
     for p in parts[1:]:
         alld = alld.unionByName(p, allowMissingColumns=True)

@@ -1728,3 +1728,78 @@ def test_parquet_manifest_tier(spark, tmp_path):
     got, keptn, totn = read_pruned(spark, npath, "k", 0, 500)
     assert keptn < totn
     assert got.count() == 501
+
+
+def test_mor_pruned_snapshot_read(spark, tmp_path):
+    """key_range snapshot read ≡ full snapshot filtered: manifest cuts
+    base files, logged commit key stats skip whole commits (tombstones
+    included), commits without stats degrade to always-read, checkpoint
+    path applies the filter, bad range raises."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, write_delta, write_with_manifest,
+    )
+
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.lit("base").alias("s"),
+    )
+    path = str(tmp_path / "morprune")
+    write_with_manifest(df, path, ["k"], n_files=16,
+                        manifest_format="parquet")
+    lowu = (df.filter((F.col("k") < 2000) & (F.col("k") % 7 == 0))
+            .withColumn("s", F.lit("L")))
+    e1 = write_delta(lowu, path, "k")
+    assert e1["key_min"] == 0 and e1["key_max"] == 1995
+    highu = (df.filter((F.col("k") >= 6000) & (F.col("k") % 13 == 0))
+             .withColumn("s", F.lit("H")))
+    dels = df.filter((F.col("k") >= 6000) & (F.col("k") % 11 == 0)).select("k")
+    e2 = write_delta(highu, path, "k", delete_keys=dels)
+    assert e2["key_min"] >= 6000   # tombstone keys included in stats
+
+    def both(lo, hi):
+        rep = {}
+        pr = read_snapshot(spark, path, "k", key_range=(lo, hi),
+                           prune_report=rep)
+        fu = read_snapshot(spark, path, "k").filter(
+            (F.col("k") >= lo) & (F.col("k") <= hi))
+        a = sorted(tuple(r) for r in pr.collect())
+        b = sorted(tuple(r) for r in fu.collect())
+        assert a == b, (lo, hi, len(a), len(b))
+        return rep
+
+    rep = both(0, 3000)
+    assert rep["commits_kept"] == 1 and rep["commits_total"] == 2
+    assert 0 < rep["base_files_kept"] < rep["base_files_total"]
+    rep = both(6500, 7999)          # sees deletes + H updates
+    assert rep["commits_kept"] == 1
+    rep = both(2500, 5500)          # middle: no commit overlaps
+    assert rep["commits_kept"] == 0
+    both(0, 7999)                   # full range
+
+    # a statsless commit (older-writer log entry) must always be read:
+    # strip stats from e2's log file and re-check the middle window
+    cpath = _os.path.join(path, "_commits", f"{e2['seq']:06d}.json")
+    entry = _json.load(open(cpath))
+    del entry["key_min"], entry["key_max"]
+    with open(cpath, "w") as fh:
+        _json.dump(entry, fh)
+    rep = both(2500, 5500)
+    assert rep["commits_kept"] == 1   # unprunable → read (still correct)
+
+    # checkpoint path: filter applies, results stay equal
+    checkpoint(spark, path, "k")
+    write_delta(df.filter(F.col("k") % 17 == 0).withColumn("s", F.lit("W")),
+                path, "k")
+    rep = both(0, 3000)
+    assert rep["base_files_kept"] is None   # checkpoint path, no manifest cut
+
+    with _pytest.raises(ValueError, match="key_range"):
+        read_snapshot(spark, path, "k", key_range=(1, 2, 3))
