@@ -3104,6 +3104,48 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rng string, cnt long, ksum long")
 
 
+def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoParquet 1.1 interop (round-7, sources/spatial_io.py
+    write_geoparquet/read_geoparquet — the OGC-standard
+    geometry-in-parquet format): customer points are written as
+    Z2-clustered GeoParquet — executor-side pyarrow writes (the
+    morlake staging pattern), each file carrying spec 'geo' footer
+    metadata with WKB encoding, an EXACT per-file bbox, and the 1.1
+    bbox-covering declaration — then read back through Spark's native
+    parquet scan with a window: the declared covering column drives a
+    native min/max conjunction (parquet row-group pushdown) and
+    st_intersects exact-checks survivors. In-query asserts: footer
+    metadata parses with encoding=WKB + covering present, file count
+    and row totals match. Points sit .005 off window boundaries, so
+    the exact filter ≡ the coordinate-range SQL the oracle replays."""
+    from geomesa_hive_spark.sources.spatial_io import (
+        geoparquet_meta, read_geoparquet, write_geoparquet,
+    )
+    import tempfile
+
+    pts = _customer_pts(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ghs_gpq_") + "/tbl"
+    summ = write_geoparquet(
+        pts.select("c_custkey", "c_mktsegment", "c_acctbal", "geom"),
+        path, "geom", geometry_types=["Point"], n_files=12,
+    )
+    m = geoparquet_meta(path)
+    assert m["columns"]["geom"]["encoding"] == "WKB", m
+    assert m["columns"]["geom"]["covering"]["bbox"]["xmin"] == ["bbox", "xmin"], m
+    assert len(summ) == 12, len(summ)
+    win = (-60.005, 0.005, -10.005, 50.005)
+    got = read_geoparquet(spark, path, bbox=win)
+    return (
+        got.groupBy(F.col("c_mktsegment").alias("c_mktsegment"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("bal"),
+        )
+        .select("c_mktsegment", "cnt", F.round("bal", 2).alias("bal"))
+    )
+
+
 def q_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRUNED MOR snapshot read (round-7, sources/manifest.py
     read_snapshot ``key_range=`` — Iceberg/Delta stats-in-the-log
@@ -6169,6 +6211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_count": q_manifest_count,
         "manifest_sharded": q_manifest_sharded,
         "mor_pruned_read": q_mor_pruned_read,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
         "mor_incremental_index": q_mor_incremental_index,
@@ -9545,6 +9588,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey >= CAST(mx * 6 // 10 AS BIGINT)
               AND l_orderkey <= CAST(mx * 7 // 10 AS BIGINT)
             GROUP BY l_linestatus
+        """,
+        "geoparquet_roundtrip": f"""
+            WITH p AS (
+              SELECT c_mktsegment, c_acctbal,
+                     {_C_X} AS cx, {_C_Y} AS cy
+              FROM customer
+            )
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS bal
+            FROM p
+            WHERE cx >= -60.005 AND cx <= -10.005
+              AND cy >= 0.005 AND cy <= 50.005
+            GROUP BY c_mktsegment
         """,
         "mor_pruned_read": """
             WITH b AS (

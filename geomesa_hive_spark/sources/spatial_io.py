@@ -117,3 +117,215 @@ def write_spatial_parquet(
     write_spatially_partitioned(
         df, path, geom_col, zoom=zoom, mode=mode, partition_dirs=partition_dirs
     )
+
+
+# ---------------------------------------------------------------------------
+# GeoParquet 1.1 — the OGC-standard interchange format for geometry-in-parquet
+# ---------------------------------------------------------------------------
+# What the spec requires (github.com/opengeospatial/geoparquet, v1.1.0):
+# each file carries a JSON document under the footer metadata key "geo"
+# naming a primary geometry column, its encoding (WKB here — the repo's
+# native geometry representation), the file-level bbox, and (1.1) an
+# optional "covering" declaration pointing at a per-row bbox struct column
+# that readers may use for predicate pushdown. Files written here open in
+# GeoPandas/GDAL/DuckDB-spatial unchanged, and their parquet is plain
+# enough that Spark's reader scans it natively (Spark ignores unknown
+# footer keys) — interop in both directions.
+#
+# Why the writer is executor-side pyarrow instead of df.write.parquet:
+# Spark cannot attach custom footer metadata, and rewriting footers after
+# the fact would double the I/O. Each task writes its own partition with
+# pyarrow (the same executor-side Arrow-write pattern as the morlake sink,
+# sources/datasource.py), computing that FILE's bbox as it goes — so the
+# per-file "geo" metadata is exact, the write stays one distributed pass,
+# and nothing row-sized ever reaches the driver (the collected summaries
+# are one row per FILE). Z2 clustering before the write is what makes the
+# per-file bboxes tight — same argument as write_spatially_partitioned.
+
+_GEO_KEY = b"geo"
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geom",
+    crs: dict | str | None = None,
+    geometry_types: list[str] | None = None,
+    n_files: int = 16,
+    zoom: int = 6,
+    version: str = "1.1.0",
+) -> list[dict]:
+    """Write ``df`` (with a WKB binary ``geom_col``) as GeoParquet 1.1:
+    Z2-clustered files, each with spec-compliant ``geo`` footer metadata
+    (primary column, WKB encoding, exact per-file bbox, bbox covering
+    declaration) plus a per-row ``bbox`` struct column for stats/row-group
+    pushdown. Returns one summary dict per written file
+    ``{file, n_rows, xmin, ymin, xmax, ymax}``.
+
+    ``crs`` is embedded verbatim (PROJJSON per spec; omitted = spec
+    default OGC:CRS84, which matches the repo's lon/lat convention)."""
+    import json as _json
+    import os as _os
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.partitioning import add_z2_columns
+
+    spark = df.sparkSession
+    register_all(spark)
+    if geom_col not in df.columns:
+        raise ValueError(f"geometry column {geom_col!r} not in DataFrame")
+    data_cols = [c for c in df.columns if c != "bbox"]
+    enriched = add_z2_columns(df.select(*data_cols), geom_col, zoom=zoom)
+    clustered = (
+        enriched.repartitionByRange(int(n_files), "z2")
+        .sortWithinPartitions("z2")
+        .drop("z2")
+        .select(
+            *data_cols,
+            F.col("bbox.xmin").alias("__bx0"),
+            F.col("bbox.ymin").alias("__by0"),
+            F.col("bbox.xmax").alias("__bx1"),
+            F.col("bbox.ymax").alias("__by1"),
+        )
+    )
+    gtypes = list(geometry_types) if geometry_types else []
+    crs_val = crs
+
+    def _write_part(it):
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        fx0, fy0 = float(pdf["__bx0"].min()), float(pdf["__by0"].min())
+        fx1, fy1 = float(pdf["__bx1"].max()), float(pdf["__by1"].max())
+        tbl = pa.Table.from_pandas(pdf[data_cols], preserve_index=False)
+        bbox_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(pdf["__bx0"], type=pa.float64()),
+                pa.array(pdf["__by0"], type=pa.float64()),
+                pa.array(pdf["__bx1"], type=pa.float64()),
+                pa.array(pdf["__by1"], type=pa.float64()),
+            ],
+            names=["xmin", "ymin", "xmax", "ymax"],
+        )
+        tbl = tbl.append_column("bbox", bbox_struct)
+        import math
+
+        col_meta = {
+            "encoding": "WKB",
+            "geometry_types": gtypes,
+            # a file of only NULL/empty geometries has no extent — omit
+            # bbox (it's optional per spec) rather than emit NaN, which
+            # is not valid JSON
+            **({"bbox": [fx0, fy0, fx1, fy1]}
+               if not any(math.isnan(v) for v in (fx0, fy0, fx1, fy1))
+               else {}),
+            "covering": {
+                "bbox": {
+                    "xmin": ["bbox", "xmin"],
+                    "ymin": ["bbox", "ymin"],
+                    "xmax": ["bbox", "xmax"],
+                    "ymax": ["bbox", "ymax"],
+                }
+            },
+        }
+        if crs_val is not None:
+            col_meta["crs"] = crs_val
+        geo = {
+            "version": version,
+            "primary_column": geom_col,
+            "columns": {geom_col: col_meta},
+        }
+        meta = dict(tbl.schema.metadata or {})
+        meta[_GEO_KEY] = _json.dumps(geo).encode()
+        tbl = tbl.replace_schema_metadata(meta)
+        _os.makedirs(path, exist_ok=True)
+        fname = _os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, fname)
+        yield pd.DataFrame(
+            [
+                {
+                    "file": fname,
+                    "n_rows": len(pdf),
+                    "xmin": fx0,
+                    "ymin": fy0,
+                    "xmax": fx1,
+                    "ymax": fy1,
+                }
+            ]
+        )
+
+    summaries = clustered.mapInPandas(
+        _write_part,
+        schema="file string, n_rows long, xmin double, ymin double, "
+               "xmax double, ymax double",
+    ).collect()
+    return sorted((r.asDict() for r in summaries), key=lambda d: d["file"])
+
+
+def geoparquet_meta(path: str) -> dict:
+    """The parsed ``geo`` footer metadata from one file under ``path``
+    (file-level bbox differs per file; the schema-level fields —
+    primary column, encoding, covering — are uniform by construction)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if _os.path.isdir(path):
+        cand = sorted(
+            f for f in _os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not cand:
+            raise ValueError(f"no parquet files under {path}")
+        target = _os.path.join(path, cand[0])
+    meta = pq.read_schema(target).metadata or {}
+    if _GEO_KEY not in meta:
+        raise ValueError(f"{target} has no 'geo' footer metadata (not GeoParquet)")
+    return _json.loads(meta[_GEO_KEY])
+
+
+def read_geoparquet(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Read GeoParquet: Spark's native parquet scan (unknown footer keys
+    are ignored, WKB binary comes back as BinaryType — directly usable
+    by every ST_* function). With ``bbox``, the spec's declared covering
+    column drives a NATIVE min/max window conjunction first (pushed to
+    parquet row-group stats — the same coarse-then-exact shape as
+    :func:`read_spatial_parquet`), then the exact ``st_intersects`` on
+    survivors when ``exact``."""
+    meta = geoparquet_meta(path)
+    gcol = meta["primary_column"]
+    df = spark.read.parquet(path)
+    if bbox is None:
+        return df
+    xmin, ymin, xmax, ymax = bbox
+    covering = meta["columns"][gcol].get("covering", {}).get("bbox")
+    if covering:
+        bx0, by0 = ".".join(covering["xmin"]), ".".join(covering["ymin"])
+        bx1, by1 = ".".join(covering["xmax"]), ".".join(covering["ymax"])
+        df = df.filter(
+            (F.col(bx0) <= F.lit(xmax)) & (F.col(bx1) >= F.lit(xmin))
+            & (F.col(by0) <= F.lit(ymax)) & (F.col(by1) >= F.lit(ymin))
+        )
+    if exact:
+        window_wkt = (
+            f"POLYGON (({xmin} {ymin}, {xmax} {ymin}, {xmax} {ymax}, "
+            f"{xmin} {ymax}, {xmin} {ymin}))"
+        )
+        df = df.filter(
+            ST.st_intersects(F.col(gcol), ST.st_geomfromwkt(F.lit(window_wkt)))
+        )
+    return df

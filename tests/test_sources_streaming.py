@@ -1803,3 +1803,73 @@ def test_mor_pruned_snapshot_read(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="key_range"):
         read_snapshot(spark, path, "k", key_range=(1, 2, 3))
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    """GeoParquet 1.1 writer/reader: every file carries spec 'geo'
+    footer metadata (WKB encoding, exact per-file bbox, covering
+    declaration); windowed read ≡ coordinate-range filter; per-file
+    bbox is tight against that file's contents; plain parquet raises
+    on geoparquet_meta; missing geometry column raises."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.sources.spatial_io import (
+        geoparquet_meta, read_geoparquet, write_geoparquet,
+    )
+
+    register_all(spark)
+    n = 4000
+    base = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 7919) % 36000) / 100.0 - 180.0).alias("x"),
+        (((F.col("id") * 4799) % 18000) / 100.0 - 90.0).alias("y"),
+    )
+    df = base.withColumn("geom", F.call_function("st_makepoint", "x", "y"))
+    path = str(tmp_path / "gpq")
+    summ = write_geoparquet(df, path, "geom", geometry_types=["Point"],
+                            n_files=8)
+    assert sum(s["n_rows"] for s in summ) == n and len(summ) == 8
+
+    # every file: geo metadata present, per-file bbox EXACT vs contents
+    for s in summ:
+        sch = _pq.read_schema(s["file"])
+        geo = _json.loads((sch.metadata or {})[b"geo"])
+        assert geo["primary_column"] == "geom"
+        gcol = geo["columns"]["geom"]
+        assert gcol["encoding"] == "WKB"
+        assert gcol["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+        t = _pq.read_table(s["file"], columns=["x", "y"])
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        assert gcol["bbox"] == [min(xs), min(ys), max(xs), max(ys)]
+        assert s["n_rows"] == len(xs)
+
+    m = geoparquet_meta(path)
+    assert m["version"] == "1.1.0"
+
+    win = (-60.005, 0.005, -10.005, 50.005)
+    got = read_geoparquet(spark, path, bbox=win)
+    exp = df.filter((F.col("x") >= win[0]) & (F.col("x") <= win[2])
+                    & (F.col("y") >= win[1]) & (F.col("y") <= win[3]))
+    assert sorted(r.k for r in got.collect()) == \
+           sorted(r.k for r in exp.collect())
+    assert read_geoparquet(spark, path).count() == n
+
+    # coarse-only read (exact=False) is a superset via the covering col
+    coarse = read_geoparquet(spark, path, bbox=win, exact=False)
+    assert coarse.count() >= got.count()
+
+    # spark's own reader scans the files natively
+    assert spark.read.parquet(path).count() == n
+
+    plain = str(tmp_path / "plain")
+    base.write.parquet(plain)
+    with _pytest.raises(ValueError, match="geo"):
+        geoparquet_meta(plain)
+    with _pytest.raises(ValueError, match="geometry column"):
+        write_geoparquet(base, str(tmp_path / "nope"), "geom")
