@@ -4155,6 +4155,41 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH index (round-7, pipeline/dedup.py
+    build_minhash_index/pairs_against_index — the stored-index
+    philosophy applied to dedup, like build_bm25_index for retrieval
+    and the reference's stored Z2 keys): corpus docs (source%3==0) are
+    signed ONCE and their band keys + signatures persisted partitioned
+    by hash buckets; the 'daily crawl' (source%3==1) is then deduped
+    against the index by signing only the new batch and joining its
+    band keys against PARTITION-PRUNED index slices — the corpus text
+    is never re-read. Result-identical to cross_corpus_pairs by
+    construction (same signature arithmetic, parameters pinned in the
+    stored _index.json), so the oracle is the same parameterized
+    minhash SQL replay as cross_dedup with this split. In-query
+    asserts: sig-partition pruning fired and the stored meta pins the
+    parameters."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    corpus = docs.filter(srcnum % 3 == 0)
+    new = docs.filter(srcnum % 3 == 1)
+    path = tempfile.mkdtemp(prefix="ghs_mhidx_")
+    meta = dedup.build_minhash_index(
+        corpus, "doc_id", "text", path, num_perm=64, bands=16, n_buckets=16
+    )
+    assert meta == dedup.minhash_index_meta(path), meta
+    rep: dict = {}
+    out = dedup.pairs_against_index(
+        new, "doc_id", "text", path, threshold=0.5, prune_report=rep
+    )
+    # rep is filled eagerly (the bucket lists are bounded collects)
+    assert rep["sig_buckets_read"] <= rep["n_buckets"] == 16, rep
+    return out
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup join: documents split into two corpora by
     source parity (even src numbers = the 'existing corpus', odd = the
@@ -6244,6 +6279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "cross_dedup": q_cross_dedup,
+        "dedup_index": q_dedup_index,
         "semantic_dedup": q_semantic_dedup,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -10247,6 +10283,11 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, threshold=0.5, seed=42,
             pred_a="CAST(substr(source, 4) AS INT) % 2 = 0",
             pred_b="CAST(substr(source, 4) AS INT) % 2 = 1",
+        ),
+        "dedup_index": _cross_minhash_oracle(
+            num_perm=64, bands=16, threshold=0.5, seed=42,
+            pred_a="CAST(substr(source, 4) AS INT) % 3 = 0",
+            pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
         ),
         "semantic_dedup": _semantic_dedup_oracle(k=8, iters=2, threshold=0.9),
         "dedup_simhash": _simhash_oracle(max_hamming=3),

@@ -50,6 +50,9 @@ __all__ = [
     "keep_canonical",
     "ngram_contamination",
     "remove_boilerplate_lines",
+    "build_minhash_index",
+    "minhash_index_meta",
+    "pairs_against_index",
 ]
 
 
@@ -1255,3 +1258,144 @@ def embedding_near_dup_pairs(
     # carry exactly one block so the distinct is skipped there (keeps
     # the contract query's plan unchanged)
     return out.distinct() if multi_table else out
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index: incremental dedup without re-signing the corpus
+# ---------------------------------------------------------------------------
+# The stored-index philosophy (the reference stores Z2 keys to avoid
+# recomputing them per query — spatial-index/.../ST_Z2LatLon.scala:34-35;
+# build_bm25_index applies it to retrieval) applied to near-dup: a 100 TB
+# corpus is signed ONCE and its band keys persisted, partitioned by a hash
+# bucket of the band hash; deduping a daily crawl then signs only the new
+# batch and joins its band keys against the PRUNED index partitions — the
+# corpus token stream is never touched again. Signatures are persisted too
+# (partitioned by an id-hash bucket) so the agreement verification reads
+# only the partitions holding candidate ids.
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram_n: int = 3,
+    seed: int = 42,
+    n_buckets: int = 32,
+) -> dict:
+    """Sign ``df`` once and persist its LSH index under ``path``:
+    ``bands/`` (id, band, bh) partitioned by ``bucket =
+    pmod(xxhash64(bh), n_buckets)`` and ``sigs/`` (id, sig) partitioned
+    by ``sbucket = pmod(xxhash64(id), n_buckets)``, plus an
+    ``_index.json`` root pinning the signature parameters (a query with
+    different params would silently match nothing — the stored index IS
+    the parameter commitment). Returns the metadata dict."""
+    import json
+    import os
+
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram_n, seed)
+    sigs = sigs.withColumn(
+        "sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_buckets)))
+    )
+    sigs.write.mode("overwrite").partitionBy("sbucket").parquet(
+        os.path.join(path, "sigs")
+    )
+    stored = df.sparkSession.read.parquet(os.path.join(path, "sigs")).drop("sbucket")
+    keys = _minhash_band_keys(stored, num_perm, bands).withColumn(
+        "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(n_buckets)))
+    )
+    keys.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "bands")
+    )
+    meta = {
+        "num_perm": int(num_perm), "bands": int(bands),
+        "ngram_n": int(ngram_n), "seed": int(seed),
+        "n_buckets": int(n_buckets),
+    }
+    with open(os.path.join(path, "_index.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def minhash_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_index.json")) as fh:
+        return json.load(fh)
+
+
+def pairs_against_index(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    threshold: float = 0.5,
+    prune_report: dict | None = None,
+) -> DataFrame:
+    """Near-dup pairs between ``new_df`` and the indexed corpus —
+    result-identical to ``cross_corpus_pairs(corpus, new_df, ...)``
+    (same signature arithmetic, pinned by the stored parameters) but
+    the corpus side costs INDEX READS only: the new batch's band keys
+    name the ≤ n_buckets band partitions worth reading (Spark partition
+    pruning on the bucket filter), and signature verification reads
+    only the sig partitions holding candidate ids. A daily-crawl dedup
+    is then O(new batch + matching index slices), never O(corpus).
+
+    Returns (id_a = indexed id, id_b = new id, est_jaccard ≥
+    threshold). ``prune_report`` (filled in place) records
+    band_buckets_read / sig_buckets_read of n_buckets."""
+    import os
+
+    spark = new_df.sparkSession
+    m = minhash_index_meta(path)
+    nb = m["n_buckets"]
+    sig_new = minhash_signatures(
+        new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
+    ).localCheckpoint()
+    keys_new = _minhash_band_keys(sig_new, m["num_perm"], m["bands"]).withColumn(
+        "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
+    )
+    # bounded collect: at most n_buckets distinct values
+    need = [int(r[0]) for r in keys_new.select("bucket").distinct().collect()]
+    idx = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .filter(F.col("bucket").isin(need))   # partition-pruned scan
+        .select(F.col("id").alias("id_a"), "band", "bh", "bucket")
+    )
+    cand = (
+        keys_new.select(F.col("id").alias("id_b"), "band", "bh", "bucket")
+        .join(idx, ["bucket", "band", "bh"])
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    sneed = [
+        int(r[0])
+        for r in cand.select(
+            F.pmod(F.xxhash64("id_a"), F.lit(int(nb))).alias("sb")
+        ).distinct().collect()
+    ]
+    sigs_old = (
+        spark.read.parquet(os.path.join(path, "sigs"))
+        .filter(F.col("sbucket").isin(sneed))   # partition-pruned scan
+        .select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    )
+    if prune_report is not None:
+        prune_report.update(
+            band_buckets_read=len(need), sig_buckets_read=len(sneed),
+            n_buckets=nb,
+        )
+    sb = sig_new.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(m["num_perm"])
+    return (
+        cand.join(sigs_old, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -2056,3 +2056,49 @@ def test_shuffle_shards_deterministic_permutation(spark):
 
     with _pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", 0)
+
+
+def test_minhash_index_incremental_dedup(spark, tmp_path):
+    """Persisted MinHash index: pairs_against_index ≡ cross_corpus_pairs
+    on the same split; parameters pinned in _index.json; partition
+    pruning reports bounded bucket reads; a near-dup of an indexed doc
+    is found, an unrelated doc is not; empty new batch yields empty."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.dedup import (
+        build_minhash_index, cross_corpus_pairs, minhash_index_meta,
+        pairs_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over the lazy dog number {i} "
+              f"in a long and winding sentence about corpus document {i}")
+         for i in range(40)],
+        "doc_id LONG, text STRING")
+    path = str(tmp_path / "mhidx")
+    meta = build_minhash_index(corpus, "doc_id", "text", path,
+                               num_perm=64, bands=16, n_buckets=8)
+    assert minhash_index_meta(path) == meta
+
+    new = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog number 7 "
+                "in a long and winding sentence about corpus document 7"),
+         (1001, "totally different material regarding streaming watermarks "
+                "and stateful aggregation semantics in spark structured")],
+        "doc_id LONG, text STRING")
+    rep = {}
+    got = pairs_against_index(new, "doc_id", "text", path,
+                              threshold=0.5, prune_report=rep)
+    rows = got.collect()
+    assert any(r.id_a == 7 and r.id_b == 1000 and r.est_jaccard == 1.0
+               for r in rows)
+    assert not any(r.id_b == 1001 for r in rows)
+    assert rep["band_buckets_read"] <= 8 and rep["sig_buckets_read"] <= 8
+
+    exp = sorted(tuple(r) for r in cross_corpus_pairs(
+        corpus, new, "doc_id", "text",
+        num_perm=64, bands=16, threshold=0.5).collect())
+    assert sorted(tuple(r) for r in rows) == exp
+
+    empty = new.filter(F.col("doc_id") < 0)
+    assert pairs_against_index(empty, "doc_id", "text", path).count() == 0
