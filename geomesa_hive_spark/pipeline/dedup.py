@@ -53,6 +53,7 @@ __all__ = [
     "build_minhash_index",
     "minhash_index_meta",
     "pairs_against_index",
+    "append_to_minhash_index",
 ]
 
 
@@ -1399,3 +1400,38 @@ def pairs_against_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def append_to_minhash_index(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+) -> dict:
+    """Index a new batch into an existing MinHash index (the post-dedup
+    step of the daily-crawl loop: dedup the crawl against the index,
+    then append the survivors so tomorrow's crawl dedups against them
+    too). Signs ONLY the new batch with the stored parameters and
+    appends into the same bucket-partitioned layout — existing index
+    files are never rewritten (parquet append into hash-bucket
+    partitions adds files per partition; re-bucketing is compaction's
+    job, not the writer's). Caller contract: ids must be new — the
+    index stores signatures per id and duplicate ids would double-count
+    candidates. Returns the (unchanged) index metadata."""
+    import os
+
+    m = minhash_index_meta(path)
+    nb = m["n_buckets"]
+    sigs = minhash_signatures(
+        new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
+    ).withColumn("sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(nb))))
+    sigs.write.mode("append").partitionBy("sbucket").parquet(
+        os.path.join(path, "sigs")
+    )
+    keys = _minhash_band_keys(sigs.drop("sbucket"), m["num_perm"], m["bands"])
+    keys.withColumn(
+        "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
+    ).write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "bands")
+    )
+    return m

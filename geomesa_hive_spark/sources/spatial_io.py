@@ -298,6 +298,8 @@ def read_geoparquet(
     path: str,
     bbox: tuple[float, float, float, float] | None = None,
     exact: bool = True,
+    prune_files: bool = False,
+    prune_report: dict | None = None,
 ) -> DataFrame:
     """Read GeoParquet: Spark's native parquet scan (unknown footer keys
     are ignored, WKB binary comes back as BinaryType — directly usable
@@ -305,10 +307,48 @@ def read_geoparquet(
     column drives a NATIVE min/max window conjunction first (pushed to
     parquet row-group stats — the same coarse-then-exact shape as
     :func:`read_spatial_parquet`), then the exact ``st_intersects`` on
-    survivors when ``exact``."""
+    survivors when ``exact``.
+
+    ``prune_files=True`` additionally cuts the FILE LIST on the
+    per-file ``geo`` bbox before Spark plans — the coarse cut that
+    works on EXTERNAL GeoParquet 1.0 files, which carry the file bbox
+    but no covering column (GDAL's read strategy). Opt-in because it
+    costs one driver-side footer read per file (~1 ms each): right for
+    up to ~10⁴ files; past that, store a manifest (the
+    ``sources/manifest.py`` argument). Files lacking a bbox are kept —
+    a superset cut, never wrong. ``prune_report`` (filled in place)
+    records files_kept/files_total."""
+    import json as _json
+    import os as _os
+
     meta = geoparquet_meta(path)
     gcol = meta["primary_column"]
-    df = spark.read.parquet(path)
+    if bbox is not None and prune_files and _os.path.isdir(path):
+        import pyarrow.parquet as pq
+
+        wx0, wy0, wx1, wy1 = bbox
+        files = sorted(
+            _os.path.join(path, f) for f in _os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        keep = []
+        for f in files:
+            md = pq.read_schema(f).metadata or {}
+            fb = None
+            if _GEO_KEY in md:
+                g = _json.loads(md[_GEO_KEY])
+                fb = g["columns"].get(g["primary_column"], {}).get("bbox")
+            if fb is None or not (
+                fb[2] < wx0 or fb[0] > wx1 or fb[3] < wy0 or fb[1] > wy1
+            ):
+                keep.append(f)
+        if prune_report is not None:
+            prune_report.update(files_kept=len(keep), files_total=len(files))
+        if not keep:
+            return spark.read.parquet(path).filter(F.lit(False))
+        df = spark.read.parquet(*keep)
+    else:
+        df = spark.read.parquet(path)
     if bbox is None:
         return df
     xmin, ymin, xmax, ymax = bbox

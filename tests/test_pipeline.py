@@ -2102,3 +2102,42 @@ def test_minhash_index_incremental_dedup(spark, tmp_path):
 
     empty = new.filter(F.col("doc_id") < 0)
     assert pairs_against_index(empty, "doc_id", "text", path).count() == 0
+
+
+def test_minhash_index_append(spark, tmp_path):
+    """append_to_minhash_index: after appending batch B, deduping C
+    against the index ≡ cross_corpus_pairs(A∪B, C); existing index
+    files are untouched (append adds files)."""
+    import glob as _glob
+
+    from geomesa_hive_spark.pipeline.dedup import (
+        append_to_minhash_index, build_minhash_index, cross_corpus_pairs,
+        pairs_against_index,
+    )
+
+    def corp(lo, hi, pfx):
+        return spark.createDataFrame(
+            [(i, f"{pfx} sentence number {i} about the quick brown fox "
+                  f"and the lazy dog with plenty of shared filler words")
+             for i in range(lo, hi)],
+            "doc_id LONG, text STRING")
+
+    a, b = corp(0, 30, "alpha"), corp(100, 120, "alpha")
+    path = str(tmp_path / "mhidx2")
+    build_minhash_index(a, "doc_id", "text", path,
+                        num_perm=64, bands=16, n_buckets=8)
+    before = set(_glob.glob(path + "/bands/**/*.parquet", recursive=True))
+    append_to_minhash_index(b, "doc_id", "text", path)
+    after = set(_glob.glob(path + "/bands/**/*.parquet", recursive=True))
+    assert before < after   # strictly adds files, rewrites none
+
+    c = spark.createDataFrame(
+        [(500, "alpha sentence number 105 about the quick brown fox "
+               "and the lazy dog with plenty of shared filler words")],
+        "doc_id LONG, text STRING")
+    got = sorted(tuple(r) for r in pairs_against_index(
+        c, "doc_id", "text", path, threshold=0.5).collect())
+    exp = sorted(tuple(r) for r in cross_corpus_pairs(
+        a.unionByName(b), c, "doc_id", "text",
+        num_perm=64, bands=16, threshold=0.5).collect())
+    assert got == exp and any(r[0] == 105 for r in got)

@@ -1873,3 +1873,40 @@ def test_geoparquet_roundtrip(spark, tmp_path):
         geoparquet_meta(plain)
     with _pytest.raises(ValueError, match="geometry column"):
         write_geoparquet(base, str(tmp_path / "nope"), "geom")
+
+
+def test_geoparquet_file_pruning(spark, tmp_path):
+    """prune_files=True cuts the file list on per-file footer bboxes:
+    fewer files read, identical results; empty window reads nothing;
+    a covering-free (GeoParquet-1.0-style) file without bbox is kept
+    (superset cut)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.sources.spatial_io import (
+        read_geoparquet, write_geoparquet,
+    )
+
+    register_all(spark)
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 7919) % 36000) / 100.0 - 180.0).alias("x"),
+        (((F.col("id") * 4799) % 18000) / 100.0 - 90.0).alias("y"),
+    )
+    df = base.withColumn("geom", F.call_function("st_makepoint", "x", "y"))
+    path = str(tmp_path / "gpqp")
+    write_geoparquet(df, path, "geom", n_files=12)
+
+    win = (-60.005, 0.005, -10.005, 50.005)
+    rep = {}
+    got = read_geoparquet(spark, path, bbox=win, prune_files=True,
+                          prune_report=rep)
+    assert 0 < rep["files_kept"] < rep["files_total"] == 12, rep
+    full = read_geoparquet(spark, path, bbox=win)
+    assert sorted(r.k for r in got.collect()) == \
+           sorted(r.k for r in full.collect())
+
+    rep2 = {}
+    nothing = read_geoparquet(spark, path, bbox=(200.0, 95.0, 210.0, 99.0),
+                              prune_files=True, prune_report=rep2)
+    assert rep2["files_kept"] == 0 and nothing.count() == 0
