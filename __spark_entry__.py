@@ -3104,6 +3104,37 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rng string, cnt long, ksum long")
 
 
+def q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join (round-7, operators/spatial_join.py
+    distance_join — PostGIS ST_DWithin as a distributed join; the
+    reference has only scalar st_distance, so its users' DWithin is a
+    Cartesian filter): customer × supplier points, pairs within 2.0
+    planar degrees. PBSM cell grid with ONE-SIDED bbox expansion
+    (hausdorff_join's trick — only the left bbox grows by d before
+    cell explosion), bbox-gap prune (gapx²+gapy² ≤ d², native), exact
+    st_distance last, reference-cell pair dedup (no global distinct).
+    Oracle is the Cartesian filter this operator exists to avoid —
+    sqrt of identical double arithmetic, the spatial_measures parity
+    contract."""
+    from geomesa_hive_spark.operators.spatial_join import distance_join
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cx = ((F.col("c_custkey") * F.lit(9973)) % F.lit(35000)) / 100.0 - 175.0
+    cy = ((F.col("c_custkey") * F.lit(7919)) % F.lit(17000)) / 100.0 - 85.0
+    sx = ((F.col("s_suppkey") * F.lit(6101)) % F.lit(35600)) / 100.0 - 178.0
+    sy = ((F.col("s_suppkey") * F.lit(5471)) % F.lit(17400)) / 100.0 - 87.0
+    a = c.select("c_custkey").withColumn("geom", _call("st_makepoint", cx, cy))
+    b = s.select("s_suppkey").withColumn("geom2", _call("st_makepoint", sx, sy))
+    out = distance_join(a, b, 2.0, left_geom="geom", right_geom="geom2")
+    return out.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.col("s_suppkey").alias("s_suppkey"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet 1.1 interop (round-7, sources/spatial_io.py
     write_geoparquet/read_geoparquet — the OGC-standard
@@ -6156,6 +6187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_bc": q_spatial_join_bc,
         "text_keywords": q_text_keywords,
         "spatial_hilbert": q_spatial_hilbert,
+        "spatial_distance_join": q_spatial_distance_join,
         "pipeline_profile": q_pipeline_profile,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
@@ -9624,6 +9656,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey >= CAST(mx * 6 // 10 AS BIGINT)
               AND l_orderkey <= CAST(mx * 7 // 10 AS BIGINT)
             GROUP BY l_linestatus
+        """,
+        "spatial_distance_join": """
+            WITH a AS (
+              SELECT c_custkey,
+                     ((c_custkey * 9973) % 35000) / 100.0 - 175.0 AS x,
+                     ((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS y
+              FROM customer
+            ), b AS (
+              SELECT s_suppkey,
+                     ((s_suppkey * 6101) % 35600) / 100.0 - 178.0 AS x2,
+                     ((s_suppkey * 5471) % 17400) / 100.0 - 87.0 AS y2
+              FROM supplier
+            )
+            SELECT c_custkey, s_suppkey,
+                   round(sqrt((x - x2) * (x - x2) + (y - y2) * (y - y2)), 6) AS dist
+            FROM a, b
+            WHERE sqrt((x - x2) * (x - x2) + (y - y2) * (y - y2)) <= 2.0
         """,
         "geoparquet_roundtrip": f"""
             WITH p AS (

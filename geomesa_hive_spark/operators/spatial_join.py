@@ -253,3 +253,91 @@ def spatial_knn_join(
         )
     )
     return out
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance: float,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    left_bbox: str | None = None,
+    right_bbox: str | None = None,
+    cell_size: float | None = None,
+    dist_col: str | None = "dist",
+) -> DataFrame:
+    """All pairs within planar ``distance`` — PostGIS ``ST_DWithin`` as
+    a distributed join (the reference exposes only scalar st_distance;
+    its users' DWithin query is a Cartesian filter — this is the
+    join-shaped version that survives scale).
+
+    Same PBSM skeleton as :func:`spatial_join` with the ONE-SIDED bbox
+    expansion of ``hausdorff_join`` (operators/trajectory.py): only the
+    LEFT bbox grows by ``distance`` before cell explosion, which is
+    sufficient — a qualifying pair's expanded-left bbox always overlaps
+    the right bbox — and half as much fan-out as expanding both sides.
+    Candidate pruning is the bbox-GAP test (gapx² + gapy² ≤ d², native
+    arithmetic on the UNEXPANDED boxes); the exact ``st_distance``
+    pandas UDF runs last on gap-confirmed survivors, and for
+    point × point inputs the gap test IS the distance, so the exact
+    pass confirms rather than discovers. Reference-point dedup keeps a
+    pair only in the cell owning the lower-left corner of the
+    expanded-left × right bbox intersection — no global distinct.
+
+    ``dist_col`` (default ``"dist"``) appends the planar distance;
+    pass None to omit. ``cell_size`` defaults to ``max(distance, 1.0)``
+    so the expansion adds at most ~2 cells per axis."""
+    d = float(distance)
+    if d < 0:
+        raise ValueError("distance must be >= 0")
+    cs = float(cell_size) if cell_size is not None else max(d, 1.0)
+
+    lb = (
+        F.col(left_bbox)
+        if left_bbox
+        else F.call_function("st_extentfromgeom", F.col(left_geom))
+    )
+    a = left.withColumn("__l_bbox", lb)
+    ebox = F.struct(
+        (F.col("__l_bbox")["xmin"] - F.lit(d)).alias("xmin"),
+        (F.col("__l_bbox")["ymin"] - F.lit(d)).alias("ymin"),
+        (F.col("__l_bbox")["xmax"] + F.lit(d)).alias("xmax"),
+        (F.col("__l_bbox")["ymax"] + F.lit(d)).alias("ymax"),
+    )
+    a = a.withColumn("__l_ebox", ebox)
+    a = a.withColumn("__l_cell", F.explode(_cells(F.col("__l_ebox"), cs)))
+    b = _prepared(right, right_geom, right_bbox, "r", cs)
+
+    joined = a.join(b, a["__l_cell"] == b["__r_cell"])
+    ea, la, ra = F.col("__l_ebox"), F.col("__l_bbox"), F.col("__r_bbox")
+    overlap = (
+        (ea["xmin"] <= ra["xmax"])
+        & (ea["xmax"] >= ra["xmin"])
+        & (ea["ymin"] <= ra["ymax"])
+        & (ea["ymax"] >= ra["ymin"])
+    )
+    csl = F.lit(cs)
+    rx = F.greatest(ea["xmin"], ra["xmin"])
+    ry = F.greatest(ea["ymin"], ra["ymin"])
+    ref_cell = (
+        (F.floor(rx / csl).cast("long") + F.lit(_OFFSET)) * F.lit(_STRIDE)
+        + F.floor(ry / csl).cast("long")
+        + F.lit(_OFFSET)
+    )
+    gapx = F.greatest(
+        F.lit(0.0), F.greatest(la["xmin"], ra["xmin"]) - F.least(la["xmax"], ra["xmax"])
+    )
+    gapy = F.greatest(
+        F.lit(0.0), F.greatest(la["ymin"], ra["ymin"]) - F.least(la["ymax"], ra["ymax"])
+    )
+    cand = joined.filter(
+        overlap
+        & (F.col("__l_cell") == ref_cell)
+        & (gapx * gapx + gapy * gapy <= F.lit(d * d))
+    )
+    dist = F.call_function("st_distance", a[left_geom], b[right_geom])
+    cand = cand.withColumn("__dist", dist).filter(F.col("__dist") <= F.lit(d))
+    drop = ["__l_bbox", "__l_ebox", "__l_cell", "__r_bbox", "__r_cell"]
+    if dist_col:
+        return cand.withColumnRenamed("__dist", dist_col).drop(*drop)
+    return cand.drop("__dist", *drop)

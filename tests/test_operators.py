@@ -775,3 +775,47 @@ def test_table_diff_null_keys(spark):
     got = table_diff(old, upd, "k").collect()
     assert len(got) == 1 and got[0].k is None and got[0].change == "changed"
     assert list(got[0].changed_cols) == ["v"]
+
+
+def test_distance_join_matches_bruteforce(spark):
+    """distance_join ≡ crossJoin+distance filter, including pairs that
+    straddle many grid cells (cell_size < d), boundary-coincident
+    points at d=0, NULL geometries dropped, negative distance raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.spatial_join import distance_join
+
+    register_all(spark)
+    a = spark.range(0, 300).select(
+        F.col("id").alias("ida"),
+        (((F.col("id") * 73) % 400) / 10.0).alias("x"),
+        (((F.col("id") * 31) % 300) / 10.0).alias("y"),
+    ).withColumn("geom", F.call_function("st_makepoint", "x", "y"))
+    b = spark.range(0, 200).select(
+        F.col("id").alias("idb"),
+        (((F.col("id") * 97) % 400) / 10.0 + 0.003).alias("x2"),
+        (((F.col("id") * 59) % 300) / 10.0 + 0.003).alias("y2"),
+    ).withColumn("geom2", F.call_function("st_makepoint", "x2", "y2"))
+
+    for d, cs in ((1.5, None), (1.5, 0.4), (4.0, 2.0)):
+        got = distance_join(a, b, d, left_geom="geom", right_geom="geom2",
+                            cell_size=cs)
+        g = sorted((r.ida, r.idb) for r in got.collect())
+        exp = (a.crossJoin(b)
+               .withColumn("d", F.sqrt((F.col("x") - F.col("x2")) ** 2
+                                       + (F.col("y") - F.col("y2")) ** 2))
+               .filter(F.col("d") <= d))
+        e = sorted((r.ida, r.idb) for r in exp.collect())
+        assert g == e, (d, cs, len(g), len(e))
+        # no duplicate pairs out of the multi-cell expansion
+        assert len(g) == len(set(g))
+
+    nullg = a.withColumn("geom", F.when(F.col("ida") % 2 == 0, F.col("geom")))
+    half = distance_join(nullg, b, 1.5, left_geom="geom", right_geom="geom2")
+    assert all(r.ida % 2 == 0 for r in half.collect())
+
+    with _pytest.raises(ValueError, match="distance"):
+        distance_join(a, b, -1.0, left_geom="geom", right_geom="geom2")
