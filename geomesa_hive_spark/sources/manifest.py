@@ -29,6 +29,7 @@ import base64
 import hashlib
 import json
 import os
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +37,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_with_manifest", "read_pruned", "manifest_stats", "manifest_table",
     "compact",
-    "write_delta", "read_snapshot", "current_seq", "ConcurrentWriteConflict",
+    "write_delta", "read_snapshot", "current_seq", "seq_at_timestamp",
+    "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
     "merge_into", "read_changes", "checkpoint", "vacuum",
     "pruned_count", "pruned_sum", "maintain",
@@ -767,7 +769,7 @@ def write_delta(
                         conflicting_seqs=[e["seq"] for e in newer],
                     )
         entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
-                 "n_deletes": int(n_del)}
+                 "n_deletes": int(n_del), "ts": _time.time()}
         if key_stats is not None:
             entry["key_min"], entry["key_max"] = key_stats
         if txn_id is not None:
@@ -843,12 +845,51 @@ def _table_columns(
     return cols
 
 
+def seq_at_timestamp(path: str, ts: float) -> int:
+    """Delta's ``TIMESTAMP AS OF`` resolution: the seq of the latest
+    commit whose recorded wall-clock ``ts`` is <= the given epoch
+    seconds (0 = base table if the timestamp predates every commit).
+    Commits from writers that predate timestamp recording sort as
+    time 0 — i.e. 'before everything with a timestamp', which matches
+    their actual position in the log. Caveat shared with Delta: commit
+    timestamps are writer wall clocks; heavily skewed clocks across
+    concurrent writers can make ts order disagree with seq order —
+    resolution is by ts along the seq-ordered log, so the answer is
+    always a consistent PREFIX, never an interleaving.
+
+    Raises when the timestamp lands in VACUUMED history (no commit at
+    or before it survives, but retention evidence — a checkpoint or a
+    log starting past seq 1 — shows commits once existed there):
+    silently returning the base would time-travel to a state the
+    table was never in at that wall-clock time, Delta's
+    earliest-available-version error."""
+    target = float(ts)
+    log = _delta_log(path)
+    cks = _checkpoints(path)
+    best = 0
+    # checkpoints carry the folded commit's ts, so post-vacuum the
+    # checkpointed state stays timestamp-resolvable
+    for e in sorted(log + cks, key=lambda e: e["seq"]):
+        if float(e.get("ts", 0.0)) <= target:
+            best = max(best, e["seq"])
+    if best == 0:
+        vacuumed = bool(cks) or (log and log[0]["seq"] > 1)
+        if vacuumed:
+            raise ValueError(
+                f"timestamp {ts} predates the earliest retained commit; "
+                f"the state at that time was vacuumed and cannot be "
+                f"reconstructed"
+            )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     key_col: str,
     broadcast_deltas: bool = True,
     as_of_seq: int | None = None,
+    as_of_ts: float | None = None,
     key_range: tuple | None = None,
     prune_report: dict | None = None,
 ) -> DataFrame:
@@ -903,7 +944,15 @@ def read_snapshot(
     At 100 TB this is the difference between 'read one user's history'
     costing two file scans and costing a full base scan: the manifest
     cuts the base to the O(1) overlapping files, the commit stats cut
-    the log replay to the commits that touched the range."""
+    the log replay to the commits that touched the range.
+
+    ``as_of_ts`` is ``TIMESTAMP AS OF``: resolved to a seq via
+    :func:`seq_at_timestamp` (latest commit at-or-before the epoch
+    time), then identical to ``as_of_seq``."""
+    if as_of_ts is not None:
+        if as_of_seq is not None:
+            raise ValueError("pass as_of_seq or as_of_ts, not both")
+        as_of_seq = seq_at_timestamp(path, as_of_ts)
     log = _delta_log(path)
     cks = _checkpoints(path)
     if as_of_seq is not None:
@@ -1239,7 +1288,17 @@ def checkpoint(spark: SparkSession, path: str, key_col: str) -> dict:
     out = os.path.join(cdir, f"{seq:06d}_{token}")
     snap.write.mode("overwrite").parquet(out)
     n_rows = spark.read.parquet(out).count()
-    marker = {"seq": int(seq), "path": out, "n_rows": int(n_rows)}
+    # the checkpoint's STATE is the folded commit's state, so it
+    # carries that commit's wall-clock ts (not checkpoint-creation
+    # time) — what keeps TIMESTAMP AS OF resolving to this state
+    # after vacuum removes the folded commit entries
+    seq_ts = 0.0
+    for e in _delta_log(path):
+        if e["seq"] == seq:
+            seq_ts = float(e.get("ts", 0.0))
+            break
+    marker = {"seq": int(seq), "path": out, "n_rows": int(n_rows),
+              "ts": seq_ts}
     if _atomic_commit(cdir, seq, marker, token):
         return marker
     import shutil

@@ -1910,3 +1910,93 @@ def test_geoparquet_file_pruning(spark, tmp_path):
     nothing = read_geoparquet(spark, path, bbox=(200.0, 95.0, 210.0, 99.0),
                               prune_files=True, prune_report=rep2)
     assert rep2["files_kept"] == 0 and nothing.count() == 0
+
+
+def test_mor_timestamp_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: between-commit timestamps resolve to the
+    earlier commit; before-base resolves to 0 on an unvacuumed table;
+    after a checkpoint+vacuum, a timestamp in the vacuumed era raises;
+    passing both as_of_seq and as_of_ts raises."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, seq_at_timestamp, vacuum, write_delta,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("base").alias("s"))
+    path = str(tmp_path / "morts")
+    df.write.parquet(path)
+    t0 = _time.time()
+    e1 = write_delta(
+        df.filter(F.col("k") < 10).withColumn("s", F.lit("A")), path, "k")
+    t1 = _time.time()
+    _time.sleep(0.05)
+    e2 = write_delta(
+        df.filter(F.col("k") < 5).withColumn("s", F.lit("B")), path, "k")
+
+    assert seq_at_timestamp(path, t0 - 10) == 0
+    assert seq_at_timestamp(path, t1) == e1["seq"]
+    assert seq_at_timestamp(path, _time.time() + 10) == e2["seq"]
+
+    v1 = read_snapshot(spark, path, "k", as_of_ts=t1)
+    assert v1.filter(F.col("s") == "A").count() == 10
+    assert v1.filter(F.col("s") == "B").count() == 0
+    now = read_snapshot(spark, path, "k", as_of_ts=_time.time() + 10)
+    assert now.filter(F.col("s") == "B").count() == 5
+
+    with _pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, path, "k", as_of_seq=1, as_of_ts=t1)
+
+    checkpoint(spark, path, "k")
+    write_delta(
+        df.filter(F.col("k") > 90).withColumn("s", F.lit("C")), path, "k")
+    vacuum(path)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        seq_at_timestamp(path, t0 - 10)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        read_snapshot(spark, path, "k", as_of_ts=t1)
+
+
+def test_mor_timestamp_travel_past_vacuum(spark, tmp_path):
+    """A timestamp at the checkpointed state stays resolvable AFTER
+    vacuum (the checkpoint carries the folded commit's ts); a
+    timestamp inside the vacuumed gap still raises."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, seq_at_timestamp, vacuum, write_delta,
+    )
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit("base").alias("s"))
+    path = str(tmp_path / "mortsv")
+    df.write.parquet(path)
+    e1 = write_delta(
+        df.filter(F.col("k") < 10).withColumn("s", F.lit("A")), path, "k")
+    t_after_e1 = _time.time()
+    _time.sleep(0.05)
+    e2 = write_delta(
+        df.filter(F.col("k") < 5).withColumn("s", F.lit("B")), path, "k")
+    ck = checkpoint(spark, path, "k")
+    assert ck["seq"] == e2["seq"] and ck["ts"] == e2["ts"]
+    write_delta(
+        df.filter(F.col("k") > 40).withColumn("s", F.lit("C")), path, "k")
+    vacuum(path)
+
+    # at/after e2's wall time → the checkpointed state resolves
+    assert seq_at_timestamp(path, e2["ts"]) == e2["seq"]
+    snap = read_snapshot(spark, path, "k", as_of_ts=e2["ts"])
+    assert snap.filter(F.col("s") == "B").count() == 5
+    assert snap.filter(F.col("s") == "C").count() == 0
+    # inside the vacuumed gap (between e1 and e2) → raise
+    with _pytest.raises(ValueError, match="vacuumed"):
+        seq_at_timestamp(path, t_after_e1)
