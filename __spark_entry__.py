@@ -3104,6 +3104,86 @@ def q_manifest_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rng string, cnt long, ksum long")
 
 
+def q_mor_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh streams through the MOR table format (round-7
+    composite — sources/manifest.py under the benchmark's own update
+    workload): orders AND lineitem become MOR tables; RF1 inserts a
+    batch of new orders (keys shifted past max) with their lineitems
+    (quantity+5, status 'N'), RF2 deletes a key slice from both tables
+    — each as one write_delta commit per table, O(changed rows), no
+    base rewrite. The query then JOINS the two merge-on-read snapshots
+    (each resolved deltas-window + broadcast-anti-join, zero base
+    shuffle) and aggregates. Lineitem's composite key is encoded as
+    lkey = l_orderkey*8 + l_linenumber (linenumber ≤ 7, so exact) —
+    and because the synthetic testdata repeats linenumbers within an
+    order, the base is PRE-AGGREGATED to unique keys (decimal-exact
+    quantity sums) before becoming a MOR table: MOR semantics require
+    a key-unique base, same as any upsert target. Oracle replays the
+    pre-aggregation and both tables' version resolution as SQL windows
+    and joins them — the naive plan the readers avoid."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        current_seq, read_snapshot, write_delta,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lkey"),
+            F.col("l_orderkey").alias("ok"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    base = tempfile.mkdtemp(prefix="ghs_rf_")
+    opath, lpath = base + "/orders", base + "/lineitem"
+    o.write.parquet(opath)
+    li.write.parquet(lpath)
+    mm = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+
+    # RF1: insert new orders + their lineitems
+    new_o = (
+        o.filter(F.col("o_orderkey") % 4 == 1)
+        .select((F.col("o_orderkey") + F.lit(mm)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"))
+    )
+    write_delta(new_o, opath, "o_orderkey")
+    new_li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 1)
+        .groupBy(
+            ((F.col("l_orderkey") + F.lit(mm)) * 8 + F.col("l_linenumber")).alias("lkey"),
+            (F.col("l_orderkey") + F.lit(mm)).alias("ok"),
+        )
+        .agg(
+            F.sum((F.col("l_quantity") + F.lit(5.0)).cast("decimal(18,2)")).alias("q")
+        )
+    )
+    write_delta(new_li, lpath, "lkey")
+
+    # RF2: delete a key slice from both tables
+    del_o = o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    write_delta(None, opath, "o_orderkey", delete_keys=del_o)
+    del_li = li.filter(F.col("ok") % 10 == 3).select("lkey")
+    write_delta(None, lpath, "lkey", delete_keys=del_li)
+    assert current_seq(opath) == 2 and current_seq(lpath) == 2
+
+    so = read_snapshot(spark, opath, "o_orderkey")
+    sl = read_snapshot(spark, lpath, "lkey")
+    return (
+        sl.join(so, sl["ok"] == so["o_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("o_orderstatus"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("q").cast("double").alias("qty"),
+        )
+        .select("o_orderstatus", "cnt", F.round("qty", 2).alias("qty"))
+    )
+
+
 def q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-distance join (round-7, operators/spatial_join.py
     distance_join — PostGIS ST_DWithin as a distributed join; the
@@ -6278,6 +6358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_count": q_manifest_count,
         "manifest_sharded": q_manifest_sharded,
         "mor_pruned_read": q_mor_pruned_read,
+        "mor_tpch_refresh": q_mor_tpch_refresh,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
@@ -9656,6 +9737,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey >= CAST(mx * 6 // 10 AS BIGINT)
               AND l_orderkey <= CAST(mx * 7 // 10 AS BIGINT)
             GROUP BY l_linestatus
+        """,
+        "mor_tpch_refresh": """
+            WITH m AS (
+              SELECT max(o_orderkey) AS mm FROM orders
+            ), ov AS (
+              SELECT o_orderkey AS ok2, o_orderstatus AS st, 0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey + mm, 'N', 1, 0 FROM orders, m
+              WHERE o_orderkey % 4 = 1
+              UNION ALL
+              SELECT o_orderkey, NULL, 2, 1 FROM orders
+              WHERE o_orderkey % 10 = 3
+            ), ores AS (
+              SELECT ok2, st FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY ok2 ORDER BY seq DESC, del DESC) AS rn
+                FROM ov
+              ) WHERE rn = 1 AND del = 0
+            ), lv AS (
+              SELECT l_orderkey * 8 + l_linenumber AS lk,
+                     l_orderkey AS ok,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+                     0 AS seq, 0 AS del
+              FROM lineitem GROUP BY 1, 2
+              UNION ALL
+              SELECT (l_orderkey + mm) * 8 + l_linenumber,
+                     l_orderkey + mm,
+                     sum(CAST(l_quantity + 5.0 AS DECIMAL(18,2))), 1, 0
+              FROM lineitem, m WHERE l_orderkey % 4 = 1 GROUP BY 1, 2
+              UNION ALL
+              SELECT DISTINCT l_orderkey * 8 + l_linenumber, NULL, NULL, 2, 1
+              FROM lineitem WHERE l_orderkey % 10 = 3
+            ), lres AS (
+              SELECT lk, ok, q FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY lk ORDER BY seq DESC, del DESC) AS rn
+                FROM lv
+              ) WHERE rn = 1 AND del = 0
+            )
+            SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(q) AS DOUBLE), 2) AS qty
+            FROM lres JOIN ores ON lres.ok = ores.ok2
+            GROUP BY st
         """,
         "spatial_distance_join": """
             WITH a AS (
