@@ -975,9 +975,18 @@ def read_snapshot(
     if cks:
         # latest eligible checkpoint stands in for base + its log prefix
         ck = cks[-1]
-        base = spark.read.parquet(ck["path"])
-        if key_range is not None:
-            base = base.filter(in_range)   # parquet row-group stats prune
+        if (
+            key_range is not None
+            and os.path.exists(os.path.join(ck["path"], _MANIFEST))
+            and key_col in _manifest_root(ck["path"])["stats_cols"]
+        ):
+            # round-7 checkpoints are range-clustered with a manifest:
+            # checkpoint files prune exactly like base files
+            base, bkept, btot = read_pruned(spark, ck["path"], key_col, lo, hi)
+        else:
+            base = spark.read.parquet(ck["path"])
+            if key_range is not None:
+                base = base.filter(in_range)   # row-group stats prune
         floor = ck["seq"]
         log = [e for e in log if e["seq"] > floor]
     else:
@@ -1256,7 +1265,9 @@ def read_changes(
     )
 
 
-def checkpoint(spark: SparkSession, path: str, key_col: str) -> dict:
+def checkpoint(
+    spark: SparkSession, path: str, key_col: str, n_files: int = 16
+) -> dict:
     """Materialize the current snapshot as a CHECKPOINT — the Delta
     checkpoint / Iceberg snapshot-manifest move: subsequent readers
     start from the checkpoint files and replay only commits AFTER it,
@@ -1269,7 +1280,14 @@ def checkpoint(spark: SparkSession, path: str, key_col: str) -> dict:
     as commits — two racing checkpointers at the same seq resolve to
     one winner, and the loser returns the winner's marker.
 
-    Returns the marker dict {seq, path, n_rows}."""
+    The checkpoint is RANGE-CLUSTERED by ``key_col`` into ``n_files``
+    files with a manifest (Delta's OPTIMIZE folded into the
+    checkpoint): key-ranged snapshot reads then prune checkpoint
+    files exactly like base files, so ``key_range`` selectivity
+    survives the table's whole maintenance lifecycle instead of dying
+    at the first checkpoint.
+
+    Returns the marker dict {seq, path, n_rows, ts}."""
     import uuid
 
     log = _delta_log(path)
@@ -1286,7 +1304,7 @@ def checkpoint(spark: SparkSession, path: str, key_col: str) -> dict:
     # writer-unique data dir: racing checkpointers never share files;
     # the marker claim decides whose data the table points at
     out = os.path.join(cdir, f"{seq:06d}_{token}")
-    snap.write.mode("overwrite").parquet(out)
+    write_with_manifest(snap, out, [key_col], n_files=int(n_files))
     n_rows = spark.read.parquet(out).count()
     # the checkpoint's STATE is the folded commit's state, so it
     # carries that commit's wall-clock ts (not checkpoint-creation

@@ -1794,12 +1794,13 @@ def test_mor_pruned_snapshot_read(spark, tmp_path):
     rep = both(2500, 5500)
     assert rep["commits_kept"] == 1   # unprunable → read (still correct)
 
-    # checkpoint path: filter applies, results stay equal
-    checkpoint(spark, path, "k")
+    # checkpoint path: checkpoints are range-clustered WITH a manifest
+    # (round 7), so the file cut keeps working post-checkpoint
+    checkpoint(spark, path, "k", n_files=8)
     write_delta(df.filter(F.col("k") % 17 == 0).withColumn("s", F.lit("W")),
                 path, "k")
     rep = both(0, 3000)
-    assert rep["base_files_kept"] is None   # checkpoint path, no manifest cut
+    assert 0 < rep["base_files_kept"] < rep["base_files_total"] == 8, rep
 
     with _pytest.raises(ValueError, match="key_range"):
         read_snapshot(spark, path, "k", key_range=(1, 2, 3))
