@@ -146,6 +146,48 @@ def _pa_type(ddl: str):
     return m[ddl]
 
 
+def _parse_range_val(v: str):
+    """Option values arrive as strings; keys are numeric or string."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
+def _prune_files_by_manifest(dirpath: str, key: str, lo, hi,
+                             files: list[str]) -> list[str]:
+    """Cut ``files`` on the manifest at ``dirpath`` when one exists
+    with ``key`` stats (matching by basename — manifest entries store
+    Spark file URIs, the reader lists raw paths). Files without an
+    entry are kept (superset cut); all-NULL-stats files are dropped
+    (a range predicate cannot pass NULL)."""
+    if not os.path.exists(os.path.join(dirpath, "_manifest.json")):
+        return files
+    from geomesa_hive_spark.sources.manifest import manifest_stats
+
+    m = manifest_stats(dirpath)
+    if key not in m["stats_cols"]:
+        return files
+    stats = {
+        os.path.basename(e["file"]): (e[f"min_{key}"], e[f"max_{key}"])
+        for e in m["files"]
+    }
+    keep = []
+    for f in files:
+        s = stats.get(os.path.basename(f))
+        if s is None:
+            keep.append(f)
+            continue
+        mn, mx = s
+        if mn is None or mx is None:
+            continue
+        if not (mx < lo or mn > hi):
+            keep.append(f)
+    return keep
+
+
 class _Part(InputPartition):
     def __init__(self, kind: str, paths: list[str], seq: int = 0,
                  payload=None):
@@ -174,6 +216,16 @@ class _MorBatchReader(DataSourceReader):
             raise ValueError("morlake requires .option('key', ...)")
         as_of = options.get("as_of_seq")
         self.as_of = int(as_of) if as_of is not None else None
+        kr = options.get("key_range")
+        self.key_range = None
+        if kr is not None:
+            # "lo,hi" — same two-level metadata cut as
+            # read_snapshot(key_range=): manifest-pruned files +
+            # commit-stat-skipped log entries + row filter
+            parts = kr.split(",", 1)
+            if len(parts) != 2:
+                raise ValueError("key_range option must be 'lo,hi'")
+            self.key_range = tuple(_parse_range_val(v) for v in parts)
         self.names = [n for n, _ in schema_fields]
         self.types = dict(schema_fields)
 
@@ -187,9 +239,21 @@ class _MorBatchReader(DataSourceReader):
             cks = [c for c in cks if c["seq"] <= self.as_of]
         if cks:
             self.base = _delta_files(cks[-1]["path"])
+            base_dir = cks[-1]["path"]
             log = [e for e in log if e["seq"] > cks[-1]["seq"]]
         else:
             self.base = _base_files(self.path)
+            base_dir = self.path
+        if self.key_range is not None:
+            lo, hi = self.key_range
+            self.base = _prune_files_by_manifest(
+                base_dir, self.key, lo, hi, self.base
+            )
+            log = [
+                e for e in log
+                if e.get("key_min") is None or e.get("key_max") is None
+                or not (e["key_max"] < lo or e["key_min"] > hi)
+            ]
         self.log = log
         # driver-side resolution: latest action per key, delete beats
         # upsert within a commit (same semantics as read_snapshot);
@@ -221,6 +285,12 @@ class _MorBatchReader(DataSourceReader):
         # winner, with delete beating upsert within one commit
         allf = allf.sort_values(["seq", "d"], kind="stable")
         last = allf.groupby("k", sort=False).tail(1)
+        if self.key_range is not None:
+            # per-key resolution is atomic under a key predicate, so
+            # restricting AFTER resolution is exact — and shrinks both
+            # the broadcast changed-key payload and the upsert reads
+            lo, hi = self.key_range
+            last = last[(last["k"] >= lo) & (last["k"] <= hi)]
         self.changed_keys = last["k"].tolist()
         ups = last[~last["d"]]
         for f, grp in ups.groupby("f", sort=False):
@@ -252,6 +322,8 @@ class _MorBatchReader(DataSourceReader):
                     if expr is not None:
                         kw["filters"] = expr
                 t = pq.read_table(f, **kw)
+                if self.key_range is not None:
+                    t = self._range_filter(t)
                 if dead is not None and len(dead):
                     mask = pc.invert(pc.is_in(t.column(self.key), dead))
                     t = t.filter(mask)
@@ -262,8 +334,19 @@ class _MorBatchReader(DataSourceReader):
         for f, idxs in partition.payload.items():
             t = pq.read_table(f).take(idxs)
             t = t.drop_columns(["__deleted"])
+            if self.key_range is not None:
+                t = self._range_filter(t)
             if t.num_rows:
                 yield from _conform(t, self.names, self.types).to_batches()
+
+    def _range_filter(self, t):
+        import pyarrow.compute as pc
+
+        lo, hi = self.key_range
+        k = t.column(self.key)
+        return t.filter(
+            pc.and_(pc.greater_equal(k, lo), pc.less_equal(k, hi))
+        )
 
 
 class _MorPushdownReader(_MorBatchReader):

@@ -2071,3 +2071,46 @@ def test_streaming_crawl_dedup_against_index(spark, tmp_path):
     assert 202 in s and 100 not in s
     assert len(s & {101, 200}) == 1, s
     assert len(s) == 2, s
+
+
+def test_morlake_key_range_option(spark, tmp_path):
+    """format('morlake').option('key_range','lo,hi') ≡
+    read_snapshot(key_range=): manifest-pruned base partitions (fewer
+    input partitions), commit skipping, exact rows including
+    tombstoned high windows; bad option format raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta, write_with_manifest,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v"))
+    path = str(tmp_path / "mlkr")
+    write_with_manifest(df, path, ["k"], n_files=12)
+    write_delta(df.filter((F.col("k") < 1500) & (F.col("k") % 7 == 0))
+                .withColumn("v", F.lit(-1.0)), path, "k")
+    write_delta(None, path, "k",
+                delete_keys=df.filter((F.col("k") >= 4500)
+                                      & (F.col("k") % 11 == 0)).select("k"))
+
+    for lo, hi in ((0, 2000), (4500, 5999), (2100, 2900)):
+        got = (spark.read.format("morlake").option("path", path)
+               .option("key", "k").option("key_range", f"{lo},{hi}").load())
+        exp = read_snapshot(spark, path, "k", key_range=(lo, hi))
+        assert sorted(tuple(r) for r in got.collect()) == \
+               sorted(tuple(r) for r in exp.collect()), (lo, hi)
+
+    full = (spark.read.format("morlake").option("path", path)
+            .option("key", "k").load())
+    rng = (spark.read.format("morlake").option("path", path)
+           .option("key", "k").option("key_range", "0,500").load())
+    assert rng.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+
+    with _pytest.raises(Exception, match="lo,hi"):
+        (spark.read.format("morlake").option("path", path)
+         .option("key", "k").option("key_range", "42").load()).collect()
