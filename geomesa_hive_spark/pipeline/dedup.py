@@ -1300,16 +1300,20 @@ def build_minhash_index(
     sigs = sigs.withColumn(
         "sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_buckets)))
     )
-    sigs.write.mode("overwrite").partitionBy("sbucket").parquet(
-        os.path.join(path, "sigs")
-    )
+    # align shuffle partitions to the bucket dirs before partitionBy:
+    # without this every upstream task writes a file into every bucket
+    # (tasks × buckets small files — the write amplification compaction
+    # exists to undo); with it, one file per bucket
+    sigs.repartition(int(n_buckets), "sbucket").write.mode(
+        "overwrite"
+    ).partitionBy("sbucket").parquet(os.path.join(path, "sigs"))
     stored = df.sparkSession.read.parquet(os.path.join(path, "sigs")).drop("sbucket")
     keys = _minhash_band_keys(stored, num_perm, bands).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(n_buckets)))
     )
-    keys.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "bands")
-    )
+    keys.repartition(int(n_buckets), "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
     meta = {
         "num_perm": int(num_perm), "bands": int(bands),
         "ngram_n": int(ngram_n), "seed": int(seed),
@@ -1425,13 +1429,13 @@ def append_to_minhash_index(
     sigs = minhash_signatures(
         new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
     ).withColumn("sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(nb))))
-    sigs.write.mode("append").partitionBy("sbucket").parquet(
-        os.path.join(path, "sigs")
-    )
+    sigs.repartition(int(nb), "sbucket").write.mode("append").partitionBy(
+        "sbucket"
+    ).parquet(os.path.join(path, "sigs"))
     keys = _minhash_band_keys(sigs.drop("sbucket"), m["num_perm"], m["bands"])
     keys.withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
-    ).write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "bands")
-    )
+    ).repartition(int(nb), "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "bands"))
     return m
