@@ -3215,6 +3215,38 @@ def q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_distance_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle within-distance join (round-7,
+    operators/spatial_join.py distance_join_sphere — PostGIS geography
+    ST_DWithin): customer × supplier points within 500 km on the mean
+    sphere. The candidate envelope is the EXACT inverse-haversine
+    longitude bound at the expanded band's worst-case latitude (the
+    linearized d/(R·cosφ) provably drops high-latitude pairs) and
+    WRAPS the antimeridian via a {-360,0,+360} offset explode —
+    full-range clamp prevents double-finds, reference-cell dedup
+    stays local. Exact st_distanceSphere last. Oracle is the
+    Cartesian haversine filter with the kernel's exact arithmetic
+    order (radians first, then differences — geodesy.py:30)."""
+    from geomesa_hive_spark.operators.spatial_join import distance_join_sphere
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cx = ((F.col("c_custkey") * F.lit(9973)) % F.lit(35000)) / 100.0 - 175.0
+    cy = ((F.col("c_custkey") * F.lit(7919)) % F.lit(17000)) / 100.0 - 85.0
+    sx = ((F.col("s_suppkey") * F.lit(6101)) % F.lit(35600)) / 100.0 - 178.0
+    sy = ((F.col("s_suppkey") * F.lit(5471)) % F.lit(17400)) / 100.0 - 87.0
+    a = c.select("c_custkey").withColumn("geom", _call("st_makepoint", cx, cy))
+    b = s.select("s_suppkey").withColumn("geom2", _call("st_makepoint", sx, sy))
+    out = distance_join_sphere(a, b, 500_000.0,
+                               left_geom="geom", right_geom="geom2")
+    return out.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.col("s_suppkey").alias("s_suppkey"),
+        F.round(F.col("dist_m") / F.lit(1000.0), 2).alias("dist_km"),
+    )
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet 1.1 interop (round-7, sources/spatial_io.py
     write_geoparquet/read_geoparquet — the OGC-standard
@@ -6268,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords": q_text_keywords,
         "spatial_hilbert": q_spatial_hilbert,
         "spatial_distance_join": q_spatial_distance_join,
+        "spatial_distance_join_sphere": q_spatial_distance_join_sphere,
         "pipeline_profile": q_pipeline_profile,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
@@ -9798,6 +9831,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt((x - x2) * (x - x2) + (y - y2) * (y - y2)), 6) AS dist
             FROM a, b
             WHERE sqrt((x - x2) * (x - x2) + (y - y2) * (y - y2)) <= 2.0
+        """,
+        "spatial_distance_join_sphere": """
+            WITH a AS (
+              SELECT c_custkey,
+                     ((c_custkey * 9973) % 35000) / 100.0 - 175.0 AS x,
+                     ((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS y
+              FROM customer
+            ), b AS (
+              SELECT s_suppkey,
+                     ((s_suppkey * 6101) % 35600) / 100.0 - 178.0 AS x2,
+                     ((s_suppkey * 5471) % 17400) / 100.0 - 87.0 AS y2
+              FROM supplier
+            ), d AS (
+              SELECT c_custkey, s_suppkey,
+                     2.0 * 6371008.7714 * asin(sqrt(
+                       sin((radians(y2) - radians(y)) / 2.0)
+                         * sin((radians(y2) - radians(y)) / 2.0)
+                       + cos(radians(y)) * cos(radians(y2))
+                         * sin((radians(x2) - radians(x)) / 2.0)
+                         * sin((radians(x2) - radians(x)) / 2.0)
+                     )) AS dm
+              FROM a, b
+            )
+            SELECT c_custkey, s_suppkey,
+                   round(dm / 1000.0, 2) AS dist_km
+            FROM d WHERE dm <= 500000.0
         """,
         "geoparquet_roundtrip": f"""
             WITH p AS (

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spatial_join", "spatial_knn_join"]
+__all__ = [
+    "spatial_join", "spatial_knn_join",
+    "distance_join", "distance_join_sphere",
+]
 
 # grid-cell encoding: cell = (ix + OFFSET) * STRIDE + (iy + OFFSET).
 # OFFSET = 2^30 supports |coord / cell_size| up to ~1.07e9 — degree
@@ -338,6 +341,118 @@ def distance_join(
     dist = F.call_function("st_distance", a[left_geom], b[right_geom])
     cand = cand.withColumn("__dist", dist).filter(F.col("__dist") <= F.lit(d))
     drop = ["__l_bbox", "__l_ebox", "__l_cell", "__r_bbox", "__r_cell"]
+    if dist_col:
+        return cand.withColumnRenamed("__dist", dist_col).drop(*drop)
+    return cand.drop("__dist", *drop)
+
+
+def distance_join_sphere(
+    left: DataFrame,
+    right: DataFrame,
+    meters: float,
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    left_bbox: str | None = None,
+    right_bbox: str | None = None,
+    cell_size: float | None = None,
+    dist_col: str | None = "dist_m",
+) -> DataFrame:
+    """Great-circle ``ST_DWithin`` (PostGIS geography semantics): all
+    pairs within ``meters`` along the 6371008.7714 m mean sphere —
+    the radius of every st_distanceSphere/geodesy kernel in this repo
+    (geom/geodesy.py:29), so results compose with the rest of the ST
+    surface and replay in the same SQL haversine the geodesy gates
+    hash-verify.
+
+    Same one-sided-expansion skeleton as :func:`distance_join`, with
+    two spherical corrections the planar version doesn't need:
+
+    - the longitude envelope is the EXACT inverse haversine bound,
+      Δλ = 2·asin(sin(d/2R) / cos φ*) at the expanded envelope's
+      worst-case |φ*| — the linearized d/(R·cosφ) UNDERESTIMATES at
+      high latitude (great circles cut poleward of the parallel) and
+      provably drops pairs; when sin(d/2R) ≥ cos φ* the cap sees
+      every longitude and the envelope degenerates to ±180°;
+    - the envelope WRAPS the antimeridian: each left row explodes
+      under the longitude offsets {-360, 0, +360} whose shifted
+      envelope still intersects [-180, 180], so a pair whose short
+      arc crosses ±180° is found under exactly one offset (offsets
+      are 360° apart and the envelope is clamped to full-range
+      before it could span 360°, so no pair is found twice — pair
+      dedup stays the reference-cell rule, never a global distinct).
+
+    The exact ``st_distanceSphere`` pandas UDF runs last on
+    bbox-confirmed candidates."""
+    import math
+
+    d = float(meters)
+    if d < 0:
+        raise ValueError("distance must be >= 0")
+    R = 6_371_008.7714
+    dlat = d / R * 180.0 / math.pi
+    sin_half = math.sin(min(d / (2.0 * R), math.pi / 2.0))
+    cs = float(cell_size) if cell_size is not None else max(dlat * 2.0, 1.0)
+
+    lb = (
+        F.col(left_bbox)
+        if left_bbox
+        else F.call_function("st_extentfromgeom", F.col(left_geom))
+    )
+    a = left.withColumn("__l_bbox", lb)
+    y0 = F.col("__l_bbox")["ymin"] - F.lit(dlat)
+    y1 = F.col("__l_bbox")["ymax"] + F.lit(dlat)
+    # smallest cos|φ| over the EXPANDED band; envelope goes full-range
+    # when the inverse-haversine bound is undefined there (polar caps)
+    wlat = F.greatest(F.abs(y0), F.abs(y1))
+    cosmin = F.cos(F.radians(F.least(wlat, F.lit(90.0))))
+    full = (F.lit(sin_half) >= cosmin) | (wlat >= F.lit(89.99))
+    dlon = F.when(full, F.lit(180.0)).otherwise(
+        F.degrees(F.lit(2.0) * F.asin(F.lit(sin_half) / cosmin))
+    )
+    ex0 = F.col("__l_bbox")["xmin"] - dlon
+    ex1 = F.col("__l_bbox")["xmax"] + dlon
+    # a ≥360°-wide envelope sees every longitude: clamp and use only
+    # offset 0 (any wider and a pair could be found under two offsets)
+    full_span = full | ((ex1 - ex0) >= F.lit(360.0))
+    ex0 = F.when(full_span, F.lit(-180.0)).otherwise(ex0)
+    ex1 = F.when(full_span, F.lit(180.0)).otherwise(ex1)
+    offs = F.when(full_span, F.array(F.lit(0.0))).otherwise(
+        F.filter(
+            F.array(F.lit(-360.0), F.lit(0.0), F.lit(360.0)),
+            lambda o: (ex1 + o >= F.lit(-180.0)) & (ex0 + o <= F.lit(180.0)),
+        )
+    )
+    a = a.withColumn("__off", F.explode(offs))
+    ebox = F.struct(
+        (ex0 + F.col("__off")).alias("xmin"),
+        y0.alias("ymin"),
+        (ex1 + F.col("__off")).alias("xmax"),
+        y1.alias("ymax"),
+    )
+    a = a.withColumn("__l_ebox", ebox)
+    a = a.withColumn("__l_cell", F.explode(_cells(F.col("__l_ebox"), cs)))
+    b = _prepared(right, right_geom, right_bbox, "r", cs)
+
+    joined = a.join(b, a["__l_cell"] == b["__r_cell"])
+    ea, ra = F.col("__l_ebox"), F.col("__r_bbox")
+    overlap = (
+        (ea["xmin"] <= ra["xmax"])
+        & (ea["xmax"] >= ra["xmin"])
+        & (ea["ymin"] <= ra["ymax"])
+        & (ea["ymax"] >= ra["ymin"])
+    )
+    csl = F.lit(cs)
+    rx = F.greatest(ea["xmin"], ra["xmin"])
+    ry = F.greatest(ea["ymin"], ra["ymin"])
+    ref_cell = (
+        (F.floor(rx / csl).cast("long") + F.lit(_OFFSET)) * F.lit(_STRIDE)
+        + F.floor(ry / csl).cast("long")
+        + F.lit(_OFFSET)
+    )
+    cand = joined.filter(overlap & (F.col("__l_cell") == ref_cell))
+    dist = F.call_function("st_distancesphere", a[left_geom], b[right_geom])
+    cand = cand.withColumn("__dist", dist).filter(F.col("__dist") <= F.lit(d))
+    drop = ["__l_bbox", "__l_ebox", "__l_cell", "__r_bbox", "__r_cell", "__off"]
     if dist_col:
         return cand.withColumnRenamed("__dist", dist_col).drop(*drop)
     return cand.drop("__dist", *drop)

@@ -1326,7 +1326,11 @@ def checkpoint(
         return json.load(fh)
 
 
-def vacuum(path: str, remove_orphans: bool = False) -> dict:
+def vacuum(
+    path: str,
+    remove_orphans: bool = False,
+    orphan_min_age_s: float = 0.0,
+) -> dict:
     """Retention enforcement: delete delta files and commit-log
     entries at or below the LATEST checkpoint — they are fully folded
     into it, so the current snapshot and any time travel ≥ the
@@ -1343,9 +1347,12 @@ def vacuum(path: str, remove_orphans: bool = False) -> dict:
     (data lands before the commit claim; a refusal orphans it). Like
     Delta's VACUUM retention window, this is only safe when no writer
     is mid-commit (an in-flight writer's data dir is indistinguishable
-    from an orphan until its claim lands), hence opt-in — run it from
-    the same maintenance schedule as checkpointing, quiesced or with
-    an age guard at the storage layer.
+    from an orphan until its claim lands), hence opt-in.
+    ``orphan_min_age_s`` is the built-in retention window: only dirs
+    whose NEWEST file mtime is at least that old are reclaimed —
+    safe whenever no commit takes longer than the window (Delta's
+    default is 7 days for the same reason). 0 (default) preserves the
+    quiesced-only behavior.
 
     Why this exists at 100 TB: MOR accretes a delta file set per
     commit forever; without retention the log listing itself becomes
@@ -1367,6 +1374,24 @@ def vacuum(path: str, remove_orphans: bool = False) -> dict:
         shutil.rmtree(p, ignore_errors=True)
         return n
 
+    def _old_enough(p: str) -> bool:
+        # Delta's VACUUM retention window applied to orphan reclaim:
+        # an IN-FLIGHT writer's staging dir is indistinguishable from
+        # an orphan until its claim lands, so an age floor turns
+        # "only safe quiesced" into "safe if no commit takes longer
+        # than the window". mtime of the newest entry, not the dir —
+        # a slow writer keeps touching its staging files.
+        if orphan_min_age_s <= 0:
+            return True
+        newest = os.path.getmtime(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                except OSError:
+                    pass
+        return (_time.time() - newest) >= orphan_min_age_s
+
     if remove_orphans:
         referenced = {
             os.path.basename(e["path"].rstrip("/"))
@@ -1375,7 +1400,7 @@ def vacuum(path: str, remove_orphans: bool = False) -> dict:
         for name in os.listdir(path):
             full = os.path.join(path, name)
             if (name.startswith("_delta_") and os.path.isdir(full)
-                    and name not in referenced):
+                    and name not in referenced and _old_enough(full)):
                 removed_files += _rm_tree(full)
                 removed_orphans += 1
         # ditto for a crashed checkpointer's un-claimed data dir
@@ -1387,7 +1412,8 @@ def vacuum(path: str, remove_orphans: bool = False) -> dict:
             }
             for name in os.listdir(kdir):
                 full = os.path.join(kdir, name)
-                if os.path.isdir(full) and name not in kept:
+                if (os.path.isdir(full) and name not in kept
+                        and _old_enough(full)):
                     removed_files += _rm_tree(full)
                     removed_orphans += 1
 

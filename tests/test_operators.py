@@ -819,3 +819,45 @@ def test_distance_join_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="distance"):
         distance_join(a, b, -1.0, left_geom="geom", right_geom="geom2")
+
+
+def test_distance_join_sphere_matches_bruteforce(spark):
+    """Geodesic DWithin ≡ crossJoin + st_distanceSphere filter across
+    radii that exercise high latitudes, the antimeridian wrap, and the
+    polar full-range degeneration; no duplicate pairs from the offset
+    explode; d=0 keeps coincident points only."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.spatial_join import distance_join_sphere
+
+    register_all(spark)
+    a = spark.range(0, 250).select(
+        F.col("id").alias("ida"),
+        (((F.col("id") * 7919) % 36000) / 100.0 - 180.0).alias("x"),
+        (((F.col("id") * 4799) % 17900) / 100.0 - 89.5).alias("y"),
+    ).withColumn("geom", F.call_function("st_makepoint", "x", "y"))
+    b = spark.range(0, 200).select(
+        F.col("id").alias("idb"),
+        (((F.col("id") * 6101) % 35900) / 100.0 - 179.5).alias("x2"),
+        (((F.col("id") * 5471) % 17800) / 100.0 - 89.0).alias("y2"),
+    ).withColumn("geom2", F.call_function("st_makepoint", "x2", "y2"))
+
+    brute = (a.crossJoin(b)
+             .withColumn("dm", F.call_function("st_distancesphere",
+                                               "geom", "geom2")))
+    for D in (150_000.0, 1_500_000.0, 6_000_000.0):
+        got = distance_join_sphere(a, b, D, left_geom="geom",
+                                   right_geom="geom2")
+        g = sorted((r.ida, r.idb) for r in got.collect())
+        e = sorted((r.ida, r.idb)
+                   for r in brute.filter(F.col("dm") <= D).collect())
+        assert g == e, (D, len(g), len(e))
+        assert len(g) == len(set(g))   # offset explode never dups
+
+    z = distance_join_sphere(
+        a.limit(40),
+        a.limit(40).select(F.col("ida").alias("ja"),
+                           F.col("geom").alias("geom2")),
+        0.0, left_geom="geom", right_geom="geom2")
+    assert z.count() == 40

@@ -2114,3 +2114,48 @@ def test_morlake_key_range_option(spark, tmp_path):
     with _pytest.raises(Exception, match="lo,hi"):
         (spark.read.format("morlake").option("path", path)
          .option("key", "k").option("key_range", "42").load()).collect()
+
+
+def test_vacuum_orphan_age_guard(spark, tmp_path):
+    """orphan_min_age_s: a fresh (in-flight-looking) staging dir
+    survives the reclaim, an old one is removed; age is the NEWEST
+    file's mtime, so a recently-touched dir counts as fresh."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import vacuum, write_delta
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    path = str(tmp_path / "morage")
+    df.write.parquet(path)
+    write_delta(df.filter(F.col("k") < 5), path, "k")
+
+    fresh = _os.path.join(path, "_delta_fresh_orphan")
+    old = _os.path.join(path, "_delta_old_orphan")
+    for d in (fresh, old):
+        _os.makedirs(d)
+        with open(_os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+    past = _time.time() - 3600
+    _os.utime(old, (past, past))
+    _os.utime(_os.path.join(old, "part-0.parquet"), (past, past))
+
+    rep = vacuum(path, remove_orphans=True, orphan_min_age_s=600)
+    assert rep["removed_orphans"] == 1
+    assert not _os.path.exists(old) and _os.path.exists(fresh)
+
+    # touched-file freshness: old dir mtime but a NEW file inside
+    mixed = _os.path.join(path, "_delta_mixed_orphan")
+    _os.makedirs(mixed)
+    with open(_os.path.join(mixed, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    _os.utime(mixed, (past, past))   # dir looks old, file is new
+    rep = vacuum(path, remove_orphans=True, orphan_min_age_s=600)
+    assert rep["removed_orphans"] == 0 and _os.path.exists(mixed)
+
+    # age 0 keeps the quiesced-only semantics: everything goes
+    rep = vacuum(path, remove_orphans=True)
+    assert rep["removed_orphans"] == 2
+    assert not _os.path.exists(fresh) and not _os.path.exists(mixed)
