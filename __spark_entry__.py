@@ -1218,6 +1218,49 @@ def q_spatial_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         uninstall(spark)
 
 
+def q_spatial_sql_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_dwithin SQL pushdown (round-7, functions/st.py st_dwithin —
+    PostGIS ST_DWithin, beyond the reference's scalar st_distance —
+    plus operators/spatial_sql.py's rewrite): a bare spark.sql()
+    string with st_dwithin(bbox, st_makePoint(x, y), d) runs through
+    the installed session wrapper, which PREPENDS a pushable
+    d-expanded bbox conjunction while keeping the exact UDF — the
+    coarse-then-exact shape on the SQL-string surface. In-query
+    assert: the rewritten plan pushes bbox field comparisons. For
+    point extents the exact predicate is the coordinate distance the
+    oracle replays."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    cx = ((F.col("c_custkey") * F.lit(9973)) % F.lit(35000)) / 100.0 - 175.0
+    cy = ((F.col("c_custkey") * F.lit(7919)) % F.lit(17000)) / 100.0 - 85.0
+    from geomesa_hive_spark.functions import api as ST
+
+    c.withColumn("cx", cx).withColumn("cy", cy).withColumn(
+        "bbox", ST.make_extent("cx", "cy", "cx", "cy")
+    ).createOrReplaceTempView("cust_dwithin_sql")
+    q = """
+        SELECT c_nationkey, count(*) AS cnt,
+               round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS bal
+        FROM cust_dwithin_sql
+        WHERE st_dwithin(bbox, st_makePoint(-30.005, 10.005), 25.0)
+        GROUP BY c_nationkey
+    """
+    install(spark)
+    try:
+        out = spark.sql(q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "xmin" in plan, "dwithin rewrite did not push bbox fields"
+        return out.select(
+            F.col("c_nationkey").alias("c_nationkey"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("bal").cast("double").alias("bal"),
+        )
+    finally:
+        uninstall(spark)
+
+
 def q_spatial_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec round-trips hash-verified end to end: WKT (ST_AsText →
     ST_GeomFromWKT), WKB (ST_AsBinary → ST_GeomFromWKB), GeoJSON
@@ -6301,6 +6344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_hilbert": q_spatial_hilbert,
         "spatial_distance_join": q_spatial_distance_join,
         "spatial_distance_join_sphere": q_spatial_distance_join_sphere,
+        "spatial_sql_dwithin": q_spatial_sql_dwithin,
         "pipeline_profile": q_pipeline_profile,
         "spatial_reproject": q_spatial_reproject,
         "spatial_z2": q_spatial_z2,
@@ -9831,6 +9875,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt((x - x2) * (x - x2) + (y - y2) * (y - y2)), 6) AS dist
             FROM a, b
             WHERE sqrt((x - x2) * (x - x2) + (y - y2) * (y - y2)) <= 2.0
+        """,
+        "spatial_sql_dwithin": f"""
+            WITH p AS (
+              SELECT c_nationkey, c_acctbal,
+                     {_C_X} AS cx, {_C_Y} AS cy
+              FROM customer
+            )
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM p
+            WHERE sqrt((cx - (-30.005)) * (cx - (-30.005))
+                       + (cy - 10.005) * (cy - 10.005)) <= 25.0
+            GROUP BY c_nationkey
         """,
         "spatial_distance_join_sphere": """
             WITH a AS (

@@ -712,6 +712,33 @@ def _distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 _reg("st_distance", pandas_udf(_distance_udf, T.DoubleType()))
 
 
+def _dwithin_udf(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    """st_dwithin(a, b, distance) — PostGIS ST_DWithin (beyond the
+    reference's 78 names, which stop at scalar st_distance): planar
+    distance ≤ d, polymorphic over Extent|Geometry like the predicate
+    family, null-in→null-out. The SQL-string optimizer recognizes the
+    st_makePoint literal form and prepends a pushable bbox prefilter
+    (operators/spatial_sql.py)."""
+    ga = _extents_to_geoms(a) if isinstance(a, pd.DataFrame) else None
+    gb = _extents_to_geoms(b) if isinstance(b, pd.DataFrame) else None
+    parse = parse_cache()
+    if ga is None:
+        ga = [parse(v) for v in a]
+    if gb is None:
+        gb = [parse(v) for v in b]
+    dv = pd.to_numeric(d, errors="coerce")
+    return _series(
+        [
+            None if x is None or y is None or pd.isna(dd)
+            else bool(float(alg.distance(x, y)) <= float(dd))
+            for x, y, dd in zip(ga, gb, dv)
+        ]
+    )
+
+
+_reg("st_dwithin", pandas_udf(_dwithin_udf, T.BooleanType()))
+
+
 def _distance_sphere_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     fa = wkb_array_to_points(a.to_numpy(dtype=object))
     fb = wkb_array_to_points(b.to_numpy(dtype=object))

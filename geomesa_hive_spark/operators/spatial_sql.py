@@ -80,6 +80,18 @@ _GEOM_LIT_FIRST = re.compile(
     rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*,\s*({_IDENT})\s*\)",
     re.IGNORECASE,
 )
+# st_dwithin(col, st_makepoint(x, y), d) — envelope prefilter + original
+_DWITHIN = re.compile(
+    rf"\bst_dwithin\s*\(\s*({_IDENT})\s*,\s*"
+    rf"st_makepoint\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*,\s*({_NUM})\s*\)",
+    re.IGNORECASE,
+)
+# st_dwithin(st_makepoint(x, y), col, d) — the argument-swapped twin
+_DWITHIN_FIRST = re.compile(
+    rf"\bst_dwithin\s*\(\s*st_makepoint\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*\)"
+    rf"\s*,\s*({_IDENT})\s*,\s*({_NUM})\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _conj(col: str, xmin: str, ymin: str, xmax: str, ymax: str, mode: str) -> str:
@@ -156,10 +168,32 @@ def rewrite_spatial_predicates(sql: str) -> str:
         conj = _geom_envelope_conj(fn, col, wkt, col_first=False)
         return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
 
+    def _dwithin_conj(col: str, x: str, y: str, d: str):
+        try:
+            fx, fy, fd = float(x), float(y), float(d)
+        except ValueError:  # pragma: no cover — _NUM shouldn't allow this
+            return None
+        if fd < 0:
+            return None
+        return _conj(col, repr(fx - fd), repr(fy - fd),
+                     repr(fx + fd), repr(fy + fd), "intersects")
+
+    def dwithin(m: re.Match) -> str:
+        col, x, y, d = m.groups()
+        conj = _dwithin_conj(col, x, y, d)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
+    def dwithin_first(m: re.Match) -> str:
+        x, y, col, d = m.groups()
+        conj = _dwithin_conj(col, x, y, d)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
     sql = _COL_FIRST.sub(col_first, sql)
     sql = _LIT_FIRST.sub(lit_first, sql)
     sql = _GEOM_LIT.sub(geom_lit, sql)
     sql = _GEOM_LIT_FIRST.sub(geom_lit_first, sql)
+    sql = _DWITHIN.sub(dwithin, sql)
+    sql = _DWITHIN_FIRST.sub(dwithin_first, sql)
     return sql
 
 

@@ -212,3 +212,34 @@ def test_install_fallback_preserved(spark):
     finally:
         uninstall(spark)
     assert got == want and len(got) == 9
+
+
+def test_dwithin_rewrite_and_semantics(spark):
+    """st_dwithin SQL rewrite: d-expanded bbox prefilter prepended,
+    original predicate kept (coarse-then-exact); swapped-argument
+    form rewrites too; non-literal forms are left untouched; results
+    equal the bare-UDF run and the coordinate filter."""
+    r = rewrite_spatial_predicates(
+        "SELECT 1 WHERE st_dwithin(bbox, st_makePoint(-30.0, 10.0), 2.5)")
+    assert "bbox.xmin <= " in r and "st_dwithin" in r
+    assert "-27.5" in r and "-32.5" in r and "7.5" in r and "12.5" in r
+    r2 = rewrite_spatial_predicates(
+        "SELECT 1 WHERE st_dwithin(st_makePoint(-30.0, 10.0), bbox, 2.5)")
+    assert "bbox.xmin <= " in r2
+    # non-literal second arg / coordinates: untouched
+    for q in (
+        "SELECT 1 WHERE st_dwithin(bbox, geom, 2.5)",
+        "SELECT 1 WHERE st_dwithin(bbox, st_makePoint(a, b), 2.5)",
+    ):
+        assert rewrite_spatial_predicates(q) == q
+
+    _grid(spark)
+    q = ("SELECT count(*) AS n FROM sql_grid "
+         "WHERE st_dwithin(bbox, st_makePoint(4.5, 4.5), 2.0)")
+    got = spatial_sql(spark, q).collect()[0][0]
+    bare = spark.sql(q).collect()[0][0]
+    exp = spark.sql(
+        "SELECT count(*) FROM sql_grid WHERE "
+        "sqrt((x - 4.5) * (x - 4.5) + (y - 4.5) * (y - 4.5)) <= 2.0"
+    ).collect()[0][0]
+    assert got == bare == exp and got > 0
