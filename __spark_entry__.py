@@ -3332,6 +3332,40 @@ def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ranged MIN/MAX (round-7, sources/manifest.py
+    pruned_minmax — completes the COUNT/SUM/MIN/MAX metadata-query
+    family): interior files answer from stored per-file min/max with
+    zero I/O, boundary files are scanned with the predicate. Unlike
+    pruned_sum, min/max are order-independent for EVERY type, so the
+    query also exercises a FLOAT column (l_quantity), whose
+    uncorrelated-with-clustering stats span every file — degrading to
+    all-boundary scans that stay correct (asserted in-query: metadata
+    fired on the clustered-key windows, zero scans on the full
+    range). Oracle is the plain filtered MIN/MAX three times."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        pruned_minmax, write_with_manifest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    path = tempfile.mkdtemp(prefix="ghs_mmx_")
+    write_with_manifest(li, path, ["l_orderkey", "l_quantity"], n_files=24)
+    mo = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+    rows = []
+    (mn, mx), rep = pruned_minmax(spark, path, "l_orderkey",
+                                  mo * 2 // 10, mo * 3 // 10)
+    assert rep["files_metadata"] > 0 and rep["files_skipped"] > 0, rep
+    rows.append(("k10", float(mn), float(mx)))
+    (mn, mx), rep = pruned_minmax(spark, path, "l_orderkey", 0, mo)
+    assert rep["files_scanned"] == 0, rep
+    rows.append(("kfull", float(mn), float(mx)))
+    (mn, mx), _rep = pruned_minmax(spark, path, "l_quantity", 10.0, 39.5)
+    rows.append(("qwin", float(mn), float(mx)))
+    return spark.createDataFrame(rows, "rng string, mn double, mx double")
+
+
 def q_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRUNED MOR snapshot read (round-7, sources/manifest.py
     read_snapshot ``key_range=`` — Iceberg/Delta stats-in-the-log
@@ -6434,6 +6468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_schema_evolution": q_mor_schema_evolution,
         "manifest_count": q_manifest_count,
         "manifest_sharded": q_manifest_sharded,
+        "manifest_minmax": q_manifest_minmax,
         "mor_pruned_read": q_mor_pruned_read,
         "mor_tpch_refresh": q_mor_tpch_refresh,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
@@ -9928,6 +9963,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE cx >= -60.005 AND cx <= -10.005
               AND cy >= 0.005 AND cy <= 50.005
             GROUP BY c_mktsegment
+        """,
+        "manifest_minmax": """
+            WITH mo AS (SELECT max(l_orderkey) AS m FROM lineitem)
+            SELECT 'k10' AS rng,
+                   CAST(min(l_orderkey) AS DOUBLE) AS mn,
+                   CAST(max(l_orderkey) AS DOUBLE) AS mx
+            FROM lineitem, mo
+            WHERE l_orderkey >= CAST(m * 2 // 10 AS BIGINT)
+              AND l_orderkey <= CAST(m * 3 // 10 AS BIGINT)
+            UNION ALL
+            SELECT 'kfull', CAST(min(l_orderkey) AS DOUBLE),
+                   CAST(max(l_orderkey) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'qwin', min(l_quantity), max(l_quantity)
+            FROM lineitem WHERE l_quantity >= 10.0 AND l_quantity <= 39.5
         """,
         "mor_pruned_read": """
             WITH b AS (

@@ -41,7 +41,7 @@ __all__ = [
     "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup",
     "merge_into", "read_changes", "checkpoint", "vacuum",
-    "pruned_count", "pruned_sum", "maintain",
+    "pruned_count", "pruned_sum", "pruned_minmax", "maintain",
 ]
 
 _MANIFEST = "_manifest.json"
@@ -1614,3 +1614,62 @@ def maintain(
         rep = vacuum(path, remove_orphans=remove_orphans)
     return {"checkpointed": did_ckpt, "pending_commits": pending,
             "vacuum": rep}
+
+
+def pruned_minmax(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple:
+    """MIN(col), MAX(col) WHERE col BETWEEN lo AND hi answered as far
+    as possible from manifest metadata — completes the metadata-query
+    family (:func:`pruned_count`, :func:`pruned_sum`): an interior
+    file (range fully inside the window) contributes its STORED
+    min/max with zero I/O; boundary files are scanned with the
+    predicate; outside/all-NULL files contribute nothing. Unlike SUM,
+    min/max are order-independent for EVERY type — floats included —
+    so there is no integer restriction.
+
+    Returns ``((mn, mx), report)`` with the same report shape as
+    pruned_count; ``(None, None)`` when no row matches."""
+    m = manifest_stats(path)
+    if col not in m["stats_cols"]:
+        raise ValueError(
+            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
+        )
+    cand_min: list = []
+    cand_max: list = []
+    n_meta = n_skip = 0
+    boundary = []
+    for e in m["files"]:
+        mn, mx = e[f"min_{col}"], e[f"max_{col}"]
+        if mn is None or mx is None:
+            n_skip += 1
+        elif mx < lo or mn > hi:
+            n_skip += 1
+        elif lo <= mn and mx <= hi:
+            cand_min.append(mn)
+            cand_max.append(mx)
+            n_meta += 1
+        else:
+            boundary.append(e["file"])
+    if boundary:
+        r = (
+            spark.read.parquet(*boundary)
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            .agg(F.min(col), F.max(col))
+            .collect()[0]
+        )
+        if r[0] is not None:
+            cand_min.append(r[0])
+            cand_max.append(r[1])
+    report = {
+        "files_metadata": n_meta,
+        "files_scanned": len(boundary),
+        "files_skipped": n_skip,
+    }
+    if not cand_min:
+        return (None, None), report
+    return (min(cand_min), max(cand_max)), report

@@ -2159,3 +2159,38 @@ def test_vacuum_orphan_age_guard(spark, tmp_path):
     rep = vacuum(path, remove_orphans=True)
     assert rep["removed_orphans"] == 2
     assert not _os.path.exists(fresh) and not _os.path.exists(mixed)
+
+
+def test_pruned_minmax_metadata_only(spark, tmp_path):
+    """Ranged MIN/MAX from manifest stats: interior files answer from
+    metadata, boundary files scanned, full range reads nothing, empty
+    window returns (None, None); works on FLOAT columns (unlike
+    pruned_sum); results equal the direct aggregate."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        pruned_minmax, write_with_manifest,
+    )
+
+    df = spark.range(0, 12000).select(
+        F.col("id").alias("k"), (F.col("id") / 7.0).alias("v"))
+    path = str(tmp_path / "mmx")
+    write_with_manifest(df, path, ["k", "v"], n_files=12)
+
+    for col, lo, hi in (("k", 2000, 9000), ("v", 100.5, 900.25),
+                        ("k", 0, 11999)):
+        (mn, mx), rep = pruned_minmax(spark, path, col, lo, hi)
+        r = df.filter((F.col(col) >= lo) & (F.col(col) <= hi)).agg(
+            F.min(col), F.max(col)).collect()[0]
+        assert (mn, mx) == (r[0], r[1]), (col, lo, hi, mn, mx, r)
+        assert rep["files_metadata"] > 0, rep
+    # full range on the clustered col: zero scans
+    (_mn, _mx), rep = pruned_minmax(spark, path, "k", 0, 11999)
+    assert rep["files_scanned"] == 0, rep
+    # empty window
+    (mn, mx), rep = pruned_minmax(spark, path, "k", 10**9, 2 * 10**9)
+    assert mn is None and mx is None and rep["files_skipped"] == 12
+    with _pytest.raises(ValueError):
+        pruned_minmax(spark, path, "nope", 0, 1)
