@@ -1348,13 +1348,49 @@ def _z2_latlon(s: pd.Series) -> pd.DataFrame:
 _reg("st_z2latlon", pandas_udf(_z2_latlon, Z2_TYPE))
 
 
-def _partition_centroid(s: pd.Series, zoom: pd.Series) -> pd.Series:
+def _partition_centroid(
+    s: pd.Series,
+    zoom: pd.Series,
+    tile_size: pd.Series = None,
+    bits: pd.Series = None,
+    crs: pd.Series = None,
+    res_threshold: pd.Series = None,
+) -> pd.Series:
+    """Full reference SQL arity (ST_PartitionCentroid.scala:27-51):
+    (geom, zoom[, tileSize[, bits[, crs[, resolutionThreshold]]]]).
+    Trailing args are optional exactly as in the reference's HUDF —
+    Spark's Python worker calls the UDF with however many columns the
+    SQL call supplied, so the Python defaults ARE the SQL defaults.
+    tileSize (default 256) and resolutionThreshold (default 0.1) are
+    accepted-but-inert, faithfully: in geotrellis the ZoomedLayoutScheme
+    tile GRID at levelForZoom(zoom) depends only on zoom — tileSize
+    sets pixel cell size and resolutionThreshold only steers
+    levelFor(extent, cellSize), neither of which this key touches.
+    bits (default 8) and crs (default lon/lat; 'EPSG:3857' switches to
+    the square web-mercator pyramid) genuinely change the key."""
     bb = _bounds_of(s.to_numpy(dtype=object))
     cx = (bb[:, 0] + bb[:, 2]) / 2.0
     cy = (bb[:, 1] + bb[:, 3]) / 2.0
     zs = numeric_series(zoom)
     z = int(zs[~np.isnan(zs)][0]) if np.any(~np.isnan(zs)) else 0
-    keys = z2_mod.partition_centroid_key(cx, cy, z)
+
+    def _scalar_int(col, default):
+        if col is None:
+            return default
+        v = numeric_series(col)
+        ok = ~np.isnan(v)
+        return int(v[ok][0]) if np.any(ok) else default
+
+    ts = _scalar_int(tile_size, 256)
+    nb = _scalar_int(bits, 8)
+    crs_name = "EPSG:4326"
+    if crs is not None:
+        nonnull = crs.dropna()
+        if len(nonnull):
+            crs_name = str(nonnull.iloc[0])
+    keys = z2_mod.partition_centroid_key(
+        cx, cy, z, tile_size=ts, bits=nb, crs=crs_name
+    )
     out = pd.Series(keys, dtype=object)
     out[np.isnan(cx) | np.isnan(zs)] = None
     return out

@@ -258,6 +258,18 @@ def spatial_knn_join(
     return out
 
 
+def _check_dist_col(dist_col, left: DataFrame, right: DataFrame) -> None:
+    """Refuse a ``dist_col`` that already exists on either input
+    (ADVICE r7): appending it via rename would produce a duplicate-name
+    DataFrame that breaks downstream select/collect — the explicit-
+    refusal style the repo uses elsewhere (write_geoparquet 'bbox')."""
+    if dist_col and (dist_col in left.columns or dist_col in right.columns):
+        raise ValueError(
+            f"dist_col {dist_col!r} already exists on an input; pass a "
+            f"different name (or dist_col=None to omit the distance)"
+        )
+
+
 def distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -293,6 +305,7 @@ def distance_join(
     d = float(distance)
     if d < 0:
         raise ValueError("distance must be >= 0")
+    _check_dist_col(dist_col, left, right)
     cs = float(cell_size) if cell_size is not None else max(d, 1.0)
 
     lb = (
@@ -388,6 +401,7 @@ def distance_join_sphere(
     d = float(meters)
     if d < 0:
         raise ValueError("distance must be >= 0")
+    _check_dist_col(dist_col, left, right)
     R = 6_371_008.7714
     dlat = d / R * 180.0 / math.pi
     sin_half = math.sin(min(d / (2.0 * R), math.pi / 2.0))

@@ -32,7 +32,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,7 +123,13 @@ def bm25_topk(
 
 
 def _query_terms(query: str) -> list[str]:
-    terms = sorted({t for t in _re.split(r"\s+", query.lower().strip()) if t})
+    """Tokenize a query string EXACTLY the way documents are tokenized
+    (text.word_tokens_py is the driver-side twin of the word_tokens SQL
+    expression) — any drift between the two silently makes punctuated
+    query terms unmatchable against indexed tokens."""
+    from geomesa_hive_spark.pipeline.text import word_tokens_py
+
+    terms = sorted({t for t in word_tokens_py(query.lower()) if t})
     if not terms:
         raise ValueError("empty query")
     return terms

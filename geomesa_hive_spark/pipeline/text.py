@@ -44,9 +44,27 @@ def normalize_text(col) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+# THE tokenizer split pattern — word_tokens (SQL side, documents) and
+# word_tokens_py (driver side, BM25 query strings) must stay twins, or
+# punctuated query terms ("don't", "u.s.") silently stop matching the
+# tokens the corpus was indexed with.
+WORD_SPLIT_RE = r"\s+"
+
+
 def word_tokens(col) -> Column:
     """Whitespace tokenization as an array column."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    return F.split(F.trim(_c(col)), WORD_SPLIT_RE)
+
+
+def word_tokens_py(text: str) -> list:
+    """Driver-side twin of :func:`word_tokens` — same split pattern, same
+    lowercase-at-call-site convention. Used by retrieval's query-string
+    tokenizer so a query term is guaranteed to be producible as a
+    document token (tokenization parity)."""
+    import re
+
+    t = text.strip()
+    return [] if not t else re.split(WORD_SPLIT_RE, t)
 
 
 def token_count(col) -> Column:

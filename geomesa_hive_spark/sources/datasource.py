@@ -33,6 +33,7 @@ tables; a pluggable table-format source is pipeline-extension surface
 
 from __future__ import annotations
 
+import json
 import os
 
 from dataclasses import dataclass
@@ -120,15 +121,22 @@ def _table_schema_fields(path: str) -> list[tuple[str, str]]:
 
 def _conform(table, names: list[str], types: dict[str, str]):
     """Project/extend a pyarrow table to exactly ``names`` order —
-    missing columns (pre-evolution files) become typed nulls."""
+    missing columns (pre-evolution files) become typed nulls, and
+    columns whose physical type drifted from the table schema (e.g. a
+    delta committed with int32 against a bigint base) are cast to the
+    declared type, matching the implicit cast unionByName performs on
+    the JVM read_snapshot path."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     cols = []
     for n in names:
+        want = _pa_type(types[n])
         if n in table.column_names:
-            cols.append(table.column(n))
+            c = table.column(n)
+            cols.append(c if c.type == want else pc.cast(c, want))
         else:
-            cols.append(pa.nulls(table.num_rows, _pa_type(types[n])))
+            cols.append(pa.nulls(table.num_rows, want))
     return pa.table(dict(zip(names, cols))).combine_chunks()
 
 
@@ -154,6 +162,41 @@ def _parse_range_val(v: str):
         except ValueError:
             continue
     return v
+
+
+def _parse_key_range(kr: str, key_ddl: str | None) -> tuple:
+    """Parse the ``key_range`` option against the key column's ACTUAL
+    type (ADVICE r7): a numeric-looking STRING key ('0042') must stay a
+    string or the pyarrow comparison against a string column fails or
+    mismatches, and a string key containing a comma needs an escape —
+    a JSON two-element list (``["a,b","z"]``) bypasses the comma
+    delimiter entirely."""
+    if kr.lstrip().startswith("["):
+        vals = json.loads(kr)
+        if not isinstance(vals, list) or len(vals) != 2:
+            raise ValueError("JSON key_range must be a 2-element list")
+    else:
+        parts = kr.split(",", 1)
+        if len(parts) != 2:
+            raise ValueError("key_range option must be 'lo,hi'")
+        vals = parts
+
+    def _coerce(v):
+        if key_ddl is None:
+            return _parse_range_val(v) if isinstance(v, str) else v
+        if key_ddl in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if key_ddl in ("float", "double"):
+            return float(v)
+        if key_ddl.startswith("decimal"):
+            import decimal
+
+            return decimal.Decimal(str(v))
+        if key_ddl == "string":
+            return str(v)
+        return _parse_range_val(v) if isinstance(v, str) else v
+
+    return tuple(_coerce(v) for v in vals)
 
 
 def _prune_files_by_manifest(dirpath: str, key: str, lo, hi,
@@ -216,18 +259,16 @@ class _MorBatchReader(DataSourceReader):
             raise ValueError("morlake requires .option('key', ...)")
         as_of = options.get("as_of_seq")
         self.as_of = int(as_of) if as_of is not None else None
+        self.names = [n for n, _ in schema_fields]
+        self.types = dict(schema_fields)
         kr = options.get("key_range")
         self.key_range = None
         if kr is not None:
-            # "lo,hi" — same two-level metadata cut as
-            # read_snapshot(key_range=): manifest-pruned files +
-            # commit-stat-skipped log entries + row filter
-            parts = kr.split(",", 1)
-            if len(parts) != 2:
-                raise ValueError("key_range option must be 'lo,hi'")
-            self.key_range = tuple(_parse_range_val(v) for v in parts)
-        self.names = [n for n, _ in schema_fields]
-        self.types = dict(schema_fields)
+            # "lo,hi" (or a JSON 2-list for values containing commas) —
+            # same two-level metadata cut as read_snapshot(key_range=):
+            # manifest-pruned files + commit-stat-skipped log entries +
+            # row filter; bounds coerced to the key column's REAL type
+            self.key_range = _parse_key_range(kr, self.types.get(self.key))
 
         log = _delta_log(self.path)
         cks = _checkpoints(self.path)
@@ -561,11 +602,14 @@ class _MorWriterBase:
 
     # -- driver side -------------------------------------------------
     def _commit_job(self, messages, txn_id, batch_suffix=None):
+        import time as _time
+
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from geomesa_hive_spark.sources.manifest import (
             ConcurrentWriteConflict, _atomic_commit, _checkpoints,
-            _delta_log,
+            _delta_log, _json_stat,
         )
 
         msgs = [m for m in messages if m is not None and m.file]
@@ -596,6 +640,24 @@ class _MorWriterBase:
             msgs = moved
         n_up = sum(m.n_up for m in msgs)
         n_del = sum(m.n_del for m in msgs)
+        # per-commit key stats + wall-clock ts, exactly like write_delta
+        # (sources/manifest.py): without them, morlake-written commits
+        # could never be skipped by key_range reads nor resolved by
+        # TIMESTAMP AS OF — write-path uniformity across the three
+        # writers (write_delta, merge_into, morlake) is what makes the
+        # pruning/travel guarantees table-level, not API-level.
+        # Tombstone keys are included — a delete in range must be seen.
+        key_stats = None
+        kmin = kmax = None
+        for m in msgs:
+            col = pq.read_table(m.file, columns=[self.key]).column(self.key)
+            mm = pc.min_max(col).as_py()
+            if mm["min"] is None:
+                continue
+            kmin = mm["min"] if kmin is None else min(kmin, mm["min"])
+            kmax = mm["max"] if kmax is None else max(kmax, mm["max"])
+        if kmin is not None:
+            key_stats = (_json_stat(kmin, "min"), _json_stat(kmax, "max"))
         cdir = os.path.join(self.path, "_commits")
         os.makedirs(cdir, exist_ok=True)
         my_keys = None
@@ -646,7 +708,9 @@ class _MorWriterBase:
                         conflicting_seqs=[e["seq"] for e in newer],
                     )
             entry = {"seq": seq, "path": dpath, "n_upserts": int(n_up),
-                     "n_deletes": int(n_del)}
+                     "n_deletes": int(n_del), "ts": _time.time()}
+            if key_stats is not None:
+                entry["key_min"], entry["key_max"] = key_stats
             if txn_id is not None:
                 entry["txn_id"] = txn_id
             if _atomic_commit(cdir, seq, entry, self.token):

@@ -176,8 +176,8 @@ def _finish_manifest(
     for r in rows:
         entry = {"file": r["file"], "n_rows": r["n_rows"]}
         for c in stats_cols:
-            entry[f"min_{c}"] = _plain(r[f"min_{c}"])
-            entry[f"max_{c}"] = _plain(r[f"max_{c}"])
+            entry[f"min_{c}"] = _json_stat(r[f"min_{c}"], "min")
+            entry[f"max_{c}"] = _json_stat(r[f"max_{c}"], "max")
             # non-null count per stats column: what lets COUNT queries
             # over a range be answered from METADATA for interior files
             entry[f"nn_{c}"] = int(r[f"nn_{c}"])
@@ -212,6 +212,30 @@ def _plain(v):
     return str(v)
 
 
+def _json_stat(v, side):
+    """JSON-safe min/max stat value. DECIMAL stats must never be
+    truncated (int(Decimal('99.9')) → 99 would record a max BELOW real
+    rows and wrongly skip their file) nor stringified (string key stats
+    make read_snapshot's ``key_max < lo`` raise). Integral Decimals
+    become exact ints; fractional ones become floats WIDENED toward the
+    stat's conservative side (min rounds down, max rounds up), so float
+    rounding can only widen the recorded range — a widened range admits
+    a file it could have skipped, never skips a file it must read."""
+    import decimal
+    import math
+
+    if isinstance(v, decimal.Decimal):
+        if v == int(v):
+            return int(v)
+        f = float(v)
+        if side == "min" and decimal.Decimal(f) > v:
+            return math.nextafter(f, -math.inf)
+        if side == "max" and decimal.Decimal(f) < v:
+            return math.nextafter(f, math.inf)
+        return f
+    return _plain(v)
+
+
 def _manifest_root(path: str) -> dict:
     """Root manifest JSON only — never materializes per-file rows."""
     with open(os.path.join(path, _MANIFEST)) as fh:
@@ -235,12 +259,21 @@ def manifest_stats(path: str) -> dict:
     import decimal
 
     tbl = _ds.dataset(os.path.join(path, m["dir"])).to_table()
+
+    def _load(k, v):
+        # int() is exact ONLY for the decimal(38,0) sum_/count columns;
+        # a DECIMAL-typed stats column's min_/max_ must keep its exact
+        # value (int(Decimal('99.9')) would record a max below real
+        # rows → wrong skip). In-memory Decimals compare exactly with
+        # int/float query bounds, so pruning stays correct.
+        if isinstance(v, decimal.Decimal):
+            if k == "n_rows" or k.startswith(("sum_", "nn_")):
+                return int(v)
+            return int(v) if v == int(v) else v
+        return _plain(v)
+
     files = [
-        {
-            k: int(v) if isinstance(v, decimal.Decimal) else _plain(v)
-            for k, v in row.items()
-        }
-        for row in tbl.to_pylist()
+        {k: _load(k, v) for k, v in row.items()} for row in tbl.to_pylist()
     ]
     m["files"] = sorted(files, key=lambda e: e["file"])
     return m
@@ -720,7 +753,7 @@ def write_delta(
     # key_range=). Tombstone keys are included — a delete in range
     # must be seen. Older commits without stats degrade to always-read.
     krow = up.agg(F.min(key_col), F.max(key_col)).collect()[0]
-    key_stats = (_plain(krow[0]), _plain(krow[1]))
+    key_stats = (_json_stat(krow[0], "min"), _json_stat(krow[1], "max"))
     cdir = os.path.join(path, _COMMIT_DIR)
     os.makedirs(cdir, exist_ok=True)
     my_keys = None
@@ -873,7 +906,14 @@ def seq_at_timestamp(path: str, ts: float) -> int:
         if float(e.get("ts", 0.0)) <= target:
             best = max(best, e["seq"])
     if best == 0:
-        vacuumed = bool(cks) or (log and log[0]["seq"] > 1)
+        # a checkpoint ALONE is not vacuum evidence: with the full log
+        # still starting at seq 1 the base (seq 0) is intact and
+        # read_snapshot(as_of_seq=0) reconstructs it exactly — raise
+        # only when the retained log no longer reaches back to seq 1
+        # (something before the earliest survivor was actually dropped)
+        vacuumed = (log and log[0]["seq"] > 1) or (
+            bool(cks) and (not log or log[0]["seq"] > 1)
+        )
         if vacuumed:
             raise ValueError(
                 f"timestamp {ts} predates the earliest retained commit; "

@@ -174,7 +174,17 @@ def write_geoparquet(
     register_all(spark)
     if geom_col not in df.columns:
         raise ValueError(f"geometry column {geom_col!r} not in DataFrame")
-    data_cols = [c for c in df.columns if c != "bbox"]
+    if "bbox" in df.columns:
+        # refuse, don't silently replace: the writer emits its own
+        # per-row covering struct under the spec's conventional name,
+        # and quietly dropping a user column of that name is data loss
+        # on round-trip (ADVICE r7)
+        raise ValueError(
+            "input already has a 'bbox' column; rename it — "
+            "write_geoparquet emits the GeoParquet covering struct "
+            "under that name"
+        )
+    data_cols = list(df.columns)
     enriched = add_z2_columns(df.select(*data_cols), geom_col, zoom=zoom)
     clustered = (
         enriched.repartitionByRange(int(n_files), "z2")

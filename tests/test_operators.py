@@ -820,6 +820,20 @@ def test_distance_join_matches_bruteforce(spark):
     with _pytest.raises(ValueError, match="distance"):
         distance_join(a, b, -1.0, left_geom="geom", right_geom="geom2")
 
+    # ADVICE r7: a dist_col already present on either input is refused
+    # (a rename-append would create a duplicate-name DataFrame)
+    from geomesa_hive_spark.operators.spatial_join import distance_join_sphere
+    with _pytest.raises(ValueError, match="dist_col"):
+        distance_join(a.withColumn("dist", F.lit(0.0)), b, 1.0,
+                      left_geom="geom", right_geom="geom2")
+    with _pytest.raises(ValueError, match="dist_col"):
+        distance_join_sphere(a, b.withColumn("dist_m", F.lit(0.0)), 1.0,
+                             left_geom="geom", right_geom="geom2")
+    # dist_col=None on a 'dist'-bearing input is fine
+    ok = distance_join(a.withColumn("dist", F.lit(0.0)), b, 1.5,
+                       left_geom="geom", right_geom="geom2", dist_col=None)
+    assert ok.columns.count("dist") == 1
+
 
 def test_distance_join_sphere_matches_bruteforce(spark):
     """Geodesic DWithin ≡ crossJoin + st_distanceSphere filter across

@@ -1430,6 +1430,54 @@ def test_morlake_writer_batch_and_stream_sink(spark, tmp_path):
     assert got[6] == 66.0 and got[7] == 77.0 and got[8] == 88.0
 
 
+def test_morlake_persistent_stream_writer_no_suffix(spark, tmp_path):
+    """VERDICT r7 #5: batch isolation is INTERNAL to the stream writer —
+    a single persistent writer object driven across 3 micro-batches with
+    NO caller-side suffix must land 3 uncorrupted commits (each commit's
+    file set contains only its own batch's rows), and every morlake
+    commit carries write_delta-style ts + key stats so key_range reads
+    can skip it and TIMESTAMP AS OF can resolve it."""
+    import pyarrow as pa
+
+    from geomesa_hive_spark.sources.datasource import _MorStreamWriter
+    from geomesa_hive_spark.sources.manifest import (
+        _delta_log, read_snapshot, seq_at_timestamp,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    path = str(tmp_path / "mwp")
+    base.write.mode("overwrite").parquet(path)
+
+    writer = _MorStreamWriter({"path": path, "key": "k"})  # ONE object
+    for bid, rows in enumerate([[(1, 11.0)], [(2, 22.0)], [(3, 33.0)]]):
+        t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                      "v": pa.array([r[1] for r in rows], pa.float64())})
+        msg = writer.write(iter(t.to_batches()))
+        writer.commit([msg], bid)  # no batch_suffix argument exists here
+
+    log = _delta_log(path)
+    assert [e["seq"] for e in log] == [1, 2, 3]
+    paths = {e["path"] for e in log}
+    assert len(paths) == 3  # three distinct isolated file sets
+    for e, want_k in zip(log, [1, 2, 3]):
+        got = spark.read.parquet(e["path"]).collect()
+        assert len(got) == 1 and got[0].k == want_k, (e["seq"], got)
+        # write_delta-style stats on every morlake commit
+        assert e["key_min"] == want_k and e["key_max"] == want_k
+        assert e["ts"] > 0
+    snap = {r.k: r.v for r in read_snapshot(spark, path, "k").collect()}
+    assert snap[1] == 11.0 and snap[2] == 22.0 and snap[3] == 33.0
+    assert seq_at_timestamp(path, log[-1]["ts"]) == 3
+
+    # key_range read skips commits whose stats miss the range
+    rep = {}
+    read_snapshot(spark, path, "k", key_range=(2, 2),
+                  prune_report=rep).collect()
+    assert rep["commits_kept"] == 1 and rep["commits_total"] == 3, rep
+
+
 def test_morlake_pushdown_reader(spark, tmp_path):
     """Opt-in pushdown reader: filters reach the pyarrow scan
     (row-group stats prune I/O) while staying superset-safe — Spark
@@ -1522,6 +1570,59 @@ def test_pruned_count_metadata_only(spark, tmp_path):
     # ...and a miss range touches no data either
     cnt, rep = pruned_count(spark, path, "k", 2000, 3000)
     assert cnt == 0 and rep["files_scanned"] == 0
+
+
+def test_manifest_decimal_stats_not_truncated(spark, tmp_path):
+    """ADVICE r7 (medium): DECIMAL stats columns must not have min_/max_
+    coerced through int() — int(Decimal('99.90')) = 99 records a max
+    BELOW real rows, and a query with lo=99.5 would wrongly skip the
+    file containing 99.90. Both manifest tiers (json + parquet) must
+    keep the exact value, and write_delta key stats on a decimal key
+    must stay comparable (never stringified)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        manifest_stats, read_pruned, read_snapshot, write_delta,
+        write_with_manifest,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") / F.lit(10.0)).cast("decimal(10,2)").alias("price"),
+        F.col("id").alias("v"),
+    )  # prices 0.00 .. 99.90
+    for fmt in ("json", "parquet"):
+        path = str(tmp_path / f"mdec_{fmt}")
+        df.write.mode("overwrite").parquet(path)
+        write_with_manifest(
+            spark.read.parquet(path), path, ["price"],
+            n_files=8, manifest_format=fmt,
+        )
+        m = manifest_stats(path)
+        gmax = max(e["max_price"] for e in m["files"])
+        assert float(gmax) >= 99.9, gmax  # not truncated to 99
+        out, kept, total = read_pruned(spark, path, "price", 99.5, 200.0)
+        got = sorted(r.v for r in out.collect())
+        assert got == [995, 996, 997, 998, 999], (fmt, got)
+        assert 0 < kept < total, (fmt, kept, total)
+
+    # MOR: decimal key column — commit key stats must prune, not raise
+    mpath = str(tmp_path / "mor_dec")
+    base = spark.range(100).select(
+        (F.col("id") + F.lit(0.5)).cast("decimal(10,2)").alias("k"),
+        F.col("id").alias("v"),
+    )
+    write_with_manifest(base, mpath, ["k"], n_files=4)
+    hi_delta = spark.createDataFrame(
+        [(90.5, 9000), (91.5, 9100)], "k double, v long"
+    ).select(F.col("k").cast("decimal(10,2)"), "v")
+    e = write_delta(hi_delta, mpath, "k")
+    assert isinstance(e["key_min"], (int, float)), e  # never stringified
+    rep = {}
+    snap = read_snapshot(
+        spark, mpath, "k", key_range=(0.0, 10.0), prune_report=rep
+    )
+    assert snap.count() == 10
+    assert rep["commits_kept"] == 0 and rep["commits_total"] == 1, rep
 
 
 def test_pruned_sum_exactness_and_guards(spark, tmp_path):
@@ -1874,6 +1975,11 @@ def test_geoparquet_roundtrip(spark, tmp_path):
         geoparquet_meta(plain)
     with _pytest.raises(ValueError, match="geometry column"):
         write_geoparquet(base, str(tmp_path / "nope"), "geom")
+    # ADVICE r7: a pre-existing user 'bbox' column is refused loudly,
+    # never silently replaced by the covering struct
+    with _pytest.raises(ValueError, match="bbox"):
+        write_geoparquet(df.withColumn("bbox", F.lit(1)),
+                         str(tmp_path / "nope2"), "geom")
 
 
 def test_geoparquet_file_pruning(spark, tmp_path):
@@ -1961,6 +2067,34 @@ def test_mor_timestamp_travel(spark, tmp_path):
         seq_at_timestamp(path, t0 - 10)
     with _pytest.raises(ValueError, match="vacuumed"):
         read_snapshot(spark, path, "k", as_of_ts=t1)
+
+
+def test_mor_timestamp_before_base_with_checkpoint_no_vacuum(spark, tmp_path):
+    """ADVICE r7: a checkpoint ALONE is not vacuum evidence — with the
+    full log still starting at seq 1 the base is intact, so a timestamp
+    predating the first commit resolves to 0 (and read_snapshot at that
+    time returns the pristine base), exactly as it did pre-checkpoint."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, seq_at_timestamp, write_delta,
+    )
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit("base").alias("s"))
+    path = str(tmp_path / "mortsck")
+    df.write.parquet(path)
+    t_before = _time.time()
+    _time.sleep(0.05)
+    write_delta(
+        df.filter(F.col("k") < 10).withColumn("s", F.lit("A")), path, "k")
+    checkpoint(spark, path, "k")  # NO vacuum — log still starts at seq 1
+    assert seq_at_timestamp(path, t_before) == 0
+    snap = read_snapshot(spark, path, "k", as_of_ts=t_before)
+    assert snap.filter(F.col("s") != "base").count() == 0
+    assert snap.count() == 40
 
 
 def test_mor_timestamp_travel_past_vacuum(spark, tmp_path):
@@ -2114,6 +2248,41 @@ def test_morlake_key_range_option(spark, tmp_path):
     with _pytest.raises(Exception, match="lo,hi"):
         (spark.read.format("morlake").option("path", path)
          .option("key", "k").option("key_range", "42").load()).collect()
+
+
+def test_morlake_key_range_string_keys(spark, tmp_path):
+    """ADVICE r7: key_range bounds are coerced to the key column's REAL
+    type — numeric-looking STRING keys ('0042') must compare as strings
+    in the pyarrow row filter, and a JSON 2-list escapes commas inside
+    string bounds."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta, write_with_manifest,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    df = spark.range(0, 500).select(
+        F.lpad(F.col("id").cast("string"), 4, "0").alias("k"),
+        F.col("id").alias("v"))
+    path = str(tmp_path / "mlkrs")
+    write_with_manifest(df, path, ["k"], n_files=4)
+    write_delta(df.filter(F.col("k") < "0050")
+                .withColumn("v", F.lit(-1)), path, "k")
+
+    got = (spark.read.format("morlake").option("path", path)
+           .option("key", "k").option("key_range", "0040,0060").load())
+    exp = read_snapshot(spark, path, "k", key_range=("0040", "0060"))
+    g = sorted(tuple(r) for r in got.collect())
+    assert g == sorted(tuple(r) for r in exp.collect())
+    assert len(g) == 21 and g[0] == ("0040", -1) and g[-1] == ("0060", 60)
+
+    # JSON form escapes commas and round-trips identically
+    got2 = (spark.read.format("morlake").option("path", path)
+            .option("key", "k")
+            .option("key_range", '["0040", "0060"]').load())
+    assert sorted(tuple(r) for r in got2.collect()) == g
 
 
 def test_vacuum_orphan_age_guard(spark, tmp_path):
