@@ -526,6 +526,36 @@ def q_spatial_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_partition_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_partitionCentroid at its FULL reference SQL arity
+    (ST_PartitionCentroid.scala:27-51: geom, zoom[, tileSize[, bits[,
+    crs[, resolutionThreshold]]]]): non-default ``bits`` and the
+    web-mercator ``crs`` genuinely change the key (square 2^z pyramid
+    over ±20037508.34 m); ``tileSize``/``resolutionThreshold`` are
+    accepted-but-inert exactly as in geotrellis (the tile grid at
+    levelForZoom depends only on zoom), pinned by ``inert_eq``: the
+    6-arg call with non-default inert args must equal the 2-arg call."""
+    pts = _customer_pts(spark, sf_dir)
+    mx = ((F.col("c_custkey") * F.lit(7919)) % F.lit(40000000)).cast(
+        "double") - F.lit(20000000.0)
+    my = ((F.col("c_custkey") * F.lit(4799)) % F.lit(39000000)).cast(
+        "double") - F.lit(19500000.0)
+    pts = pts.withColumn("gm", _call("st_makepoint", mx, my))
+    k_merc = _call("st_partitioncentroid", F.col("gm"), F.lit(4),
+                   F.lit(512), F.lit(4), F.lit("EPSG:3857"))
+    k_bits0 = _call("st_partitioncentroid", F.col("geom"), F.lit(5),
+                    F.lit(256), F.lit(0))
+    k_full = _call("st_partitioncentroid", F.col("geom"), F.lit(5),
+                   F.lit(512), F.lit(8), F.lit("EPSG:4326"), F.lit(0.5))
+    k_two = _call("st_partitioncentroid", F.col("geom"), F.lit(5))
+    return pts.filter(F.col("c_custkey") <= 800).select(
+        F.col("c_custkey").alias("c_custkey"),
+        k_merc.alias("pk_merc"),
+        k_bits0.alias("pk_bits0"),
+        (k_full == k_two).cast("int").alias("inert_eq"),
+    )
+
+
 def q_spatial_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_geoHash (closed-form quantization — oracle replays the exact
     floor-scale + bit-interleave + base32 arithmetic in SQL) plus a WKT
@@ -6389,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_density": q_spatial_density,
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
+        "spatial_partition_args": q_spatial_partition_args,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
@@ -8781,6 +8812,42 @@ def oracle_sql() -> dict[str, str]:
                    round(min(lon), 2) AS xmin, round(max(lon), 2) AS xmax,
                    round(min(lat), 2) AS ymin, round(max(lat), 2) AS ymax
             FROM s5 GROUP BY 1
+        """,
+        "spatial_partition_args": f"""
+            WITH base AS (
+              SELECT c_custkey,
+                CAST((c_custkey * 7919) % 40000000 AS DOUBLE) - 20000000.0 AS mx,
+                CAST((c_custkey * 4799) % 39000000 AS DOUBLE) - 19500000.0 AS my,
+                {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer WHERE c_custkey <= 800
+            ), grid AS (
+              SELECT c_custkey,
+                LEAST(GREATEST(CAST(floor((mx + 20037508.342789244) / (2.0 * 20037508.342789244) * 16.0) AS BIGINT), 0), 15) AS ax,
+                LEAST(GREATEST(CAST(floor((20037508.342789244 - my) / (2.0 * 20037508.342789244) * 16.0) AS BIGINT), 0), 15) AS ay,
+                LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 0), 63) AS bx,
+                LEAST(GREATEST(CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT), 0), 31) AS byy
+              FROM base
+            ), s1 AS (
+              SELECT c_custkey, (ax | (ax << 16)) & 281470681808895 AS ax, (ay | (ay << 16)) & 281470681808895 AS ay,
+                     (bx | (bx << 16)) & 281470681808895 AS bx, (byy | (byy << 16)) & 281470681808895 AS byy FROM grid
+            ), s2 AS (
+              SELECT c_custkey, (ax | (ax << 8)) & 71777214294589695 AS ax, (ay | (ay << 8)) & 71777214294589695 AS ay,
+                     (bx | (bx << 8)) & 71777214294589695 AS bx, (byy | (byy << 8)) & 71777214294589695 AS byy FROM s1
+            ), s3 AS (
+              SELECT c_custkey, (ax | (ax << 4)) & 1085102592571150095 AS ax, (ay | (ay << 4)) & 1085102592571150095 AS ay,
+                     (bx | (bx << 4)) & 1085102592571150095 AS bx, (byy | (byy << 4)) & 1085102592571150095 AS byy FROM s2
+            ), s4 AS (
+              SELECT c_custkey, (ax | (ax << 2)) & 3689348814741910323 AS ax, (ay | (ay << 2)) & 3689348814741910323 AS ay,
+                     (bx | (bx << 2)) & 3689348814741910323 AS bx, (byy | (byy << 2)) & 3689348814741910323 AS byy FROM s3
+            ), s5 AS (
+              SELECT c_custkey, (ax | (ax << 1)) & 6148914691236517205 AS ax, (ay | (ay << 1)) & 6148914691236517205 AS ay,
+                     (bx | (bx << 1)) & 6148914691236517205 AS bx, (byy | (byy << 1)) & 6148914691236517205 AS byy FROM s4
+            )
+            SELECT c_custkey,
+                   ((ax | (ay << 1)) >> 4) AS pk_merc,
+                   (bx | (byy << 1)) AS pk_bits0,
+                   CAST(1 AS INTEGER) AS inert_eq
+            FROM s5
         """,
         "spatial_z2": _Z2_ORACLE,
         "spatial_xz2": f"""

@@ -338,3 +338,40 @@ def test_azimuth_and_length_spheroid(spark):
     assert r.same is None and r.nul is None
     assert abs(r.len2 - 221149.4533724559) < 1e-4
     assert r.pt == 0.0
+
+
+def test_st_partition_centroid_optional_sql_args(spark):
+    """st_partitionCentroid full reference arity through bare SQL
+    (ST_PartitionCentroid.scala:27-51): 2-arg default equals the
+    6-arg call with default-valued (inert) tileSize/resThreshold;
+    non-default bits shifts the key; EPSG:3857 switches to the square
+    web-mercator pyramid; NULL geom → NULL."""
+    from geomesa_hive_spark.functions.registry import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """
+        SELECT st_partitionCentroid(st_makePoint(10.0, 20.0), 5) AS two,
+               st_partitionCentroid(st_makePoint(10.0, 20.0), 5,
+                                    512, 8, 'EPSG:4326', 0.5) AS six,
+               st_partitionCentroid(st_makePoint(10.0, 20.0), 5, 256, 0) AS b0,
+               st_partitionCentroid(st_makePoint(10.0, 20.0), 5, 256, 2) AS b2,
+               st_partitionCentroid(st_makePoint(1000000.0, 2000000.0), 4,
+                                    256, 4, 'EPSG:3857') AS merc,
+               st_partitionCentroid(NULL, 5) AS nul
+        """
+    ).collect()[0]
+    assert r.two == r.six            # inert args don't change the key
+    assert r.b0 >> 2 == r.b2         # bits is a plain right shift
+    assert r.b0 >> 8 == r.two
+    assert r.nul is None
+    # web-mercator: zoom 4 square pyramid, hand-computed cell
+    import numpy as np
+
+    from geomesa_hive_spark.geom.z2 import partition_centroid_key
+
+    exp = partition_centroid_key(
+        np.array([1000000.0]), np.array([2000000.0]), 4,
+        bits=4, crs="EPSG:3857",
+    )[0]
+    assert r.merc == exp
