@@ -526,6 +526,47 @@ def q_spatial_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D window-pruned lake read (round-8, sources/manifest.py
+    write_window_manifest/read_window — VERDICT r7 #6 unifying the
+    repo's pruning families): customer points are Z2-CLUSTERED into
+    files (st_partitionCentroid as the layout key, the reference's own
+    storage discipline) with per-file min/max stats on BOTH coordinate
+    columns in a sharded parquet manifest; the windowed read then cuts
+    files on true 2-D box intersection before any data is scanned, and
+    still applies the exact predicate (superset cut). In-query assert:
+    files were actually skipped. Oracle = the full-scan window filter
+    the prune replaces."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_window, write_window_manifest,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    # D-suffix rule: in a Spark SQL string, /100.0 parses as DECIMAL —
+    # cast the integer numerator to DOUBLE first so both engines run
+    # the identical IEEE arithmetic
+    pts = c.selectExpr(
+        "c_custkey",
+        "CAST((c_custkey * 9973) % 35000 AS DOUBLE) / 100.0 - 175.0 AS x",
+        "CAST((c_custkey * 7919) % 17000 AS DOUBLE) / 100.0 - 85.0 AS y",
+    )
+    path = tempfile.mkdtemp(prefix="ghs_win_")
+    write_window_manifest(
+        pts, path, "x", "y", zoom=8, n_files=16, manifest_format="parquet"
+    )
+    out, kept, total = read_window(
+        spark, path, "x", "y", (-60.005, 0.005, -10.005, 50.005)
+    )
+    assert 0 < kept < total, (kept, total)
+    return out.select(
+        "c_custkey",
+        F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y"),
+    )
+
+
 def q_spatial_partition_args(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_partitionCentroid at its FULL reference SQL arity
     (ST_PartitionCentroid.scala:27-51: geom, zoom[, tileSize[, bits[,
@@ -6420,6 +6461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_geodesy": q_spatial_geodesy,
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_partition_args": q_spatial_partition_args,
+        "spatial_window_read": q_spatial_window_read,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
@@ -8812,6 +8854,12 @@ def oracle_sql() -> dict[str, str]:
                    round(min(lon), 2) AS xmin, round(max(lon), 2) AS xmax,
                    round(min(lat), 2) AS ymin, round(max(lat), 2) AS ymax
             FROM s5 GROUP BY 1
+        """,
+        "spatial_window_read": f"""
+            SELECT c_custkey, round(x, 4) AS x, round(y, 4) AS y
+            FROM (SELECT c_custkey, {_C_X} AS x, {_C_Y} AS y FROM customer)
+            WHERE x >= -60.005 AND x <= -10.005
+              AND y >= 0.005 AND y <= 50.005
         """,
         "spatial_partition_args": f"""
             WITH base AS (

@@ -199,6 +199,41 @@ def _parse_key_range(kr: str, key_ddl: str | None) -> tuple:
     return tuple(_coerce(v) for v in vals)
 
 
+def _prune_files_by_window(dirpath: str, xcol: str, ycol: str,
+                           window: tuple, files: list[str]) -> list[str]:
+    """2-D twin of :func:`_prune_files_by_manifest`: cut ``files`` whose
+    per-file (x, y) box misses the window, when the manifest records
+    stats for both coordinate columns (write_window_manifest layout).
+    Files without an entry are kept; all-NULL-stats files are dropped."""
+    if not os.path.exists(os.path.join(dirpath, "_manifest.json")):
+        return files
+    from geomesa_hive_spark.sources.manifest import manifest_stats
+
+    m = manifest_stats(dirpath)
+    if xcol not in m["stats_cols"] or ycol not in m["stats_cols"]:
+        return files
+    xmin, ymin, xmax, ymax = window
+    stats = {
+        os.path.basename(e["file"]): (
+            e[f"min_{xcol}"], e[f"max_{xcol}"],
+            e[f"min_{ycol}"], e[f"max_{ycol}"],
+        )
+        for e in m["files"]
+    }
+    keep = []
+    for f in files:
+        s = stats.get(os.path.basename(f))
+        if s is None:
+            keep.append(f)
+            continue
+        x0, x1, y0, y1 = s
+        if x0 is None or y0 is None:
+            continue
+        if not (x1 < xmin or x0 > xmax or y1 < ymin or y0 > ymax):
+            keep.append(f)
+    return keep
+
+
 def _prune_files_by_manifest(dirpath: str, key: str, lo, hi,
                              files: list[str]) -> list[str]:
     """Cut ``files`` on the manifest at ``dirpath`` when one exists
@@ -269,6 +304,29 @@ class _MorBatchReader(DataSourceReader):
             # manifest-pruned files + commit-stat-skipped log entries +
             # row filter; bounds coerced to the key column's REAL type
             self.key_range = _parse_key_range(kr, self.types.get(self.key))
+        win = options.get("window")
+        self.window = None
+        self.window_cols = None
+        if win is not None:
+            # "xmin,ymin,xmax,ymax" + window_cols="x,y": 2-D spatial
+            # window read (VERDICT r7 #6). Base files cut via the
+            # write_window_manifest 2-D stats; the exact row filter is
+            # applied to base AND delta rows. Exactness: the window is a
+            # plain post-resolution row predicate — a key whose LATEST
+            # version falls outside the window disappears exactly as it
+            # would from read_window over the resolved snapshot.
+            wc = options.get("window_cols")
+            if not wc:
+                raise ValueError(
+                    "window requires .option('window_cols', 'x,y')")
+            cols = tuple(c.strip() for c in wc.split(","))
+            if len(cols) != 2:
+                raise ValueError("window_cols must name exactly 2 columns")
+            vals = [float(v) for v in win.split(",")]
+            if len(vals) != 4:
+                raise ValueError("window must be 'xmin,ymin,xmax,ymax'")
+            self.window_cols = cols
+            self.window = tuple(vals)
 
         log = _delta_log(self.path)
         cks = _checkpoints(self.path)
@@ -295,6 +353,11 @@ class _MorBatchReader(DataSourceReader):
                 if e.get("key_min") is None or e.get("key_max") is None
                 or not (e["key_max"] < lo or e["key_min"] > hi)
             ]
+        if self.window is not None:
+            self.base = _prune_files_by_window(
+                base_dir, self.window_cols[0], self.window_cols[1],
+                self.window, self.base
+            )
         self.log = log
         # driver-side resolution: latest action per key, delete beats
         # upsert within a commit (same semantics as read_snapshot);
@@ -365,6 +428,8 @@ class _MorBatchReader(DataSourceReader):
                 t = pq.read_table(f, **kw)
                 if self.key_range is not None:
                     t = self._range_filter(t)
+                if self.window is not None:
+                    t = self._window_filter(t)
                 if dead is not None and len(dead):
                     mask = pc.invert(pc.is_in(t.column(self.key), dead))
                     t = t.filter(mask)
@@ -377,6 +442,8 @@ class _MorBatchReader(DataSourceReader):
             t = t.drop_columns(["__deleted"])
             if self.key_range is not None:
                 t = self._range_filter(t)
+            if self.window is not None:
+                t = self._window_filter(t)
             if t.num_rows:
                 yield from _conform(t, self.names, self.types).to_batches()
 
@@ -388,6 +455,17 @@ class _MorBatchReader(DataSourceReader):
         return t.filter(
             pc.and_(pc.greater_equal(k, lo), pc.less_equal(k, hi))
         )
+
+    def _window_filter(self, t):
+        import pyarrow.compute as pc
+
+        xmin, ymin, xmax, ymax = self.window
+        x = t.column(self.window_cols[0])
+        y = t.column(self.window_cols[1])
+        return t.filter(pc.and_(
+            pc.and_(pc.greater_equal(x, xmin), pc.less_equal(x, xmax)),
+            pc.and_(pc.greater_equal(y, ymin), pc.less_equal(y, ymax)),
+        ))
 
 
 class _MorPushdownReader(_MorBatchReader):
@@ -408,49 +486,85 @@ class _MorPushdownReader(_MorBatchReader):
         files get the cut; the delta-rows partition is O(delta) and
         relies on Spark's re-application."""
         from pyspark.sql.datasource import (
-            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
-            IsNull, LessThan, LessThanOrEqual,
+            EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In,
+            IsNotNull, IsNull, LessThan, LessThanOrEqual, Not,
+            StringContains, StringEndsWith, StringStartsWith,
         )
 
         ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
                LessThan: "<", LessThanOrEqual: "<=", In: "in",
-               IsNull: "null", IsNotNull: "notnull"}
-        for f in filters:
+               IsNull: "null", IsNotNull: "notnull",
+               StringStartsWith: "startswith",
+               StringEndsWith: "endswith", StringContains: "contains"}
+
+        def _leaf(f):
             op = ops.get(type(f))
+            if op is None and isinstance(f, EqualNullSafe):
+                # <=> with a non-null literal is plain equality; with a
+                # null literal it's IS NULL — both exact
+                val = getattr(f, "value", None)
+                op = "null" if val is None else "=="
+            if op is None:
+                return None
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr is not None and len(attr) == 1 else None
-            if op and col in self.types:
-                val = getattr(f, "value", None)
-                # tuples stay picklable; the pc.Expression is built
-                # per-file in read() so evolved columns missing from
-                # old files simply skip their clauses
-                self.pushed.append((col, op, val))
+            if col not in self.types:
+                return None
+            return (col, op, getattr(f, "value", None))
+
+        for f in filters:
+            # tuples stay picklable; the pc.Expression is built
+            # per-file in read() so evolved columns missing from
+            # old files simply skip their clauses. NOT wraps one
+            # translatable leaf (("not", clause)): pyarrow's filter
+            # drops predicate-null rows exactly as Spark's does, so
+            # the negation is row-for-row safe.
+            if isinstance(f, Not):
+                inner = _leaf(f.child)
+                if inner is not None:
+                    self.pushed.append(("not",) + inner)
+            else:
+                leaf = _leaf(f)
+                if leaf is not None:
+                    self.pushed.append(leaf)
             yield f  # Spark re-evaluates everything: superset safety
 
     def _pushed_expr(self, available: set):
         import pyarrow.compute as pc
 
-        expr = None
-        for col, op, val in self.pushed:
-            if col not in available:
-                continue
+        def _build(col, op, val):
             fld = pc.field(col)
             if op == "==":
-                e = fld == val
-            elif op == ">":
-                e = fld > val
-            elif op == ">=":
-                e = fld >= val
-            elif op == "<":
-                e = fld < val
-            elif op == "<=":
-                e = fld <= val
-            elif op == "in":
-                e = fld.isin(list(val))
-            elif op == "null":
-                e = fld.is_null()
-            else:
-                e = ~fld.is_null()
+                return fld == val
+            if op == ">":
+                return fld > val
+            if op == ">=":
+                return fld >= val
+            if op == "<":
+                return fld < val
+            if op == "<=":
+                return fld <= val
+            if op == "in":
+                return fld.isin(list(val))
+            if op == "null":
+                return fld.is_null()
+            if op == "startswith":
+                return pc.starts_with(fld, str(val))
+            if op == "endswith":
+                return pc.ends_with(fld, str(val))
+            if op == "contains":
+                return pc.match_substring(fld, str(val))
+            return ~fld.is_null()
+
+        expr = None
+        for clause in self.pushed:
+            negate = clause[0] == "not"
+            col, op, val = clause[1:] if negate else clause
+            if col not in available:
+                continue
+            e = _build(col, op, val)
+            if negate:
+                e = ~e
             expr = e if expr is None else (expr & e)
         return expr
 

@@ -1,0 +1,411 @@
+"""Measure the sf0.1 → sf1 scaling SLOPE of the heaviest operators —
+the round-8 conversion of SCALE.md's 100 TB design arguments from prose
+into data (VERDICT r7 next-round #1).
+
+Protocol
+--------
+Two locally-synthesized datasets, BOTH built by the same builder so
+file layout/codec/row-group structure are identical:
+
+- ``m=1``  — a rebuild of sf0.1 (same row counts),
+- ``m=10`` — "sf1": 10 key-offset copies of every scaling table
+  (dimension tables region/nation stay fixed, as they would at any SF).
+
+Copies are made CONTENT-DISTINCT where identical content would change
+the workload's *character* rather than its *size*:
+
+- ``documents.text`` is letter-permuted per copy (``translate`` over
+  the 10 most frequent letters) — otherwise every doc gains 9
+  near-identical twins and near-dup PAIR OUTPUT grows quadratically,
+  which measures the data artifact, not the plan;
+- ``customer.c_name``/``part.p_name`` get per-copy 3-char suffixes
+  (pairwise edit distance 3 > the linkage thresholds) so record
+  linkage stays 1:1 per copy instead of 10:10;
+- ``embeddings.embedding`` is perturbed per copy (distinct vectors);
+- all foreign keys offset consistently (copy i of lineitem references
+  copy i of orders, etc.).
+
+Operators whose gate queries derive COORDINATES from keys modulo a
+fixed window (the spatial joins + DBSCAN + Hausdorff) are measured via
+CONSTANT-DENSITY runners instead: n scales ×m while the coordinate
+domain area scales ×m (side ×√m), matching how a real 10× corpus
+covers more world rather than stacking 10× points on the same spots.
+At m=1 each runner reproduces the sf0.1 gate's workload shape.
+
+Slope interpretation (data ×10):
+- ≈10 (or below)  — linear: the plan's work is proportional to data;
+- 10–15           — linear with fixed-overhead amortization or mild
+                    per-key growth; acceptable;
+- >15             — SUPER-LINEAR: the operator does more than
+                    proportional work per row — fix or bound it.
+
+Writes ``SCALE_SLOPE.json`` at the repo root and prints a table.
+
+Usage:  python scripts/scale_slope.py [--only q1,q2] [--rebuild]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SCALE_SLOPE_DIR", "/tmp/ghs_scale")
+M_BIG = 10
+
+# letter-permutation alphabets per copy: copy 0 = identity, others are
+# rotations of the 10 most frequent English letters — most words change
+# spelling, so cross-copy shingle Jaccard collapses to ~0 while length,
+# token counts, and within-copy duplicate structure are preserved
+_AB = "etaoinshrd"
+
+
+def _copies_expr(m: int):
+    from pyspark.sql import functions as F
+
+    return F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("__i")
+
+
+def _suffix(col, m):
+    """Per-copy 3-char name suffix with pairwise edit distance 3."""
+    from pyspark.sql import functions as F
+
+    tag = F.substring(F.lit("abcdefghij"), F.col("__i") + 1, 1)
+    out = F.when(F.col("__i") == 0, F.col(col)).otherwise(
+        F.concat(F.col(col), F.lit(" "), tag, tag, tag)
+    )
+    return out.alias(col)
+
+
+def _permute_text(col, m):
+    from pyspark.sql import functions as F
+
+    out = F.col(col)
+    for i in range(1, m):
+        rot = _AB[i:] + _AB[:i]
+        out = F.when(
+            F.col("__i") == i, F.translate(F.col(col), _AB, rot)
+        ).otherwise(out)
+    return out.alias(col)
+
+
+def build_scaled(spark, src: str, dst: str, m: int) -> None:
+    """Synthesize an m× dataset under ``dst`` (parquet per table)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+
+    def _t(name):
+        return spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+
+    def _w(df, name, n_files=8):
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+
+    # dims: fixed at any SF
+    for d in ("region", "nation"):
+        _w(_t(d), d, n_files=1)
+
+    # key offsets = (max key + 1) per table, consistent across FKs
+    offs = {}
+    for tbl, key in (("customer", "c_custkey"), ("supplier", "s_suppkey"),
+                     ("part", "p_partkey"), ("orders", "o_orderkey"),
+                     ("documents", "doc_id"), ("embeddings", "vec_id"),
+                     ("events", "event_id")):
+        offs[tbl] = int(_t(tbl).agg(F.max(key)).collect()[0][0]) + 1
+    offs["user"] = int(_t("events").agg(F.max("user_id")).collect()[0][0]) + 1
+
+    i = F.col("__i")
+
+    c = _t("customer").select("*", _copies_expr(m))
+    _w(c.select(
+        (F.col("c_custkey") + i * offs["customer"]).alias("c_custkey"),
+        _suffix("c_name", m),
+        "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
+
+    s = _t("supplier").select("*", _copies_expr(m))
+    _w(s.select(
+        (F.col("s_suppkey") + i * offs["supplier"]).alias("s_suppkey"),
+        _suffix("s_name", m), "s_nationkey", "s_acctbal"), "supplier")
+
+    p = _t("part").select("*", _copies_expr(m))
+    _w(p.select(
+        (F.col("p_partkey") + i * offs["part"]).alias("p_partkey"),
+        _suffix("p_name", m),
+        "p_brand", "p_type", "p_size", "p_retailprice"), "part")
+
+    o = _t("orders").select("*", _copies_expr(m))
+    _w(o.select(
+        (F.col("o_orderkey") + i * offs["orders"]).alias("o_orderkey"),
+        (F.col("o_custkey") + i * offs["customer"]).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ), "orders")
+
+    li = _t("lineitem").select("*", _copies_expr(m))
+    keep = [c_ for c_ in _t("lineitem").columns
+            if c_ not in ("l_orderkey", "l_partkey", "l_suppkey")]
+    _w(li.select(
+        (F.col("l_orderkey") + i * offs["orders"]).alias("l_orderkey"),
+        (F.col("l_partkey") + i * offs["part"]).alias("l_partkey"),
+        (F.col("l_suppkey") + i * offs["supplier"]).alias("l_suppkey"),
+        *keep), "lineitem", n_files=16)
+
+    d = _t("documents").select("*", _copies_expr(m))
+    _w(d.select(
+        (F.col("doc_id") + i * offs["documents"]).alias("doc_id"),
+        _permute_text("text", m), "lang", "source", "n_chars"), "documents")
+
+    e = _t("embeddings").select("*", _copies_expr(m))
+    _w(e.select(
+        (F.col("vec_id") + i * offs["embeddings"]).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + i.cast("float") * F.lit(0.0009765625)).cast("float"),
+        ).alias("embedding"),
+        "label"), "embeddings")
+
+    ev = _t("events").select("*", _copies_expr(m))
+    cols = [c_ for c_ in _t("events").columns
+            if c_ not in ("event_id", "user_id")]
+    _w(ev.select(
+        (F.col("event_id") + i * offs["events"]).alias("event_id"),
+        (F.col("user_id") + i * offs["user"]).alias("user_id"),
+        *cols), "events", n_files=16)
+
+
+# ---------------------------------------------------------------------------
+# constant-density spatial runners (m=1 ≈ the sf0.1 gate workload shape)
+# ---------------------------------------------------------------------------
+
+def _pts(spark, n, mult_x, mult_y, w_cm, h_cm, dx=0.0, dy=0.0):
+    from pyspark.sql import functions as F
+
+    return spark.range(1, n + 1).select(
+        F.col("id"),
+        (((F.col("id") * mult_x) % w_cm) / 100.0 + F.lit(dx)).alias("x"),
+        (((F.col("id") * mult_y) % h_cm) / 100.0 + F.lit(dy)).alias("y"),
+    )
+
+
+def run_spatial_distance_join(spark, sf_dir, m):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.spatial_join import distance_join
+
+    register_all(spark)
+    s = math.sqrt(m)
+    w_cm, h_cm = int(35000 * s), int(17000 * s)
+    a = _pts(spark, 15000 * m, 9973, 7919, w_cm, h_cm).select(
+        F.col("id").alias("ida"),
+        F.call_function("st_makepoint", "x", "y").alias("geom"))
+    b = _pts(spark, 1000 * m, 6101, 5471, w_cm, h_cm, 0.003, 0.003).select(
+        F.col("id").alias("idb"),
+        F.call_function("st_makepoint", "x", "y").alias("geom2"))
+    return distance_join(a, b, 2.0, left_geom="geom", right_geom="geom2")
+
+
+def run_spatial_distance_join_sphere(spark, sf_dir, m):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+    from geomesa_hive_spark.operators.spatial_join import (
+        distance_join_sphere,
+    )
+
+    register_all(spark)
+    # lon/lat must stay in range: grow POINT COUNT ×m and shrink the
+    # radius by √m instead of growing the domain (equivalent constant-
+    # expected-output scaling for a geodesic join on the full globe)
+    a = _pts(spark, 15000 * m, 9973, 7919, 35000, 17000).select(
+        F.col("id").alias("ida"),
+        F.call_function(
+            "st_makepoint", F.col("x") - 175.0, F.col("y") - 85.0
+        ).alias("geom"))
+    b = _pts(spark, 1000 * m, 6101, 5471, 35600, 17400).select(
+        F.col("id").alias("idb"),
+        F.call_function(
+            "st_makepoint", F.col("x") - 178.0, F.col("y") - 87.0
+        ).alias("geom2"))
+    # radius ÷√m keeps expected OUTPUT ∝ m on the fixed globe
+    # (pairs ∝ n_a·n_b·r² = m²·r0²/m): the constant-density analogue
+    # for a geodesic join whose domain cannot grow
+    return distance_join_sphere(a, b, 500_000.0 / math.sqrt(m),
+                                left_geom="geom", right_geom="geom2")
+
+
+def run_spatial_dbscan(spark, sf_dir, m):
+    from geomesa_hive_spark.operators.dbscan import dbscan
+
+    s = math.sqrt(m)
+    w_cm, h_cm = int(35000 * s), int(16993 * s)
+    pts = _pts(spark, 15000 * m, 9973, 7919, w_cm, h_cm)
+    return dbscan(pts, "id", "x", "y", 2.0, 3)
+
+
+def run_spatial_hausdorff(spark, sf_dir, m):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.operators.trajectory import hausdorff_join
+
+    users = 48 * m
+    grid = max(5, int(round(5 * math.sqrt(m))))  # ~same users per box
+    # per-user DECORRELATED tracks (u*997/u*1013 phase + k*prime stride):
+    # consecutive-id tracks would be shifted copies exactly 20 units
+    # apart — just past max_dist, yielding zero pairs at m=1
+    u = (F.col("id") / 24).cast("long")
+    k = F.col("id") % 24
+    pts = spark.range(users * 24).select(
+        u.alias("user_id"),
+        F.col("id").alias("event_id"),
+        (((u * 997 + k * 7919) % 400) / 10.0 + u % grid * 60.0).alias("x"),
+        (((u * 1013 + k * 4799) % 400) / 10.0
+         + (u / grid).cast("long") % grid * 60.0).alias("y"),
+    )
+    return hausdorff_join(pts, "user_id", "event_id", "x", "y",
+                          max_dist=19.0)
+
+
+CUSTOM = {
+    "spatial_distance_join": run_spatial_distance_join,
+    "spatial_distance_join_sphere": run_spatial_distance_join_sphere,
+    "spatial_dbscan": run_spatial_dbscan,
+    "spatial_hausdorff": run_spatial_hausdorff,
+}
+
+# gate queries that scale with their tables — reused verbatim
+GATE = [
+    "dedup_minhash_lsh", "dedup_index", "bm25_index", "knn_ivfpq",
+    "entity_link", "mor_merge", "mor_tpch_refresh",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of operator names")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="rebuild the synthetic datasets")
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ghs-scale-slope")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for m in (1, M_BIG):
+        d = os.path.join(WORK, f"m{m}")
+        marker = os.path.join(d, "_built.json")
+        if args.rebuild and os.path.exists(d):
+            shutil.rmtree(d)
+        if not os.path.exists(marker):
+            print(f"# building m={m} at {d} ...", file=sys.stderr)
+            t0 = time.time()
+            build_scaled(spark, SRC, d, m)
+            with open(marker, "w") as fh:
+                json.dump({"m": m, "src": SRC}, fh)
+            print(f"# built in {time.time()-t0:.1f}s", file=sys.stderr)
+        dirs[m] = d
+
+    qs = E.queries()
+    names = GATE + list(CUSTOM)
+    if args.only:
+        only = set(args.only.split(","))
+        names = [n for n in names if n in only]
+
+    def _isolate():
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+
+    # warm up workers once (same rationale as bench.py)
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.functions.registry import register_all
+
+    register_all(spark)
+    spark.range(int(cpus) * 10000).repartition(int(cpus)).select(
+        F.call_function("st_astext", F.call_function(
+            "st_makepoint", F.col("id").cast("double"), F.lit(2.0)))
+    ).count()
+
+    results = {}
+    for name in names:
+        row = {}
+        for m in (1, M_BIG):
+            best, rows = -1.0, -1
+            for _ in range(args.trials):
+                try:
+                    t0 = time.time()
+                    if name in CUSTOM:
+                        rows = CUSTOM[name](spark, dirs[m], m).count()
+                    else:
+                        rows = qs[name](spark, dirs[m]).count()
+                    el = round(time.time() - t0, 3)
+                    best = el if best < 0 else min(best, el)
+                except Exception as exc:
+                    print(f"# {name} m={m} FAILED: "
+                          f"{type(exc).__name__}: {exc}", file=sys.stderr)
+                _isolate()
+            row[f"t_m{m}"] = best
+            row[f"rows_m{m}"] = rows
+        if row["t_m1"] > 0 and row[f"t_m{M_BIG}"] > 0:
+            row["slope"] = round(row[f"t_m{M_BIG}"] / row["t_m1"], 2)
+            row["verdict"] = (
+                "linear" if row["slope"] <= 12.0
+                else "amortizing" if row["slope"] <= 15.0
+                else "SUPER-LINEAR"
+            )
+        results[name] = row
+        print(f"# {name}: m1={row['t_m1']}s ({row['rows_m1']} rows)  "
+              f"m{M_BIG}={row[f't_m{M_BIG}']}s ({row[f'rows_m{M_BIG}']} "
+              f"rows)  slope={row.get('slope')} {row.get('verdict','')}",
+              file=sys.stderr)
+
+    payload = {
+        "protocol": (
+            f"m=1 vs m={M_BIG} locally-synthesized datasets (same builder, "
+            f"same layout); table ops reuse the gate queries verbatim on "
+            f"key-offset content-distinct copies; spatial ops use constant-"
+            f"density runners (n×m, domain area ×m). best of "
+            f"{args.trials} isolated trials per point. slope = "
+            f"t(m{M_BIG})/t(m1); data grows ×{M_BIG}, so linear ≈ "
+            f"{M_BIG} and anything >15 is super-linear."
+        ),
+        "src": SRC,
+        "results": results,
+    }
+    line = json.dumps(payload)
+    print(line)
+    with open(os.path.join(REPO, "SCALE_SLOPE.json"), "w") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

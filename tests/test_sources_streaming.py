@@ -1517,23 +1517,113 @@ def test_morlake_pushdown_reader(spark, tmp_path):
         assert df.filter("k = 5").collect()[0].v == 500.0
         assert df.filter(F.col("k").isin(1, 2, 200)).count() == 2
         assert df.filter(F.col("name").isNull()).count() == 0
+        # round-8 broadened translation: string matchers + NOT
+        assert sorted(r.k for r in
+                      df.filter(F.col("name").startswith("v9")).collect()) \
+            == [9] + list(range(90, 100))
+        assert df.filter(F.col("name").endswith("5")).count() == 10
+        assert df.filter(F.col("name").contains("up")).collect()[0].k == 5
+        assert df.filter(~F.col("k").isin(list(range(1, 100)))).count() == 1
+        assert df.filter("k <=> 7").count() == 1
     finally:
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
 
     # translation unit: unsupported/nested filters pass through
-    from pyspark.sql.datasource import EqualTo, In, IsNotNull
+    from pyspark.sql.datasource import (
+        EqualNullSafe, EqualTo, In, IsNotNull, Not, StringStartsWith,
+    )
 
     r = _MorPushdownReader.__new__(_MorPushdownReader)
-    r.types = {"k": "bigint", "v": "double"}
+    r.types = {"k": "bigint", "v": "double", "name": "string"}
     r.pushed = []
     fs = [EqualTo(("k",), 5), In(("v",), (1.0, 2.0)),
-          IsNotNull(("nope",)), EqualTo(("a", "b"), 1)]
+          IsNotNull(("nope",)), EqualTo(("a", "b"), 1),
+          StringStartsWith(("name",), "v9"), Not(EqualTo(("k",), 3)),
+          EqualNullSafe(("v",), None), Not(IsNotNull(("a", "b")))]
     remaining = list(r.pushFilters(fs))
     assert remaining == fs            # superset: everything returned
-    assert len(r.pushed) == 2         # only k/v filters translated
-    expr = r._pushed_expr({"k", "v"})
+    # k/v/name leaves + NOT-wrapped leaf + null-safe null translate;
+    # unknown column and multi-part attribute pass through untranslated
+    assert len(r.pushed) == 5
+    assert ("not", "k", "==", 3) in r.pushed
+    assert ("v", "null", None) in r.pushed
+    expr = r._pushed_expr({"k", "v", "name"})
     assert expr is not None
     assert r._pushed_expr(set()) is None
+
+
+def test_window_manifest_read_and_morlake(spark, tmp_path):
+    """2-D window pruning (round-8): write_window_manifest Z2-clusters
+    and records per-file (x, y) stats in both manifest tiers;
+    read_window ≡ full-scan window filter with files actually skipped;
+    the morlake DataSource .option('window') prunes base files the same
+    way and stays exact across delta upserts/deletes; a reserved __z2
+    column and missing window_cols raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, read_window, write_delta, write_window_manifest,
+    )
+
+    pts = spark.range(1, 8001).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 9973) % 35000) / 100.0 - 175.0).alias("x"),
+        (((F.col("id") * 7919) % 17000) / 100.0 - 85.0).alias("y"),
+    )
+    win = (-60.005, 0.005, -10.005, 50.005)
+    exp = sorted(
+        r.k for r in pts.filter(
+            (F.col("x") >= win[0]) & (F.col("x") <= win[2])
+            & (F.col("y") >= win[1]) & (F.col("y") <= win[3])
+        ).collect()
+    )
+    for fmt in ("json", "parquet"):
+        path = str(tmp_path / f"win_{fmt}")
+        write_window_manifest(pts, path, "x", "y", zoom=8, n_files=16,
+                              manifest_format=fmt)
+        out, kept, total = read_window(spark, path, "x", "y", win)
+        assert sorted(r.k for r in out.collect()) == exp, fmt
+        assert 0 < kept < total, (fmt, kept, total)
+        # miss window reads nothing
+        none, kept0, _ = read_window(spark, path, "x", "y",
+                                     (200.0, 200.0, 300.0, 300.0))
+        assert kept0 == 0 and none.count() == 0
+
+    with _pytest.raises(ValueError, match="__z2"):
+        write_window_manifest(pts.withColumn("__z2", F.lit(1)),
+                              str(tmp_path / "nope"), "x", "y")
+    with _pytest.raises(ValueError, match="stats"):
+        read_window(spark, str(tmp_path / "win_json"), "x", "nope", win)
+
+    # morlake window option over the json-manifest table + deltas
+    spark.dataSource.register(MorDataSource)
+    path = str(tmp_path / "win_json")
+    # upsert moves one in-window point out, one out-of-window point in
+    inside = exp[0]
+    outside = next(i for i in range(1, 8001) if i not in set(exp))
+    write_delta(spark.createDataFrame(
+        [(inside, 100.0, 60.0), (outside, -30.0, 25.0)],
+        "k long, x double, y double"), path, "k")
+    got = (spark.read.format("morlake").option("path", path)
+           .option("key", "k")
+           .option("window", f"{win[0]},{win[1]},{win[2]},{win[3]}")
+           .option("window_cols", "x,y").load())
+    full = read_snapshot(spark, path, "k").filter(
+        (F.col("x") >= win[0]) & (F.col("x") <= win[2])
+        & (F.col("y") >= win[1]) & (F.col("y") <= win[3]))
+    g = sorted(r.k for r in got.collect())
+    assert g == sorted(r.k for r in full.collect())
+    assert inside not in g and outside in g
+    # pruning actually cut base partitions
+    nowin = (spark.read.format("morlake").option("path", path)
+             .option("key", "k").load())
+    assert got.rdd.getNumPartitions() < nowin.rdd.getNumPartitions()
+    with _pytest.raises(Exception, match="window_cols"):
+        (spark.read.format("morlake").option("path", path)
+         .option("key", "k").option("window", "0,0,1,1").load()).collect()
 
 
 def test_pruned_count_metadata_only(spark, tmp_path):
