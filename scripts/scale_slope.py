@@ -286,6 +286,9 @@ CUSTOM = {
 GATE = [
     "dedup_minhash_lsh", "dedup_index", "bm25_index", "knn_ivfpq",
     "entity_link", "mor_merge", "mor_tpch_refresh",
+    # round-8 coverage extension: the broader pipeline families
+    "dedup_clusters", "curation_pipeline", "text_keywords", "bpe_train",
+    "graph_pagerank",
 ]
 
 
