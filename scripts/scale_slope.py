@@ -299,7 +299,12 @@ def main() -> int:
     ap.add_argument("--rebuild", action="store_true",
                     help="rebuild the synthetic datasets")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--m-big", type=int, default=10,
+                    help="scale multiplier for the big point (default "
+                         "10; use 30 for a third-point check)")
     args = ap.parse_args()
+    global M_BIG
+    M_BIG = int(args.m_big)
 
     from pyspark.sql import SparkSession
 
@@ -404,7 +409,11 @@ def main() -> int:
     }
     line = json.dumps(payload)
     print(line)
-    with open(os.path.join(REPO, "SCALE_SLOPE.json"), "w") as fh:
+    # non-default big points get their own artifact so a third-point
+    # run never clobbers the standing m=10 record
+    art = ("SCALE_SLOPE.json" if M_BIG == 10
+           else f"SCALE_SLOPE_m{M_BIG}.json")
+    with open(os.path.join(REPO, art), "w") as fh:
         fh.write(line + "\n")
     spark.stop()
     return 0
