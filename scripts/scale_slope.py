@@ -61,27 +61,40 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SCALE_SLOPE_DIR", "/tmp/ghs_scale")
 M_BIG = 10
 
-# letter-permutation alphabets per copy: copy 0 = identity, others are
-# rotations of the 10 most frequent English letters — most words change
+# letter-permutation alphabet per copy: copy 0 = identity, copy i is a
+# Caesar rotation of the full lowercase alphabet — every word changes
 # spelling, so cross-copy shingle Jaccard collapses to ~0 while length,
-# token counts, and within-copy duplicate structure are preserved
-_AB = "etaoinshrd"
+# token counts, and within-copy duplicate structure are preserved.
+# ROTATIONS MUST BE DISTINCT PER COPY: the first m30 run reused a
+# 10-char rotation set, making copies {1,11,21} share IDENTICAL text —
+# cross-copy true duplicates exploded near-dup pair output ~20x and
+# read as a fake super-linear slope. 26 letters → m ≤ 26.
+_AB = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _copies_expr(m: int):
     from pyspark.sql import functions as F
 
+    if m > len(_AB):
+        raise ValueError(f"builder supports m <= {len(_AB)} "
+                         f"(distinct per-copy permutations), got {m}")
     return F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("__i")
 
 
 def _suffix(col, m):
-    """Per-copy 3-char name suffix with pairwise edit distance 3."""
+    """Per-copy name suffix with pairwise edit distance >= 2 (so k=1
+    linkage can never match across copies): two distinct letters
+    repeated twice — 'xyxy'. A single indexed letter capped the builder
+    at m=10 and SILENTLY emitted the same empty tag for every copy past
+    it (substring beyond the literal), making 20 copies share names."""
     from pyspark.sql import functions as F
 
-    tag = F.substring(F.lit("abcdefghij"), F.col("__i") + 1, 1)
-    out = F.when(F.col("__i") == 0, F.col(col)).otherwise(
-        F.concat(F.col(col), F.lit(" "), tag, tag, tag)
-    )
+    out = F.col(col)
+    for i in range(1, m):
+        c1, c2 = _AB[i // len(_AB)], _AB[i % len(_AB)]
+        tag = f" {c1}{c2}{c1}{c2}"
+        out = F.when(F.col("__i") == i,
+                     F.concat(F.col(col), F.lit(tag))).otherwise(out)
     return out.alias(col)
 
 
