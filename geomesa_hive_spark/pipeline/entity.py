@@ -96,12 +96,24 @@ def link_records(
     b_id: str,
     b_name: str,
     block_shards: int = 1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Best edit-distance<=1 match in A for every B record that has one:
     (b_id, a_id, dist), deterministically tie-broken by (dist, a_id).
     Unmatched B records produce no row (inner semantics).
     ``block_shards``: hot-variant salting (see module docstring);
-    output is identical for any shard count."""
+    output is identical for any shard count.
+
+    ``max_block_size`` (round 8 — the scale_slope m-big incident made
+    the failure mode concrete: a registry where MANY records share one
+    name does m² verification work under that name's variants, and no
+    salting changes the total): variants whose A-side count exceeds the
+    cap are dropped from BOTH sides and the function returns
+    ``(matches, dropped)`` where ``dropped`` is (variant, a_count) —
+    the explicit-refusal contract of :func:`link_phonetic`. Capping is
+    EXPLICITLY lossy for pairs whose every shared variant is hot
+    (duplicate-heavy names are exactly those); the dropped frame is the
+    auditable record of what was excluded."""
     av = a.select(
         F.col(a_id).alias("_aid"),
         F.col(a_name).alias("_an"),
@@ -112,6 +124,23 @@ def link_records(
         F.col(b_name).alias("_bn"),
         F.explode(deletion_variants(b_name)).alias("_v"),
     )
+    dropped = None
+    if max_block_size is not None:
+        cap = int(max_block_size)
+        if cap < 1:
+            raise ValueError("max_block_size must be >= 1")
+        dropped = (
+            av.groupBy("_v")
+            .agg(F.count("*").alias("a_count"))
+            .filter(F.col("a_count") > cap)
+            .select(
+                F.col("_v").alias("variant"),
+                F.col("a_count").cast("long").alias("a_count"),
+            )
+        )
+        excl = F.broadcast(dropped.select(F.col("variant").alias("_v")))
+        av = av.join(excl, "_v", "left_anti")
+        bv = bv.join(excl, "_v", "left_anti")
     cand = (
         _salt_block_join(av, bv, "_v", block_shards, b_id_col="_bid")
         .select("_bid", "_bn", "_aid", "_an")
@@ -120,7 +149,7 @@ def link_records(
         .filter(F.col("_d") <= 1)
     )
     w = Window.partitionBy("_bid").orderBy(F.asc("_d"), F.asc("_aid"))
-    return (
+    matches = (
         cand.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(
@@ -129,6 +158,9 @@ def link_records(
             F.col("_d").cast("int").alias("dist"),
         )
     )
+    if dropped is not None:
+        return matches, dropped
+    return matches
 
 
 def phonetic_code(col) -> Column:

@@ -201,3 +201,47 @@ def test_link_phonetic_max_block_size_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2, max_block_size=0)
+
+
+def test_link_records_max_block_size_cap(spark):
+    """round 8 (motivated by the scale-slope m-big incident): a
+    registry where many records share ONE name does m² verification
+    work under that name's variants; max_block_size drops hot variants
+    EXPLICITLY — cold-name matches are bit-identical to the uncapped
+    run, hot-name records match nothing, and the dropped frame is the
+    auditable record. Cap=0 raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.entity import link_records
+
+    # 60 records named 'commonname' + 40 distinct names
+    rows = [(i, "commonname") for i in range(60)]
+    rows += [(100 + i, f"name{i:03d}x") for i in range(40)]
+    a = spark.createDataFrame(rows, "a_id long, an string")
+    # B: same registry with a 1-char deletion on the distinct names
+    b = spark.createDataFrame(
+        [(i, "commonname") for i in range(60)]
+        + [(100 + i, f"name{i:03d}") for i in range(40)],
+        "b_id long, bn string",
+    )
+    base = sorted(
+        tuple(r) for r in
+        link_records(a, b, "a_id", "an", "b_id", "bn").collect()
+    )
+    capped, dropped = link_records(
+        a, b, "a_id", "an", "b_id", "bn", max_block_size=30
+    )
+    got = sorted(tuple(r) for r in capped.collect())
+    dr = {r.variant: r.a_count for r in dropped.collect()}
+    # every dropped variant really was hot (the common name's variants)
+    assert dr and all(c > 30 for c in dr.values())
+    assert all("commonname".startswith(v[:4]) or "ommon" in v or v == "commonname"
+               or len(v) == len("commonname") - 1 for v in dr)
+    # cold-name matches identical to uncapped; hot-name records gone
+    cold = [t for t in base if t[0] >= 100]
+    assert [t for t in got if t[0] >= 100] == cold and len(cold) == 40
+    assert all(t[0] >= 100 for t in got)
+    with _pytest.raises(ValueError):
+        link_records(a, b, "a_id", "an", "b_id", "bn", max_block_size=0)
