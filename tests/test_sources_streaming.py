@@ -1626,6 +1626,33 @@ def test_window_manifest_read_and_morlake(spark, tmp_path):
          .option("key", "k").option("window", "0,0,1,1").load()).collect()
 
 
+def test_read_window_over_zordered_table(spark, tmp_path):
+    """Unification check: write_zordered already records per-file
+    min/max for BOTH clustered columns, so read_window works on a
+    z-ordered table with zero extra machinery — and the z-order layout
+    is exactly what makes the 2-D boxes tight in both dimensions."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_window, write_zordered,
+    )
+
+    pts = spark.range(1, 6001).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 9973) % 30000) / 100.0).alias("x"),
+        (((F.col("id") * 7919) % 30000) / 100.0).alias("y"),
+    )
+    path = str(tmp_path / "zw")
+    write_zordered(pts, path, ["x", "y"], n_files=16)
+    win = (40.005, 60.005, 90.005, 110.005)
+    out, kept, total = read_window(spark, path, "x", "y", win)
+    exp = sorted(r.k for r in pts.filter(
+        (F.col("x") >= win[0]) & (F.col("x") <= win[2])
+        & (F.col("y") >= win[1]) & (F.col("y") <= win[3])).collect())
+    assert sorted(r.k for r in out.collect()) == exp
+    assert 0 < kept < total, (kept, total)
+
+
 def test_pruned_count_metadata_only(spark, tmp_path):
     """pruned_count: interior files answer from stored NON-NULL counts
     (nulls correctly excluded — the subtle wrong answer a naive
