@@ -592,6 +592,7 @@ def write_zordered(
     bloom_hashes: int = 5,
     manifest_format: str = "json",
     manifest_shards: int = 1,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Z-order-cluster ``df`` by TWO numeric columns into ``n_files``
     files and write the same ``_manifest.json`` as
@@ -643,8 +644,14 @@ def write_zordered(
         .drop("__z")
         .write.mode("overwrite").parquet(path)
     )
+    # stats_cols (round 8): record min/max for EXTRA columns beyond the
+    # two clustering dims — e.g. a MOR key on a z-ordered checkpoint,
+    # so key_range pruning stays available (looser than key clustering,
+    # but manifest pruning is a superset cut: loose stats are correct,
+    # they just skip less)
     return _finish_manifest(
-        df.sparkSession, path, cols, "zorder",
+        df.sparkSession, path, list(stats_cols) if stats_cols else cols,
+        "zorder",
         bloom_cols, bloom_bits, bloom_hashes,
         manifest_format=manifest_format, manifest_shards=manifest_shards,
     )
@@ -1420,7 +1427,8 @@ def read_changes(
 
 
 def checkpoint(
-    spark: SparkSession, path: str, key_col: str, n_files: int = 16
+    spark: SparkSession, path: str, key_col: str, n_files: int = 16,
+    zorder_by: tuple | None = None,
 ) -> dict:
     """Materialize the current snapshot as a CHECKPOINT — the Delta
     checkpoint / Iceberg snapshot-manifest move: subsequent readers
@@ -1441,6 +1449,14 @@ def checkpoint(
     survives the table's whole maintenance lifecycle instead of dying
     at the first checkpoint.
 
+    ``zorder_by=(a, b)`` (round 8): cluster the checkpoint by the
+    Z-ORDER of two columns instead of the key — for spatial MOR tables
+    this is what lets 2-D window pruning (``read_window`` / morlake
+    ``.option('window')``) survive maintenance. The manifest still
+    records KEY stats (looser under z-order clustering, but manifest
+    pruning is a superset cut — loose stats skip less, never wrong),
+    so ``key_range`` reads keep working too.
+
     Returns the marker dict {seq, path, n_rows, ts}."""
     import uuid
 
@@ -1458,7 +1474,14 @@ def checkpoint(
     # writer-unique data dir: racing checkpointers never share files;
     # the marker claim decides whose data the table points at
     out = os.path.join(cdir, f"{seq:06d}_{token}")
-    write_with_manifest(snap, out, [key_col], n_files=int(n_files))
+    if zorder_by is not None:
+        a, b = zorder_by
+        write_zordered(
+            snap, out, [a, b], n_files=int(n_files),
+            stats_cols=[key_col, a, b],
+        )
+    else:
+        write_with_manifest(snap, out, [key_col], n_files=int(n_files))
     n_rows = spark.read.parquet(out).count()
     # the checkpoint's STATE is the folded commit's state, so it
     # carries that commit's wall-clock ts (not checkpoint-creation

@@ -1626,6 +1626,61 @@ def test_window_manifest_read_and_morlake(spark, tmp_path):
          .option("key", "k").option("window", "0,0,1,1").load()).collect()
 
 
+def test_window_pruning_survives_checkpoint(spark, tmp_path):
+    """checkpoint(zorder_by=(x, y)) (round 8): a spatial MOR table keeps
+    2-D window pruning across maintenance — post-checkpoint+vacuum the
+    morlake window read ≡ full snapshot filtered with FEWER input
+    partitions, and key_range reads still work off the same z-ordered
+    checkpoint manifest (key stats recorded alongside the z-order
+    dims)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, vacuum, write_delta,
+        write_window_manifest,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    pts = spark.range(1, 6001).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 9973) % 30000) / 100.0).alias("x"),
+        (((F.col("id") * 7919) % 30000) / 100.0).alias("y"),
+    )
+    path = str(tmp_path / "ckwin")
+    write_window_manifest(pts, path, "x", "y", zoom=8, n_files=12)
+    write_delta(pts.filter(F.col("k") % 13 == 0)
+                .withColumn("x", F.col("x") + 0.001), path, "k")
+    ck = checkpoint(spark, path, "k", n_files=12, zorder_by=("x", "y"))
+    assert ck["n_rows"] == 6000
+    vacuum(path)
+    write_delta(pts.filter(F.col("k") % 17 == 0)
+                .withColumn("y", F.col("y") + 0.001), path, "k")
+
+    win = (40.005, 60.005, 90.005, 110.005)
+    got = (spark.read.format("morlake").option("path", path)
+           .option("key", "k")
+           .option("window", f"{win[0]},{win[1]},{win[2]},{win[3]}")
+           .option("window_cols", "x,y").load())
+    full = read_snapshot(spark, path, "k").filter(
+        (F.col("x") >= win[0]) & (F.col("x") <= win[2])
+        & (F.col("y") >= win[1]) & (F.col("y") <= win[3]))
+    assert sorted(tuple(r) for r in got.collect()) == \
+           sorted(tuple(r) for r in full.collect())
+    nowin = (spark.read.format("morlake").option("path", path)
+             .option("key", "k").load())
+    assert got.rdd.getNumPartitions() < nowin.rdd.getNumPartitions()
+
+    # key_range still prunes off the z-ordered checkpoint's key stats
+    rep = {}
+    pr = read_snapshot(spark, path, "k", key_range=(1, 500),
+                       prune_report=rep)
+    ex = read_snapshot(spark, path, "k").filter(F.col("k") <= 500)
+    assert sorted(tuple(r) for r in pr.collect()) == \
+           sorted(tuple(r) for r in ex.collect())
+    assert rep["base_files_total"] == 12
+
+
 def test_read_window_over_zordered_table(spark, tmp_path):
     """Unification check: write_zordered already records per-file
     min/max for BOTH clustered columns, so read_window works on a
