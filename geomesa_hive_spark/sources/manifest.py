@@ -1768,6 +1768,7 @@ def maintain(
     key_col: str,
     checkpoint_after: int = 8,
     remove_orphans: bool = False,
+    zorder_by: tuple | None = None,
 ) -> dict:
     """The scheduled table-maintenance job, one call: checkpoint when
     the un-folded commit count reaches ``checkpoint_after`` (readers'
@@ -1784,7 +1785,9 @@ def maintain(
     pending = sum(1 for e in log if e["seq"] > floor)
     did_ckpt = False
     if pending >= int(checkpoint_after):
-        checkpoint(spark, path, key_col)
+        # zorder_by keeps 2-D window pruning alive across maintenance
+        # on spatial tables (see checkpoint)
+        checkpoint(spark, path, key_col, zorder_by=zorder_by)
         did_ckpt = True
     rep = None
     if did_ckpt or remove_orphans:
