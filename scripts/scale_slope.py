@@ -302,6 +302,9 @@ GATE = [
     # round-8 coverage extension: the broader pipeline families
     "dedup_clusters", "curation_pipeline", "text_keywords", "bpe_train",
     "graph_pagerank",
+    # relational representatives (pure Spark SQL — scan-agg, join-heavy,
+    # multi-join): Catalyst's scaling measured, not assumed
+    "tpch_q1", "tpch_q10", "tpch_q21",
 ]
 
 
