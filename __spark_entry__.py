@@ -567,6 +567,37 @@ def q_spatial_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only 2-D window COUNT (round-8, sources/manifest.py
+    window_count — pruned_count's spatial twin): customer points are
+    Z2-clustered with 2-D per-file stats; the viewport count then
+    answers INTERIOR files from stored row counts with zero I/O
+    (fully-non-null guard) and scans only the window's perimeter
+    files. In-query asserts: the metadata path fired and the scan set
+    is a strict subset. Oracle = the full-scan COUNT it replaces."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        window_count, write_window_manifest,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.selectExpr(
+        "c_custkey",
+        "CAST((c_custkey * 9973) % 35000 AS DOUBLE) / 100.0 - 175.0 AS x",
+        "CAST((c_custkey * 7919) % 17000 AS DOUBLE) / 100.0 - 85.0 AS y",
+    )
+    path = tempfile.mkdtemp(prefix="ghs_wcnt_")
+    write_window_manifest(
+        pts, path, "x", "y", zoom=8, n_files=16, manifest_format="parquet"
+    )
+    win = (-120.005, -60.005, 100.005, 70.005)
+    cnt, rep = window_count(spark, path, "x", "y", win)
+    assert rep["files_metadata"] > 0, rep
+    assert rep["files_scanned"] < 16, rep
+    return spark.createDataFrame([(cnt,)], "cnt long")
+
+
 def q_spatial_partition_args(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_partitionCentroid at its FULL reference SQL arity
     (ST_PartitionCentroid.scala:27-51: geom, zoom[, tileSize[, bits[,
@@ -6462,6 +6493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_tile_rollup": q_spatial_tile_rollup,
         "spatial_partition_args": q_spatial_partition_args,
         "spatial_window_read": q_spatial_window_read,
+        "manifest_window_count": q_manifest_window_count,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
@@ -8854,6 +8886,12 @@ def oracle_sql() -> dict[str, str]:
                    round(min(lon), 2) AS xmin, round(max(lon), 2) AS xmax,
                    round(min(lat), 2) AS ymin, round(max(lat), 2) AS ymax
             FROM s5 GROUP BY 1
+        """,
+        "manifest_window_count": f"""
+            SELECT CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT {_C_X} AS x, {_C_Y} AS y FROM customer)
+            WHERE x >= -120.005 AND x <= 100.005
+              AND y >= -60.005 AND y <= 70.005
         """,
         "spatial_window_read": f"""
             SELECT c_custkey, round(x, 4) AS x, round(y, 4) AS y

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_with_manifest", "read_pruned", "manifest_stats", "manifest_table",
-    "write_window_manifest", "read_window",
+    "write_window_manifest", "read_window", "window_count",
     "compact",
     "write_delta", "read_snapshot", "current_seq", "seq_at_timestamp",
     "ConcurrentWriteConflict",
@@ -1634,6 +1634,76 @@ def vacuum(
             "removed_checkpoints": removed_ckpts,
             "removed_files": removed_files,
             "removed_orphans": removed_orphans}
+
+
+def window_count(
+    spark: SparkSession,
+    path: str,
+    x_col: str,
+    y_col: str,
+    window: tuple,
+) -> tuple[int, dict]:
+    """COUNT(*) inside a 2-D window answered as far as possible from
+    manifest metadata — :func:`pruned_count`'s spatial twin over a
+    :func:`write_window_manifest` (or z-ordered) layout: a file whose
+    (x, y) box lies FULLY inside the window contributes its stored row
+    count with zero I/O, but ONLY when both coordinate columns are
+    fully non-null in that file (``nn_x == nn_y == n_rows``) — with
+    any null present the conjunction can fail row-by-row and the file
+    is scanned instead (correct-but-slower, never wrong). Disjoint
+    boxes are skipped; boundary boxes are scanned with the exact
+    predicate. On a Z2-clustered table the boundary set is the
+    window's PERIMETER in files while the interior answers from
+    metadata — the viewport-count query a spatial dashboard issues
+    per pan, at file-metadata cost.
+
+    Returns ``(count, report)`` with the same report keys as
+    pruned_count."""
+    if len(window) != 4:
+        raise ValueError("window must be (xmin, ymin, xmax, ymax)")
+    xmin, ymin, xmax, ymax = window
+    m = manifest_stats(path)
+    for c in (x_col, y_col):
+        if c not in m["stats_cols"]:
+            raise ValueError(
+                f"column {c!r} has no manifest stats (have {m['stats_cols']})"
+            )
+    meta_rows = 0
+    n_meta = n_skip = 0
+    boundary = []
+    for e in m["files"]:
+        x0, x1 = e[f"min_{x_col}"], e[f"max_{x_col}"]
+        y0, y1 = e[f"min_{y_col}"], e[f"max_{y_col}"]
+        if x0 is None or y0 is None:
+            n_skip += 1   # a fully-NULL coordinate: no row passes
+        elif x1 < xmin or x0 > xmax or y1 < ymin or y0 > ymax:
+            n_skip += 1
+        elif (
+            xmin <= x0 and x1 <= xmax and ymin <= y0 and y1 <= ymax
+            and e.get(f"nn_{x_col}") == e["n_rows"]
+            and e.get(f"nn_{y_col}") == e["n_rows"]
+        ):
+            meta_rows += e["n_rows"]
+            n_meta += 1
+        else:
+            boundary.append(e["file"])
+    scanned = 0
+    if boundary:
+        scanned = (
+            spark.read.parquet(*boundary)
+            .filter(
+                (F.col(x_col) >= F.lit(xmin)) & (F.col(x_col) <= F.lit(xmax))
+                & (F.col(y_col) >= F.lit(ymin)) & (F.col(y_col) <= F.lit(ymax))
+            )
+            .count()
+        )
+    report = {
+        "files_metadata": n_meta,
+        "files_scanned": len(boundary),
+        "files_skipped": n_skip,
+        "rows_from_metadata": int(meta_rows),
+    }
+    return int(meta_rows) + int(scanned), report
 
 
 def pruned_count(

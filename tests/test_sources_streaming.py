@@ -1681,6 +1681,80 @@ def test_window_pruning_survives_checkpoint(spark, tmp_path):
     assert rep["base_files_total"] == 12
 
 
+def test_window_count_metadata_and_null_guard(spark, tmp_path):
+    """window_count: interior files answer from stored counts ONLY when
+    both coordinate columns are fully non-null (a null can fail the
+    conjunction row-by-row, so nullable interior files are scanned —
+    correct, not metadata'd); every answer equals the plain filtered
+    count; disjoint windows read nothing."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        window_count, write_window_manifest,
+    )
+
+    pts = spark.range(1, 6001).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 != 0,
+               ((F.col("id") * 9973) % 30000) / 100.0).alias("x"),
+        (((F.col("id") * 7919) % 30000) / 100.0).alias("y"),
+    )  # x NULL on multiples of 11 — scattered through every file
+    path = str(tmp_path / "wcnt")
+    write_window_manifest(pts, path, "x", "y", zoom=8, n_files=12)
+    for win in ((20.005, 20.005, 250.005, 250.005),
+                (40.005, 60.005, 90.005, 110.005),
+                (500.0, 500.0, 600.0, 600.0)):
+        cnt, rep = window_count(spark, path, "x", "y", win)
+        exp = pts.filter(
+            (F.col("x") >= win[0]) & (F.col("x") <= win[2])
+            & (F.col("y") >= win[1]) & (F.col("y") <= win[3])).count()
+        assert cnt == exp, (win, cnt, exp, rep)
+    # the Z2 writer clusters NULL-coordinate rows into their own file
+    # (NULL z2 sorts together), whose stats are NULL → skipped, while
+    # clean files still take the metadata path; correctness above is
+    # the real check. Pin the nn-guard DIRECTLY: understate one
+    # interior file's nn_x in the manifest (simulating a mixed-null
+    # file) and that file must move from metadata to scanned.
+    import json as _json
+    import os as _os
+
+    cnt0, rep0 = window_count(spark, path, "x", "y",
+                              (20.005, 20.005, 250.005, 250.005))
+    assert rep0["files_metadata"] > 0
+    mpath = _os.path.join(path, "_manifest.json")
+    man = _json.load(open(mpath))
+    doctored = None
+    for e in man["files"]:
+        if (e["min_x"] is not None and 20.005 <= e["min_x"]
+                and e["max_x"] <= 250.005 and 20.005 <= e["min_y"]
+                and e["max_y"] <= 250.005 and e["nn_x"] == e["n_rows"]):
+            e["nn_x"] = e["n_rows"] - 1
+            doctored = e["file"]
+            break
+    assert doctored is not None
+    with open(mpath, "w") as fh:
+        _json.dump(man, fh)
+    cnt1, rep1 = window_count(spark, path, "x", "y",
+                              (20.005, 20.005, 250.005, 250.005))
+    assert cnt1 == cnt0  # scanned instead of metadata'd: same answer
+    assert rep1["files_metadata"] == rep0["files_metadata"] - 1
+    assert rep1["files_scanned"] == rep0["files_scanned"] + 1
+    # clean table: wide window answers mostly from metadata
+    clean = pts.filter(F.col("x").isNotNull())
+    cpath = str(tmp_path / "wcnt_clean")
+    write_window_manifest(clean, cpath, "x", "y", zoom=8, n_files=12)
+    cnt, rep = window_count(spark, cpath, "x", "y",
+                            (20.005, 20.005, 250.005, 250.005))
+    assert cnt == clean.filter(
+        (F.col("x") >= 20.005) & (F.col("x") <= 250.005)
+        & (F.col("y") >= 20.005) & (F.col("y") <= 250.005)).count()
+    assert rep["files_metadata"] > 0 and rep["rows_from_metadata"] > 0
+    # miss window reads nothing at all
+    cnt, rep = window_count(spark, cpath, "x", "y",
+                            (500.0, 500.0, 600.0, 600.0))
+    assert cnt == 0 and rep["files_scanned"] == 0
+
+
 def test_read_window_over_zordered_table(spark, tmp_path):
     """Unification check: write_zordered already records per-file
     min/max for BOTH clustered columns, so read_window works on a
