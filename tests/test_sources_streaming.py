@@ -1681,6 +1681,43 @@ def test_window_pruning_survives_checkpoint(spark, tmp_path):
     assert rep["base_files_total"] == 12
 
 
+def test_morlake_window_and_key_range_compose(spark, tmp_path):
+    """The two metadata cuts stack: .option('key_range') AND
+    .option('window') on one read ≡ full snapshot filtered by both
+    predicates — each cut prunes independently (manifest 1-D + 2-D),
+    and the row filters conjoin."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta, write_window_manifest,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    pts = spark.range(1, 6001).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 9973) % 30000) / 100.0).alias("x"),
+        (((F.col("id") * 7919) % 30000) / 100.0).alias("y"),
+    )
+    path = str(tmp_path / "combo")
+    write_window_manifest(pts, path, "x", "y", zoom=8, n_files=12)
+    write_delta(pts.filter(F.col("k") % 9 == 0)
+                .withColumn("x", F.col("x") + 0.001), path, "k")
+
+    win = (20.005, 20.005, 250.005, 250.005)
+    got = (spark.read.format("morlake").option("path", path)
+           .option("key", "k").option("key_range", "1000,4000")
+           .option("window", f"{win[0]},{win[1]},{win[2]},{win[3]}")
+           .option("window_cols", "x,y").load())
+    exp = read_snapshot(spark, path, "k").filter(
+        (F.col("k") >= 1000) & (F.col("k") <= 4000)
+        & (F.col("x") >= win[0]) & (F.col("x") <= win[2])
+        & (F.col("y") >= win[1]) & (F.col("y") <= win[3]))
+    assert sorted(tuple(r) for r in got.collect()) == \
+           sorted(tuple(r) for r in exp.collect())
+    assert got.count() > 0
+
+
 def test_window_count_metadata_and_null_guard(spark, tmp_path):
     """window_count: interior files answer from stored counts ONLY when
     both coordinate columns are fully non-null (a null can fail the
