@@ -266,6 +266,39 @@ def _prune_files_by_manifest(dirpath: str, key: str, lo, hi,
     return keep
 
 
+def _footer_minmax(fpath: str, col: str):
+    """(min, max) of ``col`` from parquet row-group footer statistics —
+    O(footer) driver I/O instead of reading the column. Returns None
+    when any row group lacks stats, or for BYTE_ARRAY columns (writers
+    may truncate binary stats; a truncated max understates the real
+    max, which would break the widen-up commit-skip invariant), so the
+    caller falls back to the exact column read."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:
+        return None
+    mn = mx = None
+    n_valid = 0
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            c = md.row_group(rg).column(ci)
+            if c.path_in_schema != col:
+                continue
+            if c.physical_type == "BYTE_ARRAY":
+                return None
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None
+            n_valid += 1
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if n_valid != md.num_row_groups:
+        return None  # column absent from some row group: be exact
+    return (mn, mx)
+
+
 class _Part(InputPartition):
     def __init__(self, kind: str, paths: list[str], seq: int = 0,
                  payload=None):
@@ -520,9 +553,23 @@ class _MorPushdownReader(_MorBatchReader):
             # drops predicate-null rows exactly as Spark's does, so
             # the negation is row-for-row safe.
             if isinstance(f, Not):
-                inner = _leaf(f.child)
-                if inner is not None:
-                    self.pushed.append(("not",) + inner)
+                child = f.child
+                if (isinstance(child, EqualNullSafe)
+                        and getattr(child, "value", None) is not None):
+                    # NOT(col <=> v) is TRUE for NULL col — the one
+                    # non-null-propagating leaf. A naive ~(field == v)
+                    # is null on NULL rows and pyarrow's filter drops
+                    # them before Spark can re-evaluate, so push the
+                    # exact null-keeping form is_null | (field != v).
+                    attr = getattr(child, "attribute", None)
+                    col = (attr[0] if attr is not None and len(attr) == 1
+                           else None)
+                    if col in self.types:
+                        self.pushed.append((col, "neqns", child.value))
+                else:
+                    inner = _leaf(child)
+                    if inner is not None:
+                        self.pushed.append(("not",) + inner)
             else:
                 leaf = _leaf(f)
                 if leaf is not None:
@@ -548,6 +595,8 @@ class _MorPushdownReader(_MorBatchReader):
                 return fld.isin(list(val))
             if op == "null":
                 return fld.is_null()
+            if op == "neqns":
+                return fld.is_null() | (fld != val)
             if op == "startswith":
                 return pc.starts_with(fld, str(val))
             if op == "endswith":
@@ -764,12 +813,19 @@ class _MorWriterBase:
         key_stats = None
         kmin = kmax = None
         for m in msgs:
-            col = pq.read_table(m.file, columns=[self.key]).column(self.key)
-            mm = pc.min_max(col).as_py()
-            if mm["min"] is None:
+            # parquet footers already carry row-group min/max for the
+            # key — O(footer) driver I/O per file instead of O(rows);
+            # fall back to the column read only when stats are absent
+            mm = _footer_minmax(m.file, self.key)
+            if mm is None:
+                col = pq.read_table(
+                    m.file, columns=[self.key]).column(self.key)
+                r = pc.min_max(col).as_py()
+                mm = (r["min"], r["max"])
+            if mm[0] is None:
                 continue
-            kmin = mm["min"] if kmin is None else min(kmin, mm["min"])
-            kmax = mm["max"] if kmax is None else max(kmax, mm["max"])
+            kmin = mm[0] if kmin is None else min(kmin, mm[0])
+            kmax = mm[1] if kmax is None else max(kmax, mm[1])
         if kmin is not None:
             key_stats = (_json_stat(kmin, "min"), _json_stat(kmax, "max"))
         cdir = os.path.join(self.path, "_commits")

@@ -1478,7 +1478,10 @@ def checkpoint(
         a, b = zorder_by
         write_zordered(
             snap, out, [a, b], n_files=int(n_files),
-            stats_cols=[key_col, a, b],
+            # dedupe: key_col may itself be a z-order dim, and a
+            # duplicate stats column would emit duplicate min_/max_/nn_
+            # agg aliases in _finish_manifest (ambiguous Row fields)
+            stats_cols=list(dict.fromkeys([key_col, a, b])),
         )
     else:
         write_with_manifest(snap, out, [key_col], n_files=int(n_files))
@@ -1662,16 +1665,41 @@ def window_count(
     if len(window) != 4:
         raise ValueError("window must be (xmin, ymin, xmax, ymax)")
     xmin, ymin, xmax, ymax = window
-    m = manifest_stats(path)
+    m = _manifest_root(path)
     for c in (x_col, y_col):
         if c not in m["stats_cols"]:
             raise ValueError(
                 f"column {c!r} has no manifest stats (have {m['stats_cols']})"
             )
+    if m.get("format") == "parquet":
+        # parquet manifest tier: scan ONLY the needed stats columns of
+        # the shards, with disjoint files pruned inside the Arrow scan
+        # itself (mirrors read_window) — the driver never materializes
+        # the full manifest, the property the tier exists for. A NULL
+        # min/max (fully-NULL coordinate) nulls the filter and the file
+        # is skipped: a window predicate cannot pass NULL.
+        import pyarrow.dataset as _ds
+
+        dset = _ds.dataset(os.path.join(path, m["dir"]))
+        flt = ~(
+            (_ds.field(f"max_{x_col}") < xmin)
+            | (_ds.field(f"min_{x_col}") > xmax)
+            | (_ds.field(f"max_{y_col}") < ymin)
+            | (_ds.field(f"min_{y_col}") > ymax)
+        )
+        cols = ["file", "n_rows",
+                f"min_{x_col}", f"max_{x_col}", f"nn_{x_col}",
+                f"min_{y_col}", f"max_{y_col}", f"nn_{y_col}"]
+        total = dset.count_rows()
+        entries = dset.to_table(columns=cols, filter=flt).to_pylist()
+        pre_skipped = total - len(entries)
+    else:
+        entries = manifest_stats(path)["files"]
+        pre_skipped = 0
     meta_rows = 0
     n_meta = n_skip = 0
     boundary = []
-    for e in m["files"]:
+    for e in entries:
         x0, x1 = e[f"min_{x_col}"], e[f"max_{x_col}"]
         y0, y1 = e[f"min_{y_col}"], e[f"max_{y_col}"]
         if x0 is None or y0 is None:
@@ -1700,7 +1728,7 @@ def window_count(
     report = {
         "files_metadata": n_meta,
         "files_scanned": len(boundary),
-        "files_skipped": n_skip,
+        "files_skipped": n_skip + pre_skipped,
         "rows_from_metadata": int(meta_rows),
     }
     return int(meta_rows) + int(scanned), report

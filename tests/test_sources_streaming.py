@@ -1552,6 +1552,141 @@ def test_morlake_pushdown_reader(spark, tmp_path):
     assert r._pushed_expr(set()) is None
 
 
+def test_morlake_pushdown_not_eqns_keeps_nulls(spark, tmp_path):
+    """ADVICE r8 (high): NOT(col <=> v) is TRUE for NULL col — the one
+    non-null-propagating leaf. The naive pushed form ~(field == v) is
+    null on NULL rows and pyarrow drops them BEFORE Spark re-evaluates,
+    silently losing rows. The fix pushes is_null | (field != v)."""
+    from pyspark.sql.datasource import EqualNullSafe, Not
+
+    from geomesa_hive_spark.sources.datasource import (
+        MorDataSource, _MorPushdownReader,
+    )
+
+    # translation unit: neqns form, and its expr keeps NULL rows
+    r = _MorPushdownReader.__new__(_MorPushdownReader)
+    r.types = {"k": "bigint", "name": "string"}
+    r.pushed = []
+    list(r.pushFilters([Not(EqualNullSafe(("name",), "v5")),
+                        Not(EqualNullSafe(("name",), None))]))
+    assert ("name", "neqns", "v5") in r.pushed
+    assert ("not", "name", "null", None) in r.pushed
+    import pyarrow as pa
+
+    t = pa.table({"name": ["v5", "v6", None], "k": [1, 2, 3]})
+    kept = t.filter(r._pushed_expr({"name"}))
+    # NULL row survives the pushed cut (Spark then re-evaluates)
+    assert sorted(kept.column("k").to_pylist()) == [2, 3]
+
+    # end-to-end: NULL rows survive NOT(<=>) with pushdown enabled
+    spark.dataSource.register(MorDataSource)
+    path = str(tmp_path / "neqns")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, name string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("filterPushdown conf is static in this session")
+    try:
+        df = (spark.read.format("morlake").option("path", path)
+              .option("key", "k").option("pushdown", "true").load())
+        assert sorted(r_.k for r_ in
+                      df.filter("NOT (name <=> 'a')").collect()) == [2, 3]
+        assert sorted(r_.k for r_ in
+                      df.filter("NOT (name <=> NULL)").collect()) == [1, 3]
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_footer_minmax_commit_stats(spark, tmp_path):
+    """ADVICE r8: _commit_job reads per-commit key stats from parquet
+    FOOTER row-group statistics (O(footer) driver I/O), not a full key
+    column read; byte-array keys fall back to the exact read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geomesa_hive_spark.sources.datasource import _footer_minmax
+
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"k": [5, 1, 9], "s": ["a", "b", "c"]}), f)
+    assert _footer_minmax(f, "k") == (1, 9)
+    assert _footer_minmax(f, "s") is None      # BYTE_ARRAY: fallback
+    assert _footer_minmax(f, "missing") is None
+
+    # end-to-end: morlake writer commits still log correct key stats
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import _delta_log
+
+    spark.dataSource.register(MorDataSource)
+    path = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "x")], "k long, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame([(7, "y"), (3, "z")], "k long, v string") \
+        .write.format("morlake").option("path", path) \
+        .option("key", "k").mode("append").save()
+    log = _delta_log(path)
+    assert log[-1]["key_min"] == 3 and log[-1]["key_max"] == 7
+
+
+def test_window_count_parquet_manifest_tier(spark, tmp_path):
+    """ADVICE r8: window_count against a parquet-backed manifest scans
+    only the needed stats columns via Arrow (mirrors read_window)
+    instead of materializing every file row on the driver — and agrees
+    with the JSON tier and the exact scan."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        window_count, write_window_manifest,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 200 * 1.7 - 170.0).alias("x"),
+        (F.col("id") % 97 * 1.6 - 77.0).alias("y"),
+        F.col("id").alias("k"),
+    )
+    w = (-30.0, -20.0, 40.0, 35.0)
+    pj = str(tmp_path / "wjson")
+    pp = str(tmp_path / "wparq")
+    write_window_manifest(df, pj, "x", "y", n_files=8)
+    write_window_manifest(df, pp, "x", "y", n_files=8,
+                          manifest_format="parquet", manifest_shards=2)
+    exact = df.filter(
+        (F.col("x") >= w[0]) & (F.col("x") <= w[2])
+        & (F.col("y") >= w[1]) & (F.col("y") <= w[3])).count()
+    cj, rj = window_count(spark, pj, "x", "y", w)
+    cp, rp = window_count(spark, pp, "x", "y", w)
+    assert cj == exact and cp == exact
+    # both tiers account for every file
+    assert (rp["files_metadata"] + rp["files_scanned"]
+            + rp["files_skipped"]) == 8
+
+
+def test_checkpoint_zorder_key_in_dims(spark, tmp_path):
+    """ADVICE r8: checkpoint(zorder_by=(key, other)) — key_col being a
+    z-order dim must not emit duplicate manifest agg aliases."""
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, read_snapshot, write_delta,
+    )
+
+    path = str(tmp_path / "zk")
+    spark.createDataFrame(
+        [(float(i), float(i % 7), i) for i in range(50)],
+        "x double, y double, k long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    write_delta(
+        spark.createDataFrame([(99.0, 1.0, 3)], "x double, y double, k long"),
+        path, "k",
+    )
+    marker = checkpoint(spark, path, "k", zorder_by=("k", "y"), n_files=2)
+    assert marker["n_rows"] == 50
+    snap = read_snapshot(spark, path, "k")
+    assert snap.count() == 50
+    assert snap.filter("k = 3").collect()[0].x == 99.0
+
+
 def test_window_manifest_read_and_morlake(spark, tmp_path):
     """2-D window pruning (round-8): write_window_manifest Z2-clusters
     and records per-file (x, y) stats in both manifest tiers;
