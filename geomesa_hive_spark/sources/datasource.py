@@ -269,10 +269,12 @@ def _prune_files_by_manifest(dirpath: str, key: str, lo, hi,
 def _footer_minmax(fpath: str, col: str):
     """(min, max) of ``col`` from parquet row-group footer statistics —
     O(footer) driver I/O instead of reading the column. Returns None
-    when any row group lacks stats, or for BYTE_ARRAY columns (writers
-    may truncate binary stats; a truncated max understates the real
-    max, which would break the widen-up commit-skip invariant), so the
-    caller falls back to the exact column read."""
+    when any row group lacks stats, or for BYTE_ARRAY /
+    FIXED_LEN_BYTE_ARRAY columns unless the logical type is DECIMAL
+    (writers may truncate binary stats; a truncated max understates the
+    real max, which would break the widen-up commit-skip invariant;
+    DECIMAL FLBA stats are fixed-width and exact), so the caller falls
+    back to the exact column read."""
     import pyarrow.parquet as pq
 
     try:
@@ -290,6 +292,9 @@ def _footer_minmax(fpath: str, col: str):
                 return None
             st = c.statistics
             if st is None or not st.has_min_max:
+                return None
+            if (c.physical_type == "FIXED_LEN_BYTE_ARRAY"
+                    and "Decimal" not in str(st.logical_type)):
                 return None
             n_valid += 1
             mn = st.min if mn is None else min(mn, st.min)

@@ -1563,20 +1563,33 @@ def test_morlake_pushdown_not_eqns_keeps_nulls(spark, tmp_path):
         MorDataSource, _MorPushdownReader,
     )
 
-    # translation unit: neqns form, and its expr keeps NULL rows
-    r = _MorPushdownReader.__new__(_MorPushdownReader)
-    r.types = {"k": "bigint", "name": "string"}
-    r.pushed = []
-    list(r.pushFilters([Not(EqualNullSafe(("name",), "v5")),
-                        Not(EqualNullSafe(("name",), None))]))
-    assert ("name", "neqns", "v5") in r.pushed
-    assert ("not", "name", "null", None) in r.pushed
     import pyarrow as pa
 
     t = pa.table({"name": ["v5", "v6", None], "k": [1, 2, 3]})
+
+    # translation unit: the neqns clause ALONE keeps the NULL row — this
+    # is the clause the ADVICE bug was about (naive ~(field == v) is null
+    # on NULL rows and pyarrow drops them before Spark re-evaluates).
+    r = _MorPushdownReader.__new__(_MorPushdownReader)
+    r.types = {"k": "bigint", "name": "string"}
+    r.pushed = []
+    list(r.pushFilters([Not(EqualNullSafe(("name",), "v5"))]))
+    assert ("name", "neqns", "v5") in r.pushed
     kept = t.filter(r._pushed_expr({"name"}))
     # NULL row survives the pushed cut (Spark then re-evaluates)
     assert sorted(kept.column("k").to_pylist()) == [2, 3]
+
+    # conjunction with Not(name <=> NULL) == name IS NOT NULL: the NULL
+    # row is CORRECTLY excluded — [2], matching what Spark itself returns.
+    r2 = _MorPushdownReader.__new__(_MorPushdownReader)
+    r2.types = {"k": "bigint", "name": "string"}
+    r2.pushed = []
+    list(r2.pushFilters([Not(EqualNullSafe(("name",), "v5")),
+                         Not(EqualNullSafe(("name",), None))]))
+    assert ("name", "neqns", "v5") in r2.pushed
+    assert ("not", "name", "null", None) in r2.pushed
+    kept2 = t.filter(r2._pushed_expr({"name"}))
+    assert sorted(kept2.column("k").to_pylist()) == [2]
 
     # end-to-end: NULL rows survive NOT(<=>) with pushdown enabled
     spark.dataSource.register(MorDataSource)
@@ -1615,6 +1628,21 @@ def test_footer_minmax_commit_stats(spark, tmp_path):
     assert _footer_minmax(f, "k") == (1, 9)
     assert _footer_minmax(f, "s") is None      # BYTE_ARRAY: fallback
     assert _footer_minmax(f, "missing") is None
+
+    # ADVICE r9 (low): FIXED_LEN_BYTE_ARRAY stats trusted only for
+    # DECIMAL logical type (fixed-width, exact); other FLBA falls back.
+    import decimal
+
+    fd = str(tmp_path / "dec.parquet")
+    pq.write_table(pa.table({"k": pa.array(
+        [decimal.Decimal("1.50"), decimal.Decimal("9.25")],
+        pa.decimal128(20, 2))}), fd)
+    assert _footer_minmax(fd, "k") == (
+        decimal.Decimal("1.50"), decimal.Decimal("9.25"))
+    fb = str(tmp_path / "fsb.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([b"aa", b"zz"], pa.binary(2))}), fb)
+    assert _footer_minmax(fb, "k") is None     # non-decimal FLBA
 
     # end-to-end: morlake writer commits still log correct key stats
     from geomesa_hive_spark.sources.datasource import MorDataSource
