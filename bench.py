@@ -17,6 +17,38 @@ import sys
 import time
 
 
+def parse_baseline_rows(path: str) -> dict[str, float]:
+    """Per-query baseline rows from BASELINE.md, HEADER-ANCHORED: only
+    rows inside a table whose header starts `| Query | sf | Wall s |`
+    are parsed (round-8 verdict item: the old any-|-row scan keyed on
+    parts[2] in {"0.1","0.01"} and a slope/control table with a 0.1 in
+    that column would silently poison a baseline row)."""
+    rows: dict[str, float] = {}
+    in_table = False
+    try:
+        with open(path) as fh:
+            for ln in fh:
+                parts = [p.strip() for p in ln.split("|")]
+                if len(parts) >= 4 and parts[1].lower() == "query" \
+                        and parts[2].lower() == "sf" \
+                        and parts[3].lower().startswith("wall"):
+                    in_table = True
+                    continue
+                if not in_table:
+                    continue
+                if not ln.lstrip().startswith("|"):
+                    in_table = False          # table ended
+                    continue
+                if len(parts) >= 5 and parts[2] in ("0.1", "0.01"):
+                    try:
+                        rows[parts[1]] = float(parts[3])
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return rows
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -92,19 +124,29 @@ def main() -> int:
     # inflating untouched pure-CPU queries 1.4-5x, and the re-run is
     # what separates "this host is noisy right now" from "this query
     # regressed" at record time instead of at judge time.
-    baseline_rows: dict[str, float] = {}
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BASELINE.md")) as fh:
-            for ln in fh:
-                parts = [p.strip() for p in ln.split("|")]
-                if len(parts) >= 5 and parts[2] in ("0.1", "0.01"):
-                    try:
-                        baseline_rows[parts[1]] = float(parts[3])
-                    except ValueError:
-                        pass
-    except OSError:
-        pass
+    baseline_rows = parse_baseline_rows(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE.md"))
+
+    # Contention canary (round-8 verdict item 1): a FIXED pure-CPU +
+    # small-shuffle calibration query interleaved every ~15 queries.
+    # Identical work every time, JVM-native (no Python workers), so its
+    # wall time moves only with external host contention — the series
+    # makes a noisy window visible IN the artifact, and each query is
+    # stamped with the nearest canary reading / the run's best reading.
+    def _canary() -> float:
+        t0 = time.time()
+        spark.range(4_000_000).select(
+            (F.xxhash64(F.col("id")) % 997).alias("b"), "id"
+        ).groupBy("b").agg(
+            F.sum("id"), F.count("*"), F.avg(F.col("id") * 2 + 1)
+        ).count()
+        return round(time.time() - t0, 3)
+
+    _canary()  # one untimed warm pass (shuffle-path code gen)
+    canary_series: list[dict] = [{"after": 0, "sec": _canary()}]
+    canary_nearest: dict[str, float] = {}
+    CANARY_EVERY = 15
 
     timings: dict[str, float] = {}
     # BOTH trial times per query go into the artifact, not only the
@@ -115,7 +157,13 @@ def main() -> int:
     trials: dict[str, list[float]] = {}
     rerun_counts: dict[str, int] = {}
     total = 0.0
+    n_done = 0
     for name, fn in E.queries().items():
+        if n_done and n_done % CANARY_EVERY == 0:
+            canary_series.append({"after": n_done, "sec": _canary()})
+            _isolate()
+        canary_nearest[name] = canary_series[-1]["sec"]
+        n_done += 1
         # best of 2 trials: this container sees episodic external host
         # noise (observed 1.5-2x wall inflation on otherwise-idle runs);
         # the min of two isolated trials is the standard low-noise
@@ -169,6 +217,21 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    canary_series.append({"after": n_done, "sec": _canary()})
+    canary_floor = min(c["sec"] for c in canary_series)
+    canary_ratio = {
+        q: round(canary_nearest[q] / canary_floor, 2)
+        for q in canary_nearest
+    } if canary_floor > 0 else {}
+    canary = {
+        "series": canary_series,
+        "floor_sec": canary_floor,
+        "max_ratio": (round(max(c["sec"] for c in canary_series)
+                            / canary_floor, 2) if canary_floor > 0
+                      else None),
+        "per_query_ratio": canary_ratio,
+    }
+
     # arbitration vs the previous committed record: a single contended-
     # window run must never silently clobber a quiet-window record (the
     # round-7 artifact regression — 215.4 s arbitrated record replaced
@@ -204,6 +267,7 @@ def main() -> int:
         "trials": trials,
         "reruns": rerun_counts,
         "arbitration": arbitration,
+        "canary": canary,
         "note": (
             "protocol: warm session, per-query isolation (clearCache + "
             "driver GC + 1s cleaner drain), min of 2 trials (3 for the "
@@ -213,7 +277,10 @@ def main() -> int:
             "inflation on untouched pure-CPU queries); 'arbitration' "
             "carries the previous record's total and the per-query-min "
             "total across both runs so one noisy pass cannot erase a "
-            "quiet-window record."
+            "quiet-window record. 'canary' is a fixed JVM-native "
+            "CPU+shuffle calibration query interleaved every 15 queries: "
+            "per_query_ratio >> 1 labels the window around that query as "
+            "host-contended (the query's own number is then suspect)."
         ),
         "sf": sf,
     }

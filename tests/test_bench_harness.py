@@ -1,0 +1,52 @@
+"""Unit tests for bench.py helpers (no Spark session needed)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import parse_baseline_rows  # noqa: E402
+
+
+def test_parse_baseline_rows_header_anchored(tmp_path):
+    """Round-8 verdict item 9: only the `| Query | sf | Wall s |` table
+    feeds baseline rows — decoy tables with 0.1 in column 3 (a slope
+    table, a controls table) must be ignored."""
+    md = tmp_path / "BASELINE.md"
+    md.write_text(
+        "# BASELINE\n"
+        "\n"
+        "| Operator | t(m1) s | slope | notes |\n"
+        "|---|---|---|---|\n"
+        "| decoy_slope_op | 0.1 | 1.2 | wall-time-lookalike col |\n"
+        "\n"
+        "| Query | sf | Wall s | Rows out | Notes |\n"
+        "|---|---|---|---|---|\n"
+        "| real_q1 | 0.1 | 1.3 | 3 | genuine row |\n"
+        "| real_q2 | 0.01 | 0.7 | 10 | genuine row |\n"
+        "| bad_sf | 1.0 | 9.9 | 1 | sf not in the accepted set |\n"
+        "| not_a_number | 0.1 | n/a | 1 | unparsable wall |\n"
+        "\n"
+        "prose ends the table\n"
+        "\n"
+        "| Control | value |\n"
+        "|---|---|\n"
+        "| decoy_control | 0.1 |\n"
+        "| decoy_control2 | 0.1 | 2.5 | x | y |\n"
+    )
+    rows = parse_baseline_rows(str(md))
+    assert rows == {"real_q1": 1.3, "real_q2": 0.7}
+
+
+def test_parse_baseline_rows_missing_file(tmp_path):
+    assert parse_baseline_rows(str(tmp_path / "nope.md")) == {}
+
+
+def test_parse_baseline_rows_real_file():
+    """The real BASELINE.md parses to a substantial per-query map and
+    contains no slope-table names."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = parse_baseline_rows(os.path.join(repo, "BASELINE.md"))
+    assert len(rows) >= 150
+    assert "spatial_bbox_filter" in rows
+    assert all(v > 0 for v in rows.values())
