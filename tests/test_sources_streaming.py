@@ -2696,6 +2696,66 @@ def test_morlake_key_range_option(spark, tmp_path):
          .option("key", "k").option("key_range", "42").load()).collect()
 
 
+def test_morlake_dead_key_payload_bounded(spark, tmp_path):
+    """VERDICT r9 #4: partitions() must not attach the FULL changed-key
+    list to every base partition (O(n_files x n_keys) pickled payload).
+    With per-file key stats (manifest or parquet footer) each base
+    partition carries only the keys inside its file's range; results
+    stay identical to read_snapshot."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import (
+        MorDataSource, _MorBatchReader,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta, write_with_manifest,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).cast("double").alias("v"))
+    changed = df.filter(F.col("k") % 9 == 0)  # ~889 keys, spread globally
+
+    # manifest-stats path: range-clustered base written with a manifest
+    pm = str(tmp_path / "deadm")
+    write_with_manifest(df, pm, ["k"], n_files=8)
+    write_delta(changed.withColumn("v", F.lit(-1.0)), pm, "k")
+    r = _MorBatchReader({"path": pm, "key": "k"},
+                        [("k", "bigint"), ("v", "double")])
+    parts = r.partitions()
+    base_parts = [p for p in parts if p.kind == "base"]
+    n_keys = len(r.changed_keys)
+    assert n_keys > r._DEAD_KEY_CUT_MIN and len(base_parts) >= 8
+    tot = sum(len(p.payload) for p in base_parts)
+    # near-disjoint slices: total payload ~ n_keys, NOT n_files * n_keys
+    assert tot <= 2 * n_keys, (tot, n_keys)
+    assert max(len(p.payload) for p in base_parts) < n_keys
+    # every slice is a superset of the keys actually in its file
+    import pyarrow.parquet as pq
+
+    for p in base_parts:
+        file_keys = set(pq.read_table(
+            p.paths[0], columns=["k"]).column("k").to_pylist())
+        assert file_keys & set(r.changed_keys) <= set(p.payload)
+
+    # footer-stats fallback: plain range-clustered parquet, no manifest
+    pf = str(tmp_path / "deadf")
+    df.repartitionByRange(8, "k").write.mode("overwrite").parquet(pf)
+    write_delta(changed.withColumn("v", F.lit(-2.0)), pf, "k")
+    rf = _MorBatchReader({"path": pf, "key": "k"},
+                         [("k", "bigint"), ("v", "double")])
+    bf = [p for p in rf.partitions() if p.kind == "base"]
+    assert sum(len(p.payload) for p in bf) <= 2 * len(rf.changed_keys)
+
+    # end-to-end parity on both layouts
+    for path in (pm, pf):
+        got = (spark.read.format("morlake").option("path", path)
+               .option("key", "k").load())
+        exp = read_snapshot(spark, path, "k")
+        assert sorted(tuple(x) for x in got.collect()) == \
+               sorted(tuple(x) for x in exp.collect())
+
+
 def test_morlake_key_range_string_keys(spark, tmp_path):
     """ADVICE r7: key_range bounds are coerced to the key column's REAL
     type — numeric-looking STRING keys ('0042') must compare as strings
