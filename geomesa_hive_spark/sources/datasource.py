@@ -365,6 +365,16 @@ class _MorBatchReader(DataSourceReader):
                 raise ValueError("window must be 'xmin,ymin,xmax,ymax'")
             self.window_cols = cols
             self.window = tuple(vals)
+        # .option('columns'): scan only the declared columns plus the
+        # key/window columns the reader filters on internally; _conform
+        # then projects output back to exactly the declared names
+        self.scan_cols = None
+        if options.get("columns"):
+            sc = list(self.names)
+            for c in (self.key, *(self.window_cols or ())):
+                if c not in sc:
+                    sc.append(c)
+            self.scan_cols = sc
 
         log = _delta_log(self.path)
         cks = _checkpoints(self.path)
@@ -519,6 +529,10 @@ class _MorBatchReader(DataSourceReader):
                     )
                     if expr is not None:
                         kw["filters"] = expr
+                if self.scan_cols is not None:
+                    fcols = set(pq.read_schema(f).names)
+                    kw["columns"] = [c for c in self.scan_cols
+                                     if c in fcols]
                 t = pq.read_table(f, **kw)
                 if self.key_range is not None:
                     t = self._range_filter(t)
@@ -532,8 +546,14 @@ class _MorBatchReader(DataSourceReader):
                         t, self.names, self.types).to_batches()
             return
         for f, idxs in partition.payload.items():
-            t = pq.read_table(f).take(idxs)
-            t = t.drop_columns(["__deleted"])
+            if self.scan_cols is not None:
+                fcols = set(pq.read_schema(f).names)
+                t = pq.read_table(
+                    f, columns=[c for c in self.scan_cols if c in fcols]
+                ).take(idxs)
+            else:
+                t = pq.read_table(f).take(idxs)
+                t = t.drop_columns(["__deleted"])
             if self.key_range is not None:
                 t = self._range_filter(t)
             if self.window is not None:
@@ -1009,8 +1029,30 @@ class MorDataSource(DataSource):
     def _fields(self) -> list[tuple[str, str]]:
         fields = _table_schema_fields(self.options["path"])
         if self.options.get("mode", "snapshot").lower() == "cdc":
+            if self.options.get("columns"):
+                raise ValueError(
+                    "morlake .option('columns') applies to batch "
+                    "snapshot reads only (CDC rows carry full images)"
+                )
             fields = fields + [("_change_type", "string"),
                                ("_commit_seq", "int")]
+            return fields
+        cols = self.options.get("columns")
+        if cols:
+            # manual column projection (the Python DataSource API has
+            # no required-schema hook, so Spark cannot push the SELECT
+            # list down — this is the user knob): the declared schema
+            # narrows to exactly these columns, and the Arrow reader
+            # scans only them (+ key/window cols it needs internally)
+            want = [c.strip() for c in cols.split(",") if c.strip()]
+            have = dict(fields)
+            missing = [c for c in want if c not in have]
+            if missing:
+                raise ValueError(
+                    f"columns not in table schema: {missing}; "
+                    f"table has {list(have)}"
+                )
+            fields = [(c, have[c]) for c in want]
         return fields
 
     def schema(self) -> str:

@@ -2696,6 +2696,69 @@ def test_morlake_key_range_option(spark, tmp_path):
          .option("key", "k").option("key_range", "42").load()).collect()
 
 
+def test_morlake_columns_projection(spark, tmp_path):
+    """VERDICT r9 #6: .option('columns','a,b') — manual projection knob
+    (the Python DataSource API has no required-schema hook). Declared
+    schema narrows, the Arrow scan reads only the needed columns, and
+    values match SELECT a,b over the full snapshot."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.datasource import (
+        MorDataSource, _MorBatchReader,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    path = str(tmp_path / "proj")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.repeat(F.lit("x"), 200).alias("wide"))
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    write_delta(df.filter(F.col("k") % 3 == 0)
+                .withColumn("v", F.lit(-1.0)), path, "k")
+    write_delta(None, path, "k",
+                delete_keys=spark.range(400, 450).select(
+                    F.col("id").alias("k")))
+
+    got = (spark.read.format("morlake").option("path", path)
+           .option("key", "k").option("columns", "name,v").load())
+    assert got.columns == ["name", "v"]
+    exp = read_snapshot(spark, path, "k").select("name", "v")
+    assert sorted(tuple(r) for r in got.collect()) == \
+           sorted(tuple(r) for r in exp.collect())
+
+    # reader-unit: the Arrow scan itself is narrow (key added for the
+    # dead-key mask; 'wide' never read), and yielded batches carry
+    # exactly the declared columns
+    r = _MorBatchReader({"path": path, "key": "k", "columns": "name,v"},
+                        [("name", "string"), ("v", "double")])
+    assert r.scan_cols == ["name", "v", "k"]
+    base = [p for p in r.partitions() if p.kind == "base"][0]
+    b = next(iter(r.read(base)))
+    assert b.schema.names == ["name", "v"]
+
+    # projection composes with key_range
+    rng = (spark.read.format("morlake").option("path", path)
+           .option("key", "k").option("columns", "name")
+           .option("key_range", "10,20").load())
+    assert rng.columns == ["name"] and rng.count() == 11
+
+    # unknown column and CDC mode refuse loudly
+    with _pytest.raises(Exception, match="not in table schema"):
+        (spark.read.format("morlake").option("path", path)
+         .option("key", "k").option("columns", "nope").load())
+    with _pytest.raises(Exception, match="batch snapshot"):
+        (spark.readStream.format("morlake").option("path", path)
+         .option("key", "k").option("mode", "cdc")
+         .option("columns", "k").load())
+
+
 def test_morlake_dead_key_payload_bounded(spark, tmp_path):
     """VERDICT r9 #4: partitions() must not attach the FULL changed-key
     list to every base partition (O(n_files x n_keys) pickled payload).
