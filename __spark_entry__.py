@@ -3980,6 +3980,48 @@ def q_manifest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest_bloom_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-manifest-tier Bloom point lookup (round-10, VERDICT r9
+    item 4): bitsets are packed binary COLUMNS inside the sharded
+    parquet manifest — built and packed entirely executor-side
+    (_bloom_bitset_df, zero driver collect) and probed by a
+    COLUMN-PRUNED Arrow scan that reads only (file, bloom_<col>),
+    asserted in-query. Probes min, max, and a key guaranteed absent
+    (min-1): the bloom cut stays a superset cut and the exact isin
+    re-applies, so the result ≡ a full-scan IN filter."""
+    import tempfile
+
+    from geomesa_hive_spark.sources import manifest as M
+    from geomesa_hive_spark.sources.manifest import (
+        read_point_lookup, write_with_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_bloomp_")
+    write_with_manifest(
+        o, path, ["o_custkey"], n_files=16,
+        bloom_cols=["o_orderkey"], bloom_bits=1 << 17,
+        manifest_format="parquet", manifest_shards=2,
+    )
+    r = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    lo, hi = int(r["lo"]), int(r["hi"])
+    got, kept, total = read_point_lookup(
+        spark, path, "o_orderkey", [lo, hi, lo - 1]
+    )
+    assert kept < total, f"bloom pruned nothing ({kept}/{total})"
+    assert M._LAST_BLOOM_PROBE_COLUMNS == ["file", "bloom_o_orderkey"], \
+        f"probe not column-pruned: {M._LAST_BLOOM_PROBE_COLUMNS}"
+    return got.select(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_custkey").alias("o_custkey"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+
+
 def q_pipeline_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite (round-7, pipeline/checks.py — the
     Deequ pattern as ONE aggregate scan, plan-asserted in pytest):
@@ -6585,6 +6627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "manifest_zorder": q_manifest_zorder,
         "manifest_bloom": q_manifest_bloom,
+        "manifest_bloom_parquet": q_manifest_bloom_parquet,
         "pipeline_checks": q_pipeline_checks,
         "table_diff": q_table_diff,
         "key_skew": q_key_skew,
@@ -10325,6 +10368,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT max(o_orderkey) FROM orders
               WHERE o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+            )
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS price
+            FROM orders WHERE o_orderkey IN (SELECT v FROM probes)
+        """,
+        "manifest_bloom_parquet": """
+            WITH probes AS (
+              SELECT min(o_orderkey) AS v FROM orders
+              UNION ALL
+              SELECT max(o_orderkey) FROM orders
+              UNION ALL
+              SELECT min(o_orderkey) - 1 FROM orders
             )
             SELECT o_orderkey, o_custkey,
                    round(o_totalprice, 2) AS price

@@ -148,6 +148,19 @@ def _finish_manifest(
         # to parquet — NO collect, so manifest construction never passes
         # per-file rows through the driver. At 10⁶+ files this is the
         # difference between a manifest and a driver OOM.
+        if bloom_cols:
+            # VERDICT r9 #4: on the parquet tier the bitsets live as
+            # packed binary COLUMNS in the sharded manifest itself (the
+            # Iceberg-puffin idea with a simpler container) — built and
+            # packed entirely executor-side, probed later by a
+            # column-pruned Arrow scan. The JSON root carries only the
+            # bloom PARAMS (cols as a list marks the parquet tier).
+            for c in bloom_cols:
+                stats_df = stats_df.join(
+                    _bloom_bitset_df(back, c, int(bloom_bits),
+                                     int(bloom_hashes)),
+                    "file", "left",
+                )
         (
             stats_df.repartition(max(1, int(manifest_shards)))
             .write.mode("overwrite")
@@ -163,10 +176,7 @@ def _finish_manifest(
             root["bloom"] = {
                 "bits": int(bloom_bits),
                 "hashes": int(bloom_hashes),
-                "cols": {
-                    c: _build_bloom(back, c, int(bloom_bits), int(bloom_hashes))
-                    for c in bloom_cols
-                },
+                "cols": list(bloom_cols),
             }
         with open(os.path.join(path, _MANIFEST), "w") as fh:
             json.dump(root, fh)
@@ -259,7 +269,13 @@ def manifest_stats(path: str) -> dict:
 
     import decimal
 
-    tbl = _ds.dataset(os.path.join(path, m["dir"])).to_table()
+    ds = _ds.dataset(os.path.join(path, m["dir"]))
+    # packed bloom_<col> binary columns stay on disk — this compat
+    # loader serves stats consumers; probes go through the
+    # column-pruned _bloom_probe_parquet scan
+    tbl = ds.to_table(
+        columns=[n for n in ds.schema.names if not n.startswith("bloom_")]
+    )
 
     def _load(k, v):
         # int() is exact ONLY for the decimal(38,0) sum_/count columns;
@@ -529,6 +545,85 @@ def _build_bloom(back: DataFrame, col: str, bits: int, hashes: int) -> dict:
     return out
 
 
+# last Arrow column set a parquet-tier bloom probe scanned — lets the
+# gate/tests ASSERT the probe is column-pruned without changing the
+# read_point_lookup signature
+_LAST_BLOOM_PROBE_COLUMNS: list[str] | None = None
+
+
+def _bloom_probe_parquet(path: str, root: dict, col: str,
+                         probes: list[list[int]]) -> tuple[list[str], int]:
+    """(surviving files, total files) from the sharded parquet manifest
+    via a COLUMN-PRUNED Arrow scan: only ``file`` and the packed
+    ``bloom_<col>`` binary column are read, streamed batch-by-batch —
+    never the full stats row set, never more than one batch of bitsets
+    in memory. At 10⁶ files this is O(shard batch) memory while the
+    JSON tier's root object would be the driver bottleneck SCALE.md
+    names."""
+    import pyarrow.dataset as _ds
+
+    global _LAST_BLOOM_PROBE_COLUMNS
+    scan_cols = ["file", f"bloom_{col}"]
+    _LAST_BLOOM_PROBE_COLUMNS = scan_cols
+    ds = _ds.dataset(os.path.join(path, root["dir"]))
+    keep: list[str] = []
+    total = 0
+    for batch in ds.to_batches(columns=scan_cols):
+        names = batch.column(0).to_pylist()
+        bitsets = batch.column(1).to_pylist()
+        total += len(names)
+        for f, bs in zip(names, bitsets):
+            if bs is None:       # file had no non-null values of col
+                continue
+            if any(
+                all(bs[p >> 3] & (1 << (p & 7)) for p in ps)
+                for ps in probes
+            ):
+                keep.append(f)
+    return keep, total
+
+
+def _bloom_bitset_df(back: DataFrame, col: str, bits: int,
+                     hashes: int) -> DataFrame:
+    """(file, bloom_<col> binary) DataFrame — the distributed twin of
+    :func:`_build_bloom`: same native-expr position hashing, same
+    bit-packing, but the bytes are packed by an Arrow-batched pandas
+    UDF executor-side and NEVER pass through the driver. Bitsets are
+    byte-identical to the JSON tier's (minus base64)."""
+    t = back.schema[col].dataType.simpleString()
+    if t not in ("int", "bigint", "smallint", "tinyint", "string"):
+        raise ValueError(
+            f"bloom column {col!r} must be integer or string, got {t} "
+            "(float formatting differs between engines)"
+        )
+    nbytes = (bits + 7) // 8
+
+    def _pack_fn(ps):
+        import pandas as pd
+
+        out = []
+        for positions in ps:
+            bs = bytearray(nbytes)
+            for p in positions:
+                p = int(p)
+                bs[p >> 3] |= 1 << (p & 7)
+            out.append(bytes(bs))
+        return pd.Series(out)
+
+    # hint-less form: `from __future__ import annotations` makes pd.Series
+    # hints strings that typing can't resolve from a local import
+    _pack = F.pandas_udf(_pack_fn, "binary")
+
+    return (
+        back.select("__f", col).where(F.col(col).isNotNull()).distinct()
+        .select("__f",
+                F.explode(_bloom_positions_col(col, bits, hashes)).alias("p"))
+        .groupBy("__f").agg(F.collect_set("p").alias("ps"))
+        .select(F.col("__f").alias("file"),
+                _pack("ps").alias(f"bloom_{col}"))
+    )
+
+
 def read_point_lookup(
     spark: SparkSession,
     path: str,
@@ -542,22 +637,26 @@ def read_point_lookup(
     equals a full-scan filter — the same contract as :func:`read_pruned`,
     for point lookups on a column the table is NOT clustered by, where
     min/max stats span everything and prune nothing."""
-    m = manifest_stats(path)
-    bl = m.get("bloom")
+    root = _manifest_root(path)
+    bl = root.get("bloom")
     if not bl or col not in bl["cols"]:
         have = sorted(bl["cols"]) if bl else []
         raise ValueError(f"column {col!r} has no bloom filter (have {have})")
     bits, hashes = bl["bits"], bl["hashes"]
     probes = [_bloom_positions_py(v, bits, hashes) for v in values]
-    keep = []
-    for e in m["files"]:
-        bs = base64.b64decode(bl["cols"][col][e["file"]])
-        if any(
-            all(bs[p >> 3] & (1 << (p & 7)) for p in ps)
-            for ps in probes
-        ):
-            keep.append(e["file"])
-    total = len(m["files"])
+    if root.get("format") == "parquet":
+        keep, total = _bloom_probe_parquet(path, root, col, probes)
+    else:
+        m = manifest_stats(path)
+        keep = []
+        for e in m["files"]:
+            bs = base64.b64decode(bl["cols"][col][e["file"]])
+            if any(
+                all(bs[p >> 3] & (1 << (p & 7)) for p in ps)
+                for ps in probes
+            ):
+                keep.append(e["file"])
+        total = len(m["files"])
     if not keep:
         empty = spark.read.parquet(path).filter(F.lit(False))
         return empty, 0, total
