@@ -3784,6 +3784,78 @@ def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → IVM composition, the Delta Live Tables pattern
+    END TO END (round-10, VERDICT r9 item 7, sources/incremental.py
+    maintain_group_agg_stream): a morlake CDC readStream drives
+    foreachBatch incremental maintenance of a stored per-status
+    count+sum view. Three commits land (c1: %6 keys repriced +2000 →
+    'S1'; c2: %17 keys −300 → 'S2'; c3: %19 keys deleted), each
+    followed by one availableNow cycle on the SAME checkpoint — three
+    micro-batches, each rolling the view forward with changed rows
+    only (stream-as-trigger, commit-seq-as-watermark). A fourth
+    restart cycle with nothing pending processes and skips ZERO
+    batches (asserted): committed offsets are not re-read, and the
+    view's own seq watermark would ignore a replay even if they were.
+    The oracle full-recomputes the resolved final snapshot — the
+    maintained view must equal it exactly (decimal arithmetic)."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        maintain_group_agg_stream, read_maintained_view,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_sivm_")
+    view_dir = tempfile.mkdtemp(prefix="ghs_sivm_view_")
+    o.write.mode("overwrite").parquet(path)
+
+    commits = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2000.0))
+        .withColumn("o_orderstatus", F.lit("S1")),
+        o.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(300.0))
+        .withColumn("o_orderstatus", F.lit("S2")),
+    )
+    write_delta(commits[0], path, "o_orderkey")
+    r1 = maintain_group_agg_stream(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        view_dir,
+    )
+    write_delta(commits[1], path, "o_orderkey")
+    r2 = maintain_group_agg_stream(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        view_dir,
+    )
+    write_delta(
+        None, path, "o_orderkey",
+        delete_keys=o.filter(F.col("o_orderkey") % 19 == 0)
+        .select("o_orderkey"),
+    )
+    r3 = maintain_group_agg_stream(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        view_dir,
+    )
+    assert (r1["batches"], r2["batches"], r3["batches"]) == (1, 1, 1), \
+        (r1, r2, r3)
+    assert r3["seq_after"] == 3, r3
+    # restart with nothing pending: committed offsets are not re-read
+    r4 = maintain_group_agg_stream(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        view_dir,
+    )
+    assert r4["batches"] == 0 and r4["skipped_batches"] == 0, r4
+    assert r4["seq_after"] == 3, r4
+    return read_maintained_view(spark, view_dir).select(
+        "o_orderstatus", "cnt",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
+
+
 def q_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding (pipeline/sampling.py
     shuffle_shards — the final write step of a training pipeline):
@@ -6621,6 +6693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
+        "stream_cdc_ivm": q_stream_cdc_ivm,
         "mor_incremental_index": q_mor_incremental_index,
         "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
         "relational_bucketed_join": q_relational_bucketed_join,
@@ -10262,6 +10335,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_orderkey, NULL, NULL, 2, 1
               FROM orders WHERE o_orderkey % 11 = 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
+        """,
+        "stream_cdc_ivm": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 2000.0, 'S1', 1, 0
+              FROM orders WHERE o_orderkey % 6 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 300.0, 'S2', 2, 0
+              FROM orders WHERE o_orderkey % 17 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 3, 1
+              FROM orders WHERE o_orderkey % 19 = 0
             ), r AS (
               SELECT *, row_number() OVER (
                 PARTITION BY o_orderkey ORDER BY seq DESC, del DESC

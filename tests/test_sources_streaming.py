@@ -846,6 +846,59 @@ def test_bloom_point_lookup(spark, tmp_path):
                             bloom_cols=["f"])  # float column refused
 
 
+def test_stream_cdc_ivm_maintenance(spark, tmp_path):
+    """VERDICT r9 #7: morlake CDC readStream → foreachBatch IVM. The
+    maintained view tracks a full recompute across cycles; a restart
+    on the same checkpoint processes nothing; a LOST checkpoint makes
+    the stream replay all commits, and the view's own seq watermark
+    skips every replayed batch — the view never double-applies."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.incremental import (
+        group_agg, maintain_group_agg_stream, read_maintained_view,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    path = str(tmp_path / "lake")
+    view_dir = str(tmp_path / "view")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 0.25).alias("v"))
+    df.write.mode("overwrite").parquet(path)
+
+    def _check():
+        got = read_maintained_view(spark, view_dir)
+        exp = group_agg(read_snapshot(spark, path, "k"), "g", "v")
+        assert sorted(tuple(r) for r in got.collect()) == \
+               sorted(tuple(r) for r in exp.collect())
+
+    # bootstrap cycle with no commits: view = base aggregate, 0 batches
+    r0 = maintain_group_agg_stream(spark, path, "k", "g", "v", view_dir)
+    assert r0["seq_before"] == 0 and r0["seq_after"] == 0
+    _check()
+
+    # two commits in one cycle: one micro-batch rolls over both
+    write_delta(df.filter(F.col("k") % 5 == 0)
+                .withColumn("g", F.lit("M")), path, "k")
+    write_delta(None, path, "k",
+                delete_keys=df.filter(F.col("k") % 13 == 0).select("k"))
+    r1 = maintain_group_agg_stream(spark, path, "k", "g", "v", view_dir)
+    assert r1["seq_after"] == 2 and r1["batches"] >= 1
+    _check()
+
+    # lost checkpoint: the stream replays every commit; the view's seq
+    # watermark skips all of them and the view stays exact
+    r2 = maintain_group_agg_stream(
+        spark, path, "k", "g", "v", view_dir,
+        checkpoint_dir=str(tmp_path / "fresh_ckpt"))
+    assert r2["batches"] == 0 and r2["skipped_batches"] >= 1, r2
+    assert r2["seq_after"] == 2
+    _check()
+
+
 def test_bloom_parquet_tier(spark, tmp_path):
     """VERDICT r9 #4: on the parquet manifest tier, bloom bitsets live
     as packed binary columns in the sharded manifest (built with zero
