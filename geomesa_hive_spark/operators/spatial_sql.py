@@ -92,6 +92,49 @@ _DWITHIN_FIRST = re.compile(
     rf"\s*,\s*({_IDENT})\s*,\s*({_NUM})\s*\)",
     re.IGNORECASE,
 )
+# st_dwithin(col, st_makeBBOX/Extent/Box2D(xmin,ymin,xmax,ymax), d) —
+# d-expanded bbox prefilter + original (round 10, VERDICT r9 #8: the
+# extent-literal dwithin form)
+_DWITHIN_EXT = re.compile(
+    rf"\bst_dwithin\s*\(\s*({_IDENT})\s*,\s*"
+    rf"{_MAKER}\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)"
+    rf"\s*,\s*({_NUM})\s*\)",
+    re.IGNORECASE,
+)
+_DWITHIN_EXT_FIRST = re.compile(
+    rf"\bst_dwithin\s*\(\s*"
+    rf"{_MAKER}\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)"
+    rf"\s*,\s*({_IDENT})\s*,\s*({_NUM})\s*\)",
+    re.IGNORECASE,
+)
+# st_dwithin(col, st_geomFromWKT('...'), d) — envelope-of-the-literal
+# expanded by d + original
+_DWITHIN_WKT = re.compile(
+    rf"\bst_dwithin\s*\(\s*({_IDENT})\s*,\s*"
+    rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*,\s*({_NUM})\s*\)",
+    re.IGNORECASE,
+)
+_DWITHIN_WKT_FIRST = re.compile(
+    rf"\bst_dwithin\s*\(\s*"
+    rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*,\s*({_IDENT})\s*,\s*({_NUM})\s*\)",
+    re.IGNORECASE,
+)
+# fn(col, st_extentFromGeom(st_geomFromWKT('...'))) — an EXTENT literal
+# built from WKT: for extents the min/max comparison IS the predicate
+# semantics, so the UDF is dropped entirely (the reference's
+# extent-literal branch, STContainsRule.scala:61-71 — condition kept
+# only when the literal is a Geometry)
+_EFG = r"st_extentfromgeom\s*\(\s*st_geomfromwkt\s*\(\s*'([^']*)'\s*\)\s*\)"
+_EXT_WKT = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*({_IDENT})\s*,\s*"
+    rf"{_EFG}\s*\)",
+    re.IGNORECASE,
+)
+_EXT_WKT_FIRST = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*{_EFG}\s*,\s*"
+    rf"({_IDENT})\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _conj(col: str, xmin: str, ymin: str, xmax: str, ymax: str, mode: str) -> str:
@@ -188,10 +231,89 @@ def rewrite_spatial_predicates(sql: str) -> str:
         conj = _dwithin_conj(col, x, y, d)
         return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
 
+    def _dwithin_box_conj(col: str, xmin: str, ymin: str, xmax: str,
+                          ymax: str, d: str):
+        """d-expanded bbox intersection — implied by euclidean
+        distance ≤ d (Chebyshev ≤ euclidean per axis), so it is a
+        sound prefilter; NOT exact (corner gaps), so the original
+        predicate stays as a conjunct."""
+        try:
+            vals = [float(v) for v in (xmin, ymin, xmax, ymax)]
+            fd = float(d)
+        except ValueError:  # pragma: no cover — _NUM shouldn't allow this
+            return None
+        if fd < 0:
+            return None
+        return _conj(col, repr(vals[0] - fd), repr(vals[1] - fd),
+                     repr(vals[2] + fd), repr(vals[3] + fd), "intersects")
+
+    def dwithin_ext(m: re.Match) -> str:
+        col, xmin, ymin, xmax, ymax, d = m.groups()
+        conj = _dwithin_box_conj(col, xmin, ymin, xmax, ymax, d)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
+    def dwithin_ext_first(m: re.Match) -> str:
+        xmin, ymin, xmax, ymax, col, d = m.groups()
+        conj = _dwithin_box_conj(col, xmin, ymin, xmax, ymax, d)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
+    def _dwithin_wkt_conj(col: str, wkt: str, d: str):
+        from geomesa_hive_spark.geom import from_wkt
+
+        try:
+            xmin, ymin, xmax, ymax = from_wkt(wkt).bounds
+            fd = float(d)
+        except Exception:
+            return None
+        if fd < 0:
+            return None
+        return _conj(col, repr(xmin - fd), repr(ymin - fd),
+                     repr(xmax + fd), repr(ymax + fd), "intersects")
+
+    def dwithin_wkt(m: re.Match) -> str:
+        col, _lit, wkt, d = m.groups()
+        conj = _dwithin_wkt_conj(col, wkt, d)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
+    def dwithin_wkt_first(m: re.Match) -> str:
+        _lit, wkt, col, d = m.groups()
+        conj = _dwithin_wkt_conj(col, wkt, d)
+        return m.group(0) if conj is None else f"({conj} AND {m.group(0)})"
+
+    def ext_wkt(m: re.Match) -> str:
+        fn, col, wkt = m.groups()
+        from geomesa_hive_spark.geom import from_wkt
+
+        try:
+            xmin, ymin, xmax, ymax = from_wkt(wkt).bounds
+        except Exception:
+            return m.group(0)
+        # extent vs extent: min/max comparison IS the semantics — the
+        # UDF is dropped, the whole predicate becomes pushable
+        return _conj(col, repr(xmin), repr(ymin), repr(xmax), repr(ymax),
+                     _mode(fn, True))
+
+    def ext_wkt_first(m: re.Match) -> str:
+        fn, wkt, col = m.groups()
+        from geomesa_hive_spark.geom import from_wkt
+
+        try:
+            xmin, ymin, xmax, ymax = from_wkt(wkt).bounds
+        except Exception:
+            return m.group(0)
+        return _conj(col, repr(xmin), repr(ymin), repr(xmax), repr(ymax),
+                     _mode(fn, False))
+
     sql = _COL_FIRST.sub(col_first, sql)
     sql = _LIT_FIRST.sub(lit_first, sql)
+    sql = _EXT_WKT.sub(ext_wkt, sql)
+    sql = _EXT_WKT_FIRST.sub(ext_wkt_first, sql)
     sql = _GEOM_LIT.sub(geom_lit, sql)
     sql = _GEOM_LIT_FIRST.sub(geom_lit_first, sql)
+    sql = _DWITHIN_EXT.sub(dwithin_ext, sql)
+    sql = _DWITHIN_EXT_FIRST.sub(dwithin_ext_first, sql)
+    sql = _DWITHIN_WKT.sub(dwithin_wkt, sql)
+    sql = _DWITHIN_WKT_FIRST.sub(dwithin_wkt_first, sql)
     sql = _DWITHIN.sub(dwithin, sql)
     sql = _DWITHIN_FIRST.sub(dwithin_first, sql)
     return sql

@@ -243,3 +243,98 @@ def test_dwithin_rewrite_and_semantics(spark):
         "sqrt((x - 4.5) * (x - 4.5) + (y - 4.5) * (y - 4.5)) <= 2.0"
     ).collect()[0][0]
     assert got == bare == exp and got > 0
+
+
+def test_dwithin_extent_literal_rewrite(spark, tmp_path):
+    """VERDICT r9 #8: st_dwithin(col, st_makeBBOX(...), d) gets a
+    d-expanded bbox prefilter (original kept — expanded-bbox is
+    Chebyshev, dwithin is euclidean); swapped order too; plan-asserted
+    pushed; results equal the bare UDF."""
+    r = rewrite_spatial_predicates(
+        "SELECT 1 WHERE st_dwithin(bbox, st_makeBBOX(1.0, 2.0, 3.0, 4.0), 0.5)")
+    assert "st_dwithin" in r                  # original retained…
+    assert "bbox.xmin <= 3.5" in r and "bbox.xmax >= 0.5" in r
+    assert "bbox.ymin <= 4.5" in r and "bbox.ymax >= 1.5" in r
+    r2 = rewrite_spatial_predicates(
+        "SELECT 1 WHERE st_dwithin(st_makeExtent(1.0, 2.0, 3.0, 4.0), bbox, 0.5)")
+    assert "bbox.xmin <= 3.5" in r2
+    # non-literal args untouched
+    q = "SELECT 1 WHERE st_dwithin(bbox, st_makeBBOX(a, 2.0, 3.0, 4.0), 0.5)"
+    assert rewrite_spatial_predicates(q) == q
+
+    df = _grid(spark)
+    path = str(tmp_path / "dwext_pq")
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("dwext_pq")
+    raw = ("SELECT id FROM dwext_pq "
+           "WHERE st_dwithin(bbox, st_makeBBOX(3.5, 3.5, 4.5, 4.5), 1.0) "
+           "ORDER BY id")
+    out = spatial_sql(spark, raw)
+    got = [x.id for x in out.collect()]
+    want = [x.id for x in spark.sql(raw).collect()]
+    assert got == want and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[[^\n]*xmin", plan)
+    assert m                                  # prefilter reached the scan
+
+
+def test_dwithin_wkt_literal_rewrite(spark):
+    """st_dwithin(col, st_geomFromWKT('...'), d): the literal's
+    envelope expanded by d is prepended, original kept; swapped
+    order; unparseable WKT untouched; results equal the bare UDF."""
+    r = rewrite_spatial_predicates(
+        "SELECT 1 WHERE st_dwithin(bbox, "
+        "st_geomFromWKT('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), 1.0)")
+    assert "st_geomfromwkt" in r.lower() and "bbox.xmin <= 3.0" in r \
+        and "bbox.xmax >= -1.0" in r
+    r2 = rewrite_spatial_predicates(
+        "SELECT 1 WHERE st_dwithin(st_geomFromWKT('POINT (5 5)'), bbox, 2.0)")
+    assert "bbox.xmin <= 7.0" in r2 and "bbox.ymax >= 3.0" in r2
+    bad = "SELECT 1 WHERE st_dwithin(bbox, st_geomFromWKT('NOPE'), 1.0)"
+    assert rewrite_spatial_predicates(bad) == bad
+
+    _grid(spark)
+    raw = ("SELECT count(*) AS n FROM sql_grid WHERE st_dwithin(bbox, "
+           "st_geomFromWKT('POINT (4.5 4.5)'), 2.0)")
+    got = spatial_sql(spark, raw).collect()[0][0]
+    bare = spark.sql(raw).collect()[0][0]
+    assert got == bare and got > 0
+
+
+def test_extent_from_wkt_literal_drops_udf(spark, tmp_path):
+    """The reference's extent-literal branch (STContainsRule.scala:
+    61-71 keeps the UDF only for Geometry literals): fn(col,
+    st_extentFromGeom(st_geomFromWKT('...'))) is an EXTENT-vs-extent
+    predicate, so the min/max conjunction IS the semantics and the
+    UDF is dropped entirely — plan-asserted pushed, no Python hop."""
+    sql = ("SELECT * FROM t WHERE st_contains(bbox, "
+           "st_extentFromGeom(st_geomFromWKT("
+           "'POLYGON ((1 2, 3 2, 3 4, 1 4, 1 2))')))")
+    out = rewrite_spatial_predicates(sql)
+    assert "st_contains" not in out.lower()
+    assert "st_extentfromgeom" not in out.lower()
+    assert "bbox.xmin <= 1" in out and "bbox.xmax >= 3" in out
+    out2 = rewrite_spatial_predicates(
+        "SELECT * FROM t WHERE st_within(st_extentFromGeom("
+        "st_geomFromWKT('POLYGON ((1 2, 3 2, 3 4, 1 4, 1 2))')), bbox)")
+    assert "st_within" not in out2.lower()
+    assert "bbox.xmin <= 1" in out2          # lit within col → col ⊇ lit
+    bad = ("SELECT * FROM t WHERE st_contains(bbox, "
+           "st_extentFromGeom(st_geomFromWKT('NOPE')))")
+    assert rewrite_spatial_predicates(bad) == bad
+
+    df = _grid(spark)
+    path = str(tmp_path / "extwkt_pq")
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("extwkt_pq")
+    raw = ("SELECT id FROM extwkt_pq WHERE st_intersects(bbox, "
+           "st_extentFromGeom(st_geomFromWKT("
+           "'POLYGON ((2.5 2.5, 5.5 2.5, 5.5 5.5, 2.5 5.5, 2.5 2.5))'))) "
+           "ORDER BY id")
+    out3 = spatial_sql(spark, raw)
+    got = [x.id for x in out3.collect()]
+    want = [x.id for x in spark.sql(raw).collect()]
+    assert got == want and len(got) == 9
+    plan = out3._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan          # UDF fully dropped
+    assert re.search(r"PushedFilters: \[[^\n]*xmin", plan)
