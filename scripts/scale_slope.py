@@ -288,11 +288,117 @@ def run_spatial_hausdorff(spark, sf_dir, m):
                           max_dist=19.0)
 
 
+# ---------------------------------------------------------------------------
+# manifest-write family (round-10, VERDICT r9 #10): cost is FILE-COUNT-
+# dependent, so the gate workloads are replayed with n_files ∝ m — at a
+# fixed file size a 10× corpus IS 10× the files, and these slopes measure
+# manifest build + prune machinery against that, not just row volume.
+# ---------------------------------------------------------------------------
+
+def _scaled_pts(spark, sf_dir):
+    from pyspark.sql import functions as _F  # noqa: F401 (selectExpr only)
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return c.selectExpr(
+        "c_custkey",
+        "CAST((c_custkey * 9973) % 35000 AS DOUBLE) / 100.0 - 175.0 AS x",
+        "CAST((c_custkey * 7919) % 17000 AS DOUBLE) / 100.0 - 85.0 AS y",
+    )
+
+
+def run_spatial_window_read(spark, sf_dir, m):
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_window, write_window_manifest,
+    )
+
+    pts = _scaled_pts(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ghs_sw_")
+    write_window_manifest(pts, path, "x", "y", zoom=8, n_files=16 * m,
+                          manifest_format="parquet")
+    out, kept, total = read_window(
+        spark, path, "x", "y", (-60.005, 0.005, -10.005, 50.005))
+    assert 0 < kept < total, (kept, total)
+    return out
+
+
+def run_manifest_window_count(spark, sf_dir, m):
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        window_count, write_window_manifest,
+    )
+
+    pts = _scaled_pts(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ghs_wc_")
+    write_window_manifest(pts, path, "x", "y", zoom=8, n_files=16 * m,
+                          manifest_format="parquet")
+    cnt, rep = window_count(
+        spark, path, "x", "y", (-120.005, -60.005, 100.005, 70.005))
+    assert rep["files_metadata"] > 0, rep
+    assert rep["files_scanned"] < 16 * m, rep
+    return spark.createDataFrame([(cnt,)], "cnt long")
+
+
+def run_manifest_zorder(spark, sf_dir, m):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_pruned, write_zordered,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+    path = tempfile.mkdtemp(prefix="ghs_zo_")
+    write_zordered(li, path, ["l_orderkey", "l_partkey"], n_files=32 * m)
+    mx = li.agg(F.max("l_orderkey").alias("mo"),
+                F.max("l_partkey").alias("mp")).collect()[0]
+    parts = []
+    for dim, mv in (("l_orderkey", int(mx["mo"])),
+                    ("l_partkey", int(mx["mp"]))):
+        lo, hi = mv * 2 // 10, mv * 3 // 10
+        pruned, kept, total = read_pruned(spark, path, dim, lo, hi)
+        assert kept < total, (dim, kept, total)
+        parts.append(pruned.groupBy("l_returnflag").count())
+    return parts[0].unionByName(parts[1])
+
+
+def run_manifest_bloom(spark, sf_dir, m):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.manifest import (
+        read_point_lookup, write_with_manifest,
+    )
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="ghs_bl_")
+    write_with_manifest(o, path, ["o_custkey"], n_files=16 * m,
+                        bloom_cols=["o_orderkey"], bloom_bits=1 << 17,
+                        manifest_format="parquet",
+                        manifest_shards=max(1, m // 2))
+    r = o.agg(F.min("o_orderkey").alias("lo"),
+              F.max("o_orderkey").alias("hi")).collect()[0]
+    got, kept, total = read_point_lookup(
+        spark, path, "o_orderkey", [int(r["lo"]), int(r["hi"])])
+    assert kept < total, (kept, total)
+    return got
+
+
 CUSTOM = {
     "spatial_distance_join": run_spatial_distance_join,
     "spatial_distance_join_sphere": run_spatial_distance_join_sphere,
     "spatial_dbscan": run_spatial_dbscan,
     "spatial_hausdorff": run_spatial_hausdorff,
+    "spatial_window_read": run_spatial_window_read,
+    "manifest_window_count": run_manifest_window_count,
+    "manifest_zorder": run_manifest_zorder,
+    "manifest_bloom": run_manifest_bloom,
 }
 
 # gate queries that scale with their tables — reused verbatim
@@ -423,13 +529,22 @@ def main() -> int:
         "src": SRC,
         "results": results,
     }
-    line = json.dumps(payload)
-    print(line)
     # non-default big points get their own artifact so a third-point
-    # run never clobbers the standing m=10 record
+    # run never clobbers the standing m=10 record; a --only SUBSET run
+    # MERGES into the existing artifact instead of clobbering the other
+    # operators' rows (same rule as check_contract's subset guard)
     art = ("SCALE_SLOPE.json" if M_BIG == 10
            else f"SCALE_SLOPE_m{M_BIG}.json")
-    with open(os.path.join(REPO, art), "w") as fh:
+    art_path = os.path.join(REPO, art)
+    if args.only and os.path.exists(art_path):
+        with open(art_path) as fh:
+            prev = json.loads(fh.readline())
+        merged = dict(prev.get("results", {}))
+        merged.update(results)
+        payload["results"] = merged
+    line = json.dumps(payload)
+    print(line)
+    with open(art_path, "w") as fh:
         fh.write(line + "\n")
     spark.stop()
     return 0
