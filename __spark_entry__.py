@@ -4626,6 +4626,41 @@ def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash index lifecycle END TO END (round-10: build → append →
+    maintain → query; pipeline/dedup.py maintain_minhash_index): the
+    corpus (source%3==0) is indexed, a second crawl (source%3==2) is
+    APPENDED (adds files per bucket, rewrites none), the index is
+    COMPACTED back to one file per bucket partition — content- and
+    parameter-identical, asserted in-query via the report — and the
+    new batch (source%3==1) is deduped against the maintained index.
+    Oracle: the same parameterized cross-minhash SQL replay with
+    corpus = %3 != 1, so correctness covers the whole lifecycle, not
+    just the build."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    path = tempfile.mkdtemp(prefix="ghs_mhidxm_")
+    dedup.build_minhash_index(
+        docs.filter(srcnum % 3 == 0), "doc_id", "text", path,
+        num_perm=64, bands=16, n_buckets=16,
+    )
+    dedup.append_to_minhash_index(
+        docs.filter(srcnum % 3 == 2), "doc_id", "text", path
+    )
+    rep = dedup.maintain_minhash_index(spark, path)
+    for side in ("bands", "sigs"):
+        assert rep[side]["files_after"] <= 16 < rep[side]["files_before"], rep
+    prune: dict = {}
+    out = dedup.pairs_against_index(
+        docs.filter(srcnum % 3 == 1), "doc_id", "text", path,
+        threshold=0.5, prune_report=prune,
+    )
+    assert prune["sig_buckets_read"] <= prune["n_buckets"] == 16, prune
+    return out
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup join: documents split into two corpora by
     source parity (even src numbers = the 'existing corpus', odd = the
@@ -6726,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "cross_dedup": q_cross_dedup,
         "dedup_index": q_dedup_index,
+        "dedup_index_maintain": q_dedup_index_maintain,
         "semantic_dedup": q_semantic_dedup,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -10935,6 +10971,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index": _cross_minhash_oracle(
             num_perm=64, bands=16, threshold=0.5, seed=42,
             pred_a="CAST(substr(source, 4) AS INT) % 3 = 0",
+            pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
+        ),
+        "dedup_index_maintain": _cross_minhash_oracle(
+            num_perm=64, bands=16, threshold=0.5, seed=42,
+            pred_a="CAST(substr(source, 4) AS INT) % 3 != 1",
             pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
         ),
         "semantic_dedup": _semantic_dedup_oracle(k=8, iters=2, threshold=0.9),

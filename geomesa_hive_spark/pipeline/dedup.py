@@ -54,6 +54,7 @@ __all__ = [
     "minhash_index_meta",
     "pairs_against_index",
     "append_to_minhash_index",
+    "maintain_minhash_index",
 ]
 
 
@@ -1439,3 +1440,48 @@ def append_to_minhash_index(
         "bucket"
     ).parquet(os.path.join(path, "bands"))
     return m
+
+
+def maintain_minhash_index(spark, path: str) -> dict:
+    """Compact the persisted MinHash index back to one file per bucket
+    partition (round 10 — the compaction `append_to_minhash_index`'s
+    docstring promises): every append adds ≥1 parquet file to each
+    touched bucket dir, so after K daily appends a query scans K small
+    files per pruned bucket — cost grows with APPEND COUNT instead of
+    data. maintain() rewrites each side (`bands/`, `sigs/`) through one
+    bucket-aligned shuffle into exactly one file per bucket, content-
+    and parameter-identical (pytest pins pairs_against_index results
+    bit-for-bit across maintain). Swap is rename-based (write to
+    `.compact`, retire the old dir) under the same single-maintainer
+    contract as manifest.vacuum: run with no concurrent query/append in
+    flight. Returns {side: {files_before, files_after}}."""
+    import glob
+    import os
+    import shutil
+
+    m = minhash_index_meta(path)
+    nb = int(m["n_buckets"])
+    report: dict = {}
+
+    def _nfiles(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "*", "*.parquet")))
+
+    for side, part in (("bands", "bucket"), ("sigs", "sbucket")):
+        src = os.path.join(path, side)
+        before = _nfiles(src)
+        tmp = src + ".compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            spark.read.parquet(src)
+            .repartition(nb, part)
+            .write.mode("overwrite").partitionBy(part).parquet(tmp)
+        )
+        old = src + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        report[side] = {"files_before": before, "files_after": _nfiles(src)}
+    return report

@@ -2163,3 +2163,50 @@ def test_minhash_index_append(spark, tmp_path):
         a.unionByName(b), c, "doc_id", "text",
         num_perm=64, bands=16, threshold=0.5).collect())
     assert got == exp and any(r[0] == 105 for r in got)
+
+def test_minhash_index_maintain(spark, tmp_path):
+    """maintain_minhash_index: after two appends each bucket holds
+    several small files; maintain compacts to ONE file per bucket on
+    both sides, and pairs_against_index results are bit-identical
+    across the compaction (parameters untouched)."""
+    import glob as _glob
+
+    from geomesa_hive_spark.pipeline.dedup import (
+        append_to_minhash_index, build_minhash_index,
+        maintain_minhash_index, minhash_index_meta, pairs_against_index,
+    )
+
+    def corp(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"alpha sentence number {i} about the quick brown fox "
+                  f"and the lazy dog with plenty of shared filler words")
+             for i in range(lo, hi)],
+            "doc_id LONG, text STRING")
+
+    path = str(tmp_path / "mhidx3")
+    build_minhash_index(corp(0, 30), "doc_id", "text", path,
+                        num_perm=64, bands=16, n_buckets=8)
+    append_to_minhash_index(corp(100, 120), "doc_id", "text", path)
+    append_to_minhash_index(corp(200, 215), "doc_id", "text", path)
+    meta_before = minhash_index_meta(path)
+
+    q = spark.createDataFrame(
+        [(900, "alpha sentence number 105 about the quick brown fox "
+               "and the lazy dog with plenty of shared filler words")],
+        "doc_id LONG, text STRING")
+    pre = sorted(tuple(r) for r in pairs_against_index(
+        q, "doc_id", "text", path, threshold=0.5).collect())
+    assert any(r[0] == 105 for r in pre)
+
+    n_files = len(_glob.glob(path + "/bands/*/*.parquet"))
+    assert n_files > 8                         # append fragmentation
+    rep = maintain_minhash_index(spark, path)
+    for side in ("bands", "sigs"):
+        assert rep[side]["files_after"] <= 8 < rep[side]["files_before"], rep
+        assert rep[side]["files_after"] == len(
+            _glob.glob(path + f"/{side}/*/*.parquet"))
+    assert minhash_index_meta(path) == meta_before
+
+    post = sorted(tuple(r) for r in pairs_against_index(
+        q, "doc_id", "text", path, threshold=0.5).collect())
+    assert post == pre                         # content-identical
