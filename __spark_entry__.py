@@ -4718,6 +4718,44 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index lifecycle (round-10, pipeline/similarity.py
+    build_ivf_index/append_to_ivf_index/maintain_ivf_index/
+    knn_query_index — the stored-index trio completed: minhash for
+    dedup, bm25 for retrieval, IVF for vectors): the lower half of the
+    embeddings is indexed (pivot centroids STORED in _index.json — the
+    parameter commitment, so queries never scan the corpus for
+    centroids), the upper half is APPENDED with the stored centroids,
+    the lists are COMPACTED back to one file per partition (asserted),
+    and the query probes 8 of 32 lists via partition pruning
+    (asserted). Because the 32 smallest ids all sit in the build half,
+    stored centroids ≡ full-table pivots, so the result is
+    bit-identical to knn_ivf over the whole table — the oracle is the
+    same parameterized IVF replay as knn_ivf."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    mid = int(emb.agg(F.max("vec_id")).collect()[0][0]) // 2
+    path = tempfile.mkdtemp(prefix="ghs_ivfidx_")
+    meta = similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") <= mid), "vec_id", "embedding", path,
+        n_lists=32,
+    )
+    assert meta == similarity.ivf_index_meta(path)
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") > mid), path
+    )
+    rep = similarity.maintain_ivf_index(spark, path)
+    assert rep["files_after"] <= 32 < rep["files_before"], rep
+    prune: dict = {}
+    out = similarity.knn_query_index(
+        spark, path, qv, k=10, n_probe=8, prune_report=prune
+    )
+    assert prune == {"lists_read": 8, "n_lists": 32}, prune
+    return out
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization kNN (similarity.knn_pq, method="pivot"):
     8 subspaces x 16 pivot codewords -> 8-byte codes (32x compression),
@@ -6766,6 +6804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_index": q_knn_index,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "ann_opq_property": q_ann_opq_property,
@@ -11031,6 +11070,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=2, n_tables=4),
         "knn_ivf": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
+        "knn_index": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
         "knn_join_lsh": _knn_join_lsh_oracle(k=5, bits=8, dim=64, left_max_id=20),
         "knn_pq": """
             WITH e AS (

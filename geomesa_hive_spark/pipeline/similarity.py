@@ -80,6 +80,11 @@ __all__ = [
     "assign_ivf_lists",
     "write_ivf_partitioned",
     "knn_ivf_stored",
+    "build_ivf_index",
+    "ivf_index_meta",
+    "append_to_ivf_index",
+    "maintain_ivf_index",
+    "knn_query_index",
     "embedding_centroids",
     "kmeans",
 ]
@@ -389,6 +394,125 @@ def write_ivf_partitioned(
     assign_ivf_lists(df, id_col, vec_col, n_lists).write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(path)
+
+
+def build_ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, path: str,
+    n_lists: int = 16,
+) -> dict:
+    """Persisted ANN index (round 10 — the stored-index philosophy of
+    build_minhash_index/build_bm25_index applied to vectors): pivot
+    centroids are derived ONCE at build time and stored in
+    ``_index.json`` alongside the parameters, and the vectors land
+    partitioned by ``list_id`` (bucket-ALIGNED repartition first, one
+    file per list — partitionBy alone writes tasks × lists small
+    files). Queries then never touch the corpus to find centroids:
+    :func:`knn_ivf_stored` re-derives pivots with a smallest-ids scan
+    per query, which is the side-channel-free trade — this index makes
+    the opposite one, O(probed partitions) per query at any corpus
+    size. JSON float repr round-trips exactly, so stored centroids ≡
+    derived centroids bit-for-bit."""
+    import json
+    import os
+
+    centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
+    assigned = df.select(id_col, vec_col).withColumn(
+        "list_id", _list_id_expr(centroids, vec_col)
+    )
+    assigned.repartition(int(n_lists), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
+    meta = {
+        "n_lists": int(n_lists), "id_col": id_col, "vec_col": vec_col,
+        "dim": int(centroids.shape[1]),
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+    with open(os.path.join(path, "_index.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_index.json")) as fh:
+        return json.load(fh)
+
+
+def append_to_ivf_index(new_df: DataFrame, path: str) -> dict:
+    """Index a new batch with the STORED centroids (the index is the
+    parameter commitment — appended vectors join exactly the lists a
+    full rebuild over build-corpus pivots would give them) and append
+    into the same list partitions; existing files are never rewritten.
+    Caller contract: ids must be new. Re-bucketing is
+    :func:`maintain_ivf_index`'s job."""
+    import os
+
+    m = ivf_index_meta(path)
+    centroids = np.asarray(m["centroids"], dtype=np.float64)
+    assigned = new_df.select(m["id_col"], m["vec_col"]).withColumn(
+        "list_id", _list_id_expr(centroids, m["vec_col"])
+    )
+    assigned.repartition(int(m["n_lists"]), "list_id").write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
+    return m
+
+
+def maintain_ivf_index(spark, path: str) -> dict:
+    """Compact the list partitions back to one file per list (each
+    append adds ≥1 file per touched list — after K appends a probe
+    reads K small files per list). Content- and centroid-identical;
+    same single-maintainer contract as the minhash/manifest
+    maintenance ops. Returns {files_before, files_after}."""
+    import glob
+    import os
+    import shutil
+
+    m = ivf_index_meta(path)
+    src = os.path.join(path, "lists")
+    before = len(glob.glob(os.path.join(src, "*", "*.parquet")))
+    tmp = src + ".compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(src)
+        .repartition(int(m["n_lists"]), "list_id")
+        .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    )
+    old = src + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    after = len(glob.glob(os.path.join(src, "*", "*.parquet")))
+    return {"files_before": before, "files_after": after}
+
+
+def knn_query_index(
+    spark, path: str, query_vec, k: int = 10, n_probe: int = 4,
+    prune_report: dict | None = None,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` layout:
+    query-to-centroid distances are computed driver-side on the STORED
+    centroids (n_lists floats — no corpus scan, unlike
+    :func:`knn_ivf_stored`), the n_probe nearest lists are read via
+    partition pruning, and the exact cosine top-k runs within them.
+    ``prune_report`` (filled in place) records lists_read / n_lists."""
+    import os
+
+    m = ivf_index_meta(path)
+    centroids = np.asarray(m["centroids"], dtype=np.float64)
+    order = _probe_lists(centroids, query_vec, n_probe)
+    if prune_report is not None:
+        prune_report.update(lists_read=len(order), n_lists=m["n_lists"])
+    cand = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("list_id").isin(order))
+    )
+    return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
 
 
 def knn_ivf_stored(

@@ -389,6 +389,47 @@ def test_knn_ivf_stored_layout_prunes_partitions(spark, tmp_path):
     assert _re.search(r"PartitionFilters: \[[^\n]*list_id", plan)
 
 
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """build_ivf_index / append / maintain / knn_query_index: stored
+    centroids make the query corpus-scan-free; build-half + append-half
+    ≡ on-the-fly pivot IVF over the union (the 8 smallest ids sit in
+    the build half); maintain compacts to one file per list and changes
+    nothing; the probe is partition-pruned (plan-asserted)."""
+    import glob as _glob
+    import re as _re
+
+    from geomesa_hive_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    mid = int(emb.agg(F.max("vec_id")).collect()[0][0]) // 2
+    path = str(tmp_path / "ivf_idx")
+    meta = similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") <= mid), "vec_id", "embedding", path,
+        n_lists=8)
+    assert similarity.ivf_index_meta(path) == meta
+    similarity.append_to_ivf_index(emb.filter(F.col("vec_id") > mid), path)
+
+    prune = {}
+    got = similarity.knn_query_index(spark, path, qv, k=10, n_probe=3,
+                                     prune_report=prune)
+    assert prune == {"lists_read": 3, "n_lists": 8}
+    fly = similarity.knn_ivf(emb, "vec_id", "embedding", qv, k=10,
+                             n_lists=8, n_probe=3, method="pivot")
+    pre = [(r.id, r.cos_sim) for r in got.collect()]
+    assert pre == [(r.id, r.cos_sim) for r in fly.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\n]*list_id", plan)
+
+    n_before = len(_glob.glob(path + "/lists/*/*.parquet"))
+    rep = similarity.maintain_ivf_index(spark, path)
+    assert rep["files_before"] == n_before > rep["files_after"] <= 8
+    assert similarity.ivf_index_meta(path) == meta
+    post = [(r.id, r.cos_sim) for r in similarity.knn_query_index(
+        spark, path, qv, k=10, n_probe=3).collect()]
+    assert post == pre
+
+
 def test_knn_join_lsh_recall(spark):
     """LSH k-NN join finds most of the exact top-k (same planes both
     sides; Hamming-1 probing)."""
