@@ -3735,6 +3735,81 @@ def q_mor_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (round-10,
+    sources/incremental.py incremental_join — join-view IVM, the third
+    CDC consumer next to the grouped aggregate and the row-level
+    projection): the orders ⋈ customer view is computed once at
+    versions (0, 0), both MOR tables then change independently
+    (orders: %7 repriced +1000 at seq 1, %13 repriced −500 and %11
+    deleted at seq 2; customer: %5 rebalanced +100 into segment 'M1'
+    and %9 deleted at seq 1), and the stored view is rolled forward
+    with changed rows only — stale pairs dropped via two BROADCAST
+    anti-joins, fresh pairs re-formed by joining each side's
+    delta-sized post-images against the other side's snapshot. The
+    stored view and both base tables are never fully re-shuffled. The
+    oracle full-recomputes both resolved snapshots and joins them; the
+    gate aggregates per segment with a modular key checksum so the
+    hash pins pair membership."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        incremental_join, join_view,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path_o = tempfile.mkdtemp(prefix="ghs_ivj_o_")
+    path_c = tempfile.mkdtemp(prefix="ghs_ivj_c_")
+    o.write.mode("overwrite").parquet(path_o)
+    c.write.mode("overwrite").parquet(path_c)
+    view0 = join_view(o, c, "o_custkey", "c_custkey")
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    write_delta(up1, path_o, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+    )
+    dels_o = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path_o, "o_orderkey", delete_keys=dels_o)
+    upc = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("c_mktsegment", F.lit("M1"))
+    )
+    dels_c = c.filter(F.col("c_custkey") % 9 == 0).select("c_custkey")
+    write_delta(upc, path_c, "c_custkey", delete_keys=dels_c)
+    view = incremental_join(
+        spark, path_o, path_c, "o_orderkey", "c_custkey",
+        "o_custkey", "c_custkey", view0, 0, 0, 2, 1,
+    )
+    return (
+        view.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_orderkey") % F.lit(1000003))
+            .cast("long").alias("osum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("ototal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("cbal"),
+        )
+        .select(
+            "c_mktsegment", "cnt", "osum",
+            F.round("ototal", 2).alias("ototal"),
+            F.round("cbal", 2).alias("cbal"),
+        )
+    )
+
+
 def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (round-7,
     sources/incremental.py — the canonical CDC consumer / Delta Live
@@ -6766,6 +6841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
+        "mor_incremental_join": q_mor_incremental_join,
         "stream_cdc_ivm": q_stream_cdc_ivm,
         "mor_incremental_index": q_mor_incremental_index,
         "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
@@ -10447,6 +10523,52 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1 AND del = 0
             GROUP BY o_orderstatus
+        """,
+        "mor_incremental_join": """
+            WITH ov AS (
+              SELECT o_orderkey, o_custkey, o_totalprice, 0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice - 500.0, 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), orr AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn FROM ov
+            ), osnap AS (
+              SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orr WHERE rn = 1 AND del = 0
+            ), cv AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal, 0 AS seq, 0 AS del
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, 'M1', c_acctbal + 100.0, 1, 0
+              FROM customer WHERE c_custkey % 5 = 0
+              UNION ALL
+              SELECT c_custkey, NULL, NULL, 1, 1
+              FROM customer WHERE c_custkey % 9 = 0
+            ), crr AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY seq DESC, del DESC
+              ) AS rn FROM cv
+            ), csnap AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal
+              FROM crr WHERE rn = 1 AND del = 0
+            )
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(o_orderkey % 1000003) AS BIGINT) AS osum,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS ototal,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS cbal
+            FROM osnap JOIN csnap ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "mor_incremental_index": """
             WITH allv AS (

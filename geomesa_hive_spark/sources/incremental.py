@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from geomesa_hive_spark.sources.manifest import read_changes, read_snapshot
 
 __all__ = [
-    "group_agg", "incremental_group_agg", "incremental_projection",
+    "group_agg", "incremental_group_agg", "incremental_join",
+    "incremental_projection", "join_view",
     "maintain_group_agg_stream", "read_maintained_view",
 ]
 
@@ -168,6 +169,116 @@ def incremental_projection(
         changes.filter(F.col("_change_type") != "delete").select(*cols)
     )
     return kept.unionByName(fresh)
+
+
+def join_view(a: DataFrame, b: DataFrame, on_a: str, on_b: str) -> DataFrame:
+    """The maintained JOIN view's defining query: inner equijoin of two
+    tables on ``a.on_a = b.on_b``, all columns of both sides kept. The
+    two tables' column names must be disjoint (TPC-H-style prefixes) —
+    the view is a plain flat table, so colliding names would make rows
+    ambiguous to maintain."""
+    dup = set(a.columns) & set(b.columns)
+    if dup:
+        raise ValueError(
+            f"join view requires disjoint column names; shared: {sorted(dup)}"
+        )
+    return a.join(b, a[on_a] == b[on_b], "inner")
+
+
+def incremental_join(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    key_a: str,
+    key_b: str,
+    on_a: str,
+    on_b: str,
+    view_at_from: DataFrame,
+    from_a: int,
+    from_b: int,
+    to_a: int | None = None,
+    to_b: int | None = None,
+) -> DataFrame:
+    """Roll a stored JOIN view (schema = :func:`join_view`) forward
+    from versions ``(from_a, from_b)`` of two MOR tables to
+    ``(to_a, to_b)`` using changed rows only — join-view IVM, the
+    third CDC consumer next to :func:`incremental_group_agg`
+    (aggregates) and :func:`incremental_projection` (row-level
+    extracts). A full refresh of ``A ⋈ B`` re-scans and re-shuffles
+    BOTH tables; at 100 TB that is two corpus shuffles to refresh
+    pairs a handful of upserts touched.
+
+    Algebra (key-unique tables, the MOR contract): a view row
+    ``(ra, rb)`` is stale iff ``ra``'s key changed in A or ``rb``'s
+    key changed in B. So:
+
+    1. ``kept``  = stored view minus changed A keys minus changed B
+       keys — two BROADCAST anti-joins; the |view|-sized stored side
+       never shuffles.
+    2. ``fresh1`` = post-images of changed A rows ⋈ B@to — the
+       delta-sized side is broadcast against one snapshot scan.
+    3. ``fresh2`` = (A@to minus changed A keys) ⋈ post-images of
+       changed B rows — the other snapshot scan, delta side again
+       broadcast. Subtracting changed A keys here is what prevents
+       double-counting pairs where BOTH sides changed (those pairs
+       are already complete in ``fresh1``, because B@to contains
+       B's post-images).
+
+    Deleted rows fall out for free: their post-images don't exist, and
+    their old pairs die in step 1. Join-column updates (a row whose
+    ``on_a`` value moved to a different partner) are also free — the
+    old pair is dropped by key in step 1 and the new pair is formed in
+    step 2 against the current B.
+
+    Cost per refresh: two CDC pulls (delta-sized) + two broadcast
+    anti-joins over the stored view + one metadata-prunable snapshot
+    scan per table joined against a broadcast delta. No full-table
+    shuffle anywhere; the contract gate hash-compares the rolled view
+    against a full recompute of both resolved snapshots."""
+    view_cols = view_at_from.columns
+    for need in (key_a, key_b, on_a, on_b):
+        if need not in view_cols:
+            raise ValueError(
+                f"join view must retain column {need!r} (keys identify "
+                f"stale pairs, join columns re-form fresh ones)"
+            )
+    changes_a = read_changes(spark, path_a, key_a, from_a, to_a)
+    changes_b = read_changes(spark, path_b, key_b, from_b, to_b)
+    ka = changes_a.select(key_a).distinct()
+    kb = changes_b.select(key_b).distinct()
+    kept = (
+        view_at_from
+        .join(F.broadcast(ka), key_a, "left_anti")
+        .join(F.broadcast(kb), key_b, "left_anti")
+        .select(*view_cols)
+    )
+    a_cols = [c for c in view_cols if c in changes_a.columns
+              and c not in ("_change_type", "_commit_seq")]
+    b_cols = [c for c in view_cols if c in changes_b.columns
+              and c not in ("_change_type", "_commit_seq")]
+    post_a = (
+        changes_a.filter(F.col("_change_type") != "delete").select(*a_cols)
+    )
+    post_b = (
+        changes_b.filter(F.col("_change_type") != "delete").select(*b_cols)
+    )
+    b_new = read_snapshot(spark, path_b, key_b, as_of_seq=to_b).select(*b_cols)
+    a_new = (
+        read_snapshot(spark, path_a, key_a, as_of_seq=to_a)
+        .select(*a_cols)
+        .join(F.broadcast(ka), key_a, "left_anti")
+    )
+    fresh1 = (
+        F.broadcast(post_a)
+        .join(b_new, post_a[on_a] == b_new[on_b], "inner")
+        .select(*view_cols)
+    )
+    fresh2 = (
+        a_new
+        .join(F.broadcast(post_b), a_new[on_a] == post_b[on_b], "inner")
+        .select(*view_cols)
+    )
+    return kept.unionByName(fresh1).unionByName(fresh2)
 
 
 # ---------------------------------------------------------------------------

@@ -1363,6 +1363,67 @@ def test_incremental_group_agg_matches_full_refresh(spark, tmp_path):
     assert "c" not in got                 # zeroed group dropped
 
 
+def test_incremental_join_matches_full_refresh(spark, tmp_path):
+    """incremental_join: join-column moves (a row re-pointed at a
+    different partner), both-sides-changed pairs (must appear ONCE —
+    the fresh1/fresh2 double-count trap), deletes on either side, and
+    inserts all roll the stored view forward to exactly the full
+    recompute of join_view over both resolved snapshots."""
+    from geomesa_hive_spark.sources.incremental import (
+        incremental_join, join_view,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 30, 4.0)],
+        "ak long, fk long, av double",
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")],
+        "bk long, bv string",
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    view0 = join_view(a, b, "fk", "bk")
+
+    # A c1: ak=1 MOVES fk 10→20 (old pair dies, new pair forms);
+    # ak=3 re-values in place — and its partner bk=20 ALSO changes
+    # below (both-sides-changed pair); ak=5 inserts pointing at 30
+    write_delta(spark.createDataFrame(
+        [(1, 20, 1.5), (3, 20, 3.5), (5, 30, 5.0)],
+        "ak long, fk long, av double"), pa, "ak")
+    # A c2: delete ak=4
+    write_delta(None, pa, "ak",
+                delete_keys=spark.createDataFrame([(4,)], "ak long"))
+    # B c1: bk=20 re-valued (pairs with ak 1 and 3 — both changed on
+    # the A side too); bk=10 deleted (ak=2's pair dies); bk=40 inserts
+    write_delta(spark.createDataFrame(
+        [(20, "Y"), (40, "w")], "bk long, bv string"), pb, "bk",
+        delete_keys=spark.createDataFrame([(10,)], "bk long"))
+
+    view = incremental_join(
+        spark, pa, pb, "ak", "bk", "fk", "bk", view0, 0, 0, 2, 1)
+    got = sorted((r.ak, r.fk, r.av, r.bk, r.bv) for r in view.collect())
+    full = join_view(read_snapshot(spark, pa, "ak"),
+                     read_snapshot(spark, pb, "bk"), "fk", "bk")
+    exp = sorted((r.ak, r.fk, r.av, r.bk, r.bv) for r in full.collect())
+    assert got == exp
+    # both-sides-changed pairs appear exactly once, with both
+    # post-images
+    assert got == [
+        (1, 20, 1.5, 20, "Y"), (3, 20, 3.5, 20, "Y"),
+        (5, 30, 5.0, 30, "z"),
+    ]
+    # view missing a required column is refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="retain column"):
+        incremental_join(spark, pa, pb, "ak", "bk", "fk", "bk",
+                         view0.drop("ak"), 0, 0, 2, 1)
+
+
 def test_morlake_datasource_batch_and_cdc(spark, tmp_path):
     """morlake Python DataSource: batch load() equals read_snapshot
     (incl. time travel and schema-evolved NULL fill), the CDC stream
