@@ -4472,6 +4472,51 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index lifecycle END TO END (round-10: build → append →
+    maintain → query; pipeline/retrieval.py append_to_bm25_index +
+    maintain_bm25_index — the same lifecycle closure the minhash and
+    IVF indexes got): documents with doc_id%3==0 are indexed, the
+    %3==1 batch is APPENDED (tokenized with the stored parameters;
+    adds files + per-batch df rows, rewrites nothing; stats.json
+    advanced atomically), the index is COMPACTED back to one file per
+    bucket and one df row per term — asserted in-query via the report
+    — and the query runs against the maintained index. Scores must be
+    bit-identical to ad-hoc bm25_topk over the union corpus, so the
+    oracle is the same BM25 SQL replay with corpus = doc_id%3 != 2:
+    correctness covers the whole lifecycle, not just the build."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        append_to_bm25_index, bm25_query_index, build_bm25_index,
+        maintain_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ghs_bm25m_")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", path,
+        n_buckets=32,
+    )
+    append_to_bm25_index(
+        docs.filter(F.col("doc_id") % 3 == 1), "doc_id", "text", path
+    )
+    rep = maintain_bm25_index(spark, path)
+    for side in ("postings", "terms"):
+        assert (
+            rep[side]["files_after"] <= 32 < rep[side]["files_before"]
+        ), rep
+    out = bm25_query_index(
+        spark, path, "spark join vector stream filter", k=25
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("matched_terms"),
+        F.col("score_micro"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (pipeline/retrieval
     rrf_fuse — Cormack et al. 2009): BM25 top-50 over documents FUSED
@@ -6861,6 +6906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
         "bm25_index": q_bm25_index,
+        "bm25_index_maintain": q_bm25_index_maintain,
         "text_chunks": q_text_chunks,
         "curation_pipeline": q_curation_pipeline,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -9029,6 +9075,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_index": f"""
             WITH {_BM25_CTES}
+            SELECT doc_id, matched_terms, score_micro,
+                   round(score_micro / 1000000.0, 6) AS score
+            FROM bm25_agg
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 25
+        """,
+        "bm25_index_maintain": f"""
+            WITH {_BM25_CTES.replace(
+                "SELECT doc_id AS id, text FROM documents",
+                "SELECT doc_id AS id, text FROM documents"
+                " WHERE doc_id % 3 <> 2",
+            )}
             SELECT doc_id, matched_terms, score_micro,
                    round(score_micro / 1000000.0, 6) AS score
             FROM bm25_agg

@@ -36,7 +36,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "rrf_fuse", "build_bm25_index", "bm25_query_index"]
+__all__ = [
+    "append_to_bm25_index", "bm25_query_index", "bm25_topk",
+    "build_bm25_index", "maintain_bm25_index", "rrf_fuse",
+]
 
 _SCALE = 1_000_000
 
@@ -206,6 +209,129 @@ def build_bm25_index(
     return stats
 
 
+def append_to_bm25_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+) -> dict:
+    """Index a new document batch into an existing BM25 index (the
+    crawl-ingest loop: retrieve against the index, then append the
+    day's documents so tomorrow's queries see them). Tokenizes ONLY
+    the batch with the stored parameters and appends into the same
+    bucket-partitioned layout — existing postings files are never
+    rewritten. The batch's per-term document frequencies land as ONE
+    MORE df row per touched term (append-only; the query side sums df
+    rows per term, and :func:`maintain_bm25_index` folds them back to
+    one), and ``stats.json`` is atomically advanced by the batch's
+    exact integer (n_docs, total_dl). Caller contract: ids must be
+    new — postings are per (term, id) and a re-appended id would
+    double-count its term frequencies. Returns the updated stats."""
+    from geomesa_hive_spark.pipeline.text import token_count, word_tokens
+
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    nb = int(stats["n_buckets"])
+    base = new_docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("dl"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    n_row = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    postings = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+    )
+    postings.repartition(nb, "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
+    terms = (
+        postings.groupBy("term", "bucket")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    terms.repartition(nb, "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "terms"))
+    stats["n_docs"] = int(stats["n_docs"]) + int(n_row["n"])
+    stats["total_dl"] = int(stats["total_dl"]) + int(n_row["tot"] or 0)
+    tmp = os.path.join(path, "stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(path, "stats.json"))
+    return stats
+
+
+def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Compact the persisted BM25 index back to one file per bucket
+    partition and one df row per term: every append adds ≥1 parquet
+    file to each touched bucket dir plus a per-batch df row per term,
+    so after K daily appends a query scans K small files per pruned
+    bucket and merges K df rows — cost grows with APPEND COUNT instead
+    of data. maintain() rewrites ``postings/`` through one
+    bucket-aligned shuffle (content-identical — postings rows are per
+    (term, id) and ids are append-unique) and re-aggregates ``terms/``
+    to one summed df row per term; queries before and after maintain
+    are bit-identical (pytest-pinned). Rename-based swap under the
+    same single-maintainer contract as manifest.vacuum: no concurrent
+    query/append in flight. Returns {side: {files_before,
+    files_after}}."""
+    import glob
+    import shutil
+
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    nb = int(stats["n_buckets"])
+    report: dict = {}
+
+    def _nfiles(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "*", "*.parquet")))
+
+    def _swap(src: str, tmp: str) -> None:
+        old = src + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+
+    post_dir = os.path.join(path, "postings")
+    before = _nfiles(post_dir)
+    tmp = post_dir + ".compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(post_dir)
+        .repartition(nb, "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    )
+    _swap(post_dir, tmp)
+    report["postings"] = {
+        "files_before": before, "files_after": _nfiles(post_dir),
+    }
+
+    term_dir = os.path.join(path, "terms")
+    before = _nfiles(term_dir)
+    tmp = term_dir + ".compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(term_dir)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .repartition(nb, "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    )
+    _swap(term_dir, tmp)
+    report["terms"] = {
+        "files_before": before, "files_after": _nfiles(term_dir),
+    }
+    return report
+
+
 def bm25_query_index(
     spark: SparkSession,
     path: str,
@@ -243,7 +369,12 @@ def bm25_query_index(
         spark.read.parquet(os.path.join(path, "terms"))
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     )
-    dfreq = {r["term"]: int(r["df"]) for r in term_tbl.collect()}
+    # SUM per term, not last-row-wins: append_to_bm25_index adds one df
+    # row per (term, batch) — maintain() folds them back to one, but a
+    # query between appends must see the merged document frequency
+    dfreq: dict = {}
+    for r in term_tbl.collect():
+        dfreq[r["term"]] = dfreq.get(r["term"], 0) + int(r["df"])
     idf_col = F.lit(0.0)
     for t in terms:
         idf_val = math.log(

@@ -2009,6 +2009,66 @@ def test_bm25_index_matches_adhoc_and_prunes(spark, tmp_path):
         bm25_query_index(spark, path, "   ")
 
 
+def test_bm25_index_append_and_maintain(spark, tmp_path):
+    """BM25 index lifecycle: a query BETWEEN appends merges the
+    per-batch df rows (sum, not last-row-wins) and is bit-identical to
+    ad-hoc bm25_topk over the union corpus; maintain() compacts back
+    to one file per bucket and one df row per term with bit-identical
+    query results; appended docs' dl/avgdl flow through stats.json."""
+    import glob
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        append_to_bm25_index, bm25_query_index, bm25_topk,
+        build_bm25_index, maintain_bm25_index,
+    )
+
+    first = [
+        (1, "spark join vector spark spark"),
+        (2, "join the table scan"),
+        (3, "vector vector vector join spark"),
+        (4, "nothing relevant here at all wow"),
+    ]
+    second = [
+        (5, "spark"),
+        (6, "spark stream"),
+        (7, "stream filter stream"),
+        (8, "filter join vector"),
+    ]
+    d1 = spark.createDataFrame(first, "id long, text string")
+    d2 = spark.createDataFrame(second, "id long, text string")
+    union = d1.unionByName(d2)
+    path = str(tmp_path / "bm25_life")
+    build_bm25_index(d1, "id", "text", path, n_buckets=8)
+    stats = append_to_bm25_index(d2, "id", "text", path)
+    assert stats["n_docs"] == 8            # stats advanced exactly
+
+    def _q(q):
+        return [(r.id, r.matched_terms, r.score_micro)
+                for r in bm25_query_index(spark, path, q, k=10).collect()]
+
+    # between appends: df rows merged per term, scores == ad-hoc union
+    for q in ["spark vector", "stream filter join"]:
+        adhoc = [(r.id, r.matched_terms, r.score_micro)
+                 for r in bm25_topk(union, "id", "text", q, k=10).collect()]
+        assert _q(q) == adhoc, q
+    pre = {q: _q(q) for q in ["spark vector", "stream filter join"]}
+
+    rep = maintain_bm25_index(spark, path)
+    for side in ("postings", "terms"):
+        assert rep[side]["files_after"] < rep[side]["files_before"], rep
+    # exactly one df row per term after compaction
+    import pandas as pd
+    tdf = pd.concat([
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(f).to_pandas()
+        for f in glob.glob(str(tmp_path / "bm25_life/terms/*/*.parquet"))
+    ])
+    assert tdf["term"].is_unique
+    # bit-identical before/after maintain
+    for q, want in pre.items():
+        assert _q(q) == want, q
+
+
 def test_check_constraints_all_kinds(spark):
     """Every constraint kind computes the hand-checkable violation
     count on a crafted frame, and the whole suite runs as ONE scan of
