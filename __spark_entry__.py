@@ -5421,6 +5421,38 @@ def _phon_sql(x: str) -> str:
 _CM_DEPTH, _CM_WIDTH = 4, 256
 
 
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch (pipeline/sketches.py hll_build/
+    hll_merge/hll_estimate — Flajolet et al. 2007) with STORED,
+    MERGEABLE registers, unlike approx_count_distinct whose sketch
+    dies with the query: per-(event_type, shard) register tables are
+    built once (shard = event_id % 4, so the same user lands in
+    several shards and the merge genuinely dedups), max-merged across
+    shards, and estimated — the sketch-table rollup pattern where raw
+    data is never re-scanned. All integer-native expressions: 60-bit
+    md5 hash, register = low 9 bits, rho via length(bin(w)) (no
+    floating log), and the harmonic sum in exact BIGINT units of
+    2^-52 so the estimate is partition-order-independent. The oracle
+    replays the ENTIRE sketch arithmetic in SQL (merged-over-shards ≡
+    built-direct, pytest-pinned), plus the exact distinct for the
+    error to be visible (m=512 → rsd ≈ 4.6%)."""
+    from geomesa_hive_spark.pipeline import sketches as sk
+
+    ev = _events(spark, sf_dir)
+    shards = ev.withColumn("shard", F.col("event_id") % 4)
+    regs = sk.hll_build(shards, ["event_type", "shard"], "user_id", p=9)
+    merged = sk.hll_merge(regs.drop("shard"), ["event_type"])
+    est = sk.hll_estimate(merged, ["event_type"], p=9)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.round("est", 4).alias("est_distinct"),
+        "exact",
+    )
+
+
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (pipeline/sketches.py) over the corpus bigram
     stream at a deliberately tight width (256 cells/row) so collisions
@@ -6953,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "dedup_bloom": q_dedup_bloom,
         "sketch_countmin": q_sketch_countmin,
+        "sketch_hll": q_sketch_hll,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
@@ -11985,6 +12018,44 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY pri DESC, o_orderkey
             LIMIT 500
+        """,
+        "sketch_hll": f"""
+            WITH mh AS (
+              SELECT event_type,
+                     md5(concat_ws(':', 'hll', '7',
+                                   CAST(user_id AS VARCHAR))) AS m
+              FROM events
+            ), h AS (
+              SELECT event_type, {_hex2int_sql('m', 15)} AS h FROM mh
+            ), regs AS (
+              SELECT event_type, CAST(h % 512 AS INT) AS idx,
+                     MAX(CASE WHEN h // 512 = 0 THEN 52
+                         ELSE 52 - length(bin(h // 512)) END) AS rho
+              FROM h GROUP BY 1, 2
+            ), agg AS (
+              SELECT event_type, count(*) AS np,
+                     SUM(CAST(1 AS BIGINT) << (52 - rho)) AS sp
+              FROM regs GROUP BY 1
+            ), e AS (
+              SELECT event_type,
+                     {0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 * float(2 ** 52)!r}
+                       / CAST(sp + (512 - np)
+                              * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS raw,
+                     CAST(512 - np AS DOUBLE) AS v
+              FROM agg
+            ), x AS (
+              SELECT event_type,
+                     CASE WHEN raw <= 1280e0 AND v > 0e0
+                          THEN 512e0 * ln(512e0 / v)
+                          ELSE raw END AS est
+              FROM e
+            )
+            SELECT x.event_type, round(est, 4) AS est_distinct, d.exact
+            FROM x JOIN (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+              FROM events GROUP BY 1
+            ) d ON x.event_type = d.event_type
         """,
         "sketch_countmin": """
             WITH toks AS (
