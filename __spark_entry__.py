@@ -4358,6 +4358,35 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (round-10,
+    operators/timeseries.py holt_smooth — the trend-aware upgrade of
+    the EWMA scorer, same applyInPandas fold shape): level + linear
+    trend folded over each user's (ts, event_id)-ordered history with
+    α=0.25, β=0.125 — complements 0.75/0.875 are EXACT binary
+    fractions, so the Python fold and the SQL literal replay are the
+    same doubles (α=0.3 would differ by one ulp in 1−α and diverge at
+    knife-edge roundings) — plus the 4-step-ahead forecast
+    s + 4·b. The oracle replays the sequential fold as a DuckDB
+    recursive CTE, recomputing s_t inside the b_t expression with the
+    identical operation tree."""
+    from geomesa_hive_spark.operators.timeseries import holt_smooth
+
+    out = holt_smooth(
+        _events(spark, sf_dir), "user_id", "value",
+        alpha=0.25, beta=0.125, horizon=4, order_cols=("ts", "event_id"),
+    )
+    q = lambda c: (  # noqa: E731
+        F.round(F.col(c).cast("float").cast("double"), 4) + F.lit(0.0)
+    )
+    return out.select(
+        "user_id", "n",
+        q("level").alias("level_q"),
+        q("trend").alias("trend_q"),
+        q("forecast").alias("forecast_q"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composite — the canonical pretraining
     data-prep chain run as ONE DataFrame plan: quality scoring +
@@ -6934,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
+        "events_holt": q_events_holt,
         "stream_rollup": q_stream_rollup,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
@@ -10990,6 +11020,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n AS BIGINT) AS n,
                    round(CAST(CAST(ewma AS FLOAT) AS DOUBLE), 4) + 0.0 AS ewma_q,
                    CAST(n_anom AS BIGINT) AS n_anomalies
+            FROM r WHERE rn = n_tot
+        """,
+        "events_holt": """
+            WITH RECURSIVE o AS (
+              SELECT user_id, value AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_tot
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, n_tot, v AS s, CAST(0 AS DOUBLE) AS b
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.user_id, o.rn, o.n_tot,
+                     0.25 * o.v + 0.75 * (r.s + r.b),
+                     0.125 * ((0.25 * o.v + 0.75 * (r.s + r.b)) - r.s)
+                       + 0.875 * r.b
+              FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+            )
+            SELECT user_id, CAST(n_tot AS BIGINT) AS n,
+                   round(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) + 0.0
+                     AS level_q,
+                   round(CAST(CAST(b AS FLOAT) AS DOUBLE), 4) + 0.0
+                     AS trend_q,
+                   round(CAST(CAST(s + 4 * b AS FLOAT) AS DOUBLE), 4) + 0.0
+                     AS forecast_q
             FROM r WHERE rn = n_tot
         """,
         "range_join_bands": """

@@ -16,7 +16,75 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_fill", "cohort_retention"]
+__all__ = ["resample_fill", "cohort_retention", "holt_smooth"]
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    horizon: int = 4,
+    order_cols: "tuple[str, ...]" = ("ts",),
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + linear
+    trend) with an h-step-ahead forecast — the trend-aware upgrade of
+    the EWMA scorer, same execution shape (applyInPandas fold over
+    each key's totally-ordered history):
+
+        s_1 = x_1,  b_1 = 0                       (naive trend init)
+        s_t = α·x_t + (1−α)·(s_{t−1} + b_{t−1})
+        b_t = β·(s_t − s_{t−1}) + (1−β)·b_{t−1}
+        forecast = s_n + horizon·b_n
+
+    Output: (key, n, level, trend, forecast), one row per key.
+
+    Determinism contract (the EWMA/batch_anomaly rules): pass a
+    tie-breaking total ``order_cols`` or equal-timestamp rows fold in
+    Arrow arrival order; and for oracle-exact replays pick α, β whose
+    complements are exact binary fractions (the defaults 0.25/0.125 —
+    ``1−α`` computed here and a ``0.75`` literal in SQL are then the
+    same double; with α=0.3 they differ by one ulp and knife-edge
+    roundings diverge).
+
+    Scale: one hash shuffle on the key + a per-key O(n) fold; the
+    repartition is pinned like batch_anomaly's because the exchange
+    is byte-small but Python-heavy — AQE would coalesce it to a few
+    fat tasks."""
+    import pandas as pd
+
+    a, be, h = float(alpha), float(beta), int(horizon)
+    one_a, one_b = 1.0 - a, 1.0 - be
+    kt = dict(zip(df.columns, [f.dataType.simpleString()
+                               for f in df.schema.fields]))[key_col]
+    schema = (
+        f"{key_col} {kt}, n long, level double, trend double, "
+        f"forecast double"
+    )
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype="float64")
+        s, b = float(x[0]), 0.0
+        for t in range(1, len(x)):
+            s_prev = s
+            s = a * float(x[t]) + one_a * (s + b)
+            b = be * (s - s_prev) + one_b * b
+        return pd.DataFrame({
+            key_col: [pdf[key_col].iloc[0]],
+            "n": [len(x)],
+            "level": [s],
+            "trend": [b],
+            "forecast": [s + h * b],
+        })
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.repartition(n_part, key_col)
+        .groupBy(key_col)
+        .applyInPandas(run, schema)
+    )
 
 
 def resample_fill(

@@ -875,3 +875,44 @@ def test_distance_join_sphere_matches_bruteforce(spark):
                            F.col("geom").alias("geom2")),
         0.0, left_geom="geom", right_geom="geom2")
     assert z.count() == 40
+
+
+def test_holt_smooth_fold_and_invariance(spark):
+    """holt_smooth: the fold matches a hand-computed reference on a
+    small series, a single-point key gets (level=x, trend=0,
+    forecast=x), and results are identical across repartitionings
+    (total order via order_cols)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.operators.timeseries import holt_smooth
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 12, 14, 13, 17])]
+    rows += [(2, 0, 42.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, value double")
+    out = {r.k: r for r in holt_smooth(
+        df, "k", "value", alpha=0.25, beta=0.125, horizon=4,
+        order_cols=("ts",)).collect()}
+
+    # hand fold, same arithmetic
+    s, b = 10.0, 0.0
+    for x in [12.0, 14.0, 13.0, 17.0]:
+        sp = s
+        s = 0.25 * x + 0.75 * (s + b)
+        b = 0.125 * (s - sp) + 0.875 * b
+    assert out[1].n == 5
+    assert out[1].level == s and out[1].trend == b
+    assert out[1].forecast == s + 4 * b
+    assert (out[2].level, out[2].trend, out[2].forecast) == (42.0, 0.0, 42.0)
+
+    big = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("ts"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    a = sorted((r.k, r.level, r.trend, r.forecast) for r in
+               holt_smooth(big, "k", "value", order_cols=("ts",))
+               .collect())
+    c = sorted((r.k, r.level, r.trend, r.forecast) for r in
+               holt_smooth(big.repartition(13), "k", "value",
+                           order_cols=("ts",)).collect())
+    assert a == c
