@@ -4546,6 +4546,48 @@ def q_bm25_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index DELETE lifecycle (round-10, pipeline/retrieval.py
+    delete_from_bm25_index — Lucene tombstone semantics): the whole
+    corpus is indexed, doc_id%3==2 is tombstoned, and (a) a query
+    BEFORE maintain returns no tombstoned id while df/stats are
+    deliberately stale (the Lucene trade — asserted in-query), then
+    (b) maintain() physically drops the rows, REBUILDS df from
+    surviving postings and exact stats from the docs/ side table, and
+    the post-maintain query must equal ad-hoc BM25 over the surviving
+    corpus exactly — the same oracle as the append path
+    (corpus = doc_id%3 != 2), reached through delete instead of
+    selective build."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_query_index, build_bm25_index, delete_from_bm25_index,
+        maintain_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ghs_bm25d_")
+    build_bm25_index(docs, "doc_id", "text", path, n_buckets=32)
+    dead = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    delete_from_bm25_index(dead, "doc_id", path)
+    pre = bm25_query_index(
+        spark, path, "spark join vector stream filter", k=25
+    )
+    n_dead_returned = pre.filter(F.col("id") % 3 == 2).count()
+    assert n_dead_returned == 0, "tombstoned id returned pre-maintain"
+    rep = maintain_bm25_index(spark, path)
+    assert rep["n_tombstoned"] > 0, rep
+    out = bm25_query_index(
+        spark, path, "spark join vector stream filter", k=25
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("matched_terms"),
+        F.col("score_micro"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (pipeline/retrieval
     rrf_fuse — Cormack et al. 2009): BM25 top-50 over documents FUSED
@@ -4810,6 +4852,43 @@ def q_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash index DELETE lifecycle (round-10, pipeline/dedup.py
+    delete_from_minhash_index — tombstone semantics shared with the
+    BM25/IVF indexes): source%3∈{0,2} is indexed, the %3==2 ids are
+    tombstoned, (a) a pre-maintain dedup of the %3==1 batch matches no
+    tombstoned partner (asserted in-query), then (b) maintain() drops
+    their band+signature rows physically during its compaction rewrite
+    and clears the log (asserted), and the post-maintain query must
+    equal cross-corpus dedup against the surviving %3==0 corpus — the
+    same parameterized SQL replay as dedup_index, reached through
+    delete instead of selective build."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    path = tempfile.mkdtemp(prefix="ghs_mhidxd_")
+    dedup.build_minhash_index(
+        docs.filter(srcnum % 3 != 1), "doc_id", "text", path,
+        num_perm=64, bands=16, n_buckets=16,
+    )
+    dead = docs.filter(srcnum % 3 == 2).select("doc_id")
+    dedup.delete_from_minhash_index(dead, "doc_id", path)
+    newb = docs.filter(srcnum % 3 == 1)
+    pre = dedup.pairs_against_index(
+        newb, "doc_id", "text", path, threshold=0.5
+    )
+    n_dead = pre.join(
+        dead.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).count()
+    assert n_dead == 0, "tombstoned doc matched pre-maintain"
+    rep = dedup.maintain_minhash_index(spark, path)
+    assert rep["n_tombstones_applied"] > 0, rep
+    return dedup.pairs_against_index(
+        newb, "doc_id", "text", path, threshold=0.5
+    )
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup join: documents split into two corpora by
     source parity (even src numbers = the 'existing corpus', odd = the
@@ -4897,6 +4976,44 @@ def q_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = similarity.maintain_ivf_index(spark, path)
     assert rep["files_after"] <= 32 < rep["files_before"], rep
+    prune: dict = {}
+    out = similarity.knn_query_index(
+        spark, path, qv, k=10, n_probe=8, prune_report=prune
+    )
+    assert prune == {"lists_read": 8, "n_lists": 32}, prune
+    return out
+
+
+def q_knn_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index DELETE lifecycle (round-10, pipeline/similarity.py
+    delete_from_ivf_index — the tombstone semantics shared with the
+    minhash/BM25 indexes): the WHOLE embeddings table is indexed,
+    vec_id > max/2 is tombstoned, (a) a pre-maintain probe returns no
+    tombstoned neighbor (asserted in-query — queries anti-join the
+    log), then (b) maintain() drops the rows physically during its
+    compaction rewrite and clears the log (asserted), and the
+    post-maintain probe must equal knn_ivf over the surviving half
+    exactly. Stored centroids are NOT re-derived on delete (the index
+    is the parameter commitment; deletes shrink lists, never move
+    one) — and because the 32 smallest ids all survive, the oracle's
+    kept-corpus pivots coincide with the stored full-table ones, so
+    the replay is the same parameterized IVF oracle with the corpus
+    predicate."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    mid = int(emb.agg(F.max("vec_id")).collect()[0][0]) // 2
+    path = tempfile.mkdtemp(prefix="ghs_ivfdel_")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_lists=32)
+    dead = emb.filter(F.col("vec_id") > mid).select("vec_id")
+    similarity.delete_from_ivf_index(dead, path)
+    pre = similarity.knn_query_index(spark, path, qv, k=10, n_probe=8)
+    assert pre.filter(F.col("id") > mid).count() == 0, (
+        "tombstoned vector returned pre-maintain"
+    )
+    rep = similarity.maintain_ivf_index(spark, path)
+    assert rep["n_tombstones_applied"] > 0, rep
     prune: dict = {}
     out = similarity.knn_query_index(
         spark, path, qv, k=10, n_probe=8, prune_report=prune
@@ -6969,6 +7086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "bm25_index": q_bm25_index,
         "bm25_index_maintain": q_bm25_index_maintain,
+        "bm25_index_delete": q_bm25_index_delete,
         "text_chunks": q_text_chunks,
         "curation_pipeline": q_curation_pipeline,
         "hybrid_retrieval": q_hybrid_retrieval,
@@ -6984,11 +7102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,
         "dedup_index": q_dedup_index,
         "dedup_index_maintain": q_dedup_index_maintain,
+        "dedup_index_delete": q_dedup_index_delete,
         "semantic_dedup": q_semantic_dedup,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_index": q_knn_index,
+        "knn_index_delete": q_knn_index_delete,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "ann_opq_property": q_ann_opq_property,
@@ -8716,11 +8836,13 @@ def _knn_lsh_oracle(k: int = 10, bits: int = 8, dim: int = 64,
 _D2_SQL = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
 
 
-def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4) -> str:
+def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4,
+                    pred: str = "TRUE") -> str:
     cos = _COS_SQL.format(a="a.v", b="q.qv")
     return f"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE {pred}
         ), piv AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pidx, v AS pv
           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
@@ -9145,6 +9267,18 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 25
         """,
         "bm25_index_maintain": f"""
+            WITH {_BM25_CTES.replace(
+                "SELECT doc_id AS id, text FROM documents",
+                "SELECT doc_id AS id, text FROM documents"
+                " WHERE doc_id % 3 <> 2",
+            )}
+            SELECT doc_id, matched_terms, score_micro,
+                   round(score_micro / 1000000.0, 6) AS score
+            FROM bm25_agg
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 25
+        """,
+        "bm25_index_delete": f"""
             WITH {_BM25_CTES.replace(
                 "SELECT doc_id AS id, text FROM documents",
                 "SELECT doc_id AS id, text FROM documents"
@@ -11286,6 +11420,11 @@ def oracle_sql() -> dict[str, str]:
             pred_a="CAST(substr(source, 4) AS INT) % 3 != 1",
             pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
         ),
+        "dedup_index_delete": _cross_minhash_oracle(
+            num_perm=64, bands=16, threshold=0.5, seed=42,
+            pred_a="CAST(substr(source, 4) AS INT) % 3 = 0",
+            pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
+        ),
         "semantic_dedup": _semantic_dedup_oracle(k=8, iters=2, threshold=0.9),
         "dedup_simhash": _simhash_oracle(max_hamming=3),
         "dedup_embedding": """
@@ -11340,6 +11479,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=2, n_tables=4),
         "knn_ivf": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
         "knn_index": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
+        "knn_index_delete": _knn_ivf_oracle(
+            k=10, n_lists=32, n_probe=8,
+            pred="vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)",
+        ),
         "knn_join_lsh": _knn_join_lsh_oracle(k=5, bits=8, dim=64, left_max_id=20),
         "knn_pq": """
             WITH e AS (

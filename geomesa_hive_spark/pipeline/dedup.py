@@ -54,6 +54,7 @@ __all__ = [
     "minhash_index_meta",
     "pairs_against_index",
     "append_to_minhash_index",
+    "delete_from_minhash_index",
     "maintain_minhash_index",
 ]
 
@@ -1371,6 +1372,14 @@ def pairs_against_index(
         .filter(F.col("bucket").isin(need))   # partition-pruned scan
         .select(F.col("id").alias("id_a"), "band", "bh", "bucket")
     )
+    # pending deletes: tombstoned docs never match (physical removal
+    # happens at maintain — see delete_from_minhash_index)
+    tomb = _mh_tombstones(spark, path)
+    if tomb is not None:
+        idx = idx.join(
+            F.broadcast(tomb.select(F.col("id").alias("id_a"))),
+            "id_a", "left_anti",
+        )
     cand = (
         keys_new.select(F.col("id").alias("id_b"), "band", "bh", "bucket")
         .join(idx, ["bucket", "band", "bh"])
@@ -1405,6 +1414,31 @@ def pairs_against_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def delete_from_minhash_index(keys: DataFrame, id_col: str, path: str) -> None:
+    """Tombstone documents out of the MinHash index (takedown /
+    opt-out / re-crawled-and-replaced ids) — same Lucene-style
+    semantics as the BM25 index: ids land in an append-only
+    ``tombstones/`` table, queries anti-join them out immediately (a
+    deleted doc can never appear as a match partner), and the next
+    :func:`maintain_minhash_index` drops the signature/band rows
+    physically and clears the log. Deleting an unknown id is a
+    no-op."""
+    import os
+
+    keys.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+
+
+def _mh_tombstones(spark, path: str):
+    import os
+
+    t = os.path.join(path, "tombstones")
+    if not os.path.isdir(t):
+        return None
+    return spark.read.parquet(t).select("id").distinct()
 
 
 def append_to_minhash_index(
@@ -1454,7 +1488,10 @@ def maintain_minhash_index(spark, path: str) -> dict:
     bit-for-bit across maintain). Swap is rename-based (write to
     `.compact`, retire the old dir) under the same single-maintainer
     contract as manifest.vacuum: run with no concurrent query/append in
-    flight. Returns {side: {files_before, files_after}}."""
+    flight. Pending tombstones (see :func:`delete_from_minhash_index`)
+    are applied physically here — band and signature rows of deleted
+    ids dropped during the same rewrite, log cleared after. Returns
+    {side: {files_before, files_after}, "n_tombstones_applied"}."""
     import glob
     import os
     import shutil
@@ -1462,6 +1499,7 @@ def maintain_minhash_index(spark, path: str) -> dict:
     m = minhash_index_meta(path)
     nb = int(m["n_buckets"])
     report: dict = {}
+    tomb = _mh_tombstones(spark, path)
 
     def _nfiles(d: str) -> int:
         return len(glob.glob(os.path.join(d, "*", "*.parquet")))
@@ -1472,9 +1510,11 @@ def maintain_minhash_index(spark, path: str) -> dict:
         tmp = src + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        rows = spark.read.parquet(src)
+        if tomb is not None:
+            rows = rows.join(F.broadcast(tomb), "id", "left_anti")
         (
-            spark.read.parquet(src)
-            .repartition(nb, part)
+            rows.repartition(nb, part)
             .write.mode("overwrite").partitionBy(part).parquet(tmp)
         )
         old = src + ".old"
@@ -1484,4 +1524,8 @@ def maintain_minhash_index(spark, path: str) -> dict:
         os.rename(tmp, src)
         shutil.rmtree(old)
         report[side] = {"files_before": before, "files_after": _nfiles(src)}
+    report["n_tombstones_applied"] = 0 if tomb is None else tomb.count()
+    t_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(t_dir):
+        shutil.rmtree(t_dir)
     return report

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "append_to_bm25_index", "bm25_query_index", "bm25_topk",
-    "build_bm25_index", "maintain_bm25_index", "rrf_fuse",
+    "build_bm25_index", "delete_from_bm25_index", "maintain_bm25_index",
+    "rrf_fuse",
 ]
 
 _SCALE = 1_000_000
@@ -204,9 +205,26 @@ def build_bm25_index(
     terms.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(path, "terms"))
+    # per-doc (id, dl) side table — the delete/rebuild substrate:
+    # postings alone can't reconstruct n_docs/total_dl (a zero-token
+    # doc has NO postings rows but still counts), so maintain() after
+    # deletes recomputes stats from here, exactly
+    _write_docs_side(base, path, nb, mode="overwrite")
     with open(os.path.join(path, "stats.json"), "w") as fh:
         json.dump(stats, fh)
     return stats
+
+
+def _write_docs_side(base: DataFrame, path: str, nb: int, mode: str) -> None:
+    (
+        base.select(
+            "id", "dl",
+            F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int").alias("dbucket"),
+        )
+        .repartition(nb, "dbucket")
+        .write.mode(mode).partitionBy("dbucket")
+        .parquet(os.path.join(path, "docs"))
+    )
 
 
 def append_to_bm25_index(
@@ -256,6 +274,7 @@ def append_to_bm25_index(
     terms.repartition(nb, "bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(os.path.join(path, "terms"))
+    _write_docs_side(base, path, nb, mode="append")
     stats["n_docs"] = int(stats["n_docs"]) + int(n_row["n"])
     stats["total_dl"] = int(stats["total_dl"]) + int(n_row["tot"] or 0)
     tmp = os.path.join(path, "stats.json.tmp")
@@ -265,20 +284,47 @@ def append_to_bm25_index(
     return stats
 
 
+def delete_from_bm25_index(keys: DataFrame, id_col: str, path: str) -> None:
+    """Tombstone documents out of the index (opt-out / takedown /
+    re-crawl-replaced ids) — Lucene delete semantics, deliberately:
+    the ids land in an append-only ``tombstones/`` table and queries
+    ANTI-JOIN them out immediately (a deleted doc is never returned),
+    but per-term df and the corpus stats stay STALE until the next
+    :func:`maintain_bm25_index` physically drops the rows and rebuilds
+    both exactly — the same trade Lucene makes (deleted docs count in
+    df until segment merge) because computing a deleted doc's term
+    memberships eagerly would need a full postings scan per delete.
+    Deleting an id not in the index is a no-op."""
+    keys.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    t = os.path.join(path, "tombstones")
+    if not os.path.isdir(t):
+        return None
+    return spark.read.parquet(t).select("id").distinct()
+
+
 def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
     """Compact the persisted BM25 index back to one file per bucket
-    partition and one df row per term: every append adds ≥1 parquet
-    file to each touched bucket dir plus a per-batch df row per term,
-    so after K daily appends a query scans K small files per pruned
-    bucket and merges K df rows — cost grows with APPEND COUNT instead
-    of data. maintain() rewrites ``postings/`` through one
-    bucket-aligned shuffle (content-identical — postings rows are per
-    (term, id) and ids are append-unique) and re-aggregates ``terms/``
-    to one summed df row per term; queries before and after maintain
-    are bit-identical (pytest-pinned). Rename-based swap under the
-    same single-maintainer contract as manifest.vacuum: no concurrent
-    query/append in flight. Returns {side: {files_before,
-    files_after}}."""
+    partition and one df row per term, and APPLY pending tombstones
+    physically (the Lucene segment-merge step): every append adds ≥1
+    parquet file to each touched bucket dir plus a per-batch df row
+    per term, so after K daily appends a query scans K small files per
+    pruned bucket and merges K df rows — cost grows with APPEND COUNT
+    instead of data; every delete leaves df/stats stale until here.
+    maintain() rewrites ``postings/`` minus tombstoned ids through one
+    bucket-aligned shuffle, REBUILDS ``terms/`` from the surviving
+    postings (count per (term, bucket) — postings are unique per
+    (term, id), so this equals the summed-df path when nothing was
+    deleted; queries before/after a delete-free maintain are
+    bit-identical, pytest-pinned), recomputes exact ``stats.json``
+    from the ``docs/`` side table minus tombstones, and clears the
+    tombstone log. Rename-based swap under the same single-maintainer
+    contract as manifest.vacuum: no concurrent query/append in flight.
+    Returns {side: {files_before, files_after}, "n_tombstoned": int}."""
     import glob
     import shutil
 
@@ -286,6 +332,7 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
         stats = json.load(fh)
     nb = int(stats["n_buckets"])
     report: dict = {}
+    tomb = _tombstones(spark, path)
 
     def _nfiles(d: str) -> int:
         return len(glob.glob(os.path.join(d, "*", "*.parquet")))
@@ -303,9 +350,11 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
     tmp = post_dir + ".compact"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    posts = spark.read.parquet(post_dir)
+    if tomb is not None:
+        posts = posts.join(F.broadcast(tomb), "id", "left_anti")
     (
-        spark.read.parquet(post_dir)
-        .repartition(nb, "bucket")
+        posts.repartition(nb, "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     )
     _swap(post_dir, tmp)
@@ -313,15 +362,17 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
         "files_before": before, "files_after": _nfiles(post_dir),
     }
 
+    # terms REBUILT from the compacted postings, never patched — the
+    # only delete-correct source of df
     term_dir = os.path.join(path, "terms")
     before = _nfiles(term_dir)
     tmp = term_dir + ".compact"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     (
-        spark.read.parquet(term_dir)
+        spark.read.parquet(post_dir)
         .groupBy("term", "bucket")
-        .agg(F.sum("df").cast("long").alias("df"))
+        .agg(F.count("*").cast("long").alias("df"))
         .repartition(nb, "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     )
@@ -329,6 +380,44 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
     report["terms"] = {
         "files_before": before, "files_after": _nfiles(term_dir),
     }
+
+    docs_dir = os.path.join(path, "docs")
+    n_tomb = 0
+    if os.path.isdir(docs_dir):
+        before = _nfiles(docs_dir)
+        tmp = docs_dir + ".compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        docs = spark.read.parquet(docs_dir)
+        if tomb is not None:
+            n_before = docs.count()
+            docs = docs.join(F.broadcast(tomb), "id", "left_anti")
+        (
+            docs.repartition(nb, "dbucket")
+            .write.mode("overwrite").partitionBy("dbucket").parquet(tmp)
+        )
+        _swap(docs_dir, tmp)
+        report["docs"] = {
+            "files_before": before, "files_after": _nfiles(docs_dir),
+        }
+        # exact stats from the surviving docs — n_docs counts
+        # zero-token docs too, which postings alone cannot
+        kept = spark.read.parquet(docs_dir)
+        row = kept.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("tot")
+        ).collect()[0]
+        if tomb is not None:
+            n_tomb = n_before - int(row["n"])
+        stats["n_docs"] = int(row["n"])
+        stats["total_dl"] = int(row["tot"] or 0)
+        tmpj = os.path.join(path, "stats.json.tmp")
+        with open(tmpj, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmpj, os.path.join(path, "stats.json"))
+    t_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(t_dir):
+        shutil.rmtree(t_dir)
+    report["n_tombstoned"] = n_tomb
     return report
 
 
@@ -396,6 +485,12 @@ def bm25_query_index(
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     )
+    # pending deletes: tombstoned docs are never returned; df/stats
+    # stay stale until maintain() (Lucene delete semantics — see
+    # delete_from_bm25_index)
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "id", "left_anti")
     scored = (
         post.withColumn("idf", idf_col)
         .withColumn("c", F.expr(contrib))

@@ -83,6 +83,7 @@ __all__ = [
     "build_ivf_index",
     "ivf_index_meta",
     "append_to_ivf_index",
+    "delete_from_ivf_index",
     "maintain_ivf_index",
     "knn_query_index",
     "embedding_centroids",
@@ -460,25 +461,58 @@ def append_to_ivf_index(new_df: DataFrame, path: str) -> dict:
     return m
 
 
+def delete_from_ivf_index(keys: DataFrame, path: str) -> None:
+    """Tombstone vectors out of the IVF index — Lucene-style delete
+    semantics shared with the minhash/BM25 indexes: ids land in an
+    append-only ``tombstones/`` table, :func:`knn_query_index`
+    anti-joins them out immediately (a deleted vector can never be a
+    neighbor), and the next :func:`maintain_ivf_index` drops the rows
+    physically during its rewrite and clears the log. The stored
+    centroids are NOT re-derived on delete — the index is the
+    parameter commitment, and probes stay valid for any corpus subset
+    (deleting vectors can only shrink lists, never move one).
+    Deleting an unknown id is a no-op."""
+    import os
+
+    m = ivf_index_meta(path)
+    keys.select(F.col(m["id_col"])).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+
+
+def _ivf_tombstones(spark, path: str, id_col: str):
+    import os
+
+    t = os.path.join(path, "tombstones")
+    if not os.path.isdir(t):
+        return None
+    return spark.read.parquet(t).select(id_col).distinct()
+
+
 def maintain_ivf_index(spark, path: str) -> dict:
     """Compact the list partitions back to one file per list (each
     append adds ≥1 file per touched list — after K appends a probe
-    reads K small files per list). Content- and centroid-identical;
-    same single-maintainer contract as the minhash/manifest
-    maintenance ops. Returns {files_before, files_after}."""
+    reads K small files per list) and apply pending tombstones
+    physically (see :func:`delete_from_ivf_index`). Content- and
+    centroid-identical when nothing was deleted; same
+    single-maintainer contract as the minhash/manifest maintenance
+    ops. Returns {files_before, files_after, n_tombstones_applied}."""
     import glob
     import os
     import shutil
 
     m = ivf_index_meta(path)
     src = os.path.join(path, "lists")
+    tomb = _ivf_tombstones(spark, path, m["id_col"])
     before = len(glob.glob(os.path.join(src, "*", "*.parquet")))
     tmp = src + ".compact"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    rows = spark.read.parquet(src)
+    if tomb is not None:
+        rows = rows.join(F.broadcast(tomb), m["id_col"], "left_anti")
     (
-        spark.read.parquet(src)
-        .repartition(int(m["n_lists"]), "list_id")
+        rows.repartition(int(m["n_lists"]), "list_id")
         .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     )
     old = src + ".old"
@@ -488,7 +522,12 @@ def maintain_ivf_index(spark, path: str) -> dict:
     os.rename(tmp, src)
     shutil.rmtree(old)
     after = len(glob.glob(os.path.join(src, "*", "*.parquet")))
-    return {"files_before": before, "files_after": after}
+    rep = {"files_before": before, "files_after": after,
+           "n_tombstones_applied": 0 if tomb is None else tomb.count()}
+    t_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(t_dir):
+        shutil.rmtree(t_dir)
+    return rep
 
 
 def knn_query_index(
@@ -512,6 +551,11 @@ def knn_query_index(
         spark.read.parquet(os.path.join(path, "lists"))
         .filter(F.col("list_id").isin(order))
     )
+    # pending deletes: tombstoned vectors are never neighbors
+    # (physical removal happens at maintain)
+    tomb = _ivf_tombstones(spark, path, m["id_col"])
+    if tomb is not None:
+        cand = cand.join(F.broadcast(tomb), m["id_col"], "left_anti")
     return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
 
 

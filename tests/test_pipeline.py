@@ -2129,6 +2129,101 @@ def test_bm25_index_append_and_maintain(spark, tmp_path):
         assert _q(q) == want, q
 
 
+def test_index_delete_lifecycles(spark, tmp_path):
+    """Tombstone deletes across the three persisted indexes: queries
+    exclude tombstoned ids immediately, maintain() applies them
+    physically, and the post-maintain index is indistinguishable from
+    one built without the deleted rows. BM25 additionally rebuilds
+    exact stats from the docs/ side table — including a ZERO-TOKEN doc
+    that has no postings rows but must still count in n_docs until
+    deleted. Unknown-id deletes are no-ops."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_query_index, build_bm25_index, delete_from_bm25_index,
+        maintain_bm25_index,
+    )
+
+    corpus = [
+        (1, "spark join vector spark spark"),
+        (2, "join the table scan"),
+        (3, "vector vector vector join spark"),
+        (4, ""),                              # zero-token doc
+        (5, "spark stream filter"),
+    ]
+    docs = spark.createDataFrame(corpus, "id long, text string")
+    pa = str(tmp_path / "a")
+    build_bm25_index(docs, "id", "text", pa, n_buckets=8)
+    delete_from_bm25_index(
+        spark.createDataFrame([(3,), (4,), (99,)], "id long"), "id", pa)
+    # pre-maintain: excluded from results, df/stats stale (Lucene)
+    got = {r.id for r in bm25_query_index(spark, pa, "spark", k=10)
+           .collect()}
+    assert 3 not in got and got == {1, 5}
+    rep = maintain_bm25_index(spark, pa)
+    assert rep["n_tombstoned"] == 2          # 99 was unknown
+    stats = json.load(open(pa + "/stats.json"))
+    assert stats["n_docs"] == 3              # zero-token doc deleted too
+    # post-maintain ≡ built without the deleted rows
+    pb = str(tmp_path / "b")
+    build_bm25_index(docs.filter(~F.col("id").isin(3, 4)), "id", "text",
+                     pb, n_buckets=8)
+    for q in ("spark vector", "join scan"):
+        a = [(r.id, r.score_micro) for r in
+             bm25_query_index(spark, pa, q, k=10).collect()]
+        b = [(r.id, r.score_micro) for r in
+             bm25_query_index(spark, pb, q, k=10).collect()]
+        assert a == b, q
+
+    from geomesa_hive_spark.pipeline.dedup import (
+        build_minhash_index, delete_from_minhash_index,
+        maintain_minhash_index, pairs_against_index,
+    )
+    texts = [(i, "the quick brown fox jumps over the lazy dog " * 3
+              + str(i % 2)) for i in range(10)]
+    ddf = spark.createDataFrame(texts, "id long, text string")
+    pm = str(tmp_path / "mh")
+    build_minhash_index(ddf.filter(F.col("id") < 8), "id", "text", pm,
+                        num_perm=32, bands=8, n_buckets=4)
+    delete_from_minhash_index(
+        spark.createDataFrame([(0,), (2,)], "id long"), "id", pm)
+    newb = ddf.filter(F.col("id") >= 8)
+    pre = {r.id_a for r in pairs_against_index(
+        newb, "id", "text", pm, threshold=0.5).collect()}
+    assert pre and not ({0, 2} & pre)
+    rep = maintain_minhash_index(spark, pm)
+    assert rep["n_tombstones_applied"] == 2
+    post = {r.id_a for r in pairs_against_index(
+        newb, "id", "text", pm, threshold=0.5).collect()}
+    assert post == pre
+
+    import numpy as np
+
+    from geomesa_hive_spark.pipeline.similarity import (
+        build_ivf_index, delete_from_ivf_index, knn_query_index,
+        maintain_ivf_index,
+    )
+    rng = np.random.RandomState(0)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pv = str(tmp_path / "ivf")
+    build_ivf_index(vdf, "vec_id", "embedding", pv, n_lists=4)
+    delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in range(32, 64)],
+                              "vec_id long"), pv)
+    qv = vecs[1][1]
+    pre = {r.id for r in knn_query_index(spark, pv, qv, k=5,
+                                         n_probe=4).collect()}
+    assert pre and max(pre) < 32
+    rep = maintain_ivf_index(spark, pv)
+    assert rep["n_tombstones_applied"] == 32
+    post = {r.id for r in knn_query_index(spark, pv, qv, k=5,
+                                          n_probe=4).collect()}
+    assert post == pre
+
+
 def test_check_constraints_all_kinds(spark):
     """Every constraint kind computes the hand-checkable violation
     count on a crafted frame, and the whole suite runs as ONE scan of
