@@ -4319,6 +4319,35 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join(_events(spark, sf_dir))
 
 
+def q_stream_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (round-10, streaming.events.stream_interval_join how='left_outer'
+    — the unconverted-views report): every view with no purchase
+    inside its 1-hour horizon emits once with NULL purchase columns.
+    In streaming this is the exact shape Structured Streaming's outer
+    join supports — the time bound + watermarks prove a left row can
+    no longer match before its NULL-padded emission — and in batch
+    the IDENTICAL function is a plain left outer join, which the
+    oracle replays. The gate aggregates per user so the hash pins
+    both the matched multiplicity and the unmatched count."""
+    from geomesa_hive_spark.streaming.events import stream_interval_join
+
+    out = stream_interval_join(_events(spark, sf_dir), how="left_outer")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("purchase_ts").cast("long").alias("n_matched"),
+            F.sum(F.when(F.col("purchase_ts").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_unconverted"),
+            F.round(F.sum(F.col("view_value").cast("decimal(18,4)"))
+                    .cast("double"), 2).alias("view_total"),
+            F.round(F.sum(F.col("purchase_value").cast("decimal(18,4)"))
+                    .cast("double"), 2).alias("purchase_total"),
+        )
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the applyInPandasWithState sessionizer
     (streaming.events.stateful_sessions): batch_sessions runs the
@@ -7078,6 +7107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "spatial_hexbin": q_spatial_hexbin,
         "stream_interval_join": q_stream_interval_join,
+        "stream_interval_outer": q_stream_interval_outer,
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "events_holt": q_events_holt,
@@ -11103,6 +11133,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "stream_interval_outer": """
+            WITH j AS (
+              SELECT l.user_id AS user_id,
+                     strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                     round(l.value, 4) AS view_value,
+                     round(r.value, 4) AS purchase_value
+              FROM (SELECT * FROM events WHERE event_type = 'view') l
+              LEFT JOIN (SELECT * FROM events
+                         WHERE event_type = 'purchase') r
+                ON l.user_id = r.user_id
+               AND r.ts >= l.ts
+               AND r.ts <= l.ts + INTERVAL 1 HOUR
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(purchase_ts) AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN purchase_ts IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unconverted,
+                   round(CAST(sum(CAST(view_value AS DECIMAL(18,4)))
+                         AS DOUBLE), 2) AS view_total,
+                   round(CAST(sum(CAST(purchase_value AS DECIMAL(18,4)))
+                         AS DOUBLE), 2) AS purchase_total
+            FROM j GROUP BY user_id
         """,
         "stream_interval_join": """
             SELECT l.user_id AS user_id,

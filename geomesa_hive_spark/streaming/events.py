@@ -514,6 +514,7 @@ def stream_interval_join(
     right_type: str = "purchase",
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join: every ``right_type``
     event joined to the same user's ``left_type`` events in the
@@ -532,10 +533,30 @@ def stream_interval_join(
     Self-join friendly: both inputs may be filtered views of the SAME
     source stream (the attribution case), which Spark plans as one scan
     feeding both join legs.
+
+    ``how="left_outer"`` is the UNCONVERTED-VIEWS report: every left
+    event that found no right partner inside its horizon is emitted
+    with NULL right columns. In streaming this is exactly the shape
+    Structured Streaming supports for stream-stream outer joins — the
+    time bound plus both watermarks let the engine PROVE a left row
+    can no longer match, at which point the NULL-padded row is emitted
+    and its state evicted (an outer join without the time bound is
+    rejected by Spark because that proof is impossible). In batch the
+    same plan is a plain left outer join, which is what the oracle
+    replays.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    # watermark BEFORE the per-leg filters, on the shared source: with
+    # per-leg watermark nodes the global watermark is the MIN across
+    # nodes, and the purchase leg's node only ever sees purchase rows —
+    # so a lull in purchases stalls the global watermark and left_outer
+    # NULL-padded rows are never emitted (found by the outer-join
+    # pytest; the pre-filter node sees every event, so the watermark
+    # tracks the source)
+    evw = events.withWatermark("ts", watermark)
     l = (
-        events.filter(F.col("event_type") == left_type)
-        .withWatermark("ts", watermark)
+        evw.filter(F.col("event_type") == left_type)
         .select(
             F.col("user_id").alias("l_user"),
             F.col("ts").alias("l_ts"),
@@ -543,8 +564,7 @@ def stream_interval_join(
         )
     )
     r = (
-        events.filter(F.col("event_type") == right_type)
-        .withWatermark("ts", watermark)
+        evw.filter(F.col("event_type") == right_type)
         .select(
             F.col("user_id").alias("r_user"),
             F.col("ts").alias("r_ts"),
@@ -556,6 +576,7 @@ def stream_interval_join(
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
     return joined.select(
         F.col("l_user").alias("user_id"),

@@ -390,6 +390,94 @@ def run_manifest_bloom(spark, sf_dir, m):
     return got
 
 
+# IVM family (round-10): the claim under test is "refresh cost ∝ delta,
+# never a base re-aggregation" — so the DELTA IS HELD CONSTANT while the
+# base grows ×m (key filters use moduli scaled by m: |delta| ≈ const).
+# Setup (base + commits + stored view) is memoized per (dir, m) via an
+# on-disk marker OUTSIDE the timed region's steady state: trial 1 pays
+# the build, best-of-N takes the refresh-only trials. The control row
+# is the full recompute on the same tables — that one must scale ~×m,
+# the incremental row must not.
+
+
+# base AMPLIFICATION inside the runner: at sf0.1-derived sizes a 1.5M-row
+# aggregate sits at the local[32] scheduling floor (~1 s) and every slope
+# reads "flat" — the ×_IVM_AMP per-row explode (keys re-uniqued) lifts the
+# base to 6M/60M rows at m=1/10 so the control's base-sized shuffle is
+# measurable while the delta stays ~86k rows at every m (moduli scale ×m)
+_IVM_AMP = 40
+
+
+def _ivm_setup(spark, sf_dir, m):
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.incremental import group_agg
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    root = os.path.join(sf_dir, "_ivm_runner")
+    marker = os.path.join(root, "_built")
+    tbl = os.path.join(root, "tbl")
+    view = os.path.join(root, "view0")
+    if os.path.exists(marker):
+        return tbl, view
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    o0 = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    o = (
+        o0.withColumn("rep", F.explode(F.sequence(F.lit(0),
+                                                  F.lit(_IVM_AMP - 1))))
+        .select(
+            (F.col("o_orderkey") * _IVM_AMP + F.col("rep"))
+            .alias("o_orderkey"),
+            "o_custkey", "o_totalprice", "o_orderstatus",
+        )
+    )
+    o.repartition(32).write.mode("overwrite").parquet(tbl)
+    o = spark.read.parquet(tbl)
+    up1 = (
+        o.filter(F.col("o_orderkey") % (7 * _IVM_AMP * m) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, tbl, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % (13 * _IVM_AMP * m) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % (11 * _IVM_AMP * m) == 0) \
+        .select("o_orderkey")
+    write_delta(up2, tbl, "o_orderkey", delete_keys=dels)
+    group_agg(o, "o_custkey", "o_totalprice") \
+        .write.mode("overwrite").parquet(view)
+    with open(marker, "w") as fh:
+        fh.write("1")
+    return tbl, view
+
+
+def run_ivm_refresh_fixed_delta(spark, sf_dir, m):
+    from geomesa_hive_spark.sources.incremental import incremental_group_agg
+
+    tbl, view = _ivm_setup(spark, sf_dir, m)
+    agg0 = spark.read.parquet(view)
+    return incremental_group_agg(
+        spark, tbl, "o_orderkey", "o_custkey", "o_totalprice",
+        agg0, 0, 2,
+    )
+
+
+def run_ivm_full_refresh_control(spark, sf_dir, m):
+    from geomesa_hive_spark.sources.incremental import group_agg
+    from geomesa_hive_spark.sources.manifest import read_snapshot
+
+    tbl, _ = _ivm_setup(spark, sf_dir, m)
+    return group_agg(
+        read_snapshot(spark, tbl, "o_orderkey"),
+        "o_custkey", "o_totalprice",
+    )
+
+
 CUSTOM = {
     "spatial_distance_join": run_spatial_distance_join,
     "spatial_distance_join_sphere": run_spatial_distance_join_sphere,
@@ -399,6 +487,8 @@ CUSTOM = {
     "manifest_window_count": run_manifest_window_count,
     "manifest_zorder": run_manifest_zorder,
     "manifest_bloom": run_manifest_bloom,
+    "ivm_refresh_fixed_delta": run_ivm_refresh_fixed_delta,
+    "ivm_full_refresh_control": run_ivm_full_refresh_control,
 }
 
 # gate queries that scale with their tables — reused verbatim

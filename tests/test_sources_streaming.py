@@ -312,6 +312,69 @@ def test_stream_interval_join_matches_batch(spark, events_stream):
     assert got == exp and len(exp) > 0
 
 
+def test_stream_interval_outer_emits_unmatched(spark, tmp_path):
+    """left_outer stream-stream interval join: a view with no purchase
+    in its horizon is emitted with NULL purchase columns ONCE the
+    watermark provably passes its horizon (needs a later batch to
+    advance the watermark — multi-batch file stream with
+    maxFilesPerTrigger=1); matched rows emit like the inner join; a
+    view whose horizon the final watermark never passed is NOT
+    emitted."""
+    import datetime
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    d = str(tmp_path / "ev")
+    _os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def _mk(rows, name, mtime):
+        df = spark.createDataFrame(
+            [(uid, et, t0 + datetime.timedelta(minutes=m), float(v),
+              i + 1000)
+             for i, (uid, et, m, v) in enumerate(rows)],
+            "user_id long, event_type string, ts timestamp, "
+            "value double, event_id long",
+        )
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(tmp + "/part-*.parquet")[0]
+        dst = _os.path.join(d, name + ".parquet")
+        _shutil.copy(part, dst)
+        _os.utime(dst, (mtime, mtime))
+
+    # b1: user 1 view (never converts), user 2 view + purchase inside
+    # the 1h horizon
+    _mk([(1, "view", 0, 1.0), (2, "view", 0, 2.0),
+         (2, "purchase", 10, 5.0)], "a1", 1_700_000_000)
+    # b2: 10h later — advances the watermark (2h delay) to t0+8h,
+    # far past user 1's horizon (t0+1h)
+    _mk([(3, "view", 600, 3.0)], "a2", 1_700_000_100)
+    # b3: forces one more batch so b2's watermark is APPLIED (state
+    # eviction happens in the batch after the update); this view's own
+    # horizon is never passed — must not be emitted
+    _mk([(4, "view", 1200, 4.0)], "a3", 1_700_000_200)
+
+    stream = streaming.read_events_stream(spark, d, max_files_per_trigger=1)
+    streaming.run_to_memory(
+        streaming.stream_interval_join(stream, how="left_outer"),
+        "sijo_t", output_mode="append",
+    )
+    rows = spark.table("sijo_t").collect()
+    matched = {(r.user_id, r.purchase_ts) for r in rows
+               if r.purchase_ts is not None}
+    unmatched = {r.user_id for r in rows if r.purchase_ts is None}
+    assert matched == {(2, "2024-01-01 00:10:00")}
+    assert 1 in unmatched            # horizon passed -> NULL-padded row
+    assert 4 not in unmatched        # horizon never passed -> withheld
+    # (user 3's emission depends on the final availableNow flush —
+    # deliberately not asserted either way)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner|left_outer"):
+        streaming.stream_interval_join(stream, how="full")
+
+
 def test_manifest_pruning_skips_files(spark, tmp_path):
     """Range-clustered manifest stats actually skip files: a 10%-window
     predicate keeps ~3/24 files; results equal a full-scan filter;
