@@ -5444,6 +5444,56 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for URL-keyed dedup (round-10,
+    pipeline/text.py canonicalize_url — the CommonCrawl staple: the
+    same page arrives under many spellings): per document a MESSY
+    spelling (upper-case scheme+host, default :80 port, out-of-order
+    params with utm_/ref tracking noise, a fragment) and the CLEAN
+    spelling are both synthesized natively; canonicalization must
+    collapse each pair to ONE key (every host bucket shows n_urls =
+    2·n_pages), an https://…:443 no-query URL exercises the other port
+    rule, and a non-URL row canonicalizes to NULL and is dropped.
+    Everything is per-row native expression — the oracle replays the
+    full rule set (lowercase scheme/host, port strip, fragment drop,
+    tracking-param filter, bytewise param sort, empty path → /) in
+    DuckDB list functions."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://Site"), (d % 20).cast("string"),
+        F.lit(".Example.org:80/Page/"), d.cast("string"),
+        F.lit("?utm_source=x&b="), (d % 3).cast("string"),
+        F.lit("&a=1&ref=feed#frag"),
+    )
+    clean = F.concat(
+        F.lit("http://site"), (d % 20).cast("string"),
+        F.lit(".example.org/Page/"), d.cast("string"),
+        F.lit("?a=1&b="), (d % 3).cast("string"),
+    )
+    https = F.concat(
+        F.lit("HTTPS://cdn"), (d % 5).cast("string"),
+        F.lit(".Example.net:443"),
+    )
+    junk = F.lit("not a url at all")
+    u = docs.select(d.alias("doc_id"), messy.alias("u")).unionByName(
+        docs.select(d.alias("doc_id"), clean.alias("u"))
+    ).unionByName(
+        docs.select(d.alias("doc_id"), https.alias("u"))
+    ).unionByName(
+        docs.select(d.alias("doc_id"), junk.alias("u"))
+    )
+    canon = u.select(
+        "doc_id", text.canonicalize_url("u").alias("url")
+    ).filter(F.col("url").isNotNull())
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
+    return canon.groupBy(host.alias("host")).agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_pages"),
+        F.sum(F.length("url")).cast("long").alias("len_sum"),
+    )
+
+
 def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link extraction (pipeline/text.py extract_urls): two URLs —
     https with a path, http with a port — planted per document
@@ -7157,6 +7207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_greedy": q_pipeline_pack_greedy,
         "pii_redact": q_pii_redact,
         "text_urls": q_text_urls,
+        "text_url_canonical": q_text_url_canonical,
         "text_tfidf_pairs": q_text_tfidf_pairs,
         "text_lm_score": q_text_lm_score,
         "text_ccnet_buckets": q_text_ccnet_buckets,
@@ -11984,6 +12035,65 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # URL extraction: same pattern, unnest + host capture + rollup
+        "text_url_canonical": """
+            WITH raw AS (
+              SELECT 'HTTP://Site' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.Example.org:80/Page/' || CAST(doc_id AS VARCHAR)
+                     || '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR)
+                     || '&a=1&ref=feed#frag' AS u
+              FROM documents
+              UNION ALL
+              SELECT 'http://site' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/Page/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'HTTPS://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.Example.net:443'
+              FROM documents
+              UNION ALL
+              SELECT 'not a url at all' FROM documents
+            ), parsed AS (
+              SELECT lower(regexp_extract(u, '^(?i)(https?)://', 1))
+                       AS scheme,
+                     lower(regexp_extract(u, '^(?i)https?://([^/?#]+)', 1))
+                       AS host0,
+                     regexp_extract(u, '^(?i)https?://[^/?#]+([^?#]*)', 1)
+                       AS path0,
+                     -- DuckDB regexp_extract is NULL on no-match where
+                     -- Spark returns '' — coalesce, or no-query URLs
+                     -- NULL out the whole concat
+                     coalesce(regexp_extract(u,
+                       '^(?i)https?://[^/?#]+[^?#]*\\?([^#]*)', 1), '')
+                       AS query0
+              FROM raw
+            ), norm AS (
+              SELECT scheme,
+                     CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                          THEN substr(host0, 1, length(host0) - 3)
+                          WHEN scheme = 'https' AND host0 LIKE '%:443'
+                          THEN substr(host0, 1, length(host0) - 4)
+                          ELSE host0 END AS host,
+                     CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                     -- array_to_string over an EMPTY list is NULL in
+                     -- DuckDB (Spark array_join gives '') — coalesce
+                     coalesce(array_to_string(list_sort(list_filter(
+                       string_split(query0, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                         '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&'), '')
+                       AS qn
+              FROM parsed
+            ), canon AS (
+              SELECT scheme || '://' || host || path
+                     || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url
+              FROM norm WHERE scheme <> '' AND host <> ''
+            )
+            SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+                   CAST(sum(length(url)) AS BIGINT) AS len_sum
+            FROM canon GROUP BY 1
+        """,
         "text_urls": f"""
             WITH p AS (
               SELECT doc_id,

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "canonicalize_url",
     "normalize_text",
     "token_count",
     "word_tokens",
@@ -487,6 +488,55 @@ def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     urls = F.regexp_extract_all(c, F.lit(_URL_PATTERN), 0)
     out = df.select(F.col(id_col), F.explode(urls).alias("url"))
     return out.withColumn("host", F.regexp_extract(F.col("url"), _URL_HOST, 1))
+
+
+_CANON_TRACKING = "^(utm_[a-z]+|gclid|fbclid|ref)="
+
+
+def canonicalize_url(col) -> Column:
+    """Canonical URL form for URL-keyed dedup (the CommonCrawl-pipeline
+    staple: the same page arrives as ``HTTP://Site.com:80/a?utm_x=1&b=2
+    #frag`` and ``http://site.com/a?b=2`` — dedup must key on one
+    spelling). Rules, all native expressions and exactly replayable in
+    SQL:
+
+    1. scheme and host lowercased (path/query case preserved — paths
+       are case-sensitive on most servers);
+    2. default ports stripped (``:80`` for http, ``:443`` for https);
+    3. fragment dropped;
+    4. tracking params removed (``utm_*``, ``gclid``, ``fbclid``,
+       ``ref``);
+    5. remaining query params sorted bytewise (param order is not
+       semantic);
+    6. empty path normalized to ``/``.
+
+    Non-URL input (no scheme://host match) returns NULL — callers
+    filter or coalesce explicitly. Pure per-row expression: no
+    shuffle, whole-stage codegen, the canonical key feeds the same
+    exact-dedup machinery as content fingerprints."""
+    u = _c(col)
+    scheme = F.lower(F.regexp_extract(u, r"^(?i)(https?)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^(?i)https?://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == F.lit("http")) & host.endswith(":80"),
+        host.substr(F.lit(1), F.length(host) - 3),
+    ).when(
+        (scheme == F.lit("https")) & host.endswith(":443"),
+        host.substr(F.lit(1), F.length(host) - 4),
+    ).otherwise(host)
+    path = F.regexp_extract(u, r"^(?i)https?://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"^(?i)https?://[^/?#]+[^?#]*\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_CANON_TRACKING),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+    return F.when((scheme != "") & (host != ""), out)
 
 
 def tfidf_pairs(

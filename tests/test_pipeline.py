@@ -2466,3 +2466,29 @@ def test_minhash_index_maintain(spark, tmp_path):
     post = sorted(tuple(r) for r in pairs_against_index(
         q, "doc_id", "text", path, threshold=0.5).collect())
     assert post == pre                         # content-identical
+
+
+def test_canonicalize_url_rules(spark):
+    """canonicalize_url: case, default ports, fragments, tracking
+    params, param order, empty path — plus the non-defaults that must
+    survive (":8080" kept, path case preserved, non-URL → NULL)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.text import canonicalize_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/A/b?utm_source=x&z=2&a=1#f",
+         "http://ex.com/A/b?a=1&z=2"),
+        ("https://Ex.com:443", "https://ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("https://ex.com/p?ref=feed&gclid=1&fbclid=2&utm_x=3",
+         "https://ex.com/p"),
+        ("http://ex.com/?b=2&a=1", "http://ex.com/?a=1&b=2"),
+        ("ftp://ex.com/x", None),
+        ("plain text", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonicalize_url("u").alias("c"))
+           .collect()]
+    assert got == [want for _, want in cases]
