@@ -4918,6 +4918,52 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash index UPSERT — the re-crawl case (round-10,
+    pipeline/dedup.py upsert_into_minhash_index, built on
+    generation-versioned tombstones): source%3∈{0,2} is indexed, the
+    %3==2 docs are RE-CRAWLED with changed content (a tail marker
+    appended) and upserted — tombstone at the current generation +
+    re-append at the next, so queries immediately see ONLY the new
+    signatures with no maintain in between (the tombstone hides
+    generations ≤ its stamp; the re-append is younger). The %3==1
+    batch is deduped against the index BEFORE maintain and again
+    AFTER (physical drop of the old generations) — the two results
+    must be identical, asserted in-query. The oracle signs the
+    EFFECTIVE corpus (old text for %3==0, new text for %3==2) via the
+    parameterized text_expr."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    path = tempfile.mkdtemp(prefix="ghs_mhidxu_")
+    dedup.build_minhash_index(
+        docs.filter(srcnum % 3 != 1), "doc_id", "text", path,
+        num_perm=64, bands=16, n_buckets=16,
+    )
+    changed = docs.filter(srcnum % 3 == 2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra crawl tail marker"))
+    )
+    m = dedup.upsert_into_minhash_index(changed, "doc_id", "text", path)
+    assert m["gen"] == 1, m
+    newb = docs.filter(srcnum % 3 == 1)
+    pre = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in dedup.pairs_against_index(
+            newb, "doc_id", "text", path, threshold=0.5
+        ).collect()
+    )
+    rep = dedup.maintain_minhash_index(spark, path)
+    assert rep["n_tombstones_applied"] > 0, rep
+    post = dedup.pairs_against_index(
+        newb, "doc_id", "text", path, threshold=0.5
+    )
+    assert pre == sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in post.collect()
+    ), "pre/post-maintain mismatch"
+    return post
+
+
 def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup join: documents split into two corpora by
     source parity (even src numbers = the 'existing corpus', odd = the
@@ -7183,6 +7229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index": q_dedup_index,
         "dedup_index_maintain": q_dedup_index_maintain,
         "dedup_index_delete": q_dedup_index_delete,
+        "dedup_index_upsert": q_dedup_index_upsert,
         "semantic_dedup": q_semantic_dedup,
         "knn_brute": q_knn_brute,
         "knn_lsh": q_knn_lsh,
@@ -7421,12 +7468,14 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
 
 
 def _cross_minhash_oracle(num_perm: int, bands: int, threshold: float,
-                          seed: int, pred_a: str, pred_b: str) -> str:
+                          seed: int, pred_a: str, pred_b: str,
+                          text_expr: str = "text") -> str:
     """dedup.cross_corpus_pairs replay: same signature/band CTEs as
     _minhash_oracle (a doc's signature depends only on its own grams, so
     signing per-corpus equals signing the union), but candidates come
     from the A×B band join (no a<b self-join filter — corpus membership
-    is the asymmetry)."""
+    is the asymmetry). ``text_expr`` substitutes the signed text — the
+    upsert gate signs re-crawled docs' NEW content."""
     from geomesa_hive_spark.pipeline.dedup import MINHASH_P, _minhash_params
 
     a, b = _minhash_params(num_perm, seed)
@@ -7444,8 +7493,9 @@ def _cross_minhash_oracle(num_perm: int, bands: int, threshold: float,
     matches = " + ".join(
         f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
+    gram_ctes = _GRAM_CTES.replace("lower(text)", f"lower({text_expr})")
     return f"""
-        WITH {_GRAM_CTES}, gh AS (
+        WITH {gram_ctes}, gh AS (
           SELECT doc_id, md5(gram) AS m FROM gr
         ), gi AS (
           SELECT doc_id, {_hex2int_sql('m', 8)} AS g FROM gh
@@ -11529,6 +11579,15 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, threshold=0.5, seed=42,
             pred_a="CAST(substr(source, 4) AS INT) % 3 = 0",
             pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
+        ),
+        "dedup_index_upsert": _cross_minhash_oracle(
+            num_perm=64, bands=16, threshold=0.5, seed=42,
+            pred_a="CAST(substr(source, 4) AS INT) % 3 != 1",
+            pred_b="CAST(substr(source, 4) AS INT) % 3 = 1",
+            text_expr=(
+                "CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 2 "
+                "THEN text || ' extra crawl tail marker' ELSE text END"
+            ),
         ),
         "semantic_dedup": _semantic_dedup_oracle(k=8, iters=2, threshold=0.9),
         "dedup_simhash": _simhash_oracle(max_hamming=3),

@@ -56,6 +56,7 @@ __all__ = [
     "append_to_minhash_index",
     "delete_from_minhash_index",
     "maintain_minhash_index",
+    "upsert_into_minhash_index",
 ]
 
 
@@ -1301,7 +1302,7 @@ def build_minhash_index(
     sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram_n, seed)
     sigs = sigs.withColumn(
         "sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_buckets)))
-    )
+    ).withColumn("gen", F.lit(0))
     # align shuffle partitions to the bucket dirs before partitionBy:
     # without this every upstream task writes a file into every bucket
     # (tasks × buckets small files — the write amplification compaction
@@ -1312,14 +1313,14 @@ def build_minhash_index(
     stored = df.sparkSession.read.parquet(os.path.join(path, "sigs")).drop("sbucket")
     keys = _minhash_band_keys(stored, num_perm, bands).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(n_buckets)))
-    )
+    ).withColumn("gen", F.lit(0))
     keys.repartition(int(n_buckets), "bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
     meta = {
         "num_perm": int(num_perm), "bands": int(bands),
         "ngram_n": int(ngram_n), "seed": int(seed),
-        "n_buckets": int(n_buckets),
+        "n_buckets": int(n_buckets), "gen": 0,
     }
     with open(os.path.join(path, "_index.json"), "w") as fh:
         json.dump(meta, fh)
@@ -1367,19 +1368,16 @@ def pairs_against_index(
     )
     # bounded collect: at most n_buckets distinct values
     need = [int(r[0]) for r in keys_new.select("bucket").distinct().collect()]
-    idx = (
-        spark.read.parquet(os.path.join(path, "bands"))
-        .filter(F.col("bucket").isin(need))   # partition-pruned scan
-        .select(F.col("id").alias("id_a"), "band", "bh", "bucket")
+    braw = spark.read.parquet(os.path.join(path, "bands")).filter(
+        F.col("bucket").isin(need)            # partition-pruned scan
     )
-    # pending deletes: tombstoned docs never match (physical removal
-    # happens at maintain — see delete_from_minhash_index)
+    # pending deletes: tombstoned generations never match (physical
+    # removal happens at maintain — see delete_from_minhash_index;
+    # an upsert's re-appended rows are YOUNGER than the tombstone and
+    # stay visible)
     tomb = _mh_tombstones(spark, path)
-    if tomb is not None:
-        idx = idx.join(
-            F.broadcast(tomb.select(F.col("id").alias("id_a"))),
-            "id_a", "left_anti",
-        )
+    braw = _mh_apply_tombstones(braw, tomb, "id")
+    idx = braw.select(F.col("id").alias("id_a"), "band", "bh", "bucket")
     cand = (
         keys_new.select(F.col("id").alias("id_b"), "band", "bh", "bucket")
         .join(idx, ["bucket", "band", "bh"])
@@ -1393,10 +1391,13 @@ def pairs_against_index(
             F.pmod(F.xxhash64("id_a"), F.lit(int(nb))).alias("sb")
         ).distinct().collect()
     ]
-    sigs_old = (
-        spark.read.parquet(os.path.join(path, "sigs"))
-        .filter(F.col("sbucket").isin(sneed))   # partition-pruned scan
-        .select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sraw = spark.read.parquet(os.path.join(path, "sigs")).filter(
+        F.col("sbucket").isin(sneed)            # partition-pruned scan
+    )
+    # same tombstone cut on the verification side: an upserted id's
+    # OLD signature must never score a candidate pair
+    sigs_old = _mh_apply_tombstones(sraw, tomb, "id").select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
     if prune_report is not None:
         prune_report.update(
@@ -1423,22 +1424,68 @@ def delete_from_minhash_index(keys: DataFrame, id_col: str, path: str) -> None:
     ``tombstones/`` table, queries anti-join them out immediately (a
     deleted doc can never appear as a match partner), and the next
     :func:`maintain_minhash_index` drops the signature/band rows
-    physically and clears the log. Deleting an unknown id is a
-    no-op."""
+    physically and clears the log. Each tombstone is stamped with the
+    index's CURRENT generation, so it hides only rows born at or
+    before the delete — a later re-append of the same id (see
+    :func:`upsert_into_minhash_index`) is immediately visible.
+    Deleting an unknown id is a no-op."""
     import os
 
-    keys.select(F.col(id_col).alias("id")).write.mode("append").parquet(
-        os.path.join(path, "tombstones")
-    )
+    g = int(minhash_index_meta(path).get("gen", 0))
+    keys.select(
+        F.col(id_col).alias("id"), F.lit(g).alias("gen")
+    ).write.mode("append").parquet(os.path.join(path, "tombstones"))
 
 
 def _mh_tombstones(spark, path: str):
+    """Distinct tombstoned ids with the LATEST generation each was
+    deleted at (max — a re-delete after a re-append must hide the new
+    rows too)."""
     import os
 
     t = os.path.join(path, "tombstones")
     if not os.path.isdir(t):
         return None
-    return spark.read.parquet(t).select("id").distinct()
+    return (
+        spark.read.parquet(t)
+        .groupBy("id").agg(F.max("gen").alias("gen"))
+    )
+
+
+def _mh_apply_tombstones(rows: DataFrame, tomb, id_col: str) -> DataFrame:
+    """Hide rows whose (id, gen) is covered by a tombstone: same id
+    AND row generation <= tombstone generation. Pre-gen rows (older
+    index layouts) count as generation 0."""
+    if tomb is None:
+        return rows
+    rgen = F.col("gen") if "gen" in rows.columns else F.lit(0)
+    t = tomb.select(
+        F.col("id").alias("__t_id"), F.col("gen").alias("__t_gen")
+    )
+    return rows.join(
+        F.broadcast(t),
+        (rows[id_col] == t["__t_id"]) & (rgen <= t["__t_gen"]),
+        "left_anti",
+    )
+
+
+def upsert_into_minhash_index(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+) -> dict:
+    """Re-index changed documents (the re-crawl case: same ids, new
+    content): tombstone the ids at the current generation, then append
+    the new content at the NEXT generation — queries immediately see
+    only the new signatures (the tombstone hides generations ≤ its
+    stamp, the re-append is younger), and the next maintain() drops
+    the old rows physically. Cost: O(ids) tombstone write + O(batch)
+    signing — never a bucket rewrite (the Lucene update trade; a
+    targeted rewrite of the id's band buckets would rewrite 1/n_buckets
+    of the index per touched bucket)."""
+    delete_from_minhash_index(new_df.select(id_col), id_col, path)
+    return append_to_minhash_index(new_df, id_col, text_col, path)
 
 
 def append_to_minhash_index(
@@ -1456,23 +1503,39 @@ def append_to_minhash_index(
     partitions adds files per partition; re-bucketing is compaction's
     job, not the writer's). Caller contract: ids must be new — the
     index stores signatures per id and duplicate ids would double-count
-    candidates. Returns the (unchanged) index metadata."""
+    candidates (use :func:`upsert_into_minhash_index` for re-crawled
+    ids). Returns the index metadata with the bumped generation."""
+    import json
     import os
 
     m = minhash_index_meta(path)
     nb = m["n_buckets"]
+    # bump the append GENERATION: rows carry it, tombstones reference
+    # it, so an UPSERT (delete id, re-append new content) hides only
+    # rows born at or before the delete — no maintain needed between
+    g = int(m.get("gen", 0)) + 1
     sigs = minhash_signatures(
         new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
     ).withColumn("sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(nb))))
+    sigs = sigs.withColumn("gen", F.lit(g))
     sigs.repartition(int(nb), "sbucket").write.mode("append").partitionBy(
         "sbucket"
     ).parquet(os.path.join(path, "sigs"))
-    keys = _minhash_band_keys(sigs.drop("sbucket"), m["num_perm"], m["bands"])
+    keys = _minhash_band_keys(
+        sigs.drop("sbucket", "gen"), m["num_perm"], m["bands"]
+    )
     keys.withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
-    ).repartition(int(nb), "bucket").write.mode("append").partitionBy(
+    ).withColumn("gen", F.lit(g)).repartition(
+        int(nb), "bucket"
+    ).write.mode("append").partitionBy(
         "bucket"
     ).parquet(os.path.join(path, "bands"))
+    m["gen"] = g
+    tmp = os.path.join(path, "_index.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(path, "_index.json"))
     return m
 
 
@@ -1510,9 +1573,7 @@ def maintain_minhash_index(spark, path: str) -> dict:
         tmp = src + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        rows = spark.read.parquet(src)
-        if tomb is not None:
-            rows = rows.join(F.broadcast(tomb), "id", "left_anti")
+        rows = _mh_apply_tombstones(spark.read.parquet(src), tomb, "id")
         (
             rows.repartition(nb, part)
             .write.mode("overwrite").partitionBy(part).parquet(tmp)

@@ -2224,6 +2224,53 @@ def test_index_delete_lifecycles(spark, tmp_path):
     assert post == pre
 
 
+def test_minhash_index_upsert_generations(spark, tmp_path):
+    """Generation-versioned tombstones: an UPSERT (same id, new
+    content) is visible immediately with no maintain between — the old
+    signature stops matching, the new one starts; pre/post-maintain
+    results identical; a RE-DELETE after a re-append hides the young
+    rows too (tombstone max-gen rule)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.dedup import (
+        build_minhash_index, delete_from_minhash_index,
+        maintain_minhash_index, pairs_against_index,
+        upsert_into_minhash_index,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    base_b = "one two three four five six seven eight nine ten " * 4
+    corpus = spark.createDataFrame(
+        [(1, base_a), (2, base_b)], "id long, text string")
+    path = str(tmp_path / "mhu")
+    build_minhash_index(corpus, "id", "text", path,
+                        num_perm=32, bands=8, n_buckets=4)
+    # probe batch: one doc near base_a, one near base_b
+    probe = spark.createDataFrame(
+        [(10, base_a + " tail"), (11, base_b + " tail")],
+        "id long, text string")
+
+    def _pairs():
+        return {(r.id_a, r.id_b) for r in pairs_against_index(
+            probe, "id", "text", path, threshold=0.5).collect()}
+
+    assert _pairs() == {(1, 10), (2, 11)}
+    # re-crawl doc 1: content becomes base_b-like -> must now match 11
+    upsert_into_minhash_index(
+        spark.createDataFrame([(1, base_b + " rewritten")],
+                              "id long, text string"),
+        "id", "text", path)
+    pre = _pairs()
+    assert pre == {(1, 11), (2, 11)}          # old match gone, new live
+    rep = maintain_minhash_index(spark, path)
+    assert rep["n_tombstones_applied"] == 1
+    assert _pairs() == pre                     # physical ≡ logical
+    # re-delete AFTER the re-append: the younger rows must hide too
+    delete_from_minhash_index(
+        spark.createDataFrame([(1,)], "id long"), "id", path)
+    assert _pairs() == {(2, 11)}
+
+
 def test_check_constraints_all_kinds(spark):
     """Every constraint kind computes the hand-checkable violation
     count on a crafted frame, and the whole suite runs as ONE scan of
