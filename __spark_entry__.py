@@ -2674,6 +2674,129 @@ def q_spatial_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip + predicate pushdown (round-10 — the
+    reference's own tests query CSV tables, `SpatialTestTables.scala`;
+    this gate gives §2.1's CSV claim a direct hash): customer is
+    written as headered CSV in-query, read back with an EXPLICIT
+    schema (schema inference is a second scan — never in a pipeline),
+    filtered (Spark pushes CSV filters since 3.0 —
+    spark.sql.csv.filterPushdown.enabled) and aggregated. Doubles
+    survive the text round-trip exactly (Spark writes shortest-repr,
+    parse restores the same IEEE value), which the decimal-cast sum
+    would expose if broken. Oracle aggregates the original table."""
+    import tempfile
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_csv_") + "/t"
+    c.write.option("header", "true").csv(path)
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, c_nationkey bigint, "
+            "c_acctbal double, c_mktsegment string"
+        ).option("header", "true").csv(path)
+    )
+    return (
+        back.filter(F.col("c_acctbal") > 1000.0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("bal_sum"),
+            F.sum(F.col("c_custkey") % F.lit(1000003))
+            .cast("long").alias("ksum"),
+        )
+        .select("c_mktsegment", "cnt",
+                F.round("bal_sum", 2).alias("bal_sum"), "ksum")
+    )
+
+
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest — the lingua franca of LLM training corpora
+    (round-10): documents are serialized to JSON-lines in-query
+    (to_json over a struct, text sink), ONE corrupt line is appended,
+    and the read-back uses an explicit schema in PERMISSIVE mode with
+    columnNameOfCorruptRecord — the corrupt line lands in the rescue
+    column instead of poisoning the batch (asserted == 1 in-query, the
+    DROPMALFORMED-vs-PERMISSIVE decision every ingest pipeline makes)
+    and valid rows aggregate to exactly the source table (the
+    oracle). Unicode and quotes in text survive the JSON round-trip —
+    that is what the fingerprint checksum pins."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    root = tempfile.mkdtemp(prefix="ghs_jsonl_")
+    path = os.path.join(root, "t")
+    docs.select(
+        F.to_json(F.struct("doc_id", "source", "text")).alias("value")
+    ).write.text(path)
+    with open(os.path.join(path, "zz_corrupt.txt"), "w") as fh:
+        fh.write('{"doc_id": 1, "source": "s", "text": unterminated\n')
+    back = (
+        spark.read.schema(
+            "doc_id bigint, source string, text string, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        # Spark refuses corrupt-column-only filters on a raw file scan
+        # (internal-column restriction) — cache materializes the parse
+        .cache()
+    )
+    n_bad = back.filter(F.col("_bad").isNotNull()).count()
+    assert n_bad == 1, f"expected exactly the planted corrupt line, {n_bad}"
+    return (
+        back.filter(F.col("_bad").isNull())
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                .cast("bigint") % F.lit(1000003)
+            ).cast("long").alias("fp_sum"),
+        )
+    )
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip + pushdown (round-10 — the other columnar
+    format a Hive-era user migrates from; the reference targets Hive,
+    where ORC is the default): orders round-trips through ORC and the
+    read-back filter must reach the ORC scan as a pushed predicate
+    (plan-asserted in-query — searchArgument pushdown is the format's
+    point). Aggregates must equal the parquet-sourced original
+    (oracle), proving byte-faithful round-trip of bigint/double/
+    string."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_orc_") + "/t"
+    o.write.orc(path)
+    back = spark.read.orc(path).filter(F.col("o_totalprice") > 100000.0)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan, plan
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("price_sum"),
+            F.sum(F.col("o_orderkey") % F.lit(1000003))
+            .cast("long").alias("ksum"),
+        )
+        .select("o_orderstatus", "cnt",
+                F.round("price_sum", 2).alias("price_sum"), "ksum")
+    )
+
+
 def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction (sources/manifest.py compact): fragment
     an orders slice into 64 tiny files (the streaming-accretion
@@ -7173,6 +7296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_pruning": q_manifest_pruning,
         "entity_phonetic": q_entity_phonetic,
         "compact_files": q_compact_files,
+        "source_csv": q_source_csv,
+        "source_jsonl": q_source_jsonl,
+        "source_orc": q_source_orc,
         "mor_upsert": q_mor_upsert,
         "mor_concurrent": q_mor_concurrent,
         "mor_time_travel": q_mor_time_travel,
@@ -10338,6 +10464,29 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY 1, 2
         """)(__import__("geomesa_hive_spark.operators.hexbin",
                         fromlist=["HEX_SQL"]).HEX_SQL("x", "y", 2.5)),
+        "source_csv": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS bal_sum,
+                   CAST(sum(c_custkey % 1000003) AS BIGINT) AS ksum
+            FROM customer WHERE c_acctbal > 1000.0
+            GROUP BY c_mktsegment
+        """,
+        "source_jsonl": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS chars,
+                   CAST(sum({_hex2int_sql("md5(text)", 8)} % 1000003)
+                        AS BIGINT) AS fp_sum
+            FROM documents GROUP BY source
+        """,
+        "source_orc": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS price_sum,
+                   CAST(sum(o_orderkey % 1000003) AS BIGINT) AS ksum
+            FROM orders WHERE o_totalprice > 100000.0
+            GROUP BY o_orderstatus
+        """,
         "compact_files": """
             SELECT o_custkey % 10 AS g, CAST(count(*) AS BIGINT) AS cnt,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
