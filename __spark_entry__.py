@@ -505,6 +505,64 @@ def q_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-bounded (RANGE) window frame — the operator shape
+    rowsBetween cannot express (round-10): for every event, the
+    count/sum of the same user's events in the PRECEDING HOUR by
+    event time (rangeBetween(-3600, 0) over epoch seconds). Range
+    frames bound by VALUE, so equal-timestamp rows always share a
+    frame — deterministic under ties without a tiebreak column,
+    unlike row frames. Rolled up per user (max in-hour burst, checksum
+    of moving sums) so the hash pins every per-event frame while the
+    result stays bounded. Oracle: DuckDB RANGE BETWEEN 3600 PRECEDING
+    over the identical epoch column."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    epoch = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id").orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    per_event = ev.select(
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_hour"),
+        F.sum(F.expr("CAST(round(value * 100.0) AS BIGINT)"))
+        .over(w).cast("long").alias("cents_hour"),
+    )
+    return per_event.groupBy("user_id").agg(
+        F.max("n_hour").cast("long").alias("max_burst"),
+        F.sum(F.col("n_hour") % F.lit(1000003)).cast("long").alias("n_sum"),
+        F.sum(F.col("cents_hour") % F.lit(1000003))
+        .cast("long").alias("c_sum"),
+    )
+
+
+def q_relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (round-10 — the inverse of relational_pivot,
+    Spark's DataFrame.unpivot → Catalyst Unpivot node): customer
+    numeric measures widened per row into (measure, value) pairs, then
+    per-(segment, measure) aggregation. The oracle replays via the
+    portable UNION ALL expansion — semantically what UNPIVOT
+    compiles to (unpivot drops NULL values by default; the measures
+    here are non-null)."""
+    c = _t(spark, sf_dir, "customer")
+    m = c.select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        (F.col("c_custkey") % F.lit(97)).cast("double").alias("keymod"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot(
+        ["c_mktsegment"], ["acctbal", "keymod", "nationkey"],
+        "measure", "value",
+    )
+    return m.groupBy("c_mktsegment", "measure").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double"), 2).alias("val_sum"),
+    )
+
+
 def q_spatial_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial OLAP rollup on the partition key: per-Z2-tile count, value
     aggregate, and tile extent (min/max coords). This is the aggregation
@@ -7286,6 +7344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
         "window_cumulative": q_window_cumulative,
+        "window_range_frame": q_window_range_frame,
+        "relational_unpivot": q_relational_unpivot,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -9632,6 +9692,45 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * 6371008.7714 * asin(sqrt(sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) * sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) + cos(radians(CAST(s_nationkey AS DOUBLE))) * cos(radians((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0))) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0))) / 1000.0, 2) AS dist_km,
                    round(2.0 * 6371008.7714 * asin(sqrt(sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) * sin(radians(((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0)) - (CAST(s_nationkey AS DOUBLE))) / 2.0) + cos(radians(CAST(s_nationkey AS DOUBLE))) * cos(radians((CAST(s_nationkey AS DOUBLE) + (s_suppkey % 5) + 1.0))) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0) * sin(radians(((((s_suppkey % 200) / 10.0 - 10.0) + (s_suppkey % 7) + 1.0)) - (((s_suppkey % 200) / 10.0 - 10.0))) / 2.0))) / 1000.0, 2) AS len_km
             FROM supplier WHERE s_suppkey <= 500
+        """,
+        "window_range_frame": """
+            WITH e AS (
+              SELECT user_id, epoch(ts) AS ep,
+                     CAST(round(value * 100.0) AS BIGINT) AS cents
+              FROM events
+            ), pe AS (
+              SELECT user_id,
+                     CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ep
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS n_hour,
+                     CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY ep
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cents_hour
+              FROM e
+            )
+            SELECT user_id, CAST(max(n_hour) AS BIGINT) AS max_burst,
+                   CAST(sum(n_hour % 1000003) AS BIGINT) AS n_sum,
+                   CAST(sum(cents_hour % 1000003) AS BIGINT) AS c_sum
+            FROM pe GROUP BY user_id
+        """,
+        "relational_unpivot": """
+            WITH m AS (
+              SELECT c_mktsegment, 'acctbal' AS measure,
+                     CAST(c_acctbal AS DOUBLE) AS value FROM customer
+              UNION ALL
+              SELECT c_mktsegment, 'keymod',
+                     CAST(c_custkey % 97 AS DOUBLE) FROM customer
+              UNION ALL
+              SELECT c_mktsegment, 'nationkey',
+                     CAST(c_nationkey AS DOUBLE) FROM customer
+            )
+            SELECT c_mktsegment, measure,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS val_sum
+            FROM m GROUP BY c_mktsegment, measure
         """,
         "window_cumulative": """
             SELECT o_orderkey, o_orderpriority,
