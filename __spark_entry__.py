@@ -9695,7 +9695,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_range_frame": """
             WITH e AS (
-              SELECT user_id, epoch(ts) AS ep,
+              -- floor to whole seconds: Spark's unix_timestamp() floors,
+              -- DuckDB's epoch() keeps fractional microseconds — an
+              -- unfloored frame disagrees for gaps in (3600, 3601)
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
                      CAST(round(value * 100.0) AS BIGINT) AS cents
               FROM events
             ), pe AS (

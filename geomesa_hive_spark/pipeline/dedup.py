@@ -1429,43 +1429,26 @@ def delete_from_minhash_index(keys: DataFrame, id_col: str, path: str) -> None:
     before the delete — a later re-append of the same id (see
     :func:`upsert_into_minhash_index`) is immediately visible.
     Deleting an unknown id is a no-op."""
-    import os
+    from geomesa_hive_spark.pipeline import index_io
 
     g = int(minhash_index_meta(path).get("gen", 0))
-    keys.select(
-        F.col(id_col).alias("id"), F.lit(g).alias("gen")
-    ).write.mode("append").parquet(os.path.join(path, "tombstones"))
+    index_io.write_tombstones(keys, id_col, path, g)
 
 
 def _mh_tombstones(spark, path: str):
-    """Distinct tombstoned ids with the LATEST generation each was
-    deleted at (max — a re-delete after a re-append must hide the new
-    rows too)."""
-    import os
+    from geomesa_hive_spark.pipeline import index_io
 
-    t = os.path.join(path, "tombstones")
-    if not os.path.isdir(t):
-        return None
-    return (
-        spark.read.parquet(t)
-        .groupBy("id").agg(F.max("gen").alias("gen"))
-    )
+    return index_io.read_tombstones(spark, path)
 
 
 def _mh_apply_tombstones(rows: DataFrame, tomb, id_col: str) -> DataFrame:
-    """Hide rows whose (id, gen) is covered by a tombstone: same id
-    AND row generation <= tombstone generation. Pre-gen rows (older
-    index layouts) count as generation 0."""
+    from geomesa_hive_spark.pipeline import index_io
+
     if tomb is None:
         return rows
-    rgen = F.col("gen") if "gen" in rows.columns else F.lit(0)
-    t = tomb.select(
-        F.col("id").alias("__t_id"), F.col("gen").alias("__t_gen")
-    )
-    return rows.join(
-        F.broadcast(t),
-        (rows[id_col] == t["__t_id"]) & (rgen <= t["__t_gen"]),
-        "left_anti",
+    return index_io.apply_tombstones(
+        index_io.require_generation_column(rows, "minhash index"),
+        tomb, id_col,
     )
 
 
@@ -1554,22 +1537,27 @@ def maintain_minhash_index(spark, path: str) -> dict:
     flight. Pending tombstones (see :func:`delete_from_minhash_index`)
     are applied physically here — band and signature rows of deleted
     ids dropped during the same rewrite, log cleared after. Returns
-    {side: {files_before, files_after}, "n_tombstones_applied"}."""
-    import glob
+    {side: {files_before, files_after}, "n_tombstones_applied"} where
+    the count is distinct ids whose rows were ACTUALLY removed
+    (unknown-id deletes and already-superseded upsert tombstones do
+    not count — uniform semantics across the three indexes via
+    pipeline/index_io.py)."""
     import os
     import shutil
+
+    from geomesa_hive_spark.pipeline import index_io
 
     m = minhash_index_meta(path)
     nb = int(m["n_buckets"])
     report: dict = {}
     tomb = _mh_tombstones(spark, path)
-
-    def _nfiles(d: str) -> int:
-        return len(glob.glob(os.path.join(d, "*", "*.parquet")))
+    report["n_tombstones_applied"] = index_io.removed_ids_count(
+        spark.read.parquet(os.path.join(path, "sigs")), tomb, "id"
+    )
 
     for side, part in (("bands", "bucket"), ("sigs", "sbucket")):
         src = os.path.join(path, side)
-        before = _nfiles(src)
+        before = index_io.n_part_files(src)
         tmp = src + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -1578,15 +1566,10 @@ def maintain_minhash_index(spark, path: str) -> dict:
             rows.repartition(nb, part)
             .write.mode("overwrite").partitionBy(part).parquet(tmp)
         )
-        old = src + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
-        report[side] = {"files_before": before, "files_after": _nfiles(src)}
-    report["n_tombstones_applied"] = 0 if tomb is None else tomb.count()
-    t_dir = os.path.join(path, "tombstones")
-    if os.path.isdir(t_dir):
-        shutil.rmtree(t_dir)
+        index_io.swap_dir(src, tmp)
+        report[side] = {
+            "files_before": before,
+            "files_after": index_io.n_part_files(src),
+        }
+    index_io.clear_tombstones(path)
     return report

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "append_to_bm25_index", "bm25_query_index", "bm25_topk",
     "build_bm25_index", "delete_from_bm25_index", "maintain_bm25_index",
-    "rrf_fuse",
+    "rrf_fuse", "upsert_into_bm25_index",
 ]
 
 _SCALE = 1_000_000
@@ -174,11 +174,15 @@ def build_bm25_index(
     nb = int(n_buckets)
     if nb < 1:
         raise ValueError("n_buckets must be >= 1")
+    # localCheckpoint: the base plan is consumed four times (stats agg,
+    # postings write, terms aggregation, docs side write) and each
+    # independent evaluation would re-run the pandas-UDF tokenization —
+    # a 4x ingest tax (round-10 review finding)
     base = docs.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).alias("dl"),
         word_tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    ).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]
@@ -186,12 +190,15 @@ def build_bm25_index(
         "n_docs": int(n_row["n"]),
         "total_dl": int(n_row["tot"] or 0),
         "n_buckets": nb,
+        "gen": 0,
     }
     postings = (
         base.select("id", "dl", F.explode("toks").alias("term"))
         .groupBy("term", "id", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+        .withColumn("gen", F.lit(0))
+        .localCheckpoint()
     )
     # one shuffle on bucket so each partition directory holds one file
     # set, not one fragment per upstream task
@@ -209,17 +216,19 @@ def build_bm25_index(
     # postings alone can't reconstruct n_docs/total_dl (a zero-token
     # doc has NO postings rows but still counts), so maintain() after
     # deletes recomputes stats from here, exactly
-    _write_docs_side(base, path, nb, mode="overwrite")
+    _write_docs_side(base, path, nb, mode="overwrite", gen=0)
     with open(os.path.join(path, "stats.json"), "w") as fh:
         json.dump(stats, fh)
     return stats
 
 
-def _write_docs_side(base: DataFrame, path: str, nb: int, mode: str) -> None:
+def _write_docs_side(base: DataFrame, path: str, nb: int, mode: str,
+                     gen: int) -> None:
     (
         base.select(
             "id", "dl",
             F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int").alias("dbucket"),
+            F.lit(int(gen)).alias("gen"),
         )
         .repartition(nb, "dbucket")
         .write.mode(mode).partitionBy("dbucket")
@@ -244,17 +253,27 @@ def append_to_bm25_index(
     one), and ``stats.json`` is atomically advanced by the batch's
     exact integer (n_docs, total_dl). Caller contract: ids must be
     new — postings are per (term, id) and a re-appended id would
-    double-count its term frequencies. Returns the updated stats."""
+    double-count its term frequencies; re-crawled ids go through
+    :func:`upsert_into_bm25_index`, whose generation-versioned
+    tombstones make the replacement safe. Returns the updated stats
+    with the bumped generation."""
     from geomesa_hive_spark.pipeline.text import token_count, word_tokens
 
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
+    if "gen" not in stats:
+        raise ValueError(
+            "BM25 index predates generation-versioned tombstones — "
+            "rebuild the index with the current version"
+        )
     nb = int(stats["n_buckets"])
+    g = int(stats["gen"]) + 1
+    # localCheckpoint: same 4x-tokenization fix as the build path
     base = new_docs.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).alias("dl"),
         word_tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    ).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]
@@ -263,6 +282,8 @@ def append_to_bm25_index(
         .groupBy("term", "id", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+        .withColumn("gen", F.lit(g))
+        .localCheckpoint()
     )
     postings.repartition(nb, "bucket").write.mode("append").partitionBy(
         "bucket"
@@ -274,9 +295,10 @@ def append_to_bm25_index(
     terms.repartition(nb, "bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(os.path.join(path, "terms"))
-    _write_docs_side(base, path, nb, mode="append")
+    _write_docs_side(base, path, nb, mode="append", gen=g)
     stats["n_docs"] = int(stats["n_docs"]) + int(n_row["n"])
     stats["total_dl"] = int(stats["total_dl"]) + int(n_row["tot"] or 0)
+    stats["gen"] = g
     tmp = os.path.join(path, "stats.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
@@ -294,17 +316,39 @@ def delete_from_bm25_index(keys: DataFrame, id_col: str, path: str) -> None:
     both exactly — the same trade Lucene makes (deleted docs count in
     df until segment merge) because computing a deleted doc's term
     memberships eagerly would need a full postings scan per delete.
+    Tombstones are stamped with the index's CURRENT generation (see
+    pipeline/index_io.py), so a later re-append of the same id — the
+    :func:`upsert_into_bm25_index` path — is immediately visible.
     Deleting an id not in the index is a no-op."""
-    keys.select(F.col(id_col).alias("id")).write.mode("append").parquet(
-        os.path.join(path, "tombstones")
-    )
+    from geomesa_hive_spark.pipeline import index_io
+
+    with open(os.path.join(path, "stats.json")) as fh:
+        g = int(json.load(fh).get("gen", 0))
+    index_io.write_tombstones(keys, id_col, path, g)
+
+
+def upsert_into_bm25_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+) -> dict:
+    """Re-index changed documents (the re-crawl case: same ids, new
+    content): tombstone at the current generation, re-append at the
+    next — queries immediately score ONLY the new postings (the
+    tombstone hides generations ≤ its stamp, the re-append is
+    younger); df and corpus stats stay stale until maintain, exactly
+    as for plain deletes (the appended batch's stats are added, the
+    dead generations' are not yet subtracted). Cost: O(ids) tombstone
+    write + O(batch) tokenize — never a bucket rewrite."""
+    delete_from_bm25_index(new_docs.select(id_col), id_col, path)
+    return append_to_bm25_index(new_docs, id_col, text_col, path)
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    t = os.path.join(path, "tombstones")
-    if not os.path.isdir(t):
-        return None
-    return spark.read.parquet(t).select("id").distinct()
+    from geomesa_hive_spark.pipeline import index_io
+
+    return index_io.read_tombstones(spark, path)
 
 
 def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
@@ -321,51 +365,57 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
     (term, id), so this equals the summed-df path when nothing was
     deleted; queries before/after a delete-free maintain are
     bit-identical, pytest-pinned), recomputes exact ``stats.json``
-    from the ``docs/`` side table minus tombstones, and clears the
-    tombstone log. Rename-based swap under the same single-maintainer
-    contract as manifest.vacuum: no concurrent query/append in flight.
-    Returns {side: {files_before, files_after}, "n_tombstoned": int}."""
-    import glob
+    from the ``docs/`` side table minus tombstoned generations, and
+    clears the tombstone log. Rename-based swap under the same
+    single-maintainer contract as manifest.vacuum: no concurrent
+    query/append in flight. Returns {side: {files_before,
+    files_after}, "n_tombstoned": distinct ids actually removed} —
+    the uniform report semantics of pipeline/index_io.py."""
     import shutil
+
+    from geomesa_hive_spark.pipeline import index_io
 
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
     nb = int(stats["n_buckets"])
     report: dict = {}
     tomb = _tombstones(spark, path)
+    docs_dir = os.path.join(path, "docs")
+    if tomb is not None and not os.path.isdir(docs_dir):
+        raise ValueError(
+            "cannot apply tombstones: index has no docs/ side table "
+            "(built before round 10) — stats would go permanently "
+            "stale; rebuild the index with the current version"
+        )
 
-    def _nfiles(d: str) -> int:
-        return len(glob.glob(os.path.join(d, "*", "*.parquet")))
-
-    def _swap(src: str, tmp: str) -> None:
-        old = src + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
+    def _hide(rows):
+        if tomb is None:
+            return rows
+        return index_io.apply_tombstones(
+            index_io.require_generation_column(rows, "BM25 index"),
+            tomb, "id",
+        )
 
     post_dir = os.path.join(path, "postings")
-    before = _nfiles(post_dir)
+    before = index_io.n_part_files(post_dir)
     tmp = post_dir + ".compact"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    posts = spark.read.parquet(post_dir)
-    if tomb is not None:
-        posts = posts.join(F.broadcast(tomb), "id", "left_anti")
     (
-        posts.repartition(nb, "bucket")
+        _hide(spark.read.parquet(post_dir))
+        .repartition(nb, "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     )
-    _swap(post_dir, tmp)
+    index_io.swap_dir(post_dir, tmp)
     report["postings"] = {
-        "files_before": before, "files_after": _nfiles(post_dir),
+        "files_before": before,
+        "files_after": index_io.n_part_files(post_dir),
     }
 
     # terms REBUILT from the compacted postings, never patched — the
     # only delete-correct source of df
     term_dir = os.path.join(path, "terms")
-    before = _nfiles(term_dir)
+    before = index_io.n_part_files(term_dir)
     tmp = term_dir + ".compact"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -376,29 +426,30 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
         .repartition(nb, "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     )
-    _swap(term_dir, tmp)
+    index_io.swap_dir(term_dir, tmp)
     report["terms"] = {
-        "files_before": before, "files_after": _nfiles(term_dir),
+        "files_before": before,
+        "files_after": index_io.n_part_files(term_dir),
     }
 
-    docs_dir = os.path.join(path, "docs")
     n_tomb = 0
     if os.path.isdir(docs_dir):
-        before = _nfiles(docs_dir)
+        n_tomb = index_io.removed_ids_count(
+            spark.read.parquet(docs_dir), tomb, "id"
+        )
+        before = index_io.n_part_files(docs_dir)
         tmp = docs_dir + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        docs = spark.read.parquet(docs_dir)
-        if tomb is not None:
-            n_before = docs.count()
-            docs = docs.join(F.broadcast(tomb), "id", "left_anti")
         (
-            docs.repartition(nb, "dbucket")
+            _hide(spark.read.parquet(docs_dir))
+            .repartition(nb, "dbucket")
             .write.mode("overwrite").partitionBy("dbucket").parquet(tmp)
         )
-        _swap(docs_dir, tmp)
+        index_io.swap_dir(docs_dir, tmp)
         report["docs"] = {
-            "files_before": before, "files_after": _nfiles(docs_dir),
+            "files_before": before,
+            "files_after": index_io.n_part_files(docs_dir),
         }
         # exact stats from the surviving docs — n_docs counts
         # zero-token docs too, which postings alone cannot
@@ -406,17 +457,13 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
         row = kept.agg(
             F.count("*").alias("n"), F.sum("dl").alias("tot")
         ).collect()[0]
-        if tomb is not None:
-            n_tomb = n_before - int(row["n"])
         stats["n_docs"] = int(row["n"])
         stats["total_dl"] = int(row["tot"] or 0)
         tmpj = os.path.join(path, "stats.json.tmp")
         with open(tmpj, "w") as fh:
             json.dump(stats, fh)
         os.replace(tmpj, os.path.join(path, "stats.json"))
-    t_dir = os.path.join(path, "tombstones")
-    if os.path.isdir(t_dir):
-        shutil.rmtree(t_dir)
+    index_io.clear_tombstones(path)
     report["n_tombstoned"] = n_tomb
     return report
 
@@ -485,12 +532,18 @@ def bm25_query_index(
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     )
-    # pending deletes: tombstoned docs are never returned; df/stats
-    # stay stale until maintain() (Lucene delete semantics — see
-    # delete_from_bm25_index)
+    # pending deletes: tombstoned generations are never returned —
+    # re-appended (upserted) rows are younger and stay visible;
+    # df/stats stay stale until maintain() (Lucene delete semantics —
+    # see delete_from_bm25_index)
     tomb = _tombstones(spark, path)
     if tomb is not None:
-        post = post.join(F.broadcast(tomb), "id", "left_anti")
+        from geomesa_hive_spark.pipeline import index_io
+
+        post = index_io.apply_tombstones(
+            index_io.require_generation_column(post, "BM25 index"),
+            tomb, "id",
+        )
     scored = (
         post.withColumn("idf", idf_col)
         .withColumn("c", F.expr(contrib))

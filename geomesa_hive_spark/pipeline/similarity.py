@@ -85,6 +85,7 @@ __all__ = [
     "append_to_ivf_index",
     "delete_from_ivf_index",
     "maintain_ivf_index",
+    "upsert_into_ivf_index",
     "knn_query_index",
     "embedding_centroids",
     "kmeans",
@@ -419,13 +420,13 @@ def build_ivf_index(
     centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
     assigned = df.select(id_col, vec_col).withColumn(
         "list_id", _list_id_expr(centroids, vec_col)
-    )
+    ).withColumn("gen", F.lit(0))
     assigned.repartition(int(n_lists), "list_id").write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
     meta = {
         "n_lists": int(n_lists), "id_col": id_col, "vec_col": vec_col,
-        "dim": int(centroids.shape[1]),
+        "dim": int(centroids.shape[1]), "gen": 0,
         "centroids": [[float(x) for x in c] for c in centroids],
     }
     with open(os.path.join(path, "_index.json"), "w") as fh:
@@ -446,47 +447,74 @@ def append_to_ivf_index(new_df: DataFrame, path: str) -> dict:
     parameter commitment — appended vectors join exactly the lists a
     full rebuild over build-corpus pivots would give them) and append
     into the same list partitions; existing files are never rewritten.
-    Caller contract: ids must be new. Re-bucketing is
-    :func:`maintain_ivf_index`'s job."""
+    Caller contract: ids must be new — replaced vectors go through
+    :func:`upsert_into_ivf_index`, whose generation-versioned
+    tombstones make the swap safe. Re-bucketing is
+    :func:`maintain_ivf_index`'s job. Returns the metadata with the
+    bumped generation."""
+    import json
     import os
 
     m = ivf_index_meta(path)
+    if "gen" not in m:
+        raise ValueError(
+            "IVF index predates generation-versioned tombstones — "
+            "rebuild the index with the current version"
+        )
+    g = int(m["gen"]) + 1
     centroids = np.asarray(m["centroids"], dtype=np.float64)
     assigned = new_df.select(m["id_col"], m["vec_col"]).withColumn(
         "list_id", _list_id_expr(centroids, m["vec_col"])
-    )
+    ).withColumn("gen", F.lit(g))
     assigned.repartition(int(m["n_lists"]), "list_id").write.mode(
         "append"
     ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
+    m["gen"] = g
+    tmp = os.path.join(path, "_index.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(path, "_index.json"))
     return m
+
+
+def upsert_into_ivf_index(new_df: DataFrame, path: str) -> dict:
+    """Replace vectors in place (re-embedded documents: same ids, new
+    vectors): tombstone the ids at the current generation, append the
+    new vectors at the next — probes immediately see only the new
+    vectors (which may land in DIFFERENT lists; the stored centroids
+    never move, so both old hiding and new placement stay valid), and
+    the next maintain() drops the old rows physically. Cost: O(ids) +
+    O(batch) — never a list rewrite."""
+    m = ivf_index_meta(path)
+    delete_from_ivf_index(new_df.select(m["id_col"]), path)
+    return append_to_ivf_index(new_df, path)
 
 
 def delete_from_ivf_index(keys: DataFrame, path: str) -> None:
     """Tombstone vectors out of the IVF index — Lucene-style delete
-    semantics shared with the minhash/BM25 indexes: ids land in an
-    append-only ``tombstones/`` table, :func:`knn_query_index`
-    anti-joins them out immediately (a deleted vector can never be a
-    neighbor), and the next :func:`maintain_ivf_index` drops the rows
-    physically during its rewrite and clears the log. The stored
-    centroids are NOT re-derived on delete — the index is the
-    parameter commitment, and probes stay valid for any corpus subset
-    (deleting vectors can only shrink lists, never move one).
-    Deleting an unknown id is a no-op."""
-    import os
+    semantics shared with the minhash/BM25 indexes (generation-
+    versioned via pipeline/index_io.py, so an upsert's re-appended
+    vectors stay visible): ids land in an append-only ``tombstones/``
+    table, :func:`knn_query_index` anti-joins them out immediately (a
+    deleted vector can never be a neighbor), and the next
+    :func:`maintain_ivf_index` drops the rows physically during its
+    rewrite and clears the log. The stored centroids are NOT
+    re-derived on delete — the index is the parameter commitment, and
+    probes stay valid for any corpus subset (deleting vectors can only
+    shrink lists, never move one). Deleting an unknown id is a
+    no-op."""
+    from geomesa_hive_spark.pipeline import index_io
 
     m = ivf_index_meta(path)
-    keys.select(F.col(m["id_col"])).write.mode("append").parquet(
-        os.path.join(path, "tombstones")
+    index_io.write_tombstones(
+        keys, m["id_col"], path, int(m.get("gen", 0))
     )
 
 
-def _ivf_tombstones(spark, path: str, id_col: str):
-    import os
+def _ivf_tombstones(spark, path: str):
+    from geomesa_hive_spark.pipeline import index_io
 
-    t = os.path.join(path, "tombstones")
-    if not os.path.isdir(t):
-        return None
-    return spark.read.parquet(t).select(id_col).distinct()
+    return index_io.read_tombstones(spark, path)
 
 
 def maintain_ivf_index(spark, path: str) -> dict:
@@ -496,37 +524,36 @@ def maintain_ivf_index(spark, path: str) -> dict:
     physically (see :func:`delete_from_ivf_index`). Content- and
     centroid-identical when nothing was deleted; same
     single-maintainer contract as the minhash/manifest maintenance
-    ops. Returns {files_before, files_after, n_tombstones_applied}."""
-    import glob
+    ops. Returns {files_before, files_after, n_tombstones_applied}
+    with the count = distinct ids whose rows were ACTUALLY removed
+    (pipeline/index_io.py's uniform semantics)."""
     import os
     import shutil
 
+    from geomesa_hive_spark.pipeline import index_io
+
     m = ivf_index_meta(path)
     src = os.path.join(path, "lists")
-    tomb = _ivf_tombstones(spark, path, m["id_col"])
-    before = len(glob.glob(os.path.join(src, "*", "*.parquet")))
+    tomb = _ivf_tombstones(spark, path)
+    before = index_io.n_part_files(src)
     tmp = src + ".compact"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     rows = spark.read.parquet(src)
+    n_removed = 0
     if tomb is not None:
-        rows = rows.join(F.broadcast(tomb), m["id_col"], "left_anti")
+        rows = index_io.require_generation_column(rows, "IVF index")
+        n_removed = index_io.removed_ids_count(rows, tomb, m["id_col"])
+        rows = index_io.apply_tombstones(rows, tomb, m["id_col"])
     (
         rows.repartition(int(m["n_lists"]), "list_id")
         .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     )
-    old = src + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(src, old)
-    os.rename(tmp, src)
-    shutil.rmtree(old)
-    after = len(glob.glob(os.path.join(src, "*", "*.parquet")))
-    rep = {"files_before": before, "files_after": after,
-           "n_tombstones_applied": 0 if tomb is None else tomb.count()}
-    t_dir = os.path.join(path, "tombstones")
-    if os.path.isdir(t_dir):
-        shutil.rmtree(t_dir)
+    index_io.swap_dir(src, tmp)
+    rep = {"files_before": before,
+           "files_after": index_io.n_part_files(src),
+           "n_tombstones_applied": n_removed}
+    index_io.clear_tombstones(path)
     return rep
 
 
@@ -551,11 +578,17 @@ def knn_query_index(
         spark.read.parquet(os.path.join(path, "lists"))
         .filter(F.col("list_id").isin(order))
     )
-    # pending deletes: tombstoned vectors are never neighbors
+    # pending deletes: tombstoned generations are never neighbors —
+    # upserted (re-appended) vectors are younger and stay visible
     # (physical removal happens at maintain)
-    tomb = _ivf_tombstones(spark, path, m["id_col"])
+    tomb = _ivf_tombstones(spark, path)
     if tomb is not None:
-        cand = cand.join(F.broadcast(tomb), m["id_col"], "left_anti")
+        from geomesa_hive_spark.pipeline import index_io
+
+        cand = index_io.apply_tombstones(
+            index_io.require_generation_column(cand, "IVF index"),
+            tomb, m["id_col"],
+        )
     return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
 
 

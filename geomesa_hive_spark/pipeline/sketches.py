@@ -74,7 +74,13 @@ def hll_build(
     built-on-the-union, which the pytest pins."""
     m = 1 << int(p)
     wbits = _HLL_BITS - int(p)
-    h = _hll_hash(value_col, seed)
+    v = value_col if isinstance(value_col, Column) else F.col(value_col)
+    # NULLs are excluded, matching count(DISTINCT ...) semantics —
+    # concat_ws silently DROPS a NULL operand, so without this filter
+    # every NULL row would hash the salt alone and the sketch would
+    # report one phantom distinct value (round-10 review finding)
+    df = df.filter(v.isNotNull())
+    h = _hll_hash(v, seed)
     idx = (h % F.lit(m)).cast("int").alias("idx")
     # integer shift, NOT `/` — Column `/` is double division and a
     # 60-bit hash exceeds double exactness (2^53)

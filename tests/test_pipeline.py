@@ -2224,6 +2224,67 @@ def test_index_delete_lifecycles(spark, tmp_path):
     assert post == pre
 
 
+def test_bm25_and_ivf_upsert_before_maintain(spark, tmp_path):
+    """The re-crawl trap the round-10 review caught: delete-then-
+    re-append the SAME id before any maintain must serve the NEW
+    content (generation-versioned tombstones), and maintain must keep
+    it — for BM25 and IVF, matching the minhash behavior."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_query_index, build_bm25_index, maintain_bm25_index,
+        upsert_into_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "dog elephant fox")],
+        "id long, text string")
+    pb = str(tmp_path / "bm")
+    build_bm25_index(docs, "id", "text", pb, n_buckets=4)
+    # re-crawl doc 1: now about dogs — must match 'dog', not 'apple'
+    upsert_into_bm25_index(
+        spark.createDataFrame([(1, "dog dog dog kennel")],
+                              "id long, text string"),
+        "id", "text", pb)
+    got = {r.id for r in bm25_query_index(spark, pb, "dog", k=10)
+           .collect()}
+    assert got == {1, 2}                       # new content live
+    assert not bm25_query_index(spark, pb, "apple", k=10).collect()
+    rep = maintain_bm25_index(spark, pb)
+    assert rep["n_tombstoned"] == 1
+    got2 = {r.id for r in bm25_query_index(spark, pb, "dog", k=10)
+            .collect()}
+    assert got2 == {1, 2}                      # survived the merge
+    import json
+    stats = json.load(open(pb + "/stats.json"))
+    assert stats["n_docs"] == 2                # exact after maintain
+
+    from geomesa_hive_spark.pipeline.similarity import (
+        build_ivf_index, knn_query_index, maintain_ivf_index,
+        upsert_into_ivf_index,
+    )
+    rng = np.random.RandomState(1)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(16)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pv = str(tmp_path / "iv")
+    build_ivf_index(vdf, "vec_id", "embedding", pv, n_lists=2)
+    # re-embed vector 3 to be exactly vector 7's embedding
+    upsert_into_ivf_index(
+        spark.createDataFrame([(3, vecs[7][1])],
+                              "vec_id long, embedding array<double>"),
+        pv)
+    top = [r.id for r in knn_query_index(spark, pv, vecs[7][1], k=2,
+                                         n_probe=2).collect()]
+    assert set(top) == {3, 7}                  # new vector live
+    rep = maintain_ivf_index(spark, pv)
+    assert rep["n_tombstones_applied"] == 1
+    top2 = [r.id for r in knn_query_index(spark, pv, vecs[7][1], k=2,
+                                          n_probe=2).collect()]
+    assert set(top2) == {3, 7}
+
+
 def test_minhash_index_upsert_generations(spark, tmp_path):
     """Generation-versioned tombstones: an UPSERT (same id, new
     content) is visible immediately with no maintain between — the old
