@@ -20,6 +20,7 @@ from geomesa_hive_spark.streaming.events import (
     streaming_dedup,
     stateful_sessions,
     stateful_anomaly,
+    stateful_anomaly_tws,
     stream_interval_join,
     batch_anomaly,
     batch_sessions,
@@ -33,6 +34,7 @@ __all__ = [
     "session_rollup",
     "stateful_sessions",
     "stateful_anomaly",
+    "stateful_anomaly_tws",
     "stream_interval_join",
     "batch_anomaly",
     "batch_sessions",

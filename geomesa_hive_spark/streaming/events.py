@@ -474,6 +474,75 @@ def stateful_anomaly(events: DataFrame) -> DataFrame:
     )
 
 
+class _AnomalyProcessor:
+    """transformWithStateInPandas twin of :func:`_anomaly` — defined
+    lazily inside :func:`stateful_anomaly_tws` would re-create the
+    class per call; module level keeps it picklable. Runs the SAME
+    ``_anomaly_fold`` verbatim, so old-API, new-API, and batch results
+    are a three-way bit-identical parity set (pytest-pinned)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("anom", _ANOM_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        st = self._state.get() if self._state.exists() else (0, 0.0, 0)
+        for pdf in rows:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            st = _anomaly_fold(
+                pdf["value"].to_numpy(), st, 0.2, 3.0, 5
+            )
+        self._state.update((int(st[0]), float(st[1]), int(st[2])))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [st[0]],
+                "ewma": [st[1]],
+                "n_anomalies": [st[2]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_anomaly_tws(events: DataFrame) -> DataFrame:
+    """The EWMA anomaly scorer on Spark 4's NEW arbitrary-state API
+    (``transformWithStateInPandas`` / StatefulProcessor — the
+    successor to applyInPandasWithState, with typed state handles,
+    timers, and multi-state support this operator deliberately keeps
+    minimal): one ValueState of 3 scalars per user, the same
+    ``_anomaly_fold`` verbatim. Exists alongside
+    :func:`stateful_anomaly` as the migration target — the parity
+    pytest pins old API ≡ new API ≡ batch fold, so a user can switch
+    APIs without a result change.
+
+    Requires ``google.protobuf`` (the new API's state server speaks
+    protobuf); raises ImportError with a clear message where the
+    dependency is absent — this container, for one — in which case
+    :func:`stateful_anomaly` is the supported path."""
+    try:
+        from google.protobuf import descriptor as _d  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(Spark's new-API state server protocol); use "
+            "stateful_anomaly (applyInPandasWithState) here"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass at call time so importing this module never requires the
+    # new API to exist (older Sparks)
+    proc = type(
+        "_AnomalyProcessorTWS", (_AnomalyProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def batch_anomaly(
     events: DataFrame, order_cols: "tuple[str, ...]" = ("ts",)
 ) -> DataFrame:

@@ -274,6 +274,43 @@ def test_stateful_anomaly_matches_batch(spark, events_stream):
     assert any(v[2] > 0 for v in exp.values())  # anomalies actually fire
 
 
+def test_stateful_anomaly_tws_three_way_parity(spark, events_stream):
+    """Spark-4 transformWithStateInPandas twin: new-API streaming ≡
+    old-API applyInPandasWithState ≡ batch fold — the migration
+    guarantee (all three share _anomaly_fold verbatim). Skips where
+    google.protobuf (the new API's state-server protocol) is absent —
+    the operator itself raises a clear ImportError there, which the
+    skip branch asserts."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="protobuf"):
+            streaming.stateful_anomaly_tws(events_stream)
+        _pytest.skip("google.protobuf not installed in this container")
+    streaming.run_to_memory(
+        streaming.stateful_anomaly_tws(events_stream), "anom_tws_t",
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: (r["n"], round(r["ewma"], 9), r["n_anomalies"])
+        for r in spark.table("anom_tws_t")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("ewma", "n").alias("ewma"),
+            F.max("n_anomalies").alias("n_anomalies"),
+        )
+        .collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], round(r["ewma"], 9), r["n_anomalies"])
+        for r in streaming.batch_anomaly(_batch_events(spark)).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
 def test_stream_interval_join_matches_batch(spark, events_stream):
     streaming.run_to_memory(
         streaming.stream_interval_join(events_stream), "sij_t",
