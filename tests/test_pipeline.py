@@ -424,7 +424,9 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     n_before = len(_glob.glob(path + "/lists/*/*.parquet"))
     rep = similarity.maintain_ivf_index(spark, path)
     assert rep["files_before"] == n_before > rep["files_after"] <= 8
-    assert similarity.ivf_index_meta(path) == meta
+    # append bumps the generation counter (tombstone versioning);
+    # everything else — centroids above all — must be untouched
+    assert similarity.ivf_index_meta(path) == {**meta, "gen": 1}
     post = [(r.id, r.cos_sim) for r in similarity.knn_query_index(
         spark, path, qv, k=10, n_probe=3).collect()]
     assert post == pre
