@@ -495,6 +495,10 @@ CUSTOM = {
 GATE = [
     "dedup_minhash_lsh", "dedup_index", "bm25_index", "knn_ivfpq",
     "entity_link", "mor_merge", "mor_tpch_refresh",
+    # round-10 index lifecycles: build+append+maintain+query verbatim —
+    # the maintain rewrite is corpus-proportional by design, so these
+    # pin that the WHOLE lifecycle stays linear, not just the build
+    "dedup_index_upsert", "bm25_index_delete",
     # round-8 coverage extension: the broader pipeline families
     "dedup_clusters", "curation_pipeline", "text_keywords", "bpe_train",
     "graph_pagerank",
