@@ -4265,6 +4265,50 @@ def q_manifest_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only approximate COUNT DISTINCT (round-10,
+    sources/manifest.py pruned_ndv — Iceberg's sketch-NDV stats in the
+    repo's md5-replayable HLL form): orders is written range-clustered
+    with a per-file HLL register sketch of o_custkey as a packed
+    binary column in the sharded parquet manifest (built with
+    EXACTLY pipeline/sketches.hll_build's hash arithmetic); the
+    full-range query max-merges all files' registers via a
+    column-pruned Arrow scan — asserted in-query — and must equal the
+    SQL HLL replay over the column EXACTLY (register merge is exact:
+    the merged sketch IS the union's sketch). A partial-range call is
+    asserted to merge fewer files while remaining superset-monotone
+    (est_partial ≤ est_full). Exact distinct returned alongside so
+    the m=512 error is visible."""
+    import tempfile
+
+    from geomesa_hive_spark.sources import manifest as M
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_ndv_")
+    M.write_with_manifest(
+        o, path, ["o_orderkey"], n_files=16,
+        manifest_format="parquet", ndv_cols=["o_custkey"],
+    )
+    est, rep = M.pruned_ndv(path, "o_custkey")
+    assert M._LAST_NDV_SCAN_COLUMNS == [
+        "file", "min_o_orderkey", "max_o_orderkey", "ndv_o_custkey",
+    ], M._LAST_NDV_SCAN_COLUMNS
+    assert rep["files_merged"] == rep["n_files"] == 16, rep
+    mid = int(o.agg(F.max("o_orderkey")).collect()[0][0]) // 2
+    est_part, rep_part = M.pruned_ndv(path, "o_custkey", lo=0, hi=mid)
+    assert rep_part["files_merged"] < rep_part["n_files"], rep_part
+    assert est_part <= est + 1e-9, (est_part, est)
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("x")
+    ).collect()[0]["x"]
+    return spark.createDataFrame(
+        [(round(est, 4), int(exact), rep["files_merged"], rep["n_files"])],
+        "est_distinct double, exact long, files_merged int, n_files int",
+    )
+
+
 def q_manifest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file Bloom-filter point lookup (round-7, sources/manifest.py
     bloom_cols + read_point_lookup — Iceberg puffin / Parquet
@@ -7384,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_zorder": q_manifest_zorder,
         "manifest_bloom": q_manifest_bloom,
         "manifest_bloom_parquet": q_manifest_bloom_parquet,
+        "manifest_ndv": q_manifest_ndv,
         "pipeline_checks": q_pipeline_checks,
         "table_diff": q_table_diff,
         "key_skew": q_key_skew,
@@ -12729,6 +12774,38 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(DISTINCT user_id) AS BIGINT) AS exact
               FROM events GROUP BY 1
             ) d ON x.event_type = d.event_type
+        """,
+        "manifest_ndv": f"""
+            WITH mh AS (
+              SELECT md5(concat_ws(':', 'hll', '7',
+                                   CAST(o_custkey AS VARCHAR))) AS m
+              FROM orders WHERE o_custkey IS NOT NULL
+            ), h AS (
+              SELECT {_hex2int_sql('m', 15)} AS h FROM mh
+            ), regs AS (
+              SELECT CAST(h % 512 AS INT) AS idx,
+                     MAX(CASE WHEN h // 512 = 0 THEN 52
+                         ELSE 52 - length(bin(h // 512)) END) AS rho
+              FROM h GROUP BY 1
+            ), agg AS (
+              SELECT count(*) AS np,
+                     SUM(CAST(1 AS BIGINT) << (52 - rho)) AS sp
+              FROM regs
+            ), e AS (
+              SELECT {0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 * float(2 ** 52)!r}
+                       / CAST(sp + (512 - np)
+                              * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS raw,
+                     CAST(512 - np AS DOUBLE) AS v
+              FROM agg
+            )
+            SELECT round(CASE WHEN raw <= 1280e0 AND v > 0e0
+                              THEN 512e0 * ln(512e0 / v)
+                              ELSE raw END, 4) AS est_distinct,
+                   (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders) AS exact,
+                   CAST(16 AS INT) AS files_merged,
+                   CAST(16 AS INT) AS n_files
+            FROM e
         """,
         "sketch_countmin": """
             WITH toks AS (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "countmin_positions", "countmin_build", "countmin_estimate",
-    "hll_build", "hll_merge", "hll_estimate",
+    "hll_build", "hll_merge", "hll_estimate", "hll_estimate_py",
 ]
 
 
@@ -148,6 +148,37 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("est"))
+
+
+def hll_estimate_py(rhos, p: int = 9) -> float:
+    """Driver-side estimate twin of :func:`hll_estimate` — IDENTICAL
+    arithmetic, for register tables that live OUTSIDE Spark (the
+    manifest tier's per-file NDV sketches, merged from metadata):
+    integer harmonic sum via Python ints (exact, like the BIGINT sum),
+    the same Python-folded constant, one double division, and the
+    linear-counting correction in the same operation order. The only
+    cross-engine wiggle is libm's ln (1-ulp class), absorbed by the
+    result rounding every consumer applies. ``rhos``: m integers,
+    0 = empty register."""
+    import math
+
+    m = 1 << int(p)
+    wbits = _HLL_BITS - int(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0
+    n_present = 0
+    for r in rhos:
+        r = int(r)
+        if r > 0:
+            n_present += 1
+            s += 1 << (wbits + 1 - r)
+        else:
+            s += 1 << (wbits + 1)
+    raw = alpha * m * m * float(2 ** (wbits + 1)) / float(s)
+    v = float(m - n_present)
+    if raw <= 2.5 * m and v > 0:
+        return float(m) * math.log(float(m) / v)
+    return raw
 
 
 def countmin_positions(col, depth: int, width: int, seed: int = 42) -> Column:

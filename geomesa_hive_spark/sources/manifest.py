@@ -40,7 +40,7 @@ __all__ = [
     "compact",
     "write_delta", "read_snapshot", "current_seq", "seq_at_timestamp",
     "ConcurrentWriteConflict",
-    "write_zordered", "read_point_lookup",
+    "write_zordered", "read_point_lookup", "pruned_ndv",
     "merge_into", "read_changes", "checkpoint", "vacuum",
     "pruned_count", "pruned_sum", "pruned_minmax", "maintain",
 ]
@@ -74,6 +74,9 @@ def write_with_manifest(
     bloom_hashes: int = 5,
     manifest_format: str = "json",
     manifest_shards: int = 1,
+    ndv_cols: list[str] | None = None,
+    ndv_p: int = 9,
+    ndv_seed: int = 7,
 ) -> dict:
     """Range-cluster ``df`` by ``stats_cols`` into ``n_files`` parquet
     files and write a ``_manifest.json`` of per-file min/max for each
@@ -96,13 +99,21 @@ def write_with_manifest(
     metadata (Iceberg's manifest-list / manifest-file split). Pruning
     then reads the manifest with a column-pruned, predicate-pushed
     Arrow scan (:func:`read_pruned`) or distributes it entirely
-    (:func:`manifest_table`)."""
+    (:func:`manifest_table`).
+
+    ``ndv_cols`` (parquet tier only) records a per-file HLL register
+    sketch for each named column — Iceberg's theta-sketch NDV stats in
+    the repo's md5-replayable HLL form — so approximate COUNT
+    DISTINCT over any key range is answered from METADATA by
+    max-merging the overlapping files' registers
+    (:func:`pruned_ndv`), never rescanning data."""
     d = df.repartitionByRange(int(n_files), *[F.col(c) for c in stats_cols])
     d.write.mode("overwrite").parquet(path)
     return _finish_manifest(
         df.sparkSession, path, stats_cols, "range",
         bloom_cols, bloom_bits, bloom_hashes,
         manifest_format=manifest_format, manifest_shards=manifest_shards,
+        ndv_cols=ndv_cols, ndv_p=ndv_p, ndv_seed=ndv_seed,
     )
 
 
@@ -116,6 +127,9 @@ def _finish_manifest(
     bloom_hashes: int,
     manifest_format: str = "json",
     manifest_shards: int = 1,
+    ndv_cols: list[str] | None = None,
+    ndv_p: int = 9,
+    ndv_seed: int = 7,
 ) -> dict:
     """One read-back scan over the just-written files: per-file min/max
     for every stats column plus (optionally) per-file Bloom bitsets."""
@@ -123,6 +137,11 @@ def _finish_manifest(
 
     if manifest_format not in ("json", "parquet"):
         raise ValueError(f"manifest_format must be json|parquet, got {manifest_format!r}")
+    if ndv_cols and manifest_format != "parquet":
+        raise ValueError(
+            "ndv_cols requires manifest_format='parquet' (registers are "
+            "binary manifest columns, not JSON payload)"
+        )
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     int_cols = {
         c for c in stats_cols
@@ -161,6 +180,12 @@ def _finish_manifest(
                                      int(bloom_hashes)),
                     "file", "left",
                 )
+        if ndv_cols:
+            for c in ndv_cols:
+                stats_df = stats_df.join(
+                    _ndv_register_df(back, c, int(ndv_p), int(ndv_seed)),
+                    "file", "left",
+                )
         (
             stats_df.repartition(max(1, int(manifest_shards)))
             .write.mode("overwrite")
@@ -177,6 +202,12 @@ def _finish_manifest(
                 "bits": int(bloom_bits),
                 "hashes": int(bloom_hashes),
                 "cols": list(bloom_cols),
+            }
+        if ndv_cols:
+            root["ndv"] = {
+                "p": int(ndv_p),
+                "seed": int(ndv_seed),
+                "cols": list(ndv_cols),
             }
         with open(os.path.join(path, _MANIFEST), "w") as fh:
             json.dump(root, fh)
@@ -270,11 +301,12 @@ def manifest_stats(path: str) -> dict:
     import decimal
 
     ds = _ds.dataset(os.path.join(path, m["dir"]))
-    # packed bloom_<col> binary columns stay on disk — this compat
-    # loader serves stats consumers; probes go through the
-    # column-pruned _bloom_probe_parquet scan
+    # packed bloom_<col>/ndv_<col> binary columns stay on disk — this
+    # compat loader serves stats consumers; probes go through the
+    # column-pruned _bloom_probe_parquet / pruned_ndv scans
     tbl = ds.to_table(
-        columns=[n for n in ds.schema.names if not n.startswith("bloom_")]
+        columns=[n for n in ds.schema.names
+                 if not n.startswith(("bloom_", "ndv_"))]
     )
 
     def _load(k, v):
@@ -622,6 +654,121 @@ def _bloom_bitset_df(back: DataFrame, col: str, bits: int,
         .select(F.col("__f").alias("file"),
                 _pack("ps").alias(f"bloom_{col}"))
     )
+
+
+def _ndv_register_df(back: DataFrame, col: str, p: int,
+                     seed: int) -> DataFrame:
+    """(file, ndv_<col> binary) DataFrame — per-file HLL registers
+    packed as ``2**p`` bytes (one rho per register, 0 = empty), built
+    with EXACTLY pipeline/sketches.hll_build's hash arithmetic so a
+    merged estimate is SQL-replayable. All native expressions until
+    the final Arrow-batched byte pack; nothing passes the driver."""
+    from geomesa_hive_spark.pipeline.sketches import _HLL_BITS, _hll_hash
+
+    m = 1 << int(p)
+    wbits = _HLL_BITS - int(p)
+    h = _hll_hash(F.col(col), seed)
+    idx = (h % F.lit(m)).cast("int").alias("idx")
+    w = F.shiftright(h, int(p))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho")
+    )
+
+    def _pack_fn(irs):
+        import pandas as pd
+
+        out = []
+        for pairs in irs:
+            bs = bytearray(m)
+            for pair in pairs:
+                bs[int(pair["idx"])] = int(pair["rho"])
+            out.append(bytes(bs))
+        return pd.Series(out)
+
+    _pack = F.pandas_udf(_pack_fn, "binary")
+    return (
+        back.select("__f", col).where(F.col(col).isNotNull())
+        .select("__f", idx, rho)
+        .groupBy("__f", "idx").agg(F.max("rho").alias("rho"))
+        .groupBy("__f")
+        .agg(F.collect_list(F.struct("idx", "rho")).alias("irs"))
+        .select(F.col("__f").alias("file"), _pack("irs").alias(f"ndv_{col}"))
+    )
+
+
+# last Arrow column set a pruned_ndv scan read — assertable like
+# _LAST_BLOOM_PROBE_COLUMNS
+_LAST_NDV_SCAN_COLUMNS: list[str] | None = None
+
+
+def pruned_ndv(
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    stats_col: str | None = None,
+) -> tuple[float, dict]:
+    """Approximate COUNT DISTINCT of ``col`` over a ``stats_col`` key
+    range, answered from MANIFEST METADATA only (Iceberg's sketch-NDV
+    stats, in the repo's md5-replayable HLL form): a column-pruned
+    Arrow scan reads each overlapping file's packed registers,
+    NumPy max-merges them (register merge is exact — the merged sketch
+    IS the sketch of the union), and the estimate is
+    pipeline/sketches.hll_estimate_py — the arithmetic twin of the
+    Spark/SQL path, so a full-range call equals hll_build+estimate
+    over the column exactly.
+
+    Semantics: files are selected by min/max OVERLAP, so a partial
+    range estimates the distinct count of a SUPERSET of the range's
+    rows (boundary files contribute their out-of-range rows too) —
+    superset-monotone, never an undercount of the range, exactly the
+    caveat ranged metadata COUNTs document. The full range (lo=hi=None)
+    has no boundary files and is exact-sketch. Returns (estimate,
+    {"files_merged", "n_files"})."""
+    import numpy as np
+    import pyarrow.dataset as _ds
+
+    from geomesa_hive_spark.pipeline.sketches import hll_estimate_py
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        root = json.load(fh)
+    if root.get("format") != "parquet" or "ndv" not in root:
+        raise ValueError(
+            "pruned_ndv needs a parquet-tier manifest written with "
+            "ndv_cols"
+        )
+    nd = root["ndv"]
+    if col not in nd["cols"]:
+        raise ValueError(f"no NDV sketch for column {col!r} "
+                         f"(have {nd['cols']})")
+    p = int(nd["p"])
+    m = 1 << p
+    sc = stats_col or root["stats_cols"][0]
+    global _LAST_NDV_SCAN_COLUMNS
+    cols = ["file", f"min_{sc}", f"max_{sc}", f"ndv_{col}"]
+    _LAST_NDV_SCAN_COLUMNS = cols
+    ds = _ds.dataset(os.path.join(path, root["dir"]))
+    regs = np.zeros(m, dtype=np.uint8)
+    merged, total = 0, 0
+    for batch in ds.to_batches(columns=cols):
+        mins = batch.column(1).to_pylist()
+        maxs = batch.column(2).to_pylist()
+        sketches = batch.column(3).to_pylist()
+        total += batch.num_rows
+        for mn, mx, bs in zip(mins, maxs, sketches):
+            if lo is not None and mx is not None and mx < lo:
+                continue
+            if hi is not None and mn is not None and mn > hi:
+                continue
+            if bs is None:      # file had no non-null values of col
+                continue
+            regs = np.maximum(regs, np.frombuffer(bs, dtype=np.uint8))
+            merged += 1
+    est = hll_estimate_py(regs.tolist(), p)
+    return est, {"files_merged": merged, "n_files": total}
 
 
 def read_point_lookup(

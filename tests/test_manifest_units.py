@@ -54,3 +54,49 @@ def test_json_stat_passthrough():
     assert _json_stat(None, "max") is None
     ts = datetime.datetime(2026, 8, 15, 12, 0, 0)
     assert _json_stat(ts, "min") == "2026-08-15T12:00:00"
+
+
+def test_pruned_ndv_registers_and_ranges(spark, tmp_path):
+    """Manifest NDV sketches: full-range merge equals Spark
+    hll_build+estimate exactly (register merge is the union's sketch);
+    partial ranges merge fewer files and stay superset-monotone;
+    all-NULL files contribute nothing; json tier and unknown columns
+    are refused."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import sketches as sk
+    from geomesa_hive_spark.sources import manifest as M
+
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        # v NULL in the top k-range: those files' sketches are NULL
+        F.when(F.col("id") < 24000, F.col("id") % 997).alias("v"),
+    )
+    path = str(tmp_path / "ndv")
+    M.write_with_manifest(df, path, ["k"], n_files=10,
+                          manifest_format="parquet", ndv_cols=["v"])
+    est, rep = M.pruned_ndv(path, "v")
+    assert rep["n_files"] == 10
+    want = sk.hll_estimate(
+        sk.hll_build(df.withColumn("g", F.lit(0)), ["g"], "v", p=9),
+        ["g"], p=9).collect()[0].est
+    assert est == want                       # arithmetic twin, exact
+    e_part, r_part = M.pruned_ndv(path, "v", lo=0, hi=2999)
+    assert r_part["files_merged"] < rep["files_merged"]
+    assert e_part <= est
+    # a range in the NULL zone merges at most boundary files' sketches
+    # (file cuts are SAMPLED — a boundary file may straddle the 24000
+    # NULL cut and legitimately contribute): superset-monotone only
+    e_null, r_null = M.pruned_ndv(path, "v", lo=27000, hi=29999)
+    assert e_null <= est and r_null["files_merged"] < rep["files_merged"]
+    # a range beyond every file: nothing merged, empty-sketch estimate
+    e_out, r_out = M.pruned_ndv(path, "v", lo=50000, hi=60000)
+    assert e_out < 1.0 and r_out["files_merged"] == 0
+    with _pytest.raises(ValueError, match="no NDV sketch"):
+        M.pruned_ndv(path, "k")
+    p2 = str(tmp_path / "nojson")
+    with _pytest.raises(ValueError, match="parquet"):
+        M.write_with_manifest(df, p2, ["k"], n_files=4,
+                              manifest_format="json", ndv_cols=["v"])
