@@ -5857,6 +5857,65 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity.link_records(a, b, "a_id", "an", "b_id", "bn")
 
 
+def q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity RESOLUTION end-to-end (round-10 — the composition a
+    master-data pipeline actually runs, not just pairwise linkage):
+    three registries — clean, dirty1 (one edit), dirty2 (one MORE edit
+    on dirty1, so it is distance 2 from clean and can only reach it
+    TRANSITIVELY through dirty1) — are linked pairwise
+    (pipeline/entity.py link_records, FastSS k=1-complete blocking),
+    the match edges feed connected components
+    (pipeline/dedup.py duplicate_clusters — hash-min + star
+    alternation), and each cluster rolls up to a GOLDEN RECORD:
+    member count, canonical name (min-id member = the clean record),
+    modular key checksum. The chains are 3 nodes long, so a CC that
+    only looked one hop out would mislabel every dirty2 record — that
+    is what the oracle's recursive-CTE transitive closure verifies,
+    on top of both linkage replays."""
+    from geomesa_hive_spark.pipeline import entity
+    from geomesa_hive_spark.pipeline.dedup import duplicate_clusters
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.selectExpr("c_custkey AS a_id", "c_name AS an")
+    b = cust.selectExpr(
+        "c_custkey + 10000000 AS b_id", f"({_ENT_DIRTY}) AS bn"
+    )
+    c2 = cust.selectExpr(
+        "c_custkey + 20000000 AS c_id",
+        f"substring(({_ENT_DIRTY}), 1, 4) || "
+        f"substring(({_ENT_DIRTY}), 6, 50) AS cn",
+    )
+    l1 = entity.link_records(a, b, "a_id", "an", "b_id", "bn")
+    l2 = entity.link_records(
+        b.selectExpr("b_id AS m_id", "bn AS mn"), c2,
+        "m_id", "mn", "c_id", "cn",
+    )
+    edges = l1.select(
+        F.col("a_id").alias("x"), F.col("b_id").alias("y")
+    ).unionByName(
+        l2.select(F.col("m_id").alias("x"), F.col("c_id").alias("y"))
+    )
+    clusters = duplicate_clusters(edges, "x", "y")
+    names = a.selectExpr("a_id AS id", "an AS nm").unionByName(
+        b.selectExpr("b_id AS id", "bn AS nm")
+    ).unionByName(c2.selectExpr("c_id AS id", "cn AS nm"))
+    golden = (
+        clusters.join(names, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min_by("nm", "id").alias("canonical"),
+            F.sum(F.col("id") % 1000003).cast("long").alias("ksum"),
+        )
+    )
+    return golden.groupBy((F.col("cluster_id") % 10).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_members"),
+        F.sum("ksum").cast("long").alias("ksum"),
+        F.sum(F.length("canonical")).cast("long").alias("canon_len"),
+    )
+
+
 # phonetic-blocking corruption: substitute the first 'a' after position
 # 1 with 'o' AND append 'a' — edit distance 2 (past FastSS's provable
 # k=1 bound) while the simplified-Soundex code is preserved (both map
@@ -7492,6 +7551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_boilerplate": q_dedup_boilerplate,
         "entity_link": q_entity_link,
+        "entity_resolve": q_entity_resolve,
         "dedup_bloom": q_dedup_bloom,
         "sketch_countmin": q_sketch_countmin,
         "sketch_hll": q_sketch_hll,
@@ -12888,6 +12948,69 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY b_id ORDER BY d, a_id) AS rn
               FROM cand WHERE d <= 1
             ) WHERE rn = 1
+        """,
+        "entity_resolve": f"""
+            WITH RECURSIVE a AS (
+              SELECT c_custkey AS a_id, c_name AS an FROM customer
+            ), b AS (
+              SELECT c_custkey + 10000000 AS b_id, {_ENT_DIRTY} AS bn
+              FROM customer
+            ), c AS (
+              SELECT c_custkey + 20000000 AS c_id,
+                     substring(dn, 1, 4) || substring(dn, 6, 50) AS cn
+              FROM (SELECT c_custkey, {_ENT_DIRTY} AS dn FROM customer)
+            ), l1 AS (
+              SELECT b_id, a_id FROM (
+                SELECT b_id, a_id, d,
+                       row_number() OVER (PARTITION BY b_id
+                                          ORDER BY d, a_id) AS rn
+                FROM (SELECT b_id, a_id, levenshtein(bn, an) AS d
+                      FROM b JOIN a
+                        ON abs(length(bn) - length(an)) <= 1)
+                WHERE d <= 1
+              ) WHERE rn = 1
+            ), l2 AS (
+              SELECT c_id, b_id FROM (
+                SELECT c_id, b_id, d,
+                       row_number() OVER (PARTITION BY c_id
+                                          ORDER BY d, b_id) AS rn
+                FROM (SELECT c_id, b_id, levenshtein(cn, bn) AS d
+                      FROM c JOIN b
+                        ON abs(length(cn) - length(bn)) <= 1)
+                WHERE d <= 1
+              ) WHERE rn = 1
+            ), edges0 AS (
+              SELECT a_id AS x, b_id AS y FROM l1
+              UNION ALL
+              SELECT b_id AS x, c_id AS y FROM l2
+            ), edges AS (
+              SELECT x AS p, y AS q FROM edges0
+              UNION
+              SELECT y AS p, x AS q FROM edges0
+            ), reach(p, q) AS (
+              SELECT p, q FROM edges
+              UNION
+              SELECT r.p, e.q FROM reach r JOIN edges e ON r.q = e.p
+            ), lbl AS (
+              SELECT p AS id, least(p, min(q)) AS cluster_id
+              FROM reach GROUP BY p
+            ), names AS (
+              SELECT a_id AS id, an AS nm FROM a
+              UNION ALL SELECT b_id, bn FROM b
+              UNION ALL SELECT c_id, cn FROM c
+            ), golden AS (
+              SELECT cluster_id,
+                     CAST(count(*) AS BIGINT) AS n_members,
+                     arg_min(nm, id) AS canonical,
+                     CAST(sum(id % 1000003) AS BIGINT) AS ksum
+              FROM lbl JOIN names USING (id) GROUP BY cluster_id
+            )
+            SELECT cluster_id % 10 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(n_members) AS BIGINT) AS n_members,
+                   CAST(sum(ksum) AS BIGINT) AS ksum,
+                   CAST(sum(length(canonical)) AS BIGINT) AS canon_len
+            FROM golden GROUP BY cluster_id % 10
         """,
         "dedup_boilerplate": """
             WITH docs AS (
