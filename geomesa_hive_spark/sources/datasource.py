@@ -72,6 +72,25 @@ def _ddl_type(t) -> str:
     raise ValueError(f"morlake: unsupported parquet type {s}")
 
 
+def _local_path(path: str | None) -> str | None:
+    """Normalize a `file:` URI to a plain filesystem path: SQL DDL
+    (`CREATE TABLE ... USING morlake OPTIONS (path '...')`) hands the
+    data source the catalog-normalized LOCATION URI, while the
+    DataFrame API hands the raw string — the os.path-based reader must
+    accept both. Non-file schemes are rejected loudly (this engine's
+    MOR log is local-filesystem atomic-rename based)."""
+    if path is None or "://" not in path and not path.startswith("file:"):
+        return path
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme not in ("", "file"):
+        raise ValueError(
+            f"morlake paths must be local-filesystem (got {u.scheme}://)"
+        )
+    return u.path or path
+
+
 def _base_files(path: str) -> list[str]:
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path)
@@ -324,7 +343,7 @@ class _MorBatchReader(DataSourceReader):
             _checkpoints, _delta_log,
         )
 
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("morlake requires .option('path', ...)")
         self.key = options.get("key")
@@ -708,7 +727,7 @@ class _MorStreamReader(DataSourceStreamReader):
     reduce to remembering one integer."""
 
     def __init__(self, options, schema_fields):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("morlake requires .option('path', ...)")
         self.from_seq = int(options.get("from_seq", 0))
@@ -784,7 +803,7 @@ class _MorWriterBase:
     def __init__(self, options):
         import uuid
 
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("morlake requires .option('path', ...)")
         self.key = options.get("key")
@@ -1027,7 +1046,7 @@ class MorDataSource(DataSource):
         return "morlake"
 
     def _fields(self) -> list[tuple[str, str]]:
-        fields = _table_schema_fields(self.options["path"])
+        fields = _table_schema_fields(_local_path(self.options["path"]))
         if self.options.get("mode", "snapshot").lower() == "cdc":
             if self.options.get("columns"):
                 raise ValueError(

@@ -3195,3 +3195,37 @@ def test_pruned_minmax_metadata_only(spark, tmp_path):
     assert mn is None and mx is None and rep["files_skipped"] == 12
     with _pytest.raises(ValueError):
         pruned_minmax(spark, path, "nope", 0, 1)
+
+
+def test_morlake_accepts_file_uri_paths(spark, tmp_path):
+    """morlake path option as a file:// URI (what SQL catalogs hand a
+    source as the normalized LOCATION) resolves like the plain path;
+    non-file schemes are refused loudly. SQL DDL tables themselves
+    remain unsupported: this Spark's Python DataSource table scan does
+    not propagate stored OPTIONS to the reader (verified empirically —
+    options arrive without 'path'), so the DataFrame API is the
+    supported surface."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.datasource import (
+        MorDataSource, _local_path,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    spark.dataSource.register(MorDataSource)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    path = str(tmp_path / "t")
+    df.write.parquet(path)
+    write_delta(spark.createDataFrame([(2, "B")], "k long, v string"),
+                path, "k")
+    got = sorted(
+        (r.k, r.v) for r in
+        spark.read.format("morlake").option("path", "file://" + path)
+        .option("key", "k").load().collect()
+    )
+    assert got == [(1, "a"), (2, "B")]
+    assert _local_path("file:" + path) == path
+    assert _local_path(path) == path
+    assert _local_path(None) is None
+    with _pytest.raises(ValueError, match="local-filesystem"):
+        _local_path("s3://bucket/t")
