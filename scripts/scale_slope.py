@@ -499,6 +499,7 @@ GATE = [
     # the maintain rewrite is corpus-proportional by design, so these
     # pin that the WHOLE lifecycle stays linear, not just the build
     "dedup_index_upsert", "bm25_index_delete",
+    "entity_resolve", "manifest_ndv",
     # round-8 coverage extension: the broader pipeline families
     "dedup_clusters", "curation_pipeline", "text_keywords", "bpe_train",
     "graph_pagerank",
