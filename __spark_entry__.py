@@ -5876,6 +5876,13 @@ def q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geomesa_hive_spark.pipeline.dedup import duplicate_clusters
 
     cust = _t(spark, sf_dir, "customer")
+    # fixed registry offsets need headroom: colliding a_id/b_id spaces
+    # would silently merge unrelated clusters (review finding — the
+    # scale_slope m-big builder offsets keys per copy)
+    mx = int(cust.agg(F.max("c_custkey")).collect()[0][0])
+    assert mx < 10_000_000, (
+        f"registry offset collision: max c_custkey {mx} >= 10M"
+    )
     a = cust.selectExpr("c_custkey AS a_id", "c_name AS an")
     b = cust.selectExpr(
         "c_custkey + 10000000 AS b_id", f"({_ENT_DIRTY}) AS bn"

@@ -81,14 +81,23 @@ def _local_path(path: str | None) -> str | None:
     MOR log is local-filesystem atomic-rename based)."""
     if path is None or "://" not in path and not path.startswith("file:"):
         return path
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     u = urlparse(path)
     if u.scheme not in ("", "file"):
         raise ValueError(
             f"morlake paths must be local-filesystem (got {u.scheme}://)"
         )
-    return u.path or path
+    # netloc guard: 'file://tmp/x' parses 'tmp' as the URI AUTHORITY and
+    # the path silently becomes '/x' — refuse anything but an empty or
+    # localhost authority instead of reading the wrong directory.
+    # unquote: catalog-normalized LOCATIONs percent-encode spaces.
+    if u.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"file: URI has authority {u.netloc!r} — use file:///abs/path "
+            f"(three slashes) or a plain filesystem path"
+        )
+    return unquote(u.path) or path
 
 
 def _base_files(path: str) -> list[str]:

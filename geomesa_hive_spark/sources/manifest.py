@@ -107,6 +107,14 @@ def write_with_manifest(
     DISTINCT over any key range is answered from METADATA by
     max-merging the overlapping files' registers
     (:func:`pruned_ndv`), never rescanning data."""
+    # argument validation BEFORE the data write: failing in
+    # _finish_manifest would leave a fully-written but manifest-less
+    # directory after minutes of wasted shuffle at scale
+    if ndv_cols and manifest_format != "parquet":
+        raise ValueError(
+            "ndv_cols requires manifest_format='parquet' (registers are "
+            "binary manifest columns, not JSON payload)"
+        )
     d = df.repartitionByRange(int(n_files), *[F.col(c) for c in stats_cols])
     d.write.mode("overwrite").parquet(path)
     return _finish_manifest(
@@ -659,23 +667,17 @@ def _bloom_bitset_df(back: DataFrame, col: str, bits: int,
 def _ndv_register_df(back: DataFrame, col: str, p: int,
                      seed: int) -> DataFrame:
     """(file, ndv_<col> binary) DataFrame — per-file HLL registers
-    packed as ``2**p`` bytes (one rho per register, 0 = empty), built
-    with EXACTLY pipeline/sketches.hll_build's hash arithmetic so a
-    merged estimate is SQL-replayable. All native expressions until
-    the final Arrow-batched byte pack; nothing passes the driver."""
-    from geomesa_hive_spark.pipeline.sketches import _HLL_BITS, _hll_hash
+    packed as ``2**p`` bytes (one rho per register, 0 = empty). The
+    register derivation IS :func:`~geomesa_hive_spark.pipeline.
+    sketches.hll_build` called with the file as the group — one
+    implementation of the hash arithmetic, so a sketches fix can never
+    silently diverge from the manifest tier (round-10 review: the
+    first version duplicated the chain line-for-line). Only the
+    Arrow-batched byte pack is added here; nothing passes the
+    driver."""
+    from geomesa_hive_spark.pipeline.sketches import hll_build
 
     m = 1 << int(p)
-    wbits = _HLL_BITS - int(p)
-    h = _hll_hash(F.col(col), seed)
-    idx = (h % F.lit(m)).cast("int").alias("idx")
-    w = F.shiftright(h, int(p))
-    rho = (
-        F.when(w == 0, F.lit(wbits + 1))
-        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
-        .cast("int")
-        .alias("rho")
-    )
 
     def _pack_fn(irs):
         import pandas as pd
@@ -690,9 +692,7 @@ def _ndv_register_df(back: DataFrame, col: str, p: int,
 
     _pack = F.pandas_udf(_pack_fn, "binary")
     return (
-        back.select("__f", col).where(F.col(col).isNotNull())
-        .select("__f", idx, rho)
-        .groupBy("__f", "idx").agg(F.max("rho").alias("rho"))
+        hll_build(back, ["__f"], col, p=int(p), seed=int(seed))
         .groupBy("__f")
         .agg(F.collect_list(F.struct("idx", "rho")).alias("irs"))
         .select(F.col("__f").alias("file"), _pack("irs").alias(f"ndv_{col}"))

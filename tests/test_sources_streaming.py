@@ -3229,3 +3229,9 @@ def test_morlake_accepts_file_uri_paths(spark, tmp_path):
     assert _local_path(None) is None
     with _pytest.raises(ValueError, match="local-filesystem"):
         _local_path("s3://bucket/t")
+    # percent-encoded LOCATION form decodes; a two-slash URI whose
+    # first segment would be swallowed as the authority is refused
+    assert _local_path("file:///tmp/a%20b") == "/tmp/a b"
+    assert _local_path("file://localhost/tmp/x") == "/tmp/x"
+    with _pytest.raises(ValueError, match="authority"):
+        _local_path("file://tmp/x")
