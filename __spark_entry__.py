@@ -5322,6 +5322,32 @@ def q_knn_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_knn_join_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN JOIN from the persisted IVF index (round-10,
+    pipeline/similarity.py knn_join_index — the stored index serving a
+    query TABLE): six query vectors compute their 4 nearest STORED
+    centroids as one native expression (no per-query driver work),
+    explode to (query, list), and equi-join the probed partitions —
+    the distinct probed-list union (≤ 6·4 = 24 of 32, asserted) is the
+    only collect and makes the scan an explicit partition-pruned read;
+    exact cosine + per-query top-5 window finish. Oracle replays
+    pivots, assignment, per-query probe ranking (d², pidx tie), the
+    list join, and the (cos desc, id) top-k."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ghs_ivfjoin_")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_lists=32)
+    queries = emb.filter(F.col("vec_id") < 6)
+    prune: dict = {}
+    out = similarity.knn_join_index(
+        queries, "vec_id", "embedding", path, k=5, n_probe=4,
+        prune_report=prune,
+    )
+    assert prune["lists_read"] <= 24 < prune["n_lists"] == 32, prune
+    return out
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization kNN (similarity.knn_pq, method="pivot"):
     8 subspaces x 16 pivot codewords -> 8-byte codes (32x compression),
@@ -7533,6 +7559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_index": q_knn_index,
         "knn_index_delete": q_knn_index_delete,
+        "knn_join_index": q_knn_join_index,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         "ann_opq_property": q_ann_opq_property,
@@ -9295,6 +9322,48 @@ def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4,
         FROM assigned a JOIN qprobe ON a.list_id = qprobe.pidx, q
         ORDER BY cos_sim DESC, id
         LIMIT {k}
+    """
+
+
+def _knn_join_index_oracle(k: int, n_lists: int, n_probe: int,
+                           q_pred: str) -> str:
+    cos = _COS_SQL.format(a="a.v", b="qp.qv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), piv AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pidx, v AS pv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
+        ), dist AS (
+          SELECT e.vec_id, e.v, p.pidx,
+                 {_D2_SQL.format(a='e.v', b='p.pv')} AS d2
+          FROM e, piv p
+        ), assigned AS (
+          SELECT vec_id, v, pidx AS list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, pidx) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv FROM e WHERE {q_pred}
+        ), qp AS (
+          SELECT qid, qv, pidx AS list_id FROM (
+            SELECT q.qid, q.qv, p.pidx,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY {_D2_SQL.format(a='q.qv', b='p.pv')}, p.pidx
+                   ) AS rn
+            FROM q, piv p
+          ) WHERE rn <= {n_probe}
+        )
+        SELECT qid, id, cos_sim FROM (
+          SELECT qp.qid, a.vec_id AS id, round({cos}, 6) AS cos_sim,
+                 row_number() OVER (
+                   PARTITION BY qp.qid
+                   ORDER BY round({cos}, 6) DESC, a.vec_id
+                 ) AS rk
+          FROM qp JOIN assigned a ON a.list_id = qp.list_id
+        ) WHERE rk <= {k}
     """
 
 
@@ -12009,6 +12078,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_index_delete": _knn_ivf_oracle(
             k=10, n_lists=32, n_probe=8,
             pred="vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)",
+        ),
+        "knn_join_index": _knn_join_index_oracle(
+            k=5, n_lists=32, n_probe=4, q_pred="vec_id < 6",
         ),
         "knn_join_lsh": _knn_join_lsh_oracle(k=5, bits=8, dim=64, left_max_id=20),
         "knn_pq": """

@@ -87,6 +87,7 @@ __all__ = [
     "maintain_ivf_index",
     "upsert_into_ivf_index",
     "knn_query_index",
+    "knn_join_index",
     "embedding_centroids",
     "kmeans",
 ]
@@ -590,6 +591,82 @@ def knn_query_index(
             tomb, m["id_col"],
         )
     return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
+
+
+def knn_join_index(
+    queries: DataFrame,
+    q_id: str,
+    q_vec: str,
+    path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    prune_report: dict | None = None,
+) -> DataFrame:
+    """Batch ANN JOIN served from a :func:`build_ivf_index` index —
+    the stored index answering a whole query TABLE, not one vector:
+    each query row computes its ``n_probe`` nearest stored centroids
+    as a NATIVE expression (distances to the centroid literal matrix,
+    struct-sort, slice — no per-query driver work, unlike
+    :func:`knn_query_index`'s single-vector path), explodes to
+    (query, list_id), and equi-joins the probed list partitions; exact
+    cosine + a per-query top-k window finish. The only collect is the
+    DISTINCT probed-list union (≤ n_lists ints — the bounded-collect
+    rule), which makes the scan an explicit partition-pruned read.
+    Tombstoned generations are excluded like every index read. Probe
+    ties break by (distance², list index) — deterministic and
+    SQL-replayable. Returns (qid, id, cos_sim); may return <k rows
+    per query when probed lists hold fewer vectors (the approximate
+    contract, as knn_join_lsh)."""
+    import os
+
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    m = ivf_index_meta(path)
+    centroids = np.asarray(m["centroids"], dtype=np.float64)
+    d2s = _d2_all(centroids, q_vec)
+    pairs = F.transform(
+        d2s, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i"))
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, int(n_probe)), lambda s: s["i"]
+    )
+    q = queries.select(
+        F.col(q_id).alias("qid"),
+        F.col(q_vec).alias("qv"),
+        F.explode(probes).alias("list_id"),
+    ).localCheckpoint()
+    need = sorted(int(r[0]) for r in q.select("list_id").distinct().collect())
+    if prune_report is not None:
+        prune_report.update(lists_read=len(need), n_lists=m["n_lists"])
+    cand = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("list_id").isin(need))
+    )
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        from geomesa_hive_spark.pipeline import index_io
+
+        cand = index_io.apply_tombstones(
+            index_io.require_generation_column(cand, "IVF index"),
+            tomb, m["id_col"],
+        )
+    sim = cosine_sim(F.col("qv"), F.col(m["vec_col"]))
+    # no pair dedup needed: every vector lives in exactly ONE list
+    # partition, so (qid, id) appears at most once in the join
+    scored = q.join(cand, "list_id").select(
+        "qid",
+        F.col(m["id_col"]).alias("id"),
+        F.round(sim, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(k))
+        .drop("__r")
+    )
 
 
 def knn_ivf_stored(

@@ -2602,3 +2602,41 @@ def test_canonicalize_url_rules(spark):
     got = [r.c for r in df.select(canonicalize_url("u").alias("c"))
            .collect()]
     assert got == [want for _, want in cases]
+
+
+def test_knn_join_index_matches_per_query_probes(spark, tmp_path):
+    """knn_join_index: the batch join's per-query results equal
+    knn_query_index run one query at a time with the same (k, n_probe)
+    — same probes, same candidates, same tie-breaks; tombstoned
+    vectors are excluded from the join too."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.similarity import (
+        build_ivf_index, delete_from_ivf_index, knn_join_index,
+        knn_query_index,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfj")
+    build_ivf_index(vdf, "vec_id", "embedding", path, n_lists=4)
+    queries = vdf.filter(F.col("vec_id") < 5)
+    out = knn_join_index(queries, "vec_id", "embedding", path,
+                         k=3, n_probe=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, []).append((r.id, r.cos_sim))
+    for qid, qv in vecs[:5]:
+        want = [(r.id, round(r.cos_sim, 6)) for r in knn_query_index(
+            spark, path, qv, k=3, n_probe=2).collect()]
+        assert sorted(got[qid]) == sorted(want), qid
+    # tombstoned vectors drop out of the join immediately
+    delete_from_ivf_index(
+        spark.createDataFrame([(i,) for i in range(40, 80)],
+                              "vec_id long"), path)
+    out2 = knn_join_index(queries, "vec_id", "embedding", path,
+                          k=3, n_probe=2)
+    assert out2.filter(F.col("id") >= 40).count() == 0
