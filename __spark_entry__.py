@@ -4830,7 +4830,7 @@ def q_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_dead_returned = pre.filter(F.col("id") % 3 == 2).count()
     assert n_dead_returned == 0, "tombstoned id returned pre-maintain"
     rep = maintain_bm25_index(spark, path)
-    assert rep["n_tombstoned"] > 0, rep
+    assert rep["n_tombstones_applied"] > 0, rep
     out = bm25_query_index(
         spark, path, "spark join vector stream filter", k=25
     )

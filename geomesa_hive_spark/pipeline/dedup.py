@@ -1431,8 +1431,10 @@ def delete_from_minhash_index(keys: DataFrame, id_col: str, path: str) -> None:
     Deleting an unknown id is a no-op."""
     from geomesa_hive_spark.pipeline import index_io
 
-    g = int(minhash_index_meta(path).get("gen", 0))
-    index_io.write_tombstones(keys, id_col, path, g)
+    m = index_io.require_generation_meta(
+        minhash_index_meta(path), "minhash index"
+    )
+    index_io.write_tombstones(keys, id_col, path, int(m["gen"]))
 
 
 def _mh_tombstones(spark, path: str):
@@ -1491,12 +1493,16 @@ def append_to_minhash_index(
     import json
     import os
 
-    m = minhash_index_meta(path)
+    from geomesa_hive_spark.pipeline import index_io
+
+    m = index_io.require_generation_meta(
+        minhash_index_meta(path), "minhash index"
+    )
     nb = m["n_buckets"]
     # bump the append GENERATION: rows carry it, tombstones reference
     # it, so an UPSERT (delete id, re-append new content) hides only
     # rows born at or before the delete — no maintain needed between
-    g = int(m.get("gen", 0)) + 1
+    g = int(m["gen"]) + 1
     sigs = minhash_signatures(
         new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
     ).withColumn("sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(nb))))
@@ -1551,8 +1557,14 @@ def maintain_minhash_index(spark, path: str) -> dict:
     nb = int(m["n_buckets"])
     report: dict = {}
     tomb = _mh_tombstones(spark, path)
+    sigs_raw = spark.read.parquet(os.path.join(path, "sigs"))
+    if tomb is not None:
+        # guard BEFORE removed_ids_count: its gen-join on a legacy
+        # gen-less index dies inside Spark with an unresolved-column
+        # AnalysisException instead of the clear rebuild instruction
+        index_io.require_generation_column(sigs_raw, "minhash index")
     report["n_tombstones_applied"] = index_io.removed_ids_count(
-        spark.read.parquet(os.path.join(path, "sigs")), tomb, "id"
+        sigs_raw, tomb, "id"
     )
 
     for side, part in (("bands", "bucket"), ("sigs", "sbucket")):

@@ -37,8 +37,25 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_tombstones", "read_tombstones", "apply_tombstones",
     "removed_ids_count", "clear_tombstones", "swap_dir", "n_part_files",
-    "require_generation_column",
+    "require_generation_column", "require_generation_meta",
 ]
+
+
+def require_generation_meta(meta: dict, what: str) -> dict:
+    """Metadata-level twin of :func:`require_generation_column` — refuse
+    any mutation (append/delete/upsert) of an index whose stored
+    metadata predates generation versioning, BEFORE anything is
+    written. Validate-before-write: a tombstone or gen-stamped append
+    landing in a legacy layout leaves the index half-mutated and every
+    later read failing with a confusing unresolved-'gen' error (or,
+    worse, silently un-hidden rows if Spark samples a gen-carrying
+    footer)."""
+    if "gen" not in meta:
+        raise ValueError(
+            f"{what} predates generation-versioned tombstones — "
+            f"rebuild the index with the current version"
+        )
+    return meta
 
 
 def write_tombstones(keys: DataFrame, id_col: str, path: str,

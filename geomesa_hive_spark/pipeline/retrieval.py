@@ -261,11 +261,9 @@ def append_to_bm25_index(
 
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
-    if "gen" not in stats:
-        raise ValueError(
-            "BM25 index predates generation-versioned tombstones — "
-            "rebuild the index with the current version"
-        )
+    from geomesa_hive_spark.pipeline import index_io
+
+    index_io.require_generation_meta(stats, "BM25 index")
     nb = int(stats["n_buckets"])
     g = int(stats["gen"]) + 1
     # localCheckpoint: same 4x-tokenization fix as the build path
@@ -323,8 +321,10 @@ def delete_from_bm25_index(keys: DataFrame, id_col: str, path: str) -> None:
     from geomesa_hive_spark.pipeline import index_io
 
     with open(os.path.join(path, "stats.json")) as fh:
-        g = int(json.load(fh).get("gen", 0))
-    index_io.write_tombstones(keys, id_col, path, g)
+        stats = index_io.require_generation_meta(
+            json.load(fh), "BM25 index"
+        )
+    index_io.write_tombstones(keys, id_col, path, int(stats["gen"]))
 
 
 def upsert_into_bm25_index(
@@ -369,8 +369,9 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
     clears the tombstone log. Rename-based swap under the same
     single-maintainer contract as manifest.vacuum: no concurrent
     query/append in flight. Returns {side: {files_before,
-    files_after}, "n_tombstoned": distinct ids actually removed} —
-    the uniform report semantics of pipeline/index_io.py."""
+    files_after}, "n_tombstones_applied": distinct ids actually
+    removed} — the uniform report semantics of pipeline/index_io.py
+    ("n_tombstoned" is kept as a deprecated alias of the same count)."""
     import shutil
 
     from geomesa_hive_spark.pipeline import index_io
@@ -464,7 +465,8 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
             json.dump(stats, fh)
         os.replace(tmpj, os.path.join(path, "stats.json"))
     index_io.clear_tombstones(path)
-    report["n_tombstoned"] = n_tomb
+    report["n_tombstones_applied"] = n_tomb
+    report["n_tombstoned"] = n_tomb  # deprecated alias (pre-round-11 key)
     return report
 
 

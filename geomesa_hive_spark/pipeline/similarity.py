@@ -456,12 +456,9 @@ def append_to_ivf_index(new_df: DataFrame, path: str) -> dict:
     import json
     import os
 
-    m = ivf_index_meta(path)
-    if "gen" not in m:
-        raise ValueError(
-            "IVF index predates generation-versioned tombstones — "
-            "rebuild the index with the current version"
-        )
+    from geomesa_hive_spark.pipeline import index_io
+
+    m = index_io.require_generation_meta(ivf_index_meta(path), "IVF index")
     g = int(m["gen"]) + 1
     centroids = np.asarray(m["centroids"], dtype=np.float64)
     assigned = new_df.select(m["id_col"], m["vec_col"]).withColumn(
@@ -506,10 +503,8 @@ def delete_from_ivf_index(keys: DataFrame, path: str) -> None:
     no-op."""
     from geomesa_hive_spark.pipeline import index_io
 
-    m = ivf_index_meta(path)
-    index_io.write_tombstones(
-        keys, m["id_col"], path, int(m.get("gen", 0))
-    )
+    m = index_io.require_generation_meta(ivf_index_meta(path), "IVF index")
+    index_io.write_tombstones(keys, m["id_col"], path, int(m["gen"]))
 
 
 def _ivf_tombstones(spark, path: str):

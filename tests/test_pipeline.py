@@ -2165,7 +2165,7 @@ def test_index_delete_lifecycles(spark, tmp_path):
            .collect()}
     assert 3 not in got and got == {1, 5}
     rep = maintain_bm25_index(spark, pa)
-    assert rep["n_tombstoned"] == 2          # 99 was unknown
+    assert rep["n_tombstones_applied"] == 2  # 99 was unknown
     stats = json.load(open(pa + "/stats.json"))
     assert stats["n_docs"] == 3              # zero-token doc deleted too
     # post-maintain ≡ built without the deleted rows
@@ -2255,7 +2255,7 @@ def test_bm25_and_ivf_upsert_before_maintain(spark, tmp_path):
     assert got == {1, 2}                       # new content live
     assert not bm25_query_index(spark, pb, "apple", k=10).collect()
     rep = maintain_bm25_index(spark, pb)
-    assert rep["n_tombstoned"] == 1
+    assert rep["n_tombstones_applied"] == 1
     got2 = {r.id for r in bm25_query_index(spark, pb, "dog", k=10)
             .collect()}
     assert got2 == {1, 2}                      # survived the merge
@@ -2332,6 +2332,95 @@ def test_minhash_index_upsert_generations(spark, tmp_path):
     delete_from_minhash_index(
         spark.createDataFrame([(1,)], "id long"), "id", path)
     assert _pairs() == {(2, 11)}
+
+
+def test_index_mutations_refuse_legacy_layout(spark, tmp_path):
+    """Round-11 ADVICE: every index MUTATION (append/delete/upsert)
+    validates generation versioning BEFORE writing anything. A legacy
+    (gen-less) layout is refused with the uniform rebuild message, and
+    — the mutate-before-validate trap — NO tombstones/ dir is left
+    behind by a refused delete/upsert; maintain on a legacy index with
+    a (manually planted) pending tombstone log raises the same clear
+    ValueError instead of an unresolved-'gen' AnalysisException."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import index_io, similarity
+    from geomesa_hive_spark.pipeline.dedup import (
+        append_to_minhash_index, build_minhash_index,
+        delete_from_minhash_index, maintain_minhash_index,
+        upsert_into_minhash_index,
+    )
+    from geomesa_hive_spark.pipeline.retrieval import (
+        build_bm25_index, delete_from_bm25_index, upsert_into_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "id long, text string")
+    keys = spark.createDataFrame([(1,)], "id long")
+
+    def _strip_gen(meta_file):
+        with open(meta_file) as fh:
+            m = json.load(fh)
+        del m["gen"]
+        with open(meta_file, "w") as fh:
+            json.dump(m, fh)
+
+    # --- minhash -------------------------------------------------
+    mh = str(tmp_path / "mh_legacy")
+    build_minhash_index(docs, "id", "text", mh,
+                        num_perm=16, bands=4, n_buckets=2)
+    _strip_gen(os.path.join(mh, "_index.json"))
+    for op in (
+        lambda: append_to_minhash_index(docs, "id", "text", mh),
+        lambda: delete_from_minhash_index(keys, "id", mh),
+        lambda: upsert_into_minhash_index(docs, "id", "text", mh),
+    ):
+        with pytest.raises(ValueError, match="predates generation"):
+            op()
+    assert not os.path.isdir(os.path.join(mh, "tombstones"))
+
+    # --- bm25 ----------------------------------------------------
+    bm = str(tmp_path / "bm_legacy")
+    build_bm25_index(docs, "id", "text", bm, n_buckets=2)
+    _strip_gen(os.path.join(bm, "stats.json"))
+    for op in (
+        lambda: delete_from_bm25_index(keys, "id", bm),
+        lambda: upsert_into_bm25_index(docs, "id", "text", bm),
+    ):
+        with pytest.raises(ValueError, match="predates generation"):
+            op()
+    assert not os.path.isdir(os.path.join(bm, "tombstones"))
+
+    # --- ivf -----------------------------------------------------
+    emb = docs.select(
+        "id", F.array(F.rand(7), F.rand(8)).alias("vec"))
+    iv = str(tmp_path / "ivf_legacy")
+    similarity.build_ivf_index(emb, "id", "vec", iv, n_lists=2)
+    _strip_gen(os.path.join(iv, "_index.json"))
+    for op in (
+        lambda: similarity.append_to_ivf_index(emb, iv),
+        lambda: similarity.delete_from_ivf_index(keys, iv),
+        lambda: similarity.upsert_into_ivf_index(emb, iv),
+    ):
+        with pytest.raises(ValueError, match="predates generation"):
+            op()
+    assert not os.path.isdir(os.path.join(iv, "tombstones"))
+
+    # --- maintain on a legacy index with planted tombstones ------
+    # (pre-guard APIs could have left this state behind): must give
+    # the rebuild ValueError, not an unresolved-'gen' AnalysisException
+    sigs_dir = os.path.join(mh, "sigs")
+    legacy_sigs = spark.read.parquet(sigs_dir).drop("gen")
+    legacy_sigs.write.mode("overwrite").parquet(sigs_dir + ".legacy")
+    index_io.swap_dir(sigs_dir, sigs_dir + ".legacy")
+    index_io.write_tombstones(keys, "id", mh, 0)
+    with pytest.raises(ValueError, match="predates generation"):
+        maintain_minhash_index(spark, mh)
 
 
 def test_check_constraints_all_kinds(spark):
