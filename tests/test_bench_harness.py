@@ -50,3 +50,32 @@ def test_parse_baseline_rows_real_file():
     assert len(rows) >= 150
     assert "spatial_bbox_filter" in rows
     assert all(v > 0 for v in rows.values())
+
+
+def test_compact_summary_driver_parsable():
+    """Round-10 verdict item 1: the final stdout line must be small
+    enough to survive the driver's ~2 KB tail capture, parse as one
+    JSON object, and compare like-for-like against the baseline."""
+    import json
+
+    from bench import compact_summary
+
+    timings = {"q_fast": 1.0, "q_slow": 6.0, "q_nobase": 2.0,
+               "q_failed": -1.0}
+    baseline = {"q_fast": 2.0, "q_slow": 3.0, "decoy_only_in_base": 9.9}
+    s = compact_summary(timings, baseline, total=9.0, sf=0.1)
+    line = json.dumps(s)
+    assert len(line) < 2000
+    assert json.loads(line) == s
+    assert s["value"] == 9.0
+    assert s["n_queries"] == 4 and s["n_failed"] == 1
+    # like-for-like: (1.0 + 6.0) / (2.0 + 3.0); q_nobase/q_failed excluded
+    assert s["vs_baseline_sum"] == 1.4
+    assert s["worst_query"] == "q_slow" and s["worst_ratio"] == 2.0
+
+
+def test_compact_summary_no_baseline():
+    from bench import compact_summary
+
+    s = compact_summary({"q": 1.0}, {}, total=1.0, sf=0.1)
+    assert s["vs_baseline_sum"] is None and s["worst_query"] is None
