@@ -436,6 +436,14 @@ class _MorBatchReader(DataSourceReader):
                 self.window, self.base
             )
         self.log = log
+        # bound on the driver-side delta resolution (round-10 verdict
+        # item 3): the MOR discipline keeps deltas small between
+        # maintain() calls, but nothing ENFORCED it — an un-maintained
+        # table would OOM the driver silently instead of raising with a
+        # pointer at the fix. Generous default; .option('max_delta_rows')
+        # overrides (0 = unlimited, for callers who know better).
+        mdr = options.get("max_delta_rows")
+        self.max_delta_rows = int(mdr) if mdr is not None else 10_000_000
         # driver-side resolution: latest action per key, delete beats
         # upsert within a commit (same semantics as read_snapshot);
         # vectorized in pandas — only the changed-key list and the
@@ -451,6 +459,24 @@ class _MorBatchReader(DataSourceReader):
         import pandas as pd
         import pyarrow.parquet as pq
 
+        # refuse an unbounded driver materialization BEFORE reading any
+        # data: footer row counts only (O(files) metadata reads, no rows)
+        if self.max_delta_rows:
+            n_delta = sum(
+                pq.read_metadata(f).num_rows
+                for e in self.log for f in _delta_files(e["path"])
+            )
+            if n_delta > self.max_delta_rows:
+                raise ValueError(
+                    f"morlake snapshot read would resolve {n_delta} delta "
+                    f"rows driver-side (limit {self.max_delta_rows}): the "
+                    f"table is overdue for compaction — run "
+                    f"manifest.maintain()/checkpoint() to fold deltas into "
+                    f"the base, or use manifest.read_snapshot() (fully "
+                    f"distributed resolution), or raise/disable the bound "
+                    f"with .option('max_delta_rows', n) if driver memory "
+                    f"genuinely allows it"
+                )
         frames = []
         for e in self.log:
             for f in _delta_files(e["path"]):
