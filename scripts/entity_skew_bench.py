@@ -68,9 +68,13 @@ def run_once(spark, a, b, shards: int, skew_on: bool) -> dict:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ as at scale
 
     t0 = time.time()
-    n_links = link_phonetic(
-        a, b, "a_id", "an", "b_id", "bn", max_dist=2, block_shards=shards
-    ).count()
+    # max_block_size=None: this bench MEASURES the uncapped hot-block
+    # spread (the behavior the round-11 default cap exists to avoid)
+    matches, _dropped = link_phonetic(
+        a, b, "a_id", "an", "b_id", "bn", max_dist=2, block_shards=shards,
+        max_block_size=None,
+    )
+    n_links = matches.count()
     wall = round(time.time() - t0, 2)
     spark.catalog.clearCache()
     return {"links": n_links, "wall_s": wall}

@@ -104,7 +104,7 @@ def test_link_phonetic_beats_fastss_bound(spark):
     b = spark.createDataFrame(list(enumerate(dirty)), "b_id LONG, bn STRING")
 
     got = {r.b_id: (r.a_id, r.dist) for r in
-           link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2).collect()}
+           link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2)[0].collect()}
     assert {k: v[0] for k, v in got.items()} == {i: i for i in range(len(names))}
     assert all(1 <= d <= 2 for _, d in got.values())
     # at least one pair is genuinely distance 2 (the FastSS-impossible case)
@@ -133,7 +133,8 @@ def test_block_shards_invariant(spark):
 
     base = sorted(
         (r.b_id, r.a_id, r.dist)
-        for r in link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2).collect()
+        for r in link_phonetic(
+            a, b, "a_id", "an", "b_id", "bn", 2)[0].collect()
     )
     assert len(base) == 60  # every B record links
     for s in (2, 8):
@@ -141,7 +142,7 @@ def test_block_shards_invariant(spark):
             (r.b_id, r.a_id, r.dist)
             for r in link_phonetic(
                 a, b, "a_id", "an", "b_id", "bn", 2, block_shards=s
-            ).collect()
+            )[0].collect()
         )
         assert salted == base
 
@@ -172,10 +173,15 @@ def test_link_phonetic_max_block_size_cap(spark):
     a = spark.createDataFrame(hot_a + clean_a, "a_id LONG, an STRING")
     b = spark.createDataFrame(hot_b + clean_b, "b_id LONG, bn STRING")
 
-    base = sorted(
-        (r.b_id, r.a_id, r.dist)
-        for r in link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2).collect()
-    )
+    base_m, base_d = link_phonetic(
+        a, b, "a_id", "an", "b_id", "bn", 2, max_block_size=None)
+    base = sorted((r.b_id, r.a_id, r.dist) for r in base_m.collect())
+    assert base_d.count() == 0  # uncapped: empty report, pair shape kept
+    # the DEFAULT cap (1000, round-11) is far above these blocks:
+    # identical output to uncapped
+    dm, dd = link_phonetic(a, b, "a_id", "an", "b_id", "bn", 2)
+    assert sorted((r.b_id, r.a_id, r.dist) for r in dm.collect()) == base
+    assert dd.count() == 0
     # cap above every block size: identical output, empty report
     m, d = link_phonetic(
         a, b, "a_id", "an", "b_id", "bn", 2, max_block_size=40
