@@ -337,9 +337,10 @@ def knn_ivf(
     else:
         raise ValueError(f"method must be 'kmeans' or 'pivot' (got {method!r})")
 
-    list_id = _list_id_expr(centroids, vec_col)
     order = _probe_lists(centroids, query_vec, n_probe)
-    cand = df.withColumn("__list", list_id).filter(F.col("__list").isin(order))
+    cand = assign_list_ids(df, vec_col, centroids, out_col="__list").filter(
+        F.col("__list").isin(order)
+    )
     return knn_brute(cand, id_col, vec_col, query_vec, k)
 
 
@@ -364,6 +365,80 @@ def _list_id_expr(centroids: np.ndarray, vec_col: str) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+# n_lists*dim above which nearest-centroid assignment switches from the
+# folded-literal expression to the broadcast pandas-UDF argmin: the
+# literal path embeds the whole centroid matrix in the plan (clean at a
+# few hundred lists; MBs of Literal at thousands x dim 128+, serialized
+# into every task binary), while the broadcast path ships it ONCE per
+# executor via sc.broadcast (round-10 verdict item 5)
+_ASSIGN_LITERAL_MAX = 32768
+
+
+def _list_id_broadcast_udf(spark, centroids: np.ndarray):
+    """Nearest-centroid assignment as an Arrow-batched pandas UDF over
+    an executor-broadcast centroid matrix — the large-n_lists twin of
+    :func:`_list_id_expr`. argmin over squared distance uses the
+    ``-2·x·cᵀ + |c|²`` expansion (the |x|² term is constant per row),
+    chunked so scratch memory stays bounded at any Arrow batch size;
+    ties break to the FIRST index, same as array_position(array_min).
+    NULL vectors assign NULL, matching the expression path."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    bc = spark.sparkContext.broadcast(C)
+
+    # no pd.Series type hints: this module has `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # hint inference (the round-10 manifest-bloom gotcha) — the
+    # explicit return type on F.pandas_udf is the contract instead
+    def fn(vs):
+        cents = bc.value
+        c2 = (cents * cents).sum(axis=1)
+        out = np.zeros(len(vs), dtype=np.int64)
+        mask = vs.notna().to_numpy()
+        if mask.any():
+            M = np.stack(vs[mask].to_numpy()).astype(np.float64)
+            # chunk rows so the distance scratch stays ~32 MB
+            step = max(1, 4_000_000 // max(1, cents.shape[0]))
+            res = np.empty(M.shape[0], dtype=np.int64)
+            for i in range(0, M.shape[0], step):
+                d = M[i:i + step] @ cents.T * -2.0 + c2[None, :]
+                res[i:i + step] = d.argmin(axis=1)
+            out[mask] = res
+        ser = pd.Series(out).astype("object")
+        ser[~mask] = None
+        return ser
+
+    return F.pandas_udf(fn, "int")
+
+
+def assign_list_ids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    out_col: str = "list_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Add the nearest-centroid ``out_col``, auto-picking the physical
+    strategy by centroid-matrix size: the folded-literal native
+    expression below ``_ASSIGN_LITERAL_MAX = n_lists*dim`` elements
+    (whole-stage-codegen, zero Python), the broadcast pandas-UDF argmin
+    above it (one matrix copy per executor instead of MBs of Literal in
+    every serialized task). ``strategy`` forces ``"literal"`` or
+    ``"broadcast"`` (parity is pytest-pinned on identical data)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if strategy not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assign strategy {strategy!r}")
+    use_literal = (strategy == "literal") or (
+        strategy == "auto" and cents.size <= _ASSIGN_LITERAL_MAX
+    )
+    if use_literal:
+        return df.withColumn(out_col, _list_id_expr(cents, vec_col))
+    return df.withColumn(
+        out_col, _list_id_broadcast_udf(df.sparkSession, cents)(F.col(vec_col))
+    )
+
+
 def _probe_lists(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
     return [int(i) for i in np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]]
@@ -385,7 +460,7 @@ def assign_ivf_lists(
     """Add ``list_id``: deterministic-pivot IVF assignment as a native
     expression — the column a stored layout partitions by."""
     centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
-    return df.withColumn("list_id", _list_id_expr(centroids, vec_col))
+    return assign_list_ids(df, vec_col, centroids)
 
 
 def write_ivf_partitioned(
@@ -419,8 +494,8 @@ def build_ivf_index(
     import os
 
     centroids = _pivot_centroids(df, id_col, vec_col, n_lists)
-    assigned = df.select(id_col, vec_col).withColumn(
-        "list_id", _list_id_expr(centroids, vec_col)
+    assigned = assign_list_ids(
+        df.select(id_col, vec_col), vec_col, centroids
     ).withColumn("gen", F.lit(0))
     assigned.repartition(int(n_lists), "list_id").write.mode(
         "overwrite"
@@ -461,8 +536,8 @@ def append_to_ivf_index(new_df: DataFrame, path: str) -> dict:
     m = index_io.require_generation_meta(ivf_index_meta(path), "IVF index")
     g = int(m["gen"]) + 1
     centroids = np.asarray(m["centroids"], dtype=np.float64)
-    assigned = new_df.select(m["id_col"], m["vec_col"]).withColumn(
-        "list_id", _list_id_expr(centroids, m["vec_col"])
+    assigned = assign_list_ids(
+        new_df.select(m["id_col"], m["vec_col"]), m["vec_col"], centroids
     ).withColumn("gen", F.lit(g))
     assigned.repartition(int(m["n_lists"]), "list_id").write.mode(
         "append"

