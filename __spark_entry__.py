@@ -4040,6 +4040,69 @@ def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max IVM with rescan-on-eviction (round 11, VERDICT r10 #6 —
+    sources/incremental.py incremental_group_agg_minmax): the
+    per-status count/sum/min/max view rolls forward from CDC; count and
+    sum maintain algebraically, min/max derive from the stored extreme
+    when no eviction occurred and rescan ONLY the evicted groups (a
+    broadcast semi-join cut of the snapshot) when a deleted pre-image
+    value equals the stored extreme. The delete set deliberately
+    includes the GLOBAL max-price order (deterministic: highest
+    o_totalprice, key-tiebroken), which is necessarily its status
+    group's max — so the eviction path provably fires (asserted
+    in-query via the rescan report). The oracle full-recomputes
+    count/sum/min/max over the resolved snapshot; equality is exact
+    (decimal arithmetic)."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        group_agg_minmax, incremental_group_agg_minmax,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_ivmm_")
+    o.write.mode("overwrite").parquet(path)
+    agg0 = group_agg_minmax(o, "o_orderstatus", "o_totalprice")
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    # delete %11 keys PLUS the global max-price order — a guaranteed
+    # delete-the-max eviction in its status group
+    maxk = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey").limit(1)
+    )
+    dels = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey").union(maxk).distinct()
+    )
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    rep: dict = {}
+    view = incremental_group_agg_minmax(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        agg0, 0, 2, rescan_report=rep,
+    )
+    assert rep["groups_rescanned"] >= 1, rep   # the eviction path fired
+    return view.select(
+        "o_orderstatus", "cnt",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+        F.round(F.col("mn").cast("double"), 2).alias("mn"),
+        F.round(F.col("mx").cast("double"), 2).alias("mx"),
+    )
+
+
 def q_stream_cdc_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC → IVM composition, the Delta Live Tables pattern
     END TO END (round-10, VERDICT r9 item 7, sources/incremental.py
@@ -7516,6 +7579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
+        "mor_incremental_minmax": q_mor_incremental_minmax,
         "mor_incremental_join": q_mor_incremental_join,
         "stream_cdc_ivm": q_stream_cdc_ivm,
         "mor_incremental_index": q_mor_incremental_index,
@@ -11318,6 +11382,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS total
+            FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
+        """,
+        "mor_incremental_minmax": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders
+              WHERE o_orderkey % 11 = 0
+                 OR o_orderkey = (SELECT o_orderkey FROM orders
+                                  ORDER BY o_totalprice DESC, o_orderkey
+                                  LIMIT 1)
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total,
+                   round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS mn,
+                   round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS mx
             FROM r WHERE rn = 1 AND del = 0
             GROUP BY o_orderstatus
         """,

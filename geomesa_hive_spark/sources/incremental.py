@@ -21,9 +21,14 @@ hidden) + an adjustment aggregate over O(changed) rows + a join against
 the stored aggregate, which is |groups|-sized, not table-sized.
 
 Only distributive/algebraic aggregates (count, sum — and avg as
-sum/count) maintain this way; min/max need the base scan on eviction
-and are out of scope by design (stated, as the reference states its
-unsupported geometries).
+sum/count) maintain with changed rows alone. min/max are NOT
+self-maintainable under deletion: removing the stored extreme needs a
+rescan to find the runner-up. :func:`incremental_group_agg_minmax`
+(round 11) supports them with the standard rescan-on-eviction
+fallback — the rescan is per-EVICTED-GROUP (a broadcast semi-join cut
+of the snapshot), never the whole table, and fires only when a removed
+pre-image value equals the stored extreme and no post-image re-covers
+it.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ from pyspark.sql import functions as F
 from geomesa_hive_spark.sources.manifest import read_changes, read_snapshot
 
 __all__ = [
-    "group_agg", "incremental_group_agg", "incremental_join",
+    "group_agg", "group_agg_minmax", "incremental_group_agg",
+    "incremental_group_agg_minmax", "incremental_join",
     "incremental_projection", "join_view",
     "maintain_group_agg_stream", "read_maintained_view",
 ]
@@ -119,6 +125,160 @@ def incremental_group_agg(
         .cast("decimal(18,2)").alias("total"),
     )
     return merged.filter(F.col("cnt") > 0)
+
+
+def group_agg_minmax(df: DataFrame, group_col: str,
+                     value_col: str) -> DataFrame:
+    """Defining query of the min/max-bearing view: per-group row count,
+    decimal-exact sum, and decimal min/max of the value (decimal so the
+    'incremental ≡ full refresh' comparison is bit-exact, as in
+    :func:`group_agg`)."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    return df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(v).alias("total"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def incremental_group_agg_minmax(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    agg_at_from: DataFrame,
+    from_seq: int,
+    to_seq: int | None = None,
+    rescan_report: dict | None = None,
+) -> DataFrame:
+    """Roll a count/sum/MIN/MAX view forward from CDC — round-10
+    verdict item 6, lifting the min/max restriction the module
+    docstring used to declare out of scope.
+
+    count/sum maintain exactly as :func:`incremental_group_agg`
+    (subtract pre-images, add post-images). min/max are not
+    self-maintainable under deletion, so the standard IVM fallback
+    applies, scoped as tightly as the algebra allows:
+
+    - **No eviction** (no removed pre-image value equals the stored
+      extreme): the surviving old rows still attain the stored
+      extreme, so ``new_mn = least(stored_mn, pos_mn)`` (resp.
+      ``greatest`` for max) — changed rows only, zero rescans.
+    - **Eviction** (some removed value == stored extreme) that a
+      post-image does not re-cover (no new value ≤ stored min /
+      ≥ stored max): the runner-up is unknowable from the view, so
+      THAT GROUP's rows at ``to_seq`` are rescanned exactly — a
+      broadcast semi-join cut of the snapshot on the group column,
+      O(rows of evicted groups), never the table. Duplicate extremes
+      conservatively rescan (removing one of two equal minima cannot
+      be disambiguated from the view).
+
+    ``rescan_report`` (filled in place when passed) records
+    ``groups_rescanned`` so callers — and the contract gate — can
+    assert the eviction path actually fired (or didn't). The result
+    equals :func:`group_agg_minmax` over the resolved snapshot
+    bit-exactly (decimal arithmetic; hash-verified by the gate)."""
+    changes = read_changes(spark, path, key_col, from_seq, to_seq)
+    changed_keys = changes.select(key_col).distinct()
+    pre = (
+        read_snapshot(spark, path, key_col, as_of_seq=from_seq)
+        .join(F.broadcast(changed_keys), key_col, "left_semi")
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    neg = pre.select(
+        F.col(group_col),
+        F.lit(-1).cast("long").alias("d_cnt"),
+        (-v).alias("d_total"),
+        v.alias("pv"),
+        F.lit("pre").alias("side"),
+    )
+    pos = changes.filter(F.col("_change_type") != "delete").select(
+        F.col(group_col),
+        F.lit(1).cast("long").alias("d_cnt"),
+        v.alias("d_total"),
+        v.alias("pv"),
+        F.lit("pos").alias("side"),
+    )
+    adj = (
+        neg.unionByName(pos)
+        .groupBy(group_col)
+        .agg(
+            F.sum("d_cnt").alias("d_cnt"),
+            F.sum("d_total").alias("d_total"),
+            F.min(F.when(F.col("side") == "pre", F.col("pv"))).alias("pre_mn"),
+            F.max(F.when(F.col("side") == "pre", F.col("pv"))).alias("pre_mx"),
+            F.min(F.when(F.col("side") == "pos", F.col("pv"))).alias("pos_mn"),
+            F.max(F.when(F.col("side") == "pos", F.col("pv"))).alias("pos_mx"),
+        )
+    )
+    a, d = agg_at_from.alias("a"), adj.alias("d")
+    amn, amx = F.col("a.mn"), F.col("a.mx")
+    pre_mn, pre_mx = F.col("d.pre_mn"), F.col("d.pre_mx")
+    pos_mn, pos_mx = F.col("d.pos_mn"), F.col("d.pos_mx")
+    # eviction: a removed value attains the stored extreme AND no
+    # post-image re-covers it. NULL-valued rows never evict (min/max
+    # ignore NULLs, so pre_mn/pre_mx are NULL-free by construction).
+    evict_min = (
+        pre_mn.isNotNull() & amn.isNotNull() & (pre_mn == amn)
+        & (pos_mn.isNull() | (pos_mn > amn))
+    )
+    evict_max = (
+        pre_mx.isNotNull() & amx.isNotNull() & (pre_mx == amx)
+        & (pos_mx.isNull() | (pos_mx < amx))
+    )
+    merged = a.join(
+        d, F.col(f"a.{group_col}").eqNullSafe(F.col(f"d.{group_col}")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(f"a.{group_col}"), F.col(f"d.{group_col}"))
+        .alias(group_col),
+        (F.coalesce(F.col("a.cnt"), F.lit(0))
+         + F.coalesce(F.col("d.d_cnt"), F.lit(0))).cast("long").alias("cnt"),
+        (F.coalesce(F.col("a.total"), F.lit(0).cast("decimal(18,2)"))
+         + F.coalesce(F.col("d.d_total"), F.lit(0).cast("decimal(18,2)")))
+        .cast("decimal(18,2)").alias("total"),
+        # no-eviction derivation: surviving old rows still attain the
+        # stored extreme, so only the post-images can improve on it
+        F.least(amn, pos_mn).alias("der_mn"),
+        F.greatest(amx, pos_mx).alias("der_mx"),
+        (F.coalesce(evict_min, F.lit(False))
+         | F.coalesce(evict_max, F.lit(False))).alias("__rescan"),
+    ).filter(F.col("cnt") > 0)
+    # the rescan branch and the final result both consume `merged`;
+    # localCheckpoint so the CDC chain is not re-derived twice
+    merged = merged.localCheckpoint()
+    rescan_groups = merged.filter(F.col("__rescan")).select(group_col)
+    if rescan_report is not None:
+        rescan_report["groups_rescanned"] = rescan_groups.count()
+    snap_to = read_snapshot(spark, path, key_col, as_of_seq=to_seq)
+    rg = rescan_groups.alias("rg")
+    exact = (
+        snap_to.alias("s").join(
+            F.broadcast(rg),
+            F.col(f"s.{group_col}").eqNullSafe(F.col(f"rg.{group_col}")),
+            "left_semi",
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(F.col(value_col).cast("decimal(18,2)")).alias("x_mn"),
+            F.max(F.col(value_col).cast("decimal(18,2)")).alias("x_mx"),
+        )
+    )
+    m, e = merged.alias("m"), exact.alias("e")
+    return m.join(
+        e, F.col(f"m.{group_col}").eqNullSafe(F.col(f"e.{group_col}")),
+        "left_outer",
+    ).select(
+        F.col(f"m.{group_col}").alias(group_col),
+        F.col("m.cnt").alias("cnt"),
+        F.col("m.total").alias("total"),
+        F.when(F.col("m.__rescan"), F.col("e.x_mn"))
+        .otherwise(F.col("m.der_mn")).alias("mn"),
+        F.when(F.col("m.__rescan"), F.col("e.x_mx"))
+        .otherwise(F.col("m.der_mx")).alias("mx"),
+    )
 
 
 def incremental_projection(

@@ -1463,6 +1463,95 @@ def test_incremental_group_agg_matches_full_refresh(spark, tmp_path):
     assert "c" not in got                 # zeroed group dropped
 
 
+def test_incremental_minmax_rescan_on_eviction(spark, tmp_path):
+    """Round-10 verdict item 6: min/max IVM. Delete-the-max evicts the
+    stored extreme and triggers a per-GROUP rescan (reported); removing
+    one of two equal minima conservatively rescans; a post-image that
+    re-covers the extreme avoids the rescan; NULL values never evict;
+    the result equals group_agg_minmax over the resolved snapshot
+    exactly, including NULL groups and group moves."""
+    from geomesa_hive_spark.sources.incremental import (
+        group_agg_minmax, incremental_group_agg_minmax,
+    )
+    from geomesa_hive_spark.sources.manifest import (
+        read_snapshot, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "a", 5.0),    # dup minima
+         (4, "b", 7.0), (5, "b", 1.0),
+         (6, None, 40.0), (7, "c", None), (8, "c", 3.0)],  # NULLs
+        "k long, g string, v double",
+    )
+    path = str(tmp_path / "ivm_mm")
+    base.write.mode("overwrite").parquet(path)
+    agg0 = group_agg_minmax(base, "g", "v")
+
+    def check(view, snap_keys="k"):
+        def rows(df):
+            return sorted(
+                ((r.g, r.cnt, float(r.total),
+                  None if r.mn is None else float(r.mn),
+                  None if r.mx is None else float(r.mx))
+                 for r in df.collect()),
+                key=lambda t: (t[0] is None, t[0]),
+            )
+        got = rows(view)
+        full = group_agg_minmax(read_snapshot(spark, path, "k"), "g", "v")
+        exp = rows(full)
+        assert got == exp, (got, exp)
+        return dict((t[0], t[1:]) for t in got)
+
+    # c1: delete k=1 (a's max 10 -> EVICT, rescan finds runner-up 5);
+    # delete k=2 (one of a's two equal minima 5 -> conservative rescan,
+    # min stays 5); k=4 re-valued 7->0 in b (evicts b's max 7 AND
+    # improves b's min without rescan... max eviction forces the rescan)
+    write_delta(
+        spark.createDataFrame([(4, "b", 0.0)], "k long, g string, v double"),
+        path, "k",
+        delete_keys=spark.createDataFrame([(1,), (2,)], "k long"),
+    )
+    rep: dict = {}
+    view = incremental_group_agg_minmax(
+        spark, path, "k", "g", "v", agg0, 0, 1, rescan_report=rep)
+    got = check(view)
+    assert rep["groups_rescanned"] == 2          # groups a and b
+    assert got["a"] == (1, 5.0, 5.0, 5.0)   # k=3 survives
+    assert got["b"] == (2, 1.0, 0.0, 1.0)
+    assert got["c"] == (2, 3.0, 3.0, 3.0)        # NULL value inert
+
+    # roll further: c2 only IMPROVES extremes (insert 100 into a) and
+    # re-covers an eviction (delete k=3 whose 5 == a.mn, but the same
+    # commit inserts 4.0 <= 5 into a) -> zero rescans
+    agg1 = group_agg_minmax(read_snapshot(spark, path, "k"), "g", "v")
+    write_delta(
+        spark.createDataFrame(
+            [(9, "a", 100.0), (10, "a", 4.0)], "k long, g string, v double"),
+        path, "k",
+        delete_keys=spark.createDataFrame([(3,)], "k long"),
+    )
+    rep2: dict = {}
+    view2 = incremental_group_agg_minmax(
+        spark, path, "k", "g", "v", agg1, 1, 2, rescan_report=rep2)
+    got2 = check(view2)
+    assert rep2["groups_rescanned"] == 0
+    assert got2["a"] == (2, 104.0, 4.0, 100.0)
+
+    # c3: delete-to-zero drops the group; NULL group maintains
+    agg2 = group_agg_minmax(read_snapshot(spark, path, "k"), "g", "v")
+    write_delta(
+        spark.createDataFrame([(6, None, 35.0)], "k long, g string, v double"),
+        path, "k",
+        delete_keys=spark.createDataFrame([(4,), (5,)], "k long"),
+    )
+    rep3: dict = {}
+    view3 = incremental_group_agg_minmax(
+        spark, path, "k", "g", "v", agg2, 2, 3, rescan_report=rep3)
+    got3 = check(view3)
+    assert "b" not in got3
+    assert got3[None] == (1, 35.0, 35.0, 35.0)
+
+
 def test_incremental_join_matches_full_refresh(spark, tmp_path):
     """incremental_join: join-column moves (a row re-pointed at a
     different partner), both-sides-changed pairs (must appear ONCE —
