@@ -80,6 +80,25 @@ _GEOM_LIT_FIRST = re.compile(
     rf"(st_geomfromwkt\s*\(\s*'([^']*)'\s*\))\s*,\s*({_IDENT})\s*\)",
     re.IGNORECASE,
 )
+# fn(col, st_makePoint(x, y)) / fn(st_makePoint(x, y), col) — a POINT
+# literal is the degenerate extent [x,x]x[y,y] (round 11, VERDICT r10
+# #7 family: more recognized shapes). st_makePoint yields a GEOMETRY,
+# so the predicate carries OGC semantics: intersects includes the
+# boundary (the min/max comparison is EXACT — UDF dropped), but
+# contains/within require interior intersection, which a boundary
+# point fails — there the comparison is only a necessary prefilter and
+# the original predicate stays as a conjunct (pytest-pinned against
+# the UDF on a boundary point)
+_POINT = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*({_IDENT})\s*,\s*"
+    rf"st_makepoint\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_POINT_FIRST = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*"
+    rf"st_makepoint\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*,\s*({_IDENT})\s*\)",
+    re.IGNORECASE,
+)
 # st_dwithin(col, st_makepoint(x, y), d) — envelope prefilter + original
 _DWITHIN = re.compile(
     rf"\bst_dwithin\s*\(\s*({_IDENT})\s*,\s*"
@@ -190,6 +209,20 @@ def rewrite_spatial_predicates(sql: str) -> str:
     def lit_first(m: re.Match) -> str:
         fn, xmin, ymin, xmax, ymax, col = m.groups()
         return _conj(col, xmin, ymin, xmax, ymax, _mode(fn, False))
+
+    def point(m: re.Match) -> str:
+        fn, col, x, y = m.groups()
+        conj = _conj(col, x, y, x, y, _mode(fn, True))
+        if fn.lower() == "st_intersects":
+            return conj
+        return f"({conj} AND {m.group(0)})"
+
+    def point_first(m: re.Match) -> str:
+        fn, x, y, col = m.groups()
+        conj = _conj(col, x, y, x, y, _mode(fn, False))
+        if fn.lower() == "st_intersects":
+            return conj
+        return f"({conj} AND {m.group(0)})"
 
     def _geom_envelope_conj(fn: str, col: str, wkt: str, col_first: bool):
         from geomesa_hive_spark.geom import from_wkt
@@ -306,6 +339,8 @@ def rewrite_spatial_predicates(sql: str) -> str:
 
     sql = _COL_FIRST.sub(col_first, sql)
     sql = _LIT_FIRST.sub(lit_first, sql)
+    sql = _POINT.sub(point, sql)
+    sql = _POINT_FIRST.sub(point_first, sql)
     sql = _EXT_WKT.sub(ext_wkt, sql)
     sql = _EXT_WKT_FIRST.sub(ext_wkt_first, sql)
     sql = _GEOM_LIT.sub(geom_lit, sql)

@@ -338,3 +338,90 @@ def test_extent_from_wkt_literal_drops_udf(spark, tmp_path):
     plan = out3._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan          # UDF fully dropped
     assert re.search(r"PushedFilters: \[[^\n]*xmin", plan)
+
+
+def test_point_literal_shapes_match_udf(spark):
+    """Round 11: st_makePoint literals rewrite as degenerate extents.
+    st_intersects is EXACT (boundary included) so the UDF drops; OGC
+    contains/within need interior intersection — a boundary point fails
+    them — so there the comparison is a prefilter and the ORIGINAL
+    predicate is kept (results must equal the raw UDF, which returns
+    NOTHING for a point on a degenerate box under OGC semantics)."""
+    _grid(spark)
+    for raw in (
+        "SELECT id FROM sql_grid WHERE st_intersects(bbox, st_makePoint(3.0, 4.0)) ORDER BY id",
+        "SELECT id FROM sql_grid WHERE st_intersects(st_makePoint(3.0, 4.0), bbox) ORDER BY id",
+    ):
+        out = rewrite_spatial_predicates(raw)
+        assert "st_makepoint" not in out.lower(), raw   # UDF dropped
+        got = [r.id for r in spatial_sql(spark, raw).collect()]
+        want = [r.id for r in spark.sql(raw).collect()]
+        assert got == want == [43], raw                 # x=3,y=4 → id 43
+    for raw in (
+        "SELECT id FROM sql_grid WHERE st_contains(bbox, st_makePoint(3.0, 4.0)) ORDER BY id",
+        "SELECT id FROM sql_grid WHERE st_within(st_makePoint(3.0, 4.0), bbox) ORDER BY id",
+        "SELECT id FROM sql_grid WHERE st_within(bbox, st_makePoint(3.0, 4.0)) ORDER BY id",
+    ):
+        out = rewrite_spatial_predicates(raw)
+        assert "st_makepoint" in out.lower(), raw       # original kept
+        assert ".xmin" in out, raw                      # behind a prefilter
+        got = [r.id for r in spatial_sql(spark, raw).collect()]
+        want = [r.id for r in spark.sql(raw).collect()]
+        assert got == want, raw                         # OGC semantics kept
+
+
+def test_rewrite_inside_cte_and_subquery_plan_asserted(spark, tmp_path):
+    """VERDICT r10 #7: the recognized shapes rewrite inside CTE and
+    subquery TEXT too (the rewrite is position-independent), and the
+    resulting filters still reach the parquet scan — plan-asserted for
+    st_within(col, lit) and the operand-swapped st_intersects(lit, col)."""
+    df = _grid(spark)
+    path = str(tmp_path / "grid_pq_cte")
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("sql_grid_cte")
+
+    cte = (
+        "WITH hits AS ("
+        "  SELECT id FROM sql_grid_cte"
+        "  WHERE st_within(bbox, st_makeBBOX(2.5, 2.5, 5.5, 5.5))"
+        ") SELECT count(*) AS n FROM hits"
+    )
+    out = spatial_sql(spark, cte)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert re.search(r"PushedFilters: \[[^\n]*xmin", plan)
+    assert out.collect()[0].n == 9
+
+    sub = (
+        "SELECT count(*) AS n FROM ("
+        "  SELECT id FROM sql_grid_cte"
+        "  WHERE st_intersects(st_makeBBOX(2.5, 2.5, 5.5, 5.5), bbox)"
+        ") q"
+    )
+    out2 = spatial_sql(spark, sub)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan2
+    assert re.search(r"PushedFilters: \[[^\n]*xmin", plan2)
+    assert out2.collect()[0].n == 9
+
+    # point-literal shapes, plan-asserted end-to-end: intersects drops
+    # the UDF entirely; contains keeps it behind a PUSHED prefilter
+    pt = (
+        "SELECT id FROM sql_grid_cte "
+        "WHERE st_intersects(bbox, st_makePoint(3.0, 4.0))"
+    )
+    out3 = spatial_sql(spark, pt)
+    plan3 = out3._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan3
+    assert re.search(r"PushedFilters: \[[^\n]*xmin", plan3)
+    assert [r.id for r in out3.collect()] == [43]
+    ct = (
+        "SELECT id FROM sql_grid_cte "
+        "WHERE st_contains(bbox, st_makePoint(3.0, 4.0))"
+    )
+    out4 = spatial_sql(spark, ct)
+    plan4 = out4._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan4                      # OGC predicate kept
+    assert re.search(r"PushedFilters: \[[^\n]*xmin", plan4)  # prefilter pushed
+    raw4 = [r.id for r in spark.sql(ct).collect()]
+    assert [r.id for r in out4.collect()] == raw4
