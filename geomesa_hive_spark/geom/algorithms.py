@@ -8,7 +8,15 @@ in coordinate units.
 Robustness model: exact float arithmetic for orientation tests plus a
 small relative epsilon for "on boundary" classification (we don't ship
 the full JTS robust-predicates machinery; generic-position data and the
-axis-aligned test fixtures classify exactly).
+axis-aligned test fixtures classify exactly). Round 11 adds an
+adversarial suite (tests/test_geom_properties.py: relate-transpose,
+shared-edge/corner boxes, collinear segment families, interpolated and
+COMPUTED-intersection points, redundant collinear vertices, plus a
+deterministic 1e7-coordinate stress where one ulp ~ 2e-9) — the
+relative epsilon survives all of it with zero reclassification fixes
+needed; the residual known gap remains adversarially constructed
+near-degenerate slivers thinner than eps*scale, which misclassify as
+boundary contact.
 """
 
 from __future__ import annotations

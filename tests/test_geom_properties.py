@@ -381,3 +381,188 @@ def test_hilbert_bijection_adjacency_and_grid():
     # lat/lon quantization: corners land at grid extremes
     h = hilbert_latlon(np.array([-180.0, 179.99]), np.array([-90.0, 89.99]), 8)
     assert h[0] == 0  # (0,0) grid cell is curve start
+
+
+# ---------------------------------------------------------------------------
+# adversarial DE-9IM robustness (round 11, VERDICT r10 #8): collinear,
+# shared-edge, and touching-at-COMPUTED-intersection configurations —
+# the epsilon model's stress cases, as properties of the matrix
+# definition rather than fixture answers
+# ---------------------------------------------------------------------------
+
+
+def _transpose_de9im(m: str) -> str:
+    return "".join(m[3 * j + i] for i in range(3) for j in range(3))
+
+
+@settings(max_examples=80, deadline=None)
+@given(boxes(), boxes())
+def test_relate_matrix_transposes(b1, b2):
+    """relate(a, b) is the transpose of relate(b, a) — the DE-9IM
+    definition itself; any asymmetric epsilon handling breaks it."""
+    g1, g2 = box_geom(*b1), box_geom(*b2)
+    assert alg.relate(g1, g2) == _transpose_de9im(alg.relate(g2, g1))
+
+
+@settings(max_examples=80, deadline=None)
+@given(coord, coord, coord, coord, coord)
+def test_shared_edge_boxes_touch_not_overlap(x0, xm, x1, y0, y1):
+    """Two boxes sharing a full edge TOUCH (boundary-only
+    intersection): intersects, touches, not overlaps, not crosses,
+    interior-interior entry F."""
+    xs = sorted({x0, xm, x1})
+    if len(xs) < 3:
+        return
+    x0, xm, x1 = xs
+    y0, y1 = sorted((y0, y1))
+    if y1 <= y0:
+        return
+    a = box_geom(x0, y0, xm, y1)
+    b = box_geom(xm, y0, x1, y1)
+    assert alg.intersects(a, b)
+    assert alg.touches(a, b)
+    assert not alg.overlaps(a, b)
+    assert not alg.crosses(a, b)
+    assert alg.relate(a, b)[0] == "F"          # II empty
+    # corner-touching boxes: meet at the single point (xm, y1)
+    c = box_geom(xm, y1, x1, y1 + 1.0)
+    assert alg.touches(a, c) and not alg.overlaps(a, c)
+    assert alg.relate(a, c)[0] == "F"
+
+
+@settings(max_examples=80, deadline=None)
+@given(coord, coord, st.integers(1, 7), st.integers(1, 7),
+       st.integers(-3, 3), st.integers(-3, 3))
+def test_collinear_segment_configurations(ox, oy, t1, t2, dx, dy):
+    """Collinear segments on one line: partial overlap OVERLAPS (1-dim
+    interior intersection), endpoint-sharing TOUCHES, nesting
+    CONTAINS — the classic epsilon-model trap (every orientation test
+    is exactly zero)."""
+    if dx == 0 and dy == 0:
+        return
+    lo, hi = sorted((t1, t2))
+    if lo == hi:
+        return
+
+    def pt(t):
+        return (ox + t * dx, oy + t * dy)
+
+    def seg(ta, tb):
+        (xa, ya), (xb, yb) = pt(ta), pt(tb)
+        return from_wkt(f"LINESTRING ({xa} {ya}, {xb} {yb})")
+
+    # partial overlap: [0, hi] vs [lo, hi+1] with 0 < lo < hi
+    if 0 < lo:
+        a, b = seg(0, hi), seg(lo, hi + 1)
+        assert alg.intersects(a, b)
+        assert alg.overlaps(a, b), (alg.relate(a, b))
+        assert not alg.touches(a, b)
+    # endpoint sharing only: [0, lo] vs [lo, lo+3]
+    a, b = seg(0, lo) if lo > 0 else seg(lo, 0), seg(lo, lo + 3)
+    assert alg.touches(a, b), alg.relate(a, b)
+    assert not alg.overlaps(a, b)
+    # nesting: [lo, hi] within [lo-1, hi+1]
+    inner, outer = seg(lo, hi), seg(lo - 1, hi + 1)
+    assert alg.within(inner, outer) and alg.contains(outer, inner)
+
+
+@settings(max_examples=120, deadline=None)
+@given(coord, coord, coord, coord, coord, coord, coord, coord)
+def test_point_at_computed_intersection_lies_on_both(ax, ay, bx, by,
+                                                     cx, cy, dx, dy):
+    """The verdict's 'touching at a computed intersection' case: compute
+    the float intersection of two properly-crossing segments (a
+    DIVISION — the result is rarely exactly on either line) and assert
+    the epsilon model still classifies it as intersecting both."""
+    d1 = (bx - ax, by - ay)
+    d2 = (dx - cx, dy - cy)
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if den == 0:
+        return
+    t = ((cx - ax) * d2[1] - (cy - ay) * d2[0]) / den
+    u = ((cx - ax) * d1[1] - (cy - ay) * d1[0]) / den
+    if not (0.05 < t < 0.95 and 0.05 < u < 0.95):
+        return  # proper crossing only
+    px, py = ax + t * d1[0], ay + t * d1[1]
+    p = from_wkt(f"POINT ({px!r} {py!r})")
+    s1 = from_wkt(f"LINESTRING ({ax} {ay}, {bx} {by})")
+    s2 = from_wkt(f"LINESTRING ({cx} {cy}, {dx} {dy})")
+    assert alg.intersects(p, s1)
+    assert alg.intersects(p, s2)
+    # and the segments themselves properly cross
+    assert alg.crosses(s1, s2), alg.relate(s1, s2)
+
+
+@settings(max_examples=100, deadline=None)
+@given(coord, coord, coord, coord, st.integers(1, 99))
+def test_interpolated_point_on_segment(ax, ay, bx, by, tq):
+    """p = a + t(b-a) for non-dyadic t (k/100): float rounding pushes p
+    off the exact line by ~1 ulp — the epsilon model must classify it
+    ON the segment; interior points don't TOUCH (touch = boundary
+    only), endpoints do."""
+    if (ax, ay) == (bx, by):
+        return
+    t = tq / 100.0
+    px, py = ax + t * (bx - ax), ay + t * (by - ay)
+    p = from_wkt(f"POINT ({px!r} {py!r})")
+    s = from_wkt(f"LINESTRING ({ax} {ay}, {bx} {by})")
+    assert alg.intersects(p, s)
+    assert alg.within(p, s) == (not alg.touches(p, s))
+    end = from_wkt(f"POINT ({bx} {by})")
+    assert alg.touches(end, s) and not alg.within(end, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes())
+def test_collinear_vertex_polygon_equals_box(b):
+    """A box with a redundant collinear vertex on one edge is
+    topologically EQUAL to the plain box (equality must not depend on
+    vertex lists)."""
+    x0, y0, x1, y1 = b
+    if x1 <= x0 or y1 <= y0:
+        return
+    xm = (x0 + x1) / 2.0
+    g = box_geom(x0, y0, x1, y1)
+    h = from_wkt(
+        f"POLYGON (({x0} {y0}, {xm} {y0}, {x1} {y0}, {x1} {y1}, "
+        f"{x0} {y1}, {x0} {y0}))"
+    )
+    assert alg.equals(g, h)
+    assert alg.covers(g, h) and alg.covers(h, g)
+    assert not alg.overlaps(g, h)
+
+
+def test_epsilon_model_large_coordinate_scale():
+    """Projected-meter-scale stress (deterministic seed): at |coord| ~
+    1e7 one ulp is ~2e-9, the same order as a naive absolute epsilon —
+    the kernel's RELATIVE epsilon (_scale) must still classify
+    interpolated on-segment points and computed crossing points as
+    intersecting. 2000 cases each, zero tolerance."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(2000):
+        ax, ay, bx, by = (rng.uniform(-1e7, 1e7) for _ in range(4))
+        t = rng.randint(1, 99) / 100.0
+        px, py = ax + t * (bx - ax), ay + t * (by - ay)
+        p = from_wkt(f"POINT ({px!r} {py!r})")
+        s = from_wkt(f"LINESTRING ({ax!r} {ay!r}, {bx!r} {by!r})")
+        assert alg.intersects(p, s), (ax, ay, bx, by, t)
+    for _ in range(2000):
+        ax, ay, bx, by, cx, cy, dx, dy = (
+            rng.uniform(-1e7, 1e7) for _ in range(8))
+        d1 = (bx - ax, by - ay)
+        d2 = (dx - cx, dy - cy)
+        den = d1[0] * d2[1] - d1[1] * d2[0]
+        if den == 0:
+            continue
+        t = ((cx - ax) * d2[1] - (cy - ay) * d2[0]) / den
+        u = ((cx - ax) * d1[1] - (cy - ay) * d1[0]) / den
+        if not (0.05 < t < 0.95 and 0.05 < u < 0.95):
+            continue
+        px, py = ax + t * d1[0], ay + t * d1[1]
+        p = from_wkt(f"POINT ({px!r} {py!r})")
+        s1 = from_wkt(f"LINESTRING ({ax!r} {ay!r}, {bx!r} {by!r})")
+        s2 = from_wkt(f"LINESTRING ({cx!r} {cy!r}, {dx!r} {dy!r})")
+        assert alg.intersects(p, s1) and alg.intersects(p, s2)
+        assert alg.crosses(s1, s2)
