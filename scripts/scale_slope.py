@@ -478,6 +478,93 @@ def run_ivm_full_refresh_control(spark, sf_dir, m):
     )
 
 
+def _stream_ivm_setup(spark, sf_dir, m):
+    """Templates for the STREAMING composition rows (round 11, VERDICT
+    r10 #9: stream_cdc_ivm's bench number is orchestration-dominated —
+    these rows separate the fixed streaming-cycle overhead from the
+    per-delta cost with a measured slope each).
+
+    Built once per dataset: the amplified MOR table from
+    :func:`_ivm_setup` (2 pending commits, delta held CONSTANT across m
+    via ×m moduli), a PRISTINE seq-0 view state (so the timed runner
+    never pays the bootstrap full-aggregate), and a DRAINED state whose
+    checkpoint has already consumed every commit (the zero-delta
+    control)."""
+    from geomesa_hive_spark.sources.incremental import (
+        _store_ivm_state, group_agg, maintain_group_agg_stream,
+    )
+    from geomesa_hive_spark.sources.manifest import read_snapshot
+
+    tbl, _ = _ivm_setup(spark, sf_dir, m)
+    root = os.path.join(sf_dir, "_stream_ivm_runner")
+    pristine = os.path.join(root, "view_seq0")
+    drained = os.path.join(root, "view_drained")
+    marker = os.path.join(root, "_built")
+    if os.path.exists(marker):
+        return tbl, pristine, drained
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(pristine)
+    group_agg(
+        read_snapshot(spark, tbl, "o_orderkey", as_of_seq=0),
+        "o_custkey", "o_totalprice",
+    ).write.mode("overwrite").parquet(os.path.join(pristine, "agg_0"))
+    _store_ivm_state(pristine, {"seq": 0, "data": "agg_0"})
+    shutil.copytree(pristine, drained)
+    rep = maintain_group_agg_stream(
+        spark, tbl, "o_orderkey", "o_custkey", "o_totalprice", drained
+    )
+    assert rep["batches"] >= 1, rep
+    with open(marker, "w") as fh:
+        fh.write("1")
+    return tbl, pristine, drained
+
+
+def run_stream_ivm_cycle(spark, sf_dir, m):
+    """One full availableNow CDC→IVM cycle from a pristine seq-0 state:
+    fixed stream start/stop + the delta-sized roll-forward (delta
+    constant across m; the pre-image semi-join's base-scan input is the
+    only m-proportional term, same as ivm_refresh_fixed_delta)."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        maintain_group_agg_stream, read_maintained_view,
+    )
+
+    tbl, pristine, _ = _stream_ivm_setup(spark, sf_dir, m)
+    tmp = tempfile.mkdtemp(prefix="ghs_sivm_slope_")
+    shutil.rmtree(tmp)
+    shutil.copytree(pristine, tmp)
+    rep = maintain_group_agg_stream(
+        spark, tbl, "o_orderkey", "o_custkey", "o_totalprice", tmp
+    )
+    assert rep["batches"] >= 1, rep
+    return read_maintained_view(spark, tmp)
+
+
+def run_stream_ivm_cycle_overhead(spark, sf_dir, m):
+    """The zero-delta control: an availableNow cycle whose checkpoint
+    has already consumed every commit — processes NOTHING, so the wall
+    time IS the fixed streaming orchestration (start, offset check,
+    stop). Flat across m by construction; the difference to
+    run_stream_ivm_cycle is the per-delta cost."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.incremental import (
+        maintain_group_agg_stream, read_maintained_view,
+    )
+
+    tbl, _, drained = _stream_ivm_setup(spark, sf_dir, m)
+    tmp = tempfile.mkdtemp(prefix="ghs_sivm_slope0_")
+    shutil.rmtree(tmp)
+    shutil.copytree(drained, tmp)
+    rep = maintain_group_agg_stream(
+        spark, tbl, "o_orderkey", "o_custkey", "o_totalprice", tmp
+    )
+    assert rep["batches"] == 0, rep
+    return read_maintained_view(spark, tmp)
+
+
 CUSTOM = {
     "spatial_distance_join": run_spatial_distance_join,
     "spatial_distance_join_sphere": run_spatial_distance_join_sphere,
@@ -489,6 +576,8 @@ CUSTOM = {
     "manifest_bloom": run_manifest_bloom,
     "ivm_refresh_fixed_delta": run_ivm_refresh_fixed_delta,
     "ivm_full_refresh_control": run_ivm_full_refresh_control,
+    "stream_ivm_cycle": run_stream_ivm_cycle,
+    "stream_ivm_cycle_overhead": run_stream_ivm_cycle_overhead,
 }
 
 # gate queries that scale with their tables — reused verbatim
