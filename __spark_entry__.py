@@ -4675,6 +4675,40 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection via median / MAD (round 11 —
+    the batch-robust sibling of stream_ewma_anomaly): values are
+    quantized to integer cents with floor(v*100 + 0.5) (never Spark
+    round() in a per-element path — it allocates a BigDecimal per
+    value), the per-type median and the median absolute deviation are
+    EXACT interpolated percentiles over integers/halves (binary-exact
+    doubles, so Spark percentile ≡ DuckDB quantile_cont bit-for-bit),
+    and a row is anomalous when |v - med| > 3·MAD — the classic
+    outlier rule that a single wild value cannot poison, unlike
+    mean/stddev. Two tiny broadcast joins; the scan dominates."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("vc", F.lit(0.5)).alias("med"))
+    j = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vc") - F.col("med")))
+    mad = j.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            (F.col("vc").cast("double") / F.lit(100.0)).alias("value"),
+            F.col("med").alias("med"),
+            F.col("mad").alias("mad"),
+        )
+    )
+
+
 def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing per user (round-10,
     operators/timeseries.py holt_smooth — the trend-aware upgrade of
@@ -6603,6 +6637,33 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("node"), F.col("tri").alias("tri"))
 
 
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source unweighted shortest paths (pipeline/graph.py
+    shortest_paths — GraphFrames' landmark shape): distributed BFS on
+    the same irregular 97-node directed customer graph as PageRank,
+    from landmarks {0, 1, 2, 3}, ≤ 6 hops. Each round expands the
+    frontier across the edge list and anti-joins already-settled
+    (node, landmark) pairs — first visit IS the shortest distance in an
+    unweighted graph, so the loop is exact integer arithmetic and the
+    oracle (a bounded recursive-CTE walk + MIN per pair) replays it
+    bit-for-bit; the third hash-verified iterative algorithm alongside
+    PageRank and k-means."""
+    from geomesa_hive_spark.pipeline import graph
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 97).alias("src"),
+        (F.expr("c_custkey DIV 7") % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    out = graph.shortest_paths(edges, "src", "dst", [0, 1, 2, 3],
+                               max_iters=6)
+    return out.select(
+        F.col("node").alias("node"),
+        F.col("landmark").alias("landmark"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Replay the integer PageRank loop as chained MATERIALIZED CTEs
     (same exponential-inlining lesson as the BPE oracle)."""
@@ -7599,6 +7660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "events_holt": q_events_holt,
+        "events_mad_anomaly": q_events_mad_anomaly,
         "stream_rollup": q_stream_rollup,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
@@ -7671,6 +7733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "relational_pivot": q_relational_pivot,
         "graph_pagerank": q_graph_pagerank,
+        "graph_shortest_paths": q_graph_shortest_paths,
         "graph_triangles": q_graph_triangles,
         "spatial_knn_join": q_spatial_knn_join,
         "dedup_canonical": q_dedup_canonical,
@@ -12733,6 +12796,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: full 3-iteration replay
         "graph_pagerank": _pagerank_oracle(3),
+        "graph_shortest_paths": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT c_custkey % 97 AS src,
+                     (c_custkey // 7) % 97 AS dst
+              FROM customer
+              WHERE c_custkey % 97 <> (c_custkey // 7) % 97
+            ), walk(node, landmark, dist) AS (
+              SELECT l, l, 0
+              FROM (SELECT unnest([0, 1, 2, 3]) AS l)
+              UNION
+              SELECT e.dst, w.landmark, w.dist + 1
+              FROM walk w JOIN e ON w.node = e.src
+              WHERE w.dist < 6
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(landmark AS BIGINT) AS landmark,
+                   CAST(min(dist) AS INT) AS dist
+            FROM walk
+            GROUP BY node, landmark
+        """,
+        "events_mad_anomaly": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events
+            ), m AS (
+              SELECT event_type, quantile_cont(vc, 0.5) AS med
+              FROM b GROUP BY event_type
+            ), j AS (
+              SELECT b.event_id, b.event_type, b.vc, m.med,
+                     abs(b.vc - m.med) AS adev
+              FROM b JOIN m USING (event_type)
+            ), d AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS mad
+              FROM j GROUP BY event_type
+            )
+            SELECT j.event_id AS event_id, j.event_type AS event_type,
+                   CAST(j.vc AS DOUBLE) / CAST(100.0 AS DOUBLE) AS value,
+                   CAST(j.med AS DOUBLE) AS med,
+                   CAST(d.mad AS DOUBLE) AS mad
+            FROM j JOIN d USING (event_type)
+            WHERE j.adev > 3 * d.mad
+        """,
         "graph_triangles": """
             WITH raw AS (
               SELECT DISTINCT

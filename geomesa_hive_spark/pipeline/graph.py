@@ -26,7 +26,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "shortest_paths", "triangle_count"]
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    landmarks: list,
+    max_iters: int = 6,
+) -> DataFrame:
+    """Unweighted single-source shortest-path distances from a set of
+    LANDMARK nodes (GraphFrames' ``shortestPaths`` shape, the landmark
+    trick behind approximate graph distances at scale): returns
+    ``(node, landmark, dist)`` for every node reachable from a landmark
+    within ``max_iters`` hops, following edge direction.
+
+    Distributed BFS, one frontier round per hop: expand the frontier
+    across the edge list (a join on ``src``), drop nodes whose
+    (node, landmark) pair is already settled (first visit = shortest
+    distance in an unweighted graph — a broadcast-able anti-join while
+    the settled set is small, Spark's planner picks), and stop early
+    when the frontier empties. Work per round is O(frontier-adjacent
+    edges), never the whole graph; state is one row per reached
+    (node, landmark) pair — |landmarks| × reachable nodes, the exact
+    output size. ``localCheckpoint`` cuts the growing lineage each
+    round (the iterative-loop discipline pagerank's 3 fixed rounds can
+    skip).
+
+    Everything is exact integer arithmetic, so a recursive-CTE oracle
+    (bounded walk + MIN per pair) replays it bit-for-bit."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    spark = edges.sparkSession
+    state = spark.createDataFrame(
+        [(int(l), int(l), 0) for l in landmarks],
+        "node long, landmark long, dist int",
+    )
+    frontier = state
+    for d in range(1, int(max_iters) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.col("landmark"),
+                F.lit(d).cast("int").alias("dist"),
+            )
+            .distinct()
+            .join(state, ["node", "landmark"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        state = state.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return state
 
 
 def pagerank(

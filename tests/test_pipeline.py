@@ -2772,3 +2772,26 @@ def test_knn_join_index_matches_per_query_probes(spark, tmp_path):
     out2 = knn_join_index(queries, "vec_id", "embedding", path,
                           k=3, n_probe=2)
     assert out2.filter(F.col("id") >= 40).count() == 0
+
+
+def test_shortest_paths_bfs(spark):
+    """shortest_paths: known distances on a hand-drawn directed graph,
+    direction respected, unreachable pairs absent, early frontier
+    termination, multi-landmark state kept per landmark."""
+    from geomesa_hive_spark.pipeline.graph import shortest_paths
+
+    # 1->2->3->4, 1->3 (shortcut), 5->1 (5 reaches all; nothing reaches 5)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 1)], "src long, dst long")
+    out = shortest_paths(edges, "src", "dst", [1, 4, 5], max_iters=10)
+    got = {(r.node, r.landmark): r.dist for r in out.collect()}
+    assert got[(1, 1)] == 0 and got[(2, 1)] == 1
+    assert got[(3, 1)] == 1          # shortcut beats 1->2->3
+    assert got[(4, 1)] == 2
+    assert got[(4, 4)] == 0
+    assert (1, 4) not in got         # direction respected: 4 reaches nothing
+    assert got[(4, 5)] == 3          # 5->1->3->4
+    # hop bound truncates
+    b = shortest_paths(edges, "src", "dst", [5], max_iters=1)
+    gb = {(r.node, r.landmark): r.dist for r in b.collect()}
+    assert gb == {(5, 5): 0, (1, 5): 1}
