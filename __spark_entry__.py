@@ -2341,6 +2341,31 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relational_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() disambiguation (round 11
+    — completes the grouping family next to ROLLUP): four sets —
+    (priority, status), (priority), (status), grand total — in ONE
+    aggregation pass (Spark expands sets in a single Expand+Aggregate,
+    not a UNION of scans), with grouping(col) flags distinguishing a
+    real NULL group value from a rolled-up one (the classic
+    grouping-sets trap). Oracle is the identical ANSI GROUPING SETS
+    statement."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS (
+            (o_orderpriority, o_orderstatus),
+            (o_orderpriority), (o_orderstatus), ()
+        )
+    """)
+
+
 def q_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operator coverage: 1996 buyers EXCEPT customers with returns."""
     o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
@@ -2729,6 +2754,41 @@ def q_spatial_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hex_q").alias("hex_q"),
         F.col("hex_r").alias("hex_r"),
         F.col("n").alias("n"),
+    )
+
+
+def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + PARTITION PRUNING (round 11 —
+    the native directory-partitioning mechanism next to the manifest
+    tier's file-stats pruning): events land partitioned by event_type
+    (one directory per value — the layout every hive/Spark warehouse
+    table uses), the read filters on the partition column, and the gate
+    ASSERTS in-query that the filter became a PartitionFilter (scan
+    plans only the matching directories — zero I/O on the rest, the
+    mechanism's whole point) rather than a post-scan row filter.
+    Aggregation replays on the original table in the oracle."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_hivepart_") + "/t"
+    ev.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters:")[1].split("]")[0], plan
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long").alias("v_cents"),
+            F.sum(F.col("user_id") % F.lit(1000003)).cast("long")
+            .alias("usum"),
+        )
     )
 
 
@@ -6422,6 +6482,35 @@ def q_pipeline_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-fill curation cut (round 11, pipeline/sampling.py
+    select_within_budget): walk documents in quality order (a
+    deterministic mock score; tie-broken by doc_id for a total order)
+    and keep the prefix whose cumulative char cost stays ≤ the budget —
+    the step that fills a training mix to a target token count. The
+    implementation is the DISTRIBUTED prefix sum (range partition +
+    per-partition totals collect (32 rows) + broadcast offsets +
+    parallel local running totals), never the single-task global
+    window; the oracle IS that single-task global window in DuckDB —
+    identical kept set by construction."""
+    from geomesa_hive_spark.pipeline.sampling import select_within_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        ((F.col("doc_id") * 37) % 1000).alias("q"),
+    )
+    out = select_within_budget(
+        d, "n_chars", 500_000,
+        [("q", "desc"), ("doc_id", "asc")],
+    )
+    return out.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("q").cast("long").alias("q"),
+        F.col("n_chars").alias("n_chars"),
+        F.col("__cum").alias("cum_chars"),
+    )
+
+
 def q_pipeline_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based quality filtering (pipeline/sampling.py
     filter_by_quantile): keep the top half of each language by the
@@ -7606,6 +7695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "rollup_orders": q_rollup_orders,
+        "relational_grouping_sets": q_relational_grouping_sets,
+        "source_partitioned": q_source_partitioned,
+        "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
         "window_cumulative": q_window_cumulative,
@@ -10816,6 +10908,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "relational_grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_st,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS (
+                (o_orderpriority, o_orderstatus),
+                (o_orderpriority), (o_orderstatus), ()
+            )
+        """,
+        "source_partitioned": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS v_cents,
+                   CAST(sum(user_id % 1000003) AS BIGINT) AS usum
+            FROM events
+            WHERE event_type IN ('click', 'error')
+            GROUP BY event_type
+        """,
+        "pipeline_token_budget": """
+            WITH q AS (
+              SELECT doc_id, n_chars, (doc_id * 37) % 1000 AS q
+              FROM documents
+            ), c AS (
+              SELECT doc_id, q, n_chars,
+                     sum(n_chars) OVER (
+                       ORDER BY q DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_chars
+              FROM q
+            )
+            SELECT doc_id, CAST(q AS BIGINT) AS q, n_chars,
+                   CAST(cum_chars AS BIGINT) AS cum_chars
+            FROM c WHERE cum_chars <= 500000
         """,
         "setop_customers": """
             SELECT DISTINCT o_custkey AS custkey FROM orders

@@ -31,6 +31,7 @@ __all__ = [
     "hash_split",
     "group_split",
     "sample_fraction",
+    "select_within_budget",
     "weighted_mix",
     "shuffle_shards",
 ]
@@ -233,6 +234,80 @@ def stratified_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(n_per_group))
         .drop("__rn")
+    )
+
+
+def select_within_budget(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    order_by: list,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """The curation BUDGET cut: walk the corpus in quality order (best
+    first) and keep the prefix whose cumulative ``cost_col`` (tokens,
+    chars, bytes) stays ≤ ``budget`` — how a training mix is filled to
+    a target token count.
+
+    The naive Spark spelling — ``sum(cost) OVER (ORDER BY quality)`` —
+    is a SINGLE-TASK window (a global order with no partition key), the
+    classic hidden serialization. This is the distributed prefix-sum
+    instead: range-partition by the order key (``repartitionByRange``
+    samples the key distribution, so ranges are balanced), local sort,
+    ONE bounded collect of the per-partition cost totals (n_ranges
+    rows — partition count, not data), broadcast the exclusive offsets
+    back, and each partition finishes its own running total in
+    parallel. Wall clock is one shuffle + two narrow passes at any
+    corpus size.
+
+    ``order_by`` is a list of (col, "asc"|"desc") pairs and must be a
+    TOTAL order (tie-break on a unique id) or the kept set is
+    ill-defined. Rows with cumulative cost ≤ budget are returned with
+    their running total in ``__cum`` — callers can drop it. NULL costs
+    are refused (a NULL poisons every later running total silently)."""
+    from pyspark.sql import Window
+
+    exprs = []
+    for c, direction in order_by:
+        d = direction.lower()
+        if d not in ("asc", "desc"):
+            raise ValueError(f"order_by direction must be asc|desc, got {direction!r}")
+        exprs.append(F.col(c).asc() if d == "asc" else F.col(c).desc())
+    if df.filter(F.col(cost_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"select_within_budget: NULL in cost column {cost_col!r} — "
+            f"a NULL would silently poison every later running total; "
+            f"filter or impute first"
+        )
+    ranged = (
+        df.repartitionByRange(int(n_ranges), *exprs)
+        .sortWithinPartitions(*exprs)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # ONE bounded collect: n_ranges rows (partition count, never data)
+    totals = {
+        r["__pid"]: int(r["t"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(cost_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offsets, run = [], 0
+    for pid in range(int(n_ranges)):
+        offsets.append((pid, run))
+        run += totals.get(pid, 0)
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid").orderBy(*exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "__cum",
+            F.sum(F.col(cost_col).cast("long")).over(w) + F.col("__off"),
+        )
+        .filter(F.col("__cum") <= int(budget))
+        .drop("__pid", "__off")
     )
 
 

@@ -2795,3 +2795,43 @@ def test_shortest_paths_bfs(spark):
     b = shortest_paths(edges, "src", "dst", [5], max_iters=1)
     gb = {(r.node, r.landmark): r.dist for r in b.collect()}
     assert gb == {(5, 5): 0, (1, 5): 1}
+
+
+def test_select_within_budget(spark):
+    """select_within_budget: distributed prefix sum equals the global
+    ordered cumsum — boundary doc included at exactly the budget, NULL
+    cost refused, bad direction refused, n_ranges larger than the data
+    harmless."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.sampling import select_within_budget
+
+    rows = [(i, (i * 7) % 10, 10 + (i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, q long, cost long")
+    out = select_within_budget(
+        df, "cost", 300, [("q", "desc"), ("id", "asc")], n_ranges=8)
+    got = sorted(
+        (r["id"], r["__cum"])
+        for r in out.selectExpr("id", "`__cum`").collect()
+    )
+    # reference: single-order cumsum in Python
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    cum, exp = 0, []
+    for i, q, c in ordered:
+        cum += c
+        if cum <= 300:
+            exp.append((i, cum))
+    assert got == sorted(exp)
+    # boundary inclusion: budget exactly at a running total
+    b = exp[-1][1]
+    out2 = select_within_budget(
+        df, "cost", b, [("q", "desc"), ("id", "asc")], n_ranges=200)
+    assert out2.count() == len(exp)
+    # NULL cost refused
+    dfn = spark.createDataFrame(
+        [(1, 1, None), (2, 2, 5)], "id long, q long, cost long")
+    with _pytest.raises(ValueError, match="NULL"):
+        select_within_budget(dfn, "cost", 10, [("q", "desc"), ("id", "asc")])
+    with _pytest.raises(ValueError, match="asc|desc"):
+        select_within_budget(df, "cost", 10, [("q", "sideways")])
