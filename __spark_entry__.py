@@ -2341,6 +2341,31 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relational_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (round 11 — the
+    subquery shapes Catalyst decorrelates into semi/anti joins, which
+    the plan delegation in §2.1 claims but no gate exercised as SQL
+    TEXT): customers who placed at least one URGENT order and never a
+    LOW-priority one. Same statement runs on DuckDB."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("ex_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ex_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal, 2) AS acctbal
+        FROM ex_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM ex_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM ex_orders o2
+                WHERE o2.o_custkey = c.c_custkey
+                  AND o2.o_orderpriority = '5-LOW'
+              )
+    """)
+
+
 def q_relational_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() disambiguation (round 11
     — completes the grouping family next to ROLLUP): four sets —
@@ -4735,6 +4760,51 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type (round 11 — the
+    third robust-stats sibling next to MAD and EWMA): values quantize
+    to integer cents, the cumulative deviation from the type mean is
+    computed as ``cum_vc − rn·mean`` (an integer running sum minus a
+    row_number·double product — both engines execute the identical
+    IEEE ops on identical values, so the doubles match bit-for-bit
+    with NO float accumulation order in play), and the change point is
+    the row maximizing |CUSUM| (event_id tie-break). Windows partition
+    by type — fully parallel; event_id is the order key (insertion
+    order), never the drifting-typed ts column."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    ).filter(F.col("vc").isNotNull())
+    from pyspark.sql import Window as W
+
+    stats = ev.groupBy("event_type").agg(
+        (F.sum("vc").cast("double") / F.count("*")).alias("mean"))
+    w = (
+        W.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cus = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("event_type").orderBy("event_id")))
+        .withColumn(
+            "cusum",
+            F.sum("vc").over(w).cast("double") - F.col("rn") * F.col("mean"),
+        )
+    )
+    pick = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("event_id"))
+    return (
+        cus.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("cp_event_id"),
+            F.round(F.abs(F.col("cusum")) / 100.0, 4).alias("max_dev"),
+        )
+    )
+
+
 def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier detection via median / MAD (round 11 —
     the batch-robust sibling of stream_ewma_anomaly): values are
@@ -4853,6 +4923,28 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id"),
         F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-filtered BM25 (round 11, pipeline/retrieval.py
+    bm25_phrase_topk — Lucene's exact-phrase query shape): candidates
+    must contain the phrase tokens ADJACENT AND IN ORDER (a delimited
+    substring test over the space-joined token stream — exact at token
+    granularity, one native contains, no positions join), ranked by
+    the standard BM25 sum over the phrase's unique terms with
+    CORPUS-level df/avgdl (Lucene semantics — candidate-local df would
+    inflate idf). Oracle replays the containment test and the full
+    scoring arithmetic."""
+    from geomesa_hive_spark.pipeline.retrieval import bm25_phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_phrase_topk(docs, "doc_id", "text", "fast sort", k=25)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("matched_terms"),
+        F.col("score_micro"),
+        F.round(F.col("score"), 6).alias("score"),
     )
 
 
@@ -7696,6 +7788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "rollup_orders": q_rollup_orders,
         "relational_grouping_sets": q_relational_grouping_sets,
+        "relational_exists": q_relational_exists,
         "source_partitioned": q_source_partitioned,
         "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
@@ -7753,9 +7846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "events_holt": q_events_holt,
         "events_mad_anomaly": q_events_mad_anomaly,
+        "events_changepoint": q_events_changepoint,
         "stream_rollup": q_stream_rollup,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
+        "bm25_phrase": q_bm25_phrase,
         "bm25_index": q_bm25_index,
         "bm25_index_maintain": q_bm25_index_maintain,
         "bm25_index_delete": q_bm25_index_delete,
@@ -9972,6 +10067,62 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_md5
             FROM ex
         """,
+        "bm25_phrase": """
+            WITH base AS (
+              SELECT doc_id AS id, text FROM documents
+            ), dl AS (
+              SELECT id,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS dl
+              FROM base
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS tot
+              FROM dl
+            ), cand AS (
+              SELECT id FROM base
+              WHERE position(' fast sort ' IN
+                      ' ' || array_to_string(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        ' ') || ' ') > 0
+            ), tok AS (
+              SELECT id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM base
+            ), tf AS (
+              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok
+              WHERE term IN ('fast', 'sort')
+              GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.id,
+                     CAST(floor(
+                       ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5)) * tf
+                       * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl
+                                        / (CAST(tot AS DOUBLE) / n)))
+                       * 1000000 + 0.5) AS BIGINT) AS c
+              FROM tf
+              JOIN dfq USING (term)
+              JOIN dl ON dl.id = tf.id
+              CROSS JOIN stats
+              WHERE tf.id IN (SELECT id FROM cand)
+            ), agg AS (
+              SELECT id AS doc_id,
+                     CAST(count(*) AS BIGINT) AS matched_terms,
+                     CAST(sum(c) AS BIGINT) AS score_micro
+              FROM scored GROUP BY 1
+            )
+            SELECT doc_id, matched_terms, score_micro,
+                   round(score_micro / 1000000.0, 6) AS score
+            FROM agg
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 25
+        """,
         "bm25_retrieval": f"""
             WITH {_BM25_CTES}
             SELECT doc_id, matched_terms, score_micro,
@@ -10908,6 +11059,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "relational_exists": """
+            SELECT c_custkey, c_mktsegment,
+                   round(c_acctbal, 2) AS acctbal
+            FROM customer c
+            WHERE EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o2
+                    WHERE o2.o_custkey = c.c_custkey
+                      AND o2.o_orderpriority = '5-LOW'
+                  )
         """,
         "relational_grouping_sets": """
             SELECT o_orderpriority, o_orderstatus,
@@ -12945,6 +13111,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(dist) AS INT) AS dist
             FROM walk
             GROUP BY node, landmark
+        """,
+        "events_changepoint": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events
+              WHERE value IS NOT NULL
+            ), m AS (
+              SELECT event_type,
+                     CAST(sum(vc) AS DOUBLE) / count(*) AS mean
+              FROM b GROUP BY event_type
+            ), c AS (
+              SELECT b.event_id, b.event_type,
+                     sum(b.vc) OVER (
+                       PARTITION BY b.event_type ORDER BY b.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_vc,
+                     row_number() OVER (
+                       PARTITION BY b.event_type ORDER BY b.event_id
+                     ) AS rn,
+                     m.mean
+              FROM b JOIN m USING (event_type)
+            ), d AS (
+              SELECT event_id, event_type,
+                     CAST(cum_vc AS DOUBLE) - rn * mean AS cusum
+              FROM c
+            ), p AS (
+              SELECT event_type, event_id, abs(cusum) AS a,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(cusum) DESC, event_id
+                     ) AS rk
+              FROM d
+            )
+            SELECT event_type, event_id AS cp_event_id,
+                   round(a / 100.0, 4) AS max_dev
+            FROM p WHERE rk = 1
         """,
         "events_mad_anomaly": """
             WITH b AS (

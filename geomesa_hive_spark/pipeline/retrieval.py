@@ -37,9 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
-    "append_to_bm25_index", "bm25_query_index", "bm25_topk",
-    "build_bm25_index", "delete_from_bm25_index", "maintain_bm25_index",
-    "rrf_fuse", "upsert_into_bm25_index",
+    "append_to_bm25_index", "bm25_phrase_topk", "bm25_query_index",
+    "bm25_topk", "build_bm25_index", "delete_from_bm25_index",
+    "maintain_bm25_index", "rrf_fuse", "upsert_into_bm25_index",
 ]
 
 _SCALE = 1_000_000
@@ -107,6 +107,100 @@ def bm25_topk(
     # the semantics are identical HALF_UP, and Spark's round() on
     # DOUBLE allocates a BigDecimal per value — never in a per-posting
     # hot path (the similarity._qdist lesson)
+    contrib = (
+        f"CAST(floor(idf * tf * {_d(k1 + 1.0)}"
+        f" / (tf + {_d(k1)} * (1.0D - {_d(b)} + {_d(b)} * dl / {_d(avgdl)}))"
+        f" * {_SCALE} + 0.5D) AS BIGINT)"
+    )
+    scored = (
+        tf.withColumn("idf", idf_col)
+        .withColumn("c", F.expr(contrib))
+        .drop("idf")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("matched_terms"),
+            F.sum("c").cast("long").alias("score_micro"),
+        )
+        .withColumn("score", F.col("score_micro") / F.lit(float(_SCALE)))
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("id")).limit(int(k))
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Phrase-filtered BM25 (Lucene's ``"exact phrase"`` query shape,
+    round 11): only documents containing the phrase's tokens ADJACENT
+    and IN ORDER are candidates; candidates are then ranked by the
+    standard BM25 sum over the phrase's unique terms with CORPUS-level
+    statistics (df/avgdl from the whole corpus, as Lucene scores phrase
+    queries — a candidate-local df would inflate idf as the phrase gets
+    rarer).
+
+    Adjacency without a positional index: both the document and the
+    phrase are tokenized by the SAME tokenizer, space-joined, and
+    matched with a delimited substring test (`` ' a b ' in ' …tokens… '
+    ``) — exact at token granularity, a single native `contains` over
+    the token stream (no positions join, no Python). A positional
+    posting list would win only when the corpus is indexed once and
+    phrase-queried many times; this is the scan-shaped analog of
+    :func:`bm25_topk`. Returns the same (id, matched_terms,
+    score_micro, score) shape ordered by (score desc, id)."""
+    from geomesa_hive_spark.pipeline.text import (
+        token_count, word_tokens, word_tokens_py,
+    )
+
+    ptoks = [t for t in word_tokens_py(phrase.lower()) if t]
+    if len(ptoks) < 2:
+        raise ValueError("phrase needs at least 2 tokens — use bm25_topk")
+    terms = sorted(set(ptoks))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("dl"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    n_row = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = int(n_row["n"]), float(n_row["tot"]) / int(n_row["n"])
+    # delimited substring over the space-joined token stream: F.lit
+    # parameterizes the user phrase as a VALUE (never f-string SQL)
+    needle = " " + " ".join(ptoks) + " "
+    cand = base.filter(
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" "))
+        .contains(F.lit(needle))
+    )
+    tf_all = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # corpus-level document frequencies (Lucene phrase-query semantics)
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in tf_all.groupBy("term").agg(F.count("*").alias("df"))
+        .collect()
+    }
+    tf = tf_all.join(F.broadcast(cand.select("id")), "id", "left_semi")
+    idf_col = F.lit(0.0)
+    for t in terms:
+        idf_val = math.log(
+            1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5)
+        )
+        idf_col = F.when(F.col("term") == F.lit(t), F.lit(idf_val)).otherwise(
+            idf_col
+        )
+
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
     contrib = (
         f"CAST(floor(idf * tf * {_d(k1 + 1.0)}"
         f" / (tf + {_d(k1)} * (1.0D - {_d(b)} + {_d(b)} * dl / {_d(avgdl)}))"
