@@ -2341,6 +2341,27 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relational_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (round
+    11 — the top-N-per-group spelled the SQL-standard way; Catalyst
+    plans DomainJoin + the same window-ish cut the row_number idiom
+    compiles to): top-3 customers by (acctbal, custkey) per nation.
+    Identical statement runs on DuckDB."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, top.c_custkey,
+               round(top.c_acctbal, 2) AS acctbal
+        FROM lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) top
+    """)
+
+
 def q_relational_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries (round 11 — the
     subquery shapes Catalyst decorrelates into semi/anti joins, which
@@ -7789,6 +7810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "relational_grouping_sets": q_relational_grouping_sets,
         "relational_exists": q_relational_exists,
+        "relational_lateral_topn": q_relational_lateral_topn,
         "source_partitioned": q_source_partitioned,
         "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
@@ -11059,6 +11081,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "relational_lateral_topn": """
+            SELECT n.n_name, top.c_custkey,
+                   round(top.c_acctbal, 2) AS acctbal
+            FROM nation n, LATERAL (
+              SELECT c_custkey, c_acctbal
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey
+              LIMIT 3
+            ) top
         """,
         "relational_exists": """
             SELECT c_custkey, c_mktsegment,
