@@ -5554,6 +5554,31 @@ def q_knn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_knn_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search from the stored IVF index (round 11 —
+    the metadata-predicate + ANN composition every vector store ships:
+    'nearest neighbors among the allowed subset'): the index is built
+    on the full embeddings table, the query probes 8/32 lists via
+    partition pruning (asserted), and a pre-filter (vec_id % 3 = 0)
+    cuts the PROBED CANDIDATES before the exact top-k — top-k among
+    allowed vectors, not allowed rows of an unfiltered top-k
+    (post-filtering under-returns). The oracle replays pivot
+    assignment + probe selection + the filter + exact cosine top-k."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="ghs_ivff_")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_lists=32)
+    prune: dict = {}
+    out = similarity.knn_query_index(
+        spark, path, qv, k=10, n_probe=8, prune_report=prune,
+        pre_filter=(F.col("vec_id") % 3 == 0),
+    )
+    assert prune == {"lists_read": 8, "n_lists": 32}, prune
+    return out
+
+
 def q_knn_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index DELETE lifecycle (round-10, pipeline/similarity.py
     delete_from_ivf_index — the tombstone semantics shared with the
@@ -7898,6 +7923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_index": q_knn_index,
+        "knn_index_filtered": q_knn_index_filtered,
         "knn_index_delete": q_knn_index_delete,
         "knn_join_index": q_knn_join_index,
         "knn_pq": q_knn_pq,
@@ -9634,7 +9660,11 @@ _D2_SQL = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1
 
 
 def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4,
-                    pred: str = "TRUE") -> str:
+                    pred: str = "TRUE", cand_pred: str = "TRUE") -> str:
+    # cand_pred (round 11): the FILTERED-search predicate — applied to
+    # probed candidates before the exact top-k, never to pivot
+    # derivation or probe selection (matching knn_query_index's
+    # pre_filter semantics)
     cos = _COS_SQL.format(a="a.v", b="q.qv")
     return f"""
         WITH e AS (
@@ -9661,6 +9691,7 @@ def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4,
         )
         SELECT a.vec_id AS id, {cos} AS cos_sim
         FROM assigned a JOIN qprobe ON a.list_id = qprobe.pidx, q
+        WHERE {cand_pred}
         ORDER BY cos_sim DESC, id
         LIMIT {k}
     """
@@ -12570,6 +12601,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=2, n_tables=4),
         "knn_ivf": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
         "knn_index": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
+        "knn_index_filtered": _knn_ivf_oracle(
+            k=10, n_lists=32, n_probe=8,
+            cand_pred="a.vec_id % 3 = 0",
+        ),
         "knn_index_delete": _knn_ivf_oracle(
             k=10, n_lists=32, n_probe=8,
             pred="vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)",

@@ -631,13 +631,24 @@ def maintain_ivf_index(spark, path: str) -> dict:
 def knn_query_index(
     spark, path: str, query_vec, k: int = 10, n_probe: int = 4,
     prune_report: dict | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """Approximate top-k against a :func:`build_ivf_index` layout:
     query-to-centroid distances are computed driver-side on the STORED
     centroids (n_lists floats — no corpus scan, unlike
     :func:`knn_ivf_stored`), the n_probe nearest lists are read via
     partition pruning, and the exact cosine top-k runs within them.
-    ``prune_report`` (filled in place) records lists_read / n_lists."""
+    ``prune_report`` (filled in place) records lists_read / n_lists.
+
+    ``pre_filter`` (round 11) is FILTERED vector search — a Column (or
+    SQL-string) predicate over the stored rows, applied to the probed
+    candidates BEFORE the exact top-k: top-k among allowed vectors, not
+    allowed rows of the unfiltered top-k (post-filtering, which
+    under-returns). The standard filtered-ANN caveat applies and is the
+    caller's knob, not hidden: probes are chosen by the query vector
+    alone, so a highly selective filter thins the probed lists and
+    recall degrades — raise ``n_probe`` with filter selectivity (at
+    probe = all lists the result is exact filtered search)."""
     import os
 
     m = ivf_index_meta(path)
@@ -659,6 +670,10 @@ def knn_query_index(
         cand = index_io.apply_tombstones(
             index_io.require_generation_column(cand, "IVF index"),
             tomb, m["id_col"],
+        )
+    if pre_filter is not None:
+        cand = cand.filter(
+            F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter
         )
     return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
 
