@@ -2835,3 +2835,70 @@ def test_select_within_budget(spark):
         select_within_budget(dfn, "cost", 10, [("q", "desc"), ("id", "asc")])
     with _pytest.raises(ValueError, match="asc|desc"):
         select_within_budget(df, "cost", 10, [("q", "sideways")])
+
+
+def test_bm25_phrase_adjacency(spark):
+    """bm25_phrase_topk: adjacency and order are required (not just
+    co-occurrence), phrase at start/end of a doc matches, repeated
+    phrases still one candidate row, corpus-level df (Lucene
+    semantics), single-token phrases refused."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.pipeline.retrieval import bm25_phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # phrase at start
+            (2, "x y alpha beta"),            # phrase at end
+            (3, "beta alpha zz"),             # wrong order: no match
+            (4, "alpha zz beta"),             # not adjacent: no match
+            (5, "alpha beta alpha beta"),     # repeated phrase
+            (6, "nothing here"),
+        ],
+        "id long, text string",
+    )
+    out = bm25_phrase_topk(docs, "id", "text", "alpha beta", k=10)
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {1, 2, 5}
+    with _pytest.raises(ValueError, match="at least 2"):
+        bm25_phrase_topk(docs, "id", "text", "alpha", k=5)
+    # no candidates -> empty result, no error
+    assert bm25_phrase_topk(docs, "id", "text", "gamma alpha", k=5).count() == 0
+
+
+def test_knn_index_filtered_semantics(spark, tmp_path):
+    """knn_query_index(pre_filter=): top-k among ALLOWED vectors (a
+    pre-filter), never a post-filter of the unfiltered top-k; with
+    n_probe = n_lists the result equals exact filtered brute force;
+    filter-everything returns empty."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import similarity as S
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivf_filt")
+    S.build_ivf_index(emb, "vec_id", "vec", path, n_lists=8)
+    qv = rows[0][1]
+
+    # all-lists probe == exact filtered brute force
+    got = S.knn_query_index(
+        spark, path, qv, k=5, n_probe=8,
+        pre_filter=(F.col("vec_id") % 4 == 1),
+    ).collect()
+    brute = S.knn_brute(
+        emb.filter(F.col("vec_id") % 4 == 1), "vec_id", "vec", qv, 5
+    ).collect()
+    assert [(r[0], round(r[1], 9)) for r in got] == \
+           [(r[0], round(r[1], 9)) for r in brute]
+    assert all(r[0] % 4 == 1 for r in got)
+    # a post-filter of the unfiltered top-5 would keep FEWER than 5
+    unfiltered = S.knn_query_index(spark, path, qv, k=5, n_probe=8).collect()
+    post = [r for r in unfiltered if r[0] % 4 == 1]
+    assert len(post) < len(got)          # pre-filter returns a full k
+    # filter-everything: empty, no error
+    assert S.knn_query_index(
+        spark, path, qv, k=5, n_probe=8, pre_filter="vec_id < 0"
+    ).count() == 0
