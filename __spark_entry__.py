@@ -2362,6 +2362,39 @@ def q_relational_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_relational_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (round 11 — WITH RECURSIVE landed in Spark 4.x;
+    the gate pins the iterative SQL surface the oracles have leaned on
+    all along, now running on BOTH engines): a management forest is
+    derived from customer keys (mgr = id div 10 — strictly decreasing,
+    so termination is structural), the transitive closure walks every
+    chain to its root, and per-root rollups (descendant count, max
+    depth, modular id checksum) pin the full reachability set. The
+    identical statement is the oracle; floor(id / 10.0) spells integer
+    division portably (Spark DIV vs DuckDB // differ)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
+    return spark.sql("""
+        WITH RECURSIVE emp AS (
+          SELECT c_custkey AS id,
+                 CASE WHEN c_custkey >= 10
+                      THEN CAST(floor(c_custkey / 10.0) AS BIGINT)
+                 END AS mgr
+          FROM rec_customer
+        ), chain(id, root, depth) AS (
+          SELECT id, id, 0 FROM emp WHERE mgr IS NULL
+          UNION ALL
+          SELECT e.id, c.root, c.depth + 1
+          FROM emp e JOIN chain c ON e.mgr = c.id
+        )
+        SELECT root,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(max(depth) AS INT) AS max_depth,
+               CAST(sum(id % 1000003) AS BIGINT) AS id_sum
+        FROM chain
+        GROUP BY root
+    """)
+
+
 def q_relational_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries (round 11 — the
     subquery shapes Catalyst decorrelates into semi/anti joins, which
@@ -7836,6 +7869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_grouping_sets": q_relational_grouping_sets,
         "relational_exists": q_relational_exists,
         "relational_lateral_topn": q_relational_lateral_topn,
+        "relational_recursive": q_relational_recursive,
         "source_partitioned": q_source_partitioned,
         "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
@@ -11112,6 +11146,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "relational_recursive": """
+            WITH RECURSIVE emp AS (
+              SELECT c_custkey AS id,
+                     CASE WHEN c_custkey >= 10
+                          THEN CAST(floor(c_custkey / 10.0) AS BIGINT)
+                     END AS mgr
+              FROM customer
+            ), chain(id, root, depth) AS (
+              SELECT id, id, 0 FROM emp WHERE mgr IS NULL
+              UNION ALL
+              SELECT e.id, c.root, c.depth + 1
+              FROM emp e JOIN chain c ON e.mgr = c.id
+            )
+            SELECT root,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(max(depth) AS INT) AS max_depth,
+                   CAST(sum(id % 1000003) AS BIGINT) AS id_sum
+            FROM chain
+            GROUP BY root
         """,
         "relational_lateral_topn": """
             SELECT n.n_name, top.c_custkey,

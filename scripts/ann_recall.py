@@ -137,6 +137,18 @@ def main() -> int:
         "ivfpq_kmeans_32_8_r200": dict(
             kind="ivfpq", n_lists=32, n_probe=8, refine=200, method="kmeans"
         ),
+        # round 11: FILTERED search (knn_query_index pre_filter) — recall
+        # vs the exact FILTERED brute force as the filter gets more
+        # selective (sel = keep 1/sel of the corpus) and as n_probe
+        # compensates; the recall-vs-selectivity knob SCALE.md states
+        "ivff_32_8_s3": dict(kind="ivf_filtered", n_lists=32, n_probe=8,
+                             sel=3),
+        "ivff_32_16_s3": dict(kind="ivf_filtered", n_lists=32, n_probe=16,
+                              sel=3),
+        "ivff_32_8_s10": dict(kind="ivf_filtered", n_lists=32, n_probe=8,
+                              sel=10),
+        "ivff_32_16_s10": dict(kind="ivf_filtered", n_lists=32, n_probe=16,
+                               sel=10),
     }
     recalls: dict[str, list[float]] = {c: [] for c in configs}
     fracs: dict[str, list[float]] = {c: [] for c in configs}
@@ -162,6 +174,22 @@ def main() -> int:
                 )
                 recalls[cname].append(len(exact & got) / k)
                 fracs[cname].append(cfg["refine"] / n_total)
+                continue
+            if cfg["kind"] == "ivf_filtered":
+                pred = F.col("vec_id") % cfg["sel"] == 0
+                fcand = ivf_candidates(
+                    qv, cfg["n_lists"], cfg["n_probe"]).filter(pred)
+                got = {
+                    r.id for r in similarity.knn_brute(
+                        fcand, "vec_id", "embedding", qv, k=k).collect()
+                }
+                exactf = {
+                    r.id for r in similarity.knn_brute(
+                        emb.filter(pred), "vec_id", "embedding", qv, k=k
+                    ).collect()
+                }
+                recalls[cname].append(len(exactf & got) / k)
+                fracs[cname].append(fcand.count() / n_total)
                 continue
             if cfg["kind"] == "lsh":
                 cand = lsh_candidates(qv, cfg["bits"], cfg["h"], cfg["tables"])
