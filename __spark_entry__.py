@@ -4814,6 +4814,27 @@ def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution-drift report (round 11, pipeline/profile.py
+    distribution_drift — the scheduled check that catches a training
+    distribution shifting under a model): snapshot A is the order book,
+    snapshot B a repriced half (+30000 on even keys — a real shift, so
+    the report shows non-zero PSI instead of vacuously passing). Fixed
+    bin edges, exact counts, Laplace-smoothed integer-PPM shares
+    (integer DIV — the key_skew convention), PSI contributions in
+    integer micro-units (the lm.py micro-nat convention). The oracle
+    replays bins, smoothing, DIV shares, and the ln arithmetic."""
+    from geomesa_hive_spark.pipeline.profile import distribution_drift
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.col("o_totalprice").alias("v"))
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        (F.col("o_totalprice") + F.lit(30000.0)).alias("v"))
+    edges = [50000.0, 100000.0, 150000.0, 200000.0, 250000.0,
+             300000.0, 350000.0]
+    return distribution_drift(a, b, "v", edges)
+
+
 def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per event type (round 11 — the
     third robust-stats sibling next to MAD and EWMA): values quantize
@@ -7928,6 +7949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt": q_events_holt,
         "events_mad_anomaly": q_events_mad_anomaly,
         "events_changepoint": q_events_changepoint,
+        "profile_drift": q_profile_drift,
         "stream_rollup": q_stream_rollup,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
@@ -13233,6 +13255,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(dist) AS INT) AS dist
             FROM walk
             GROUP BY node, landmark
+        """,
+        "profile_drift": """
+            WITH a AS (
+              SELECT o_totalprice AS v FROM orders
+            ), b AS (
+              SELECT o_totalprice + 30000.0 AS v FROM orders
+              WHERE o_orderkey % 2 = 0
+            ), ba AS (
+              SELECT CASE WHEN v IS NULL THEN -1 ELSE
+                       CAST(v >= 50000.0 AS INT) + CAST(v >= 100000.0 AS INT)
+                     + CAST(v >= 150000.0 AS INT) + CAST(v >= 200000.0 AS INT)
+                     + CAST(v >= 250000.0 AS INT) + CAST(v >= 300000.0 AS INT)
+                     + CAST(v >= 350000.0 AS INT) END AS bin,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM a GROUP BY 1
+            ), bb AS (
+              SELECT CASE WHEN v IS NULL THEN -1 ELSE
+                       CAST(v >= 50000.0 AS INT) + CAST(v >= 100000.0 AS INT)
+                     + CAST(v >= 150000.0 AS INT) + CAST(v >= 200000.0 AS INT)
+                     + CAST(v >= 250000.0 AS INT) + CAST(v >= 300000.0 AS INT)
+                     + CAST(v >= 350000.0 AS INT) END AS bin,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM b GROUP BY 1
+            ), tots AS (
+              SELECT (SELECT sum(cnt) FROM ba) AS ta,
+                     (SELECT sum(cnt) FROM bb) AS tb
+            ), m AS (
+              SELECT coalesce(ba.bin, bb.bin) AS bin,
+                     coalesce(ba.cnt, 0) AS cnt_a,
+                     coalesce(bb.cnt, 0) AS cnt_b
+              FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+            ), p AS (
+              SELECT bin, cnt_a, cnt_b,
+                     CAST((cnt_a + 1) * 1000000 // (ta + 9) AS BIGINT) AS ppm_a,
+                     CAST((cnt_b + 1) * 1000000 // (tb + 9) AS BIGINT) AS ppm_b
+              FROM m, tots
+            )
+            SELECT bin, cnt_a, cnt_b, ppm_a, ppm_b,
+                   CAST(round(
+                     (CAST(ppm_a AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                      - CAST(ppm_b AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                     * ln((CAST(ppm_a AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                          / (CAST(ppm_b AS DOUBLE) / CAST(1000000 AS DOUBLE)))
+                     * CAST(1000000 AS DOUBLE)) AS BIGINT) AS psi_micro
+            FROM p
         """,
         "events_changepoint": """
             WITH b AS (

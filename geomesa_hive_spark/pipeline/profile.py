@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "key_skew"]
+__all__ = ["distribution_drift", "profile_columns", "key_skew"]
 
 
 def profile_columns(
@@ -118,4 +118,74 @@ def key_skew(
     w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
     return top.withColumn(
         "cum_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bin_edges: list,
+) -> DataFrame:
+    """Population-Stability-Index drift report between two snapshots of
+    one column — the scheduled data-quality check that catches a
+    training-data distribution shifting under a model (repricing,
+    scraper change, upstream schema drift) before it reaches a run.
+
+    Fixed ``bin_edges`` (caller-owned — drift must be measured against
+    a STABLE binning, never per-snapshot quantiles, or the report
+    drifts with the data): bin id = number of edges ≤ value (0..n),
+    NULLs get bin -1. Per observed bin the report carries exact counts,
+    Laplace-smoothed integer-PPM shares (``(cnt+1)·1e6 DIV
+    (total+n_bins)`` — smoothing keeps ln finite on one-sided bins,
+    integer DIV keeps shares exact under any partitioning, the key_skew
+    convention), and the PSI contribution quantized to integer
+    micro-units (``round((pa−pb)·ln(pa/pb)·1e6)`` — the lm.py micro-nat
+    convention, so Σ psi_micro is order-independent and a SQL oracle
+    replays it). Bins observed in NEITHER snapshot are omitted (their
+    smoothed contribution is not computed — stated, not hidden).
+
+    Two snapshot scans + two 1-row collects + a bin-count full-outer
+    merge (|bins| rows); nothing data-sized leaves the executors.
+    PSI reading per industry convention: < 0.10 stable, 0.10–0.25
+    moderate shift, > 0.25 investigate."""
+    edges = sorted(float(e) for e in bin_edges)
+    if not edges:
+        raise ValueError("bin_edges must be non-empty")
+    n_bins = len(edges) + 2  # value bins + the NULL bin
+
+    def binned(df):
+        b = None
+        for x in edges:
+            t = (F.col(col) >= F.lit(x)).cast("int")
+            b = t if b is None else b + t
+        return df.select(
+            F.when(F.col(col).isNull(), F.lit(-1)).otherwise(b).alias("bin")
+        ).groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
+
+    ca, cb = binned(df_a), binned(df_b)
+    ta = int(ca.agg(F.sum("cnt")).collect()[0][0] or 0)
+    tb = int(cb.agg(F.sum("cnt")).collect()[0][0] or 0)
+    merged = (
+        ca.alias("a").join(cb.alias("b"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("a.cnt"), F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce(F.col("b.cnt"), F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .withColumn(
+            "ppm_a",
+            F.expr(f"((cnt_a + 1) * 1000000) DIV {ta + n_bins}").cast("long"),
+        )
+        .withColumn(
+            "ppm_b",
+            F.expr(f"((cnt_b + 1) * 1000000) DIV {tb + n_bins}").cast("long"),
+        )
+    )
+    pa = F.col("ppm_a") / F.lit(1000000.0)
+    pb = F.col("ppm_b") / F.lit(1000000.0)
+    return merged.withColumn(
+        "psi_micro",
+        F.round((pa - pb) * F.log(pa / pb) * F.lit(1000000.0))
+        .cast("long"),
     )

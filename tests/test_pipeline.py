@@ -2902,3 +2902,35 @@ def test_knn_index_filtered_semantics(spark, tmp_path):
     assert S.knn_query_index(
         spark, path, qv, k=5, n_probe=8, pre_filter="vec_id < 0"
     ).count() == 0
+
+
+def test_distribution_drift_psi(spark):
+    """distribution_drift: identical snapshots give psi_micro == 0 per
+    bin (smoothed shares equal exactly when totals match), a shifted
+    snapshot concentrates positive PSI, NULLs land in bin -1, one-sided
+    bins stay finite via Laplace smoothing, empty edges refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.profile import distribution_drift
+
+    a = spark.createDataFrame(
+        [(float(v),) for v in (1, 2, 3, 10, 11, 12, 20, 21)] + [(None,)],
+        "v double")
+    same = {r.bin: r.psi_micro for r in
+            distribution_drift(a, a, "v", [5.0, 15.0]).collect()}
+    assert set(same) == {-1, 0, 1, 2}
+    assert all(p == 0 for p in same.values())
+
+    b = a.select((F.col("v") + 10.0).alias("v"))   # shift right
+    rep = {r.bin: r for r in
+           distribution_drift(a, b, "v", [5.0, 15.0]).collect()}
+    total_psi = sum(r.psi_micro for r in rep.values())
+    assert total_psi > 100_000        # > 0.1 PSI: a real shift
+    assert all(r.psi_micro >= 0 for r in rep.values())
+    assert rep[-1].cnt_a == rep[-1].cnt_b == 1      # NULL bin tracked
+    # bin 0 (v < 5) exists only in A -> smoothing keeps it finite
+    assert rep[0].cnt_b == 0 and rep[0].ppm_b > 0
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        distribution_drift(a, b, "v", [])
