@@ -5326,6 +5326,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(docs.unionByName(dup), "doc_id", "text")
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram CONTAINMENT pairs (round 11, pipeline/dedup.py
+    ngram_containment_pairs — Broder's |A∩B|/min measure, the
+    doc-in-doc detector Jaccard structurally misses): a contained
+    corpus is synthesized in-query (every %7 doc with ≥20 tokens
+    contributes its first-15-token prefix as a new doc — 13 grams, all
+    inside the parent, containment 1.0 at Jaccard ≈ 0.1), unioned with
+    a corpus slice, and the inverted counting join recovers every
+    (parent, snippet) pair at threshold 0.9 plus any organic
+    containments. Oracle replays slicing, gram construction, and the
+    brute-force pairwise containment the distributed join replaces."""
+    from geomesa_hive_spark.pipeline.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 800
+    ).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    snippets = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 20))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, 15), " ").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(snippets)
+    return ngram_containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.9
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
@@ -7965,6 +7995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -12536,6 +12567,46 @@ def oracle_sql() -> dict[str, str]:
         # tokenization (trim+lower, \s+ split), same distinct word-3-grams,
         # same exact intersection/union ratio rounded to 6dp (quadratic but
         # fine at oracle scale; the Spark side is the subquadratic one)
+        "dedup_containment": """
+            WITH srcdocs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 800
+            ), srctoks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t0
+              FROM srcdocs
+            ), corpus AS (
+              SELECT doc_id, text FROM srcdocs
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(t0[1:15], ' ') AS text
+              FROM srctoks
+              WHERE doc_id % 7 = 0 AND len(t0) >= 20
+            ), toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM corpus
+            ), gr AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                          ELSE [] END AS grams
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                       AS inter,
+                     CAST(len(a.grams) AS BIGINT) AS sz_a,
+                     CAST(len(b.grams) AS BIGINT) AS sz_b
+              FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, sz_a, sz_b, inter,
+                   round(CAST(inter AS DOUBLE) / least(sz_a, sz_b), 6)
+                     AS containment
+            FROM pairs
+            WHERE inter > 0
+              AND round(CAST(inter AS DOUBLE) / least(sz_a, sz_b), 6) >= 0.9
+        """,
         "dedup_jaccard": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t

@@ -273,6 +273,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs whose SMALLER gram set is contained in the other at ≥
+    ``threshold`` — Broder's containment measure
+    (``|A∩B| / min(|A|,|B|)``), the doc-IN-doc detector Jaccard
+    structurally misses: a 20-gram quote inside a 5000-gram article has
+    Jaccard ≈ 0.004 but containment 1.0 (the snippet/quotation/
+    boilerplate-embedding case a crawl dedup actually hits).
+
+    Same inverted counting join as :func:`ngram_jaccard_pairs`'s
+    "count" strategy — explode grams, self-equi-join, the per-pair
+    match count IS the intersection — but WITHOUT its Jaccard length
+    prefilter: size asymmetry is exactly the signal here, so no size
+    pair can be pruned. Cost is the same Σ_g df(g)² join output; the
+    jaccard docstring's skew guidance (blocking, near-unique shingles)
+    applies unchanged. Returns (id_a < id_b, sz_a, sz_b, inter,
+    containment rounded to 6)."""
+    toked = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        ),
+        "id",
+    )
+    # same gram coding + cache barrier as ngram_jaccard_pairs (the
+    # CollapseProject re-runs-the-regex-per-exploded-row trap)
+    base = toked.select(
+        "id",
+        F.transform(
+            _grams_from_tokens("toks", n), lambda s: F.xxhash64(s)
+        ).alias("grams"),
+    ).cache()
+    inv = base.select(
+        "id", F.size("grams").alias("sz"), F.explode("grams").alias("g")
+    )
+    a = inv.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.col("inter") / F.least("sz_a", "sz_b")
+    return (
+        pairs.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.col("inter").cast("long").alias("inter"),
+            "containment",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -2934,3 +2934,31 @@ def test_distribution_drift_psi(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         distribution_drift(a, b, "v", [])
+
+
+def test_ngram_containment_vs_jaccard(spark):
+    """ngram_containment_pairs finds a short doc fully inside a long
+    one (containment 1.0) that Jaccard misses at any usable threshold;
+    disjoint docs produce nothing; the symmetric near-dup case matches
+    both measures."""
+    from geomesa_hive_spark.pipeline.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(10))   # inside long_text
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    other = " ".join(f"q{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, snippet), (3, near), (4, other)],
+        "id long, text string")
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(df, "id", "text",
+                                             threshold=0.9).collect()}
+    assert cont[(1, 2)] == 1.0           # doc-in-doc found
+    assert (1, 3) in cont                # near-dup also contained
+    assert not any(4 in p for p in cont)
+    jac = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(
+        df, "id", "text", threshold=0.5).collect()}
+    assert (1, 2) not in jac             # Jaccard structurally misses it
+    assert (1, 3) in jac
