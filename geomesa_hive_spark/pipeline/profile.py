@@ -163,7 +163,10 @@ def distribution_drift(
             F.when(F.col(col).isNull(), F.lit(-1)).otherwise(b).alias("bin")
         ).groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
 
-    ca, cb = binned(df_a), binned(df_b)
+    # localCheckpoint the tiny per-bin counts (|bins| rows): each side
+    # feeds both its total and the merge — unpinned, every consumer
+    # would re-scan the snapshot, turning "two scans" into four
+    ca, cb = binned(df_a).localCheckpoint(), binned(df_b).localCheckpoint()
     ta = int(ca.agg(F.sum("cnt")).collect()[0][0] or 0)
     tb = int(cb.agg(F.sum("cnt")).collect()[0][0] or 0)
     merged = (

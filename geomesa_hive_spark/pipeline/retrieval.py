@@ -160,11 +160,14 @@ def bm25_phrase_topk(
     if len(ptoks) < 2:
         raise ValueError("phrase needs at least 2 tokens — use bm25_topk")
     terms = sorted(set(ptoks))
+    # localCheckpoint: three consumers (corpus stats, the containment
+    # filter, the postings explode) would otherwise re-tokenize the
+    # corpus per job — the same fix as the index build path
     base = docs.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).alias("dl"),
         word_tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    ).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]

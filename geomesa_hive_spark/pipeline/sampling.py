@@ -279,11 +279,19 @@ def select_within_budget(
             f"a NULL would silently poison every later running total; "
             f"filter or impute first"
         )
+    # localCheckpoint PINS the range partitioning: RangePartitioner
+    # SAMPLES the key distribution per execution (boundaries can differ
+    # run-to-run — the round-7 manifest finding), and this function
+    # runs TWO jobs over `ranged` (the totals collect, then the window
+    # pass). Unpinned, the offsets computed against pass-1's boundaries
+    # would be applied to pass-2's DIFFERENT partitions — silently
+    # wrong running totals. Checkpointing materializes one partitioning
+    # both jobs read.
     ranged = (
         df.repartitionByRange(int(n_ranges), *exprs)
         .sortWithinPartitions(*exprs)
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).localCheckpoint()
     # ONE bounded collect: n_ranges rows (partition count, never data)
     totals = {
         r["__pid"]: int(r["t"])
