@@ -2362,6 +2362,39 @@ def q_relational_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_relational_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators (round 11 — INTERSECT ALL / EXCEPT
+    ALL keep DUPLICATE multiplicity, the half of the set-op surface
+    setop_customers' distinct EXCEPT doesn't touch; Spark plans them as
+    special aggregates, not joins): order priorities per clerk-digit
+    bag-intersected across two half-years, and the multiplicity
+    difference of the first half vs the second. Identical statement on
+    DuckDB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sa_orders")
+    return spark.sql("""
+        WITH h1 AS (
+          SELECT o_orderpriority, o_custkey % 10 AS d
+          FROM sa_orders
+          WHERE o_orderdate <  TIMESTAMP '1996-01-01'
+        ), h2 AS (
+          SELECT o_orderpriority, o_custkey % 10 AS d
+          FROM sa_orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        ), i AS (
+          SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2
+        ), x AS (
+          SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2
+        )
+        SELECT 'intersect_all' AS op, o_orderpriority,
+               CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM i GROUP BY o_orderpriority, d
+        UNION ALL
+        SELECT 'except_all' AS op, o_orderpriority,
+               CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM x GROUP BY o_orderpriority, d
+    """)
+
+
 def q_relational_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (round 11 — WITH RECURSIVE landed in Spark 4.x;
     the gate pins the iterative SQL surface the oracles have leaned on
@@ -7921,6 +7954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_exists": q_relational_exists,
         "relational_lateral_topn": q_relational_lateral_topn,
         "relational_recursive": q_relational_recursive,
+        "relational_setops_all": q_relational_setops_all,
         "source_partitioned": q_source_partitioned,
         "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
@@ -11199,6 +11233,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "relational_setops_all": """
+            WITH h1 AS (
+              SELECT o_orderpriority, o_custkey % 10 AS d
+              FROM orders
+              WHERE o_orderdate <  TIMESTAMP '1996-01-01'
+            ), h2 AS (
+              SELECT o_orderpriority, o_custkey % 10 AS d
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            ), i AS (
+              SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2
+            ), x AS (
+              SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2
+            )
+            SELECT 'intersect_all' AS op, o_orderpriority,
+                   CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS cnt
+            FROM i GROUP BY o_orderpriority, d
+            UNION ALL
+            SELECT 'except_all' AS op, o_orderpriority,
+                   CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS cnt
+            FROM x GROUP BY o_orderpriority, d
         """,
         "relational_recursive": """
             WITH RECURSIVE emp AS (
