@@ -801,9 +801,15 @@ def _exterior_entries(a, b, Pa, La, Aa, Pb, Lb, Ab, M, eps):
 
 
 def intersects(a: Geometry, b: Geometry) -> bool:
-    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+    # The bbox prefilter must use the SAME relative epsilon as the
+    # classifier behind it: with eps=0 a computed intersection point
+    # sitting 1e-14 off a segment is bbox-disjoint yet relate() says
+    # boundary — the engine would contradict itself.
+    if a.is_empty or b.is_empty:
         return False
     eps = _EPS * _scale(a, b)
+    if _bboxes_disjoint(a, b, eps):
+        return False
     Pa, La, Aa = _flatten(a)
     Pb, Lb, Ab = _flatten(b)
     # fast: any point of one inside/on other
@@ -836,7 +842,7 @@ def disjoint(a: Geometry, b: Geometry) -> bool:
 
 
 def contains(a: Geometry, b: Geometry) -> bool:
-    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b, _EPS * _scale(a, b)):
         return False
     return relate_pattern(a, b, "T*****FF*")
 
@@ -846,7 +852,7 @@ def within(a: Geometry, b: Geometry) -> bool:
 
 
 def covers(a: Geometry, b: Geometry) -> bool:
-    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b, _EPS * _scale(a, b)):
         return False
     m = relate(a, b)
     if m[6] != "F" or m[7] != "F":
@@ -855,7 +861,7 @@ def covers(a: Geometry, b: Geometry) -> bool:
 
 
 def crosses(a: Geometry, b: Geometry) -> bool:
-    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b, _EPS * _scale(a, b)):
         return False
     da, db = a.dimension, b.dimension
     m = relate(a, b)
@@ -869,14 +875,14 @@ def crosses(a: Geometry, b: Geometry) -> bool:
 
 
 def touches(a: Geometry, b: Geometry) -> bool:
-    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b, _EPS * _scale(a, b)):
         return False
     m = relate(a, b)
     return m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
 
 
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b, _EPS * _scale(a, b)):
         return False
     da, db = a.dimension, b.dimension
     if da != db:
