@@ -49,6 +49,35 @@ def parse_baseline_rows(path: str) -> dict[str, float]:
     return rows
 
 
+def arbitrate_contended(timings: dict[str, float],
+                        canary_ratio: dict[str, float],
+                        prev_queries: dict[str, float],
+                        threshold: float = 1.5) -> tuple[dict[str, float],
+                                                         list[str]]:
+    """Per-query arbitration against the previous committed record
+    (round-11 verdict item 2): when the canary flags the window around a
+    query as host-contended (nearest canary reading > threshold x the
+    run's floor), that query's number is suspect — carry the per-query
+    MIN vs the previous BENCH_FULL run instead, and stamp the query
+    contended. Returns (arbitrated timings, contended query names).
+    Queries in quiet windows, failed queries (<0), and queries with no
+    previous measurement keep this run's honest value. The r11 artifact
+    otherwise baked a 3.81x false alarm into the machine-readable
+    summary (spatial_hausdorff inside a 3.32x contention window whose
+    same-code sibling run measured 0.96x)."""
+    arbitrated: dict[str, float] = {}
+    contended: list[str] = []
+    for q, t in timings.items():
+        flagged = canary_ratio.get(q, 1.0) > threshold
+        prev_t = prev_queries.get(q, -1.0)
+        if flagged and t >= 0:
+            contended.append(q)
+            arbitrated[q] = min(t, prev_t) if prev_t >= 0 else t
+        else:
+            arbitrated[q] = t
+    return arbitrated, contended
+
+
 def compact_summary(timings: dict[str, float],
                     baseline_rows: dict[str, float],
                     total: float, sf: float) -> dict:
@@ -274,6 +303,7 @@ def main() -> int:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(repo_dir, "BENCH_FULL.json")
     arbitration: dict = {"prev_value": None, "min_vs_prev": None}
+    pq: dict[str, float] = {}
     try:
         with open(full_path) as fh:
             prev = json.loads(fh.readline())
@@ -290,6 +320,19 @@ def main() -> int:
         }
     except (OSError, ValueError, KeyError):
         pass
+
+    # per-query canary arbitration (round-11 verdict item 2): queries in
+    # canary-flagged contention windows carry the min vs the previous
+    # record; the compact summary's worst_query/worst_ratio are computed
+    # on these arbitrated values so a contended window can't bake a
+    # false regression alarm into the round's machine-readable record.
+    arbitrated, contended = arbitrate_contended(timings, canary_ratio, pq)
+    arbitration["contended"] = contended
+    arbitration["arbitrated_queries"] = {
+        q: arbitrated[q] for q in contended if arbitrated[q] != timings[q]
+    }
+    arbitration["arbitrated_total"] = round(
+        sum(t for t in arbitrated.values() if t >= 0), 3)
 
     payload = {
         "metric": "total wall time, all declared queries",
@@ -312,7 +355,12 @@ def main() -> int:
             "quiet-window record. 'canary' is a fixed JVM-native "
             "CPU+shuffle calibration query interleaved every 15 queries: "
             "per_query_ratio >> 1 labels the window around that query as "
-            "host-contended (the query's own number is then suspect)."
+            "host-contended (the query's own number is then suspect). "
+            "Queries whose nearest canary reading exceeds 1.5x the floor "
+            "are listed in arbitration.contended and carry the per-query "
+            "min vs the previous record in arbitration.arbitrated_queries; "
+            "the compact summary's worst_query/worst_ratio use those "
+            "arbitrated values."
         ),
         "sf": sf,
     }
@@ -328,8 +376,12 @@ def main() -> int:
         print(f"# could not write BENCH_FULL.json: {exc}", file=sys.stderr)
     # compact final line LAST so it survives the driver's tail capture
     # (see compact_summary's docstring); the complete per-query record
-    # lives in BENCH_FULL.json (committed) either way.
-    print(json.dumps(compact_summary(timings, baseline_rows, total, sf)))
+    # lives in BENCH_FULL.json (committed) either way. worst_query/
+    # worst_ratio are computed on the ARBITRATED per-query values — the
+    # honest raw numbers stay in "queries"/"trials" above.
+    summary = compact_summary(arbitrated, baseline_rows, total, sf)
+    summary["n_contended"] = len(contended)
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

@@ -79,3 +79,39 @@ def test_compact_summary_no_baseline():
 
     s = compact_summary({"q": 1.0}, {}, total=1.0, sf=0.1)
     assert s["vs_baseline_sum"] is None and s["worst_query"] is None
+
+
+def test_arbitrate_contended_doctored_canary():
+    """Round-11 verdict item 2: a doctored contention window must carry
+    the per-query min vs the previous record, and ONLY for flagged
+    queries — quiet-window measurements stay this run's honest value
+    even when the previous record was faster."""
+    from bench import arbitrate_contended, compact_summary
+
+    timings = {
+        "quiet_fast": 1.0,      # quiet window, prev slower
+        "quiet_slow": 4.0,      # quiet window, prev faster — keep 4.0
+        "contended_prev": 9.51,  # flagged, prev 5.23 -> arbitrated 5.23
+        "contended_new": 7.0,   # flagged, no prev row -> keep 7.0
+        "failed": -1.0,         # failed query, flagged — keep -1.0
+    }
+    canary_ratio = {
+        "quiet_fast": 1.0, "quiet_slow": 1.1,
+        "contended_prev": 3.32, "contended_new": 2.0, "failed": 3.0,
+    }
+    prev = {"quiet_fast": 2.0, "quiet_slow": 1.0, "contended_prev": 5.23}
+    arb, contended = arbitrate_contended(timings, canary_ratio, prev)
+    assert arb["quiet_fast"] == 1.0
+    assert arb["quiet_slow"] == 4.0          # no silent min outside windows
+    assert arb["contended_prev"] == 5.23     # the r11 false-alarm case
+    assert arb["contended_new"] == 7.0
+    assert arb["failed"] == -1.0
+    assert sorted(contended) == ["contended_new", "contended_prev"]
+
+    # the compact summary's worst_ratio must reflect arbitrated values:
+    # raw would report 9.51/4.2 = 2.26x; arbitrated reports 5.23/4.2
+    baseline = {"contended_prev": 4.2, "quiet_fast": 1.0, "quiet_slow": 4.0}
+    s = compact_summary(arb, baseline, total=sum(
+        t for t in arb.values() if t >= 0), sf=0.1)
+    assert s["worst_query"] == "contended_prev"
+    assert abs(s["worst_ratio"] - round(5.23 / 4.2, 2)) < 1e-9
