@@ -3390,6 +3390,57 @@ def q_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML on the MOR table (round-12, sources/manifest.py
+    delete_where/update_where — Delta's DELETE WHERE / UPDATE WHERE,
+    which keyed merge_into cannot express: MERGE only lands ON-key
+    matches). Commit 1: DELETE WHERE totalprice < 30000 OR key %31 = 0.
+    Commit 2: UPDATE WHERE status='F' AND totalprice > 200000 SET
+    totalprice += 777, status='X' — resolved against the POST-delete
+    snapshot, RHS evaluated on pre-update values. Both compile to one
+    atomic write_delta commit each (O(affected rows), key stats in the
+    log); check_conflict_from_seq='auto' captures the pre-scan seq so
+    the read-modify-write window is conflict-checked. The oracle
+    replays the predicate resolution: deleted rows removed first, the
+    update CASE applied to survivors only."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.manifest import (
+        delete_where, read_snapshot, update_where,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_delwhere_")
+    o.write.mode("overwrite").parquet(path)
+    e1 = delete_where(
+        spark, path, "o_orderkey",
+        "o_totalprice < 30000.0 OR o_orderkey % 31 = 0",
+    )
+    assert e1 is not None and e1["seq"] == 1 and e1["n_deletes"] > 0
+    e2 = update_where(
+        spark, path, "o_orderkey",
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > F.lit(200000.0)),
+        {"o_totalprice": F.col("o_totalprice") + F.lit(777.0),
+         "o_orderstatus": F.lit("X")},
+    )
+    assert e2 is not None and e2["seq"] == 2 and e2["n_upserts"] > 0
+    # a predicate matching nothing writes NO commit
+    assert delete_where(spark, path, "o_orderkey", "o_totalprice < 0") is None
+    snap = read_snapshot(spark, path, "o_orderkey")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "cnt", F.round("total", 2).alias("total"))
+    )
+
+
 def q_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / incremental read (round-7, sources/manifest.py
     read_changes — Delta Change Data Feed collapsed per key): land the
@@ -7980,6 +8031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_time_travel": q_mor_time_travel,
         "stream_mor_upsert": q_stream_mor_upsert,
         "mor_merge": q_mor_merge,
+        "mor_delete_where": q_mor_delete_where,
         "mor_changes": q_mor_changes,
         "mor_checkpoint": q_mor_checkpoint,
         "mor_schema_evolution": q_mor_schema_evolution,
@@ -11615,6 +11667,28 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1 AND del = 0
+            GROUP BY o_orderstatus
+        """,
+        "mor_delete_where": """
+            WITH survivors AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders
+              WHERE NOT (o_totalprice < 30000.0 OR o_orderkey % 31 = 0)
+            ), updated AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderstatus = 'F'
+                               AND o_totalprice > 200000.0
+                          THEN o_totalprice + 777.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderstatus = 'F'
+                               AND o_totalprice > 200000.0
+                          THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+              FROM survivors
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM updated
             GROUP BY o_orderstatus
         """,
         "mor_changes": """

@@ -41,7 +41,8 @@ __all__ = [
     "write_delta", "read_snapshot", "current_seq", "seq_at_timestamp",
     "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup", "pruned_ndv",
-    "merge_into", "read_changes", "checkpoint", "vacuum",
+    "merge_into", "delete_where", "update_where",
+    "read_changes", "checkpoint", "vacuum",
     "pruned_count", "pruned_sum", "pruned_minmax", "maintain",
 ]
 
@@ -1641,6 +1642,138 @@ def merge_into(
     return write_delta(
         upserts, path, key_col, delete_keys=deletes,
         check_conflict_from_seq=check_conflict_from_seq, txn_id=txn_id,
+    )
+
+
+def _resolve_predicate_rows(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    predicate,
+    check_conflict_from_seq,
+) -> tuple[DataFrame, int | None]:
+    """Shared predicate resolution for DELETE WHERE / UPDATE WHERE: one
+    snapshot scan filtered by ``predicate`` (Column or SQL string);
+    callers pin the (small) affected set with localCheckpoint so the
+    emptiness probe and the commit write reuse the materialization
+    instead of replanning. ``check_conflict_from_seq='auto'`` captures
+    :func:`current_seq` BEFORE the scan — predicate DML is inherently
+    read-modify-write (the affected-key set was computed against a
+    snapshot), so the conflict window must cover the resolution read."""
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    from_seq = check_conflict_from_seq
+    if from_seq == "auto":
+        from_seq = current_seq(path)
+    affected = read_snapshot(spark, path, key_col).filter(cond)
+    return affected, from_seq
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    predicate,
+    check_conflict_from_seq="auto",
+    txn_id: str | None = None,
+) -> dict | None:
+    """``DELETE FROM <table> WHERE <predicate>`` on the MOR table —
+    predicate-level row deletion compiled to ONE atomic tombstone
+    commit (Delta's ``DELETE WHERE``, which keyed :func:`merge_into`
+    cannot express: MERGE only lands ON-key matches, so "delete every
+    row older than X" previously required the caller to resolve keys
+    by hand, losing the conflict window).
+
+    Resolution is one snapshot scan → affected keys → the existing
+    :func:`write_delta` tombstone path, so the commit carries the same
+    key_min/key_max stats every delta logs (key-ranged snapshot reads
+    skip it when provably out of range) and the write is O(affected
+    rows), never O(table). ``check_conflict_from_seq`` defaults to
+    ``'auto'``: the snapshot seq is captured before the resolution
+    scan, so a concurrent writer touching any affected key between the
+    scan and the commit raises :class:`ConcurrentWriteConflict` —
+    without it a row could be deleted because an already-overwritten
+    version of it matched the predicate. Pass ``None`` to opt out
+    (blind delete), or an explicit seq from an earlier read.
+
+    Returns the commit entry, or ``None`` when no row matches (no
+    empty commit). Reference scope: the reference has no DML; this is
+    the pipeline extension's table-maintenance surface (Delta parity).
+    """
+    affected, from_seq = _resolve_predicate_rows(
+        spark, path, key_col, predicate, check_conflict_from_seq)
+    # pin ONLY the affected keys (DELETE never needs payload columns):
+    # the emptiness probe, the conflict check, and the tombstone write
+    # all reuse the materialized key set — one snapshot scan total
+    keys = affected.select(key_col).localCheckpoint(eager=True)
+    if keys.isEmpty():
+        return None
+    return write_delta(
+        None, path, key_col, delete_keys=keys,
+        check_conflict_from_seq=from_seq, txn_id=txn_id,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    predicate,
+    assignments: dict,
+    check_conflict_from_seq="auto",
+    txn_id: str | None = None,
+) -> dict | None:
+    """``UPDATE <table> SET col = expr, ... WHERE <predicate>`` on the
+    MOR table — predicate-level row mutation compiled to ONE atomic
+    upsert commit. ``assignments`` maps column name → expression
+    (Column or SQL string) evaluated over the matched row's CURRENT
+    values, so ``{"price": "price * 1.1"}`` reprices in place.
+
+    The key column cannot be assigned (rewriting a key is a
+    delete+insert with different visibility semantics — spell it as
+    :func:`delete_where` + :func:`write_delta` explicitly), and every
+    assigned column must already exist in the table schema (UPDATE
+    never widens; schema evolution is :func:`write_delta`'s explicit
+    opt-in). Same scale shape and conflict discipline as
+    :func:`delete_where`: one snapshot scan, O(affected rows) write,
+    ``'auto'`` conflict check from the pre-scan seq.
+
+    Returns the commit entry, or ``None`` when no row matches.
+    """
+    if not assignments:
+        raise ValueError("update_where needs at least one assignment")
+    if key_col in assignments:
+        raise ValueError(
+            f"cannot assign the key column {key_col!r}: a key rewrite is "
+            f"a delete+insert — use delete_where + write_delta explicitly"
+        )
+    cols = _table_columns(spark, path)
+    unknown = [c for c in assignments if c not in cols]
+    if unknown:
+        raise ValueError(
+            f"assigned column(s) {unknown} not in the table schema "
+            f"{cols}; UPDATE never widens the table"
+        )
+    affected, from_seq = _resolve_predicate_rows(
+        spark, path, key_col, predicate, check_conflict_from_seq)
+    # pin the affected rows (O(changed rows) by the MOR premise): the
+    # emptiness probe and the commit write reuse the materialization
+    # instead of replanning the table-sized snapshot scan
+    affected = affected.localCheckpoint(eager=True)
+    if affected.isEmpty():
+        return None
+    updated = affected
+    # evaluate every RHS against the PRE-update row (SQL UPDATE
+    # semantics: SET a = b, b = a swaps), then overwrite
+    staged = {
+        c: (F.expr(e) if isinstance(e, str) else e).alias(c)
+        for c, e in assignments.items()
+    }
+    updated = updated.select(
+        *[staged[c] if c in staged else F.col(c) for c in affected.columns]
+    )
+    return write_delta(
+        updated, path, key_col,
+        check_conflict_from_seq=from_seq, txn_id=txn_id,
     )
 
 

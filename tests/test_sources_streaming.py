@@ -3400,3 +3400,61 @@ def test_morlake_accepts_file_uri_paths(spark, tmp_path):
     assert _local_path("file://localhost/tmp/x") == "/tmp/x"
     with _pytest.raises(ValueError, match="authority"):
         _local_path("file://tmp/x")
+
+
+def test_delete_where_update_where_dml(spark, tmp_path):
+    """Predicate DML (round 12): DELETE WHERE tombstones exactly the
+    matching rows, UPDATE WHERE resolves against the post-delete
+    snapshot with SQL swap semantics (RHS on pre-update values),
+    no-match predicates write NO commit, and the auto conflict check
+    refuses a delete racing a writer that touched an affected key."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        ConcurrentWriteConflict, current_seq, delete_where,
+        read_snapshot, update_where, write_delta,
+    )
+
+    path = str(tmp_path / "dml")
+    spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(12)], "k long, a long, b long"
+    ).write.mode("overwrite").parquet(path)
+
+    e1 = delete_where(spark, path, "k", "k % 4 = 0")
+    assert e1["seq"] == 1 and e1["n_deletes"] == 3 and e1["n_upserts"] == 0
+    assert e1["key_min"] == 0 and e1["key_max"] == 8
+
+    # swap: RHS evaluates against PRE-update values
+    e2 = update_where(spark, path, "k", F.col("k") >= 9,
+                      {"a": "b", "b": "a"})
+    assert e2["n_upserts"] == 3
+    rows = {r.k: (r.a, r.b)
+            for r in read_snapshot(spark, path, "k").collect()}
+    assert sorted(rows) == [1, 2, 3, 5, 6, 7, 9, 10, 11]
+    assert rows[9] == (900, 90) and rows[10] == (1000, 100)
+    assert rows[7] == (70, 700)  # untouched
+
+    # no-op predicates write no commit
+    assert delete_where(spark, path, "k", "k > 999") is None
+    assert update_where(spark, path, "k", "k > 999", {"a": "a"}) is None
+    assert current_seq(path) == 2
+
+    # refusals: key assignment / unknown column / empty set
+    with _pytest.raises(ValueError, match="key column"):
+        update_where(spark, path, "k", "true", {"k": "k + 1"})
+    with _pytest.raises(ValueError, match="not in the table schema"):
+        update_where(spark, path, "k", "true", {"zz": "1"})
+    with _pytest.raises(ValueError, match="at least one assignment"):
+        update_where(spark, path, "k", "true", {})
+
+    # conflict: resolve at a stale seq, interleaved writer touches an
+    # affected key (k=3, a -> -1 so it still matches the predicate)
+    stale = current_seq(path)
+    write_delta(spark.createDataFrame([(3, -1, 300)], "k long, a long, b long"),
+                path, "k")
+    with _pytest.raises(ConcurrentWriteConflict):
+        delete_where(spark, path, "k", "k = 3",
+                     check_conflict_from_seq=stale)
+    # auto mode re-resolves at the current seq and succeeds
+    e3 = delete_where(spark, path, "k", "k = 3")
+    assert e3 is not None and e3["n_deletes"] == 1
