@@ -2904,6 +2904,51 @@ def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relational_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a star-schema join (round 12 —
+    the Spark-native 100 TB mechanism source_partitioned's STATIC
+    PartitionFilters assert doesn't exercise): the fact side (events,
+    hive-partitioned by event_type) is joined to a dimension whose
+    filter (category='hot') is only known at runtime — Catalyst
+    injects a DynamicPruningExpression into the fact scan's
+    PartitionFilters (the dim's broadcast result prunes fact
+    DIRECTORIES before they're read; at warehouse scale this is the
+    difference between scanning 2 partitions and 5). The gate ASSERTS
+    the injected expression in-query; the oracle replays the join with
+    the category derivation inlined."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="ghs_dpp_")
+    ev.write.partitionBy("event_type").parquet(root + "/fact")
+    dim = ev.select("event_type").distinct().withColumn(
+        "category",
+        F.when(F.col("event_type").isin("click", "view"), "hot")
+        .otherwise("cold"),
+    )
+    dim.write.parquet(root + "/dim")
+    fact = spark.read.parquet(root + "/fact")
+    d = spark.read.parquet(root + "/dim").filter(F.col("category") == "hot")
+    out = (
+        fact.join(d, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long").alias("v_cents"),
+            F.sum(F.col("user_id") % F.lit(1000003)).cast("long")
+            .alias("usum"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = (plan.split("PartitionFilters:")[1].split("]")[0]
+          if "PartitionFilters:" in plan else "")
+    assert "dynamicpruning" in pf.lower(), plan
+    return out
+
+
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip + predicate pushdown (round-10 — the
     reference's own tests query CSV tables, `SpatialTestTables.scala`;
@@ -8007,6 +8052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_recursive": q_relational_recursive,
         "relational_setops_all": q_relational_setops_all,
         "source_partitioned": q_source_partitioned,
+        "relational_dpp": q_relational_dpp,
         "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
@@ -11375,6 +11421,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'error')
             GROUP BY event_type
+        """,
+        "relational_dpp": """
+            WITH dim AS (
+              SELECT DISTINCT event_type,
+                     CASE WHEN event_type IN ('click', 'view')
+                          THEN 'hot' ELSE 'cold' END AS category
+              FROM events
+            )
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS v_cents,
+                   CAST(sum(e.user_id % 1000003) AS BIGINT) AS usum
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+            WHERE d.category = 'hot'
+            GROUP BY e.event_type
         """,
         "pipeline_token_budget": """
             WITH q AS (
