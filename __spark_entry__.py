@@ -6554,6 +6554,87 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_LO, _QSK_HI, _QSK_M = 0.0, 600000.0, 256
+_QSK_WB = (_QSK_HI - _QSK_LO) / _QSK_M  # 2343.75 — exact binary
+_QSK_QS = [250, 500, 750, 900, 990]
+
+
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid mergeable quantile sketch (round 12, pipeline/
+    sketches.py quantile_sketch_build/merge/estimate) — the quantile
+    member of the sketch-table family: per-(status, shard) bucket-count
+    tables (shard = o_orderkey % 3) are SUM-merged across shards and
+    the merge is asserted in-query to equal the built-direct sketch
+    EXACTLY (integer counts are order-independent — the property a
+    KLL's data-dependent compaction cannot give). Quantiles are integer
+    permille; rank = floor((q·N + 999)/1000.0) — double floor, exact
+    under 2^53, identical in Spark and DuckDB where integer DIV is not;
+    the estimate interpolates inside the hit bucket with every literal
+    Python-folded. The 'ALL' rows come from the MANIFEST tier:
+    write_with_manifest(quantile_cols=) packs per-file bucket counts as
+    qsk_<col> binary columns, and pruned_quantile answers from metadata
+    via the arithmetic twin quantile_estimate_py — asserted in-query to
+    equal the Spark-side global estimate bit-for-bit. The oracle
+    replays the whole grid arithmetic in SQL."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline import sketches as sk
+    from geomesa_hive_spark.sources.manifest import (
+        pruned_quantile, write_with_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    shards = o.withColumn("shard", F.col("o_orderkey") % 3)
+    regs = sk.quantile_sketch_build(
+        shards, ["o_orderstatus", "shard"], "o_totalprice",
+        _QSK_LO, _QSK_HI, _QSK_M,
+    )
+    merged = sk.quantile_sketch_merge(
+        regs.drop("shard"), ["o_orderstatus"]
+    ).localCheckpoint(eager=True)
+    direct = sk.quantile_sketch_build(
+        o, ["o_orderstatus"], "o_totalprice", _QSK_LO, _QSK_HI, _QSK_M
+    )
+    # merged-over-shards ≡ built-direct, exactly (the mergeability claim)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    per_status = sk.quantile_estimate(
+        merged, ["o_orderstatus"], _QSK_QS, _QSK_LO, _QSK_HI, _QSK_M
+    ).select(F.col("o_orderstatus").alias("grp"), "q_permille", "est")
+    # metadata tier: per-file qsk_ registers, answered without a rescan
+    path = tempfile.mkdtemp(prefix="ghs_qsk_") + "/t"
+    write_with_manifest(
+        o, path, ["o_orderkey"], n_files=8, manifest_format="parquet",
+        quantile_cols={"o_totalprice": (_QSK_LO, _QSK_HI)},
+        quantile_m=_QSK_M,
+    )
+    meta_est, rep = pruned_quantile(path, "o_totalprice", _QSK_QS)
+    assert rep["files_merged"] == rep["n_files"] == 8, rep
+    spark_all = {
+        r.q_permille: r.est
+        for r in sk.quantile_estimate(
+            sk.quantile_sketch_merge(
+                merged.withColumn("g", F.lit(1)).drop("o_orderstatus"),
+                ["g"],
+            ),
+            ["g"], _QSK_QS, _QSK_LO, _QSK_HI, _QSK_M,
+        ).collect()
+    }
+    assert all(meta_est[q] == spark_all[q] for q in meta_est), (
+        meta_est, spark_all)
+    # rounding happens ONCE, Spark-side, on the union — Python round()
+    # is half-even while Spark/DuckDB round() is half-up on doubles
+    all_rows = spark.createDataFrame(
+        [("ALL", int(q), float(meta_est[q])) for q in _QSK_QS],
+        "grp string, q_permille int, est double",
+    )
+    return per_status.unionByName(all_rows).select(
+        "grp", "q_permille", F.round("est", 4).alias("est")
+    )
+
+
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (pipeline/sketches.py) over the corpus bigram
     stream at a deliberately tight width (256 cells/row) so collisions
@@ -8174,6 +8255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "sketch_countmin": q_sketch_countmin,
         "sketch_hll": q_sketch_hll,
+        "sketch_quantile": q_sketch_quantile,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
@@ -13869,6 +13951,52 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY pri DESC, o_orderkey
             LIMIT 500
+        """,
+        "sketch_quantile": f"""
+            WITH src AS (
+              SELECT o_orderstatus AS grp,
+                     CAST(least(greatest(floor(
+                       (CAST(o_totalprice AS DOUBLE)
+                        - CAST({_QSK_LO!r} AS DOUBLE))
+                       / CAST({_QSK_WB!r} AS DOUBLE)), 0),
+                       {_QSK_M - 1}) AS INT) AS bucket
+              FROM orders
+              UNION ALL
+              SELECT 'ALL',
+                     CAST(least(greatest(floor(
+                       (CAST(o_totalprice AS DOUBLE)
+                        - CAST({_QSK_LO!r} AS DOUBLE))
+                       / CAST({_QSK_WB!r} AS DOUBLE)), 0),
+                       {_QSK_M - 1}) AS INT)
+              FROM orders
+            ), b AS (
+              SELECT grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM src GROUP BY grp, bucket
+            ), c AS (
+              SELECT grp, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bucket)
+                       AS cum
+              FROM b
+            ), t AS (
+              SELECT grp, sum(cnt) AS n_total FROM b GROUP BY grp
+            ), r AS (
+              SELECT t.grp, qv.q_permille,
+                     greatest(CAST(floor(
+                       CAST(qv.q_permille * t.n_total + 999 AS DOUBLE)
+                       / 1000.0) AS BIGINT), 1) AS rnk
+              FROM t CROSS JOIN (
+                VALUES {", ".join(f"({q})" for q in _QSK_QS)}
+              ) AS qv(q_permille)
+            )
+            SELECT r.grp, CAST(r.q_permille AS INT) AS q_permille,
+                   round(CAST({_QSK_LO!r} AS DOUBLE)
+                         + CAST({_QSK_WB!r} AS DOUBLE)
+                         * (CAST(c.bucket AS DOUBLE)
+                            + CAST(r.rnk - (c.cum - c.cnt) AS DOUBLE)
+                              / CAST(c.cnt AS DOUBLE)), 4) AS est
+            FROM r JOIN c
+              ON r.grp = c.grp AND c.cum >= r.rnk
+             AND c.cum - c.cnt < r.rnk
         """,
         "sketch_hll": f"""
             WITH mh AS (

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "countmin_positions", "countmin_build", "countmin_estimate",
     "hll_build", "hll_merge", "hll_estimate", "hll_estimate_py",
+    "quantile_sketch_build", "quantile_sketch_merge",
+    "quantile_estimate", "quantile_estimate_py",
 ]
 
 
@@ -253,3 +255,156 @@ def countmin_estimate(
         joined.groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid quantile sketch (round 12) — STORED, MERGEABLE bucket counts,
+# the quantile member of the sketch-table family next to hll_build.
+# A KLL/GK summary has data-dependent compaction (merge order changes the
+# stored summary, breaking merged-over-shards ≡ built-direct hash parity);
+# a fixed grid is the discipline the repo's sketches demand: integer bucket
+# counts, merge = cell-wise SUM (exact, order-independent), one double
+# interpolation at estimate time. The grid (lo, hi, m) is a CONTRACT like
+# HLL's p — all sketches that will ever merge must share it. Error is
+# bounded by one bucket width (hi-lo)/m; values outside [lo, hi) clamp to
+# the edge buckets (degrades edge accuracy, never merge determinism).
+# ---------------------------------------------------------------------------
+
+
+def _q_bucket(v: Column, lo: float, hi: float, m: int) -> Column:
+    # ONE spelling of the bucket arithmetic, shared by build and every
+    # oracle replay: floor((v - lo) / wb) with wb pre-folded in Python
+    # to a single double literal — (v-lo)*m/(hi-lo) is a DIFFERENT
+    # float expression and would bucket boundary values differently
+    wb = (float(hi) - float(lo)) / int(m)
+    b = F.floor((v.cast("double") - F.lit(float(lo))) / F.lit(wb))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(int(m) - 1)).cast("int")
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    lo: float,
+    hi: float,
+    m: int = 256,
+) -> DataFrame:
+    """Per-group grid sketch: (group..., bucket, cnt) with at most ``m``
+    rows per group whatever the input size. NULLs are excluded
+    (matching percentile/quantile SQL semantics). Every step is a
+    native integer expression — one map-side-combined groupBy — and
+    replays exactly in SQL. Sketches over shards/days/sources merge
+    with :func:`quantile_sketch_merge`; merged-then-estimated is
+    EXACTLY built-on-the-union (integer sums are order-independent),
+    which the gate asserts in-query."""
+    if not (float(hi) > float(lo)):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    v = value_col if isinstance(value_col, Column) else F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, _q_bucket(v, lo, hi, m).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge sketch tables by (group, bucket) SUM — exact. Also rolls a
+    finer grouping up to a coarser one (drop the finer column)."""
+    return (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    qs_permille: list[int],
+    lo: float,
+    hi: float,
+    m: int = 256,
+) -> DataFrame:
+    """(group..., q_permille, est) for each requested quantile.
+    Quantiles are INTEGER PERMILLE (500 = median): rank = ceil(q·N/1000)
+    computed as floor((q*N + 999) / 1000.0) — the product stays well
+    under 2^53 so the double floor is exact and spells identically in
+    Spark and DuckDB (their integer-DIV semantics differ; their double
+    floor does not). The estimate linearly interpolates inside the
+    first bucket whose cumulative count reaches the rank:
+    ``lo + wb·(bucket + (rank - cum_below)/cnt)`` — integer cumulative
+    window, one double division, every literal Python-folded."""
+    from pyspark.sql import Window
+
+    wb = (float(hi) - float(lo)) / int(m)
+    spark = registers.sparkSession
+    qs = spark.createDataFrame(
+        [(int(q),) for q in qs_permille], "q_permille int"
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = registers.select(
+        *group_cols, "bucket", "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    )
+    tot = registers.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("long").alias("n_total")
+    )
+    ranked = tot.join(F.broadcast(qs)).withColumn(
+        "rank",
+        F.greatest(
+            F.floor((F.col("q_permille").cast("bigint") * F.col("n_total")
+                     + F.lit(999)).cast("double") / F.lit(1000.0))
+            .cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+    hit = cum.join(ranked, group_cols).filter(
+        (F.col("cum") >= F.col("rank"))
+        & (F.col("cum") - F.col("cnt") < F.col("rank"))
+    )
+    est = (
+        F.lit(float(lo))
+        + F.lit(wb)
+        * (F.col("bucket").cast("double")
+           + (F.col("rank") - (F.col("cum") - F.col("cnt")))
+           .cast("double") / F.col("cnt").cast("double"))
+    )
+    return hit.select(*group_cols, "q_permille", est.alias("est"))
+
+
+def quantile_estimate_py(
+    counts, qs_permille, lo: float, hi: float
+) -> dict:
+    """Driver-side estimate twin of :func:`quantile_estimate` —
+    IDENTICAL arithmetic, for sketch registers that live OUTSIDE Spark
+    (the manifest tier's per-file ``q_<col>`` counts, merged from
+    metadata): integer cumulative sum, the same double rank floor, the
+    same interpolation operation order. ``counts``: m integers (dense,
+    0 = empty bucket). Returns {q_permille: est}; empty sketch → {}."""
+    m = len(counts)
+    wb = (float(hi) - float(lo)) / m
+    n_total = 0
+    for c in counts:
+        n_total += int(c)
+    if n_total == 0:
+        return {}
+    out = {}
+    for q in qs_permille:
+        import math
+
+        rank = max(int(math.floor((int(q) * n_total + 999) / 1000.0)), 1)
+        cum = 0
+        for b, c in enumerate(counts):
+            c = int(c)
+            if c == 0:
+                continue
+            cum += c
+            if cum >= rank:
+                out[int(q)] = (
+                    float(lo)
+                    + wb * (float(b) + float(rank - (cum - c)) / float(c))
+                )
+                break
+    return out

@@ -40,7 +40,7 @@ __all__ = [
     "compact",
     "write_delta", "read_snapshot", "current_seq", "seq_at_timestamp",
     "ConcurrentWriteConflict",
-    "write_zordered", "read_point_lookup", "pruned_ndv",
+    "write_zordered", "read_point_lookup", "pruned_ndv", "pruned_quantile",
     "merge_into", "delete_where", "update_where",
     "read_changes", "checkpoint", "vacuum",
     "pruned_count", "pruned_sum", "pruned_minmax", "maintain",
@@ -78,6 +78,8 @@ def write_with_manifest(
     ndv_cols: list[str] | None = None,
     ndv_p: int = 9,
     ndv_seed: int = 7,
+    quantile_cols: dict | None = None,
+    quantile_m: int = 128,
 ) -> dict:
     """Range-cluster ``df`` by ``stats_cols`` into ``n_files`` parquet
     files and write a ``_manifest.json`` of per-file min/max for each
@@ -107,7 +109,16 @@ def write_with_manifest(
     the repo's md5-replayable HLL form — so approximate COUNT
     DISTINCT over any key range is answered from METADATA by
     max-merging the overlapping files' registers
-    (:func:`pruned_ndv`), never rescanning data."""
+    (:func:`pruned_ndv`), never rescanning data.
+
+    ``quantile_cols`` (parquet tier only) maps column → ``(lo, hi)``
+    grid bounds and records a per-file fixed-grid quantile sketch
+    (``quantile_m`` buckets of BIGINT counts, packed binary) — ranged
+    approximate quantiles are then answered from METADATA by
+    sum-merging the overlapping files' bucket counts
+    (:func:`pruned_quantile`). The grid is a contract: the bounds and
+    ``quantile_m`` are pinned in the manifest root and every merge
+    uses them."""
     # argument validation BEFORE the data write: failing in
     # _finish_manifest would leave a fully-written but manifest-less
     # directory after minutes of wasted shuffle at scale
@@ -116,6 +127,11 @@ def write_with_manifest(
             "ndv_cols requires manifest_format='parquet' (registers are "
             "binary manifest columns, not JSON payload)"
         )
+    if quantile_cols and manifest_format != "parquet":
+        raise ValueError(
+            "quantile_cols requires manifest_format='parquet' (bucket "
+            "counts are binary manifest columns, not JSON payload)"
+        )
     d = df.repartitionByRange(int(n_files), *[F.col(c) for c in stats_cols])
     d.write.mode("overwrite").parquet(path)
     return _finish_manifest(
@@ -123,6 +139,7 @@ def write_with_manifest(
         bloom_cols, bloom_bits, bloom_hashes,
         manifest_format=manifest_format, manifest_shards=manifest_shards,
         ndv_cols=ndv_cols, ndv_p=ndv_p, ndv_seed=ndv_seed,
+        quantile_cols=quantile_cols, quantile_m=quantile_m,
     )
 
 
@@ -139,6 +156,8 @@ def _finish_manifest(
     ndv_cols: list[str] | None = None,
     ndv_p: int = 9,
     ndv_seed: int = 7,
+    quantile_cols: dict | None = None,
+    quantile_m: int = 128,
 ) -> dict:
     """One read-back scan over the just-written files: per-file min/max
     for every stats column plus (optionally) per-file Bloom bitsets."""
@@ -150,6 +169,11 @@ def _finish_manifest(
         raise ValueError(
             "ndv_cols requires manifest_format='parquet' (registers are "
             "binary manifest columns, not JSON payload)"
+        )
+    if quantile_cols and manifest_format != "parquet":
+        raise ValueError(
+            "quantile_cols requires manifest_format='parquet' (bucket "
+            "counts are binary manifest columns, not JSON payload)"
         )
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     int_cols = {
@@ -195,6 +219,13 @@ def _finish_manifest(
                     _ndv_register_df(back, c, int(ndv_p), int(ndv_seed)),
                     "file", "left",
                 )
+        if quantile_cols:
+            for c, (qlo, qhi) in quantile_cols.items():
+                stats_df = stats_df.join(
+                    _quantile_register_df(back, c, float(qlo), float(qhi),
+                                          int(quantile_m)),
+                    "file", "left",
+                )
         (
             stats_df.repartition(max(1, int(manifest_shards)))
             .write.mode("overwrite")
@@ -217,6 +248,12 @@ def _finish_manifest(
                 "p": int(ndv_p),
                 "seed": int(ndv_seed),
                 "cols": list(ndv_cols),
+            }
+        if quantile_cols:
+            root["quantile"] = {
+                "m": int(quantile_m),
+                "cols": {c: [float(b[0]), float(b[1])]
+                         for c, b in quantile_cols.items()},
             }
         with open(os.path.join(path, _MANIFEST), "w") as fh:
             json.dump(root, fh)
@@ -338,7 +375,7 @@ def manifest_stats(path: str) -> dict:
     # column-pruned _bloom_probe_parquet / pruned_ndv scans
     tbl = ds.to_table(
         columns=[n for n in ds.schema.names
-                 if not n.startswith(("bloom_", "ndv_"))]
+                 if not n.startswith(("bloom_", "ndv_", "qsk_"))]
     )
     files = [
         {k: _load_stat(k, v) for k, v in row.items()}
@@ -770,6 +807,113 @@ def _ndv_register_df(back: DataFrame, col: str, p: int,
         .agg(F.collect_list(F.struct("idx", "rho")).alias("irs"))
         .select(F.col("__f").alias("file"), _pack("irs").alias(f"ndv_{col}"))
     )
+
+
+def _quantile_register_df(back: DataFrame, col: str, lo: float, hi: float,
+                          m: int) -> DataFrame:
+    """(file, qsk_<col> binary) DataFrame — per-file fixed-grid quantile
+    sketch packed as ``m`` little-endian int64 bucket counts. The bucket
+    derivation IS :func:`~geomesa_hive_spark.pipeline.sketches.
+    quantile_sketch_build` called with the file as the group — one
+    implementation of the grid arithmetic, same no-duplication rule as
+    :func:`_ndv_register_df`. Only the Arrow-batched byte pack is added
+    here; nothing passes the driver."""
+    from geomesa_hive_spark.pipeline.sketches import quantile_sketch_build
+
+    m = int(m)
+
+    def _pack_fn(bcs):
+        import struct
+
+        import pandas as pd
+
+        out = []
+        for pairs in bcs:
+            counts = [0] * m
+            for pair in pairs:
+                counts[int(pair["bucket"])] = int(pair["cnt"])
+            out.append(struct.pack(f"<{m}q", *counts))
+        return pd.Series(out)
+
+    _pack = F.pandas_udf(_pack_fn, "binary")
+    return (
+        quantile_sketch_build(back, ["__f"], col, lo, hi, m)
+        .groupBy("__f")
+        .agg(F.collect_list(F.struct("bucket", "cnt")).alias("bcs"))
+        .select(F.col("__f").alias("file"), _pack("bcs").alias(f"qsk_{col}"))
+    )
+
+
+# last Arrow column set a pruned_quantile scan read — assertable like
+# _LAST_NDV_SCAN_COLUMNS
+_LAST_QSK_SCAN_COLUMNS: list[str] | None = None
+
+
+def pruned_quantile(
+    path: str,
+    col: str,
+    qs_permille,
+    lo=None,
+    hi=None,
+    stats_col: str | None = None,
+) -> tuple[dict, dict]:
+    """Approximate quantiles of ``col`` over a ``stats_col`` key range,
+    answered from MANIFEST METADATA only — the quantile member of the
+    metadata-answer family (pruned_count/sum/minmax/ndv): a
+    column-pruned Arrow scan reads each overlapping file's packed
+    bucket counts, NumPy sum-merges them (count merge is EXACT — the
+    merged sketch IS the sketch of the union), and the estimate is
+    pipeline/sketches.quantile_estimate_py — the arithmetic twin of
+    the Spark/SQL path, so a full-range call equals
+    quantile_sketch_build+estimate over the column exactly.
+
+    Semantics: files are selected by min/max OVERLAP, so a partial
+    range answers the quantiles of a SUPERSET of the range's rows
+    (boundary files contribute out-of-range rows) — the documented
+    ranged-metadata caveat; the full range (lo=hi=None) is
+    exact-sketch. ``qs_permille``: integer permille (500 = median).
+    Returns ({q_permille: est}, {"files_merged", "n_files"})."""
+    import numpy as np
+    import pyarrow.dataset as _ds
+
+    from geomesa_hive_spark.pipeline.sketches import quantile_estimate_py
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        root = json.load(fh)
+    if root.get("format") != "parquet" or "quantile" not in root:
+        raise ValueError(
+            "pruned_quantile needs a parquet-tier manifest written with "
+            "quantile_cols"
+        )
+    qd = root["quantile"]
+    if col not in qd["cols"]:
+        raise ValueError(f"no quantile sketch for column {col!r} "
+                         f"(have {sorted(qd['cols'])})")
+    m = int(qd["m"])
+    qlo, qhi = qd["cols"][col]
+    sc = stats_col or root["stats_cols"][0]
+    global _LAST_QSK_SCAN_COLUMNS
+    cols = ["file", f"min_{sc}", f"max_{sc}", f"qsk_{col}"]
+    _LAST_QSK_SCAN_COLUMNS = cols
+    ds = _ds.dataset(os.path.join(path, root["dir"]))
+    counts = np.zeros(m, dtype=np.int64)
+    merged, total = 0, 0
+    for batch in ds.to_batches(columns=cols):
+        mins = batch.column(1).to_pylist()
+        maxs = batch.column(2).to_pylist()
+        sketches = batch.column(3).to_pylist()
+        total += batch.num_rows
+        for mn, mx, bs in zip(mins, maxs, sketches):
+            if lo is not None and mx is not None and mx < lo:
+                continue
+            if hi is not None and mn is not None and mn > hi:
+                continue
+            if bs is None:      # file had no non-null values of col
+                continue
+            counts = counts + np.frombuffer(bs, dtype="<i8")
+            merged += 1
+    ests = quantile_estimate_py(counts.tolist(), qs_permille, qlo, qhi)
+    return ests, {"files_merged": merged, "n_files": total}
 
 
 # last Arrow column set a pruned_ndv scan read — assertable like

@@ -103,3 +103,53 @@ def test_pruned_ndv_registers_and_ranges(spark, tmp_path):
     with _pytest.raises(ValueError, match="parquet"):
         M.write_with_manifest(df, p2, ["k"], n_files=4,
                               manifest_format="json", ndv_cols=["v"])
+
+
+def test_pruned_quantile_metadata_answers(spark, tmp_path):
+    """Manifest quantile sketches (round 12): full-range sum-merge
+    equals Spark quantile_sketch_build+estimate bit-for-bit (count
+    merge is the union's sketch; the py estimator is the arithmetic
+    twin); partial ranges merge fewer files (superset semantics);
+    all-NULL files contribute nothing; the probe scan is column-pruned
+    to exactly the needed manifest columns; json tier and unknown
+    columns are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import sketches as sk
+    from geomesa_hive_spark.sources import manifest as M
+
+    LO, HI, m = 0.0, 1000.0, 128
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        # v NULL in the top k-range: those files pack a NULL sketch
+        F.when(F.col("id") < 24000,
+               (F.col("id") * 37 % 1000).cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "qsk")
+    M.write_with_manifest(df, path, ["k"], n_files=10,
+                          manifest_format="parquet",
+                          quantile_cols={"v": (LO, HI)}, quantile_m=m)
+    qs = [250, 500, 900]
+    est, rep = M.pruned_quantile(path, "v", qs)
+    assert rep["n_files"] == 10
+    assert M._LAST_QSK_SCAN_COLUMNS == ["file", "min_k", "max_k", "qsk_v"]
+    want = {
+        r.q_permille: r.est
+        for r in sk.quantile_estimate(
+            sk.quantile_sketch_build(
+                df.withColumn("g", F.lit(0)), ["g"], "v", LO, HI, m),
+            ["g"], qs, LO, HI, m).collect()
+    }
+    assert est == want                      # bit-for-bit, no rounding
+    e_part, r_part = M.pruned_quantile(path, "v", qs, lo=0, hi=2999)
+    assert 0 < r_part["files_merged"] < rep["files_merged"]
+    # a range beyond every file: nothing merged, empty estimate
+    e_out, r_out = M.pruned_quantile(path, "v", qs, lo=50000, hi=60000)
+    assert e_out == {} and r_out["files_merged"] == 0
+    with _pytest.raises(ValueError, match="no quantile sketch"):
+        M.pruned_quantile(path, "k", qs)
+    with _pytest.raises(ValueError, match="parquet"):
+        M.write_with_manifest(df, str(tmp_path / "nojson"), ["k"],
+                              n_files=4, manifest_format="json",
+                              quantile_cols={"v": (LO, HI)})

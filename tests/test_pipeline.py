@@ -2962,3 +2962,82 @@ def test_ngram_containment_vs_jaccard(spark):
         df, "id", "text", threshold=0.5).collect()}
     assert (1, 2) not in jac             # Jaccard structurally misses it
     assert (1, 3) in jac
+
+
+def test_quantile_sketch_merge_accuracy_and_twin(spark):
+    """Fixed-grid quantile sketch (round 12): (1) merged-over-shards
+    bucket counts ≡ built-direct — exact (integer sums); (2) every
+    estimate lands within one bucket width of the true quantile (the
+    grid's error bound, with interpolation usually far inside it);
+    (3) the driver-side twin quantile_estimate_py returns the Spark
+    estimate BIT-FOR-BIT on the same counts; (4) estimates are
+    identical across repartitionings; (5) rank edge cases: q=1
+    permille clamps to rank 1, q=1000 hits the max."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.sketches import (
+        quantile_estimate, quantile_estimate_py,
+        quantile_sketch_build, quantile_sketch_merge,
+    )
+
+    LO, HI, M = -200.0, 800.0, 200
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        rng.uniform(-200, 300, 15000),      # bulk
+        rng.uniform(700, 800, 500),         # sparse tail
+    ])
+    df = spark.createDataFrame(
+        [(int(i), float(v), "g%d" % (i % 2)) for i, v in enumerate(vals)],
+        "id long, v double, g string",
+    )
+    direct = quantile_sketch_build(df, ["g"], "v", LO, HI, M)
+    sharded = quantile_sketch_build(
+        df.withColumn("s", F.col("id") % 5), ["g", "s"], "v", LO, HI, M)
+    merged = quantile_sketch_merge(sharded.drop("s"), ["g"])
+    a = sorted((r.g, r.bucket, r.cnt) for r in merged.collect())
+    b = sorted((r.g, r.bucket, r.cnt) for r in direct.collect())
+    assert a == b                                   # counts identical
+
+    qs = [1, 250, 500, 900, 990, 1000]
+    est = quantile_estimate(direct, ["g"], qs, LO, HI, M).collect()
+    wb = (HI - LO) / M
+    by_g = {}
+    for r in est:
+        sub = np.sort(vals[np.arange(len(vals)) % 2 == int(r.g[1])])
+        n = len(sub)
+        rank = max(int(np.floor((r.q_permille * n + 999) / 1000.0)), 1)
+        true_v = sub[rank - 1]                      # rank-order stat
+        assert abs(r.est - true_v) <= wb + 1e-9, (r, true_v)
+        by_g.setdefault(r.g, {})[r.q_permille] = r.est
+    # q=1000 must sit at/above the empirical max's bucket floor
+    for g in by_g:
+        sub = vals[np.arange(len(vals)) % 2 == int(g[1])]
+        assert by_g[g][1000] >= sub.max() - wb
+
+    # driver twin: bit-for-bit equal on the same dense counts
+    rows = direct.filter(F.col("g") == "g0").collect()
+    counts = [0] * M
+    for r in rows:
+        counts[r.bucket] = r.cnt
+    twin = quantile_estimate_py(counts, qs, LO, HI)
+    assert twin == by_g["g0"]
+
+    # partition-order independence
+    e17 = quantile_estimate(
+        quantile_sketch_build(df.repartition(17, "v"), ["g"], "v",
+                              LO, HI, M),
+        ["g"], qs, LO, HI, M).collect()
+    assert sorted((r.g, r.q_permille, r.est) for r in e17) == sorted(
+        (r.g, r.q_permille, r.est) for r in est)
+
+    # empty sketch / NULL exclusion / bad grid
+    assert quantile_estimate_py([0] * M, qs, LO, HI) == {}
+    withnull = df.withColumn(
+        "v", F.when(F.col("id") % 2 == 0, F.col("v")))
+    n_nonnull = quantile_sketch_build(
+        withnull, [], "v", LO, HI, M).agg(F.sum("cnt")).collect()[0][0]
+    assert n_nonnull == (len(vals) + 1) // 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hi > lo"):
+        quantile_sketch_build(df, [], "v", 5.0, 5.0, M)
