@@ -5792,6 +5792,39 @@ def q_knn_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_knn_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) vector storage for the IVF index (round
+    12, pipeline/similarity.py build_ivf_index(sq8=True) — faiss's SQ8
+    in SQL-replayable form): per-dimension linear quantization to
+    1-byte codes (params stored in _index.json like the centroids, so
+    appends quantize identically), a coarse cosine pass over
+    DEQUANTIZED codes whose scan reads ONLY the vec_q column (column
+    pruning asserted in-query from the ReadSchema — the ~4-8x I/O cut
+    on the hot path), top rerank_k=40 survivors, then the EXACT cosine
+    re-rank on the float column via an id-pushed read (the only
+    collect is the 40 survivor ids). The oracle replays pivot
+    assignment, probe selection, the quantize/dequantize grid
+    arithmetic, the coarse cut, and the exact re-rank."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="ghs_sq8_")
+    meta = similarity.build_ivf_index(
+        emb, "vec_id", "embedding", path, n_lists=32, sq8=True
+    )
+    assert "sq8" in meta and len(meta["sq8"]["mins"]) == meta["dim"]
+    prune: dict = {}
+    out = similarity.knn_query_index(
+        spark, path, qv, k=10, n_probe=8, prune_report=prune, rerank_k=40
+    )
+    assert prune["lists_read"] == 8 and prune["n_lists"] == 32, prune
+    assert prune["rerank_k"] == 40
+    rs = prune["coarse_read_schema"]
+    assert "vec_q" in rs and "embedding" not in rs, rs
+    return out
+
+
 def q_knn_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index DELETE lifecycle (round-10, pipeline/similarity.py
     delete_from_ivf_index — the tombstone semantics shared with the
@@ -8224,6 +8257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_index": q_knn_index,
         "knn_index_filtered": q_knn_index_filtered,
+        "knn_index_sq8": q_knn_index_sq8,
         "knn_index_delete": q_knn_index_delete,
         "knn_join_index": q_knn_join_index,
         "knn_pq": q_knn_pq,
@@ -9993,6 +10027,71 @@ def _knn_ivf_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4,
         SELECT a.vec_id AS id, {cos} AS cos_sim
         FROM assigned a JOIN qprobe ON a.list_id = qprobe.pidx, q
         WHERE {cand_pred}
+        ORDER BY cos_sim DESC, id
+        LIMIT {k}
+    """
+
+
+def _knn_ivf_sq8_oracle(k: int, n_lists: int, n_probe: int,
+                        rerank_k: int, dim: int = 64) -> str:
+    """SQ8 replay: the _knn_ivf_oracle chain + per-dim quantization
+    grid (lo = min, s = (max-min)/255 — same IEEE ops as the Python
+    fold), the dequantized coarse cosine cut (UNROUNDED, matching the
+    Spark ordering column), and the exact re-rank on survivors."""
+    raw_cos = ("list_dot_product({a}, {b}) / "
+               "(sqrt(list_dot_product({a}, {a})) * "
+               "sqrt(list_dot_product({b}, {b})))")
+    cos = _COS_SQL.format(a="a.v", b="q.qv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), piv AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pidx, v AS pv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
+        ), q AS (
+          SELECT v AS qv FROM e WHERE vec_id = 0
+        ), dist AS (
+          SELECT e.vec_id, e.v, p.pidx,
+                 {_D2_SQL.format(a='e.v', b='p.pv')} AS d2
+          FROM e, piv p
+        ), assigned AS (
+          SELECT vec_id, v, pidx AS list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, pidx) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        ), qprobe AS (
+          SELECT pidx FROM (
+            SELECT p.pidx, {_D2_SQL.format(a='p.pv', b='q.qv')} AS d2
+            FROM piv p, q
+            ORDER BY d2, pidx LIMIT {n_probe}
+          )
+        ), dims AS (
+          SELECT CAST(i AS INT) AS i FROM range(1, {dim + 1}) t(i)
+        ), stats AS (
+          SELECT d.i, min(e.v[d.i]) AS lo,
+                 (max(e.v[d.i]) - min(e.v[d.i]))
+                   / CAST(255 AS DOUBLE) AS s
+          FROM e, dims d GROUP BY d.i
+        ), vq AS (
+          SELECT a.vec_id, a.list_id,
+                 list((CASE WHEN st.s = CAST(0 AS DOUBLE) THEN st.lo
+                       ELSE (CAST(least(greatest(floor(
+                                (a.v[st.i] - st.lo) / st.s
+                                + CAST(0.5 AS DOUBLE)), 0), 255)
+                              - 128 AS DOUBLE)
+                             + CAST(128.0 AS DOUBLE)) * st.s + st.lo
+                       END) ORDER BY st.i) AS vhat
+          FROM assigned a, stats st
+          GROUP BY a.vec_id, a.list_id
+        ), coarse AS (
+          SELECT vq.vec_id
+          FROM vq JOIN qprobe ON vq.list_id = qprobe.pidx, q
+          ORDER BY {raw_cos.format(a='vq.vhat', b='q.qv')} DESC, vq.vec_id
+          LIMIT {rerank_k}
+        )
+        SELECT a.vec_id AS id, {cos} AS cos_sim
+        FROM assigned a JOIN coarse ON a.vec_id = coarse.vec_id, q
         ORDER BY cos_sim DESC, id
         LIMIT {k}
     """
@@ -13022,6 +13121,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_oracle(k=10, bits=8, dim=64, probe_hamming=2, n_tables=4),
         "knn_ivf": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
         "knn_index": _knn_ivf_oracle(k=10, n_lists=32, n_probe=8),
+        "knn_index_sq8": _knn_ivf_sq8_oracle(k=10, n_lists=32, n_probe=8,
+                                             rerank_k=40),
         "knn_index_filtered": _knn_ivf_oracle(
             k=10, n_lists=32, n_probe=8,
             cand_pred="a.vec_id % 3 = 0",

@@ -154,6 +154,27 @@ _EXT_WKT_FIRST = re.compile(
     rf"({_IDENT})\s*\)",
     re.IGNORECASE,
 )
+# fn(col, st_extentFromGeom(st_makePoint(x, y))) and the swapped twin —
+# an EXTENT literal (degenerate [x,x]×[y,y]), NOT a geometry: extent
+# containment is pure interval inclusion, so the min/max comparison IS
+# the semantics for ALL three predicates and the UDF is dropped
+# (round 12 — completes the r11 st_makePoint family, whose bare-point
+# GEOMETRY form must keep the UDF for contains/within because a
+# boundary point fails interior intersection; wrapped in
+# st_extentFromGeom the operand is an extent and that subtlety is gone,
+# reference STContainsRule.scala:61-71's isGeometry=false branch)
+_EFP = (r"st_extentfromgeom\s*\(\s*st_makepoint\s*\(\s*"
+        rf"({_NUM})\s*,\s*({_NUM})\s*\)\s*\)")
+_EXT_PT = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*({_IDENT})\s*,\s*"
+    rf"{_EFP}\s*\)",
+    re.IGNORECASE,
+)
+_EXT_PT_FIRST = re.compile(
+    rf"\b(st_intersects|st_contains|st_within)\s*\(\s*{_EFP}\s*,\s*"
+    rf"({_IDENT})\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _conj(col: str, xmin: str, ymin: str, xmax: str, ymax: str, mode: str) -> str:
@@ -337,8 +358,20 @@ def rewrite_spatial_predicates(sql: str) -> str:
         return _conj(col, repr(xmin), repr(ymin), repr(xmax), repr(ymax),
                      _mode(fn, False))
 
+    def ext_pt(m: re.Match) -> str:
+        fn, col, x, y = m.groups()
+        return _conj(col, x, y, x, y, _mode(fn, True))
+
+    def ext_pt_first(m: re.Match) -> str:
+        fn, x, y, col = m.groups()
+        return _conj(col, x, y, x, y, _mode(fn, False))
+
     sql = _COL_FIRST.sub(col_first, sql)
     sql = _LIT_FIRST.sub(lit_first, sql)
+    # extent-wrapped point literals BEFORE the bare-point shapes — the
+    # bare regex would otherwise match inside the st_extentFromGeom call
+    sql = _EXT_PT.sub(ext_pt, sql)
+    sql = _EXT_PT_FIRST.sub(ext_pt_first, sql)
     sql = _POINT.sub(point, sql)
     sql = _POINT_FIRST.sub(point_first, sql)
     sql = _EXT_WKT.sub(ext_wkt, sql)

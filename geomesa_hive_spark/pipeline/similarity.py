@@ -474,9 +474,60 @@ def write_ivf_partitioned(
     ).partitionBy("list_id").parquet(path)
 
 
+def _sq8_params(df: DataFrame, vec_col: str, dim: int) -> tuple[list, list]:
+    """Per-dimension linear-quantization parameters from ONE corpus agg:
+    (mins, scales) with scale_d = (max_d − min_d)/255 folded to a Python
+    double. 2·dim aggregate expressions in a single map-side-combined
+    pass — O(dim) driver rows, never O(rows)."""
+    aggs = []
+    for i in range(int(dim)):
+        e = F.element_at(F.col(vec_col), i + 1)
+        aggs += [F.min(e), F.max(e)]
+    row = df.agg(*aggs).collect()[0]
+    mins = [float(row[2 * i]) for i in range(int(dim))]
+    scales = [(float(row[2 * i + 1]) - mins[i]) / 255.0
+              for i in range(int(dim))]
+    return mins, scales
+
+
+def _sq8_quantize(vec_col, mins: list, scales: list) -> Column:
+    """array<double> → array<tinyint> codes: per-dim
+    ``clamp(floor((v−lo)/s + 0.5), 0, 255) − 128`` — floor(x+0.5), never
+    round() (Spark round on double allocates a BigDecimal per value), and
+    every op replays exactly in SQL. A degenerate dimension (s = 0)
+    stores −128 and dequantizes back to its constant min."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    m = _lit_nested(mins, "double")
+    s = _lit_nested(scales, "double")
+    d = F.zip_with(v, m, lambda x, lo: x - lo)
+    return F.zip_with(
+        d, s,
+        lambda x, sc: F.when(sc == F.lit(0.0), F.lit(-128))
+        .otherwise(
+            F.least(F.greatest(F.floor(x / sc + F.lit(0.5)), F.lit(0)),
+                    F.lit(255)) - F.lit(128)
+        )
+        .cast("tinyint"),
+    )
+
+
+def _sq8_dequantize(q_col, mins: list, scales: list) -> Column:
+    """array<tinyint> codes → array<double> reconstruction:
+    ``(c + 128)·s + lo`` — the asymmetric-distance convention (query
+    stays float, stored side reconstructs), same as PQ's ADC."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    m = _lit_nested(mins, "double")
+    s = _lit_nested(scales, "double")
+    t = F.zip_with(
+        q, s, lambda c, sc: (c.cast("double") + F.lit(128.0)) * sc
+    )
+    return F.zip_with(t, m, lambda x, lo: x + lo)
+
+
 def build_ivf_index(
     df: DataFrame, id_col: str, vec_col: str, path: str,
     n_lists: int = 16,
+    sq8: bool = False,
 ) -> dict:
     """Persisted ANN index (round 10 — the stored-index philosophy of
     build_minhash_index/build_bm25_index applied to vectors): pivot
@@ -489,7 +540,18 @@ def build_ivf_index(
     per query, which is the side-channel-free trade — this index makes
     the opposite one, O(probed partitions) per query at any corpus
     size. JSON float repr round-trips exactly, so stored centroids ≡
-    derived centroids bit-for-bit."""
+    derived centroids bit-for-bit.
+
+    ``sq8=True`` additionally stores a scalar-quantized (int8) copy of
+    every vector (``vec_q``, per-dimension linear quantization — the
+    faiss SQ8 idea in SQL-replayable form): the coarse candidate pass
+    of :func:`knn_query_index` then scores DEQUANTIZED vectors reading
+    ONLY the 1-byte-per-dim column (Catalyst column pruning keeps the
+    8-byte float column out of the scan — a ~4–8× I/O cut on the hot
+    path), keeps the top ``rerank_k``, and re-ranks those few rows
+    EXACTLY on the float column. Quantization params (mins, scales)
+    live in ``_index.json`` like the centroids — appends quantize with
+    the stored grid, so appended codes ≡ rebuild codes."""
     import json
     import os
 
@@ -497,14 +559,20 @@ def build_ivf_index(
     assigned = assign_list_ids(
         df.select(id_col, vec_col), vec_col, centroids
     ).withColumn("gen", F.lit(0))
-    assigned.repartition(int(n_lists), "list_id").write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
     meta = {
         "n_lists": int(n_lists), "id_col": id_col, "vec_col": vec_col,
         "dim": int(centroids.shape[1]), "gen": 0,
         "centroids": [[float(x) for x in c] for c in centroids],
     }
+    if sq8:
+        mins, scales = _sq8_params(df, vec_col, centroids.shape[1])
+        assigned = assigned.withColumn(
+            "vec_q", _sq8_quantize(vec_col, mins, scales)
+        )
+        meta["sq8"] = {"mins": mins, "scales": scales}
+    assigned.repartition(int(n_lists), "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
     with open(os.path.join(path, "_index.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -539,6 +607,14 @@ def append_to_ivf_index(new_df: DataFrame, path: str) -> dict:
     assigned = assign_list_ids(
         new_df.select(m["id_col"], m["vec_col"]), m["vec_col"], centroids
     ).withColumn("gen", F.lit(g))
+    if "sq8" in m:
+        # the stored grid is the commitment: appended codes ≡ the codes
+        # a full rebuild over the build corpus's params would give
+        assigned = assigned.withColumn(
+            "vec_q",
+            _sq8_quantize(m["vec_col"], m["sq8"]["mins"],
+                          m["sq8"]["scales"]),
+        )
     assigned.repartition(int(m["n_lists"]), "list_id").write.mode(
         "append"
     ).partitionBy("list_id").parquet(os.path.join(path, "lists"))
@@ -632,6 +708,7 @@ def knn_query_index(
     spark, path: str, query_vec, k: int = 10, n_probe: int = 4,
     prune_report: dict | None = None,
     pre_filter=None,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a :func:`build_ivf_index` layout:
     query-to-centroid distances are computed driver-side on the STORED
@@ -648,7 +725,16 @@ def knn_query_index(
     caller's knob, not hidden: probes are chosen by the query vector
     alone, so a highly selective filter thins the probed lists and
     recall degrades — raise ``n_probe`` with filter selectivity (at
-    probe = all lists the result is exact filtered search)."""
+    probe = all lists the result is exact filtered search).
+
+    On an ``sq8=True`` index (round 12) the candidate pass is TWO
+    stages: a coarse cosine over DEQUANTIZED int8 codes — the scan
+    reads only the 1-byte-per-dim ``vec_q`` column (column pruning,
+    recorded in ``prune_report['coarse_read_schema']``) — keeps the
+    top ``rerank_k`` ids (default ``4*k``), then the EXACT cosine
+    re-ranks those few rows via an id-pushed float-column read. The
+    collect in between is bounded by ``rerank_k``. On a float index
+    ``rerank_k`` is ignored."""
     import os
 
     m = ivf_index_meta(path)
@@ -675,7 +761,29 @@ def knn_query_index(
         cand = cand.filter(
             F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter
         )
-    return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
+    if "sq8" not in m:
+        return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
+    # SQ8 two-stage: coarse over dequantized codes (float column never
+    # scanned — Catalyst prunes it), exact re-rank on the survivors
+    rk = int(rerank_k) if rerank_k is not None else 4 * int(k)
+    sq = m["sq8"]
+    vhat = _sq8_dequantize("vec_q", sq["mins"], sq["scales"])
+    coarse = (
+        cand.select(
+            F.col(m["id_col"]).alias("id"),
+            cosine_sim(vhat, _query_lit(query_vec)).alias("coarse"),
+        )
+        .orderBy(F.col("coarse").desc(), F.col("id"))
+        .limit(rk)
+    )
+    if prune_report is not None:
+        plan = coarse._jdf.queryExecution().executedPlan().toString()
+        rs = [ln.strip() for ln in plan.splitlines() if "ReadSchema" in ln]
+        prune_report["coarse_read_schema"] = rs[0] if rs else ""
+        prune_report["rerank_k"] = rk
+    survivor_ids = [r.id for r in coarse.collect()]    # bounded by rk
+    exact = cand.filter(F.col(m["id_col"]).isin(survivor_ids))
+    return knn_brute(exact, m["id_col"], m["vec_col"], query_vec, k)
 
 
 def knn_join_index(

@@ -113,6 +113,26 @@ def main() -> int:
             "__list", similarity._list_id_expr(cents, "embedding")
         ).filter(F.col("__list").isin(order))
 
+    # round 12: SQ8 stored index — coarse over dequantized int8 codes
+    # (vec_q-only scan), exact re-rank on rerank_k survivors
+    _sq8_state: dict[str, str] = {}
+
+    def sq8_topk(qv, n_lists, n_probe, rerank_k):
+        if "path" not in _sq8_state:
+            import tempfile
+
+            p = tempfile.mkdtemp(prefix="ann_sq8_")
+            similarity.build_ivf_index(
+                emb, "vec_id", "embedding", p, n_lists=n_lists, sq8=True)
+            _sq8_state["path"] = p
+        return {
+            r.id
+            for r in similarity.knn_query_index(
+                spark, _sq8_state["path"], qv, k=k, n_probe=n_probe,
+                rerank_k=rerank_k,
+            ).collect()
+        }
+
     configs = {
         "lsh_h1_l1": dict(kind="lsh", bits=8, h=1, tables=1),
         "lsh_h2_l1": dict(kind="lsh", bits=8, h=2, tables=1),
@@ -141,6 +161,15 @@ def main() -> int:
         # vs the exact FILTERED brute force as the filter gets more
         # selective (sel = keep 1/sel of the corpus) and as n_probe
         # compensates; the recall-vs-selectivity knob SCALE.md states
+        # round 12: SQ8 (int8 per-dim linear quantization) vs the same
+        # probes unquantized — recall lost to quantization alone is the
+        # delta vs ivf_32_8; cand_frac = rerank/n (exact-scored share,
+        # the pq convention; the coarse pass additionally scores
+        # ~n_probe/n_lists of the corpus from 1-byte codes)
+        "ivf_sq8_32_8_r20": dict(kind="ivf_sq8", n_lists=32, n_probe=8,
+                                 rerank=20),
+        "ivf_sq8_32_8_r40": dict(kind="ivf_sq8", n_lists=32, n_probe=8,
+                                 rerank=40),
         "ivff_32_8_s3": dict(kind="ivf_filtered", n_lists=32, n_probe=8,
                              sel=3),
         "ivff_32_16_s3": dict(kind="ivf_filtered", n_lists=32, n_probe=16,
@@ -174,6 +203,12 @@ def main() -> int:
                 )
                 recalls[cname].append(len(exact & got) / k)
                 fracs[cname].append(cfg["refine"] / n_total)
+                continue
+            if cfg["kind"] == "ivf_sq8":
+                got = sq8_topk(qv, cfg["n_lists"], cfg["n_probe"],
+                               cfg["rerank"])
+                recalls[cname].append(len(exact & got) / k)
+                fracs[cname].append(cfg["rerank"] / n_total)
                 continue
             if cfg["kind"] == "ivf_filtered":
                 pred = F.col("vec_id") % cfg["sel"] == 0

@@ -425,3 +425,47 @@ def test_rewrite_inside_cte_and_subquery_plan_asserted(spark, tmp_path):
     assert re.search(r"PushedFilters: \[[^\n]*xmin", plan4)  # prefilter pushed
     raw4 = [r.id for r in spark.sql(ct).collect()]
     assert [r.id for r in out4.collect()] == raw4
+
+
+def test_extent_point_literal_drops_udf_all_predicates(spark, tmp_path):
+    """Round 12: st_extentFromGeom(st_makePoint(x, y)) is an EXTENT
+    literal (degenerate [x,x]×[y,y]), not a geometry — extent
+    containment is pure interval inclusion, so the min/max conjunction
+    IS the semantics for ALL THREE predicates and the UDF is dropped
+    (the bare-point GEOMETRY form keeps it for contains/within; the
+    reference's isGeometry=false branch, STContainsRule.scala:61-71).
+    Both operand orders; plan-asserted pushed with no Python hop."""
+    import re as _re
+
+    _grid(spark)
+    shapes = [
+        "st_intersects(bbox, st_extentFromGeom(st_makePoint(3.0, 4.0)))",
+        "st_intersects(st_extentFromGeom(st_makePoint(3.0, 4.0)), bbox)",
+        "st_contains(bbox, st_extentFromGeom(st_makePoint(3.0, 4.0)))",
+        "st_contains(st_extentFromGeom(st_makePoint(3.0, 4.0)), bbox)",
+        "st_within(bbox, st_extentFromGeom(st_makePoint(3.0, 4.0)))",
+        "st_within(st_extentFromGeom(st_makePoint(3.0, 4.0)), bbox)",
+    ]
+    for pred in shapes:
+        raw = f"SELECT id FROM sql_grid WHERE {pred} ORDER BY id"
+        out = rewrite_spatial_predicates(raw)
+        assert "st_extentfromgeom" not in out.lower(), pred
+        assert "st_makepoint" not in out.lower(), pred  # UDF dropped
+        assert ".xmin" in out, pred
+        got = [r.id for r in spatial_sql(spark, raw).collect()]
+        want = [r.id for r in spark.sql(raw).collect()]
+        assert got == want, (pred, got, want)
+
+    # plan assert on a parquet-backed table: pushed, no EvalPython
+    df = _grid(spark)
+    path = str(tmp_path / "extpt_pq")
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("extpt_pq")
+    out3 = spatial_sql(
+        spark,
+        "SELECT id FROM extpt_pq WHERE st_contains(bbox, "
+        "st_extentFromGeom(st_makePoint(3.0, 4.0))) ORDER BY id",
+    )
+    plan = out3._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert _re.search(r"PushedFilters: \[[^\n]*xmin", plan)
