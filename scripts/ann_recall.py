@@ -17,7 +17,9 @@ curve records why the default moved.
 
 Usage: PYTHONPATH=/root/repo python scripts/ann_recall.py
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), ANN_QUERIES,
-ANN_K.
+ANN_K, ANN_CONFIGS (comma-separated subset of config names — a partial
+run measures the SAME per-config protocol, for iterating on one row
+without paying the full ~15 min curve).
 """
 from __future__ import annotations
 
@@ -179,6 +181,14 @@ def main() -> int:
         "ivff_32_16_s10": dict(kind="ivf_filtered", n_lists=32, n_probe=16,
                                sel=10),
     }
+    subset = os.environ.get("ANN_CONFIGS")
+    if subset:
+        names = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = names - set(configs)
+        if unknown:
+            raise SystemExit(f"unknown ANN_CONFIGS: {sorted(unknown)} "
+                             f"(have {sorted(configs)})")
+        configs = {c: cfg for c, cfg in configs.items() if c in names}
     recalls: dict[str, list[float]] = {c: [] for c in configs}
     fracs: dict[str, list[float]] = {c: [] for c in configs}
 
