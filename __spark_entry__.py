@@ -5377,6 +5377,38 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQK_LO, _SQK_HI, _SQK_M = 0.0, 600.0, 120   # wb = 5.0, exact binary
+_SQK_QS = [500, 950]
+
+
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed quantile rollup (round 12,
+    streaming.events.quantile_sketch_rollup + quantile_from_sketch —
+    the mergeable fixed-grid sketch as a streaming aggregate): a
+    quantile needs a cumulative pass that structured streaming can't
+    run after an aggregation, so the stream maintains the SKETCH
+    (hour × type × bucket integer counts — bounded state independent
+    of event volume; micro-batch merge is the sum aggregation itself)
+    and the quantile extraction runs downstream over the tiny sketch
+    table. The streaming function runs VERBATIM on the batch frame
+    (watermark eliminated on non-streaming input, the stream_rollup
+    convention); availableNow stream-vs-batch parity is pytest-gated.
+    Oracle replays bucket grid + cumulative + permille ranks +
+    interpolation per (hour, event_type)."""
+    from geomesa_hive_spark.streaming.events import (
+        quantile_from_sketch, quantile_sketch_rollup,
+    )
+
+    sketch = quantile_sketch_rollup(
+        _events(spark, sf_dir), _SQK_LO, _SQK_HI, _SQK_M
+    )
+    out = quantile_from_sketch(sketch, _SQK_QS, _SQK_LO, _SQK_HI, _SQK_M)
+    return out.select(
+        "hour", "event_type", "q_permille",
+        F.round("est", 4).alias("est"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the streaming exact dedup
     (streaming.events.streaming_dedup): the batch twin shares the
@@ -8227,6 +8259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "profile_drift": q_profile_drift,
         "stream_rollup": q_stream_rollup,
+        "stream_quantile": q_stream_quantile,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
         "bm25_phrase": q_bm25_phrase,
@@ -12807,6 +12840,45 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "stream_quantile": f"""
+            WITH b AS (
+              SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                     CAST(least(greatest(floor(
+                       (CAST(value AS DOUBLE)
+                        - CAST({_SQK_LO!r} AS DOUBLE))
+                       / CAST({(_SQK_HI - _SQK_LO) / _SQK_M!r} AS DOUBLE)),
+                       0), {_SQK_M - 1}) AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events
+              GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT hour, event_type, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY hour, event_type
+                                    ORDER BY bucket) AS cum
+              FROM b
+            ), t AS (
+              SELECT hour, event_type, sum(cnt) AS n_total
+              FROM b GROUP BY 1, 2
+            ), r AS (
+              SELECT t.hour, t.event_type, qv.q_permille,
+                     greatest(CAST(floor(
+                       CAST(qv.q_permille * t.n_total + 999 AS DOUBLE)
+                       / 1000.0) AS BIGINT), 1) AS rnk
+              FROM t CROSS JOIN (
+                VALUES {", ".join(f"({q})" for q in _SQK_QS)}
+              ) AS qv(q_permille)
+            )
+            SELECT r.hour, r.event_type,
+                   CAST(r.q_permille AS INT) AS q_permille,
+                   round(CAST({_SQK_LO!r} AS DOUBLE)
+                         + CAST({(_SQK_HI - _SQK_LO) / _SQK_M!r} AS DOUBLE)
+                         * (CAST(c.bucket AS DOUBLE)
+                            + CAST(r.rnk - (c.cum - c.cnt) AS DOUBLE)
+                              / CAST(c.cnt AS DOUBLE)), 4) AS est
+            FROM r JOIN c
+              ON r.hour = c.hour AND r.event_type = c.event_type
+             AND c.cum >= r.rnk AND c.cum - c.cnt < r.rnk
         """,
         # the built-in session_window run verbatim on the batch frame:
         # island detection (lag > gap) replays start/end/count/sum

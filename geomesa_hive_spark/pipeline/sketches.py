@@ -360,7 +360,19 @@ def quantile_estimate(
             F.lit(1).cast("long"),
         ),
     )
-    hit = cum.join(ranked, group_cols).filter(
+    # both join sides derive from the SAME registers frame — aliasing
+    # the ranked side's group columns mints fresh attribute ids, or a
+    # memory-sink/view source hits "Conflicting attributes" at resolve
+    ranked = ranked.select(
+        *[F.col(c).alias(f"__rk_{c}") for c in group_cols],
+        "q_permille", "rank",
+    )
+    cond = None
+    for c in group_cols:
+        eq = cum[c] == ranked[f"__rk_{c}"]
+        cond = eq if cond is None else (cond & eq)
+    hit = (cum.join(ranked, cond) if cond is not None
+           else cum.join(ranked)).filter(
         (F.col("cum") >= F.col("rank"))
         & (F.col("cum") - F.col("cnt") < F.col("rank"))
     )

@@ -703,3 +703,63 @@ def enrich_with_dim(
         raise ValueError(f"stream-static join must be left/inner (got {how!r})")
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on=on, how=how)
+
+
+def quantile_sketch_rollup(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    m: int = 120,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling 1-hour quantile SKETCH per event_type — the streaming
+    member of the stored-sketch family (pipeline/sketches.py
+    quantile_sketch_build shares the bucket arithmetic; this wraps it
+    in the watermarked window grouping).
+
+    The streaming-native design point: a quantile NEEDS a cumulative
+    pass (a window function), which structured streaming cannot run
+    after a streaming aggregation — so the stream maintains the
+    MERGEABLE artifact instead: (hour, event_type, bucket, cnt) with
+    bounded state (windows × types × m rows, independent of event
+    volume), and :func:`quantile_from_sketch` extracts any quantile
+    set downstream as a cheap batch select over the tiny sketch table.
+    Integer counts merge exactly across micro-batches by construction
+    (sum aggregation), so stream output ≡ the batch twin run verbatim
+    on the same rows — the gate's hash and the pytest's availableNow
+    parity both pin it."""
+    from geomesa_hive_spark.pipeline.sketches import _q_bucket
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            "event_type",
+            _q_bucket(F.col("value"), lo, hi, m).alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def quantile_from_sketch(
+    sketch: DataFrame,
+    qs_permille: list,
+    lo: float,
+    hi: float,
+    m: int = 120,
+) -> DataFrame:
+    """(hour, event_type, q_permille, est) from a stored/streamed
+    :func:`quantile_sketch_rollup` table — delegates to
+    pipeline/sketches.quantile_estimate over the (hour, event_type)
+    grouping. Runs over the m-bounded sketch, never the events."""
+    from geomesa_hive_spark.pipeline.sketches import quantile_estimate
+
+    return quantile_estimate(
+        sketch, ["hour", "event_type"], qs_permille, lo, hi, m
+    )

@@ -3458,3 +3458,40 @@ def test_delete_where_update_where_dml(spark, tmp_path):
     # auto mode re-resolves at the current seq and succeeds
     e3 = delete_where(spark, path, "k", "k = 3")
     assert e3 is not None and e3["n_deletes"] == 1
+
+
+def test_streaming_quantile_sketch_multibatch_parity(spark, tmp_path):
+    """TRUE micro-batch e2e for the streaming quantile sketch (round
+    12): three availableNow micro-batches; the finalized complete-mode
+    SKETCH table (hour x type x bucket counts — the mergeable artifact
+    the stream maintains, since a post-agg cumulative window can't run
+    in streaming) matches the batch twin EXACTLY, and the downstream
+    quantile extraction over the streamed sketch equals the batch
+    path's estimates bit-for-bit."""
+    from geomesa_hive_spark.streaming.events import (
+        quantile_from_sketch, quantile_sketch_rollup,
+    )
+
+    LO, HI, M = 0.0, 600.0, 120
+    batch, stream = _multi_file_events(spark, tmp_path, "mb_qsk")
+    out = quantile_sketch_rollup(stream, LO, HI, M)
+    assert out.isStreaming
+    q = streaming.run_to_memory(out, "mb_qsk_t", output_mode="complete")
+    assert q.lastProgress["batchId"] >= 2   # state crossed >=3 batches
+    got = {(r.hour, r.event_type, r.bucket): r.cnt
+           for r in spark.table("mb_qsk_t").collect()}
+    exp = {(r.hour, r.event_type, r.bucket): r.cnt
+           for r in quantile_sketch_rollup(batch, LO, HI, M).collect()}
+    assert got == exp and len(exp) > 0
+    est_stream = sorted(
+        (r.hour, r.event_type, r.q_permille, r.est)
+        for r in quantile_from_sketch(
+            spark.table("mb_qsk_t"), [500, 950], LO, HI, M).collect()
+    )
+    est_batch = sorted(
+        (r.hour, r.event_type, r.q_permille, r.est)
+        for r in quantile_from_sketch(
+            quantile_sketch_rollup(batch, LO, HI, M),
+            [500, 950], LO, HI, M).collect()
+    )
+    assert est_stream == est_batch
