@@ -5072,6 +5072,33 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (round 12, operators/
+    timeseries.py seasonal_decompose — the moving-average
+    decomposition behind STL's init): hourly v_cents per event_type
+    (BIGINT — the series is exact), centered 25-row moving-average
+    trend (full windows only), hour-of-day seasonal means with the
+    detrended value carried as the EXACT integer v_cents·25 − Σwindow
+    (a double detrended sum would be partition-order-dependent),
+    residual = value − trend − seasonal. One event scan; everything
+    after is series-sized. Oracle replays the hourly grain, the ROWS
+    window, and both divisions with identical operation order."""
+    from geomesa_hive_spark.operators.timeseries import seasonal_decompose
+
+    out = seasonal_decompose(
+        _events(spark, sf_dir), "event_type", "value"
+    )
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.date_format("hour_ts", "yyyy-MM-dd HH").alias("hour"),
+        F.col("hod").cast("int").alias("hod"),
+        "v_cents",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("residual", 4).alias("residual"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composite — the canonical pretraining
     data-prep chain run as ONE DataFrame plan: quality scoring +
@@ -8255,6 +8282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "events_holt": q_events_holt,
+        "events_seasonal": q_events_seasonal,
         "events_mad_anomaly": q_events_mad_anomaly,
         "events_changepoint": q_events_changepoint,
         "profile_drift": q_profile_drift,
@@ -12781,6 +12809,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(ewma AS FLOAT) AS DOUBLE), 4) + 0.0 AS ewma_q,
                    CAST(n_anom AS BIGINT) AS n_anomalies
             FROM r WHERE rn = n_tot
+        """,
+        "events_seasonal": """
+            WITH hourly AS (
+              SELECT event_type AS key,
+                     date_trunc('hour', ts) AS hour_ts,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS v_cents
+              FROM events
+              GROUP BY 1, 2
+            ), win AS (
+              SELECT key, hour_ts, v_cents,
+                     CAST(extract(hour FROM hour_ts) AS INT) AS hod,
+                     CASE WHEN count(v_cents) OVER w = 25
+                          THEN sum(v_cents) OVER w END AS sum_w
+              FROM hourly
+              WINDOW w AS (PARTITION BY key ORDER BY hour_ts
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+            ), du AS (
+              SELECT *, CAST(v_cents * 25 - sum_w AS BIGINT) AS d
+              FROM win
+            ), seas AS (
+              SELECT key, hod,
+                     CAST(sum(d) AS BIGINT) AS s_sum,
+                     CAST(count(d) AS BIGINT) AS s_cnt
+              FROM du GROUP BY 1, 2
+            )
+            SELECT du.key AS event_type,
+                   strftime(du.hour_ts, '%Y-%m-%d %H') AS hour,
+                   du.hod, du.v_cents,
+                   round(CAST(du.sum_w AS DOUBLE) / 25.0, 4) AS trend,
+                   round(CASE WHEN seas.s_cnt > 0
+                         THEN CAST(seas.s_sum AS DOUBLE)
+                              / (25.0 * CAST(seas.s_cnt AS DOUBLE)) END,
+                         4) AS seasonal,
+                   round(CAST(du.v_cents AS DOUBLE)
+                         - CAST(du.sum_w AS DOUBLE) / 25.0
+                         - CASE WHEN seas.s_cnt > 0
+                           THEN CAST(seas.s_sum AS DOUBLE)
+                                / (25.0 * CAST(seas.s_cnt AS DOUBLE)) END,
+                         4) AS residual
+            FROM du JOIN seas ON du.key = seas.key AND du.hod = seas.hod
         """,
         "events_holt": """
             WITH RECURSIVE o AS (

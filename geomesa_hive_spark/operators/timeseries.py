@@ -158,3 +158,81 @@ def cohort_retention(
         .groupBy("cohort", "offset")
         .agg(F.count("*").cast("long").alias("n_keys"))
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a keyed hourly
+    series: ``value = trend + seasonal + residual`` with a centered
+    moving-average trend and hour-of-day seasonal means — the
+    moving-average decomposition behind STL's initialization, in an
+    integer-exact, SQL-replayable form.
+
+    Spec (every step replays in the oracle):
+    - hourly series: ``v_cents = Σ floor(value·100 + 0.5)`` per
+      (key, hour) — BIGINT, so the series itself is exact;
+    - trend at a point = mean of the (2·half_window+1) NEAREST PRESENT
+      rows (ROWS window, full windows only — edges get NULL trend);
+      computed as one BIGINT window sum / a folded double literal;
+    - seasonal = per (key, hour-of-day) mean of the detrended values,
+      with the detrended value carried as the EXACT integer
+      ``v_cents·W − window_sum`` (a double detrended sum would be
+      partition-order-dependent and break hash parity) — one BIGINT
+      aggregate, one double division;
+    - residual = v_cents − trend − seasonal (NULL at the edges).
+
+    Scale shape: one groupBy to the hourly grain (map-side combined),
+    one window over the (small) per-key series, one ≤ keys·24-row
+    seasonal aggregate broadcast back. The raw events are scanned
+    once; everything after is series-sized, not event-sized."""
+    from pyspark.sql import Window
+
+    W = 2 * int(half_window) + 1
+    hourly = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+        )
+        .agg(
+            F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)))
+            .cast("long").alias("v_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("key").orderBy("hour_ts")
+        .rowsBetween(-int(half_window), int(half_window))
+    )
+    sum_w = F.sum("v_cents").over(w)
+    cnt_w = F.count("v_cents").over(w)
+    base = hourly.select(
+        "key", "hour_ts", "v_cents",
+        F.hour("hour_ts").alias("hod"),
+        F.when(cnt_w == W, sum_w).alias("sum_w"),
+    )
+    # exact integer detrended: v_cents·W − sum_w (NULL at edges)
+    base = base.withColumn(
+        "du", (F.col("v_cents") * F.lit(W) - F.col("sum_w")).cast("long")
+    )
+    seas = base.groupBy("key", "hod").agg(
+        F.sum("du").cast("long").alias("s_sum"),
+        F.count("du").cast("long").alias("s_cnt"),
+    )
+    out = base.join(F.broadcast(seas), ["key", "hod"])
+    trend = F.col("sum_w").cast("double") / F.lit(float(W))
+    seasonal = F.when(
+        F.col("s_cnt") > 0,
+        F.col("s_sum").cast("double")
+        / (F.lit(float(W)) * F.col("s_cnt").cast("double")),
+    )
+    return out.select(
+        "key", "hour_ts", "hod", "v_cents",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("v_cents").cast("double") - trend - seasonal)
+        .alias("residual"),
+    )
