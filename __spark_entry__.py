@@ -5099,6 +5099,22 @@ def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (round
+    12, pipeline/lm.py pmi_collocations — the corpus-statistics pass
+    behind tokenizer/vocab merges and phrase mining): top-50 bigrams
+    with count ≥ 5 by integer micro-nat PMI. BIGINT counts; the only
+    collects are the T/B scalar totals; fixed double op order
+    (c2/B)/((c1a/T)·(c1b/T)) and round(ln·1e6) quantization (the
+    bigram_nll micro-nat convention, absorbing cross-libm ln). Only
+    OBSERVED bigrams are scored — no all-pairs stage. Oracle replays
+    tokenization, both count tables, and the ratio verbatim."""
+    from geomesa_hive_spark.pipeline.lm import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=50)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composite — the canonical pretraining
     data-prep chain run as ONE DataFrame plan: quality scoring +
@@ -8296,6 +8312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_delete": q_bm25_index_delete,
         "text_chunks": q_text_chunks,
         "curation_pipeline": q_curation_pipeline,
+        "text_pmi": q_text_pmi,
         "hybrid_retrieval": q_hybrid_retrieval,
         "stream_dedup": q_stream_dedup,
         "range_join_bands": q_range_join_bands,
@@ -14309,6 +14326,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INT) AS files_merged,
                    CAST(16 AS INT) AS n_files
             FROM e
+        """,
+        "text_pmi": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+              FROM documents
+            ), uni AS (
+              SELECT t AS w, CAST(count(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+            ), bge AS (
+              SELECT unnest(l1) AS w1, unnest(l2) AS w2 FROM (
+                SELECT CASE WHEN len(w) >= 2 THEN w[1:len(w)-1]
+                            ELSE [] END AS l1,
+                       CASE WHEN len(w) >= 2 THEN w[2:len(w)]
+                            ELSE [] END AS l2
+                FROM toks)
+            ), bi AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+              FROM bge GROUP BY 1, 2
+            ), tt AS (SELECT sum(c1) AS T FROM uni),
+            bb AS (SELECT sum(c2) AS B FROM bi)
+            SELECT bi.w1, bi.w2, bi.c2,
+                   CAST(round(ln(
+                     (CAST(bi.c2 AS DOUBLE) / CAST(bb.B AS DOUBLE))
+                     / ((CAST(ua.c1 AS DOUBLE) / CAST(tt.T AS DOUBLE))
+                        * (CAST(ub.c1 AS DOUBLE) / CAST(tt.T AS DOUBLE)))
+                   ) * 1000000.0) AS BIGINT) AS pmi_micro
+            FROM bi
+            JOIN uni ua ON ua.w = bi.w1
+            JOIN uni ub ON ub.w = bi.w2, tt, bb
+            WHERE bi.c2 >= 5
+            ORDER BY pmi_micro DESC, bi.w1, bi.w2
+            LIMIT 50
         """,
         "sketch_countmin": """
             WITH toks AS (

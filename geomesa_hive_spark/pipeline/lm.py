@@ -35,6 +35,7 @@ __all__ = [
     "train_bigram_lm",
     "bigram_nll",
     "perplexity_buckets",
+    "pmi_collocations",
 ]
 
 _SCALE = 1_000_000  # micro-nats
@@ -159,3 +160,66 @@ def perplexity_buckets(
         b = F.when(cond, F.lit(lab)) if b is None else b.when(cond, F.lit(lab))
     b = b.otherwise(F.lit(labels[-1]))
     return out.withColumn("bucket", b).drop(*[f"_c{i}" for i in range(len(cuts))])
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    corpus-statistics pass behind tokenizer/vocab merges and phrase
+    mining: ``PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )`` with
+    bigram probability over the bigram total B and unigram
+    probabilities over the token total T.
+
+    Exactness discipline: counts are BIGINT; T and B are the only two
+    collected scalars (1-row aggregates, bounded); the probability
+    ratio is built with a FIXED double operation order
+    ``(c2/B) / ((c1a/T)·(c1b/T))`` replayed identically in the oracle,
+    and the PMI is quantized to integer micro-nats
+    (``round(ln(ratio)·1e6)`` — the lm.py micro-nat convention, which
+    absorbs the 1-ulp cross-libm ln wiggle like profile.psi_report).
+    ``min_count`` cuts hapax pairs (PMI's classic pathology: a 1-count
+    pair of two 1-count words maximizes the ratio); ordering is
+    (pmi_micro DESC, w1, w2) — fully deterministic.
+
+    Scale shape: two map-side-combined groupBys (tokens, bigrams), two
+    vocab-sized joins to attach unigram counts, one top-k. No
+    all-pairs anything — only OBSERVED bigrams are scored."""
+    toks = docs.select(F.explode(tokens_lower(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c1"))
+    bi = (
+        _bigram_stream(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    T = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
+    B = int(bi.agg(F.sum("c2")).collect()[0][0] or 0)
+    if T == 0 or B == 0:
+        return bi.select(
+            "w1", "w2", "c2", F.lit(None).cast("long").alias("pmi_micro")
+        ).limit(0)
+    cand = (
+        bi.filter(F.col("c2") >= int(min_count))
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("c1").alias("c1a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c1").alias("c1b")), "w2")
+    )
+    ratio = (
+        (F.col("c2").cast("double") / F.lit(float(B)))
+        / ((F.col("c1a").cast("double") / F.lit(float(T)))
+           * (F.col("c1b").cast("double") / F.lit(float(T))))
+    )
+    return (
+        cand.withColumn(
+            "pmi_micro",
+            F.round(F.log(ratio) * F.lit(1000000.0)).cast("long"),
+        )
+        .select("w1", "w2", "c2", "pmi_micro")
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(int(top_k))
+    )
