@@ -5099,6 +5099,29 @@ def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-series autocorrelation at lags 1 and 24 per event_type
+    (round 12, operators/timeseries.py autocorrelation — the
+    seasonality diagnostic next to events_seasonal): BIGINT cents
+    series; the five sufficient statistics per (key, lag) are exact
+    integer sums (Σx·lead, head/tail sums, n, Σx, Σx²) from ONE lead()
+    window pass carrying both lags; mean-centering expands
+    algebraically so the only doubles are one fixed-order expression
+    per lag. Oracle replays the lead() pairing and the expansion
+    verbatim."""
+    from geomesa_hive_spark.operators.timeseries import autocorrelation
+
+    out = autocorrelation(
+        _events(spark, sf_dir), "event_type", "value", lags=(1, 24)
+    )
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round("acf", 6).alias("acf"),
+    )
+
+
 def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information (round
     12, pipeline/lm.py pmi_collocations — the corpus-statistics pass
@@ -8299,6 +8322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_anomaly": q_stream_ewma_anomaly,
         "events_holt": q_events_holt,
         "events_seasonal": q_events_seasonal,
+        "events_acf": q_events_acf,
         "events_mad_anomaly": q_events_mad_anomaly,
         "events_changepoint": q_events_changepoint,
         "profile_drift": q_profile_drift,
@@ -12826,6 +12850,63 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(ewma AS FLOAT) AS DOUBLE), 4) + 0.0 AS ewma_q,
                    CAST(n_anom AS BIGINT) AS n_anomalies
             FROM r WHERE rn = n_tot
+        """,
+        "events_acf": """
+            WITH hourly AS (
+              SELECT event_type AS key,
+                     date_trunc('hour', ts) AS hour_ts,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM events
+              GROUP BY 1, 2
+            ), led AS (
+              SELECT key, v,
+                     lead(v, 1) OVER w AS lead_1,
+                     lead(v, 24) OVER w AS lead_24
+              FROM hourly
+              WINDOW w AS (PARTITION BY key ORDER BY hour_ts)
+            ), stats AS (
+              SELECT key,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v * v) AS BIGINT) AS sxx,
+                     CAST(sum(CASE WHEN lead_1 IS NOT NULL
+                              THEN v * lead_1 END) AS BIGINT) AS sxy_1,
+                     CAST(sum(CASE WHEN lead_1 IS NOT NULL
+                              THEN v END) AS BIGINT) AS sh_1,
+                     CAST(sum(lead_1) AS BIGINT) AS st_1,
+                     CAST(sum(CASE WHEN lead_24 IS NOT NULL
+                              THEN v * lead_24 END) AS BIGINT) AS sxy_24,
+                     CAST(sum(CASE WHEN lead_24 IS NOT NULL
+                              THEN v END) AS BIGINT) AS sh_24,
+                     CAST(sum(lead_24) AS BIGINT) AS st_24
+              FROM led GROUP BY key
+            ), expanded AS (
+              SELECT key, 1 AS lag, n, sxy_1 AS sxy, sh_1 AS sh,
+                     st_1 AS st, s, sxx
+              FROM stats
+              UNION ALL
+              SELECT key, 24, n, sxy_24, sh_24, st_24, s, sxx FROM stats
+            )
+            SELECT key AS event_type, CAST(lag AS INT) AS lag, n,
+                   round(CASE WHEN n > lag
+                         AND CAST(sxx AS DOUBLE)
+                             - CAST(n AS DOUBLE)
+                               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             <> 0.0
+                         THEN (CAST(sxy AS DOUBLE)
+                               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * CAST(sh + st AS DOUBLE)
+                               + CAST(n - lag AS DOUBLE)
+                                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                              / (CAST(sxx AS DOUBLE)
+                                 - CAST(n AS DOUBLE)
+                                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                         END, 6) AS acf
+            FROM expanded
         """,
         "events_seasonal": """
             WITH hourly AS (

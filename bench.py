@@ -57,7 +57,9 @@ def arbitrate_contended(timings: dict[str, float],
     """Per-query arbitration against the previous committed record
     (round-11 verdict item 2): when the canary flags the window around a
     query as host-contended (nearest canary reading > threshold x the
-    run's floor), that query's number is suspect — carry the per-query
+    run's MEDIAN — median, not min: the floor is itself a sample and a
+    lucky-fast reading would label the whole run contended), that
+    query's number is suspect — carry the per-query
     MIN vs the previous BENCH_FULL run instead, and stamp the query
     contended. Returns (arbitrated timings, contended query names).
     Queries in quiet windows, failed queries (<0), and queries with no
@@ -280,15 +282,24 @@ def main() -> int:
 
     canary_series.append({"after": n_done, "sec": _canary()})
     canary_floor = min(c["sec"] for c in canary_series)
+    # CONTENTION flagging compares each window to the run's MEDIAN
+    # canary reading, not the min: the floor is itself a sample, and a
+    # single lucky-fast reading (observed: 0.34s in a 0.65s-median
+    # series) would otherwise label the entire run contended and
+    # arbitrate every query. A contended WINDOW is one slower than the
+    # run's typical; the floor stays in the artifact for visibility.
+    _sorted = sorted(c["sec"] for c in canary_series)
+    canary_median = _sorted[len(_sorted) // 2]
     canary_ratio = {
-        q: round(canary_nearest[q] / canary_floor, 2)
+        q: round(canary_nearest[q] / canary_median, 2)
         for q in canary_nearest
-    } if canary_floor > 0 else {}
+    } if canary_median > 0 else {}
     canary = {
         "series": canary_series,
         "floor_sec": canary_floor,
+        "median_sec": canary_median,
         "max_ratio": (round(max(c["sec"] for c in canary_series)
-                            / canary_floor, 2) if canary_floor > 0
+                            / canary_median, 2) if canary_median > 0
                       else None),
         "per_query_ratio": canary_ratio,
     }
@@ -354,7 +365,7 @@ def main() -> int:
             "total across both runs so one noisy pass cannot erase a "
             "quiet-window record. 'canary' is a fixed JVM-native "
             "CPU+shuffle calibration query interleaved every 15 queries: "
-            "per_query_ratio >> 1 labels the window around that query as "
+            "per_query_ratio (nearest reading / run MEDIAN) >> 1 labels the window around that query as "
             "host-contended (the query's own number is then suspect). "
             "Queries whose nearest canary reading exceeds 1.5x the floor "
             "are listed in arbitration.contended and carry the per-query "

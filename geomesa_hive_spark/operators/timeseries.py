@@ -236,3 +236,79 @@ def seasonal_decompose(
         (F.col("v_cents").cast("double") - trend - seasonal)
         .alias("residual"),
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    lags: tuple = (1, 24),
+) -> DataFrame:
+    """Sample autocorrelation of a keyed hourly series at the given
+    row lags — the seasonality/persistence diagnostic next to
+    :func:`seasonal_decompose` (lag 24 ≈ daily cycle on dense hourly
+    data; lags are ROW lags over the observed series, which coincide
+    with time lags when the series has no gaps).
+
+    ``r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²`` computed via the exact
+    integer algebra: the hourly series is BIGINT cents, and the five
+    per-(key, lag) sufficient statistics (Σx_t·x_{t+k}, the head/tail
+    sums over the paired range, n, Σx, Σx²) are all BIGINT sums —
+    order-independent — with the mean-centering expansion
+    ``num = Σxy − x̄·(Σhead+Σtail) + (n−k)·x̄²`` and
+    ``den = Σx² − n·x̄²`` evaluated in doubles with ONE fixed operation
+    order the oracle replays. One event scan to the hourly grain, one
+    lead() window pass per key carrying every lag at once, one
+    key-sized aggregate."""
+    from pyspark.sql import Window
+
+    hourly = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+        )
+        .agg(
+            F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)))
+            .cast("long").alias("v")
+        )
+    )
+    w = Window.partitionBy("key").orderBy("hour_ts")
+    cols = [F.lead("v", int(k)).over(w).alias(f"lead_{k}") for k in lags]
+    base = hourly.select("key", "v", *cols)
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+    ]
+    for k in lags:
+        lk = F.col(f"lead_{k}")
+        aggs += [
+            F.sum(F.when(lk.isNotNull(), F.col("v") * lk))
+            .cast("long").alias(f"sxy_{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("v")))
+            .cast("long").alias(f"sh_{k}"),
+            F.sum(lk).cast("long").alias(f"st_{k}"),
+        ]
+    stats = base.groupBy("key").agg(*aggs)
+    xb = F.col("s").cast("double") / F.col("n").cast("double")
+    out = None
+    for k in lags:
+        k = int(k)
+        npairs = (F.col("n") - F.lit(k)).cast("double")
+        num = (
+            F.col(f"sxy_{k}").cast("double")
+            - xb * (F.col(f"sh_{k}") + F.col(f"st_{k}")).cast("double")
+            + npairs * xb * xb
+        )
+        den = (
+            F.col("sxx").cast("double")
+            - F.col("n").cast("double") * xb * xb
+        )
+        row = stats.select(
+            "key", F.lit(k).alias("lag"), "n",
+            F.when((F.col("n") > k) & (den != 0.0), num / den)
+            .alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
