@@ -3041,3 +3041,68 @@ def test_quantile_sketch_merge_accuracy_and_twin(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hi > lo"):
         quantile_sketch_build(df, [], "v", 5.0, 5.0, M)
+
+
+def test_ivf_index_sq8_lifecycle_and_filter(spark, tmp_path):
+    """SQ8 index (round 12) composed with the full lifecycle: build
+    half with sq8=True, APPEND the other half (codes quantize with the
+    STORED grid), DELETE some ids, MAINTAIN, then query with
+    pre_filter + rerank. Asserts: the coarse scan never reads the
+    float column (ReadSchema), appended/maintained rows keep vec_q,
+    tombstoned ids never surface, the pre_filter is respected, and the
+    exact duplicate of the query ranks first with cos 1.0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import similarity as S
+
+    rng = np.random.RandomState(23)
+    vecs = rng.uniform(-1, 1, (400, 16))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(x) for x in vecs[7]]
+    path = str(tmp_path / "sq8idx")
+    meta = S.build_ivf_index(
+        df.filter(F.col("vec_id") < 200), "vec_id", "embedding", path,
+        n_lists=8, sq8=True,
+    )
+    assert "sq8" in meta and len(meta["sq8"]["scales"]) == 16
+    S.append_to_ivf_index(df.filter(F.col("vec_id") >= 200), path)
+    lists = spark.read.parquet(path + "/lists")
+    assert "vec_q" in lists.columns
+    assert lists.filter(F.col("vec_q").isNull()).count() == 0
+    # delete the query's duplicate-id itself plus a range
+    S.delete_from_ivf_index(
+        spark.createDataFrame([(7,), (300,)], "vec_id long"), path)
+    rep = {}
+    out = S.knn_query_index(
+        spark, path, qv, k=5, n_probe=8, prune_report=rep,
+        pre_filter=(F.col("vec_id") % 2 == 1), rerank_k=20,
+    )
+    rows = out.collect()
+    assert "vec_q" in rep["coarse_read_schema"]
+    assert "embedding" not in rep["coarse_read_schema"]
+    ids = [r.id for r in rows]
+    assert 7 not in ids and 300 not in ids          # tombstoned
+    assert all(i % 2 == 1 for i in ids)             # filter respected
+    # maintain applies tombstones physically; vec_q survives the rewrite
+    mrep = S.maintain_ivf_index(spark, path)
+    assert mrep["n_tombstones_applied"] >= 1
+    lists2 = spark.read.parquet(path + "/lists")
+    assert "vec_q" in lists2.columns
+    assert lists2.filter(F.col("vec_id").isin(7, 300)).count() == 0
+    rows2 = S.knn_query_index(
+        spark, path, qv, k=5, n_probe=8,
+        pre_filter=(F.col("vec_id") % 2 == 1), rerank_k=20,
+    ).collect()
+    assert [r.id for r in rows2] == ids             # same answer post-maintain
+    # un-deleted, unfiltered: the exact duplicate (id 7 was deleted —
+    # re-add it via upsert) ranks first at cos 1.0
+    S.upsert_into_ivf_index(
+        spark.createDataFrame([(7, qv)], "vec_id long, embedding array<double>"),
+        path)
+    top = S.knn_query_index(spark, path, qv, k=1, n_probe=8,
+                            rerank_k=8).collect()
+    assert top[0].id == 7 and top[0].cos_sim == 1.0
