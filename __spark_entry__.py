@@ -4308,6 +4308,68 @@ def q_mor_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch IVM from MOR CDC (round 12, sources/
+    incremental.py incremental_quantile_sketch — the sketch-table
+    philosophy meeting IVM): the per-status fixed-grid bucket counts
+    are maintained from CHANGED ROWS ONLY with NO rescan path at all —
+    unlike min/max (rescan-on-eviction), bucket counts are fully
+    invertible (pre-image subtracts from its bucket, post-image adds to
+    its possibly-different bucket; repricing across a grid line is a
+    subtract/add pair). The maintained sketch is asserted in-query to
+    EQUAL a full rebuild over the resolved snapshot (integer counts —
+    exact), then quantiles are extracted from the view alone. The
+    oracle recomputes the resolved snapshot and replays the grid
+    arithmetic."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline import sketches as sk
+    from geomesa_hive_spark.sources.incremental import (
+        incremental_quantile_sketch, quantile_sketch_view,
+    )
+    from geomesa_hive_spark.sources.manifest import read_snapshot, write_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_ivmq_")
+    o.write.mode("overwrite").parquet(path)
+    view0 = quantile_sketch_view(
+        o, "o_orderstatus", "o_totalprice", _QSK_LO, _QSK_HI, _QSK_M
+    ).localCheckpoint(eager=True)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    view2 = incremental_quantile_sketch(
+        spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
+        view0, 0, _QSK_LO, _QSK_HI, _QSK_M, to_seq=2,
+    ).localCheckpoint(eager=True)
+    rebuild = quantile_sketch_view(
+        read_snapshot(spark, path, "o_orderkey"),
+        "o_orderstatus", "o_totalprice", _QSK_LO, _QSK_HI, _QSK_M,
+    )
+    # IVM exactness: maintained counts ≡ full rebuild, bit-for-bit
+    assert view2.exceptAll(rebuild).count() == 0
+    assert rebuild.exceptAll(view2).count() == 0
+    est = sk.quantile_estimate(
+        view2, ["o_orderstatus"], [500, 900], _QSK_LO, _QSK_HI, _QSK_M
+    )
+    return est.select(
+        F.col("o_orderstatus").alias("grp"), "q_permille",
+        F.round("est", 4).alias("est"),
+    )
+
+
 def q_mor_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max IVM with rescan-on-eviction (round 11, VERDICT r10 #6 —
     sources/incremental.py incremental_group_agg_minmax): the
@@ -8302,6 +8364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_datasource": q_mor_datasource,
         "mor_incremental_agg": q_mor_incremental_agg,
         "mor_incremental_minmax": q_mor_incremental_minmax,
+        "mor_incremental_quantile": q_mor_incremental_quantile,
         "mor_incremental_join": q_mor_incremental_join,
         "stream_cdc_ivm": q_stream_cdc_ivm,
         "mor_incremental_index": q_mor_incremental_index,
@@ -12389,6 +12452,63 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM r WHERE rn = 1 AND del = 0
             GROUP BY o_orderstatus
+        """,
+        "mor_incremental_quantile": f"""
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), rr AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+              ) AS rn
+              FROM allv
+            ), snap AS (
+              SELECT o_totalprice, o_orderstatus
+              FROM rr WHERE rn = 1 AND del = 0
+            ), b AS (
+              SELECT o_orderstatus AS grp,
+                     CAST(least(greatest(floor(
+                       (CAST(o_totalprice AS DOUBLE)
+                        - CAST({_QSK_LO!r} AS DOUBLE))
+                       / CAST({_QSK_WB!r} AS DOUBLE)), 0),
+                       {_QSK_M - 1}) AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM snap GROUP BY 1, 2
+            ), c AS (
+              SELECT grp, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bucket)
+                       AS cum
+              FROM b
+            ), t AS (
+              SELECT grp, sum(cnt) AS n_total FROM b GROUP BY grp
+            ), r AS (
+              SELECT t.grp, qv.q_permille,
+                     greatest(CAST(floor(
+                       CAST(qv.q_permille * t.n_total + 999 AS DOUBLE)
+                       / 1000.0) AS BIGINT), 1) AS rnk
+              FROM t CROSS JOIN (
+                VALUES (500), (900)
+              ) AS qv(q_permille)
+            )
+            SELECT r.grp, CAST(r.q_permille AS INT) AS q_permille,
+                   round(CAST({_QSK_LO!r} AS DOUBLE)
+                         + CAST({_QSK_WB!r} AS DOUBLE)
+                         * (CAST(c.bucket AS DOUBLE)
+                            + CAST(r.rnk - (c.cum - c.cnt) AS DOUBLE)
+                              / CAST(c.cnt AS DOUBLE)), 4) AS est
+            FROM r JOIN c
+              ON r.grp = c.grp AND c.cum >= r.rnk
+             AND c.cum - c.cnt < r.rnk
         """,
         "mor_incremental_minmax": """
             WITH allv AS (

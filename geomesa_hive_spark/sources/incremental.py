@@ -43,6 +43,7 @@ __all__ = [
     "incremental_group_agg_minmax", "incremental_join",
     "incremental_projection", "join_view",
     "maintain_group_agg_stream", "read_maintained_view",
+    "quantile_sketch_view", "incremental_quantile_sketch",
 ]
 
 
@@ -582,3 +583,91 @@ def maintain_group_agg_stream(
     q.awaitTermination(timeout_s)
     report["seq_after"] = _load_ivm_state(view_dir)["seq"]
     return report
+
+
+def quantile_sketch_view(
+    df: DataFrame, group_col: str, value_col: str,
+    lo: float, hi: float, m: int = 128,
+) -> DataFrame:
+    """Defining query of the quantile-sketch view — per-group fixed-grid
+    bucket counts (:func:`~geomesa_hive_spark.pipeline.sketches.
+    quantile_sketch_build` with the group as the key). The stored state
+    is ≤ groups × m rows whatever the table size, and any quantile set
+    is extracted from it downstream (quantile_estimate) without
+    touching the base table."""
+    from geomesa_hive_spark.pipeline.sketches import quantile_sketch_build
+
+    return quantile_sketch_build(df, [group_col], value_col, lo, hi, m)
+
+
+def incremental_quantile_sketch(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    sketch_at_from: DataFrame,
+    from_seq: int,
+    lo: float,
+    hi: float,
+    m: int = 128,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Roll the stored quantile sketch forward from CDC — quantile IVM
+    with NO rescan path at all: unlike min/max (which need
+    rescan-on-eviction because the runner-up is unknown), grid bucket
+    counts are FULLY invertible — a deleted pre-image subtracts 1 from
+    its bucket, a post-image adds 1 to its (possibly different) bucket,
+    and the merged counts are exactly the counts a full rebuild over
+    the resolved snapshot would produce (integer arithmetic, the gate
+    hash-pins it). This is the sketch-table philosophy meeting IVM:
+    maintaining the O(groups·m) sketch is O(changed rows) per refresh,
+    and every quantile query thereafter reads only the sketch.
+
+    NULL values are excluded on both the pre- and post-image sides,
+    matching the defining query's semantics; group moves and
+    bucket moves (a repriced row crossing a grid line) are handled by
+    the same subtract/add algebra; zeroed buckets are dropped so the
+    view never accretes empty rows."""
+    from geomesa_hive_spark.pipeline.sketches import _q_bucket
+
+    changes = read_changes(spark, path, key_col, from_seq, to_seq)
+    changed_keys = changes.select(key_col).distinct()
+    pre = (
+        read_snapshot(spark, path, key_col, as_of_seq=from_seq)
+        .join(F.broadcast(changed_keys), key_col, "left_semi")
+    )
+    v = F.col(value_col)
+    neg = pre.filter(v.isNotNull()).select(
+        F.col(group_col),
+        _q_bucket(v, lo, hi, m).alias("bucket"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    pos = (
+        changes.filter(F.col("_change_type") != "delete")
+        .filter(v.isNotNull())
+        .select(
+            F.col(group_col),
+            _q_bucket(v, lo, hi, m).alias("bucket"),
+            F.lit(1).cast("long").alias("d"),
+        )
+    )
+    adj = (
+        neg.unionByName(pos)
+        .groupBy(group_col, "bucket")
+        .agg(F.sum("d").alias("d"))
+    )
+    a, d = sketch_at_from.alias("a"), adj.alias("d")
+    merged = a.join(
+        d,
+        F.col(f"a.{group_col}").eqNullSafe(F.col(f"d.{group_col}"))
+        & (F.col("a.bucket") == F.col("d.bucket")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(f"a.{group_col}"), F.col(f"d.{group_col}"))
+        .alias(group_col),
+        F.coalesce(F.col("a.bucket"), F.col("d.bucket")).alias("bucket"),
+        (F.coalesce(F.col("a.cnt"), F.lit(0))
+         + F.coalesce(F.col("d.d"), F.lit(0))).cast("long").alias("cnt"),
+    )
+    return merged.filter(F.col("cnt") > 0)

@@ -3495,3 +3495,43 @@ def test_streaming_quantile_sketch_multibatch_parity(spark, tmp_path):
             [500, 950], LO, HI, M).collect()
     )
     assert est_stream == est_batch
+
+
+def test_incremental_quantile_sketch_ivm(spark, tmp_path):
+    """Quantile-sketch IVM (round 12): bucket counts are fully
+    invertible — no rescan path. Covers what the gate doesn't isolate:
+    NULL values excluded on BOTH image sides, a reprice that crosses a
+    grid line (subtract old bucket / add new bucket), a group move,
+    and zeroed buckets dropped from the view."""
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.incremental import (
+        incremental_quantile_sketch, quantile_sketch_view,
+    )
+    from geomesa_hive_spark.sources.manifest import read_snapshot, write_delta
+
+    LO, HI, M = 0.0, 100.0, 10          # wb = 10
+    rows = [(1, 5.0, "a"), (2, 15.0, "a"), (3, 25.0, "b"),
+            (4, None, "b"), (5, 95.0, "a")]
+    base = spark.createDataFrame(rows, "k long, v double, g string")
+    path = str(tmp_path / "ivmq")
+    base.write.parquet(path)
+    v0 = quantile_sketch_view(base, "g", "v", LO, HI, M)
+    # k=1: reprice 5 -> 35 (bucket 0 -> 3); k=3: group move b -> a;
+    # k=5: delete (its bucket 9 count zeroes out); k=4: NULL -> 45
+    # (a NULL pre-image contributes nothing, the post-image adds)
+    up = spark.createDataFrame(
+        [(1, 35.0, "a"), (3, 25.0, "a"), (4, 45.0, "b")],
+        "k long, v double, g string")
+    dels = spark.createDataFrame([(5,)], "k long")
+    write_delta(up, path, "k", delete_keys=dels)
+    view = incremental_quantile_sketch(
+        spark, path, "k", "g", "v", v0, 0, LO, HI, M)
+    got = sorted((r.g, r.bucket, r.cnt) for r in view.collect())
+    rebuild = quantile_sketch_view(
+        read_snapshot(spark, path, "k"), "g", "v", LO, HI, M)
+    exp = sorted((r.g, r.bucket, r.cnt) for r in rebuild.collect())
+    assert got == exp
+    assert ("a", 0, 1) not in got        # old bucket subtracted
+    assert ("a", 9, 1) not in got        # deleted row's bucket zeroed
+    assert ("a", 3, 1) in got and ("b", 4, 1) in got
