@@ -367,7 +367,8 @@ def main() -> int:
             "CPU+shuffle calibration query interleaved every 15 queries: "
             "per_query_ratio (nearest reading / run MEDIAN) >> 1 labels the window around that query as "
             "host-contended (the query's own number is then suspect). "
-            "Queries whose nearest canary reading exceeds 1.5x the floor "
+            "Queries whose nearest canary reading exceeds 1.5x the run "
+            "median "
             "are listed in arbitration.contended and carry the per-query "
             "min vs the previous record in arbitration.arbitrated_queries; "
             "the compact summary's worst_query/worst_ratio use those "

@@ -260,7 +260,14 @@ def autocorrelation(
     ``den = Σx² − n·x̄²`` evaluated in doubles with ONE fixed operation
     order the oracle replays. One event scan to the hourly grain, one
     lead() window pass per key carrying every lag at once, one
-    key-sized aggregate."""
+    key-sized aggregate.
+
+    Magnitude bound: the Σx² / Σxy products multiply BIGINT cents in
+    Spark long arithmetic, which would WRAP silently on overflow while
+    the DuckDB oracle promotes — so the aggregate carries max(|x|) and
+    asserts ``n·max(|x|)² < 2^63`` (assert_true folded into x̄ so
+    Catalyst cannot prune it); out-of-range series fail loudly instead
+    of diverging cross-engine."""
     from pyspark.sql import Window
 
     hourly = (
@@ -280,6 +287,7 @@ def autocorrelation(
         F.count("*").cast("long").alias("n"),
         F.sum("v").cast("long").alias("s"),
         F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+        F.max(F.abs(F.col("v"))).cast("double").alias("vmax"),
     ]
     for k in lags:
         lk = F.col(f"lead_{k}")
@@ -291,7 +299,20 @@ def autocorrelation(
             F.sum(lk).cast("long").alias(f"st_{k}"),
         ]
     stats = base.groupBy("key").agg(*aggs)
-    xb = F.col("s").cast("double") / F.col("n").cast("double")
+    # overflow guard: n·max(|v|)² must fit BIGINT or the long products
+    # above have already wrapped. assert_true yields NULL when the
+    # condition holds; adding coalesce(NULL, 0.0) into x̄ keeps the
+    # value bit-identical while making the check un-prunable.
+    ovf = F.coalesce(
+        F.assert_true(
+            F.col("vmax") * F.col("vmax") * F.col("n").cast("double")
+            < F.lit(9.2e18),
+            F.lit("autocorrelation: BIGINT overflow risk — "
+                  "n * max(|v_cents|)^2 exceeds 2^63"),
+        ),
+        F.lit(0.0),
+    )
+    xb = (F.col("s").cast("double") / F.col("n").cast("double")) + ovf
     out = None
     for k in lags:
         k = int(k)

@@ -765,7 +765,15 @@ def knn_query_index(
         return knn_brute(cand, m["id_col"], m["vec_col"], query_vec, k)
     # SQ8 two-stage: coarse over dequantized codes (float column never
     # scanned — Catalyst prunes it), exact re-rank on the survivors
-    rk = int(rerank_k) if rerank_k is not None else 4 * int(k)
+    if rerank_k is not None and int(rerank_k) < 1:
+        raise ValueError(
+            f"rerank_k must be >= 1, got {rerank_k} — a non-positive "
+            "rerank would silently return an empty result"
+        )
+    # floor the effective rerank at k: rerank_k < k would silently
+    # return fewer than k neighbors
+    rk = (max(int(rerank_k), int(k)) if rerank_k is not None
+          else 4 * int(k))
     sq = m["sq8"]
     vhat = _sq8_dequantize("vec_q", sq["mins"], sq["scales"])
     coarse = (

@@ -338,6 +338,13 @@ def quantile_estimate(
     window, one double division, every literal Python-folded."""
     from pyspark.sql import Window
 
+    bad = [q for q in qs_permille if not 1 <= int(q) <= 1000]
+    if bad:
+        raise ValueError(
+            f"q_permille must be in [1, 1000], got {bad} — a q > 1000 "
+            "yields rank > N and the quantile would silently vanish "
+            "from the output"
+        )
     wb = (float(hi) - float(lo)) / int(m)
     spark = registers.sparkSession
     qs = spark.createDataFrame(
@@ -395,6 +402,9 @@ def quantile_estimate_py(
     metadata): integer cumulative sum, the same double rank floor, the
     same interpolation operation order. ``counts``: m integers (dense,
     0 = empty bucket). Returns {q_permille: est}; empty sketch → {}."""
+    bad = [q for q in qs_permille if not 1 <= int(q) <= 1000]
+    if bad:
+        raise ValueError(f"q_permille must be in [1, 1000], got {bad}")
     m = len(counts)
     wb = (float(hi) - float(lo)) / m
     n_total = 0

@@ -670,4 +670,24 @@ def incremental_quantile_sketch(
         (F.coalesce(F.col("a.cnt"), F.lit(0))
          + F.coalesce(F.col("d.d"), F.lit(0))).cast("long").alias("cnt"),
     )
+    # a negative merged count can only arise from an inconsistent
+    # (sketch_at_from, from_seq) pair — refuse loudly instead of
+    # filtering it away as quiet data loss (repo convention: pre-gen
+    # index layouts, vacuumed-era reads all raise). assert_true is
+    # folded into the kept value so Catalyst cannot prune the check.
+    guarded = F.when(
+        F.assert_true(
+            F.col("cnt") >= 0,
+            F.concat(
+                F.lit("incremental_quantile_sketch: negative merged "
+                      "count — sketch_at_from does not match from_seq "
+                      "(group="),
+                F.col(group_col).cast("string"),
+                F.lit(", bucket="), F.col("bucket").cast("string"),
+                F.lit(")"),
+            ),
+        ).isNull(),
+        F.col("cnt"),
+    ).alias("cnt")
+    merged = merged.select(group_col, "bucket", guarded)
     return merged.filter(F.col("cnt") > 0)

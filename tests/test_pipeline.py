@@ -3041,6 +3041,13 @@ def test_quantile_sketch_merge_accuracy_and_twin(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hi > lo"):
         quantile_sketch_build(df, [], "v", 5.0, 5.0, M)
+    # out-of-range permille raises instead of silently dropping rows
+    with _pytest.raises(ValueError, match=r"\[1, 1000\]"):
+        quantile_estimate(direct, ["g"], [500, 1500], LO, HI, M)
+    with _pytest.raises(ValueError, match=r"\[1, 1000\]"):
+        quantile_estimate(direct, ["g"], [0], LO, HI, M)
+    with _pytest.raises(ValueError, match=r"\[1, 1000\]"):
+        quantile_estimate_py(counts, [2000], LO, HI)
 
 
 def test_ivf_index_sq8_lifecycle_and_filter(spark, tmp_path):
@@ -3106,3 +3113,11 @@ def test_ivf_index_sq8_lifecycle_and_filter(spark, tmp_path):
     top = S.knn_query_index(spark, path, qv, k=1, n_probe=8,
                             rerank_k=8).collect()
     assert top[0].id == 7 and top[0].cos_sim == 1.0
+    # rerank_k validation (round 13): <1 raises; rerank_k < k floors
+    # to k so the caller still gets k results
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rerank_k"):
+        S.knn_query_index(spark, path, qv, k=5, n_probe=8, rerank_k=0)
+    floored = S.knn_query_index(
+        spark, path, qv, k=5, n_probe=8, rerank_k=2).collect()
+    assert len(floored) == 5

@@ -3535,3 +3535,13 @@ def test_incremental_quantile_sketch_ivm(spark, tmp_path):
     assert ("a", 0, 1) not in got        # old bucket subtracted
     assert ("a", 9, 1) not in got        # deleted row's bucket zeroed
     assert ("a", 3, 1) in got and ("b", 4, 1) in got
+    # round 13: an inconsistent (sketch_at_from, from_seq) pair — an
+    # empty sketch claiming seq 0 while pre-images subtract — raises
+    # loudly instead of silently dropping the negative counts
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="negative merged"):
+        incremental_quantile_sketch(
+            spark, path, "k", "g", "v",
+            v0.filter(F.lit(False)), 0, LO, HI, M,
+        ).collect()
