@@ -1421,6 +1421,60 @@ def q_spatial_sql_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
         uninstall(spark)
 
 
+def q_spatial_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string spatial JOIN rewrite (round 13 — beyond the
+    reference, whose rules match Filter(HiveGenericUDF) only,
+    SpatialFilterPushdownRules.scala:35-38, leaving JOIN ON
+    st_intersects(a.g, b.g) as a cartesian+UDF plan): the installed
+    session wrapper recognizes the geometry×geometry JOIN predicate and
+    re-expresses it as the PBSM grid join in SQL text — cell explosion
+    per side, equi-join on cell id, bbox-overlap prefilter,
+    reference-point dedup, exact predicate last. In-query asserts: the
+    executed plan joins on the grid cell (no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere). The oracle replays the
+    point-in-box arithmetic with strict inequalities (box edges carry a
+    .005 offset so no point sits on a boundary)."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    register_all(spark)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__ssj_cust")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__ssj_nat")
+    spark.sql(
+        f"""
+        SELECT c_custkey, c_acctbal,
+               st_makePoint({_C_X}, {_C_Y}) AS geom
+        FROM __ssj_cust
+        """
+    ).createOrReplaceTempView("__ssj_pts")
+    spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               st_makeBBOX(((n_nationkey * 7411) % 30000) / 100.0 - 150.005,
+                           ((n_nationkey * 2713) % 14000) / 100.0 - 70.005,
+                           ((n_nationkey * 7411) % 30000) / 100.0 - 132.005,
+                           ((n_nationkey * 2713) % 14000) / 100.0 - 60.005) AS pgeom
+        FROM __ssj_nat
+        """
+    ).createOrReplaceTempView("__ssj_boxes")
+    q = """
+        SELECT n.n_name AS n_name, count(1) AS cnt,
+               round(avg(p.c_acctbal), 4) AS avg_bal
+        FROM __ssj_pts p JOIN __ssj_boxes n
+          ON st_within(p.geom, n.pgeom)
+        GROUP BY n.n_name
+    """
+    install(spark)
+    try:
+        out = spark.sql(q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__l_cell" in plan, "spatial JOIN rewrite did not fire"
+        assert "CartesianProduct" not in plan, "cartesian plan survived"
+        assert "BroadcastNestedLoopJoin" not in plan, "BNLJ plan survived"
+        return out
+    finally:
+        uninstall(spark)
+
+
 def q_spatial_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec round-trips hash-verified end to end: WKT (ST_AsText →
     ST_GeomFromWKT), WKB (ST_AsBinary → ST_GeomFromWKB), GeoJSON
@@ -8267,6 +8321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
+        "spatial_sql_join": q_spatial_sql_join,
         "spatial_reproject_utm": q_spatial_reproject_utm,
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_reproject_aea": q_spatial_reproject_aea,
@@ -11321,6 +11376,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_C_X} >= -50.005 AND {_C_X} <= -20.005
               AND {_C_Y} >= 10.005 AND {_C_Y} <= 40.005
             GROUP BY c_nationkey
+        """,
+        # point strictly inside the .005-offset box = st_within
+        "spatial_sql_join": f"""
+            SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN nation
+              ON {_C_X} > ((n_nationkey * 7411) % 30000) / 100.0 - 150.005
+             AND {_C_X} < ((n_nationkey * 7411) % 30000) / 100.0 - 132.005
+             AND {_C_Y} > ((n_nationkey * 2713) % 14000) / 100.0 - 70.005
+             AND {_C_Y} < ((n_nationkey * 2713) % 14000) / 100.0 - 60.005
+            GROUP BY n_name
         """,
         # circle construction: every distinct (g, slot) point is a hull
         # vertex, so count + angle-ordered shoelace ARE the hull stats

@@ -48,7 +48,10 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["spatial_sql", "rewrite_spatial_predicates", "install", "uninstall"]
+__all__ = [
+    "spatial_sql", "rewrite_spatial_predicates", "rewrite_spatial_join",
+    "install", "uninstall",
+]
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
 _SEG = r"(?:`[^`]+`|[A-Za-z_]\w*)"
@@ -387,14 +390,224 @@ def rewrite_spatial_predicates(sql: str) -> str:
     return sql
 
 
+# ---------------------------------------------------------------------------
+# spatial JOIN rewrite (round 13)
+# ---------------------------------------------------------------------------
+# ``FROM a JOIN b ON st_intersects(a.geom, b.geom)`` runs in stock Spark
+# as a BroadcastNestedLoopJoin/CartesianProduct + UDF filter — the plan
+# that dies at 100 TB. The reference has the same hole (its rules match
+# Filter(HiveGenericUDF) only, SpatialFilterPushdownRules.scala:35-38);
+# this rewrite EXTENDS the surface: a recognized geometry×geometry JOIN
+# predicate is re-expressed as the PBSM grid join of
+# operators/spatial_join.py in SQL TEXT — each side exploded to the
+# fixed-grid cells its bbox overlaps, equi-joined on cell id (a plain
+# shuffled hash join), bbox-overlap prefilter + reference-point dedup in
+# the ON conjunction, the ORIGINAL predicate kept verbatim as the exact
+# filter. st_dwithin(a.g, b.g, d) gets the distance_join form: the
+# FIRST table's bbox expands by d before cell explosion (one-sided —
+# sufficient, half the fan-out), the bbox-GAP test gapx²+gapy²≤d² prunes
+# on the unexpanded boxes, and the original st_dwithin runs last.
+#
+# Soundness envelope (anything outside falls through UNCHANGED):
+# - both predicate args must be alias-qualified columns of the two
+#   joined tables (one each side);
+# - the text after the predicate must continue with AND / a clause
+#   keyword / end — an OR would defeat reference-point dedup (each
+#   bbox-overlapping pair appears once per shared cell);
+# - queries with a bare ``*`` / ``alias.*`` select item fall through:
+#   the rewrite adds internal __l_*/__r_* columns a star would leak
+#   (count(*) is fine — not a star select item);
+# - every supported predicate (intersects/contains/within/covers/
+#   crosses/touches/overlaps/equals) IMPLIES bbox overlap, so the
+#   prefilter is necessary-not-sufficient and the kept original
+#   predicate makes the result exact. Trailing AND conjuncts in the ON
+#   clause compose untouched.
+
+_J_OFFSET = 1 << 30
+_J_STRIDE = 1 << 31
+_J_PREDS = ("st_intersects|st_contains|st_within|st_covers|st_crosses"
+            "|st_touches|st_overlaps|st_equals")
+_NOT_KW = (r"(?!(?:INNER|JOIN|LEFT|RIGHT|FULL|CROSS|ON|WHERE|GROUP|ORDER"
+           r"|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|AS|USING|NATURAL"
+           r"|SEMI|ANTI)\b)")
+_J_ALIAS1 = rf"(?:\s+(?:AS\s+)?{_NOT_KW}(?P<a1>{_SEG}))?"
+_J_ALIAS2 = rf"(?:\s+(?:AS\s+)?{_NOT_KW}(?P<a2>{_SEG}))?"
+
+_SP_JOIN = re.compile(
+    rf"\bFROM\s+(?P<t1>{_IDENT}){_J_ALIAS1}"
+    rf"\s+(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT}){_J_ALIAS2}\s+ON\s+"
+    rf"(?P<pred>(?P<fn>{_J_PREDS})\s*\(\s*(?P<q1>{_SEG})\s*\.\s*"
+    rf"(?P<g1>{_SEG})\s*,\s*(?P<q2>{_SEG})\s*\.\s*(?P<g2>{_SEG})\s*\))",
+    re.IGNORECASE,
+)
+_SP_JOIN_DW = re.compile(
+    rf"\bFROM\s+(?P<t1>{_IDENT}){_J_ALIAS1}"
+    rf"\s+(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT}){_J_ALIAS2}\s+ON\s+"
+    rf"(?P<pred>st_dwithin\s*\(\s*(?P<q1>{_SEG})\s*\.\s*(?P<g1>{_SEG})"
+    rf"\s*,\s*(?P<q2>{_SEG})\s*\.\s*(?P<g2>{_SEG})\s*,\s*(?P<d>{_NUM})"
+    rf"\s*\))",
+    re.IGNORECASE,
+)
+_J_TAIL_OK = re.compile(
+    r"^\s*(?:$|;|\)|AND\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|HAVING\b"
+    r"|UNION\b|EXCEPT\b|INTERSECT\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b"
+    r"|FULL\b|CROSS\b|WINDOW\b)",
+    re.IGNORECASE,
+)
+_STAR_SELECT = re.compile(
+    rf"(?:\bSELECT\s+(?:DISTINCT\s+)?|,\s*)(?:{_SEG}\s*\.\s*)?\*",
+    re.IGNORECASE,
+)
+
+
+def _j_norm(seg: str) -> str:
+    return seg.strip("`").lower()
+
+
+def _j_cells_sql(bbox: str, cs: float) -> str:
+    """SQL-text twin of spatial_join._cells: the encoded grid cells the
+    bbox overlaps. NULL/NaN bounds (null or empty geometry) yield NULL,
+    which explode drops — null never joins; indices past the encoding
+    capacity raise via assert_true instead of aliasing far-apart cells."""
+    csl = f"{float(cs)!r}D"
+    ix0 = f"CAST(floor({bbox}.xmin / {csl}) AS BIGINT)"
+    ix1 = f"CAST(floor({bbox}.xmax / {csl}) AS BIGINT)"
+    iy0 = f"CAST(floor({bbox}.ymin / {csl}) AS BIGINT)"
+    iy1 = f"CAST(floor({bbox}.ymax / {csl}) AS BIGINT)"
+    grid = (
+        f"flatten(transform(sequence({ix0}, {ix1}), ix -> "
+        f"transform(sequence({iy0}, {iy1}), iy -> "
+        f"(ix + {_J_OFFSET}L) * {_J_STRIDE}L + iy + {_J_OFFSET}L)))"
+    )
+    in_range = (
+        f"{ix0} > {-_J_OFFSET}L AND {ix1} < {_J_OFFSET}L AND "
+        f"{iy0} > {-_J_OFFSET}L AND {iy1} < {_J_OFFSET}L"
+    )
+    return (
+        f"CASE WHEN {bbox}.xmin IS NULL OR isnan({bbox}.xmin) "
+        f"THEN CAST(NULL AS ARRAY<BIGINT>) "
+        f"WHEN assert_true({in_range}, 'spatial join rewrite: grid index "
+        f"exceeds encoding capacity; increase cell_size') IS NULL "
+        f"THEN {grid} END"
+    )
+
+
+def _j_side(tbl: str, alias: str, geom: str, side: str, cs: float,
+            expand: float | None = None) -> str:
+    """One join side as a derived table: bbox (+d-expanded ebox for
+    dwithin) then cell explosion, aliased back to the user's alias so
+    every qualified reference in the rest of the query still resolves."""
+    b = f"__{side}_bbox"
+    inner = f"(SELECT *, st_extentFromGeom({geom}) AS {b} FROM {tbl}) __sj_{side}0"
+    cell_src = b
+    if expand is not None:
+        e = f"__{side}_ebox"
+        d = f"{float(expand)!r}D"
+        inner = (
+            f"(SELECT *, named_struct("
+            f"'xmin', {b}.xmin - {d}, 'ymin', {b}.ymin - {d}, "
+            f"'xmax', {b}.xmax + {d}, 'ymax', {b}.ymax + {d}) AS {e} "
+            f"FROM {inner}) __sj_{side}1"
+        )
+        cell_src = e
+    return (
+        f"(SELECT *, explode({_j_cells_sql(cell_src, cs)}) "
+        f"AS __{side}_cell FROM {inner}) {alias}"
+    )
+
+
+def _j_on(a1: str, a2: str, cs: float, dwithin_d: float | None = None) -> str:
+    """The PBSM ON conjunction: cell equi-key, bbox overlap, reference-
+    point dedup (pair kept only in the cell owning the lower-left corner
+    of the bbox intersection), and for dwithin the bbox-gap prune on the
+    UNEXPANDED boxes."""
+    lb = f"{a1}.__l_ebox" if dwithin_d is not None else f"{a1}.__l_bbox"
+    rb = f"{a2}.__r_bbox"
+    csl = f"{float(cs)!r}D"
+    overlap = (
+        f"{lb}.xmin <= {rb}.xmax AND {lb}.xmax >= {rb}.xmin AND "
+        f"{lb}.ymin <= {rb}.ymax AND {lb}.ymax >= {rb}.ymin"
+    )
+    rx = f"greatest({lb}.xmin, {rb}.xmin)"
+    ry = f"greatest({lb}.ymin, {rb}.ymin)"
+    refcell = (
+        f"(CAST(floor({rx} / {csl}) AS BIGINT) + {_J_OFFSET}L) "
+        f"* {_J_STRIDE}L + CAST(floor({ry} / {csl}) AS BIGINT) "
+        f"+ {_J_OFFSET}L"
+    )
+    conds = [
+        f"{a1}.__l_cell = {a2}.__r_cell",
+        overlap,
+        f"{a1}.__l_cell = {refcell}",
+    ]
+    if dwithin_d is not None:
+        ub = f"{a1}.__l_bbox"
+        gapx = (f"greatest(0.0D, greatest({ub}.xmin, {rb}.xmin) "
+                f"- least({ub}.xmax, {rb}.xmax))")
+        gapy = (f"greatest(0.0D, greatest({ub}.ymin, {rb}.ymin) "
+                f"- least({ub}.ymax, {rb}.ymax))")
+        d2 = f"{float(dwithin_d) * float(dwithin_d)!r}D"
+        conds.append(f"({gapx}) * ({gapx}) + ({gapy}) * ({gapy}) <= {d2}")
+    return " AND ".join(conds)
+
+
+def rewrite_spatial_join(sql: str, cell_size: float = 1.0) -> str:
+    """Textual rewrite of geometry×geometry JOIN predicates into the
+    PBSM grid join (distance_join form for st_dwithin). Pure function of
+    the SQL string — inspect the result to see exactly what will run.
+    Unrecognized or unsound shapes (see the soundness envelope above)
+    return unchanged. ``cell_size`` is the PBSM grid size for predicate
+    joins; dwithin uses ``max(d, cell_size)`` so the d-expansion adds at
+    most ~2 cells per axis."""
+    if _STAR_SELECT.search(sql):
+        return sql
+
+    def _go(m: re.Match, d: float | None, src: str) -> str | None:
+        a1 = m.group("a1") or m.group("t1").split(".")[-1]
+        a2 = m.group("a2") or m.group("t2").split(".")[-1]
+        q1, q2 = _j_norm(m.group("q1")), _j_norm(m.group("q2"))
+        al, bl = _j_norm(a1), _j_norm(a2)
+        if q1 == q2 or {q1, q2} != {al, bl}:
+            return None
+        if not _J_TAIL_OK.match(src[m.end():]):
+            return None
+        if d is not None and d < 0:
+            return None
+        # the geometry column belonging to each side, whichever arg
+        # order the predicate used
+        g_l = m.group("g1") if q1 == al else m.group("g2")
+        g_r = m.group("g2") if q1 == al else m.group("g1")
+        cs = max(float(d), float(cell_size)) if d is not None else float(cell_size)
+        left = _j_side(m.group("t1"), a1, g_l, "l", cs, expand=d)
+        right = _j_side(m.group("t2"), a2, g_r, "r", cs)
+        on = _j_on(a1, a2, cs, dwithin_d=d)
+        return f"FROM {left} JOIN {right} ON {on} AND {m.group('pred')}"
+
+    out = sql
+    for rx_, dw in ((_SP_JOIN_DW, True), (_SP_JOIN, False)):
+        pos = 0
+        while True:
+            m = rx_.search(out, pos)
+            if m is None:
+                break
+            rep = _go(m, float(m.group("d")) if dw else None, out)
+            if rep is None:
+                pos = m.end()
+                continue
+            out = out[: m.start()] + rep + out[m.end():]
+            pos = m.start() + len(rep)
+    return out
+
+
 def spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run a raw SQL string with spatial-filter pushdown.
 
     The session-wide entry point a reference user would swap
     ``spark.sql`` for. Falls back to the original SQL when the rewrite
     doesn't analyze (e.g. the predicate's column is a binary geometry,
-    not an extent struct)."""
-    rewritten = rewrite_spatial_predicates(sql)
+    not an extent struct). Recognized geometry×geometry JOIN predicates
+    route to the PBSM grid join first (:func:`rewrite_spatial_join`)."""
+    rewritten = rewrite_spatial_predicates(rewrite_spatial_join(sql))
     if rewritten != sql:
         try:
             return spark.sql(rewritten)
@@ -424,7 +637,8 @@ def install(spark: SparkSession) -> SparkSession:
 
     def _sql(query, *args, **kwargs):
         if isinstance(query, str):
-            rewritten = rewrite_spatial_predicates(query)
+            rewritten = rewrite_spatial_predicates(
+                rewrite_spatial_join(query))
             if rewritten != query:
                 try:
                     return original(rewritten, *args, **kwargs)

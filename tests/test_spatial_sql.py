@@ -469,3 +469,163 @@ def test_extent_point_literal_drops_udf_all_predicates(spark, tmp_path):
     plan = out3._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert _re.search(r"PushedFilters: \[[^\n]*xmin", plan)
+
+
+# ---------------------------------------------------------------------------
+# spatial JOIN rewrite (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _join_views(spark):
+    """Dense points × overlapping boxes so the join actually matches:
+    400 points on a 20×20 lattice, 25 boxes each spanning ~4×4 cells."""
+    register_all(spark)
+    pts = spark.range(400).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 20).cast("double") * 0.7 - 5.0).alias("px"),
+        ((F.col("id") / 20).cast("int").cast("double") * 0.6 - 4.0).alias("py"),
+    )
+    pts = pts.withColumn(
+        "geom", F.call_function("st_makepoint", F.col("px"), F.col("py"))
+    )
+    pts.createOrReplaceTempView("sjr_pts")
+    boxes = spark.range(25).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") % 5).cast("double") * 2.1 - 5.005).alias("x0"),
+        ((F.col("id") / 5).cast("int").cast("double") * 1.9 - 4.005).alias("y0"),
+    )
+    boxes = boxes.withColumn(
+        "pgeom",
+        F.call_function(
+            "st_makebbox", F.col("x0"), F.col("y0"),
+            F.col("x0") + 3.0, F.col("y0") + 2.5,
+        ),
+    )
+    boxes.createOrReplaceTempView("sjr_boxes")
+    return pts, boxes
+
+
+def test_join_rewrite_matches_cartesian_all_predicates(spark):
+    """The PBSM join rewrite returns EXACTLY the rows the cartesian+UDF
+    plan returns (reference-point dedup: once each), for both argument
+    orders and for a predicate with an extra AND conjunct, and the
+    executed plan contains no CartesianProduct/BroadcastNestedLoopJoin."""
+    from geomesa_hive_spark.operators.spatial_sql import (
+        rewrite_spatial_join,
+    )
+
+    _join_views(spark)
+    shapes = [
+        "st_within(p.geom, b.pgeom)",
+        "st_intersects(p.geom, b.pgeom)",
+        "st_intersects(b.pgeom, p.geom)",     # swapped args
+        "st_contains(b.pgeom, p.geom)",
+    ]
+    for pred in shapes:
+        q = (
+            "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p "
+            f"JOIN sjr_boxes b ON {pred} ORDER BY pid, bid"
+        )
+        rw = rewrite_spatial_join(q)
+        assert rw != q, pred
+        out = spatial_sql(spark, q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, pred
+        assert "BroadcastNestedLoopJoin" not in plan, pred
+        got = [(r.pid, r.bid) for r in out.collect()]
+        want = [(r.pid, r.bid) for r in spark.sql(q).collect()]
+        assert got == want and len(got) > 50, (pred, len(got), len(want))
+
+    # trailing AND conjunct stays in the ON clause and composes
+    q2 = (
+        "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p JOIN sjr_boxes b "
+        "ON st_within(p.geom, b.pgeom) AND b.bid % 2 = 0 ORDER BY pid, bid"
+    )
+    assert rewrite_spatial_join(q2) != q2
+    got2 = [(r.pid, r.bid) for r in spatial_sql(spark, q2).collect()]
+    want2 = [(r.pid, r.bid) for r in spark.sql(q2).collect()]
+    assert got2 == want2 and len(got2) > 20
+
+
+def test_join_rewrite_dwithin_matches_cartesian(spark):
+    """st_dwithin JOIN: the distance_join form (one-sided d-expansion +
+    gap prune) returns exactly the cartesian rows; WHERE/GROUP BY after
+    the join survive the rewrite untouched."""
+    from geomesa_hive_spark.operators.spatial_sql import (
+        rewrite_spatial_join,
+    )
+
+    _join_views(spark)
+    q = (
+        "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p JOIN sjr_boxes b "
+        "ON st_dwithin(p.geom, b.pgeom, 0.5) ORDER BY pid, bid"
+    )
+    assert rewrite_spatial_join(q) != q
+    out = spatial_sql(spark, q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = [(r.pid, r.bid) for r in out.collect()]
+    want = [(r.pid, r.bid) for r in spark.sql(q).collect()]
+    assert got == want and len(got) > 50
+
+    # aggregation over the rewritten join
+    q3 = (
+        "SELECT b.bid AS bid, count(1) AS cnt FROM sjr_pts p "
+        "JOIN sjr_boxes b ON st_dwithin(p.geom, b.pgeom, 0.5) "
+        "WHERE p.pid < 300 GROUP BY b.bid ORDER BY bid"
+    )
+    got3 = [(r.bid, r.cnt) for r in spatial_sql(spark, q3).collect()]
+    want3 = [(r.bid, r.cnt) for r in spark.sql(q3).collect()]
+    assert got3 == want3 and len(got3) > 5
+
+
+def test_join_rewrite_fall_throughs(spark):
+    """Unsound/unrecognized shapes return the SQL unchanged: star
+    selects (internals would leak), OR after the predicate (defeats
+    reference-point dedup), same-alias args, unqualified args, negative
+    distance, NOT before the predicate."""
+    from geomesa_hive_spark.operators.spatial_sql import (
+        rewrite_spatial_join,
+    )
+
+    untouched = [
+        "SELECT * FROM a x JOIN b y ON st_intersects(x.g, y.g)",
+        "SELECT x.* FROM a x JOIN b y ON st_intersects(x.g, y.g)",
+        "SELECT x.id, y.* FROM a x JOIN b y ON st_intersects(x.g, y.g)",
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) OR x.id = y.id",
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, x.g)",
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(g, y.g)",
+        "SELECT x.id FROM a x JOIN b y ON st_dwithin(x.g, y.g, -2.0)",
+        "SELECT x.id FROM a x JOIN b y ON NOT st_intersects(x.g, y.g)",
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, z.g)",
+        "SELECT x.id FROM a x LEFT JOIN b y ON st_intersects(x.g, y.g)",
+    ]
+    for q in untouched:
+        assert rewrite_spatial_join(q) == q, q
+    # count(*) is NOT a star select item — the rewrite proceeds
+    q_ok = ("SELECT count(*) AS cnt FROM a x JOIN b y "
+            "ON st_intersects(x.g, y.g)")
+    assert rewrite_spatial_join(q_ok) != q_ok
+
+    # install() routes the join rewrite too, and null geometries drop
+    # (never join) exactly as in the DataFrame operator
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    register_all(spark)
+    spark.sql(
+        "SELECT 1 AS id, CAST(NULL AS BINARY) AS geom "
+        "UNION ALL SELECT 2, st_geomFromWKT('POINT (1 1)')"
+    ).createOrReplaceTempView("sjr_null")
+    spark.sql(
+        "SELECT 10 AS rid, st_makeBBOX(0.0D, 0.0D, 2.0D, 2.0D) AS pgeom"
+    ).createOrReplaceTempView("sjr_one")
+    install(spark)
+    try:
+        got = spark.sql(
+            "SELECT n.id AS id, r.rid AS rid FROM sjr_null n "
+            "JOIN sjr_one r ON st_within(n.geom, r.pgeom)"
+        ).collect()
+        assert [(r.id, r.rid) for r in got] == [(2, 10)]
+    finally:
+        uninstall(spark)
