@@ -76,19 +76,44 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     projection on the doc id; measured 2.3× on the sf0.1 bench. At
     production scale inputs carry splits >> cores and this is a no-op —
     the conditional keeps the extra shuffle out of the 100 TB plan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key))
-    return df
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    return spread_parallelism(df, key)
+
+
+def _spread_toked(df: DataFrame, id_col: str, text_col: str,
+                  id_alias: str = "id") -> DataFrame:
+    """(id, toks) with the parallelism guard applied BEFORE the
+    tokenizer: the regex tokenizer is map-stage CPU, so projecting it
+    ahead of :func:`_spread`'s repartition ran it on however many
+    splits the input file had — ONE for a small parquet — and the
+    shuffle then moved token arrays instead of raw text (round 13;
+    measured 4.5× on the sf0.1 single-split documents table: 1.43 s →
+    0.32 s warm for minhash signatures). At production scale the input
+    carries splits ≫ cores, _spread is a no-op, and this ordering
+    changes nothing."""
+    raw = _spread(
+        df.select(F.col(id_col).alias(id_alias),
+                  F.col(text_col).alias("__ghs_txt")),
+        id_alias,
+    )
+    return raw.select(
+        id_alias, word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks")
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of exact duplicates (normalized-text md5): one row per
     fingerprint having >1 doc, with the member count and the keeper
     (min id). Fully native + SQL-twin-able."""
-    fp = F.md5(normalize_text(F.col(text_col))).alias("fp")
+    raw = _spread(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("__ghs_txt")),
+        "id",
+    )
     return (
-        _spread(df.select(F.col(id_col).alias("id"), fp), "id")
+        raw.select(
+            "id", F.md5(normalize_text(F.col("__ghs_txt"))).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_dups"),
@@ -174,13 +199,7 @@ def ngram_jaccard_pairs(
 
     Both strategies and the blocked path return identical results.
     """
-    toked = _spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            word_tokens(F.lower(F.col(text_col))).alias("toks"),
-        ),
-        "id",
-    )
+    toked = _spread_toked(df, id_col, text_col)
     # grams are xxhash64-coded: every downstream shuffle/join/sort/
     # intersect runs on fixed-width longs instead of strings (string
     # array_intersect costs ~100µs/row; long arrays are ~10× cheaper, and
@@ -295,13 +314,7 @@ def ngram_containment_pairs(
     jaccard docstring's skew guidance (blocking, near-unique shingles)
     applies unchanged. Returns (id_a < id_b, sz_a, sz_b, inter,
     containment rounded to 6)."""
-    toked = _spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            word_tokens(F.lower(F.col(text_col))).alias("toks"),
-        ),
-        "id",
-    )
+    toked = _spread_toked(df, id_col, text_col)
     # same gram coding + cache barrier as ngram_jaccard_pairs (the
     # CollapseProject re-runs-the-regex-per-exploded-row trap)
     base = toked.select(
@@ -383,13 +396,7 @@ def minhash_signatures(
     grams and are omitted (a short doc has no meaningful minhash; the
     old all-zero-signature convention produced false jaccard-1 pairs)."""
     a, bb = _minhash_params(num_perm, seed)
-    toked = _spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            word_tokens(F.lower(F.col(text_col))).alias("toks"),
-        ),
-        "id",
-    )
+    toked = _spread_toked(df, id_col, text_col)
     g = toked.select(
         "id", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
     ).select("id", gram_code32(F.col("gram")).alias("g"))
@@ -570,13 +577,7 @@ def simhash_signatures(
     shuffle carries 60 longs per (doc × partition). Docs with fewer
     than ``ngram_n`` words are omitted (the old sig-0 convention made
     any two short docs hamming-0 "duplicates")."""
-    toked = _spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            word_tokens(F.lower(F.col(text_col))).alias("toks"),
-        ),
-        "id",
-    )
+    toked = _spread_toked(df, id_col, text_col)
     g = toked.select(
         "id", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
     ).select(
@@ -1127,13 +1128,7 @@ def ngram_contamination(
     uses, so the DuckDB oracle replays the join bit-for-bit."""
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
-    ctoked = _spread(
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            word_tokens(F.lower(F.col(text_col))).alias("toks"),
-        ),
-        "cid",
-    )
+    ctoked = _spread_toked(corpus, id_col, text_col, id_alias="cid")
     cg = ctoked.select(
         "cid", F.explode(_grams_from_tokens("toks", ngram_n)).alias("gram")
     ).select("cid", gram_code32(F.col("gram")).alias("g"))

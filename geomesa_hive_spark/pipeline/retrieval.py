@@ -61,24 +61,36 @@ def bm25_topk(
     idf is the Lucene form ``ln(1 + (N − df + 0.5)/(df + 0.5))``
     (always positive, so stopword-heavy queries can't produce negative
     contributions)."""
-    from geomesa_hive_spark.pipeline.text import token_count, word_tokens
+    from geomesa_hive_spark.pipeline.text import (
+        spread_parallelism, token_count, word_tokens,
+    )
 
     terms = _query_terms(query)
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).alias("dl"),
-        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    # spread BEFORE tokenizing: a single-split input would run the
+    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
+    base = spread_parallelism(
+        docs.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__ghs_txt")),
+        "id",
+    ).select(
+        "id",
+        token_count(F.col("__ghs_txt")).alias("dl"),
+        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
     )
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]
     n_docs, avgdl = int(n_row["n"]), float(n_row["tot"]) / int(n_row["n"])
 
+    # localCheckpoint: tf (bounded — query-term postings only) is
+    # consumed twice (dfreq collect + scoring); without it each pass
+    # re-tokenizes the whole corpus (round 13)
     tf = (
         base.select("id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     dfreq = {
         r["term"]: int(r["df"])
@@ -153,7 +165,7 @@ def bm25_phrase_topk(
     :func:`bm25_topk`. Returns the same (id, matched_terms,
     score_micro, score) shape ordered by (score desc, id)."""
     from geomesa_hive_spark.pipeline.text import (
-        token_count, word_tokens, word_tokens_py,
+        spread_parallelism, token_count, word_tokens, word_tokens_py,
     )
 
     ptoks = [t for t in word_tokens_py(phrase.lower()) if t]
@@ -163,10 +175,16 @@ def bm25_phrase_topk(
     # localCheckpoint: three consumers (corpus stats, the containment
     # filter, the postings explode) would otherwise re-tokenize the
     # corpus per job — the same fix as the index build path
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).alias("dl"),
-        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    # spread BEFORE tokenizing: a single-split input would run the
+    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
+    base = spread_parallelism(
+        docs.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__ghs_txt")),
+        "id",
+    ).select(
+        "id",
+        token_count(F.col("__ghs_txt")).alias("dl"),
+        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
     ).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
@@ -266,7 +284,9 @@ def build_bm25_index(
     combined count — the same shuffle bm25_topk pays PER QUERY — paid
     once; query cost becomes O(postings of the query's terms). Returns
     the stats dict."""
-    from geomesa_hive_spark.pipeline.text import token_count, word_tokens
+    from geomesa_hive_spark.pipeline.text import (
+        spread_parallelism, token_count, word_tokens,
+    )
 
     nb = int(n_buckets)
     if nb < 1:
@@ -275,10 +295,16 @@ def build_bm25_index(
     # postings write, terms aggregation, docs side write) and each
     # independent evaluation would re-run the pandas-UDF tokenization —
     # a 4x ingest tax (round-10 review finding)
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).alias("dl"),
-        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    # spread BEFORE tokenizing: a single-split input would run the
+    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
+    base = spread_parallelism(
+        docs.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__ghs_txt")),
+        "id",
+    ).select(
+        "id",
+        token_count(F.col("__ghs_txt")).alias("dl"),
+        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
     ).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
@@ -354,7 +380,9 @@ def append_to_bm25_index(
     :func:`upsert_into_bm25_index`, whose generation-versioned
     tombstones make the replacement safe. Returns the updated stats
     with the bumped generation."""
-    from geomesa_hive_spark.pipeline.text import token_count, word_tokens
+    from geomesa_hive_spark.pipeline.text import (
+        spread_parallelism, token_count, word_tokens,
+    )
 
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
@@ -364,10 +392,16 @@ def append_to_bm25_index(
     nb = int(stats["n_buckets"])
     g = int(stats["gen"]) + 1
     # localCheckpoint: same 4x-tokenization fix as the build path
-    base = new_docs.select(
-        F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).alias("dl"),
-        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    # spread BEFORE tokenizing: a single-split input would run the
+    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
+    base = spread_parallelism(
+        new_docs.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__ghs_txt")),
+        "id",
+    ).select(
+        "id",
+        token_count(F.col("__ghs_txt")).alias("dl"),
+        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
     ).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")

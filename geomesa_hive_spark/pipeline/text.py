@@ -57,6 +57,22 @@ def word_tokens(col) -> Column:
     return F.split(F.trim(_c(col)), WORD_SPLIT_RE)
 
 
+def spread_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Input-split parallelism guard for tokenize/hash map stages
+    (round 13 — the shared home of dedup's `_spread`): a small parquet
+    (one file under maxPartitionBytes) arrives as a single split, so
+    any regex-tokenize/md5 map stage projected before a shuffle runs on
+    one core no matter how many the cluster has. When the input has
+    fewer partitions than the default parallelism, hash-repartition on
+    ``key`` BEFORE projecting the expensive expression. At production
+    scale inputs carry splits ≫ cores and this is a no-op — the
+    conditional keeps the extra shuffle out of the 100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def word_tokens_py(text: str) -> list:
     """Driver-side twin of :func:`word_tokens` — same split pattern, same
     lowercase-at-call-site convention. Used by retrieval's query-string
