@@ -673,3 +673,146 @@ def test_predicates_match_matrix_boxes_and_points(b1, b2, p):
     _assert_matrix_consistent(g1, g2)
     _assert_matrix_consistent(g1, pt)
     _assert_matrix_consistent(pt, g2)
+
+
+# ---------------------------------------------------------------------------
+# round 13: filtered-exact orientation + the pinned snap-band semantic
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-10**7, 10**7), st.integers(-10**7, 10**7),
+    st.integers(-10**7, 10**7), st.integers(-10**7, 10**7),
+    st.integers(1, 999), st.integers(-4, 4),
+)
+def test_orient_exact_on_adversarial_near_collinear(ax, ay, bx, by, tq, k):
+    """alg.orient returns the EXACT determinant sign on near-collinear
+    adversaries: c is interpolated on the line a→b (float rounding puts
+    it ~ulps off) then nudged by k ulps — the classic zone where the
+    naive float cross product returns the wrong sign. Ground truth is
+    unfiltered Fraction arithmetic; also checks the antisymmetry /
+    rotation identities exact predicates must satisfy."""
+    from fractions import Fraction as Fr
+
+    if (ax, ay) == (bx, by):
+        return
+    t = tq / 1000.0
+    cx = ax + t * (bx - ax)
+    cy = ay + t * (by - ay)
+    for _ in range(abs(k)):
+        cx = np.nextafter(cx, math.inf if k > 0 else -math.inf)
+    got = alg.orient(ax, ay, bx, by, cx, cy)
+    d = (Fr(bx) - Fr(ax)) * (Fr(cy) - Fr(ay)) \
+        - (Fr(by) - Fr(ay)) * (Fr(cx) - Fr(ax))
+    assert got == (d > 0) - (d < 0)
+    assert alg.orient(bx, by, ax, ay, cx, cy) == -got
+    assert alg.orient(bx, by, cx, cy, ax, ay) == got
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(-10**7, 10**7), st.integers(-10**7, 10**7),
+    st.integers(-10**7, 10**7), st.integers(-10**7, 10**7),
+    st.lists(st.integers(1, 999), min_size=3, max_size=12, unique=True),
+    st.integers(-1, 1),
+)
+def test_convex_hull_exactly_convex_on_collinear_adversaries(
+        ax, ay, bx, by, ts, nudge):
+    """Hull of many near-collinear points (interpolations along one
+    segment, one of them nudged by an ulp) plus two off-line anchors is
+    EXACTLY convex: every consecutive ring triple turns strictly left
+    by alg.orient — float-only cross products can retain a concave
+    vertex here."""
+    if (ax, ay) == (bx, by):
+        return
+    pts = [(ax, ay), (bx, by)]
+    for i, tq in enumerate(ts):
+        t = tq / 1000.0
+        px, py = ax + t * (bx - ax), ay + t * (by - ay)
+        if i == 0 and nudge:
+            px = np.nextafter(px, math.inf if nudge > 0 else -math.inf)
+        pts.append((px, py))
+    # two anchors clearly off the line so the hull is 2-D
+    dx, dy = bx - ax, by - ay
+    pts.append((ax - dy * 0.5 + 1.0, ay + dx * 0.5 + 1.0))
+    pts.append((ax + dy * 0.25 - 2.0, ay - dx * 0.25 - 2.0))
+    hull = alg.convex_hull_of_coords(np.asarray(pts, dtype=np.float64))
+    if hull.geom_type != "Polygon":
+        return  # all points collinear after rounding — a valid outcome
+    ring = hull.rings[0]
+    n = len(ring) - 1
+    for i in range(n):
+        a = ring[i]
+        b = ring[(i + 1) % n]
+        c = ring[(i + 2) % n]
+        assert alg.orient(a[0], a[1], b[0], b[1], c[0], c[1]) > 0, (
+            "non-convex turn kept on hull", a, b, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(-100, 100), st.integers(-100, 100),
+    st.integers(1, 50), st.integers(2, 60),
+)
+def test_sliver_snap_band_boundary_is_pinned(x0, y0, ln, wmul):
+    """The documented residual, PINNED from both sides (round 13):
+    a sliver strictly WIDER than the eps*scale snap band classifies
+    exactly (interior point → contains/within true, touches false),
+    while a sliver THINNER than the band classifies as boundary
+    contact (intersects true, contains false) — the snap-band
+    semantic, asserted so any future eps change re-derives this
+    consciously."""
+    scale = max(abs(x0), abs(y0), abs(x0 + ln), 1.0)
+    band = 1e-9 * scale  # _EPS * _scale of the wide sliver
+    # wide sliver: half-width = wmul * band (wmul >= 2 clears the band)
+    hw = wmul * band
+    wide = from_wkt(
+        f"POLYGON (({x0} {y0 - hw!r}, {x0 + ln} {y0 - hw!r}, "
+        f"{x0 + ln} {y0 + hw!r}, {x0} {y0 + hw!r}, {x0} {y0 - hw!r}))"
+    )
+    p = from_wkt(f"POINT ({x0 + ln / 2.0} {y0})")
+    assert alg.contains(wide, p), (hw, band)
+    assert alg.within(p, wide)
+    assert not alg.touches(p, wide)
+    # thin sliver: half-width well inside the band
+    hw2 = band / 20.0
+    thin = from_wkt(
+        f"POLYGON (({x0} {y0 - hw2!r}, {x0 + ln} {y0 - hw2!r}, "
+        f"{x0 + ln} {y0 + hw2!r}, {x0} {y0 + hw2!r}, {x0} {y0 - hw2!r}))"
+    )
+    assert alg.intersects(thin, p)
+    assert not alg.contains(thin, p)     # snap band: boundary contact
+    assert alg.touches(p, thin)
+
+
+def test_point_in_ring_parity_exact_on_line_extension():
+    """Deterministic parity check through the exact ray-crossing path:
+    query points exactly ON the supporting line of a long skewed edge
+    (dyadic coordinates, so collinearity is exact) sit in the
+    A-filter's ambiguity zone for that edge; the exact resolver must
+    count the edge as not-crossed (strict left) and the parity must
+    come out by the OTHER edges alone."""
+    # triangle with a long skewed edge from (0,0) to (2**40, 2**20)
+    ring = np.array(
+        [[0.0, 0.0], [2.0 ** 40, 2.0 ** 20], [0.0, 2.0 ** 20],
+         [0.0, 0.0]]
+    )
+    # points exactly on the long edge's line, at dyadic parameters —
+    # inside the triangle's y-range, strictly left of nothing
+    for t in (0.25, 0.5, 0.75):
+        px, py = (2.0 ** 40) * t, (2.0 ** 20) * t
+        from geomesa_hive_spark.geom.algorithms import _points_in_ring_vec
+        on_line = _points_in_ring_vec(
+            np.array([px]), np.array([py]), ring)[0]
+        assert not on_line          # exactly on boundary: parity excludes
+        # one ulp LEFT of the line (toward interior): strictly inside
+        inside = _points_in_ring_vec(
+            np.array([np.nextafter(px, -math.inf)]), np.array([py]), ring
+        )[0]
+        assert inside
+        # one ulp RIGHT (exterior side): outside
+        outside = _points_in_ring_vec(
+            np.array([np.nextafter(px, math.inf)]), np.array([py]), ring
+        )[0]
+        assert not outside
