@@ -5334,6 +5334,35 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional BM25 index phrase query (round 13,
+    pipeline/retrieval.py build_bm25_index(positions=True) +
+    bm25_phrase_query_index — the Lucene-parity positional layer):
+    phrase candidates come from STORED per-(term, id) position arrays
+    (bucket-pruned; adjacency = native exists/array_contains over the
+    pivoted position map — no text scan, no Python), scored by the
+    shared index scorer with corpus-level df. Bit-identical to the
+    scan-shaped bm25_phrase on the same corpus, so it shares that
+    oracle's arithmetic verbatim."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_phrase_query_index, build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ghs_bm25pos_")
+    build_bm25_index(docs, "doc_id", "text", path, n_buckets=16,
+                     positions=True)
+    out = bm25_phrase_query_index(spark, path, "fast sort", k=25)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("matched_terms"),
+        F.col("score_micro"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (pipeline/retrieval.py bm25_topk — the
     Lucene-default lexical ranker as a curation primitive:
@@ -8449,6 +8478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_index_phrase": q_bm25_index_phrase,
         "bm25_index": q_bm25_index,
         "bm25_index_maintain": q_bm25_index_maintain,
         "bm25_index_delete": q_bm25_index_delete,
@@ -10741,6 +10771,62 @@ def oracle_sql() -> dict[str, str]:
             FROM ex
         """,
         "bm25_phrase": """
+            WITH base AS (
+              SELECT doc_id AS id, text FROM documents
+            ), dl AS (
+              SELECT id,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS dl
+              FROM base
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS tot
+              FROM dl
+            ), cand AS (
+              SELECT id FROM base
+              WHERE position(' fast sort ' IN
+                      ' ' || array_to_string(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        ' ') || ' ') > 0
+            ), tok AS (
+              SELECT id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM base
+            ), tf AS (
+              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok
+              WHERE term IN ('fast', 'sort')
+              GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.id,
+                     CAST(floor(
+                       ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5)) * tf
+                       * 2.2
+                       / (tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl
+                                        / (CAST(tot AS DOUBLE) / n)))
+                       * 1000000 + 0.5) AS BIGINT) AS c
+              FROM tf
+              JOIN dfq USING (term)
+              JOIN dl ON dl.id = tf.id
+              CROSS JOIN stats
+              WHERE tf.id IN (SELECT id FROM cand)
+            ), agg AS (
+              SELECT id AS doc_id,
+                     CAST(count(*) AS BIGINT) AS matched_terms,
+                     CAST(sum(c) AS BIGINT) AS score_micro
+              FROM scored GROUP BY 1
+            )
+            SELECT doc_id, matched_terms, score_micro,
+                   round(score_micro / 1000000.0, 6) AS score
+            FROM agg
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 25
+        """,
+        "bm25_index_phrase": """
             WITH base AS (
               SELECT doc_id AS id, text FROM documents
             ), dl AS (

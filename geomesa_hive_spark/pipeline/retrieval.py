@@ -260,6 +260,7 @@ def build_bm25_index(
     text_col: str,
     path: str,
     n_buckets: int = 64,
+    positions: bool = False,
 ) -> dict:
     """Materialize a persistent BM25 inverted index — the stored-index
     philosophy of the reference's spatial layer (Z2 keys are computed
@@ -340,9 +341,34 @@ def build_bm25_index(
     # doc has NO postings rows but still counts), so maintain() after
     # deletes recomputes stats from here, exactly
     _write_docs_side(base, path, nb, mode="overwrite", gen=0)
+    if positions:
+        _write_positions(base, path, nb, mode="overwrite", gen=0)
+        stats["positions"] = True
     with open(os.path.join(path, "stats.json"), "w") as fh:
         json.dump(stats, fh)
     return stats
+
+
+def _write_positions(base: DataFrame, path: str, nb: int, mode: str,
+                     gen: int) -> None:
+    """Positional postings (round 13 — the Lucene-parity layer under
+    phrase queries): one row per (term, id) carrying the SORTED array
+    of token positions, bucket-partitioned exactly like ``postings/``
+    so a phrase query prunes to its terms' buckets. Kept as a SEPARATE
+    dataset so the non-positional postings layout — and every query
+    that doesn't need positions — is byte-identical to a
+    positions=False index."""
+    pos = (
+        base.select("id", F.posexplode("toks").alias("pos", "term"))
+        .groupBy("term", "id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"))
+        .withColumn("gen", F.lit(int(gen)))
+    )
+    pos.repartition(nb, "bucket").write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "positions"))
 
 
 def _write_docs_side(base: DataFrame, path: str, nb: int, mode: str,
@@ -425,6 +451,10 @@ def append_to_bm25_index(
         "bucket"
     ).parquet(os.path.join(path, "terms"))
     _write_docs_side(base, path, nb, mode="append", gen=g)
+    # a positional index stays positional: appended batches write their
+    # positions too, or phrase queries would silently miss them
+    if stats.get("positions"):
+        _write_positions(base, path, nb, mode="append", gen=g)
     stats["n_docs"] = int(stats["n_docs"]) + int(n_row["n"])
     stats["total_dl"] = int(stats["total_dl"]) + int(n_row["tot"] or 0)
     stats["gen"] = g
@@ -564,6 +594,25 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
         "files_after": index_io.n_part_files(term_dir),
     }
 
+    # positional postings (round 13) compact exactly like postings:
+    # tombstoned generations dropped, one file set per bucket
+    pos_dir = os.path.join(path, "positions")
+    if os.path.isdir(pos_dir):
+        before = index_io.n_part_files(pos_dir)
+        tmp = pos_dir + ".compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            _hide(spark.read.parquet(pos_dir))
+            .repartition(nb, "bucket")
+            .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        )
+        index_io.swap_dir(pos_dir, tmp)
+        report["positions"] = {
+            "files_before": before,
+            "files_after": index_io.n_part_files(pos_dir),
+        }
+
     n_tomb = 0
     if os.path.isdir(docs_dir):
         n_tomb = index_io.removed_ids_count(
@@ -620,20 +669,38 @@ def bm25_query_index(
     terms = _query_terms(query)
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
-    n_docs, nb = stats["n_docs"], stats["n_buckets"]
-    if n_docs == 0:
-        raise ValueError("index is empty")
-    avgdl = stats["total_dl"] / n_docs
-    # term→bucket computed by Spark itself on a literal frame (one
-    # tiny local-relation job): Python has no xxhash64 twin, and
-    # reimplementing it driver-side would be a silent-drift hazard
+    scored = _score_index_terms(spark, path, terms, stats, k1, b)
+    return scored.orderBy(F.col("score_micro").desc(), F.col("id")).limit(int(k))
+
+
+def _term_buckets(spark: SparkSession, terms: list, nb: int) -> list:
+    """term→bucket computed by Spark itself on a literal frame (one
+    tiny local-relation job): Python has no xxhash64 twin, and
+    reimplementing it driver-side would be a silent-drift hazard."""
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = sorted({
+    return sorted({
         r.b
         for r in tdf.select(
             F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int").alias("b")
         ).collect()
     })
+
+
+def _score_index_terms(spark: SparkSession, path: str, terms: list,
+                       stats: dict, k1: float, b: float,
+                       cand: DataFrame | None = None) -> DataFrame:
+    """The shared index-scoring block of :func:`bm25_query_index` and
+    :func:`bm25_phrase_query_index` (round 13 factoring — one copy of
+    the arithmetic, so term and phrase scoring can never drift):
+    bucket-pruned postings of ``terms`` (tombstones applied), Lucene
+    idf from the summed df rows, micro-unit contributions, per-doc
+    aggregate. ``cand`` (optional) restricts scoring to candidate ids
+    via a broadcast semi-join — the phrase filter."""
+    n_docs, nb = stats["n_docs"], stats["n_buckets"]
+    if n_docs == 0:
+        raise ValueError("index is empty")
+    avgdl = stats["total_dl"] / n_docs
+    buckets = _term_buckets(spark, terms, nb)
     term_tbl = (
         spark.read.parquet(os.path.join(path, "terms"))
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
@@ -677,7 +744,9 @@ def bm25_query_index(
             index_io.require_generation_column(post, "BM25 index"),
             tomb, "id",
         )
-    scored = (
+    if cand is not None:
+        post = post.join(F.broadcast(cand), "id", "left_semi")
+    return (
         post.withColumn("idf", idf_col)
         .withColumn("c", F.expr(contrib))
         .groupBy("id")
@@ -687,6 +756,89 @@ def bm25_query_index(
         )
         .withColumn("score", F.col("score_micro") / F.lit(float(_SCALE)))
     )
+
+
+def bm25_phrase_query_index(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact-phrase BM25 against a POSITIONAL index
+    (``build_bm25_index(..., positions=True)``) — Lucene-parity phrase
+    queries with NO text scan (round 13; :func:`bm25_phrase_topk` is
+    the scan-shaped twin this replaces for the indexed-once /
+    phrase-queried-many corpus):
+
+    1. the phrase's distinct terms name their buckets (partition
+       pruning — the only positional data read);
+    2. per candidate doc, the per-term position arrays pivot into one
+       map and adjacency is a native ``exists(pos[t0], p →
+       ∀i array_contains(pos[ti], p+i))`` — no Python, no join per
+       phrase term; a doc missing any term yields NULL and drops;
+    3. survivors are scored by the SHARED index scorer
+       (:func:`_score_index_terms` with the candidate semi-join) —
+       corpus-level df exactly like :func:`bm25_phrase_topk` (Lucene
+       semantics), so results are bit-identical to the scan twin on
+       the same corpus.
+
+    Tombstones apply to positions at query time like everywhere else;
+    appended batches carry their own positions; maintain() compacts
+    the positional dataset alongside postings."""
+    from geomesa_hive_spark.pipeline.text import word_tokens_py
+
+    ptoks = [t for t in word_tokens_py(phrase.lower()) if t]
+    if len(ptoks) < 2:
+        raise ValueError(
+            "phrase needs at least 2 tokens — use bm25_query_index")
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    if not stats.get("positions"):
+        raise ValueError(
+            "index has no positional postings — rebuild with "
+            "build_bm25_index(..., positions=True)"
+        )
+    terms = sorted(set(ptoks))
+    nb = int(stats["n_buckets"])
+    buckets = _term_buckets(spark, terms, nb)
+    pos = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        from geomesa_hive_spark.pipeline import index_io
+
+        pos = index_io.apply_tombstones(
+            index_io.require_generation_column(pos, "BM25 index"),
+            tomb, "id",
+        )
+    byid = pos.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "pos"))).alias("m")
+    )
+    # adjacency: some start position of the FIRST phrase token is
+    # followed by every later token at its offset. A doc missing a
+    # term gives getItem → NULL → array_contains/exists → NULL → the
+    # filter drops it, so term presence is implicit.
+    steps = [
+        (lambda t, i: (lambda p: F.array_contains(
+            F.col("m").getItem(t), p + F.lit(i))))(t, i)
+        for i, t in enumerate(ptoks[1:], start=1)
+    ]
+
+    def _adjacent(p):
+        c = steps[0](p)
+        for s in steps[1:]:
+            c = c & s(p)
+        return c
+
+    cand = byid.filter(
+        F.exists(F.col("m").getItem(ptoks[0]), _adjacent)
+    ).select("id")
+    scored = _score_index_terms(spark, path, terms, stats, k1, b, cand=cand)
     return scored.orderBy(F.col("score_micro").desc(), F.col("id")).limit(int(k))
 
 

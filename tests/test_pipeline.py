@@ -2866,6 +2866,87 @@ def test_bm25_phrase_adjacency(spark):
     assert bm25_phrase_topk(docs, "id", "text", "gamma alpha", k=5).count() == 0
 
 
+def test_bm25_positional_index_phrase(spark, tmp_path):
+    """Positional BM25 index (round 13): phrase queries answered from
+    stored term positions are bit-identical to the scan twin
+    bm25_phrase_topk on the same corpus; adjacency/order semantics
+    match exactly; the lifecycle keeps positions consistent (append
+    visible, delete hidden immediately, maintain compacts positions
+    and keeps results identical); phrase against a non-positional
+    index refuses loudly; repeated-token phrases work."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        append_to_bm25_index, bm25_phrase_query_index, bm25_phrase_topk,
+        build_bm25_index, delete_from_bm25_index, maintain_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma extra words here"),
+            (2, "x y alpha beta"),
+            (3, "beta alpha zz"),             # wrong order
+            (4, "alpha zz beta"),             # not adjacent
+            (5, "alpha beta alpha beta"),     # repeated phrase
+            (6, "nothing here at all"),
+            (7, "go go again"),               # repeated-token phrase doc
+            (8, "go stop go go"),
+        ],
+        "id long, text string",
+    )
+    path = str(tmp_path / "bm25pos")
+    st = build_bm25_index(docs, "id", "text", path, n_buckets=4,
+                          positions=True)
+    assert st["positions"] is True
+
+    def key(rows):
+        return [(r.id, r.matched_terms, r.score_micro) for r in rows]
+
+    got = key(bm25_phrase_query_index(spark, path, "alpha beta", k=10)
+              .collect())
+    want = key(bm25_phrase_topk(docs, "id", "text", "alpha beta", k=10)
+               .collect())
+    assert got == want and {g[0] for g in got} == {1, 2, 5}
+    # repeated-token phrase: 'go go' matches 7 (go go) and 8 (go go)
+    ids = {r.id for r in
+           bm25_phrase_query_index(spark, path, "go go", k=10).collect()}
+    assert ids == {7, 8}
+    # no candidates -> empty
+    assert bm25_phrase_query_index(spark, path, "gamma alpha", k=5)\
+        .count() == 0
+    with _pytest.raises(ValueError, match="at least 2"):
+        bm25_phrase_query_index(spark, path, "alpha", k=5)
+
+    # lifecycle: delete doc 2 -> hidden pre-maintain; maintain compacts
+    # positions and results are identical; append a new phrase doc
+    delete_from_bm25_index(
+        spark.createDataFrame([(2,)], "id long"), "id", path)
+    pre = [r.id for r in
+           bm25_phrase_query_index(spark, path, "alpha beta", k=10)
+           .collect()]
+    assert 2 not in pre
+    rep = maintain_bm25_index(spark, path)
+    assert "positions" in rep and rep["n_tombstones_applied"] == 1
+    post = [r.id for r in
+            bm25_phrase_query_index(spark, path, "alpha beta", k=10)
+            .collect()]
+    assert post == pre
+    append_to_bm25_index(
+        spark.createDataFrame([(9, "fresh alpha beta arrival")],
+                              "id long, text string"),
+        "id", "text", path)
+    ids2 = {r.id for r in
+            bm25_phrase_query_index(spark, path, "alpha beta", k=10)
+            .collect()}
+    assert 9 in ids2 and 2 not in ids2
+
+    # non-positional index refuses phrase queries loudly
+    p2 = str(tmp_path / "bm25nopos")
+    build_bm25_index(docs, "id", "text", p2, n_buckets=4)
+    with _pytest.raises(ValueError, match="positional"):
+        bm25_phrase_query_index(spark, p2, "alpha beta", k=5)
+
+
 def test_knn_index_filtered_semantics(spark, tmp_path):
     """knn_query_index(pre_filter=): top-k among ALLOWED vectors (a
     pre-filter), never a post-filter of the unfiltered top-k; with
