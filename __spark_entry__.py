@@ -6834,6 +6834,58 @@ _QSK_LO, _QSK_HI, _QSK_M = 0.0, 600000.0, 256
 _QSK_WB = (_QSK_HI - _QSK_LO) / _QSK_M  # 2343.75 — exact binary
 _QSK_QS = [250, 500, 750, 900, 990]
 
+_DD_STEP = 10_000
+_DD_QS = [250, 500, 900, 990]
+
+
+def q_sketch_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-free relative-error quantile sketch (round 13, pipeline/
+    sketches.py dd_sketch_build/merge/dd_quantile — DDSketch log
+    buckets, Masson et al. 2019): where the fixed grid needs a
+    caller-chosen [lo, hi) and resolution, this sketch buckets on
+    INTEGER micro-nats of |value| (floor(ln|x|·1e6 + 0.5) absorbs
+    cross-libm drift, the bucket index is a double-floor division by
+    the integer step — exact cross-engine), mirrors negatives into a
+    value-ordered BIGINT key, and guarantees relative error
+    ≤ e^(step/2e6) − 1 (0.5% at step 10 000) for ANY distribution —
+    the rank-adaptive answer a data-dependent KLL cannot give under
+    this repo's discipline (KLL's randomized merge is order-dependent:
+    merged ≡ built-direct would be unassertable and un-oracle-able).
+    The derived value mixes positives, negatives, and zeros; shards
+    (o_orderkey % 4) are SUM-merged and asserted in-query to equal the
+    built-direct sketch EXACTLY. Output: (grp, q_permille, side,
+    mid_mnat, est) — mid_mnat is the exact integer log-midpoint the
+    hash pins; est is the human-unit exp, rounded."""
+    from geomesa_hive_spark.pipeline import sketches as sk
+
+    o = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    v = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0))
+        .when(F.col("o_orderkey") % 3 == 0, -tp)
+        .otherwise(tp)
+    )
+    base = o.select(
+        F.col("o_orderstatus").alias("grp"), F.col("o_orderkey"),
+        v.alias("v"),
+    )
+    direct = sk.dd_sketch_build(base, ["grp"], "v", _DD_STEP)
+    sharded = sk.dd_sketch_build(
+        base.withColumn("shard", F.col("o_orderkey") % 4),
+        ["grp", "shard"], "v", _DD_STEP,
+    )
+    merged = sk.dd_sketch_merge(
+        sharded.drop("shard"), ["grp"]
+    ).localCheckpoint(eager=True)
+    # merged-over-shards ≡ built-direct, exactly (the mergeability claim)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    out = sk.dd_quantile(merged, ["grp"], _DD_QS, _DD_STEP)
+    return out.select(
+        "grp", "q_permille", "side", "mid_mnat",
+        F.round("est", 6).alias("est"),
+    )
+
 
 def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-grid mergeable quantile sketch (round 12, pipeline/
@@ -8540,6 +8592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": q_sketch_countmin,
         "sketch_hll": q_sketch_hll,
         "sketch_quantile": q_sketch_quantile,
+        "sketch_dd": q_sketch_dd,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
@@ -14563,6 +14616,63 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY pri DESC, o_orderkey
             LIMIT 500
+        """,
+        "sketch_dd": """
+            WITH src AS (
+              SELECT o_orderstatus AS grp,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+                          WHEN o_orderkey % 3 = 0
+                            THEN -CAST(o_totalprice AS DOUBLE)
+                          ELSE CAST(o_totalprice AS DOUBLE) END AS v
+              FROM orders
+            ), keyed AS (
+              SELECT grp,
+                     CASE WHEN v > 0 THEN 1000000000
+                            + CAST(floor(floor(ln(v) * 1000000 + 0.5)
+                                         / 10000.0) AS BIGINT)
+                          WHEN v < 0 THEN -(1000000000
+                            + CAST(floor(floor(ln(-v) * 1000000 + 0.5)
+                                         / 10000.0) AS BIGINT))
+                          ELSE 0 END AS bucket
+              FROM src WHERE v IS NOT NULL
+            ), b AS (
+              SELECT grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM keyed GROUP BY 1, 2
+            ), c AS (
+              SELECT grp, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+              FROM b
+            ), t AS (
+              SELECT grp, sum(cnt) AS n_total FROM b GROUP BY 1
+            ), r AS (
+              SELECT t.grp, qv.q_permille,
+                     greatest(CAST(floor(
+                       CAST(qv.q_permille * t.n_total + 999 AS DOUBLE)
+                       / 1000.0) AS BIGINT), 1) AS rnk
+              FROM t CROSS JOIN (
+                VALUES (250), (500), (900), (990)
+              ) AS qv(q_permille)
+            ), hit AS (
+              SELECT r.grp, r.q_permille, c.bucket
+              FROM r JOIN c
+                ON r.grp = c.grp AND c.cum >= r.rnk
+               AND c.cum - c.cnt < r.rnk
+            )
+            SELECT grp, CAST(q_permille AS INT) AS q_permille,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                             WHEN bucket > 0 THEN 1 ELSE -1 END AS INT)
+                     AS side,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                             ELSE (abs(bucket) - 1000000000) * 10000
+                                  + 5000 END AS BIGINT) AS mid_mnat,
+                   round(CASE WHEN bucket = 0 THEN 0.0
+                              WHEN bucket > 0 THEN exp(
+                                ((abs(bucket) - 1000000000) * 10000
+                                 + 5000) / 1000000.0)
+                              ELSE -exp(
+                                ((abs(bucket) - 1000000000) * 10000
+                                 + 5000) / 1000000.0) END, 6) AS est
+            FROM hit
         """,
         "sketch_quantile": f"""
             WITH src AS (

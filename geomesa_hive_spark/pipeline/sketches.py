@@ -27,6 +27,7 @@ __all__ = [
     "hll_build", "hll_merge", "hll_estimate", "hll_estimate_py",
     "quantile_sketch_build", "quantile_sketch_merge",
     "quantile_estimate", "quantile_estimate_py",
+    "dd_sketch_build", "dd_sketch_merge", "dd_quantile",
 ]
 
 
@@ -430,3 +431,154 @@ def quantile_estimate_py(
                 )
                 break
     return out
+
+
+# ---------------------------------------------------------------------------
+# DD (relative-error, log-bucket) quantile sketch — the RANGE-FREE rank
+# sketch next to the fixed-grid one (round 13). The fixed grid needs a
+# caller-chosen [lo, hi) and resolution; this sketch needs neither:
+# buckets are logarithmic in |value| (DDSketch, Masson et al. 2019 —
+# Datadog's production quantile sketch), so any positive/negative/zero
+# double lands in a bucket and the estimate carries a GUARANTEED
+# relative error of e^(step/2e6) − 1 (~0.5% at the default step).
+#
+# Why this and not KLL (the other standard rank sketch): KLL's
+# compactors keep/drop alternating items under a coin flip, so its
+# merge result depends on merge ORDER and randomness — merged-over-
+# shards ≡ built-direct (this repo's mergeability gate, and the
+# property that makes a sketch table trustworthy) is impossible to
+# assert for it, and a DuckDB oracle could not replay it. Log buckets
+# are a pure function of the value: counts merge by SUM, any partition
+# or merge order gives the SAME table, and the whole pipeline replays
+# in SQL.
+#
+# Cross-engine determinism discipline (the text_pmi/round-12 rules):
+# ln() is quantized to INTEGER micro-nats via floor(ln|x|·1e6 + 0.5)
+# before bucketing, absorbing cross-libm 1-ulp drift; the bucket index
+# divides that integer by the integer step through a DOUBLE floor
+# (exact — integer distances dwarf the division's rounding; integer
+# DIV is avoided because Spark and DuckDB disagree on negatives). The
+# bucket KEY is a single BIGINT that orders like the values:
+# negatives → −(10^9 + log-bucket of |x|), zero → 0, positives →
+# 10^9 + log-bucket (|ln·1e6| < 7.1e8 bounds the log-bucket under
+# 10^9 for any step ≥ 1).
+# ---------------------------------------------------------------------------
+
+_DD_BIG = 1_000_000_000
+
+
+def _dd_key(v: Column, step: int) -> Column:
+    def lb(mag: Column) -> Column:
+        mnat = F.floor(F.log(mag) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.floor(mnat / F.lit(float(int(step)))).cast("long")
+
+    return (
+        F.when(v > 0, F.lit(_DD_BIG) + lb(v))
+        .when(v < 0, -(F.lit(_DD_BIG) + lb(-v)))
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
+def dd_sketch_build(
+    df: DataFrame, group_cols: list[str], value_col,
+    step: int = 10_000,
+) -> DataFrame:
+    """(group..., bucket, cnt) — log-bucket counts per group. NULLs are
+    excluded (the fixed-grid convention); ``step`` is the bucket width
+    in micro-nats: relative error ≤ e^(step/2e6) − 1 (0.50% at the
+    default), buckets per decade ≈ ln(10)·1e6/step (~230)."""
+    if int(step) < 1:
+        raise ValueError(f"step must be >= 1 micro-nat, got {step}")
+    v = value_col if isinstance(value_col, Column) else F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, _dd_key(v, step).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def dd_sketch_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge by (group, bucket) SUM — exact, order-independent; also
+    rolls a finer grouping up to a coarser one (drop the finer col)."""
+    return (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def dd_quantile(
+    registers: DataFrame,
+    group_cols: list[str],
+    qs_permille: list[int],
+    step: int = 10_000,
+) -> DataFrame:
+    """(group..., q_permille, mid_mnat, est) per requested quantile —
+    the same integer-permille rank logic as :func:`quantile_estimate`
+    (rank = floor((q·N + 999)/1000.0), exact and engine-identical),
+    cumulative counts ordered by the value-ordered bucket key.
+    ``mid_mnat`` is the EXACT signed integer micro-nat midpoint of the
+    hit bucket (0 for the zero bucket) — the hash-stable answer;
+    ``est`` = sign · e^(mid_mnat/1e6) is the human-unit value (one
+    transcendental per output row; round it before hashing)."""
+    from pyspark.sql import Window
+
+    bad = [q for q in qs_permille if not 1 <= int(q) <= 1000]
+    if bad:
+        raise ValueError(f"q_permille must be in [1, 1000], got {bad}")
+    step = int(step)
+    spark = registers.sparkSession
+    qs = spark.createDataFrame(
+        [(int(q),) for q in qs_permille], "q_permille int"
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = registers.select(
+        *group_cols, "bucket", "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    )
+    tot = registers.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("long").alias("n_total")
+    )
+    ranked = tot.join(F.broadcast(qs)).withColumn(
+        "rank",
+        F.greatest(
+            F.floor((F.col("q_permille").cast("bigint") * F.col("n_total")
+                     + F.lit(999)).cast("double") / F.lit(1000.0))
+            .cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+    # fresh attribute ids on the ranked side (both sides derive from
+    # the SAME registers frame — the quantile_estimate alias rule)
+    ranked = ranked.select(
+        *[F.col(c).alias(f"__rk_{c}") for c in group_cols],
+        "q_permille", "rank",
+    )
+    cond = None
+    for c in group_cols:
+        eq = cum[c].eqNullSafe(ranked[f"__rk_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    hit = (cum.join(ranked, cond) if cond is not None
+           else cum.join(ranked)).filter(
+        (F.col("cum") >= F.col("rank"))
+        & (F.col("cum") - F.col("cnt") < F.col("rank"))
+    )
+    # mid_mnat is the LOG-midpoint of |value| (negative for |x| < 1);
+    # side carries the VALUE sign — the two must not be conflated
+    lb = F.abs(F.col("bucket")) - F.lit(_DD_BIG)
+    mid = (lb * F.lit(step) + F.lit(step // 2)).cast("long")
+    zero = F.col("bucket") == 0
+    side = F.when(zero, F.lit(0)).otherwise(
+        F.signum(F.col("bucket")).cast("int"))
+    mid_mnat = F.when(zero, F.lit(0).cast("long")).otherwise(mid)
+    est = (
+        F.when(zero, F.lit(0.0))
+        .otherwise(
+            F.signum(F.col("bucket"))
+            * F.exp(mid.cast("double") / F.lit(1e6))
+        )
+    )
+    return hit.select(
+        *group_cols, "q_permille", side.alias("side"),
+        mid_mnat.alias("mid_mnat"), est.alias("est"),
+    )
