@@ -48,7 +48,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-__all__ = ["MorDataSource"]
+__all__ = ["MorDataSource", "last_maintenance_report"]
 
 
 _PA_TO_DDL = {
@@ -1073,6 +1073,110 @@ class _MorStreamWriter(_MorWriterBase, DataSourceStreamArrowWriter):
         self._abort_job()
 
 
+class _MorMaintenanceWriter(DataSourceArrowWriter):
+    """Maintenance THROUGH the format API (round 13 — so a morlake
+    user never drops to sources/manifest.py internals)::
+
+        spark.range(0).write.format("morlake") \\
+            .option("path", p).option("key", k) \\
+            .option("action", "maintain").mode("append").save()
+
+    ``action`` ∈ {maintain, checkpoint, vacuum} with the matching
+    knobs as options (``checkpoint_after``, ``n_files``,
+    ``remove_orphans``, ``orphan_min_age_s``). The input DataFrame
+    must be EMPTY (``spark.range(0)``) — rows in a maintenance write
+    are refused loudly rather than silently dropped; the action runs
+    DRIVER-side in ``commit()`` (same place the data writers claim
+    their commit seq), under the same single-maintainer contract as
+    calling maintain()/checkpoint()/vacuum() directly. The report is
+    persisted to ``<path>/_last_maintenance.json`` (the writer API
+    cannot return a value) — read it back with
+    :func:`last_maintenance_report`."""
+
+    _ACTIONS = ("maintain", "checkpoint", "vacuum")
+
+    def __init__(self, options):
+        self.path = _local_path(options.get("path"))
+        if not self.path:
+            raise ValueError("morlake requires .option('path', ...)")
+        self.action = str(options.get("action", "")).lower()
+        if self.action not in self._ACTIONS:
+            raise ValueError(
+                f"morlake maintenance action must be one of "
+                f"{self._ACTIONS}, got {self.action!r}"
+            )
+        self.key = options.get("key")
+        if self.action in ("maintain", "checkpoint") and not self.key:
+            raise ValueError(
+                f"morlake action {self.action!r} requires "
+                ".option('key', ...) (the checkpoint clusters on it)"
+            )
+        self.checkpoint_after = int(options.get("checkpoint_after", 8))
+        self.n_files = int(options.get("n_files", 16))
+        self.remove_orphans = (
+            str(options.get("remove_orphans", "false")).lower() == "true"
+        )
+        self.orphan_min_age_s = float(options.get("orphan_min_age_s", 0.0))
+
+    def write(self, iterator):
+        n = 0
+        for b in iterator:
+            n += b.num_rows
+        if n:
+            raise ValueError(
+                "morlake maintenance actions take an EMPTY DataFrame "
+                "(spark.range(0)): rows in a maintenance write would "
+                "be silently discarded — append data with a separate "
+                "write without the 'action' option"
+            )
+        return _WMsg(file="", n_up=0, n_del=0)
+
+    def commit(self, messages):
+        from pyspark.sql import SparkSession
+
+        from geomesa_hive_spark.sources import manifest as M
+
+        # commit() can run on a driver thread with no ACTIVE session
+        # bound (observed under the v2 write path); fall back to the
+        # already-instantiated session — never creates a new one here
+        spark = (SparkSession.getActiveSession()
+                 or SparkSession.builder.getOrCreate())
+        if self.action == "maintain":
+            rep = M.maintain(
+                spark, self.path, self.key,
+                checkpoint_after=self.checkpoint_after,
+                remove_orphans=self.remove_orphans,
+            )
+        elif self.action == "checkpoint":
+            rep = M.checkpoint(
+                spark, self.path, self.key, n_files=self.n_files)
+        else:
+            rep = M.vacuum(
+                self.path, remove_orphans=self.remove_orphans,
+                orphan_min_age_s=self.orphan_min_age_s,
+            )
+        tmp = os.path.join(self.path, "_last_maintenance.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"action": self.action, "report": rep}, fh,
+                      default=str)
+        os.replace(tmp, os.path.join(self.path, "_last_maintenance.json"))
+
+    def abort(self, messages):
+        pass
+
+
+def last_maintenance_report(path: str) -> dict | None:
+    """The report of the most recent format-API maintenance action on
+    the table at ``path`` (written by :class:`_MorMaintenanceWriter` —
+    the DataSource writer API has no return channel), or None if no
+    maintenance action has run through the format API."""
+    f = os.path.join(_local_path(path), "_last_maintenance.json")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
 class MorDataSource(DataSource):
     """spark.read/readStream ``format("morlake")`` — see module doc."""
 
@@ -1133,11 +1237,16 @@ class MorDataSource(DataSource):
         return _MorStreamReader(self.options, self._fields())
 
     def writer(self, schema, overwrite: bool):
+        if self.options.get("action"):
+            # maintenance THROUGH the format API — see
+            # _MorMaintenanceWriter; mode is irrelevant (no data lands)
+            return _MorMaintenanceWriter(self.options)
         if overwrite:
             raise ValueError(
                 "morlake writes are append-only delta commits; an MOR "
                 "'overwrite' is a base rewrite — use compact()/"
-                "checkpoint() for that"
+                "checkpoint() for that (or the format-API maintenance "
+                "action: .option('action', 'checkpoint'))"
             )
         return _MorBatchWriter(self.options)
 

@@ -3545,3 +3545,92 @@ def test_incremental_quantile_sketch_ivm(spark, tmp_path):
             spark, path, "k", "g", "v",
             v0.filter(F.lit(False)), 0, LO, HI, M,
         ).collect()
+
+
+def test_morlake_maintenance_through_format_api(spark, tmp_path):
+    """Round 13: the full maintenance lifecycle driven PURELY through
+    the format API — the DataSource user never imports
+    sources/manifest: data commits via df.write.format('morlake'),
+    then .option('action', 'maintain'|'checkpoint'|'vacuum') on an
+    EMPTY DataFrame runs the maintenance driver-side. Asserts:
+    below-threshold maintain is a no-op peek; at-threshold maintain
+    checkpoints + vacuums folded commits; snapshot reads through the
+    format stay correct across the whole cycle; the persisted report
+    is readable; rows in a maintenance write / missing key / unknown
+    action are refused."""
+    import os
+
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.datasource import (
+        MorDataSource, last_maintenance_report,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    path = str(tmp_path / "mmaint")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).write.mode("overwrite").parquet(path)
+    assert last_maintenance_report(path) is None
+
+    def commit(rows):
+        (spark.createDataFrame(rows, "k long, v double")
+         .write.format("morlake").mode("append")
+         .option("path", path).option("key", "k").save())
+
+    def act(action, **opts):
+        w = (spark.range(0).write.format("morlake").mode("append")
+             .option("path", path).option("key", "k")
+             .option("action", action))
+        for kk, vv in opts.items():
+            w = w.option(kk, str(vv))
+        w.save()
+        return last_maintenance_report(path)
+
+    for i in range(3):
+        commit([(i, 100.0 + i), (100 + i, float(100 + i))])
+    # below threshold: metadata peek only
+    rep = act("maintain", checkpoint_after=8)
+    assert rep["action"] == "maintain"
+    assert rep["report"]["checkpointed"] is False
+    assert rep["report"]["pending_commits"] == 3
+    assert not os.path.isdir(os.path.join(path, "_checkpoints"))
+
+    for i in range(3, 9):
+        commit([(i, 100.0 + i)])
+    rep = act("maintain", checkpoint_after=8)
+    assert rep["report"]["checkpointed"] is True
+    assert rep["report"]["vacuum"] is not None
+    assert os.path.isdir(os.path.join(path, "_checkpoints"))
+
+    # snapshot through the format API reflects everything
+    got = {r.k: r.v for r in
+           spark.read.format("morlake").option("path", path)
+           .option("key", "k").load().collect()}
+    assert got[0] == 100.0 and got[8] == 108.0 and got[102] == 102.0
+    assert len(got) == 23
+
+    # explicit checkpoint + vacuum actions also work standalone
+    commit([(50, 50.5)])
+    rep = act("checkpoint", n_files=4)
+    assert rep["action"] == "checkpoint"
+    rep = act("vacuum")
+    assert rep["action"] == "vacuum"
+    got2 = {r.k: r.v for r in
+            spark.read.format("morlake").option("path", path)
+            .option("key", "k").load().collect()}
+    assert got2[50] == 50.5 and len(got2) == 24
+
+    # refusals: rows in a maintenance write, missing key, bad action
+    with _pytest.raises(Exception, match="EMPTY"):
+        (spark.createDataFrame([(1, 1.0)], "k long, v double")
+         .write.format("morlake").mode("append")
+         .option("path", path).option("key", "k")
+         .option("action", "maintain").save())
+    with _pytest.raises(Exception, match="requires"):
+        (spark.range(0).write.format("morlake").mode("append")
+         .option("path", path).option("action", "checkpoint").save())
+    with _pytest.raises(Exception, match="action"):
+        (spark.range(0).write.format("morlake").mode("append")
+         .option("path", path).option("key", "k")
+         .option("action", "optimize").save())
