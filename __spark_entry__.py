@@ -2958,6 +2958,164 @@ def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 SHAPE over the TPC-H tables (round 13 — adversarial
+    SQL-shape coverage for ROLLUP + grouping() + windowed rank beyond
+    the TPC-H suite): gross-margin rollup over (p_brand, p_type) with
+    the classic lochierarchy = grouping(a)+grouping(b) level column
+    and RANK() partitioned by (level, CASE WHEN grouping(type)=0 THEN
+    brand END) — the q36 idiom that distinguishes a rolled-up NULL from
+    a data NULL. Revenue/qty quantized to integer cents per line
+    (round(x·100) — identical IEEE products and half-away rounding in
+    both engines) so every aggregate is an exact BIGINT; NULLS FIRST
+    spelled explicitly (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    LAST)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("ds36_li")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("ds36_p")
+    return spark.sql("""
+        WITH agg AS (
+          SELECT p_brand, p_type,
+                 CAST(grouping(p_brand) + grouping(p_type) AS INT)
+                   AS lochierarchy,
+                 CAST(grouping(p_type) AS INT) AS g_type,
+                 CAST(sum(CAST(round(l_extendedprice * (1.0D - l_discount)
+                                     * 100.0D) AS BIGINT)) AS BIGINT)
+                   AS rev_cents,
+                 CAST(sum(CAST(round(l_quantity * 100.0D) AS BIGINT))
+                   AS BIGINT) AS qty_cents
+          FROM ds36_li JOIN ds36_p ON l_partkey = p_partkey
+          GROUP BY ROLLUP (p_brand, p_type)
+        )
+        SELECT p_brand, p_type, lochierarchy,
+               round(CAST(rev_cents AS DOUBLE)
+                     / CAST(qty_cents AS DOUBLE), 6) AS margin,
+               CAST(rank() OVER (
+                 PARTITION BY lochierarchy,
+                              CASE WHEN g_type = 0 THEN p_brand END
+                 ORDER BY rev_cents DESC,
+                          p_brand ASC NULLS FIRST,
+                          p_type ASC NULLS FIRST
+               ) AS INT) AS rk,
+               rev_cents
+        FROM agg
+    """)
+
+
+def q_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 SHAPE over events (round 13): two per-(band, day)
+    cumulative series (click vs purchase channels) FULL OUTER JOINed
+    on their keys, then RUNNING MAX over the joined frame and the
+    crossover filter web_run > store_run — the windowed-cumulative-
+    over-outer-join pattern (a window above a join above windows).
+    All sums integer cents, day = floor(epoch/86400) (unix_timestamp
+    floors in Spark; epoch() is floored explicitly in the oracle);
+    max() OVER ignores NULLs identically in both engines and a NULL
+    comparison drops the row in both."""
+    _events(spark, sf_dir).createOrReplaceTempView("ds51_e")
+    return spark.sql("""
+        WITH e AS (
+          SELECT CAST(user_id % 25 AS INT) AS band,
+                 CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT) AS d,
+                 event_type,
+                 CAST(round(value * 100.0D) AS BIGINT) AS cents
+          FROM ds51_e
+        ), web AS (
+          SELECT band, d, CAST(sum(cents) AS BIGINT) AS s
+          FROM e WHERE event_type = 'click' GROUP BY band, d
+        ), store AS (
+          SELECT band, d, CAST(sum(cents) AS BIGINT) AS s
+          FROM e WHERE event_type = 'purchase' GROUP BY band, d
+        ), wc AS (
+          SELECT band, d,
+                 CAST(sum(s) OVER (PARTITION BY band ORDER BY d)
+                      AS BIGINT) AS cum
+          FROM web
+        ), sc AS (
+          SELECT band, d,
+                 CAST(sum(s) OVER (PARTITION BY band ORDER BY d)
+                      AS BIGINT) AS cum
+          FROM store
+        ), j AS (
+          SELECT coalesce(wc.band, sc.band) AS band,
+                 coalesce(wc.d, sc.d) AS d,
+                 wc.cum AS web_cum, sc.cum AS store_cum
+          FROM wc FULL OUTER JOIN sc
+            ON wc.band = sc.band AND wc.d = sc.d
+        ), x AS (
+          SELECT band, d,
+                 CAST(max(web_cum) OVER (PARTITION BY band ORDER BY d)
+                      AS BIGINT) AS web_run,
+                 CAST(max(store_cum) OVER (PARTITION BY band ORDER BY d)
+                      AS BIGINT) AS store_run
+          FROM j
+        )
+        SELECT band, d, web_run, store_run
+        FROM x WHERE web_run > store_run
+    """)
+
+
+def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 SHAPE (round 13): three-level ROLLUP(p_brand, p_type,
+    p_size) quantity totals, RANK() within the p_brand partition across
+    ALL rollup levels at once (the q67 idiom — subtotal rows compete
+    with detail rows, and the NULL-brand grand-total rows form their
+    own partition), top-10 kept. Integer-cent sums; unique rollup
+    combinations + explicit NULLS FIRST tiebreaks make every rank
+    deterministic."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("ds67_li")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("ds67_p")
+    return spark.sql("""
+        WITH agg AS (
+          SELECT p_brand, p_type, p_size,
+                 CAST(sum(CAST(round(l_quantity * 100.0D) AS BIGINT))
+                      AS BIGINT) AS qty_cents
+          FROM ds67_li JOIN ds67_p ON l_partkey = p_partkey
+          GROUP BY ROLLUP (p_brand, p_type, p_size)
+        ), rk AS (
+          SELECT p_brand, p_type, p_size, qty_cents,
+                 CAST(rank() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY qty_cents DESC,
+                            p_type ASC NULLS FIRST,
+                            p_size ASC NULLS FIRST
+                 ) AS INT) AS rk
+          FROM agg
+        )
+        SELECT p_brand, p_type, p_size, qty_cents, rk
+        FROM rk WHERE rk <= 10
+    """)
+
+
+def q_tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5 SHAPE (round 13): per-channel profit-and-loss rollup —
+    lineitem split into a sales channel and a returns channel
+    (l_returnflag), amounts and fees quantized to integer cents,
+    ROLLUP(channel, l_linestatus) with grouping() flags and a derived
+    profit = amt − fee — the multi-channel union-then-rollup report
+    shape. Exact BIGINT aggregates throughout."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("ds5_li")
+    return spark.sql("""
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 'return_channel'
+                      ELSE 'sales_channel' END AS channel,
+                 l_linestatus AS grp,
+                 CAST(round(l_extendedprice * (1.0D - l_discount)
+                            * 100.0D) AS BIGINT) AS amt,
+                 CAST(round(l_extendedprice * l_tax * 100.0D)
+                      AS BIGINT) AS fee
+          FROM ds5_li
+        )
+        SELECT channel, grp,
+               CAST(grouping(channel) AS INT) AS g_ch,
+               CAST(grouping(grp) AS INT) AS g_grp,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(amt) AS BIGINT) AS amt_cents,
+               CAST(sum(fee) AS BIGINT) AS fee_cents,
+               CAST(sum(amt) - sum(fee) AS BIGINT) AS profit_cents
+        FROM base GROUP BY ROLLUP (channel, grp)
+    """)
+
+
 def q_relational_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning over a star-schema join (round 12 —
     the Spark-native 100 TB mechanism source_partitioned's STATIC
@@ -8463,6 +8621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_setops_all": q_relational_setops_all,
         "source_partitioned": q_source_partitioned,
         "relational_dpp": q_relational_dpp,
+        "tpcds_q36": q_tpcds_q36,
+        "tpcds_q51": q_tpcds_q51,
+        "tpcds_q67": q_tpcds_q67,
+        "tpcds_q5": q_tpcds_q5,
         "pipeline_token_budget": q_pipeline_token_budget,
         "setop_customers": q_setop_customers,
         "window_top_orders": q_window_top_orders,
@@ -11549,6 +11711,113 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INTEGER) AS n_vertices,
                    round(abs(sum(x * yn - xn * y)) / 2.0, 4) AS hull_area
             FROM ring GROUP BY g
+        """,
+        "tpcds_q36": """
+            WITH agg AS (
+              SELECT p_brand, p_type,
+                     CAST(grouping(p_brand) + grouping(p_type) AS INT)
+                       AS lochierarchy,
+                     CAST(grouping(p_type) AS INT) AS g_type,
+                     CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                         * 100.0) AS BIGINT)) AS BIGINT)
+                       AS rev_cents,
+                     CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT))
+                       AS BIGINT) AS qty_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY ROLLUP (p_brand, p_type)
+            )
+            SELECT p_brand, p_type, lochierarchy,
+                   round(CAST(rev_cents AS DOUBLE)
+                         / CAST(qty_cents AS DOUBLE), 6) AS margin,
+                   CAST(rank() OVER (
+                     PARTITION BY lochierarchy,
+                                  CASE WHEN g_type = 0 THEN p_brand END
+                     ORDER BY rev_cents DESC,
+                              p_brand ASC NULLS FIRST,
+                              p_type ASC NULLS FIRST
+                   ) AS INT) AS rk,
+                   rev_cents
+            FROM agg
+        """,
+        "tpcds_q51": """
+            WITH e AS (
+              SELECT CAST(user_id % 25 AS INT) AS band,
+                     CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+                     event_type,
+                     CAST(round(value * 100.0) AS BIGINT) AS cents
+              FROM events
+            ), web AS (
+              SELECT band, d, CAST(sum(cents) AS BIGINT) AS s
+              FROM e WHERE event_type = 'click' GROUP BY band, d
+            ), store AS (
+              SELECT band, d, CAST(sum(cents) AS BIGINT) AS s
+              FROM e WHERE event_type = 'purchase' GROUP BY band, d
+            ), wc AS (
+              SELECT band, d,
+                     CAST(sum(s) OVER (PARTITION BY band ORDER BY d)
+                          AS BIGINT) AS cum
+              FROM web
+            ), sc AS (
+              SELECT band, d,
+                     CAST(sum(s) OVER (PARTITION BY band ORDER BY d)
+                          AS BIGINT) AS cum
+              FROM store
+            ), j AS (
+              SELECT coalesce(wc.band, sc.band) AS band,
+                     coalesce(wc.d, sc.d) AS d,
+                     wc.cum AS web_cum, sc.cum AS store_cum
+              FROM wc FULL OUTER JOIN sc
+                ON wc.band = sc.band AND wc.d = sc.d
+            ), x AS (
+              SELECT band, d,
+                     CAST(max(web_cum) OVER (PARTITION BY band ORDER BY d)
+                          AS BIGINT) AS web_run,
+                     CAST(max(store_cum) OVER (PARTITION BY band ORDER BY d)
+                          AS BIGINT) AS store_run
+              FROM j
+            )
+            SELECT band, d, web_run, store_run
+            FROM x WHERE web_run > store_run
+        """,
+        "tpcds_q67": """
+            WITH agg AS (
+              SELECT p_brand, p_type, p_size,
+                     CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT))
+                          AS BIGINT) AS qty_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY ROLLUP (p_brand, p_type, p_size)
+            ), rk AS (
+              SELECT p_brand, p_type, p_size, qty_cents,
+                     CAST(rank() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY qty_cents DESC,
+                                p_type ASC NULLS FIRST,
+                                p_size ASC NULLS FIRST
+                     ) AS INT) AS rk
+              FROM agg
+            )
+            SELECT p_brand, p_type, p_size, qty_cents, rk
+            FROM rk WHERE rk <= 10
+        """,
+        "tpcds_q5": """
+            WITH base AS (
+              SELECT CASE WHEN l_returnflag = 'R' THEN 'return_channel'
+                          ELSE 'sales_channel' END AS channel,
+                     l_linestatus AS grp,
+                     CAST(round(l_extendedprice * (1.0 - l_discount)
+                                * 100.0) AS BIGINT) AS amt,
+                     CAST(round(l_extendedprice * l_tax * 100.0)
+                          AS BIGINT) AS fee
+              FROM lineitem
+            )
+            SELECT channel, grp,
+                   CAST(grouping(channel) AS INT) AS g_ch,
+                   CAST(grouping(grp) AS INT) AS g_grp,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(amt) AS BIGINT) AS amt_cents,
+                   CAST(sum(fee) AS BIGINT) AS fee_cents,
+                   CAST(sum(amt) - sum(fee) AS BIGINT) AS profit_cents
+            FROM base GROUP BY ROLLUP (channel, grp)
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
