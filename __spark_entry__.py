@@ -1475,6 +1475,38 @@ def q_spatial_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         uninstall(spark)
 
 
+def q_spatial_area_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 ellipsoidal polygon area — st_areaSpheroid (round 13,
+    geom/geodesy.py area_spheroid: the PostGIS-geography ST_Area role;
+    the reference's st_area is planar JTS,
+    spatial/src/main/scala/.../package.scala). Edges are plate-carrée
+    straight lines, so a meridian/parallel-bounded quadrangle — the
+    classical geodesy cell — has the EXACT closed form
+    Δλ·(F(φn) − F(φs)) with F the antiderivative of the WGS84 area
+    element, which is precisely what the oracle replays (Python-folded
+    b²/2, e, e² constants; libm-ln drift absorbed by km² rounding).
+    General polygons integrate slanted edges with a fixed 8-point
+    Gauss–Legendre rule (pytest pins convergence + the hole/multipart
+    algebra)."""
+    register_all(spark)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    cx = ((F.col("o_orderkey") * F.lit(6211)) % F.lit(32000)) / 100.0 - 160.0
+    cy = ((F.col("o_custkey") * F.lit(5003)) % F.lit(15000)) / 100.0 - 75.0
+    w = (F.col("o_orderkey") % F.lit(40)).cast("double") / 10.0 + 2.0
+    h = (F.col("o_custkey") % F.lit(25)).cast("double") / 10.0 + 1.5
+    g = _call(
+        "st_extenttogeom",
+        _call("st_makeextent", cx - w / 2.0, cy - h / 2.0,
+              cx + w / 2.0, cy + h / 2.0),
+    )
+    df = o.withColumn("geom", g)
+    area = _call("st_areaspheroid", F.col("geom"))
+    return df.select(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.round(area / F.lit(1e6), 4).alias("area_km2"),
+    )
+
+
 def q_spatial_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec round-trips hash-verified end to end: WKT (ST_AsText →
     ST_GeomFromWKT), WKB (ST_AsBinary → ST_GeomFromWKB), GeoJSON
@@ -8561,6 +8593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_sql_join": q_spatial_sql_join,
+        "spatial_area_spheroid": q_spatial_area_spheroid,
         "spatial_reproject_utm": q_spatial_reproject_utm,
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_reproject_aea": q_spatial_reproject_aea,
@@ -11679,6 +11712,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         # point strictly inside the .005-offset box = st_within
+        # closed-form ellipsoidal quadrangle area: Δλ·(F(φn) − F(φs)),
+        # F = WGS84 area-element antiderivative, constants Python-folded
+        "spatial_area_spheroid": """
+            WITH b AS (
+              SELECT o_orderkey,
+                     ((o_orderkey * 6211) % 32000) / 100.0 - 160.0 AS cx,
+                     ((o_custkey * 5003) % 15000) / 100.0 - 75.0 AS cy,
+                     (o_orderkey % 40) / 10.0 + 2.0 AS w,
+                     (o_custkey % 25) / 10.0 + 1.5 AS h
+              FROM orders WHERE o_orderkey <= 2000
+            ), s AS (
+              SELECT o_orderkey,
+                     radians(CAST(cx + w / 2.0 AS DOUBLE))
+                       - radians(CAST(cx - w / 2.0 AS DOUBLE)) AS dlam,
+                     sin(radians(CAST(cy + h / 2.0 AS DOUBLE))) AS sn,
+                     sin(radians(CAST(cy - h / 2.0 AS DOUBLE))) AS ss
+              FROM b
+            )
+            SELECT o_orderkey,
+                   round(dlam * (
+                     20204149992330.723 * (sn / (1.0 - 0.0066943799901413165 * sn * sn)
+                                + ln((1.0 + 0.08181919084262149 * sn)
+                                     / (1.0 - 0.08181919084262149 * sn)) / 0.16363838168524297)
+                     - 20204149992330.723 * (ss / (1.0 - 0.0066943799901413165 * ss * ss)
+                                  + ln((1.0 + 0.08181919084262149 * ss)
+                                       / (1.0 - 0.08181919084262149 * ss)) / 0.16363838168524297)
+                   ) / 1000000.0, 4) AS area_km2
+            FROM s
+        """,
         "spatial_sql_join": f"""
             SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
             FROM customer

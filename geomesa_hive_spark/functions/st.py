@@ -806,6 +806,14 @@ _reg(
     "st_lengthspheroid",
     g2scalar_udf(lambda g: float(geodesy.length_spheroid(g)), T.DoubleType()),
 )
+# round 13: WGS84 ellipsoidal polygon area in m² (PostGIS geography
+# ST_Area's role — the one commonly-hit geography measure with no
+# counterpart until now; reference st_area is planar JTS). Plate-carrée
+# edge semantics, exact on meridian/parallel quadrangles.
+_reg(
+    "st_areaspheroid",
+    g2scalar_udf(lambda g: float(geodesy.area_spheroid(g)), T.DoubleType()),
+)
 
 
 def _azimuth_udf(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -1205,3 +1205,66 @@ def test_aeqd_true_center_distance_and_roundtrip():
     assert np.abs(rt - pts).max() < 1e-8
     o = P.aeqd_forward(np.array([[5.0, 52.0]]), p)
     assert abs(o[0, 0]) < 1e-9 and abs(o[0, 1]) < 1e-9
+
+
+def test_area_spheroid_quadrangle_closed_form_and_gl():
+    """area_spheroid (round 13): (1) meridian/parallel quadrangles
+    match the textbook closed form to float precision; (2) slanted
+    edges (triangles) converge — the fixed 8-point Gauss–Legendre
+    matches a dense trapezoid integration of the same integrand to
+    ~1e-12 relative; (3) holes subtract exactly and multipolygons sum;
+    (4) near-full-earth box recovers the WGS84 surface area; (5)
+    non-areal geometry is 0."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import from_wkt
+    from geomesa_hive_spark.geom.geodesy import (
+        _area_antideriv, area_spheroid,
+    )
+
+    # (1) closed form on boxes at several latitudes incl. southern
+    for (x0, y0, x1, y1) in [(10, 20, 30, 32), (-170, -80, -150, -60),
+                             (0, -5, 1, 5), (100, 60, 140, 85)]:
+        g = from_wkt(f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                     f"{x0} {y1}, {x0} {y0}))")
+        exact = (math.radians(x1 - x0)
+                 * (_area_antideriv(math.sin(math.radians(y1)))
+                    - _area_antideriv(math.sin(math.radians(y0)))))
+        got = area_spheroid(g)
+        assert abs(got - exact) / exact < 1e-12, (x0, y0, x1, y1)
+
+    # (2) slanted edges: triangle vs dense trapezoid of F(phi(lam))
+    tri = from_wkt("POLYGON ((0 0, 40 10, 20 50, 0 0))")
+    got = area_spheroid(tri)
+
+    def edge_num(lam1, phi1, lam2, phi2, n=200000):
+        lams = np.linspace(math.radians(lam1), math.radians(lam2), n)
+        phis = np.linspace(math.radians(phi1), math.radians(phi2), n)
+        f = np.array([_area_antideriv(math.sin(p)) for p in phis])
+        return np.trapz(f, lams)
+
+    num = abs(edge_num(0, 0, 40, 10) + edge_num(40, 10, 20, 50)
+              + edge_num(20, 50, 0, 0))
+    assert abs(got - num) / num < 1e-9, (got, num)
+
+    # (3) holes and multiparts
+    outer = "0 0, 10 0, 10 10, 0 10, 0 0"
+    hole = "2 2, 4 2, 4 4, 2 4, 2 2"
+    a_outer = area_spheroid(from_wkt(f"POLYGON (({outer}))"))
+    a_hole = area_spheroid(from_wkt(f"POLYGON (({hole}))"))
+    a_with = area_spheroid(from_wkt(f"POLYGON (({outer}), ({hole}))"))
+    assert abs(a_with - (a_outer - a_hole)) < 1e-3
+    a_multi = area_spheroid(from_wkt(
+        f"MULTIPOLYGON ((({outer})), (({hole})))"))
+    assert abs(a_multi - (a_outer + a_hole)) < 1e-3
+
+    # (4) near-full earth ≈ WGS84 surface area 5.100657e14 m²
+    g = from_wkt("POLYGON ((-180 -90, 180 -90, 180 90, -180 90, "
+                 "-180 -90))")
+    assert abs(area_spheroid(g) - 5.100657e14) / 5.100657e14 < 1e-4
+
+    # (5) non-areal
+    assert area_spheroid(from_wkt("LINESTRING (0 0, 10 10)")) == 0.0
+    assert area_spheroid(from_wkt("POINT (1 2)")) == 0.0
