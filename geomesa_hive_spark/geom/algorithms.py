@@ -1196,25 +1196,16 @@ def convex_hull_of_coords(xy: np.ndarray) -> Geometry:
     def half(points):
         # pop on non-left turns, decided by the filtered-exact orient
         # (round 13): float-only cross products can keep a concave
-        # vertex on near-collinear adversaries; the A-filter keeps the
-        # fast path inline and the exact fallback fires only inside
-        # the ambiguity band
+        # vertex on near-collinear adversaries; orient's A-filter keeps
+        # the common case on the float fast path
         h: list[np.ndarray] = []
         for p in points:
-            while len(h) >= 2:
-                ax, ay = float(h[-2][0]), float(h[-2][1])
-                bx, by = float(h[-1][0]), float(h[-1][1])
-                detl = (bx - ax) * (float(p[1]) - ay)
-                detr = (by - ay) * (float(p[0]) - ax)
-                det = detl - detr
-                if abs(det) > _CCW_ERRBOUND_A * (abs(detl) + abs(detr)):
-                    turn = 1 if det > 0.0 else -1
-                else:
-                    turn = orient(ax, ay, bx, by, float(p[0]), float(p[1]))
-                if turn <= 0:
-                    h.pop()
-                else:
-                    break
+            while len(h) >= 2 and orient(
+                float(h[-2][0]), float(h[-2][1]),
+                float(h[-1][0]), float(h[-1][1]),
+                float(p[0]), float(p[1]),
+            ) <= 0:
+                h.pop()
             h.append(p)
         return h
 

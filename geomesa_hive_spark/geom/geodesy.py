@@ -22,6 +22,7 @@ __all__ = [
     "vincenty_m",
     "length_spheroid",
     "length_sphere",
+    "area_spheroid",
     "buffer_point",
 ]
 

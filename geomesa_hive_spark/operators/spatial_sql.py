@@ -448,16 +448,75 @@ _SP_JOIN_DW = re.compile(
     rf"\s*\))",
     re.IGNORECASE,
 )
-_J_TAIL_OK = re.compile(
+_J_CLAUSE_KW = re.compile(
+    r"^(?:WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT|INTERSECT"
+    r"|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|WINDOW)$",
+    re.IGNORECASE,
+)
+_STAR_SELECT = re.compile(
+    rf"(?:\bSELECT\s+(?:ALL\s+|DISTINCT\s+)?|,\s*)(?:{_SEG}\s*\.\s*)?\*",
+    re.IGNORECASE,
+)
+_SQL_COMMENT = re.compile(r"/\*.*?\*/|--[^\n]*", re.DOTALL)
+_J_TAIL_HEAD = re.compile(
     r"^\s*(?:$|;|\)|AND\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|HAVING\b"
     r"|UNION\b|EXCEPT\b|INTERSECT\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b"
     r"|FULL\b|CROSS\b|WINDOW\b)",
     re.IGNORECASE,
 )
-_STAR_SELECT = re.compile(
-    rf"(?:\bSELECT\s+(?:DISTINCT\s+)?|,\s*)(?:{_SEG}\s*\.\s*)?\*",
-    re.IGNORECASE,
-)
+
+
+def _j_tail_sound(tail: str) -> bool:
+    """True iff the text FOLLOWING the matched ON predicate keeps the
+    rewrite sound: the rest of the ON clause (everything up to the next
+    clause keyword / closing paren / end, at paren depth 0) must
+    contain NO top-level OR — an OR anywhere at the predicate's
+    precedence level would let rows bypass the cell equi-join and the
+    reference-point dedup (lost pairs where bboxes share no cell,
+    duplicated pairs where they share several). 'AND x AND y' composes;
+    'AND x OR y' does not (AND binds tighter, so the OR still sits at
+    top level). Single-quoted strings are skipped so a literal
+    containing ' or ' can't false-positive. The head must also be an
+    AND / clause keyword / terminator — an operator continuation like
+    '= false' or 'IS NULL' would bind to the predicate itself and the
+    injected conjunction would change its meaning."""
+    if not _J_TAIL_HEAD.match(tail):
+        return False
+    depth = 0
+    i, n = 0, len(tail)
+    while i < n:
+        ch = tail[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and tail[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            if depth == 0:
+                return True          # ON clause closed by an outer paren
+            depth -= 1
+            i += 1
+            continue
+        if ch == ";":
+            return True
+        if depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j < n and (tail[j].isalnum() or tail[j] == "_"):
+                j += 1
+            word = tail[i:j]
+            if word.upper() == "OR":
+                return False
+            if _J_CLAUSE_KW.match(word):
+                return True          # ON clause ended
+            i = j
+            continue
+        i += 1
+    return True
 
 
 def _j_norm(seg: str) -> str:
@@ -559,7 +618,9 @@ def rewrite_spatial_join(sql: str, cell_size: float = 1.0) -> str:
     return unchanged. ``cell_size`` is the PBSM grid size for predicate
     joins; dwithin uses ``max(d, cell_size)`` so the d-expansion adds at
     most ~2 cells per axis."""
-    if _STAR_SELECT.search(sql):
+    # star guard runs on a comment-stripped copy: 'SELECT /*+ hint */ *'
+    # would otherwise slip past the star regex and leak internals
+    if _STAR_SELECT.search(_SQL_COMMENT.sub(" ", sql)):
         return sql
 
     def _go(m: re.Match, d: float | None, src: str) -> str | None:
@@ -569,7 +630,7 @@ def rewrite_spatial_join(sql: str, cell_size: float = 1.0) -> str:
         al, bl = _j_norm(a1), _j_norm(a2)
         if q1 == q2 or {q1, q2} != {al, bl}:
             return None
-        if not _J_TAIL_OK.match(src[m.end():]):
+        if not _j_tail_sound(src[m.end():]):
             return None
         if d is not None and d < 0:
             return None

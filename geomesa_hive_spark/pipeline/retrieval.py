@@ -45,6 +45,28 @@ __all__ = [
 _SCALE = 1_000_000
 
 
+def _toked_base(docs, id_col: str, text_col: str):
+    """(id, dl, toks) with the parallelism guard applied BEFORE the
+    tokenizer — the ONE copy of the spread-then-tokenize projection all
+    four BM25 entry points share (round 13 review: the inline pattern
+    was repeated at 4 sites, and the spread-vs-tokenize ORDERING is
+    exactly the bug class that repetition invites — see
+    text.spread_parallelism)."""
+    from geomesa_hive_spark.pipeline.text import (
+        spread_parallelism, token_count, word_tokens,
+    )
+
+    return spread_parallelism(
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__ghs_txt")),
+        "id",
+    ).select(
+        "id",
+        token_count(F.col("__ghs_txt")).alias("dl"),
+        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
@@ -61,22 +83,8 @@ def bm25_topk(
     idf is the Lucene form ``ln(1 + (N − df + 0.5)/(df + 0.5))``
     (always positive, so stopword-heavy queries can't produce negative
     contributions)."""
-    from geomesa_hive_spark.pipeline.text import (
-        spread_parallelism, token_count, word_tokens,
-    )
-
     terms = _query_terms(query)
-    # spread BEFORE tokenizing: a single-split input would run the
-    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
-    base = spread_parallelism(
-        docs.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("__ghs_txt")),
-        "id",
-    ).select(
-        "id",
-        token_count(F.col("__ghs_txt")).alias("dl"),
-        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
-    )
+    base = _toked_base(docs, id_col, text_col)
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]
@@ -164,9 +172,7 @@ def bm25_phrase_topk(
     phrase-queried many times; this is the scan-shaped analog of
     :func:`bm25_topk`. Returns the same (id, matched_terms,
     score_micro, score) shape ordered by (score desc, id)."""
-    from geomesa_hive_spark.pipeline.text import (
-        spread_parallelism, token_count, word_tokens, word_tokens_py,
-    )
+    from geomesa_hive_spark.pipeline.text import word_tokens_py
 
     ptoks = [t for t in word_tokens_py(phrase.lower()) if t]
     if len(ptoks) < 2:
@@ -175,17 +181,7 @@ def bm25_phrase_topk(
     # localCheckpoint: three consumers (corpus stats, the containment
     # filter, the postings explode) would otherwise re-tokenize the
     # corpus per job — the same fix as the index build path
-    # spread BEFORE tokenizing: a single-split input would run the
-    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
-    base = spread_parallelism(
-        docs.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("__ghs_txt")),
-        "id",
-    ).select(
-        "id",
-        token_count(F.col("__ghs_txt")).alias("dl"),
-        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
-    ).localCheckpoint()
+    base = _toked_base(docs, id_col, text_col).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]
@@ -285,10 +281,6 @@ def build_bm25_index(
     combined count — the same shuffle bm25_topk pays PER QUERY — paid
     once; query cost becomes O(postings of the query's terms). Returns
     the stats dict."""
-    from geomesa_hive_spark.pipeline.text import (
-        spread_parallelism, token_count, word_tokens,
-    )
-
     nb = int(n_buckets)
     if nb < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -296,17 +288,7 @@ def build_bm25_index(
     # postings write, terms aggregation, docs side write) and each
     # independent evaluation would re-run the pandas-UDF tokenization —
     # a 4x ingest tax (round-10 review finding)
-    # spread BEFORE tokenizing: a single-split input would run the
-    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
-    base = spread_parallelism(
-        docs.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("__ghs_txt")),
-        "id",
-    ).select(
-        "id",
-        token_count(F.col("__ghs_txt")).alias("dl"),
-        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
-    ).localCheckpoint()
+    base = _toked_base(docs, id_col, text_col).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]
@@ -406,10 +388,6 @@ def append_to_bm25_index(
     :func:`upsert_into_bm25_index`, whose generation-versioned
     tombstones make the replacement safe. Returns the updated stats
     with the bumped generation."""
-    from geomesa_hive_spark.pipeline.text import (
-        spread_parallelism, token_count, word_tokens,
-    )
-
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
     from geomesa_hive_spark.pipeline import index_io
@@ -418,17 +396,7 @@ def append_to_bm25_index(
     nb = int(stats["n_buckets"])
     g = int(stats["gen"]) + 1
     # localCheckpoint: same 4x-tokenization fix as the build path
-    # spread BEFORE tokenizing: a single-split input would run the
-    # regex tokenizer on one core (round 13 — see text.spread_parallelism)
-    base = spread_parallelism(
-        new_docs.select(F.col(id_col).alias("id"),
-                     F.col(text_col).alias("__ghs_txt")),
-        "id",
-    ).select(
-        "id",
-        token_count(F.col("__ghs_txt")).alias("dl"),
-        word_tokens(F.lower(F.col("__ghs_txt"))).alias("toks"),
-    ).localCheckpoint()
+    base = _toked_base(new_docs, id_col, text_col).localCheckpoint()
     n_row = base.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]

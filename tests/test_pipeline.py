@@ -3250,9 +3250,17 @@ def test_dd_sketch_accuracy_and_merge(spark):
         if true_v != 0:
             assert abs(r.est - true_v) / abs(true_v) <= bound, (r, true_v)
             assert r.side == (1 if true_v > 0 else -1)
-            # the log midpoint's sign is about |value| vs 1, NOT the
-            # value's sign
-            assert r.mid_mnat == (abs(r.mid_mnat) * (1 if abs(true_v) >= 0.99 else -1)) or True
+            # mid_mnat is the LOG midpoint: its sign tracks |value| vs
+            # 1, NOT the value's sign, and est must equal
+            # side·exp(mid_mnat/1e6) exactly — the conflation this
+            # property exists to catch
+            import math as _math
+            assert abs(r.est) == _pytest.approx(
+                _math.exp(r.mid_mnat / 1e6), rel=1e-12)
+            if abs(true_v) > 1.01:
+                assert r.mid_mnat > 0, r
+            elif abs(true_v) < 0.99:
+                assert r.mid_mnat < 0, r
         else:
             assert r.side == 0 and r.mid_mnat == 0 and r.est == 0.0
 

@@ -600,6 +600,18 @@ def test_join_rewrite_fall_throughs(spark):
         "SELECT x.id FROM a x JOIN b y ON NOT st_intersects(x.g, y.g)",
         "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, z.g)",
         "SELECT x.id FROM a x LEFT JOIN b y ON st_intersects(x.g, y.g)",
+        # round-13 review holes, pinned: a deeper top-level OR after
+        # intervening ANDs still defeats reference-point dedup
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
+        "AND x.id = 1 OR y.flag = true",
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
+        "AND (x.id = 1 OR y.id = 2) OR y.flag = true",
+        # operator continuation binds to the predicate itself
+        "SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) = false",
+        # star hidden behind a hint comment / ALL keyword
+        "SELECT /*+ BROADCAST(y) */ * FROM a x JOIN b y "
+        "ON st_intersects(x.g, y.g)",
+        "SELECT ALL * FROM a x JOIN b y ON st_intersects(x.g, y.g)",
     ]
     for q in untouched:
         assert rewrite_spatial_join(q) == q, q
@@ -607,6 +619,14 @@ def test_join_rewrite_fall_throughs(spark):
     q_ok = ("SELECT count(*) AS cnt FROM a x JOIN b y "
             "ON st_intersects(x.g, y.g)")
     assert rewrite_spatial_join(q_ok) != q_ok
+    # an OR safely INSIDE parens of a trailing AND conjunct is fine,
+    # and a string literal containing ' or ' never false-positives
+    q_ok2 = ("SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
+             "AND (x.id = 1 OR y.id = 2)")
+    assert rewrite_spatial_join(q_ok2) != q_ok2
+    q_ok3 = ("SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
+             "AND x.name = 'black or white'")
+    assert rewrite_spatial_join(q_ok3) != q_ok3
 
     # install() routes the join rewrite too, and null geometries drop
     # (never join) exactly as in the DataFrame operator
