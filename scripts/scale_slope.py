@@ -588,6 +588,13 @@ GATE = [
     # the maintain rewrite is corpus-proportional by design, so these
     # pin that the WHOLE lifecycle stays linear, not just the build
     "dedup_index_upsert", "bm25_index_delete",
+    # round-13: positional index build+phrase-query verbatim — the
+    # positions dataset is Σ token-count rows, the largest artifact the
+    # BM25 family writes, so its build linearity is the claim to pin
+    # (the phrase itself only matches copy 0 of the letter-permuted
+    # corpus, so the query stage is sublinear by construction — build
+    # dominates the gate)
+    "bm25_index_phrase",
     "entity_resolve", "manifest_ndv",
     # round-8 coverage extension: the broader pipeline families
     "dedup_clusters", "curation_pipeline", "text_keywords", "bpe_train",
