@@ -1254,6 +1254,72 @@ def q_spatial_reproject_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_ortho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthographic reprojection (EPSG:4326 → '+proj=ortho +lat_0=40
+    +lon_0=10' — the satellite/globe view, Snyder §20 spherical form,
+    round 13) on customer points inside an exactly-bounded visible-
+    hemisphere box (polynomial box filter — a trig visibility filter
+    would be a cross-libm membership hazard at the boundary); the
+    oracle replays the closed-form x/y with Python-folded sin/cos of
+    the center. Far-hemisphere points RAISE in the kernel
+    (pytest-pinned) — the silent fold-through is the classic
+    wrong-but-plausible failure."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir).filter(
+        (F.col("cx") > -34.995) & (F.col("cx") < 54.995)
+        & (F.col("cy") > 0.005) & (F.col("cy") < 79.995)
+    )
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("+proj=ortho +lat_0=40 +lon_0=10"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("ortho_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("ortho_y"),
+    )
+
+
+def q_spatial_reproject_eck4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eckert IV reprojection (EPSG:4326 → ESRI:54012 — the
+    pseudocylindrical equal-area of countless world thematic maps,
+    Snyder §32, round 13) on ALL customer points; the oracle unrolls
+    the kernel's FIXED 8-round Newton solve of θ + sinθcosθ + 2sinθ =
+    (2+π/2)sinφ as chained CTE stages (the Mollweide discipline), seed
+    polynomial included, then the closed-form x/y with repr-folded
+    constants."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("ESRI:54012"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("eck4_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("eck4_y"),
+    )
+
+
+def q_spatial_reproject_natearth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural Earth reprojection (EPSG:4326 → '+proj=natearth' —
+    Šavrič/Jenny/Patterson 2011, the cartographer-designed compromise
+    world projection defined BY its published polynomials, round 13)
+    on ALL customer points; the oracle replays both axis polynomials
+    with the exact Horner nesting the kernel uses."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("+proj=natearth"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("ne_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("ne_y"),
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -8606,6 +8672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_cea": q_spatial_reproject_cea,
         "spatial_reproject_wintri": q_spatial_reproject_wintri,
         "spatial_reproject_robin": q_spatial_reproject_robin,
+        "spatial_reproject_ortho": q_spatial_reproject_ortho,
+        "spatial_reproject_eck4": q_spatial_reproject_eck4,
+        "spatial_reproject_natearth": q_spatial_reproject_natearth,
         "spatial_reproject_aeqd": q_spatial_reproject_aeqd,
         "spatial_vincenty": q_spatial_vincenty,
         "spatial_azimuth": q_spatial_azimuth,
@@ -11589,6 +11658,69 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_wintri": _wintri_oracle(),
         "spatial_reproject_robin": _robin_oracle(),
+        "spatial_reproject_ortho": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+              WHERE {_C_X} > -34.995 AND {_C_X} < 54.995
+                AND {_C_Y} > 0.005 AND {_C_Y} < 79.995
+            ), rad AS (
+              SELECT c_custkey,
+                     radians(lon) - 0.17453292519943295 AS lam,
+                     radians(lat) AS phi
+              FROM base
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(6378137.0 * cos(phi) * sin(lam)
+                         AS FLOAT) AS DOUBLE), 3) AS ortho_x,
+                   round(CAST(CAST(6378137.0 * (0.766044443118978 * sin(phi)
+                         - 0.6427876096865393 * cos(phi) * cos(lam))
+                         AS FLOAT) AS DOUBLE), 3) AS ortho_y
+            FROM rad
+        """,
+        "spatial_reproject_eck4": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+            ), rad AS (
+              SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi
+              FROM base
+            ), e0 AS (
+              SELECT c_custkey, lam, 3.5707963267948966 * sin(phi) AS p,
+                     phi * (0.895168 + (phi * phi)
+                       * (0.0218849 + (phi * phi) * 0.00826809)) AS th
+              FROM rad
+            ), e1 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e0), e2 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e1), e3 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e2), e4 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e3), e5 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e4), e6 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e5), e7 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e6), e8 AS (SELECT c_custkey, lam, p, th - (th + sin(th) * (cos(th) + 2.0) - p) / (1.0 + cos(th) * (cos(th) + 2.0) - sin(th) * sin(th)) AS th FROM e7)
+            SELECT c_custkey,
+                   round(CAST(CAST(2693093.0882474324 * lam * (1.0 + cos(th))
+                         AS FLOAT) AS DOUBLE), 3) AS eck4_x,
+                   round(CAST(CAST(8460601.461471582 * sin(th)
+                         AS FLOAT) AS DOUBLE), 3) AS eck4_y
+            FROM e8
+        """,
+        "spatial_reproject_natearth": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+            ), rad AS (
+              SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi
+              FROM base
+            ), pw AS (
+              SELECT c_custkey, lam, phi, phi * phi AS p2,
+                     (phi * phi) * (phi * phi) AS p4
+              FROM rad
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(6378137.0 * lam * (0.8707 + p2 * (-0.131979
+                         + p2 * (-0.013791 + p2 * p2 * p2 * (0.003971
+                         + p2 * -0.001529))))
+                         AS FLOAT) AS DOUBLE), 3) AS ne_x,
+                   round(CAST(CAST(6378137.0 * (phi * (1.007226 + p2 * (0.015085
+                         + p4 * (-0.044475 + 0.028874 * p2 + -0.005916 * p4))))
+                         AS FLOAT) AS DOUBLE), 3) AS ne_y
+            FROM pw
+        """,
+
         "spatial_reproject_aeqd": _aeqd_oracle(),
         "spatial_vincenty": _vincenty_oracle(),
         "spatial_azimuth": f"""

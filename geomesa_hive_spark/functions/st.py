@@ -1194,6 +1194,12 @@ def _coord_fn(fk, tk):
             return proj.robin_inverse(c, fk[1:])
         if fk[0] == "aeqd":
             return proj.aeqd_inverse(c, fk[1:])
+        if fk[0] == "ortho":
+            return proj.ortho_inverse(c, fk[1:])
+        if fk[0] == "eck4":
+            return proj.eck4_inverse(c, fk[1:])
+        if fk[0] == "natearth":
+            return proj.natearth_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1262,6 +1268,12 @@ def _coord_fn(fk, tk):
             return proj.robin_forward(c, tk[1:])
         if tk[0] == "aeqd":
             return proj.aeqd_forward(c, tk[1:])
+        if tk[0] == "ortho":
+            return proj.ortho_forward(c, tk[1:])
+        if tk[0] == "eck4":
+            return proj.eck4_forward(c, tk[1:])
+        if tk[0] == "natearth":
+            return proj.natearth_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

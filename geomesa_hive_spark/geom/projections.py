@@ -102,6 +102,12 @@ __all__ = [
     "robin_inverse",
     "aeqd_forward",
     "aeqd_inverse",
+    "ortho_forward",
+    "ortho_inverse",
+    "eck4_forward",
+    "eck4_inverse",
+    "natearth_forward",
+    "natearth_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -254,6 +260,8 @@ def parse_crs(crs: str):
             return ("robin", 0.0, 0.0, 0.0)
         if code == 54032:  # ESRI World Azimuthal Equidistant
             return ("aeqd", 0.0, 0.0, 0.0, 0.0)
+        if code == 54012:  # ESRI World Eckert IV
+            return ("eck4", 0.0, 0.0, 0.0)
         if code == 8857:  # WGS 84 / Equal Earth Greenwich
             return ("eqearth", 0.0, 0.0, 0.0)
         if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
@@ -266,9 +274,24 @@ def parse_crs(crs: str):
         return ("robin", 0.0, 0.0, 0.0)
     if re.match(r"^esri:54032$", low):
         return ("aeqd", 0.0, 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54012$", low):
+        return ("eck4", 0.0, 0.0, 0.0)
     if "+proj=aeqd" in low:
         return ("aeqd",
                 _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=ortho" in low:
+        return ("ortho",
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=eck4" in low:
+        return ("eck4",
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=natearth" in low:
+        return ("natearth",
                 _proj4_num(low, "lon_0", 0.0),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=robin" in low:
@@ -515,7 +538,9 @@ def parse_crs(crs: str):
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
         "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
         "[+lat_1=..]' or ESRI:54042), Robinson ('+proj=robin' or "
-        "ESRI:54030), azimuthal equidistant ('+proj=aeqd "
+        "ESRI:54030), orthographic ('+proj=ortho'), Eckert IV "
+        "('+proj=eck4' or ESRI:54012), Natural Earth "
+        "('+proj=natearth'), azimuthal equidistant ('+proj=aeqd "
         "[+lat_0 +lon_0]' or ESRI:54032) and their proj4 equivalents"
     )
 
@@ -2498,5 +2523,177 @@ def aeqd_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     deg = np.where(deg > 180.0, deg - 360.0, deg)
     deg = np.where(deg <= -180.0, deg + 360.0, deg)
     out[:, 0] = deg
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Orthographic (Snyder 1987 §20, '+proj=ortho +lat_0=.. +lon_0=..' —
+# the satellite/globe view; round 13). SPHERICAL form with R = a
+# (Snyder 20-3..20-5 forward, 20-14..20-17 inverse), the classical
+# construction (proj ≥7 adds an ellipsoidal variant; the spherical one
+# is what Snyder and every cartography text define). Points on the far
+# hemisphere (cos c < 0) have no image — they RAISE rather than fold
+# through the projection plane (the silent fold is the classic
+# wrong-but-plausible failure).
+# ---------------------------------------------------------------------------
+
+
+def ortho_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → orthographic (x, y) meters. ``params`` =
+    (lat0, lon0, x0, y0)."""
+    lat0, lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    sp0, cp0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+    sp, cp = np.sin(phi), np.cos(phi)
+    cos_c = sp0 * sp + cp0 * cp * np.cos(lam)
+    if np.any(cos_c < -1e-12):
+        n_bad = int(np.count_nonzero(cos_c < -1e-12))
+        raise ValueError(
+            f"orthographic projection: {n_bad} point(s) lie on the far "
+            "hemisphere (cos c < 0) and have no image — clip to the "
+            "visible hemisphere first"
+        )
+    out[:, 0] = x0 + _A * cp * np.sin(lam)
+    out[:, 1] = y0 + _A * (cp0 * sp - sp0 * cp * np.cos(lam))
+    return out
+
+
+def ortho_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Orthographic (x, y) meters → (lon°, lat°) — Snyder 20-14..20-17
+    with the ρ=0 center handled exactly."""
+    lat0, lon0, x0, y0 = params
+    out = coords.copy()
+    x = (coords[:, 0] - x0) / _A
+    y = (coords[:, 1] - y0) / _A
+    rho = np.sqrt(x * x + y * y)
+    c = np.arcsin(np.clip(rho, -1.0, 1.0))
+    sp0, cp0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+    sc, cc = np.sin(c), np.cos(c)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    phi = np.arcsin(np.clip(
+        cc * sp0 + np.where(rho == 0.0, 0.0, y * sc * cp0 / safe),
+        -1.0, 1.0))
+    lam = np.arctan2(x * sc, safe * cp0 * cc - y * sp0 * sc)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Eckert IV (Snyder 1987 §32 / ESRI:54012 World_Eckert_IV,
+# '+proj=eck4' — the pseudocylindrical equal-area of countless global
+# thematic maps; round 13). Spherical, R = a. θ solves
+# θ + sinθ·cosθ + 2·sinθ = (2 + π/2)·sinφ; like Mollweide the kernel
+# runs a FIXED Newton iteration (polynomial seed from the standard
+# series, 8 rounds — the derivative 1 + cosθ(cosθ+2) − sin²θ stays
+# ≥ 1 away from the poles and the seed lands within 1e-3 there) so
+# the oracle can unroll the exact same steps.
+# ---------------------------------------------------------------------------
+
+_ECK4_CX = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+_ECK4_CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+_ECK4_CP = 2.0 + math.pi / 2.0
+ECK4_NITER = 8
+
+
+def eck4_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Eckert IV (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    p = _ECK4_CP * np.sin(phi)
+    v = phi * phi
+    th = phi * (0.895168 + v * (0.0218849 + v * 0.00826809))
+    for _ in range(ECK4_NITER):
+        c = np.cos(th)
+        s = np.sin(th)
+        th = th - (th + s * (c + 2.0) - p) / (1.0 + c * (c + 2.0) - s * s)
+    out[:, 0] = x0 + _ECK4_CX * _A * lam * (1.0 + np.cos(th))
+    out[:, 1] = y0 + _ECK4_CY * _A * np.sin(th)
+    return out
+
+
+def eck4_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Eckert IV (x, y) meters → (lon°, lat°) — closed form (the θ
+    equation inverts directly from y)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    th = np.arcsin(np.clip((coords[:, 1] - y0) / (_ECK4_CY * _A),
+                           -1.0, 1.0))
+    phi = np.arcsin(np.clip(
+        (th + np.sin(th) * np.cos(th) + 2.0 * np.sin(th)) / _ECK4_CP,
+        -1.0, 1.0))
+    lam = (coords[:, 0] - x0) / (_ECK4_CX * _A * (1.0 + np.cos(th)))
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Natural Earth (Šavrič, Jenny, Patterson et al. 2011,
+# '+proj=natearth' — the compromise world projection designed by
+# cartographers by BLENDING existing projections into a polynomial;
+# round 13). Spherical, R = a; both axes are PURE POLYNOMIALS in φ —
+# closed form forward, fixed-Newton inverse on the odd y-polynomial.
+# Published coefficients (the projection's definition).
+# ---------------------------------------------------------------------------
+
+_NE_A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+_NE_B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+NATEARTH_NITER = 10
+
+
+def _ne_xfac(phi2: np.ndarray) -> np.ndarray:
+    a0, a1, a2, a3, a4 = _NE_A
+    return a0 + phi2 * (a1 + phi2 * (a2 + phi2 * phi2 * phi2
+                                     * (a3 + phi2 * a4)))
+
+
+def _ne_y(phi: np.ndarray, phi2: np.ndarray) -> np.ndarray:
+    b0, b1, b2, b3, b4 = _NE_B
+    phi4 = phi2 * phi2
+    return phi * (b0 + phi2 * (b1 + phi4 * (b2 + b3 * phi2 + b4 * phi4)))
+
+
+def _ne_dy(phi2: np.ndarray) -> np.ndarray:
+    b0, b1, b2, b3, b4 = _NE_B
+    phi4 = phi2 * phi2
+    return b0 + phi2 * (3.0 * b1 + phi4 * (7.0 * b2 + 9.0 * b3 * phi2
+                                           + 11.0 * b4 * phi4))
+
+
+def natearth_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Natural Earth (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    phi2 = phi * phi
+    out[:, 0] = x0 + _A * lam * _ne_xfac(phi2)
+    out[:, 1] = y0 + _A * _ne_y(phi, phi2)
+    return out
+
+
+def natearth_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Natural Earth (x, y) meters → (lon°, lat°): fixed Newton on the
+    odd y-polynomial (derivative strictly positive over the valid
+    range), then the closed-form λ."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    yn = (coords[:, 1] - y0) / _A
+    phi = yn.copy()
+    for _ in range(NATEARTH_NITER):
+        phi2 = phi * phi
+        phi = phi - (_ne_y(phi, phi2) - yn) / _ne_dy(phi2)
+    phi2 = phi * phi
+    lam = (coords[:, 0] - x0) / (_A * _ne_xfac(phi2))
+    out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = np.degrees(phi)
     return out

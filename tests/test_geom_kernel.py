@@ -1268,3 +1268,51 @@ def test_area_spheroid_quadrangle_closed_form_and_gl():
     # (5) non-areal
     assert area_spheroid(from_wkt("LINESTRING (0 0, 10 10)")) == 0.0
     assert area_spheroid(from_wkt("POINT (1 2)")) == 0.0
+
+
+def test_ortho_eck4_natearth_roundtrip_and_anchors():
+    """Round-13 projection families: forward/inverse round-trips at
+    float precision; Eckert IV pole/equator anchors (x spans
+    ±2·Cx·R·π at the equator, y = ±Cy·R at the poles); Natural Earth
+    equator scaling (x = 0.8707·R·λ, y = 0); orthographic
+    far-hemisphere points raise instead of folding through the
+    projection plane."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from geomesa_hive_spark.geom import projections as P
+
+    vis = np.array([[12.5, 47.25], [30.0, 20.0], [0.0, 60.0],
+                    [50.0, 35.0], [10.0, 40.0]])
+    world = np.array([[12.5, 47.25], [-60.0, -33.5], [0.0, 0.0],
+                      [150.0, 80.0], [-179.5, -89.0]])
+    for fwd, inv, params, pts in [
+        (P.ortho_forward, P.ortho_inverse, (40.0, 10.0, 100.0, -50.0), vis),
+        (P.eck4_forward, P.eck4_inverse, (15.0, 3000.0, -2000.0), world),
+        (P.natearth_forward, P.natearth_inverse, (15.0, 3000.0, -2000.0),
+         world),
+    ]:
+        xy = fwd(pts, params)
+        rt = inv(xy, params)
+        assert np.abs(rt - pts).max() < 1e-6, fwd.__name__
+
+    # anchors (lon0 = 0, no offsets)
+    eq = P.eck4_forward(np.array([[180.0, 0.0], [0.0, 90.0]]),
+                        (0.0, 0.0, 0.0))
+    cx = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+    cy = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+    assert abs(eq[0, 0] - cx * P._A * math.pi * 2.0) < 1e-3   # θ=0: 1+cosθ=2
+    assert abs(eq[1, 1] - cy * P._A) < 1e-3                    # pole: sinθ=1
+    ne = P.natearth_forward(np.array([[180.0, 0.0]]), (0.0, 0.0, 0.0))
+    assert abs(ne[0, 0] - 0.8707 * P._A * math.pi) < 1e-3
+    assert abs(ne[0, 1]) < 1e-9
+
+    with pytest.raises(ValueError, match="far hemisphere"):
+        P.ortho_forward(np.array([[-150.0, -40.0]]), (40.0, 10.0, 0.0, 0.0))
+
+    # parse_crs dispatch: ESRI code + proj strings resolve
+    assert P.parse_crs("ESRI:54012")[0] == "eck4"
+    assert P.parse_crs("+proj=ortho +lat_0=40 +lon_0=10")[0] == "ortho"
+    assert P.parse_crs("+proj=natearth")[0] == "natearth"
