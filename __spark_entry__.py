@@ -1320,6 +1320,49 @@ def q_spatial_reproject_natearth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_gnom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gnomonic reprojection (EPSG:4326 → '+proj=gnom +lat_0=40
+    +lon_0=10' — every great circle maps to a straight line; the
+    navigation/seismology projection, Snyder §22, round 13) over the
+    same exactly-bounded near-hemisphere box as the orthographic gate;
+    the oracle replays the closed-form x/y (the ortho formulas divided
+    by cos c) with Python-folded center sin/cos. At-or-beyond-horizon
+    points RAISE in the kernel (pytest-pinned)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir).filter(
+        (F.col("cx") > -34.995) & (F.col("cx") < 54.995)
+        & (F.col("cy") > 0.005) & (F.col("cy") < 79.995)
+    )
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("+proj=gnom +lat_0=40 +lon_0=10"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("gnom_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("gnom_y"),
+    )
+
+
+def q_spatial_reproject_hammer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hammer reprojection (EPSG:4326 → ESRI:54044 World
+    Hammer-Aitoff — the equal-area elliptical world map, round 13) on
+    ALL customer points; closed-form both ways (the inverse is exact,
+    no iteration), and the oracle replays the forward with the
+    kernel's exact expression shapes."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("ESRI:54044"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("ham_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("ham_y"),
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -8675,6 +8718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_ortho": q_spatial_reproject_ortho,
         "spatial_reproject_eck4": q_spatial_reproject_eck4,
         "spatial_reproject_natearth": q_spatial_reproject_natearth,
+        "spatial_reproject_gnom": q_spatial_reproject_gnom,
+        "spatial_reproject_hammer": q_spatial_reproject_hammer,
         "spatial_reproject_aeqd": q_spatial_reproject_aeqd,
         "spatial_vincenty": q_spatial_vincenty,
         "spatial_azimuth": q_spatial_azimuth,
@@ -11658,6 +11703,50 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_cea": _cea_oracle(),
         "spatial_reproject_wintri": _wintri_oracle(),
         "spatial_reproject_robin": _robin_oracle(),
+        "spatial_reproject_gnom": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+              WHERE {_C_X} > -34.995 AND {_C_X} < 54.995
+                AND {_C_Y} > 0.005 AND {_C_Y} < 79.995
+            ), rad AS (
+              SELECT c_custkey,
+                     radians(lon) - 0.17453292519943295 AS lam,
+                     radians(lat) AS phi
+              FROM base
+            ), cc AS (
+              SELECT c_custkey, lam, phi,
+                     0.6427876096865393 * sin(phi) + 0.766044443118978 * cos(phi) * cos(lam) AS cos_c
+              FROM rad
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(6378137.0 * cos(phi) * sin(lam) / cos_c
+                         AS FLOAT) AS DOUBLE), 3) AS gnom_x,
+                   round(CAST(CAST(6378137.0 * (0.766044443118978 * sin(phi)
+                         - 0.6427876096865393 * cos(phi) * cos(lam)) / cos_c
+                         AS FLOAT) AS DOUBLE), 3) AS gnom_y
+            FROM cc
+        """,
+        "spatial_reproject_hammer": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+            ), rad AS (
+              SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi
+              FROM base
+            ), d AS (
+              SELECT c_custkey, lam, phi,
+                     sqrt(1.0 + cos(phi) * cos(lam / 2.0)) AS dd
+              FROM rad
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(18040095.696147293 * cos(phi)
+                         * sin(lam / 2.0) / dd
+                         AS FLOAT) AS DOUBLE), 3) AS ham_x,
+                   round(CAST(CAST(9020047.848073646 * sin(phi) / dd
+                         AS FLOAT) AS DOUBLE), 3) AS ham_y
+            FROM d
+        """,
         "spatial_reproject_ortho": f"""
             WITH base AS (
               SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat

@@ -1200,6 +1200,10 @@ def _coord_fn(fk, tk):
             return proj.eck4_inverse(c, fk[1:])
         if fk[0] == "natearth":
             return proj.natearth_inverse(c, fk[1:])
+        if fk[0] == "gnom":
+            return proj.gnom_inverse(c, fk[1:])
+        if fk[0] == "hammer":
+            return proj.hammer_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1274,6 +1278,10 @@ def _coord_fn(fk, tk):
             return proj.eck4_forward(c, tk[1:])
         if tk[0] == "natearth":
             return proj.natearth_forward(c, tk[1:])
+        if tk[0] == "gnom":
+            return proj.gnom_forward(c, tk[1:])
+        if tk[0] == "hammer":
+            return proj.hammer_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

@@ -108,6 +108,10 @@ __all__ = [
     "eck4_inverse",
     "natearth_forward",
     "natearth_inverse",
+    "gnom_forward",
+    "gnom_inverse",
+    "hammer_forward",
+    "hammer_inverse",
     "ELLIPSOIDS",
     "helmert_consts",
     "geodetic_to_ecef",
@@ -262,6 +266,8 @@ def parse_crs(crs: str):
             return ("aeqd", 0.0, 0.0, 0.0, 0.0)
         if code == 54012:  # ESRI World Eckert IV
             return ("eck4", 0.0, 0.0, 0.0)
+        if code == 54044:  # ESRI World Hammer-Aitoff
+            return ("hammer", 0.0, 0.0, 0.0)
         if code == 8857:  # WGS 84 / Equal Earth Greenwich
             return ("eqearth", 0.0, 0.0, 0.0)
         if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
@@ -276,6 +282,8 @@ def parse_crs(crs: str):
         return ("aeqd", 0.0, 0.0, 0.0, 0.0)
     if re.match(r"^esri:54012$", low):
         return ("eck4", 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54044$", low):
+        return ("hammer", 0.0, 0.0, 0.0)
     if "+proj=aeqd" in low:
         return ("aeqd",
                 _proj4_num(low, "lat_0", 0.0),
@@ -292,6 +300,15 @@ def parse_crs(crs: str):
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=natearth" in low:
         return ("natearth",
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=gnom" in low:
+        return ("gnom",
+                _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=hammer" in low:
+        return ("hammer",
                 _proj4_num(low, "lon_0", 0.0),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=robin" in low:
@@ -538,7 +555,7 @@ def parse_crs(crs: str):
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
         "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
         "[+lat_1=..]' or ESRI:54042), Robinson ('+proj=robin' or "
-        "ESRI:54030), orthographic ('+proj=ortho'), Eckert IV "
+        "ESRI:54030), orthographic ('+proj=ortho'), gnomonic ('+proj=gnom'), Hammer ('+proj=hammer' or ESRI:54044), Eckert IV "
         "('+proj=eck4' or ESRI:54012), Natural Earth "
         "('+proj=natearth'), azimuthal equidistant ('+proj=aeqd "
         "[+lat_0 +lon_0]' or ESRI:54032) and their proj4 equivalents"
@@ -2694,6 +2711,99 @@ def natearth_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
         phi = phi - (_ne_y(phi, phi2) - yn) / _ne_dy(phi2)
     phi2 = phi * phi
     lam = (coords[:, 0] - x0) / (_A * _ne_xfac(phi2))
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gnomonic (Snyder 1987 §22, '+proj=gnom +lat_0=.. +lon_0=..' — every
+# great circle maps to a straight line, the navigation/seismology
+# projection; round 13). Spherical, R = a. Only the NEAR hemisphere
+# strictly inside 90° of the center has an image (the horizon is at
+# infinity); points at or beyond it RAISE.
+# ---------------------------------------------------------------------------
+
+
+def gnom_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → gnomonic (x, y) meters. ``params`` =
+    (lat0, lon0, x0, y0)."""
+    lat0, lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    sp0, cp0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+    sp, cp = np.sin(phi), np.cos(phi)
+    cos_c = sp0 * sp + cp0 * cp * np.cos(lam)
+    if np.any(cos_c < 1e-9):
+        n_bad = int(np.count_nonzero(cos_c < 1e-9))
+        raise ValueError(
+            f"gnomonic projection: {n_bad} point(s) at or beyond 90° "
+            "from the center have no image (the horizon maps to "
+            "infinity) — clip to the near hemisphere first"
+        )
+    out[:, 0] = x0 + _A * cp * np.sin(lam) / cos_c
+    out[:, 1] = y0 + _A * (cp0 * sp - sp0 * cp * np.cos(lam)) / cos_c
+    return out
+
+
+def gnom_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Gnomonic (x, y) meters → (lon°, lat°) — Snyder 22-14..22-17
+    (c = arctan ρ/R); ρ=0 center handled exactly."""
+    lat0, lon0, x0, y0 = params
+    out = coords.copy()
+    x = (coords[:, 0] - x0) / _A
+    y = (coords[:, 1] - y0) / _A
+    rho = np.sqrt(x * x + y * y)
+    c = np.arctan(rho)
+    sp0, cp0 = math.sin(math.radians(lat0)), math.cos(math.radians(lat0))
+    sc, cc = np.sin(c), np.cos(c)
+    safe = np.where(rho == 0.0, 1.0, rho)
+    phi = np.arcsin(np.clip(
+        cc * sp0 + np.where(rho == 0.0, 0.0, y * sc * cp0 / safe),
+        -1.0, 1.0))
+    lam = np.arctan2(x * sc, safe * cp0 * cc - y * sp0 * sc)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hammer (Hammer-Aitoff, ESRI:54044 / '+proj=hammer' — the equal-area
+# elliptical world map; round 13). Spherical, R = a; closed-form both
+# ways (the inverse solves the azimuthal-equal-area substitution
+# exactly — no iteration).
+# ---------------------------------------------------------------------------
+
+
+def hammer_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Hammer (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    cp = np.cos(phi)
+    d = np.sqrt(1.0 + cp * np.cos(lam / 2.0))
+    out[:, 0] = x0 + _A * 2.0 * _SQRT2 * cp * np.sin(lam / 2.0) / d
+    out[:, 1] = y0 + _A * _SQRT2 * np.sin(phi) / d
+    return out
+
+
+def hammer_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Hammer (x, y) meters → (lon°, lat°) — the exact closed-form
+    inverse: z = √(1 − (x/4R√2·2)² − ...) in the unit form
+    x_u = x/R, y_u = y/R: z² = 1 − (x_u/4)² − (y_u/2)²,
+    φ = arcsin(z·y_u), λ = 2·atan2(z·x_u, 2(2z² − 1))."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    xu = (coords[:, 0] - x0) / _A
+    yu = (coords[:, 1] - y0) / _A
+    z2 = 1.0 - (xu / 4.0) ** 2 - (yu / 2.0) ** 2
+    z = np.sqrt(np.clip(z2, 0.0, None))
+    phi = np.arcsin(np.clip(z * yu, -1.0, 1.0))
+    lam = 2.0 * np.arctan2(z * xu, 2.0 * (2.0 * z * z - 1.0))
     out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = np.degrees(phi)
     return out

@@ -1312,7 +1312,34 @@ def test_ortho_eck4_natearth_roundtrip_and_anchors():
     with pytest.raises(ValueError, match="far hemisphere"):
         P.ortho_forward(np.array([[-150.0, -40.0]]), (40.0, 10.0, 0.0, 0.0))
 
+    # gnomonic: round-trip, straight-great-circle anchor (the equator
+    # through a lat_0=0 center maps to y = 0), horizon raises
+    vis0 = np.array([[20.0, 30.0], [-40.0, -20.0], [10.0, 0.0]])
+    xy = P.gnom_forward(vis0, (0.0, 10.0, 0.0, 0.0))
+    rt = P.gnom_inverse(xy, (0.0, 10.0, 0.0, 0.0))
+    assert np.abs(rt - vis0).max() < 1e-9
+    eqline = P.gnom_forward(
+        np.array([[50.0, 0.0], [-60.0, 0.0]]), (0.0, 10.0, 0.0, 0.0))
+    assert np.abs(eqline[:, 1]).max() < 1e-6
+    with pytest.raises(ValueError, match="horizon"):
+        P.gnom_forward(np.array([[-150.0, -40.0]]), (40.0, 10.0, 0.0, 0.0))
+
+    # hammer: exact closed-form inverse round-trips the whole world;
+    # pole anchor y = R*sqrt(2); equal-area ellipse edge x = 2*sqrt(2)*R
+    world2 = np.array([[12.5, 47.25], [-60.0, -33.5], [0.0, 0.0],
+                       [150.0, 80.0], [-170.0, -85.0]])
+    xy = P.hammer_forward(world2, (0.0, 3.0, -4.0))
+    rt = P.hammer_inverse(xy, (0.0, 3.0, -4.0))
+    assert np.abs(rt - world2).max() < 1e-9
+    pole = P.hammer_forward(np.array([[0.0, 90.0]]), (0.0, 0.0, 0.0))
+    assert abs(pole[0, 1] - P._A * math.sqrt(2.0)) < 1e-6
+    edge = P.hammer_forward(np.array([[180.0, 0.0]]), (0.0, 0.0, 0.0))
+    assert abs(edge[0, 0] - 2.0 * math.sqrt(2.0) * P._A) < 1e-6
+
     # parse_crs dispatch: ESRI code + proj strings resolve
     assert P.parse_crs("ESRI:54012")[0] == "eck4"
+    assert P.parse_crs("ESRI:54044")[0] == "hammer"
     assert P.parse_crs("+proj=ortho +lat_0=40 +lon_0=10")[0] == "ortho"
+    assert P.parse_crs("+proj=gnom +lat_0=40 +lon_0=10")[0] == "gnom"
     assert P.parse_crs("+proj=natearth")[0] == "natearth"
+    assert P.parse_crs("+proj=hammer")[0] == "hammer"
