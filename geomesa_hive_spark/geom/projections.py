@@ -2801,6 +2801,16 @@ def hammer_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     xu = (coords[:, 0] - x0) / _A
     yu = (coords[:, 1] - y0) / _A
     z2 = 1.0 - (xu / 4.0) ** 2 - (yu / 2.0) ** 2
+    # raise-don't-corrupt (the ortho/gnom convention): the map's image
+    # is the ellipse (xu/2√2)² + (yu/√2)² ≤ 1, which in z2 terms is
+    # z2 ≥ 0.5 exactly (z2 = 1 − e/2) — NOT z2 ≥ 0: points in the
+    # z2 ∈ (0, 0.5) annulus have no preimage either and would invert
+    # to |lon| > 180. The eps absorbs only rounding at the rim.
+    if np.any(z2 < 0.5 - 1e-9):
+        raise ValueError(
+            "hammer_inverse: point outside the projection ellipse "
+            "(no inverse exists)"
+        )
     z = np.sqrt(np.clip(z2, 0.0, None))
     phi = np.arcsin(np.clip(z * yu, -1.0, 1.0))
     lam = 2.0 * np.arctan2(z * xu, 2.0 * (2.0 * z * z - 1.0))

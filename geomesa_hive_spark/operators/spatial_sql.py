@@ -475,8 +475,9 @@ def _j_tail_sound(tail: str) -> bool:
     reference-point dedup (lost pairs where bboxes share no cell,
     duplicated pairs where they share several). 'AND x AND y' composes;
     'AND x OR y' does not (AND binds tighter, so the OR still sits at
-    top level). Single-quoted strings are skipped so a literal
-    containing ' or ' can't false-positive. The head must also be an
+    top level). Single-quoted, double-quoted, and backtick-quoted
+    spans are skipped so a literal or identifier containing ' or '
+    can't false-positive (nor false-terminate on a quoted keyword). The head must also be an
     AND / clause keyword / terminator — an operator continuation like
     '= false' or 'IS NULL' would bind to the predicate itself and the
     injected conjunction would change its meaning."""
@@ -486,9 +487,9 @@ def _j_tail_sound(tail: str) -> bool:
     i, n = 0, len(tail)
     while i < n:
         ch = tail[i]
-        if ch == "'":
+        if ch in ("'", '"', "`"):
             j = i + 1
-            while j < n and tail[j] != "'":
+            while j < n and tail[j] != ch:
                 j += 1
             i = j + 1
             continue
@@ -542,8 +543,12 @@ def _j_cells_sql(bbox: str, cs: float) -> str:
         f"{ix0} > {-_J_OFFSET}L AND {ix1} < {_J_OFFSET}L AND "
         f"{iy0} > {-_J_OFFSET}L AND {iy1} < {_J_OFFSET}L"
     )
+    bad = " OR ".join(
+        f"{bbox}.{c} IS NULL OR isnan({bbox}.{c})"
+        for c in ("xmin", "ymin", "xmax", "ymax")
+    )
     return (
-        f"CASE WHEN {bbox}.xmin IS NULL OR isnan({bbox}.xmin) "
+        f"CASE WHEN {bad} "
         f"THEN CAST(NULL AS ARRAY<BIGINT>) "
         f"WHEN assert_true({in_range}, 'spatial join rewrite: grid index "
         f"exceeds encoding capacity; increase cell_size') IS NULL "

@@ -483,15 +483,18 @@ def dd_sketch_build(
     df: DataFrame, group_cols: list[str], value_col,
     step: int = 10_000,
 ) -> DataFrame:
-    """(group..., bucket, cnt) — log-bucket counts per group. NULLs are
-    excluded (the fixed-grid convention); ``step`` is the bucket width
-    in micro-nats: relative error ≤ e^(step/2e6) − 1 (0.50% at the
-    default), buckets per decade ≈ ln(10)·1e6/step (~230)."""
+    """(group..., bucket, cnt) — log-bucket counts per group. NULLs AND
+    NaNs are excluded (the fixed-grid convention — a NaN would flow
+    through ln() into an engine-dependent junk bucket that no SQL
+    oracle can replay, so it is dropped like NULL, never bucketed);
+    ``step`` is the bucket width in micro-nats: relative error ≤
+    e^(step/2e6) − 1 (0.50% at the default), buckets per decade ≈
+    ln(10)·1e6/step (~230)."""
     if int(step) < 1:
         raise ValueError(f"step must be >= 1 micro-nat, got {step}")
     v = value_col if isinstance(value_col, Column) else F.col(value_col)
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
         .select(*group_cols, _dd_key(v, step).alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))

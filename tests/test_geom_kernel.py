@@ -1335,6 +1335,15 @@ def test_ortho_eck4_natearth_roundtrip_and_anchors():
     assert abs(pole[0, 1] - P._A * math.sqrt(2.0)) < 1e-6
     edge = P.hammer_forward(np.array([[180.0, 0.0]]), (0.0, 0.0, 0.0))
     assert abs(edge[0, 0] - 2.0 * math.sqrt(2.0) * P._A) < 1e-6
+    # raise-don't-corrupt: a point outside the projection ellipse has
+    # no preimage — must raise, not clamp to a plausible lon/lat
+    # (rim points themselves still invert: the clip only absorbs
+    # rounding-level negatives)
+    with pytest.raises(ValueError, match="outside the projection ellipse"):
+        P.hammer_inverse(
+            np.array([[2.1 * math.sqrt(2.0) * P._A, 0.0]]), (0.0, 0.0, 0.0))
+    rim = P.hammer_inverse(edge, (0.0, 0.0, 0.0))
+    assert abs(abs(rim[0, 0]) - 180.0) < 1e-6
 
     # parse_crs dispatch: ESRI code + proj strings resolve
     assert P.parse_crs("ESRI:54012")[0] == "eck4"

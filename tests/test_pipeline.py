@@ -3275,3 +3275,13 @@ def test_dd_sketch_accuracy_and_merge(spark):
         dd_quantile(direct, ["g"], [0], STEP)
     with _pytest.raises(ValueError, match="step"):
         dd_sketch_build(df, ["g"], "v", 0)
+
+    # NaN exclusion (round-14 ADVICE): NaN > 0 is TRUE in Spark SQL, so
+    # without the explicit filter a NaN would flow through ln() into an
+    # engine-dependent junk bucket — it must be dropped like NULL
+    nan_df = spark.createDataFrame(
+        [(1, float("nan"), "g0"), (2, 2.5, "g0"), (3, None, "g0")],
+        "id long, v double, g string",
+    )
+    nan_sk = dd_sketch_build(nan_df, ["g"], "v", STEP).collect()
+    assert sum(r.cnt for r in nan_sk) == 1

@@ -627,6 +627,36 @@ def test_join_rewrite_fall_throughs(spark):
     q_ok3 = ("SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
              "AND x.name = 'black or white'")
     assert rewrite_spatial_join(q_ok3) != q_ok3
+    # round-14 ADVICE: double-quoted literals and backticked
+    # identifiers containing ' or ' must not block the rewrite either
+    q_ok4 = ("SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
+             'AND x.name = "black or white"')
+    assert rewrite_spatial_join(q_ok4) != q_ok4
+    q_ok5 = ("SELECT x.id FROM a x JOIN b y ON st_intersects(x.g, y.g) "
+             "AND x.`rock or roll` = 1")
+    assert rewrite_spatial_join(q_ok5) != q_ok5
+
+    # round-14 ADVICE: a degenerate extent with finite xmin but NaN in
+    # ANY other bound must yield NULL cells (dropped by explode), not
+    # spurious grid cells via NaN→0 bigint casts
+    from geomesa_hive_spark.operators.spatial_sql import _j_cells_sql
+
+    cells_expr = _j_cells_sql("b", 1.0)
+    for bad in ("ymin", "xmax", "ymax"):
+        fields = {"xmin": "0.1D", "ymin": "0.1D",
+                  "xmax": "2.3D", "ymax": "2.3D"}
+        fields[bad] = "double('nan')"
+        ns = ", ".join(f"'{k}', {v}" for k, v in fields.items())
+        got = spark.sql(
+            f"SELECT {cells_expr} AS cells "
+            f"FROM (SELECT named_struct({ns}) AS b)"
+        ).collect()
+        assert got[0].cells is None, bad
+    finite = spark.sql(
+        f"SELECT {cells_expr} AS cells FROM (SELECT named_struct("
+        "'xmin', 0.1D, 'ymin', 0.1D, 'xmax', 2.3D, 'ymax', 2.3D) AS b)"
+    ).collect()
+    assert len(finite[0].cells) == 9
 
     # install() routes the join rewrite too, and null geometries drop
     # (never join) exactly as in the DataFrame operator
