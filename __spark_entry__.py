@@ -1584,6 +1584,65 @@ def q_spatial_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         uninstall(spark)
 
 
+def q_spatial_sql_join_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostGIS comma-join idiom rewrite (round 14 — beyond the
+    reference, SpatialFilterPushdownRules.scala:35-38 matches Filter
+    nodes only and has no JOIN rule at all): ``FROM a, b WHERE
+    [conjuncts AND] st_*(a.g, b.g) [AND ...]`` — the single most common
+    spatial-join spelling in migrated PostGIS SQL — is recognized by
+    operators/spatial_sql.py's rewrite_spatial_join and re-expressed as
+    the same PBSM grid join the r13 ON-form rewrite builds: cell
+    explosion per side, equi-join on cell id, bbox-overlap prefilter,
+    reference-point dedup, exact predicate last; the leading conjunct
+    stays in the ON conjunction verbatim and the rest of the WHERE
+    clause survives behind WHERE TRUE. In-query asserts: the rewrite
+    fired (__l_cell in the plan) and no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere. The oracle replays the
+    point-in-box arithmetic (strict inequalities — box edges carry a
+    .005 offset so no point sits on a boundary) plus both side
+    conjuncts."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    register_all(spark)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__sjw_cust")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__sjw_nat")
+    spark.sql(
+        f"""
+        SELECT c_custkey, c_acctbal,
+               st_makePoint({_C_X}, {_C_Y}) AS geom
+        FROM __sjw_cust
+        """
+    ).createOrReplaceTempView("__sjw_pts")
+    spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               st_makeBBOX(((n_nationkey * 7411) % 30000) / 100.0 - 150.005,
+                           ((n_nationkey * 2713) % 14000) / 100.0 - 70.005,
+                           ((n_nationkey * 7411) % 30000) / 100.0 - 132.005,
+                           ((n_nationkey * 2713) % 14000) / 100.0 - 60.005) AS pgeom
+        FROM __sjw_nat
+        """
+    ).createOrReplaceTempView("__sjw_boxes")
+    q = """
+        SELECT n.n_name AS n_name, count(1) AS cnt,
+               round(avg(p.c_acctbal), 4) AS avg_bal
+        FROM __sjw_pts p, __sjw_boxes n
+        WHERE p.c_acctbal > 0.0 AND st_within(p.geom, n.pgeom)
+          AND n.n_nationkey % 2 = 0
+        GROUP BY n.n_name
+    """
+    install(spark)
+    try:
+        out = spark.sql(q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__l_cell" in plan, "comma-join spatial rewrite did not fire"
+        assert "CartesianProduct" not in plan, "cartesian plan survived"
+        assert "BroadcastNestedLoopJoin" not in plan, "BNLJ plan survived"
+        return out
+    finally:
+        uninstall(spark)
+
+
 def q_spatial_area_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WGS84 ellipsoidal polygon area — st_areaSpheroid (round 13,
     geom/geodesy.py area_spheroid: the PostGIS-geography ST_Area role;
@@ -8702,6 +8761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_sql_join": q_spatial_sql_join,
+        "spatial_sql_join_where": q_spatial_sql_join_where,
         "spatial_area_spheroid": q_spatial_area_spheroid,
         "spatial_reproject_utm": q_spatial_reproject_utm,
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
@@ -11970,6 +12030,17 @@ def oracle_sql() -> dict[str, str]:
              AND {_C_X} < ((n_nationkey * 7411) % 30000) / 100.0 - 132.005
              AND {_C_Y} > ((n_nationkey * 2713) % 14000) / 100.0 - 70.005
              AND {_C_Y} < ((n_nationkey * 2713) % 14000) / 100.0 - 60.005
+            GROUP BY n_name
+        """,
+        "spatial_sql_join_where": f"""
+            SELECT n_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer, nation
+            WHERE c_acctbal > 0.0
+              AND {_C_X} > ((n_nationkey * 7411) % 30000) / 100.0 - 150.005
+              AND {_C_X} < ((n_nationkey * 7411) % 30000) / 100.0 - 132.005
+              AND {_C_Y} > ((n_nationkey * 2713) % 14000) / 100.0 - 70.005
+              AND {_C_Y} < ((n_nationkey * 2713) % 14000) / 100.0 - 60.005
+              AND n_nationkey % 2 = 0
             GROUP BY n_name
         """,
         # circle construction: every distinct (g, slot) point is a hull

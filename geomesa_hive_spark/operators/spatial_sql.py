@@ -433,16 +433,28 @@ _NOT_KW = (r"(?!(?:INNER|JOIN|LEFT|RIGHT|FULL|CROSS|ON|WHERE|GROUP|ORDER"
 _J_ALIAS1 = rf"(?:\s+(?:AS\s+)?{_NOT_KW}(?P<a1>{_SEG}))?"
 _J_ALIAS2 = rf"(?:\s+(?:AS\s+)?{_NOT_KW}(?P<a2>{_SEG}))?"
 
-_SP_JOIN = re.compile(
+# the FROM head (two forms) and the predicate are matched SEPARATELY
+# (round 14): the text between them — leading equi/filter conjuncts
+# ending in AND — is validated by _j_head_sound and kept verbatim, so
+# both ``JOIN b ON a.id = b.id AND st_*(a.g, b.g)`` and the PostGIS
+# comma-join idiom ``FROM a, b WHERE [conjuncts AND] st_*(a.g, b.g)``
+# reach the same PBSM rewrite as the predicate-first ON form.
+_J_FROM_JOIN = re.compile(
     rf"\bFROM\s+(?P<t1>{_IDENT}){_J_ALIAS1}"
-    rf"\s+(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT}){_J_ALIAS2}\s+ON\s+"
+    rf"\s+(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT}){_J_ALIAS2}\s+ON\s+",
+    re.IGNORECASE,
+)
+_J_FROM_COMMA = re.compile(
+    rf"\bFROM\s+(?P<t1>{_IDENT}){_J_ALIAS1}"
+    rf"\s*,\s*(?P<t2>{_IDENT}){_J_ALIAS2}\s+WHERE\s+",
+    re.IGNORECASE,
+)
+_J_PRED = re.compile(
     rf"(?P<pred>(?P<fn>{_J_PREDS})\s*\(\s*(?P<q1>{_SEG})\s*\.\s*"
     rf"(?P<g1>{_SEG})\s*,\s*(?P<q2>{_SEG})\s*\.\s*(?P<g2>{_SEG})\s*\))",
     re.IGNORECASE,
 )
-_SP_JOIN_DW = re.compile(
-    rf"\bFROM\s+(?P<t1>{_IDENT}){_J_ALIAS1}"
-    rf"\s+(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT}){_J_ALIAS2}\s+ON\s+"
+_J_PRED_DW = re.compile(
     rf"(?P<pred>st_dwithin\s*\(\s*(?P<q1>{_SEG})\s*\.\s*(?P<g1>{_SEG})"
     rf"\s*,\s*(?P<q2>{_SEG})\s*\.\s*(?P<g2>{_SEG})\s*,\s*(?P<d>{_NUM})"
     rf"\s*\))",
@@ -518,6 +530,61 @@ def _j_tail_sound(tail: str) -> bool:
             continue
         i += 1
     return True
+
+
+def _j_head_sound(head: str) -> bool:
+    """True iff the text BETWEEN the clause keyword (ON / WHERE) and the
+    matched predicate keeps the rewrite sound: empty, or a run of
+    AND-composed conjuncts ending in ``AND`` — which guarantees the
+    predicate is a TOP-LEVEL conjunct of that clause (not under NOT, a
+    function call, an OR arm, or a different clause altogether). The
+    head is kept verbatim in the rewritten ON conjunction, so anything
+    whose placement could change meaning falls through: a top-level OR
+    (the predicate would be one OR arm), any clause keyword (the
+    predicate sits in a LATER clause than the one matched — e.g. the
+    WHERE of a JOIN query, or past a UNION), a depth-0 close paren
+    (different scope), a semicolon, or unbalanced opens (the predicate
+    is inside a paren group). Quoted spans skip like _j_tail_sound.
+    Mis-detections only ever fall through — never a wrong rewrite."""
+    if head.strip() == "":
+        return True
+    depth = 0
+    i, n = 0, len(head)
+    while i < n:
+        ch = head[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n and head[j] != ch:
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            if depth == 0:
+                return False
+            depth -= 1
+            i += 1
+            continue
+        if ch == ";":
+            return False
+        if depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j < n and (head[j].isalnum() or head[j] == "_"):
+                j += 1
+            word = head[i:j]
+            if word.upper() == "OR":
+                return False
+            if _J_CLAUSE_KW.match(word):
+                return False
+            i = j
+            continue
+        i += 1
+    if depth != 0:
+        return False
+    return re.search(r"\bAND\s*$", head, re.IGNORECASE) is not None
 
 
 def _j_norm(seg: str) -> str:
@@ -622,46 +689,75 @@ def rewrite_spatial_join(sql: str, cell_size: float = 1.0) -> str:
     Unrecognized or unsound shapes (see the soundness envelope above)
     return unchanged. ``cell_size`` is the PBSM grid size for predicate
     joins; dwithin uses ``max(d, cell_size)`` so the d-expansion adds at
-    most ~2 cells per axis."""
+    most ~2 cells per axis.
+
+    Recognized FROM shapes (round 14 — both beyond the reference, whose
+    rules match Filter nodes only, SpatialFilterPushdownRules.scala:35-38):
+    ``FROM t1 [a] JOIN t2 [b] ON [conjuncts AND] st_*(a.g, b.g) [...]``
+    and the PostGIS comma-join idiom
+    ``FROM t1 [a], t2 [b] WHERE [conjuncts AND] st_*(a.g, b.g) [...]``.
+    The comma form becomes ``FROM <pbsm> JOIN <pbsm> ON ... WHERE TRUE``
+    with the rest of the WHERE clause appended verbatim — for the inner
+    join both spellings are the same relation. Leading conjuncts must
+    pass _j_head_sound (AND-composed, ending in AND); they stay in the
+    ON conjunction unchanged."""
     # star guard runs on a comment-stripped copy: 'SELECT /*+ hint */ *'
     # would otherwise slip past the star regex and leak internals
     if _STAR_SELECT.search(_SQL_COMMENT.sub(" ", sql)):
         return sql
 
-    def _go(m: re.Match, d: float | None, src: str) -> str | None:
-        a1 = m.group("a1") or m.group("t1").split(".")[-1]
-        a2 = m.group("a2") or m.group("t2").split(".")[-1]
-        q1, q2 = _j_norm(m.group("q1")), _j_norm(m.group("q2"))
+    def _go(fm: re.Match, src: str) -> tuple[str, int] | None:
+        """Try to rewrite the clause opened by FROM-head match ``fm``;
+        returns (replacement, end-of-consumed-span) or None."""
+        cands = []
+        for rx_, dw in ((_J_PRED_DW, True), (_J_PRED, False)):
+            pm_ = rx_.search(src, fm.end())
+            if pm_ is not None:
+                cands.append((pm_.start(), dw, pm_))
+        if not cands:
+            return None
+        _, is_dw, pm = min(cands, key=lambda c: c[0])
+        head = src[fm.end():pm.start()]
+        if not _j_head_sound(head):
+            return None
+        if not _j_tail_sound(src[pm.end():]):
+            return None
+        d = float(pm.group("d")) if is_dw else None
+        if d is not None and d < 0:
+            return None
+        a1 = fm.group("a1") or fm.group("t1").split(".")[-1]
+        a2 = fm.group("a2") or fm.group("t2").split(".")[-1]
+        q1, q2 = _j_norm(pm.group("q1")), _j_norm(pm.group("q2"))
         al, bl = _j_norm(a1), _j_norm(a2)
         if q1 == q2 or {q1, q2} != {al, bl}:
             return None
-        if not _j_tail_sound(src[m.end():]):
-            return None
-        if d is not None and d < 0:
-            return None
         # the geometry column belonging to each side, whichever arg
         # order the predicate used
-        g_l = m.group("g1") if q1 == al else m.group("g2")
-        g_r = m.group("g2") if q1 == al else m.group("g1")
+        g_l = pm.group("g1") if q1 == al else pm.group("g2")
+        g_r = pm.group("g2") if q1 == al else pm.group("g1")
         cs = max(float(d), float(cell_size)) if d is not None else float(cell_size)
-        left = _j_side(m.group("t1"), a1, g_l, "l", cs, expand=d)
-        right = _j_side(m.group("t2"), a2, g_r, "r", cs)
+        left = _j_side(fm.group("t1"), a1, g_l, "l", cs, expand=d)
+        right = _j_side(fm.group("t2"), a2, g_r, "r", cs)
         on = _j_on(a1, a2, cs, dwithin_d=d)
-        return f"FROM {left} JOIN {right} ON {on} AND {m.group('pred')}"
+        rep = f"FROM {left} JOIN {right} ON {on} AND {head}{pm.group('pred')}"
+        if fm.re is _J_FROM_COMMA:
+            rep += " WHERE TRUE"
+        return rep, pm.end()
 
     out = sql
-    for rx_, dw in ((_SP_JOIN_DW, True), (_SP_JOIN, False)):
+    for rx_ in (_J_FROM_JOIN, _J_FROM_COMMA):
         pos = 0
         while True:
-            m = rx_.search(out, pos)
-            if m is None:
+            fm = rx_.search(out, pos)
+            if fm is None:
                 break
-            rep = _go(m, float(m.group("d")) if dw else None, out)
-            if rep is None:
-                pos = m.end()
+            got = _go(fm, out)
+            if got is None:
+                pos = fm.end()
                 continue
-            out = out[: m.start()] + rep + out[m.end():]
-            pos = m.start() + len(rep)
+            rep, span_end = got
+            out = out[: fm.start()] + rep + out[span_end:]
+            pos = fm.start() + len(rep)
     return out
 
 

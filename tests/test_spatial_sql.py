@@ -580,6 +580,49 @@ def test_join_rewrite_dwithin_matches_cartesian(spark):
     assert got3 == want3 and len(got3) > 5
 
 
+def test_join_rewrite_comma_and_head_conjuncts(spark):
+    """Round 14: the PostGIS comma-join idiom (FROM a, b WHERE st_*)
+    and leading AND-composed conjuncts before the predicate (both ON
+    and WHERE) reach the same PBSM rewrite and return exactly the
+    cartesian+UDF rows; the rest of the WHERE clause survives
+    verbatim behind WHERE TRUE."""
+    from geomesa_hive_spark.operators.spatial_sql import (
+        rewrite_spatial_join,
+    )
+
+    _join_views(spark)
+    shapes = [
+        # comma form, predicate first
+        "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p, sjr_boxes b "
+        "WHERE st_within(p.geom, b.pgeom) ORDER BY pid, bid",
+        # comma form, swapped args + head and tail conjuncts
+        "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p, sjr_boxes b "
+        "WHERE p.pid >= 0 AND st_contains(b.pgeom, p.geom) "
+        "AND b.bid % 2 = 0 ORDER BY pid, bid",
+        # comma form, dwithin with a head conjunct
+        "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p, sjr_boxes b "
+        "WHERE p.pid < 400 AND st_dwithin(p.geom, b.pgeom, 0.5) "
+        "ORDER BY pid, bid",
+        # ON form with leading equi/filter conjuncts
+        "SELECT p.pid AS pid, b.bid AS bid FROM sjr_pts p JOIN sjr_boxes b "
+        "ON p.pid % 3 = b.bid % 3 AND st_within(p.geom, b.pgeom) "
+        "ORDER BY pid, bid",
+        # comma form feeding an aggregate
+        "SELECT b.bid AS bid, count(1) AS cnt FROM sjr_pts p, sjr_boxes b "
+        "WHERE st_intersects(p.geom, b.pgeom) GROUP BY b.bid ORDER BY bid",
+    ]
+    for q in shapes:
+        rw = rewrite_spatial_join(q)
+        assert rw != q, q
+        out = spatial_sql(spark, q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        got = [tuple(r) for r in out.collect()]
+        want = [tuple(r) for r in spark.sql(q).collect()]
+        assert got == want and len(got) > 5, (q, len(got), len(want))
+
+
 def test_join_rewrite_fall_throughs(spark):
     """Unsound/unrecognized shapes return the SQL unchanged: star
     selects (internals would leak), OR after the predicate (defeats
@@ -612,6 +655,21 @@ def test_join_rewrite_fall_throughs(spark):
         "SELECT /*+ BROADCAST(y) */ * FROM a x JOIN b y "
         "ON st_intersects(x.g, y.g)",
         "SELECT ALL * FROM a x JOIN b y ON st_intersects(x.g, y.g)",
+        # round-14 comma/head shapes that must fall through: OR arms,
+        # >2 comma tables, NOT, predicate under a function, predicate
+        # in a later clause than the matched one, paren-grouped ON
+        "SELECT x.id FROM a x, b y WHERE x.id = 1 OR st_intersects(x.g, y.g)",
+        "SELECT x.id FROM a x, b y WHERE st_intersects(x.g, y.g) OR x.id = 1",
+        "SELECT x.id FROM a x, b y, c z WHERE st_intersects(x.g, y.g)",
+        "SELECT x.id FROM a x, b y WHERE NOT st_intersects(x.g, y.g)",
+        "SELECT x.id FROM a x, b y "
+        "WHERE coalesce(st_intersects(x.g, y.g), false)",
+        "SELECT x.id FROM a x JOIN b y ON x.k = y.k "
+        "WHERE st_intersects(x.g, y.g)",
+        "SELECT x.id FROM a x JOIN b y "
+        "ON (x.k = y.k AND st_intersects(x.g, y.g))",
+        "SELECT x.id FROM a x JOIN b y "
+        "ON x.k IN (1, 2) OR st_intersects(x.g, y.g)",
     ]
     for q in untouched:
         assert rewrite_spatial_join(q) == q, q
