@@ -730,6 +730,54 @@ def q_spatial_convexhull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_convexhull_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface st_convexhull at scale (round 14): the registered
+    GROUPED_AGG pandas UDF runs in COMPLETE mode only — a raw-SQL
+    ``SELECT k, st_convexhull(g) GROUP BY k`` funnels each whole group
+    through one task (the 100-TB straggler). The installed wrapper's
+    rewrite_convexhull_agg re-expresses it in SQL text as
+    convex_hull_agg's two-phase plan: partial hull per (group,
+    input-partition) slice, hull-of-hulls merge (exact — convexity).
+    In-query asserts: TWO ArrowAggregatePython stages and the __pid
+    phase-1 key in the executed plan. Same circle construction and
+    oracle family as spatial_convexhull (every point a hull vertex;
+    vertex count + angle-ordered shoelace area derived analytically);
+    reference semantics ST_ConvexHull.scala:26-35 (hull of union)."""
+    import math
+
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_nationkey").cast("int").alias("g"),
+        ((F.col("c_custkey") * 2399) % 3600).alias("s"),
+    ).distinct()
+    theta = F.col("s") * F.lit(math.pi) / F.lit(1800.0)
+    r = F.lit(1.0) + (F.col("g") % 5)
+    x = (F.col("g") * 3.0 - 36.0) + r * F.cos(theta)
+    y = (F.col("g") * 2.0 - 24.0) + r * F.sin(theta)
+    pts.select("g", _call("st_makepoint", x, y).alias("geom")) \
+        .createOrReplaceTempView("__cvx_pts")
+    install(spark)
+    try:
+        hulls = spark.sql(
+            "SELECT g, st_convexhull(geom) AS hull FROM __cvx_pts GROUP BY g"
+        )
+        plan = hulls._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowAggregatePython") == 2, \
+            "st_convexhull did not run two-phase"
+        assert "__pid" in plan, "phase-1 partition key missing from plan"
+        return hulls.select(
+            F.col("g").alias("c_nationkey"),
+            (_call("st_numpoints", F.col("hull")) - 1).cast("int")
+            .alias("n_vertices"),
+            F.round(_call("st_area", F.col("hull")), 4).alias("hull_area"),
+        )
+    finally:
+        uninstall(spark)
+
+
 def q_spatial_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal UTM reprojection (EPSG:4326 → EPSG:32633) on points
     inside/near zone 33; the oracle replays the full Transverse
@@ -8759,6 +8807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_window_count": q_manifest_window_count,
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
+        "spatial_convexhull_sql": q_spatial_convexhull_sql,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_sql_join": q_spatial_sql_join,
         "spatial_sql_join_where": q_spatial_sql_join_where,
@@ -12046,6 +12095,27 @@ def oracle_sql() -> dict[str, str]:
         # circle construction: every distinct (g, slot) point is a hull
         # vertex, so count + angle-ordered shoelace ARE the hull stats
         "spatial_convexhull": """
+            WITH pts AS (
+              SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS g,
+                     (c_custkey * 2399) % 3600 AS s
+              FROM customer
+            ), xy AS (
+              SELECT g, s,
+                     (g * 3.0 - 36.0) + (1.0 + (g % 5)) * cos(s * pi() / 1800.0) AS x,
+                     (g * 2.0 - 24.0) + (1.0 + (g % 5)) * sin(s * pi() / 1800.0) AS y
+              FROM pts
+            ), ring AS (
+              SELECT g, x, y,
+                     COALESCE(lead(x) OVER w, first_value(x) OVER w) AS xn,
+                     COALESCE(lead(y) OVER w, first_value(y) OVER w) AS yn
+              FROM xy WINDOW w AS (PARTITION BY g ORDER BY s)
+            )
+            SELECT g AS c_nationkey,
+                   CAST(count(*) AS INTEGER) AS n_vertices,
+                   round(abs(sum(x * yn - xn * y)) / 2.0, 4) AS hull_area
+            FROM ring GROUP BY g
+        """,
+        "spatial_convexhull_sql": """
             WITH pts AS (
               SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS g,
                      (c_custkey * 2399) % 3600 AS s

@@ -17,8 +17,14 @@ Spark-first equivalents here:
 - :func:`convex_hull_grouped` — hull per group key via
   ``applyInPandas``.
 - :func:`register_convex_hull_udaf` — SQL-callable GROUPED_AGG pandas
-  UDF ``st_convexhull`` (no partial merge — convenience parity; use the
-  two-phase operator for huge groups).
+  UDF ``st_convexhull``. Spark runs GROUPED_AGG UDFs in COMPLETE mode
+  only (no partial merge), so the bare registration ships each whole
+  group to one task; since round 14 the installed
+  ``operators/spatial_sql.py`` wrapper rewrites recognized
+  ``st_convexhull`` aggregate queries to the two-phase
+  partial-hull-per-input-partition + hull-of-hulls shape in SQL text
+  (``rewrite_convexhull_agg``), so the raw-SQL surface reaches the
+  same scale plan as :func:`convex_hull_agg`.
 """
 
 from __future__ import annotations

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "spatial_sql", "rewrite_spatial_predicates", "rewrite_spatial_join",
-    "install", "uninstall",
+    "rewrite_convexhull_agg", "install", "uninstall",
 ]
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
@@ -761,6 +761,243 @@ def rewrite_spatial_join(sql: str, cell_size: float = 1.0) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# st_convexhull two-phase rewrite (round 14)
+# ---------------------------------------------------------------------------
+# The SQL-registered ``st_convexhull`` is a GROUPED_AGG pandas UDF
+# (operators/convex_hull_agg.py:register_convex_hull_udaf) — Spark runs
+# those in COMPLETE mode only, so every group's full geometry payload
+# funnels through ONE task: a global hull in raw SQL ships every
+# geometry to one executor at 100 TB. The API path (convex_hull_agg)
+# is two-phase; this rewrite makes the SQL name reach the same plan in
+# SQL TEXT, exactly like the JOIN rewrite above:
+#
+#   SELECT k, st_convexhull(g) AS h FROM t GROUP BY k
+# becomes
+#   SELECT __gk0 AS k, st_convexhull(__ph0) AS h FROM (
+#     SELECT k AS __gk0, st_convexhull(g) AS __ph0
+#     FROM (SELECT *, spark_partition_id() AS __pid FROM t) t
+#     GROUP BY k, __pid
+#   ) __cvx GROUP BY __gk0
+#
+# Phase 1 reduces each (group, input-partition) slice to one tiny hull
+# (hull-of-hulls == hull-of-all — convexity), restoring full
+# parallelism for skewed/huge groups; phase 2 merges the few-dozen-point
+# partials. spark_partition_id() is nondeterministic, so it is
+# PROJECTED in a wrapping subquery first (grouping by the projected
+# column is legal; grouping by the raw call is not).
+#
+# Soundness envelope (anything outside returns unchanged):
+# - single bare table/view source (optional alias) — no joins or
+#   subqueries in FROM;
+# - every select item is either st_convexhull(<args>) AS alias
+#   (explicit alias required — the rewritten auto-name would differ)
+#   or a group-key expression present verbatim in GROUP BY (bare
+#   possibly-qualified identifier, or any expression with an explicit
+#   alias); mixed OTHER aggregates (count/sum/...) fall through — they
+#   would need their own partial/merge algebra;
+# - optional WHERE (stays in phase 1); optional trailing ORDER BY /
+#   LIMIT (stay on the outer query); HAVING / DISTINCT / set ops /
+#   comments / anything unrecognized falls through.
+
+_CVX_CALL = re.compile(r"\bst_convexhull\s*\(", re.IGNORECASE)
+_CVX_STOP_KW = re.compile(
+    r"^(?:HAVING|UNION|EXCEPT|INTERSECT|WINDOW|DISTINCT|JOIN|LATERAL"
+    r"|QUALIFY|CLUSTER|DISTRIBUTE|SORT|INNER|LEFT|RIGHT|FULL|CROSS)$",
+    re.IGNORECASE,
+)
+_CVX_SRC = re.compile(
+    rf"^(?P<t>{_IDENT})(?:\s+(?:AS\s+)?{_NOT_KW}(?P<a>{_SEG}))?$",
+    re.IGNORECASE,
+)
+_CVX_HULL_ITEM = re.compile(
+    rf"^st_convexhull\s*\((?P<args>.+)\)\s+AS\s+(?P<alias>{_SEG})$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CVX_BARE_ID = re.compile(rf"^{_IDENT}$")
+
+
+def _cvx_scan(sql: str):
+    """(word_upper, start) for identifier tokens at paren depth 0 plus
+    top-level comma positions as (',', pos); None if quotes/parens are
+    unbalanced or a semicolon appears before the end."""
+    out = []
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            if j >= n:
+                return None
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+            i += 1
+            continue
+        if ch == ";":
+            return None if sql[i:].strip() != ";" else out
+        if depth == 0 and ch == ",":
+            out.append((",", i))
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            if depth == 0:
+                out.append((sql[i:j].upper(), i))
+            i = j
+            continue
+        i += 1
+    return out if depth == 0 else None
+
+
+def _cvx_split_commas(seg: str) -> list[str]:
+    toks = _cvx_scan(seg)
+    if toks is None:
+        return []
+    cuts = [p for w, p in toks if w == ","]
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(seg[prev:c].strip())
+        prev = c + 1
+    parts.append(seg[prev:].strip())
+    return parts
+
+
+def _cvx_norm(expr: str) -> str:
+    return re.sub(r"\s+", " ", expr.strip().strip("`")).lower()
+
+
+def rewrite_convexhull_agg(sql: str) -> str:
+    """Textual rewrite of ``st_convexhull`` aggregate queries into the
+    two-phase partial-hull / hull-of-hulls shape (see the envelope
+    above). Pure function; unsupported shapes return unchanged."""
+    if not _CVX_CALL.search(sql) or _SQL_COMMENT.search(sql):
+        return sql
+    body = sql
+    toks = _cvx_scan(body)
+    if not toks:
+        return sql
+    # top-level clause skeleton: SELECT ... FROM ... [WHERE] [GROUP BY]
+    # [ORDER BY] [LIMIT]; anything else at top level falls through
+    kw_pos: dict[str, int] = {}
+    order: list[str] = []
+    for w, p in toks:
+        if w == ",":
+            continue
+        if _CVX_STOP_KW.match(w):
+            return sql
+        if w in ("SELECT", "FROM", "WHERE", "GROUP", "ORDER", "LIMIT"):
+            if w in kw_pos:
+                return sql
+            kw_pos[w] = p
+            order.append(w)
+    if order[:2] != ["SELECT", "FROM"] or body[:kw_pos["SELECT"]].strip():
+        return sql
+    if [k for k in order[2:]] != [
+        k for k in ("WHERE", "GROUP", "ORDER", "LIMIT") if k in kw_pos
+    ]:
+        return sql
+
+    def clause(kw: str, skip: int) -> str:
+        if kw not in kw_pos:
+            return ""
+        start = kw_pos[kw] + skip
+        nxt = [kw_pos[k] for k in order[order.index(kw) + 1:]]
+        return body[start: min(nxt) if nxt else len(body)].strip().rstrip(";").strip()
+
+    items_txt = clause("SELECT", 6)
+    src_txt = clause("FROM", 4)
+    where_txt = clause("WHERE", 5)
+    group_txt = clause("GROUP", 5)
+    if group_txt:
+        mg = re.match(r"^BY\b", group_txt, re.IGNORECASE)
+        if not mg:
+            return sql
+        group_txt = group_txt[2:].strip()
+    tail = ""
+    tail_start = min(
+        [kw_pos[k] for k in ("ORDER", "LIMIT") if k in kw_pos], default=None
+    )
+    if tail_start is not None:
+        tail = body[tail_start:].strip().rstrip(";").strip()
+
+    sm = _CVX_SRC.match(src_txt)
+    if not sm:
+        return sql
+    alias = sm.group("a") or sm.group("t").split(".")[-1]
+
+    keys = _cvx_split_commas(group_txt) if group_txt else []
+    if group_txt and not all(keys):
+        return sql
+    key_norms = [_cvx_norm(k) for k in keys]
+    items = _cvx_split_commas(items_txt)
+    if not items or not all(items):
+        return sql
+
+    inner_items: list[str] = [f"{k} AS __gk{i}" for i, k in enumerate(keys)]
+    outer_items: list[str] = []
+    n_hulls = 0
+    for it in items:
+        if _CVX_CALL.search(it):
+            hm = _CVX_HULL_ITEM.match(it)
+            if not hm:
+                return sql
+            args = hm.group("args")
+            if _cvx_scan(args) is None or _CVX_CALL.search(args):
+                return sql
+            inner_items.append(f"st_convexhull({args}) AS __ph{n_hulls}")
+            outer_items.append(
+                f"st_convexhull(__ph{n_hulls}) AS {hm.group('alias')}"
+            )
+            n_hulls += 1
+            continue
+        # group-key item: strip an explicit trailing alias if present
+        am = re.match(
+            rf"^(?P<expr>.+?)\s+AS\s+(?P<alias>{_SEG})$", it,
+            re.IGNORECASE | re.DOTALL,
+        )
+        expr = am.group("expr") if am else it
+        out_name = am.group("alias") if am else None
+        if out_name is None:
+            if not _CVX_BARE_ID.match(expr.strip()):
+                return sql
+            out_name = expr.strip().split(".")[-1]
+        try:
+            ki = key_norms.index(_cvx_norm(expr))
+        except ValueError:
+            return sql
+        outer_items.append(f"__gk{ki} AS {out_name}")
+    if n_hulls == 0:
+        return sql
+
+    src = f"(SELECT *, spark_partition_id() AS __pid FROM {src_txt}) {alias}"
+    inner = f"SELECT {', '.join(inner_items)} FROM {src}"
+    if where_txt:
+        inner += f" WHERE {where_txt}"
+    # phase-1 grouping uses the ORIGINAL key expressions plus __pid
+    # (the __gk aliases are select-list output names, not yet in scope)
+    inner += " GROUP BY " + ", ".join(list(keys) + ["__pid"])
+    out = f"SELECT {', '.join(outer_items)} FROM ({inner}) __cvx"
+    if keys:
+        out += " GROUP BY " + ", ".join(
+            f"__gk{i}" for i in range(len(keys)))
+    if tail:
+        out += f" {tail}"
+    return out
+
+
 def spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run a raw SQL string with spatial-filter pushdown.
 
@@ -769,7 +1006,8 @@ def spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     doesn't analyze (e.g. the predicate's column is a binary geometry,
     not an extent struct). Recognized geometry×geometry JOIN predicates
     route to the PBSM grid join first (:func:`rewrite_spatial_join`)."""
-    rewritten = rewrite_spatial_predicates(rewrite_spatial_join(sql))
+    rewritten = rewrite_spatial_predicates(
+        rewrite_spatial_join(rewrite_convexhull_agg(sql)))
     if rewritten != sql:
         try:
             return spark.sql(rewritten)
@@ -800,7 +1038,7 @@ def install(spark: SparkSession) -> SparkSession:
     def _sql(query, *args, **kwargs):
         if isinstance(query, str):
             rewritten = rewrite_spatial_predicates(
-                rewrite_spatial_join(query))
+                rewrite_spatial_join(rewrite_convexhull_agg(query)))
             if rewritten != query:
                 try:
                     return original(rewritten, *args, **kwargs)

@@ -623,6 +623,70 @@ def test_join_rewrite_comma_and_head_conjuncts(spark):
         assert got == want and len(got) > 5, (q, len(got), len(want))
 
 
+def test_convexhull_sql_two_phase(spark):
+    """Round 14: the SQL st_convexhull aggregate is rewritten to the
+    two-phase partial-hull / hull-of-hulls shape — results bit-identical
+    to the direct GROUPED_AGG, plan shows TWO ArrowAggregatePython
+    stages, unsupported shapes fall through unchanged."""
+    from geomesa_hive_spark import register_all
+    from geomesa_hive_spark.operators.spatial_sql import (
+        install, rewrite_convexhull_agg, uninstall,
+    )
+
+    register_all(spark)
+    spark.range(0, 800, 1, 8).selectExpr(
+        "id % 3 AS k",
+        "st_makePoint(CAST(id % 97 AS DOUBLE), CAST(id % 89 AS DOUBLE)) AS g",
+        "CAST(NULL AS BINARY) AS gnull",
+    ).createOrReplaceTempView("cvx_t")
+
+    shapes = [
+        "SELECT k, st_convexhull(g) AS h FROM cvx_t GROUP BY k",
+        "SELECT st_convexhull(g) AS h FROM cvx_t",                 # global
+        "SELECT k, st_convexhull(g) AS h FROM cvx_t "
+        "WHERE k < 2 GROUP BY k ORDER BY k",
+        "SELECT k AS kk, st_convexhull(g) AS h FROM cvx_t GROUP BY k",
+        "SELECT k, st_convexhull(gnull) AS h FROM cvx_t GROUP BY k",  # all-null
+    ]
+    install(spark)
+    try:
+        for q in shapes:
+            assert rewrite_convexhull_agg(q) != q, q
+            plan = (spark.sql(q)._jdf.queryExecution()
+                    .executedPlan().toString())
+            assert plan.count("ArrowAggregatePython") == 2, q
+    finally:
+        uninstall(spark)
+    # bit-identity vs the direct single-phase UDAF, outside install()
+    for q in shapes:
+        direct = sorted(
+            tuple(bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                  else v for v in r) for r in spark.sql(q).collect())
+        two = sorted(
+            tuple(bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                  else v for v in r)
+            for r in spark.sql(rewrite_convexhull_agg(q)).collect())
+        assert direct == two, q
+
+    untouched = [
+        "SELECT k, count(*) AS c, st_convexhull(g) AS h FROM cvx_t GROUP BY k",
+        "SELECT k, st_convexhull(g) FROM cvx_t GROUP BY k",       # no alias
+        "SELECT k, st_convexhull(g) AS h FROM cvx_t GROUP BY k "
+        "HAVING count(*) > 1",
+        "SELECT DISTINCT k, st_convexhull(g) AS h FROM cvx_t GROUP BY k",
+        "SELECT k, st_convexhull(g) AS h FROM (SELECT * FROM cvx_t) "
+        "GROUP BY k",
+        "SELECT k2, st_convexhull(g) AS h FROM cvx_t GROUP BY k",
+        "SELECT a.k, st_convexhull(a.g) AS h FROM cvx_t a "
+        "JOIN cvx_t b ON a.k = b.k GROUP BY a.k",
+        "SELECT /* c */ k, st_convexhull(g) AS h FROM cvx_t GROUP BY k",
+        "SELECT k, st_convexhull(g) AS h FROM cvx_t GROUP BY k "
+        "UNION ALL SELECT 9, NULL",
+    ]
+    for q in untouched:
+        assert rewrite_convexhull_agg(q) == q, q
+
+
 def test_join_rewrite_fall_throughs(spark):
     """Unsound/unrecognized shapes return the SQL unchanged: star
     selects (internals would leak), OR after the predicate (defeats
