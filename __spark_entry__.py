@@ -1009,6 +1009,35 @@ def q_spatial_reproject_aea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_eqdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equidistant conic reprojection (EPSG:4326 → ESRI:102031, Europe
+    Equidistant Conic; round 14 — Snyder §16 / EPSG method 1119, the
+    third conic family: meridians true to scale, the USGS continental-
+    map projection) on points over a Europe window; the oracle replays
+    the full Snyder forward — meridional-arc series M(φ) (3-21, the
+    same constants UTM uses), ρ = a(G − M), θ = n(λ − λ0) — in SQL
+    with identical Python-folded constants (float32 quantization
+    absorbs 1-ulp libm differences). Jacobian-pinned
+    true-scale-along-meridians property in pytest."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("ESRI:102031")
+    )
+    return (
+        pts.filter(
+            (F.col("cx") >= -10.005) & (F.col("cx") <= 39.995)
+            & (F.col("cy") >= 35.005) & (F.col("cy") <= 70.995)
+        )
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("eqdc_x"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("eqdc_y"),
+        )
+    )
+
+
 def q_spatial_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambert azimuthal equal-area reprojection (EPSG:4326 →
     EPSG:3035, the EU-standard LAEA Europe grid) on points over a
@@ -8815,6 +8844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_utm": q_spatial_reproject_utm,
         "spatial_reproject_lcc": q_spatial_reproject_lcc,
         "spatial_reproject_aea": q_spatial_reproject_aea,
+        "spatial_reproject_eqdc": q_spatial_reproject_eqdc,
         "spatial_reproject_laea": q_spatial_reproject_laea,
         "spatial_reproject_krovak": q_spatial_reproject_krovak,
         "spatial_reproject_somerc": q_spatial_reproject_somerc,
@@ -10502,6 +10532,44 @@ def _aea_oracle(epsg: int = 5070) -> str:
     """
 
 
+def _eqdc_oracle() -> str:
+    """Replay eqdc_forward's Snyder §16 math in DuckDB with the exact
+    precomputed constants: M(φ) meridional-arc series (3-21),
+    ρ = a(G − M), θ = n(λ − λ0), for ESRI:102031 Europe Equidistant
+    Conic."""
+    from geomesa_hive_spark.geom.projections import (
+        _A, _M1, _M2, _M3, _M4, eqdc_consts,
+    )
+
+    lat1, lat2, lat0, lon0, x0, y0 = (43.0, 62.0, 30.0, 10.0, 0.0, 0.0)
+    k = eqdc_consts(lat1, lat2, lat0, lon0)
+    n, g, rho0, lam0 = (repr(k[x]) for x in ("n", "g", "rho0", "lam0"))
+    a = repr(_A)
+    m1, m2, m3, m4 = (repr(v) for v in (_M1, _M2, _M3, _M4))
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer
+          WHERE {_C_X} >= -10.005 AND {_C_X} <= 39.995
+            AND {_C_Y} >= 35.005 AND {_C_Y} <= 70.995
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM base
+        ), s1 AS (
+          SELECT c_custkey,
+                 {m1} * phi - {m2} * sin(2.0 * phi)
+                   + {m3} * sin(4.0 * phi) - {m4} * sin(6.0 * phi) AS bm,
+                 {n} * (lam - {lam0}) AS th
+          FROM rad
+        ), s2 AS (
+          SELECT c_custkey, {a} * ({g} - bm) AS rho, th FROM s1
+        )
+        SELECT c_custkey,
+               round(CAST(CAST({float(x0)} + rho * sin(th) AS FLOAT) AS DOUBLE), 3) AS eqdc_x,
+               round(CAST(CAST({float(y0)} + {rho0} - rho * cos(th) AS FLOAT) AS DOUBLE), 3) AS eqdc_y
+        FROM s2
+    """
+
+
 def _laea_oracle(epsg: int = 3035) -> str:
     """Replay laea_forward's Snyder 9820 oblique math in DuckDB with
     the exact precomputed constants: authalic q(φ), β = asin(q/qp),
@@ -11803,6 +11871,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_moll": _moll_oracle(),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_reproject_aea": _aea_oracle(epsg=5070),
+        "spatial_reproject_eqdc": _eqdc_oracle(),
         "spatial_reproject_laea": _laea_oracle(epsg=3035),
         "spatial_reproject_krovak": _krovak_oracle(),
         "spatial_reproject_somerc": _somerc_oracle(),

@@ -1172,6 +1172,8 @@ def _coord_fn(fk, tk):
             return proj.lcc_inverse(c, fk[1:])
         if fk[0] == "aea":
             return proj.aea_inverse(c, fk[1:])
+        if fk[0] == "eqdc":
+            return proj.eqdc_inverse(c, fk[1:])
         if fk[0] == "laea":
             return proj.laea_inverse(c, fk[1:])
         if fk[0] == "stere":
@@ -1250,6 +1252,8 @@ def _coord_fn(fk, tk):
             return proj.lcc_forward(c, tk[1:])
         if tk[0] == "aea":
             return proj.aea_forward(c, tk[1:])
+        if tk[0] == "eqdc":
+            return proj.eqdc_forward(c, tk[1:])
         if tk[0] == "laea":
             return proj.laea_forward(c, tk[1:])
         if tk[0] == "stere":

