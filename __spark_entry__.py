@@ -6025,6 +6025,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQK_LO, _SQK_HI, _SQK_M = 0.0, 600.0, 120   # wb = 5.0, exact binary
 _SQK_QS = [500, 950]
+_SDD_QS = [500, 950]   # stream DD rollup permilles
 
 
 def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6052,6 +6053,33 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "hour", "event_type", "q_permille",
         F.round("est", 4).alias("est"),
+    )
+
+
+def q_stream_dd_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RANGE-FREE DD quantile rollup (round 14,
+    streaming.events.dd_sketch_rollup + dd_quantile_from_sketch — the
+    DD member of the streaming sketch family next to stream_quantile's
+    fixed grid): the stream maintains the mergeable log-bucket sketch
+    per (hour, event_type) — no [lo, hi) grid chosen before the
+    stream starts, bounded state (windows × types × occupied log
+    buckets), guaranteed ≤ e^(step/2e6) − 1 relative error at any
+    value distribution — and quantile extraction runs downstream over
+    the tiny sketch table. The streaming function runs VERBATIM on
+    the batch frame (watermark eliminated, the stream_rollup
+    convention); availableNow stream-vs-batch parity is pytest-gated.
+    Oracle replays the integer micro-nat log-bucket key, cumulative
+    walk, permille ranks, and log-midpoint extraction per (hour,
+    event_type)."""
+    from geomesa_hive_spark.streaming.events import (
+        dd_quantile_from_sketch, dd_sketch_rollup,
+    )
+
+    sketch = dd_sketch_rollup(_events(spark, sf_dir), _DD_STEP)
+    out = dd_quantile_from_sketch(sketch, _SDD_QS, _DD_STEP)
+    return out.select(
+        "hour", "event_type", "q_permille", "side", "mid_mnat",
+        F.round("est", 6).alias("est"),
     )
 
 
@@ -7318,6 +7346,69 @@ def q_sketch_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sk.dd_quantile(merged, ["grp"], _DD_QS, _DD_STEP)
     return out.select(
         "grp", "q_permille", "side", "mid_mnat",
+        F.round("est", 6).alias("est"),
+    )
+
+
+def q_manifest_dd_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD-sketch MANIFEST tier (round 14 — composition parity with the
+    fixed-grid qsk tier): write_with_manifest(dd_cols=) packs each
+    file's RANGE-FREE log-bucket registers as key-sorted sparse
+    (int64 key, int64 cnt) pairs in a ddsk_<col> binary manifest
+    column — no [lo, hi) grid to choose, the advantage that matters
+    when a table's value range is unknown at write time — and
+    pruned_dd_quantile answers ranged approximate quantiles from
+    METADATA via the arithmetic twin dd_quantile_py. In-query asserts:
+    the full-range metadata answer equals the Spark dd_quantile global
+    estimate integer-for-integer (side + mid_mnat), the Arrow scan was
+    column-pruned to exactly (file, min/max stats, ddsk register), and
+    a key-ranged call pruned files. The derived value mixes positives,
+    negatives, and zeros (the sketch_dd construction); the oracle
+    replays the full global log-bucket arithmetic in SQL."""
+    import tempfile
+
+    from geomesa_hive_spark.pipeline import sketches as sk
+    from geomesa_hive_spark.sources import manifest as mf
+
+    o = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    v = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0))
+        .when(F.col("o_orderkey") % 3 == 0, -tp)
+        .otherwise(tp)
+    )
+    base = o.select("o_orderkey", v.alias("v"))
+    path = tempfile.mkdtemp(prefix="ghs_ddsk_") + "/t"
+    mf.write_with_manifest(
+        base, path, ["o_orderkey"], n_files=8, manifest_format="parquet",
+        dd_cols=["v"], dd_step=_DD_STEP,
+    )
+    meta, rep = mf.pruned_dd_quantile(path, "v", _DD_QS)
+    assert rep["files_merged"] == rep["n_files"] == 8, rep
+    assert mf._LAST_DDSK_SCAN_COLUMNS == [
+        "file", "min_o_orderkey", "max_o_orderkey", "ddsk_v",
+    ], mf._LAST_DDSK_SCAN_COLUMNS
+    # full-range metadata answer ≡ Spark-side global dd_quantile,
+    # integer-for-integer (exact-sketch property of the full range)
+    tw = {
+        r.q_permille: (r.side, r.mid_mnat)
+        for r in sk.dd_quantile(
+            sk.dd_sketch_build(base, [], "v", _DD_STEP), [], _DD_QS,
+            _DD_STEP,
+        ).collect()
+    }
+    assert all(
+        tw[q] == (meta[q]["side"], meta[q]["mid_mnat"]) for q in tw
+    ), (tw, meta)
+    # a key-ranged call must actually prune manifest files
+    _, rep2 = mf.pruned_dd_quantile(path, "v", [500], lo=1, hi=2000)
+    assert 0 < rep2["files_merged"] < rep2["n_files"], rep2
+    return spark.createDataFrame(
+        [(int(q), int(meta[q]["side"]), int(meta[q]["mid_mnat"]),
+          float(meta[q]["est"])) for q in _DD_QS],
+        "q_permille int, side int, mid_mnat bigint, est double",
+    ).select(
+        "q_permille", "side", "mid_mnat",
         F.round("est", 6).alias("est"),
     )
 
@@ -8975,6 +9066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "stream_rollup": q_stream_rollup,
         "stream_quantile": q_stream_quantile,
+        "stream_dd_quantile": q_stream_dd_quantile,
         "stream_session_window": q_stream_session_window,
         "bm25_retrieval": q_bm25_retrieval,
         "bm25_phrase": q_bm25_phrase,
@@ -9041,6 +9133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "sketch_quantile": q_sketch_quantile,
         "sketch_dd": q_sketch_dd,
+        "manifest_dd_quantile": q_manifest_dd_quantile,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "pipeline_quantile_filter": q_pipeline_quantile_filter,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
@@ -14095,6 +14188,63 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "stream_dd_quantile": """
+            WITH keyed AS (
+              SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                     CASE WHEN value > 0 THEN 1000000000
+                            + CAST(floor(floor(ln(CAST(value AS DOUBLE))
+                                               * 1000000 + 0.5)
+                                         / 10000.0) AS BIGINT)
+                          WHEN value < 0 THEN -(1000000000
+                            + CAST(floor(floor(ln(-CAST(value AS DOUBLE))
+                                               * 1000000 + 0.5)
+                                         / 10000.0) AS BIGINT))
+                          ELSE 0 END AS bucket
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+            ), b AS (
+              SELECT hour, event_type, bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM keyed GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT hour, event_type, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY hour, event_type
+                                    ORDER BY bucket) AS cum
+              FROM b
+            ), t AS (
+              SELECT hour, event_type, sum(cnt) AS n_total
+              FROM b GROUP BY 1, 2
+            ), r AS (
+              SELECT t.hour, t.event_type, qv.q_permille,
+                     greatest(CAST(floor(
+                       CAST(qv.q_permille * t.n_total + 999 AS DOUBLE)
+                       / 1000.0) AS BIGINT), 1) AS rnk
+              FROM t CROSS JOIN (
+                VALUES (500), (950)
+              ) AS qv(q_permille)
+            ), hit AS (
+              SELECT r.hour, r.event_type, r.q_permille, c.bucket
+              FROM r JOIN c
+                ON r.hour = c.hour AND r.event_type = c.event_type
+               AND c.cum >= r.rnk AND c.cum - c.cnt < r.rnk
+            )
+            SELECT hour, event_type,
+                   CAST(q_permille AS INT) AS q_permille,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                             WHEN bucket > 0 THEN 1 ELSE -1 END AS INT)
+                     AS side,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                             ELSE (abs(bucket) - 1000000000) * 10000
+                                  + 5000 END AS BIGINT) AS mid_mnat,
+                   round(CASE WHEN bucket = 0 THEN 0.0
+                              WHEN bucket > 0 THEN exp(
+                                ((abs(bucket) - 1000000000) * 10000
+                                 + 5000) / 1000000.0)
+                              ELSE -exp(
+                                ((abs(bucket) - 1000000000) * 10000
+                                 + 5000) / 1000000.0) END, 6) AS est
+            FROM hit
+        """,
         "stream_quantile": f"""
             WITH b AS (
               SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
@@ -15378,6 +15528,60 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY pri DESC, o_orderkey
             LIMIT 500
+        """,
+        "manifest_dd_quantile": """
+            WITH src AS (
+              SELECT CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+                          WHEN o_orderkey % 3 = 0
+                            THEN -CAST(o_totalprice AS DOUBLE)
+                          ELSE CAST(o_totalprice AS DOUBLE) END AS v
+              FROM orders
+            ), keyed AS (
+              SELECT CASE WHEN v > 0 THEN 1000000000
+                            + CAST(floor(floor(ln(v) * 1000000 + 0.5)
+                                         / 10000.0) AS BIGINT)
+                          WHEN v < 0 THEN -(1000000000
+                            + CAST(floor(floor(ln(-v) * 1000000 + 0.5)
+                                         / 10000.0) AS BIGINT))
+                          ELSE 0 END AS bucket
+              FROM src WHERE v IS NOT NULL
+            ), b AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM keyed GROUP BY 1
+            ), c AS (
+              SELECT bucket, cnt,
+                     sum(cnt) OVER (ORDER BY bucket) AS cum
+              FROM b
+            ), t AS (
+              SELECT sum(cnt) AS n_total FROM b
+            ), r AS (
+              SELECT qv.q_permille,
+                     greatest(CAST(floor(
+                       CAST(qv.q_permille * t.n_total + 999 AS DOUBLE)
+                       / 1000.0) AS BIGINT), 1) AS rnk
+              FROM t CROSS JOIN (
+                VALUES (250), (500), (900), (990)
+              ) AS qv(q_permille)
+            ), hit AS (
+              SELECT r.q_permille, c.bucket
+              FROM r JOIN c
+                ON c.cum >= r.rnk AND c.cum - c.cnt < r.rnk
+            )
+            SELECT CAST(q_permille AS INT) AS q_permille,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                             WHEN bucket > 0 THEN 1 ELSE -1 END AS INT)
+                     AS side,
+                   CAST(CASE WHEN bucket = 0 THEN 0
+                             ELSE (abs(bucket) - 1000000000) * 10000
+                                  + 5000 END AS BIGINT) AS mid_mnat,
+                   round(CASE WHEN bucket = 0 THEN 0.0
+                              WHEN bucket > 0 THEN exp(
+                                ((abs(bucket) - 1000000000) * 10000
+                                 + 5000) / 1000000.0)
+                              ELSE -exp(
+                                ((abs(bucket) - 1000000000) * 10000
+                                 + 5000) / 1000000.0) END, 6) AS est
+            FROM hit
         """,
         "sketch_dd": """
             WITH src AS (

@@ -28,6 +28,7 @@ __all__ = [
     "quantile_sketch_build", "quantile_sketch_merge",
     "quantile_estimate", "quantile_estimate_py",
     "dd_sketch_build", "dd_sketch_merge", "dd_quantile",
+    "dd_quantile_py",
 ]
 
 
@@ -585,3 +586,54 @@ def dd_quantile(
         *group_cols, "q_permille", side.alias("side"),
         mid_mnat.alias("mid_mnat"), est.alias("est"),
     )
+
+
+def dd_quantile_py(pairs, qs_permille, step: int = 10_000) -> dict:
+    """Driver-side estimate twin of :func:`dd_quantile` — IDENTICAL
+    arithmetic, for sparse DD registers that live OUTSIDE Spark (the
+    manifest tier's per-file ``ddsk_<col>`` pairs, merged from
+    metadata): integer cumulative walk in value-ordered bucket-key
+    order, the same double rank floor, the same integer log-midpoint.
+    ``pairs``: mapping/iterable of (bucket_key, cnt). Returns
+    {q_permille: {"side", "mid_mnat", "est"}} — ``side`` and
+    ``mid_mnat`` are exact integers (the hash-stable answer);
+    ``est`` = side · e^(mid_mnat/1e6) carries one transcendental.
+    Empty sketch → {}."""
+    import math
+
+    bad = [q for q in qs_permille if not 1 <= int(q) <= 1000]
+    if bad:
+        raise ValueError(f"q_permille must be in [1, 1000], got {bad}")
+    step = int(step)
+    items = sorted(
+        pairs.items() if isinstance(pairs, dict) else pairs)
+    n_total = 0
+    for _, c in items:
+        if int(c) < 0:
+            raise ValueError("negative DD register count")
+        n_total += int(c)
+    if n_total == 0:
+        return {}
+    out = {}
+    for q in qs_permille:
+        rank = max(int(math.floor((int(q) * n_total + 999) / 1000.0)), 1)
+        cum = 0
+        for key, c in items:
+            c = int(c)
+            if c == 0:
+                continue
+            cum += c
+            if cum >= rank:
+                key = int(key)
+                if key == 0:
+                    out[int(q)] = {"side": 0, "mid_mnat": 0, "est": 0.0}
+                else:
+                    side = 1 if key > 0 else -1
+                    mid = (abs(key) - _DD_BIG) * step + step // 2
+                    out[int(q)] = {
+                        "side": side,
+                        "mid_mnat": int(mid),
+                        "est": side * math.exp(mid / 1e6),
+                    }
+                break
+    return out

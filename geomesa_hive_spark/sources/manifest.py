@@ -41,6 +41,7 @@ __all__ = [
     "write_delta", "read_snapshot", "current_seq", "seq_at_timestamp",
     "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup", "pruned_ndv", "pruned_quantile",
+    "pruned_dd_quantile",
     "merge_into", "delete_where", "update_where",
     "read_changes", "checkpoint", "vacuum",
     "pruned_count", "pruned_sum", "pruned_minmax", "maintain",
@@ -80,6 +81,8 @@ def write_with_manifest(
     ndv_seed: int = 7,
     quantile_cols: dict | None = None,
     quantile_m: int = 128,
+    dd_cols: list[str] | None = None,
+    dd_step: int = 10_000,
 ) -> dict:
     """Range-cluster ``df`` by ``stats_cols`` into ``n_files`` parquet
     files and write a ``_manifest.json`` of per-file min/max for each
@@ -118,7 +121,15 @@ def write_with_manifest(
     sum-merging the overlapping files' bucket counts
     (:func:`pruned_quantile`). The grid is a contract: the bounds and
     ``quantile_m`` are pinned in the manifest root and every merge
-    uses them."""
+    uses them.
+
+    ``dd_cols`` (parquet tier only) records a per-file RANGE-FREE DD
+    quantile sketch for each named column (log buckets of ``dd_step``
+    micro-nats, packed as key-sorted sparse (key, cnt) int64 pairs) —
+    no grid bounds to choose; ranged approximate quantiles with
+    guaranteed relative error come from METADATA via
+    :func:`pruned_dd_quantile`, sum-merging overlapping files' pairs.
+    ``dd_step`` is pinned in the manifest root like ``quantile_m``."""
     # argument validation BEFORE the data write: failing in
     # _finish_manifest would leave a fully-written but manifest-less
     # directory after minutes of wasted shuffle at scale
@@ -132,6 +143,11 @@ def write_with_manifest(
             "quantile_cols requires manifest_format='parquet' (bucket "
             "counts are binary manifest columns, not JSON payload)"
         )
+    if dd_cols and manifest_format != "parquet":
+        raise ValueError(
+            "dd_cols requires manifest_format='parquet' (DD registers "
+            "are binary manifest columns, not JSON payload)"
+        )
     d = df.repartitionByRange(int(n_files), *[F.col(c) for c in stats_cols])
     d.write.mode("overwrite").parquet(path)
     return _finish_manifest(
@@ -140,6 +156,7 @@ def write_with_manifest(
         manifest_format=manifest_format, manifest_shards=manifest_shards,
         ndv_cols=ndv_cols, ndv_p=ndv_p, ndv_seed=ndv_seed,
         quantile_cols=quantile_cols, quantile_m=quantile_m,
+        dd_cols=dd_cols, dd_step=dd_step,
     )
 
 
@@ -158,6 +175,8 @@ def _finish_manifest(
     ndv_seed: int = 7,
     quantile_cols: dict | None = None,
     quantile_m: int = 128,
+    dd_cols: list[str] | None = None,
+    dd_step: int = 10_000,
 ) -> dict:
     """One read-back scan over the just-written files: per-file min/max
     for every stats column plus (optionally) per-file Bloom bitsets."""
@@ -174,6 +193,11 @@ def _finish_manifest(
         raise ValueError(
             "quantile_cols requires manifest_format='parquet' (bucket "
             "counts are binary manifest columns, not JSON payload)"
+        )
+    if dd_cols and manifest_format != "parquet":
+        raise ValueError(
+            "dd_cols requires manifest_format='parquet' (DD registers "
+            "are binary manifest columns, not JSON payload)"
         )
     back = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     int_cols = {
@@ -226,6 +250,12 @@ def _finish_manifest(
                                           int(quantile_m)),
                     "file", "left",
                 )
+        if dd_cols:
+            for c in dd_cols:
+                stats_df = stats_df.join(
+                    _dd_register_df(back, c, int(dd_step)),
+                    "file", "left",
+                )
         (
             stats_df.repartition(max(1, int(manifest_shards)))
             .write.mode("overwrite")
@@ -254,6 +284,11 @@ def _finish_manifest(
                 "m": int(quantile_m),
                 "cols": {c: [float(b[0]), float(b[1])]
                          for c, b in quantile_cols.items()},
+            }
+        if dd_cols:
+            root["dd"] = {
+                "step": int(dd_step),
+                "cols": list(dd_cols),
             }
         with open(os.path.join(path, _MANIFEST), "w") as fh:
             json.dump(root, fh)
@@ -375,7 +410,7 @@ def manifest_stats(path: str) -> dict:
     # column-pruned _bloom_probe_parquet / pruned_ndv scans
     tbl = ds.to_table(
         columns=[n for n in ds.schema.names
-                 if not n.startswith(("bloom_", "ndv_", "qsk_"))]
+                 if not n.startswith(("bloom_", "ndv_", "qsk_", "ddsk_"))]
     )
     files = [
         {k: _load_stat(k, v) for k, v in row.items()}
@@ -844,6 +879,41 @@ def _quantile_register_df(back: DataFrame, col: str, lo: float, hi: float,
     )
 
 
+def _dd_register_df(back: DataFrame, col: str, step: int) -> DataFrame:
+    """(file, ddsk_<col> binary) DataFrame — per-file RANGE-FREE DD
+    quantile sketch packed as key-sorted little-endian (int64 key,
+    int64 cnt) pairs. Sparse by construction (log buckets only where
+    data lands), so the pack is variable-length — unlike the dense
+    fixed-grid ``qsk`` pack there is no m to pin, only ``step``. The
+    bucket derivation IS :func:`~geomesa_hive_spark.pipeline.sketches.
+    dd_sketch_build` called with the file as the group — one
+    implementation of the log-bucket arithmetic (the
+    _ndv_register_df no-duplication rule); only the Arrow-batched
+    byte pack is added here, nothing passes the driver."""
+    from geomesa_hive_spark.pipeline.sketches import dd_sketch_build
+
+    def _pack_fn(kcs):
+        import struct
+
+        import pandas as pd
+
+        out = []
+        for pairs in kcs:
+            items = sorted(
+                (int(pair["bucket"]), int(pair["cnt"])) for pair in pairs)
+            out.append(b"".join(struct.pack("<2q", k, c)
+                                for k, c in items))
+        return pd.Series(out)
+
+    _pack = F.pandas_udf(_pack_fn, "binary")
+    return (
+        dd_sketch_build(back, ["__f"], col, step=int(step))
+        .groupBy("__f")
+        .agg(F.collect_list(F.struct("bucket", "cnt")).alias("kcs"))
+        .select(F.col("__f").alias("file"), _pack("kcs").alias(f"ddsk_{col}"))
+    )
+
+
 # last Arrow column set a pruned_quantile scan read — assertable like
 # _LAST_NDV_SCAN_COLUMNS
 _LAST_QSK_SCAN_COLUMNS: list[str] | None = None
@@ -913,6 +983,85 @@ def pruned_quantile(
             counts = counts + np.frombuffer(bs, dtype="<i8")
             merged += 1
     ests = quantile_estimate_py(counts.tolist(), qs_permille, qlo, qhi)
+    return ests, {"files_merged": merged, "n_files": total}
+
+
+# last Arrow column set a pruned_dd_quantile scan read — assertable
+# like _LAST_QSK_SCAN_COLUMNS
+_LAST_DDSK_SCAN_COLUMNS: list[str] | None = None
+
+
+def pruned_dd_quantile(
+    path: str,
+    col: str,
+    qs_permille,
+    lo=None,
+    hi=None,
+    stats_col: str | None = None,
+) -> tuple[dict, dict]:
+    """Approximate quantiles of ``col`` over a ``stats_col`` key range
+    from MANIFEST METADATA only — the RANGE-FREE member of the
+    metadata-answer family: unlike :func:`pruned_quantile` no grid
+    bounds were ever chosen; every estimate carries the DD guarantee
+    (relative error ≤ e^(step/2e6) − 1) at any value distribution. A
+    column-pruned Arrow scan reads each overlapping file's packed
+    sparse (key, cnt) pairs, a dict sum-merge combines them (count
+    merge is EXACT — the merged sketch IS the sketch of the union),
+    and the estimate is pipeline/sketches.dd_quantile_py — the
+    arithmetic twin of the Spark/SQL path, so a full-range call
+    equals dd_sketch_build+dd_quantile over the column exactly
+    (side/mid_mnat integer-for-integer).
+
+    Same ranged-metadata caveat as the other pruned_* answers: files
+    are selected by min/max OVERLAP, so a partial range answers a
+    SUPERSET of the range's rows; the full range (lo=hi=None) is
+    exact-sketch. Returns ({q_permille: {"side", "mid_mnat", "est"}},
+    {"files_merged", "n_files"})."""
+    import struct
+
+    import pyarrow.dataset as _ds
+
+    from geomesa_hive_spark.pipeline.sketches import dd_quantile_py
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        root = json.load(fh)
+    if root.get("format") != "parquet" or "dd" not in root:
+        raise ValueError(
+            "pruned_dd_quantile needs a parquet-tier manifest written "
+            "with dd_cols"
+        )
+    dd = root["dd"]
+    if col not in dd["cols"]:
+        raise ValueError(f"no DD sketch for column {col!r} "
+                         f"(have {sorted(dd['cols'])})")
+    step = int(dd["step"])
+    sc = stats_col or root["stats_cols"][0]
+    global _LAST_DDSK_SCAN_COLUMNS
+    cols = ["file", f"min_{sc}", f"max_{sc}", f"ddsk_{col}"]
+    _LAST_DDSK_SCAN_COLUMNS = cols
+    ds = _ds.dataset(os.path.join(path, root["dir"]))
+    counts: dict[int, int] = {}
+    merged, total = 0, 0
+    for batch in ds.to_batches(columns=cols):
+        mins = batch.column(1).to_pylist()
+        maxs = batch.column(2).to_pylist()
+        sketches = batch.column(3).to_pylist()
+        total += batch.num_rows
+        for mn, mx, bs in zip(mins, maxs, sketches):
+            if lo is not None and mx is not None and mx < lo:
+                continue
+            if hi is not None and mn is not None and mn > hi:
+                continue
+            if bs is None:      # file had no non-null values of col
+                continue
+            if len(bs) % 16:
+                raise ValueError(
+                    f"corrupt ddsk_{col} register (len {len(bs)})")
+            for i in range(0, len(bs), 16):
+                k, c = struct.unpack_from("<2q", bs, i)
+                counts[k] = counts.get(k, 0) + c
+            merged += 1
+    ests = dd_quantile_py(counts, qs_permille, step)
     return ests, {"files_merged": merged, "n_files": total}
 
 

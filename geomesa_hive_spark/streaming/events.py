@@ -49,6 +49,10 @@ __all__ = [
     "batch_dedup",
     "streaming_contamination_filter",
     "run_to_memory",
+    "quantile_sketch_rollup",
+    "quantile_from_sketch",
+    "dd_sketch_rollup",
+    "dd_quantile_from_sketch",
 ]
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -744,6 +748,62 @@ def quantile_sketch_rollup(
             "bucket",
             "cnt",
         )
+    )
+
+
+def dd_sketch_rollup(
+    events: DataFrame,
+    step: int = 10_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling 1-hour RANGE-FREE DD quantile sketch per event_type —
+    the DD member of the streaming sketch family
+    (:func:`quantile_sketch_rollup` is the fixed-grid one): same
+    watermarked window grouping, but log buckets
+    (pipeline/sketches._dd_key shares the bucket arithmetic) so no
+    [lo, hi) grid has to be chosen before the stream starts — the
+    property that matters for a stream, whose value range is unknown
+    up front — and every downstream estimate carries the guaranteed
+    ≤ e^(step/2e6) − 1 relative error. Bounded state: windows × types
+    × occupied-log-buckets rows (≈230·decades per type at the default
+    step), independent of event volume. Integer counts merge exactly
+    across micro-batches (sum aggregation), so stream output ≡ the
+    batch twin run verbatim — gate hash + availableNow parity pytest
+    pin it. NULL and NaN values are excluded like dd_sketch_build."""
+    from geomesa_hive_spark.pipeline.sketches import _dd_key
+
+    v = F.col("value")
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            "event_type",
+            _dd_key(v, int(step)).alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def dd_quantile_from_sketch(
+    sketch: DataFrame,
+    qs_permille: list,
+    step: int = 10_000,
+) -> DataFrame:
+    """(hour, event_type, q_permille, side, mid_mnat, est) from a
+    stored/streamed :func:`dd_sketch_rollup` table — delegates to
+    pipeline/sketches.dd_quantile over the (hour, event_type)
+    grouping. Runs over the bounded sketch, never the events."""
+    from geomesa_hive_spark.pipeline.sketches import dd_quantile
+
+    return dd_quantile(
+        sketch, ["hour", "event_type"], qs_permille, int(step)
     )
 
 

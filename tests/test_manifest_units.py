@@ -153,3 +153,65 @@ def test_pruned_quantile_metadata_answers(spark, tmp_path):
         M.write_with_manifest(df, str(tmp_path / "nojson"), ["k"],
                               n_files=4, manifest_format="json",
                               quantile_cols={"v": (LO, HI)})
+
+
+def test_pruned_dd_quantile_metadata_answers(spark, tmp_path):
+    """Manifest DD sketches (round 14): full-range pair sum-merge
+    equals Spark dd_sketch_build+dd_quantile integer-for-integer
+    (side, mid_mnat — count merge is the union's sketch; dd_quantile_py
+    is the arithmetic twin); NaN/NULL values excluded from registers;
+    partial ranges merge fewer files (superset semantics); all-NULL
+    files contribute nothing; the probe scan is column-pruned to
+    exactly the needed manifest columns; json tier, unknown columns,
+    and corrupt registers are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline import sketches as sk
+    from geomesa_hive_spark.sources import manifest as M
+
+    STEP = 10_000
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        # mixes signs and zeros; NULL in the top k-range (those files
+        # pack a NULL register); NaN sprinkled in to pin exclusion
+        F.when(F.col("id") >= 15000, F.lit(None).cast("double"))
+        .when(F.col("id") % 997 == 0, F.lit(float("nan")))
+        .when(F.col("id") % 11 == 0, F.lit(0.0))
+        .when(F.col("id") % 3 == 0,
+              -(F.col("id") % 5000).cast("double") - 0.5)
+        .otherwise((F.col("id") % 7000).cast("double") + 0.25)
+        .alias("v"),
+    )
+    path = str(tmp_path / "ddt")
+    root = M.write_with_manifest(
+        df, path, ["k"], n_files=8, manifest_format="parquet",
+        dd_cols=["v"], dd_step=STEP,
+    )
+    assert root["dd"] == {"step": STEP, "cols": ["v"]}
+    qs = [100, 500, 900]
+    est, rep = M.pruned_dd_quantile(path, "v", qs)
+    assert rep["n_files"] == 8
+    assert M._LAST_DDSK_SCAN_COLUMNS == ["file", "min_k", "max_k", "ddsk_v"]
+    want = {
+        r.q_permille: (r.side, r.mid_mnat)
+        for r in sk.dd_quantile(
+            sk.dd_sketch_build(df, [], "v", STEP), [], qs, STEP).collect()
+    }
+    assert {q: (e["side"], e["mid_mnat"]) for q, e in est.items()} == want
+    e_part, r_part = M.pruned_dd_quantile(path, "v", qs, lo=0, hi=2999)
+    assert 0 < r_part["files_merged"] < rep["files_merged"]
+    # a range deep inside the all-NULL tail (the top quarter of keys
+    # spans >= 2 range-clustered files): the only overlapping file(s)
+    # pack a NULL register, so nothing merges and the estimate is empty
+    e_null, r_null = M.pruned_dd_quantile(path, "v", qs,
+                                          lo=19000, hi=19900)
+    assert e_null == {} and r_null["files_merged"] == 0
+    with _pytest.raises(ValueError, match="no DD sketch"):
+        M.pruned_dd_quantile(path, "k", qs)
+    with _pytest.raises(ValueError, match="parquet"):
+        M.write_with_manifest(df, str(tmp_path / "ddjson"), ["k"],
+                              n_files=4, manifest_format="json",
+                              dd_cols=["v"])
+    with _pytest.raises(ValueError, match=r"\[1, 1000\]"):
+        M.pruned_dd_quantile(path, "v", [0])

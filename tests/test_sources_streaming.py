@@ -3497,6 +3497,42 @@ def test_streaming_quantile_sketch_multibatch_parity(spark, tmp_path):
     assert est_stream == est_batch
 
 
+def test_streaming_dd_sketch_multibatch_parity(spark, tmp_path):
+    """TRUE micro-batch e2e for the streaming DD sketch (round 14):
+    three availableNow micro-batches; the finalized complete-mode
+    RANGE-FREE log-bucket sketch (hour x type x bucket-key counts)
+    matches the batch twin EXACTLY — integer counts merge across
+    micro-batches by construction — and the downstream dd quantile
+    extraction over the streamed sketch equals the batch path
+    integer-for-integer (side, mid_mnat)."""
+    from geomesa_hive_spark.streaming.events import (
+        dd_quantile_from_sketch, dd_sketch_rollup,
+    )
+
+    STEP = 10_000
+    batch, stream = _multi_file_events(spark, tmp_path, "mb_ddsk")
+    out = dd_sketch_rollup(stream, STEP)
+    assert out.isStreaming
+    q = streaming.run_to_memory(out, "mb_ddsk_t", output_mode="complete")
+    assert q.lastProgress["batchId"] >= 2   # state crossed >=3 batches
+    got = {(r.hour, r.event_type, r.bucket): r.cnt
+           for r in spark.table("mb_ddsk_t").collect()}
+    exp = {(r.hour, r.event_type, r.bucket): r.cnt
+           for r in dd_sketch_rollup(batch, STEP).collect()}
+    assert got == exp and len(exp) > 0
+    est_stream = sorted(
+        (r.hour, r.event_type, r.q_permille, r.side, r.mid_mnat)
+        for r in dd_quantile_from_sketch(
+            spark.table("mb_ddsk_t"), [500, 950], STEP).collect()
+    )
+    est_batch = sorted(
+        (r.hour, r.event_type, r.q_permille, r.side, r.mid_mnat)
+        for r in dd_quantile_from_sketch(
+            dd_sketch_rollup(batch, STEP), [500, 950], STEP).collect()
+    )
+    assert est_stream == est_batch and len(est_batch) > 0
+
+
 def test_incremental_quantile_sketch_ivm(spark, tmp_path):
     """Quantile-sketch IVM (round 12): bucket counts are fully
     invertible — no rescan path. Covers what the gate doesn't isolate:
