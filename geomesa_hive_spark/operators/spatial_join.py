@@ -118,6 +118,7 @@ def spatial_join(
     cell_size: float = 1.0,
     exact: bool = True,
     broadcast_right: bool = False,
+    salt: int = 1,
 ) -> DataFrame:
     """Inner spatial join of ``left`` × ``right`` on a geometry predicate.
 
@@ -138,17 +139,59 @@ def spatial_join(
     ``spark.sql.autoBroadcastJoinThreshold``-independent hint limits
     rather than silently degrading.
 
+    ``salt > 1`` is the HOT-CELL knob (the ``block_shards`` pattern from
+    pipeline/entity.py, round 14): a clustered dataset — every geometry
+    in one city — lands its whole candidate workload on the ONE reducer
+    owning that cell, and AQE's skew split only rescues the sort-merge
+    path when partition-size thresholds trip. Salting fixes it
+    structurally: each LEFT row's cell key gains a deterministic shard
+    ``xxhash64(geom) % salt`` and the RIGHT side replicates each
+    exploded cell row ×salt, so one hot cell fans across ``salt``
+    reducers. Every candidate pair still meets exactly once (the left
+    row carries ONE shard; the replicated right matches it there), so
+    reference-point dedup and the exact predicate are untouched —
+    results are row-identical to ``salt=1`` (pytest-pinned). Cost:
+    right-side shuffle volume ×salt — keep the replicated side the
+    smaller one. Incompatible with ``broadcast_right`` (that path
+    shuffles nothing, so there is no skew to split — and replicating
+    the broadcast table would only inflate it).
+
     Register the ST surface first (``register_all(spark)``) —
     the exact predicate and the bbox derivation call the SQL functions.
     """
     if predicate not in _PREDICATES:
         raise ValueError(f"predicate must be one of {sorted(_PREDICATES)}")
+    salt = int(salt)
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if salt > 1 and broadcast_right:
+        raise ValueError(
+            "salt > 1 with broadcast_right: the broadcast path has no "
+            "shuffle to skew — drop one of the two"
+        )
     a = _prepared(left, left_geom, left_bbox, "l", cell_size)
     b = _prepared(right, right_geom, right_bbox, "r", cell_size)
+    if salt > 1:
+        # deterministic per-row shard over ALL left columns (not just
+        # the geometry: stacked identical points would otherwise share
+        # a shard and stay hot); fully-duplicate rows are genuinely
+        # indistinguishable and keep sharing one
+        a = a.withColumn(
+            "__l_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                   F.lit(salt)),
+        )
+        b = b.withColumn(
+            "__r_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(salt)])),
+        )
     if broadcast_right:
         b = F.broadcast(b)
 
-    joined = a.join(b, a["__l_cell"] == b["__r_cell"])
+    cond = a["__l_cell"] == b["__r_cell"]
+    if salt > 1:
+        cond = cond & (a["__l_salt"] == b["__r_salt"])
+    joined = a.join(b, cond)
 
     la, ra = F.col("__l_bbox"), F.col("__r_bbox")
     overlap = (
@@ -174,6 +217,8 @@ def spatial_join(
             F.call_function(_PREDICATES[predicate], a[left_geom], b[right_geom])
         )
     drop = ["__l_bbox", "__l_cell", "__r_bbox", "__r_cell"]
+    if salt > 1:
+        drop += ["__l_salt", "__r_salt"]
     return cand.drop(*drop)
 
 

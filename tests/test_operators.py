@@ -198,6 +198,39 @@ def test_spatial_join_no_duplicate_pairs(spark, pts_parquet, polys_df):
     assert n == nd
 
 
+def test_spatial_join_salted_identical_rows(spark, pts_parquet, polys_df):
+    """Round 14 hot-cell knob: salt > 1 (left sharded, right replicated)
+    must return EXACTLY the unsalted rows — same pairs, no duplicates —
+    for multi-cell polygons and both predicates; salt with
+    broadcast_right and salt < 1 are refused."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.operators.spatial_join import spatial_join
+
+    pts = spark.read.parquet(pts_parquet)
+    for pred in ["intersects", "within"]:
+        base = spatial_join(
+            pts, polys_df, predicate=pred,
+            left_geom="geom", right_geom="pgeom", left_bbox="bbox",
+            cell_size=1.0,
+        ).select("id", "poly_id")
+        salted = spatial_join(
+            pts, polys_df, predicate=pred,
+            left_geom="geom", right_geom="pgeom", left_bbox="bbox",
+            cell_size=1.0, salt=5,
+        ).select("id", "poly_id")
+        b = sorted((r.id, r.poly_id) for r in base.collect())
+        s = sorted((r.id, r.poly_id) for r in salted.collect())
+        assert b == s and len(b) > 0, pred
+        assert len(s) == len(set(s))            # still no duplicates
+    with _pytest.raises(ValueError, match="broadcast_right"):
+        spatial_join(pts, polys_df, left_geom="geom", right_geom="pgeom",
+                     salt=4, broadcast_right=True)
+    with _pytest.raises(ValueError, match="salt"):
+        spatial_join(pts, polys_df, left_geom="geom", right_geom="pgeom",
+                     salt=0)
+
+
 def test_spatial_join_null_geoms_drop(spark, polys_df):
     from geomesa_hive_spark.operators.spatial_join import spatial_join
 
