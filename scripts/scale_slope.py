@@ -341,6 +341,34 @@ def run_manifest_window_count(spark, sf_dir, m):
     return spark.createDataFrame([(cnt,)], "cnt long")
 
 
+def run_bm25_positions_build(spark, sf_dir, m):
+    """Positional-dataset slope with the BUILD dominant (round 14 —
+    VERDICT r13 item 7: the gate-verbatim ``bm25_index_phrase`` slope
+    of 0.87 is stage-overhead-dominated and carries no number for the
+    SCALE.md claim that ``positions/`` is Σ-token-count rows, the
+    largest artifact the BM25 family writes). This runner isolates
+    exactly that artifact: build_bm25_index(positions=True) over the
+    scaled corpus, one bucket-pruned phrase query (the steady-state
+    read path, O(phrase-term buckets) regardless of m), and the
+    RETURNED frame is the positions dataset itself — so ``rows_m*``
+    in the slope row IS the measured Σ-token-count row count, pinning
+    the artifact-size claim alongside the build-time slope."""
+    import os as _os
+    import tempfile
+
+    from geomesa_hive_spark.pipeline.retrieval import (
+        bm25_phrase_query_index, build_bm25_index,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    path = tempfile.mkdtemp(prefix="ghs_pos_") + "/idx"
+    build_bm25_index(docs, "doc_id", "text", path, n_buckets=16,
+                     positions=True)
+    res = bm25_phrase_query_index(spark, path, "fast sort", k=25)
+    assert res.count() > 0
+    return spark.read.parquet(_os.path.join(path, "positions"))
+
+
 def run_manifest_zorder(spark, sf_dir, m):
     import tempfile
 
@@ -572,6 +600,7 @@ CUSTOM = {
     "spatial_hausdorff": run_spatial_hausdorff,
     "spatial_window_read": run_spatial_window_read,
     "manifest_window_count": run_manifest_window_count,
+    "bm25_positions_build": run_bm25_positions_build,
     "manifest_zorder": run_manifest_zorder,
     "manifest_bloom": run_manifest_bloom,
     "ivm_refresh_fixed_delta": run_ivm_refresh_fixed_delta,
