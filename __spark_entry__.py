@@ -1440,6 +1440,47 @@ def q_spatial_reproject_hammer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_mill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Miller cylindrical reprojection (EPSG:4326 → ESRI:54003, round
+    14 — the web/reference-map cylindrical that shows the poles) on
+    ALL customer points; exact closed forms both ways
+    (y = 1.25·R·ln(tan(π/4 + 0.4φ)) — Mercator of 0.8φ stretched
+    1.25), oracle replays the forward with folded constants."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("ESRI:54003"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("mill_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("mill_y"),
+    )
+
+
+def q_spatial_reproject_vandg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van der Grinten I reprojection (EPSG:4326 → ESRI:54029, round
+    14 — the classic NatGeo circular world map; Snyder §28) on ALL
+    customer points; closed forms BOTH ways (the inverse is Snyder's
+    exact cubic solve, no iteration). The oracle replays the full
+    forward — θ = asin|2φ/π|, G/P/Q lobe algebra, both square roots
+    clip-guarded — with the kernel's exact expression shapes and the
+    φ=0 / λ=0 / pole special cases as CASE arms (float32 quantization
+    absorbs 1-ulp libm differences)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("ESRI:54029"),
+    )
+    return pts.select(
+        F.col("c_custkey").alias("c_custkey"),
+        F.round(_call("st_x", rp).cast("double"), 3).alias("vdg_x"),
+        F.round(_call("st_y", rp).cast("double"), 3).alias("vdg_y"),
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -8950,6 +8991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_natearth": q_spatial_reproject_natearth,
         "spatial_reproject_gnom": q_spatial_reproject_gnom,
         "spatial_reproject_hammer": q_spatial_reproject_hammer,
+        "spatial_reproject_mill": q_spatial_reproject_mill,
+        "spatial_reproject_vandg": q_spatial_reproject_vandg,
         "spatial_reproject_aeqd": q_spatial_reproject_aeqd,
         "spatial_vincenty": q_spatial_vincenty,
         "spatial_azimuth": q_spatial_azimuth,
@@ -11997,6 +12040,84 @@ def oracle_sql() -> dict[str, str]:
                          - 0.6427876096865393 * cos(phi) * cos(lam)) / cos_c
                          AS FLOAT) AS DOUBLE), 3) AS gnom_y
             FROM cc
+        """,
+        "spatial_reproject_mill": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+            ), rad AS (
+              SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi
+              FROM base
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(6378137.0 * lam AS FLOAT) AS DOUBLE), 3)
+                     AS mill_x,
+                   round(CAST(CAST(7972671.25 * ln(tan(
+                     0.7853981633974483 + 0.4 * phi))
+                     AS FLOAT) AS DOUBLE), 3) AS mill_y
+            FROM rad
+        """,
+        "spatial_reproject_vandg": f"""
+            WITH base AS (
+              SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+              FROM customer
+            ), rad AS (
+              SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi
+              FROM base
+            ), th AS (
+              SELECT c_custkey, lam, phi,
+                     asin(least(abs(2.0 * phi / pi()), 1.0)) AS theta
+              FROM rad
+            ), tc AS (
+              SELECT c_custkey, lam, phi, theta,
+                     sin(theta) AS st, cos(theta) AS ct
+              FROM th
+            ), alg AS (
+              SELECT c_custkey, lam, phi, theta, st, ct,
+                     abs(pi() / lam - lam / pi()) / 2.0 AS al,
+                     ct / (st + ct - 1.0) AS g
+              FROM tc
+              WHERE abs(phi) >= 1e-12 AND abs(lam) >= 1e-12
+                AND abs(abs(phi) - pi() / 2.0) >= 1e-12
+            ), pq AS (
+              SELECT c_custkey, lam, phi, al, g,
+                     g * (2.0 / st - 1.0) AS p
+              FROM alg
+            ), parts AS (
+              SELECT c_custkey, lam, phi, al, g, p,
+                     al * al + g AS q, p * p AS p2, al * al AS a2
+              FROM pq
+            ), gen AS (
+              SELECT c_custkey,
+                     20037508.342789244 * sign(lam)
+                       * (al * (g - p2) + sqrt(greatest(
+                            a2 * (g - p2) * (g - p2)
+                            - (p2 + a2) * (g * g - p2), 0.0)))
+                       / (p2 + a2) AS gx,
+                     20037508.342789244 * sign(phi)
+                       * (p * q - al * sqrt(greatest(
+                            (a2 + 1.0) * (p2 + a2) - q * q, 0.0)))
+                       / (p2 + a2) AS gy
+              FROM parts
+            ), special AS (
+              SELECT c_custkey,
+                     CASE WHEN abs(phi) < 1e-12 THEN 6378137.0 * lam
+                          ELSE 0.0 END AS sx,
+                     CASE WHEN abs(phi) < 1e-12 THEN 0.0
+                          ELSE 20037508.342789244 * sign(phi) * tan(theta / 2.0)
+                          END AS sy
+              FROM tc
+              WHERE abs(phi) < 1e-12 OR abs(lam) < 1e-12
+                 OR abs(abs(phi) - pi() / 2.0) < 1e-12
+            ), unioned AS (
+              SELECT c_custkey, gx AS x, gy AS y FROM gen
+              UNION ALL
+              SELECT c_custkey, sx, sy FROM special
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(x AS FLOAT) AS DOUBLE), 3) AS vdg_x,
+                   round(CAST(CAST(y AS FLOAT) AS DOUBLE), 3) AS vdg_y
+            FROM unioned
         """,
         "spatial_reproject_hammer": f"""
             WITH base AS (

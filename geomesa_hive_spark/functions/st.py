@@ -1206,6 +1206,10 @@ def _coord_fn(fk, tk):
             return proj.gnom_inverse(c, fk[1:])
         if fk[0] == "hammer":
             return proj.hammer_inverse(c, fk[1:])
+        if fk[0] == "mill":
+            return proj.mill_inverse(c, fk[1:])
+        if fk[0] == "vandg":
+            return proj.vandg_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1286,6 +1290,10 @@ def _coord_fn(fk, tk):
             return proj.gnom_forward(c, tk[1:])
         if tk[0] == "hammer":
             return proj.hammer_forward(c, tk[1:])
+        if tk[0] == "mill":
+            return proj.mill_forward(c, tk[1:])
+        if tk[0] == "vandg":
+            return proj.vandg_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

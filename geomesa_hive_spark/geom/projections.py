@@ -59,6 +59,10 @@ __all__ = [
     "eqdc_forward",
     "eqdc_inverse",
     "eqdc_consts",
+    "mill_forward",
+    "mill_inverse",
+    "vandg_forward",
+    "vandg_inverse",
     "laea_forward",
     "laea_inverse",
     "laea_consts",
@@ -271,6 +275,10 @@ def parse_crs(crs: str):
             return ("eck4", 0.0, 0.0, 0.0)
         if code == 54044:  # ESRI World Hammer-Aitoff
             return ("hammer", 0.0, 0.0, 0.0)
+        if code == 54003:  # ESRI World Miller Cylindrical
+            return ("mill", 0.0, 0.0, 0.0)
+        if code == 54029:  # ESRI World Van der Grinten I
+            return ("vandg", 0.0, 0.0, 0.0)
         if code == 54027:  # ESRI World Equidistant Conic (1SP at 60N)
             return ("eqdc", 60.0, 60.0, 0.0, 0.0, 0.0, 0.0)
         if code == 102031:  # ESRI Europe Equidistant Conic (ETRS89)
@@ -291,6 +299,10 @@ def parse_crs(crs: str):
         return ("eck4", 0.0, 0.0, 0.0)
     if re.match(r"^esri:54044$", low):
         return ("hammer", 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54003$", low):
+        return ("mill", 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54029$", low):
+        return ("vandg", 0.0, 0.0, 0.0)
     if re.match(r"^esri:54027$", low):
         return ("eqdc", 60.0, 60.0, 0.0, 0.0, 0.0, 0.0)
     if re.match(r"^esri:102031$", low):
@@ -316,6 +328,14 @@ def parse_crs(crs: str):
     if "+proj=gnom" in low:
         return ("gnom",
                 _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=mill" in low:
+        return ("mill",
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=vandg" in low:
+        return ("vandg",
                 _proj4_num(low, "lon_0", 0.0),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=hammer" in low:
@@ -569,7 +589,7 @@ def parse_crs(crs: str):
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
         "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
         "[+lat_1=..]' or ESRI:54042), Robinson ('+proj=robin' or "
-        "ESRI:54030), orthographic ('+proj=ortho'), gnomonic ('+proj=gnom'), Hammer ('+proj=hammer' or ESRI:54044), Eckert IV "
+        "ESRI:54030), orthographic ('+proj=ortho'), gnomonic ('+proj=gnom'), Hammer ('+proj=hammer' or ESRI:54044), Miller cylindrical ('+proj=mill' or ESRI:54003), Van der Grinten I ('+proj=vandg' or ESRI:54029), Eckert IV "
         "('+proj=eck4' or ESRI:54012), Natural Earth "
         "('+proj=natearth'), azimuthal equidistant ('+proj=aeqd "
         "[+lat_0 +lon_0]' or ESRI:54032) and their proj4 equivalents"
@@ -2926,6 +2946,132 @@ def hammer_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
     z = np.sqrt(np.clip(z2, 0.0, None))
     phi = np.arcsin(np.clip(z * yu, -1.0, 1.0))
     lam = 2.0 * np.arctan2(z * xu, 2.0 * (2.0 * z * z - 1.0))
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Miller cylindrical ('+proj=mill', ESRI:54003 — Snyder pp. 86-89;
+# round 14: the web/reference-map cylindrical that shows the poles,
+# unlike Mercator). Spherical, R = a; exact closed forms both ways:
+# y = R·1.25·ln(tan(π/4 + 0.4φ)) — Mercator of 0.8φ stretched 1.25.
+# ---------------------------------------------------------------------------
+
+
+def mill_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Miller (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    phi = np.radians(coords[:, 1])
+    out[:, 0] = x0 + _A * lam
+    out[:, 1] = y0 + _A * 1.25 * np.log(np.tan(
+        math.pi / 4.0 + 0.4 * phi))
+    return out
+
+
+def mill_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Miller (x, y) meters → (lon°, lat°) — exact closed form:
+    φ = 2.5·(atan(e^(0.8·y/R)) − π/4)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    out[:, 0] = np.degrees((coords[:, 0] - x0) / _A) + lon0
+    out[:, 1] = np.degrees(
+        2.5 * (np.arctan(np.exp(0.8 * (coords[:, 1] - y0) / _A))
+               - math.pi / 4.0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Van der Grinten (I) ('+proj=vandg', ESRI:54029 — Snyder pp. 239-242;
+# round 14: the classic NatGeo circular world map). Spherical, R = a;
+# closed forms BOTH ways — the inverse is Snyder's exact cubic
+# solution (28-19..28-25), no iteration.
+# ---------------------------------------------------------------------------
+
+
+def vandg_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Van der Grinten (x, y) meters. ``params`` =
+    (lon0, x0, y0). Snyder 28-1..28-12 with the φ=0 / λ=λ0 / pole
+    special cases handled exactly."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    # wrap into (-π, π] so the lobe algebra sees the principal branch
+    lam = np.where(lam > math.pi, lam - 2.0 * math.pi,
+                   np.where(lam <= -math.pi, lam + 2.0 * math.pi, lam))
+    phi = np.radians(coords[:, 1])
+    pr = _A * math.pi
+
+    theta = np.arcsin(np.clip(np.abs(2.0 * phi / math.pi), 0.0, 1.0))
+    st, ct = np.sin(theta), np.cos(theta)
+    eps = 1e-12
+    phi_zero = np.abs(phi) < eps
+    lam_zero = np.abs(lam) < eps
+    polar = np.abs(np.abs(phi) - math.pi / 2.0) < eps
+    central = lam_zero | polar
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        al = np.abs(math.pi / np.where(lam == 0, np.nan, lam)
+                    - np.where(lam == 0, np.nan, lam) / math.pi) / 2.0
+        g = ct / (st + ct - 1.0)
+        p = g * (2.0 / st - 1.0)
+        q = al * al + g
+        p2 = p * p
+        a2 = al * al
+        num_x = al * (g - p2) + np.sqrt(
+            np.clip(a2 * (g - p2) ** 2 - (p2 + a2) * (g * g - p2),
+                    0.0, None))
+        x_gen = pr * np.sign(lam) * num_x / (p2 + a2)
+        num_y = p * q - al * np.sqrt(
+            np.clip((a2 + 1.0) * (p2 + a2) - q * q, 0.0, None))
+        y_gen = pr * np.sign(phi) * num_y / (p2 + a2)
+
+    x = np.where(phi_zero, _A * lam,
+                 np.where(central, 0.0, x_gen))
+    y = np.where(phi_zero, 0.0,
+                 np.where(central,
+                          pr * np.sign(phi) * np.tan(theta / 2.0), y_gen))
+    out[:, 0] = x0 + x
+    out[:, 1] = y0 + y
+    return out
+
+
+def vandg_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Van der Grinten (x, y) meters → (lon°, lat°) — Snyder's exact
+    closed-form cubic inverse (28-19..28-25): one acos and a cube-root
+    triple-angle solve, no iteration."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    pr = _A * math.pi
+    xn = (coords[:, 0] - x0) / pr
+    yn = (coords[:, 1] - y0) / pr
+    x2 = xn * xn
+    y2 = yn * yn
+    r2 = x2 + y2
+
+    c1 = -np.abs(yn) * (1.0 + r2)
+    c2 = c1 - 2.0 * y2 + x2
+    c3 = -2.0 * c1 + 1.0 + 2.0 * y2 + r2 * r2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = y2 / c3 + (2.0 * c2 ** 3 / c3 ** 3
+                       - 9.0 * c1 * c2 / (c3 * c3)) / 27.0
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * np.sqrt(np.clip(-a1 / 3.0, 0.0, None))
+        th1 = np.arccos(np.clip(
+            3.0 * d / (a1 * np.where(m1 == 0, np.nan, m1)),
+            -1.0, 1.0)) / 3.0
+        phi_gen = (np.sign(yn) * math.pi
+                   * (-m1 * np.cos(th1 + math.pi / 3.0)
+                      - c2 / (3.0 * c3)))
+        lam_gen = (math.pi * (x2 + y2 - 1.0 + np.sqrt(
+            1.0 + 2.0 * (x2 - y2) + r2 * r2))
+            / np.where(np.abs(xn) < 1e-15, np.nan, 2.0 * xn))
+
+    phi = np.where(np.abs(yn) < 1e-15, 0.0, phi_gen)
+    lam = np.where(np.abs(xn) < 1e-15, 0.0, lam_gen)
     out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = np.degrees(phi)
     return out

@@ -424,6 +424,54 @@ def test_stere_polar_conformal_and_roundtrip():
     assert np.abs(dl).max() < 1e-9 and np.abs(rt[:, 1] - pts_n[:, 1]).max() < 1e-9
 
 
+def test_mill_vandg_roundtrip_anchors_and_parse():
+    """Miller cylindrical + Van der Grinten I (round 14): (1) exact
+    closed-form round-trips world-wide incl. the special-case axes;
+    (2) published anchors — Miller y(45°) = 1.25R·ln tan(63°),
+    Van der Grinten rim at x = πR (λ=180, φ=0), pole at y = πR,
+    equator linear x = Rλ; (3) Van der Grinten's bounding circle:
+    every projected point satisfies x² + y² ≤ (πR)²; (4) parse_crs
+    dispatch for ESRI codes and proj strings."""
+    import math
+
+    import numpy as np
+
+    from geomesa_hive_spark.geom import projections as P
+
+    rng = np.random.RandomState(11)
+    pts = np.column_stack([
+        rng.uniform(-179.9, 179.9, 200), rng.uniform(-89.9, 89.9, 200)])
+    axes = np.array([[0.0, 37.0], [120.0, 0.0], [0.0, 0.0],
+                     [-45.0, -88.0], [179.99, 89.99]])
+    allp = np.vstack([pts, axes])
+    for fam, tol in (("mill", 1e-9), ("vandg", 1e-6)):
+        f = getattr(P, f"{fam}_forward")
+        inv = getattr(P, f"{fam}_inverse")
+        xy = f(allp, (0.0, 3.0, -4.0))
+        rt = inv(xy, (0.0, 3.0, -4.0))
+        assert np.abs(rt - allp).max() < tol, fam
+
+    m45 = P.mill_forward(np.array([[0.0, 45.0]]), (0.0, 0.0, 0.0))
+    want = P._A * 1.25 * math.log(math.tan(math.pi / 4 + 0.4 * math.pi / 4))
+    assert abs(m45[0, 1] - want) < 1e-6
+
+    pr = P._A * math.pi
+    rim = P.vandg_forward(np.array([[180.0, 0.0]]), (0.0, 0.0, 0.0))
+    assert abs(rim[0, 0] - pr) < 1e-6
+    pole = P.vandg_forward(np.array([[0.0, 90.0]]), (0.0, 0.0, 0.0))
+    assert abs(pole[0, 1] - pr) < 1e-6
+    eq = P.vandg_forward(np.array([[72.5, 0.0]]), (0.0, 0.0, 0.0))
+    assert abs(eq[0, 0] - P._A * math.radians(72.5)) < 1e-6
+    world = P.vandg_forward(allp, (0.0, 0.0, 0.0))
+    assert (world[:, 0] ** 2 + world[:, 1] ** 2
+            <= pr * pr * (1 + 1e-9)).all()
+
+    assert P.parse_crs("ESRI:54003") == ("mill", 0.0, 0.0, 0.0)
+    assert P.parse_crs("ESRI:54029") == ("vandg", 0.0, 0.0, 0.0)
+    assert P.parse_crs("+proj=mill +lon_0=10") == ("mill", 10.0, 0.0, 0.0)
+    assert P.parse_crs("+proj=vandg")[0] == "vandg"
+
+
 def test_eqdc_meridian_scale_roundtrip_and_parse():
     """Equidistant conic (round 14): (1) the meridian-arc series
     matches numeric quadrature of the ellipsoidal integrand to sub-mm
