@@ -1481,6 +1481,34 @@ def q_spatial_reproject_vandg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_reproject_igh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goode homolosine reprojection (EPSG:4326 → ESRI:54052 / any
+    '+proj=igh', round 14 — the interrupted equal-area world map MODIS
+    land-cover products ship in; Snyder pp. 66-68): sinusoidal inside
+    |φ| ≤ 40°44′11.8″, seam-shifted Mollweide lobes above, six lobes
+    about their own central meridians. The oracle replays the whole
+    composite — per-row lobe CASE (later-lobe-wins boundary order
+    matching the kernel's mask overwrite), the 20-step Newton θ-solve
+    unrolled as CTE stages (the moll oracle discipline — the kernel
+    SHARES moll_forward's exact iteration), and the seam CASE — with
+    repr-folded φ_b and seam-shift constants. Interruption gaps have
+    no preimage and the inverse raises (pytest)."""
+    register_all(spark)
+    pts = _customer_pts(spark, sf_dir)
+    rp = _call(
+        "st_geomreproject", F.col("geom"), F.lit("EPSG:4326"),
+        F.lit("ESRI:54052"),
+    )
+    return (
+        pts.filter(F.col("c_custkey") <= 1200)
+        .select(
+            F.col("c_custkey").alias("c_custkey"),
+            F.round(_call("st_x", rp).cast("double"), 3).alias("igh_x"),
+            F.round(_call("st_y", rp).cast("double"), 3).alias("igh_y"),
+        )
+    )
+
+
 def q_spatial_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotine Oblique Mercator variant B reprojection (EPSG:4326 →
     EPSG:29873, Timbalai 1948 / RSO Borneo) on points over a
@@ -8993,6 +9021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_hammer": q_spatial_reproject_hammer,
         "spatial_reproject_mill": q_spatial_reproject_mill,
         "spatial_reproject_vandg": q_spatial_reproject_vandg,
+        "spatial_reproject_igh": q_spatial_reproject_igh,
         "spatial_reproject_aeqd": q_spatial_reproject_aeqd,
         "spatial_vincenty": q_spatial_vincenty,
         "spatial_azimuth": q_spatial_azimuth,
@@ -10517,6 +10546,67 @@ def _omerc_a_oracle() -> str:
     """
 
 
+def _igh_oracle() -> str:
+    """Replay the Goode homolosine forward: per-row lobe CASE
+    (later-lobe-wins boundary order = the kernel's mask overwrite),
+    the moll 20-step Newton unrolled, seam CASE between sinusoidal and
+    shifted Mollweide — all constants repr-folded from the kernel."""
+    from geomesa_hive_spark.geom.projections import (
+        _A, _IGH_D, _IGH_PHI_B, _SQRT2,
+    )
+
+    a = repr(_A)
+    pb = repr(_IGH_PHI_B)
+    dd = repr(_IGH_D)
+    s2 = repr(_SQRT2)
+    c2m = repr(2.0 * _SQRT2 / __import__("math").pi)
+    stages = []
+    prev = "n0"
+    for i in range(1, 21):
+        cur = f"n{i}"
+        stages.append(
+            f", {cur} AS (SELECT c_custkey, lam, phi, cm, tgt, "
+            f"u - (u + sin(u) - tgt) / greatest(1.0 + cos(u), 1.0e-9) AS u "
+            f"FROM {prev})"
+        )
+        prev = cur
+    return f"""
+        WITH base AS (
+          SELECT c_custkey, {_C_X} AS lon, {_C_Y} AS lat
+          FROM customer WHERE c_custkey <= 1200
+        ), rad AS (
+          SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi
+          FROM base
+        ), lobe AS (
+          SELECT c_custkey, lam, phi,
+                 CASE WHEN phi >= 0 THEN
+                        CASE WHEN lam >= radians(-40.0)
+                             THEN radians(30.0) ELSE radians(-100.0) END
+                      ELSE
+                        CASE WHEN lam >= radians(80.0) THEN radians(140.0)
+                             WHEN lam >= radians(-20.0) THEN radians(20.0)
+                             WHEN lam >= radians(-100.0) THEN radians(-60.0)
+                             ELSE radians(-160.0) END
+                 END AS cm
+          FROM rad
+        ), n0 AS (
+          SELECT c_custkey, lam, phi, cm,
+                 pi() * sin(phi) AS tgt, 2.0 * phi AS u
+          FROM lobe
+        ){''.join(stages)}
+        SELECT c_custkey,
+               round(CAST(CAST({a} * (CASE WHEN abs(phi) <= {pb}
+                 THEN cm + (lam - cm) * cos(phi)
+                 ELSE cm + {c2m} * (lam - cm) * cos(u / 2.0) END)
+                 AS FLOAT) AS DOUBLE), 3) AS igh_x,
+               round(CAST(CAST({a} * (CASE WHEN abs(phi) <= {pb}
+                 THEN phi
+                 ELSE {s2} * sin(u / 2.0) - sign(phi) * {dd} END)
+                 AS FLOAT) AS DOUBLE), 3) AS igh_y
+        FROM {prev}
+    """
+
+
 def _moll_oracle() -> str:
     """Replay Mollweide with the 20-step Newton iteration UNROLLED as
     chained CTE stages — u0 = 2φ, u' = u − (u + sin u − π sin φ) /
@@ -12005,6 +12095,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_reproject_cass": _cass_oracle(),
         "spatial_reproject_osgb": _osgb_oracle(),
         "spatial_reproject_moll": _moll_oracle(),
+        "spatial_reproject_igh": _igh_oracle(),
         "spatial_reproject_lcc": _lcc_oracle(epsg=2154),
         "spatial_reproject_aea": _aea_oracle(epsg=5070),
         "spatial_reproject_eqdc": _eqdc_oracle(),

@@ -1210,6 +1210,8 @@ def _coord_fn(fk, tk):
             return proj.mill_inverse(c, fk[1:])
         if fk[0] == "vandg":
             return proj.vandg_inverse(c, fk[1:])
+        if fk[0] == "igh":
+            return proj.igh_inverse(c, fk[1:])
         if fk[0] == "tmerc":
             a, e2 = fk[1], fk[2]
             tw = fk[8]
@@ -1294,6 +1296,8 @@ def _coord_fn(fk, tk):
             return proj.mill_forward(c, tk[1:])
         if tk[0] == "vandg":
             return proj.vandg_forward(c, tk[1:])
+        if tk[0] == "igh":
+            return proj.igh_forward(c, tk[1:])
         if tk[0] == "tmerc":
             a, e2 = tk[1], tk[2]
             tw = tk[8]

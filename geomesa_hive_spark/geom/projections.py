@@ -61,6 +61,8 @@ __all__ = [
     "eqdc_consts",
     "mill_forward",
     "mill_inverse",
+    "igh_forward",
+    "igh_inverse",
     "vandg_forward",
     "vandg_inverse",
     "laea_forward",
@@ -279,6 +281,8 @@ def parse_crs(crs: str):
             return ("mill", 0.0, 0.0, 0.0)
         if code == 54029:  # ESRI World Van der Grinten I
             return ("vandg", 0.0, 0.0, 0.0)
+        if code == 54052:  # ESRI World Goode Homolosine (Land)
+            return ("igh", 0.0, 0.0, 0.0)
         if code == 54027:  # ESRI World Equidistant Conic (1SP at 60N)
             return ("eqdc", 60.0, 60.0, 0.0, 0.0, 0.0, 0.0)
         if code == 102031:  # ESRI Europe Equidistant Conic (ETRS89)
@@ -303,6 +307,8 @@ def parse_crs(crs: str):
         return ("mill", 0.0, 0.0, 0.0)
     if re.match(r"^esri:54029$", low):
         return ("vandg", 0.0, 0.0, 0.0)
+    if re.match(r"^esri:54052$", low):
+        return ("igh", 0.0, 0.0, 0.0)
     if re.match(r"^esri:54027$", low):
         return ("eqdc", 60.0, 60.0, 0.0, 0.0, 0.0, 0.0)
     if re.match(r"^esri:102031$", low):
@@ -328,6 +334,10 @@ def parse_crs(crs: str):
     if "+proj=gnom" in low:
         return ("gnom",
                 _proj4_num(low, "lat_0", 0.0),
+                _proj4_num(low, "lon_0", 0.0),
+                _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
+    if "+proj=igh" in low:
+        return ("igh",
                 _proj4_num(low, "lon_0", 0.0),
                 _proj4_num(low, "x_0", 0.0), _proj4_num(low, "y_0", 0.0))
     if "+proj=mill" in low:
@@ -589,7 +599,7 @@ def parse_crs(crs: str):
         "EPSG:8857), cylindrical equal-area ('+proj=cea [+lat_ts=..]' "
         "or EPSG:6933 EASE-Grid 2.0), Winkel Tripel ('+proj=wintri "
         "[+lat_1=..]' or ESRI:54042), Robinson ('+proj=robin' or "
-        "ESRI:54030), orthographic ('+proj=ortho'), gnomonic ('+proj=gnom'), Hammer ('+proj=hammer' or ESRI:54044), Miller cylindrical ('+proj=mill' or ESRI:54003), Van der Grinten I ('+proj=vandg' or ESRI:54029), Eckert IV "
+        "ESRI:54030), orthographic ('+proj=ortho'), gnomonic ('+proj=gnom'), Hammer ('+proj=hammer' or ESRI:54044), Miller cylindrical ('+proj=mill' or ESRI:54003), Van der Grinten I ('+proj=vandg' or ESRI:54029), Goode homolosine ('+proj=igh' or ESRI:54052), Eckert IV "
         "('+proj=eck4' or ESRI:54012), Natural Earth "
         "('+proj=natearth'), azimuthal equidistant ('+proj=aeqd "
         "[+lat_0 +lon_0]' or ESRI:54032) and their proj4 equivalents"
@@ -3072,6 +3082,132 @@ def vandg_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
 
     phi = np.where(np.abs(yn) < 1e-15, 0.0, phi_gen)
     lam = np.where(np.abs(xn) < 1e-15, 0.0, lam_gen)
+    out[:, 0] = np.degrees(lam) + lon0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Goode homolosine ('+proj=igh', interrupted — round 14: the land-cover
+# / MODIS-product world map; Snyder pp. 66-68, Goode 1925). Spherical,
+# R = a; equal-area composite: sinusoidal inside |φ| ≤ 40°44′11.8″,
+# Mollweide lobes above/below, each of the six lobes projected about
+# its own central meridian and the Mollweide part shifted down by the
+# constant that makes y continuous at the seam. Interruption gaps have
+# no preimage — the inverse raises on them (raise-don't-corrupt).
+# ---------------------------------------------------------------------------
+
+#: seam latitude 40°44′11.8″ (Goode's published transition)
+_IGH_PHI_B = math.radians(40.0 + 44.0 / 60.0 + 11.8 / 3600.0)
+
+
+def _igh_u(phi: np.ndarray) -> np.ndarray:
+    """The Mollweide Newton solve, IDENTICAL iteration to moll_forward
+    (20 plain steps, u0 = 2φ) so the two families share constants and
+    an oracle generator can unroll the same stages."""
+    tgt = math.pi * np.sin(phi)
+    u = 2.0 * phi
+    for _ in range(20):
+        u = u - (u + np.sin(u) - tgt) / np.maximum(1.0 + np.cos(u), 1.0e-9)
+    return u
+
+
+#: Mollweide-zone vertical shift (radians·R): √2·sin(u(φ_b)/2) − φ_b —
+#: computed with the SAME Newton so the seam is exact to the iteration
+_IGH_D = float(
+    _SQRT2 * np.sin(_igh_u(np.array([_IGH_PHI_B]))[0] / 2.0) - _IGH_PHI_B
+)
+
+#: lobes as (lon_min, lon_max, central_meridian) degrees, lon relative
+#: to lon0; north row then south row (the classical Goode layout)
+_IGH_LOBES_N = ((-180.0, -40.0, -100.0), (-40.0, 180.0, 30.0))
+_IGH_LOBES_S = ((-180.0, -100.0, -160.0), (-100.0, -20.0, -60.0),
+                (-20.0, 80.0, 20.0), (80.0, 180.0, 140.0))
+
+
+def _igh_cm(lon: np.ndarray, phi: np.ndarray) -> np.ndarray:
+    """Per-point central meridian (radians), chosen by hemisphere row
+    and lobe longitude range."""
+    cm = np.empty_like(lon)
+    north = phi >= 0
+    for lo, hi, c in _IGH_LOBES_N:
+        m = north & (lon >= math.radians(lo)) & (lon <= math.radians(hi))
+        cm[m] = math.radians(c)
+    for lo, hi, c in _IGH_LOBES_S:
+        m = (~north) & (lon >= math.radians(lo)) & (lon <= math.radians(hi))
+        cm[m] = math.radians(c)
+    return cm
+
+
+def igh_forward(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """(lon°, lat°) → Goode homolosine (x, y) meters. ``params`` =
+    (lon0, x0, y0)."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    lam = np.radians(coords[:, 0]) - math.radians(lon0)
+    lam = np.where(lam > math.pi, lam - 2.0 * math.pi,
+                   np.where(lam < -math.pi, lam + 2.0 * math.pi, lam))
+    phi = np.radians(coords[:, 1])
+    cm = _igh_cm(lam, phi)
+    sinu = np.abs(phi) <= _IGH_PHI_B
+    # sinusoidal band
+    xs = cm + (lam - cm) * np.cos(phi)
+    ys = phi
+    # Mollweide lobes, seam-shifted
+    u = _igh_u(phi)
+    xm = cm + (2.0 * _SQRT2 / math.pi) * (lam - cm) * np.cos(u / 2.0)
+    ym = _SQRT2 * np.sin(u / 2.0) - np.sign(phi) * _IGH_D
+    out[:, 0] = x0 + _A * np.where(sinu, xs, xm)
+    out[:, 1] = y0 + _A * np.where(sinu, ys, ym)
+    return out
+
+
+def igh_inverse(coords: np.ndarray, params: tuple) -> np.ndarray:
+    """Goode homolosine (x, y) meters → (lon°, lat°). The lobe is
+    recovered from the x position (lobes tile x disjointly — every
+    projected x stays inside its lobe's longitude range); points in an
+    interruption gap, beyond a pole, or outside every lobe have no
+    preimage and raise."""
+    lon0, x0, y0 = params
+    out = coords.copy()
+    xu = (coords[:, 0] - x0) / _A
+    yu = (coords[:, 1] - y0) / _A
+    north = yu >= 0
+    cm = np.full_like(xu, np.nan)
+    lob_lo = np.full_like(xu, np.nan)
+    lob_hi = np.full_like(xu, np.nan)
+    for lo, hi, c in _IGH_LOBES_N:
+        m = north & (xu >= math.radians(lo)) & (xu <= math.radians(hi))
+        cm[m], lob_lo[m], lob_hi[m] = (math.radians(c), math.radians(lo),
+                                       math.radians(hi))
+    for lo, hi, c in _IGH_LOBES_S:
+        m = (~north) & (xu >= math.radians(lo)) & (xu <= math.radians(hi))
+        cm[m], lob_lo[m], lob_hi[m] = (math.radians(c), math.radians(lo),
+                                       math.radians(hi))
+    if np.any(np.isnan(cm)):
+        raise ValueError("igh_inverse: x outside every lobe")
+    sinu = np.abs(yu) <= _IGH_PHI_B
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi_s = yu
+        lam_s = cm + (xu - cm) / np.cos(np.where(sinu, yu, 0.0))
+        ymm = yu + np.sign(yu) * _IGH_D
+        bad_pole = np.abs(ymm) > _SQRT2 * (1.0 + 1e-9)
+        th = np.arcsin(np.clip(ymm / _SQRT2, -1.0, 1.0))
+        u = 2.0 * th
+        phi_m = np.arcsin(np.clip((u + np.sin(u)) / math.pi, -1.0, 1.0))
+        lam_m = cm + math.pi * (xu - cm) / (
+            2.0 * _SQRT2 * np.maximum(np.cos(th), 1.0e-9))
+    if np.any(bad_pole & ~sinu):
+        raise ValueError("igh_inverse: y beyond the pole")
+    phi = np.where(sinu, phi_s, phi_m)
+    lam = np.where(sinu, lam_s, lam_m)
+    # interruption gap: the recovered longitude must fall back inside
+    # the lobe that owns this x — outside means the point sits in the
+    # gap between lobes (no preimage)
+    eps = 1e-9
+    if np.any((lam < lob_lo - eps) | (lam > lob_hi + eps)):
+        raise ValueError("igh_inverse: point in an interruption gap "
+                         "(no preimage)")
     out[:, 0] = np.degrees(lam) + lon0
     out[:, 1] = np.degrees(phi)
     return out

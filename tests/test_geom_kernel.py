@@ -472,6 +472,65 @@ def test_mill_vandg_roundtrip_anchors_and_parse():
     assert P.parse_crs("+proj=vandg")[0] == "vandg"
 
 
+def test_igh_equal_area_seam_gaps_and_parse():
+    """Goode homolosine (round 14): (1) world-wide round-trips across
+    all six lobes and both zones; (2) the equal-area property via
+    numeric Jacobian ≡ spherical surface element everywhere sampled;
+    (3) y is CONTINUOUS at the 40°44′11.8″ seam (sub-meter — the
+    classical Goode x-kink stays sub-meter too because φ_b makes the
+    x-scales match); (4) interruption-gap and beyond-pole points
+    raise (no preimage — the raise-don't-corrupt convention);
+    (5) parse_crs dispatch."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from geomesa_hive_spark.geom import projections as P
+
+    rng = np.random.RandomState(13)
+    pts = np.column_stack([
+        rng.uniform(-179.9, 179.9, 400), rng.uniform(-89.5, 89.5, 400)])
+    xy = P.igh_forward(pts, (0.0, 3.0, -4.0))
+    rt = P.igh_inverse(xy, (0.0, 3.0, -4.0))
+    assert np.abs(rt - pts).max() < 1e-9
+
+    h = 1e-5
+    f = lambda q: P.igh_forward(q, (0.0, 0.0, 0.0))
+    sample = np.column_stack([
+        rng.uniform(-175, 175, 80), rng.uniform(-85, 85, 80)])
+    # keep samples off lobe boundaries and the seam (the Jacobian is
+    # discontinuous across them by construction)
+    keep = np.ones(len(sample), bool)
+    for b in (-180, -100, -40, -20, 80, 180):
+        keep &= np.abs(sample[:, 0] - b) > 2 * h * 360
+    pbd = math.degrees(P._IGH_PHI_B)
+    for b in (-pbd, 0.0, pbd):
+        keep &= np.abs(sample[:, 1] - b) > 2 * h * 360
+    sample = sample[keep]
+    dx = (f(sample + [h, 0]) - f(sample - [h, 0])) / (2 * h)
+    dy = (f(sample + [0, h]) - f(sample - [0, h])) / (2 * h)
+    jac = np.abs(dx[:, 0] * dy[:, 1] - dx[:, 1] * dy[:, 0])
+    surf = (P._A ** 2 * np.cos(np.radians(sample[:, 1]))
+            * (math.pi / 180.0) ** 2)
+    assert np.abs(jac / surf - 1.0).max() < 1e-5
+
+    lo = P.igh_forward(np.array([[50.0, pbd - 1e-9]]), (0.0, 0.0, 0.0))
+    hi2 = P.igh_forward(np.array([[50.0, pbd + 1e-9]]), (0.0, 0.0, 0.0))
+    assert np.abs(lo - hi2).max() < 1.0
+
+    with _pytest.raises(ValueError, match="interruption gap"):
+        # x just west of the northern lobe boundary at high y: the gap
+        P.igh_inverse(np.array([
+            [P._A * math.radians(-41.0), P._A * 1.2]]), (0.0, 0.0, 0.0))
+    with _pytest.raises(ValueError, match="beyond the pole"):
+        P.igh_inverse(np.array([
+            [P._A * math.radians(30.0), P._A * 2.0]]), (0.0, 0.0, 0.0))
+
+    assert P.parse_crs("ESRI:54052") == ("igh", 0.0, 0.0, 0.0)
+    assert P.parse_crs("+proj=igh +lon_0=5")[0] == "igh"
+
+
 def test_eqdc_meridian_scale_roundtrip_and_parse():
     """Equidistant conic (round 14): (1) the meridian-arc series
     matches numeric quadrature of the ellipsoidal integrand to sub-mm
