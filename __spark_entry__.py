@@ -4589,6 +4589,99 @@ def q_manifest_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs — tags (round 14, sources/manifest.py
+    create_tag/seq_for_tag/list_tags/delete_tag — Iceberg tags /
+    expire_snapshots ref protection): release processes pin NAMES,
+    not seq numbers. The query exercises the whole lifecycle
+    in-query: (a) tag v1 at seq 1 and rc-2.0 at seq 2; (b) retagging
+    an existing name is REFUSED (immutable — the atomic
+    link-if-absent claim); (c) read_snapshot(as_of_tag=) ≡
+    read_snapshot(as_of_seq=) asserted row-for-row via exceptAll both
+    ways, and the morlake DataSource resolves .option('as_of_tag')
+    identically; (d) checkpoint at seq 2 then vacuum() REFUSES while
+    v1 points below the cutoff; (e) vacuum(expire_tags=True) expires
+    exactly v1, and rc-2.0 — at the cutoff — still resolves AFTER the
+    vacuum; (f) delete_tag empties the ref list. Returns both tagged
+    snapshots aggregated; the oracle replays the two log prefixes."""
+    import tempfile
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, create_tag, delete_tag, list_tags, read_snapshot,
+        seq_for_tag, vacuum, write_delta,
+    )
+
+    spark.dataSource.register(MorDataSource)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="ghs_tag_")
+    o.write.mode("overwrite").parquet(path)
+    up1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    write_delta(up1, path, "o_orderkey")
+    create_tag(path, "v1")                       # defaults to current seq
+    up2 = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        .withColumn("o_orderstatus", F.lit("V"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    write_delta(up2, path, "o_orderkey", delete_keys=dels)
+    create_tag(path, "rc-2.0", seq=2)
+    try:
+        create_tag(path, "v1", seq=2)
+        raise AssertionError("retag was not refused")
+    except ValueError as exc:
+        assert "already exists" in str(exc)
+    assert seq_for_tag(path, "v1") == 1
+    assert list_tags(path) == {"rc-2.0": 2, "v1": 1}
+
+    # materialize the tagged snapshot BEFORE the expire+vacuum below
+    # deletes the seq-1 delta files its lazy plan would re-read — the
+    # exact hazard the tag protection exists to flag for readers
+    t1 = read_snapshot(spark, path, "o_orderkey", as_of_tag="v1") \
+        .localCheckpoint(eager=True)
+    s1 = read_snapshot(spark, path, "o_orderkey", as_of_seq=1)
+    assert t1.exceptAll(s1).count() == 0
+    assert s1.exceptAll(t1).count() == 0
+    m1 = (
+        spark.read.format("morlake").option("path", path)
+        .option("key", "o_orderkey").option("as_of_tag", "v1").load()
+    )
+    assert m1.count() == s1.count()
+
+    checkpoint(spark, path, "o_orderkey")        # folds through seq 2
+    try:
+        vacuum(path)
+        raise AssertionError("vacuum ignored the tagged seq")
+    except ValueError as exc:
+        assert "v1" in str(exc)
+    rep = vacuum(path, expire_tags=True)
+    assert rep["expired_tags"] == ["v1"], rep
+    assert list_tags(path) == {"rc-2.0": 2}
+    t2 = read_snapshot(spark, path, "o_orderkey", as_of_tag="rc-2.0")
+    delete_tag(path, "rc-2.0")
+    assert list_tags(path) == {}
+
+    return (
+        t1.withColumn("ver", F.lit("v1"))
+        .unionByName(t2.withColumn("ver", F.lit("rc")))
+        .groupBy("ver", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("ver", "o_orderstatus", "cnt",
+                F.round("total", 2).alias("total"))
+    )
+
+
 def q_mor_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 Python DataSource over the MOR table (round-7,
     sources/datasource.py MorDataSource — format('morlake')): the
@@ -9101,6 +9194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_delete_where": q_mor_delete_where,
         "mor_changes": q_mor_changes,
         "mor_checkpoint": q_mor_checkpoint,
+        "mor_tags": q_mor_tags,
         "mor_schema_evolution": q_mor_schema_evolution,
         "manifest_count": q_manifest_count,
         "manifest_sharded": q_manifest_sharded,
@@ -13402,6 +13496,43 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE), 2) AS total
             FROM u
             GROUP BY rng, change_type, commit_seq
+        """,
+        "mor_tags": """
+            WITH allv AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS seq, 0 AS del
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 'U', 1, 0
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice - 500.0, 'V', 2, 0
+              FROM orders WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, NULL, NULL, 2, 1
+              FROM orders WHERE o_orderkey % 11 = 0
+            ), v1 AS (
+              SELECT 'v1' AS ver, o_orderstatus, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv WHERE seq <= 1
+              ) WHERE rn = 1 AND del = 0
+            ), rc AS (
+              SELECT 'rc' AS ver, o_orderstatus, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey ORDER BY seq DESC, del DESC
+                ) AS rn
+                FROM allv WHERE seq <= 2
+              ) WHERE rn = 1 AND del = 0
+            ), u AS (
+              SELECT * FROM v1 UNION ALL SELECT * FROM rc
+            )
+            SELECT ver, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS total
+            FROM u
+            GROUP BY ver, o_orderstatus
         """,
         "mor_checkpoint": """
             WITH allv AS (

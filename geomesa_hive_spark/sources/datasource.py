@@ -360,6 +360,15 @@ class _MorBatchReader(DataSourceReader):
             raise ValueError("morlake requires .option('key', ...)")
         as_of = options.get("as_of_seq")
         self.as_of = int(as_of) if as_of is not None else None
+        tag = options.get("as_of_tag")
+        if tag is not None:
+            # named-ref read (round 14): resolve like read_snapshot
+            if self.as_of is not None:
+                raise ValueError(
+                    "pass as_of_seq or as_of_tag, not both")
+            from geomesa_hive_spark.sources.manifest import seq_for_tag
+
+            self.as_of = seq_for_tag(self.path, tag)
         self.names = [n for n, _ in schema_fields]
         self.types = dict(schema_fields)
         kr = options.get("key_range")
@@ -1117,6 +1126,9 @@ class _MorMaintenanceWriter(DataSourceArrowWriter):
             str(options.get("remove_orphans", "false")).lower() == "true"
         )
         self.orphan_min_age_s = float(options.get("orphan_min_age_s", 0.0))
+        self.expire_tags = (
+            str(options.get("expire_tags", "false")).lower() == "true"
+        )
 
     def write(self, iterator):
         n = 0
@@ -1146,6 +1158,7 @@ class _MorMaintenanceWriter(DataSourceArrowWriter):
                 spark, self.path, self.key,
                 checkpoint_after=self.checkpoint_after,
                 remove_orphans=self.remove_orphans,
+                expire_tags=self.expire_tags,
             )
         elif self.action == "checkpoint":
             rep = M.checkpoint(
@@ -1154,6 +1167,7 @@ class _MorMaintenanceWriter(DataSourceArrowWriter):
             rep = M.vacuum(
                 self.path, remove_orphans=self.remove_orphans,
                 orphan_min_age_s=self.orphan_min_age_s,
+                expire_tags=self.expire_tags,
             )
         tmp = os.path.join(self.path, "_last_maintenance.json.tmp")
         with open(tmp, "w") as fh:

@@ -42,6 +42,7 @@ __all__ = [
     "ConcurrentWriteConflict",
     "write_zordered", "read_point_lookup", "pruned_ndv", "pruned_quantile",
     "pruned_dd_quantile",
+    "create_tag", "list_tags", "seq_for_tag", "delete_tag",
     "merge_into", "delete_where", "update_where",
     "read_changes", "checkpoint", "vacuum",
     "pruned_count", "pruned_sum", "pruned_minmax", "maintain",
@@ -1358,6 +1359,92 @@ def current_seq(path: str) -> int:
     return max(last, cks[-1]["seq"] if cks else 0)
 
 
+_TAGS_DIR = "_tags"
+_TAG_NAME_RE = None   # compiled lazily (re imported at module top)
+
+
+def _tag_file(path: str, name: str) -> str:
+    import re as _re
+
+    global _TAG_NAME_RE
+    if _TAG_NAME_RE is None:
+        _TAG_NAME_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+    if not _TAG_NAME_RE.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r}: use [A-Za-z0-9._-], start "
+            "alphanumeric, <=128 chars"
+        )
+    return os.path.join(path, _TAGS_DIR, f"{name}.json")
+
+
+def create_tag(path: str, name: str, seq: int | None = None) -> dict:
+    """Create an immutable NAMED REF to a snapshot seq (Iceberg tags /
+    Delta's named versions; round 14): readers say
+    ``read_snapshot(..., as_of_tag="v1.2")`` instead of memorizing
+    seq numbers, and :func:`vacuum` refuses to fold away a tagged
+    seq's history unless told to expire the tag — retention becomes a
+    statement about NAMES, which is what release processes actually
+    pin. ``seq`` defaults to the current seq. Creation is atomic via
+    the commit-claim link-if-absent protocol, so two writers racing
+    the same name get exactly one winner and the loser a clear error;
+    tags are immutable — retagging a name means delete + create.
+    Returns the tag entry {"name", "seq", "ts"}."""
+    import time as _time
+
+    seq = current_seq(path) if seq is None else int(seq)
+    if seq < 0 or seq > current_seq(path):
+        raise ValueError(
+            f"tag seq {seq} out of range [0, {current_seq(path)}]")
+    tf = _tag_file(path, name)
+    os.makedirs(os.path.dirname(tf), exist_ok=True)
+    entry = {"name": name, "seq": seq, "ts": _time.time()}
+    tmp = tf + f".tmp_{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, tf)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists (tags are immutable — "
+            "delete_tag first to retag)") from None
+    finally:
+        os.unlink(tmp)
+    return entry
+
+
+def list_tags(path: str) -> dict:
+    """{name: seq} for every tag on the table (empty dict if none)."""
+    tdir = os.path.join(path, _TAGS_DIR)
+    out = {}
+    if os.path.isdir(tdir):
+        for fn in sorted(os.listdir(tdir)):
+            if fn.endswith(".json") and not fn.startswith("."):
+                with open(os.path.join(tdir, fn)) as fh:
+                    e = json.load(fh)
+                out[e["name"]] = int(e["seq"])
+    return out
+
+
+def seq_for_tag(path: str, name: str) -> int:
+    """Resolve a tag name to its snapshot seq; unknown names raise."""
+    tf = _tag_file(path, name)
+    if not os.path.exists(tf):
+        known = sorted(list_tags(path))
+        raise ValueError(f"unknown tag {name!r} (have {known})")
+    with open(tf) as fh:
+        return int(json.load(fh)["seq"])
+
+
+def delete_tag(path: str, name: str) -> None:
+    """Remove a tag (the history it pointed at stays until vacuum)."""
+    tf = _tag_file(path, name)
+    if not os.path.exists(tf):
+        raise ValueError(f"unknown tag {name!r}")
+    os.unlink(tf)
+
+
 def _atomic_commit(cdir: str, seq: int, entry: dict, token: str) -> bool:
     """Claim commit number ``seq`` by hard-linking a fully-written temp
     file to ``<seq>.json`` — link(2) fails with EEXIST if the name is
@@ -1663,6 +1750,7 @@ def read_snapshot(
     broadcast_deltas: bool = True,
     as_of_seq: int | None = None,
     as_of_ts: float | None = None,
+    as_of_tag: str | None = None,
     key_range: tuple | None = None,
     prune_report: dict | None = None,
 ) -> DataFrame:
@@ -1721,10 +1809,14 @@ def read_snapshot(
 
     ``as_of_ts`` is ``TIMESTAMP AS OF``: resolved to a seq via
     :func:`seq_at_timestamp` (latest commit at-or-before the epoch
-    time), then identical to ``as_of_seq``."""
+    time), then identical to ``as_of_seq``. ``as_of_tag`` is the
+    NAMED-REF read (round 14): resolved via :func:`seq_for_tag`,
+    then identical to ``as_of_seq``."""
+    if sum(x is not None for x in (as_of_seq, as_of_ts, as_of_tag)) > 1:
+        raise ValueError("pass only one of as_of_seq / as_of_ts / as_of_tag")
+    if as_of_tag is not None:
+        as_of_seq = seq_for_tag(path, as_of_tag)
     if as_of_ts is not None:
-        if as_of_seq is not None:
-            raise ValueError("pass as_of_seq or as_of_ts, not both")
         as_of_seq = seq_at_timestamp(path, as_of_ts)
     log = _delta_log(path)
     cks = _checkpoints(path)
@@ -2254,6 +2346,7 @@ def vacuum(
     path: str,
     remove_orphans: bool = False,
     orphan_min_age_s: float = 0.0,
+    expire_tags: bool = False,
 ) -> dict:
     """Retention enforcement: delete delta files and commit-log
     entries at or below the LATEST checkpoint — they are fully folded
@@ -2345,8 +2438,23 @@ def vacuum(
     if not cks:
         return {"cutoff_seq": 0, "removed_commits": 0,
                 "removed_checkpoints": 0, "removed_files": removed_files,
-                "removed_orphans": removed_orphans}
+                "removed_orphans": removed_orphans,
+                "expired_tags": []}
     cutoff = cks[-1]["seq"]
+
+    # named-ref protection (round 14, Iceberg expire_snapshots parity):
+    # a tag at 0 < seq < cutoff points at history this vacuum would
+    # make untravelable — refuse unless told to expire those tags
+    # (tags AT the cutoff or at seq 0 stay resolvable and survive)
+    at_risk = sorted(n for n, sq in list_tags(path).items()
+                     if 0 < sq < cutoff)
+    if at_risk and not expire_tags:
+        raise ValueError(
+            f"vacuum would orphan tags {at_risk} (seqs below cutoff "
+            f"{cutoff}); delete them or pass expire_tags=True"
+        )
+    for n in at_risk:
+        delete_tag(path, n)
 
     # legacy single-file log: rewrite with the surviving suffix
     legacy = os.path.join(path, _DELTA_LOG)
@@ -2380,7 +2488,8 @@ def vacuum(
     return {"cutoff_seq": int(cutoff), "removed_commits": removed_commits,
             "removed_checkpoints": removed_ckpts,
             "removed_files": removed_files,
-            "removed_orphans": removed_orphans}
+            "removed_orphans": removed_orphans,
+            "expired_tags": at_risk}
 
 
 def window_count(
@@ -2612,6 +2721,7 @@ def maintain(
     checkpoint_after: int = 8,
     remove_orphans: bool = False,
     zorder_by: tuple | None = None,
+    expire_tags: bool = False,
 ) -> dict:
     """The scheduled table-maintenance job, one call: checkpoint when
     the un-folded commit count reaches ``checkpoint_after`` (readers'
@@ -2634,7 +2744,11 @@ def maintain(
         did_ckpt = True
     rep = None
     if did_ckpt or remove_orphans:
-        rep = vacuum(path, remove_orphans=remove_orphans)
+        # expire_tags passes through: a timer-driven maintain on a
+        # tagged table otherwise raises (the protection working as
+        # designed) — the operator chooses name expiry explicitly
+        rep = vacuum(path, remove_orphans=remove_orphans,
+                     expire_tags=expire_tags)
     return {"checkpointed": did_ckpt, "pending_commits": pending,
             "vacuum": rep}
 

@@ -3670,3 +3670,68 @@ def test_morlake_maintenance_through_format_api(spark, tmp_path):
         (spark.range(0).write.format("morlake").mode("append")
          .option("path", path).option("key", "k")
          .option("action", "optimize").save())
+
+
+def test_mor_tags_lifecycle_and_validation(spark, tmp_path):
+    """Named refs (round 14): name validation, unknown-tag errors,
+    out-of-range seq refusal, immutable retag, datasource as_of_tag
+    exclusivity, vacuum protection + expiry, and resolution after
+    checkpoint (a tag AT the cutoff survives and reads)."""
+    import pytest as _pytest
+
+    from geomesa_hive_spark.sources.manifest import (
+        checkpoint, create_tag, delete_tag, list_tags, read_snapshot,
+        seq_for_tag, vacuum, write_delta,
+    )
+
+    path = str(tmp_path / "tags")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(30)], "k long, v long"
+    ).write.mode("overwrite").parquet(path)
+    write_delta(spark.createDataFrame([(3, 999)], "k long, v long"),
+                path, "k")
+
+    for bad in ("", ".hidden", "a/b", "x" * 129, "sp ace"):
+        with _pytest.raises(ValueError, match="invalid tag name"):
+            create_tag(path, bad)
+    with _pytest.raises(ValueError, match="out of range"):
+        create_tag(path, "future", seq=99)
+    with _pytest.raises(ValueError, match="unknown tag"):
+        seq_for_tag(path, "nope")
+    with _pytest.raises(ValueError, match="unknown tag"):
+        delete_tag(path, "nope")
+
+    e = create_tag(path, "base", seq=0)
+    assert e["seq"] == 0
+    create_tag(path, "head")                 # defaults to current (1)
+    assert list_tags(path) == {"base": 0, "head": 1}
+    with _pytest.raises(ValueError, match="already exists"):
+        create_tag(path, "head", seq=0)
+
+    from geomesa_hive_spark.sources.datasource import MorDataSource
+
+    spark.dataSource.register(MorDataSource)
+    # the Python DataSource surfaces its ValueError wrapped by py4j —
+    # match on the message, not the Python type
+    with _pytest.raises(Exception, match="not both"):
+        (spark.read.format("morlake").option("path", path)
+         .option("key", "k").option("as_of_seq", "1")
+         .option("as_of_tag", "head").load().count())
+    # and the happy named-ref path resolves through the format
+    n_tagged = (spark.read.format("morlake").option("path", path)
+                .option("key", "k").option("as_of_tag", "base")
+                .load().count())
+    assert n_tagged == 30
+
+    # tag at seq 0 (base) and at the checkpoint cutoff both survive
+    # vacuum untouched; nothing strictly between exists here
+    checkpoint(spark, path, "k")
+    rep = vacuum(path)
+    assert rep["expired_tags"] == []
+    assert list_tags(path) == {"base": 0, "head": 1}
+    got = {r.k: r.v for r in
+           read_snapshot(spark, path, "k", as_of_tag="head").collect()}
+    assert got[3] == 999 and len(got) == 30
+    base = {r.k: r.v for r in
+            read_snapshot(spark, path, "k", as_of_tag="base").collect()}
+    assert base[3] == 30
