@@ -3462,6 +3462,115 @@ def q_tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 SHAPE (round 14): eight COUNT bands over one fact
+    table. The published query spells it as eight scalar subqueries
+    CROSS JOINed — eight full scans; here the bands are expressed as
+    ONE conditional aggregate (sum(CASE ...)), and the gate ASSERTS
+    exactly one parquet scan in the executed plan — the rewrite every
+    warehouse engine wants for this shape (at 100 TB the difference
+    between one pass and eight). Bands = quantity quartiles ×
+    returnflag splits, all integer counts."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("ds88_li")
+    out = spark.sql("""
+        SELECT
+          CAST(sum(CASE WHEN l_quantity <= 12.5D AND l_returnflag = 'R'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+          CAST(sum(CASE WHEN l_quantity <= 12.5D AND l_returnflag <> 'R'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+          CAST(sum(CASE WHEN l_quantity > 12.5D AND l_quantity <= 25.0D
+                        AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b3,
+          CAST(sum(CASE WHEN l_quantity > 12.5D AND l_quantity <= 25.0D
+                        AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b4,
+          CAST(sum(CASE WHEN l_quantity > 25.0D AND l_quantity <= 37.5D
+                        AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b5,
+          CAST(sum(CASE WHEN l_quantity > 25.0D AND l_quantity <= 37.5D
+                        AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b6,
+          CAST(sum(CASE WHEN l_quantity > 37.5D AND l_returnflag = 'R'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b7,
+          CAST(sum(CASE WHEN l_quantity > 37.5D AND l_returnflag <> 'R'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b8
+        FROM ds88_li
+        WHERE l_linestatus = 'F'
+    """)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, \
+        "q88 bands did not fuse into one scan"
+    return out
+
+
+def q_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 SHAPE (round 14): the moving-average outlier report —
+    per (priority, year, month) sales in exact integer cents, a
+    same-year average window, a centered 3-month moving average
+    crossing year boundaries (ROWS BETWEEN 1 PRECEDING AND 1
+    FOLLOWING over the month sequence), and a rank by deviation from
+    the yearly average. avg() over exact BIGINTs divides identically
+    in both engines (one double division per group); interior months
+    only (the moving window is full) — the q47 frame discipline."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ds47_o")
+    return spark.sql("""
+        WITH m AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(year(o_orderdate) AS INT) AS yr,
+                 CAST(month(o_orderdate) AS INT) AS mon,
+                 CAST(sum(CAST(round(o_totalprice * 100.0D) AS BIGINT))
+                      AS BIGINT) AS sales_cents
+          FROM ds47_o GROUP BY 1, 2, 3
+        ), w AS (
+          SELECT pri, yr, mon, sales_cents,
+                 avg(sales_cents) OVER (PARTITION BY pri, yr) AS yr_avg,
+                 avg(sales_cents) OVER (
+                   PARTITION BY pri ORDER BY yr, mon
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mov3,
+                 count(*) OVER (
+                   PARTITION BY pri ORDER BY yr, mon
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS wn
+          FROM m
+        )
+        SELECT pri, yr, mon, sales_cents,
+               round(yr_avg, 4) AS yr_avg,
+               round(mov3, 4) AS mov3,
+               CAST(rank() OVER (
+                 PARTITION BY pri
+                 ORDER BY sales_cents - yr_avg ASC, yr ASC, mon ASC
+               ) AS INT) AS rk
+        FROM w
+        WHERE wn = 3 AND yr BETWEEN 1996 AND 2000
+    """)
+
+
+def q_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74 SHAPE (round 14): year-over-year growth via a
+    self-join of per-customer yearly aggregates — the CTE is computed
+    once, filtered to two years, joined on the customer, and the
+    growth ratio gates the output (> 1.2). Totals are exact integer
+    cents; the ratio is one double division per surviving row, rounded
+    — the decimal-division cross-engine trap avoided by dividing
+    DOUBLES derived from exact ints."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ds74_o")
+    return spark.sql("""
+        WITH yt AS (
+          SELECT o_custkey,
+                 CAST(year(o_orderdate) AS INT) AS yr,
+                 CAST(sum(CAST(round(o_totalprice * 100.0D) AS BIGINT))
+                      AS BIGINT) AS tot
+          FROM ds74_o GROUP BY 1, 2
+        )
+        SELECT a.o_custkey AS o_custkey,
+               a.tot AS tot_1996, b.tot AS tot_1997,
+               round(CAST(b.tot AS DOUBLE) / CAST(a.tot AS DOUBLE), 6)
+                 AS growth
+        FROM yt a JOIN yt b ON a.o_custkey = b.o_custkey
+        WHERE a.yr = 1996 AND b.yr = 1997 AND a.tot > 0
+          AND CAST(b.tot AS DOUBLE) / CAST(a.tot AS DOUBLE) > 1.2D
+    """)
+
+
 def q_relational_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning over a star-schema join (round 12 —
     the Spark-native 100 TB mechanism source_partitioned's STATIC
@@ -9164,6 +9273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_partitioned": q_source_partitioned,
         "relational_dpp": q_relational_dpp,
         "tpcds_q36": q_tpcds_q36,
+        "tpcds_q88": q_tpcds_q88,
+        "tpcds_q47": q_tpcds_q47,
+        "tpcds_q74": q_tpcds_q74,
         "tpcds_q51": q_tpcds_q51,
         "tpcds_q67": q_tpcds_q67,
         "tpcds_q5": q_tpcds_q5,
@@ -12603,6 +12715,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INTEGER) AS n_vertices,
                    round(abs(sum(x * yn - xn * y)) / 2.0, 4) AS hull_area
             FROM ring GROUP BY g
+        """,
+        "tpcds_q88": """
+            SELECT
+              CAST(sum(CASE WHEN l_quantity <= 12.5 AND l_returnflag = 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+              CAST(sum(CASE WHEN l_quantity <= 12.5 AND l_returnflag <> 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+              CAST(sum(CASE WHEN l_quantity > 12.5 AND l_quantity <= 25.0
+                            AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b3,
+              CAST(sum(CASE WHEN l_quantity > 12.5 AND l_quantity <= 25.0
+                            AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b4,
+              CAST(sum(CASE WHEN l_quantity > 25.0 AND l_quantity <= 37.5
+                            AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b5,
+              CAST(sum(CASE WHEN l_quantity > 25.0 AND l_quantity <= 37.5
+                            AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b6,
+              CAST(sum(CASE WHEN l_quantity > 37.5 AND l_returnflag = 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS b7,
+              CAST(sum(CASE WHEN l_quantity > 37.5 AND l_returnflag <> 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS b8
+            FROM lineitem
+            WHERE l_linestatus = 'F'
+        """,
+        "tpcds_q47": """
+            WITH m AS (
+              SELECT o_orderpriority AS pri,
+                     CAST(year(o_orderdate) AS INT) AS yr,
+                     CAST(month(o_orderdate) AS INT) AS mon,
+                     CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                          AS BIGINT) AS sales_cents
+              FROM orders GROUP BY 1, 2, 3
+            ), w AS (
+              SELECT pri, yr, mon, sales_cents,
+                     avg(sales_cents) OVER (PARTITION BY pri, yr) AS yr_avg,
+                     avg(sales_cents) OVER (
+                       PARTITION BY pri ORDER BY yr, mon
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mov3,
+                     count(*) OVER (
+                       PARTITION BY pri ORDER BY yr, mon
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS wn
+              FROM m
+            )
+            SELECT pri, yr, mon, sales_cents,
+                   round(yr_avg, 4) AS yr_avg,
+                   round(mov3, 4) AS mov3,
+                   CAST(rank() OVER (
+                     PARTITION BY pri
+                     ORDER BY sales_cents - yr_avg ASC, yr ASC, mon ASC
+                   ) AS INT) AS rk
+            FROM w
+            WHERE wn = 3 AND yr BETWEEN 1996 AND 2000
+        """,
+        "tpcds_q74": """
+            WITH yt AS (
+              SELECT o_custkey,
+                     CAST(year(o_orderdate) AS INT) AS yr,
+                     CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                          AS BIGINT) AS tot
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT a.o_custkey AS o_custkey,
+                   a.tot AS tot_1996, b.tot AS tot_1997,
+                   round(CAST(b.tot AS DOUBLE) / CAST(a.tot AS DOUBLE), 6)
+                     AS growth
+            FROM yt a JOIN yt b ON a.o_custkey = b.o_custkey
+            WHERE a.yr = 1996 AND b.yr = 1997 AND a.tot > 0
+              AND CAST(b.tot AS DOUBLE) / CAST(a.tot AS DOUBLE) > 1.2
         """,
         "tpcds_q36": """
             WITH agg AS (
