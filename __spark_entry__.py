@@ -1440,6 +1440,64 @@ def q_spatial_reproject_hammer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_linear_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (round 14, geom/linear.py + functions/st.py —
+    the PostGIS ST_LineInterpolatePoint / ST_LineLocatePoint /
+    ST_LineSubstring trio, beyond the reference surface whose measures
+    stop at length/distance/closestPoint): per-customer L-shaped
+    3-vertex lines with integer segment lengths a, b; interpolate at a
+    key-derived fraction (the oracle replays the two-segment CASE
+    arithmetic), locate an off-line point (projection onto the first
+    segment — fraction c/(a+b)), and substring between two fractions
+    chosen to NEVER land on the interior vertex (3-decimal fractions
+    ending in 3 cannot equal a/(a+b) for a+b ≤ 16, so the
+    strictly-between vertex-keep test is boundary-free); the substring
+    length is (f1−f0)·total and its vertex count is 2 + the
+    interior-vertex indicator. Rounded to 6 decimals — the op-order
+    ulp absorber."""
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 3000)
+    x0 = ((F.col("c_custkey") * 11) % 300).cast("double")
+    y0 = ((F.col("c_custkey") * 17) % 200).cast("double")
+    a = (F.lit(1) + (F.col("c_custkey") * 3) % 7).cast("double")
+    b = (F.lit(1) + (F.col("c_custkey") * 5) % 9).cast("double")
+    f = (((F.col("c_custkey") * 13) % 100).cast("double") / F.lit(100.0))
+    f0 = (((F.col("c_custkey") * 7) % 50).cast("double") / F.lit(100.0)
+          + F.lit(0.003))
+    f1 = f0 + F.lit(0.5)
+    cc = (F.lit(0.1) + ((F.col("c_custkey") * 19) % 9).cast("double")
+          / F.lit(10.0))
+    line = _call(
+        "st_makeline",
+        F.array(
+            _call("st_makepoint", x0, y0),
+            _call("st_makepoint", x0 + a, y0),
+            _call("st_makepoint", x0 + a, y0 + b),
+        ),
+    )
+    d = c.select(
+        F.col("c_custkey").alias("c_custkey"),
+        line.alias("g"), a.alias("a"), b.alias("b"), f.alias("f"),
+        f0.alias("f0"), f1.alias("f1"), cc.alias("cc"),
+        x0.alias("x0"), y0.alias("y0"),
+    )
+    interp = _call("st_lineinterpolatepoint", F.col("g"), F.col("f"))
+    loc = _call(
+        "st_linelocatepoint", F.col("g"),
+        _call("st_makepoint", F.col("x0") + F.col("cc"),
+              F.col("y0") - F.lit(2.0)),
+    )
+    sub = _call("st_linesubstring", F.col("g"), F.col("f0"), F.col("f1"))
+    return d.select(
+        "c_custkey",
+        F.round(_call("st_x", interp).cast("double"), 6).alias("ix"),
+        F.round(_call("st_y", interp).cast("double"), 6).alias("iy"),
+        F.round(loc.cast("double"), 6).alias("locf"),
+        F.round(_call("st_length", sub), 6).alias("sub_len"),
+        _call("st_numpoints", sub).cast("int").alias("sub_n"),
+    )
+
+
 def q_spatial_reproject_mill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Miller cylindrical reprojection (EPSG:4326 → ESRI:54003, round
     14 — the web/reference-map cylindrical that shows the poles) on
@@ -9221,6 +9279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_natearth": q_spatial_reproject_natearth,
         "spatial_reproject_gnom": q_spatial_reproject_gnom,
         "spatial_reproject_hammer": q_spatial_reproject_hammer,
+        "spatial_linear_ref": q_spatial_linear_ref,
         "spatial_reproject_mill": q_spatial_reproject_mill,
         "spatial_reproject_vandg": q_spatial_reproject_vandg,
         "spatial_reproject_igh": q_spatial_reproject_igh,
@@ -12337,6 +12396,40 @@ def oracle_sql() -> dict[str, str]:
                          - 0.6427876096865393 * cos(phi) * cos(lam)) / cos_c
                          AS FLOAT) AS DOUBLE), 3) AS gnom_y
             FROM cc
+        """,
+        "spatial_linear_ref": """
+            WITH base AS (
+              SELECT c_custkey,
+                     CAST((c_custkey * 11) % 300 AS DOUBLE) AS x0,
+                     CAST((c_custkey * 17) % 200 AS DOUBLE) AS y0,
+                     CAST(1 + (c_custkey * 3) % 7 AS DOUBLE) AS a,
+                     CAST(1 + (c_custkey * 5) % 9 AS DOUBLE) AS b,
+                     CAST((c_custkey * 13) % 100 AS DOUBLE) / 100.0 AS f,
+                     CAST((c_custkey * 7) % 50 AS DOUBLE) / 100.0
+                       + 0.003 AS f0,
+                     0.1 + CAST((c_custkey * 19) % 9 AS DOUBLE) / 10.0
+                       AS cc
+              FROM customer WHERE c_custkey <= 3000
+            ), d AS (
+              SELECT c_custkey, x0, y0, a, b, cc,
+                     a + b AS total,
+                     f * (a + b) AS tgt,
+                     f0 * (a + b) AS lo,
+                     (f0 + 0.5) * (a + b) AS hi
+              FROM base
+            )
+            SELECT c_custkey,
+                   round(CAST(CAST(CASE WHEN tgt <= a THEN x0 + tgt
+                              ELSE x0 + a END AS FLOAT) AS DOUBLE), 6)
+                     AS ix,
+                   round(CAST(CAST(CASE WHEN tgt <= a THEN y0
+                              ELSE y0 + (tgt - a) END AS FLOAT) AS DOUBLE),
+                         6) AS iy,
+                   round(cc / total, 6) AS locf,
+                   round(hi - lo, 6) AS sub_len,
+                   CAST(CASE WHEN lo < a AND a < hi THEN 3 ELSE 2 END
+                        AS INT) AS sub_n
+            FROM d
         """,
         "spatial_reproject_mill": f"""
             WITH base AS (

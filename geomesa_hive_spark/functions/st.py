@@ -677,6 +677,74 @@ def _closest_point_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 _reg("st_closestpoint", pandas_udf(_closest_point_udf, T.BinaryType()))
 
 
+# linear referencing (round 14, geom/linear.py — the PostGIS
+# ST_LineInterpolatePoint / ST_LineLocatePoint / ST_LineSubstring
+# trio; beyond the reference surface, whose measures stop at
+# length/distance/closestPoint, spatial/.../package.scala). Planar
+# fractions of cartesian length, clamped to [0, 1]; null-in→null-out;
+# non-LineString inputs yield NULL (not an error — the SQL-surface
+# convention for type-mismatched geometry args).
+
+
+def _line_interpolate_udf(g: pd.Series, f: pd.Series) -> pd.Series:
+    from geomesa_hive_spark.geom import linear as lin
+
+    parse = parse_cache()
+    out = []
+    for bg, fv in zip(g, f):
+        gl = parse(bg)
+        # pd.isna, not `is None`: a SQL NULL in the float64 fraction
+        # series arrives as NaN (caught by the round-14 verify probe —
+        # `is None` let NaN flow into the interpolation)
+        if gl is None or pd.isna(fv) or gl.geom_type != "LineString" \
+                or gl.is_empty:
+            out.append(None)
+        else:
+            p = lin.line_interpolate_point(gl.coords, float(fv))
+            out.append(to_wkb(Point(np.array([p]))))
+    return _series(out)
+
+
+def _line_locate_udf(g: pd.Series, p: pd.Series) -> pd.Series:
+    from geomesa_hive_spark.geom import linear as lin
+
+    parse = parse_cache()
+    out = []
+    for bg, bp in zip(g, p):
+        gl, gp = parse(bg), parse(bp)
+        if (gl is None or gp is None or gl.geom_type != "LineString"
+                or gp.geom_type != "Point" or gl.is_empty
+                or gp.is_empty):
+            out.append(None)
+        else:
+            out.append(float(lin.line_locate_point(gl.coords,
+                                                   gp.coords[0])))
+    return _series(out)
+
+
+def _line_substring_udf(g: pd.Series, f0: pd.Series,
+                        f1: pd.Series) -> pd.Series:
+    from geomesa_hive_spark.geom import linear as lin
+
+    parse = parse_cache()
+    out = []
+    for bg, a, b in zip(g, f0, f1):
+        gl = parse(bg)
+        if gl is None or pd.isna(a) or pd.isna(b) \
+                or gl.geom_type != "LineString" or gl.is_empty:
+            out.append(None)
+        else:
+            cs = lin.line_substring(gl.coords, float(a), float(b))
+            out.append(to_wkb(LineString(cs)))
+    return _series(out)
+
+
+_reg("st_lineinterpolatepoint",
+     pandas_udf(_line_interpolate_udf, T.BinaryType()))
+_reg("st_linelocatepoint", pandas_udf(_line_locate_udf, T.DoubleType()))
+_reg("st_linesubstring", pandas_udf(_line_substring_udf, T.BinaryType()))
+
+
 def _gg2geom(a: pd.Series, b: pd.Series, fn) -> pd.Series:
     parse = parse_cache()
     out = []

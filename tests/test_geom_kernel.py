@@ -1539,3 +1539,49 @@ def test_ortho_eck4_natearth_roundtrip_and_anchors():
     assert P.parse_crs("+proj=gnom +lat_0=40 +lon_0=10")[0] == "gnom"
     assert P.parse_crs("+proj=natearth")[0] == "natearth"
     assert P.parse_crs("+proj=hammer")[0] == "hammer"
+
+
+def test_linear_referencing_kernel():
+    """Linear referencing trio (round 14, geom/linear.py): interpolate
+    at exact breakpoints and midpoints, clamping, locate as the exact
+    inverse of interpolate plus off-line projection, substring
+    endpoint/interior-vertex algebra, degenerate (zero-length,
+    single-point, duplicate-vertex) inputs, and the f0 > f1 refusal."""
+    import numpy as np
+    import pytest
+
+    from geomesa_hive_spark.geom.linear import (
+        line_interpolate_point as lip,
+        line_locate_point as llp,
+        line_substring as lsub,
+    )
+
+    L = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 4.0]])  # lengths 3, 4
+    assert np.allclose(lip(L, 0.0), [0, 0])
+    assert np.allclose(lip(L, 1.0), [3, 4])
+    assert np.allclose(lip(L, 3 / 7), [3, 0])        # exact breakpoint
+    assert np.allclose(lip(L, 0.5), [3, 0.5])
+    assert np.allclose(lip(L, 1.5), [3, 4])          # clamp high
+    assert np.allclose(lip(L, -0.2), [0, 0])         # clamp low
+    for f in (0.0, 0.2, 3 / 7, 0.9, 1.0):
+        assert abs(llp(L, lip(L, f)) - f) < 1e-12, f
+    assert abs(llp(L, [1.0, -5.0]) - 1 / 7) < 1e-12  # projects to seg 1
+    assert abs(llp(L, [10.0, 10.0]) - 1.0) < 1e-12   # beyond the end
+    assert np.allclose(lsub(L, 1 / 7, 5 / 7), [[1, 0], [3, 0], [3, 2]])
+    assert np.allclose(lsub(L, 0.5, 0.5), [[3, 0.5], [3, 0.5]])
+    assert np.allclose(lsub(L, 0.0, 1.0), L[:, :2])
+    with pytest.raises(ValueError, match="f0 <= f1"):
+        lsub(L, 0.8, 0.2)
+
+    Z = np.array([[2.0, 2.0], [2.0, 2.0]])           # zero length
+    assert np.allclose(lip(Z, 0.7), [2, 2])
+    assert llp(Z, [5.0, 5.0]) == 0.0
+    assert np.allclose(lsub(Z, 0.1, 0.9), [[2, 2], [2, 2]])
+    P1 = np.array([[4.0, 5.0]])                      # single vertex
+    assert np.allclose(lip(P1, 0.3), [4, 5])
+    D = np.array([[0, 0], [1, 0], [1, 0], [2, 0]], float)  # dup vertex
+    assert np.allclose(lip(D, 0.5), [1, 0])
+    assert np.allclose(lsub(D, 0.25, 0.75),
+                       [[0.5, 0], [1, 0], [1.5, 0]])
+    with pytest.raises(ValueError, match="empty"):
+        lip(np.empty((0, 2)), 0.5)

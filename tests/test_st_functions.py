@@ -375,3 +375,34 @@ def test_st_partition_centroid_optional_sql_args(spark):
         bits=4, crs="EPSG:3857",
     )[0]
     assert r.merc == exp
+
+
+def test_linear_ref_sql_surface_nulls(spark):
+    """Round 14 linear-referencing SQL surface: NULL/empty/mismatched
+    inputs are NULL — including a SQL NULL fraction, which arrives in
+    the float64 pandas series as NaN (`is None` never fires; caught by
+    the round-14 verify probe, pinned here)."""
+    from geomesa_hive_spark import register_all
+
+    register_all(spark)
+    r = spark.sql("""SELECT
+      st_asText(st_lineInterpolatePoint(
+        st_geomFromWKT('LINESTRING (0 0, 3 0, 3 4)'), 0.5)) AS p,
+      st_lineLocatePoint(st_geomFromWKT('LINESTRING (0 0, 3 0, 3 4)'),
+        st_makePoint(1.0, -5.0)) AS f,
+      st_asText(st_lineSubstring(
+        st_geomFromWKT('LINESTRING (0 0, 3 0, 3 4)'), 0.0, 1.0)) AS s,
+      st_lineInterpolatePoint(CAST(NULL AS BINARY), 0.5) AS n1,
+      st_lineInterpolatePoint(st_geomFromWKT('LINESTRING (0 0, 1 0)'),
+        CAST(NULL AS DOUBLE)) AS n2,
+      st_lineSubstring(st_geomFromWKT('LINESTRING (0 0, 1 0)'),
+        CAST(NULL AS DOUBLE), 0.9) AS n3,
+      st_lineLocatePoint(st_geomFromWKT('POINT (1 1)'),
+        st_makePoint(0.0, 0.0)) AS n4,
+      st_lineInterpolatePoint(st_geomFromWKT('LINESTRING EMPTY'),
+        0.5) AS n5
+    """).collect()[0]
+    assert r.p == "POINT (3 0.5)"
+    assert abs(r.f - 1.0 / 7.0) < 1e-12
+    assert r.s == "LINESTRING (0 0, 3 0, 3 4)"
+    assert all(getattr(r, f"n{i}") is None for i in range(1, 6))
