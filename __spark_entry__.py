@@ -6554,6 +6554,62 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_trgm_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style trigram substring index (round 14,
+    pipeline/trgm.py — the lakehouse twin of PostgreSQL's GIN
+    '%pattern%' acceleration, fourth member of the persisted-index
+    family with the shared index_io tombstone lifecycle): build half
+    the corpus + append the other half, query a 7-trigram pattern
+    reading ONLY its trigram buckets (asserted in-query:
+    post_buckets_read < n_buckets), candidates = posting-list
+    intersection (all trigrams present — necessary, not sufficient),
+    exact contains() recheck on the pruned docs slice makes the answer
+    EXACTLY the full scan's; then tombstone-delete a slice (visible
+    immediately), maintain (physical drop + compaction,
+    n_tombstones_applied asserted), and re-query hash-identical.
+    Oracle = the contains() scans the index path replaces."""
+    from geomesa_hive_spark.pipeline.trgm import (
+        build_trgm_index, append_to_trgm_index, delete_from_trgm_index,
+        maintain_trgm_index, substring_query_index,
+    )
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="ghs_trgm_") + "/idx"
+    build_trgm_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", path,
+        n_buckets=32,
+    )
+    append_to_trgm_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", path)
+    rep: dict = {}
+    q1 = substring_query_index(spark, path, "Fast Sort", rep) \
+        .localCheckpoint(eager=True)
+    assert 0 < rep["post_buckets_read"] < rep["n_buckets"], rep
+    delete_from_trgm_index(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        "doc_id", path,
+    )
+    q2 = substring_query_index(spark, path, "fast sort") \
+        .localCheckpoint(eager=True)
+    mrep = maintain_trgm_index(spark, path)
+    assert mrep["n_tombstones_applied"] > 0, mrep
+    q3 = substring_query_index(spark, path, "fast sort")
+
+    def agg(df, phase):
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+
+    return (
+        agg(q1, "all")
+        .unionByName(agg(q2, "after_delete"))
+        .unionByName(agg(q3, "after_maintain"))
+    )
+
+
 def q_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted MinHash-LSH index (round-7, pipeline/dedup.py
     build_minhash_index/pairs_against_index — the stored-index
@@ -9427,6 +9483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "cross_dedup": q_cross_dedup,
         "dedup_index": q_dedup_index,
+        "text_trgm_like": q_text_trgm_like,
         "dedup_index_maintain": q_dedup_index_maintain,
         "dedup_index_delete": q_dedup_index_delete,
         "dedup_index_upsert": q_dedup_index_upsert,
@@ -15137,6 +15194,23 @@ def oracle_sql() -> dict[str, str]:
             pred_a="CAST(substr(source, 4) AS INT) % 2 = 0",
             pred_b="CAST(substr(source, 4) AS INT) % 2 = 1",
         ),
+        "text_trgm_like": """
+            WITH m AS (
+              SELECT doc_id FROM documents
+              WHERE contains(lower(text), 'fast sort')
+            )
+            SELECT 'all' AS phase, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM m
+            UNION ALL
+            SELECT 'after_delete', CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM m WHERE doc_id % 10 <> 3
+            UNION ALL
+            SELECT 'after_maintain', CAST(count(*) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT)
+            FROM m WHERE doc_id % 10 <> 3
+        """,
         "dedup_index": _cross_minhash_oracle(
             num_perm=64, bands=16, threshold=0.5, seed=42,
             pred_a="CAST(substr(source, 4) AS INT) % 3 = 0",

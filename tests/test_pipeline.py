@@ -3285,3 +3285,72 @@ def test_dd_sketch_accuracy_and_merge(spark):
     )
     nan_sk = dd_sketch_build(nan_df, ["g"], "v", STEP).collect()
     assert sum(r.cnt for r in nan_sk) == 1
+
+
+def test_trgm_index_edge_cases(spark, tmp_path):
+    """Trigram substring index (round 14): exact vs full scan on an
+    adversarial corpus — scattered-trigram false candidates killed by
+    the recheck, sub-3-char docs (no postings — unmatchable by any
+    >=3-char pattern, which is exact), repeated-trigram patterns,
+    case-insensitivity, upsert via delete+append (tombstone hides old
+    gens), short patterns refused, legacy meta refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.pipeline.trgm import (
+        append_to_trgm_index, build_trgm_index, delete_from_trgm_index,
+        maintain_trgm_index, substring_query_index,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE QUICKEST way"),          # case-insensitive match
+        (3, "qu ic k scattered trigrams qui uic ick"),  # all trigrams,
+                                                        # not adjacent
+        (4, "ab"),                        # shorter than a trigram
+        (5, "banana bandana"),            # repeated trigrams
+        (6, None),                        # null text
+        (7, "unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    p = str(tmp_path / "trgm")
+    build_trgm_index(df, "id", "t", p, n_buckets=8)
+
+    def q(pat):
+        return sorted(r.id for r in
+                      substring_query_index(spark, p, pat).collect())
+
+    assert q("quick") == [1, 2]
+    assert q("QUICK") == [1, 2]
+    # doc 3 has every trigram of 'quic'+'uick' scattered — the
+    # posting intersection admits it, the exact recheck must kill it
+    assert 3 not in q("quick")
+    assert q("banana") == [5]
+    assert q("dana ban") == []            # trigrams present, substring not
+    assert q("xyz") == []
+    with _pytest.raises(ValueError, match="shorter than 3"):
+        q("ab")
+
+    # upsert: tombstone + re-append the same id with new content
+    delete_from_trgm_index(
+        spark.createDataFrame([(1,)], "id long"), "id", p)
+    append_to_trgm_index(
+        spark.createDataFrame([(1, "now about ships")], "id long, t string"),
+        "id", "t", p)
+    assert q("quick") == [2]
+    assert q("ships") == [1]
+    rep = maintain_trgm_index(spark, p)
+    assert rep["n_tombstones_applied"] == 1
+    assert q("quick") == [2] and q("ships") == [1]
+
+    # legacy (pre-generation) metadata refused loudly
+    import json as _json
+    import os as _os
+    with open(_os.path.join(p, "_index.json")) as fh:
+        meta = _json.load(fh)
+    del meta["gen"]
+    with open(_os.path.join(p, "_index.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with _pytest.raises(ValueError, match="generation"):
+        delete_from_trgm_index(
+            spark.createDataFrame([(2,)], "id long"), "id", p)
