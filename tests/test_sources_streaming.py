@@ -2930,7 +2930,7 @@ def test_mor_timestamp_travel(spark, tmp_path):
     now = read_snapshot(spark, path, "k", as_of_ts=_time.time() + 10)
     assert now.filter(F.col("s") == "B").count() == 5
 
-    with _pytest.raises(ValueError, match="not both"):
+    with _pytest.raises(ValueError, match="only one of"):
         read_snapshot(spark, path, "k", as_of_seq=1, as_of_ts=t1)
 
     checkpoint(spark, path, "k")
