@@ -778,6 +778,52 @@ def q_spatial_convexhull_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         uninstall(spark)
 
 
+def q_spatial_extent_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL st_extent aggregate (round 14 — the PostGIS ST_Extent
+    bbox-union idiom, the single most common spatial aggregate;
+    registered as a GROUPED_AGG returning the extent POLYGON's WKB,
+    since Spark GROUPED_AGG cannot return a struct): the installed
+    wrapper rewrites the recognized aggregate query to a FULLY NATIVE
+    plan — one st_extentfromgeom bbox projection (the only Python),
+    then NaN-guarded min/max over its four fields with map-side
+    combine in whole-stage codegen, one st_extenttogeom per group.
+    In-query asserts: ZERO ArrowAggregatePython in the plan (unlike
+    the convexhull rewrite, nothing aggregates in Python at all) and
+    the rewrite fired. Oracle replays the per-group coordinate min/max
+    directly."""
+    from geomesa_hive_spark.operators.spatial_sql import install, uninstall
+
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_nationkey").cast("int").alias("g"),
+        _call(
+            "st_makepoint",
+            ((F.col("c_custkey") * 9973) % 35000) / 100.0 - 175.0,
+            ((F.col("c_custkey") * 7919) % 17000) / 100.0 - 85.0,
+        ).alias("geom"),
+    )
+    pts.createOrReplaceTempView("__ext_pts")
+    install(spark)
+    try:
+        out = spark.sql(
+            "SELECT g, st_extent(geom) AS e FROM __ext_pts GROUP BY g"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowAggregatePython" not in plan, \
+            "st_extent did not rewrite to the native plan"
+        bb = _call("st_extentfromgeom", F.col("e"))
+        return out.select(
+            "g",
+            F.round(bb["xmin"], 6).alias("xmin"),
+            F.round(bb["ymin"], 6).alias("ymin"),
+            F.round(bb["xmax"], 6).alias("xmax"),
+            F.round(bb["ymax"], 6).alias("ymax"),
+        )
+    finally:
+        uninstall(spark)
+
+
 def q_spatial_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoidal UTM reprojection (EPSG:4326 → EPSG:32633) on points
     inside/near zone 33; the oracle replays the full Transverse
@@ -9313,6 +9359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_geohash": q_spatial_geohash,
         "spatial_convexhull": q_spatial_convexhull,
         "spatial_convexhull_sql": q_spatial_convexhull_sql,
+        "spatial_extent_sql": q_spatial_extent_sql,
         "spatial_sql_pushdown": q_spatial_sql_pushdown,
         "spatial_sql_join": q_spatial_sql_join,
         "spatial_sql_join_where": q_spatial_sql_join_where,
@@ -12844,6 +12891,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INTEGER) AS n_vertices,
                    round(abs(sum(x * yn - xn * y)) / 2.0, 4) AS hull_area
             FROM ring GROUP BY g
+        """,
+        "spatial_extent_sql": f"""
+            SELECT CAST(c_nationkey AS INTEGER) AS g,
+                   round(min({_C_X}), 6) AS xmin,
+                   round(min({_C_Y}), 6) AS ymin,
+                   round(max({_C_X}), 6) AS xmax,
+                   round(max({_C_Y}), 6) AS ymax
+            FROM customer
+            GROUP BY c_nationkey
         """,
         "spatial_convexhull_sql": """
             WITH pts AS (

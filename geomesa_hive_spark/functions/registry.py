@@ -50,7 +50,9 @@ def register_all(spark: SparkSession) -> list[str]:
         """
     )
     # the framework's one aggregate (ST_ConvexHull.scala:24-38)
-    from geomesa_hive_spark.operators.convex_hull_agg import register_convex_hull_udaf
+    from geomesa_hive_spark.operators.convex_hull_agg import (
+        register_convex_hull_udaf, register_extent_udaf)
 
     register_convex_hull_udaf(spark)
+    register_extent_udaf(spark)
     return registered_names() + ["st_convexhull"]

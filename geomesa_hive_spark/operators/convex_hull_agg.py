@@ -40,7 +40,8 @@ from pyspark.sql.functions import pandas_udf
 from geomesa_hive_spark.geom import algorithms as alg
 from geomesa_hive_spark.geom.wkb import from_wkb, to_wkb
 
-__all__ = ["convex_hull_agg", "convex_hull_grouped", "register_convex_hull_udaf"]
+__all__ = ["convex_hull_agg", "convex_hull_grouped", "register_convex_hull_udaf",
+           "register_extent_udaf"]
 
 
 def _hull_of_wkbs(wkbs) -> bytes | None:
@@ -118,3 +119,48 @@ def register_convex_hull_udaf(spark: SparkSession) -> None:
         return _hull_of_wkbs(s)
 
     spark.udf.register("st_convexhull", st_convexhull)
+
+
+def _extent_of_wkbs(wkbs) -> bytes | None:
+    """Bbox-union POLYGON of a geometry column slice (the PostGIS
+    ST_Extent::geometry shape — GROUPED_AGG cannot return a struct,
+    so the aggregate yields the extent polygon's WKB); NULL and empty
+    geometries contribute nothing, all-null → None."""
+    import math
+
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+    for b in wkbs:
+        if b is None:
+            continue
+        g = from_wkb(bytes(b))
+        c = alg.all_coords(g)
+        if not len(c):
+            continue
+        xmin = min(xmin, float(np.min(c[:, 0])))
+        ymin = min(ymin, float(np.min(c[:, 1])))
+        xmax = max(xmax, float(np.max(c[:, 0])))
+        ymax = max(ymax, float(np.max(c[:, 1])))
+    if xmin > xmax:
+        return None
+    from geomesa_hive_spark.geom.core import Polygon
+
+    ring = [[xmin, ymin], [xmax, ymin], [xmax, ymax],
+            [xmin, ymax], [xmin, ymin]]
+    return to_wkb(Polygon(ring))
+
+
+def register_extent_udaf(spark: SparkSession) -> None:
+    """Register SQL `st_extent` (round 14 — the PostGIS bbox-union
+    aggregate; COMPLETE-mode GROUPED_AGG like st_convexhull). The
+    installed spatial_sql wrapper rewrites recognized st_extent
+    aggregate queries to a FULLY NATIVE min/max plan
+    (rewrite_extent_agg) — this registration is the fallback for
+    shapes outside the rewrite envelope, and the semantic anchor both
+    paths are hash-compared against."""
+
+    @pandas_udf(T.BinaryType())
+    def st_extent(s: pd.Series) -> bytes:  # Series→scalar ⇒ GROUPED_AGG
+        return _extent_of_wkbs(s)
+
+    spark.udf.register("st_extent", st_extent)

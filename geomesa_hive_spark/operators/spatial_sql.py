@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "spatial_sql", "rewrite_spatial_predicates", "rewrite_spatial_join",
-    "rewrite_convexhull_agg", "install", "uninstall",
+    "rewrite_convexhull_agg", "rewrite_extent_agg", "install", "uninstall",
 ]
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
@@ -879,11 +879,70 @@ def _cvx_norm(expr: str) -> str:
     return re.sub(r"\s+", " ", expr.strip().strip("`")).lower()
 
 
+_EXT_CALL = re.compile(r"\bst_extent\s*\(", re.IGNORECASE)
+_EXT_AGG_ITEM = re.compile(
+    rf"^st_extent\s*\((?P<args>.+)\)\s+AS\s+(?P<alias>{_SEG})$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _ext_outer(j: int) -> str:
+    """Fully NATIVE extent merge over the projected per-row bbox —
+    min/max with map-side combine in whole-stage codegen, zero Python
+    rows after the one bbox projection; NaN-guarded (a NaN would win
+    max), NULL fields skip natively, and an all-NULL group collapses
+    to NULL via st_extenttogeom's null-in→null-out."""
+    def mm(op: str, f: str) -> str:
+        return (f"{op}(CASE WHEN isnan(__bb{j}.{f}) THEN NULL "
+                f"ELSE __bb{j}.{f} END)")
+    return (
+        "st_extenttogeom(named_struct("
+        f"'xmin', {mm('min', 'xmin')}, 'ymin', {mm('min', 'ymin')}, "
+        f"'xmax', {mm('max', 'xmax')}, 'ymax', {mm('max', 'ymax')}))"
+    )
+
+
 def rewrite_convexhull_agg(sql: str) -> str:
     """Textual rewrite of ``st_convexhull`` aggregate queries into the
     two-phase partial-hull / hull-of-hulls shape (see the envelope
     above). Pure function; unsupported shapes return unchanged."""
-    if not _CVX_CALL.search(sql) or _SQL_COMMENT.search(sql):
+    return _rewrite_spatial_agg(
+        sql, _CVX_CALL, _CVX_HULL_ITEM,
+        inner_fmt=lambda args, j: f"st_convexhull({args}) AS __ph{j}",
+        outer_fmt=lambda args, j: f"st_convexhull(__ph{j})",
+        two_phase=True,
+    )
+
+
+def rewrite_extent_agg(sql: str) -> str:
+    """Textual rewrite of ``st_extent`` aggregate queries (round 14 —
+    the PostGIS ST_Extent idiom, registered here as a GROUPED_AGG
+    returning the bbox POLYGON in WKB) into a FULLY NATIVE plan: the
+    inner query projects each row's bbox once
+    (st_extentfromgeom — one pandas-UDF column, the only Python), the
+    outer aggregates native NaN-guarded min/max over its four fields
+    (map-side combine, whole-stage codegen) and rebuilds the polygon
+    with one st_extenttogeom call PER GROUP. Same soundness envelope
+    as the convexhull rewrite; unsupported shapes fall through to the
+    registered single-phase UDAF."""
+    return _rewrite_spatial_agg(
+        sql, _EXT_CALL, _EXT_AGG_ITEM,
+        inner_fmt=lambda args, j: f"st_extentfromgeom({args}) AS __bb{j}",
+        outer_fmt=lambda args, j: _ext_outer(j),
+        two_phase=False,
+    )
+
+
+def _rewrite_spatial_agg(sql: str, call_re, item_re, inner_fmt,
+                         outer_fmt, two_phase: bool) -> str:
+    """Shared aggregate-rewrite engine (see the envelope above the
+    convexhull section): parses the single-table SELECT skeleton,
+    classifies items into group keys and recognized aggregate calls,
+    and re-emits either the two-phase (group, spark_partition_id)
+    partial/merge shape (``two_phase=True`` — for pandas UDAFs with
+    no partial merge) or a plain project-then-native-aggregate shape
+    (``two_phase=False``)."""
+    if not call_re.search(sql) or _SQL_COMMENT.search(sql):
         return sql
     body = sql
     toks = _cvx_scan(body)
@@ -950,16 +1009,16 @@ def rewrite_convexhull_agg(sql: str) -> str:
     outer_items: list[str] = []
     n_hulls = 0
     for it in items:
-        if _CVX_CALL.search(it):
-            hm = _CVX_HULL_ITEM.match(it)
+        if call_re.search(it):
+            hm = item_re.match(it)
             if not hm:
                 return sql
             args = hm.group("args")
-            if _cvx_scan(args) is None or _CVX_CALL.search(args):
+            if _cvx_scan(args) is None or call_re.search(args):
                 return sql
-            inner_items.append(f"st_convexhull({args}) AS __ph{n_hulls}")
+            inner_items.append(inner_fmt(args, n_hulls))
             outer_items.append(
-                f"st_convexhull(__ph{n_hulls}) AS {hm.group('alias')}"
+                f"{outer_fmt(args, n_hulls)} AS {hm.group('alias')}"
             )
             n_hulls += 1
             continue
@@ -982,13 +1041,18 @@ def rewrite_convexhull_agg(sql: str) -> str:
     if n_hulls == 0:
         return sql
 
-    src = f"(SELECT *, spark_partition_id() AS __pid FROM {src_txt}) {alias}"
+    if two_phase:
+        src = (f"(SELECT *, spark_partition_id() AS __pid "
+               f"FROM {src_txt}) {alias}")
+    else:
+        src = src_txt
     inner = f"SELECT {', '.join(inner_items)} FROM {src}"
     if where_txt:
         inner += f" WHERE {where_txt}"
-    # phase-1 grouping uses the ORIGINAL key expressions plus __pid
-    # (the __gk aliases are select-list output names, not yet in scope)
-    inner += " GROUP BY " + ", ".join(list(keys) + ["__pid"])
+    if two_phase:
+        # phase-1 grouping uses the ORIGINAL key expressions plus __pid
+        # (the __gk aliases are select-list output names, not in scope)
+        inner += " GROUP BY " + ", ".join(list(keys) + ["__pid"])
     out = f"SELECT {', '.join(outer_items)} FROM ({inner}) __cvx"
     if keys:
         out += " GROUP BY " + ", ".join(
@@ -1007,7 +1071,7 @@ def spatial_sql(spark: SparkSession, sql: str) -> DataFrame:
     not an extent struct). Recognized geometry×geometry JOIN predicates
     route to the PBSM grid join first (:func:`rewrite_spatial_join`)."""
     rewritten = rewrite_spatial_predicates(
-        rewrite_spatial_join(rewrite_convexhull_agg(sql)))
+        rewrite_spatial_join(rewrite_extent_agg(rewrite_convexhull_agg(sql))))
     if rewritten != sql:
         try:
             return spark.sql(rewritten)
@@ -1038,7 +1102,7 @@ def install(spark: SparkSession) -> SparkSession:
     def _sql(query, *args, **kwargs):
         if isinstance(query, str):
             rewritten = rewrite_spatial_predicates(
-                rewrite_spatial_join(rewrite_convexhull_agg(query)))
+                rewrite_spatial_join(rewrite_extent_agg(rewrite_convexhull_agg(query))))
             if rewritten != query:
                 try:
                     return original(rewritten, *args, **kwargs)

@@ -687,6 +687,64 @@ def test_convexhull_sql_two_phase(spark):
         assert rewrite_convexhull_agg(q) == q, q
 
 
+def test_extent_agg_rewrite_native_and_identical(spark):
+    """Round 14: SQL st_extent rewrites to a FULLY NATIVE min/max plan
+    (zero ArrowAggregatePython), bit-identical to the GROUPED_AGG
+    fallback across grouped/global/filtered/null/empty shapes; mixed
+    aggregates fall through to the UDAF and still answer."""
+    from geomesa_hive_spark import register_all
+    from geomesa_hive_spark.operators.spatial_sql import (
+        install, rewrite_extent_agg, uninstall,
+    )
+
+    register_all(spark)
+    spark.range(0, 600, 1, 8).selectExpr(
+        "id % 3 AS k",
+        "CASE WHEN id % 53 = 0 THEN CAST(NULL AS BINARY) "
+        "WHEN id % 97 = 0 THEN st_geomFromWKT('LINESTRING EMPTY') "
+        "ELSE st_makePoint(CAST(id % 89 AS DOUBLE), "
+        "CAST(id % 83 AS DOUBLE)) END AS g",
+    ).createOrReplaceTempView("ext_t")
+
+    shapes = [
+        "SELECT k, st_extent(g) AS e FROM ext_t GROUP BY k",
+        "SELECT st_extent(g) AS e FROM ext_t",
+        "SELECT k, st_extent(g) AS e FROM ext_t WHERE k < 2 "
+        "GROUP BY k ORDER BY k",
+    ]
+    install(spark)
+    try:
+        for q in shapes:
+            assert rewrite_extent_agg(q) != q, q
+            out = spark.sql(q)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "ArrowAggregatePython" not in plan, q
+    finally:
+        uninstall(spark)
+    for q in shapes:
+        direct = sorted(
+            tuple(bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                  else v for v in r) for r in spark.sql(q).collect())
+        native = sorted(
+            tuple(bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                  else v for v in r)
+            for r in spark.sql(rewrite_extent_agg(q)).collect())
+        assert direct == native, q
+
+    # mixed aggregates: fall through, UDAF answers
+    q_mixed = ("SELECT k, count(*) AS c, st_extent(g) AS e FROM ext_t "
+               "GROUP BY k")
+    assert rewrite_extent_agg(q_mixed) == q_mixed
+    assert spark.sql(q_mixed).count() == 3
+
+    # all-null group → NULL on both paths
+    spark.sql("SELECT 1 AS k, CAST(NULL AS BINARY) AS g") \
+        .createOrReplaceTempView("ext_n")
+    qn = "SELECT k, st_extent(g) AS e FROM ext_n GROUP BY k"
+    assert spark.sql(qn).collect()[0].e is None
+    assert spark.sql(rewrite_extent_agg(qn)).collect()[0].e is None
+
+
 def test_join_rewrite_fall_throughs(spark):
     """Unsound/unrecognized shapes return the SQL unchanged: star
     selects (internals would leak), OR after the predicate (defeats
