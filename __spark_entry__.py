@@ -1544,6 +1544,43 @@ def q_spatial_linear_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_segmentize (round 14, geom/linear.py segmentize_coords —
+    PostGIS densification: every segment longer than d splits into
+    ceil(len/d) equal parts, existing vertices kept, shape unchanged):
+    per-customer L-shaped lines with integer segment lengths a, b and
+    key-derived d ∈ {0.5, 0.75, 1.0, 1.25} (exact binary quarters, so
+    a/d divides identically cross-engine and ceil never straddles a
+    rounding boundary). The oracle replays the vertex-count algebra
+    1 + ceil(a/d) + ceil(b/d), the length invariant, and the FIRST
+    inserted vertex's x = x0 + a/ceil(a/d) (float32 st_x
+    quantization)."""
+    register_all(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 3000)
+    x0 = ((F.col("c_custkey") * 11) % 300).cast("double")
+    y0 = ((F.col("c_custkey") * 17) % 200).cast("double")
+    a = (F.lit(1) + (F.col("c_custkey") * 3) % 7).cast("double")
+    b = (F.lit(1) + (F.col("c_custkey") * 5) % 9).cast("double")
+    dd = (F.lit(0.5) + (F.col("c_custkey") % 4).cast("double")
+          * F.lit(0.25))
+    line = _call(
+        "st_makeline",
+        F.array(
+            _call("st_makepoint", x0, y0),
+            _call("st_makepoint", x0 + a, y0),
+            _call("st_makepoint", x0 + a, y0 + b),
+        ),
+    )
+    seg = _call("st_segmentize", line, dd)
+    p2 = _call("st_pointn", seg, F.lit(2))
+    return c.select(
+        F.col("c_custkey").alias("c_custkey"),
+        _call("st_numpoints", seg).cast("int").alias("n_pts"),
+        F.round(_call("st_length", seg), 6).alias("len"),
+        F.round(_call("st_x", p2).cast("double"), 6).alias("x2"),
+    )
+
+
 def q_spatial_reproject_mill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Miller cylindrical reprojection (EPSG:4326 → ESRI:54003, round
     14 — the web/reference-map cylindrical that shows the poles) on
@@ -9383,6 +9420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_reproject_gnom": q_spatial_reproject_gnom,
         "spatial_reproject_hammer": q_spatial_reproject_hammer,
         "spatial_linear_ref": q_spatial_linear_ref,
+        "spatial_segmentize": q_spatial_segmentize,
         "spatial_reproject_mill": q_spatial_reproject_mill,
         "spatial_reproject_vandg": q_spatial_reproject_vandg,
         "spatial_reproject_igh": q_spatial_reproject_igh,
@@ -12500,6 +12538,22 @@ def oracle_sql() -> dict[str, str]:
                          - 0.6427876096865393 * cos(phi) * cos(lam)) / cos_c
                          AS FLOAT) AS DOUBLE), 3) AS gnom_y
             FROM cc
+        """,
+        "spatial_segmentize": """
+            WITH base AS (
+              SELECT c_custkey,
+                     CAST((c_custkey * 11) % 300 AS DOUBLE) AS x0,
+                     CAST(1 + (c_custkey * 3) % 7 AS DOUBLE) AS a,
+                     CAST(1 + (c_custkey * 5) % 9 AS DOUBLE) AS b,
+                     0.5 + CAST(c_custkey % 4 AS DOUBLE) * 0.25 AS d
+              FROM customer WHERE c_custkey <= 3000
+            )
+            SELECT c_custkey,
+                   CAST(1 + ceil(a / d) + ceil(b / d) AS INT) AS n_pts,
+                   round(a + b, 6) AS len,
+                   round(CAST(CAST(x0 + a / ceil(a / d) AS FLOAT)
+                              AS DOUBLE), 6) AS x2
+            FROM base
         """,
         "spatial_linear_ref": """
             WITH base AS (

@@ -739,6 +739,41 @@ def _line_substring_udf(g: pd.Series, f0: pd.Series,
     return _series(out)
 
 
+def _segmentize_geom(g, d):
+    from geomesa_hive_spark.geom import linear as lin
+
+    t = g.geom_type
+    if t == "Point" or g.is_empty:
+        return g
+    if t == "LineString":
+        return LineString(lin.segmentize_coords(g.coords, d))
+    if t == "Polygon":
+        return Polygon(
+            lin.segmentize_coords(g.shell, d),
+            [lin.segmentize_coords(h, d) for h in g.holes],
+        )
+    if t in ("MultiPoint",):
+        return g
+    if t in ("MultiLineString", "MultiPolygon", "GeometryCollection"):
+        return type(g)([_segmentize_geom(p_, d) for p_ in g.geoms])
+    return g
+
+
+def _segmentize_udf(g: pd.Series, d: pd.Series) -> pd.Series:
+    parse = parse_cache()
+    out = []
+    for bg, dv in zip(g, d):
+        gl = parse(bg)
+        if gl is None or pd.isna(dv):
+            out.append(None)
+        else:
+            out.append(to_wkb(_segmentize_geom(gl, float(dv))))
+    return _series(out)
+
+
+_reg("st_segmentize", pandas_udf(_segmentize_udf, T.BinaryType()))
+
+
 _reg("st_lineinterpolatepoint",
      pandas_udf(_line_interpolate_udf, T.BinaryType()))
 _reg("st_linelocatepoint", pandas_udf(_line_locate_udf, T.DoubleType()))

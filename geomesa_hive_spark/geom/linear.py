@@ -28,6 +28,7 @@ __all__ = [
     "line_interpolate_point",
     "line_locate_point",
     "line_substring",
+    "segmentize_coords",
 ]
 
 
@@ -119,4 +120,27 @@ def line_substring(coords: np.ndarray, f0: float, f1: float) -> np.ndarray:
             out.append(v)
     if not np.array_equal(p1, out[-1]) or len(out) == 1:
         out.append(p1)
+    return np.vstack(out)
+
+
+def segmentize_coords(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Vertex array with each segment longer than ``max_len`` split
+    into equal parts of ceil(len/max_len) (PostGIS ST_Segmentize
+    semantics: existing vertices are KEPT, inserted points are evenly
+    spaced per segment, geometry shape unchanged). ``max_len`` must be
+    positive; zero-length segments pass through untouched."""
+    coords = np.asarray(coords, dtype=float)
+    if not (float(max_len) > 0.0):
+        raise ValueError(f"max_len must be > 0, got {max_len}")
+    if len(coords) < 2:
+        return coords[:, :2].copy()
+    out = [coords[0, :2]]
+    seg = _seg_lengths(coords)
+    for i in range(len(coords) - 1):
+        n = max(int(np.ceil(seg[i] / float(max_len))), 1) \
+            if seg[i] > 0 else 1
+        a, b = coords[i, :2], coords[i + 1, :2]
+        for j in range(1, n):
+            out.append(a + (j / n) * (b - a))
+        out.append(b)
     return np.vstack(out)

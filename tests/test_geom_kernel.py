@@ -1585,3 +1585,28 @@ def test_linear_referencing_kernel():
                        [[0.5, 0], [1, 0], [1.5, 0]])
     with pytest.raises(ValueError, match="empty"):
         lip(np.empty((0, 2)), 0.5)
+
+
+def test_segmentize_kernel():
+    """st_segmentize kernel (round 14): equal split counts, kept
+    vertices, length invariance, no-op when d exceeds every segment,
+    zero-length segments pass through, d <= 0 raises."""
+    import numpy as np
+    import pytest
+
+    from geomesa_hive_spark.geom.linear import segmentize_coords as sc
+
+    L = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 4.0]])
+    r = sc(L, 1.0)
+    assert len(r) == 8 and np.allclose(r[:4, 0], [0, 1, 2, 3])
+    assert np.allclose(np.hypot(*np.diff(r, axis=0).T).sum(), 7.0)
+    assert np.allclose(sc(L, 10.0), L)                 # no-op
+    r3 = sc(L, 2.5)                                    # ceil 2 + 2
+    assert len(r3) == 5 and np.allclose(r3[1], [1.5, 0])
+    D = np.array([[0, 0], [0, 0], [1, 0]], float)      # zero-length seg
+    r4 = sc(D, 0.4)
+    assert np.allclose(r4[0], r4[1]) and len(r4) == 5
+    with pytest.raises(ValueError, match="max_len"):
+        sc(L, 0.0)
+    with pytest.raises(ValueError, match="max_len"):
+        sc(L, -1.0)
