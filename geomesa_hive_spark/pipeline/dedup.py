@@ -1360,6 +1360,13 @@ def build_minhash_index(
     sigs = sigs.withColumn(
         "sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_buckets)))
     ).withColumn("gen", F.lit(0))
+    # localCheckpoint: the signature computation (tokenize + gram
+    # explode + md5 + num_perm min-aggregates — the dominant cost of
+    # the whole build) feeds BOTH the sigs write and the band-key
+    # derivation; materializing it once means one signing pass instead
+    # of a sign-then-reread round trip through the sigs/ parquet
+    # (guide §1.2: remove passes first)
+    sigs = sigs.localCheckpoint()
     # align shuffle partitions to the bucket dirs before partitionBy:
     # without this every upstream task writes a file into every bucket
     # (tasks × buckets small files — the write amplification compaction
@@ -1367,8 +1374,9 @@ def build_minhash_index(
     sigs.repartition(int(n_buckets), "sbucket").write.mode(
         "overwrite"
     ).partitionBy("sbucket").parquet(os.path.join(path, "sigs"))
-    stored = df.sparkSession.read.parquet(os.path.join(path, "sigs")).drop("sbucket")
-    keys = _minhash_band_keys(stored, num_perm, bands).withColumn(
+    keys = _minhash_band_keys(
+        sigs.drop("sbucket", "gen"), num_perm, bands
+    ).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(n_buckets)))
     ).withColumn("gen", F.lit(0))
     keys.repartition(int(n_buckets), "bucket").write.mode(
@@ -1563,7 +1571,12 @@ def append_to_minhash_index(
     sigs = minhash_signatures(
         new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
     ).withColumn("sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(int(nb))))
-    sigs = sigs.withColumn("gen", F.lit(g))
+    # localCheckpoint BEFORE the two writes: without it the band-key
+    # write below re-executed the whole signing plan (tokenize + gram
+    # explode + md5 + min-aggs) a second time — the build path never
+    # did (it reread its sigs parquet), but append signed every batch
+    # TWICE (guide §1.2)
+    sigs = sigs.withColumn("gen", F.lit(g)).localCheckpoint()
     sigs.repartition(int(nb), "sbucket").write.mode("append").partitionBy(
         "sbucket"
     ).parquet(os.path.join(path, "sigs"))

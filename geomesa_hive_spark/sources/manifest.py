@@ -1548,7 +1548,6 @@ def write_delta(
                 f"widens nothing silently"
             )
         up = df.withColumn("__deleted", F.lit(False))
-        n_up = df.count()
     if delete_keys is not None:
         if len(delete_keys.columns) != 1:
             raise ValueError("delete_keys must be a single-column frame of keys")
@@ -1560,25 +1559,38 @@ def write_delta(
             if c != key_col:
                 tomb = tomb.withColumn(c, F.lit(None))
         tomb = tomb.select(*base_cols).withColumn("__deleted", F.lit(True))
-        n_del = delete_keys.count()
         up = up.unionByName(tomb) if df is not None else tomb
     if df is None and delete_keys is None:
         raise ValueError("write_delta needs upserts, delete_keys, or both")
     token = uuid.uuid4().hex[:12]
     dpath = os.path.join(path, f"_delta_{token}")
     up.write.mode("overwrite").parquet(dpath)
-    # per-commit key stats (Iceberg/Delta file-stats-in-the-log): one
-    # delta-sized agg lets a key-ranged snapshot read skip ENTIRE
-    # commits whose keys provably miss the range (read_snapshot
-    # key_range=). Tombstone keys are included — a delete in range
-    # must be seen. Older commits without stats degrade to always-read.
-    krow = up.agg(F.min(key_col), F.max(key_col)).collect()[0]
-    key_stats = (_json_stat(krow[0], "min"), _json_stat(krow[1], "max"))
+    # ONE delta-sized agg over the WRITTEN files replaces what used to
+    # be three separate passes over the (possibly expensive) input plan
+    # — df.count(), delete_keys.count(), and the key min/max agg each
+    # re-executed the caller's delta plan (a filtered/joined table scan
+    # at production scale); guide §1.2: remove passes before tuning
+    # anything else. The written delta is small by the MOR premise, so
+    # counting/minmaxing it costs one tiny scan, and the conflict-check
+    # key set below reads the same files instead of replanning.
+    # Key stats (Iceberg/Delta file-stats-in-the-log): one agg lets a
+    # key-ranged snapshot read skip ENTIRE commits whose keys provably
+    # miss the range (read_snapshot key_range=). Tombstone keys are
+    # included — a delete in range must be seen. Older commits without
+    # stats degrade to always-read.
+    written = (spark or up.sparkSession).read.parquet(dpath)
+    srow = written.agg(
+        F.count(F.when(~F.col("__deleted"), True)),
+        F.count(F.when(F.col("__deleted"), True)),
+        F.min(key_col), F.max(key_col),
+    ).collect()[0]
+    n_up, n_del = int(srow[0]), int(srow[1])
+    key_stats = (_json_stat(srow[2], "min"), _json_stat(srow[3], "max"))
     cdir = os.path.join(path, _COMMIT_DIR)
     os.makedirs(cdir, exist_ok=True)
     my_keys = None
     if check_conflict_from_seq is not None:
-        my_keys = up.select(key_col).distinct()
+        my_keys = written.select(key_col).distinct()
     for _ in range(int(max_attempts)):
         log = _delta_log(path)
         if txn_id is not None:
