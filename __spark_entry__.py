@@ -4896,7 +4896,11 @@ def q_mor_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact hazard the tag protection exists to flag for readers
     t1 = read_snapshot(spark, path, "o_orderkey", as_of_tag="v1") \
         .localCheckpoint(eager=True)
-    s1 = read_snapshot(spark, path, "o_orderkey", as_of_seq=1)
+    # localCheckpoint: s1 feeds two exceptAll asserts plus the count
+    # parity check below — three executions of the same snapshot
+    # resolve otherwise (guide §1.2)
+    s1 = read_snapshot(spark, path, "o_orderkey", as_of_seq=1) \
+        .localCheckpoint(eager=True)
     assert t1.exceptAll(s1).count() == 0
     assert s1.exceptAll(t1).count() == 0
     m1 = (
@@ -5255,10 +5259,13 @@ def q_mor_incremental_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, "o_orderkey", "o_orderstatus", "o_totalprice",
         view0, 0, _QSK_LO, _QSK_HI, _QSK_M, to_seq=2,
     ).localCheckpoint(eager=True)
+    # localCheckpoint: the two symmetric exceptAll asserts below would
+    # otherwise each re-execute the full snapshot-resolve + sketch
+    # rebuild (guide §1.2)
     rebuild = quantile_sketch_view(
         read_snapshot(spark, path, "o_orderkey"),
         "o_orderstatus", "o_totalprice", _QSK_LO, _QSK_HI, _QSK_M,
-    )
+    ).localCheckpoint(eager=True)
     # IVM exactness: maintained counts ≡ full rebuild, bit-for-bit
     assert view2.exceptAll(rebuild).count() == 0
     assert rebuild.exceptAll(view2).count() == 0
@@ -6837,9 +6844,12 @@ def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = dedup.maintain_minhash_index(spark, path)
     assert rep["n_tombstones_applied"] > 0, rep
+    # localCheckpoint: post feeds the pre/post identity assert AND is
+    # the returned frame — two full executions of the sign+join plan
+    # otherwise (guide §1.2)
     post = dedup.pairs_against_index(
         newb, "doc_id", "text", path, threshold=0.5
-    )
+    ).localCheckpoint(eager=True)
     assert pre == sorted(
         (r.id_a, r.id_b, r.est_jaccard) for r in post.collect()
     ), "pre/post-maintain mismatch"
@@ -7800,7 +7810,11 @@ def q_sketch_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("grp"), F.col("o_orderkey"),
         v.alias("v"),
     )
-    direct = sk.dd_sketch_build(base, ["grp"], "v", _DD_STEP)
+    # localCheckpoint: the two symmetric exceptAll asserts below would
+    # otherwise each re-execute the full direct-build scan (guide §1.2)
+    direct = sk.dd_sketch_build(
+        base, ["grp"], "v", _DD_STEP
+    ).localCheckpoint(eager=True)
     sharded = sk.dd_sketch_build(
         base.withColumn("shard", F.col("o_orderkey") % 4),
         ["grp", "shard"], "v", _DD_STEP,
@@ -7916,9 +7930,11 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = sk.quantile_sketch_merge(
         regs.drop("shard"), ["o_orderstatus"]
     ).localCheckpoint(eager=True)
+    # localCheckpoint: the two symmetric exceptAll asserts below would
+    # otherwise each re-execute the full direct-build scan (guide §1.2)
     direct = sk.quantile_sketch_build(
         o, ["o_orderstatus"], "o_totalprice", _QSK_LO, _QSK_HI, _QSK_M
-    )
+    ).localCheckpoint(eager=True)
     # merged-over-shards ≡ built-direct, exactly (the mergeability claim)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
