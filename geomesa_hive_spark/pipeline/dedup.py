@@ -1367,21 +1367,27 @@ def build_minhash_index(
     # of a sign-then-reread round trip through the sigs/ parquet
     # (guide §1.2: remove passes first)
     sigs = sigs.localCheckpoint()
-    # align shuffle partitions to the bucket dirs before partitionBy:
-    # without this every upstream task writes a file into every bucket
-    # (tasks × buckets small files — the write amplification compaction
-    # exists to undo); with it, one file per bucket
-    sigs.repartition(int(n_buckets), "sbucket").write.mode(
-        "overwrite"
-    ).partitionBy("sbucket").parquet(os.path.join(path, "sigs"))
     keys = _minhash_band_keys(
         sigs.drop("sbucket", "gen"), num_perm, bands
     ).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(n_buckets)))
     ).withColumn("gen", F.lit(0))
-    keys.repartition(int(n_buckets), "bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
+    # align shuffle partitions to the bucket dirs before partitionBy:
+    # without this every upstream task writes a file into every bucket
+    # (tasks × buckets small files — the write amplification compaction
+    # exists to undo); with it, one file per bucket. The two writes are
+    # independent (different dirs, both fed by the checkpointed sigs) —
+    # overlap them (guide §2.6)
+    from geomesa_hive_spark.pipeline import index_io
+
+    index_io.run_concurrently(
+        lambda: sigs.repartition(int(n_buckets), "sbucket").write.mode(
+            "overwrite"
+        ).partitionBy("sbucket").parquet(os.path.join(path, "sigs")),
+        lambda: keys.repartition(int(n_buckets), "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(path, "bands")),
+    )
     meta = {
         "num_perm": int(num_perm), "bands": int(bands),
         "ngram_n": int(ngram_n), "seed": int(seed),
@@ -1577,19 +1583,19 @@ def append_to_minhash_index(
     # did (it reread its sigs parquet), but append signed every batch
     # TWICE (guide §1.2)
     sigs = sigs.withColumn("gen", F.lit(g)).localCheckpoint()
-    sigs.repartition(int(nb), "sbucket").write.mode("append").partitionBy(
-        "sbucket"
-    ).parquet(os.path.join(path, "sigs"))
     keys = _minhash_band_keys(
         sigs.drop("sbucket", "gen"), m["num_perm"], m["bands"]
-    )
-    keys.withColumn(
+    ).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
-    ).withColumn("gen", F.lit(g)).repartition(
-        int(nb), "bucket"
-    ).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "bands"))
+    ).withColumn("gen", F.lit(g))
+    # independent appends into different dirs, both fed by the
+    # checkpointed sigs — overlap them (guide §2.6)
+    index_io.run_concurrently(
+        lambda: sigs.repartition(int(nb), "sbucket").write.mode("append")
+        .partitionBy("sbucket").parquet(os.path.join(path, "sigs")),
+        lambda: keys.repartition(int(nb), "bucket").write.mode("append")
+        .partitionBy("bucket").parquet(os.path.join(path, "bands")),
+    )
     m["gen"] = g
     tmp = os.path.join(path, "_index.json.tmp")
     with open(tmp, "w") as fh:
@@ -1637,7 +1643,7 @@ def maintain_minhash_index(spark, path: str) -> dict:
         sigs_raw, tomb, "id"
     )
 
-    for side, part in (("bands", "bucket"), ("sigs", "sbucket")):
+    def _compact(side: str, part: str) -> None:
         src = os.path.join(path, side)
         before = index_io.n_part_files(src)
         tmp = src + ".compact"
@@ -1653,5 +1659,11 @@ def maintain_minhash_index(spark, path: str) -> dict:
             "files_before": before,
             "files_after": index_io.n_part_files(src),
         }
+
+    # bands and sigs compact independently (guide §2.6)
+    index_io.run_concurrently(
+        lambda: _compact("bands", "bucket"),
+        lambda: _compact("sigs", "sbucket"),
+    )
     index_io.clear_tombstones(path)
     return report

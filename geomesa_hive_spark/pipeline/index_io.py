@@ -38,7 +38,41 @@ __all__ = [
     "write_tombstones", "read_tombstones", "apply_tombstones",
     "removed_ids_count", "clear_tombstones", "swap_dir", "n_part_files",
     "require_generation_column", "require_generation_meta",
+    "run_concurrently",
 ]
+
+
+def run_concurrently(*thunks) -> list:
+    """Run independent Spark actions from a small driver thread pool
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially — overlapping independent jobs lets
+    one job's tasks back-fill executors freed by another's tail, and
+    at index-write scale it overlaps the fixed per-job latency of
+    planning + scheduling + the parquet commit protocol). Used for the
+    independent per-dataset writes of one index mutation (postings vs
+    docs vs positions — different directories, no shared state beyond
+    the already-materialized input). Re-raises the first failure after
+    all thunks settle, so a failed write can never be silently skipped.
+    Returns the thunk results in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        # wait on all before raising: a half-settled mutation with an
+        # in-flight write behind a raised exception would race cleanup
+        errs = []
+        out = []
+        for f in futs:
+            try:
+                out.append(f.result())
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                errs.append(exc)
+                out.append(None)
+        if errs:
+            raise errs[0]
+        return out
 
 
 def require_generation_meta(meta: dict, what: str) -> dict:

@@ -306,26 +306,34 @@ def build_bm25_index(
         .withColumn("gen", F.lit(0))
         .localCheckpoint()
     )
-    # one shuffle on bucket so each partition directory holds one file
-    # set, not one fragment per upstream task
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "postings"))
     terms = (
         postings.groupBy("term", "bucket")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    terms.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "terms"))
-    # per-doc (id, dl) side table — the delete/rebuild substrate:
-    # postings alone can't reconstruct n_docs/total_dl (a zero-token
-    # doc has NO postings rows but still counts), so maintain() after
-    # deletes recomputes stats from here, exactly
-    _write_docs_side(base, path, nb, mode="overwrite", gen=0)
+    # the four dataset writes are independent of each other (different
+    # dirs; postings/terms read the checkpointed postings, docs/
+    # positions read the checkpointed base) — overlap them (guide
+    # §2.6). The per-write repartition on bucket keeps one file set per
+    # partition directory, not one fragment per upstream task.
+    # docs/ is the per-doc (id, dl) side table — the delete/rebuild
+    # substrate: postings alone can't reconstruct n_docs/total_dl (a
+    # zero-token doc has NO postings rows but still counts), so
+    # maintain() after deletes recomputes stats from there, exactly.
+    from geomesa_hive_spark.pipeline import index_io
+
+    writes = [
+        lambda: postings.repartition("bucket").write.mode("overwrite")
+        .partitionBy("bucket").parquet(os.path.join(path, "postings")),
+        lambda: terms.repartition("bucket").write.mode("overwrite")
+        .partitionBy("bucket").parquet(os.path.join(path, "terms")),
+        lambda: _write_docs_side(base, path, nb, mode="overwrite", gen=0),
+    ]
     if positions:
-        _write_positions(base, path, nb, mode="overwrite", gen=0)
+        writes.append(
+            lambda: _write_positions(base, path, nb, mode="overwrite",
+                                     gen=0))
         stats["positions"] = True
+    index_io.run_concurrently(*writes)
     with open(os.path.join(path, "stats.json"), "w") as fh:
         json.dump(stats, fh)
     return stats
@@ -408,21 +416,24 @@ def append_to_bm25_index(
         .withColumn("gen", F.lit(g))
         .localCheckpoint()
     )
-    postings.repartition(nb, "bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "postings"))
     terms = (
         postings.groupBy("term", "bucket")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    terms.repartition(nb, "bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "terms"))
-    _write_docs_side(base, path, nb, mode="append", gen=g)
-    # a positional index stays positional: appended batches write their
+    # independent appends into different dirs (guide §2.6); a
+    # positional index stays positional: appended batches write their
     # positions too, or phrase queries would silently miss them
+    writes = [
+        lambda: postings.repartition(nb, "bucket").write.mode("append")
+        .partitionBy("bucket").parquet(os.path.join(path, "postings")),
+        lambda: terms.repartition(nb, "bucket").write.mode("append")
+        .partitionBy("bucket").parquet(os.path.join(path, "terms")),
+        lambda: _write_docs_side(base, path, nb, mode="append", gen=g),
+    ]
     if stats.get("positions"):
-        _write_positions(base, path, nb, mode="append", gen=g)
+        writes.append(
+            lambda: _write_positions(base, path, nb, mode="append", gen=g))
+    index_io.run_concurrently(*writes)
     stats["n_docs"] = int(stats["n_docs"]) + int(n_row["n"])
     stats["total_dl"] = int(stats["total_dl"]) + int(n_row["tot"] or 0)
     stats["gen"] = g
@@ -526,80 +537,56 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
             tomb, "id",
         )
 
-    post_dir = os.path.join(path, "postings")
-    before = index_io.n_part_files(post_dir)
-    tmp = post_dir + ".compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    (
-        _hide(spark.read.parquet(post_dir))
-        .repartition(nb, "bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    )
-    index_io.swap_dir(post_dir, tmp)
-    report["postings"] = {
-        "files_before": before,
-        "files_after": index_io.n_part_files(post_dir),
-    }
-
-    # terms REBUILT from the compacted postings, never patched — the
-    # only delete-correct source of df
-    term_dir = os.path.join(path, "terms")
-    before = index_io.n_part_files(term_dir)
-    tmp = term_dir + ".compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    (
-        spark.read.parquet(post_dir)
-        .groupBy("term", "bucket")
-        .agg(F.count("*").cast("long").alias("df"))
-        .repartition(nb, "bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    )
-    index_io.swap_dir(term_dir, tmp)
-    report["terms"] = {
-        "files_before": before,
-        "files_after": index_io.n_part_files(term_dir),
-    }
-
-    # positional postings (round 13) compact exactly like postings:
-    # tombstoned generations dropped, one file set per bucket
-    pos_dir = os.path.join(path, "positions")
-    if os.path.isdir(pos_dir):
-        before = index_io.n_part_files(pos_dir)
-        tmp = pos_dir + ".compact"
+    def _compact(sub: str, part: str) -> None:
+        src = os.path.join(path, sub)
+        before = index_io.n_part_files(src)
+        tmp = src + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         (
-            _hide(spark.read.parquet(pos_dir))
+            _hide(spark.read.parquet(src))
+            .repartition(nb, part)
+            .write.mode("overwrite").partitionBy(part).parquet(tmp)
+        )
+        index_io.swap_dir(src, tmp)
+        report[sub] = {
+            "files_before": before,
+            "files_after": index_io.n_part_files(src),
+        }
+
+    post_dir = os.path.join(path, "postings")
+
+    def _postings_then_terms() -> None:
+        # terms REBUILT from the compacted postings, never patched —
+        # the only delete-correct source of df; the rebuild must
+        # therefore run AFTER the postings swap (sequential inside
+        # this thunk)
+        _compact("postings", "bucket")
+        term_dir = os.path.join(path, "terms")
+        before = index_io.n_part_files(term_dir)
+        tmp = term_dir + ".compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            spark.read.parquet(post_dir)
+            .groupBy("term", "bucket")
+            .agg(F.count("*").cast("long").alias("df"))
             .repartition(nb, "bucket")
             .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         )
-        index_io.swap_dir(pos_dir, tmp)
-        report["positions"] = {
+        index_io.swap_dir(term_dir, tmp)
+        report["terms"] = {
             "files_before": before,
-            "files_after": index_io.n_part_files(pos_dir),
+            "files_after": index_io.n_part_files(term_dir),
         }
 
-    n_tomb = 0
-    if os.path.isdir(docs_dir):
-        n_tomb = index_io.removed_ids_count(
+    n_tomb_box = [0]
+
+    def _docs_then_stats() -> None:
+        n_tomb_box[0] = index_io.removed_ids_count(
             spark.read.parquet(docs_dir), tomb, "id"
         )
-        before = index_io.n_part_files(docs_dir)
-        tmp = docs_dir + ".compact"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        (
-            _hide(spark.read.parquet(docs_dir))
-            .repartition(nb, "dbucket")
-            .write.mode("overwrite").partitionBy("dbucket").parquet(tmp)
-        )
-        index_io.swap_dir(docs_dir, tmp)
-        report["docs"] = {
-            "files_before": before,
-            "files_after": index_io.n_part_files(docs_dir),
-        }
+        _compact("docs", "dbucket")
         # exact stats from the surviving docs — n_docs counts
         # zero-token docs too, which postings alone cannot
         kept = spark.read.parquet(docs_dir)
@@ -612,6 +599,18 @@ def maintain_bm25_index(spark: SparkSession, path: str) -> dict:
         with open(tmpj, "w") as fh:
             json.dump(stats, fh)
         os.replace(tmpj, os.path.join(path, "stats.json"))
+
+    # three independent chains (guide §2.6): {postings -> terms},
+    # {positions} (round 13 — compacts exactly like postings:
+    # tombstoned generations dropped, one file set per bucket), and
+    # {docs -> stats.json}; each chain touches its own directories
+    chains = [_postings_then_terms]
+    if os.path.isdir(os.path.join(path, "positions")):
+        chains.append(lambda: _compact("positions", "bucket"))
+    if os.path.isdir(docs_dir):
+        chains.append(_docs_then_stats)
+    index_io.run_concurrently(*chains)
+    n_tomb = n_tomb_box[0]
     index_io.clear_tombstones(path)
     report["n_tombstones_applied"] = n_tomb
     report["n_tombstoned"] = n_tomb  # deprecated alias (pre-round-11 key)

@@ -65,34 +65,46 @@ def trgm_index_meta(path: str) -> dict:
 
 
 def _base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # spread_parallelism BEFORE projecting lower(): a small parquet
+    # arrives as ONE input split and the whole trigram explode +
+    # bucket hash downstream of this frame would run on one core (the
+    # shared round-13 tokenization guard; a no-op at production scale
+    # where inputs carry splits >> cores)
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    raw = spread_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        "id",
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.lower(F.col(text_col)).alias("t"),
-        )
+        raw.select("id", F.lower(F.col("__t")).alias("t"))
         .filter(F.col("t").isNotNull())
     )
 
 
 def _write_batch(base: DataFrame, path: str, nb: int, gen: int,
                  mode: str) -> None:
+    from geomesa_hive_spark.pipeline import index_io
+
     posts = (
         base.select("id", F.explode(F.expr(_TRIS)).alias("tri"))
         .withColumn("bucket",
                     F.pmod(F.xxhash64("tri"), F.lit(nb)).cast("int"))
         .withColumn("gen", F.lit(int(gen)))
     )
-    posts.repartition(nb, "bucket").write.mode(mode).partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "postings"))
     docs = (
         base.withColumn(
             "dbucket", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
         .withColumn("gen", F.lit(int(gen)))
     )
-    docs.repartition(nb, "dbucket").write.mode(mode).partitionBy(
-        "dbucket"
-    ).parquet(os.path.join(path, "docs"))
+    # the two writes are independent (different dirs, both fed by the
+    # materialized base) — overlap them (guide §2.6)
+    index_io.run_concurrently(
+        lambda: posts.repartition(nb, "bucket").write.mode(mode)
+        .partitionBy("bucket").parquet(os.path.join(path, "postings")),
+        lambda: docs.repartition(nb, "dbucket").write.mode(mode)
+        .partitionBy("dbucket").parquet(os.path.join(path, "docs")),
+    )
 
 
 def build_trgm_index(
@@ -162,7 +174,8 @@ def maintain_trgm_index(spark: SparkSession, path: str) -> dict:
         spark.read.parquet(os.path.join(path, "docs")),
         "trigram index docs")
     n_removed = index_io.removed_ids_count(docs, tomb, "id")
-    for sub, part in (("postings", "bucket"), ("docs", "dbucket")):
+
+    def _compact(sub: str, part: str) -> None:
         rows = index_io.require_generation_column(
             spark.read.parquet(os.path.join(path, sub)),
             f"trigram index {sub}")
@@ -172,6 +185,12 @@ def maintain_trgm_index(spark: SparkSession, path: str) -> dict:
             part
         ).parquet(tmp)
         index_io.swap_dir(os.path.join(path, sub), tmp)
+
+    # postings and docs compact independently (guide §2.6)
+    index_io.run_concurrently(
+        lambda: _compact("postings", "bucket"),
+        lambda: _compact("docs", "dbucket"),
+    )
     index_io.clear_tombstones(path)
     meta["n_docs"] = int(meta["n_docs"]) - n_removed
     tmp = os.path.join(path, "_index.json.tmp")
