@@ -7988,11 +7988,16 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "w1", "w2").alias("gram")
     )
     sketch = sketches.countmin_build(bg, "gram", depth=_CM_DEPTH, width=_CM_WIDTH)
+    # localCheckpoint the 20-row top: its plan contains the full
+    # bigram-stream aggregation and feeds BOTH the estimate probe and
+    # the final join — two extra executions of the heavy agg otherwise
+    # (guide §1.2); 20 rows checkpoint at any corpus size
     top = (
         bg.groupBy("gram")
         .agg(F.count("*").alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), F.asc("gram"))
         .limit(20)
+        .localCheckpoint(eager=True)
     )
     est = sketches.countmin_estimate(
         top.select("gram"), "gram", sketch, depth=_CM_DEPTH, width=_CM_WIDTH

@@ -50,14 +50,24 @@ def tokens_lower(col) -> Column:
 
 
 def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per consecutive token pair per document."""
+    """(id, w1, w2) — one row per consecutive token pair per document.
+
+    The tokenize + zip + explode is map-stage CPU projected BEFORE any
+    shuffle, so it inherits the INPUT's split count — one core for a
+    small parquet (the round-13 single-split problem); spread first
+    (a no-op when the input already carries splits >= cores)."""
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    docs = spread_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    )
     toks = tokens_lower(text_col)
     n = F.size(toks)
     zipped = F.when(
         n >= 2, F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
     ).otherwise(F.array())
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(zipped).alias("bg"))
+        docs.select(F.col("id"), F.explode(zipped).alias("bg"))
         .select("id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
     )
 
@@ -69,7 +79,12 @@ def train_bigram_lm(
 
     Two shuffles total (token groupBy, bigram groupBy), both map-side
     combined. The vocab size is the one scalar collected (bounded)."""
-    toks = docs.select(F.explode(tokens_lower(text_col)).alias("w"))
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    spread = spread_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    )
+    toks = spread.select(F.explode(tokens_lower(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
     bi = (
         _bigram_stream(docs, id_col, text_col)
