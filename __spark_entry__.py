@@ -4525,6 +4525,7 @@ def q_mor_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and joins them — the naive plan the readers avoid."""
     import tempfile
 
+    from geomesa_hive_spark.pipeline.index_io import run_concurrently
     from geomesa_hive_spark.sources.manifest import (
         current_seq, read_snapshot, write_delta,
     )
@@ -4542,8 +4543,6 @@ def q_mor_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="ghs_rf_")
     opath, lpath = base + "/orders", base + "/lineitem"
-    o.write.parquet(opath)
-    li.write.parquet(lpath)
     mm = int(o.agg(F.max("o_orderkey")).collect()[0][0])
 
     # RF1: insert new orders + their lineitems
@@ -4552,7 +4551,6 @@ def q_mor_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("o_orderkey") + F.lit(mm)).alias("o_orderkey"),
                 F.lit("N").alias("o_orderstatus"))
     )
-    write_delta(new_o, opath, "o_orderkey")
     new_li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 4 == 1)
@@ -4564,13 +4562,32 @@ def q_mor_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_quantity") + F.lit(5.0)).cast("decimal(18,2)")).alias("q")
         )
     )
-    write_delta(new_li, lpath, "lkey")
 
-    # RF2: delete a key slice from both tables
-    del_o = o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
-    write_delta(None, opath, "o_orderkey", delete_keys=del_o)
-    del_li = li.filter(F.col("ok") % 10 == 3).select("lkey")
-    write_delta(None, lpath, "lkey", delete_keys=del_li)
+    # the two tables' base-write + RF1 + RF2 chains touch disjoint MOR
+    # paths and share no state beyond mm (computed above) — overlap
+    # them (guide §2.6: the fixed per-commit latency of six sequential
+    # jobs dominated this composite). Within each chain order is
+    # preserved: base → RF1 insert → RF2 delete.
+    def _orders_chain():
+        o.write.parquet(opath)
+        write_delta(new_o, opath, "o_orderkey")
+        del_o = o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+        write_delta(None, opath, "o_orderkey", delete_keys=del_o)
+
+    def _lineitem_chain():
+        li.write.parquet(lpath)
+        write_delta(new_li, lpath, "lkey")
+        # RF2 delete keys: read the just-written base back (identical
+        # rows by construction) instead of re-running the full lineitem
+        # pre-aggregation a third time — _delta_* dirs are
+        # underscore-prefixed so the root read never sees commits
+        del_li = (
+            spark.read.parquet(lpath)
+            .filter(F.col("ok") % 10 == 3).select("lkey")
+        )
+        write_delta(None, lpath, "lkey", delete_keys=del_li)
+
+    run_concurrently(_orders_chain, _lineitem_chain)
     assert current_seq(opath) == 2 and current_seq(lpath) == 2
 
     so = read_snapshot(spark, opath, "o_orderkey")
@@ -5107,6 +5124,7 @@ def q_mor_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pins pair membership."""
     import tempfile
 
+    from geomesa_hive_spark.pipeline.index_io import run_concurrently
     from geomesa_hive_spark.sources.incremental import (
         incremental_join, join_view,
     )
@@ -5120,27 +5138,37 @@ def q_mor_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path_o = tempfile.mkdtemp(prefix="ghs_ivj_o_")
     path_c = tempfile.mkdtemp(prefix="ghs_ivj_c_")
-    o.write.mode("overwrite").parquet(path_o)
-    c.write.mode("overwrite").parquet(path_c)
     view0 = join_view(o, c, "o_custkey", "c_custkey")
-    up1 = (
-        o.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-    )
-    write_delta(up1, path_o, "o_orderkey")
-    up2 = (
-        o.filter(F.col("o_orderkey") % 13 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
-    )
-    dels_o = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
-    write_delta(up2, path_o, "o_orderkey", delete_keys=dels_o)
-    upc = (
-        c.filter(F.col("c_custkey") % 5 == 0)
-        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
-        .withColumn("c_mktsegment", F.lit("M1"))
-    )
-    dels_c = c.filter(F.col("c_custkey") % 9 == 0).select("c_custkey")
-    write_delta(upc, path_c, "c_custkey", delete_keys=dels_c)
+
+    # the orders and customer MOR chains touch disjoint paths and share
+    # no state — overlap them (guide §2.6; five sequential commit jobs
+    # dominated this composite). Per-path commit ORDER is preserved
+    # inside each chain.
+    def _orders_chain():
+        o.write.mode("overwrite").parquet(path_o)
+        up1 = (
+            o.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        )
+        write_delta(up1, path_o, "o_orderkey")
+        up2 = (
+            o.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") - F.lit(500.0))
+        )
+        dels_o = o.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+        write_delta(up2, path_o, "o_orderkey", delete_keys=dels_o)
+
+    def _customer_chain():
+        c.write.mode("overwrite").parquet(path_c)
+        upc = (
+            c.filter(F.col("c_custkey") % 5 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+            .withColumn("c_mktsegment", F.lit("M1"))
+        )
+        dels_c = c.filter(F.col("c_custkey") % 9 == 0).select("c_custkey")
+        write_delta(upc, path_c, "c_custkey", delete_keys=dels_c)
+
+    run_concurrently(_orders_chain, _customer_chain)
     view = incremental_join(
         spark, path_o, path_c, "o_orderkey", "c_custkey",
         "o_custkey", "c_custkey", view0, 0, 0, 2, 1,

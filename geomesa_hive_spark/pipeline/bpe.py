@@ -50,6 +50,13 @@ EOW = "</w>"
 def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the lowercased [a-z0-9]+ words of the corpus —
     the one corpus-wide shuffle of BPE training."""
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    # the lower+split+explode map stage runs pre-shuffle on the raw
+    # input's split count (one core for a single-file local parquet —
+    # the round-13 single-split problem); spread on the text itself
+    # since this surface has no id column. No-op at production scale.
+    df = spread_parallelism(df.select(F.col(text_col)), text_col)
     return (
         df.select(
             F.explode(

@@ -48,7 +48,19 @@ def gram_bucket_stream(
     """(id, b[, extra…]) — one row per unigram AND per bigram of each
     document, hashed to a bucket in [0, n_buckets) with the portable
     md5 placement (replayable in DuckDB via the _hex2int_sql twin)."""
-    toks = tokens_lower(text_col)
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    # the tokenize + md5-gram explode is the corpus-sized map stage and
+    # runs BEFORE any shuffle, so it inherits the raw input's split
+    # count — one core for a single-file local parquet (the round-13
+    # single-split problem). Spread first; a no-op at production scale.
+    docs = spread_parallelism(
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__txt"),
+                    *[F.col(c) for c in (extra_cols or [])]),
+        "id",
+    )
+    toks = tokens_lower("__txt")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -60,7 +72,7 @@ def gram_bucket_stream(
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
     keep = [F.col(c) for c in (extra_cols or [])]
-    out = docs.select(F.col(id_col).alias("id"), *keep, F.explode(grams).alias("g"))
+    out = docs.select("id", *keep, F.explode(grams).alias("g"))
     b = (
         F.conv(
             F.substring(

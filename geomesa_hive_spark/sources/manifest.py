@@ -707,28 +707,16 @@ def _bloom_positions_py(value, bits: int, hashes: int) -> list[int]:
 
 
 def _build_bloom(back: DataFrame, col: str, bits: int, hashes: int) -> dict:
-    """{file → base64 bitset} for ``col``. One distinct + explode +
-    collect_set per column: the shuffle carries (file, position) pairs,
-    bounded by bits per file, never by row count."""
-    t = back.schema[col].dataType.simpleString()
-    if t not in ("int", "bigint", "smallint", "tinyint", "string"):
-        raise ValueError(
-            f"bloom column {col!r} must be integer or string, got {t} "
-            "(float formatting differs between engines)"
-        )
-    rows = (
-        back.select("__f", col).where(F.col(col).isNotNull()).distinct()
-        .select("__f", F.explode(_bloom_positions_col(col, bits, hashes)).alias("p"))
-        .groupBy("__f").agg(F.collect_set("p").alias("ps"))
-        .collect()
-    )
-    out = {}
-    for r in rows:
-        bs = bytearray((bits + 7) // 8)
-        for p in r["ps"]:
-            bs[p >> 3] |= 1 << (p & 7)
-        out[r["__f"]] = base64.b64encode(bytes(bs)).decode("ascii")
-    return out
+    """{file → base64 bitset} for ``col``. The bitsets are packed
+    EXECUTOR-side by :func:`_bloom_bitset_df` (the parquet tier's path —
+    byte-identical output, OR is commutative over the same position
+    set), so the collect moves files × bits/8 bytes instead of up to
+    files × bits raw positions plus a driver-side Python bit loop."""
+    rows = _bloom_bitset_df(back, col, bits, hashes).collect()
+    return {
+        r["file"]: base64.b64encode(bytes(r[f"bloom_{col}"])).decode("ascii")
+        for r in rows
+    }
 
 
 # last Arrow column set a parquet-tier bloom probe scanned — lets the
