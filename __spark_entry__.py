@@ -6821,8 +6821,16 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead = docs.filter(srcnum % 3 == 2).select("doc_id")
     dedup.delete_from_minhash_index(dead, "doc_id", path)
     newb = docs.filter(srcnum % 3 == 1)
+    # sign the query batch ONCE for both the pre- and post-maintain
+    # probes — the signing plan (tokenize + gram explode + md5 + 64
+    # min-aggregates) is the dominant per-query cost and is identical
+    # on both sides (guide §1.2)
+    im = dedup.minhash_index_meta(path)
+    sig_newb = dedup.minhash_signatures(
+        newb, "doc_id", "text", im["num_perm"], im["ngram_n"], im["seed"]
+    ).localCheckpoint()
     pre = dedup.pairs_against_index(
-        newb, "doc_id", "text", path, threshold=0.5
+        newb, "doc_id", "text", path, threshold=0.5, sig_new=sig_newb
     )
     n_dead = pre.join(
         dead.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
@@ -6831,7 +6839,7 @@ def q_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = dedup.maintain_minhash_index(spark, path)
     assert rep["n_tombstones_applied"] > 0, rep
     return dedup.pairs_against_index(
-        newb, "doc_id", "text", path, threshold=0.5
+        newb, "doc_id", "text", path, threshold=0.5, sig_new=sig_newb
     )
 
 
@@ -6864,19 +6872,26 @@ def q_dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = dedup.upsert_into_minhash_index(changed, "doc_id", "text", path)
     assert m["gen"] == 1, m
     newb = docs.filter(srcnum % 3 == 1)
+    # sign the query batch ONCE for both probes (guide §1.2) — the
+    # pre/post identity assert compares the join results, and both
+    # sides share the same signature arithmetic by construction
+    im = dedup.minhash_index_meta(path)
+    sig_newb = dedup.minhash_signatures(
+        newb, "doc_id", "text", im["num_perm"], im["ngram_n"], im["seed"]
+    ).localCheckpoint()
     pre = sorted(
         (r.id_a, r.id_b, r.est_jaccard)
         for r in dedup.pairs_against_index(
-            newb, "doc_id", "text", path, threshold=0.5
+            newb, "doc_id", "text", path, threshold=0.5, sig_new=sig_newb
         ).collect()
     )
     rep = dedup.maintain_minhash_index(spark, path)
     assert rep["n_tombstones_applied"] > 0, rep
     # localCheckpoint: post feeds the pre/post identity assert AND is
-    # the returned frame — two full executions of the sign+join plan
+    # the returned frame — two full executions of the join plan
     # otherwise (guide §1.2)
     post = dedup.pairs_against_index(
-        newb, "doc_id", "text", path, threshold=0.5
+        newb, "doc_id", "text", path, threshold=0.5, sig_new=sig_newb
     ).localCheckpoint(eager=True)
     assert pre == sorted(
         (r.id_a, r.id_b, r.est_jaccard) for r in post.collect()

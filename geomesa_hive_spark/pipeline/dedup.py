@@ -1413,6 +1413,7 @@ def pairs_against_index(
     path: str,
     threshold: float = 0.5,
     prune_report: dict | None = None,
+    sig_new: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``new_df`` and the indexed corpus —
     result-identical to ``cross_corpus_pairs(corpus, new_df, ...)``
@@ -1425,15 +1426,25 @@ def pairs_against_index(
 
     Returns (id_a = indexed id, id_b = new id, est_jaccard ≥
     threshold). ``prune_report`` (filled in place) records
-    band_buckets_read / sig_buckets_read of n_buckets."""
+    band_buckets_read / sig_buckets_read of n_buckets.
+
+    ``sig_new``: optionally a pre-materialized
+    :func:`minhash_signatures` frame of ``new_df`` computed with the
+    index's pinned parameters — a caller that queries the SAME batch
+    more than once (e.g. before and after a maintain) signs it once
+    instead of re-running the tokenize+gram+md5+min-agg plan per call
+    (guide §1.2: remove repeated passes). Results are identical by
+    construction; the caller owns parameter agreement
+    (:func:`minhash_index_meta` exposes the pinned values)."""
     import os
 
     spark = new_df.sparkSession
     m = minhash_index_meta(path)
     nb = m["n_buckets"]
-    sig_new = minhash_signatures(
-        new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
-    ).localCheckpoint()
+    if sig_new is None:
+        sig_new = minhash_signatures(
+            new_df, id_col, text_col, m["num_perm"], m["ngram_n"], m["seed"]
+        ).localCheckpoint()
     keys_new = _minhash_band_keys(sig_new, m["num_perm"], m["bands"]).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
     )
