@@ -49,6 +49,33 @@ def tokens_lower(col) -> Column:
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
 
 
+def _spread_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, <text_col>) with the input-split parallelism guard applied
+    ONCE — callers that feed several token/bigram streams off the same
+    corpus share this frame so each query plan carries a single spread
+    exchange (identical subplans also collapse to a ReusedExchange)
+    and a single partition-count probe."""
+    from geomesa_hive_spark.pipeline.text import spread_parallelism
+
+    return spread_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    )
+
+
+def _bigram_pairs(spread: DataFrame, text_col: str) -> DataFrame:
+    """(id, w1, w2) from a :func:`_spread_docs` frame — one row per
+    consecutive token pair per document."""
+    toks = tokens_lower(text_col)
+    n = F.size(toks)
+    zipped = F.when(
+        n >= 2, F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+    ).otherwise(F.array())
+    return (
+        spread.select(F.col("id"), F.explode(zipped).alias("bg"))
+        .select("id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    )
+
+
 def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per consecutive token pair per document.
 
@@ -56,20 +83,7 @@ def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffle, so it inherits the INPUT's split count — one core for a
     small parquet (the round-13 single-split problem); spread first
     (a no-op when the input already carries splits >= cores)."""
-    from geomesa_hive_spark.pipeline.text import spread_parallelism
-
-    docs = spread_parallelism(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
-    )
-    toks = tokens_lower(text_col)
-    n = F.size(toks)
-    zipped = F.when(
-        n >= 2, F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
-    ).otherwise(F.array())
-    return (
-        docs.select(F.col("id"), F.explode(zipped).alias("bg"))
-        .select("id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
-    )
+    return _bigram_pairs(_spread_docs(docs, id_col, text_col), text_col)
 
 
 def train_bigram_lm(
@@ -79,15 +93,11 @@ def train_bigram_lm(
 
     Two shuffles total (token groupBy, bigram groupBy), both map-side
     combined. The vocab size is the one scalar collected (bounded)."""
-    from geomesa_hive_spark.pipeline.text import spread_parallelism
-
-    spread = spread_parallelism(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
-    )
+    spread = _spread_docs(docs, id_col, text_col)
     toks = spread.select(F.explode(tokens_lower(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
     bi = (
-        _bigram_stream(docs, id_col, text_col)
+        _bigram_pairs(spread, text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
     )
@@ -204,10 +214,11 @@ def pmi_collocations(
     Scale shape: two map-side-combined groupBys (tokens, bigrams), two
     vocab-sized joins to attach unigram counts, one top-k. No
     all-pairs anything — only OBSERVED bigrams are scored."""
-    toks = docs.select(F.explode(tokens_lower(text_col)).alias("w"))
+    spread = _spread_docs(docs, id_col, text_col)
+    toks = spread.select(F.explode(tokens_lower(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c1"))
     bi = (
-        _bigram_stream(docs, id_col, text_col)
+        _bigram_pairs(spread, text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c2"))
     )
