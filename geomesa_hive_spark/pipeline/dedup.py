@@ -1448,8 +1448,13 @@ def pairs_against_index(
     keys_new = _minhash_band_keys(sig_new, m["num_perm"], m["bands"]).withColumn(
         "bucket", F.pmod(F.xxhash64("bh"), F.lit(int(nb)))
     )
-    # bounded collect: at most n_buckets distinct values
-    need = [int(r[0]) for r in keys_new.select("bucket").distinct().collect()]
+    # bounded collect: at most n_buckets distinct values (collect_set
+    # aggregates partially executor-side into one row — no distinct
+    # shuffle)
+    need = sorted(
+        int(b)
+        for b in keys_new.agg(F.collect_set("bucket")).collect()[0][0]
+    )
     braw = spark.read.parquet(os.path.join(path, "bands")).filter(
         F.col("bucket").isin(need)            # partition-pruned scan
     )
@@ -1467,12 +1472,12 @@ def pairs_against_index(
         .distinct()
         .localCheckpoint()
     )
-    sneed = [
-        int(r[0])
-        for r in cand.select(
-            F.pmod(F.xxhash64("id_a"), F.lit(int(nb))).alias("sb")
-        ).distinct().collect()
-    ]
+    sneed = sorted(
+        int(b)
+        for b in cand.agg(
+            F.collect_set(F.pmod(F.xxhash64("id_a"), F.lit(int(nb))))
+        ).collect()[0][0]
+    )
     sraw = spark.read.parquet(os.path.join(path, "sigs")).filter(
         F.col("sbucket").isin(sneed)            # partition-pruned scan
     )

@@ -837,7 +837,11 @@ def knn_join_index(
         F.col(q_vec).alias("qv"),
         F.explode(probes).alias("list_id"),
     ).localCheckpoint()
-    need = sorted(int(r[0]) for r in q.select("list_id").distinct().collect())
+    # bounded collect (≤ n_lists); collect_set aggregates partially
+    # executor-side into one row — no distinct shuffle
+    need = sorted(
+        int(b) for b in q.agg(F.collect_set("list_id")).collect()[0][0]
+    )
     if prune_report is not None:
         prune_report.update(lists_read=len(need), n_lists=m["n_lists"])
     cand = (

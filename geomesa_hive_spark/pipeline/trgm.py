@@ -229,12 +229,13 @@ def substring_query_index(
             "instead"
         )
     tris = sorted({pat[i:i + 3] for i in range(len(pat) - 2)})
-    tri_df = spark.createDataFrame([(t,) for t in tris], "tri string")
-    need = sorted({
-        int(r[0]) for r in tri_df.select(
-            F.pmod(F.xxhash64("tri"), F.lit(nb)).cast("int")
-        ).distinct().collect()
-    })
+    # trigram→bucket via the shared literal-frame helper (one tiny
+    # local-relation job, python-side dedup — no distinct shuffle;
+    # same rationale as retrieval._term_buckets: Python has no
+    # xxhash64 twin, reimplementing it would be a drift hazard)
+    from geomesa_hive_spark.pipeline.retrieval import _term_buckets
+
+    need = _term_buckets(spark, tris, nb)
     tomb = index_io.read_tombstones(spark, path)
     posts = spark.read.parquet(os.path.join(path, "postings")).filter(
         F.col("bucket").isin(need) & F.col("tri").isin(tris)
@@ -247,12 +248,16 @@ def substring_query_index(
         .select("id")
         .localCheckpoint()
     )
-    # bounded collect: distinct doc buckets of the candidates, <= nb
-    dneed = sorted({
-        int(r[0]) for r in cands.select(
-            F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
-        ).distinct().collect()
-    })
+    # bounded collect: distinct doc buckets of the candidates, <= nb.
+    # collect_set aggregates partially executor-side into ONE row —
+    # strictly less movement than distinct().collect()'s shuffle
+    dneed = sorted(
+        int(b) for b in cands.agg(
+            F.collect_set(
+                F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
+            )
+        ).collect()[0][0]
+    )
     if prune_report is not None:
         prune_report.update({
             "post_buckets_read": len(need),

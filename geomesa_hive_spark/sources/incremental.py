@@ -488,6 +488,36 @@ def read_maintained_view(spark: SparkSession, view_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(view_dir, state["data"]))
 
 
+def _batch_end_seq(checkpoint_dir: str, batch_id: int) -> int | None:
+    """End commit seq of micro-batch ``batch_id``, read from the
+    stream's OWN offset WAL: Structured Streaming durably writes
+    ``offsets/<batch_id>`` BEFORE running the batch (the recovery
+    contract), and the morlake CDC source's offset IS the commit seq
+    (``{"seq": N}``). Reading it here costs one small file read where
+    ``bdf.agg(max(_commit_seq))`` costs a full scan of the micro-batch
+    through the Python data source (which has no column pruning) —
+    the round-14 optimization note's stream_cdc_ivm item. This stays
+    inside the stream's offset range (never out-of-band table state),
+    so replay detection is unchanged. Returns None on any parse
+    surprise; callers fall back to aggregating the batch."""
+    import json
+    import os
+
+    p = os.path.join(checkpoint_dir, "offsets", str(batch_id))
+    try:
+        with open(p) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        off = json.loads(lines[-1])
+        # Python-source offsets may arrive JSON-encoded one level deep
+        while isinstance(off, str):
+            off = json.loads(off)
+        if isinstance(off, dict) and "seq" in off:
+            return int(off["seq"])
+        return None
+    except Exception:
+        return None
+
+
 def maintain_group_agg_stream(
     spark: SparkSession,
     path: str,
@@ -552,11 +582,20 @@ def maintain_group_agg_stream(
               "skipped_batches": 0}
 
     def _roll(bdf: DataFrame, batch_id: int) -> None:
-        hi = bdf.agg(F.max("_commit_seq")).collect()[0][0]
-        if hi is None:
-            return
-        hi = int(hi)
+        # common path: the batch's end seq comes from the offset WAL
+        # (one file read, see _batch_end_seq) instead of a full scan of
+        # the micro-batch through the Python source. The WAL end equals
+        # max(_commit_seq) whenever the range carries rows; when it
+        # does NOT exceed the stored watermark we fall back to the scan
+        # so the empty-batch (return, uncounted) vs replayed-batch
+        # (skipped_batches += 1) report semantics stay bit-exact.
         cur = _load_ivm_state(view_dir)
+        hi = _batch_end_seq(checkpoint_dir, batch_id)
+        if hi is None or hi <= cur["seq"]:
+            hi = bdf.agg(F.max("_commit_seq")).collect()[0][0]
+            if hi is None:
+                return
+            hi = int(hi)
         if hi <= cur["seq"]:
             report["skipped_batches"] += 1
             return

@@ -1976,10 +1976,16 @@ def merge_into(
     if key_col not in source.columns:
         raise ValueError(f"key column {key_col!r} not in source columns")
     spark = source.sparkSession
-    dup = (
-        source.groupBy(key_col).count().filter(F.col("count") > 1).limit(1)
+    # ONE source-key aggregation serves both the duplicate-key check
+    # and the matched-key detection (guide §1.2: before this, the
+    # source plan ran once for the dup probe and again for the
+    # distinct-key set). localCheckpoint pins the ≤|source-keys| frame.
+    src_keys = (
+        source.groupBy(key_col)
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=True)
     )
-    if dup.count():
+    if src_keys.filter(F.col("__c") > 1).limit(1).count():
         raise ValueError(
             "source has duplicate keys — a MERGE where two source rows "
             "match one target row is nondeterministic; dedupe first"
@@ -1994,7 +2000,7 @@ def merge_into(
     # reuses the materialized keys instead of replanning the
     # table-sized snapshot scan — one base scan per MERGE, not five
     matched_keys = snap_keys.join(
-        F.broadcast(source.select(key_col).distinct()), key_col, "left_semi"
+        F.broadcast(src_keys.select(key_col)), key_col, "left_semi"
     ).localCheckpoint(eager=True)
     flagged = source.join(
         F.broadcast(matched_keys.withColumn("__m", F.lit(True))),

@@ -999,6 +999,46 @@ def test_stream_cdc_ivm_maintenance(spark, tmp_path):
     _check()
 
 
+def test_stream_cdc_ivm_wal_end_seq(spark, tmp_path):
+    """Round-14 optimization: _roll learns each micro-batch's end seq
+    from the stream's own offset WAL (offsets/<batch_id>, written
+    before foreachBatch runs) instead of scanning the batch through
+    the Python source. Pin: the parsed WAL value equals the batch's
+    actual max(_commit_seq), and a missing/garbled file returns None
+    (callers then fall back to the scan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geomesa_hive_spark.sources.incremental import (
+        _batch_end_seq, maintain_group_agg_stream,
+    )
+    from geomesa_hive_spark.sources.manifest import write_delta
+
+    path = str(tmp_path / "lake")
+    view_dir = str(tmp_path / "view")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 0.5).alias("v"))
+    df.write.mode("overwrite").parquet(path)
+    write_delta(df.filter(F.col("k") % 4 == 0)
+                .withColumn("g", F.lit("W")), path, "k")
+    r = maintain_group_agg_stream(spark, path, "k", "g", "v", view_dir)
+    assert r["batches"] == 1 and r["seq_after"] == 1
+
+    ckpt = os.path.join(view_dir, "_checkpoint")
+    # batch 0 covered exactly commit 1: WAL end seq == max(_commit_seq)
+    assert _batch_end_seq(ckpt, 0) == 1
+    # robustness: absent batch id and garbled content both -> None
+    assert _batch_end_seq(ckpt, 99) is None
+    bad = str(tmp_path / "badckpt")
+    os.makedirs(os.path.join(bad, "offsets"))
+    with open(os.path.join(bad, "offsets", "0"), "w") as fh:
+        fh.write("v1\nnot json at all {{{")
+    assert _batch_end_seq(bad, 0) is None
+
+
 def test_bloom_parquet_tier(spark, tmp_path):
     """VERDICT r9 #4: on the parquet manifest tier, bloom bitsets live
     as packed binary columns in the sharded manifest (built with zero
