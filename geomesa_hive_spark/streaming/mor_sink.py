@@ -41,12 +41,15 @@ def mor_sink(path: str, key_col: str, delete_col: str | None = None):
             ups = bdf.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
-            n_up, n_del = ups.count(), dels.count()
-            if n_up == 0 and n_del == 0:
+            # emptiness probes, not counts: isEmpty() is a limit-1
+            # early-exit where count() aggregates the whole batch —
+            # the batch is then scanned fully only by the write itself
+            has_up, has_del = not ups.isEmpty(), not dels.isEmpty()
+            if not has_up and not has_del:
                 return
             write_delta(
-                ups if n_up else None, path, key_col,
-                delete_keys=dels if n_del else None, txn_id=txn,
+                ups if has_up else None, path, key_col,
+                delete_keys=dels if has_del else None, txn_id=txn,
             )
         else:
             if bdf.isEmpty():
