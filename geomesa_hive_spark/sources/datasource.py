@@ -318,15 +318,22 @@ def _footer_minmax(fpath: str, col: str):
                 continue
             if c.physical_type == "BYTE_ARRAY":
                 return None
-            st = c.statistics
-            if st is None or not st.has_min_max:
-                return None
-            if (c.physical_type == "FIXED_LEN_BYTE_ARRAY"
-                    and "Decimal" not in str(st.logical_type)):
+            try:
+                # pyarrow raises ArrowNotImplementedError for stats of
+                # some logical types (e.g. INT32/INT64-backed DECIMAL)
+                # — treat "can't read them" as "absent" and fall back
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                if (c.physical_type == "FIXED_LEN_BYTE_ARRAY"
+                        and "Decimal" not in str(st.logical_type)):
+                    return None
+                s_min, s_max = st.min, st.max
+            except Exception:
                 return None
             n_valid += 1
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
+            mn = s_min if mn is None else min(mn, s_min)
+            mx = s_max if mx is None else max(mx, s_max)
     if n_valid != md.num_row_groups:
         return None  # column absent from some row group: be exact
     return (mn, mx)

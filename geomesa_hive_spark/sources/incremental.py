@@ -498,8 +498,14 @@ def _batch_end_seq(checkpoint_dir: str, batch_id: int) -> int | None:
     through the Python data source (which has no column pruning) —
     the round-14 optimization note's stream_cdc_ivm item. This stays
     inside the stream's offset range (never out-of-band table state),
-    so replay detection is unchanged. Returns None on any parse
-    surprise; callers fall back to aggregating the batch."""
+    so replay detection is unchanged.
+
+    SINGLE-SOURCE streams only (round-14 advice): the WAL file is
+    version line + metadata line + one offset line PER SOURCE, so the
+    parse demands exactly three lines and returns None otherwise — a
+    future multi-source reuse degrades to the batch scan instead of
+    silently reading the wrong source's offset. Returns None on any
+    parse surprise; callers fall back to aggregating the batch."""
     import json
     import os
 
@@ -507,6 +513,8 @@ def _batch_end_seq(checkpoint_dir: str, batch_id: int) -> int | None:
     try:
         with open(p) as fh:
             lines = [ln.strip() for ln in fh if ln.strip()]
+        if len(lines) != 3:
+            return None
         off = json.loads(lines[-1])
         # Python-source offsets may arrive JSON-encoded one level deep
         while isinstance(off, str):
@@ -589,6 +597,11 @@ def maintain_group_agg_stream(
         # does NOT exceed the stored watermark we fall back to the scan
         # so the empty-batch (return, uncounted) vs replayed-batch
         # (skipped_batches += 1) report semantics stay bit-exact.
+        # VIEW-state semantics are unchanged unconditionally; the report
+        # counters could diverge from the scan path only if a commit
+        # carried zero CDC rows, and no writer can produce an empty
+        # commit today (write_delta requires upserts or deletes;
+        # merge_into and mor_sink skip empty batches) — round-14 advice.
         cur = _load_ivm_state(view_dir)
         hi = _batch_end_seq(checkpoint_dir, batch_id)
         if hi is None or hi <= cur["seq"]:

@@ -1,13 +1,19 @@
 """Isolated per-query timing for optimization work (round 14).
 
 Usage:
-    python scripts/time_query.py [-n TRIALS] <query> [query ...]
+    python scripts/time_query.py [-n TRIALS] [--jobs] <query> [query ...]
 
 Times the named declared queries with bench.py's exact protocol (same
 session config, same warmup, same per-query isolation: clearCache +
 driver GC + 1s cleaner drain, best-of-N trials) and prints one line per
 query. This is a measurement tool only — BENCH_FULL.json and the driver
 contract come from bench.py, unchanged.
+
+--jobs additionally records Spark JOB and STAGE counts per query (via a
+per-trial job group + statusTracker) — the round-14 verdict item 4
+evidence artifact for execution-count optimizations, which `.explain`
+on the returned frame can structurally never show (a removed extra
+pass/job leaves the final plan identical modulo expression IDs).
 """
 
 from __future__ import annotations
@@ -20,9 +26,13 @@ import time
 def main() -> int:
     args = sys.argv[1:]
     n_trials = 3
+    want_jobs = False
     if args and args[0] == "-n":
         n_trials = int(args[1])
         args = args[2:]
+    if args and args[0] == "--jobs":
+        want_jobs = True
+        args = args[1:]
     if not args:
         print(__doc__)
         return 2
@@ -92,22 +102,44 @@ def main() -> int:
             continue
         spark.sparkContext.setJobDescription(f"time:{name}")
         trial_times: list[float] = []
+        job_counts: list[int] = []
+        stage_counts: list[int] = []
         rows = -1
-        for _ in range(n_trials):
+        for ti in range(n_trials):
+            grp = f"tq-{name}-{ti}"
             try:
+                if want_jobs:
+                    spark.sparkContext.setJobGroup(grp, f"time:{name}")
                 t0 = time.time()
                 rows = qs[name](spark, sf_dir).count()
                 trial_times.append(round(time.time() - t0, 3))
+                if want_jobs:
+                    st = spark.sparkContext.statusTracker()
+                    jids = st.getJobIdsForGroup(grp)
+                    job_counts.append(len(jids))
+                    n_stages = 0
+                    for j in jids:
+                        ji = st.getJobInfo(j)
+                        if ji is not None:
+                            n_stages += len(ji.stageIds)
+                    stage_counts.append(n_stages)
             except Exception as exc:
                 trial_times.append(-1.0)
                 print(f"# {name}: trial FAILED {type(exc).__name__}: {exc}",
                       file=sys.stderr)
                 rc = 1
+            finally:
+                if want_jobs:
+                    spark.sparkContext.setJobGroup(
+                        f"iso-{name}-{ti}", "isolate")
             _isolate()
         ok = [t for t in trial_times if t >= 0]
         best = min(ok) if ok else -1.0
-        print(f"{name}: best {best}s rows={rows} trials={trial_times} "
-              f"canary={_canary()}s", flush=True)
+        extra = ""
+        if want_jobs:
+            extra = f" jobs={job_counts} stages={stage_counts}"
+        print(f"{name}: best {best}s rows={rows} trials={trial_times}"
+              f"{extra} canary={_canary()}s", flush=True)
     spark.stop()
     return rc
 

@@ -579,6 +579,64 @@ def test_mor_upsert_delete_snapshot_semantics(spark, tmp_path):
     assert read_snapshot(spark, p2, "k").count() == 20
 
 
+def test_write_delta_footer_stats(spark, tmp_path):
+    """Round-15: write_delta derives commit counts + key stats from
+    parquet FOOTERS of the written files (zero Spark jobs) — the helper
+    must agree exactly with the Spark agg it replaced, across
+    upsert-only / delete-only / mixed commits, and must return None
+    (exact-agg fallback) for string keys whose binary footer stats may
+    be writer-truncated."""
+    from geomesa_hive_spark.sources.manifest import (
+        _delta_footer_stats, write_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], "k long, name string")
+    path = str(tmp_path / "morf")
+    base.write.mode("overwrite").parquet(path)
+
+    up = spark.createDataFrame(
+        [(k, f"u{k}") for k in (3, 7, 42)], "k long, name string")
+    dels = spark.createDataFrame([(1,), (9,)], "k long")
+    e = write_delta(up, path, "k", delete_keys=dels)
+    assert e["n_upserts"] == 3 and e["n_deletes"] == 2
+    # key stats include tombstone keys: min=1 (a delete), max=42
+    assert e["key_min"] == 1 and e["key_max"] == 42
+
+    # the helper's answer ≡ the Spark agg over the same files
+    from pyspark.sql import functions as SF
+    got = _delta_footer_stats(e["path"], "k")
+    w = spark.read.parquet(e["path"])
+    srow = w.agg(
+        SF.count(SF.when(~SF.col("__deleted"), True)),
+        SF.count(SF.when(SF.col("__deleted"), True)),
+        SF.min("k"), SF.max("k"),
+    ).collect()[0]
+    assert got == (int(srow[0]), int(srow[1]), srow[2], srow[3]), got
+
+    # a file whose row group MIXES upserts and deletes (min!=max on
+    # __deleted) exercises the bit-packed-column fallback count
+    mixed = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True), (5, True)],
+        "k long, __deleted boolean",
+    ).coalesce(1)
+    mpath = str(tmp_path / "mixed_delta")
+    mixed.write.mode("overwrite").parquet(mpath)
+    assert _delta_footer_stats(mpath, "k") == (2, 3, 1, 5)
+
+    # string key: binary footer stats are untrusted -> None (caller
+    # falls back to the exact Spark agg; commit entry still exact)
+    sbase = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(5)], "k string, v long")
+    spath = str(tmp_path / "morstr")
+    sbase.write.mode("overwrite").parquet(spath)
+    sup = spark.createDataFrame([("k2", 20), ("zz", 9)], "k string, v long")
+    se = write_delta(sup, spath, "k")
+    assert _delta_footer_stats(se["path"], "k") is None
+    assert se["n_upserts"] == 2 and se["n_deletes"] == 0
+    assert se["key_min"] == "k2" and se["key_max"] == "zz"
+
+
 def test_mor_concurrent_writers_race(spark, tmp_path):
     """Optimistic commit protocol (round-7): N threads commit deltas
     CONCURRENTLY against one table — every writer lands, seqs come out
