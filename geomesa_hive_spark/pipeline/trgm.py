@@ -241,38 +241,32 @@ def substring_query_index(
         F.col("bucket").isin(need) & F.col("tri").isin(tris)
     )
     posts = index_io.apply_tombstones(posts, tomb, "id")
+    # candidates carry their doc bucket (the same pmod(xxhash64(id))
+    # the writer used); the docs side is then pruned by DYNAMIC
+    # partition pruning off the broadcast join on (id, dbucket) —
+    # round-15: this folds what used to be three driver round-trips
+    # (cands localCheckpoint, a collect_set of the buckets, then the
+    # isin-filtered docs scan) into the single final job, and the
+    # partition cut is identical (dbucket is a function of id).
     cands = (
         posts.groupBy("id")
         .agg(F.countDistinct("tri").alias("nt"))
         .filter(F.col("nt") == len(tris))
         .select("id")
-        .localCheckpoint()
-    )
-    # bounded collect: distinct doc buckets of the candidates, <= nb.
-    # collect_set aggregates partially executor-side into ONE row —
-    # strictly less movement than distinct().collect()'s shuffle
-    dneed = sorted(
-        int(b) for b in cands.agg(
-            F.collect_set(
-                F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int")
-            )
-        ).collect()[0][0]
+        .withColumn("dbucket",
+                    F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
     )
     if prune_report is not None:
         prune_report.update({
             "post_buckets_read": len(need),
-            "doc_buckets_read": len(dneed),
+            "doc_pruning": "dpp-broadcast",
             "n_buckets": nb,
             "n_trigrams": len(tris),
         })
-    if not dneed:
-        return cands          # empty frame with the id column
-    docs = spark.read.parquet(os.path.join(path, "docs")).filter(
-        F.col("dbucket").isin(dneed)
-    )
+    docs = spark.read.parquet(os.path.join(path, "docs"))
     docs = index_io.apply_tombstones(docs, tomb, "id")
     return (
-        docs.join(cands, "id")
+        docs.join(F.broadcast(cands), ["id", "dbucket"])
         .filter(F.col("t").contains(pat))
         .select("id")
     )
