@@ -216,7 +216,14 @@ def substring_query_index(
     (case-insensitive) — exactly the full-scan
     ``contains(lower(text), lower(pattern))`` answer, at the cost of
     the pattern's trigram buckets + the candidates' doc buckets.
-    ``prune_report`` (filled in place) records the pruning."""
+    ``prune_report`` (filled in place) records the pruning.
+
+    The candidate set is BROADCAST into the docs-side join (its size
+    drives dynamic partition pruning of the doc buckets). That is the
+    right trade for the index's use case — selective patterns with few
+    survivors of the all-trigrams intersection; a pattern common enough
+    to name millions of candidates defeats a trigram index everywhere
+    (pg_trgm included) and should run as the plain contains() scan."""
     from geomesa_hive_spark.pipeline import index_io
 
     meta = trgm_index_meta(path)
